@@ -1,0 +1,16 @@
+"""pipeline_server_spark — a PySpark-native data pipeline & query engine.
+
+A from-scratch rebuild of the query and data-processing capabilities of
+idata-corporation/pipeline-server (reference surveyed in SURVEY.md) on
+idiomatic Spark: DataFrame/SQL for the relational surface, declarative
+pipeline configs compiled to lazy DataFrame chains, Structured Streaming
+for CDC, and a set of large-scale training-data operators (dedup,
+similarity search, text analysis, multimodal columns) beyond the
+reference's own surface.
+"""
+
+from pipeline_server_spark.session import get_spark, stop_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "stop_spark", "__version__"]

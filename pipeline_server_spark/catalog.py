@@ -1,0 +1,79 @@
+"""Table catalog over the driver's parquet testdata.
+
+The reference's catalog of record is AWS Glue (GlueUtil.scala:267-309);
+ours is the Spark session catalog: each parquet table registered as a
+temp view so the full ``spark.sql`` surface (SURVEY.md §2.6) works over
+it. Reads are plain ``spark.read.parquet`` — columnar, predicate
+pushdown and column pruning apply automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (from the footer)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(
+            os.path.join(path, os.listdir(path)[0]) if os.path.isdir(path) else path
+        )
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    Spark has no nanosecond timestamps (TimestampType is µs-precision);
+    parquet TIMESTAMP(NANOS) columns are read as long nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated here to µs —
+    matching DuckDB's own ns→µs truncation, so oracle comparisons agree.
+    """
+    from pyspark.sql import functions as F
+
+    path = table_path(sf_dir, name)
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        # integer `div` — a double division would lose int64-ns precision
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view named after it."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

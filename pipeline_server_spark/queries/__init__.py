@@ -1,0 +1,13 @@
+"""Named-query library: the engine's relational surface.
+
+Each module registers (spark_callable, oracle_sql) pairs via
+``pipeline_server_spark.queries.registry``; ``__spark_entry__`` exposes
+the merged registry to the driver's correctness harness.
+"""
+
+from pipeline_server_spark.queries.registry import ORACLE, QUERIES, query
+
+# Importing the modules populates the registry.
+from pipeline_server_spark.queries import relational  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,35 @@
+"""Query registry: name → (Spark callable, DuckDB oracle SQL).
+
+The driver contract (``__spark_entry__``) wants ``queries()`` and
+``oracle_sql()`` dicts whose per-name results hash-match after sorting
+columns by name — so every computed column is aliased identically on
+both sides, and float-producing aggregates go through exact DECIMAL
+arithmetic before a final cast to DOUBLE (both engines round the same
+exact decimal to the same nearest double, making the comparison
+bit-stable; raw double summation order differs between engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle=None`` → rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco

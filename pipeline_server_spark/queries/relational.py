@@ -1,0 +1,874 @@
+"""Relational surface (SURVEY.md §2.6) as a named-query library.
+
+The reference never implements joins/aggregations/windows itself — it
+ships SQL text to Athena (AthenaUtil.scala:30-113) and warehouses, so
+its *query surface* is "whatever the lake SQL engine supports". Here
+that engine is Spark itself: every family below is a DataFrame program
+(Catalyst plans the physical strategy), with a DuckDB oracle for the
+driver's correctness gate.
+
+Float discipline: money columns are 2-decimal doubles; all cross-row
+aggregation goes through exact DECIMAL casts and is cast back to DOUBLE
+at the end, so Spark's partition-parallel summation and DuckDB's serial
+summation produce bit-identical results. Per-row scalar double math is
+order-independent and compared directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+def dec(c: str | Column, prec: int = 12, scale: int = 4) -> Column:
+    """Exact decimal view of a 2-decimal money double (lossless here)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def dec2(c: str | Column) -> Column:
+    """Money double → exact decimal(12,2). Narrow scales matter: keeping
+    products within decimal(38,*) avoids Spark's precision-loss rounding
+    (a (25,8)×(13,4) product would exceed 38 and silently round)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(12,2)")
+
+
+def rate(c: str | Column) -> Column:
+    """Discount/tax double in [0,1) → exact decimal(4,2)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(4,2)")
+
+
+def one() -> Column:
+    """Literal 1 as decimal(3,2) (lazy: needs an active session)."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash agg → sort.
+
+    Reference analog: the Athena SQL surface (SURVEY.md §2.6); partial
+    (map-side) aggregation + 2-phase hash agg come free from Catalyst.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * (one() - rate("l_discount"))
+    charge = disc_price * (one() + rate("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective-filter aggregate — every predicate is
+    pushed to the parquet scan (verified via explain in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(dec2("l_extendedprice") * rate("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "nation_order_stats",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_sales,
+           CAST(MIN(CAST(o.o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o.o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS max_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + multi-aggregate with min/max; nation is broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    tp = dec("o_totalprice", 14, 4)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(tp).cast("double").alias("total_sales"),
+            F.min(tp).cast("double").alias("min_price"),
+            F.max(tp).cast("double").alias("max_price"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join → agg → deterministic top-k
+    (tie-broken on the key so LIMIT is stable across engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec2("l_extendedprice") * (one() - rate("l_discount"))
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join; small dims broadcast, the big
+    orders⋈lineitem pair shuffles on the join key once."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = dec2("l_extendedprice") * (one() - rate("l_discount"))
+    return (
+        F.broadcast(r.filter(F.col("r_name") == "ASIA"))
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_cnt
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): the merge-shaped equi-join family the
+    reference expresses via keyFields (SURVEY.md §2.6)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "customers_without_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS); the urgent-orders predicate keeps the
+    result non-empty at every sf (every customer has *some* order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "customer_order_profile",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS order_cnt,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(14,4))), 0) AS DOUBLE) AS lifetime_value
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name ORDER BY c_custkey
+    """,
+)
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + agg with null-safe COALESCE on the sum."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(dec("o_totalprice", 14, 4)), F.lit(0))
+            .cast("double")
+            .alias("lifetime_value"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_flag_status",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "grouping_sets_activity",
+    oracle="""
+    SELECT event_type, user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id))
+    ORDER BY event_type NULLS FIRST, user_id NULLS FIRST
+    """,
+)
+def grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (our sql() entry point —
+    the stand-in for the reference's Athena passthrough)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+        ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family
+# ---------------------------------------------------------------------------
+
+@query(
+    "rank_parts_by_price",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS dense_price_rank
+    FROM part
+    ORDER BY p_brand, price_rank, p_partkey
+    """,
+)
+def rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("dense_price_rank"),
+        )
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical window + filter pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (deterministic via
+    unique-key tiebreak); decimal accumulation keeps engines exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice", 14, 4)).over(w).cast("double").alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "event_deltas",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+    FROM events ORDER BY user_id, ts, event_id
+    """,
+)
+def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over an event stream — per-row double subtraction is
+    order-independent, so no decimal detour is needed."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+            F.lead("event_type").over(w).alias("next_event"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "event_moving_avg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,4)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events ORDER BY user_id, ts, event_id
+    """,
+)
+def event_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame (3 preceding..current) moving average."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, W.currentRow)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+                "moving_avg"
+            ),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "active_or_rich_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY c_custkey
+    """,
+)
+def active_or_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct().orderBy("c_custkey")
+
+
+@query(
+    "building_and_rich_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY c_custkey
+    """,
+)
+def building_and_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b).orderBy("c_custkey")
+
+
+@query(
+    "building_not_rich_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY c_custkey
+    """,
+)
+def building_not_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.exceptAll(b).distinct().orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k, filter/project
+# ---------------------------------------------------------------------------
+
+@query(
+    "top25_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def top25_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge, no full sort, no full shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "urgent_high_value",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+    ORDER BY o_orderkey
+    """,
+)
+def urgent_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+project — both predicates and the 2-column projection
+    reach the parquet scan (PushedFilters/ReadSchema, see tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY.md §2.7) + regex (DQ rule F2 analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_type, 1, 4) AS type_prefix,
+           p_name || '/' || p_type AS name_type,
+           REPLACE(p_type, 'E', '*') AS type_starred,
+           TRIM('  ' || p_name || ' ') AS name_trimmed
+    FROM part ORDER BY p_partkey
+    """,
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (upper/lower/length/substr/concat/replace/
+    trim — the reference's §2.7 catalog and more)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.substring("p_type", 1, 4).alias("type_prefix"),
+            F.concat(F.col("p_name"), F.lit("/"), F.col("p_type")).alias("name_type"),
+            F.replace(F.col("p_type"), F.lit("E"), F.lit("*")).alias("type_starred"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "order_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           STRFTIME(o_orderdate, '%Y-%m') AS year_month
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp scalar surface — year/month/day/quarter/trunc/
+    interval arithmetic/formatting (reference §2.7 timestamp formats)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000) AS abs_centered,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS rounded_markup,
+           FLOOR(l_quantity / 7) AS qty_bucket,
+           CEIL(l_extendedprice / 10000) AS price_band,
+           SQRT(l_quantity) AS qty_sqrt,
+           MOD(CAST(l_orderkey AS BIGINT), 7) AS key_mod
+    FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface; all IEEE-deterministic per-row ops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 50000).alias("abs_centered"),
+            # decimal-exact markup: ROUND(double, n) at a .005 boundary
+            # rounds differently across engines
+            F.round(dec("l_extendedprice") * F.lit(1.1).cast("decimal(3,2)"), 2)
+            .cast("double")
+            .alias("rounded_markup"),
+            F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+            F.ceil(F.col("l_extendedprice") / 10000).alias("price_band"),
+            F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
+            (F.col("l_orderkey").cast("bigint") % 7).alias("key_mod"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "regex_part_names",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS widget_cnt
+    FROM part
+    WHERE REGEXP_MATCHES(p_name, '^(red|blue) (widget|gizmo)$')
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def regex_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate — the engine primitive behind DQ regex column
+    rules (reference DataQuality.scala:156-158 → rlike)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("^(red|blue) (widget|gizmo)$"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("widget_cnt"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "price_band_distribution",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS price_band,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS band_total
+    FROM orders GROUP BY 1 ORDER BY price_band
+    """,
+)
+def price_band_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.groupBy(band.alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("o_totalprice", 14, 4)).cast("double").alias("band_total"),
+        )
+        .orderBy("price_band")
+    )
+
+
+@query(
+    "exact_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("uniq_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# HLL sketches differ across engines by design — driver records the
+# weaker rows-only check (no oracle entry).
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the at-scale replacement
+    for exact COUNT(DISTINCT); no oracle because sketch estimates are
+    engine-specific."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "pivot_event_matrix",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event_type → one count column per value. Explicit value
+    list keeps the plan single-pass (no distinct-scan first)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, val FROM (
+      SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val FROM orders
+    ) ORDER BY o_orderkey, measure
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide→long."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "val")
+        .orderBy("o_orderkey", "measure")
+    )

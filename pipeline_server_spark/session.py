@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+The reference delegates execution to Athena/warehouses and a side-car
+Spark 3.1.1 job (see SURVEY.md §4); here one SparkSession is the entire
+engine. Settings are chosen for correctness against the DuckDB oracle
+(UTC session timezone — reference pins America/New_York in
+emr-config.json, we pin UTC and document the delta) and for scale
+(AQE on, skew-join handling, Arrow for the Pandas-UDF slow path).
+
+At 100 TB on a real cluster the only knobs that change are
+``spark.sql.shuffle.partitions`` (sized to ~2-3× total cores, or left
+to AQE coalesce) and ``spark.sql.files.maxPartitionBytes``; nothing in
+the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "pipeline_server_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode is a single JVM; on a cluster the same conf applies
+    unchanged — partitioning decisions live in the operators, not here.
+    """
+    cpus = int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import pytest
+
+from pipeline_server_spark.queries import ORACLE, QUERIES
+from tests.conftest import SF_MED, SF_SMALL
+from tests.oracle_harness import run_compare
+
+RELATIONAL = sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_query_matches_oracle_sf001(spark, name):
+    problems = run_compare(spark, name, SF_SMALL)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_query_matches_oracle_sf01(spark, name):
+    problems = run_compare(spark, name, SF_MED)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns[0] == "l_returnflag"
