@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed with a count-style action that forces the full
+plan without collecting result rows to the driver (write-free, so the
+number is compute+shuffle time, not materialization)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "revenue_forecast",
+    "top_revenue_orders",
+    "regional_revenue",
+    "customer_order_profile",
+    "top3_orders_per_customer",
+    "rollup_revenue",
+    "pivot_event_matrix",
+    "exact_distinct_users",
+    # training-data operators (registered in later milestones; skipped if absent)
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pipeline_server_spark.session import get_spark
+    from pipeline_server_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bench")
+
+    # JVM/codegen warm-up on the smallest sf so per-query numbers measure
+    # the plan, not first-call JIT + codegen compilation.
+    warm = "/root/testdata/sf0.001"
+    QUERIES["pricing_summary"](spark, warm).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
