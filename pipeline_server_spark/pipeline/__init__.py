@@ -1,0 +1,28 @@
+"""Pipeline operator layer: the reference's dataset lifecycle
+(read → validate → data-quality → dedup → transform → conform → write)
+rebuilt as one lazy DataFrame chain (SURVEY.md §3.1 restatement).
+"""
+
+from pipeline_server_spark.pipeline.config import (
+    DatasetConfig,
+    DataQualityConfig,
+    DestinationConfig,
+    FileAttributes,
+    SchemaField,
+    SourceConfig,
+    TransformationConfig,
+    validate_config,
+)
+from pipeline_server_spark.pipeline.run import run_dataset
+
+__all__ = [
+    "DatasetConfig",
+    "DataQualityConfig",
+    "DestinationConfig",
+    "FileAttributes",
+    "SchemaField",
+    "SourceConfig",
+    "TransformationConfig",
+    "validate_config",
+    "run_dataset",
+]

@@ -1,0 +1,193 @@
+"""Dataset configuration model + validation.
+
+Re-expresses the reference's JSON `DatasetConfig`
+(common/.../model/DatasetConfig.scala:21-162) as Python dataclasses,
+with the validation/normalization rules of
+DatasetValidatorUtil.scala:28-436 (closed type set, key/partition
+fields ⊆ schema, semi-structured single-column rule, lowercasing).
+
+The config is the reference's only "query plan" (SURVEY.md §3.1); here
+it compiles to a lazy DataFrame chain in run.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+from typing import Any, Callable
+
+# Closed type set — DatasetValidatorUtil.scala:271-289.
+_TYPE_RE = re.compile(
+    r"^(boolean|int|tinyint|smallint|bigint|float|double|string|date|timestamp"
+    r"|decimal\(\s*\d+\s*,\s*\d+\s*\)|varchar\(\s*\d+\s*\)|char\(\s*\d+\s*\))$"
+)
+
+FILE_TYPES = ("csv", "json", "xml", "xls", "unstructured", "parquet")
+
+
+class ConfigValidationError(ValueError):
+    """A dataset config violated a registration rule (F6)."""
+
+
+@dataclass(frozen=True)
+class SchemaField:
+    """Name + type string — Schema.scala:21-28 (no nullability there;
+    we default nullable=True like the reference's Spark job)."""
+
+    name: str
+    type: str
+
+
+@dataclass(frozen=True)
+class FileAttributes:
+    """fileAttributes — DatasetConfig.scala:79-127."""
+
+    file_type: str = "csv"
+    header: bool = True
+    delimiter: str = ","
+    encoding: str = "UTF-8"
+    trim_columns: bool = False  # trimColumnWhitespace, DatasetConfig.scala:69
+    # JSON/XML: one object per line vs whole file = 1 row (JsonXmlReader.scala:33-60)
+    every_row_contains_object: bool = False
+    # arbitrary spark.read options passthrough (DatasetConfig.scala:86)
+    spark_read_options: dict[str, str] = field(default_factory=dict)
+    # xls: worksheet index (ExcelToCsvUtil.scala:36-139)
+    worksheet: int = 0
+    # unstructured: preserve original name / forced extension
+    file_extension: str | None = None
+    preserve_filename: bool = False
+
+
+@dataclass(frozen=True)
+class SourceConfig:
+    fields: tuple[SchemaField, ...] = ()
+    file: FileAttributes = field(default_factory=FileAttributes)
+    infer_schema: bool = False  # CSV only; samplingRatio=1.0 (DataFrameUtil.scala:45-48)
+
+
+@dataclass(frozen=True)
+class ColumnRule:
+    """Regex column rule — DataQuality.scala:129-158."""
+
+    column: str
+    regex: str
+    on_failure_is_error: bool = True
+
+
+@dataclass(frozen=True)
+class DataQualityConfig:
+    validate_file_header: bool = False  # DataQuality.scala:38-44,73-80
+    column_rules: tuple[ColumnRule, ...] = ()
+    # Python stand-in for the JS row rule (DataQuality.scala:82-127):
+    # fn(row: dict) -> str|None, None = pass
+    row_rule: Callable[[dict[str, Any]], str | None] | None = None
+    row_rule_is_error: bool = False
+    max_errors: int = 100  # abort threshold — DataQuality.scala:160-180
+
+
+@dataclass(frozen=True)
+class TransformationConfig:
+    deduplicate: bool = False  # Transformation.scala:57-69
+    # Python stand-in for the JS row function (Transformation.scala:71-133):
+    # fn(row: dict) -> dict of changed/new columns | None to drop the row
+    row_function: Callable[[dict[str, Any]], dict[str, Any] | None] | None = None
+    # fast path: named column expressions evaluated JVM-side
+    column_expressions: dict[str, Any] | None = None
+    drop_predicate: Any | None = None  # Column predicate: True = drop row
+
+
+@dataclass(frozen=True)
+class DestinationConfig:
+    fields: tuple[SchemaField, ...] = ()  # defaults to source (DatasetConfigIO.scala:39-45)
+    path: str | None = None
+    file_format: str = "parquet"  # parquet|orc — DatasetValidatorUtil.scala:180-183
+    write_mode: str = "append"  # append | overwrite | merge
+    key_fields: tuple[str, ...] = ()  # MERGE keys — DatasetConfig.scala:138,148
+    partition_by: tuple[str, ...] = ()
+    delete_before_write: bool = False  # ObjectStoreLoader.scala:146-158
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    name: str
+    source: SourceConfig = field(default_factory=SourceConfig)
+    data_quality: DataQualityConfig = field(default_factory=DataQualityConfig)
+    transformation: TransformationConfig = field(default_factory=TransformationConfig)
+    destination: DestinationConfig = field(default_factory=DestinationConfig)
+    # reproduce the reference's lossy casts (decimal→double,
+    # tiny/smallint→int — DataFrameUtil.scala:108-145) when True
+    parity_mode: bool = False
+
+
+def normalize_config(config: DatasetConfig) -> DatasetConfig:
+    """Schema identity is case-insensitive: lowercase every field name
+    (DatasetValidatorUtil.scala:326-355) and default the destination
+    schema to the source schema (DatasetConfigIO.scala:39-45)."""
+    src_fields = tuple(SchemaField(f.name.lower(), f.type.lower()) for f in config.source.fields)
+    dest_fields = tuple(
+        SchemaField(f.name.lower(), f.type.lower()) for f in config.destination.fields
+    ) or src_fields
+    return replace(
+        config,
+        source=replace(config.source, fields=src_fields),
+        destination=replace(
+            config.destination,
+            fields=dest_fields,
+            key_fields=tuple(k.lower() for k in config.destination.key_fields),
+            partition_by=tuple(p.lower() for p in config.destination.partition_by),
+        ),
+    )
+
+
+def validate_config(config: DatasetConfig) -> DatasetConfig:
+    """Registration-time validation (the core of the reference's ~200
+    rules, DatasetValidatorUtil.scala:28-324). Returns the normalized
+    config or raises ConfigValidationError."""
+    config = normalize_config(config)
+    errors: list[str] = []
+
+    if not config.name or not re.match(r"^[a-z0-9_]+$", config.name.lower()):
+        errors.append(f"dataset name must be alphanumeric/underscore: {config.name!r}")
+
+    ft = config.source.file.file_type
+    if ft not in FILE_TYPES:
+        errors.append(f"unsupported file type: {ft!r} (allowed: {FILE_TYPES})")
+
+    for f in config.source.fields + config.destination.fields:
+        if not _TYPE_RE.match(f.type):
+            errors.append(f"field {f.name!r}: invalid type {f.type!r}")
+
+    # Semi-structured sources must declare exactly one string column
+    # named _json/_xml (DatasetValidatorUtil.scala:294-324).
+    if ft in ("json", "xml") and not config.source.file.every_row_contains_object:
+        expected = "_json" if ft == "json" else "_xml"
+        names = [f.name for f in config.source.fields]
+        if names != [expected] or config.source.fields[0].type != "string":
+            errors.append(
+                f"{ft} whole-document source requires exactly one string field "
+                f"named {expected!r}, got {names}"
+            )
+
+    dest_names = {f.name for f in config.destination.fields}
+    for k in config.destination.key_fields:
+        if k not in dest_names:
+            errors.append(f"keyField {k!r} not in destination schema")
+    for p in config.destination.partition_by:
+        if p not in dest_names:
+            errors.append(f"partition column {p!r} not in destination schema")
+    overlap = set(config.destination.key_fields) & set(config.destination.partition_by)
+    # Reference forbids partitioning by a merge key (Athena constraint);
+    # we allow it but it's usually wrong — treat as error for parity.
+    if overlap and config.destination.write_mode == "merge":
+        errors.append(f"merge keys cannot be partition columns: {sorted(overlap)}")
+
+    if config.destination.write_mode == "merge" and not config.destination.key_fields:
+        errors.append("write_mode='merge' requires key_fields")
+    if config.destination.file_format not in ("parquet", "orc"):
+        errors.append(f"unsupported destination format: {config.destination.file_format!r}")
+    if ft == "unstructured" and config.destination.write_mode == "merge":
+        errors.append("unstructured sources cannot use merge (reference: no Iceberg for unstructured)")
+
+    if errors:
+        raise ConfigValidationError("; ".join(errors))
+    return config

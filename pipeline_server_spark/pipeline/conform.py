@@ -1,0 +1,96 @@
+"""Projection / conformance / casting (SURVEY.md §2.2, P1-P6).
+
+Maps config type strings to Spark types per the reference's own cast
+table (transform/.../DataFrameUtil.scala:108-145), including its lossy
+quirks behind ``parity_mode`` (decimal(p,s)→double, tinyint/smallint→
+int — we default to the *correct* types instead).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_server_spark.pipeline.config import SchemaField
+
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+_VARCHAR_RE = re.compile(r"^(?:varchar|char)\(\s*\d+\s*\)$")
+
+
+def spark_type(type_str: str, parity_mode: bool = False) -> T.DataType:
+    """Config type string → Spark DataType (reference table §1.2)."""
+    t = type_str.strip().lower()
+    m = _DECIMAL_RE.match(t)
+    if m:
+        # reference silently drops precision → DoubleType (DataFrameUtil.scala:128-129)
+        return T.DoubleType() if parity_mode else T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if _VARCHAR_RE.match(t):
+        return T.StringType()
+    mapping: dict[str, T.DataType] = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "tinyint": T.IntegerType() if parity_mode else T.ByteType(),
+        "smallint": T.IntegerType() if parity_mode else T.ShortType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }
+    if t not in mapping:
+        raise ValueError(f"unknown config type: {type_str!r}")
+    return mapping[t]
+
+
+def to_struct_type(fields: tuple[SchemaField, ...], parity_mode: bool = False) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, spark_type(f.type, parity_mode), nullable=True) for f in fields]
+    )
+
+
+def lowercase_headers(df: DataFrame) -> DataFrame:
+    """P2 — Transform.scala:104-105."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def trim_string_columns(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """P4 — optional whitespace trim on every string column
+    (CSVReader.scala:40 setTrim)."""
+    if not enabled:
+        return df
+    exprs: list[Column] = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            exprs.append(F.trim(F.col(f.name)).alias(f.name))
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs)
+
+
+def conform_to_schema(
+    df: DataFrame,
+    dest_fields: tuple[SchemaField, ...],
+    parity_mode: bool = False,
+    fill_missing: bool = True,
+) -> DataFrame:
+    """P1+P3 — project to the destination columns in destination order
+    and cast each per the type table. Missing destination columns are
+    added as NULL (the reference's transform path defaults new unset
+    columns; see Transformation.scala:104-122). A single ``select``
+    keeps this one projection node for Catalyst (column pruning reaches
+    the scan)."""
+    have = {c.lower() for c in df.columns}
+    cols: list[Column] = []
+    for f in dest_fields:
+        t = spark_type(f.type, parity_mode)
+        if f.name in have:
+            cols.append(F.col(f.name).cast(t).alias(f.name))
+        elif fill_missing:
+            cols.append(F.lit(None).cast(t).alias(f.name))
+        else:
+            raise ValueError(f"destination column {f.name!r} missing from data")
+    return df.select(*cols)

@@ -1,0 +1,145 @@
+"""Data-quality rule engine (SURVEY.md §2.3, F1-F5).
+
+Reference semantics (util/DataQuality.scala):
+- header validation: incoming columns must match source schema
+  positionally, case-insensitive (:38-44,73-80);
+- regex column rules per column, error-or-warning (:129-158);
+- row rule (JS there, Python callable here) returning None=pass or a
+  failure message (:82-127);
+- accounting: warnings logged; any error fails the run at the end;
+  >max_errors aborts immediately (:160-180).
+
+Scale design: violations are computed as ONE aggregate pass over the
+data (a single select of count-if expressions), not a filter+count per
+rule — at 100 TB, R rules cost one scan, not R scans. Violation samples
+are collected with a bounded ``limit`` only when requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_server_spark.pipeline.config import DataQualityConfig, SchemaField
+
+
+class DataQualityError(Exception):
+    """The run must abort (error rules failed / header mismatch)."""
+
+
+@dataclass
+class DQReport:
+    passed: bool
+    error_count: int = 0
+    warning_count: int = 0
+    rule_counts: dict[str, int] = field(default_factory=dict)
+    samples: dict[str, list[str]] = field(default_factory=dict)
+    aborted_early: bool = False
+
+
+def validate_header(df: DataFrame, source_fields: tuple[SchemaField, ...]) -> None:
+    """F1 — DataQuality.scala:73-80: positional, case-insensitive."""
+    have = [c.lower() for c in df.columns]
+    want = [f.name.lower() for f in source_fields]
+    if have != want:
+        raise DataQualityError(f"header mismatch: data has {have}, schema declares {want}")
+
+
+def _rule_violation_expr(rule) -> F.Column:
+    """True where the value VIOLATES the rule. Reference counts null as
+    failure (String.matches on empty string after split) — rlike(null)
+    is null in SQL, so coalesce to violation."""
+    ok = F.col(rule.column).cast("string").rlike(rule.regex)
+    return ~F.coalesce(ok, F.lit(False))
+
+
+def run_column_rules(
+    df: DataFrame,
+    dq: DataQualityConfig,
+    collect_samples: int = 0,
+) -> DQReport:
+    """F2 — one aggregate pass over all rules."""
+    if not dq.column_rules and dq.row_rule is None:
+        return DQReport(passed=True)
+
+    agg_exprs = []
+    for i, rule in enumerate(dq.column_rules):
+        agg_exprs.append(
+            F.sum(_rule_violation_expr(rule).cast("long")).alias(f"rule_{i}")
+        )
+
+    report = DQReport(passed=True)
+    if agg_exprs:
+        counts = df.agg(*agg_exprs).collect()[0]
+        for i, rule in enumerate(dq.column_rules):
+            n = int(counts[f"rule_{i}"] or 0)
+            key = f"{rule.column}~{rule.regex}"
+            report.rule_counts[key] = n
+            if rule.on_failure_is_error:
+                report.error_count += n
+            else:
+                report.warning_count += n
+            if n and collect_samples:
+                sample_rows = (
+                    df.filter(_rule_violation_expr(rule))
+                    .select(F.col(rule.column).cast("string"))
+                    .limit(collect_samples)
+                    .collect()
+                )
+                report.samples[key] = [r[0] for r in sample_rows]
+
+    if dq.row_rule is not None:
+        report = _run_row_rule(df, dq, report, collect_samples)
+
+    if report.error_count > dq.max_errors:
+        report.aborted_early = True  # ">100 errors aborts" — DataQuality.scala:160-171
+    report.passed = report.error_count == 0
+    return report
+
+
+def _run_row_rule(df: DataFrame, dq: DataQualityConfig, report: DQReport,
+                  collect_samples: int) -> DQReport:
+    """F3 — the JS row rule re-expressed as an Arrow-batched Pandas UDF
+    returning the failure message (null = pass)."""
+    rule = dq.row_rule
+    cols = df.columns
+
+    @F.pandas_udf(T.StringType())
+    def row_rule_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # struct-typed input arrives as a pd.DataFrame per batch
+        for pdf in batch_iter:
+            yield pd.Series([rule(rec) for rec in pdf.to_dict("records")], dtype="object")
+
+    # struct-packed single arg keeps the UDF signature stable for any schema
+    packed = df.withColumn("_msg", row_rule_udf(F.struct(*cols).alias("r")))
+    agg = packed.agg(F.sum(F.col("_msg").isNotNull().cast("long")).alias("n")).collect()[0]
+    n = int(agg["n"] or 0)
+    report.rule_counts["row_rule"] = n
+    if dq.row_rule_is_error:
+        report.error_count += n
+    else:
+        report.warning_count += n
+    if n and collect_samples:
+        rows = packed.filter(F.col("_msg").isNotNull()).select("_msg").limit(collect_samples).collect()
+        report.samples["row_rule"] = [r[0] for r in rows]
+    return report
+
+
+def check(df: DataFrame, dq: DataQualityConfig,
+          source_fields: tuple[SchemaField, ...] = (),
+          collect_samples: int = 5) -> DQReport:
+    """Full DQ gate: header → rules → abort policy."""
+    if dq.validate_file_header and source_fields:
+        validate_header(df, source_fields)
+    report = run_column_rules(df, dq, collect_samples=collect_samples)
+    if not report.passed:
+        raise DataQualityError(
+            f"data quality failed: {report.error_count} error(s), "
+            f"counts={report.rule_counts}, samples={report.samples}"
+        )
+    return report

@@ -1,0 +1,232 @@
+"""Source readers (SURVEY.md §2.1, S1-S7).
+
+Every reader returns a DataFrame; multi-file / glob input is native to
+``spark.read`` (no driver-side concat like the reference's
+DataUtil.scala:33-75). Archive expansion and the metadata sidecar /
+filename convention are driver-side helpers feeding paths to the same
+readers.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+import shutil
+import tarfile
+import tempfile
+import zipfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.config import DatasetConfig, SourceConfig
+from pipeline_server_spark.pipeline.conform import to_struct_type
+
+# --------------------------------------------------------------------------
+# S1/S2 — CSV
+# --------------------------------------------------------------------------
+
+def read_csv(spark: SparkSession, paths: str | list[str], source: SourceConfig,
+             parity_mode: bool = False) -> DataFrame:
+    """CSV scan with the reference's option surface
+    (transform/.../DataFrameUtil.scala:38-62): header, delimiter,
+    multiLine, escape='"', encoding, sparkReadOptions passthrough;
+    declared schema, else inferSchema with samplingRatio=1.0."""
+    fa = source.file
+    reader = (
+        spark.read.option("header", str(fa.header).lower())
+        .option("sep", fa.delimiter)
+        .option("encoding", fa.encoding)
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
+    if source.fields:
+        reader = reader.schema(to_struct_type(source.fields, parity_mode))
+    else:
+        reader = reader.option("inferSchema", "true").option("samplingRatio", "1.0")
+    for k, v in fa.spark_read_options.items():
+        reader = reader.option(k, v)
+    return reader.csv(paths)
+
+
+# --------------------------------------------------------------------------
+# S3 — JSON/XML (line mode vs whole-document mode)
+# --------------------------------------------------------------------------
+
+def read_semistructured(spark: SparkSession, paths: str | list[str],
+                        source: SourceConfig) -> DataFrame:
+    """JsonXmlReader.scala:33-60 semantics: line mode → one row per
+    line; whole mode → entire file = one row; single string column
+    named _json/_xml (schema rule DatasetValidatorUtil.scala:294-324)."""
+    col = "_json" if source.file.file_type == "json" else "_xml"
+    if source.file.every_row_contains_object:
+        df = spark.read.text(paths)
+    else:
+        df = spark.read.text(paths, wholetext=True)
+    return df.select(F.col("value").alias(col))
+
+
+def parse_json_column(df: DataFrame, column: str = "_json", schema=None) -> DataFrame:
+    """Upgrade path beyond the reference: real nested structs via
+    from_json / schema_of_json instead of an opaque string."""
+    if schema is None:
+        sample = df.select(column).filter(F.col(column).isNotNull()).first()
+        if sample is None:
+            return df
+        schema = F.schema_of_json(F.lit(sample[0]))
+    return df.withColumn("parsed", F.from_json(F.col(column), schema))
+
+
+# --------------------------------------------------------------------------
+# S4 — Excel (optional dependency; stubbed when pandas can't read xlsx)
+# --------------------------------------------------------------------------
+
+def read_excel(spark: SparkSession, path: str, source: SourceConfig,
+               parity_mode: bool = False) -> DataFrame:
+    """ExcelToCsvUtil.scala:36-139 semantics: pick worksheet, evaluate
+    formulas (pandas does), pad ragged rows, then treat as tabular.
+    The container ships no xlsx engine — gated behind an import-try."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=source.file.worksheet)  # needs openpyxl
+    except ImportError as e:  # pragma: no cover - env without excel engine
+        raise NotImplementedError(
+            "Excel reading requires openpyxl/xlrd (not in this container); "
+            "install one or convert to CSV upstream"
+        ) from e
+    pdf.columns = [str(c) for c in pdf.columns]
+    if source.fields:
+        sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+        from pipeline_server_spark.pipeline.conform import conform_to_schema, lowercase_headers
+
+        return conform_to_schema(lowercase_headers(sdf), source.fields, parity_mode)
+    return spark.createDataFrame(pdf)
+
+
+# --------------------------------------------------------------------------
+# S5 — Unstructured passthrough
+# --------------------------------------------------------------------------
+
+def read_unstructured(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Binary passthrough (ObjectStoreLoader.scala:95-144) — bytes +
+    path metadata; the pipeline only copies these."""
+    return spark.read.format("binaryFile").load(paths)
+
+
+# --------------------------------------------------------------------------
+# S6 — Archive expansion (.zip/.tar/.jar/.gz)
+# --------------------------------------------------------------------------
+
+_JUNK_RE = re.compile(r"(^|/)(__MAC[^/]*|META-INF|\./\._[^/]*)")
+
+
+def expand_archive(path: str, dest_dir: str | None = None) -> list[str]:
+    """DatasetMetadataUtil.scala:88-151: expand archives to a temp
+    prefix, skipping junk entries; the expanded files re-enter the
+    normal (multi-file) read path."""
+    dest = dest_dir or tempfile.mkdtemp(prefix="psspark_archive_")
+    out: list[str] = []
+    lower = path.lower()
+    if lower.endswith((".zip", ".jar")):
+        with zipfile.ZipFile(path) as z:
+            for info in z.infolist():
+                if info.is_dir() or _JUNK_RE.search(info.filename):
+                    continue
+                target = os.path.join(dest, os.path.basename(info.filename))
+                with z.open(info) as src, open(target, "wb") as dst:
+                    shutil.copyfileobj(src, dst)
+                out.append(target)
+    elif lower.endswith((".tar", ".tar.gz", ".tgz")):
+        with tarfile.open(path) as t:
+            for member in t.getmembers():
+                if not member.isfile() or _JUNK_RE.search(member.name):
+                    continue
+                target = os.path.join(dest, os.path.basename(member.name))
+                src = t.extractfile(member)
+                if src is None:
+                    continue
+                with open(target, "wb") as dst:
+                    shutil.copyfileobj(src, dst)
+                out.append(target)
+    elif lower.endswith(".gz"):
+        target = os.path.join(dest, os.path.basename(path)[: -len(".gz")])
+        with gzip.open(path, "rb") as src, open(target, "wb") as dst:
+            shutil.copyfileobj(src, dst)
+        out.append(target)
+    else:
+        raise ValueError(f"not a supported archive: {path}")
+    return sorted(out)
+
+
+# --------------------------------------------------------------------------
+# S7 — dataset metadata: filename convention + .metadata.json sidecar
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DatasetMetadata:
+    """DatasetMetadata.scala:21-28."""
+
+    dataset: str
+    data_file_path: str
+    publisher_token: str | None = None
+    bulk_upload: bool = False
+
+
+_FILENAME_RE = re.compile(r"^(?P<dataset>[^.]+)\.(?P<token>[^.]+)\.(?:[^.]+\.)*dataset\.(?P<ext>[^.]+)$")
+
+
+def read_metadata(path: str) -> DatasetMetadata:
+    """Parse `[dataset].[token].[*].dataset.[ext]` filename convention
+    (DatasetMetadataUtil.scala:170-183) or a `.metadata.json` sidecar
+    (`{dataset, dataFilePath, bulkUpload}` — :33-43)."""
+    base = os.path.basename(path)
+    if base.endswith(".metadata.json"):
+        with open(path) as fh:
+            doc = json.load(fh)
+        return DatasetMetadata(
+            dataset=doc["dataset"],
+            data_file_path=doc.get("dataFilePath", os.path.dirname(path)),
+            bulk_upload=bool(doc.get("bulkUpload", False)),
+        )
+    m = _FILENAME_RE.match(base)
+    if not m:
+        raise ValueError(f"filename does not follow dataset convention: {base}")
+    return DatasetMetadata(
+        dataset=m.group("dataset"), data_file_path=path, publisher_token=m.group("token")
+    )
+
+
+def list_bulk_files(metadata: DatasetMetadata) -> list[str]:
+    """Every file under the bulk prefix, minus dirs and sidecars
+    (DatasetMetadataUtil.scala:70-86)."""
+    root = metadata.data_file_path
+    out = []
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if os.path.isfile(full) and not name.endswith(".metadata.json"):
+            out.append(full)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Dispatch
+# --------------------------------------------------------------------------
+
+def read_source(spark: SparkSession, paths: str | list[str], config: DatasetConfig) -> DataFrame:
+    ft = config.source.file.file_type
+    if ft == "csv":
+        return read_csv(spark, paths, config.source, config.parity_mode)
+    if ft in ("json", "xml"):
+        return read_semistructured(spark, paths, config.source)
+    if ft == "xls":
+        assert isinstance(paths, str), "excel reader takes a single path"
+        return read_excel(spark, paths, config.source, config.parity_mode)
+    if ft == "unstructured":
+        return read_unstructured(spark, paths)
+    if ft == "parquet":
+        return spark.read.parquet(*([paths] if isinstance(paths, str) else paths))
+    raise ValueError(f"unsupported file type: {ft}")

@@ -1,0 +1,76 @@
+"""Dataset lifecycle: the reference's flagship path (SURVEY.md §3.1)
+as ONE lazy DataFrame chain.
+
+Reference: S3 event → SQS poll → driver-materialized List[String] →
+DQ → dedup/JS-transform → SQL text staged through Athena temp tables →
+parquet/warehouse. Here: read → header check → DQ aggregate pass →
+dedup → row compute → conform-cast → write/merge, executed by a single
+Spark action per stage that needs one (DQ counting and the final write
+are the only actions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_server_spark.pipeline import dq as dq_mod
+from pipeline_server_spark.pipeline.config import DatasetConfig, validate_config
+from pipeline_server_spark.pipeline.conform import conform_to_schema, lowercase_headers, trim_string_columns
+from pipeline_server_spark.pipeline.readers import read_source
+from pipeline_server_spark.pipeline.transform import transform
+from pipeline_server_spark.pipeline.writers import merge_upsert, write_append
+
+
+@dataclass
+class RunResult:
+    dataset: str
+    rows_written: int
+    dq: dq_mod.DQReport | None = None
+    details: dict[str, Any] = field(default_factory=dict)
+
+
+def build_dataframe(spark: SparkSession, config: DatasetConfig,
+                    paths: str | list[str]) -> DataFrame:
+    """The lazy read→transform→conform chain (no action)."""
+    config = validate_config(config)
+    df = read_source(spark, paths, config)
+    df = lowercase_headers(df)
+    df = trim_string_columns(df, config.source.file.trim_columns)
+    df = transform(df, config.transformation, config.destination.fields, config.parity_mode)
+    df = conform_to_schema(df, config.destination.fields, config.parity_mode)
+    return df
+
+
+def run_dataset(spark: SparkSession, config: DatasetConfig,
+                paths: str | list[str]) -> RunResult:
+    """Execute the full lifecycle; raises DataQualityError on DQ abort."""
+    config = validate_config(config)
+    raw = read_source(spark, paths, config)
+    raw = lowercase_headers(raw)
+    raw = trim_string_columns(raw, config.source.file.trim_columns)
+
+    report = None
+    has_dq = (
+        config.data_quality.validate_file_header
+        or config.data_quality.column_rules
+        or config.data_quality.row_rule
+    )
+    if has_dq:
+        report = dq_mod.check(raw, config.data_quality, config.source.fields)
+
+    staged = transform(raw, config.transformation, config.destination.fields, config.parity_mode)
+    staged = conform_to_schema(staged, config.destination.fields, config.parity_mode)
+
+    if config.destination.path is None:
+        # dry-run/materialize-free mode: count only
+        return RunResult(config.name, staged.count(), report)
+
+    if config.destination.write_mode == "merge":
+        merge_upsert(spark, staged, config.destination)
+    else:
+        write_append(staged, config.destination)
+    written = spark.read.format(config.destination.file_format).load(config.destination.path)
+    return RunResult(config.name, written.count(), report)

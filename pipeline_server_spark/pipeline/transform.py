@@ -1,0 +1,122 @@
+"""Transformation operators (SURVEY.md §2.4, T1/T2/F7).
+
+- T1 deduplicate: ``df.distinct()`` over full rows (the reference's
+  ``rows.distinct`` on delimited strings, Transformation.scala:57-69),
+  plus keyed ``dropDuplicates(subset)`` as the engine extension.
+- T2 row function: the reference binds every column as a typed JS
+  variable plus ``_pipelinetimestamp`` and merges the returned map of
+  changed/new columns back into the row (Transformation.scala:71-148).
+  Here that hook is a Python callable over ``mapInPandas`` — but the
+  FAST PATH is ``column_expressions``: named Spark Column expressions
+  applied JVM-side (the reference's three shipped scripts are all
+  expressible this way; see FIXTURES.md F3).
+- F7 drop-on-null: row function returning None drops the row
+  (Transformation.scala:118-121); fast path: ``drop_predicate``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.config import SchemaField, TransformationConfig
+from pipeline_server_spark.pipeline.conform import to_struct_type
+
+PIPELINE_TS_FORMAT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def deduplicate(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """T1 — full-row distinct, or keyed dropDuplicates as extension.
+
+    Scale note: distinct() is a shuffle on all columns; Spark plans it
+    as partial HashAggregate → exchange → final, so the map-side
+    combine already collapses most duplicates before the wire."""
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def apply_row_function(
+    df: DataFrame,
+    fn: Callable[[dict[str, Any]], dict[str, Any] | None],
+    dest_fields: tuple[SchemaField, ...],
+    parity_mode: bool = False,
+    pipeline_timestamp: _dt.datetime | None = None,
+) -> DataFrame:
+    """T2 slow path: arbitrary Python row function via mapInPandas.
+
+    Binding semantics per Transformation.scala:102-148: the callable
+    receives every column (typed) plus ``_pipelinetimestamp`` (a
+    formatted string, format yyyy-MM-dd HH:mm:ss.SSS); it returns a
+    dict of changed/new column values merged over the input row, or
+    None to drop the row. Unset NEW destination columns default to ""
+    for strings / NULL otherwise (reference defaults "" — :104-122).
+
+    Arrow-batched; output schema is the destination schema, so the
+    UDF boundary is also the conformance point.
+    """
+    ts = (pipeline_timestamp or _dt.datetime.utcnow()).strftime(PIPELINE_TS_FORMAT)[:-3]
+    out_schema = to_struct_type(dest_fields, parity_mode)
+    dest_names = [f.name for f in dest_fields]
+    string_dests = {f.name for f in dest_fields if f.type.startswith(("string", "varchar", "char"))}
+    in_cols = set(df.columns)
+
+    def _process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for rec in pdf.to_dict("records"):
+                rec["_pipelinetimestamp"] = ts
+                changed = fn(rec)
+                if changed is None:  # F7 drop
+                    continue
+                merged = {**rec, **changed}
+                row = {}
+                for name in dest_names:
+                    if name in merged:
+                        row[name] = merged[name]
+                    else:
+                        # new column never set by fn → "" for strings (parity)
+                        row[name] = "" if name in string_dests and name not in in_cols else None
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=dest_names)
+
+    return df.mapInPandas(_process, schema=out_schema)
+
+
+def apply_column_expressions(
+    df: DataFrame,
+    expressions: dict[str, Column],
+    drop_predicate: Column | None = None,
+) -> DataFrame:
+    """T2 fast path: the same semantics when the row function is
+    expressible as column expressions — stays inside whole-stage
+    codegen, no Python boundary. ``expressions`` maps column name →
+    Column (new names append, existing names replace);
+    ``drop_predicate`` True ⇒ row removed (F7)."""
+    out = df
+    if drop_predicate is not None:
+        out = out.filter(~F.coalesce(drop_predicate, F.lit(False)))
+    if expressions:
+        out = out.withColumns(expressions)
+    return out
+
+
+def transform(
+    df: DataFrame,
+    cfg: TransformationConfig,
+    dest_fields: tuple[SchemaField, ...],
+    parity_mode: bool = False,
+) -> DataFrame:
+    """Full T-stage: dedup → row compute (fast or slow path)."""
+    out = df
+    if cfg.deduplicate:
+        out = deduplicate(out)
+    if cfg.column_expressions or cfg.drop_predicate is not None:
+        out = apply_column_expressions(out, cfg.column_expressions or {}, cfg.drop_predicate)
+    elif cfg.row_function is not None:
+        out = apply_row_function(out, cfg.row_function, dest_fields, parity_mode)
+    return out

@@ -1,0 +1,137 @@
+"""Sinks / DML (SURVEY.md §2.5, L1-L6, L13).
+
+The reference's loads are SQL text shipped to Athena (INSERT-SELECT
+over temp tables, Iceberg MERGE INTO) or warehouse JDBC. Here they are
+DataFrame writes against a parquet lakehouse directory layout; MERGE
+(L3/L8/L10) is a join-based upsert since this container has no Delta
+jars. The merge algorithm is partition-pruned: only data needed to
+answer the keys is rewritten, which is the property that matters at
+100 TB (with Delta/Iceberg on a real deployment, `MERGE INTO` with
+dynamic file pruning replaces the rewrite — semantics identical, see
+IcebergUtil.scala:124-157 and the reference's own disabled Delta code
+transform/.../ObjectStoreUtil.scala:87-119).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.config import DestinationConfig
+
+
+def write_append(df: DataFrame, dest: DestinationConfig) -> None:
+    """L1/L5 — append (or overwrite) partitioned columnar data.
+    Partition columns are handled by partitionBy (the reference had to
+    reorder them last for Athena — P5 — Spark does not care)."""
+    writer = df.write.mode("overwrite" if dest.delete_before_write else "append")
+    if dest.partition_by:
+        writer = writer.partitionBy(*dest.partition_by)
+    writer.format(dest.file_format).save(dest.path)
+
+
+def _dedupe_source_by_keys(source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE requires one source row per key (the reference applies CDC
+    rows sequentially; for set-based merge we keep the LAST occurrence
+    per key using an ordering-free dropDuplicates — callers that care
+    about intra-batch order pre-sort and tag a sequence column)."""
+    return source.dropDuplicates(keys)
+
+
+def merge_upsert_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """L3 MERGE semantics as a pure DataFrame program:
+    WHEN MATCHED THEN UPDATE ALL / WHEN NOT MATCHED THEN INSERT ALL
+    (IcebergUtil.scala:124-157) ≡ (target ANTI-JOIN source on keys)
+    UNION ALL source.
+
+    The anti-join shuffles both sides on the key — the same exchange a
+    real MERGE does; AQE converts it to broadcast when the source
+    (typical CDC batch ≪ target) is small."""
+    src = _dedupe_source_by_keys(source, keys).select(*target.columns)
+    kept = target.join(src.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(src)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    dest: DestinationConfig,
+) -> None:
+    """L3/L8/L10 — keyed upsert into a parquet destination path.
+
+    Partition-pruned rewrite: when the destination is partitioned, only
+    partitions present in the source batch are read+rewritten (dynamic
+    partitionOverwriteMode), so merge cost scales with the batch's
+    partition footprint, not the table size."""
+    keys = list(dest.key_fields)
+    assert keys, "merge requires key_fields"
+    path = dest.path
+    assert path is not None
+
+    if not _path_has_data(path):
+        import dataclasses
+
+        write_append(source, dataclasses.replace(dest, delete_before_write=True))
+        return
+
+    target = spark.read.format(dest.file_format).load(path)
+
+    if dest.partition_by:
+        # prune target read to partitions touched by this batch
+        parts = [r.asDict() for r in source.select(*dest.partition_by).distinct().collect()]
+        cond = None
+        for p in parts:
+            c = F.lit(True)
+            for k, v in p.items():
+                c = c & (F.col(k).eqNullSafe(F.lit(v)))
+            cond = c if cond is None else (cond | c)
+        target = target.filter(cond if cond is not None else F.lit(False))
+        merged = merge_upsert_frames(target, source, keys)
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(*dest.partition_by)
+                .format(dest.file_format)
+                .save(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        return
+
+    # Unpartitioned: full rewrite through a staging dir (atomic-ish swap;
+    # a real deployment uses Delta/Iceberg transactional MERGE instead).
+    merged = merge_upsert_frames(target, source, keys)
+    staging = tempfile.mkdtemp(prefix="psspark_merge_")
+    merged.write.mode("overwrite").format(dest.file_format).save(staging)
+    out = spark.read.format(dest.file_format).load(staging)
+    out.write.mode("overwrite").format(dest.file_format).save(path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def write_temp_csv(df: DataFrame, path: str, coalesce: int | None = 1) -> None:
+    """L13 — headerless CSV temp output for the data-retrieval API
+    (DataFrameUtil.scala:77-106)."""
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode("overwrite").option("header", "false").csv(path)
+
+
+def delete_destination(dest: DestinationConfig) -> None:
+    """L6 — deleteBeforeWrite / truncate ≡ remove the prefix (no
+    eventual-consistency sleeps needed — ObjectStoreLoader.scala:146-158)."""
+    if dest.path and os.path.exists(dest.path):
+        shutil.rmtree(dest.path)
+
+
+def _path_has_data(path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    for _, _, files in os.walk(path):
+        if any(f.endswith((".parquet", ".orc")) for f in files):
+            return True
+    return False

@@ -1,0 +1,216 @@
+"""Pipeline-operator scenarios as oracle-checked queries.
+
+Each entry re-hosts one reference pipeline behavior (SURVEY.md §2.2-2.5,
+FIXTURES.md F9) on the driver testdata so the DuckDB gate covers the
+*pipeline* operators, not just the relational surface:
+
+- T1 dedup            → dedup_exact_orders
+- T2/F7 row function  → transform_row_function (real mapInPandas path)
+- P1-P3 conformance   → conform_cast_orders
+- F2 DQ regex rules   → dq_violation_counts
+- L3 MERGE upsert     → merge_upsert_orders (pure-frame merge plan)
+- sessionization      → sessionize_events (gap > 30 min)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.pipeline.config import SchemaField
+from pipeline_server_spark.pipeline.conform import conform_to_schema, lowercase_headers
+from pipeline_server_spark.pipeline.transform import apply_row_function, deduplicate
+from pipeline_server_spark.pipeline.writers import merge_upsert_frames
+from pipeline_server_spark.queries.registry import query
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+
+@query(
+    "dedup_exact_orders",
+    oracle="SELECT DISTINCT * FROM orders ORDER BY o_orderkey",
+)
+def dedup_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — full-row distinct over a deliberately doubled input
+    (Transformation.scala:57-69 ≡ rows.distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    return deduplicate(o.unionAll(o)).orderBy("o_orderkey")
+
+
+@query(
+    "transform_row_function",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice,
+           CAST(YEAR(o_orderdate) AS VARCHAR) AS year,
+           CAST(100.0 AS DOUBLE) AS mynewcolumn
+    FROM orders WHERE o_orderstatus <> 'P'
+    ORDER BY o_orderkey
+    """,
+)
+def transform_row_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+F7 through the REAL mapInPandas slow path — the
+    stock_price_transformation.js analog (FIXTURES.md F3): mutate a
+    column, derive year + constant, drop sentinel rows."""
+    o = load_table(spark, sf_dir, "orders")
+    dest = (
+        SchemaField("o_orderkey", "bigint"),
+        SchemaField("o_custkey", "bigint"),
+        SchemaField("o_orderstatus", "string"),
+        SchemaField("o_totalprice", "double"),
+        SchemaField("year", "string"),
+        SchemaField("mynewcolumn", "double"),
+    )
+
+    def fn(row):
+        if row["o_orderstatus"] == "P":
+            return None
+        return {
+            "o_totalprice": row["o_totalprice"] + 1.0,
+            "year": str(row["o_orderdate"].year),
+            "mynewcolumn": 100.0,
+        }
+
+    return apply_row_function(o, fn, dest).orderBy("o_orderkey")
+
+
+@query(
+    "conform_cast_orders",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+           CAST(o_custkey AS INT) AS o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS ingest_note
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def conform_cast_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 — destination-schema projection/reorder/cast with a
+    missing column defaulting to NULL (DataFrameUtil.scala:108-158)."""
+    o = load_table(spark, sf_dir, "orders")
+    dest = (
+        SchemaField("o_orderkey", "string"),
+        SchemaField("o_custkey", "int"),
+        SchemaField("o_totalprice", "double"),
+        SchemaField("ingest_note", "string"),
+    )
+    return conform_to_schema(lowercase_headers(o), dest).orderBy("o_orderkey")
+
+
+@query(
+    "dq_violation_counts",
+    oracle="""
+    SELECT 'p_name_alpha' AS rule, COUNT(*) FILTER (
+             WHERE NOT COALESCE(REGEXP_MATCHES(p_name, '^[a-z]+ [a-z]+$'), FALSE)
+           ) AS violations FROM part
+    UNION ALL
+    SELECT 'p_size_positive' AS rule, COUNT(*) FILTER (
+             WHERE NOT COALESCE(REGEXP_MATCHES(CAST(p_size AS VARCHAR), '^[1-9][0-9]*$'), FALSE)
+           ) AS violations FROM part
+    ORDER BY rule
+    """,
+)
+def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — regex column rules as one aggregate pass (null counts as a
+    violation, matching DataQuality.scala:156-158 on empty values)."""
+    p = load_table(spark, sf_dir, "part")
+
+    def viol(col: str, regex: str) -> F.Column:
+        return F.sum(
+            (~F.coalesce(F.col(col).cast("string").rlike(regex), F.lit(False))).cast("long")
+        )
+
+    counts = p.agg(
+        viol("p_name", r"^[a-z]+ [a-z]+$").alias("p_name_alpha"),
+        viol("p_size", r"^[1-9][0-9]*$").alias("p_size_positive"),
+    )
+    return (
+        counts.unpivot([], ["p_name_alpha", "p_size_positive"], "rule", "violations")
+        .orderBy("rule")
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 5.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 3),
+    inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 7),
+    src AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+    SELECT * FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT * FROM src
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 MERGE (WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT ALL,
+    IcebergUtil.scala:124-157) as the engine's join-based merge plan:
+    updates touch keys ≡3 (mod 10), inserts add shifted keys ≡7."""
+    o = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert_frames(o, source, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS events_in_session,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min): lag + cumulative-sum window — the
+    batch analog of streaming session windows (engine extension; the
+    reference has no windows at all, SURVEY.md §2.8 U7)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # µs-precision gap (cast-to-long would truncate to seconds and
+    # disagree with the oracle at fractional-second boundaries)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(frame))
+    return (
+        sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("events_in_session"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

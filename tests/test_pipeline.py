@@ -1,0 +1,441 @@
+"""Pipeline-layer tests: the reference's end-to-end scenario matrix
+(SURVEY.md §5, FIXTURES.md F1-F4) re-hosted on driver testdata."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.config import (
+    ColumnRule,
+    ConfigValidationError,
+    DatasetConfig,
+    DataQualityConfig,
+    DestinationConfig,
+    FileAttributes,
+    SchemaField,
+    SourceConfig,
+    TransformationConfig,
+    validate_config,
+)
+from pipeline_server_spark.pipeline import dq as dq_mod
+from pipeline_server_spark.pipeline.conform import conform_to_schema, lowercase_headers, spark_type
+from pipeline_server_spark.pipeline.readers import (
+    expand_archive,
+    list_bulk_files,
+    read_csv,
+    read_metadata,
+    read_semistructured,
+)
+from pipeline_server_spark.pipeline.run import run_dataset
+from pipeline_server_spark.pipeline.transform import (
+    apply_column_expressions,
+    apply_row_function,
+    deduplicate,
+)
+from pipeline_server_spark.pipeline.writers import merge_upsert, merge_upsert_frames
+from tests.conftest import SF_SMALL
+
+ORDER_FIELDS = (
+    SchemaField("o_orderkey", "bigint"),
+    SchemaField("o_custkey", "bigint"),
+    SchemaField("o_orderstatus", "string"),
+    SchemaField("o_totalprice", "double"),
+    SchemaField("o_orderpriority", "string"),
+)
+
+
+@pytest.fixture(scope="module")
+def orders_csv(tmp_path_factory):
+    """Orders exported to CSV — the stock_price-style structured file."""
+    path = tmp_path_factory.mktemp("csv") / "orders.psstest.20260813.dataset.csv"
+    duckdb.connect().execute(
+        f"""
+        COPY (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderpriority
+              FROM read_parquet('{SF_SMALL}/orders.parquet') ORDER BY o_orderkey)
+        TO '{path}' (HEADER, DELIMITER ',')
+        """
+    )
+    return str(path)
+
+
+def _csv_source() -> SourceConfig:
+    return SourceConfig(fields=ORDER_FIELDS, file=FileAttributes(file_type="csv"))
+
+
+# --------------------------------------------------------------------------
+# Readers (S1-S3, S6, S7)
+# --------------------------------------------------------------------------
+
+def test_csv_read_declared_schema(spark, orders_csv):
+    df = read_csv(spark, orders_csv, _csv_source())
+    assert [f.name for f in df.schema.fields] == [f.name for f in ORDER_FIELDS]
+    assert df.schema["o_totalprice"].dataType.simpleString() == "double"
+    assert df.count() == 1500
+
+
+def test_csv_infer_schema(spark, orders_csv):
+    df = read_csv(spark, orders_csv, SourceConfig(file=FileAttributes(file_type="csv")))
+    assert df.count() == 1500
+    assert df.schema["o_orderkey"].dataType.simpleString() in ("int", "bigint")
+
+
+def test_json_line_mode(spark, tmp_path):
+    p = tmp_path / "doc.json"
+    p.write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    src = SourceConfig(file=FileAttributes(file_type="json", every_row_contains_object=True))
+    df = read_semistructured(spark, str(p), src)
+    assert df.columns == ["_json"]
+    assert df.count() == 3
+
+
+def test_json_whole_mode(spark, tmp_path):
+    p = tmp_path / "doc.json"
+    p.write_text('{"a": 1,\n "b": [1,2,3]}\n')
+    src = SourceConfig(file=FileAttributes(file_type="json", every_row_contains_object=False))
+    df = read_semistructured(spark, str(p), src)
+    rows = df.collect()
+    assert len(rows) == 1 and '"b"' in rows[0][0]
+
+
+def test_archive_expansion_zip(spark, tmp_path, orders_csv):
+    zpath = tmp_path / "orders.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(orders_csv, "orders1.csv")
+        z.write(orders_csv, "orders2.csv")
+        z.writestr("__MACOSX/junk", "x")
+    files = expand_archive(str(zpath))
+    assert len(files) == 2
+    df = read_csv(spark, files, _csv_source())
+    assert df.count() == 3000  # both files read, headers dropped
+
+
+def test_metadata_filename_convention(orders_csv):
+    md = read_metadata(orders_csv)
+    assert md.dataset == "orders" and md.publisher_token == "psstest"
+
+
+def test_metadata_sidecar(tmp_path, orders_csv):
+    import json as _json
+    import shutil
+
+    bulk = tmp_path / "bulk"
+    bulk.mkdir()
+    shutil.copy(orders_csv, bulk / "part1.csv")
+    shutil.copy(orders_csv, bulk / "part2.csv")
+    sidecar = bulk / "orders.metadata.json"
+    sidecar.write_text(_json.dumps({"dataset": "orders", "dataFilePath": str(bulk), "bulkUpload": True}))
+    md = read_metadata(str(sidecar))
+    assert md.bulk_upload
+    files = list_bulk_files(md)
+    assert [os.path.basename(f) for f in files] == ["part1.csv", "part2.csv"]
+
+
+# --------------------------------------------------------------------------
+# Conformance (P1-P4) + config validation (F6)
+# --------------------------------------------------------------------------
+
+def test_conform_cast_and_reorder(spark):
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    dest = (
+        SchemaField("o_orderkey", "string"),   # cast down
+        SchemaField("o_totalprice", "decimal(12,2)"),
+        SchemaField("brand_new", "string"),    # missing → null
+    )
+    out = conform_to_schema(lowercase_headers(df), dest)
+    assert [f.name for f in out.schema.fields] == ["o_orderkey", "o_totalprice", "brand_new"]
+    assert out.schema["o_totalprice"].dataType.simpleString() == "decimal(12,2)"
+    assert out.filter(F.col("brand_new").isNull()).count() == out.count()
+
+
+def test_parity_mode_casts():
+    assert spark_type("decimal(10,2)").simpleString() == "decimal(10,2)"
+    assert spark_type("decimal(10,2)", parity_mode=True).simpleString() == "double"
+    assert spark_type("tinyint").simpleString() == "tinyint"
+    assert spark_type("tinyint", parity_mode=True).simpleString() == "int"
+
+
+def test_config_validation_rules():
+    good = DatasetConfig(
+        name="orders_ds",
+        source=SourceConfig(fields=ORDER_FIELDS),
+        destination=DestinationConfig(key_fields=("o_orderkey",), write_mode="merge"),
+    )
+    validate_config(good)
+
+    with pytest.raises(ConfigValidationError, match="invalid type"):
+        validate_config(
+            DatasetConfig(name="x", source=SourceConfig(fields=(SchemaField("a", "blob"),)))
+        )
+    with pytest.raises(ConfigValidationError, match="keyField"):
+        validate_config(
+            DatasetConfig(
+                name="x",
+                source=SourceConfig(fields=ORDER_FIELDS),
+                destination=DestinationConfig(key_fields=("nope",), write_mode="merge"),
+            )
+        )
+    with pytest.raises(ConfigValidationError, match="_json"):
+        validate_config(
+            DatasetConfig(
+                name="x",
+                source=SourceConfig(
+                    fields=(SchemaField("payload", "string"),),
+                    file=FileAttributes(file_type="json"),
+                ),
+            )
+        )
+
+
+# --------------------------------------------------------------------------
+# Data quality (F1-F3)
+# --------------------------------------------------------------------------
+
+def test_header_validation(spark, orders_csv):
+    df = read_csv(spark, orders_csv, _csv_source())
+    dq_mod.validate_header(df, ORDER_FIELDS)  # ok
+    with pytest.raises(dq_mod.DataQualityError, match="header mismatch"):
+        dq_mod.validate_header(df.drop("o_custkey"), ORDER_FIELDS)
+
+
+def test_regex_rules_count_and_abort(spark):
+    df = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    # every p_name is lowercase words; uppercase-only regex must fail all 200
+    dq = DataQualityConfig(
+        column_rules=(
+            ColumnRule("p_name", r"^[a-z ]+$", on_failure_is_error=True),   # passes
+            ColumnRule("p_brand", r"^Brand#\d+$", on_failure_is_error=True),  # passes
+        )
+    )
+    report = dq_mod.run_column_rules(df, dq)
+    assert report.passed and report.error_count == 0
+
+    dq_bad = DataQualityConfig(
+        column_rules=(ColumnRule("p_name", r"^[A-Z]+$", on_failure_is_error=True),)
+    )
+    report = dq_mod.run_column_rules(df, dq_bad, collect_samples=3)
+    assert not report.passed
+    assert report.error_count == 200
+    assert report.aborted_early  # >100 errors
+    assert len(report.samples["p_name~^[A-Z]+$"]) == 3
+
+    dq_warn = DataQualityConfig(
+        column_rules=(ColumnRule("p_name", r"^[A-Z]+$", on_failure_is_error=False),)
+    )
+    report = dq_mod.run_column_rules(df, dq_warn)
+    assert report.passed and report.warning_count == 200
+
+
+def test_null_values_fail_regex(spark):
+    """Reference: empty/null open fails the numeric regex (FIXTURES F2)."""
+    df = spark.createDataFrame([("1.5",), (None,), ("x",)], ["v"])
+    dq = DataQualityConfig(column_rules=(ColumnRule("v", r"^\d+\.\d+$"),))
+    report = dq_mod.run_column_rules(df, dq)
+    assert report.error_count == 2  # null AND malformed both fail
+
+
+def test_python_row_rule(spark):
+    """F3 — the stock_price_data_quality.js analog: flag a sentinel."""
+    df = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    dq = DataQualityConfig(
+        row_rule=lambda r: "building!" if r["c_mktsegment"] == "BUILDING" else None,
+        row_rule_is_error=False,
+    )
+    report = dq_mod.run_column_rules(df, dq, collect_samples=2)
+    expected = df.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert report.warning_count == expected
+    assert report.samples["row_rule"] == ["building!", "building!"]
+
+
+# --------------------------------------------------------------------------
+# Transform (T1, T2, F7)
+# --------------------------------------------------------------------------
+
+def test_deduplicate_exact(spark):
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    doubled = df.union(df)
+    assert deduplicate(doubled).count() == df.count()
+    assert deduplicate(doubled, ["o_orderkey"]).count() == df.count()
+
+
+def _expected_transform(spark):
+    """Oracle for the stock_price_transformation.js analog on orders:
+    mynewcolumn=100.0, o_totalprice+=1.0, year=year(o_orderdate) as
+    string, drop rows with o_orderstatus=='P'."""
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    return (
+        df.filter(F.col("o_orderstatus") != "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("year", F.year("o_orderdate").cast("string"))
+        .withColumn("mynewcolumn", F.lit(100.0))
+    )
+
+
+def test_row_function_slow_path(spark):
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    dest = ORDER_FIELDS[:4] + (
+        SchemaField("year", "string"),
+        SchemaField("mynewcolumn", "double"),
+    )
+
+    def fn(row):
+        if row["o_orderstatus"] == "P":
+            return None  # drop (F7)
+        return {
+            "o_totalprice": row["o_totalprice"] + 1.0,
+            "year": str(row["o_orderdate"].year),
+            "mynewcolumn": 100.0,
+        }
+
+    out = apply_row_function(lowercase_headers(df), fn, dest)
+    expected = _expected_transform(spark).select(*[f.name for f in dest])
+    assert out.count() == expected.count()
+    # value check on a deterministic sample
+    got = {r["o_orderkey"]: r for r in out.collect()}
+    want = {r["o_orderkey"]: r for r in expected.collect()}
+    assert got.keys() == want.keys()
+    k = min(got)
+    assert got[k]["o_totalprice"] == want[k]["o_totalprice"]
+    assert got[k]["year"] == want[k]["year"]
+    assert got[k]["mynewcolumn"] == 100.0
+
+
+def test_row_function_fast_path_equivalent(spark):
+    df = lowercase_headers(spark.read.parquet(f"{SF_SMALL}/orders.parquet"))
+    out = apply_column_expressions(
+        df,
+        {
+            "o_totalprice": F.col("o_totalprice") + 1.0,
+            "year": F.year("o_orderdate").cast("string"),
+            "mynewcolumn": F.lit(100.0),
+        },
+        drop_predicate=(F.col("o_orderstatus") == "P"),
+    )
+    expected = _expected_transform(spark)
+    assert out.count() == expected.count()
+    assert sorted(out.columns) == sorted(expected.columns)
+
+
+def test_unset_new_string_column_defaults_empty(spark):
+    """Transformation.scala:104-122 — new string columns the fn never
+    sets default to ''."""
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    dest = (SchemaField("id", "int"), SchemaField("v", "string"), SchemaField("extra", "string"))
+    out = apply_row_function(df, lambda r: {}, dest)
+    assert out.collect()[0]["extra"] == ""
+
+
+# --------------------------------------------------------------------------
+# Writers: merge upsert (L3) + partitioned variant
+# --------------------------------------------------------------------------
+
+def test_merge_upsert_frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    source = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)], ["k", "s", "v"])
+    merged = merge_upsert_frames(target, source, ["k"]).orderBy("k").collect()
+    assert [(r["k"], r["s"], r["v"]) for r in merged] == [
+        (1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0),
+    ]
+
+
+def test_merge_upsert_path_unpartitioned(spark, tmp_path):
+    dest = DestinationConfig(
+        fields=ORDER_FIELDS, path=str(tmp_path / "t"), write_mode="merge",
+        key_fields=("o_orderkey",),
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        *[f.name for f in ORDER_FIELDS]
+    )
+    day1 = orders.filter(F.col("o_orderkey") <= 1000)
+    merge_upsert(spark, day1, dest)
+    # day2: updates keys ≤ 100 (price +5), inserts keys > 1000
+    day2 = (
+        orders.filter((F.col("o_orderkey") <= 100) | (F.col("o_orderkey") > 1000))
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= 100, F.col("o_totalprice") + 5.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    merge_upsert(spark, day2, dest)
+    result = spark.read.parquet(dest.path)
+    assert result.count() == orders.count()
+    joined = (
+        result.alias("r")
+        .join(orders.alias("o"), F.col("r.o_orderkey") == F.col("o.o_orderkey"))
+        .select(
+            F.col("r.o_orderkey").alias("k"),
+            (F.col("r.o_totalprice") - F.col("o.o_totalprice")).alias("diff"),
+        )
+    )
+    assert joined.filter((F.col("k") <= 100) & (F.col("diff") != 5.0)).count() == 0
+    assert joined.filter((F.col("k") > 100) & (F.col("diff") != 0.0)).count() == 0
+
+
+def test_merge_upsert_path_partitioned(spark, tmp_path):
+    dest = DestinationConfig(
+        fields=ORDER_FIELDS, path=str(tmp_path / "tp"), write_mode="merge",
+        key_fields=("o_orderkey",), partition_by=("o_orderstatus",),
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        *[f.name for f in ORDER_FIELDS]
+    )
+    merge_upsert(spark, orders, dest)
+    # source touching only status 'O' partitions
+    batch = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .limit(50)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    merge_upsert(spark, batch, dest)
+    result = spark.read.parquet(dest.path)
+    assert result.count() == orders.count()
+    assert result.filter(F.col("o_totalprice") == 1.0).count() == 50
+    # untouched partitions still intact
+    assert (
+        result.filter(F.col("o_orderstatus") == "F").count()
+        == orders.filter(F.col("o_orderstatus") == "F").count()
+    )
+
+
+# --------------------------------------------------------------------------
+# run_dataset end-to-end (lifecycle 3.1)
+# --------------------------------------------------------------------------
+
+def test_run_dataset_end_to_end(spark, tmp_path, orders_csv):
+    config = DatasetConfig(
+        name="orders_e2e",
+        source=_csv_source(),
+        data_quality=DataQualityConfig(
+            validate_file_header=True,
+            column_rules=(ColumnRule("o_orderpriority", r"^\d-[A-Z ]+$"),),
+        ),
+        transformation=TransformationConfig(
+            deduplicate=True,
+            column_expressions={"o_totalprice": F.col("o_totalprice") + 1.0},
+            drop_predicate=(F.col("o_orderstatus") == "P"),
+        ),
+        destination=DestinationConfig(
+            fields=ORDER_FIELDS,
+            path=str(tmp_path / "out"),
+            partition_by=("o_orderstatus",),
+            delete_before_write=True,
+        ),
+    )
+    result = run_dataset(spark, config, orders_csv)
+    assert result.dq is not None and result.dq.passed
+    expected = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .filter(F.col("o_orderstatus") != "P")
+        .count()
+    )
+    assert result.rows_written == expected
+    out = spark.read.parquet(config.destination.path)
+    assert set(out.columns) == {f.name for f in ORDER_FIELDS}
