@@ -1,0 +1,6 @@
+"""Large-scale training-data operators (beyond the reference's surface):
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + LSH ANN), text
+analysis (language-ID, quality, token counting, fingerprinting), and
+multimodal binary-column plumbing.
+"""

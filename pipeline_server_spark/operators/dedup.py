@@ -1,0 +1,323 @@
+"""Document deduplication operators.
+
+Five families, all shuffle-conscious:
+
+- **exact**: hash-groupBy on the text (one shuffle on a 64-bit hash,
+  never on the raw text bytes).
+- **n-gram Jaccard**: inverted-index self-join on shingles — candidate
+  generation IS the intersection count, so cost scales with shared
+  shingles, not n² (plus a document-frequency cutoff for hot shingles,
+  the standard web-dedup trick).
+- **MinHash + LSH**: 64-perm signatures → banded buckets → candidate
+  join → exact-Jaccard verification. The at-scale default: signature
+  computation is one groupBy over exploded shingles, candidates one
+  equi-join on (band, bucket-key).
+- **SimHash**: 64-bit sign-aggregated token hashes; near-dups blocked
+  by 16-bit chunks (a hamming-≤k pair must share one of 4 chunks when
+  k ≤ 3 ... pigeonhole), verified with bit_count(xor).
+- **embedding cosine**: exact pairwise for verification; the scale path
+  buckets by random-hyperplane LSH first (similarity.py).
+
+All hashing uses Spark's xxhash64 (deterministic across runs/executors,
+no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Shingling
+# --------------------------------------------------------------------------
+
+def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, F.split(F.col(text_col), " "))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingle) exploded, DISTINCT per doc — word n-grams.
+
+    Built entirely from JVM array functions (split → sequence →
+    transform → explode); no Python UDF."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        # docs shorter than n tokens have no shingles (sequence(0, neg)
+        # would DESCEND in Spark and index 0 → error)
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per exact text. GroupBy on xxhash64(text)
+    so the shuffle key is 8 bytes, with an in-group min on the id;
+    hash collisions are broken by grouping on (hash, text) — at 100 TB
+    you shuffle the hash, and the text only travels within its group."""
+    return (
+        df.groupBy(F.xxhash64(text_col).alias("_h"), F.col(text_col))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (inverted index)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram-shingle Jaccard ≥ threshold.
+
+    candidates-by-shared-shingle: |A∩B| falls out of the self-join
+    group count; |A∪B| = |A|+|B|-|A∩B|. ``max_doc_freq`` drops
+    shingles appearing in more than that many docs (stop-shingles) —
+    they cannot decide near-duplicates but dominate join fan-out at
+    scale."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
+    """64 permutations approximated by seeded xxhash64: sig_i =
+    min_shingle xxhash64(shingle, i). One groupBy computes the whole
+    signature (num_perm JVM min-aggregates, no Python)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature (bands × rows_per_band = num_perm); docs
+    sharing any band bucket become candidates. Bucket key is a single
+    xxhash64 over the band's rows → the join key is (band, 8-byte key)."""
+    num_perm = bands * rows_per_band
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+            )
+            for band in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_keys).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs at scale: shingle → minhash → LSH candidates →
+    exact-Jaccard verify (no false positives; recall governed by the
+    band curve, ≈1 at J ≥ 0.9 with 16×4).
+
+    Returns (doc_a, doc_b, jaccard) — same contract as
+    ngram_jaccard_pairs, so the two are interchangeable and the exact
+    version is the oracle for this one."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures(sh, num_perm)
+    cand = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit b, sum ±1 weighted by
+    token-hash bit b; bit set iff the sum is positive. 64 conditional
+    sums in a single groupBy (JVM-side, one pass)."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == ADD
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming. Blocking: split the
+    64-bit hash into 4 × 16-bit chunks — any pair within hamming ≤ 3
+    must agree on ≥1 chunk (pigeonhole), so candidates come from 4
+    equi-joins, not n²."""
+    assert max_hamming <= 3, "4-chunk blocking guarantees recall only for hamming ≤ 3"
+    sigs = simhash_64(df, id_col, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine over two array<double> columns with a fixed left-fold
+    evaluation order (bit-reproducible across engines computing the
+    same fold: dot/(sqrt(na)*sqrt(nb)))."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact pairwise cosine near-dup pairs (a < b, cosine ≥ threshold).
+
+    This is the verification kernel; at fleet scale candidates come
+    from random-hyperplane LSH buckets first (similarity.lsh_buckets) —
+    exact pairwise is O(n²) and reserved for within-bucket work."""
+    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

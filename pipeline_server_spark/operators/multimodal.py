@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (deterministic fake, or NotImplementedError for
+real codecs) — but the Spark-side plumbing is real and tested: binary
+column schema, Arrow batch shape through mapInPandas, partition-count
+preservation, metadata struct typing. Swapping the fake for
+PIL/librosa is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+    ]
+)
+
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Build a media-shaped table from the documents fixture: the text
+    bytes stand in for an encoded image payload."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """STUB decoder — deterministic dims derived from the byte length.
+    A real deployment replaces this with PIL.Image.open(io.BytesIO(b))
+    and this module's plumbing is unchanged."""
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_media_metadata(df: DataFrame, real_codecs: bool = False) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: Arrow-batched binary in,
+    typed metadata struct out. ``real_codecs=True`` routes to actual
+    image libs (unavailable here → NotImplementedError, by design)."""
+    if real_codecs:  # pragma: no cover - no codecs in this container
+        raise NotImplementedError(
+            "image/audio codecs are not installed in this container; "
+            "use real_codecs=False for the deterministic stub decoder"
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = rec["payload"]
+                w, h = _fake_decode(payload)
+                # cheap rolling checksum, deterministic across engines
+                checksum = 0
+                for byte in payload[:64]:
+                    checksum = (checksum * 31 + byte) % (1 << 31)
+                rows.append(
+                    {
+                        "doc_id": rec["doc_id"],
+                        "n_bytes": len(payload),
+                        "media_type": rec["media_type"],
+                        "width": w,
+                        "height": h,
+                        "checksum": checksum,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA.fields])
+
+    return df.mapInPandas(_extract, schema=METADATA_SCHEMA)
+
+
+def frame_sample(df: DataFrame, stride: int = 100) -> DataFrame:
+    """Frame-sampling plumbing: slice every `stride`-th byte from the
+    payload (stand-in for video frame extraction); pure JVM slice."""
+    n_frames = (F.length("payload") / stride).cast("int")
+    return df.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+            lambda i: F.substring(F.col("payload").cast("string"), (i * stride + 1).cast("int"), 1),
+        ).alias("frames"),
+        n_frames.alias("n_frames"),
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — broadcast the (small) query
+  set against the corpus; one pass, no shuffle of the corpus; per-query
+  k selected with a window. The correctness baseline.
+- lsh_buckets / lsh_topk: random-hyperplane LSH — signature bits from
+  hash-derived ±1 hyperplanes (deterministic, no RNG state), candidates
+  restricted to same-bucket vectors. The 100 TB path: the corpus
+  shuffles once on an 8-byte bucket key; queries probe their bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.dedup import cosine_expr
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine) for each query vector.
+
+    The query side is broadcast (ANN workloads have |queries| ≪
+    |corpus|); ties broken by neighbor id for determinism. Self-matches
+    (same id) are excluded."""
+    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(vec, plane: int, dim_count: int):
+    """Deterministic pseudo-random hyperplane: component d of plane p is
+    +1 if xxhash64(p, d) has bit 0 set else -1; the signature bit is the
+    sign of Σ_d v[d]·h[p][d]. Pure JVM expression (aggregate over a
+    sequence), no RNG, reproducible on any cluster."""
+    idx = F.sequence(F.lit(0), F.lit(dim_count - 1))
+    dot = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.element_at(vec, (d + 1).cast("int"))
+        * F.when(F.xxhash64(F.lit(plane), d).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+    )
+    return F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+
+def lsh_buckets(
+    df: DataFrame,
+    planes: int = 12,
+    dim_count: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a `planes`-bit random-hyperplane bucket."""
+    v = F.col(vec_col).cast("array<double>")
+    key = None
+    for p in range(planes):
+        bit = F.shiftleft(_hyperplane_sign(v, p, dim_count), p)
+        key = bit if key is None else key.bitwiseXOR(bit)  # disjoint bits
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+                     key.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim_count: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: both sides bucketed, candidates = same-bucket
+    pairs, exact cosine within. Recall is tunable via `planes` (fewer
+    planes → bigger buckets → higher recall, more compute); multi-probe
+    (flipping one bit) would be the next step — kept single-probe for
+    clarity."""
+    cb = lsh_buckets(corpus, planes, dim_count, id_col, vec_col).withColumnRenamed(
+        "vec_id", "nbr_id"
+    )
+    qb = lsh_buckets(queries, planes, dim_count, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    scored = (
+        cb.join(F.broadcast(qb.select("query_id", "bucket",
+                                      F.col("embedding").alias("qv"))),
+                on="bucket")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            cosine_expr(F.col("qv").cast("array<double>"),
+                        F.col("embedding").cast("array<double>")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

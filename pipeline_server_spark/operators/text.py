@@ -1,0 +1,123 @@
+"""Text analysis operators for training-data pipelines: quality
+scoring, token counting, language-ID heuristic, fingerprinting.
+
+All hot-path work is JVM expressions (split/regexp/aggregate); no
+Python UDFs anywhere here."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+_BPE_ISH_TOKEN_RE = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _token_ratio(tokens: Column, words: list[str]) -> Column:
+    hits = F.size(F.filter(tokens, lambda t: t.isin(words)))
+    return hits.cast("double") / F.greatest(F.size(tokens), F.lit(1)).cast("double")
+
+
+def text_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token
+    length, stopword ratio, punctuation ratio, uppercase ratio, and a
+    composite quality score in [0,1] (length-normalized heuristics in
+    the C4/Gopher style)."""
+    toks = F.split(F.col(text_col), " ")
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    # total token chars / token count (spaces excluded)
+    mean_tok = (n_chars - (n_tokens - 1)).cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    stop_ratio = _token_ratio(toks, STOPWORDS["en"])
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    upper_ratio = upper.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    length_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    quality = (
+        F.lit(0.5) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(upper_ratio * 5.0, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letters /
+    capitalized runs / digits / single symbols) — the cheap proxy for
+    tokenizer budgeting before a real BPE pass."""
+    ws = F.size(F.split(F.col(text_col), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH_TOKEN_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score each language by its
+    stopword hit-ratio; argmax wins, 'und' (undetermined) when no
+    profile clears the floor. Deterministic tie-break by language code.
+
+    (A real system plugs fasttext/CLD3 in via a Pandas UDF — this
+    operator keeps the same output contract with a pure-SQL scorer.)"""
+    toks = F.split(F.col(text_col), " ")
+    scores = [
+        F.struct(_token_ratio(toks, words).alias("score"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))  # max by (score, lang) struct ordering
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): hash every k-token
+    gram, keep the minimum hash in each sliding window of `window`
+    grams → a compact, position-robust document sketch. Output: one row
+    per (doc, fingerprint), distinct.
+
+    Expressed as shingle → hash → sliding-window min via a window
+    frame; all JVM-side."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    g = (
+        df.where(F.size(toks) >= k)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
+        .where(F.col("gram") != "")
+        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        g.select("doc_id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )

@@ -1,0 +1,303 @@
+"""Training-data operators as oracle-checked queries (documents /
+embeddings tables).
+
+Where the operator is hash-based (MinHash, SimHash, winnowing,
+hyperplane LSH) the oracle is either the exact counterpart (MinHash's
+oracle is the exact Jaccard join — valid because the corpus has a
+clean similarity gap and 16×4 banding has ≈1 recall at J≥0.9) or a
+rows-only check, with a pytest cross-check against the exact
+implementation at small sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_keep_first,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from pipeline_server_spark.operators.multimodal import attach_binary_payload, extract_media_metadata
+from pipeline_server_spark.operators.similarity import brute_force_topk, lsh_topk
+from pipeline_server_spark.operators.text import (
+    doc_fingerprints,
+    lang_id_heuristic,
+    text_features,
+    token_counts,
+)
+from pipeline_server_spark.queries.registry import query
+
+# Shared oracle fragment: word-3-gram shingle → inverted-index Jaccard
+# (NOT the O(n²) pairwise form — it must also run at sf0.1).
+_JACCARD_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100)
+    SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY text ORDER BY doc_id
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy, keep lowest id) over a corpus with
+    planted exact duplicates (ids shifted by 1M)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.where(F.col("doc_id") < 100).withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return exact_dedup_keep_first(aug).orderBy("doc_id")
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (J ≥ 0.8) via the
+    inverted-index join."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.8, n=3).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) + exact verify. Oracle = the exact
+    Jaccard join: verification removes all false positives, and the
+    band curve gives ≈1 recall at J≥0.9 (the corpus has no pairs in
+    [0.5, 0.9), so approximate == exact here; pytest cross-checks)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+# SimHash is hash-defined — no engine-independent oracle; pytest checks
+# it recovers the planted near-dup pairs at sf0.001.
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit-chunk
+    pigeonhole blocking."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    aug AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(v, x -> x * 1.01 + 0.001)
+      FROM base WHERE vec_id < 50)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.99) over a corpus with
+    planted perturbed copies (x·1.01+0.001, ids shifted by 100k).
+    Pair ids only — cosine values stay engine-internal (summation
+    association may differ between engines)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    aug = base.unionByName(
+        base.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.01 + 0.001).alias("embedding"),
+        )
+    )
+    return (
+        embedding_near_dup_pairs(aug, threshold=0.99)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q, e c WHERE q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, nbr_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM scored)
+    SELECT query_id, nbr_id, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact ANN
+    baseline (query side broadcast; corpus scanned once)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return (
+        brute_force_topk(e, q, k=5)
+        .select("query_id", "nbr_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# Bucketed ANN recall is probabilistic — rows-only; pytest measures
+# recall against the brute-force baseline.
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-bucketed approximate top-k (the scale path:
+    corpus shuffles once on an 8-byte bucket key)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return lsh_topk(e, q, k=5, planes=8).orderBy("query_id", "rank")
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             len(toks) AS n_tokens,
+             CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS mean_token_len,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+               / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+             CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
+             CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+               / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS upper_ratio,
+             LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_score
+      FROM t)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+           mean_token_len, stopword_ratio, punct_ratio, upper_ratio,
+           0.5 * length_score + 0.3 * LEAST(stopword_ratio * 10.0, 1.0)
+             + 0.2 * (1.0 - LEAST(upper_ratio * 5.0, 1.0)) AS quality_score
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality features + composite score, all JVM
+    expressions (one projection, no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_features(d).orderBy("doc_id")
+
+
+@query(
+    "token_count_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (tokenizer budgeting)."""
+    d = load_table(spark, sf_dir, "documents")
+    return token_counts(d).orderBy("doc_id")
+
+
+@query(
+    "lang_id_predictions",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    scores AS (
+      SELECT doc_id, 'de' AS lang,
+             CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS DOUBLE)
+               / CAST(GREATEST(len(t), 1) AS DOUBLE) AS score FROM toks
+      UNION ALL
+      SELECT doc_id, 'en',
+             CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+               / CAST(GREATEST(len(t), 1) AS DOUBLE) FROM toks
+      UNION ALL
+      SELECT doc_id, 'es',
+             CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS DOUBLE)
+               / CAST(GREATEST(len(t), 1) AS DOUBLE) FROM toks
+      UNION ALL
+      SELECT doc_id, 'fr',
+             CAST(len(list_filter(t, x -> x IN ('le','la','de','et','est'))) AS DOUBLE)
+               / CAST(GREATEST(len(t), 1) AS DOUBLE) FROM toks),
+    ranked AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      FROM scores)
+    SELECT doc_id,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+           score AS lang_score
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax over per-language ratios,
+    deterministic tie-break; 'und' when nothing scores)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lang_id_heuristic(d).orderBy("doc_id")
+
+
+# Winnowing fingerprints are xxhash64-defined — rows-only; determinism
+# + planted-near-dup overlap asserted in pytest.
+@query("doc_fingerprint_stats")
+def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketch sizes per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        doc_fingerprints(d, k=5, window=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing through the REAL mapInPandas decode path
+    (stub decoder: deterministic dims from byte length — the oracle
+    checks the plumbing, codecs swap in behind the same function)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(d)
+    return (
+        extract_media_metadata(media)
+        .select("doc_id", "n_bytes", "media_type", "width", "height")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,127 @@
+"""Property tests for the hash-defined training-data operators (the
+ones whose driver check is rows-only): SimHash, hyperplane-LSH ANN,
+winnowing fingerprints, multimodal plumbing, MinHash recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.dedup import (
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from pipeline_server_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_metadata,
+    frame_sample,
+)
+from pipeline_server_spark.operators.similarity import brute_force_topk, lsh_topk
+from pipeline_server_spark.operators.text import doc_fingerprints
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+
+
+def test_minhash_equals_exact_on_clean_gap(spark, docs):
+    """The corpus has no pairs in [0.5, 0.9) so LSH(16x4)+verify must
+    recover exactly the exact-Jaccard pairs."""
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup_pairs(docs, 0.8).collect()}
+    assert exact == approx
+    assert len(exact) > 0  # planted near-dups exist
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    sim5 = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    # hash sketch ≈ but ≠ shingle Jaccard: demand high overlap, not equality
+    assert len(sim5 & exact) >= 0.7 * len(exact)
+    # and no blow-up: random pairs sit at hamming ~19, far above 3
+    assert len(sim5) <= 2 * len(exact) + 10
+
+
+def test_simhash_exact_duplicates_hamming_zero(spark, docs):
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text").limit(20)
+    )
+    pairs = simhash_near_pairs(aug, max_hamming=0).collect()
+    planted = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b == r.doc_a + 10000}
+    assert len(planted) == 20
+    assert all(r.hamming == 0 for r in pairs if (r.doc_a, r.doc_b) in planted)
+
+
+def test_lsh_topk_structure_and_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, planes=4).collect()
+    # structure: ≤ k per query, ranks contiguous from 1, no self-matches
+    by_q: dict[int, list] = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.query_id != r.nbr_id
+    for rows in by_q.values():
+        ranks = sorted(x.rank for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        cosines = [x.cosine for x in sorted(rows, key=lambda x: x.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+    # recall: same-bucket probing must recover a nontrivial share
+    exact_set = {(r.query_id, r.nbr_id) for r in exact}
+    approx_set = {(r.query_id, r.nbr_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.05, f"recall collapsed: {recall}"
+
+
+def test_fingerprints_deterministic_and_discriminative(spark, docs):
+    fp1 = doc_fingerprints(docs, k=5, window=4)
+    a = {(r.doc_id, r.fingerprint) for r in fp1.collect()}
+    b = {(r.doc_id, r.fingerprint) for r in doc_fingerprints(docs, k=5, window=4).collect()}
+    assert a == b  # deterministic across runs
+    byd: dict[int, set] = {}
+    for did, f in a:
+        byd.setdefault(did, set()).add(f)
+    # a planted near-dup pair shares most fingerprints...
+    pair = ngram_jaccard_pairs(docs, 0.9).first()
+    inter = byd[pair.doc_a] & byd[pair.doc_b]
+    union = byd[pair.doc_a] | byd[pair.doc_b]
+    assert len(inter) / len(union) > 0.5
+    # ...an arbitrary non-dup pair shares few
+    ids = sorted(byd)
+    a0, b0 = ids[1], ids[3]
+    assert (a0, b0) != (pair.doc_a, pair.doc_b)
+    j = len(byd[a0] & byd[b0]) / len(byd[a0] | byd[b0])
+    assert j < 0.3
+
+
+def test_multimodal_metadata_plumbing(spark, docs):
+    media = attach_binary_payload(docs.limit(50))
+    meta = extract_media_metadata(media).collect()
+    assert len(meta) == 50
+    texts = {r.doc_id: r.text for r in docs.limit(50).collect()}
+    for r in meta:
+        n = len(texts[r.doc_id].encode())
+        assert r.n_bytes == n
+        assert r.width == n % 640 + 1 and r.height == n % 480 + 1
+        assert r.media_type == "image/fake"
+
+
+def test_multimodal_real_codecs_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError, match="codecs"):
+        extract_media_metadata(attach_binary_payload(docs.limit(1)), real_codecs=True)
+
+
+def test_frame_sample_shapes(spark, docs):
+    media = attach_binary_payload(docs.limit(10))
+    frames = frame_sample(media, stride=50).collect()
+    for r in frames:
+        assert r.n_frames >= 0
+        assert len(r.frames) == max(r.n_frames, 1)
