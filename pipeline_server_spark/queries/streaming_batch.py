@@ -1,0 +1,123 @@
+"""Streaming-semantics queries in batch form (oracle-checkable).
+
+The same expressions run under readStream with watermarks
+(streaming/windows.py, tested in tests/test_streaming.py); these batch
+twins give the driver's DuckDB gate coverage of the streaming operators'
+semantics: tumbling/sliding windows and the CDC apply kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.pipeline.config import SchemaField
+from pipeline_server_spark.queries.registry import query
+from pipeline_server_spark.streaming.cdc import apply_cdc, messages_from_rows
+from pipeline_server_spark.streaming.windows import sliding_event_stats, tumbling_event_stats
+
+CUSTOMER_FIELDS = (
+    SchemaField("c_custkey", "bigint"),
+    SchemaField("c_name", "string"),
+    SchemaField("c_nationkey", "int"),
+    SchemaField("c_acctbal", "double"),
+    SchemaField("c_mktsegment", "string"),
+)
+
+
+@query(
+    "windowed_event_stats",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (epoch-aligned, matching
+    DuckDB's time_bucket) — identical expression drives the streaming
+    path with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_event_stats(e, "1 hour").orderBy("window_start", "event_type")
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH panes AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS pane, event_type FROM events),
+    expanded AS (
+      SELECT pane AS window_start, event_type FROM panes
+      UNION ALL
+      SELECT pane - INTERVAL 30 MINUTE, event_type FROM panes)
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows: each event belongs to 2 panes (the
+    oracle expands panes explicitly)."""
+    e = load_table(spark, sf_dir, "events")
+    return sliding_event_stats(e, "1 hour", "30 minutes").orderBy("window_start", "event_type")
+
+
+@query(
+    "cdc_apply_customer",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 1),
+    ins AS (
+      SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3)
+    SELECT * FROM customer WHERE c_custkey % 10 NOT IN (1, 2)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    ORDER BY c_custkey
+    """,
+)
+def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 CDC apply kernel: updates (full-before-row null-safe match,
+    keys ≡1 mod 10, acctbal+100), deletes (≡2), inserts (≡3 shifted by
+    100k) — through the real map<string,string> message path with
+    typed cast-back."""
+    cols = [f.name for f in CUSTOMER_FIELDS]
+    c = load_table(spark, sf_dir, "customer").select(*cols)
+    upd_after = (
+        c.where(F.col("c_custkey") % 10 == 1)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    upd_before = c.where(F.col("c_custkey") % 10 == 1)
+    deletes = c.where(F.col("c_custkey") % 10 == 2)
+    inserts = c.where(F.col("c_custkey") % 10 == 3).withColumn(
+        "c_custkey", F.col("c_custkey") + 100000
+    )
+
+    # update messages need before+after images — build them explicitly
+    # (qualified refs: both join sides share column names)
+    def to_map(side: str) -> F.Column:
+        entries = []
+        for f in CUSTOMER_FIELDS:
+            entries.append(F.lit(f.name))
+            entries.append(F.col(f"{side}.{f.name}").cast("string"))
+        return F.create_map(*entries)
+
+    upd_msgs = (
+        upd_before.alias("b")
+        .join(upd_after.alias("a"),
+              F.col("b.c_custkey") == F.col("a.c_custkey"))
+        .select(
+            F.lit("db").alias("databaseName"), F.lit("public").alias("schemaName"),
+            F.lit("customer").alias("tableName"),
+            F.lit(False).alias("isInsert"), F.lit(True).alias("isUpdate"),
+            F.lit(False).alias("isDelete"),
+            to_map("b").alias("before"),
+            to_map("a").alias("after"),
+        )
+    )
+    del_msgs = messages_from_rows(deletes, "delete", CUSTOMER_FIELDS, "customer")
+    ins_msgs = messages_from_rows(inserts, "insert", CUSTOMER_FIELDS, "customer")
+    messages = upd_msgs.unionByName(del_msgs).unionByName(ins_msgs)
+    return apply_cdc(c, messages, CUSTOMER_FIELDS).orderBy("c_custkey")

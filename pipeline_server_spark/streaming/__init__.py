@@ -1,0 +1,4 @@
+"""Streaming / CDC layer (SURVEY.md §2.8): Debezium-style CDC message
+parsing, classification and apply (full-before-row null-safe match),
+plus event-time windowed aggregation with watermarks — the engine
+extension the reference lacks (U7)."""

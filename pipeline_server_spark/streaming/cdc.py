@@ -1,0 +1,272 @@
+"""CDC: parse → classify → apply (SURVEY.md §2.8).
+
+Reference semantics being reproduced:
+
+- ``CDCMessage(databaseName, schemaName, tableName, isInsert, isUpdate,
+  isDelete, before: Map[String,String], after: Map[String,String])``
+  (model/CDCMessage.scala:21-29) — before/after are stringly-typed maps.
+- Debezium envelope classification by before/after nullity
+  (DebeziumCDCRunner.scala:92-104); schema-change and empty events
+  dropped (:110-121).
+- Apply (U1, CDCUtil.scala:46-107): INSERT VALUES(after); UPDATE SET
+  after WHERE *every* before column matches (null-safe, not just keys);
+  DELETE WHERE every before column matches. The reference's own
+  disabled Delta code used ``<=>`` for exactly this
+  (transform/.../ObjectStoreUtil.scala:94-96).
+
+Spark restatement: messages arrive as a DataFrame (batch or
+``readStream`` micro-batch); apply is set-based — deletes and update-
+befores anti-joined against the target on a null-safe all-column
+condition, afters+inserts unioned in. Within one batch this equals the
+reference's sequential per-row SQL whenever a row is touched once per
+batch (the Debezium per-key ordering guarantee); the U2 "threshold
+router" (row-SQL vs bulk file) disappears because one merge plan
+serves both batch sizes.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_server_spark.pipeline.config import SchemaField
+from pipeline_server_spark.pipeline.conform import spark_type
+
+CDC_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("databaseName", T.StringType()),
+        T.StructField("schemaName", T.StringType()),
+        T.StructField("tableName", T.StringType()),
+        T.StructField("isInsert", T.BooleanType()),
+        T.StructField("isUpdate", T.BooleanType()),
+        T.StructField("isDelete", T.BooleanType()),
+        T.StructField("before", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("after", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+# Debezium JSON envelope (payload part) — generic map-typed rows
+_DEBEZIUM_PAYLOAD = T.StructType(
+    [
+        T.StructField("before", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("after", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("op", T.StringType()),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("db", T.StringType()),
+                    T.StructField("schema", T.StringType()),
+                    T.StructField("table", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+DEBEZIUM_ENVELOPE = T.StructType([T.StructField("payload", _DEBEZIUM_PAYLOAD)])
+
+
+def parse_debezium(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Debezium JSON → CDCMessage rows.
+
+    Classification follows the reference: insert = after-only, delete =
+    before-only, update = both; events with neither (schema changes,
+    tombstones) are dropped (DebeziumCDCRunner.scala:92-121)."""
+    p = F.from_json(F.col(json_col).cast("string"), DEBEZIUM_ENVELOPE)["payload"]
+    parsed = raw.select(
+        p["source"]["db"].alias("databaseName"),
+        p["source"]["schema"].alias("schemaName"),
+        p["source"]["table"].alias("tableName"),
+        (p["before"].isNull() & p["after"].isNotNull()).alias("isInsert"),
+        (p["before"].isNotNull() & p["after"].isNotNull()).alias("isUpdate"),
+        (p["before"].isNotNull() & p["after"].isNull()).alias("isDelete"),
+        p["before"].alias("before"),
+        p["after"].alias("after"),
+    )
+    return parsed.where(F.col("isInsert") | F.col("isUpdate") | F.col("isDelete"))
+
+
+def route_messages(messages: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """U5 — db.schema.table → dataset routing (CDCMapperUtil.scala:24-46);
+    unmapped tables are dropped (reference logs + skips)."""
+    key = F.concat_ws(".", "databaseName", "schemaName", "tableName")
+    pairs = [F.lit(x) for kv in mapping.items() for x in kv]
+    return messages.withColumn("dataset", F.create_map(*pairs)[key]).where(
+        F.col("dataset").isNotNull()
+    )
+
+
+def _typed(colmap: Column, field: SchemaField) -> Column:
+    """before/after map value → the target column's type."""
+    return colmap[field.name].cast(spark_type(field.type))
+
+
+def _full_row_match(target: DataFrame, rows: DataFrame,
+                    fields: tuple[SchemaField, ...], map_col: str) -> Column:
+    """U1's WHERE: every target column null-safe-equal to the message's
+    (typed) before value."""
+    cond = F.lit(True)
+    for f in fields:
+        cond = cond & F.col(f"t.{f.name}").eqNullSafe(_typed(F.col(f"m.{map_col}"), f))
+    return cond
+
+
+def messages_from_rows(
+    df: DataFrame,
+    op: str,
+    fields: tuple[SchemaField, ...],
+    table: str = "tbl",
+    before_df: DataFrame | None = None,
+) -> DataFrame:
+    """Test/fixture helper: build CDCMessage rows from typed rows
+    (stringifying values the way the reference's map payloads do)."""
+    def to_map(prefix: DataFrame) -> Column:
+        entries = []
+        for f in fields:
+            entries.append(F.lit(f.name))
+            entries.append(F.col(f.name).cast("string"))
+        return F.create_map(*entries)
+
+    base = df.select(
+        F.lit("db").alias("databaseName"),
+        F.lit("public").alias("schemaName"),
+        F.lit(table).alias("tableName"),
+        F.lit(op == "insert").alias("isInsert"),
+        F.lit(op == "update").alias("isUpdate"),
+        F.lit(op == "delete").alias("isDelete"),
+        (to_map(df) if op in ("update", "delete") else F.lit(None).cast(
+            "map<string,string>")).alias("before"),
+        (to_map(df) if op in ("insert",) else F.lit(None).cast(
+            "map<string,string>")).alias("after"),
+    )
+    return base
+
+
+def apply_cdc(
+    target: DataFrame,
+    messages: DataFrame,
+    fields: tuple[SchemaField, ...],
+) -> DataFrame:
+    """Set-based U1 apply over one batch:
+
+    1. rows matching any delete-before or update-before are removed
+       (left_anti on the null-safe full-row condition);
+    2. update-afters and insert-afters are appended, cast to the target
+       schema.
+
+    Deletes/updates match on ALL before columns (null-safe), exactly
+    like the generated ``WHERE`` of CDCUtil.scala:63-107 — so an
+    UPDATE whose before-image no longer matches is a no-op (its after
+    image is NOT inserted: the reference's UPDATE just affects 0 rows),
+    and a DELETE removes every identical row."""
+    befores = messages.where(F.col("isUpdate") | F.col("isDelete")).select("before")
+
+    t = target.alias("t")
+    cond = _full_row_match(t, befores.alias("m"), fields, "before")
+    kept = t.join(befores.alias("m"), cond, "left_anti")
+
+    # update-afters apply only when their before-image matched a row
+    updates = messages.where(F.col("isUpdate")).alias("m")
+    matched_updates = updates.join(
+        t, _full_row_match(t, updates, fields, "before"), "left_semi"
+    )
+    afters = matched_updates.select("after").unionByName(
+        messages.where(F.col("isInsert")).select("after")
+    )
+    incoming = afters.select(
+        *[_typed(F.col("after"), f).alias(f.name) for f in fields]
+    )
+    return kept.unionByName(incoming)
+
+
+def apply_cdc_to_path(
+    spark: SparkSession,
+    messages: DataFrame,
+    path: str,
+    fields: tuple[SchemaField, ...],
+    file_format: str = "parquet",
+) -> None:
+    """foreachBatch-compatible apply: read target, apply, rewrite.
+    (On Delta/Iceberg this becomes a transactional MERGE with the same
+    condition; the rewrite here is the no-extra-jars fallback.)"""
+    import shutil
+    import tempfile
+
+    target = spark.read.format(file_format).load(path)
+    merged = apply_cdc(target, messages, fields)
+    staging = tempfile.mkdtemp(prefix="psspark_cdc_")
+    merged.write.mode("overwrite").format(file_format).save(staging)
+    out = spark.read.format(file_format).load(staging)
+    out.write.mode("overwrite").format(file_format).save(path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def cdc_stream_apply(
+    spark: SparkSession,
+    stream_source: DataFrame,
+    path: str,
+    fields: tuple[SchemaField, ...],
+    checkpoint: str,
+):
+    """Structured-Streaming driver: micro-batches of Debezium JSON →
+    parse → apply to the lake path. Exactly-once via checkpointed
+    offsets (replacing the reference's SQS-dedup table + LSN bookkeeping,
+    U6)."""
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        msgs = parse_debezium(batch_df)
+        if msgs.isEmpty():
+            return
+        apply_cdc_to_path(spark, msgs, path, fields)
+
+    return (
+        stream_source.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mssql_opcode_to_messages(df: DataFrame, fields: tuple[SchemaField, ...]) -> DataFrame:
+    """S10 — MSSQL native CDC op codes: 1=delete, 2=insert,
+    3=update-before, 4=update-after, update rows paired by __$seqval
+    (MsSqlCDCRunnerSlave.scala:91-126). Input: typed rows + __op +
+    __seqval; output: CDCMessage rows with paired update images.
+    The 3/4 pairing is a self-join on the sequence value — the same
+    equi-join the reference does in memory, here distributed."""
+    def to_map(src: str) -> Column:
+        entries = []
+        for f in fields:
+            entries.append(F.lit(f.name))
+            entries.append(F.col(f"{src}.{f.name}").cast("string"))
+        return F.create_map(*entries)
+
+    deletes = df.where(F.col("__op") == 1).alias("d").select(
+        F.lit(False).alias("isInsert"), F.lit(False).alias("isUpdate"),
+        F.lit(True).alias("isDelete"), to_map("d").alias("before"),
+        F.lit(None).cast("map<string,string>").alias("after"),
+    )
+    inserts = df.where(F.col("__op") == 2).alias("i").select(
+        F.lit(True).alias("isInsert"), F.lit(False).alias("isUpdate"),
+        F.lit(False).alias("isDelete"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        to_map("i").alias("after"),
+    )
+    ub = df.where(F.col("__op") == 3).alias("b")
+    ua = df.where(F.col("__op") == 4).alias("a")
+    updates = ub.join(ua, F.col("b.__seqval") == F.col("a.__seqval")).select(
+        F.lit(False).alias("isInsert"), F.lit(True).alias("isUpdate"),
+        F.lit(False).alias("isDelete"), to_map("b").alias("before"),
+        to_map("a").alias("after"),
+    )
+    common = ["isInsert", "isUpdate", "isDelete", "before", "after"]
+    out = deletes.select(common).unionByName(inserts.select(common)).unionByName(
+        updates.select(common)
+    )
+    return out.select(
+        F.lit("db").alias("databaseName"), F.lit("dbo").alias("schemaName"),
+        F.lit("tbl").alias("tableName"), *common,
+    )

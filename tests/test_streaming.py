@@ -1,0 +1,198 @@
+"""CDC parse/apply + Structured Streaming tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.config import SchemaField
+from pipeline_server_spark.streaming.cdc import (
+    apply_cdc,
+    apply_cdc_to_path,
+    cdc_stream_apply,
+    messages_from_rows,
+    mssql_opcode_to_messages,
+    parse_debezium,
+    route_messages,
+)
+from pipeline_server_spark.streaming.windows import (
+    streaming_tumbling_stats,
+    tumbling_event_stats,
+)
+from tests.conftest import SF_SMALL
+
+FIELDS = (
+    SchemaField("k", "bigint"),
+    SchemaField("name", "string"),
+    SchemaField("v", "double"),
+)
+
+
+def _envelope(op, before, after, table="t1"):
+    return json.dumps(
+        {
+            "payload": {
+                "op": op,
+                "before": before,
+                "after": after,
+                "source": {"db": "d", "schema": "s", "table": table},
+            }
+        }
+    )
+
+
+def test_parse_debezium_classification(spark):
+    rows = [
+        (_envelope("c", None, {"k": "1", "name": "a", "v": "1.5"}),),
+        (_envelope("u", {"k": "1", "name": "a", "v": "1.5"}, {"k": "1", "name": "a", "v": "2.5"}),),
+        (_envelope("d", {"k": "1", "name": "a", "v": "2.5"}, None),),
+        (json.dumps({"payload": {"op": "r", "before": None, "after": None,
+                                 "source": {"db": "d", "schema": "s", "table": "t1"}}}),),
+        ("not json at all",),
+    ]
+    raw = spark.createDataFrame(rows, ["value"])
+    msgs = parse_debezium(raw).collect()
+    assert len(msgs) == 3  # schema-change + garbage dropped
+    assert [((m.isInsert), (m.isUpdate), (m.isDelete)) for m in msgs] == [
+        (True, False, False), (False, True, False), (False, False, True)]
+    assert msgs[1].after["v"] == "2.5"
+    assert msgs[0].tableName == "t1"
+
+
+def test_route_messages(spark):
+    raw = spark.createDataFrame(
+        [(_envelope("c", None, {"k": "1"}),), (_envelope("c", None, {"k": "2"}, table="zz"),)],
+        ["value"],
+    )
+    routed = route_messages(parse_debezium(raw), {"d.s.t1": "dataset_one"}).collect()
+    assert len(routed) == 1 and routed[0].dataset == "dataset_one"
+
+
+def test_apply_cdc_full_before_row_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, name string, v double",
+    )
+    # update with matching before; update with stale before (no-op);
+    # delete with null column (null-safe match); insert
+    upd_ok = spark.createDataFrame([(2, "b", 2.0)], ["k", "name", "v"])
+    upd_ok_after = spark.createDataFrame([(2, "B", 20.0)], ["k", "name", "v"])
+    upd_stale = spark.createDataFrame([(3, "zzz", 3.0)], ["k", "name", "v"])
+    upd_stale_after = spark.createDataFrame([(3, "C", 30.0)], ["k", "name", "v"])
+    delete_null = spark.createDataFrame([(4, None, 4.0)], "k long, name string, v double")
+    insert = spark.createDataFrame([(5, "e", 5.0)], ["k", "name", "v"])
+
+    def upd_msg(before, after):
+        b = messages_from_rows(before, "delete", FIELDS).select("before")
+        a = messages_from_rows(after, "insert", FIELDS).select("after")
+        return (
+            b.crossJoin(a)
+            .select(
+                F.lit("db").alias("databaseName"), F.lit("public").alias("schemaName"),
+                F.lit("tbl").alias("tableName"),
+                F.lit(False).alias("isInsert"), F.lit(True).alias("isUpdate"),
+                F.lit(False).alias("isDelete"), "before", "after",
+            )
+        )
+
+    msgs = (
+        upd_msg(upd_ok, upd_ok_after)
+        .unionByName(upd_msg(upd_stale, upd_stale_after))
+        .unionByName(messages_from_rows(delete_null, "delete", FIELDS))
+        .unionByName(messages_from_rows(insert, "insert", FIELDS))
+    )
+    result = {r.k: (r.name, r.v) for r in apply_cdc(target, msgs, FIELDS).collect()}
+    assert result[1] == ("a", 1.0)          # untouched
+    assert result[2] == ("B", 20.0)         # updated
+    assert result[3] == ("c", 3.0)          # stale before → no-op
+    assert 4 not in result                  # null-safe delete matched
+    assert result[5] == ("e", 5.0)          # inserted
+    # stale update's after was NOT inserted (its before matched nothing
+    # but reference UPDATE ... WHERE also affects 0 rows → row count 5? no: 4)
+    assert len(result) == 4
+
+
+def test_mssql_opcode_pairing(spark):
+    rows = [
+        (1, 100, 1, "a", 1.0),   # delete
+        (2, 101, 9, "x", 9.0),   # insert
+        (3, 102, 2, "b", 2.0),   # update-before (seq 102)
+        (4, 102, 2, "B", 20.0),  # update-after  (seq 102)
+    ]
+    df = spark.createDataFrame(rows, ["__op", "__seqval", "k", "name", "v"])
+    df = df.withColumn("__op", F.col("__op"))
+    # fix op codes: 1=delete, 2=insert, 3=update-before, 4=update-after
+    df = spark.createDataFrame(
+        [
+            (1, 100, 1, "a", 1.0),
+            (2, 101, 9, "x", 9.0),
+            (3, 102, 2, "b", 2.0),
+            (4, 102, 2, "B", 20.0),
+        ],
+        ["__op", "__seqval", "k", "name", "v"],
+    )
+    msgs = mssql_opcode_to_messages(df, FIELDS).collect()
+    kinds = sorted((m.isInsert, m.isUpdate, m.isDelete) for m in msgs)
+    assert len(msgs) == 3
+    upd = [m for m in msgs if m.isUpdate][0]
+    assert upd.before["name"] == "b" and upd.after["name"] == "B"
+    assert [m for m in msgs if m.isDelete][0].before["k"] == "1"
+    assert [m for m in msgs if m.isInsert][0].after["k"] == "9"
+
+
+def test_apply_cdc_to_path_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["k", "name", "v"])
+    target.write.parquet(path)
+    msgs = messages_from_rows(
+        spark.createDataFrame([(3, "c", 3.0)], ["k", "name", "v"]), "insert", FIELDS
+    )
+    apply_cdc_to_path(spark, msgs, path, FIELDS)
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    from pipeline_server_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    q = streaming_tumbling_stats(
+        spark, src, spark.read.parquet(src).schema,
+        checkpoint=str(tmp_path / "ckpt"), query_name="win_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM win_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in tumbling_event_stats(events).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_cdc_stream_apply_end_to_end(spark, tmp_path):
+    """Debezium JSON files → readStream → foreachBatch apply → lake path."""
+    path = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["k", "name", "v"]).write.parquet(path)
+    src_dir = tmp_path / "msgs"
+    src_dir.mkdir()
+    lines = [
+        _envelope("c", None, {"k": "3", "name": "c", "v": "3.5"}),
+        _envelope("u", {"k": "1", "name": "a", "v": "1.0"}, {"k": "1", "name": "A", "v": "10.0"}),
+        _envelope("d", {"k": "2", "name": "b", "v": "2.0"}, None),
+    ]
+    (src_dir / "batch1.json").write_text("\n".join(lines))
+    from pyspark.sql import types as T
+
+    stream = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(str(src_dir))
+    q = cdc_stream_apply(spark, stream, path, FIELDS, checkpoint=str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    result = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert result == {1: ("A", 10.0), 3: ("c", 3.5)}
