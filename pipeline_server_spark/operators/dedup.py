@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 # Shingling
 # --------------------------------------------------------------------------
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input is
+    under-partitioned (e.g. one small parquet file → 1 partition →
+    single-threaded shingling/cross-joins). No-op on well-partitioned
+    inputs, so at fleet scale it costs nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def tokenize(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
     return df.withColumn(out, F.split(F.col(text_col), " "))
 
@@ -41,17 +52,24 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """(id, shingle) exploded, DISTINCT per doc — word n-grams.
 
     Built entirely from JVM array functions (split → sequence →
-    transform → explode); no Python UDF."""
-    toks = F.split(F.col(text_col), " ")
+    transform → explode); no Python UDF. The token array is
+    materialized as a column BEFORE the gram lambda: a lambda that
+    references the split-expression directly re-evaluates it per
+    element (no subexpression elimination inside HOFs)."""
+    base = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        # docs shorter than n tokens have no shingles (sequence(0, neg)
+        # would DESCEND in Spark and index 0 → error)
+        .where(F.size("_toks") >= n)
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
     return (
-        # docs shorter than n tokens have no shingles (sequence(0, neg)
-        # would DESCEND in Spark and index 0 → error)
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        base.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )
@@ -94,6 +112,7 @@ def ngram_jaccard_pairs(
     they cannot decide near-duplicates but dominate join fan-out at
     scale."""
     sh = shingles(df, id_col, text_col, n).cache()
+    sh.count()  # materialize: reused by sizes + both join sides
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -127,6 +146,25 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word n-grams kept
+    as a per-row array (NO explode → signature work stays map-side)."""
+    base = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .where(F.size("_toks") >= n)
+    )
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return base.select(
+        "doc_id", F.array_remove(F.array_distinct(grams), "").alias("shingles")
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
     """64 permutations approximated by seeded xxhash64: sig_i =
     min_shingle xxhash64(shingle, i). One groupBy computes the whole
@@ -135,6 +173,42 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def hashed_shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, hs: array<long>) — each distinct shingle hashed once to
+    64 bits. Longs cache/serialize ~10× cheaper than string arrays, and
+    set-intersection over them equals string-set intersection up to a
+    ~1e-15 collision probability per pair."""
+    base = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .where(F.size("_toks") >= n)
+        # materialize token hashes as a COLUMN: a lambda referencing the
+        # transform-expression would recompute it per gram element
+        .select("doc_id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"))
+    )
+    th = F.col("_th")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(th) - n),
+        lambda i: F.xxhash64(*[F.element_at(th, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return base.select("doc_id", F.array_distinct(grams).alias("hs"))
+
+
+def minhash_signatures_from_arrays(hashed: DataFrame, num_perm: int = 64) -> DataFrame:
+    """Signatures computed per-row over the hashed-shingle array — zero
+    shuffle (the explode→groupBy route shuffles every shingle; this is
+    the 100 TB-friendly formulation: signature cost is embarrassingly
+    parallel map work). The num_perm permutations re-hash the 8-byte
+    long (seeded xxhash64) — a proper hash family at ~1/8 the
+    bytes-hashed of hashing the string per seed."""
+    cols = [
+        F.array_min(F.transform("hs", lambda h: F.xxhash64(h, F.lit(i)))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return hashed.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
@@ -183,29 +257,27 @@ def minhash_lsh_dedup_pairs(
 
     Returns (doc_a, doc_b, jaccard) — same contract as
     ngram_jaccard_pairs, so the two are interchangeable and the exact
-    version is the oracle for this one."""
-    sh = shingles(df, id_col, text_col, n).cache()
-    sigs = minhash_signatures(sh, num_perm)
+    version is the oracle for this one.
+
+    Plan shape (the part that matters at 100 TB): signatures are pure
+    map work over shingle arrays (no explode shuffle); the only wide
+    operations are the (band, key) candidate self-join and the
+    candidate↔array joins for verification; verification itself is
+    per-pair ``array_intersect`` on ~|doc| element long-arrays."""
+    hashed = hashed_shingle_arrays(df, id_col, text_col, n).cache()
+    hashed.count()  # materialize: reused 3× inside ONE downstream action
+    # (cache alone doesn't help there — Spark recomputes within a job)
+    sigs = minhash_signatures_from_arrays(hashed, num_perm)
     cand = lsh_candidate_pairs(sigs, bands, num_perm // bands)
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -220,7 +292,8 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     token-hash bit b; bit set iff the sum is positive. 64 conditional
     sums in a single groupBy (JVM-side, one pass)."""
     toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .where(F.col("tok") != "")
     )
     h = F.xxhash64("tok")
@@ -288,10 +361,26 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
 # Embedding cosine near-dup
 # --------------------------------------------------------------------------
 
-def cosine_expr(a: Column, b: Column) -> Column:
+def dot_expr(x: Column, y: Column, dim: int) -> Column:
+    """Unrolled left-associated dot product (codegen-able, fixed
+    evaluation order)."""
+    acc = F.element_at(x, 1) * F.element_at(y, 1)
+    for j in range(2, dim + 1):
+        acc = acc + F.element_at(x, j) * F.element_at(y, j)
+    return acc
+
+
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine over two array<double> columns with a fixed left-fold
     evaluation order (bit-reproducible across engines computing the
-    same fold: dot/(sqrt(na)*sqrt(nb)))."""
+    same fold: dot/(sqrt(na)*sqrt(nb))).
+
+    With a known ``dim`` the dot/norm sums are unrolled into explicit
+    left-associated additions — plain codegen-able arithmetic, ~5×
+    faster than interpreted higher-order-function lambdas, same
+    float-evaluation order."""
+    if dim is not None:
+        return dot_expr(a, b, dim) / (F.sqrt(dot_expr(a, a, dim)) * F.sqrt(dot_expr(b, b, dim)))
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -303,21 +392,29 @@ def embedding_near_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact pairwise cosine near-dup pairs (a < b, cosine ≥ threshold).
 
     This is the verification kernel; at fleet scale candidates come
     from random-hyperplane LSH buckets first (similarity.lsh_buckets) —
     exact pairwise is O(n²) and reserved for within-bucket work."""
-    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
-    a = v.alias("a")
-    b = v.alias("b")
+    v = spread(df).select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    if dim is not None:
+        # norms once per ROW (not per pair): 3× less codegen + compute,
+        # identical float results (same per-value computation)
+        v = v.select("vid", "v", F.sqrt(dot_expr(F.col("v"), F.col("v"), dim)).alias("nrm"))
+        a, b = v.alias("a"), v.alias("b")
+        cos = dot_expr(F.col("a.v"), F.col("b.v"), dim) / (F.col("a.nrm") * F.col("b.nrm"))
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        cos = cosine_expr(F.col("a.v"), F.col("b.v"), dim)
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

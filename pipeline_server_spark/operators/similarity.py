@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from pipeline_server_spark.operators.dedup import cosine_expr
+from pipeline_server_spark.operators.dedup import cosine_expr, dot_expr, spread
 
 
 def brute_force_topk(
@@ -23,17 +23,25 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors (cosine) for each query vector.
 
     The query side is broadcast (ANN workloads have |queries| ≪
     |corpus|); ties broken by neighbor id for determinism. Self-matches
     (same id) are excluded."""
-    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    c = spread(corpus).select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    if dim is not None:
+        # norms once per row; identical float results as the per-pair form
+        c = c.select("nbr_id", "cv", F.sqrt(dot_expr(F.col("cv"), F.col("cv"), dim)).alias("cn"))
+        q = q.select("query_id", "qv", F.sqrt(dot_expr(F.col("qv"), F.col("qv"), dim)).alias("qn"))
+        cos = dot_expr(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
+    else:
+        cos = cosine_expr(F.col("qv"), F.col("cv"), dim)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select("query_id", "nbr_id", cos.alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
@@ -67,13 +75,17 @@ def lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector a `planes`-bit random-hyperplane bucket."""
-    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(vec_col).cast("array<double>").alias("_v"),  # materialized once
+    )
+    v = F.col("_v")
     key = None
     for p in range(planes):
         bit = F.shiftleft(_hyperplane_sign(v, p, dim_count), p)
         key = bit if key is None else key.bitwiseXOR(bit)  # disjoint bits
-    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
-                     key.alias("bucket"))
+    return base.select("vec_id", "embedding", key.alias("bucket"))
 
 
 def lsh_topk(
@@ -84,13 +96,14 @@ def lsh_topk(
     dim_count: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: both sides bucketed, candidates = same-bucket
     pairs, exact cosine within. Recall is tunable via `planes` (fewer
     planes → bigger buckets → higher recall, more compute); multi-probe
     (flipping one bit) would be the next step — kept single-probe for
     clarity."""
-    cb = lsh_buckets(corpus, planes, dim_count, id_col, vec_col).withColumnRenamed(
+    cb = lsh_buckets(spread(corpus), planes, dim_count, id_col, vec_col).withColumnRenamed(
         "vec_id", "nbr_id"
     )
     qb = lsh_buckets(queries, planes, dim_count, id_col, vec_col).withColumnRenamed(
@@ -105,7 +118,7 @@ def lsh_topk(
             "query_id",
             "nbr_id",
             cosine_expr(F.col("qv").cast("array<double>"),
-                        F.col("embedding").cast("array<double>")).alias("cosine"),
+                        F.col("embedding").cast("array<double>"), dim).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))

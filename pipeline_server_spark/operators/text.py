@@ -105,14 +105,20 @@ def doc_fingerprints(
 
     Expressed as shingle → hash → sliding-window min via a window
     frame; all JVM-side."""
-    toks = F.split(F.col(text_col), " ")
+    from pipeline_server_spark.operators.dedup import spread
+
+    base = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .where(F.size("_toks") >= k)
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
     )
     g = (
-        df.where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
+        base.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .where(F.col("gram") != "")
         .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
     )

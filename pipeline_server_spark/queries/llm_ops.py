@@ -135,7 +135,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        embedding_near_dup_pairs(aug, threshold=0.99)
+        embedding_near_dup_pairs(aug, threshold=0.99, dim=64)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
@@ -165,7 +165,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     return (
-        brute_force_topk(e, q, k=5)
+        brute_force_topk(e, q, k=5, dim=64)
         .select("query_id", "nbr_id", "rank")
         .orderBy("query_id", "rank")
     )
@@ -179,7 +179,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffles once on an 8-byte bucket key)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, planes=8).orderBy("query_id", "rank")
+    return lsh_topk(e, q, k=5, planes=8, dim=64).orderBy("query_id", "rank")
 
 
 @query(

@@ -46,7 +46,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default 10MB broadcast threshold kept: raising it makes local
+        # runs broadcast fact tables — fast in one JVM, wrong at scale.
+        # Dimension tables are broadcast explicitly in the queries.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the properties that matter at 100 TB
+(pushdown, pruning, broadcast choice, two-phase aggregation, codegen)
+must not silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_server_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_pushed_to_parquet_scan(spark):
+    plan = _plan(spark, "revenue_forecast")
+    assert "PushedFilters:" in plan
+    # shipdate range + discount + quantity all reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_projection_pruned_to_read_schema(spark):
+    plan = _plan(spark, "urgent_high_value")
+    # only the 3 referenced columns are read, not the 6-column table
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema
+
+
+def test_small_dims_broadcast(spark):
+    plan = _plan(spark, "regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the big orders⋈lineitem pair must NOT be a nested-loop join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_phase_aggregation(spark):
+    plan = _plan(spark, "pricing_summary")
+    # partial (map-side) + final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "top25_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_no_python_udf_in_jvm_operators(spark):
+    """Hot-path operators (dedup, text, windows) must stay JVM-side:
+    a BatchEvalPython/ArrowEvalPython node means a Python round-trip
+    crept in."""
+    for name in ["dedup_minhash_lsh", "text_quality_scores", "sessionize_events",
+                 "windowed_event_stats", "pricing_summary"]:
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
