@@ -1,0 +1,154 @@
+"""Engine facade — the reference's REST control plane (SURVEY.md §3.4)
+as a thin Python API: register(config) / ingest(path) / sql(query) /
+status() / notifications().
+
+The reference keeps configs in DynamoDB, status in DynamoDB, and
+notifies via SNS; here configs live in-process (optionally persisted
+as JSON), and status/notification events are appended to parquet log
+tables (the lakehouse-native restatement of StatusUtil.scala:80-253 and
+ObjectStoreLoader.scala:211-235).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from pipeline_server_spark.catalog import register_views
+from pipeline_server_spark.pipeline.config import DatasetConfig, validate_config
+from pipeline_server_spark.pipeline.run import RunResult, run_dataset
+
+# name-based UUIDv5 tokens — the reference's GuidV5 (SHA-1 name-based,
+# common/.../util/GuidV5.scala:25-48) is exactly RFC-4122 v5.
+_NAMESPACE = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 DNS ns
+
+
+def pipeline_token(name: str, when: _dt.datetime | None = None) -> str:
+    stamp = (when or _dt.datetime.utcnow()).isoformat()
+    return str(uuid.uuid5(_NAMESPACE, f"{name}.{stamp}"))
+
+
+class Engine:
+    """One SparkSession + a dataset registry + run/notification logs."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse_dir or os.path.join(os.getcwd(), "spark-warehouse-psspark")
+        self._configs: dict[str, DatasetConfig] = {}
+        self._status_rows: list[dict[str, Any]] = []
+        self._notification_rows: list[dict[str, Any]] = []
+
+    # -- control plane ----------------------------------------------------
+
+    def register(self, config: DatasetConfig) -> DatasetConfig:
+        """POST /dataset — validate + normalize + store
+        (DatasetAPIController.scala:81-123)."""
+        normalized = validate_config(config)
+        self._configs[normalized.name] = normalized
+        return normalized
+
+    def get(self, name: str) -> DatasetConfig:
+        return self._configs[name]
+
+    def datasets(self) -> list[str]:
+        return sorted(self._configs)
+
+    def deregister(self, name: str) -> None:
+        del self._configs[name]
+
+    # -- data plane -------------------------------------------------------
+
+    def ingest(self, name: str, paths: str | list[str]) -> RunResult:
+        """The file-ingestion lifecycle (SURVEY.md §3.1) for one batch."""
+        config = self._configs[name]
+        token = pipeline_token(name)
+        self._log_status(name, token, "begin", "info", "ingest started")
+        try:
+            result = run_dataset(self.spark, config, paths)
+        except Exception as e:
+            self._log_status(name, token, "end", "error", str(e)[:500])
+            raise
+        self._log_status(name, token, "end", "info", f"rows={result.rows_written}")
+        if config.destination.path:
+            self._notify(name, token, config.destination.path)
+        result.details["pipeline_token"] = token
+        return result
+
+    def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:
+        """Arbitrary SQL over the registered lake tables — the stand-in
+        for the reference's Athena passthrough (AthenaUtil.scala:30-113)."""
+        if sf_dir:
+            register_views(self.spark, sf_dir)
+        return self.spark.sql(query)
+
+    # -- observability ----------------------------------------------------
+
+    def _log_status(self, dataset: str, token: str, state: str, code: str,
+                    description: str) -> None:
+        self._status_rows.append(
+            {
+                "dataset": dataset,
+                "pipeline_token": token,
+                "state": state,       # begin | processing | end
+                "code": code,         # info | warning | error
+                "description": description,
+                "created_at": _dt.datetime.utcnow().isoformat(),
+            }
+        )
+
+    def _notify(self, dataset: str, token: str, destination: str) -> None:
+        """SNS notification analog (Notification.scala:21-32) appended to
+        an event log instead of published."""
+        self._notification_rows.append(
+            {
+                "dataset": dataset,
+                "pipeline_token": token,
+                "destination": destination,
+                "created_at": _dt.datetime.utcnow().isoformat(),
+            }
+        )
+
+    def status(self, dataset: str | None = None) -> DataFrame:
+        rows = [Row(**r) for r in self._status_rows] or [
+            Row(dataset="", pipeline_token="", state="", code="", description="",
+                created_at="")
+        ]
+        df = self.spark.createDataFrame(rows)
+        if not self._status_rows:
+            df = df.limit(0)
+        return df.filter(df.dataset == dataset) if dataset else df
+
+    def notifications(self) -> DataFrame:
+        rows = [Row(**r) for r in self._notification_rows] or [
+            Row(dataset="", pipeline_token="", destination="", created_at="")
+        ]
+        df = self.spark.createDataFrame(rows)
+        return df if self._notification_rows else df.limit(0)
+
+    # -- persistence of the registry (DatasetConfigIO analog) -------------
+
+    def export_configs(self, path: str) -> None:
+        serializable = {
+            name: _config_to_dict(cfg) for name, cfg in self._configs.items()
+            if cfg.transformation.row_function is None
+            and cfg.data_quality.row_rule is None
+            and cfg.transformation.column_expressions is None
+            and cfg.transformation.drop_predicate is None
+        }
+        with open(path, "w") as fh:
+            json.dump(serializable, fh, indent=2, default=str)
+
+
+def _config_to_dict(cfg: DatasetConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["transformation"].pop("row_function", None)
+    d["transformation"].pop("column_expressions", None)
+    d["transformation"].pop("drop_predicate", None)
+    d["data_quality"].pop("row_rule", None)
+    return d

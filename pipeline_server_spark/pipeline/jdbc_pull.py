@@ -1,0 +1,112 @@
+"""S8 — incremental database pull ("DataPuller") with a persisted
+high-watermark.
+
+Reference semantics (util/DataPuller.scala:36-235):
+- projected ``include_fields`` + a trailing timestamp column,
+- ``WHERE ts > last_watermark ORDER BY ts`` (or a full sqlOverride),
+- the timestamp column is DROPPED from the emitted rows and its MAX is
+  persisted as the next watermark (DataPullTableUtil.scala:35-101),
+- output re-enters the normal pipeline.
+
+Spark restatement: ``spark.read.jdbc`` with the watermark folded into
+the pushed-down query, watermark state in a tiny parquet table. The
+container has no JDBC drivers or network, so the reader is pluggable:
+``source="jdbc"`` builds the real ``spark.read.format("jdbc")`` plan;
+``source=DataFrame`` (tests) applies identical predicate/projection
+logic to any DataFrame.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PullConfig:
+    name: str
+    include_fields: tuple[str, ...]          # projected columns, in order
+    timestamp_field: str                      # trailing watermark column
+    sql_override: str | None = None           # full custom SELECT (pushed down)
+    url: str | None = None                    # jdbc url (real deployments)
+    table: str | None = None
+    options: dict[str, str] | None = None
+
+
+class WatermarkStore:
+    """Per-dataset last-pulled timestamp, persisted as parquet
+    (the DynamoDB pull-state table analog)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def get(self, name: str) -> _dt.datetime | None:
+        if not os.path.exists(self.path):
+            return None
+        df = self.spark.read.parquet(self.path).filter(F.col("name") == name)
+        row = df.orderBy(F.desc("watermark")).first()
+        return row["watermark"] if row else None
+
+    def put(self, name: str, watermark: _dt.datetime) -> None:
+        new = self.spark.createDataFrame(
+            [(name, watermark)], "name string, watermark timestamp"
+        )
+        if os.path.exists(self.path):
+            old = self.spark.read.parquet(self.path).filter(F.col("name") != name)
+            merged = old.unionByName(new)
+        else:
+            merged = new
+        # tiny table: rewrite-through-staging keeps it atomic enough
+        tmp = self.path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(self.path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _jdbc_frame(spark: SparkSession, cfg: PullConfig) -> DataFrame:
+    """Real JDBC plan: the incremental predicate and projection are
+    folded into the pushed-down dbtable query."""
+    reader = spark.read.format("jdbc").option("url", cfg.url or "")
+    for k, v in (cfg.options or {}).items():
+        reader = reader.option(k, v)
+    if cfg.sql_override:
+        return reader.option("query", cfg.sql_override).load()
+    return reader.option("dbtable", cfg.table or cfg.name).load()
+
+
+def pull(
+    spark: SparkSession,
+    cfg: PullConfig,
+    store: WatermarkStore,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """One incremental pull. Returns the batch WITHOUT the timestamp
+    column (reference drops it, DataPuller.scala:100-103,153) and
+    advances the stored watermark to the batch max.
+
+    ``source`` substitutes any DataFrame for the JDBC scan (tests /
+    files); the predicate + projection are identical either way, and
+    with a real JDBC source both push down to the database."""
+    df = source if source is not None else _jdbc_frame(spark, cfg)
+    ts = F.col(cfg.timestamp_field)
+    last = store.get(cfg.name)
+    batch = df
+    if cfg.sql_override is None:
+        batch = batch.select(*cfg.include_fields, cfg.timestamp_field)
+    if last is not None:
+        batch = batch.filter(ts > F.lit(last))
+    # ORDER BY ts for parity with the reference's emitted file ordering
+    batch = batch.orderBy(ts)
+
+    max_row = batch.agg(F.max(ts).alias("m")).first()
+    if max_row and max_row["m"] is not None:
+        store.put(cfg.name, max_row["m"])
+    return batch.drop(cfg.timestamp_field)
