@@ -1,0 +1,279 @@
+"""Relational surface, batch 2: subqueries, distribution/window
+extensions, exact-decimal statistics, array aggregation, null-handling
+and string scalars."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+from pipeline_server_spark.queries.relational import dec
+
+
+@query(
+    "orders_above_avg_price",
+    oracle="""
+    WITH avg_price AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS a
+      FROM orders)
+    SELECT o_orderkey, o_totalprice
+    FROM orders, avg_price WHERE o_totalprice > a
+    ORDER BY o_orderkey
+    """,
+)
+def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (exact-decimal average so both
+    engines agree bit-for-bit on the threshold); planned as a broadcast
+    of the 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (F.sum(dec("o_totalprice", 14, 4)).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("a"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "customer_value_deciles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS decile
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE distribution buckets (deterministic via unique tiebreak)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(10).over(w).alias("decile")).orderBy("c_custkey")
+
+
+@query(
+    "first_last_order_per_customer",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders ORDER BY o_custkey
+    """,
+)
+def first_last_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "order_price_spread_stats",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))
+                      * CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS smsq,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n,
+           (smsq - sm * sm / n) / (n - 1) AS variance,
+           SQRT((smsq - sm * sm / n) / (n - 1)) AS stddev
+    FROM s ORDER BY o_orderstatus
+    """,
+)
+def order_price_spread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev computed from EXACT decimal Σx and Σx² —
+    the built-in stddev aggregates in different engines sum doubles in
+    different orders and cannot hash-match; this formulation is
+    deterministic and still one aggregation pass."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = dec("o_totalprice", 14, 2)
+    s = o.groupBy("o_orderstatus").agg(
+        F.sum(tp).cast("double").alias("sm"),
+        F.sum(tp * tp).cast("double").alias("smsq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    variance = (F.col("smsq") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)
+    return (
+        s.select("o_orderstatus", "n", variance.alias("variance"),
+                 F.sqrt(variance).alias("stddev"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "range_frame_price_mass",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS peers_within_10k
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def range_frame_price_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering (value-based window: all
+    orders within $10k below each price)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice").rangeBetween(-10000, W.currentRow)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("peers_within_10k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "order_keys_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') AS order_keys
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def order_keys_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list → sort → canonical string; the
+    string form makes the result order-insensitive and hashable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("order_keys")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "null_handling_scalars",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'RESIDENTIAL') AS segment_or_default,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nonneg_bal,
+           GREATEST(c_acctbal, 0.0) AS floored_bal,
+           LEAST(c_acctbal, 5000.0) AS capped_bal
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def null_handling_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF/COALESCE/CASE-to-NULL/GREATEST/LEAST surface."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                       F.lit("RESIDENTIAL")).alias("segment_or_default"),
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+            .alias("nonneg_bal"),
+            F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored_bal"),
+            F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("capped_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "string_split_scalars",
+    oracle="""
+    SELECT p_partkey,
+           SPLIT_PART(p_name, ' ', 1) AS name_adjective,
+           SPLIT_PART(p_name, ' ', 2) AS name_noun,
+           CAST(INSTR(p_name, 'e') AS BIGINT) AS first_e_pos,
+           CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, 'e', '')) AS BIGINT) AS e_count,
+           LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+           REVERSE(p_brand) AS brand_reversed
+    FROM part ORDER BY p_partkey
+    """,
+)
+def string_split_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part/instr/char-count/lpad/reverse scalar surface."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_adjective"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("name_noun"),
+            F.instr(F.col("p_name"), "e").cast("bigint").alias("first_e_pos"),
+            (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit("e"), F.lit(""))))
+            .cast("bigint")
+            .alias("e_count"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+            F.reverse(F.col("p_brand")).alias("brand_reversed"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "suppliers_of_bulk_items",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+    ORDER BY s_suppkey
+    """,
+)
+def suppliers_of_bulk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (semi join on the distinct key set)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "monthly_order_trend",
+    oracle="""
+    WITH m AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month, COUNT(*) AS orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sales
+      FROM orders GROUP BY 1)
+    SELECT month, orders, sales,
+           sales - LAG(sales) OVER (ORDER BY month) AS sales_delta,
+           CAST(orders - LAG(orders) OVER (ORDER BY month) AS BIGINT) AS order_delta
+    FROM m ORDER BY month
+    """,
+)
+def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg → window-over-agg composition (month-over-month deltas)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("sales"),
+    )
+    w = W.orderBy("month")
+    return (
+        m.select(
+            "month",
+            "orders",
+            "sales",
+            (F.col("sales") - F.lag("sales").over(w)).alias("sales_delta"),
+            (F.col("orders") - F.lag("orders").over(w)).cast("bigint").alias("order_delta"),
+        )
+        .orderBy("month")
+    )
