@@ -1,0 +1,104 @@
+"""F4/F5 — whole-payload JSON Schema / XSD validation
+(SchemaValidationUtil.scala:33-59).
+
+The container ships neither ``jsonschema`` nor ``xmlschema``; both are
+used when importable, with honest fallbacks otherwise: a built-in
+validator covering the JSON-Schema subset the reference's configs use
+(type / required / properties / items / enum), and XML falls back to
+well-formedness only (raising NotImplementedError if a real XSD check
+is demanded without the library).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+
+class SchemaValidationError(ValueError):
+    pass
+
+
+_TYPE_MAP = {
+    "object": dict,
+    "array": list,
+    "string": str,
+    "integer": int,
+    "boolean": bool,
+    "null": type(None),
+}
+
+
+def _check(instance: Any, schema: dict, path: str, errors: list[str]) -> None:
+    t = schema.get("type")
+    if t:
+        if t == "number":
+            ok = isinstance(instance, (int, float)) and not isinstance(instance, bool)
+        elif t == "integer":
+            ok = isinstance(instance, int) and not isinstance(instance, bool)
+        else:
+            ok = isinstance(instance, _TYPE_MAP.get(t, object))
+        if not ok:
+            errors.append(f"{path or '$'}: expected {t}, got {type(instance).__name__}")
+            return
+    if "enum" in schema and instance not in schema["enum"]:
+        errors.append(f"{path or '$'}: {instance!r} not in enum {schema['enum']}")
+    if isinstance(instance, dict):
+        for req in schema.get("required", []):
+            if req not in instance:
+                errors.append(f"{path or '$'}: missing required property {req!r}")
+        for key, sub in schema.get("properties", {}).items():
+            if key in instance:
+                _check(instance[key], sub, f"{path}.{key}", errors)
+    if isinstance(instance, list) and "items" in schema:
+        for i, item in enumerate(instance):
+            _check(item, schema["items"], f"{path}[{i}]", errors)
+
+
+def validate_json(payload: str, schema: dict | str) -> None:
+    """Validate a JSON document against a JSON Schema; raises
+    SchemaValidationError listing every violation (the reference
+    collects all messages — SchemaValidationUtil.scala:36-41)."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    try:
+        instance = json.loads(payload)
+    except json.JSONDecodeError as e:
+        raise SchemaValidationError(f"payload is not valid JSON: {e}") from e
+    try:  # full validator when available
+        import jsonschema  # type: ignore
+
+        try:
+            jsonschema.validate(instance, schema)
+        except jsonschema.ValidationError as e:
+            raise SchemaValidationError(str(e)) from e
+        return
+    except ImportError:
+        pass
+    errors: list[str] = []
+    _check(instance, schema, "", errors)
+    if errors:
+        raise SchemaValidationError("; ".join(errors))
+
+
+def validate_xml(payload: str, xsd: str | None = None) -> None:
+    """XSD validation with ``xmlschema`` when importable; without it,
+    only well-formedness is checked and demanding a real XSD check
+    raises NotImplementedError (no silent pass)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        ET.fromstring(payload)
+    except ET.ParseError as e:
+        raise SchemaValidationError(f"payload is not well-formed XML: {e}") from e
+    if xsd is None:
+        return
+    try:
+        import xmlschema  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "XSD validation requires the xmlschema package (not in this container)"
+        ) from e
+    s = xmlschema.XMLSchema(xsd)
+    if not s.is_valid(payload):
+        raise SchemaValidationError("XML does not conform to XSD")
