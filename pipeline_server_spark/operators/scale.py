@@ -1,0 +1,68 @@
+"""Scale utilities: bucketed co-located joins and skew salting.
+
+These are the two levers the inline operators can't provide on their
+own (SURVEY.md §4 lists what Catalyst gives us for free; these are the
+deliberate physical-design choices a 100 TB deployment makes):
+
+- **Bucketing**: pre-shuffle fact tables once at write time
+  (``bucketBy`` on the join key); every later equi-join/aggregation on
+  that key runs with NO exchange. On a 1000-executor cluster this turns
+  the nightly fact⋈fact join from the dominant shuffle into a local
+  merge.
+- **Salting**: a hot key (power-law customer, null-heavy join key)
+  overwhelms one reducer. Salted two-phase aggregation fans the hot
+  key across N sub-keys and recombines — identical results (the
+  partial aggregates are exact), bounded per-task state. AQE's skew
+  handling covers joins; this covers aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort: bool = True,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) table in the session
+    catalog. Joins/aggs between tables bucketed the same way on the
+    same keys skip their exchanges (and with sorted buckets, the sort)."""
+    writer = df.write.format(file_format).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys — plan shows
+    SortMergeJoin with no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def salted_agg_sum(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    alias: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe exact SUM: phase 1 aggregates (keys, salt) — spreading
+    any hot key over ``buckets`` reducers — phase 2 recombines per key.
+    Exact for SUM/COUNT/MIN/MAX-style partials; pass a DECIMAL-cast
+    value to keep float results bit-identical to the unsalted plan."""
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
+                  F.lit(buckets)).alias("_salt")
+    partial = (
+        df.select(*keys, value.alias("_v"), salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.sum("_v").alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))

@@ -1,0 +1,89 @@
+"""Bucketed-join / salting / ORC coverage — the physical-design
+features whose whole point is plan shape, asserted on the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.operators.scale import bucketed_join, salted_agg_sum, write_bucketed
+from pipeline_server_spark.queries.relational import dec
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it computes the right thing
+        expected = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_equals_plain(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plain = {
+        (r.l_returnflag, r.l_linestatus): r.s
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(dec("l_extendedprice")).cast("double").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.l_linestatus): r.s
+        for r in salted_agg_sum(
+            li, ["l_returnflag", "l_linestatus"], dec("l_extendedprice"), "s", buckets=16
+        )
+        .withColumn("s", F.col("s").cast("double"))
+        .collect()
+    }
+    assert plain == salted  # bit-identical via exact decimal partials
+
+
+def test_salted_agg_spreads_keys(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    salt_counts = (
+        li.select(
+            F.pmod(
+                F.xxhash64("l_returnflag", "l_linestatus", F.monotonically_increasing_id()),
+                F.lit(16),
+            ).alias("salt")
+        )
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    assert len(salt_counts) == 16  # hot keys actually fan out
+
+
+def test_orc_write_roundtrip(spark, tmp_path):
+    from pipeline_server_spark.pipeline.config import DestinationConfig, SchemaField
+    from pipeline_server_spark.pipeline.writers import write_append
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    dest = DestinationConfig(
+        fields=(SchemaField("o_orderkey", "bigint"),),
+        path=str(tmp_path / "orc_out"),
+        file_format="orc",
+        partition_by=("o_orderstatus",),
+        delete_before_write=True,
+    )
+    write_append(orders, dest)
+    back = spark.read.orc(dest.path)
+    assert back.count() == orders.count()
+    assert "o_orderstatus" in back.columns  # partition column recovered
