@@ -27,11 +27,19 @@ HEADLINE = [
     "rollup_revenue",
     "pivot_event_matrix",
     "exact_distinct_users",
-    # training-data operators (registered in later milestones; skipped if absent)
+    # pipeline semantics
+    "transform_row_function",
+    "merge_upsert_orders",
+    "cdc_apply_customer",
+    "windowed_event_stats",
+    "sessionize_events",
+    # training-data operators
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality_scores",
+    "token_count_stats",
 ]
 
 

@@ -399,22 +399,50 @@ def embedding_near_dup_pairs(
     This is the verification kernel; at fleet scale candidates come
     from random-hyperplane LSH buckets first (similarity.lsh_buckets) —
     exact pairwise is O(n²) and reserved for within-bucket work."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     v = spread(df).select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
-    if dim is not None:
-        # norms once per ROW (not per pair): 3× less codegen + compute,
-        # identical float results (same per-value computation)
-        v = v.select("vid", "v", F.sqrt(dot_expr(F.col("v"), F.col("v"), dim)).alias("nrm"))
-        a, b = v.alias("a"), v.alias("b")
-        cos = dot_expr(F.col("a.v"), F.col("b.v"), dim) / (F.col("a.nrm") * F.col("b.nrm"))
-    else:
-        a, b = v.alias("a"), v.alias("b")
-        cos = cosine_expr(F.col("a.v"), F.col("b.v"), dim)
-    return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+
+    # Arrow + BLAS kernel: the whole (normalized) corpus is broadcast,
+    # each partition block-multiplies its rows against it. At this
+    # shape an expression-tree cosine blows past the codegen bytecode
+    # limit and falls back to interpreted eval — matrix multiply is the
+    # idiomatic Spark answer (and ~50× faster). Corpus here is small
+    # enough to broadcast whole; at fleet scale the corpus is tiled and
+    # this same kernel runs per (row-block × corpus-tile) pair, usually
+    # after an LSH prefilter (lsh_buckets).
+    rows = v.collect()
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            block_ids = pdf["vid"].to_numpy(dtype=np.int64)
+            block = np.stack(pdf["v"].to_numpy())
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ all_mat.T
+            ai, bj = np.nonzero((sims >= threshold) & (block_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": block_ids[ai], "vec_b": all_ids[bj], "cosine": sims[ai, bj]}
+            )
+
+    return v.mapInPandas(_pairs, schema=out_schema)

@@ -30,19 +30,57 @@ def brute_force_topk(
     The query side is broadcast (ANN workloads have |queries| ≪
     |corpus|); ties broken by neighbor id for determinism. Self-matches
     (same id) are excluded."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     c = spread(corpus).select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    if dim is not None:
-        # norms once per row; identical float results as the per-pair form
-        c = c.select("nbr_id", "cv", F.sqrt(dot_expr(F.col("cv"), F.col("cv"), dim)).alias("cn"))
-        q = q.select("query_id", "qv", F.sqrt(dot_expr(F.col("qv"), F.col("qv"), dim)).alias("qn"))
-        cos = dot_expr(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
-    else:
-        cos = cosine_expr(F.col("qv"), F.col("cv"), dim)
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", cos.alias("cosine"))
+
+    # queries are small by contract: broadcast their normalized matrix,
+    # score every corpus block with one BLAS multiply, keep per-block
+    # top-k, then resolve global top-k with a window over the (tiny)
+    # per-block survivors — the classic distributed exact-ANN shape.
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("qv")).collect()
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_qid = sc.broadcast(q_ids)
+    b_qm = sc.broadcast(q_mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qid, qm = b_qid.value, b_qm.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["nbr_id"].to_numpy(dtype=np.int64)
+            block = np.stack(pdf["cv"].to_numpy())
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = qm @ block.T  # |q| × |block|
+            # k+1: the block may contain the query itself (filtered below)
+            keep = min(k + 1, sims.shape[1])
+            # per-block top-k per query (partial selection, no full sort)
+            idx = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+            out = {
+                "query_id": np.repeat(qid, keep),
+                "nbr_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            pdf_out = pd.DataFrame(out)
+            yield pdf_out[pdf_out["query_id"] != pdf_out["nbr_id"]]
+
+    scored = c.mapInPandas(_score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
