@@ -1,0 +1,111 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+- **as-of join**: for each left row, the latest right row at-or-before
+  its timestamp (per key). Implemented sort-based — union the two
+  tagged sides, one window pass with ``last(..., ignorenulls)`` — so
+  the cost is ONE shuffle on (key) + a per-partition sort, not a
+  per-key pandas merge_asof and not an O(n·m) inequality join. This is
+  the formulation that survives 100 TB: both sides shuffle once on the
+  key, state is a running last-value.
+- **range join**: left.time ∈ [right.start, right.end) — naively a
+  BroadcastNestedLoopJoin (O(n·m)); bucketized to an equi-join on a
+  time bucket + residual filter, with ranges spanning buckets exploded
+  to one row per covered bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row: the most recent right row with
+    ``right.on <= left.on`` (backward; ``forward`` = next at-or-after),
+    matching on the ``by`` keys; right's ``value_cols`` appended with
+    ``suffix``. Right rows at the same timestamp sort before left rows
+    (inclusive match), ties within right broken by the last value col.
+
+    One union + one window = one shuffle on ``by``."""
+    assert direction in ("backward", "forward")
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c) if c in (on, *by) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+
+    # value cols join the ordering so ties WITHIN the right side (same
+    # key, same timestamp) resolve deterministically (max value wins)
+    tiebreak = [F.asc_nulls_first(f"_r_{c}") for c in value_cols]
+    order = (
+        [F.asc(on), F.asc("_side"), *tiebreak]
+        if direction == "backward"
+        else [F.desc(on), F.asc("_side"), *tiebreak]
+    )
+    w = (
+        W.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    picked = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    return (
+        unioned.select(*lcols, "_side", *picked)
+        .where(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1 hour",
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """left.time ∈ [right.start, right.end) as an equi-join on a time
+    bucket: each right range explodes to the buckets it covers, the
+    join key is (bucket [, extra keys]), and the residual inequality
+    filters within the bucket. Fan-out = range-span/bucket, so pick the
+    bucket near the typical range length."""
+    amount, unit = bucket.split()
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
+    width = int(amount) * secs
+
+    lb = left.withColumn("_bucket", (F.unix_timestamp(F.col(left_time)) / width).cast("long"))
+    start_b = (F.unix_timestamp(F.col(right_start)) / width).cast("long")
+    end_b = (F.unix_timestamp(F.col(right_end)) / width).cast("long")
+    rb = right.withColumn(
+        "_bucket", F.explode(F.sequence(start_b, end_b))
+    )
+    on = ["_bucket"] + (extra_on or [])
+    return (
+        lb.join(rb, on=on)
+        .where(
+            (F.col(left_time) >= F.col(right_start)) & (F.col(left_time) < F.col(right_end))
+        )
+        .drop("_bucket")
+    )

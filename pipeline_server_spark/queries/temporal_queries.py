@@ -1,0 +1,83 @@
+"""As-of and range joins as oracle-checked queries (events table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.operators.temporal import asof_join, range_join_bucketed
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "asof_last_click_before_purchase",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    u AS (
+      SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS BIGINT) AS r_id FROM p
+      UNION ALL
+      SELECT user_id, ts, event_id, 0, event_id FROM c),
+    w AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(r_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, side, r_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+      FROM u)
+    SELECT user_id, ts, event_id, click_id AS event_id_asof
+    FROM w WHERE side = 1 ORDER BY user_id, ts, event_id
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase event gets the user's
+    latest click at-or-before it. Sort-based single-shuffle operator
+    (operators/temporal.py), NOT a per-key pandas merge."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    return (
+        asof_join(purchases, clicks, on="ts", by=["user_id"], value_cols=["event_id"])
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "purchases_in_signup_hour",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts AS signup_ts, ts + INTERVAL 1 HOUR AS signup_end, event_id AS signup_id
+      FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.ts, p.purchase_id, s.signup_id
+    FROM p JOIN s ON p.user_id = s.user_id
+               AND p.ts >= s.signup_ts AND p.ts < s.signup_end
+    ORDER BY p.user_id, ts, purchase_id, signup_id
+    """,
+)
+def purchases_in_signup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval containment) via bucketized equi-join —
+    the inequality condition becomes (bucket, user) equality + residual
+    filter instead of a nested-loop join."""
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("signup_end"),
+            F.col("event_id").alias("signup_id"),
+        )
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return (
+        range_join_bucketed(
+            purchases, signups, "ts", "signup_ts", "signup_end",
+            bucket="1 hour", extra_on=["user_id"],
+        )
+        .select("user_id", "ts", "purchase_id", "signup_id")
+        .orderBy("user_id", "ts", "purchase_id", "signup_id")
+    )

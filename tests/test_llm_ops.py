@@ -125,3 +125,16 @@ def test_frame_sample_shapes(spark, docs):
     for r in frames:
         assert r.n_frames >= 0
         assert len(r.frames) == max(r.n_frames, 1)
+
+
+def test_asof_join_forward_direction(spark):
+    from pipeline_server_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10, "l1"), (1, 25, "l2")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, 12, 100), (1, 20, 200), (1, 30, 300)], ["k", "t", "rid"])
+    back = {r.tag: r.rid_asof for r in asof_join(
+        left, right, on="t", by=["k"], value_cols=["rid"], direction="backward").collect()}
+    fwd = {r.tag: r.rid_asof for r in asof_join(
+        left, right, on="t", by=["k"], value_cols=["rid"], direction="forward").collect()}
+    assert back == {"l1": None, "l2": 200}   # latest at-or-before
+    assert fwd == {"l1": 100, "l2": 300}     # earliest at-or-after

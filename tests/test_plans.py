@@ -59,3 +59,15 @@ def test_no_python_udf_in_jvm_operators(spark):
                  "windowed_event_stats", "pricing_summary"]:
         plan = _plan(spark, name)
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    plan = _plan(spark, "purchases_in_signup_hour")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "asof_last_click_before_purchase")
+    # union + window: exactly one hash exchange on the by-key
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
