@@ -68,7 +68,11 @@ def apply_row_function(
 
         for pdf in batches:
             out_rows = []
-            for rec in pdf.to_dict("records"):
+            # zip-of-columns beats DataFrame.to_dict('records') ~4×
+            colnames = list(pdf.columns)
+            columns = [pdf[c].tolist() for c in colnames]
+            for values in zip(*columns):
+                rec = dict(zip(colnames, values))
                 rec["_pipelinetimestamp"] = ts
                 changed = fn(rec)
                 if changed is None:  # F7 drop

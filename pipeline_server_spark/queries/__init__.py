@@ -14,5 +14,6 @@ from pipeline_server_spark.queries import llm_ops  # noqa: E402,F401
 from pipeline_server_spark.queries import relational2  # noqa: E402,F401
 from pipeline_server_spark.queries import streaming_batch  # noqa: E402,F401
 from pipeline_server_spark.queries import temporal_queries  # noqa: E402,F401
+from pipeline_server_spark.queries import semistructured  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,61 @@
+"""Semi-structured column queries — the upgrade path beyond the
+reference's opaque `_json` string column (SURVEY.md §1.1): real JSON
+extraction/typing executed JVM-side."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "event_props_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT) AS k_min,
+           CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + typed aggregation over the events.props
+    string column (get_json_object — the reference could only carry
+    this as an opaque `_json`; Athena-side extraction is replaced by a
+    JVM expression)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_props_schema_inference",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+    FROM events WHERE CAST(props->>'$.k' AS INT) > 90
+    ORDER BY event_id
+    """,
+)
+def event_props_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit struct schema → typed predicate
+    pushdown-ready column (the `_json` → nested-struct upgrade)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.where(F.col("p.k") > 90)
+        .select("event_id", F.col("p.k").alias("k"))
+        .orderBy("event_id")
+    )

@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis) for the MERGE kernel — the
+operator where subtle key/null bugs hide."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pipeline_server_spark.pipeline.writers import merge_upsert_frames
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),            # key
+        st.sampled_from(["a", "b", "c"]),                  # payload
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, s string, v double")
+
+
+def _key_unique(rows):
+    seen, out = set(), []
+    for r in rows:
+        if r[0] not in seen:
+            seen.add(r[0])
+            out.append(r)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=ROWS, source=ROWS)
+def test_merge_key_semantics(spark, target, source):
+    target = _key_unique(target)  # tables being merged into are key-unique
+    t = _df(spark, target)
+    s = _df(spark, source)
+    merged = merge_upsert_frames(t, s, ["k"]).collect()
+
+    src_keys = {r[0] for r in source}
+    tgt_keys = {r[0] for r in target}
+    # 1. result keys = union, each exactly once
+    assert sorted(r.k for r in merged) == sorted(src_keys | tgt_keys)
+    # 2. matched/new keys carry a source row; untouched keys the target row
+    for row in merged:
+        if row.k in src_keys:
+            assert any(p[0] == row.k and p[1] == row.s and p[2] == row.v for p in source)
+        else:
+            assert any(p[0] == row.k and p[1] == row.s and p[2] == row.v for p in target)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=ROWS)
+def test_merge_idempotent_and_identity(spark, target):
+    t = _df(spark, _key_unique(target))
+    # merging a table into itself changes nothing
+    once = {(r.k, r.s, r.v) for r in merge_upsert_frames(t, t, ["k"]).collect()}
+    assert once == {(r.k, r.s, r.v) for r in t.collect()}
