@@ -68,9 +68,17 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
         # dry-run/materialize-free mode: count only
         return RunResult(config.name, staged.count(), report)
 
+    # rows-written metric via the Observation API: collected DURING the
+    # write action — no second pass over the batch, and no re-scan of
+    # the destination (which at 100 TB would cost more than the write).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(f"ingest_{config.name}")
+    staged = staged.observe(obs, F.count(F.lit(1)).alias("rows"))
+
     if config.destination.write_mode == "merge":
         merge_upsert(spark, staged, config.destination)
     else:
         write_append(staged, config.destination)
-    written = spark.read.format(config.destination.file_format).load(config.destination.path)
-    return RunResult(config.name, written.count(), report)
+    return RunResult(config.name, int(obs.get["rows"]), report)

@@ -277,3 +277,30 @@ def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "acctbal_distribution_ranks",
+    oracle="""
+    SELECT c_custkey,
+           PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS cume,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000)
+               OVER (PARTITION BY c_mktsegment) AS rich_in_segment
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / conditional windowed count."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    wseg = W.partitionBy("c_mktsegment")
+    return (
+        c.select(
+            "c_custkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.count_if(F.col("c_acctbal") > 5000).over(wseg).alias("rich_in_segment"),
+        )
+        .orderBy("c_custkey")
+    )
