@@ -52,10 +52,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # JVM/codegen warm-up on the smallest sf so per-query numbers measure
-    # the plan, not first-call JIT + codegen compilation.
+    # Warm-up on the smallest sf so per-query numbers measure the plan,
+    # not first-call JIT/codegen compilation or Python-worker spin-up
+    # (one JVM-expression query + one Arrow/pandas query).
     warm = "/root/testdata/sf0.001"
     QUERIES["pricing_summary"](spark, warm).count()
+    if "multimodal_metadata" in QUERIES:
+        QUERIES["multimodal_metadata"](spark, warm).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -165,3 +165,96 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: deterministic k-means
+    centroids → corpus partitioned into cells → queries probe their
+    ``n_probe`` nearest cells and re-rank exactly within them.
+
+    The scale shape: centroids are trained on a driver-side sample
+    (deterministic: lowest-id vectors, Lloyd iterations in numpy),
+    corpus assignment is one broadcast-argmax map pass, and each query
+    touches ~n_probe/n_centroids of the corpus. Recall is tunable via
+    n_probe (= n_centroids ⇒ exact)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    c = spread(corpus).select(F.col(id_col).alias("nbr_id"),
+                              F.col(vec_col).cast("array<double>").alias("cv"))
+
+    # --- deterministic centroid training (driver-side sample) --------
+    sample = (
+        c.orderBy("nbr_id").limit(max(n_centroids * 40, 256)).collect()
+    )
+    X = np.array([r["cv"] for r in sample], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cent = X[:n_centroids].copy()  # deterministic init: first vectors
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / np.linalg.norm(m)
+    sc = corpus.sparkSession.sparkContext
+    b_cent = sc.broadcast(cent)
+
+    assign_schema = T.StructType(
+        [T.StructField("nbr_id", T.LongType()), T.StructField("cell", T.IntegerType()),
+         T.StructField("cv", T.ArrayType(T.DoubleType()))]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            block = np.stack(pdf["cv"].to_numpy())
+            blockn = block / np.linalg.norm(block, axis=1, keepdims=True)
+            cells = np.argmax(blockn @ cm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"nbr_id": pdf["nbr_id"], "cell": cells, "cv": pdf["cv"]})
+
+    assigned = c.mapInPandas(_assign, schema=assign_schema)
+
+    # --- query side: probe n_probe nearest cells ---------------------
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("qv")).collect()
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(q_ids[i]), [float(v) for v in q_mat[i]], int(cell))
+        for i in range(len(q_ids))
+        for cell in probes[i]
+    ]
+    qdf = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell int"
+    )
+
+    scored = (
+        assigned.join(F.broadcast(qdf), on="cell")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id", "nbr_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

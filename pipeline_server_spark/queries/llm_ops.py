@@ -301,3 +301,16 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bytes", "media_type", "width", "height")
         .orderBy("doc_id")
     )
+
+
+# IVF recall is probabilistic (n_probe < n_centroids) — rows-only;
+# pytest measures recall against the brute-force baseline.
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means cells + n_probe search — the
+    second scale path besides hyperplane LSH)."""
+    from pipeline_server_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).orderBy("query_id", "rank")

@@ -121,3 +121,39 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins_msgs = messages_from_rows(inserts, "insert", CUSTOMER_FIELDS, "customer")
     messages = upd_msgs.unionByName(del_msgs).unionByName(ins_msgs)
     return apply_cdc(c, messages, CUSTOMER_FIELDS).orderBy("c_custkey")
+
+
+@query(
+    "native_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap) in batch mode — the
+    same expression drives streaming session windows; oracle is the
+    lag+cumsum formulation (sessions are identical sets)."""
+    from pyspark.sql import functions as F2
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F2.session_window("ts", "30 minutes").alias("w"))
+        .agg(F2.count(F2.lit(1)).alias("n_events"))
+        .select("user_id", F2.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )

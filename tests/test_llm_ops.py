@@ -138,3 +138,19 @@ def test_asof_join_forward_direction(spark):
         left, right, on="t", by=["k"], value_cols=["rid"], direction="forward").collect()}
     assert back == {"l1": None, "l2": 200}   # latest at-or-before
     assert fwd == {"l1": 100, "l2": 300}     # earliest at-or-after
+
+
+def test_ivf_topk_recall(spark, emb):
+    from pipeline_server_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.nbr_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    # full probe (n_probe = n_centroids) must equal exact
+    full = {(r.query_id, r.nbr_id)
+            for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8).collect()}
+    assert full == exact
+    # partial probe keeps most of the neighbors
+    part = {(r.query_id, r.nbr_id)
+            for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()}
+    recall = len(part & exact) / len(exact)
+    assert recall > 0.5, f"IVF recall collapsed: {recall}"

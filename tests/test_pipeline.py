@@ -439,3 +439,28 @@ def test_run_dataset_end_to_end(spark, tmp_path, orders_csv):
     assert result.rows_written == expected
     out = spark.read.parquet(config.destination.path)
     assert set(out.columns) == {f.name for f in ORDER_FIELDS}
+
+
+def test_archive_to_lake_end_to_end(spark, tmp_path, orders_csv):
+    """S6+S7+T1+L1 composed: zip archive → expand → multi-file read →
+    dedupe (the two copies collapse) → partitioned parquet write."""
+    import zipfile as _zip
+
+    from pipeline_server_spark.pipeline.run import run_dataset
+
+    zpath = tmp_path / "bulk.zip"
+    with _zip.ZipFile(zpath, "w") as z:
+        z.write(orders_csv, "day1.csv")
+        z.write(orders_csv, "day1_copy.csv")  # exact duplicate file
+    files = expand_archive(str(zpath))
+    config = DatasetConfig(
+        name="orders_zip",
+        source=_csv_source(),
+        transformation=TransformationConfig(deduplicate=True),
+        destination=DestinationConfig(
+            fields=ORDER_FIELDS, path=str(tmp_path / "ar_out"),
+            partition_by=("o_orderstatus",), delete_before_write=True,
+        ),
+    )
+    result = run_dataset(spark, config, files)
+    assert result.rows_written == 1500  # duplicates collapsed
