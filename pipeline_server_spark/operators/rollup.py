@@ -1,0 +1,110 @@
+"""Hypertable-style continuous aggregate (rollup) maintenance.
+
+A materialized time-bucketed aggregate (the TimescaleDB "continuous
+aggregate" / Druid rollup idea) maintained incrementally: each incoming
+batch is partially aggregated, then combined ADDITIVELY into the stored
+rollup — only the time buckets touched by the batch are rewritten
+(partition-pruned, like writers.merge_upsert).
+
+Additivity is what makes this exact at any scale: the stored state per
+(bucket, keys) is {count, decimal-sum}, and combine = element-wise add,
+so ``rollup(batch₁) ⊕ rollup(batch₂) == rollup(batch₁ ∪ batch₂)``
+bit-for-bit (decimal sums are exact). Averages and rates are derived at
+read time, never stored.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def batch_rollup(
+    batch: DataFrame,
+    window: str = "1 hour",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Partial (additive) aggregate of one batch:
+    (window_start, *keys) → n_events, value_sum(decimal)."""
+    keys = keys or []
+    return (
+        batch.groupBy(F.window(time_col, window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(20,4)")).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "value_sum")
+    )
+
+
+def update_rollup(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    window: str = "1 hour",
+    time_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> None:
+    """Fold one batch into the stored rollup.
+
+    Only buckets present in the batch are read back and combined; all
+    other stored buckets are untouched (at scale the rollup is
+    partitioned by a date column derived from window_start, and this
+    read is partition-pruned — same property as merge_upsert)."""
+    keys = keys or []
+    delta = batch_rollup(batch, window, time_col, keys, value_col)
+
+    if not _exists(path):
+        delta.write.mode("overwrite").parquet(path)
+        return
+
+    current = spark.read.parquet(path)
+    touched = delta.select("window_start").distinct()
+    untouched = current.join(touched, on="window_start", how="left_anti")
+    overlap = current.join(touched, on="window_start", how="left_semi")
+
+    group_cols = ["window_start", *keys]
+    combined = (
+        overlap.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+    )
+    out = untouched.unionByName(combined)
+
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="psspark_rollup_")
+    out.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_rollup(spark: SparkSession, path: str, keys: list[str] | None = None) -> DataFrame:
+    """Read the rollup with derived metrics (avg at read time)."""
+    keys = keys or []
+    r = spark.read.parquet(path)
+    return r.select(
+        "window_start",
+        *keys,
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        (F.col("value_sum").cast("double") / F.col("n_events")).alias("value_avg"),
+    )
+
+
+def _exists(path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    for _, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

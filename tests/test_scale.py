@@ -87,3 +87,23 @@ def test_orc_write_roundtrip(spark, tmp_path):
     back = spark.read.orc(dest.path)
     assert back.count() == orders.count()
     assert "o_orderstatus" in back.columns  # partition column recovered
+
+
+def test_partitioned_lake_prunes_partitions(spark, tmp_path):
+    """Dynamic partition layout: a month-partitioned lake table scanned
+    with a month predicate reads ONLY that partition (PartitionFilters
+    in the scan, not a post-scan filter)."""
+    from pipeline_server_spark.catalog import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "lake_orders")
+    orders.write.partitionBy("order_month").parquet(path)
+
+    lake = spark.read.parquet(path)
+    q = lake.where(F.col("order_month") == "1996-03").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_month" in plan
+    expected = orders.where(F.col("order_month") == "1996-03").count()
+    assert q.count() == expected

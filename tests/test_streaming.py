@@ -196,3 +196,63 @@ def test_cdc_stream_apply_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     result = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
     assert result == {1: ("A", 10.0), 3: ("c", 3.5)}
+
+
+def test_continuous_rollup_incremental_equals_batch(spark, tmp_path):
+    """Hypertable-style rollup: 3 incremental updates == one-shot
+    aggregation, bit-for-bit (additive decimal state)."""
+    from pipeline_server_spark.catalog import load_table
+    from pipeline_server_spark.operators.rollup import read_rollup, update_rollup
+    from pipeline_server_spark.streaming.windows import tumbling_event_stats
+
+    events = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "rollup")
+    cuts = [r["ts"] for r in events.select("ts").orderBy("ts").collect()]
+    c1, c2 = cuts[len(cuts) // 3], cuts[2 * len(cuts) // 3]
+
+    update_rollup(spark, events.filter(F.col("ts") <= c1), path, keys=["event_type"])
+    update_rollup(
+        spark, events.filter((F.col("ts") > c1) & (F.col("ts") <= c2)), path,
+        keys=["event_type"],
+    )
+    update_rollup(spark, events.filter(F.col("ts") > c2), path, keys=["event_type"])
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in read_rollup(spark, path, keys=["event_type"]).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in tumbling_event_stats(events, "1 hour").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_rollup_touches_only_overlapping_buckets(spark, tmp_path):
+    from pipeline_server_spark.catalog import load_table
+    from pipeline_server_spark.operators.rollup import update_rollup
+
+    events = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "rollup2")
+    update_rollup(spark, events, path, keys=["event_type"])
+    before = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(path).collect()
+    }
+    # a second batch entirely inside ONE bucket
+    one_bucket = events.orderBy("ts").limit(5)
+    update_rollup(spark, one_bucket, path, keys=["event_type"])
+    after = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(path).collect()
+    }
+    changed = {k for k in after if after[k] != before.get(k)}
+    touched_windows = {k[0] for k in changed}
+    batch_windows = {
+        r.window_start
+        for r in one_bucket.select(
+            F.window("ts", "1 hour").alias("w")
+        ).select(F.col("w.start").alias("window_start")).distinct().collect()
+    }
+    assert touched_windows <= batch_windows  # untouched buckets unchanged
+    assert sum(after.values()) == sum(before.values()) + 5
