@@ -66,3 +66,31 @@ def salted_agg_sum(
         .agg(F.sum("_v").alias("_partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
+def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+            file_format: str = "parquet") -> int:
+    """Small-file compaction (lakehouse maintenance): rewrite a prefix
+    into ~target-sized files. Small files are the classic death of
+    100 TB scans (one task + one open per file); this rewrites to
+    ceil(total_bytes / target) files via coalesce (no shuffle).
+    Returns the new file count."""
+    import math
+    import os as _os
+    import shutil
+    import tempfile
+
+    total = 0
+    for root, _, files in _os.walk(path):
+        for f in files:
+            if f.endswith((".parquet", ".orc")):
+                total += _os.path.getsize(_os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(file_format).load(path)
+    staging = tempfile.mkdtemp(prefix="psspark_compact_")
+    df.coalesce(n_files).write.mode("overwrite").format(file_format).save(staging)
+    spark.read.format(file_format).load(staging).coalesce(n_files).write.mode(
+        "overwrite"
+    ).format(file_format).save(path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_files

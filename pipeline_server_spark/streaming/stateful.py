@@ -1,0 +1,95 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no streaming state at all (SURVEY.md §2.8 U7); these
+are engine extensions using Spark's arbitrary-state API:
+
+- streaming_exact_dedup: cross-micro-batch exact deduplication — the
+  streaming twin of operators/dedup.exact_dedup_keep_first. State per
+  group = the set of 64-bit text-hashes already emitted; new rows whose
+  hash was seen in ANY earlier batch are dropped. Grouping by a hash
+  prefix shards the state across executors.
+- streaming_running_totals: per-key running count/sum maintained in
+  state, emitting one updated row per key per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUTPUT = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+DEDUP_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
+
+
+def _dedup_fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState):
+    seen = set(state.get[0]) if state.exists else set()
+    out = []
+    for pdf in batches:
+        for doc_id, text, h in zip(pdf["doc_id"], pdf["text"], pdf["_h"]):
+            if h not in seen:
+                seen.add(h)
+                out.append({"doc_id": doc_id, "text": text})
+    state.update((list(seen),))
+    yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+
+def streaming_exact_dedup(stream: DataFrame, shards: int = 32) -> DataFrame:
+    """Exactly-once-per-text emission across ALL micro-batches.
+
+    The text is hashed once (xxhash64); state is sharded over
+    ``shards`` groups by hash prefix so no executor holds the full seen
+    set — the state per shard is an O(#distinct/shards) long array.
+    (Production variant: RocksDB state store + state TTL.)"""
+    hashed = stream.withColumn("_h", F.xxhash64("text")).withColumn(
+        "_shard", F.pmod("_h", F.lit(shards))
+    )
+    return (
+        hashed.groupBy("_shard")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=DEDUP_OUTPUT,
+            stateStructType=DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+)
+
+
+def _totals_fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState):
+    n, s = (state.get if state.exists else (0, 0.0))
+    for pdf in batches:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame([{"user_id": key[0], "n_events": n, "value_sum": s}])
+
+
+def streaming_running_totals(stream: DataFrame) -> DataFrame:
+    """Per-user lifetime count/sum, updated every micro-batch."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=TOTALS_OUTPUT,
+        stateStructType=TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

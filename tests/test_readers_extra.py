@@ -94,3 +94,33 @@ def test_xml_validation():
         validate_xml("<doc><a></doc>")
     with pytest.raises(NotImplementedError):
         validate_xml("<doc/>", xsd="<xs:schema/>")
+
+
+def test_csv_custom_delimiter_and_quotes(spark, tmp_path):
+    p = tmp_path / "pipe.csv"
+    p.write_text('a|b\n1|"x|y"\n2|plain\n')
+    src = SourceConfig(file=FileAttributes(file_type="csv", delimiter="|"))
+    df = read_csv(spark, str(p), src)
+    rows = {r.a: r.b for r in df.collect()}
+    assert rows == {1: "x|y", 2: "plain"}  # quoted delimiter preserved
+
+
+def test_csv_multiline_quoted_field(spark, tmp_path):
+    p = tmp_path / "ml.csv"
+    p.write_text('a,b\n1,"line1\nline2"\n')
+    df = read_csv(spark, str(p), SourceConfig(file=FileAttributes(file_type="csv")))
+    assert df.count() == 1
+    assert "line2" in df.collect()[0].b
+
+
+def test_csv_trim_and_spark_read_options_passthrough(spark, tmp_path):
+    from pipeline_server_spark.pipeline.conform import trim_string_columns
+
+    p = tmp_path / "ws.csv"
+    p.write_text("a,b\n1,  padded  \n# comment line\n2,ok\n")
+    src = SourceConfig(
+        file=FileAttributes(file_type="csv", spark_read_options={"comment": "#"})
+    )
+    df = trim_string_columns(read_csv(spark, str(p), src))
+    rows = {r.a: r.b for r in df.collect()}
+    assert rows == {1: "padded", 2: "ok"}  # comment skipped, whitespace trimmed

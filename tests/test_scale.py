@@ -107,3 +107,50 @@ def test_partitioned_lake_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(order_month" in plan
     expected = orders.where(F.col("order_month") == "1996-03").count()
     assert q.count() == expected
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from pipeline_server_spark.operators.scale import compact
+    from pipeline_server_spark.catalog import load_table
+    import os
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "fragmented")
+    orders.repartition(64).write.parquet(path)  # 64 tiny files
+
+    def count_files(p):
+        return sum(1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet"))
+
+    assert count_files(path) == 64
+    n = compact(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert count_files(path) == n <= 4
+    assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Streaming events enriched with a static dimension table — the
+    stream-static join pattern (static side re-read per micro-batch)."""
+    from pipeline_server_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "esrc")
+    events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "event_type").groupBy("category").count()
+    q = (
+        enriched.writeStream.outputMode("complete").format("memory")
+        .queryName("enriched_out").option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.category: r["count"] for r in spark.sql("SELECT * FROM enriched_out").collect()}
+    want = {
+        r.category: r["count"]
+        for r in events.join(dim, "event_type").groupBy("category").count().collect()
+    }
+    assert got == want and len(got) == 4

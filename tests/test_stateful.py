@@ -1,0 +1,81 @@
+"""applyInPandasWithState operators: cross-batch dedup + running
+totals, driven through real multi-batch streaming queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.streaming.stateful import (
+    streaming_exact_dedup,
+    streaming_running_totals,
+)
+from tests.conftest import SF_SMALL
+
+
+def _drain(q):
+    q.awaitTermination(180)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(100)
+    src = tmp_path / "src"
+    src.mkdir()
+    # two overlapping file-batches; maxFilesPerTrigger=1 forces them
+    # into separate micro-batches of ONE streaming query, so the second
+    # batch's duplicates are dropped purely by cross-batch STATE
+    docs.where(F.col("doc_id") < 50).coalesce(1).write.parquet(str(src / "b1"))
+    docs.where(F.col("doc_id") >= 25).withColumn(
+        "doc_id", F.col("doc_id") + 1000  # same TEXT, different id
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        str(src / "*")
+    )
+    q = (
+        streaming_exact_dedup(stream, shards=8)
+        .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    emitted = {r.doc_id for r in rows}
+    # 100 distinct texts → exactly 100 emissions; the 25 overlapping
+    # texts in batch 2 (ids 1025-1049) must NOT re-emit
+    assert len(rows) == 100
+    assert not any(1025 <= d < 1050 for d in emitted)
+    assert {d for d in emitted if d < 1000} == set(range(50))
+    assert {d - 1000 for d in emitted if d >= 1000} == set(range(50, 100))
+
+
+def test_streaming_running_totals(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    src = tmp_path / "esrc"
+    src.mkdir()
+    events.write.parquet(str(src / "all"))
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "*"))
+    q = (
+        streaming_running_totals(stream)
+        .writeStream.outputMode("update").format("memory").queryName("totals_out")
+        .option("checkpointLocation", str(tmp_path / "eck"))
+        .trigger(availableNow=True).start()
+    )
+    _drain(q)
+    got = {
+        r.user_id: (r.n_events, round(r.value_sum, 6))
+        for r in spark.sql("SELECT * FROM totals_out").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # same keys; float sums compared to 1e-6 (pandas sum order differs)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
