@@ -137,3 +137,54 @@ def supplier_variety_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_size"))
     )
+
+
+@query(
+    "median_order_price",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders)
+    SELECT (MIN(o_totalprice) + MAX(o_totalprice)) / 2.0 AS median_price
+    FROM ranked WHERE rn IN ((n + 1) / 2, (n + 2) / 2)
+    """,
+)
+def median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median via explicit rank selection (upper median for even
+    counts: both engines evaluate (n+1)/2 with float division, so the
+    rank predicate picks the same row(s) in both) — engine-built-in
+    median()/quantile_cont interpolate with different float formulas
+    across engines and cannot hash-match."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == (F.col("n") + 1) / 2) | (F.col("rn") == (F.col("n") + 2) / 2)
+    )
+    return mid.agg(
+        ((F.min("o_totalprice") + F.max("o_totalprice")) / 2.0).alias("median_price")
+    )
+
+
+# Sketch quantiles are engine-specific by design — rows-only.
+@query("approx_price_quantiles")
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) — the at-scale
+    quantile path; no oracle because sketches differ across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("quantiles")
+    ).select(
+        F.col("quantiles")[0].alias("p25"),
+        F.col("quantiles")[1].alias("p50"),
+        F.col("quantiles")[2].alias("p75"),
+        F.col("quantiles")[3].alias("p95"),
+    )
