@@ -48,6 +48,22 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
                 paths: str | list[str]) -> RunResult:
     """Execute the full lifecycle; raises DataQualityError on DQ abort."""
     config = validate_config(config)
+
+    if config.source.file.file_type == "unstructured":
+        # S5: byte passthrough — no parse, no DQ, no transform
+        from pipeline_server_spark.pipeline.writers import copy_unstructured
+
+        copied = [
+            copy_unstructured(
+                p,
+                config.destination,
+                preserve_filename=config.source.file.preserve_filename,
+                file_extension=config.source.file.file_extension,
+            )
+            for p in ([paths] if isinstance(paths, str) else paths)
+        ]
+        return RunResult(config.name, len(copied), None, {"files": copied})
+
     raw = read_source(spark, paths, config)
     raw = lowercase_headers(raw)
     raw = trim_string_columns(raw, config.source.file.trim_columns)

@@ -121,6 +121,31 @@ def write_temp_csv(df: DataFrame, path: str, coalesce: int | None = 1) -> None:
     out.write.mode("overwrite").option("header", "false").csv(path)
 
 
+def copy_unstructured(
+    src_path: str,
+    dest: DestinationConfig,
+    preserve_filename: bool = False,
+    file_extension: str | None = None,
+    token: str | None = None,
+) -> str:
+    """S5 — unstructured passthrough: bytes copied to the destination
+    with the original name (preserveFilename) or a generated
+    `[token].[ext]` name (ObjectStoreLoader.scala:95-144). Returns the
+    destination file path."""
+    import uuid
+
+    assert dest.path is not None
+    os.makedirs(dest.path, exist_ok=True)
+    if preserve_filename:
+        name = os.path.basename(src_path)
+    else:
+        ext = (file_extension or os.path.splitext(src_path)[1].lstrip(".") or "bin")
+        name = f"{token or uuid.uuid4().hex}.{ext}"
+    target = os.path.join(dest.path, name)
+    shutil.copyfile(src_path, target)
+    return target
+
+
 def delete_destination(dest: DestinationConfig) -> None:
     """L6 — deleteBeforeWrite / truncate ≡ remove the prefix (no
     eventual-consistency sleeps needed — ObjectStoreLoader.scala:146-158)."""

@@ -91,9 +91,9 @@ def first_last_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH s AS (
       SELECT o_orderstatus,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sm,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))
-                      * CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS smsq,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sm,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))
+                      * CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS smsq,
              COUNT(*) AS n
       FROM orders GROUP BY o_orderstatus)
     SELECT o_orderstatus, n,
@@ -109,9 +109,13 @@ def order_price_spread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and still one aggregation pass."""
     o = load_table(spark, sf_dir, "orders")
     tp = dec("o_totalprice", 14, 2)
+    # decimal→STRING→double: the direct decimal→double conversion is
+    # correctly rounded in Spark but 1-ulp off in DuckDB once the
+    # unscaled value exceeds 2^53 (Σx² does at sf≥0.1); both engines
+    # parse decimal strings correctly rounded.
     s = o.groupBy("o_orderstatus").agg(
-        F.sum(tp).cast("double").alias("sm"),
-        F.sum(tp * tp).cast("double").alias("smsq"),
+        F.sum(tp).cast("string").cast("double").alias("sm"),
+        F.sum(tp * tp).cast("string").cast("double").alias("smsq"),
         F.count(F.lit(1)).alias("n"),
     )
     variance = (F.col("smsq") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)

@@ -464,3 +464,47 @@ def test_archive_to_lake_end_to_end(spark, tmp_path, orders_csv):
     )
     result = run_dataset(spark, config, files)
     assert result.rows_written == 1500  # duplicates collapsed
+
+
+def test_unstructured_passthrough_lifecycle(spark, tmp_path):
+    """S5: binary file → byte copy with preserved or generated name."""
+    from pipeline_server_spark.pipeline.writers import copy_unstructured
+
+    blob = tmp_path / "parkinglot.jpeg"
+    blob.write_bytes(b"\xff\xd8\xff" + b"img" * 50)
+    config = DatasetConfig(
+        name="images",
+        source=SourceConfig(
+            file=FileAttributes(file_type="unstructured", preserve_filename=True)
+        ),
+        destination=DestinationConfig(path=str(tmp_path / "media")),
+    )
+    result = run_dataset(spark, config, str(blob))
+    assert result.rows_written == 1
+    out = result.details["files"][0]
+    assert out.endswith("parkinglot.jpeg")
+    assert open(out, "rb").read() == blob.read_bytes()
+
+    # generated-name mode with forced extension
+    gen = copy_unstructured(
+        str(blob),
+        DestinationConfig(path=str(tmp_path / "media2")),
+        preserve_filename=False, file_extension="jpeg", token="tok123",
+    )
+    assert gen.endswith("tok123.jpeg")
+
+
+def test_write_temp_csv_headerless(spark, tmp_path):
+    """L13: headerless coalesced CSV for the data-retrieval API."""
+    import glob
+
+    from pipeline_server_spark.pipeline.writers import write_temp_csv
+
+    df = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    out = str(tmp_path / "temp_csv")
+    write_temp_csv(df, out)
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1  # coalesced
+    lines = open(files[0]).read().strip().splitlines()
+    assert len(lines) == 5
+    assert not lines[0].startswith("r_regionkey")  # headerless
