@@ -308,3 +308,35 @@ def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "hash_and_encoding_functions",
+    oracle="""
+    SELECT p_partkey,
+           MD5(p_name) AS name_md5,
+           SHA256(p_name) AS name_sha256,
+           TO_BASE64(ENCODE(p_name)) AS name_b64,
+           HEX(ENCODE(p_brand)) AS brand_hex,
+           ASCII(p_type) AS type_first_code,
+           CHR(65 + p_size % 26) AS size_letter
+    FROM part ORDER BY p_partkey
+    """,
+)
+def hash_and_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash + encoding scalar surface (md5/sha256/base64/
+    hex/ascii/chr) — content-addressing primitives used by the dedup
+    and fingerprint operators, exposed as queryable functions."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.md5(F.encode(F.col("p_name"), "UTF-8")).alias("name_md5"),
+            F.sha2(F.encode(F.col("p_name"), "UTF-8"), 256).alias("name_sha256"),
+            F.base64(F.encode(F.col("p_name"), "UTF-8")).alias("name_b64"),
+            F.hex(F.encode(F.col("p_brand"), "UTF-8")).alias("brand_hex"),
+            F.ascii(F.col("p_type")).alias("type_first_code"),
+            F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_letter"),
+        )
+        .orderBy("p_partkey")
+    )
