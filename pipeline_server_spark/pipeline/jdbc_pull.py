@@ -82,15 +82,33 @@ def _jdbc_frame(spark: SparkSession, cfg: PullConfig) -> DataFrame:
     return reader.option("dbtable", cfg.table or cfg.name).load()
 
 
+@dataclass
+class PullResult:
+    """A pulled batch plus an explicit commit handle: the watermark
+    only advances when the CALLER has durably consumed the batch
+    (at-least-once; auto-advancing before consumption would be
+    at-most-once and lose data on downstream failure)."""
+
+    batch: DataFrame
+    new_watermark: "object"  # datetime | None
+    _store: WatermarkStore
+    _name: str
+
+    def commit(self) -> None:
+        if self.new_watermark is not None:
+            self._store.put(self._name, self.new_watermark)
+
+
 def pull(
     spark: SparkSession,
     cfg: PullConfig,
     store: WatermarkStore,
     source: DataFrame | None = None,
-) -> DataFrame:
-    """One incremental pull. Returns the batch WITHOUT the timestamp
-    column (reference drops it, DataPuller.scala:100-103,153) and
-    advances the stored watermark to the batch max.
+) -> PullResult:
+    """One incremental pull. The batch excludes the timestamp column
+    (reference drops it, DataPuller.scala:100-103,153); call
+    ``result.commit()`` after successfully persisting the batch to
+    advance the watermark to the batch max.
 
     ``source`` substitutes any DataFrame for the JDBC scan (tests /
     files); the predicate + projection are identical either way, and
@@ -107,6 +125,5 @@ def pull(
     batch = batch.orderBy(ts)
 
     max_row = batch.agg(F.max(ts).alias("m")).first()
-    if max_row and max_row["m"] is not None:
-        store.put(cfg.name, max_row["m"])
-    return batch.drop(cfg.timestamp_field)
+    new_wm = max_row["m"] if max_row else None
+    return PullResult(batch.drop(cfg.timestamp_field), new_wm, store, cfg.name)

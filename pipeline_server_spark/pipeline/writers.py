@@ -60,13 +60,20 @@ def merge_upsert(
     spark: SparkSession,
     source: DataFrame,
     dest: DestinationConfig,
+    immutable_partitions: bool = True,
 ) -> None:
     """L3/L8/L10 — keyed upsert into a parquet destination path.
 
     Partition-pruned rewrite: when the destination is partitioned, only
     partitions present in the source batch are read+rewritten (dynamic
     partitionOverwriteMode), so merge cost scales with the batch's
-    partition footprint, not the table size."""
+    partition footprint, not the table size.
+
+    ``immutable_partitions`` declares that a key's partition-column
+    values never change across updates (the normal lakehouse contract,
+    e.g. date-partitioned facts). If an update CAN move a row between
+    partitions, pass False: pruning would leave the stale row behind in
+    its old partition, so the merge falls back to a full-table pass."""
     keys = list(dest.key_fields)
     assert keys, "merge requires key_fields"
     path = dest.path
@@ -79,6 +86,19 @@ def merge_upsert(
         return
 
     target = spark.read.format(dest.file_format).load(path)
+
+    if dest.partition_by and not immutable_partitions:
+        # partition values may change per key → stale rows could hide in
+        # unpruned partitions; merge over the full table, rewrite all
+        merged = merge_upsert_frames(target, source, keys)
+        staging = tempfile.mkdtemp(prefix="psspark_merge_")
+        (merged.write.mode("overwrite").partitionBy(*dest.partition_by)
+               .format(dest.file_format).save(staging))
+        out = spark.read.format(dest.file_format).load(staging)
+        (out.write.mode("overwrite").partitionBy(*dest.partition_by)
+            .format(dest.file_format).save(path))
+        shutil.rmtree(staging, ignore_errors=True)
+        return
 
     if dest.partition_by:
         # prune target read to partitions touched by this batch

@@ -121,21 +121,29 @@ def test_jdbc_pull_watermark_cycle(spark, tmp_path):
     cut1 = ordered[len(ordered) // 3]
     cut2 = ordered[2 * len(ordered) // 3]
 
-    b1 = pull(spark, cfg, store, source=events.filter(F.col("ts") <= cut1))
-    n1 = b1.count()
-    assert "ts" not in b1.columns  # watermark column dropped
+    r1 = pull(spark, cfg, store, source=events.filter(F.col("ts") <= cut1))
+    n1 = r1.batch.count()
+    assert "ts" not in r1.batch.columns  # watermark column dropped
+    assert store.get("events_pull") is None  # not yet committed
+    # an uncommitted pull re-delivers the same batch (at-least-once)
+    r1b = pull(spark, cfg, store, source=events.filter(F.col("ts") <= cut1))
+    assert r1b.batch.count() == n1
+    r1.commit()
     assert store.get("events_pull") is not None
 
-    b2 = pull(spark, cfg, store, source=events.filter(F.col("ts") <= cut2))
-    n2 = b2.count()
-    b3 = pull(spark, cfg, store, source=events)
-    n3 = b3.count()
+    r2 = pull(spark, cfg, store, source=events.filter(F.col("ts") <= cut2))
+    n2 = r2.batch.count()
+    r2.commit()
+    r3 = pull(spark, cfg, store, source=events)
+    n3 = r3.batch.count()
+    r3.commit()
     assert n1 + n2 + n3 == events.count()  # no overlap, no gaps
 
     # re-pull with nothing new → empty batch, watermark unchanged
     wm_before = store.get("events_pull")
-    b4 = pull(spark, cfg, store, source=events)
-    assert b4.count() == 0
+    r4 = pull(spark, cfg, store, source=events)
+    assert r4.batch.count() == 0
+    r4.commit()
     assert store.get("events_pull") == wm_before
 
 
@@ -157,6 +165,7 @@ def test_jdbc_pull_sql_override(spark):
             self.last = wm
 
     store = NoStore()
-    out = pull(None, cfg, store, source=events.select("event_id", "value", "ts"))
-    assert set(out.columns) == {"event_id", "value"}
+    res = pull(None, cfg, store, source=events.select("event_id", "value", "ts"))
+    assert set(res.batch.columns) == {"event_id", "value"}
+    res.commit()
     assert store.last is not None

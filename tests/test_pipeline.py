@@ -508,3 +508,28 @@ def test_write_temp_csv_headerless(spark, tmp_path):
     lines = open(files[0]).read().strip().splitlines()
     assert len(lines) == 5
     assert not lines[0].startswith("r_regionkey")  # headerless
+
+
+def test_merge_upsert_moving_partition_value(spark, tmp_path):
+    """An update that MOVES a row between partitions: pruned mode would
+    strand the stale row; immutable_partitions=False does a full pass."""
+    dest = DestinationConfig(
+        fields=ORDER_FIELDS, path=str(tmp_path / "mv"), write_mode="merge",
+        key_fields=("o_orderkey",), partition_by=("o_orderstatus",),
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        *[f.name for f in ORDER_FIELDS]
+    ).limit(200)
+    merge_upsert(spark, orders, dest)
+    moved = (
+        spark.read.parquet(dest.path)
+        .where(F.col("o_orderstatus") == "F").limit(10)
+        .withColumn("o_orderstatus", F.lit("O"))
+    )
+    moved_keys = [r.o_orderkey for r in moved.select("o_orderkey").collect()]
+    merge_upsert(spark, moved, dest, immutable_partitions=False)
+    result = spark.read.parquet(dest.path)
+    assert result.count() == 200  # no duplicated keys
+    got = result.where(F.col("o_orderkey").isin(moved_keys))
+    assert got.count() == 10
+    assert got.where(F.col("o_orderstatus") != "O").count() == 0
