@@ -340,3 +340,39 @@ def hash_and_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "returnflag_multiset_ops",
+    oracle="""
+    SELECT 'except_all' AS op, l_returnflag, COUNT(*) AS n FROM (
+      SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+      EXCEPT ALL
+      SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all', l_returnflag, COUNT(*) FROM (
+      SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+      INTERSECT ALL
+      SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O')
+    GROUP BY 2
+    ORDER BY op, l_returnflag
+    """,
+)
+def returnflag_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset (bag) semantics with
+    duplicate counting, completing the set-operation family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(F.col("l_linestatus") == "F").select("l_returnflag")
+    o = li.where(F.col("l_linestatus") == "O").select("l_returnflag")
+    ex = (
+        f.exceptAll(o).groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_returnflag", "n")
+    )
+    it = (
+        f.intersectAll(o).groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_returnflag", "n")
+    )
+    return ex.unionByName(it).orderBy("op", "l_returnflag")
