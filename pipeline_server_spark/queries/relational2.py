@@ -376,3 +376,36 @@ def returnflag_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "l_returnflag", "n")
     )
     return ex.unionByName(it).orderBy("op", "l_returnflag")
+
+
+@query(
+    "date_arithmetic_extras",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(DATE_DIFF('day', o.o_orderdate, l.l_shipdate) AS INT) AS days_to_ship,
+           LAST_DAY(o.o_orderdate) AS month_end,
+           CAST(DAYOFYEAR(l.l_shipdate) AS INT) AS ship_doy,
+           CAST(WEEKOFYEAR(l.l_shipdate) AS INT) AS ship_week
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_linenumber = 1 AND l.l_orderkey % 20 = 0
+    ORDER BY l.l_orderkey
+    """,
+)
+def date_arithmetic_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff/last_day/dayofyear/ISO-week — the shipping-latency
+    date-arithmetic surface over a fact-fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 20 == 0))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days_to_ship"),
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            F.dayofyear("l_shipdate").alias("ship_doy"),
+            F.weekofyear("l_shipdate").alias("ship_week"),
+        )
+        .orderBy("l_orderkey")
+    )

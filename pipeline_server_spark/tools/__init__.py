@@ -1,0 +1,1 @@
+"""Developer tools (plan dumps, diagnostics)."""
