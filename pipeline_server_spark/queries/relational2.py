@@ -409,3 +409,28 @@ def date_arithmetic_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "customer_segment_share",
+    oracle="""
+    WITH seg AS (SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1)
+    SELECT c_mktsegment, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+    FROM seg ORDER BY c_mktsegment
+    """,
+)
+def customer_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: per-segment share via an unpartitioned window
+    sum over the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    return (
+        seg.select(
+            "c_mktsegment",
+            "n",
+            (F.col("n").cast("double") / total.cast("double")).alias("share"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -157,3 +157,38 @@ def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F2.col("w.start").alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "hourly_top_event_type",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM hourly)
+    SELECT window_start, event_type, n FROM ranked WHERE rn = 1
+    ORDER BY window_start
+    """,
+)
+def hourly_top_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function-over-windowed-aggregate: the dominant event type
+    per hour (tumbling bucket agg → per-bucket top-1)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("window_start", "event_type", "n")
+        .orderBy("window_start")
+    )
