@@ -712,8 +712,8 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 50000) AS abs_centered,
            CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS rounded_markup,
-           FLOOR(l_quantity / 7) AS qty_bucket,
-           CEIL(l_extendedprice / 10000) AS price_band,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(CEIL(l_extendedprice / 10000) AS BIGINT) AS price_band,
            SQRT(l_quantity) AS qty_sqrt,
            MOD(CAST(l_orderkey AS BIGINT), 7) AS key_mod
     FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey

@@ -53,6 +53,20 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return problems
+    # dtype-strict: the driver's value-hash distinguishes 6 from 6.0, so an
+    # int-vs-float column pair must fail here too (it masked a real driver
+    # hash-FAIL in round 1 when we coerced before comparing).
+    for c in sorted(spark_pdf.columns):
+        sa, sb = spark_pdf[c], oracle_pdf[c]
+        int_a, int_b = pd.api.types.is_integer_dtype(sa), pd.api.types.is_integer_dtype(sb)
+        flt_a, flt_b = pd.api.types.is_float_dtype(sa), pd.api.types.is_float_dtype(sb)
+        if (int_a and flt_b) or (flt_a and int_b):
+            problems.append(
+                f"column {c}: dtype class mismatch spark={sa.dtype} oracle={sb.dtype} "
+                "(int vs float hashes differently in the driver)"
+            )
+    if problems:
+        return problems
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     for c in a.columns:
         sa, sb = a[c], b[c]

@@ -26,6 +26,20 @@ def test_every_oracle_has_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_compare_is_dtype_strict():
+    """Regression: round-1 harness coerced Int64/float64 before comparing,
+    masking the math_functions driver hash-FAIL (Spark BIGINT 6 vs DuckDB
+    DOUBLE 6.0). The compare must reject int-vs-float column pairs."""
+    import pandas as pd
+
+    from tests.oracle_harness import compare_frames
+
+    a = pd.DataFrame({"qty_bucket": pd.Series([6, 5], dtype="int64")})
+    b = pd.DataFrame({"qty_bucket": pd.Series([6.0, 5.0], dtype="float64")})
+    problems = compare_frames(a, b)
+    assert problems and "dtype class mismatch" in problems[0]
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
