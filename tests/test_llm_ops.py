@@ -81,6 +81,43 @@ def test_lsh_topk_structure_and_recall(spark, emb):
     assert recall > 0.05, f"recall collapsed: {recall}"
 
 
+def test_embedding_lsh_dedup_matches_exact_kernel(spark, emb):
+    """The scale-path (LSH-bucketed) embedding dedup must find exactly
+    the pairs the exact O(n²) kernel finds on the planted corpus — the
+    contract that lets the driver's SQL oracle stay the exact join."""
+    from pipeline_server_spark.operators.dedup import embedding_near_dup_pairs
+    from pipeline_server_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    aug = base.unionByName(
+        base.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.01 + 0.001).alias("embedding"),
+        )
+    )
+    exact = {(r.vec_a, r.vec_b) for r in
+             embedding_near_dup_pairs(aug, 0.99, dim=64).select("vec_a", "vec_b").collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in
+           embedding_near_dup_pairs_lsh(aug, 0.99, tables=4, planes=8)
+           .select("vec_a", "vec_b").collect()}
+    assert exact == lsh
+    assert len(exact) == 50  # the planted copies
+
+
+def test_multitable_lsh_topk_recall(spark, emb):
+    """8 tables × 4 planes must hold per-query recall@5 ≥ 0.4 on the
+    query contract used by the registry (vec_id < 10) — the tighter
+    bound behind the oracle's ≥ 0.2 gate."""
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.nbr_id) for r in brute_force_topk(emb, q, k=5, dim=64).collect()}
+    approx = {(r.query_id, r.nbr_id)
+              for r in lsh_topk(emb, q, k=5, planes=4, tables=8, dim=64).collect()}
+    hits_by_q: dict[int, int] = {}
+    for qid, nid in exact:
+        hits_by_q[qid] = hits_by_q.get(qid, 0) + ((qid, nid) in approx)
+    assert min(hits_by_q.values()) >= 2, hits_by_q
+
+
 def test_fingerprints_deterministic_and_discriminative(spark, docs):
     fp1 = doc_fingerprints(docs, k=5, window=4)
     a = {(r.doc_id, r.fingerprint) for r in fp1.collect()}
