@@ -174,17 +174,59 @@ def median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sketch quantiles are engine-specific by design — rows-only.
-@query("approx_price_quantiles")
+@query(
+    "approx_price_quantiles",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders),
+    r AS (SELECT o_totalprice AS v,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn FROM orders)
+    SELECT
+      MAX(CASE WHEN rn = CAST(FLOOR(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p25_exact,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.50 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p50_exact,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.75 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p75_exact,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p95_exact,
+      TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+    FROM r, n
+    """,
+)
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna sketch) — the at-scale
-    quantile path; no oracle because sketches differ across engines."""
+    quantile path. Sketch outputs are engine-specific, so the query
+    emits a deterministic verification: the exact rank-selected
+    quantiles (value at 1-indexed rank ⌊q·(n-1)⌋+1 — an element of the
+    data, bit-identical across engines) plus a bool per quantile
+    asserting the sketch value's empirical rank is within 1% of q
+    (GK accuracy 10000 ⇒ rank error ≤ n/10000; 100× margin).
+
+    The exact selection sorts one column globally — the verification
+    path, not the production path (that is percentile_approx itself,
+    a single partial-aggregable sketch with no shuffle of rows)."""
+    from pyspark.sql import Window as W
+
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("quantiles")
-    ).select(
-        F.col("quantiles")[0].alias("p25"),
-        F.col("quantiles")[1].alias("p50"),
-        F.col("quantiles")[2].alias("p75"),
-        F.col("quantiles")[3].alias("p95"),
+    qs = [0.25, 0.50, 0.75, 0.95]
+    tags = ["p25", "p50", "p75", "p95"]
+    approx = o.agg(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("_qv"),
+        F.count(F.lit(1)).alias("_n"),
     )
+    w = W.orderBy("o_totalprice")
+    ranked = o.select("o_totalprice", F.row_number().over(w).alias("_rn"))
+    joined = ranked.crossJoin(F.broadcast(approx))  # 1-row scalar side
+    rank_of = lambda q: F.floor(F.lit(q) * (F.col("_n") - 1)).cast("long") + 1
+    aggs = []
+    for i, (q, t) in enumerate(zip(qs, tags)):
+        aggs.append(
+            F.max(F.when(F.col("_rn") == rank_of(q), F.col("o_totalprice"))).alias(f"{t}_exact")
+        )
+        # empirical rank of the sketch value vs target rank q·n
+        aggs.append(
+            (
+                F.abs(
+                    F.sum((F.col("o_totalprice") <= F.col("_qv")[i]).cast("long"))
+                    - F.lit(q) * F.max("_n")
+                )
+                <= F.lit(0.01) * F.max("_n")
+            ).alias(f"{t}_ok")
+        )
+    return joined.agg(*aggs)
