@@ -53,6 +53,8 @@ class FileAttributes:
     spark_read_options: dict[str, str] = field(default_factory=dict)
     # xls: worksheet index (ExcelToCsvUtil.scala:36-139)
     worksheet: int = 0
+    # xls: temp-CSV delimiter, pipe when unset (ExcelToCsvUtil.scala:131-137)
+    temp_csv_file_delimiter: str | None = None
     # unstructured: preserve original name / forced extension
     file_extension: str | None = None
     preserve_filename: bool = False

@@ -81,30 +81,53 @@ def parse_json_column(df: DataFrame, column: str = "_json", schema=None) -> Data
 
 
 # --------------------------------------------------------------------------
-# S4 — Excel (optional dependency; stubbed when pandas can't read xlsx)
+# S4 — Excel (stdlib xlsx parser, no external engine)
 # --------------------------------------------------------------------------
 
 def read_excel(spark: SparkSession, path: str, source: SourceConfig,
                parity_mode: bool = False) -> DataFrame:
-    """ExcelToCsvUtil.scala:36-139 semantics: pick worksheet, evaluate
-    formulas (pandas does), pad ragged rows, then treat as tabular.
-    The container ships no xlsx engine — gated behind an import-try."""
-    try:
-        import pandas as pd
+    """ExcelToCsvUtil.scala:36-139 semantics: pick the worksheet by
+    index, take cell display values (cached formula results, POI
+    'General' number formatting), pad ragged/missing rows to the max
+    width, write a pipe-delimited temp CSV, and read it back with
+    header=true (+ inferSchema when no schema is declared) — the same
+    Excel→CSV→DataFrame route the reference takes, with the POI
+    workbook walk replaced by a stdlib zip+XML parse (xlsx.py).
 
-        pdf = pd.read_excel(path, sheet_name=source.file.worksheet)  # needs openpyxl
-    except ImportError as e:  # pragma: no cover - env without excel engine
+    .xls (BIFF binary) is not parseable with stdlib — xlsx only."""
+    if not path.lower().endswith(".xlsx"):
         raise NotImplementedError(
-            "Excel reading requires openpyxl/xlrd (not in this container); "
-            "install one or convert to CSV upstream"
-        ) from e
-    pdf.columns = [str(c) for c in pdf.columns]
+            "only .xlsx is supported by the stdlib parser; convert legacy .xls upstream"
+        )
+    from pipeline_server_spark.pipeline.xlsx import parse_xlsx
+
+    rows = parse_xlsx(path, worksheet=source.file.worksheet)
+    delimiter = source.file.temp_csv_file_delimiter or "|"
+    tmpdir = tempfile.mkdtemp(prefix="exceltocsv_")
+    tmp = os.path.join(tmpdir, "sheet.csv")
+
+    def _escape(cell: str) -> str:
+        # StringEscapeUtils.escapeCsv: quote when the cell contains the
+        # delimiter, a quote, or a newline; double embedded quotes
+        if any(ch in cell for ch in (delimiter, '"', "\n", "\r")):
+            return '"' + cell.replace('"', '""') + '"'
+        return cell
+
+    with open(tmp, "w", encoding="utf-8") as f:
+        for row in rows:
+            f.write(delimiter.join(_escape(c) for c in row) + "\n")
+
+    reader = (
+        spark.read.option("header", "true")
+        .option("sep", delimiter)
+        .option("escape", '"')
+    )
     if source.fields:
-        sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+        sdf = reader.schema(to_struct_type(source.fields, parity_mode)).csv(tmp)
         from pipeline_server_spark.pipeline.conform import conform_to_schema, lowercase_headers
 
         return conform_to_schema(lowercase_headers(sdf), source.fields, parity_mode)
-    return spark.createDataFrame(pdf)
+    return reader.option("inferSchema", "true").option("samplingRatio", "1.0").csv(tmp)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""Stdlib XLSX parser (zipfile + xml.etree) — no openpyxl required.
+
+XLSX is a zip of XML parts; this reads the parts POI's DataFormatter
+path touches (reference ExcelToCsvUtil.scala:36-139):
+
+- worksheet selected by index, in workbook.xml declaration order
+- sharedStrings.xml resolved for t="s" cells
+- formula cells yield their CACHED value (<v> written by the producing
+  application) — parity with POI's evaluator for every workbook saved
+  by a real spreadsheet app, which stores cached results
+- null/missing cells → "" and missing rows → empty lines, matching the
+  reference's null-row/null-cell handling
+- every row padded to the sheet's max width (ragged-row padding)
+
+Number formatting follows POI DataFormatter's "General" format:
+integral floats print without the trailing ".0" (123.0 → "123").
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+_CELL_REF_RE = re.compile(r"([A-Z]+)([0-9]+)")
+
+
+def _col_index(ref: str) -> int:
+    """'A'→0, 'Z'→25, 'AA'→26 …"""
+    m = _CELL_REF_RE.match(ref)
+    col = m.group(1) if m else ref
+    i = 0
+    for ch in col:
+        i = i * 26 + (ord(ch) - ord("A") + 1)
+    return i - 1
+
+
+def _format_general(raw: str) -> str:
+    """POI DataFormatter 'General': drop the trailing .0 on integral
+    numbers, keep everything else as stored."""
+    try:
+        f = float(raw)
+    except ValueError:
+        return raw
+    if f == int(f) and "e" not in raw.lower() and abs(f) < 1e15:
+        return str(int(f))
+    return raw
+
+
+def _shared_strings(z: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in z.namelist():
+        return []
+    root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    out = []
+    for si in root.findall(f"{_NS}si"):
+        # plain <t> or rich-text runs <r><t>…</t></r> — concatenate
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+def _sheet_part(z: zipfile.ZipFile, worksheet: int) -> str:
+    """Resolve worksheet index → zip part name via workbook.xml +
+    its .rels (sheet order is the workbook declaration order, the same
+    order POI's getSheetAt uses)."""
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    sheets = wb.find(f"{_NS}sheets")
+    decls = list(sheets) if sheets is not None else []
+    if worksheet >= len(decls):
+        raise IndexError(f"worksheet {worksheet} out of range ({len(decls)} sheets)")
+    rid = decls[worksheet].get(f"{_REL_NS}id")
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    for rel in rels.iter(f"{_PKG_REL_NS}Relationship"):
+        if rel.get("Id") == rid:
+            target = rel.get("Target")
+            return target if target.startswith("xl/") else f"xl/{target}"
+    # producers that omit rels: fall back to conventional naming
+    return f"xl/worksheets/sheet{worksheet + 1}.xml"
+
+
+def _cell_value(c: ET.Element, shared: list[str]) -> str:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(f"{_NS}is")
+        return "".join(x.text or "" for x in is_el.iter(f"{_NS}t")) if is_el is not None else ""
+    v = c.find(f"{_NS}v")
+    raw = v.text if v is not None and v.text is not None else ""
+    if t == "s":
+        return shared[int(raw)] if raw != "" else ""
+    if t == "b":
+        return "TRUE" if raw == "1" else "FALSE"
+    if t in ("str", "e"):  # cached formula string / error literal
+        return raw
+    return _format_general(raw)  # numeric (incl. cached numeric formulas)
+
+
+def parse_xlsx(path: str, worksheet: int = 0) -> list[list[str]]:
+    """Return the sheet as rows of strings, padded to uniform width —
+    the exact row/cell semantics of the reference's Excel→CSV pass."""
+    with zipfile.ZipFile(path) as z:
+        shared = _shared_strings(z)
+        root = ET.fromstring(z.read(_sheet_part(z, worksheet)))
+        data = root.find(f"{_NS}sheetData")
+        rows_by_idx: dict[int, list[str]] = {}
+        max_row = -1
+        max_width = 0
+        for row in data.iter(f"{_NS}row") if data is not None else []:
+            r_idx = int(row.get("r", len(rows_by_idx) + 1)) - 1
+            cells: list[str] = []
+            next_col = 0
+            for c in row.iter(f"{_NS}c"):
+                ref = c.get("r")
+                col = _col_index(ref) if ref else next_col
+                while len(cells) < col:  # gap cells → ""
+                    cells.append("")
+                cells.append(_cell_value(c, shared))
+                next_col = col + 1
+            rows_by_idx[r_idx] = cells
+            max_row = max(max_row, r_idx)
+            max_width = max(max_width, len(cells))
+    if max_row < 0:
+        raise ValueError(f"worksheet {worksheet} contains no data: {path}")
+    out = []
+    for i in range(max_row + 1):
+        cells = rows_by_idx.get(i, [])  # missing row → empty line
+        out.append(cells + [""] * (max_width - len(cells)))
+    return out

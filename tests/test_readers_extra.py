@@ -67,6 +67,113 @@ def test_excel_gated(spark, tmp_path):
         read_excel(spark, str(fake), SourceConfig(file=FileAttributes(file_type="xls")))
 
 
+_XLSX_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+
+_XLSX_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_XLSX_WB = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="Data" sheetId="1" r:id="rId1"/><sheet name="Other" sheetId="2" r:id="rId2"/></sheets>
+</workbook>"""
+
+_XLSX_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+
+_XLSX_SST = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+<si><t>name</t></si><si><t>qty</t></si><si><t>note</t></si><si><t>wid|get</t></si>
+</sst>"""
+
+# Sheet 1: header via shared strings; row 2 has a cached formula (C2),
+# a float and a shared string with the delimiter in it; row 3 is
+# MISSING (gap → empty line); row 4 is ragged (A only) + a boolean.
+_XLSX_SHEET1 = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>42.0</v></c><c r="C2"><f>B2*2</f><v>84</v></c></row>
+<row r="4"><c r="A4" t="inlineStr"><is><t>solo</t></is></c><c r="C4" t="b"><v>1</v></c></row>
+<row r="5"><c r="A5" t="str"><f>CONCAT("a","b")</f><v>ab</v></c><c r="B5"><v>1.5</v></c><c r="C5" t="s"><v>2</v></c></row>
+</sheetData></worksheet>"""
+
+_XLSX_SHEET2 = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>
+<row r="2"><c r="A2"><v>7</v></c></row>
+</sheetData></worksheet>"""
+
+
+def _write_xlsx(path):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _XLSX_CT)
+        z.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        z.writestr("xl/workbook.xml", _XLSX_WB)
+        z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        z.writestr("xl/sharedStrings.xml", _XLSX_SST)
+        z.writestr("xl/worksheets/sheet1.xml", _XLSX_SHEET1)
+        z.writestr("xl/worksheets/sheet2.xml", _XLSX_SHEET2)
+
+
+def test_excel_parse_cells_padding_and_gaps(tmp_path):
+    """Cell semantics vs the reference walk: shared strings, cached
+    formula values, General number format (42.0→42), inline strings,
+    booleans, gap cells, missing rows, ragged-row padding."""
+    from pipeline_server_spark.pipeline.xlsx import parse_xlsx
+
+    p = tmp_path / "wb.xlsx"
+    _write_xlsx(str(p))
+    rows = parse_xlsx(str(p), worksheet=0)
+    assert rows == [
+        ["name", "qty", "note"],
+        ["wid|get", "42", "84"],
+        ["", "", ""],              # missing row 3 → empty padded line
+        ["solo", "", "TRUE"],      # gap at B4; ragged → padded
+        ["ab", "1.5", "note"],     # cached string formula + float kept
+    ]
+    assert parse_xlsx(str(p), worksheet=1) == [["k"], ["7"]]
+
+
+def test_excel_reads_like_csv_oracle(spark, tmp_path):
+    """read_excel must equal the reference's Excel→temp-CSV→inferSchema
+    route: same frame as reading the equivalent pipe-CSV directly."""
+    p = tmp_path / "wb.xlsx"
+    _write_xlsx(str(p))
+    df = read_excel(spark, str(p), SourceConfig(file=FileAttributes(file_type="xls")))
+    oracle_csv = tmp_path / "oracle.csv"
+    oracle_csv.write_text(
+        'name|qty|note\n"wid|get"|42|84\n||\nsolo||TRUE\nab|1.5|note\n'
+    )
+    odf = (
+        spark.read.option("header", "true").option("sep", "|").option("escape", '"')
+        .option("inferSchema", "true").csv(str(oracle_csv))
+    )
+    assert df.schema == odf.schema
+    assert sorted(map(tuple, df.collect()), key=repr) == sorted(
+        map(tuple, odf.collect()), key=repr
+    )
+    # worksheet selection by index
+    df2 = read_excel(
+        spark, str(p),
+        SourceConfig(file=FileAttributes(file_type="xls", worksheet=1)),
+    )
+    assert df2.columns == ["k"] and [r.k for r in df2.collect()] == [7]
+
+
 def test_json_schema_validation():
     schema = {
         "type": "object",
