@@ -82,9 +82,10 @@ def validate_json(payload: str, schema: dict | str) -> None:
 
 
 def validate_xml(payload: str, xsd: str | None = None) -> None:
-    """XSD validation with ``xmlschema`` when importable; without it,
-    only well-formedness is checked and demanding a real XSD check
-    raises NotImplementedError (no silent pass)."""
+    """XSD validation (SchemaValidationUtil.scala:44-59): the full
+    ``xmlschema`` package when importable, else the built-in subset
+    validator (element/sequence/simple types/min-maxOccurs/attributes
+    — xsd.py). Well-formedness alone when no XSD is given."""
     import xml.etree.ElementTree as ET
 
     try:
@@ -95,10 +96,11 @@ def validate_xml(payload: str, xsd: str | None = None) -> None:
         return
     try:
         import xmlschema  # type: ignore
-    except ImportError as e:
-        raise NotImplementedError(
-            "XSD validation requires the xmlschema package (not in this container)"
-        ) from e
+    except ImportError:
+        from pipeline_server_spark.pipeline.xsd import validate_xml_against_xsd
+
+        validate_xml_against_xsd(payload, xsd)
+        return
     s = xmlschema.XMLSchema(xsd)
     if not s.is_valid(payload):
         raise SchemaValidationError("XML does not conform to XSD")

@@ -1,0 +1,171 @@
+"""Minimal XSD (XML Schema) subset validator — stdlib only.
+
+The reference validates inbound XML payloads against an XSD with
+javax.xml.validation (SchemaValidationUtil.scala:44-59). This covers
+the subset its dataset configs exercise:
+
+- global ``xs:element`` declarations (document root must match one)
+- ``xs:complexType`` (global named or inline) containing ``xs:sequence``
+  of child elements with ``minOccurs`` / ``maxOccurs`` (incl.
+  ``unbounded``) — children must appear in sequence order
+- built-in simple types for leaf content: string, int/integer/long/
+  short/byte, decimal/double/float, boolean, date, dateTime
+- ``xs:attribute`` with ``use="required"``
+
+Namespace prefixes on the *schema* are handled by ElementTree's
+Clark-notation expansion; tags in the *instance* document are matched
+by local name (the reference's payloads are unqualified).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+from pipeline_server_spark.pipeline.schema_validation import SchemaValidationError
+
+_XS = "{http://www.w3.org/2001/XMLSchema}"
+
+_SIMPLE_CHECKS = {
+    "string": lambda s: True,
+    "int": lambda s: re.fullmatch(r"[+-]?\d+", s) is not None,
+    "integer": lambda s: re.fullmatch(r"[+-]?\d+", s) is not None,
+    "long": lambda s: re.fullmatch(r"[+-]?\d+", s) is not None,
+    "short": lambda s: re.fullmatch(r"[+-]?\d+", s) is not None,
+    "byte": lambda s: re.fullmatch(r"[+-]?\d+", s) is not None,
+    "decimal": lambda s: re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)", s) is not None,
+    "double": lambda s: _is_float(s),
+    "float": lambda s: _is_float(s),
+    "boolean": lambda s: s in ("true", "false", "1", "0"),
+    "date": lambda s: re.fullmatch(r"\d{4}-\d{2}-\d{2}", s) is not None,
+    "dateTime": lambda s: re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?", s
+    ) is not None,
+}
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _occurs(el: ET.Element) -> tuple[int, float]:
+    lo = int(el.get("minOccurs", "1"))
+    hi_raw = el.get("maxOccurs", "1")
+    return lo, float("inf") if hi_raw == "unbounded" else int(hi_raw)
+
+
+class XsdSchema:
+    """Parsed schema: global elements + named complex types."""
+
+    def __init__(self, xsd: str):
+        try:
+            root = ET.fromstring(xsd)
+        except ET.ParseError as e:
+            raise SchemaValidationError(f"XSD is not well-formed XML: {e}") from e
+        if _local(root.tag) != "schema":
+            raise SchemaValidationError("XSD root element must be xs:schema")
+        self.elements: dict[str, ET.Element] = {}
+        self.complex_types: dict[str, ET.Element] = {}
+        for child in root:
+            if child.tag == f"{_XS}element" and child.get("name"):
+                self.elements[child.get("name")] = child
+            elif child.tag == f"{_XS}complexType" and child.get("name"):
+                self.complex_types[child.get("name")] = child
+
+    # -- resolution ------------------------------------------------------
+    def _resolve_type(self, decl: ET.Element) -> tuple[str | None, ET.Element | None]:
+        """→ (simple type name, None) or (None, complexType element)."""
+        t = decl.get("type")
+        if t is not None:
+            name = t.split(":", 1)[-1]
+            if name in _SIMPLE_CHECKS:
+                return name, None
+            if name in self.complex_types:
+                return None, self.complex_types[name]
+            raise SchemaValidationError(f"unknown type {t!r} in XSD")
+        inline = decl.find(f"{_XS}complexType")
+        if inline is not None:
+            return None, inline
+        return "string", None  # untyped element defaults to string
+
+    # -- validation ------------------------------------------------------
+    def validate(self, doc: ET.Element) -> list[str]:
+        errors: list[str] = []
+        name = _local(doc.tag)
+        decl = self.elements.get(name)
+        if decl is None:
+            return [f"root element {name!r} is not declared in the schema"]
+        self._validate_element(doc, decl, name, errors)
+        return errors
+
+    def _validate_element(self, node: ET.Element, decl: ET.Element,
+                          path: str, errors: list[str]) -> None:
+        simple, ctype = self._resolve_type(decl)
+        if simple is not None:
+            if len(node) > 0:
+                errors.append(f"{path}: expected simple content ({simple}), found child elements")
+            elif not _SIMPLE_CHECKS[simple]((node.text or "").strip()):
+                errors.append(
+                    f"{path}: value {(node.text or '').strip()!r} is not a valid xs:{simple}"
+                )
+            return
+        # attributes
+        declared_attrs = {}
+        # findall = direct children only (iter() would descend into
+        # nested inline complexTypes and claim their attributes)
+        for attr in ctype.findall(f"{_XS}attribute"):
+            declared_attrs[attr.get("name")] = attr
+            if attr.get("use") == "required" and attr.get("name") not in node.attrib:
+                errors.append(f"{path}: missing required attribute {attr.get('name')!r}")
+        for a in node.attrib:
+            if a not in declared_attrs:
+                errors.append(f"{path}: undeclared attribute {a!r}")
+        seq = ctype.find(f"{_XS}sequence")
+        if seq is None:
+            if len(node) > 0:
+                errors.append(f"{path}: element has children but its type declares none")
+            return
+        particles = [p for p in seq if p.tag == f"{_XS}element"]
+        children = list(node)
+        i = 0  # cursor into children
+        for p in particles:
+            pname = p.get("name") or (p.get("ref") or "").split(":", 1)[-1]
+            pdecl = self.elements.get(pname, p) if p.get("ref") else p
+            lo, hi = _occurs(p)
+            count = 0
+            while i < len(children) and _local(children[i].tag) == pname and count < hi:
+                self._validate_element(children[i], pdecl, f"{path}/{pname}[{count}]", errors)
+                i += 1
+                count += 1
+            if count < lo:
+                errors.append(
+                    f"{path}: element {pname!r} occurs {count} time(s), minOccurs={lo}"
+                )
+        if i < len(children):
+            errors.append(
+                f"{path}: unexpected element {_local(children[i].tag)!r} "
+                "(out of sequence order or undeclared)"
+            )
+
+
+def validate_xml_against_xsd(payload: str, xsd: str) -> None:
+    """Validate an XML payload against the XSD subset; raises
+    SchemaValidationError with every violation (parity with the
+    reference's SAXException → PipelineException surface)."""
+    try:
+        doc = ET.fromstring(payload)
+    except ET.ParseError as e:
+        raise SchemaValidationError(f"payload is not well-formed XML: {e}") from e
+    errors = XsdSchema(xsd).validate(doc)
+    if errors:
+        raise SchemaValidationError(
+            "The XML data did not pass XML Schema validation: " + "; ".join(errors)
+        )

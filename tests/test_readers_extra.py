@@ -199,8 +199,72 @@ def test_xml_validation():
     validate_xml("<doc><a>1</a></doc>")
     with pytest.raises(SchemaValidationError, match="well-formed"):
         validate_xml("<doc><a></doc>")
-    with pytest.raises(NotImplementedError):
-        validate_xml("<doc/>", xsd="<xs:schema/>")
+
+
+_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="order" type="OrderType"/>
+  <xs:complexType name="OrderType">
+    <xs:sequence>
+      <xs:element name="sku" type="xs:string"/>
+      <xs:element name="qty" type="xs:int"/>
+      <xs:element name="price" type="xs:decimal" minOccurs="0"/>
+      <xs:element name="tag" type="xs:string" minOccurs="0" maxOccurs="unbounded"/>
+      <xs:element name="ship" minOccurs="0">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:element name="when" type="xs:date"/>
+          </xs:sequence>
+          <xs:attribute name="method" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:sequence>
+  </xs:complexType>
+</xs:schema>"""
+
+
+def test_xsd_subset_accepts_valid_documents():
+    validate_xml("<order><sku>A-1</sku><qty>3</qty></order>", xsd=_XSD)
+    validate_xml(
+        "<order><sku>A-1</sku><qty>3</qty><price>9.99</price>"
+        "<tag>x</tag><tag>y</tag><tag>z</tag>"
+        '<ship method="air"><when>2024-06-01</when></ship></order>',
+        xsd=_XSD,
+    )
+
+
+@pytest.mark.parametrize(
+    "doc,msg",
+    [
+        ("<invoice><sku>A</sku><qty>1</qty></invoice>", "not declared"),
+        ("<order><qty>1</qty></order>", "minOccurs"),  # missing required sku
+        ("<order><qty>1</qty><sku>A</sku></order>", "sequence order|minOccurs"),
+        ("<order><sku>A</sku><qty>x</qty></order>", "xs:int"),
+        ("<order><sku>A</sku><qty>1</qty><bogus/></order>", "unexpected element"),
+        (
+            "<order><sku>A</sku><qty>1</qty><ship><when>2024-06-01</when></ship></order>",
+            "required attribute",
+        ),
+        (
+            '<order><sku>A</sku><qty>1</qty><ship method="air"><when>soon</when></ship></order>',
+            "xs:date",
+        ),
+    ],
+)
+def test_xsd_subset_rejects(doc, msg):
+    with pytest.raises(SchemaValidationError, match=msg):
+        validate_xml(doc, xsd=_XSD)
+
+
+def test_xsd_maxoccurs_enforced():
+    xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:element name="r"><xs:complexType><xs:sequence>
+        <xs:element name="a" type="xs:int" maxOccurs="2"/>
+      </xs:sequence></xs:complexType></xs:element>
+    </xs:schema>"""
+    validate_xml("<r><a>1</a><a>2</a></r>", xsd=xsd)
+    with pytest.raises(SchemaValidationError, match="unexpected element"):
+        validate_xml("<r><a>1</a><a>2</a><a>3</a></r>", xsd=xsd)
 
 
 def test_csv_custom_delimiter_and_quotes(spark, tmp_path):
