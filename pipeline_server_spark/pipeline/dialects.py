@@ -1,0 +1,196 @@
+"""Warehouse dialect SQL emitters (L7/L9/L11/L12) — pure string
+generation, no connections.
+
+The reference drives Redshift / Postgres / Snowflake with hand-built
+SQL: CREATE TABLE with per-dialect type rewrites, COPY ingestion, and
+keyed upsert (Redshift delete+insert transaction, Snowflake MERGE
+INTO). Load *semantics* in this repo run through conform + the
+join-based merge writer; these emitters reproduce the dialect DDL/DML
+strings so a user pointing at a real warehouse gets the same
+statements the reference would issue.
+
+Parity sources:
+- RedshiftLoader.scala:123-230 (COPY, delete+insert merge, DDL rewrites)
+- PostgresLoader.scala:88-164  (COPY FROM STDIN, DDL rewrites)
+- SnowflakeLoader.scala:210-369 (COPY INTO / MERGE INTO, DDL rewrites)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pipeline_server_spark.pipeline.config import SchemaField
+
+# ---------------------------------------------------------------------------
+# type rewrite tables (reference §1.2)
+# ---------------------------------------------------------------------------
+
+_REDSHIFT_TYPES = {
+    "tinyint": "int2",
+    "smallint": "int",
+    "float": "float4",
+    "double": "float8",
+    "string": "text",
+}
+
+_POSTGRES_TYPES = {
+    "tinyint": "int2",
+    "smallint": "int2",
+    "float": "float4",
+    "double": "float8",
+    "string": "text",
+}
+
+_SEMI_STRUCTURED = ("_json", "_xml")
+
+
+def _rewrite(field: SchemaField, table: dict[str, str],
+             json_type: str, xml_type: str) -> str:
+    name = field.name.lower()
+    if name == "_json":
+        return json_type
+    if name == "_xml":
+        return xml_type
+    return table.get(field.type.lower(), field.type)
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE
+# ---------------------------------------------------------------------------
+
+def redshift_create_table(db: str, schema: str, table: str,
+                          fields: Sequence[SchemaField],
+                          key_fields: Sequence[str] | None = None) -> str:
+    """RedshiftLoader.scala:186-230 — quoted column names, _json/_xml
+    → SUPER, tinyint→int2, smallint→int, float→float4, double→float8,
+    string→text; optional PRIMARY KEY."""
+    cols = ", ".join(
+        f'"{f.name}" {_rewrite(f, _REDSHIFT_TYPES, "super", "super")}' for f in fields
+    )
+    pk = f", primary key ({', '.join(key_fields)})" if key_fields else ""
+    return f"create table if not exists {db}.{schema}.{table} ({cols}{pk});"
+
+
+def postgres_create_table(db: str, schema: str, table: str,
+                          fields: Sequence[SchemaField],
+                          key_fields: Sequence[str] | None = None) -> str:
+    """PostgresLoader.scala:118-164 — like Redshift but smallint→int2,
+    _json→json, _xml→xml."""
+    cols = ", ".join(
+        f'"{f.name}" {_rewrite(f, _POSTGRES_TYPES, "json", "xml")}' for f in fields
+    )
+    pk = f", primary key ({', '.join(key_fields)})" if key_fields else ""
+    return f"create table if not exists {db}.{schema}.{table} ({cols}{pk});"
+
+
+def snowflake_create_table(table: str, fields: Sequence[SchemaField],
+                           key_fields: Sequence[str] | None = None,
+                           semi_structured_as: str | None = None) -> str:
+    """SnowflakeLoader.scala:326-369 — unquoted names, _json/_xml →
+    VARIANT (or the configured createSemiStructuredFieldAs), string →
+    varchar, everything else passed through."""
+    semi = (semi_structured_as or "variant").lower()
+    typed = []
+    for f in fields:
+        if f.name.lower() in _SEMI_STRUCTURED:
+            typed.append(f"{f.name} {semi}")
+        elif f.type.lower() == "string":
+            typed.append(f"{f.name} varchar")
+        else:
+            typed.append(f"{f.name} {f.type}")
+    pk = f", primary key ({', '.join(key_fields)})" if key_fields else ""
+    return f"create table {table} ({', '.join(typed)}{pk});"
+
+
+# ---------------------------------------------------------------------------
+# COPY ingestion
+# ---------------------------------------------------------------------------
+
+def redshift_copy(db: str, schema: str, table: str, stage_url: str,
+                  iam_role: str, json_source: bool = False) -> str:
+    """RedshiftLoader.scala:123-147 — parquet staging (JSON sources
+    keep FORMAT JSON 'noshred')."""
+    fmt = "FORMAT JSON 'noshred'" if json_source else "FORMAT AS PARQUET"
+    return (
+        f"COPY {db}.{schema}.{table} FROM '{stage_url}'"
+        f" CREDENTIALS 'aws_iam_role={iam_role}' {fmt}"
+    )
+
+
+def postgres_copy(db: str, schema: str, table: str,
+                  options: Sequence[str] | None = None) -> str:
+    """PostgresLoader.scala:88-110 — COPY FROM STDIN, options joined,
+    FORMAT csv when none declared."""
+    opts = ", ".join(options) if options else "FORMAT csv"
+    return f'COPY "{db}".{schema}."{table}" FROM STDIN ({opts})'
+
+
+def _snowflake_stage(stage_name: str, stage_suffix: str) -> str:
+    return f"'@{stage_name}/{stage_suffix}'"
+
+
+def _snowflake_file_format(keyed: bool) -> str:
+    if keyed:
+        return " (FILE_FORMAT => 'pipelinefileformat')"
+    return " FILE_FORMAT = (FORMAT_NAME = 'pipelinefileformat')"
+
+
+def snowflake_copy(table: str, fields: Sequence[SchemaField], stage_name: str,
+                   stage_suffix: str, csv_source: bool = False,
+                   keyed: bool = False) -> str:
+    """SnowflakeLoader.scala:210-231 — CSV sources are staged as
+    parquet and cast column-by-column ($1:name::type); others COPY the
+    stage directly."""
+    stage = _snowflake_stage(stage_name, stage_suffix)
+    fmt = _snowflake_file_format(keyed)
+    if csv_source:
+        casts = ", ".join(f"$1:{f.name}::{f.type}" for f in fields)
+        return f"COPY INTO {table} FROM (SELECT {casts} FROM {stage}){fmt}"
+    return f"COPY INTO {table} FROM {stage}{fmt}"
+
+
+# ---------------------------------------------------------------------------
+# Keyed upsert
+# ---------------------------------------------------------------------------
+
+def redshift_merge_statements(db: str, schema: str, table: str,
+                              temp_table: str, stage_url: str, iam_role: str,
+                              fields: Sequence[SchemaField],
+                              key_fields: Sequence[str]) -> list[str]:
+    """RedshiftLoader.scala:149-184 — Redshift has no MERGE in the
+    reference's vintage: begin → temp table → COPY temp → DELETE USING
+    keys → INSERT SELECT → drop → end. Returned as the ordered
+    statement list (the temp table name is caller-supplied; the
+    reference uses a timestamp)."""
+    qualified = f"{db}.{schema}.{table}"
+    on = " and ".join(f"{qualified}.{k} = {temp_table}.{k}" for k in key_fields)
+    return [
+        "begin transaction",
+        redshift_create_table(db, schema, temp_table, fields, list(key_fields)),
+        redshift_copy(db, schema, temp_table, stage_url, iam_role),
+        f"delete from {qualified} using {temp_table} where {on}",
+        f"insert into {qualified} select * from {temp_table}",
+        f"drop table {temp_table}",
+        "end transaction",
+    ]
+
+
+def snowflake_merge(table: str, fields: Sequence[SchemaField],
+                    key_fields: Sequence[str], stage_name: str,
+                    stage_suffix: str) -> str:
+    """SnowflakeLoader.scala:233-295 — MERGE INTO … USING (SELECT $i
+    name FROM stage) temp ON keys WHEN MATCHED UPDATE all / WHEN NOT
+    MATCHED INSERT all."""
+    sel = ", ".join(f"${i + 1} {f.name}" for i, f in enumerate(fields))
+    stage = _snowflake_stage(stage_name, stage_suffix)
+    fmt = _snowflake_file_format(keyed=True)
+    on = " AND ".join(f"{table}.{k} = temp.{k}" for k in key_fields)
+    sets = ", ".join(f"{f.name} = temp.{f.name}" for f in fields)
+    ins_cols = ", ".join(f.name for f in fields)
+    ins_vals = ", ".join(f"temp.{f.name}" for f in fields)
+    return (
+        f"MERGE INTO {table} USING (SELECT {sel} FROM {stage}{fmt}) temp"
+        f" ON {on}"
+        f" WHEN MATCHED THEN UPDATE SET {sets}"
+        f" WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )

@@ -1,0 +1,118 @@
+"""Golden tests for the warehouse dialect SQL emitters (L7/L9/L11/L12).
+
+Each golden is the exact statement the emitter must produce for a
+representative dataset config — the reference's type-rewrite tables
+(RedshiftLoader/PostgresLoader/SnowflakeLoader createTableIfUndefined)
+are the parity source."""
+
+from __future__ import annotations
+
+from pipeline_server_spark.pipeline.config import SchemaField
+from pipeline_server_spark.pipeline.dialects import (
+    postgres_copy,
+    postgres_create_table,
+    redshift_copy,
+    redshift_create_table,
+    redshift_merge_statements,
+    snowflake_copy,
+    snowflake_create_table,
+    snowflake_merge,
+)
+
+FIELDS = [
+    SchemaField("id", "bigint"),
+    SchemaField("name", "string"),
+    SchemaField("qty", "smallint"),
+    SchemaField("flag", "tinyint"),
+    SchemaField("ratio", "float"),
+    SchemaField("price", "double"),
+    SchemaField("_json", "string"),
+]
+
+
+def test_redshift_create_table_golden():
+    assert redshift_create_table("db", "public", "orders", FIELDS, ["id"]) == (
+        'create table if not exists db.public.orders ("id" bigint, "name" text, '
+        '"qty" int, "flag" int2, "ratio" float4, "price" float8, "_json" super, '
+        "primary key (id));"
+    )
+
+
+def test_postgres_create_table_golden():
+    assert postgres_create_table("db", "public", "orders", FIELDS) == (
+        'create table if not exists db.public.orders ("id" bigint, "name" text, '
+        '"qty" int2, "flag" int2, "ratio" float4, "price" float8, "_json" json);'
+    )
+
+
+def test_postgres_xml_column():
+    got = postgres_create_table("d", "s", "t", [SchemaField("_xml", "string")])
+    assert got == 'create table if not exists d.s.t ("_xml" xml);'
+
+
+def test_snowflake_create_table_golden():
+    assert snowflake_create_table("orders", FIELDS, ["id", "name"]) == (
+        "create table orders (id bigint, name varchar, qty smallint, flag tinyint, "
+        "ratio float, price double, _json variant, primary key (id, name));"
+    )
+    # configured semi-structured override
+    assert snowflake_create_table(
+        "t", [SchemaField("_json", "string")], semi_structured_as="OBJECT"
+    ) == "create table t (_json object);"
+
+
+def test_redshift_copy_golden():
+    assert redshift_copy("db", "public", "orders", "s3://stage/x", "arn:aws:iam::1:role/r") == (
+        "COPY db.public.orders FROM 's3://stage/x'"
+        " CREDENTIALS 'aws_iam_role=arn:aws:iam::1:role/r' FORMAT AS PARQUET"
+    )
+    assert redshift_copy("db", "public", "orders", "s3://stage/x", "r", json_source=True).endswith(
+        "FORMAT JSON 'noshred'"
+    )
+
+
+def test_postgres_copy_golden():
+    assert postgres_copy("db", "public", "orders") == (
+        'COPY "db".public."orders" FROM STDIN (FORMAT csv)'
+    )
+    assert postgres_copy("db", "public", "orders", ["DELIMITER '|'", "FORMAT csv"]) == (
+        "COPY \"db\".public.\"orders\" FROM STDIN (DELIMITER '|', FORMAT csv)"
+    )
+
+
+def test_snowflake_copy_golden():
+    two = FIELDS[:2]
+    assert snowflake_copy("orders", two, "stg", "ds.guid/", csv_source=True) == (
+        "COPY INTO orders FROM (SELECT $1:id::bigint, $1:name::string "
+        "FROM '@stg/ds.guid/') FILE_FORMAT = (FORMAT_NAME = 'pipelinefileformat')"
+    )
+    assert snowflake_copy("orders", two, "stg", "ds.guid/", keyed=True) == (
+        "COPY INTO orders FROM '@stg/ds.guid/' (FILE_FORMAT => 'pipelinefileformat')"
+    )
+
+
+def test_redshift_merge_statement_sequence():
+    stmts = redshift_merge_statements(
+        "db", "public", "orders", "orders_tmp", "s3://stage/x", "r",
+        FIELDS[:2], ["id"],
+    )
+    assert stmts[0] == "begin transaction" and stmts[-1] == "end transaction"
+    assert stmts[1].startswith("create table if not exists db.public.orders_tmp")
+    assert stmts[2].startswith("COPY db.public.orders_tmp FROM 's3://stage/x'")
+    assert stmts[3] == (
+        "delete from db.public.orders using orders_tmp "
+        "where db.public.orders.id = orders_tmp.id"
+    )
+    assert stmts[4] == "insert into db.public.orders select * from orders_tmp"
+    assert stmts[5] == "drop table orders_tmp"
+
+
+def test_snowflake_merge_golden():
+    got = snowflake_merge("orders", FIELDS[:2], ["id"], "stg", "ds.guid/")
+    assert got == (
+        "MERGE INTO orders USING (SELECT $1 id, $2 name FROM '@stg/ds.guid/'"
+        " (FILE_FORMAT => 'pipelinefileformat')) temp"
+        " ON orders.id = temp.id"
+        " WHEN MATCHED THEN UPDATE SET id = temp.id, name = temp.name"
+        " WHEN NOT MATCHED THEN INSERT (id, name) VALUES (temp.id, temp.name)"
+    )
