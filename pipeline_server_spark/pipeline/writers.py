@@ -34,15 +34,27 @@ def write_append(df: DataFrame, dest: DestinationConfig) -> None:
     writer.format(dest.file_format).save(dest.path)
 
 
-def _dedupe_source_by_keys(source: DataFrame, keys: list[str]) -> DataFrame:
-    """MERGE requires one source row per key (the reference applies CDC
-    rows sequentially; for set-based merge we keep the LAST occurrence
-    per key using an ordering-free dropDuplicates — callers that care
-    about intra-batch order pre-sort and tag a sequence column)."""
+def _dedupe_source_by_keys(source: DataFrame, keys: list[str],
+                           sequence_col: str | None = None) -> DataFrame:
+    """MERGE requires one source row per key. With ``sequence_col``
+    (CDC LSN / extraction timestamp) the max-sequence row per key wins
+    — deterministic. Without one, dropDuplicates keeps an ARBITRARY
+    row per key (partition order is not a contract); callers that feed
+    multi-row-per-key batches must pass a sequence column."""
+    if sequence_col is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.desc(sequence_col))
+        return (
+            source.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return source.dropDuplicates(keys)
 
 
-def merge_upsert_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert_frames(target: DataFrame, source: DataFrame, keys: list[str],
+                        sequence_col: str | None = None) -> DataFrame:
     """L3 MERGE semantics as a pure DataFrame program:
     WHEN MATCHED THEN UPDATE ALL / WHEN NOT MATCHED THEN INSERT ALL
     (IcebergUtil.scala:124-157) ≡ (target ANTI-JOIN source on keys)
@@ -51,9 +63,35 @@ def merge_upsert_frames(target: DataFrame, source: DataFrame, keys: list[str]) -
     The anti-join shuffles both sides on the key — the same exchange a
     real MERGE does; AQE converts it to broadcast when the source
     (typical CDC batch ≪ target) is small."""
-    src = _dedupe_source_by_keys(source, keys).select(*target.columns)
+    src = _dedupe_source_by_keys(source, keys, sequence_col).select(*target.columns)
     kept = target.join(src.select(*keys), on=keys, how="left_anti")
     return kept.unionByName(src)
+
+
+def staged_swap_write(spark: SparkSession, df: DataFrame, path: str,
+                      file_format: str, partition_by: tuple[str, ...] | list[str] = ()) -> None:
+    """Full-table rewrite via a SIBLING staging directory + two renames
+    (write staging → rename target aside → rename staging in → drop
+    old). The swap window is two directory renames, not a whole
+    re-write of the data — the closest to atomic replace a plain
+    filesystem offers (a transactional format makes it truly atomic;
+    no Delta/Iceberg jars in this environment)."""
+    import os
+    import uuid
+
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(file_format).save(staging)  # reads target, writes sibling
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except OSError:  # restore the original on a failed swap
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def merge_upsert(
@@ -91,13 +129,7 @@ def merge_upsert(
         # partition values may change per key → stale rows could hide in
         # unpruned partitions; merge over the full table, rewrite all
         merged = merge_upsert_frames(target, source, keys)
-        staging = tempfile.mkdtemp(prefix="psspark_merge_")
-        (merged.write.mode("overwrite").partitionBy(*dest.partition_by)
-               .format(dest.file_format).save(staging))
-        out = spark.read.format(dest.file_format).load(staging)
-        (out.write.mode("overwrite").partitionBy(*dest.partition_by)
-            .format(dest.file_format).save(path))
-        shutil.rmtree(staging, ignore_errors=True)
+        staged_swap_write(spark, merged, path, dest.file_format, dest.partition_by)
         return
 
     if dest.partition_by:
@@ -124,14 +156,10 @@ def merge_upsert(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         return
 
-    # Unpartitioned: full rewrite through a staging dir (atomic-ish swap;
-    # a real deployment uses Delta/Iceberg transactional MERGE instead).
+    # Unpartitioned: full rewrite through a sibling staging dir + rename
+    # swap (a real deployment uses Delta/Iceberg transactional MERGE).
     merged = merge_upsert_frames(target, source, keys)
-    staging = tempfile.mkdtemp(prefix="psspark_merge_")
-    merged.write.mode("overwrite").format(dest.file_format).save(staging)
-    out = spark.read.format(dest.file_format).load(staging)
-    out.write.mode("overwrite").format(dest.file_format).save(path)
-    shutil.rmtree(staging, ignore_errors=True)
+    staged_swap_write(spark, merged, path, dest.file_format)
 
 
 def write_temp_csv(df: DataFrame, path: str, coalesce: int | None = 1) -> None:

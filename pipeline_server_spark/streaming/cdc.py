@@ -190,19 +190,16 @@ def apply_cdc_to_path(
     fields: tuple[SchemaField, ...],
     file_format: str = "parquet",
 ) -> None:
-    """foreachBatch-compatible apply: read target, apply, rewrite.
-    (On Delta/Iceberg this becomes a transactional MERGE with the same
-    condition; the rewrite here is the no-extra-jars fallback.)"""
-    import shutil
-    import tempfile
+    """foreachBatch-compatible apply: read target, apply, swap in via
+    a sibling staging dir + directory renames (staged_swap_write) so a
+    crash mid-write leaves either the old or the new table, never a
+    half-written one. (On Delta/Iceberg this becomes a transactional
+    MERGE with the same condition.)"""
+    from pipeline_server_spark.pipeline.writers import staged_swap_write
 
     target = spark.read.format(file_format).load(path)
     merged = apply_cdc(target, messages, fields)
-    staging = tempfile.mkdtemp(prefix="psspark_cdc_")
-    merged.write.mode("overwrite").format(file_format).save(staging)
-    out = spark.read.format(file_format).load(staging)
-    out.write.mode("overwrite").format(file_format).save(path)
-    shutil.rmtree(staging, ignore_errors=True)
+    staged_swap_write(spark, merged, path, file_format)
 
 
 def cdc_stream_apply(
@@ -213,9 +210,17 @@ def cdc_stream_apply(
     checkpoint: str,
 ):
     """Structured-Streaming driver: micro-batches of Debezium JSON →
-    parse → apply to the lake path. Exactly-once via checkpointed
-    offsets (replacing the reference's SQS-dedup table + LSN bookkeeping,
-    U6)."""
+    parse → apply to the lake path.
+
+    Delivery semantics: the checkpoint gives exactly-once *offset
+    tracking* (no batch is read twice after success — replaces the
+    reference's SQS-dedup table + LSN bookkeeping, U6), but the sink
+    itself is AT-LEAST-ONCE: if the process dies after the apply and
+    before the checkpoint commit, the batch re-applies on restart.
+    Updates/deletes are idempotent under replay (full-row match);
+    re-applied INSERTs duplicate unless rows carry a key — use a keyed
+    transactional sink (Delta/Iceberg MERGE) for end-to-end
+    exactly-once."""
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         msgs = parse_debezium(batch_df)
         if msgs.isEmpty():
@@ -270,3 +275,54 @@ def mssql_opcode_to_messages(df: DataFrame, fields: tuple[SchemaField, ...]) -> 
         F.lit("db").alias("databaseName"), F.lit("dbo").alias("schemaName"),
         F.lit("tbl").alias("tableName"), *common,
     )
+
+
+# ---------------------------------------------------------------------------
+# S9 — live Kafka source (gated on the spark-sql-kafka jar)
+# ---------------------------------------------------------------------------
+
+def kafka_jar_present(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka-0-10 connector is on the session's
+    JVM classpath (not shipped in this environment)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_reader_options(bootstrap_servers: str, subscribe_pattern: str,
+                         starting_offsets: str = "earliest") -> dict[str, str]:
+    """Option map for the Debezium-topic stream — the same
+    subscribePattern surface the reference's consumer covers
+    (DebeziumCDCRunner.scala:37-68: one consumer over
+    <server>.<db>.<table> topics). Pure function, unit-testable without
+    the jar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribePattern": subscribe_pattern,
+        "startingOffsets": starting_offsets,
+        # Debezium tombstones have null value; parse_debezium drops them
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_cdc_source(spark: SparkSession, bootstrap_servers: str,
+                     subscribe_pattern: str,
+                     starting_offsets: str = "earliest") -> DataFrame:
+    """``readStream.format("kafka")`` → raw frame whose string ``value``
+    feeds parse_debezium — the live-topic equivalent of the
+    file-source path (S9). Raises when the Kafka jar is absent instead
+    of failing deep inside plan resolution."""
+    if not kafka_jar_present(spark):
+        raise NotImplementedError(
+            "spark-sql-kafka-0-10 is not on the classpath; add the package "
+            "(or use the file-source CDC path, which is jar-free)"
+        )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap_servers, subscribe_pattern,
+                                     starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load().select(F.col("value").cast("string").alias("value"))

@@ -61,3 +61,29 @@ def test_merge_idempotent_and_identity(spark, target):
     # merging a table into itself changes nothing
     once = {(r.k, r.s, r.v) for r in merge_upsert_frames(t, t, ["k"]).collect()}
     assert once == {(r.k, r.s, r.v) for r in t.collect()}
+
+
+def test_dedupe_by_sequence_keeps_max_seq_row(spark):
+    from pipeline_server_spark.pipeline.writers import merge_upsert_frames
+
+    target = spark.createDataFrame([(1, "old", 0)], "k int, s string, seq int")
+    # three source rows for the same key, out of order — seq must decide
+    source = spark.createDataFrame(
+        [(1, "mid", 5), (1, "last", 9), (1, "first", 1)], "k int, s string, seq int"
+    )
+    merged = merge_upsert_frames(target, source, ["k"], sequence_col="seq").collect()
+    assert len(merged) == 1 and merged[0].s == "last"
+
+
+def test_staged_swap_write_replaces_and_cleans(spark, tmp_path):
+    import os
+
+    from pipeline_server_spark.pipeline.writers import staged_swap_write
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    replacement = spark.range(100, 105)
+    staged_swap_write(spark, replacement, path, "parquet")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [100, 101, 102, 103, 104]
+    # no staging/old leftovers beside the target
+    assert os.listdir(str(tmp_path)) == ["t"]

@@ -256,3 +256,22 @@ def test_rollup_touches_only_overlapping_buckets(spark, tmp_path):
     }
     assert touched_windows <= batch_windows  # untouched buckets unchanged
     assert sum(after.values()) == sum(before.values()) + 5
+
+
+def test_kafka_reader_options_and_gate(spark):
+    from pipeline_server_spark.streaming.cdc import (
+        kafka_cdc_source,
+        kafka_jar_present,
+        kafka_reader_options,
+    )
+
+    opts = kafka_reader_options("broker:9092", "server1\\..*", "latest")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribePattern"] == "server1\\..*"
+    assert opts["startingOffsets"] == "latest"
+    if kafka_jar_present(spark):  # pragma: no cover - jar not in this env
+        df = kafka_cdc_source(spark, "broker:9092", "server1\\..*")
+        assert df.columns == ["value"]
+    else:
+        with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            kafka_cdc_source(spark, "broker:9092", "server1\\..*")
