@@ -1,0 +1,287 @@
+"""S11 / §3.4 — the REST control plane as a stdlib HTTP server.
+
+The reference exposes its engine through Spring controllers
+(DatasetAPIController.scala:38-156, FileUploadAPIController.scala:45-170,
+DatasetStatusAPIController.scala:35-65, VersionAPIController.scala:36-51)
+with x-api-key auth (APIKeyValidator.scala:26-39). This module serves
+the same surface over ``http.server`` wrapping the Engine facade:
+
+- ``POST /dataset``            register (validate + normalize) a config
+- ``GET /dataset?name=``       fetch one config
+- ``GET /datasets``            list registered names
+- ``DELETE /dataset?name=``    deregister
+- ``GET /dataset/status?name=`` run/status log rows
+- ``POST /dataset/upload?dataset=&publishertoken=``  land a raw file
+  under the reference's naming convention and run the ingest lifecycle
+  (the S3-event → pipeline loop, collapsed to a synchronous call)
+- ``POST /dataset/generate?dataset=&delimiter=&header=``  infer a
+  dataset config JSON from a sample CSV (not registered — parity)
+- ``GET /version``
+
+No third-party web framework: ThreadingHTTPServer + JSON bodies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import json
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pipeline_server_spark.engine import Engine, pipeline_token
+from pipeline_server_spark.pipeline.config import (
+    ColumnRule,
+    ConfigValidationError,
+    DataQualityConfig,
+    DatasetConfig,
+    DestinationConfig,
+    FileAttributes,
+    SchemaField,
+    SourceConfig,
+    TransformationConfig,
+)
+
+API_VERSION = "2.3.6-spark"  # parity target: reference v2.3.6
+
+
+# ---------------------------------------------------------------------------
+# config JSON <-> dataclasses
+# ---------------------------------------------------------------------------
+
+def config_to_dict(cfg: DatasetConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    # callables are not JSON-serializable (Python-side hooks only)
+    d["transformation"].pop("row_function", None)
+    d["transformation"].pop("column_expressions", None)
+    d["transformation"].pop("drop_predicate", None)
+    d["data_quality"].pop("row_rule", None)
+    return d
+
+
+def config_from_dict(d: dict) -> DatasetConfig:
+    src = d.get("source", {})
+    dq = d.get("data_quality", {})
+    tr = d.get("transformation", {})
+    dst = d.get("destination", {})
+    return DatasetConfig(
+        name=d["name"],
+        source=SourceConfig(
+            fields=tuple(SchemaField(**f) for f in src.get("fields", ())),
+            file=FileAttributes(**src.get("file", {})),
+            infer_schema=src.get("infer_schema", False),
+        ),
+        data_quality=DataQualityConfig(
+            validate_file_header=dq.get("validate_file_header", False),
+            column_rules=tuple(ColumnRule(**r) for r in dq.get("column_rules", ())),
+            row_rule_is_error=dq.get("row_rule_is_error", False),
+            max_errors=dq.get("max_errors", 100),
+        ),
+        transformation=TransformationConfig(
+            deduplicate=tr.get("deduplicate", False),
+        ),
+        destination=DestinationConfig(
+            fields=tuple(SchemaField(**f) for f in dst.get("fields", ())),
+            path=dst.get("path"),
+            file_format=dst.get("file_format", "parquet"),
+            write_mode=dst.get("write_mode", "append"),
+            key_fields=tuple(dst.get("key_fields", ())),
+            partition_by=tuple(dst.get("partition_by", ())),
+            delete_before_write=dst.get("delete_before_write", False),
+        ),
+        parity_mode=d.get("parity_mode", False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# upload naming + config generation
+# ---------------------------------------------------------------------------
+
+def raw_upload_filename(dataset: str, extension: str,
+                        publisher_token: str | None = None,
+                        now: _dt.datetime | None = None,
+                        millis: int | None = None) -> str:
+    """FileUploadAPIController.scala:58-73 naming:
+    ``[dataset](.[publishertoken]).[yyyy-MM-dd.HH-mm-ss-SSS].[millis].dataset.[ext]``."""
+    now = now or _dt.datetime.utcnow()
+    date = now.strftime("%Y-%m-%d.%H-%M-%S-") + f"{now.microsecond // 1000:03d}"
+    millis = millis if millis is not None else int(time.time() * 1000)
+    token_part = f".{publisher_token}" if publisher_token else ""
+    return f"{dataset}{token_part}.{date}.{millis}.dataset.{extension}"
+
+
+# deephaven → config type mapping (FileUploadAPIController.scala:145-160):
+# SHORT/INT→int, LONG→bigint, FLOAT→float, DOUBLE→double, STRING→string,
+# BOOLEAN_AS_BYTE→string, DATETIME/TIMESTAMP_AS_LONG→bigint
+_SPARK_TO_CONFIG_TYPE = {
+    "ShortType": "int",
+    "IntegerType": "int",
+    "LongType": "bigint",
+    "FloatType": "float",
+    "DoubleType": "double",
+    "StringType": "string",
+    "BooleanType": "string",
+    "TimestampType": "bigint",
+    "DateType": "bigint",
+}
+
+
+def generate_csv_dataset_config(engine: Engine, dataset: str, csv_bytes: bytes,
+                                delimiter: str = ",", header: bool = True) -> dict:
+    """POST /dataset/generate — infer a dataset config dict from a
+    sample CSV (reference: deephaven-csv inference; here Spark's
+    inferSchema with the same type-name mapping)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".csv", delete=False) as fh:
+        fh.write(csv_bytes)
+        sample = fh.name
+    try:
+        df = (
+            engine.spark.read.option("header", str(header).lower())
+            .option("sep", delimiter)
+            .option("inferSchema", "true")
+            .option("samplingRatio", "1.0")
+            .csv(sample)
+        )
+        fields = [
+            {"name": f.name, "type": _SPARK_TO_CONFIG_TYPE.get(
+                type(f.dataType).__name__, "string")}
+            for f in df.schema.fields
+        ]
+    finally:
+        os.unlink(sample)
+    return {
+        "name": dataset,
+        "source": {
+            "fields": fields,
+            "file": {"file_type": "csv", "delimiter": delimiter,
+                     "header": header, "encoding": "UTF-8"},
+        },
+        "destination": {"fields": fields},
+    }
+
+
+# ---------------------------------------------------------------------------
+# the HTTP server
+# ---------------------------------------------------------------------------
+
+class PipelineApiServer:
+    """Control-plane server over one Engine. ``raw_dir`` is the landing
+    area for /dataset/upload (the reference's raw bucket)."""
+
+    def __init__(self, engine: Engine, raw_dir: str,
+                 api_key: str | None = None, port: int = 0):
+        self.engine = engine
+        self.raw_dir = raw_dir
+        self.api_key = api_key
+        os.makedirs(raw_dir, exist_ok=True)
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "PipelineApiServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    # -- request handlers (called from the handler thread) ---------------
+
+    def handle(self, method: str, path: str, query: dict[str, list[str]],
+               body: bytes, headers) -> tuple[int, dict]:
+        if self.api_key is not None and headers.get("x-api-key") != self.api_key:
+            return 401, {"error": "invalid or missing x-api-key"}
+        q = {k: v[0] for k, v in query.items()}
+        try:
+            if method == "GET" and path == "/version":
+                return 200, {"version": API_VERSION}
+            if method == "POST" and path == "/dataset":
+                cfg = config_from_dict(json.loads(body.decode("utf-8")))
+                registered = self.engine.register(cfg)
+                return 200, {"registered": registered.name}
+            if method == "GET" and path == "/dataset":
+                return 200, config_to_dict(self.engine.get(q["name"]))
+            if method == "GET" and path == "/datasets":
+                return 200, {"datasets": self.engine.datasets()}
+            if method == "DELETE" and path == "/dataset":
+                self.engine.deregister(q["name"])
+                return 200, {"deleted": q["name"]}
+            if method == "GET" and path == "/dataset/status":
+                rows = self.engine.status(q.get("name")).collect()
+                return 200, {"status": [r.asDict() for r in rows]}
+            if method == "POST" and path == "/dataset/upload":
+                return self._upload(q, body)
+            if method == "POST" and path == "/dataset/generate":
+                cfg = generate_csv_dataset_config(
+                    self.engine, q["dataset"], body,
+                    delimiter=q.get("delimiter", ","),
+                    header=q.get("header", "true").lower() == "true",
+                )
+                return 200, cfg
+            return 404, {"error": f"no route {method} {path}"}
+        except KeyError as e:
+            return 404, {"error": f"not found: {e}"}
+        except (ConfigValidationError, json.JSONDecodeError, ValueError) as e:
+            return 400, {"error": str(e)}
+        except Exception as e:  # parity: 500 + stack-trace string
+            import traceback
+
+            return 500, {"error": "".join(traceback.format_exception(e))}
+
+    def _upload(self, q: dict[str, str], body: bytes) -> tuple[int, dict]:
+        dataset = q["dataset"]
+        config = self.engine.get(dataset)
+        original = q.get("filename", "")
+        compressed = original.lower().endswith((".zip", ".gz", ".tar", ".jar"))
+        ext = (original.rsplit(".", 1)[-1] if compressed
+               else config.source.file.file_type)
+        raw_name = raw_upload_filename(dataset, ext, q.get("publishertoken"))
+        land_dir = os.path.join(self.raw_dir, dataset)
+        os.makedirs(land_dir, exist_ok=True)
+        raw_path = os.path.join(land_dir, raw_name)
+        with open(raw_path, "wb") as fh:
+            fh.write(body)
+        # the reference's S3-event → pipeline loop, collapsed to a
+        # synchronous ingest of the landed file
+        result = self.engine.ingest(dataset, raw_path)
+        return 200, {"filename": raw_name, "rows_written": result.rows_written,
+                     "pipeline_token": result.details.get("pipeline_token")}
+
+
+def _make_handler(server: PipelineApiServer):
+    class Handler(BaseHTTPRequestHandler):
+        def _dispatch(self, method: str) -> None:
+            parsed = urlparse(self.path)
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            status, payload = server.handle(
+                method, parsed.path, parse_qs(parsed.query), body, self.headers
+            )
+            data = json.dumps(payload, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            self._dispatch("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._dispatch("POST")
+
+        def do_DELETE(self):  # noqa: N802
+            self._dispatch("DELETE")
+
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+    return Handler

@@ -1,0 +1,160 @@
+"""S11 — control-plane HTTP API end-to-end over localhost."""
+
+from __future__ import annotations
+
+import json
+import re
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pipeline_server_spark.api import (
+    PipelineApiServer,
+    config_from_dict,
+    config_to_dict,
+    raw_upload_filename,
+)
+from pipeline_server_spark.engine import Engine
+from pipeline_server_spark.pipeline.config import (
+    DatasetConfig,
+    DestinationConfig,
+    FileAttributes,
+    SchemaField,
+    SourceConfig,
+)
+
+
+def _call(port, method, path, body=None, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method=method,
+        headers=headers or {},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read().decode("utf-8"))
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    engine = Engine(spark, warehouse_dir=str(tmp_path / "wh"))
+    srv = PipelineApiServer(engine, raw_dir=str(tmp_path / "raw")).start()
+    yield srv, tmp_path
+    srv.stop()
+
+
+def _order_config(tmp_path) -> dict:
+    cfg = DatasetConfig(
+        name="api_orders",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=str(tmp_path / "out" / "api_orders")),
+    )
+    return config_to_dict(cfg)
+
+
+def test_register_get_list_delete_and_version(server):
+    srv, tmp_path = server
+    status, v = _call(srv.port, "GET", "/version")
+    assert status == 200 and "spark" in v["version"]
+
+    body = json.dumps(_order_config(tmp_path)).encode()
+    status, out = _call(srv.port, "POST", "/dataset", body)
+    assert status == 200 and out == {"registered": "api_orders"}
+
+    _, got = _call(srv.port, "GET", "/dataset?name=api_orders")
+    assert got["name"] == "api_orders"
+    assert got["source"]["fields"] == [
+        {"name": "id", "type": "int"}, {"name": "amount", "type": "double"}
+    ]
+    _, lst = _call(srv.port, "GET", "/datasets")
+    assert lst["datasets"] == ["api_orders"]
+    status, _ = _call(srv.port, "DELETE", "/dataset?name=api_orders")
+    assert status == 200
+    _, lst = _call(srv.port, "GET", "/datasets")
+    assert lst["datasets"] == []
+
+
+def test_register_rejects_invalid_config(server):
+    srv, tmp_path = server
+    bad = _order_config(tmp_path)
+    bad["destination"]["write_mode"] = "merge"  # merge without key_fields
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(srv.port, "POST", "/dataset", json.dumps(bad).encode())
+    assert e.value.code == 400
+    assert "key_fields" in json.loads(e.value.read().decode())["error"]
+
+
+def test_upload_lands_file_and_ingests(spark, server):
+    srv, tmp_path = server
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(_order_config(tmp_path)).encode())
+    csv = b"id,amount\n1,10.5\n2,20.0\n3,7.25\n"
+    status, out = _call(
+        srv.port, "POST", "/dataset/upload?dataset=api_orders&publishertoken=pub1", csv
+    )
+    assert status == 200 and out["rows_written"] == 3
+    # reference naming convention: dataset.token.date.millis.dataset.ext
+    assert re.fullmatch(
+        r"api_orders\.pub1\.\d{4}-\d{2}-\d{2}\.\d{2}-\d{2}-\d{2}-\d{3}\.\d+\.dataset\.csv",
+        out["filename"],
+    )
+    rows = spark.read.parquet(str(tmp_path / "out" / "api_orders")).collect()
+    assert sorted((r.id, float(r.amount)) for r in rows) == [
+        (1, 10.5), (2, 20.0), (3, 7.25)
+    ]
+    _, st = _call(srv.port, "GET", "/dataset/status?name=api_orders")
+    assert [r["state"] for r in st["status"]] == ["begin", "end"]
+
+
+def test_generate_infers_schema(server):
+    srv, _ = server
+    csv = b"name,qty,price\nwidget,3,9.99\ngizmo,5,1.25\n"
+    status, cfg = _call(srv.port, "POST", "/dataset/generate?dataset=gen1", csv)
+    assert status == 200
+    assert cfg["name"] == "gen1"
+    assert cfg["source"]["fields"] == [
+        {"name": "name", "type": "string"},
+        {"name": "qty", "type": "int"},
+        {"name": "price", "type": "double"},
+    ]
+    # generate does NOT register (parity with the reference)
+    _, lst = _call(srv.port, "GET", "/datasets")
+    assert "gen1" not in lst["datasets"]
+
+
+def test_api_key_auth(spark, tmp_path):
+    engine = Engine(spark, warehouse_dir=str(tmp_path / "wh"))
+    srv = PipelineApiServer(engine, raw_dir=str(tmp_path / "raw"),
+                            api_key="sekrit").start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(srv.port, "GET", "/version")
+        assert e.value.code == 401
+        status, _ = _call(srv.port, "GET", "/version",
+                          headers={"x-api-key": "sekrit"})
+        assert status == 200
+    finally:
+        srv.stop()
+
+
+def test_config_round_trip():
+    cfg = DatasetConfig(
+        name="rt",
+        source=SourceConfig(fields=(SchemaField("a", "int"),)),
+        destination=DestinationConfig(
+            fields=(SchemaField("a", "int"),), key_fields=("a",),
+            write_mode="merge", partition_by=(),
+        ),
+    )
+    assert config_from_dict(config_to_dict(cfg)) == cfg
+
+
+def test_raw_upload_filename_shape():
+    import datetime
+
+    name = raw_upload_filename(
+        "ds", "csv", None, datetime.datetime(2024, 6, 1, 10, 20, 30, 123000), 99
+    )
+    assert name == "ds.2024-06-01.10-20-30-123.99.dataset.csv"
