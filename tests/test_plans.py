@@ -61,6 +61,26 @@ def test_no_python_udf_in_jvm_operators(spark):
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
 
+def test_embedding_lsh_dedup_no_cartesian_no_corpus_collect(spark):
+    """The scale-path embedding dedup must stay bucketed: candidates
+    come from the (table, bucket) groupBy (FlatMapGroupsInPandas), with
+    no cartesian/nested-loop pairing and no full-corpus broadcast of a
+    driver-collected matrix (the round-1 defect)."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan  # within-bucket BLAS verify
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multitable_lsh_topk_joins_on_bucket_key(spark):
+    """ann_lsh_topk candidates must come from the (table, bucket)
+    equi-join with the query side broadcast — not an all-pairs pass."""
+    plan = _plan(spark, "ann_lsh_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     plan = _plan(spark, "purchases_in_signup_hour")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
