@@ -11,7 +11,7 @@ implementation at small sf.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pipeline_server_spark.catalog import load_table
@@ -429,4 +429,150 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "query_id", "left")
         .select("query_id", (F.coalesce(F.col("_hits"), F.lit(0)) >= 2).alias("recall_ok"))
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: PII redaction, context-window packing, filter chain
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "redact_pii_stats",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phones,
+             regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM planted)
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(LENGTH(redacted) AS BIGINT) AS redacted_len,
+           NOT regexp_matches(redacted, '@example\.com') AS clean
+    FROM r ORDER BY doc_id
+    """,
+)
+def redact_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with planted emails/phone numbers:
+    regexp counts + in-place replacement, all JVM expressions (the
+    shape of every pre-training scrub pass; a production rule set just
+    extends the pattern list). The oracle recomputes the same regexes
+    in DuckDB (patterns chosen inside the shared RE2/Java subset)."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        planted.select(
+            "doc_id",
+            F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+            F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+            F.length(redacted).cast("bigint").alias("redacted_len"),
+            (~redacted.rlike("@example\\.com")).alias("clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pack_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS bin
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (in id order) to
+    ~2048-token bins via exclusive-prefix-sum div budget — one window
+    pass, no sequential scan, the standard distributed approximation
+    of greedy packing (bins may overflow by at most one document; an
+    exact greedy pack is inherently sequential).
+
+    At fleet scale the ORDER BY doc_id window runs per shard (id
+    ranges are pre-partitioned); the single-partition window here
+    mirrors the per-shard computation."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        t.select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048)
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "c4_quality_filter_chain",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) >= 10 AS len_ok,
+             CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+               / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) <= 0.3 AS upper_ok,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) >= 1 AS stop_ok,
+             CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) <= 0.2 AS punct_ok
+      FROM f)
+    SELECT doc_id, len_ok, upper_ok, stop_ok, punct_ok,
+           len_ok AND upper_ok AND stop_ok AND punct_ok AS kept
+    FROM m ORDER BY doc_id
+    """,
+)
+def c4_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style hard-filter chain: min length, uppercase cap,
+    stopword floor, punctuation cap — per-rule verdicts plus the
+    conjunction, one projection, no shuffle (filters compose as
+    boolean columns so downstream stages can keep, drop, or audit)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chars = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(["the", "a", "of", "and", "to"])))
+    len_ok = (F.size(toks) >= 10).alias("len_ok")
+    upper_ok = (upper / n_chars <= 0.3).alias("upper_ok")
+    stop_ok = (stop_hits >= 1).alias("stop_ok")
+    punct_ok = (punct / n_chars <= 0.2).alias("punct_ok")
+    return (
+        d.select("doc_id", len_ok, upper_ok, stop_ok, punct_ok)
+        .withColumn(
+            "kept",
+            F.col("len_ok") & F.col("upper_ok") & F.col("stop_ok") & F.col("punct_ok"),
+        )
+        .orderBy("doc_id")
     )

@@ -1,0 +1,192 @@
+"""Round-2 relational surface additions: correlated EXISTS, lateral
+explode, ordered string aggregation (listagg), percent_rank/cume_dist,
+date-spine generation, FILTER-style conditional aggregation.
+
+Float discipline as everywhere: cross-row money math through exact
+DECIMAL casts, final cast to DOUBLE; rank fractions are exact integer
+divisions evaluated identically by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "customers_with_refunds_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def customers_with_refunds_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (the reference's Athena SQL surface
+    allows arbitrary subqueries). Expressed through spark.sql so the
+    correlated form itself is exercised; Catalyst rewrites it to the
+    same left-semi join a hand-built version would use."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM v_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM v_orders o JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+        )
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@query(
+    "part_name_token_frequency",
+    oracle="""
+    SELECT tok, COUNT(*) AS n_parts
+    FROM (SELECT UNNEST(string_split(p_name, ' ')) AS tok FROM part)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n_parts DESC, tok
+    """,
+)
+def part_name_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST) + aggregate — the split→explode→count
+    shape behind every vocabulary/token-frequency pass."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc("n_parts"), "tok")
+    )
+
+
+@query(
+    "priority_status_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def priority_status_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): Spark as
+    sort_array(collect_set) + concat_ws — deterministic because the
+    set is sorted before joining."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+            F.count_distinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "order_price_percentiles",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — exact rank fractions ((rank-1)/(n-1),
+    rank_max/n) computed identically by both engines; o_orderkey added
+    to the ordering for a total (tie-free) order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "daily_event_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, COALESCE(d.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    ORDER BY day
+    """,
+)
+def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine generation (sequence + explode) with zero-filled
+    daily counts — the gaps-and-islands prerequisite every reporting
+    pipeline needs; the spine is generated from one 1-row aggregate,
+    so the join is a broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            # string day: Spark DATE and DuckDB DATE materialize as
+            # different pandas dtypes (date object vs Timestamp)
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "status_conditional_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cnt,
+           COUNT(*) FILTER (WHERE o_orderpriority <> '1-URGENT') AS other_cnt,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def status_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation — one pass, several
+    predicates; money through exact decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("urgent_cnt"),
+            F.count(F.when(~urgent, 1)).alias("other_cnt"),
+            F.coalesce(F.sum(F.when(urgent, dec)), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("urgent_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
