@@ -11,6 +11,7 @@ from pipeline_server_spark.queries.registry import ORACLE, QUERIES, query
 from pipeline_server_spark.queries import relational  # noqa: E402,F401
 from pipeline_server_spark.queries import scenarios  # noqa: E402,F401
 from pipeline_server_spark.queries import llm_ops  # noqa: E402,F401
+from pipeline_server_spark.queries import llm_ops2  # noqa: E402,F401
 from pipeline_server_spark.queries import relational2  # noqa: E402,F401
 from pipeline_server_spark.queries import relational3  # noqa: E402,F401
 from pipeline_server_spark.queries import relational4  # noqa: E402,F401

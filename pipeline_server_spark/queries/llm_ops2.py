@@ -1,0 +1,232 @@
+"""Training-data pipeline operators, batch 2: dedup clustering,
+repetition quality, term relevance (TF-IDF shape), deterministic
+stratified sampling.
+
+Extends the reference's dedup/quality surface the way web-scale corpus
+pipelines (C4, Gopher, CCNet, RefinedWeb) consume it: pairs → canonical
+clusters, repetition signals as filter features, per-document salient
+terms, and reproducible per-source downsampling. Float discipline:
+every emitted double is an exact-integer ratio (int/int or int/2^32
+division is IEEE-exact, so Spark and DuckDB produce bit-identical
+values without decimal staging).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_dedup_pairs,
+)
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "dedup_cluster_assignments",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT da AS doc_a, db AS doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT s AS node, s AS r FROM edges
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r)
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash-LSH + exact verify) → connected
+    components by distributed min-label propagation; every clustered
+    doc gets its component's smallest doc_id as ``cluster_id`` (the
+    canonical-document choice). Oracle recomputes the transitive
+    closure with a recursive CTE over the exact-Jaccard pair set —
+    valid because LSH+verify equals the exact pair set on this corpus
+    (see ``dedup_minhash_lsh``)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(d, threshold=0.8)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "repetition_quality_signals",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM t),
+    bs AS (
+      SELECT doc_id, n, nd, len(bg) AS nb, len(list_distinct(bg)) AS nbd FROM base),
+    w AS (SELECT doc_id, UNNEST(toks) AS word FROM t),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    tops AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM wc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(n - nd AS DOUBLE) / n AS dup_word_frac,
+           CAST(nb - nbd AS DOUBLE) / GREATEST(nb, 1) AS dup_bigram_frac,
+           CAST(mx AS DOUBLE) / tot AS top_word_share
+    FROM bs b JOIN tops USING (doc_id) ORDER BY doc_id
+    """,
+)
+def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction,
+    duplicate-bigram fraction, and the share of the most frequent word
+    — the standard signals for dropping boilerplate/spam before
+    training. Array signals are per-row JVM expressions (no shuffle);
+    the top-word share is one explode + two-level hash agg that
+    shuffles (doc_id, word) counts, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    base = t.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bg"),
+    )
+    bs = base.select(
+        "doc_id",
+        "n",
+        "nd",
+        F.size("bg").alias("nb"),
+        F.size(F.array_distinct("bg")).alias("nbd"),
+    )
+    wc = (
+        t.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tops = wc.groupBy("doc_id").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    return (
+        bs.join(tops, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_words"),
+            ((F.col("n") - F.col("nd")).cast("double") / F.col("n")).alias("dup_word_frac"),
+            (
+                (F.col("nb") - F.col("nbd")).cast("double")
+                / F.greatest(F.col("nb"), F.lit(1))
+            ).alias("dup_bigram_frac"),
+            (F.col("mx").cast("double") / F.col("tot")).alias("top_word_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "term_relevance_top3",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def term_relevance_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by tf/df (the TF-IDF shape with
+    an exact-rational score, so both engines rank identically). Two
+    hash aggs — (doc, term) then (term) — one broadcast-able join back,
+    one per-doc window. The document-frequency table is tiny relative
+    to the corpus (vocabulary ≪ tokens), so at fleet scale the join
+    broadcasts; ties break on the term itself."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    win = W.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            score.alias("score"),
+            F.row_number().over(win).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source,
+             CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS sample_u,
+             CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.5
+                  WHEN source IN ('src3', 'src4', 'src5') THEN 0.25
+                  ELSE 0.125 END AS rate
+      FROM documents)
+    SELECT doc_id, source, sample_u FROM u
+    WHERE sample_u < rate ORDER BY doc_id
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-source downsampling (domain rebalancing):
+    u = Knuth-multiplicative-hash(doc_id) / 2^32 gives a deterministic
+    uniform draw both engines compute bit-identically (exact BIGINT
+    arithmetic, division by a power of two), compared against a
+    per-source keep rate. One stateless projection + filter — no
+    shuffle, no RNG seed coordination across executors, and re-runs
+    (or incremental arrivals) keep/drop the same documents."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(0.5))
+        .when(F.col("source").isin("src3", "src4", "src5"), F.lit(0.25))
+        .otherwise(F.lit(0.125))
+    )
+    return (
+        d.select("doc_id", "source", u.alias("sample_u"), rate.alias("_rate"))
+        .where(F.col("sample_u") < F.col("_rate"))
+        .select("doc_id", "source", "sample_u")
+        .orderBy("doc_id")
+    )

@@ -191,3 +191,28 @@ def test_ivf_topk_recall(spark, emb):
             for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()}
     recall = len(part & exact) / len(exact)
     assert recall > 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_connected_components_known_graph(spark):
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    # Two components: a path 1-2-3-4 (diameter 3, needs >1 round) and a
+    # pair 10-11; node 20-21 chain merging at 22 exercises min-through.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 22), (21, 22)],
+        ["doc_a", "doc_b"],
+    )
+    got = {(r.node, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_stratified_sample_deterministic(spark):
+    from pipeline_server_spark.queries.llm_ops2 import stratified_sample_documents
+
+    a = stratified_sample_documents(spark, SF_SMALL).collect()
+    b = stratified_sample_documents(spark, SF_SMALL).collect()
+    assert a == b and len(a) > 0
