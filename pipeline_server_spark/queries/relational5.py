@@ -1,0 +1,180 @@
+"""Relational surface, batch 5: the remaining classic TPC-H query
+shapes — disjunctive predicate brackets (Q19), group-share-of-total
+HAVING against a scalar subquery (Q11), argmax-group selection via a
+derived revenue view (Q15), and the multi-party "last shipper" order
+analysis (Q21's join shape on this schema).
+
+Same float discipline as relational.py: money aggregation in exact
+DECIMAL, string-roundtripped to DOUBLE where unscaled sums can exceed
+2^53 (DuckDB's direct decimal→double is 1-ulp off there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+from pipeline_server_spark.queries.relational import dec2, one, rate
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive bracket predicates: three OR'd
+    (brand, size, quantity) windows over the part⨝lineitem join.
+    Catalyst keeps the equi-join key conjunctive (one broadcast hash
+    join on partkey) and evaluates the disjunction as a post-join
+    filter; an IN-list on the three brands is additionally inferred
+    and pushed to the part scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(bracket)
+        .agg(
+            F.sum(dec2("l_extendedprice") * (one() - rate("l_discount")))
+            .cast("string")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "nation_acctbal_concentration",
+    oracle="""
+    WITH v AS (
+      SELECT s_nationkey, SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS val
+      FROM supplier GROUP BY s_nationkey),
+    tot AS (SELECT SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS t FROM supplier)
+    SELECT n_name, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS total_acctbal
+    FROM v JOIN nation ON n_nationkey = s_nationkey, tot
+    WHERE val * 100 > t * 3
+    ORDER BY total_acctbal DESC, n_name
+    """,
+)
+def nation_acctbal_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style concentration check: nations holding > 3% of
+    global supplier account balance. The grand total is a one-row
+    aggregate broadcast into the per-nation HAVING (share compared in
+    exact decimal via cross-multiplication — no decimal division, whose
+    rounding differs between engines)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    v = s.groupBy("s_nationkey").agg(F.sum(dec2("s_acctbal")).alias("val"))
+    tot = s.agg(F.sum(dec2("s_acctbal")).alias("t"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("val") * 100 > F.col("t") * 3)
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("n_name", F.col("val").cast("string").cast("double").alias("total_acctbal"))
+        .orderBy(F.col("total_acctbal").desc(), "n_name")
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey),
+    ranked AS (SELECT l_suppkey, r, RANK() OVER (ORDER BY r DESC) AS rk FROM rev)
+    SELECT s_suppkey, s_name, CAST(CAST(r AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rk = 1 ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    keep the maximum (RANK over the aggregated frame keeps exact-decimal
+    ties, matching Q15's ``= max(total_revenue)`` semantics). The
+    window runs over the already-aggregated per-supplier frame —
+    |suppliers| rows, not |lineitem|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_extendedprice") * (one() - rate("l_discount"))).alias("r"))
+    )
+    ranked = rev.withColumn("rk", F.rank().over(W.orderBy(F.col("r").desc())))
+    return (
+        ranked.where(F.col("rk") == 1)
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("r").cast("string").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "last_shipper_backlog",
+    oracle="""
+    WITH stats AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS mx,
+             COUNT(DISTINCT l_suppkey) AS ns
+      FROM lineitem GROUP BY l_orderkey),
+    last AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN stats ON l.l_orderkey = stats.l_orderkey
+      WHERE l.l_shipdate = stats.mx AND stats.ns >= 2)
+    SELECT s_name, COUNT(*) AS held_orders
+    FROM last JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name ORDER BY held_orders DESC, s_name LIMIT 20
+    """,
+)
+def last_shipper_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's join shape on this schema: in every multi-supplier
+    order, find who shipped the final line (no strictly later shipment
+    exists — ties all count, same rule both engines), then rank
+    suppliers by how many orders they closed out. One groupBy over
+    lineitem for (max shipdate, supplier count), joined back on the
+    order key — the self-join shuffles on l_orderkey once either side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = load_table(spark, sf_dir, "supplier")
+    stats = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"), F.countDistinct("l_suppkey").alias("ns")
+    )
+    last = (
+        li.join(stats, "l_orderkey")
+        .where((F.col("l_shipdate") == F.col("mx")) & (F.col("ns") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        last.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("held_orders"))
+        .orderBy(F.col("held_orders").desc(), "s_name")
+        .limit(20)
+    )
