@@ -230,3 +230,100 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "sample_u")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH RECURSIVE q0 AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+    kept AS (
+      SELECT doc_id, source, text, len(toks) AS n_tokens FROM q0
+      WHERE len(toks) >= 10
+        AND CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+              / GREATEST(LENGTH(text), 1) <= 0.3
+        AND len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) >= 1
+        AND CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+              / GREATEST(LENGTH(text), 1) <= 0.2),
+    toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+    sh_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks2 WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT da AS doc_a, db AS doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT s AS node, s AS r FROM edges
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r),
+    labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    canon AS (
+      SELECT k.doc_id, k.source, k.n_tokens
+      FROM kept k LEFT JOIN labels l ON l.node = k.doc_id
+      WHERE l.node IS NULL OR l.cluster_id = k.doc_id),
+    sampled AS (
+      SELECT * FROM canon
+      WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 <
+            CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.5
+                 WHEN source IN ('src3', 'src4', 'src5') THEN 0.25
+                 ELSE 0.125 END)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY source ORDER BY source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: C4-style hard filters → MinHash-LSH near-dup
+    clustering, keep each cluster's canonical (lowest-id) doc →
+    deterministic per-source downsampling → per-source corpus stats.
+    The composition the individual queries exist for, as one lazily
+    planned DataFrame program: the quality filter prunes before any
+    shuffle, dedup shuffles hashes not text, the sample is a stateless
+    filter, and the final agg is two-phase."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chars = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(["the", "a", "of", "and", "to"])))
+    kept = d.where(
+        (F.size(toks) >= 10)
+        & (upper / n_chars <= 0.3)
+        & (stop_hits >= 1)
+        & (punct / n_chars <= 0.2)
+    ).select("doc_id", "source", "text", F.size(toks).alias("n_tokens"))
+    labels = connected_components(minhash_lsh_dedup_pairs(kept, threshold=0.8))
+    canon = (
+        kept.join(labels, kept["doc_id"] == labels["node"], "left")
+        .where(F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "source", "n_tokens")
+    )
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(0.5))
+        .when(F.col("source").isin("src3", "src4", "src5"), F.lit(0.25))
+        .otherwise(F.lit(0.125))
+    )
+    return (
+        canon.where(u < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

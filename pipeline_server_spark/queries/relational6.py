@@ -1,0 +1,149 @@
+"""Relational surface, batch 6: gaps-and-islands sessionization on
+calendar days, array/map scalar functions, and bitwise scalar
+functions — the remaining §2.7 function families without an
+oracle-checked query.
+
+Array/double note: per-order quantity sums are exact (quantities are
+integral doubles ≤ 50, so addition is order-independent); everything
+else emitted is integer-derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "user_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    tagged AS (
+      SELECT user_id, d,
+             datediff('day', DATE '1995-01-01', d)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+      FROM days),
+    islands AS (
+      SELECT user_id, anchor, COUNT(*) AS len FROM tagged GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_islands, MAX(len) AS longest_streak
+    FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive active days per user via
+    the date-minus-row_number anchor trick — one distinct, one window
+    partitioned by user, two hash aggs, all shuffling the same user_id
+    key (Catalyst reuses the partitioning across the window and both
+    aggregations)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    anchor = (
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        - F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    )
+    islands = (
+        days.select("user_id", "d", anchor.alias("anchor"))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_islands"), F.max("len").alias("longest_streak"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "order_line_array_stats",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           MIN(l_linenumber) AS first_line,
+           MAX(l_linenumber) AS last_line,
+           COUNT(*) FILTER (WHERE l_linenumber = 3) > 0 AS has_line3,
+           MAX(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS q1,
+           SUM(l_quantity) AS qty_total
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def order_line_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map scalar functions over per-order collected lines:
+    sort_array/element_at/array_contains on the linenumber array,
+    map_from_arrays + element_at for keyed lookup, and a higher-order
+    ``aggregate`` lambda for the quantity total (exact: quantities are
+    integral doubles). Line numbers repeat within an order in this
+    dataset, so the collection is built over per-(order, linenumber)
+    pre-aggregates (map keys must be unique). The oracle states the
+    same semantics in plain aggregate SQL — the point here is
+    exercising Spark's collection surface against a collection-free
+    reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_ln = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_quantity").alias("q_max"),
+        F.sum("l_quantity").alias("q_sum"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    g = per_ln.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("q_max").alias("qm"),
+                    F.col("q_sum").alias("qs"),
+                    F.col("c").alias("c"),
+                )
+            )
+        ).alias("lines")
+    )
+    lns = F.col("lines.ln")
+    qmap = F.map_from_arrays(lns, F.col("lines.qm"))
+    return (
+        g.select(
+            "l_orderkey",
+            F.aggregate("lines.c", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+                "n_lines"
+            ),
+            F.element_at(lns, 1).alias("first_line"),
+            F.element_at(lns, -1).alias("last_line"),
+            F.array_contains(lns, F.lit(3)).alias("has_line3"),
+            F.element_at(qmap, F.lit(1)).alias("q1"),
+            F.aggregate("lines.qs", F.lit(0.0), lambda acc, x: acc + x).alias("qty_total"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "bitwise_order_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_mask,
+           o_orderkey | 4096 AS or_mask,
+           xor(o_orderkey, o_custkey) AS xor_key,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def bitwise_order_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: AND/OR/XOR masks, shifts, popcount —
+    pure projection, pushed-column scan."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("and_mask"),
+            k.bitwiseOR(F.lit(4096)).alias("or_mask"),
+            k.bitwiseXOR(F.col("o_custkey")).alias("xor_key"),
+            F.shiftleft(k, 2).alias("shl2"),
+            F.shiftright(k, 3).alias("shr3"),
+            F.bit_count(k).cast("int").alias("popcount"),
+        )
+        .orderBy("o_orderkey")
+    )
