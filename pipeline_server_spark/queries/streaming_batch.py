@@ -192,3 +192,36 @@ def hourly_top_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", "n")
         .orderBy("window_start")
     )
+
+
+@query(
+    "click_purchase_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id AS user_id, purchase_id, purchase_ts, click_id, click_ts
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND purchase_ts >= click_ts
+      AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+    ORDER BY purchase_id, click_id
+    """,
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join (batch twin of the stream-stream join
+    in streaming/windows.py): purchases matched to same-user clicks in
+    the preceding hour. The equality key + bounded time range is what
+    makes the streaming form's state finite under watermarks; the
+    streaming==batch equivalence is asserted in tests/test_streaming.py."""
+    from pipeline_server_spark.streaming.windows import interval_join_events
+
+    e = load_table(spark, sf_dir, "events")
+    joined = interval_join_events(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+    )
+    return joined.orderBy("purchase_id", "click_id")

@@ -65,3 +65,65 @@ def streaming_tumbling_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_events(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Interval (stream-stream capable) join: every purchase matched to
+    the same user's clicks in the preceding ``max_gap`` — the
+    attribution join. The condition is the canonical Spark
+    stream-stream shape (equality on the key + a bounded time range),
+    which lets the engine bound state: with watermarks on both inputs,
+    each side's join state is dropped once the watermark passes
+    ``click_ts + max_gap``. Identical semantics in batch (a range join;
+    AQE picks the physical strategy)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    schema,
+    checkpoint: str,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "attribution",
+):
+    """Two watermarked file-source streams, inner interval join, append
+    sink. ``availableNow`` drains both directories then stops; in
+    production the sources are Kafka topics and the sink a table — the
+    join is unchanged."""
+    clicks = spark.readStream.schema(schema).parquet(clicks_dir).withWatermark("ts", watermark)
+    purchases = (
+        spark.readStream.schema(schema).parquet(purchases_dir).withWatermark("ts", watermark)
+    )
+    joined = interval_join_events(clicks, purchases, max_gap)
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -275,3 +275,32 @@ def test_kafka_reader_options_and_gate(spark):
     else:
         with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
             kafka_cdc_source(spark, "broker:9092", "server1\\..*")
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    from pipeline_server_spark.catalog import load_table
+    from pipeline_server_spark.streaming.windows import (
+        interval_join_events,
+        streaming_interval_join,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+    q = streaming_interval_join(
+        spark, cdir, pdir, spark.read.parquet(cdir).schema,
+        checkpoint=str(tmp_path / "ckpt_ij"), query_name="attr_test",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attr_test").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in interval_join_events(clicks, purchases).collect()
+    }
+    assert got == want and len(want) > 0
