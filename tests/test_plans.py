@@ -91,3 +91,30 @@ def test_asof_join_single_shuffle(spark):
     # union + window: exactly one hash exchange on the by-key
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_disjunctive_brackets_pushed_and_broadcast(spark):
+    """Q19-style OR brackets: the equi-join key must stay a broadcast
+    hash join and the per-table residuals of the disjunction must reach
+    both parquet scans (brand/size → part, quantity-OR → lineitem)."""
+    plan = _plan(spark, "disjunctive_bracket_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    part_scan = plan.split("BroadcastExchange")[1]
+    assert "p_brand" in part_scan  # brand disjunction pushed to part scan
+    assert "l_quantity" in plan.split("FileScan parquet [l_partkey")[1][:400]
+
+
+def test_interval_join_is_equi_with_range_condition(spark):
+    """The stream-stream-capable attribution join must hash-join on the
+    user key with the time range as a residual — never a nested loop."""
+    plan = _plan(spark, "click_purchase_attribution")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "event_type" in plan  # source filters pushed into both scans
+
+
+def test_term_relevance_broadcasts_doc_freq(spark):
+    """The vocabulary-side (df) join must broadcast — never shuffle the
+    (doc, term) side on term."""
+    plan = _plan(spark, "term_relevance_top3")
+    assert "BroadcastHashJoin" in plan
