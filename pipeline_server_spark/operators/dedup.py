@@ -508,3 +508,68 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def band_buckets(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, key) LSH bucket rows for a signature frame —
+    the shared candidate-generation key for self-join (dedup within a
+    corpus) and cross-join (incremental batch vs corpus) uses."""
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_keys).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_lsh_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup — the production ingestion shape: a (small)
+    new batch checked against the (huge) existing corpus without any
+    corpus self-join. Returns (batch_id, corpus_id, jaccard) for every
+    cross pair with Jaccard ≥ threshold.
+
+    The corpus side touches exactly two narrow frames: its bucket rows
+    (16 8-byte keys/doc) and its hashed-shingle arrays — both of which
+    a real deployment PRECOMPUTES and stores alongside the corpus, so
+    per-increment cost is O(|batch| + matched corpus rows): bucket rows
+    of the batch equi-join into the corpus bucket index (broadcast-able
+    when the batch is small), and only candidate corpus docs ship their
+    shingle arrays to verification."""
+    hc = hashed_shingle_arrays(corpus, id_col, text_col, n)
+    hb = hashed_shingle_arrays(batch, id_col, text_col, n).cache()
+    hb.count()
+    rpb = num_perm // bands
+    bc = band_buckets(minhash_signatures_from_arrays(hc, num_perm), bands, rpb)
+    bb = band_buckets(minhash_signatures_from_arrays(hb, num_perm), bands, rpb)
+    cand = (
+        bb.select(F.col("doc_id").alias("batch_id"), "band", "key")
+        .join(bc.select(F.col("doc_id").alias("corpus_id"), "band", "key"), ["band", "key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    a = hb.select(F.col("doc_id").alias("batch_id"), F.col("hs").alias("sh_a"))
+    b = hc.select(F.col("doc_id").alias("corpus_id"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "batch_id")
+        .join(b, "corpus_id")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

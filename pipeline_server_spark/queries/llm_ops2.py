@@ -327,3 +327,171 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                 GREATEST(len(string_split(text, ' ')) - 3, 1)), ' ') AS text
+      FROM documents WHERE doc_id < 50),
+    tc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch),
+    shc_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM tc WHERE len(t) >= 3),
+    shb_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM tb WHERE len(t) >= 3),
+    shc AS (SELECT DISTINCT doc_id, shingle FROM shc_raw WHERE shingle <> ''),
+    shb AS (SELECT DISTINCT doc_id, shingle FROM shb_raw WHERE shingle <> ''),
+    szc AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+    szb AS (SELECT doc_id, COUNT(*) AS sz FROM shb GROUP BY doc_id),
+    inter AS (
+      SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS i
+      FROM shb b JOIN shc c ON b.shingle = c.shingle
+      GROUP BY 1, 2)
+    SELECT bid AS batch_id, cid AS corpus_id,
+           CAST(i AS DOUBLE) / CAST(sb.sz + sc.sz - i AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN szb sb ON sb.doc_id = bid
+      JOIN szc sc ON sc.doc_id = cid
+    WHERE CAST(i AS DOUBLE) / CAST(sb.sz + sc.sz - i AS DOUBLE) >= 0.8
+    ORDER BY batch_id, corpus_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a synthetic arrival batch (first 50
+    docs, last 3 words dropped, ids shifted +2M) is checked against the
+    full corpus via LSH bucket cross-join + exact verify — no corpus
+    self-join, corpus artifacts precomputable. Oracle = the exact
+    cross-Jaccard join; truncation keeps J ≈ 0.97 against each doc's
+    original (prefix shingles survive), where 16×4 banding has ≈1
+    recall."""
+    from pipeline_server_spark.operators.dedup import minhash_lsh_incremental_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    batch = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    return (
+        minhash_lsh_incremental_pairs(d, batch, threshold=0.8)
+        .orderBy("batch_id", "corpus_id")
+    )
+
+
+@query(
+    "eval_contamination_flags",
+    oracle="""
+    WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+    tr AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+    te AS (SELECT doc_id, string_split(text, ' ') AS t FROM ev),
+    tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM tr),
+    she_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 6),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                         || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+      FROM te WHERE len(t) >= 8),
+    sht_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 6),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                         || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+      FROM tt WHERE len(t) >= 8),
+    she AS (SELECT DISTINCT g FROM she_raw WHERE g <> ''),
+    sht AS (SELECT DISTINCT doc_id, g FROM sht_raw WHERE g <> ''),
+    hits AS (
+      SELECT t.doc_id, COUNT(DISTINCT t.g) AS n
+      FROM sht t JOIN she e ON t.g = e.g GROUP BY t.doc_id)
+    SELECT tr.doc_id, COALESCE(n, 0) AS n_shared_grams, COALESCE(n, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN hits ON hits.doc_id = tr.doc_id
+    ORDER BY tr.doc_id
+    """,
+)
+def eval_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM style): flag every training
+    document sharing any 8-gram with a held-out eval set (here the first
+    50 docs — the planted near-dup partners make real hits). The eval side reduces to a distinct-gram set
+    (broadcast-able: eval suites are tiny); the train side streams its
+    grams through one equi-join — never an all-pairs comparison."""
+    from pipeline_server_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 50)
+    tr = d.where(F.col("doc_id") >= 50)
+    eval_grams = shingles(ev, n=8).select("shingle").distinct()
+    hits = (
+        shingles(tr, n=8)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n"))
+    )
+    return (
+        tr.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "domain_blocklist_stats",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' http://' || source ||
+             CASE doc_id % 3 WHEN 0 THEN '.example.com'
+                             WHEN 1 THEN '.example.org'
+                             ELSE '.example.net' END ||
+             '/p/' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents),
+    ex AS (
+      SELECT doc_id, regexp_extract(t, 'http://([A-Za-z0-9.-]+)/', 1) AS domain
+      FROM planted)
+    SELECT domain, COUNT(*) AS n_docs,
+           domain LIKE '%.net' AS blocked
+    FROM ex GROUP BY domain ORDER BY domain
+    """,
+)
+def domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain filtering (C4's first pass): extract the host from
+    planted URLs, aggregate per domain, flag blocklisted TLDs — regex
+    projection + one small hash agg (domains ≪ documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" http://"),
+            F.col("source"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(".example.org"))
+            .otherwise(F.lit(".example.net")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    ex = planted.select(
+        "doc_id", F.regexp_extract("t", "http://([A-Za-z0-9.-]+)/", 1).alias("domain")
+    )
+    return (
+        ex.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("domain", "n_docs", F.col("domain").endswith(".net").alias("blocked"))
+        .orderBy("domain")
+    )
