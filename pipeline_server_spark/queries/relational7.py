@@ -1,0 +1,138 @@
+"""Relational surface, batch 7: extended string scalars, blocked
+fuzzy (edit-distance) matching, and the skew-salted aggregation path
+under the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "string_functions_extra",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '12345') AS name_translated,
+           reverse(p_brand) AS brand_reversed,
+           left(p_name, 5) AS name_left5,
+           right(p_name, 5) AS name_right5,
+           CAST(ascii(p_name) AS INT) AS first_char_code,
+           repeat(p_brand, 2) AS brand_doubled,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a_pos,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(starts_with(p_name, 'b') AS BOOLEAN) AS starts_b
+    FROM part ORDER BY p_partkey
+    """,
+)
+def string_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-scalar family: translate/reverse/left/right/ascii/
+    repeat/position/lpad/startswith — pure projection."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.translate("p_name", "aeiou", "12345").alias("name_translated"),
+            F.reverse("p_brand").alias("brand_reversed"),
+            F.substring("p_name", 1, 5).alias("name_left5"),
+            F.substring("p_name", -5, 5).alias("name_right5"),
+            F.ascii("p_name").cast("int").alias("first_char_code"),
+            F.repeat("p_brand", 2).alias("brand_doubled"),
+            F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a_pos"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.col("p_name").startswith("b").alias("starts_b"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: name pairs within edit distance 1, via
+    pigeonhole blocking — equal-length strings one substitution apart
+    must agree on the first OR the second half, so candidates come from
+    two equi-joins ((len, first-half) and (len, second-half)) instead
+    of the n² cross join the oracle states; ``levenshtein`` verifies.
+    The restriction to 300 keys only bounds the oracle's quadratic
+    form — the Spark plan never goes quadratic."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    keyed = c.select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").alias("_len"),
+        F.substring(F.col("c_name"), 1, 9).alias("_h1"),
+        F.expr("substring(c_name, 10)").alias("_h2"),
+    )
+    cands = None
+    for blk in ("_h1", "_h2"):
+        a = keyed.select(
+            F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
+            F.col("_len").alias("_la"), F.col(blk).alias("_b"),
+        )
+        b = keyed.select(
+            F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
+            F.col("_len").alias("_lb"), F.col(blk).alias("_b"),
+        )
+        j = a.join(b, ["_b"]).where(
+            (F.col("key_a") < F.col("key_b")) & (F.col("_la") == F.col("_lb"))
+        ).select("key_a", "key_b", "name_a", "name_b")
+        cands = j if cands is None else cands.unionByName(j)
+    return (
+        cands.distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .where(F.col("dist") <= 1)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "salted_event_value_totals",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def salted_event_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted aggregation path under the driver gate:
+    event_type has only 5 values (extreme key skew at fleet scale), so
+    the totals run through salted two-phase aggregation — phase 1 on
+    (key, salt) spreads each hot key over 16 reducers, phase 2
+    recombines. DECIMAL partials make the result bit-identical to the
+    unsalted plan the oracle states."""
+    from pipeline_server_spark.operators.scale import salted_agg_sum
+
+    e = load_table(spark, sf_dir, "events")
+    sums = salted_agg_sum(
+        e, ["event_type"], F.col("value").cast("decimal(12,4)"), "value_sum_dec", buckets=16
+    )
+    counts = salted_agg_sum(
+        e, ["event_type"], F.lit(1).cast("bigint"), "n_events", buckets=16
+    )
+    return (
+        counts.join(sums, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("value_sum_dec").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
