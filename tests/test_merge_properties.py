@@ -87,3 +87,40 @@ def test_staged_swap_write_replaces_and_cleans(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == [100, 101, 102, 103, 104]
     # no staging/old leftovers beside the target
     assert os.listdir(str(tmp_path)) == ["t"]
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a reference union-find
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # full path compression, then label = min of component == root (roots
+    # are always the min because unions always point larger at smaller)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=25))
+def test_connected_components_matches_union_find(spark, edges):
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == _uf_components(edges)
