@@ -136,3 +136,70 @@ def salted_event_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "recursive_daily_cumulative",
+    oracle="""
+    WITH RECURSIVE days(d, mx) AS (
+      SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) FROM events
+      UNION ALL
+      SELECT d + 1, mx FROM days WHERE d < mx),
+    per_day AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CAST(SUM(COALESCE(n, 0)) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+    FROM days LEFT JOIN per_day USING (d) ORDER BY day
+    """,
+)
+def recursive_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily cumulative built on Spark's engine-native
+    recursive CTE (Spark >= 4.0): the anchor derives the date bounds,
+    the recursive member extends one day per level (UNION ALL — linear
+    recursion, terminates at the carried max), then a left join fills
+    silent days with zero before the running total. The declarative
+    twin of ``daily_event_spine``'s sequence() approach."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_ev_rec")
+    return spark.sql("""
+        WITH RECURSIVE days(d, mx) AS (
+          SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) FROM _ev_rec
+          UNION ALL
+          SELECT date_add(d, 1), mx FROM days WHERE d < mx),
+        per_day AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM _ev_rec GROUP BY 1)
+        SELECT date_format(d, 'yyyy-MM-dd') AS day,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               CAST(SUM(COALESCE(n, 0)) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+        FROM days LEFT JOIN per_day USING (d) ORDER BY day
+    """)
+
+
+@query(
+    "schema_drift_union",
+    oracle="""
+    WITH old_batch AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    new_batch AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority FROM old_batch
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, priority FROM new_batch
+    ORDER BY o_orderkey
+    """,
+)
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on ingest: an old batch (no ``priority``
+    column) unions with a drifted new batch via
+    ``unionByName(allowMissingColumns=True)`` — missing columns
+    null-fill instead of failing the pipeline, the standard
+    forward-compatible ingest posture. The oracle states the NULL
+    padding explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    old_batch = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new_batch = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).orderBy("o_orderkey")
