@@ -203,3 +203,85 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
     )
     return old_batch.unionByName(new_batch, allowMissingColumns=True).orderBy("o_orderkey")
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+           COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    ORDER BY column_name
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style data quality monitoring): one
+    scan computes row/null/distinct counts for every column, unpivoted
+    to a (column, stats) row per column — the oracle states the same
+    result as six separate aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = sorted(o.columns)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd" for c in cols
+    )
+    return (
+        wide.selectExpr(
+            "_rows",
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+        )
+        .select(
+            "column_name",
+            F.col("_rows").alias("n_rows"),
+            "n_nulls",
+            "n_distinct",
+        )
+        .orderBy("column_name")
+    )
+
+
+@query(
+    "totalprice_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (distribution monitoring): bucket by
+    floor division, count plus exact min/max per bucket — one two-phase
+    hash agg, no sort until the final tiny result."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 20000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
