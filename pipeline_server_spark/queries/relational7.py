@@ -285,3 +285,38 @@ def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "last_purchase_value_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events ORDER BY event_id
+    """,
+)
+def last_purchase_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-filling (last-observation-carried-forward): every event
+    carries the user's most recent purchase value via IGNORE NULLS
+    last() over a running frame — one window pass partitioned on the
+    user key, NULL until the first purchase. The standard feature-
+    engineering fill for sparse signals."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.last(v, ignorenulls=True).over(w).alias("last_purchase_value"),
+        )
+        .orderBy("event_id")
+    )

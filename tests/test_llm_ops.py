@@ -216,3 +216,22 @@ def test_stratified_sample_deterministic(spark):
     a = stratified_sample_documents(spark, SF_SMALL).collect()
     b = stratified_sample_documents(spark, SF_SMALL).collect()
     assert a == b and len(a) > 0
+
+
+def test_new_operators_empty_input_edges(spark):
+    from pyspark.sql import types as T
+    from pipeline_server_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_incremental_pairs,
+    )
+
+    empty_pairs = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc_a", T.LongType()),
+                          T.StructField("doc_b", T.LongType())]))
+    assert connected_components(empty_pairs).count() == 0
+
+    docs_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                                T.StructField("text", T.StringType())])
+    corpus = spark.createDataFrame([(1, "a b c d e"), (2, "f g h i j")], docs_schema)
+    empty_batch = spark.createDataFrame([], docs_schema)
+    assert minhash_lsh_incremental_pairs(corpus, empty_batch).count() == 0
