@@ -495,3 +495,88 @@ def domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("domain", "n_docs", F.col("domain").endswith(".net").alias("blocked"))
         .orderBy("domain")
     )
+
+
+@query(
+    "embedding_quantization_stats",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    rng AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM base),
+    q AS (
+      SELECT vec_id, mn, mx,
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE CAST(list_sum(list_transform(v,
+                       x -> CAST(LEAST(FLOOR((x - mn) / ((mx - mn) / 255.0)), 255) AS BIGINT)))
+                       AS BIGINT) END AS qsum,
+             len(list_filter(v, x -> x = mx)) AS n_at_max
+      FROM rng)
+    SELECT vec_id, mn, mx, qsum, CAST(n_at_max AS BIGINT) AS n_at_max
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization of embeddings (the storage/ANN
+    compression step): per-vector min/max range, the sum of quantized
+    codes (an integer checksum both engines reproduce bit-exactly —
+    per-element float ops are IEEE-identical, and the cross-element
+    reduction happens over integers), and the count of elements pinned
+    at the max code. Pure per-row array lambdas — no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", v.alias("v"))
+    rng = base.select(
+        "vec_id", "v", F.array_min("v").alias("mn"), F.array_max("v").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = lambda x: F.least(F.floor((x - F.col("mn")) / scale), F.lit(255)).cast("bigint")  # noqa: E731
+    return (
+        rng.select(
+            "vec_id",
+            "mn",
+            "mx",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.aggregate(
+                    F.transform("v", code), F.lit(0).cast("bigint"), lambda a, b: a + b
+                )
+            )
+            .alias("qsum"),
+            F.size(F.filter("v", lambda x: x == F.col("mx"))).cast("bigint").alias("n_at_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "frame_sampling_plan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, text FROM documents)
+    SELECT doc_id,
+           CAST(FLOOR(n_bytes / 16.0) AS INT) AS n_frames,
+           CAST(GREATEST(FLOOR(n_bytes / 16.0), 1) AS INT) AS n_sampled,
+           substring(text, 1, 1) AS first_frame
+    FROM m ORDER BY doc_id
+    """,
+)
+def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing contract (video stand-in): every 16th
+    byte of the payload is a 'frame'; the query checks the sampling
+    arithmetic and the first sampled frame through the real binary
+    column + JVM slice path (`operators/multimodal.py::frame_sample`).
+    Codec decode stays behind the declared stub gate."""
+    from pipeline_server_spark.operators.multimodal import attach_binary_payload, frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    sampled = frame_sample(attach_binary_payload(d), stride=16)
+    return (
+        sampled.select(
+            "doc_id",
+            F.col("n_frames").cast("int").alias("n_frames"),
+            F.size("frames").cast("int").alias("n_sampled"),
+            F.element_at("frames", 1).alias("first_frame"),
+        )
+        .orderBy("doc_id")
+    )
