@@ -11,6 +11,8 @@ the same surface over ``http.server`` wrapping the Engine facade:
 - ``GET /datasets``            list registered names
 - ``DELETE /dataset?name=``    deregister
 - ``GET /dataset/status?name=`` run/status log rows
+- ``GET /dataset/data?pipelinetoken=``  retrieve a transformed batch
+  (requires ``destination.save_transformed``; L13 temp CSV)
 - ``POST /dataset/upload?dataset=&publishertoken=``  land a raw file
   under the reference's naming convention and run the ingest lifecycle
   (the S3-event → pipeline loop, collapsed to a synchronous call)
@@ -91,6 +93,7 @@ def config_from_dict(d: dict) -> DatasetConfig:
             key_fields=tuple(dst.get("key_fields", ())),
             partition_by=tuple(dst.get("partition_by", ())),
             delete_before_write=dst.get("delete_before_write", False),
+            save_transformed=dst.get("save_transformed", False),
         ),
         parity_mode=d.get("parity_mode", False),
     )
@@ -214,6 +217,8 @@ class PipelineApiServer:
             if method == "DELETE" and path == "/dataset":
                 self.engine.deregister(q["name"])
                 return 200, {"deleted": q["name"]}
+            if method == "GET" and path == "/dataset/data":
+                return 200, {"rows": self.engine.retrieve(q["pipelinetoken"])}
             if method == "GET" and path == "/dataset/status":
                 rows = self.engine.status(q.get("name")).collect()
                 return 200, {"status": [r.asDict() for r in rows]}

@@ -43,6 +43,8 @@ class Engine:
         self._configs: dict[str, DatasetConfig] = {}
         self._status_rows: list[dict[str, Any]] = []
         self._notification_rows: list[dict[str, Any]] = []
+        # L13: pipeline_token → temp CSV dir for the data-retrieval API
+        self._temp_outputs: dict[str, str] = {}
 
     # -- control plane ----------------------------------------------------
 
@@ -69,16 +71,35 @@ class Engine:
         config = self._configs[name]
         token = pipeline_token(name)
         self._log_status(name, token, "begin", "info", "ingest started")
+        temp_csv = None
+        if config.destination.save_transformed:
+            temp_csv = os.path.join(self.warehouse, "_temp_retrieval", name, token)
         try:
-            result = run_dataset(self.spark, config, paths)
+            result = run_dataset(self.spark, config, paths, temp_csv_path=temp_csv)
         except Exception as e:
             self._log_status(name, token, "end", "error", str(e)[:500])
             raise
         self._log_status(name, token, "end", "info", f"rows={result.rows_written}")
         if config.destination.path:
             self._notify(name, token, config.destination.path)
+        if temp_csv is not None:
+            self._temp_outputs[token] = temp_csv
         result.details["pipeline_token"] = token
         return result
+
+    def retrieve(self, token: str) -> list[str]:
+        """GET /dataset/data?pipelinetoken= — the transformed batch back
+        as raw CSV lines from the token-addressed temp output
+        (FileUploadAPIController / DataFrameUtil.scala:77-106). Raises
+        KeyError for an unknown token (404 at the API layer)."""
+        import glob
+
+        path = self._temp_outputs[token]
+        lines: list[str] = []
+        for part in sorted(glob.glob(os.path.join(path, "part-*"))):
+            with open(part, encoding="utf-8") as fh:
+                lines.extend(ln.rstrip("\n") for ln in fh if ln != "\n")
+        return lines
 
     def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:
         """Arbitrary SQL over the registered lake tables — the stand-in

@@ -107,6 +107,10 @@ class DestinationConfig:
     key_fields: tuple[str, ...] = ()  # MERGE keys — DatasetConfig.scala:138,148
     partition_by: tuple[str, ...] = ()
     delete_before_write: bool = False  # ObjectStoreLoader.scala:146-158
+    # L13 — also write the transformed batch as a token-addressed temp
+    # CSV for the data-retrieval API (DatasetConfig.scala:134,
+    # DataFrameUtil.scala:77-106)
+    save_transformed: bool = False
 
 
 @dataclass(frozen=True)

@@ -45,8 +45,13 @@ def build_dataframe(spark: SparkSession, config: DatasetConfig,
 
 
 def run_dataset(spark: SparkSession, config: DatasetConfig,
-                paths: str | list[str]) -> RunResult:
-    """Execute the full lifecycle; raises DataQualityError on DQ abort."""
+                paths: str | list[str],
+                temp_csv_path: str | None = None) -> RunResult:
+    """Execute the full lifecycle; raises DataQualityError on DQ abort.
+
+    ``temp_csv_path`` (set by the engine when the destination has
+    ``save_transformed``) additionally writes the transformed batch as
+    headerless CSV for the data-retrieval API (L13)."""
     config = validate_config(config)
 
     if config.source.file.file_type == "unstructured":
@@ -79,6 +84,11 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
 
     staged = transform(raw, config.transformation, config.destination.fields, config.parity_mode)
     staged = conform_to_schema(staged, config.destination.fields, config.parity_mode)
+
+    if temp_csv_path is not None:
+        from pipeline_server_spark.pipeline.writers import write_temp_csv
+
+        write_temp_csv(staged, temp_csv_path)
 
     if config.destination.path is None:
         # dry-run/materialize-free mode: count only

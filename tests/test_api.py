@@ -158,3 +158,22 @@ def test_raw_upload_filename_shape():
         "ds", "csv", None, datetime.datetime(2024, 6, 1, 10, 20, 30, 123000), 99
     )
     assert name == "ds.2024-06-01.10-20-30-123.99.dataset.csv"
+
+
+def test_data_retrieval_roundtrip(spark, server):
+    srv, tmp_path = server
+    cfg = _order_config(tmp_path)
+    cfg["name"] = "api_retrieval"
+    cfg["destination"]["path"] = str(tmp_path / "out" / "api_retrieval")
+    cfg["destination"]["save_transformed"] = True
+    _call(srv.port, "POST", "/dataset", json.dumps(cfg).encode())
+    csv = b"id,amount\n1,10.5\n2,20.0\n"
+    _, out = _call(srv.port, "POST", "/dataset/upload?dataset=api_retrieval", csv)
+    token = out["pipeline_token"]
+    status, data = _call(srv.port, "GET", f"/dataset/data?pipelinetoken={token}")
+    assert status == 200
+    assert sorted(data["rows"]) == ["1,10.5", "2,20.0"]
+    # unknown token → 404
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _call(srv.port, "GET", "/dataset/data?pipelinetoken=nope")
+    assert exc.value.code == 404
