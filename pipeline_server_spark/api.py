@@ -13,6 +13,10 @@ the same surface over ``http.server`` wrapping the Engine facade:
 - ``GET /dataset/status?name=`` run/status log rows
 - ``GET /dataset/data?pipelinetoken=``  retrieve a transformed batch
   (requires ``destination.save_transformed``; L13 temp CSV)
+- ``POST /subscription?dataset=``  subscribe to load notifications
+  (glob filter — the SNS filter-policy analog, L14)
+- ``GET /subscriptions`` / ``DELETE /subscription?id=``
+- ``GET /subscription/notifications?id=``  matched deliveries
 - ``POST /dataset/upload?dataset=&publishertoken=``  land a raw file
   under the reference's naming convention and run the ingest lifecycle
   (the S3-event → pipeline loop, collapsed to a synchronous call)
@@ -219,6 +223,15 @@ class PipelineApiServer:
                 return 200, {"deleted": q["name"]}
             if method == "GET" and path == "/dataset/data":
                 return 200, {"rows": self.engine.retrieve(q["pipelinetoken"])}
+            if method == "POST" and path == "/subscription":
+                return 200, {"subscription_id": self.engine.subscribe(q.get("dataset", "*"))}
+            if method == "GET" and path == "/subscriptions":
+                return 200, {"subscriptions": self.engine.subscriptions()}
+            if method == "DELETE" and path == "/subscription":
+                self.engine.unsubscribe(q["id"])
+                return 200, {"deleted": q["id"]}
+            if method == "GET" and path == "/subscription/notifications":
+                return 200, {"notifications": self.engine.deliveries(q["id"])}
             if method == "GET" and path == "/dataset/status":
                 rows = self.engine.status(q.get("name")).collect()
                 return 200, {"status": [r.asDict() for r in rows]}

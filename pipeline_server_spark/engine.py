@@ -45,6 +45,9 @@ class Engine:
         self._notification_rows: list[dict[str, Any]] = []
         # L13: pipeline_token → temp CSV dir for the data-retrieval API
         self._temp_outputs: dict[str, str] = {}
+        # L14/S11: subscription_id → dataset glob pattern (the SNS
+        # filter-policy analog — SubscriptionAPIController.scala:35-117)
+        self._subscriptions: dict[str, str] = {}
 
     # -- control plane ----------------------------------------------------
 
@@ -86,6 +89,30 @@ class Engine:
             self._temp_outputs[token] = temp_csv
         result.details["pipeline_token"] = token
         return result
+
+    def subscribe(self, dataset_pattern: str) -> str:
+        """Register a notification subscription (glob on dataset name —
+        the SNS filter-policy analog). Returns the subscription id."""
+        import uuid
+
+        sub_id = str(uuid.uuid4())
+        self._subscriptions[sub_id] = dataset_pattern
+        return sub_id
+
+    def subscriptions(self) -> dict[str, str]:
+        return dict(self._subscriptions)
+
+    def unsubscribe(self, sub_id: str) -> None:
+        del self._subscriptions[sub_id]
+
+    def deliveries(self, sub_id: str) -> list[dict[str, Any]]:
+        """Notifications matching a subscription's dataset pattern —
+        what SNS would have delivered to that subscriber."""
+        import fnmatch
+
+        pattern = self._subscriptions[sub_id]
+        return [r for r in self._notification_rows
+                if fnmatch.fnmatch(r["dataset"], pattern)]
 
     def retrieve(self, token: str) -> list[str]:
         """GET /dataset/data?pipelinetoken= — the transformed batch back

@@ -177,3 +177,28 @@ def test_data_retrieval_roundtrip(spark, server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _call(srv.port, "GET", "/dataset/data?pipelinetoken=nope")
     assert exc.value.code == 404
+
+
+def test_subscription_lifecycle_and_delivery(spark, server):
+    srv, tmp_path = server
+    cfg = _order_config(tmp_path)
+    cfg["name"] = "api_subs"
+    cfg["destination"]["path"] = str(tmp_path / "out" / "api_subs")
+    _call(srv.port, "POST", "/dataset", json.dumps(cfg).encode())
+    _, sub = _call(srv.port, "POST", "/subscription?dataset=api_*")
+    _, other = _call(srv.port, "POST", "/subscription?dataset=nomatch_*")
+    _, listed = _call(srv.port, "GET", "/subscriptions")
+    assert sub["subscription_id"] in listed["subscriptions"]
+    _call(srv.port, "POST", "/dataset/upload?dataset=api_subs",
+          b"id,amount\n1,1.0\n")
+    _, hits = _call(
+        srv.port, "GET",
+        f"/subscription/notifications?id={sub['subscription_id']}")
+    assert [n["dataset"] for n in hits["notifications"]] == ["api_subs"]
+    _, misses = _call(
+        srv.port, "GET",
+        f"/subscription/notifications?id={other['subscription_id']}")
+    assert misses["notifications"] == []
+    _call(srv.port, "DELETE", f"/subscription?id={sub['subscription_id']}")
+    _, listed2 = _call(srv.port, "GET", "/subscriptions")
+    assert sub["subscription_id"] not in listed2["subscriptions"]
