@@ -320,3 +320,34 @@ def last_purchase_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "customers_with_all_priorities",
+    oracle="""
+    WITH n AS (SELECT COUNT(DISTINCT o_orderpriority) AS total FROM orders)
+    SELECT o_custkey AS c_custkey,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders, n
+    GROUP BY o_custkey, n.total
+    HAVING COUNT(DISTINCT o_orderpriority) = n.total
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the "for all" query): customers who have
+    placed orders at EVERY priority level — per-customer distinct count
+    matched against the broadcast global distinct count, the standard
+    division-by-counting rewrite (no correlated NOT EXISTS double
+    negation)."""
+    o = load_table(spark, sf_dir, "orders")
+    total = o.agg(F.countDistinct("o_orderpriority").alias("total"))
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .where(F.col("n_priorities") == F.col("total"))
+        .select(F.col("o_custkey").alias("c_custkey"), "n_priorities")
+        .orderBy("c_custkey")
+    )

@@ -93,3 +93,36 @@ def streaming_running_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_within_watermark(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint: str,
+    keys: list[str],
+    event_time_col: str = "ts",
+    watermark: str = "2 hours",
+    query_name: str = "wm_dedup",
+):
+    """Engine-native bounded-state dedup:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes it — the production answer when duplicates
+    arrive close together (CDC replays, at-least-once sources) and the
+    seen-set must not grow forever. Contrast with
+    ``streaming_exact_dedup`` (exact, unbounded, sharded custom state):
+    this one trades global exactness for O(watermark-window) state."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -79,3 +79,26 @@ def test_streaming_running_totals(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_dedup_within_watermark_drops_in_window_duplicates(spark, tmp_path):
+    from pipeline_server_spark.catalog import load_table
+    from pipeline_server_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    # plant exact duplicates (same event_id, same ts → inside any watermark)
+    dup = events.limit(50)
+    src = str(tmp_path / "wm_src")
+    events.unionByName(dup).write.parquet(src)
+    q = streaming_dedup_within_watermark(
+        spark, src, spark.read.parquet(src).schema,
+        checkpoint=str(tmp_path / "wm_ckpt"), keys=["event_id"],
+        query_name="wm_dedup_test",
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM wm_dedup_test").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicates survived"
+    assert len(ids) == events.count(), "rows lost"
