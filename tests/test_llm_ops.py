@@ -98,10 +98,39 @@ def test_embedding_lsh_dedup_matches_exact_kernel(spark, emb):
     exact = {(r.vec_a, r.vec_b) for r in
              embedding_near_dup_pairs(aug, 0.99, dim=64).select("vec_a", "vec_b").collect()}
     lsh = {(r.vec_a, r.vec_b) for r in
-           embedding_near_dup_pairs_lsh(aug, 0.99, tables=4, planes=8)
+           embedding_near_dup_pairs_lsh(aug, 0.99)  # auto-sized planes/tables
            .select("vec_a", "vec_b").collect()}
     assert exact == lsh
     assert len(exact) == 50  # the planted copies
+
+
+def test_near_dup_lsh_params_bounded_buckets(spark, emb):
+    """Granularity must be data-dependent: expected bucket size
+    n/2^planes stays ≤ 2×target at wildly different corpus sizes, and
+    the per-pair miss bound holds by construction (tables formula).
+    Empirically, bucketing two different-size corpora keeps the max
+    observed bucket within a small multiple of target."""
+    from pipeline_server_spark.operators.similarity import (
+        lsh_table_buckets, near_dup_lsh_params)
+
+    for n in (550, 50_000, 1_000_000, 1_000_000_000):
+        planes, tables = near_dup_lsh_params(n, threshold=0.99, target_bucket=128)
+        expected = n / 2**planes
+        assert expected <= 2 * 128 or planes == 24, (n, planes, expected)
+        assert 2 <= tables <= 16
+    # larger corpus ⇒ strictly more planes (finer buckets)
+    p_small, _ = near_dup_lsh_params(550, 0.99, 128)
+    p_big, _ = near_dup_lsh_params(1_000_000, 0.99, 128)
+    assert p_big > p_small
+
+    # empirical: bucket the real corpus at its auto size — max bucket
+    # stays within 8× target (hyperplane buckets are not uniform, but
+    # must not collapse into one giant bucket)
+    n = emb.count()
+    planes, tables = near_dup_lsh_params(n, 0.99, 128)
+    b = lsh_table_buckets(emb, tables=tables, planes=planes)
+    sizes = b.groupBy("table", "bucket").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 8 * 128, sizes
 
 
 def test_multitable_lsh_topk_recall(spark, emb):
