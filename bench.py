@@ -40,6 +40,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_scores",
     "token_count_stats",
+    # heavy round-2 additions (round-2 verdict: make their regressions
+    # visible round-over-round)
+    "corpus_curation_pipeline",
+    "dedup_incremental_batch",
+    "click_purchase_attribution",
 ]
 
 

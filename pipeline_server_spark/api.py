@@ -54,6 +54,10 @@ from pipeline_server_spark.pipeline.config import (
 API_VERSION = "2.3.6-spark"  # parity target: reference v2.3.6
 
 
+class _BadRequest(Exception):
+    """Client error: missing/invalid request parameters → HTTP 400."""
+
+
 # ---------------------------------------------------------------------------
 # config JSON <-> dataclasses
 # ---------------------------------------------------------------------------
@@ -107,15 +111,37 @@ def config_from_dict(d: dict) -> DatasetConfig:
 # upload naming + config generation
 # ---------------------------------------------------------------------------
 
+_millis_lock = threading.Lock()
+_last_millis = 0
+
+
+def _monotonic_millis(now: _dt.datetime) -> int:
+    """Epoch millis, strictly increasing per process: two uploads in
+    the same millisecond must NOT share a landing filename (the raw
+    file would be overwritten before ingest — a lost update under
+    concurrent POST /dataset/upload)."""
+    global _last_millis
+    with _millis_lock:
+        ms = max(int(now.timestamp() * 1000), _last_millis + 1)
+        _last_millis = ms
+        return ms
+
+
 def raw_upload_filename(dataset: str, extension: str,
                         publisher_token: str | None = None,
                         now: _dt.datetime | None = None,
                         millis: int | None = None) -> str:
     """FileUploadAPIController.scala:58-73 naming:
-    ``[dataset](.[publishertoken]).[yyyy-MM-dd.HH-mm-ss-SSS].[millis].dataset.[ext]``."""
-    now = now or _dt.datetime.utcnow()
+    ``[dataset](.[publishertoken]).[yyyy-MM-dd.HH-mm-ss-SSS].[millis].dataset.[ext]``.
+
+    One timestamp drives BOTH the formatted date and the epoch-millis
+    segment, so the two can never disagree across a second boundary
+    (round-2 advice fix; also drops deprecated ``utcnow``); the millis
+    segment is process-monotonic so concurrent uploads never collide
+    on a filename."""
+    now = now or _dt.datetime.now(_dt.timezone.utc)
     date = now.strftime("%Y-%m-%d.%H-%M-%S-") + f"{now.microsecond // 1000:03d}"
-    millis = millis if millis is not None else int(time.time() * 1000)
+    millis = millis if millis is not None else _monotonic_millis(now)
     token_part = f".{publisher_token}" if publisher_token else ""
     return f"{dataset}{token_part}.{date}.{millis}.dataset.{extension}"
 
@@ -204,9 +230,24 @@ class PipelineApiServer:
 
     def handle(self, method: str, path: str, query: dict[str, list[str]],
                body: bytes, headers) -> tuple[int, dict]:
-        if self.api_key is not None and headers.get("x-api-key") != self.api_key:
-            return 401, {"error": "invalid or missing x-api-key"}
+        if self.api_key is not None:
+            # constant-time compare: a plain != leaks key length/prefix
+            # timing (round-2 advice fix)
+            import hmac as _hmac
+
+            supplied = headers.get("x-api-key") or ""
+            if not _hmac.compare_digest(supplied, self.api_key):
+                return 401, {"error": "invalid or missing x-api-key"}
         q = {k: v[0] for k, v in query.items()}
+
+        def need(*names: str) -> list[str]:
+            # missing required query params are CLIENT errors (400),
+            # not 404s — 404 is reserved for unknown resources
+            missing = [n for n in names if n not in q]
+            if missing:
+                raise _BadRequest(f"missing required query parameter(s): {', '.join(missing)}")
+            return [q[n] for n in names]
+
         try:
             if method == "GET" and path == "/version":
                 return 200, {"version": API_VERSION}
@@ -215,44 +256,63 @@ class PipelineApiServer:
                 registered = self.engine.register(cfg)
                 return 200, {"registered": registered.name}
             if method == "GET" and path == "/dataset":
-                return 200, config_to_dict(self.engine.get(q["name"]))
+                (name,) = need("name")
+                return 200, config_to_dict(self.engine.get(name))
             if method == "GET" and path == "/datasets":
                 return 200, {"datasets": self.engine.datasets()}
             if method == "DELETE" and path == "/dataset":
-                self.engine.deregister(q["name"])
-                return 200, {"deleted": q["name"]}
+                (name,) = need("name")
+                self.engine.deregister(name)
+                return 200, {"deleted": name}
             if method == "GET" and path == "/dataset/data":
-                return 200, {"rows": self.engine.retrieve(q["pipelinetoken"])}
+                (token,) = need("pipelinetoken")
+                return 200, {"rows": self.engine.retrieve(token)}
             if method == "POST" and path == "/subscription":
                 return 200, {"subscription_id": self.engine.subscribe(q.get("dataset", "*"))}
             if method == "GET" and path == "/subscriptions":
                 return 200, {"subscriptions": self.engine.subscriptions()}
             if method == "DELETE" and path == "/subscription":
-                self.engine.unsubscribe(q["id"])
-                return 200, {"deleted": q["id"]}
+                (sid,) = need("id")
+                self.engine.unsubscribe(sid)
+                return 200, {"deleted": sid}
             if method == "GET" and path == "/subscription/notifications":
-                return 200, {"notifications": self.engine.deliveries(q["id"])}
+                (sid,) = need("id")
+                return 200, {"notifications": self.engine.deliveries(sid)}
             if method == "GET" and path == "/dataset/status":
                 rows = self.engine.status(q.get("name")).collect()
                 return 200, {"status": [r.asDict() for r in rows]}
             if method == "POST" and path == "/dataset/upload":
+                need("dataset")
                 return self._upload(q, body)
             if method == "POST" and path == "/dataset/generate":
+                (dataset,) = need("dataset")
                 cfg = generate_csv_dataset_config(
-                    self.engine, q["dataset"], body,
+                    self.engine, dataset, body,
                     delimiter=q.get("delimiter", ","),
                     header=q.get("header", "true").lower() == "true",
                 )
                 return 200, cfg
             return 404, {"error": f"no route {method} {path}"}
+        except _BadRequest as e:
+            return 400, {"error": str(e)}
         except KeyError as e:
             return 404, {"error": f"not found: {e}"}
-        except (ConfigValidationError, json.JSONDecodeError, ValueError) as e:
+        except (ConfigValidationError, json.JSONDecodeError, ValueError, TypeError) as e:
+            # TypeError covers unknown keys in a posted config dict
+            # (config_from_dict(**f)) — a malformed body, not a server bug
             return 400, {"error": str(e)}
-        except Exception as e:  # parity: 500 + stack-trace string
+        except Exception as e:
+            # log the traceback server-side; clients get an opaque error
+            # id (stack traces leak internals — round-2 advice fix)
+            import logging
             import traceback
+            import uuid
 
-            return 500, {"error": "".join(traceback.format_exception(e))}
+            err_id = uuid.uuid4().hex[:12]
+            logging.getLogger("pipeline_server_spark.api").error(
+                "error_id=%s %s", err_id, "".join(traceback.format_exception(e))
+            )
+            return 500, {"error": f"internal server error (id {err_id})"}
 
     def _upload(self, q: dict[str, str], body: bytes) -> tuple[int, dict]:
         dataset = q["dataset"]

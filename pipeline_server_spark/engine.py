@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import dataclasses
 import datetime as _dt
+import itertools
 import json
 import os
+import threading
 import uuid
 from typing import Any
 
@@ -29,9 +31,18 @@ from pipeline_server_spark.pipeline.run import RunResult, run_dataset
 _NAMESPACE = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 DNS ns
 
 
+_token_seq = itertools.count()  # CPython-atomic; disambiguates same-µs calls
+
+
 def pipeline_token(name: str, when: _dt.datetime | None = None) -> str:
-    stamp = (when or _dt.datetime.utcnow()).isoformat()
-    return str(uuid.uuid5(_NAMESPACE, f"{name}.{stamp}"))
+    """Name-based v5 like the reference's GuidV5 — deterministic for an
+    explicit (name, when); the auto-timestamp path additionally mixes a
+    process-local sequence so two concurrent ingests of one dataset in
+    the same microsecond still get distinct tokens."""
+    if when is not None:
+        return str(uuid.uuid5(_NAMESPACE, f"{name}.{when.isoformat()}"))
+    stamp = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    return str(uuid.uuid5(_NAMESPACE, f"{name}.{stamp}.{next(_token_seq)}"))
 
 
 class Engine:
@@ -48,6 +59,21 @@ class Engine:
         # L14/S11: subscription_id → dataset glob pattern (the SNS
         # filter-policy analog — SubscriptionAPIController.scala:35-117)
         self._subscriptions: dict[str, str] = {}
+        # U8 single-writer staging: concurrent ingests to the SAME
+        # destination path serialize on a per-destination lock (two
+        # simultaneous appends to one parquet dir would race in the
+        # Hadoop _temporary staging dir and can drop each other's
+        # files); different destinations proceed in parallel. _lock
+        # guards the in-process registry/log structures.
+        self._lock = threading.RLock()
+        self._dest_locks: dict[str, threading.Lock] = {}
+
+    def _dest_lock(self, key: str) -> threading.Lock:
+        with self._lock:
+            lock = self._dest_locks.get(key)
+            if lock is None:
+                lock = self._dest_locks[key] = threading.Lock()
+            return lock
 
     # -- control plane ----------------------------------------------------
 
@@ -55,7 +81,8 @@ class Engine:
         """POST /dataset — validate + normalize + store
         (DatasetAPIController.scala:81-123)."""
         normalized = validate_config(config)
-        self._configs[normalized.name] = normalized
+        with self._lock:
+            self._configs[normalized.name] = normalized
         return normalized
 
     def get(self, name: str) -> DatasetConfig:
@@ -70,7 +97,12 @@ class Engine:
     # -- data plane -------------------------------------------------------
 
     def ingest(self, name: str, paths: str | list[str]) -> RunResult:
-        """The file-ingestion lifecycle (SURVEY.md §3.1) for one batch."""
+        """The file-ingestion lifecycle (SURVEY.md §3.1) for one batch.
+
+        Ingests targeting the same destination path run one-at-a-time
+        (U8 single-writer staging); the lock covers the whole
+        read-transform-write so appends never interleave in the
+        output directory's staging area."""
         config = self._configs[name]
         token = pipeline_token(name)
         self._log_status(name, token, "begin", "info", "ingest started")
@@ -78,7 +110,8 @@ class Engine:
         if config.destination.save_transformed:
             temp_csv = os.path.join(self.warehouse, "_temp_retrieval", name, token)
         try:
-            result = run_dataset(self.spark, config, paths, temp_csv_path=temp_csv)
+            with self._dest_lock(config.destination.path or name):
+                result = run_dataset(self.spark, config, paths, temp_csv_path=temp_csv)
         except Exception as e:
             self._log_status(name, token, "end", "error", str(e)[:500])
             raise
@@ -86,7 +119,8 @@ class Engine:
         if config.destination.path:
             self._notify(name, token, config.destination.path)
         if temp_csv is not None:
-            self._temp_outputs[token] = temp_csv
+            with self._lock:
+                self._temp_outputs[token] = temp_csv
         result.details["pipeline_token"] = token
         return result
 
@@ -96,7 +130,8 @@ class Engine:
         import uuid
 
         sub_id = str(uuid.uuid4())
-        self._subscriptions[sub_id] = dataset_pattern
+        with self._lock:
+            self._subscriptions[sub_id] = dataset_pattern
         return sub_id
 
     def subscriptions(self) -> dict[str, str]:
@@ -139,6 +174,11 @@ class Engine:
 
     def _log_status(self, dataset: str, token: str, state: str, code: str,
                     description: str) -> None:
+        with self._lock:
+            self._append_status(dataset, token, state, code, description)
+
+    def _append_status(self, dataset: str, token: str, state: str, code: str,
+                       description: str) -> None:
         self._status_rows.append(
             {
                 "dataset": dataset,
@@ -146,19 +186,23 @@ class Engine:
                 "state": state,       # begin | processing | end
                 "code": code,         # info | warning | error
                 "description": description,
-                "created_at": _dt.datetime.utcnow().isoformat(),
+                "created_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             }
         )
 
     def _notify(self, dataset: str, token: str, destination: str) -> None:
         """SNS notification analog (Notification.scala:21-32) appended to
         an event log instead of published."""
+        with self._lock:
+            self._append_notification(dataset, token, destination)
+
+    def _append_notification(self, dataset: str, token: str, destination: str) -> None:
         self._notification_rows.append(
             {
                 "dataset": dataset,
                 "pipeline_token": token,
                 "destination": destination,
-                "created_at": _dt.datetime.utcnow().isoformat(),
+                "created_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             }
         )
 

@@ -463,15 +463,20 @@ def connected_components(
     reachable from it. Returns ``(node, cluster_id)`` for every node
     that appears in a pair.
 
-    Each round is one equi-join (edge src → current labels) plus one
-    min-groupBy — both shuffle on the node id, never on payloads, so a
-    round costs two hash shuffles of 16-byte rows regardless of
-    document size. Rounds needed = graph diameter; near-dup graphs are
-    overwhelmingly tiny cliques (diameter 1-2), so the loop exits after
-    2-3 rounds via the driver-side convergence count (a bounded scalar
-    aggregate, not a collect). ``localCheckpoint`` truncates lineage
-    per round — on a real cluster swap in ``checkpoint`` against a
-    reliable store for fault tolerance beyond executor loss.
+    Each round is one equi-join (edge src → current labels) plus a
+    POINTER-DOUBLING join (relabel through the label table itself) and
+    one min-groupBy — all shuffle on the node id, never on payloads.
+    Pointer doubling halves the remaining label-chain length per round,
+    so convergence is O(log diameter) rounds, not O(diameter) — a
+    path graph of 10⁶ nodes converges in ~20 rounds instead of 10⁶
+    (round-2 advice fix). Near-dup graphs are overwhelmingly tiny
+    cliques (diameter 1-2), so the loop exits after 2-3 rounds via the
+    driver-side convergence count (a bounded scalar aggregate, not a
+    collect). If the budget is still exhausted before convergence the
+    function RAISES instead of silently returning split clusters.
+    ``localCheckpoint`` truncates lineage per round — on a real cluster
+    swap in ``checkpoint`` against a reliable store for fault tolerance
+    beyond executor loss.
 
     Reference parity: the reference has no clustering operator — this
     extends its dedup surface the way web-scale pipelines (C4, Gopher,
@@ -486,13 +491,22 @@ def connected_components(
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster_id")
     )
+    changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["s"] == labels["node"])
             .select(F.col("d").alias("node"), "cluster_id")
         )
+        # pointer doubling: node → label(label(node)) — shortcuts label
+        # chains so long-diameter components converge logarithmically
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.cluster_id") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.cluster_id").alias("cluster_id"))
+        )
         new_labels = (
             labels.unionByName(prop)
+            .unionByName(jump)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
@@ -507,6 +521,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — labels would be split across components; raise max_iter "
+            "(pointer doubling needs ~log2(diameter) rounds)"
+        )
     return labels
 
 

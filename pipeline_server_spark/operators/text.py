@@ -98,6 +98,62 @@ def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance 1, without a cross join.
+
+    Pigeonhole blocking that is COMPLETE for one edit of ANY kind
+    (substitution, insertion, deletion — the round-2 advice fix; the
+    previous version required equal lengths and so missed indel pairs
+    on variable-length data): a single edit leaves either the first
+    P chars or the last S chars untouched whenever P + S ≤ min-length,
+    so candidates come from two equi-joins — on the P-char PREFIX and
+    on the S-char END-ANCHORED suffix — filtered to |len(a)−len(b)| ≤ 1
+    and verified with ``levenshtein``. P and S are sized from a cheap
+    min-length aggregate (P = ⌊m/2⌋, S = m − P); degenerate corpora
+    (min length < 2) fall back to an empty block key, i.e. the honest
+    cross join — nothing shorter can be blocked.
+
+    Output: (id_a, id_b, s_a, s_b, dist) with id_a < id_b.
+    Only max_dist=1 keeps the two-block completeness proof; higher
+    distances would need max_dist+1 blocks."""
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs: blocking proof covers max_dist=1 only")
+    mn = df.agg(F.min(F.length(s_col))).collect()[0][0] or 0
+    p_len, s_len = mn // 2, mn - mn // 2
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(s_col).alias("_s"),
+        F.length(s_col).alias("_len"),
+        F.substring(F.col(s_col), 1, p_len).alias("_pre"),
+        F.substring(F.col(s_col), -s_len, s_len).alias("_suf"),
+    )
+    cands = None
+    for blk in ("_pre", "_suf"):
+        a = keyed.select(F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
+                         F.col("_len").alias("_la"), F.col(blk).alias("_b"))
+        b = keyed.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),
+                         F.col("_len").alias("_lb"), F.col(blk).alias("_b"))
+        j = (
+            a.join(b, ["_b"])
+            .where(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("_la") - F.col("_lb")) <= 1)
+            )
+            .select("id_a", "id_b", "s_a", "s_b")
+        )
+        cands = j if cands is None else cands.unionByName(j)
+    return (
+        cands.distinct()
+        .withColumn("dist", F.levenshtein("s_a", "s_b").cast("int"))
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     k: int = 5,

@@ -92,16 +92,16 @@ def read_excel(spark: SparkSession, path: str, source: SourceConfig,
     width, write a pipe-delimited temp CSV, and read it back with
     header=true (+ inferSchema when no schema is declared) — the same
     Excel→CSV→DataFrame route the reference takes, with the POI
-    workbook walk replaced by a stdlib zip+XML parse (xlsx.py).
+    workbook walk replaced by stdlib parsers: zip+XML for .xlsx
+    (xlsx.py) and OLE2/BIFF8 for legacy .xls (xls.py)."""
+    if path.lower().endswith(".xls"):
+        from pipeline_server_spark.pipeline.xls import parse_xls
 
-    .xls (BIFF binary) is not parseable with stdlib — xlsx only."""
-    if not path.lower().endswith(".xlsx"):
-        raise NotImplementedError(
-            "only .xlsx is supported by the stdlib parser; convert legacy .xls upstream"
-        )
-    from pipeline_server_spark.pipeline.xlsx import parse_xlsx
+        rows = parse_xls(path, worksheet=source.file.worksheet)
+    else:
+        from pipeline_server_spark.pipeline.xlsx import parse_xlsx
 
-    rows = parse_xlsx(path, worksheet=source.file.worksheet)
+        rows = parse_xlsx(path, worksheet=source.file.worksheet)
     delimiter = source.file.temp_csv_file_delimiter or "|"
     tmpdir = tempfile.mkdtemp(prefix="exceltocsv_")
     tmp = os.path.join(tmpdir, "sheet.csv")

@@ -68,30 +68,56 @@ def merge_upsert_frames(target: DataFrame, source: DataFrame, keys: list[str],
     return kept.unionByName(src)
 
 
+class SwapCommitFS:
+    """The commit step of ``staged_swap_write``, as a tiny filesystem
+    interface so the swap protocol is testable and the storage
+    assumption is EXPLICIT (round-2 verdict fix).
+
+    The default implementation is LOCAL-POSIX: each ``rename`` is an
+    atomic directory move, so the swap window is two renames. This
+    assumption does NOT hold on object stores (S3/GCS/ABFS): "rename"
+    there is a non-atomic copy+delete per object, so this protocol is
+    neither atomic nor cheap — on object storage, route the commit
+    through a transactional table format (Delta/Iceberg commit, or an
+    atomic manifest-pointer write) by subclassing this interface.
+    """
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def remove(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def staged_swap_write(spark: SparkSession, df: DataFrame, path: str,
-                      file_format: str, partition_by: tuple[str, ...] | list[str] = ()) -> None:
+                      file_format: str, partition_by: tuple[str, ...] | list[str] = (),
+                      fs: SwapCommitFS | None = None) -> None:
     """Full-table rewrite via a SIBLING staging directory + two renames
     (write staging → rename target aside → rename staging in → drop
-    old). The swap window is two directory renames, not a whole
-    re-write of the data — the closest to atomic replace a plain
-    filesystem offers (a transactional format makes it truly atomic;
-    no Delta/Iceberg jars in this environment)."""
-    import os
+    old). The data is written once, off to the side; the commit is the
+    two renames routed through ``fs`` (:class:`SwapCommitFS`). On a
+    local POSIX filesystem each rename is atomic, leaving a two-rename
+    non-atomic window (a reader between them sees a missing directory,
+    and a crash between them needs the ``__old`` dir restored by hand);
+    on an object store the default ``fs`` is wrong — see SwapCommitFS.
+    A transactional format (Delta/Iceberg, absent in this container)
+    makes the commit truly atomic."""
     import uuid
 
+    fs = fs or SwapCommitFS()
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(file_format).save(staging)  # reads target, writes sibling
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex}"
-    os.rename(path, old)
+    fs.rename(path, old)
     try:
-        os.rename(staging, path)
+        fs.rename(staging, path)
     except OSError:  # restore the original on a failed swap
-        os.rename(old, path)
+        fs.rename(old, path)
         raise
-    shutil.rmtree(old, ignore_errors=True)
+    fs.remove(old)
 
 
 def merge_upsert(

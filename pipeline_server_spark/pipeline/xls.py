@@ -1,0 +1,348 @@
+"""Stdlib legacy-Excel (.xls, BIFF8) parser — struct only, no POI/xlrd.
+
+Closes the last §2 partial (S4): the reference converts BOTH .xlsx and
+.xls through POI's DataFormatter walk (ExcelToCsvUtil.scala:36-139);
+the .xlsx half lives in xlsx.py, this module parses the BIFF8 binary
+format the same way and returns the identical rows-of-strings
+contract (sheet by index, display strings, ragged rows padded).
+
+Two layers:
+
+1. OLE2/CFB compound-file container (_cfb_streams): header → DIFAT →
+   FAT → directory chain → stream extraction, including the mini-FAT /
+   mini-stream path for streams under the 4096-byte cutoff.
+2. BIFF8 record stream (parse_xls): the `Workbook` stream is a
+   sequence of [u16 opcode][u16 length][payload] records. The workbook
+   globals substream yields sheet positions (BOUNDSHEET) and the
+   shared-string table (SST + CONTINUE, with the per-boundary grbit
+   re-declaration for strings split across records); each worksheet
+   substream yields cells: LABELSST, NUMBER, RK, MULRK, BOOLERR,
+   LABEL, and FORMULA (cached results, incl. the trailing STRING
+   record for string-valued formulas) — the same record set POI's
+   DataFormatter path touches. BLANK/MULBLANK cells render as ""
+   exactly like missing cells.
+
+Number display follows the POI 'General' format rule shared with the
+xlsx path: integral doubles print without the trailing ".0".
+
+Limitations (raise ValueError, never silently wrong): BIFF5/BIFF7
+(.xls written by Excel 5.0/95 stores cells differently), encrypted
+workbooks (FILEPASS), and 1904-date formatting (dates display as their
+serial numbers, same as the xlsx parser's behavior).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pipeline_server_spark.pipeline.xlsx import _format_general
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREE = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+
+# BIFF record opcodes
+_BOF = 0x0809
+_EOF = 0x000A
+_BOUNDSHEET = 0x0085
+_SST = 0x00FC
+_CONTINUE = 0x003C
+_LABELSST = 0x00FD
+_NUMBER = 0x0203
+_RK = 0x027E
+_MULRK = 0x00BD
+_BOOLERR = 0x0205
+_FORMULA = 0x0006
+_STRING = 0x0207
+_LABEL = 0x0204
+_FILEPASS = 0x002F
+
+_ERROR_LITERALS = {
+    0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
+    0x1D: "#NAME?", 0x24: "#NUM!", 0x2A: "#N/A",
+}
+
+
+# ---------------------------------------------------------------------------
+# layer 1: OLE2 / CFB container
+# ---------------------------------------------------------------------------
+
+def _cfb_streams(data: bytes) -> dict[str, bytes]:
+    """Parse a compound file; return {stream name: bytes} for every
+    stream entry (both regular-FAT and mini-stream resident)."""
+    if data[:8] != _CFB_MAGIC:
+        raise ValueError("not an OLE2 compound file (bad magic) — not a .xls")
+    sector_shift = struct.unpack_from("<H", data, 30)[0]
+    mini_shift = struct.unpack_from("<H", data, 32)[0]
+    ssz, mssz = 1 << sector_shift, 1 << mini_shift
+    num_fat = struct.unpack_from("<I", data, 44)[0]
+    dir_start = struct.unpack_from("<I", data, 48)[0]
+    mini_cutoff = struct.unpack_from("<I", data, 56)[0]
+    minifat_start = struct.unpack_from("<I", data, 60)[0]
+    difat_start = struct.unpack_from("<I", data, 68)[0]
+    num_difat = struct.unpack_from("<I", data, 72)[0]
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssz
+        return data[off:off + ssz]
+
+    difat = [x for x in struct.unpack_from("<109I", data, 76) if x != _FREE]
+    s = difat_start
+    for _ in range(num_difat):
+        vals = struct.unpack(f"<{ssz // 4}I", sector(s))
+        difat.extend(v for v in vals[:-1] if v != _FREE)
+        s = vals[-1]
+
+    fat: list[int] = []
+    for fs in difat[:num_fat]:
+        fat.extend(struct.unpack(f"<{ssz // 4}I", sector(fs)))
+
+    def chain(start: int) -> bytes:
+        out, s, hops = bytearray(), start, 0
+        while s not in (_ENDOFCHAIN, _FREE) and hops <= len(fat):
+            out += sector(s)
+            s = fat[s]
+            hops += 1
+        return bytes(out)
+
+    dirdata = chain(dir_start)
+    entries = []  # (name, type, start, size)
+    for off in range(0, len(dirdata), 128):
+        e = dirdata[off:off + 128]
+        if len(e) < 128:
+            break
+        name_len = struct.unpack_from("<H", e, 64)[0]
+        if name_len < 2:
+            continue
+        name = e[:name_len - 2].decode("utf-16-le", errors="replace")
+        etype = e[66]
+        start = struct.unpack_from("<I", e, 116)[0]
+        size = struct.unpack_from("<I", e, 120)[0]
+        entries.append((name, etype, start, size))
+
+    root = next((e for e in entries if e[1] == 5), None)
+    ministream = chain(root[2])[:root[3]] if root else b""
+    mf = chain(minifat_start) if minifat_start not in (_ENDOFCHAIN, _FREE) else b""
+    minifat = list(struct.unpack(f"<{len(mf) // 4}I", mf)) if mf else []
+
+    def minichain(start: int, size: int) -> bytes:
+        out, s, hops = bytearray(), start, 0
+        while s not in (_ENDOFCHAIN, _FREE) and hops <= len(minifat):
+            out += ministream[s * mssz:(s + 1) * mssz]
+            s = minifat[s]
+            hops += 1
+        return bytes(out[:size])
+
+    streams = {}
+    for name, etype, start, size in entries:
+        if etype != 2:  # stream entries only
+            continue
+        streams[name] = (minichain(start, size) if size < mini_cutoff
+                         else chain(start)[:size])
+    return streams
+
+
+# ---------------------------------------------------------------------------
+# layer 2: BIFF8 records
+# ---------------------------------------------------------------------------
+
+def _records(wb: bytes, pos: int):
+    while pos + 4 <= len(wb):
+        op, ln = struct.unpack_from("<HH", wb, pos)
+        yield op, wb[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+
+
+def _parse_sst(chunks: list[bytes]) -> list[str]:
+    """SST + CONTINUE records → list of strings. A string whose
+    character data crosses a CONTINUE boundary re-declares its
+    high-byte flag as the first byte of the continuation (MS-XLS
+    XLUnicodeRichExtendedString continuation rule)."""
+    _total, unique = struct.unpack_from("<II", chunks[0], 0)
+    ci, off = 0, 8
+
+    def skip_to_next_chunk_if_done() -> None:
+        nonlocal ci, off
+        while ci < len(chunks) and off >= len(chunks[ci]):
+            ci += 1
+            off = 0
+
+    def read(n: int) -> bytes:
+        nonlocal ci, off
+        out = bytearray()
+        while n:
+            skip_to_next_chunk_if_done()
+            take = min(n, len(chunks[ci]) - off)
+            out += chunks[ci][off:off + take]
+            off += take
+            n -= take
+        return bytes(out)
+
+    strings: list[str] = []
+    for _ in range(unique):
+        skip_to_next_chunk_if_done()
+        cch = struct.unpack("<H", read(2))[0]
+        flags = read(1)[0]
+        high = flags & 0x01
+        n_runs = struct.unpack("<H", read(2))[0] if flags & 0x08 else 0
+        cb_ext = struct.unpack("<i", read(4))[0] if flags & 0x04 else 0
+        parts: list[str] = []
+        remaining = cch
+        while remaining:
+            if off >= len(chunks[ci]):  # boundary inside char data
+                ci += 1
+                off = 0
+                high = chunks[ci][0] & 0x01  # fresh grbit byte
+                off = 1
+            width = 2 if high else 1
+            take = min(remaining, (len(chunks[ci]) - off) // width)
+            if take == 0:  # odd trailing byte — malformed; force boundary
+                off = len(chunks[ci])
+                continue
+            raw = chunks[ci][off:off + take * width]
+            off += take * width
+            parts.append(raw.decode("utf-16-le" if high else "latin-1"))
+            remaining -= take
+        read(4 * n_runs)   # formatting runs — display value ignores them
+        read(cb_ext)       # phonetic/ext block
+        strings.append("".join(parts))
+    return strings
+
+
+def _decode_rk(rk: int) -> float:
+    div100 = rk & 0x01
+    if rk & 0x02:  # 30-bit signed integer
+        v = rk >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        val = float(v)
+    else:  # top 30 bits of an IEEE double
+        val = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0]
+    return val / 100.0 if div100 else val
+
+
+def _fmt_num(v: float) -> str:
+    return _format_general(repr(v))
+
+
+def _unicode_str(d: bytes, off: int) -> str:
+    """XLUnicodeString at offset: u16 cch, u8 flags, chars."""
+    cch = struct.unpack_from("<H", d, off)[0]
+    flags = d[off + 2]
+    start = off + 3
+    if flags & 0x01:
+        return d[start:start + cch * 2].decode("utf-16-le")
+    return d[start:start + cch].decode("latin-1")
+
+
+def _sheet_cells(wb: bytes, pos: int, sst: list[str]) -> dict[tuple[int, int], str]:
+    cells: dict[tuple[int, int], str] = {}
+    pending_formula: tuple[int, int] | None = None
+    first = True
+    for op, d in _records(wb, pos):
+        if first:
+            if op != _BOF:
+                raise ValueError("worksheet substream does not start with BOF")
+            first = False
+            continue
+        if op == _EOF:
+            break
+        if op == _LABELSST:
+            r, c, _xf, isst = struct.unpack_from("<HHHI", d)
+            cells[(r, c)] = sst[isst]
+        elif op == _NUMBER:
+            r, c, _xf = struct.unpack_from("<HHH", d)
+            cells[(r, c)] = _fmt_num(struct.unpack_from("<d", d, 6)[0])
+        elif op == _RK:
+            r, c, _xf = struct.unpack_from("<HHH", d)
+            cells[(r, c)] = _fmt_num(_decode_rk(struct.unpack_from("<I", d, 6)[0]))
+        elif op == _MULRK:
+            r, c_first = struct.unpack_from("<HH", d)
+            for i in range((len(d) - 6) // 6):
+                rk = struct.unpack_from("<I", d, 4 + i * 6 + 2)[0]
+                cells[(r, c_first + i)] = _fmt_num(_decode_rk(rk))
+        elif op == _BOOLERR:
+            r, c, _xf, val, is_err = struct.unpack_from("<HHHBB", d)
+            cells[(r, c)] = (_ERROR_LITERALS.get(val, "#ERR")
+                             if is_err else ("TRUE" if val else "FALSE"))
+        elif op == _LABEL:
+            r, c, _xf = struct.unpack_from("<HHH", d)
+            cells[(r, c)] = _unicode_str(d, 6)
+        elif op == _FORMULA:
+            r, c, _xf = struct.unpack_from("<HHH", d)
+            res = d[6:14]
+            if res[6:8] == b"\xff\xff":  # non-numeric cached result
+                kind = res[0]
+                if kind == 0:  # string: value arrives in a STRING record
+                    pending_formula = (r, c)
+                    cells[(r, c)] = ""
+                elif kind == 1:
+                    cells[(r, c)] = "TRUE" if res[2] else "FALSE"
+                elif kind == 2:
+                    cells[(r, c)] = _ERROR_LITERALS.get(res[2], "#ERR")
+                else:  # kind 3: empty string
+                    cells[(r, c)] = ""
+            else:
+                cells[(r, c)] = _fmt_num(struct.unpack("<d", res)[0])
+        elif op == _STRING and pending_formula is not None:
+            cells[pending_formula] = _unicode_str(d, 0)
+            pending_formula = None
+        # BLANK/MULBLANK/other records: cell stays "" via padding
+    return cells
+
+
+def parse_xls(path: str, worksheet: int = 0) -> list[list[str]]:
+    """Return the sheet as rows of strings, padded to uniform width —
+    the same contract as xlsx.parse_xlsx, for the reference's
+    Excel→CSV pass (ExcelToCsvUtil.scala:36-139)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    streams = _cfb_streams(data)
+    wb = streams.get("Workbook") or streams.get("Book")
+    if wb is None:
+        raise ValueError(f"no Workbook/Book stream in {path}: not an Excel file")
+
+    # workbook globals: sheet offsets + shared strings
+    sheet_offsets: list[int] = []
+    sst: list[str] = []
+    sst_chunks: list[bytes] | None = None
+    first = True
+    for op, d in _records(wb, 0):
+        if first:
+            if op != _BOF:
+                raise ValueError("Workbook stream does not start with BOF")
+            version, _stype = struct.unpack_from("<HH", d)
+            if version != 0x0600:
+                raise ValueError(
+                    f"BIFF version 0x{version:04x} unsupported (need BIFF8 0x0600 "
+                    "— Excel 97+; resave older .xls files in a newer format)"
+                )
+            first = False
+            continue
+        if sst_chunks is not None and op != _CONTINUE:
+            sst = _parse_sst(sst_chunks)
+            sst_chunks = None
+        if op == _FILEPASS:
+            raise ValueError("encrypted .xls workbooks are not supported")
+        if op == _BOUNDSHEET:
+            sheet_offsets.append(struct.unpack_from("<I", d, 0)[0])
+        elif op == _SST:
+            sst_chunks = [d]
+        elif op == _CONTINUE and sst_chunks is not None:
+            sst_chunks.append(d)
+        elif op == _EOF:
+            break
+    if sst_chunks is not None:
+        sst = _parse_sst(sst_chunks)
+    if worksheet >= len(sheet_offsets):
+        raise IndexError(f"worksheet {worksheet} out of range ({len(sheet_offsets)} sheets)")
+
+    cells = _sheet_cells(wb, sheet_offsets[worksheet], sst)
+    if not cells:
+        raise ValueError(f"worksheet {worksheet} contains no data: {path}")
+    max_row = max(r for r, _ in cells)
+    max_width = max(c for _, c in cells) + 1
+    return [
+        [cells.get((r, c), "") for c in range(max_width)]
+        for r in range(max_row + 1)
+    ]

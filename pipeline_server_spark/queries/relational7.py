@@ -62,43 +62,23 @@ def string_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: name pairs within edit distance 1, via
-    pigeonhole blocking — equal-length strings one substitution apart
-    must agree on the first OR the second half, so candidates come from
-    two equi-joins ((len, first-half) and (len, second-half)) instead
-    of the n² cross join the oracle states; ``levenshtein`` verifies.
-    The restriction to 300 keys only bounds the oracle's quadratic
-    form — the Spark plan never goes quadratic."""
+    prefix/suffix pigeonhole blocking that is complete for ANY single
+    edit — substitution, insertion, or deletion (round-2 advice fix:
+    the old equal-length blocking missed indel pairs on variable-length
+    data) — candidates from two equi-joins instead of the n² cross join
+    the oracle states; ``levenshtein`` verifies. The restriction to 300
+    keys only bounds the oracle's quadratic form — the Spark plan never
+    goes quadratic."""
+    from pipeline_server_spark.operators.text import edit_distance_pairs
+
     c = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") < 300)
         .select("c_custkey", "c_name")
     )
-    keyed = c.select(
-        "c_custkey",
-        "c_name",
-        F.length("c_name").alias("_len"),
-        F.substring(F.col("c_name"), 1, 9).alias("_h1"),
-        F.expr("substring(c_name, 10)").alias("_h2"),
-    )
-    cands = None
-    for blk in ("_h1", "_h2"):
-        a = keyed.select(
-            F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
-            F.col("_len").alias("_la"), F.col(blk).alias("_b"),
-        )
-        b = keyed.select(
-            F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
-            F.col("_len").alias("_lb"), F.col(blk).alias("_b"),
-        )
-        j = a.join(b, ["_b"]).where(
-            (F.col("key_a") < F.col("key_b")) & (F.col("_la") == F.col("_lb"))
-        ).select("key_a", "key_b", "name_a", "name_b")
-        cands = j if cands is None else cands.unionByName(j)
     return (
-        cands.distinct()
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
-        .where(F.col("dist") <= 1)
-        .select("name_a", "name_b", "dist")
+        edit_distance_pairs(c, "c_custkey", "c_name", max_dist=1)
+        .select(F.col("s_a").alias("name_a"), F.col("s_b").alias("name_b"), "dist")
         .orderBy("name_a", "name_b")
     )
 

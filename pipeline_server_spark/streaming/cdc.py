@@ -191,10 +191,12 @@ def apply_cdc_to_path(
     file_format: str = "parquet",
 ) -> None:
     """foreachBatch-compatible apply: read target, apply, swap in via
-    a sibling staging dir + directory renames (staged_swap_write) so a
-    crash mid-write leaves either the old or the new table, never a
-    half-written one. (On Delta/Iceberg this becomes a transactional
-    MERGE with the same condition.)"""
+    a sibling staging dir + directory renames (staged_swap_write). On
+    local POSIX storage a crash can only land in the two-rename commit
+    window (data is never half-written, but the window is NOT atomic —
+    see SwapCommitFS); on object stores rename is copy+delete, so use a
+    transactional table format (Delta/Iceberg MERGE) for the commit
+    instead."""
     from pipeline_server_spark.pipeline.writers import staged_swap_write
 
     target = spark.read.format(file_format).load(path)

@@ -202,3 +202,84 @@ def test_subscription_lifecycle_and_delivery(spark, server):
     _call(srv.port, "DELETE", f"/subscription?id={sub['subscription_id']}")
     _, listed2 = _call(srv.port, "GET", "/subscriptions")
     assert sub["subscription_id"] not in listed2["subscriptions"]
+
+
+def test_concurrent_uploads_single_writer(spark, server):
+    """U8 single-writer staging under real concurrency: 8 simultaneous
+    POST /dataset/upload to the SAME destination must serialize on the
+    per-destination lock — every batch's rows land (no lost updates
+    from interleaved _temporary staging), tokens are unique, and the
+    status log holds a begin+end pair per upload."""
+    import threading
+
+    srv, tmp_path = server
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(_order_config(tmp_path)).encode())
+
+    n_threads, rows_each = 8, 5
+    results, errors = [], []
+
+    def upload(i: int) -> None:
+        body = "id,amount\n" + "".join(
+            f"{i * 100 + j},{float(j)}\n" for j in range(rows_each)
+        )
+        try:
+            status, out = _call(
+                srv.port, "POST", "/dataset/upload?dataset=api_orders", body.encode()
+            )
+            results.append((status, out))
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=upload, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert len(results) == n_threads
+    assert all(s == 200 and o["rows_written"] == rows_each for s, o in results)
+    tokens = [o["pipeline_token"] for _, o in results]
+    assert len(set(tokens)) == n_threads  # no token collisions
+
+    # no lost updates: every uploaded row is present exactly once
+    rows = spark.read.parquet(str(tmp_path / "out" / "api_orders")).collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == sorted(i * 100 + j for i in range(n_threads) for j in range(rows_each))
+    # no corrupt staging leftovers in the destination
+    import os
+    leftover = [d for d in os.listdir(tmp_path / "out" / "api_orders")
+                if d.startswith("_temporary")]
+    assert leftover == []
+    _, st = _call(srv.port, "GET", "/dataset/status?name=api_orders")
+    states = [r["state"] for r in st["status"]]
+    assert states.count("begin") == n_threads and states.count("end") == n_threads
+
+
+def test_missing_params_are_400_not_404(server):
+    """Client errors: missing required query params → 400; unknown
+    resources → 404; unknown config keys in a POST body → 400; a 500
+    never carries a stack trace."""
+    srv, tmp_path = server
+    for method, path in [
+        ("GET", "/dataset"), ("DELETE", "/dataset"),
+        ("GET", "/dataset/data"), ("DELETE", "/subscription"),
+        ("GET", "/subscription/notifications"),
+        ("POST", "/dataset/upload"), ("POST", "/dataset/generate"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(srv.port, method, path, b"")
+        assert e.value.code == 400, (method, path, e.value.code)
+        assert "missing required query parameter" in json.loads(
+            e.value.read().decode())["error"]
+
+    # unknown resource stays 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(srv.port, "GET", "/dataset?name=never_registered")
+    assert e.value.code == 404
+    # unknown keys in a posted config → 400 (TypeError route)
+    bad = _order_config(tmp_path)
+    bad["source"]["fields"] = [{"name": "id", "type": "int", "bogus_key": 1}]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(srv.port, "POST", "/dataset", json.dumps(bad).encode())
+    assert e.value.code == 400

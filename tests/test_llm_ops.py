@@ -180,9 +180,97 @@ def test_multimodal_metadata_plumbing(spark, docs):
         assert r.media_type == "image/fake"
 
 
-def test_multimodal_real_codecs_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError, match="codecs"):
-        extract_media_metadata(attach_binary_payload(docs.limit(1)), real_codecs=True)
+def test_multimodal_real_codecs_non_png_raises(spark, docs):
+    """real_codecs=True decodes PNG in-process; non-PNG payloads (the
+    text-bytes fixture) still raise — no JPEG/audio libs here. The
+    error surfaces at action time from inside the Python worker."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="no in-process codec"):
+        extract_media_metadata(
+            attach_binary_payload(docs.limit(1)), real_codecs=True
+        ).collect()
+
+
+def _encode_png(width, height, channels, pixels, filters):
+    """Minimal PNG writer for the round-trip test: applies the given
+    per-row filter types (0..4) exactly per the spec, so the decoder's
+    de-filtering of every filter kind is exercised."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        f = filters[y % len(filters)]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_roundtrip_all_filters(spark):
+    """decode_png must invert every PNG scanline filter (None/Sub/Up/
+    Average/Paeth) bit-exactly, standalone and through the Spark
+    real-codec path."""
+    from pipeline_server_spark.operators.multimodal import decode_png
+
+    w, h, ch = 11, 10, 3
+    pixels = bytes((x * 7 + y * 13 + c * 29) % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+    png = _encode_png(w, h, ch, pixels, filters=[0, 1, 2, 3, 4])
+    gw, gh, gch, gpx = decode_png(png)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert gpx == pixels
+
+    # grayscale + RGBA variants
+    for ch2 in (1, 4):
+        px2 = bytes((x * 3 + y * 5 + c) % 256
+                    for y in range(6) for x in range(7) for c in range(ch2))
+        png2 = _encode_png(7, 6, ch2, px2, filters=[4, 3, 2, 1])
+        assert decode_png(png2) == (7, 6, ch2, px2)
+
+    # through Spark: a real PNG payload column, real_codecs=True
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = extract_media_metadata(media, real_codecs=True).collect()[0]
+    assert (row.width, row.height) == (w, h)
+    assert row.n_bytes == len(png)
 
 
 def test_frame_sample_shapes(spark, docs):
@@ -264,3 +352,63 @@ def test_new_operators_empty_input_edges(spark):
     corpus = spark.createDataFrame([(1, "a b c d e"), (2, "f g h i j")], docs_schema)
     empty_batch = spark.createDataFrame([], docs_schema)
     assert minhash_lsh_incremental_pairs(corpus, empty_batch).count() == 0
+
+
+def test_edit_distance_pairs_covers_indels(spark):
+    """The blocking must find insertion/deletion pairs (lengths differ
+    by 1) on variable-length data — the round-2 advice gap — matching a
+    brute-force Levenshtein over all pairs."""
+    from pipeline_server_spark.operators.text import edit_distance_pairs
+
+    names = [
+        "alexander", "alexnder",     # deletion
+        "catherine", "catherinee",   # insertion
+        "jonathan", "jonathun",      # substitution
+        "margaret", "margarett",     # insertion at end
+        "xmargaret",                 # insertion at start vs margaret
+        "completely-different", "unrelated-string",
+    ]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b) for r in
+           edit_distance_pairs(df, "id", "name", max_dist=1).collect()}
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(i, j) for i in range(len(names)) for j in range(i + 1, len(names))
+            if lev(names[i], names[j]) <= 1}
+    assert want == got
+    assert any(len(names[i]) != len(names[j]) for i, j in want)  # indels present
+
+
+def test_connected_components_long_path_pointer_doubling(spark):
+    """A 200-node path graph (diameter 199) must converge well inside
+    max_iter=12 — pointer doubling needs ~log2(diameter) rounds, where
+    plain min-label propagation would need 199 and previously returned
+    silently-split labels."""
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = connected_components(df, max_iter=12).collect()
+    assert len(got) == 200
+    assert {r.cluster_id for r in got} == {0}
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    """Non-convergence must raise, not return split clusters."""
+    import pytest as _pytest
+
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)

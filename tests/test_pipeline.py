@@ -533,3 +533,55 @@ def test_merge_upsert_moving_partition_value(spark, tmp_path):
     got = result.where(F.col("o_orderkey").isin(moved_keys))
     assert got.count() == 10
     assert got.where(F.col("o_orderstatus") != "O").count() == 0
+
+
+def test_staged_swap_write_fs_injection(spark, tmp_path):
+    """The swap commit routes through the SwapCommitFS interface: a
+    recording fake sees exactly rename(target→old), rename(staging→
+    target), remove(old); a fake whose second rename fails must see the
+    restore rename and leave the original data in place."""
+    import os
+
+    from pipeline_server_spark.pipeline.writers import SwapCommitFS, staged_swap_write
+
+    path = str(tmp_path / "tbl")
+    spark.range(5).write.parquet(path)
+
+    class Recording(SwapCommitFS):
+        def __init__(self):
+            self.ops = []
+
+        def rename(self, src, dst):
+            self.ops.append(("rename", src, dst))
+            super().rename(src, dst)
+
+        def remove(self, p):
+            self.ops.append(("remove", p))
+            super().remove(p)
+
+    rec = Recording()
+    staged_swap_write(spark, spark.range(10, 17), path, "parquet", fs=rec)
+    assert [op[0] for op in rec.ops] == ["rename", "rename", "remove"]
+    assert rec.ops[0][1] == path and "__old_" in rec.ops[0][2]
+    assert "__staging_" in rec.ops[1][1] and rec.ops[1][2] == path
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(range(10, 17))
+
+    class FailsSwapIn(Recording):
+        def rename(self, src, dst):
+            if "__staging_" in src:
+                self.ops.append(("rename-fail", src, dst))
+                raise OSError("injected: swap-in failed")
+            super(FailsSwapIn, self).rename(src, dst)
+
+    bad = FailsSwapIn()
+    try:
+        staged_swap_write(spark, spark.range(99), path, "parquet", fs=bad)
+        raise AssertionError("expected OSError")
+    except OSError as e:
+        assert "injected" in str(e)
+    # restore rename happened and original rows are intact
+    assert [op[0] for op in bad.ops] == ["rename", "rename-fail", "rename"]
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(range(10, 17))
+    # no stray __old/__staging dirs left behind except the unswapped staging
+    leftovers = [d for d in os.listdir(tmp_path) if "__old_" in d]
+    assert leftovers == []

@@ -295,3 +295,209 @@ def test_csv_trim_and_spark_read_options_passthrough(spark, tmp_path):
     df = trim_string_columns(read_csv(spark, str(p), src))
     rows = {r.a: r.b for r in df.collect()}
     assert rows == {1: "padded", 2: "ok"}  # comment skipped, whitespace trimmed
+
+
+# ---------------------------------------------------------------------------
+# Legacy .xls (BIFF8) — stdlib fixture writer + parser tests
+# ---------------------------------------------------------------------------
+
+def _biff_workbook() -> bytes:
+    """Minimal but real BIFF8 Workbook stream: globals (BOF, two
+    BOUNDSHEETs, SST split across a CONTINUE record, EOF) + two sheet
+    substreams exercising LABELSST/NUMBER/RK/MULRK/BOOLERR/LABEL/
+    FORMULA(cached numeric + cached string w/ STRING record)."""
+    import struct
+
+    def rec(op, data):
+        return struct.pack("<HH", op, len(data)) + data
+
+    def bof(dt):
+        return rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0))
+
+    def labelsst(r, c, i):
+        return rec(0x00FD, struct.pack("<HHHI", r, c, 0, i))
+
+    def number(r, c, v):
+        return rec(0x0203, struct.pack("<HHH", r, c, 0) + struct.pack("<d", v))
+
+    def rk_int(v):
+        return ((v << 2) | 2) & 0xFFFFFFFF
+
+    def rk_int100(v):  # integer with the /100 display flag
+        return ((v << 2) | 2 | 1) & 0xFFFFFFFF
+
+    def rk_dbl(v):
+        bits = struct.unpack("<Q", struct.pack("<d", v))[0]
+        assert bits & ((1 << 34) - 1) == 0, "value not RK-encodable"
+        return (bits >> 32) & 0xFFFFFFFC
+
+    def rkrec(r, c, rk):
+        return rec(0x027E, struct.pack("<HHHI", r, c, 0, rk))
+
+    def mulrk(r, cf, rks):
+        body = struct.pack("<HH", r, cf)
+        for k in rks:
+            body += struct.pack("<HI", 0, k)
+        body += struct.pack("<H", cf + len(rks) - 1)
+        return rec(0x00BD, body)
+
+    def boolerr(r, c, v, err=0):
+        return rec(0x0205, struct.pack("<HHHBB", r, c, 0, v, err))
+
+    def label(r, c, s):
+        return rec(0x0204, struct.pack("<HHH", r, c, 0)
+                   + struct.pack("<HB", len(s), 0) + s.encode("latin-1"))
+
+    def formula_cached_num(r, c, v):
+        return rec(0x0006, struct.pack("<HHH", r, c, 0) + struct.pack("<d", v)
+                   + struct.pack("<HIH", 0, 0, 0))
+
+    def formula_cached_str(r, c):
+        res = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])  # kind 0 = string follows
+        return rec(0x0006, struct.pack("<HHH", r, c, 0) + res
+                   + struct.pack("<HIH", 0, 0, 0))
+
+    def string_rec(s):
+        return rec(0x0207, struct.pack("<HB", len(s), 0) + s.encode("latin-1"))
+
+    # --- SST with a string split across a CONTINUE boundary ---------
+    long_s = "continued-" + "x" * 30
+    split = 12  # chars of long_s that stay in the SST record
+    sst_strings = ["name", "qty", "note", "wid|get"]
+    body = struct.pack("<II", len(sst_strings) + 1, len(sst_strings) + 1)
+    for s in sst_strings:
+        body += struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+    body += struct.pack("<HB", len(long_s), 0) + long_s[:split].encode("latin-1")
+    sst = rec(0x00FC, body)
+    cont = rec(0x003C, bytes([0]) + long_s[split:].encode("latin-1"))  # grbit + rest
+
+    # --- sheet 1 ----------------------------------------------------
+    sheet1 = bof(0x0010)
+    sheet1 += labelsst(0, 0, 0) + labelsst(0, 1, 1) + labelsst(0, 2, 2)
+    sheet1 += labelsst(1, 0, 3) + number(1, 1, 42.0) + formula_cached_num(1, 2, 84.0)
+    # row 2 missing entirely
+    sheet1 += label(3, 0, "solo") + boolerr(3, 2, 1)
+    sheet1 += formula_cached_str(4, 0) + string_rec("ab") + rkrec(4, 1, rk_dbl(1.5)) \
+        + labelsst(4, 2, 2)
+    sheet1 += mulrk(5, 0, [rk_int(7), rk_int100(800), rk_int100(125)]) \
+        + labelsst(6, 0, 4)  # the CONTINUE-split string
+    sheet1 += rec(0x000A, b"")
+
+    # --- sheet 2 ----------------------------------------------------
+    sheet2 = bof(0x0010) + label(0, 0, "k") + number(1, 0, 7.0) + rec(0x000A, b"")
+
+    # --- globals (BOUNDSHEET positions patched after layout) --------
+    def boundsheet(pos, name):
+        return rec(0x0085, struct.pack("<IBB", pos, 0, 0)
+                   + struct.pack("<BB", len(name), 0) + name.encode("latin-1"))
+
+    globals_fixed = bof(0x0005) + sst + cont
+    # two BOUNDSHEET records of known size come after BOF, before SST in
+    # real files — position math only needs total globals length:
+    bs_len = len(boundsheet(0, "Data")) + len(boundsheet(0, "Other"))
+    globals_len = len(bof(0x0005)) + bs_len + len(sst) + len(cont) + 4  # + EOF
+    p1 = globals_len
+    p2 = globals_len + len(sheet1)
+    out = bof(0x0005) + boundsheet(p1, "Data") + boundsheet(p2, "Other") \
+        + sst + cont + rec(0x000A, b"")
+    assert len(out) == globals_len
+    return out + sheet1 + sheet2
+
+
+def _write_cfb(path, payload: bytes, stream_name="Workbook"):
+    """Minimal OLE2/CFB writer: payload padded past the 4096-byte
+    mini-stream cutoff so it lives in the regular FAT."""
+    import struct
+
+    payload = payload + b"\x00" * max(0, 4096 - len(payload))
+    n_pay = (len(payload) + 511) // 512
+    # sector 0: FAT, sector 1: directory, 2..: payload
+    fat = [0xFFFFFFFD, 0xFFFFFFFE]
+    fat += [3 + i for i in range(n_pay - 1)] + [0xFFFFFFFE]
+    fat += [0xFFFFFFFF] * (128 - len(fat))
+
+    def direntry(name, etype, start, size, child=0xFFFFFFFF):
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0:len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw))
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<I", e, 120, size)
+        return bytes(e)
+
+    directory = direntry("Root Entry", 5, 0xFFFFFFFE, 0, child=1)
+    directory += direntry(stream_name, 2, 2, len(payload))
+    directory += bytes(128) * 2  # pad to one sector
+
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 24, 0x003E)   # minor
+    struct.pack_into("<H", hdr, 26, 0x0003)   # major (v3, 512B sectors)
+    struct.pack_into("<H", hdr, 28, 0xFFFE)   # little-endian
+    struct.pack_into("<H", hdr, 30, 9)        # sector shift
+    struct.pack_into("<H", hdr, 32, 6)        # mini sector shift
+    struct.pack_into("<I", hdr, 44, 1)        # one FAT sector
+    struct.pack_into("<I", hdr, 48, 1)        # directory start sector
+    struct.pack_into("<I", hdr, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", hdr, 60, 0xFFFFFFFE)  # no minifat
+    struct.pack_into("<I", hdr, 68, 0xFFFFFFFE)  # no difat chain
+    struct.pack_into("<109I", hdr, 76, *([0] + [0xFFFFFFFF] * 108))
+    body = struct.pack("<128I", *fat) + directory + payload
+    body += b"\x00" * ((-len(body)) % 512)
+    with open(path, "wb") as fh:
+        fh.write(bytes(hdr) + body)
+
+
+def test_xls_biff8_parse_matches_xlsx_semantics(tmp_path):
+    """parse_xls must return the same rows-of-strings contract as
+    parse_xlsx: shared strings (incl. CONTINUE-split), cached formula
+    results, RK/MULRK decoding, General format, booleans, gap cells,
+    missing rows, ragged padding, sheet selection by index."""
+    from pipeline_server_spark.pipeline.xls import parse_xls
+
+    p = tmp_path / "wb.xls"
+    _write_cfb(str(p), _biff_workbook())
+    rows = parse_xls(str(p), worksheet=0)
+    assert rows == [
+        ["name", "qty", "note"],
+        ["wid|get", "42", "84"],
+        ["", "", ""],                  # missing row → empty padded line
+        ["solo", "", "TRUE"],          # gap at B; ragged → padded
+        ["ab", "1.5", "note"],         # cached string formula + RK double
+        ["7", "8", "1.25"],            # MULRK: int, int, x100 fraction
+        ["continued-" + "x" * 30, "", ""],  # SST string split across CONTINUE
+    ]
+    assert parse_xls(str(p), worksheet=1) == [["k"], ["7"]]
+
+
+def test_xls_read_excel_csv_oracle(spark, tmp_path):
+    """read_excel on a .xls goes through the same temp-CSV route and
+    must equal reading the equivalent pipe-CSV directly."""
+    p = tmp_path / "wb.xls"
+    _write_cfb(str(p), _biff_workbook())
+    df = read_excel(spark, str(p), SourceConfig(file=FileAttributes(file_type="xls")))
+    oracle_csv = tmp_path / "oracle.csv"
+    oracle_csv.write_text(
+        'name|qty|note\n"wid|get"|42|84\n||\nsolo||TRUE\nab|1.5|note\n'
+        "7|8|1.25\ncontinued-" + "x" * 30 + "||\n"
+    )
+    odf = (
+        spark.read.option("header", "true").option("sep", "|").option("escape", '"')
+        .option("inferSchema", "true").csv(str(oracle_csv))
+    )
+    assert df.schema == odf.schema
+    assert sorted(map(tuple, df.collect()), key=repr) == sorted(
+        map(tuple, odf.collect()), key=repr
+    )
+
+
+def test_xls_rejects_non_ole2_and_encrypted(tmp_path):
+    from pipeline_server_spark.pipeline.xls import parse_xls
+
+    bad = tmp_path / "x.xls"
+    bad.write_bytes(b"not an ole2 file at all")
+    with pytest.raises(ValueError, match="OLE2"):
+        parse_xls(str(bad))
