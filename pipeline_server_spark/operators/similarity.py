@@ -89,22 +89,6 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec, plane: int, dim_count: int):
-    """Deterministic pseudo-random hyperplane: component d of plane p is
-    +1 if xxhash64(p, d) has bit 0 set else -1; the signature bit is the
-    sign of Σ_d v[d]·h[p][d]. Pure JVM expression (aggregate over a
-    sequence), no RNG, reproducible on any cluster."""
-    idx = F.sequence(F.lit(0), F.lit(dim_count - 1))
-    dot = F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, d: acc
-        + F.element_at(vec, (d + 1).cast("int"))
-        * F.when(F.xxhash64(F.lit(plane), d).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
-    )
-    return F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-
 def lsh_buckets(
     df: DataFrame,
     planes: int = 12,
@@ -113,17 +97,10 @@ def lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector a `planes`-bit random-hyperplane bucket."""
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        F.col(vec_col).cast("array<double>").alias("_v"),  # materialized once
+    return lsh_table_buckets(df, tables=1, planes=planes, dim_count=dim_count,
+                             id_col=id_col, vec_col=vec_col).select(
+        "vec_id", F.col("_v").alias("embedding"), "bucket"
     )
-    v = F.col("_v")
-    key = None
-    for p in range(planes):
-        bit = F.shiftleft(_hyperplane_sign(v, p, dim_count), p)
-        key = bit if key is None else key.bitwiseXOR(bit)  # disjoint bits
-    return base.select("vec_id", "embedding", key.alias("bucket"))
 
 
 def lsh_table_buckets(
@@ -137,26 +114,66 @@ def lsh_table_buckets(
     """Multi-table hyperplane LSH: one (table, bucket) row per vector
     per table, table t using hyperplanes [t·planes, (t+1)·planes).
     Standard L-table OR-amplification — a pair collides if it shares a
-    bucket in ANY table, so recall = 1-(1-p^planes)^tables."""
+    bucket in ANY table, so recall = 1-(1-p^planes)^tables.
+
+    All tables·planes sign bits come from ONE BLAS multiply per Arrow
+    batch against a seeded-Gaussian hyperplane matrix (deterministic:
+    fixed PCG64 seed, regenerated identically on every executor) —
+    higher-order-function sign expressions are interpreted per element
+    in Spark, so the matmul formulation is ~10× cheaper and is also the
+    shape a 100 TB run wants (embarrassingly parallel map work; the
+    vector rides along in `_v`, so bucketing adds no shuffle).
+
+    Output: (vec_id, _v: array<double>, table, bucket) — one row per
+    (vector, table)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    total = tables * planes
     base = df.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        F.col(vec_col).cast("array<double>").alias("_v"),  # materialized once
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    v = F.col("_v")
-    entries = []
-    for t in range(tables):
-        key = None
-        for p in range(planes):
-            bit = F.shiftleft(_hyperplane_sign(v, t * planes + p, dim_count), p)
-            key = bit if key is None else key.bitwiseXOR(bit)  # disjoint bits
-        entries.append(F.struct(F.lit(t).alias("table"), key.alias("bucket")))
-    return base.select(
-        "vec_id", "embedding", "_v", F.explode(F.array(*entries)).alias("tb")
-    ).select(
-        "vec_id", "embedding", "_v",
-        F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"),
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("_v", T.ArrayType(T.DoubleType())),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
     )
+    shifts = np.arange(planes, dtype=np.int64)
+
+    def _bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_v"].to_numpy())
+            if H is None:
+                rng = np.random.default_rng(0x5EED_1A7E)
+                H = rng.standard_normal((mat.shape[1], total))
+            bits = (mat @ H) >= 0  # n × (tables·planes)
+            n = len(pdf)
+            out_tables = []
+            for t in range(tables):
+                keys = (bits[:, t * planes:(t + 1) * planes].astype(np.int64) << shifts).sum(axis=1)
+                out_tables.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "_v": pdf["_v"].to_numpy(),
+                            "table": np.full(n, t, dtype=np.int32),
+                            "bucket": keys,
+                        }
+                    )
+                )
+            yield pd.concat(out_tables, ignore_index=True)
+
+    return base.mapInPandas(_bucketize, schema=out_schema)
 
 
 def lsh_topk(
@@ -181,7 +198,7 @@ def lsh_topk(
                            ).withColumnRenamed("vec_id", "query_id")
     cand = (
         cb.join(F.broadcast(qb.select("query_id", "table", "bucket",
-                                      F.col("embedding").alias("qv"))),
+                                      F.col("_v").alias("qv"))),
                 on=["table", "bucket"])
         .where(F.col("query_id") != F.col("nbr_id"))
         # a pair colliding in several tables is still one candidate —
@@ -191,8 +208,7 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "nbr_id",
-        cosine_expr(F.col("qv").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"), dim).alias("cosine"),
+        cosine_expr(F.col("qv"), F.col("_v"), dim).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
