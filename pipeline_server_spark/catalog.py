@@ -64,6 +64,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos:
         # integer `div` — a double division would lose int64-ns precision
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) is read as
+    # TIMESTAMP_NTZ, which timestamp functions like unix_micros reject.
+    # The session timezone is pinned UTC (session.py), so the cast is
+    # value-preserving and matches DuckDB's naive-timestamp semantics.
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
