@@ -45,6 +45,10 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "dedup_incremental_batch",
     "click_purchase_attribution",
+    # round-4 additions: the gram-shuffle coverage dial and the
+    # word-count head — both scale-sensitive corpus passes
+    "duplicate_ngram_coverage",
+    "vocab_coverage_topk",
 ]
 
 
@@ -64,6 +68,10 @@ def main() -> None:
     QUERIES["pricing_summary"](spark, warm).count()
     if "multimodal_metadata" in QUERIES:
         QUERIES["multimodal_metadata"](spark, warm).count()
+    if "corpus_curation_pipeline" in QUERIES:
+        # warms the iterative connected-components path (localCheckpoint
+        # block-manager setup + per-round job scheduling)
+        QUERIES["corpus_curation_pipeline"](spark, warm).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

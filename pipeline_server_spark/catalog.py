@@ -68,10 +68,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP_NTZ, which timestamp functions like unix_micros reject.
     # The session timezone is pinned UTC (session.py), so the cast is
     # value-preserving and matches DuckDB's naive-timestamp semantics.
-    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # Detection recurses into struct/array/map so a timestamp nested in a
+    # complex column is converted too (the cast mirrors the full type).
+    for f in df.schema.fields:
+        fixed = _ntz_to_ltz(f.dataType)
+        if fixed is not None:
+            df = df.withColumn(f.name, F.col(f.name).cast(fixed))
     return df
+
+
+def _ntz_to_ltz(dt):
+    """Return ``dt`` with every nested TIMESTAMP_NTZ replaced by
+    TIMESTAMP, or None when no replacement is needed."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.StructType):
+        changed = False
+        fields = []
+        for f in dt.fields:
+            sub = _ntz_to_ltz(f.dataType)
+            changed = changed or sub is not None
+            fields.append(
+                T.StructField(f.name, sub or f.dataType, f.nullable, f.metadata)
+            )
+        return T.StructType(fields) if changed else None
+    if isinstance(dt, T.ArrayType):
+        sub = _ntz_to_ltz(dt.elementType)
+        return T.ArrayType(sub, dt.containsNull) if sub is not None else None
+    if isinstance(dt, T.MapType):
+        k = _ntz_to_ltz(dt.keyType)
+        v = _ntz_to_ltz(dt.valueType)
+        if k is None and v is None:
+            return None
+        return T.MapType(k or dt.keyType, v or dt.valueType, dt.valueContainsNull)
+    return None
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -526,9 +526,39 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Size the label-loop shuffle width from the GRAPH, not the session
+    # default: near-dup edge sets are orders of magnitude smaller than
+    # the corpus that produced them, and each propagation round is ~3
+    # shuffles — at the session's corpus-sized partition count the loop
+    # is pure task-scheduling overhead. The count also materializes the
+    # edge checkpoint so the (expensive) pair lineage runs exactly once.
+    # The conf is session-wide: restored in `finally`; concurrent
+    # queries on the same session during the loop would momentarily
+    # shuffle this narrow (single-driver engine — acceptable; a real
+    # multi-tenant deployment would isolate via a cloned session).
+    n_edges = edges.count()
+    sess = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    default_parts = int(sess.conf.get(conf_key))
+    loop_parts = max(2, min(default_parts, n_edges // 100_000 + 2))
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster_id")
     )
+    sess.conf.set(conf_key, str(loop_parts))
+    try:
+        labels, changed = _cc_label_loop(edges, labels, max_iter)
+    finally:
+        sess.conf.set(conf_key, str(default_parts))
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — labels would be split across components; raise max_iter "
+            "(pointer doubling needs ~log2(diameter) rounds)"
+        )
+    return labels
+
+
+def _cc_label_loop(edges: DataFrame, labels: DataFrame, max_iter: int):
     changed = 0
     for _ in range(max_iter):
         prop = (
@@ -559,13 +589,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    if changed != 0:
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds — labels would be split across components; raise max_iter "
-            "(pointer doubling needs ~log2(diameter) rounds)"
-        )
-    return labels
+    return labels, changed
 
 
 def band_buckets(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:

@@ -303,6 +303,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (stop_hits >= 1)
         & (punct / n_chars <= 0.2)
     ).select("doc_id", "source", "text", F.size(toks).alias("n_tokens"))
+    # The filter chain (3 regex scans + a HOF) feeds BOTH the dedup arm
+    # and the canonical-keep join; checkpoint it so the scan+filter runs
+    # once, not once per arm (lineage truncation, not a driver collect).
+    kept = kept.localCheckpoint(eager=False)
     labels = connected_components(minhash_lsh_dedup_pairs(kept, threshold=0.8))
     canon = (
         kept.join(labels, kept["doc_id"] == labels["node"], "left")
@@ -579,4 +583,122 @@ def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("frames", 1).alias("first_frame"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "duplicate_ngram_coverage",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+      FROM t WHERE len(toks) >= 5),
+    g AS (SELECT DISTINCT doc_id, gram FROM g_raw WHERE gram <> ''),
+    freq AS (
+      SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+      FROM g),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS total_grams,
+             COUNT(*) FILTER (df >= 2) AS dup_grams
+      FROM freq GROUP BY doc_id)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(dup_grams) AS BIGINT) AS dup_ngrams,
+           CAST(SUM(total_grams) AS BIGINT) AS total_ngrams,
+           CAST(SUM(dup_grams) AS DOUBLE) / CAST(SUM(total_grams) AS DOUBLE) AS dup_share
+    FROM per_doc JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus contamination dial (RefinedWeb/CCNet-style): what share
+    of each source's distinct 5-grams also appear in at least one other
+    document. High shares flag boilerplate-heavy or mirrored sources
+    before any pairwise dedup runs.
+
+    Shape: distinct (doc, gram) explode → document frequency via a
+    window over the gram key (ONE shuffle serves both the count and the
+    join-back that a groupBy+rejoin would need two for) → per-doc
+    counts → tiny per-source agg. Every double is an exact int/int
+    ratio, bit-stable in both engines. At 100 TB the gram-key shuffle
+    is the cost; it hashes uniformly (no skew — grams are near-unique)
+    and carries only (doc_id, 8-byte-hashable gram) pairs."""
+    from pipeline_server_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=5)
+    freq = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    per_doc = freq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_grams"),
+        F.count_if(F.col("df") >= 2).alias("dup_grams"),
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_grams").cast("bigint").alias("dup_ngrams"),
+            F.sum("total_grams").cast("bigint").alias("total_ngrams"),
+            (
+                F.sum("dup_grams").cast("double") / F.sum("total_grams").cast("double")
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT token, COUNT(*) AS freq FROM tok WHERE token <> '' GROUP BY token),
+    tot AS (SELECT SUM(freq) AS total FROM tf),
+    top AS (
+      SELECT token, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM tf ORDER BY freq DESC, token LIMIT 25)
+    SELECT rank, token, freq,
+           CAST(SUM(freq) OVER (ORDER BY rank
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(total AS DOUBLE) AS cum_coverage
+    FROM top, tot ORDER BY rank
+    """,
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-25 tokens by term frequency with the
+    cumulative share of all token occurrences they cover (the Zipf
+    curve tokenizer/vocab decisions read off). Word-count at scale:
+    map-side partial counts → one shuffle on token, TakeOrdered for the
+    head, window cumsum over 25 rows. The coverage ratio is bigint/
+    bigint in double — bit-stable. Tie-break on token keeps the head
+    deterministic across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").alias("total"))
+    top = (
+        tf.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(25)
+        .withColumn("rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))))
+    )
+    cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.sum("freq").over(cum).cast("double") / F.col("total").cast("double")).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy("rank")
     )

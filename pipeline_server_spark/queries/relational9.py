@@ -1,0 +1,154 @@
+"""Last TPC-H gap analog (Q20) + statistical-moment aggregates.
+
+Reference analog: the Athena/warehouse SQL surface (SURVEY.md §2.6 —
+the reference compiles SQL text, AthenaUtil.scala:30-113; Spark itself
+is the engine here). relational8.py covered Q2-Q18 gap shapes; this
+module adds the Q20 nested-subquery shape and the corr/covar/regression
+family Spark exposes as built-in aggregates.
+
+Float discipline for moments: raw double summation order differs across
+engines, so every cross-row sum goes through exact DECIMAL (quantity
+and price are 2-decimal doubles — the cast is value-preserving), and
+corr/covar/slope are computed from those exactly-agreed moments with an
+identical double expression tree on both sides. The *native*
+``F.corr``/DuckDB ``corr`` results are checked as tolerance booleans
+against the exact formula — same contract the HLL/sketch queries use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "part_promotion_suppliers",
+    oracle="""
+    WITH heavy AS (
+      SELECT DISTINCT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 50)
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 1
+      AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_suppkey
+    """,
+)
+def part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: nested IN-subquery supplier selection — region-1
+    suppliers who moved more than 50 units of some widget part during
+    1996 (no partsupp/availqty in this schema, so the "excess stock"
+    predicate becomes a shipped-volume threshold per (supplier, part)).
+
+    Plan shape: the part filter broadcasts into the lineitem scan, the
+    per-(supplier, part) agg is the only big shuffle, and the surviving
+    supplier-key set is tiny → broadcast left-semi into the supplier dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+
+@query(
+    "stats_moments_by_flag",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+             corr(l_extendedprice, l_quantity) AS native_corr
+      FROM lineitem GROUP BY l_returnflag),
+    f AS (
+      SELECT l_returnflag, n, sx, sy, sxx, syy, sxy, native_corr,
+             CAST(n AS DOUBLE) AS nd
+      FROM m)
+    SELECT l_returnflag, n,
+           (nd * sxy - sx * sy) / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+             AS corr_qty_price,
+           (nd * sxy - sx * sy) / (nd * (nd - 1)) AS covar_samp_qty_price,
+           (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS regr_slope_price_on_qty,
+           ABS(native_corr
+               - (nd * sxy - sx * sy)
+                 / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy))) < 1e-6
+             AS native_corr_agrees
+    FROM f ORDER BY l_returnflag
+    """,
+)
+def stats_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / sample covariance / regression
+    slope) per returnflag, computed from exact DECIMAL moments so both
+    engines evaluate an identical double expression tree on identical
+    operands — bit-stable despite being "float math". The moment sums
+    convert decimal→double THROUGH A STRING on both sides: DuckDB's
+    direct decimal→double double-rounds (int128→double, then ÷10^scale)
+    and drifts 1 ulp once the scaled sum exceeds 2^53, while string
+    parsing is correctly rounded in both engines. The built-in
+    ``F.corr`` (Welford-style streaming, order-dependent) is checked as
+    a tolerance boolean against the exact value, the same contract the
+    sketch queries use. One shuffle: the moments and the native corr
+    come out of a single grouped aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("string").cast("double").alias("sx"),
+        F.sum(price).cast("string").cast("double").alias("sy"),
+        F.sum(qty * qty).cast("string").cast("double").alias("sxx"),
+        F.sum(price * price).cast("string").cast("double").alias("syy"),
+        F.sum(qty * price).cast("string").cast("double").alias("sxy"),
+        F.corr("l_extendedprice", "l_quantity").alias("native_corr"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr_exact = num / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.select(
+            "l_returnflag",
+            "n",
+            corr_exact.alias("corr_qty_price"),
+            (num / (nd * (nd - F.lit(1).cast("double")))).alias("covar_samp_qty_price"),
+            (num / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))).alias(
+                "regr_slope_price_on_qty"
+            ),
+            (F.abs(F.col("native_corr") - corr_exact) < 1e-6).alias("native_corr_agrees"),
+        )
+        .orderBy("l_returnflag")
+    )

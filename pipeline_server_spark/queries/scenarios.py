@@ -214,3 +214,49 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY month ORDER BY month
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a monthly revenue rollup is
+    "already materialized" for orders before 1997-07-01; a new batch
+    (everything after) arrives and the rollup is refreshed by merging
+    PARTIAL aggregates — re-aggregating sums-of-sums and counts-of-
+    counts — never rescanning old fact rows. The oracle recomputes the
+    rollup from scratch; equality proves the incremental algebra.
+
+    At 100 TB this is the only affordable shape: the old MV is tiny
+    (one row per group), the batch partial-aggregates map-side, and the
+    merge is a group-by over |groups| + |batch groups| rows. Decimal
+    partials keep the sums exact so incremental == full recompute
+    bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-07-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("_rev"),
+        )
+
+    mv = partial(orders.where(F.col("o_orderdate") < cut))       # pre-existing MV
+    batch = partial(orders.where(F.col("o_orderdate") >= cut))   # new arrivals
+    return (
+        mv.unionByName(batch)
+        .groupBy("month")
+        .agg(
+            F.sum("_cnt").alias("order_count"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy("month")
+    )

@@ -81,3 +81,88 @@ def purchases_in_signup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "purchase_id", "signup_id")
         .orderBy("user_id", "ts", "purchase_id", "signup_id")
     )
+
+
+@query(
+    "interpolate_missing_values",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, ts, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM base)
+    SELECT event_id, user_id, ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE))
+           END AS value_filled,
+           v IS NULL AS was_missing
+    FROM w ORDER BY user_id, ts, event_id
+    """,
+)
+def interpolate_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: values masked out (every 7th
+    event stands in for sensor dropouts) are rebuilt from the nearest
+    non-null neighbors on the user's timeline, weighted by time
+    distance; leading/trailing gaps fall back to nearest-value fill.
+
+    Spark shape: one window partition (user_id) carries all four
+    IGNORE-NULLS scans — a single shuffle, no self-join, no UDF. The
+    interpolation arithmetic runs on integer epoch-microsecond deltas
+    cast to double, an identical IEEE expression tree in both engines,
+    so the result is bit-stable. At 100 TB the state per key is O(1)
+    (running last/first), and keys partition freely."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    base = e.select("event_id", "user_id", "ts", v.alias("v"))
+    order = [F.col("ts"), F.col("event_id")]
+    prev_w = W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    next_w = W.partitionBy("user_id").orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    t_us = F.unix_micros("ts")
+    vt = F.when(F.col("v").isNotNull(), t_us)
+    w = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(prev_w).alias("pv"),
+        F.last(vt, ignorenulls=True).over(prev_w).alias("pt"),
+        F.first("v", ignorenulls=True).over(next_w).alias("nv"),
+        F.first(vt, ignorenulls=True).over(next_w).alias("nt"),
+    )
+    ratio = (t_us - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        filled.alias("value_filled"),
+        F.col("v").isNull().alias("was_missing"),
+    ).orderBy("user_id", "ts", "event_id")

@@ -169,3 +169,30 @@ def test_jdbc_pull_sql_override(spark):
     assert set(res.batch.columns) == {"event_id", "value"}
     res.commit()
     assert store.last is not None
+
+
+def test_load_table_converts_nested_ntz(spark, tmp_path):
+    """TIMESTAMP_NTZ inside struct/array columns is converted to
+    TIMESTAMP on load, not just top-level fields (catalog._ntz_to_ltz)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_server_spark.catalog import load_table as lt
+
+    ts = pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))  # naive → NTZ
+    nested = pa.StructArray.from_arrays([ts], names=["inner_ts"])
+    arr = pa.ListArray.from_arrays(pa.array([0, 1]), ts)
+    tbl = pa.table({"id": pa.array([1]), "meta": nested, "ts_list": arr, "top_ts": ts})
+    pq.write_table(tbl, str(tmp_path / "nested.parquet"))
+
+    df = lt(spark, str(tmp_path), "nested")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["top_ts"] == "timestamp"
+    assert types["meta"] == "struct<inner_ts:timestamp>"
+    assert types["ts_list"] == "array<timestamp>"
+    row = df.select(
+        F.unix_micros("top_ts").alias("a"),
+        F.unix_micros(F.col("meta.inner_ts")).alias("b"),
+        F.unix_micros(F.element_at("ts_list", 1)).alias("c"),
+    ).first()
+    assert row.a == row.b == row.c == 1_700_000_000_000_000

@@ -118,3 +118,33 @@ def test_term_relevance_broadcasts_doc_freq(spark):
     (doc, term) side on term."""
     plan = _plan(spark, "term_relevance_top3")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_coverage_single_gram_shuffle(spark):
+    """duplicate_ngram_coverage computes document frequency with a
+    window over the gram key — one shuffle serves both the count and
+    the per-doc rollup; a groupBy+self-join would need two."""
+    plan = _plan(spark, "duplicate_ngram_coverage")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interpolation_single_window_shuffle(spark):
+    """interpolate_missing_values: all four IGNORE-NULLS scans share
+    the user_id window partitioning — exactly one exchange on user_id,
+    no self-join, no Python."""
+    plan = _plan(spark, "interpolate_missing_values")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_refresh_partial_aggregates(spark):
+    """incremental_agg_refresh merges partial aggregates: both the MV
+    side and the batch side partial-aggregate map-side before any
+    exchange (sum-of-sums shape), and the fact scan never joins."""
+    plan = _plan(spark, "incremental_agg_refresh")
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
