@@ -137,15 +137,81 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
+def decode_bmp_header(payload: bytes) -> tuple[int, int, int]:
+    """REAL stdlib BMP header parse: 'BM' magic, BITMAPINFOHEADER (or
+    the legacy BITMAPCOREHEADER) width/height/bpp. Height may be
+    negative (top-down rows) — returned as absolute. Returns
+    (width, height, bits_per_pixel)."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 26:
+        raise ValueError("not a BMP: bad signature")
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size >= 40:  # BITMAPINFOHEADER and successors
+        width, height = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+    elif hdr_size == 12:  # BITMAPCOREHEADER (OS/2)
+        width, height = struct.unpack_from("<HH", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 24)
+    else:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    return int(width), abs(int(height)), int(bpp)
+
+
+def decode_gif_header(payload: bytes) -> tuple[int, int]:
+    """REAL stdlib GIF header parse: GIF87a/GIF89a signature + logical
+    screen descriptor. Returns (width, height)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
+        raise ValueError("not a GIF: bad signature")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    return int(width), int(height)
+
+
+def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL stdlib WAV (RIFF) parse: walks the chunk list for 'fmt '
+    and 'data'. Returns (n_channels, sample_rate, bits_per_sample,
+    n_frames) where a frame is one sample across all channels."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            _fmt_code, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            (bits,) = struct.unpack_from("<H", payload, pos + 22)
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    bytes_per_frame = max(1, n_ch * (bits // 8))
+    return n_ch, rate, bits, data_len // bytes_per_frame
+
+
 def _real_decode(payload: bytes, media_type: str) -> tuple[int, int]:
-    """Real-codec dispatch: PNG is decoded in-process via decode_png;
-    other formats still need external libs (absent in this container)."""
+    """Real-codec dispatch (all stdlib, no image libraries): PNG pixels
+    via decode_png, BMP/GIF dimensions via header parse. JPEG and
+    video still need external libs (absent in this container)."""
     if media_type == "image/png" or payload[:8] == _PNG_SIG:
         w, h, _c, _px = decode_png(payload)
         return w, h
+    if media_type == "image/bmp" or payload[:2] == b"BM":
+        w, h, _bpp = decode_bmp_header(payload)
+        return w, h
+    if media_type == "image/gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_header(payload)
     raise NotImplementedError(
-        f"no in-process codec for {media_type!r}: PNG is supported via "
-        "decode_png; JPEG/audio/video need external libs not installed here"
+        f"no in-process codec for {media_type!r}: PNG/BMP/GIF supported "
+        "in-process; JPEG/video need external libs not installed here"
     )
 
 
@@ -197,3 +263,44 @@ def frame_sample(df: DataFrame, stride: int = 100) -> DataFrame:
         ).alias("frames"),
         n_frames.alias("n_frames"),
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def extract_audio_metadata(df: DataFrame) -> DataFrame:
+    """Audio twin of extract_media_metadata: WAV headers parsed for
+    real (stdlib struct — decode_wav_header) through the same Arrow
+    mapInPandas plumbing; duration is integer math (frames*1000/rate),
+    deterministic across engines."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = rec["payload"]
+                n_ch, rate, bits, n_frames = decode_wav_header(payload)
+                rows.append(
+                    {
+                        "doc_id": rec["doc_id"],
+                        "n_bytes": len(payload),
+                        "n_channels": n_ch,
+                        "sample_rate": rate,
+                        "bits_per_sample": bits,
+                        "n_frames": n_frames,
+                        "duration_ms": n_frames * 1000 // max(rate, 1),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return df.mapInPandas(_extract, schema=AUDIO_SCHEMA)

@@ -94,3 +94,58 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
     ).format(file_format).save(path)
     shutil.rmtree(staging, ignore_errors=True)
     return n_files
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 16,
+                 out: str = "_z") -> DataFrame:
+    """Add a Z-order (Morton) key interleaving the bits of the given
+    numeric columns, each min-max scaled to an unsigned ``bits``-wide
+    integer. Sorting/range-partitioning by the key clusters rows that
+    are close in EVERY dimension — the layout Delta's OPTIMIZE ZORDER
+    builds — so parquet row-group min/max stats prune scans filtered on
+    ANY of the columns, not just the first sort key.
+
+    The min/max bounds come from one 2·|cols|-value aggregate (bounded
+    driver scalars). The interleave itself is a pure JVM expression
+    tree (shift/and/or over bigints) — no UDF, codegen-friendly. NULLs
+    map to bucket 0 (sort first, like NULLS FIRST).
+    """
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    ).first()
+    m = len(cols)
+    max_bucket = (1 << bits) - 1
+    z = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = F.coalesce(
+            F.least(
+                F.lit(max_bucket),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_bucket),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        for bit in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(scaled, bit).bitwiseAND(F.lit(1)), bit * m + ci
+            )
+    return df.withColumn(out, z)
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   num_files: int = 16, bits: int = 16) -> None:
+    """Write ``df`` as parquet laid out in Z-order over ``cols``:
+    range-partition on the Morton key (balanced files via range
+    sampling), sort within each file, drop the key. Each output file
+    then covers a small hyper-rectangle of the key space, so per-file
+    min/max footer stats are narrow on every z-ordered column."""
+    zdf = zorder_value(df, cols, bits)
+    (
+        zdf.repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -412,3 +412,84 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def _encode_bmp(width, height, bpp=24):
+    import struct
+
+    row = (width * (bpp // 8) + 3) & ~3
+    data_size = row * height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, data_size, 2835, 2835, 0, 0)
+        + b"\x00" * data_size
+    )
+
+
+def _encode_gif(width, height):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+def _encode_wav(n_channels, rate, bits, n_frames):
+    import struct
+
+    frame_bytes = n_channels * bits // 8
+    data = b"\x00" * (n_frames * frame_bytes)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * frame_bytes, frame_bytes, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_bmp_gif_header_decode():
+    from pipeline_server_spark.operators.multimodal import (
+        decode_bmp_header,
+        decode_gif_header,
+    )
+
+    assert decode_bmp_header(_encode_bmp(31, 17)) == (31, 17, 24)
+    # top-down BMP stores negative height
+    bmp = bytearray(_encode_bmp(8, 4))
+    import struct as _s
+
+    bmp[22:26] = _s.pack("<i", -4)
+    assert decode_bmp_header(bytes(bmp)) == (8, 4, 24)
+    assert decode_gif_header(_encode_gif(320, 200)) == (320, 200)
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_bmp_header(b"XX123456789012345678901234567890")
+
+
+def test_real_codecs_decode_bmp_gif_dims(spark):
+    """real_codecs dispatch reads BMP/GIF dimensions through the full
+    mapInPandas path (media_type sniffed from magic bytes)."""
+    rows = [
+        (1, bytearray(_encode_bmp(31, 17)), "image/bmp"),
+        (2, bytearray(_encode_gif(320, 200)), "image/gif"),
+    ]
+    from pipeline_server_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {r.doc_id: r for r in extract_media_metadata(media, real_codecs=True).collect()}
+    assert (meta[1].width, meta[1].height) == (31, 17)
+    assert (meta[2].width, meta[2].height) == (320, 200)
+
+
+def test_wav_audio_metadata(spark):
+    from pipeline_server_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav_header,
+        extract_audio_metadata,
+    )
+
+    wav = _encode_wav(2, 16000, 16, 8000)  # 0.5 s stereo
+    assert decode_wav_header(wav) == (2, 16000, 16, 8000)
+    media = spark.createDataFrame([(7, bytearray(wav), "audio/wav")], MEDIA_SCHEMA)
+    r = extract_audio_metadata(media).collect()[0]
+    assert (r.n_channels, r.sample_rate, r.bits_per_sample) == (2, 16000, 16)
+    assert r.n_frames == 8000 and r.duration_ms == 500
+    assert r.n_bytes == len(wav)

@@ -154,3 +154,85 @@ def test_stream_static_dimension_join(spark, tmp_path):
         for r in events.join(dim, "event_type").groupBy("category").count().collect()
     }
     assert got == want and len(got) == 4
+
+
+def _per_file_spans(path: str, cols: list[str]) -> dict[str, float]:
+    """Mean per-file (max-min) span from parquet footer stats, per col."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans: dict[str, list[float]] = {c: [] for c in cols}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo: dict[str, float] = {}
+        hi: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                col = md.row_group(rg).column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    lo[name] = min(lo.get(name, float("inf")), float(col.statistics.min))
+                    hi[name] = max(hi.get(name, float("-inf")), float(col.statistics.max))
+        for c in cols:
+            if c in lo:
+                spans[c].append(hi[c] - lo[c])
+    return {c: sum(v) / len(v) for c, v in spans.items()}
+
+
+def test_zorder_layout_narrows_file_stats_on_both_dims(spark, tmp_path):
+    """Z-order clusters BOTH columns: per-file footer spans shrink on
+    each dimension, where a single-column sort leaves the other column
+    at full range (the property scan pruning reads off the footers)."""
+    from pipeline_server_spark.operators.scale import write_zordered
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_custkey", "o_totalprice")
+    glob = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+    ).first()
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], num_files=16)
+    zspan = _per_file_spans(zpath, ["o_custkey", "o_totalprice"])
+
+    spath = str(tmp_path / "sorted")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    sspan = _per_file_spans(spath, ["o_custkey", "o_totalprice"])
+
+    # 16 files over 2 z-ordered dims → ~4×4 grid → ~1/4 span per dim;
+    # assert a loose 0.55 bound to stay robust to range-sampling skew
+    assert zspan["o_custkey"] < 0.55 * glob["ck"]
+    assert zspan["o_totalprice"] < 0.55 * glob["tp"]
+    # the linear sort is perfect on its own key but NOT on the other
+    assert sspan["o_custkey"] < 0.2 * glob["ck"]
+    assert sspan["o_totalprice"] > 0.8 * glob["tp"]
+    # round-trip integrity: same rows, just re-laid-out
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_zorder_value_is_deterministic_jvm_expression(spark):
+    from pipeline_server_spark.operators.scale import zorder_value
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_custkey", "o_totalprice")
+    z1 = zorder_value(orders, ["o_custkey", "o_totalprice"]).agg(
+        F.sum("_z").alias("s")
+    ).first()["s"]
+    z2 = zorder_value(orders, ["o_custkey", "o_totalprice"]).agg(
+        F.sum("_z").alias("s")
+    ).first()["s"]
+    assert z1 == z2
+    plan = (
+        zorder_value(orders, ["o_custkey", "o_totalprice"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
