@@ -49,6 +49,7 @@ HEADLINE = [
     # word-count head — both scale-sensitive corpus passes
     "duplicate_ngram_coverage",
     "vocab_coverage_topk",
+    "pagerank_supplier_network",
 ]
 
 

@@ -20,6 +20,7 @@ from pipeline_server_spark.queries import relational6  # noqa: E402,F401
 from pipeline_server_spark.queries import relational7  # noqa: E402,F401
 from pipeline_server_spark.queries import relational8  # noqa: E402,F401
 from pipeline_server_spark.queries import relational9  # noqa: E402,F401
+from pipeline_server_spark.queries import graph  # noqa: E402,F401
 from pipeline_server_spark.queries import streaming_batch  # noqa: E402,F401
 from pipeline_server_spark.queries import temporal_queries  # noqa: E402,F401
 from pipeline_server_spark.queries import semistructured  # noqa: E402,F401

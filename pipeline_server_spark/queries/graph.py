@@ -1,0 +1,153 @@
+"""Iterative graph algorithms as ORACLE-CHECKED queries.
+
+The round-2/3 registry treats connected components as the one graph
+operator (recursive-CTE oracle). This module shows the harder case: a
+fixed-iteration PAGERANK whose every arithmetic step is integer
+fixed-point — rank mass carried as bigint micros-of-a-unit (scale
+10^12), contributions as integer division ``rank div outdeg``, damping
+as ``(85 * s) div 100`` — so Spark and DuckDB compute bit-identical
+bigints and the driver's value-hash gate applies to an *iterative*
+algorithm, not just to one-shot SQL. (Float PageRank would differ
+across engines in summation order; the deterministic-contract trick is
+the same one the sketch queries use, applied to iteration.)
+
+Reference analog: none — the reference has no graph surface (SURVEY.md
+§2.6 "set ops / windows / grouping sets: absent"); this extends the
+engine the way training-data pipelines rank hosts/domains for crawl
+prioritization (e.g. Common Crawl harmonic/PageRank host ranks).
+
+Scale shape: each iteration is one shuffle (contributions grouped by
+dst) plus a broadcast-sized outdegree join; the rank vector is |nodes|
+rows — tiny next to the edge table — and edges are checkpointed once.
+Dangling mass (suppliers have no out-edges in the bipartite graph) is
+dropped, not redistributed, identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+_SCALE = 10**12
+_ITERS = 6
+_SUPP_OFFSET = 1_000_000
+
+
+def _pagerank_oracle(iters: int = _ITERS) -> str:
+    """Unrolled fixed-point PageRank (DuckDB disallows aggregates in a
+    recursive CTE term, so the 6 iterations are chained CTEs)."""
+    parts = [
+        f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    meta AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, {_SCALE} // n AS r FROM nodes, meta)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{k} AS (
+      SELECT n.node,
+             (15 * ({_SCALE} // m.n)) // 100
+               + (85 * COALESCE(s.contrib, 0)) // 100 AS r
+      FROM nodes n CROSS JOIN meta m
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS contrib
+        FROM r{k - 1} p
+          JOIN edges e ON e.src = p.node
+          JOIN outdeg d ON d.node = p.node
+        GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, r AS rank_scaled FROM r{iters}
+    ORDER BY rank_scaled DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+def _contribution_step(r: DataFrame, edges: DataFrame, outdeg: DataFrame) -> DataFrame:
+    """One PageRank round's contribution aggregation: rank joins edges
+    on the source, outdegree broadcasts (keyed ``od_node`` — a
+    same-name self-join key would resolve to one attribute and
+    degenerate to a cartesian), contributions group on the target."""
+    return (
+        r.join(edges, r["node"] == edges["src"])
+        .join(F.broadcast(outdeg), F.col("src") == F.col("od_node"))
+        .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").cast("bigint").alias("contrib"))
+    )
+
+
+@query("pagerank_supplier_network", oracle=_pagerank_oracle())
+def pagerank_supplier_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the bipartite customer→supplier graph
+    (distinct purchase edges; suppliers namespaced by +10^6), 6
+    iterations, damping 0.85, rank mass in bigint 10^-12 units. Top-20
+    nodes by final rank. Every operation is integer (div-truncation
+    matches DuckDB's ``//`` on positives), so the iterative result is
+    bit-identical across engines — see module docstring."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    n_edges = edges.count()  # also materializes the edge checkpoint
+    init = _SCALE // n
+    teleport = (15 * init) // 100
+    # Size the iteration shuffles from the graph (same policy as
+    # connected_components): the rank vector is |nodes| rows and the
+    # contribution shuffle is |edges| rows — corpus-sized partition
+    # counts make 6 rounds pure task-scheduling overhead. Restored in
+    # the finally below; at real scale the bound keeps session width.
+    sess = spark
+    conf_key = "spark.sql.shuffle.partitions"
+    default_parts = int(sess.conf.get(conf_key))
+    loop_parts = max(2, min(default_parts, n_edges // 1_000_000 + 2))
+    # distinct key name: outdeg shares lineage with edges, and a
+    # same-name self-join condition resolves both sides to ONE
+    # attribute (trivially true → every edge × every degree row)
+    outdeg = edges.groupBy(F.col("src").alias("od_node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    r = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
+    sess.conf.set(conf_key, str(loop_parts))
+    try:
+        for _ in range(_ITERS):
+            contrib = _contribution_step(r, edges, outdeg)
+            r = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                    ).cast("bigint").alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        sess.conf.set(conf_key, str(default_parts))
+    return r.orderBy(F.desc("r"), F.asc("node")).select(
+        "node", F.col("r").alias("rank_scaled")
+    ).limit(20)

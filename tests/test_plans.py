@@ -148,3 +148,38 @@ def test_incremental_refresh_partial_aggregates(spark):
     plan = _plan(spark, "incremental_agg_refresh")
     assert "partial_sum" in plan and plan.count("HashAggregate") >= 4
     assert "Join" not in plan
+
+
+def test_pagerank_broadcasts_outdegree_no_cartesian(spark):
+    """One pagerank contribution round broadcasts the outdegree dim and
+    must never degenerate into a cartesian (the same-name self-join
+    ambiguity this guards against produced exactly that shape). The
+    full query's final plan is a checkpoint scan (iterations execute
+    eagerly), so the step is asserted directly."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.catalog import load_table
+    from pipeline_server_spark.queries.graph import _contribution_step
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1_000_000).alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("od_node")).agg(F.count(F.lit(1)).alias("deg"))
+    r = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    step = _contribution_step(r, edges, outdeg)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # mass sanity: contributions cannot exceed total injected rank
+    total = step.agg(F.sum("contrib").alias("s")).first()["s"]
+    assert total <= 1_000_000 * nodes.count()
