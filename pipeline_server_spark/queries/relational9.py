@@ -152,3 +152,68 @@ def stats_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "order_activity_reconciliation",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, COUNT(*) AS n_1996 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_custkey),
+    b AS (
+      SELECT o_custkey, COUNT(*) AS n_1997 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(n_1996, 0) AS n_1996,
+           COALESCE(n_1997, 0) AS n_1997,
+           CASE WHEN a.o_custkey IS NULL THEN 'joined_1997'
+                WHEN b.o_custkey IS NULL THEN 'churned_after_1996'
+                ELSE 'active_both' END AS cohort
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+)
+def order_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one §2.6 join family the registry lacked):
+    reconcile per-customer order counts across two years — customers
+    present in either side survive, with null-side zeros and a cohort
+    label. Shape: two partial-aggregated branches of the same scan
+    shuffle once each on the key, then a sort-merge full-outer; at
+    100 TB both branches reuse the key partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y0: str, y1: str, out: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = year_counts("1996-01-01", "1997-01-01", "n_1996").withColumnRenamed(
+        "o_custkey", "ck_a"
+    )
+    b = year_counts("1997-01-01", "1998-01-01", "n_1997").withColumnRenamed(
+        "o_custkey", "ck_b"
+    )
+    cohort = (
+        F.when(F.col("ck_a").isNull(), "joined_1997")
+        .when(F.col("ck_b").isNull(), "churned_after_1996")
+        .otherwise("active_both")
+    )
+    return (
+        a.join(b, F.col("ck_a") == F.col("ck_b"), "full_outer")
+        .select(
+            F.coalesce("ck_a", "ck_b").alias("custkey"),
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+            F.coalesce("n_1997", F.lit(0)).alias("n_1997"),
+            cohort.alias("cohort"),
+        )
+        .orderBy("custkey")
+    )

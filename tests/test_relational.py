@@ -47,3 +47,44 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns[0] == "l_returnflag"
+
+
+def test_interpolation_matches_numpy_reference(spark):
+    """Property check: the windowed linear interpolation equals
+    numpy.interp on every user's series (same boundary fallback:
+    nearest value at the edges)."""
+    import numpy as np
+
+    from pipeline_server_spark.queries.temporal_queries import (
+        interpolate_missing_values,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = interpolate_missing_values(spark, SF_SMALL).toPandas()
+    from pipeline_server_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    checked = 0
+    for uid, grp in ev.groupby("user_id"):
+        t = grp["ts"].astype("int64").to_numpy()
+        v = grp["value"].to_numpy().copy()
+        missing = (grp["event_id"] % 7 == 0).to_numpy()
+        if missing.all():
+            continue
+        expect = np.interp(t[missing], t[~missing], v[~missing])
+        got = (
+            out[out.user_id == uid]
+            .sort_values(["ts", "event_id"])
+            .loc[lambda d: d.was_missing, "value_filled"]
+            .to_numpy()
+        )
+        # numpy computes slope*(x-x0)+y0; the query computes y0+(y1-y0)*ratio
+        # — same math, different last-ulp rounding, so compare with rtol
+        assert np.allclose(got, expect, rtol=1e-9, atol=1e-9), f"user {uid}"
+        checked += 1
+    assert checked > 10
