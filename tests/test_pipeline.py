@@ -585,3 +585,58 @@ def test_staged_swap_write_fs_injection(spark, tmp_path):
     # no stray __old/__staging dirs left behind except the unswapped staging
     leftovers = [d for d in os.listdir(tmp_path) if "__old_" in d]
     assert leftovers == []
+
+
+def test_versioned_table_commit_time_travel_vacuum(spark, tmp_path):
+    """VersionedTable: manifest-pointer commits give time travel,
+    snapshot isolation for readers, exactly ONE single-file rename as
+    the commit point, and vacuum that never drops the live version."""
+    from pipeline_server_spark.pipeline.writers import (
+        SwapCommitFS,
+        VersionedTable,
+        merge_upsert_frames,
+    )
+
+    renames = []
+
+    class RecordingFS(SwapCommitFS):
+        def rename(self, src, dst):
+            renames.append((src, dst))
+            super().rename(src, dst)
+
+    root = str(tmp_path / "vt")
+    t = VersionedTable(spark, root, fs=RecordingFS())
+    assert t.current_version() is None
+
+    df1 = spark.range(5).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 10
+    )
+    assert t.commit(df1) == 1
+    # commit point = one rename, of a FILE onto the manifest path
+    assert len(renames) == 1 and renames[0][1].endswith("_manifest.json")
+
+    # keyed upsert as a new snapshot: update k=1, insert k=100
+    batch = spark.createDataFrame([(1, 999), (100, 1000)], ["k", "v"])
+    merged = merge_upsert_frames(t.read(), batch.select("k", "v"), ["k"])
+    assert t.commit(merged) == 2
+
+    # old snapshot unchanged (time travel); new one reflects the merge
+    v1 = {r.k: r.v for r in t.read(version=1).collect()}
+    v2 = {r.k: r.v for r in t.read(version=2).collect()}
+    assert v1[1] == 10 and 100 not in v1
+    assert v2[1] == 999 and v2[100] == 1000 and len(v2) == 6
+
+    # a reader holding the v1 DataFrame keeps working after more commits
+    snapshot = t.read(version=1)
+    assert t.commit(t.read().where(F.col("k") != 0)) == 3
+    assert snapshot.count() == 5
+
+    assert t.versions() == [1, 2, 3]
+    removed = t.vacuum(keep=2)
+    assert removed == [1]
+    assert t.versions() == [2, 3]
+    assert t.read().count() == 5  # current pointer target untouched
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.read(version=1).count()  # vacuumed snapshot is gone
