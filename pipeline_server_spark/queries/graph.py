@@ -112,6 +112,8 @@ def pagerank_supplier_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:  # empty graph: no edges → no ranked nodes
+        return spark.createDataFrame([], "node bigint, rank_scaled bigint")
     n_edges = edges.count()  # also materializes the edge checkpoint
     init = _SCALE // n
     teleport = (15 * init) // 100

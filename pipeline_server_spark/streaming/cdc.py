@@ -328,3 +328,37 @@ def kafka_cdc_source(spark: SparkSession, bootstrap_servers: str,
                                      starting_offsets).items():
         reader = reader.option(k, v)
     return reader.load().select(F.col("value").cast("string").alias("value"))
+
+
+def cdc_stream_apply_versioned(
+    spark: SparkSession,
+    stream_source: DataFrame,
+    table,
+    fields: tuple[SchemaField, ...],
+    checkpoint: str,
+):
+    """CDC apply with an ATOMIC commit per micro-batch: each batch's
+    merge result becomes a new :class:`~pipeline_server_spark.pipeline.
+    writers.VersionedTable` snapshot published by one manifest-pointer
+    rename — no rename window at all (upgrades apply_cdc_to_path's
+    staged swap; the reference gets the same property from
+    Athena/Iceberg MERGE, IcebergUtil.scala:124-157).
+
+    Semantics: offsets are exactly-once via the checkpoint; a crash
+    between apply and checkpoint-commit re-applies the batch as ANOTHER
+    version — updates/deletes are idempotent (full-row match), and the
+    version history doubles as a per-batch audit trail readable by
+    time travel."""
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        msgs = parse_debezium(batch_df)
+        if msgs.isEmpty():
+            return
+        merged = apply_cdc(table.read(), msgs, fields)
+        table.commit(merged)
+
+    return (
+        stream_source.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

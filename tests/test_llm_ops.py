@@ -493,3 +493,19 @@ def test_wav_audio_metadata(spark):
     assert (r.n_channels, r.sample_rate, r.bits_per_sample) == (2, 16000, 16)
     assert r.n_frames == 8000 and r.duration_ms == 500
     assert r.n_bytes == len(wav)
+
+
+def test_pagerank_empty_graph(spark, tmp_path):
+    """No purchase edges → empty ranked output (no div-by-zero on the
+    node count)."""
+    from pipeline_server_spark.queries.graph import pagerank_supplier_network
+
+    spark.createDataFrame([], "o_orderkey bigint, o_custkey bigint").write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame([], "l_orderkey bigint, l_suppkey bigint").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = pagerank_supplier_network(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["node", "rank_scaled"]

@@ -304,3 +304,39 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         for r in interval_join_events(clicks, purchases).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_cdc_stream_apply_versioned_commits_and_time_travel(spark, tmp_path):
+    """CDC micro-batches → VersionedTable: each batch is one atomic
+    manifest-pointer commit; the pre-apply snapshot stays readable."""
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.cdc import cdc_stream_apply_versioned
+
+    table = VersionedTable(spark, str(tmp_path / "vt"))
+    table.commit(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["k", "name", "v"])
+    )
+    src_dir = tmp_path / "msgs"
+    src_dir.mkdir()
+    lines = [
+        _envelope("c", None, {"k": "3", "name": "c", "v": "3.5"}),
+        _envelope("u", {"k": "1", "name": "a", "v": "1.0"}, {"k": "1", "name": "A", "v": "10.0"}),
+        _envelope("d", {"k": "2", "name": "b", "v": "2.0"}, None),
+    ]
+    (src_dir / "batch1.json").write_text("\n".join(lines))
+    from pyspark.sql import types as T
+
+    stream = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(str(src_dir))
+    q = cdc_stream_apply_versioned(
+        spark, stream, table, FIELDS, checkpoint=str(tmp_path / "ck_v")
+    )
+    q.awaitTermination(120)
+
+    assert table.current_version() == 2
+    result = {r.k: (r.name, r.v) for r in table.read().collect()}
+    assert result == {1: ("A", 10.0), 3: ("c", 3.5)}
+    # time travel: the pre-CDC snapshot is intact
+    before = {r.k: (r.name, r.v) for r in table.read(version=1).collect()}
+    assert before == {1: ("a", 1.0), 2: ("b", 2.0)}
