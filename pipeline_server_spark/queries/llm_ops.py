@@ -578,3 +578,56 @@ def c4_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) > 0),
+    s AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, GREATEST(len(toks), 1), 48)) AS start
+      FROM t),
+    c AS (
+      SELECT doc_id,
+             start // 48 AS chunk_index,
+             list_slice(toks, start + 1, LEAST(start + 64, len(toks))) AS chunk
+      FROM s)
+    SELECT doc_id, chunk_index,
+           len(chunk) AS n_chunk_tokens,
+           chunk[1] AS first_token,
+           chunk[len(chunk)] AS last_token
+    FROM c ORDER BY doc_id, chunk_index
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for training-sequence prep:
+    64-token chunks on a 48-token stride (16-token overlap so no
+    boundary context is lost), emitted as (doc, chunk_index) rows with
+    the chunk's span markers. Pure JVM array HOFs — sequence for the
+    stride starts, slice for the window — exploded once; no shuffle at
+    all until the output sort. Complements ``pack_documents`` (which
+    bins whole documents): chunking splits WITHIN documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("_t")).where(F.size("_t") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(48)
+    )
+    c = (
+        base.select("doc_id", "_t", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / 48).cast("bigint").alias("chunk_index"),
+            F.slice(F.col("_t"), F.col("start") + 1, F.lit(64)).alias("chunk"),
+        )
+    )
+    return c.select(
+        "doc_id",
+        "chunk_index",
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.element_at("chunk", 1).alias("first_token"),
+        F.element_at("chunk", -1).alias("last_token"),
+    ).orderBy("doc_id", "chunk_index")

@@ -222,6 +222,10 @@ def test_zorder_value_is_deterministic_jvm_expression(spark):
     from pipeline_server_spark.operators.scale import zorder_value
 
     orders = load_table(spark, SF_SMALL, "orders").select("o_custkey", "o_totalprice")
+    bounds = zorder_value(orders, ["o_custkey", "o_totalprice"]).agg(
+        F.min("_z").alias("lo"), F.max("_z").alias("hi")
+    ).first()
+    assert 0 <= bounds["lo"] <= bounds["hi"] < (1 << 32)  # 2 dims × 16 bits
     z1 = zorder_value(orders, ["o_custkey", "o_totalprice"]).agg(
         F.sum("_z").alias("s")
     ).first()["s"]
