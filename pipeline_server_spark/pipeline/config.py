@@ -111,6 +111,11 @@ class DestinationConfig:
     # CSV for the data-retrieval API (DatasetConfig.scala:134,
     # DataFrameUtil.scala:77-106)
     save_transformed: bool = False
+    # Snapshot-versioned destination: every ingest commits an immutable
+    # VersionedTable snapshot (atomic manifest-pointer publish, time
+    # travel) instead of writing the path in place. Beyond-reference
+    # (the reference leans on Athena/Iceberg for this).
+    versioned: bool = False
 
 
 @dataclass(frozen=True)

@@ -103,8 +103,30 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
     obs = Observation(f"ingest_{config.name}")
     staged = staged.observe(obs, F.count(F.lit(1)).alias("rows"))
 
-    if config.destination.write_mode == "merge":
-        merge_upsert(spark, staged, config.destination)
+    dest = config.destination
+    if dest.versioned:
+        from pipeline_server_spark.pipeline.writers import (
+            VersionedTable,
+            merge_upsert_frames,
+        )
+
+        table = VersionedTable(spark, dest.path, dest.file_format)
+        base = None if dest.delete_before_write else table.current_version()
+        if base is None or dest.write_mode == "overwrite":
+            merged = staged
+        elif dest.write_mode == "merge":
+            merged = merge_upsert_frames(
+                table.read(), staged.select(*table.read().columns), list(dest.key_fields)
+            )
+        else:  # append = previous snapshot ∪ batch, as a NEW snapshot
+            merged = table.read().unionByName(staged)
+        version = table.commit(merged, dest.partition_by)
+        return RunResult(
+            config.name, int(obs.get["rows"]), report, {"version": version}
+        )
+
+    if dest.write_mode == "merge":
+        merge_upsert(spark, staged, dest)
     else:
-        write_append(staged, config.destination)
+        write_append(staged, dest)
     return RunResult(config.name, int(obs.get["rows"]), report)

@@ -640,3 +640,33 @@ def test_versioned_table_commit_time_travel_vacuum(spark, tmp_path):
 
     with _pytest.raises(Exception):
         t.read(version=1).count()  # vacuumed snapshot is gone
+
+
+def test_run_dataset_versioned_destination(spark, tmp_path, orders_csv):
+    """versioned=True destinations commit a snapshot per ingest: merge
+    re-ingests produce a new version, old snapshots stay readable."""
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    config = DatasetConfig(
+        name="orders_versioned",
+        source=_csv_source(),
+        destination=DestinationConfig(
+            fields=ORDER_FIELDS,
+            path=str(tmp_path / "vt"),
+            write_mode="merge",
+            key_fields=("o_orderkey",),
+            versioned=True,
+        ),
+    )
+    r1 = run_dataset(spark, config, orders_csv)
+    assert r1.details["version"] == 1
+    t = VersionedTable(spark, config.destination.path)
+    n1 = t.read().count()
+    assert n1 == r1.rows_written > 0
+
+    # re-ingest the same file: keyed merge → same row count, new version
+    r2 = run_dataset(spark, config, orders_csv)
+    assert r2.details["version"] == 2
+    assert t.read(version=2).count() == n1
+    assert t.read(version=1).count() == n1
+    assert t.current_version() == 2
