@@ -166,3 +166,45 @@ def interpolate_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("value_filled"),
         F.col("v").isNull().alias("was_missing"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "trailing_hour_user_load",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def trailing_hour_user_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (the frame kind the registry's
+    row-frame windows don't cover): every event carries the count and
+    decimal-exact value sum of the SAME USER's events in the trailing
+    hour — a time-based sliding aggregate with no self-join and no
+    bucketing approximation, ordered by epoch microseconds so the
+    frame bound is an exact integer interval in both engines. One
+    shuffle on user_id; per-row state is the sliding frame, O(events
+    in one hour) per key at any scale."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_events_1h"),
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("value_1h"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
