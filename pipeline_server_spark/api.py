@@ -102,6 +102,7 @@ def config_from_dict(d: dict) -> DatasetConfig:
             partition_by=tuple(dst.get("partition_by", ())),
             delete_before_write=dst.get("delete_before_write", False),
             save_transformed=dst.get("save_transformed", False),
+            versioned=dst.get("versioned", False),
         ),
         parity_mode=d.get("parity_mode", False),
     )
@@ -264,6 +265,9 @@ class PipelineApiServer:
                 (name,) = need("name")
                 self.engine.deregister(name)
                 return 200, {"deleted": name}
+            if method == "GET" and path == "/dataset/versions":
+                (name,) = need("name")
+                return 200, self.engine.versions(name)
             if method == "GET" and path == "/dataset/data":
                 (token,) = need("pipelinetoken")
                 return 200, {"rows": self.engine.retrieve(token)}

@@ -149,6 +149,20 @@ class Engine:
         return [r for r in self._notification_rows
                 if fnmatch.fnmatch(r["dataset"], pattern)]
 
+    def versions(self, name: str) -> dict[str, Any]:
+        """Version history of a snapshot-versioned dataset destination
+        (DestinationConfig.versioned): available snapshot versions plus
+        the current pointer. Raises KeyError for unknown datasets (404
+        at the API layer), ValueError for non-versioned destinations."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        config = self._configs[name]
+        dest = config.destination
+        if not dest.versioned or dest.path is None:
+            raise ValueError(f"dataset {name!r} has no versioned destination")
+        table = VersionedTable(self.spark, dest.path, dest.file_format)
+        return {"versions": table.versions(), "current": table.current_version()}
+
     def retrieve(self, token: str) -> list[str]:
         """GET /dataset/data?pipelinetoken= — the transformed batch back
         as raw CSV lines from the token-addressed temp output

@@ -283,3 +283,53 @@ def test_missing_params_are_400_not_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _call(srv.port, "POST", "/dataset", json.dumps(bad).encode())
     assert e.value.code == 400
+
+
+def test_versioned_dataset_history_endpoint(spark, server):
+    """register a versioned destination → two uploads → GET
+    /dataset/versions shows the snapshot history; non-versioned and
+    unknown datasets map to 400/404."""
+    srv, tmp_path = server
+    import dataclasses
+
+    cfg = DatasetConfig(
+        name="api_versioned",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_versioned"),
+            write_mode="merge",
+            key_fields=("id",),
+            versioned=True,
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+    csv = b"id,amount\n1,10.5\n2,20.0\n"
+    for _ in range(2):
+        status, out = _call(
+            srv.port, "POST", "/dataset/upload?dataset=api_versioned", csv
+        )
+        assert status == 200 and out["rows_written"] == 2
+
+    status, hist = _call(srv.port, "GET", "/dataset/versions?name=api_versioned")
+    assert status == 200
+    assert hist == {"versions": [1, 2], "current": 2}
+
+    # keyed merge of the same batch: still 2 rows at the head
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    assert VersionedTable(spark, cfg.destination.path).read().count() == 2
+
+    import urllib.error
+
+    def _code(path):
+        try:
+            return _call(srv.port, "GET", path)[0]
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # registered but not versioned → client error; unknown → not found
+    assert _code("/dataset/versions?name=api_orders") in (400, 404)
+    assert _code("/dataset/versions?name=nope") == 404
