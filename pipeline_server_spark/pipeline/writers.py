@@ -334,3 +334,39 @@ class VersionedTable:
         for v in victims:
             self.fs.remove(self._version_dir(v))
         return victims
+
+
+def merge_upsert_frames_evolving(target: DataFrame, source: DataFrame,
+                                 keys: list[str],
+                                 sequence_col: str | None = None) -> DataFrame:
+    """Keyed merge with SCHEMA EVOLUTION: the merged frame carries the
+    union of both schemas; rows from the side missing a column get
+    nulls (the reference's Glue-table-version evolution check,
+    DatasetObjectStoreUtil.scala:71-101, restated as the
+    Delta-mergeSchema behavior). Key columns must exist on both sides;
+    evolution is additive only — a column present in both with
+    different types is a conflict and raises."""
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    s_types = {f.name: f.dataType for f in source.schema.fields}
+    for k in keys:
+        if k not in t_types or k not in s_types:
+            raise ValueError(f"merge key {k!r} must exist on both sides")
+    conflicts = {
+        n for n in t_types.keys() & s_types.keys() if t_types[n] != s_types[n]
+    }
+    if conflicts:
+        raise ValueError(
+            f"schema evolution is additive-only; type conflicts: {sorted(conflicts)}"
+        )
+    ordered = list(t_types) + [n for n in s_types if n not in t_types]
+
+    def widen(df: DataFrame, have: dict) -> DataFrame:
+        cols = [
+            F.col(n) if n in have
+            else F.lit(None).cast((t_types | s_types)[n]).alias(n)
+            for n in ordered
+        ]
+        return df.select(*cols)
+
+    return merge_upsert_frames(widen(target, t_types), widen(source, s_types),
+                               keys, sequence_col)

@@ -670,3 +670,29 @@ def test_run_dataset_versioned_destination(spark, tmp_path, orders_csv):
     assert t.read(version=2).count() == n1
     assert t.read(version=1).count() == n1
     assert t.current_version() == 2
+
+
+def test_versioned_merge_with_schema_evolution(spark, tmp_path):
+    """Additive schema drift merges cleanly into a new snapshot: old
+    rows null-fill the new column; type conflicts are rejected."""
+    import pytest as _pytest
+
+    from pipeline_server_spark.pipeline.writers import (
+        VersionedTable,
+        merge_upsert_frames_evolving,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt_evolve"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"]))
+
+    batch = spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)], ["k", "name", "score"])
+    merged = merge_upsert_frames_evolving(t.read(), batch, ["k"])
+    t.commit(merged)
+
+    rows = {r.k: (r.name, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+    assert t.read(version=1).columns == ["k", "name"]  # old snapshot untouched
+
+    bad = spark.createDataFrame([(1, 5)], ["k", "name"])  # name: int vs string
+    with _pytest.raises(ValueError, match="additive-only"):
+        merge_upsert_frames_evolving(t.read(), bad, ["k"])
