@@ -702,3 +702,89 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "shared_span_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g_raw AS (
+      SELECT doc_id, UNNEST(range(1, len(toks) - 6)) AS pos, toks AS _toks
+      FROM t WHERE len(toks) >= 8),
+    g0 AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(_toks, pos, pos + 7), ' ') AS gram
+      FROM g_raw),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS d FROM g0 GROUP BY gram),
+    g AS (SELECT g0.* FROM g0 JOIN df USING (gram) WHERE d BETWEEN 2 AND 20),
+    hits AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      FROM hits),
+    spans AS (
+      SELECT doc_a, doc_b, COUNT(*) + 7 AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, MAX(span_tokens) AS longest_shared_span
+    FROM spans GROUP BY doc_a, doc_b
+    HAVING MAX(span_tokens) >= 20
+    ORDER BY doc_a, doc_b
+    """,
+)
+def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shared-substring detection (the Lee et al. "Deduplicating
+    Training Data" semantics the Jaccard/MinHash queries approximate):
+    for every document pair, the length of their longest shared token
+    run, found WITHOUT suffix arrays — positional 8-grams meet on the
+    gram, and a shared run of length L shows up as L-7 consecutive
+    hits on one (doc_a, doc_b, pos_a - pos_b) DIAGONAL, so maximal
+    runs fall out of a gaps-and-islands pass (pos - row_number
+    constant within an island). Pairs reported at spans ≥ 20 tokens.
+
+    Scale shape: the gram join is the cost; the document-frequency
+    band (2 ≤ df ≤ 20) drops both singleton grams (no pair) and
+    boilerplate hot grams (join blowup), the standard cutoff — at
+    100 TB you'd also hash grams to 8 bytes before the shuffle. The
+    diagonal trick turns substring matching into two grouped
+    aggregations; no per-pair alignment UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("_t")).where(F.size("_t") >= 8)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 7),
+        lambda i: F.concat_ws(" ", F.slice("_t", i, 8)),
+    )
+    g0 = base.select("doc_id", F.posexplode(grams).alias("p0", "gram")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "gram"
+    )
+    df_band = (
+        g0.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= 20))
+        .select("gram")
+    )
+    g = g0.join(df_band, "gram")
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
+                 F.col("gram").alias("gram_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
+                 F.col("gram").alias("gram_b"))
+    hits = (
+        a.join(b, (F.col("gram_a") == F.col("gram_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        .distinct()
+    )
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = hits.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + 7).alias("span_tokens"))
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(F.max("span_tokens").alias("longest_shared_span"))
+        .where(F.col("longest_shared_span") >= 20)
+        .orderBy("doc_a", "doc_b")
+    )
