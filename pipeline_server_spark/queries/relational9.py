@@ -217,3 +217,76 @@ def order_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (user_id * 2654435761) % 4294967296 AS hv
+      FROM events
+      UNION
+      SELECT DISTINCT '__all_types' AS event_type,
+             (user_id * 2654435761) % 4294967296 AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    g AS (
+      SELECT event_type, COUNT(*) AS exact_distinct,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS kth
+      FROM r GROUP BY event_type),
+    est AS (
+      SELECT event_type, exact_distinct,
+             CASE WHEN exact_distinct < 64 THEN CAST(exact_distinct AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END AS kmv_estimate
+      FROM g)
+    SELECT event_type, exact_distinct, kmv_estimate,
+           ABS(kmv_estimate - exact_distinct) / exact_distinct <= 0.35 AS within_tol
+    FROM est ORDER BY event_type
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=64) distinct-count sketch per event
+    type plus a MERGED '__all_types' sketch — the mergeable-sketch
+    operation HLL doesn't expose here (a KMV union is just the k
+    smallest of the combined hash sets, so per-partition sketches
+    merge associatively at 100 TB). The hash is the Knuth
+    multiplicative draw (exact BIGINT arithmetic, injective for these
+    ids), so both engines build byte-identical sketches, and the
+    estimate (k-1)/u_(k) is a division of exactly-agreed values —
+    bit-stable. The estimator itself is checked as a tolerance boolean
+    against the exact distinct count (KMV rse ≈ 1/√(k−2) ≈ 12.7%;
+    gate at 35%)."""
+    e = load_table(spark, sf_dir, "events")
+    hv = ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("hv")
+    per_type = e.select("event_type", hv)
+    merged = e.select(F.lit("__all_types").alias("event_type"), hv)
+    h = per_type.unionByName(merged).distinct()
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy("hv"))
+    g = (
+        h.withColumn("rn", rn)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_distinct"),
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("kth"),
+        )
+    )
+    est = F.when(
+        F.col("exact_distinct") < 64, F.col("exact_distinct").cast("double")
+    ).otherwise(F.lit(63.0) * F.lit(4294967296.0) / F.col("kth").cast("double"))
+    return (
+        g.select(
+            "event_type",
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct") <= 0.35
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
