@@ -290,3 +290,87 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "mad_outlier_counts",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median
+      FROM v GROUP BY event_type),
+    d AS (
+      SELECT v.event_type, v.value, med.median,
+             ABS(v.value - med.median) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY v.event_type
+                                ORDER BY ABS(v.value - med.median)) AS drn,
+             COUNT(*) OVER (PARTITION BY v.event_type) AS n
+      FROM v JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, MAX(median) AS median,
+             MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS mad
+      FROM d GROUP BY event_type)
+    SELECT d.event_type, mad.median, mad.mad,
+           COUNT(*) FILTER (d.dev > 3 * mad.mad) AS n_outliers,
+           COUNT(*) AS n_events
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type, mad.median, mad.mad
+    ORDER BY d.event_type
+    """,
+)
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median and MAD (median
+    absolute deviation) by RANK SELECTION — the chosen values are
+    existing doubles, so both engines pick bit-identical statistics
+    (no interpolation, the same trick as median_order_price) — then a
+    count of events beyond the 3×MAD fence. Two window passes + two
+    tiny aggregations; the per-type windows partition freely at scale.
+    MAD fences are the quality gate percentile/stddev rules mis-fire
+    on for heavy-tailed value distributions."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    wv = W.partitionBy("event_type").orderBy("value")
+    wc = W.partitionBy("event_type")
+    v = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("median")
+    )
+    d = v.join(med, "event_type").select(
+        "event_type",
+        "value",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("dev"),
+    )
+    wd = W.partitionBy("event_type").orderBy("dev")
+    d2 = d.select(
+        "*",
+        F.row_number().over(wd).alias("drn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mad = d2.groupBy("event_type").agg(
+        F.max("median").alias("median"),
+        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev"))).alias("mad"),
+    )
+    return (
+        d.join(mad.select("event_type", F.col("mad").alias("_mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("median").alias("median"),
+            F.max("_mad").alias("mad"),
+            F.count_if(F.col("dev") > 3 * F.col("_mad")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
