@@ -183,3 +183,18 @@ def test_pagerank_broadcasts_outdegree_no_cartesian(spark):
     # mass sanity: contributions cannot exceed total injected rank
     total = step.agg(F.sum("contrib").alias("s")).first()["s"]
     assert total <= 1_000_000 * nodes.count()
+
+
+def test_shared_span_plan_no_cartesian_no_python(spark):
+    """shared_span_pairs: the gram self-join is an equi-join (hash on
+    the gram), never a cartesian, and the whole pipeline stays JVM."""
+    plan = _plan(spark, "shared_span_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_outliers_stays_jvm(spark):
+    plan = _plan(spark, "mad_outlier_counts")
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
