@@ -208,3 +208,41 @@ def trailing_hour_user_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "weekly_active_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    spine AS (SELECT DISTINCT day FROM pairs)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT p.user_id) AS wau
+    FROM spine s JOIN pairs p
+      ON p.day > s.day - INTERVAL 7 DAY AND p.day <= s.day
+    GROUP BY s.day ORDER BY day
+    """,
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (WAU) — sliding DISTINCT,
+    the retention metric plain windowed aggregation can't express
+    (distinct doesn't decompose over a sliding frame). Shape: dedupe to
+    (day, user) pairs, broadcast the tiny day spine, range-join each
+    pair onto the ≤7 spine days it supports, then count distinct per
+    day. The fan-out is bounded (×7) and the shuffle key is
+    (day, user) — uniform, no hot key. A single global collect_set
+    window would be the one-partition anti-pattern this avoids."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = pairs.select(F.col("day").alias("s_day")).distinct()
+    return (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("day") > F.col("s_day") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day") <= F.col("s_day")),
+        )
+        .groupBy("s_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("s_day", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
