@@ -246,3 +246,41 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("s_day", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY user_id)
+    SELECT strftime(f.first_day, '%Y-%m') AS cohort_month,
+           CAST(date_diff('day', f.first_day, p.day) // 7 AS INT) AS week_offset,
+           COUNT(DISTINCT p.user_id) AS n_active
+    FROM pairs p JOIN first_seen f USING (user_id)
+    GROUP BY cohort_month, week_offset
+    ORDER BY cohort_month, week_offset
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangular cohort retention: users grouped by first-seen month,
+    counted as active per whole-week offset from their own first day —
+    the self-derived-dimension shape (the grouping key comes from a
+    per-user MIN, not a column). Day-based integer offsets keep both
+    engines identical (no week-truncation convention involved). Two
+    shuffles: the per-user MIN and the final (cohort, offset, user)
+    distinct-count; the first-seen table is user-sized and joins back
+    on the user key it is already partitioned by."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_seen = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        pairs.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("first_day", "yyyy-MM").alias("cohort_month"),
+            (F.datediff("day", "first_day") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_month", "week_offset")
+    )
