@@ -374,3 +374,42 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "benford_leading_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT)
+             AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           LOG10(1.0 + 1.0 / digit) AS benford_expected
+    FROM c, t ORDER BY digit
+    """,
+)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screening (fraud/synthetic-data smell test): the
+    leading-digit distribution of order totals next to the expected
+    log10(1 + 1/d) curve. The digit comes from the DECIMAL(12,2) string
+    rendering (both engines format the exact decimal identically —
+    doubles can render differently); shares are exact int/int ratios
+    and the expectation is a per-row log of a digit constant, so every
+    double is bit-stable. Single scan, two tiny aggregations."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+            F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_expected"),
+        )
+        .orderBy("digit")
+    )
