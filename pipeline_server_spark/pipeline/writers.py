@@ -316,6 +316,12 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         return self.spark.read.format(self.file_format).load(self._version_dir(v))
 
+    def to_view(self, name: str, version: int | None = None) -> str:
+        """Register a snapshot as a temp view so the full ``spark.sql``
+        surface works over it (time-travel SQL: one view per version)."""
+        self.read(version).createOrReplaceTempView(name)
+        return name
+
     def versions(self) -> list[int]:
         base = os.path.join(self.root, "_versions")
         if not os.path.isdir(base):

@@ -696,3 +696,19 @@ def test_versioned_merge_with_schema_evolution(spark, tmp_path):
     bad = spark.createDataFrame([(1, 5)], ["k", "name"])  # name: int vs string
     with _pytest.raises(ValueError, match="additive-only"):
         merge_upsert_frames_evolving(t.read(), bad, ["k"])
+
+
+def test_versioned_table_sql_over_snapshots(spark, tmp_path):
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt_sql"))
+    t.commit(spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"]))
+    t.commit(spark.createDataFrame([(1, 10.0), (2, 99.0), (3, 30.0)], ["k", "v"]))
+    t.to_view("snap_now")
+    t.to_view("snap_v1", version=1)
+    diff = spark.sql("""
+        SELECT b.k, a.v AS v_old, b.v AS v_new
+        FROM snap_now b LEFT JOIN snap_v1 a USING (k)
+        WHERE a.v IS NULL OR a.v <> b.v ORDER BY k
+    """).collect()
+    assert [(r.k, r.v_old, r.v_new) for r in diff] == [(2, 20.0, 99.0), (3, None, 30.0)]
