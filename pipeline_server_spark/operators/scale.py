@@ -73,12 +73,15 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
     """Small-file compaction (lakehouse maintenance): rewrite a prefix
     into ~target-sized files. Small files are the classic death of
     100 TB scans (one task + one open per file); this rewrites to
-    ceil(total_bytes / target) files via coalesce (no shuffle).
+    ceil(total_bytes / target) files via coalesce (no shuffle) and
+    commits through the sibling-staging rename swap — data is written
+    ONCE and the original stays readable until the commit (the old
+    version wrote twice and overwrote the live path in place).
     Returns the new file count."""
     import math
     import os as _os
-    import shutil
-    import tempfile
+
+    from pipeline_server_spark.pipeline.writers import staged_swap_write
 
     total = 0
     for root, _, files in _os.walk(path):
@@ -87,12 +90,7 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 
                 total += _os.path.getsize(_os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.format(file_format).load(path)
-    staging = tempfile.mkdtemp(prefix="psspark_compact_")
-    df.coalesce(n_files).write.mode("overwrite").format(file_format).save(staging)
-    spark.read.format(file_format).load(staging).coalesce(n_files).write.mode(
-        "overwrite"
-    ).format(file_format).save(path)
-    shutil.rmtree(staging, ignore_errors=True)
+    staged_swap_write(spark, df.coalesce(n_files), path, file_format)
     return n_files
 
 
