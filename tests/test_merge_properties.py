@@ -124,3 +124,42 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == _uf_components(edges)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("commit"), st.integers(min_value=0, max_value=50)),
+            st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_versioned_table_random_op_sequences(spark, tmp_path_factory, ops):
+    """Invariants under random commit/vacuum interleavings: the pointer
+    always resolves, version numbers are strictly increasing, reads of
+    surviving versions return exactly what was committed, and vacuum
+    never removes the current pointer target."""
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    root = tmp_path_factory.mktemp("vt_prop")
+    t = VersionedTable(spark, str(root))
+    committed: dict[int, int] = {}  # version -> row count
+    for op, arg in ops:
+        if op == "commit":
+            v = t.commit(spark.range(arg).withColumnRenamed("id", "k"))
+            assert v == max(committed, default=0) + 1  # strictly increasing
+            committed[v] = arg
+        else:
+            removed = t.vacuum(keep=arg)
+            cur = t.current_version()
+            assert cur not in removed
+            for r in removed:
+                committed.pop(r, None)
+    if committed:
+        assert t.current_version() == max(committed)
+        for v, n in committed.items():
+            assert t.read(version=v).count() == n
+        assert sorted(committed) == t.versions()
