@@ -413,3 +413,49 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "argmax_order_per_customer",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) * 100000000.0
+               + CAST(o_orderkey AS DOUBLE) AS up_key,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) * 100000000.0
+               - CAST(o_orderkey AS DOUBLE) AS down_key
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'MACHINERY')
+    SELECT c_custkey,
+           arg_max(o_orderkey, up_key) AS best_orderkey,
+           MAX(o_totalprice) AS best_totalprice,
+           arg_min(o_orderkey, down_key) AS worst_orderkey
+    FROM k GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY (argmax aggregates): each MACHINERY customer's
+    highest- and lowest-value order in ONE aggregation pass — no
+    window, no self-join, half the shuffle of the row_number idiom.
+    Ties on price are broken deterministically by keying the aggregate
+    on price·10^8 ± orderkey — both terms integer-valued doubles under
+    2^53 (price has 2 decimals, orderkey < 10^6), so the composite key
+    is exact and identical in both engines; max_by takes the highest
+    orderkey among tied maxima, min_by the lowest among tied minima."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    price = F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+    up_key = price * 100000000.0 + F.col("o_orderkey").cast("double")
+    down_key = price * 100000000.0 - F.col("o_orderkey").cast("double")
+    return (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.max_by("o_orderkey", up_key).alias("best_orderkey"),
+            F.max("o_totalprice").alias("best_totalprice"),
+            F.min_by("o_orderkey", down_key).alias("worst_orderkey"),
+        )
+        .orderBy("c_custkey")
+    )
