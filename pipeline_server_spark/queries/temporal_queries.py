@@ -227,20 +227,24 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day (WAU) — sliding DISTINCT,
     the retention metric plain windowed aggregation can't express
     (distinct doesn't decompose over a sliding frame). Shape: dedupe to
-    (day, user) pairs, broadcast the tiny day spine, range-join each
-    pair onto the ≤7 spine days it supports, then count distinct per
-    day. The fan-out is bounded (×7) and the shuffle key is
-    (day, user) — uniform, no hot key. A single global collect_set
-    window would be the one-partition anti-pattern this avoids."""
+    (day, user) pairs, then emit the ≤7 spine days each pair supports
+    MAP-SIDE with explode(sequence(day, day+6)) and broadcast-equi-join
+    the tiny day spine (which also discards emitted days with no events,
+    matching the spine semantics). The fan-out is a bounded ×7 row
+    multiply before the shuffle, the join is a BroadcastHashJoin on the
+    day key — never a nested loop over |pairs| × |spine| — and the agg
+    shuffle key is the day: uniform, no hot key. A single global
+    collect_set window would be the one-partition anti-pattern this
+    avoids."""
     e = load_table(spark, sf_dir, "events")
     pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
     spine = pairs.select(F.col("day").alias("s_day")).distinct()
+    covered = pairs.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("s_day"),
+        "user_id",
+    )
     return (
-        pairs.join(
-            F.broadcast(spine),
-            (F.col("day") > F.col("s_day") - F.expr("INTERVAL 7 DAYS"))
-            & (F.col("day") <= F.col("s_day")),
-        )
+        covered.join(F.broadcast(spine), "s_day")
         .groupBy("s_day")
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.date_format("s_day", "yyyy-MM-dd").alias("day"), "wau")

@@ -194,6 +194,19 @@ def test_shared_span_plan_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_weekly_active_users_equi_join_no_nested_loop(spark):
+    """weekly_active_users must pair (day,user) rows with spine days via
+    the map-side explode(sequence) + broadcast EQUI-join — the range
+    predicate formulation planned as a BroadcastNestedLoopJoin doing
+    |pairs| × |spine| predicate evaluations for a fan-out that is
+    provably ≤ 7."""
+    plan = _plan(spark, "weekly_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_mad_outliers_stays_jvm(spark):
     plan = _plan(spark, "mad_outlier_counts")
     assert "Window" in plan
