@@ -1,0 +1,72 @@
+"""Utilities for iterative DataFrame loops (connected components,
+PageRank): conf-isolated cloned sessions and lineage-truncating
+checkpoints.
+
+Iterative operators size their own shuffle width — running ~3 shuffles
+per round at a corpus-sized ``spark.sql.shuffle.partitions`` is pure
+task-scheduling overhead when the loop state is graph-sized. Mutating
+the SESSION conf for the loop (rounds 2-4) was correct single-threaded
+but raced with concurrent queries on the same session (``api.py``
+serves a ThreadingHTTPServer over one SparkSession): a query planned
+while a loop was mid-flight silently ran at the loop's narrow width.
+``loop_session`` instead clones an isolated session via
+``SparkSession.newSession()`` — same SparkContext, same executors, a
+PRIVATE SQLConf — so the loop width never leaks.
+
+DataFrames are bound to the session that created them, so crossing the
+boundary goes through a GLOBAL temp view (the one catalog namespace
+shared across sessions of a context). Dataset analysis is eager, so
+the view can be dropped as soon as the receiving session has resolved
+it — ``transfer`` is pure plan metadata: no recompute, no
+materialization, and an already-checkpointed input stays checkpointed.
+
+``checkpoint_df`` picks the lineage-truncation mode: executor-local
+(``localCheckpoint`` — fast, but pinned to executor liveness) by
+default, or a RELIABLE ``checkpoint`` against ``checkpoint_dir`` when
+one is given — the cluster-correct mode for long-running jobs where
+losing an executor must not invalidate loop state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+
+
+def loop_session(base: SparkSession, shuffle_partitions: int) -> SparkSession:
+    """A cloned session whose shuffle width is ``shuffle_partitions``
+    without touching ``base``'s conf (shared context and executors,
+    isolated SQLConf)."""
+    sess = base.newSession()
+    sess.conf.set(_SHUFFLE_KEY, str(shuffle_partitions))
+    return sess
+
+
+def transfer(df: DataFrame, to_sess: SparkSession) -> DataFrame:
+    """Re-bind ``df``'s (analyzed) plan to ``to_sess`` via a transient
+    global temp view. The receiving Dataset analyzes eagerly, so the
+    view is dropped before returning — nothing is recomputed and no
+    name lingers in the shared namespace."""
+    name = "xfer_" + uuid.uuid4().hex
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        out = to_sess.table("global_temp." + name)
+    finally:
+        df.sparkSession.catalog.dropGlobalTempView(name)
+    return out
+
+
+def checkpoint_df(df: DataFrame, eager: bool, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate lineage: ``localCheckpoint`` when no directory is given
+    (executor-local blocks — fast, lost with an executor), reliable
+    ``checkpoint`` into ``checkpoint_dir`` otherwise (survives executor
+    loss; the mode to use on a real cluster for loops whose state is
+    expensive to rebuild)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)

@@ -414,6 +414,79 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
         connected_components(df, max_iter=2)
 
 
+def test_iterative_loops_isolate_shuffle_conf(spark):
+    """connected_components must never mutate the shared session's
+    shuffle width: a concurrent query planned mid-loop keeps the full
+    width (round-4 verdict item 2 — api.py serves threads over this one
+    session). A sampler thread re-plans a tiny aggregation throughout
+    the loop and records both the conf value and the exchange width the
+    planner actually gave it; any narrow sample fails."""
+    import re
+    import threading
+
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    confs, widths = set(), set()
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            confs.add(spark.conf.get(key))
+            probe = spark.range(0, 100).groupBy((F.col("id") % 7).alias("k")).count()
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            m = re.search(r"hashpartitioning\([^)]*?(\d+)\)", plan)
+            if m:
+                widths.add(m.group(1))
+
+    t = threading.Thread(target=sample)
+    t.start()
+    try:
+        edges = [(i, i + 1) for i in range(199)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = connected_components(df, max_iter=12).collect()
+    finally:
+        stop.set()
+        t.join()
+    assert len(got) == 200 and {r.cluster_id for r in got} == {0}
+    assert confs == {before}, f"session conf mutated during loop: {confs}"
+    assert widths <= {before}, f"concurrent plan got loop width: {widths}"
+    assert spark.conf.get(key) == before
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from executor-local
+    localCheckpoint to reliable checkpoint files — same labels, and the
+    files demonstrably land in the directory."""
+    import os
+
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["doc_a", "doc_b"])
+    got = {(r.node, r.cluster_id)
+           for r in connected_components(pairs, checkpoint_dir=ckpt).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
+def test_pagerank_fixed_point_checkpoint_modes_agree(spark, tmp_path):
+    """Reliable-checkpoint mode computes bit-identical ranks to the
+    default executor-local mode."""
+    from pipeline_server_spark.queries.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (2, 200), (3, 200), (100, 1)], "src long, dst long")
+    local = sorted((r.node, r.r) for r in pagerank_fixed_point(edges).collect())
+    reliable = sorted(
+        (r.node, r.r)
+        for r in pagerank_fixed_point(
+            edges, checkpoint_dir=str(tmp_path / "pr_ckpt")).collect())
+    assert local == reliable and len(local) == 5
+
+
 def _encode_bmp(width, height, bpp=24):
     import struct
 
