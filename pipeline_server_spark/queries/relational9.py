@@ -441,8 +441,21 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     on price·10^8 ± orderkey — both terms integer-valued doubles under
     2^53 (price has 2 decimals, orderkey < 10^6), so the composite key
     is exact and identical in both engines; max_by takes the highest
-    orderkey among tied maxima, min_by the lowest among tied minima."""
+    orderkey among tied maxima, min_by the lowest among tied minima.
+
+    orderkey < 10^6 (one 0.01 price step in key space) is ENFORCED
+    below, not assumed: past it the key would silently stop being the
+    price argmax — identically in both engines, so the parity gate
+    could never catch the drift (round-4 advice). The guard is a
+    single-column scalar MAX (parquet footer stats territory)."""
     o = load_table(spark, sf_dir, "orders")
+    max_ok = o.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    if max_ok is not None and max_ok >= 1_000_000:
+        raise ValueError(
+            f"o_orderkey up to {max_ok} overflows the 10^8 tie-break "
+            "multiplier (orderkey must stay < 10^6); widen the multiplier "
+            "in both the Spark key and the oracle SQL together"
+        )
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "MACHINERY"
     )

@@ -353,7 +353,17 @@ def cdc_stream_apply_versioned(
         msgs = parse_debezium(batch_df)
         if msgs.isEmpty():
             return
-        merged = apply_cdc(table.read(), msgs, fields)
+        if table.current_version() is None:
+            # insert-only bootstrap: no committed snapshot yet — merge
+            # into an empty target of the declared schema so the first
+            # micro-batch commits version 1 instead of failing read()
+            schema = T.StructType(
+                [T.StructField(f.name, spark_type(f.type), True) for f in fields]
+            )
+            target = spark.createDataFrame([], schema)
+        else:
+            target = table.read()
+        merged = apply_cdc(target, msgs, fields)
         table.commit(merged)
 
     return (

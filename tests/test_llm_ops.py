@@ -535,6 +535,10 @@ def test_bmp_gif_header_decode():
     assert decode_gif_header(_encode_gif(320, 200)) == (320, 200)
     with pytest.raises(ValueError, match="bad signature"):
         decode_bmp_header(b"XX123456789012345678901234567890")
+    # truncated between 26 and 29 bytes: documented ValueError, never a
+    # raw struct.error (round-4 advice)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_header(_encode_bmp(31, 17)[:28])
 
 
 def test_real_codecs_decode_bmp_gif_dims(spark):

@@ -135,17 +135,20 @@ def test_connected_components_matches_union_find(spark, edges):
         ),
         min_size=1,
         max_size=6,
-    )
+    ),
+    cas=st.booleans(),
 )
-def test_versioned_table_random_op_sequences(spark, tmp_path_factory, ops):
-    """Invariants under random commit/vacuum interleavings: the pointer
-    always resolves, version numbers are strictly increasing, reads of
-    surviving versions return exactly what was committed, and vacuum
-    never removes the current pointer target."""
-    from pipeline_server_spark.pipeline.writers import VersionedTable
+def test_versioned_table_random_op_sequences(spark, tmp_path_factory, ops, cas):
+    """Invariants under random commit/vacuum interleavings — in BOTH
+    pointer modes (single-writer manifest rename, and the multi-writer
+    conditional-PUT commit log): the pointer always resolves, version
+    numbers are strictly increasing, reads of surviving versions return
+    exactly what was committed, and vacuum never removes the current
+    pointer target."""
+    from pipeline_server_spark.pipeline.writers import ConditionalPutFS, VersionedTable
 
     root = tmp_path_factory.mktemp("vt_prop")
-    t = VersionedTable(spark, str(root))
+    t = VersionedTable(spark, str(root), fs=ConditionalPutFS() if cas else None)
     committed: dict[int, int] = {}  # version -> row count
     for op, arg in ops:
         if op == "commit":
@@ -163,3 +166,85 @@ def test_versioned_table_random_op_sequences(spark, tmp_path_factory, ops):
         for v, n in committed.items():
             assert t.read(version=v).count() == n
         assert sorted(committed) == t.versions()
+
+
+# ---------------------------------------------------------------------------
+# Multi-writer safety: the conditional-PUT commit protocol
+# ---------------------------------------------------------------------------
+
+def test_put_if_absent_primitive(tmp_path):
+    """The local CAS primitive: hard-link exclusive create — the second
+    put of the same commit file raises and never clobbers the first."""
+    import pytest
+
+    from pipeline_server_spark.pipeline.writers import (
+        CommitConflictError,
+        ConditionalPutFS,
+    )
+
+    fs = ConditionalPutFS()
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.write_text("winner")
+    b.write_text("loser")
+    dst = str(tmp_path / "dst")
+    fs.put_if_absent(str(a), dst)
+    with pytest.raises(CommitConflictError):
+        fs.put_if_absent(str(b), dst)
+    with open(dst) as f:
+        assert f.read() == "winner"
+    assert not b.exists()  # temp consumed on both outcomes
+
+
+def test_versioned_table_racing_writers_exactly_one_wins(spark, tmp_path):
+    """Two writers racing for the SAME version under ConditionalPutFS:
+    exactly one commit publishes, the loser raises CommitConflictError,
+    and there is no torn state — the table reads back exactly the
+    winner's rows and the loser's staged data directory is discarded.
+    The race is forced (not timing-dependent) by freezing both writers'
+    view of current_version at the same snapshot."""
+    import os
+    import threading
+
+    from pipeline_server_spark.pipeline.writers import (
+        CommitConflictError,
+        ConditionalPutFS,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "vt_race")
+
+    class FrozenRead(VersionedTable):
+        def current_version(self):  # both writers see an empty table
+            return None
+
+    barrier = threading.Barrier(2)
+    results: dict[str, tuple] = {}
+
+    def writer(tag: str, n: int) -> None:
+        t = FrozenRead(spark, root, fs=ConditionalPutFS())
+        df = spark.range(n).withColumnRenamed("id", "k")
+        barrier.wait()
+        try:
+            results[tag] = ("ok", t.commit(df))
+        except CommitConflictError:
+            results[tag] = ("conflict", None)
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 7)),
+        threading.Thread(target=writer, args=("b", 13)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert sorted(kind for kind, _ in results.values()) == ["conflict", "ok"]
+    t = VersionedTable(spark, root, fs=ConditionalPutFS())
+    assert t.current_version() == 1
+    winner_rows = 7 if results["a"][0] == "ok" else 13
+    assert t.read().count() == winner_rows
+    # exactly one staged directory survives — the published winner's
+    assert len(os.listdir(os.path.join(root, "_versions"))) == 1
+    # and sequential commits continue cleanly on top of the winner
+    assert t.commit(spark.range(3).withColumnRenamed("id", "k")) == 2
+    assert t.read().count() == 3

@@ -405,6 +405,32 @@ def test_merge_upsert_path_partitioned(spark, tmp_path):
     )
 
 
+def test_merge_upsert_many_partitions_join_pruned(spark, tmp_path):
+    """A batch touching ≥1k partitions must merge through the broadcast
+    semi-join prune — the old driver collect + per-partition OR-chain
+    built a Catalyst predicate tree proportional to the touched-partition
+    count (round-4 verdict item 3). Half the partitions are updated, so
+    the untouched half must survive the dynamic partition overwrite."""
+    path = str(tmp_path / "many_parts")
+    n = 2048
+    dest = DestinationConfig(
+        path=path, write_mode="merge", key_fields=("k",), partition_by=("p",),
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("k"), F.col("id").alias("p"), F.lit("old").alias("v")
+    )
+    merge_upsert(spark, base, dest)
+    upd = (
+        spark.range(0, n, 2)  # 1024 touched partitions
+        .select(F.col("id").alias("k"), F.col("id").alias("p"), F.lit("new").alias("v"))
+    )
+    merge_upsert(spark, upd, dest)
+    out = spark.read.parquet(path)
+    assert out.count() == n
+    assert out.where(F.col("v") == "new").count() == n // 2
+    assert out.where(F.col("v") == "old").count() == n // 2
+
+
 # --------------------------------------------------------------------------
 # run_dataset end-to-end (lifecycle 3.1)
 # --------------------------------------------------------------------------

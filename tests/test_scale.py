@@ -240,3 +240,27 @@ def test_zorder_value_is_deterministic_jvm_expression(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_value_auto_shrinks_bits_to_fit_sign_bit(spark):
+    """len(cols)*bits must stay ≤ 63: at the default bits=16, 4+ columns
+    would push interleaved bits into the bigint sign bit (and 5+ wraps
+    shiftleft mod 64), silently garbling the key — bits auto-shrink per
+    dimension instead, keeping every key non-negative (round-4 advice)."""
+    import pytest as _pytest
+
+    from pipeline_server_spark.operators.scale import zorder_value
+
+    df = spark.range(500).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 3 % 251).alias("b"),
+        (F.col("id") * 7 % 127).alias("c"),
+        (F.col("id") * 11 % 63).alias("d"),
+    )
+    got = zorder_value(df, ["a", "b", "c", "d"], bits=16).agg(
+        F.min("_z").alias("lo"), F.max("_z").alias("hi")
+    ).first()
+    # 4 dims → 15 bits each: keys fit in 60 bits, never negative
+    assert 0 <= got["lo"] <= got["hi"] < (1 << 60)
+    with _pytest.raises(ValueError, match="cannot z-order"):
+        zorder_value(df.select("a"), [f"c{i}" for i in range(64)], bits=16)

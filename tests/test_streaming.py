@@ -340,3 +340,35 @@ def test_cdc_stream_apply_versioned_commits_and_time_travel(spark, tmp_path):
     # time travel: the pre-CDC snapshot is intact
     before = {r.k: (r.name, r.v) for r in table.read(version=1).collect()}
     assert before == {1: ("a", 1.0), 2: ("b", 2.0)}
+
+
+def test_cdc_stream_apply_versioned_bootstraps_empty_table(spark, tmp_path):
+    """An insert-only stream into a VersionedTable with NO committed
+    version must bootstrap from an empty target of the declared schema
+    and commit version 1 — not fail the whole streaming query with
+    FileNotFoundError (round-4 advice)."""
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.cdc import cdc_stream_apply_versioned
+
+    table = VersionedTable(spark, str(tmp_path / "vt_boot"))
+    assert table.current_version() is None
+    src_dir = tmp_path / "boot_msgs"
+    src_dir.mkdir()
+    lines = [
+        _envelope("c", None, {"k": "1", "name": "a", "v": "1.0"}),
+        _envelope("c", None, {"k": "2", "name": "b", "v": "2.5"}),
+    ]
+    (src_dir / "batch1.json").write_text("\n".join(lines))
+    from pyspark.sql import types as T
+
+    stream = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(str(src_dir))
+    q = cdc_stream_apply_versioned(
+        spark, stream, table, FIELDS, checkpoint=str(tmp_path / "ck_boot")
+    )
+    q.awaitTermination(120)
+
+    assert table.current_version() == 1
+    result = {r.k: (r.name, r.v) for r in table.read().collect()}
+    assert result == {1: ("a", 1.0), 2: ("b", 2.5)}
