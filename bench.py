@@ -81,12 +81,17 @@ def main() -> None:
     # min of two runs per query: the plan's cost is the floor; the
     # delta between runs is scheduler/OS noise this report should not
     # carry round-over-round (both runs execute the full plan).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # isolate queries from each other: cached frames left by an
+        # earlier query otherwise occupy executor storage memory and
+        # can push a later query's shuffle into spill (observed as
+        # 5-10× per-query outliers on identical plans)
+        spark.catalog.clearCache()
         best, n = None, 0
         for _ in range(max(1, n_runs)):
             t0 = time.perf_counter()

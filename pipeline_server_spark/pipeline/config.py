@@ -83,6 +83,9 @@ class DataQualityConfig:
     # Python stand-in for the JS row rule (DataQuality.scala:82-127):
     # fn(row: dict) -> str|None, None = pass
     row_rule: Callable[[dict[str, Any]], str | None] | None = None
+    # verbatim Nashorn-dialect DQ script (the reference's shipped .js
+    # corpus) — translated to a JVM-side message Column by js_shim
+    js_row_rule: str | None = None
     row_rule_is_error: bool = False
     max_errors: int = 100  # abort threshold — DataQuality.scala:160-180
 
@@ -96,6 +99,10 @@ class TransformationConfig:
     # fast path: named column expressions evaluated JVM-side
     column_expressions: dict[str, Any] | None = None
     drop_predicate: Any | None = None  # Column predicate: True = drop row
+    # verbatim Nashorn-dialect transformation script — translated to
+    # column_expressions + drop_predicate by js_shim at run time, so a
+    # user's reference .js corpus runs unmodified on the fast path
+    js_script: str | None = None
 
 
 @dataclass(frozen=True)

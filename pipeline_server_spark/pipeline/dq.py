@@ -64,7 +64,7 @@ def run_column_rules(
     collect_samples: int = 0,
 ) -> DQReport:
     """F2 — one aggregate pass over all rules."""
-    if not dq.column_rules and dq.row_rule is None:
+    if not dq.column_rules and dq.row_rule is None and dq.js_row_rule is None:
         return DQReport(passed=True)
 
     agg_exprs = []
@@ -95,6 +95,9 @@ def run_column_rules(
 
     if dq.row_rule is not None:
         report = _run_row_rule(df, dq, report, collect_samples)
+
+    if dq.js_row_rule is not None:
+        report = _run_js_row_rule(df, dq, report, collect_samples)
 
     if report.error_count > dq.max_errors:
         report.aborted_early = True  # ">100 errors aborts" — DataQuality.scala:160-171
@@ -133,6 +136,32 @@ def _run_row_rule(df: DataFrame, dq: DataQualityConfig, report: DQReport,
     if n and collect_samples:
         rows = packed.filter(F.col("_msg").isNotNull()).select("_msg").limit(collect_samples).collect()
         report.samples["row_rule"] = [r[0] for r in rows]
+    return report
+
+
+def _run_js_row_rule(df: DataFrame, dq: DataQualityConfig, report: DQReport,
+                     collect_samples: int) -> DQReport:
+    """F3 — a verbatim reference Nashorn DQ script
+    (e.g. stock_price_data_quality.js) translated by js_shim to a pure
+    Catalyst message Column: no Python boundary at all, unlike the
+    pandas_udf stand-in above."""
+    from pipeline_server_spark.pipeline.js_shim import translate_quality_script
+
+    msg = translate_quality_script(dq.js_row_rule, df.columns)
+    packed = df.withColumn("_msg", msg)
+    n = int(
+        packed.agg(F.sum(F.col("_msg").isNotNull().cast("long")).alias("n"))
+        .collect()[0]["n"] or 0
+    )
+    report.rule_counts["js_row_rule"] = n
+    if dq.row_rule_is_error:
+        report.error_count += n
+    else:
+        report.warning_count += n
+    if n and collect_samples:
+        rows = (packed.filter(F.col("_msg").isNotNull())
+                .select("_msg").limit(collect_samples).collect())
+        report.samples["js_row_rule"] = [r[0] for r in rows]
     return report
 
 

@@ -1,0 +1,656 @@
+"""Nashorn row-script shim (SURVEY.md §2.4 T2 parity, risk register §7).
+
+The reference executes user transformation / data-quality scripts as
+Nashorn JavaScript, binding every column as a typed variable plus
+``_pipelinetimestamp``, and interpreting the script's completion value
+(Transformation.scala:71-148, DataQuality.scala row rules):
+
+- transformation: return a ``java.util.HashMap`` of changed/new column
+  values, or ``null`` to drop the row;
+- data quality:   return ``null`` when the row is valid, else a
+  violation message string.
+
+This module translates the reference's *shipped script dialect* — the
+constrained subset its three sample scripts use
+(test-scripts/javascript/stock_price_transformation.js,
+stock_price_data_quality.js, stock_price_transformation_do_nothing.js)
+— directly into Spark ``Column`` expressions, so a user's ``.js``
+corpus runs UNMODIFIED on the JVM-side fast path
+(:func:`pipeline_server_spark.pipeline.transform.apply_column_expressions`)
+instead of a per-row scripting engine. Anything outside the subset
+raises :class:`JsTranslationError` with the offending construct, and the
+caller can fall back to a hand-written Python row function via the
+``mapInPandas`` slow path.
+
+Supported subset (symbolically executed, conditions stay data-side):
+
+- ``var HashMap = Java.type('java.util.HashMap')`` / ``new HashMap()``
+- ``map.put('col', expr)`` — literal, column reference, arithmetic
+- ``var name = expr`` and ``name = expr`` local bindings
+- ``new Date(_pipelinetimestamp)`` + ``getFullYear/getMonth/getDate``
+- ``String(expr)``, ``Number(expr)``, ``Math.abs/floor/ceil/round/
+  sqrt/pow/max/min``
+- ``if (cond) ... else ...`` — merged with ``F.when``; a branch whose
+  completion value is ``null`` becomes the drop predicate
+  (transformation) or the not-a-violation arm (quality)
+- comparison / logical operators ``== != < <= > >= && || !``
+
+Scale note: the translated script is pure Catalyst expressions — no
+Python boundary, whole-stage codegen applies — which is the entire
+point of translating rather than interpreting per row.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.transform import PIPELINE_TS_FORMAT
+
+
+class JsTranslationError(ValueError):
+    """Raised when a script uses a construct outside the supported
+    subset; the message names the construct so the user can port that
+    one script to a Python row function (the declared slow path)."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+\.\d*|\.\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
+  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[-+*/%<>=!(){};,.])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_KEYWORDS = {"var", "let", "const", "new", "if", "else", "null", "true", "false", "return"}
+
+
+@dataclass
+class _Tok:
+    kind: str  # num | str | ident | kw | punct | eof
+    text: str
+    pos: int
+
+
+def _tokenize(src: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise JsTranslationError(f"unrecognized character {src[i]!r} at offset {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        text = m.group()
+        if kind == "ident" and text in _KEYWORDS:
+            kind = "kw"
+        toks.append(_Tok(kind, text, m.start()))
+    toks.append(_Tok("eof", "", len(src)))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Symbolic values
+# ---------------------------------------------------------------------------
+
+
+class _HashMapType:
+    """Result of Java.type('java.util.HashMap')."""
+
+
+class _MathNS:
+    """The Math namespace object."""
+
+
+@dataclass
+class _MapVal:
+    """A java.util.HashMap under construction: column name → value."""
+
+    entries: dict[str, Any] = field(default_factory=dict)
+
+    def copy(self) -> "_MapVal":
+        return _MapVal(dict(self.entries))
+
+
+@dataclass
+class _DateVal:
+    """new Date(x): a timestamp Column awaiting a getter call."""
+
+    col: Column
+
+
+@dataclass
+class _StrVal:
+    """A Column known to be string-typed (concat / String() result), so
+    a later JS ``+`` keeps concatenation semantics."""
+
+    col: Column
+
+
+class _Null:
+    """JS null (also the completion value of a bare ``null;``)."""
+
+
+_NULL = _Null()
+
+
+@dataclass
+class _Cond:
+    """Completion value of an if/else whose branches complete with
+    structurally different values (e.g. null vs the map)."""
+
+    cond: Column
+    then_val: Any
+    else_val: Any
+
+
+def _to_col(v: Any) -> Column:
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, _Null) or v is None:
+        return F.lit(None)
+    if isinstance(v, (int, float, str, bool)):
+        return F.lit(v)
+    if isinstance(v, _Cond):  # else-less if chains nest conditionals
+        return F.when(v.cond, _to_col(v.then_val)).otherwise(_to_col(v.else_val))
+    if isinstance(v, _StrVal):
+        return v.col
+    raise JsTranslationError(f"value {v!r} cannot be used as a column expression")
+
+
+_JS_DATE_GETTERS = {
+    "getFullYear": lambda c: F.year(c),
+    "getMonth": lambda c: F.month(c) - F.lit(1),  # JS months are 0-based
+    "getDate": lambda c: F.dayofmonth(c),
+    "getHours": lambda c: F.hour(c),
+    "getMinutes": lambda c: F.minute(c),
+    "getSeconds": lambda c: F.second(c),
+}
+
+_MATH_FNS = {
+    "abs": F.abs,
+    "floor": F.floor,
+    "ceil": F.ceil,
+    "round": F.round,
+    "sqrt": F.sqrt,
+    "pow": F.pow,
+    "max": F.greatest,
+    "min": F.least,
+}
+
+_PY_MATH = {
+    "abs": abs,
+    "floor": lambda x: float(int(x) if x >= 0 or x == int(x) else int(x) - 1),
+    "ceil": lambda x: float(int(x) if x == int(x) or x < 0 else int(x) + 1),
+    "round": lambda x: float(round(x)),
+    "sqrt": lambda x: x ** 0.5,
+    "pow": lambda x, y: x ** y,
+    "max": max,
+    "min": min,
+}
+
+
+# ---------------------------------------------------------------------------
+# Parser / symbolic interpreter
+# ---------------------------------------------------------------------------
+
+
+class _Interp:
+    def __init__(self, src: str, columns: list[str], ts: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+        self.columns = set(columns)
+        self.ts = ts
+        self.env: dict[str, Any] = {}
+        self.completion: Any = _NULL
+
+    # --- token helpers ---
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> _Tok:
+        t = self.next()
+        if t.text != text:
+            raise JsTranslationError(f"expected {text!r}, got {t.text!r} at offset {t.pos}")
+        return t
+
+    def at(self, text: str) -> bool:
+        return self.peek().text == text
+
+    # --- program ---
+    def run(self) -> None:
+        while self.peek().kind != "eof":
+            self.statement()
+
+    def statement(self) -> None:
+        t = self.peek()
+        if t.text == ";":
+            self.next()
+            return
+        if t.kind == "kw" and t.text in ("var", "let", "const"):
+            self.next()
+            name = self.next().text
+            self.expect("=")
+            val = self.expression()
+            self._semi()
+            self.env[name] = val
+            self.completion = _NULL
+            return
+        if t.kind == "kw" and t.text == "if":
+            self.if_statement()
+            return
+        if t.kind == "kw" and t.text == "return":
+            self.next()
+            if not self.at(";") and self.peek().kind != "eof":
+                self.completion = self.expression()
+            else:
+                self.completion = _NULL
+            self._semi()
+            return
+        # assignment or expression statement
+        if t.kind == "ident" and self.toks[self.i + 1].text == "=":
+            name = self.next().text
+            self.next()  # '='
+            val = self.expression()
+            self._semi()
+            self.env[name] = val
+            self.completion = _NULL
+            return
+        self.completion = self.expression()
+        self._semi()
+
+    def _semi(self) -> None:
+        if self.at(";"):
+            self.next()
+
+    def block_or_statement(self) -> None:
+        if self.at("{"):
+            self.next()
+            while not self.at("}"):
+                if self.peek().kind == "eof":
+                    raise JsTranslationError("unterminated block")
+                self.statement()
+            self.next()
+        else:
+            self.statement()
+
+    def if_statement(self) -> None:
+        self.expect("if")
+        self.expect("(")
+        cond = _to_col(self.expression())
+        self.expect(")")
+
+        pre_env = dict(self.env)
+        pre_maps = {k: v.copy() for k, v in self.env.items() if isinstance(v, _MapVal)}
+        pre_completion = self.completion
+
+        self.block_or_statement()
+        then_env, then_completion = dict(self.env), self.completion
+
+        if self.peek().kind == "kw" and self.peek().text == "else":
+            self.next()
+            self.env = dict(pre_env)
+            for k, v in pre_maps.items():
+                self.env[k] = v.copy()
+            self.completion = pre_completion
+            self.block_or_statement()
+            else_env, else_completion = dict(self.env), self.completion
+        else:
+            else_env = dict(pre_env)
+            for k, v in pre_maps.items():
+                else_env[k] = v
+            else_completion = pre_completion
+
+        self.env = self._merge_envs(cond, then_env, else_env)
+        self.completion = self._merge_values(cond, then_completion, else_completion)
+
+    def _merge_envs(self, cond: Column, then_env: dict, else_env: dict) -> dict:
+        merged: dict[str, Any] = {}
+        for name in set(then_env) | set(else_env):
+            tv = then_env.get(name, _NULL)
+            ev = else_env.get(name, _NULL)
+            merged[name] = self._merge_values(cond, tv, ev)
+        return merged
+
+    def _merge_values(self, cond: Column, tv: Any, ev: Any) -> Any:
+        if tv is ev:
+            return tv
+        if isinstance(tv, _MapVal) and isinstance(ev, _MapVal):
+            out = _MapVal()
+            for key in list(tv.entries) + [k for k in ev.entries if k not in tv.entries]:
+                t_has, e_has = key in tv.entries, key in ev.entries
+                if t_has and e_has:
+                    a, b = tv.entries[key], ev.entries[key]
+                    # identity check first: Column.__eq__ builds an
+                    # expression, it can't answer sameness
+                    out.entries[key] = (
+                        a if a is b or self._same_literal(a, b)
+                        else F.when(cond, _to_col(a)).otherwise(_to_col(b))
+                    )
+                else:
+                    # put() on one branch only: the other branch keeps the
+                    # source column's value (existing column) or NULL (new)
+                    present = tv.entries[key] if t_has else ev.entries[key]
+                    absent = F.col(key) if key in self.columns else F.lit(None)
+                    pc, ac = _to_col(present), absent
+                    out.entries[key] = (
+                        F.when(cond, pc).otherwise(ac) if t_has
+                        else F.when(cond, ac).otherwise(pc)
+                    )
+            return out
+        if isinstance(tv, (_MapVal, _Null)) or isinstance(ev, (_MapVal, _Null)):
+            # structurally different completions (null vs map): keep the
+            # condition so the caller can derive the drop predicate
+            return _Cond(cond, tv, ev)
+        return F.when(cond, _to_col(tv)).otherwise(_to_col(ev))
+
+    @staticmethod
+    def _same_literal(a: Any, b: Any) -> bool:
+        return (
+            not isinstance(a, (Column, _Cond))
+            and not isinstance(b, (Column, _Cond))
+            and type(a) is type(b)
+            and a == b
+        )
+
+    # --- expressions (precedence climbing) ---
+    def expression(self) -> Any:
+        return self.or_expr()
+
+    def or_expr(self) -> Any:
+        left = self.and_expr()
+        while self.at("||"):
+            self.next()
+            right = self.and_expr()
+            left = _to_col(left) | _to_col(right)
+        return left
+
+    def and_expr(self) -> Any:
+        left = self.cmp_expr()
+        while self.at("&&"):
+            self.next()
+            right = self.cmp_expr()
+            left = _to_col(left) & _to_col(right)
+        return left
+
+    def cmp_expr(self) -> Any:
+        left = self.add_expr()
+        while self.peek().text in ("==", "===", "!=", "!==", "<", "<=", ">", ">="):
+            op = self.next().text
+            right = self.add_expr()
+            lc, rc = _to_col(left), _to_col(right)
+            if op in ("==", "==="):
+                left = lc == rc
+            elif op in ("!=", "!=="):
+                left = lc != rc
+            elif op == "<":
+                left = lc < rc
+            elif op == "<=":
+                left = lc <= rc
+            elif op == ">":
+                left = lc > rc
+            else:
+                left = lc >= rc
+        return left
+
+    def add_expr(self) -> Any:
+        left = self.mul_expr()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            right = self.mul_expr()
+            left = self._arith(op, left, right)
+        return left
+
+    def mul_expr(self) -> Any:
+        left = self.unary_expr()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            right = self.unary_expr()
+            left = self._arith(op, left, right)
+        return left
+
+    def _arith(self, op: str, left: Any, right: Any) -> Any:
+        if isinstance(left, (int, float)) and isinstance(right, (int, float)):
+            return {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                    "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+                    "%": lambda a, b: a % b}[op](left, right)
+        if op == "+" and (
+            isinstance(left, (str, _StrVal)) or isinstance(right, (str, _StrVal))
+        ):
+            return _StrVal(
+                F.concat(_to_col(left).cast("string"), _to_col(right).cast("string"))
+            )
+        lc, rc = _to_col(left), _to_col(right)
+        return {"+": lambda: lc + rc, "-": lambda: lc - rc, "*": lambda: lc * rc,
+                "/": lambda: lc / rc, "%": lambda: lc % rc}[op]()
+
+    def unary_expr(self) -> Any:
+        t = self.peek()
+        if t.text == "!":
+            self.next()
+            return ~_to_col(self.unary_expr())
+        if t.text == "-":
+            self.next()
+            v = self.unary_expr()
+            return -v if isinstance(v, (int, float)) else -_to_col(v)
+        if t.text == "+":
+            self.next()
+            return self.unary_expr()
+        if t.kind == "kw" and t.text == "new":
+            self.next()
+            ctor = self.next().text
+            args = self.call_args()
+            return self._construct(ctor, args)
+        return self.postfix_expr()
+
+    def postfix_expr(self) -> Any:
+        val = self.primary()
+        while True:
+            if self.at("."):
+                self.next()
+                name = self.next().text
+                if self.at("("):
+                    args = self.call_args()
+                    val = self._method_call(val, name, args)
+                else:
+                    raise JsTranslationError(
+                        f"property access .{name} without a call is not supported"
+                    )
+            else:
+                return val
+
+    def call_args(self) -> list[Any]:
+        self.expect("(")
+        args: list[Any] = []
+        if not self.at(")"):
+            args.append(self.expression())
+            while self.at(","):
+                self.next()
+                args.append(self.expression())
+        self.expect(")")
+        return args
+
+    def _construct(self, ctor: str, args: list[Any]) -> Any:
+        target = self.env.get(ctor)
+        if target is _HashMapType or isinstance(target, _HashMapType):
+            return _MapVal()
+        if ctor == "HashMap":  # un-var'd Java.type alias
+            return _MapVal()
+        if ctor == "Date":
+            if len(args) != 1:
+                raise JsTranslationError("new Date() is only supported with one argument")
+            return _DateVal(_to_col(args[0]).cast("timestamp"))
+        raise JsTranslationError(f"constructor new {ctor}(...) is not supported")
+
+    def _method_call(self, obj: Any, name: str, args: list[Any]) -> Any:
+        if isinstance(obj, _MapVal):
+            if name == "put":
+                if len(args) != 2 or not isinstance(args[0], str):
+                    raise JsTranslationError("map.put requires a literal string key")
+                prev = obj.entries.get(args[0], _NULL)
+                obj.entries[args[0]] = args[1]
+                return prev
+            if name == "get":
+                return obj.entries.get(args[0], _NULL) if isinstance(args[0], str) else _NULL
+            raise JsTranslationError(f"HashMap.{name} is not supported")
+        if isinstance(obj, _DateVal):
+            fn = _JS_DATE_GETTERS.get(name)
+            if fn is None:
+                raise JsTranslationError(f"Date.{name}() is not supported")
+            return fn(obj.col)
+        if obj is _MathNS or isinstance(obj, _MathNS):
+            if name not in _MATH_FNS:
+                raise JsTranslationError(f"Math.{name} is not supported")
+            if all(isinstance(a, (int, float)) for a in args):
+                return _PY_MATH[name](*args)
+            return _MATH_FNS[name](*[_to_col(a) for a in args])
+        if obj is _HashMapType and name == "type":
+            return obj
+        raise JsTranslationError(f"method .{name}() on {type(obj).__name__} is not supported")
+
+    def primary(self) -> Any:
+        t = self.next()
+        if t.text == "(":
+            v = self.expression()
+            self.expect(")")
+            return v
+        if t.kind == "num":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.kind == "str":
+            body = t.text[1:-1]
+            return re.sub(r"\\(.)", r"\1", body)
+        if t.kind == "kw":
+            if t.text == "null":
+                return _NULL
+            if t.text == "true":
+                return True
+            if t.text == "false":
+                return False
+            raise JsTranslationError(f"keyword {t.text!r} in expression position")
+        if t.kind == "ident":
+            name = t.text
+            if name == "Java":
+                # Java.type('java.util.HashMap')
+                self.expect(".")
+                meth = self.next().text
+                args = self.call_args()
+                if meth != "type" or args != ["java.util.HashMap"]:
+                    raise JsTranslationError(
+                        f"Java.{meth}({args!r}) — only Java.type('java.util.HashMap') "
+                        "is supported"
+                    )
+                return _HashMapType
+            if name == "Math":
+                return _MathNS
+            if name == "String" and self.at("("):
+                args = self.call_args()
+                if len(args) != 1:
+                    raise JsTranslationError("String() takes exactly one argument")
+                return _StrVal(_to_col(args[0]).cast("string"))
+            if name == "Number" and self.at("("):
+                args = self.call_args()
+                return _to_col(args[0]).cast("double")
+            if self.at("("):
+                raise JsTranslationError(f"function call {name}(...) is not supported")
+            if name in self.env:
+                return self.env[name]
+            if name == "_pipelinetimestamp":
+                return self.ts
+            if name in self.columns:
+                return F.col(name)
+            raise JsTranslationError(
+                f"unknown identifier {name!r} (not a column, binding, or builtin)"
+            )
+        raise JsTranslationError(f"unexpected token {t.text!r} at offset {t.pos}")
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TranslatedTransform:
+    """A transformation script lowered to Catalyst expressions, ready
+    for :func:`...transform.apply_column_expressions`."""
+
+    expressions: dict[str, Column]
+    drop_predicate: Column | None
+
+
+def translate_transformation_script(
+    src: str,
+    columns: list[str],
+    pipeline_timestamp: _dt.datetime | None = None,
+) -> TranslatedTransform:
+    """Translate a reference transformation script (completion value:
+    HashMap of changed columns, or null to drop the row) into column
+    expressions + an optional drop predicate."""
+    ts = (pipeline_timestamp or _dt.datetime.utcnow()).strftime(PIPELINE_TS_FORMAT)[:-3]
+    interp = _Interp(src, columns, ts)
+    interp.run()
+    completion = interp.completion
+
+    if isinstance(completion, _MapVal):
+        return TranslatedTransform(
+            {k: _to_col(v) for k, v in completion.entries.items()}, None
+        )
+    if isinstance(completion, _Cond):
+        cond, tv, ev = completion.cond, completion.then_val, completion.else_val
+        if isinstance(tv, _Null) and isinstance(ev, _MapVal):
+            return TranslatedTransform(
+                {k: _to_col(v) for k, v in ev.entries.items()}, cond
+            )
+        if isinstance(ev, _Null) and isinstance(tv, _MapVal):
+            return TranslatedTransform(
+                {k: _to_col(v) for k, v in tv.entries.items()}, ~cond
+            )
+    raise JsTranslationError(
+        "transformation script must complete with a HashMap, or an if/else "
+        f"choosing between null and a HashMap; got {type(completion).__name__}"
+    )
+
+
+def translate_quality_script(src: str, columns: list[str]) -> Column:
+    """Translate a reference data-quality script (completion value:
+    null when valid, else a message) into a message Column — NULL for
+    valid rows, the violation message otherwise."""
+    interp = _Interp(src, columns, "")
+    interp.run()
+    completion = interp.completion
+    if isinstance(completion, _StrVal):
+        completion = completion.col
+    if isinstance(completion, _Null):
+        return F.lit(None).cast("string")
+    if isinstance(completion, _Cond):
+        return F.when(
+            completion.cond, _to_col(completion.then_val).cast("string")
+        ).otherwise(_to_col(completion.else_val).cast("string"))
+    if isinstance(completion, Column):
+        return completion.cast("string")
+    if isinstance(completion, str):
+        return F.lit(completion)
+    raise JsTranslationError(
+        "quality script must complete with null, a string, or a conditional "
+        f"between them; got {type(completion).__name__}"
+    )

@@ -115,12 +115,21 @@ def transform(
     dest_fields: tuple[SchemaField, ...],
     parity_mode: bool = False,
 ) -> DataFrame:
-    """Full T-stage: dedup → row compute (fast or slow path)."""
+    """Full T-stage: dedup → row compute (fast or slow path).
+
+    Precedence: explicit column expressions > verbatim JS script
+    (translated to the same fast path by js_shim) > Python row
+    function (mapInPandas slow path)."""
     out = df
     if cfg.deduplicate:
         out = deduplicate(out)
     if cfg.column_expressions or cfg.drop_predicate is not None:
         out = apply_column_expressions(out, cfg.column_expressions or {}, cfg.drop_predicate)
+    elif cfg.js_script is not None:
+        from pipeline_server_spark.pipeline.js_shim import translate_transformation_script
+
+        spec = translate_transformation_script(cfg.js_script, out.columns)
+        out = apply_column_expressions(out, spec.expressions, spec.drop_predicate)
     elif cfg.row_function is not None:
         out = apply_row_function(out, cfg.row_function, dest_fields, parity_mode)
     return out

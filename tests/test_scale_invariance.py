@@ -1,0 +1,165 @@
+"""Empirical scale-invariance evidence for the dedup/LSH family
+(VERDICT r4 task 4).
+
+The 100 TB claim for the LSH paths is: bucket granularity adapts to
+corpus size, so within-bucket O(b²) verify work stays CONSTANT per
+bucket while the bucket count (pure parallelism) absorbs growth.
+Rounds 2-4 argued this from arithmetic; these tests measure it — the
+bucketize stages actually run at 1× / 10× / 100× the sf0.1 corpus
+size (5k / 50k / 500k vectors) and the measured bucket-occupancy
+statistics are asserted against scale-independent bounds.
+
+Measured numbers are recorded in COVERAGE.md ("Scale invariance").
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.dedup import (
+    band_buckets,
+    hashed_shingle_arrays,
+    minhash_signatures_from_arrays,
+)
+from pipeline_server_spark.operators.similarity import (
+    lsh_table_buckets,
+    near_dup_lsh_params,
+)
+
+TARGET_BUCKET = 128
+
+
+def test_lsh_params_bucket_bound_across_nine_decades():
+    """Pure-math property: expected bucket size n/2^planes stays
+    ≤ 2× target for any corpus up to ~4×10⁹ rows (the planes cap)."""
+    n = 1_000
+    while n <= 1_000_000_000:
+        planes, tables = near_dup_lsh_params(n, target_bucket=TARGET_BUCKET)
+        assert n / 2**planes <= 2 * TARGET_BUCKET, (n, planes)
+        assert 2 <= tables <= 16
+        n *= 10
+
+
+def _synthetic_vectors(spark, n: int, dim: int = 64, parts: int = 32):
+    """n deterministic unit-ish gaussian vectors, generated executor-side
+    (no driver materialization — the shape a real corpus read has)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng(int(ids[0]) + 7)
+            mat = rng.standard_normal((len(ids), dim))
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+
+    return spark.range(n, numPartitions=parts).mapInPandas(_gen, schema=schema)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [5_000, 50_000, 500_000])
+def test_embedding_lsh_bucket_occupancy_scales(spark, n):
+    """Run the ACTUAL bucketize stage at 1×/10×/100× sf0.1 and assert
+    the occupancy stats the O(b²) verify cost depends on are bounded by
+    constants independent of n."""
+    planes, tables = near_dup_lsh_params(n, target_bucket=TARGET_BUCKET)
+    vecs = _synthetic_vectors(spark, n)
+    occ = (
+        lsh_table_buckets(vecs, tables=tables, planes=planes)
+        .groupBy("table", "bucket")
+        .count()
+    )
+    stats = occ.agg(
+        F.max("count").alias("max_b"),
+        F.avg("count").alias("avg_b"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99_b"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pair_work"),
+    ).collect()[0]
+    expected = n / 2**planes
+    work_per_row = float(stats["pair_work"]) / n
+    print(
+        f"\n[scale-invariance] n={n} planes={planes} tables={tables} "
+        f"expected={expected:.0f} avg={stats['avg_b']:.1f} "
+        f"p99={stats['p99_b']} max={stats['max_b']} "
+        f"verify_pairs_per_row={work_per_row:.0f}"
+    )
+    # scale-independent bounds — these constants ARE the 100 TB claim:
+    # granularity adapted (mean occupancy flat at ~target) …
+    assert stats["avg_b"] <= 2 * TARGET_BUCKET
+    assert expected <= 2 * TARGET_BUCKET
+    # … so within-bucket O(b²) verify cost per CORPUS ROW stays flat
+    # (this is the number that would grow ~100× if planes didn't scale)
+    assert work_per_row <= 8 * TARGET_BUCKET * tables
+    # the single hottest bucket drifts up only with the extreme-value
+    # tail (log #buckets), never explodes
+    assert stats["max_b"] <= 16 * TARGET_BUCKET
+    assert stats["p99_b"] <= 4 * TARGET_BUCKET
+
+
+def _synthetic_docs(spark, n: int, tokens_per_doc: int = 80,
+                    vocab: int = 50_000, parts: int = 32):
+    """Random-token documents (no true near-dups), generated
+    executor-side: measures the hash-spreading of the banding itself,
+    uncontaminated by genuine duplicate clusters."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng(int(ids[0]) + 13)
+            toks = rng.integers(0, vocab, size=(len(ids), tokens_per_doc))
+            texts = [" ".join(f"w{t}" for t in row) for row in toks]
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return spark.range(n, numPartitions=parts).mapInPandas(_gen, schema=schema)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [5_000, 50_000])
+def test_minhash_band_bucket_occupancy_scales(spark, n):
+    """MinHash banding on a 10×-growing no-duplicate corpus: band
+    buckets must stay essentially singleton (candidate-pair work from
+    hash collisions alone must not grow superlinearly)."""
+    docs = _synthetic_docs(spark, n)
+    sigs = minhash_signatures_from_arrays(hashed_shingle_arrays(docs))
+    occ = band_buckets(sigs).groupBy("band", "key").count()
+    stats = occ.agg(
+        F.max("count").alias("max_b"),
+        F.sum(F.when(F.col("count") > 1, F.col("count") * (F.col("count") - 1) / 2)
+              .otherwise(F.lit(0))).alias("collision_pairs"),
+    ).collect()[0]
+    print(
+        f"\n[scale-invariance] minhash n={n} max_bucket={stats['max_b']} "
+        f"collision_pairs={int(stats['collision_pairs'] or 0)}"
+    )
+    # no-dup corpus: any bucket with >16 docs means the banding itself
+    # is manufacturing quadratic work
+    assert stats["max_b"] <= 16
+    # chance collisions stay a vanishing fraction of n
+    assert int(stats["collision_pairs"] or 0) <= n // 100
