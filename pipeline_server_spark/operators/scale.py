@@ -158,3 +158,94 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def build_skipping_index(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """File-level data-skipping index (the Delta/Iceberg stats-table
+    idea): one row per parquet data file with per-column min/max read
+    from its footer. Pair with :func:`write_zordered` — Z-ordered files
+    cover small hyper-rectangles, so range predicates prune most files
+    BEFORE any scan task is scheduled (Spark's own parquet pushdown
+    still skips row groups inside the files that survive).
+
+    The footers are read EXECUTOR-SIDE (the file list distributes over
+    the cluster; only the stats rows come back), so building the index
+    over millions of files is a map job, not a driver loop. The result
+    is index-sized (rows = files), suitable for persisting next to the
+    table and loading at plan time.
+
+    Output schema: file string, n_rows bigint, then ``<col>_min`` /
+    ``<col>_max`` typed as the source columns.
+    """
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sample = spark.read.parquet(path).select(*cols).schema
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    out_fields = [T.StructField("file", T.StringType()),
+                  T.StructField("n_rows", T.LongType())]
+    for f_ in sample.fields:
+        out_fields.append(T.StructField(f"{f_.name}_min", f_.dataType))
+        out_fields.append(T.StructField(f"{f_.name}_max", f_.dataType))
+    out_schema = T.StructType(out_fields)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fpath in pdf["file"]:
+                md = pq.ParquetFile(fpath).metadata
+                names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+                row = {"file": fpath, "n_rows": md.num_rows}
+                for c in cols:
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(names[c]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    row[f"{c}_min"] = lo
+                    row[f"{c}_max"] = hi
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    flist = spark.createDataFrame([(f,) for f in files], ["file"])
+    return flist.repartition(min(len(files), 64)).mapInPandas(_stats, schema=out_schema)
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    bounds: dict[str, tuple],
+) -> tuple[DataFrame, int, int]:
+    """Plan a range-predicate read through the skipping index: keep
+    only files whose [min, max] envelope overlaps every requested
+    ``col: (lo, hi)`` bound, read just those, and re-apply the exact
+    predicate as a residual filter (the envelope is a superset).
+
+    Returns (df, files_read, files_total). The index filter + collect
+    is index-sized — the same driver-side cost as partition listing —
+    never data-sized.
+    """
+    cond = F.lit(True)
+    for c, (lo, hi) in bounds.items():
+        cond = cond & (F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") <= F.lit(hi))
+    picked = [r["file"] for r in index.where(cond).select("file").collect()]
+    total = index.count()
+    residual = F.lit(True)
+    for c, (lo, hi) in bounds.items():
+        residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
+    if not picked:
+        empty = spark.read.parquet(path).where(F.lit(False))
+        return empty, 0, total
+    return spark.read.parquet(*picked).where(residual), len(picked), total

@@ -427,6 +427,80 @@ class VersionedTable:
             and (len(d) == 9 or d[9] == "-")
         })
 
+    def changes(self, keys: list[str], v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data feed between two snapshots — the Delta-CDF /
+        Iceberg-changelog shape, computed as a snapshot diff (this
+        table stores immutable versions, not row-level change logs):
+        one row per inserted key, per deleted key, and per changed key
+        a preimage + postimage pair, each tagged ``_change_type`` ∈
+        {insert, delete, update_preimage, update_postimage} plus
+        ``_commit_version`` (= v_to, where the change became visible).
+
+        Schema evolution between the versions is handled by widening
+        both sides to the union schema (null-fill), so an added column
+        shows as NULL→value in the update pair.
+
+        Scale shape: ONE full-outer shuffle join on the key columns —
+        the honest cost of diffing without persisted change logs. A
+        CDC-fed table already knows its per-batch deltas; this method
+        is for tables mutated by merge/overwrite commits.
+        """
+        v_to = v_to if v_to is not None else self.current_version()
+        a = self.read(v_from)
+        b = self.read(v_to)
+
+        # widen both sides to the union schema (evolution-safe diff)
+        a_types = dict(a.dtypes)
+        b_types = dict(b.dtypes)
+        all_cols = list(a.columns) + [c for c in b.columns if c not in a_types]
+        for c in all_cols:
+            if c not in a_types:
+                a = a.withColumn(c, F.lit(None).cast(b_types[c]))
+            if c not in b_types:
+                b = b.withColumn(c, F.lit(None).cast(a_types[c]))
+        data_cols = [c for c in all_cols if c not in keys]
+
+        oa = a.select(
+            *[F.col(c).alias(f"_a_{c}") for c in all_cols],
+            F.lit(True).alias("_in_a"),
+        )
+        ob = b.select(
+            *[F.col(c).alias(f"_b_{c}") for c in all_cols],
+            F.lit(True).alias("_in_b"),
+        )
+        cond = None
+        for k in keys:
+            e = F.col(f"_a_{k}").eqNullSafe(F.col(f"_b_{k}"))
+            cond = e if cond is None else (cond & e)
+        j = oa.join(ob, cond, "full_outer")
+
+        differs = F.lit(False)
+        for c in data_cols:
+            differs = differs | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+
+        inserts = j.where(F.col("_in_a").isNull()).select(
+            *[F.col(f"_b_{c}").alias(c) for c in all_cols],
+            F.lit("insert").alias("_change_type"),
+            F.lit(v_to).cast("int").alias("_commit_version"),
+        )
+        deletes = j.where(F.col("_in_b").isNull()).select(
+            *[F.col(f"_a_{c}").alias(c) for c in all_cols],
+            F.lit("delete").alias("_change_type"),
+            F.lit(v_to).cast("int").alias("_commit_version"),
+        )
+        upd = j.where(F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull() & differs)
+        pre = upd.select(
+            *[F.col(f"_a_{c}").alias(c) for c in all_cols],
+            F.lit("update_preimage").alias("_change_type"),
+            F.lit(v_to).cast("int").alias("_commit_version"),
+        )
+        post = upd.select(
+            *[F.col(f"_b_{c}").alias(c) for c in all_cols],
+            F.lit("update_postimage").alias("_change_type"),
+            F.lit(v_to).cast("int").alias("_commit_version"),
+        )
+        return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` version directories (never
         the current pointer target). Returns removed versions."""

@@ -24,5 +24,7 @@ from pipeline_server_spark.queries import graph  # noqa: E402,F401
 from pipeline_server_spark.queries import streaming_batch  # noqa: E402,F401
 from pipeline_server_spark.queries import temporal_queries  # noqa: E402,F401
 from pipeline_server_spark.queries import semistructured  # noqa: E402,F401
+from pipeline_server_spark.queries import sequences  # noqa: E402,F401
+from pipeline_server_spark.queries import llm_ops3  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

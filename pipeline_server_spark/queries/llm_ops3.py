@@ -1,0 +1,108 @@
+"""Training-data corpus operators, round 5: tokenizer-induction and
+rarity-scoring primitives (documents table).
+
+- ``bpe_adjacent_pair_counts`` is the inner statistic of BPE vocabulary
+  induction (Sennrich et al. 2016): the frequency of adjacent symbol
+  pairs inside words. One merge round = take the top pair and fuse it;
+  the expensive part at corpus scale is exactly this count, and it is
+  pure explode → groupBy (map-side combined, one shuffle on the pair).
+- ``doc_rarity_scores`` is an integer-exact stand-in for LM-perplexity
+  quality filtering: rank documents by how rare their rarest word is
+  (global corpus frequencies joined back per token). All-integer math
+  keeps the cross-engine value-hash gate exact where mean-log-prob
+  would drift in the last ulp.
+
+Scale shapes: both are corpus-linear. The global frequency table is
+vocabulary-sized (≪ corpus); Spark's AQE broadcasts it on the join
+back. No collects, no cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "bpe_adjacent_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT w FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE length(w) >= 2),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair FROM (
+        SELECT w, UNNEST(generate_series(1, length(w) - 1)) AS i FROM words))
+    SELECT pair, COUNT(*) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def bpe_adjacent_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character-pair frequencies within words — the
+    statistic one BPE merge round maximizes. JVM-only expressions:
+    split → explode → transform(sequence) → explode → count; the
+    double explode stays in whole-stage codegen and the count is
+    map-side combined before its single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "doc_rarity_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      WHERE length(w) >= 1),
+    freq AS (SELECT w, COUNT(*) AS wf FROM toks GROUP BY w),
+    scored AS (
+      SELECT toks.doc_id,
+             COUNT(*) AS n_tokens,
+             MIN(freq.wf) AS min_word_freq,
+             CAST(SUM(freq.wf) AS BIGINT) AS sum_word_freq
+      FROM toks JOIN freq ON toks.w = freq.w
+      GROUP BY toks.doc_id)
+    SELECT doc_id, n_tokens, min_word_freq, sum_word_freq
+    FROM scored
+    ORDER BY min_word_freq, doc_id LIMIT 20
+    """,
+)
+def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact rarity ranking: global word frequencies joined
+    back onto each document's tokens; the 20 documents holding the
+    globally rarest words surface first (the docs an LM-perplexity
+    filter would flag). Frequency table is vocab-sized → AQE
+    broadcasts the join; everything else is one shuffle per groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") >= 1)
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+    return (
+        toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.min("wf").alias("min_word_freq"),
+            F.sum("wf").alias("sum_word_freq"),
+        )
+        .orderBy("min_word_freq", "doc_id")
+        .limit(20)
+    )

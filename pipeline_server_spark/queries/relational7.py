@@ -84,6 +84,53 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "blocked_er_part_names",
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name FROM part),
+    blocks AS (
+      SELECT p_name, 'w1:' || string_split(p_name, ' ')[1] AS bk FROM d
+      UNION ALL
+      SELECT p_name, 'w2:' || string_split(p_name, ' ')[-1] AS bk FROM d),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM blocks a JOIN blocks b
+        ON a.bk = b.bk AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+    ORDER BY name_a, name_b
+    """,
+)
+def blocked_er_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass attribute blocking — the classic entity-resolution
+    recipe (block on first word, block on last word, union the
+    candidate sets) — then edit-distance verify within candidates
+    only. Unlike ``fuzzy_name_matches`` (complete single-edit
+    pigeonhole), this is the RECALL-BY-DESIGN shape real ER pipelines
+    use: each blocking pass is one equi-join on its key; no pass is
+    quadratic in the corpus, only in the block."""
+    d = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    words = F.split(F.col("p_name"), " ")
+    b1 = d.select("p_name", F.concat(F.lit("w1:"), words.getItem(0)).alias("bk"))
+    b2 = d.select("p_name", F.concat(F.lit("w2:"), F.element_at(words, -1)).alias("bk"))
+    blocks = b1.unionAll(b2)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .select(F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b"))
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .where(F.col("dist").between(1, 2))
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
     "salted_event_value_totals",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,

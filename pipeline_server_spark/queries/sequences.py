@@ -1,0 +1,185 @@
+"""Event-sequence analytics as oracle-checked queries.
+
+Sequence mining over the events table (and orders-as-change-stream):
+Markov transition counts, an ordered multi-step funnel, and an SCD
+Type-2 interval build. None of these exist in the reference (its
+surface stops at per-row transform + load — SURVEY.md §2.6 gap list);
+they are the product-analytics shapes a warehouse replacement gets
+asked for on day one.
+
+Scale shapes:
+- transitions / funnel: ONE hash-partition shuffle on user_id; the
+  chained per-user windows (funnel) are unordered-frame MIN-over-
+  partition expressions stacked on the same partitioning, so Catalyst
+  plans a single Exchange feeding consecutive Window nodes.
+- scd2: one shuffle on the entity key; change detection and interval
+  close are LAG/LEAD over (key, seq) — no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS transitions
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of per-user event bigrams (LAG over a
+    total (ts, event_id) order inside each user partition, then a
+    count per (prev, next) pair). One shuffle on user_id for the
+    window + one map-side-combined count shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM w1),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM w2),
+    u AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM w3 GROUP BY user_id)
+    SELECT COUNT(t1) AS users_signup,
+           COUNT(t2) AS users_click_after_signup,
+           COUNT(t3) AS users_full_funnel,
+           COUNT(CASE WHEN t3 <= t1 + INTERVAL 7 DAY THEN 1 END)
+             AS users_completed_within_7d
+    FROM u
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup → click → purchase, strictly
+    increasing timestamps) with a 7-day completion window.
+
+    The step times are CHAINED per-user window minima — t2's predicate
+    reads t1, t3's reads t2 — all on the same user_id partitioning, so
+    the three Window nodes share one Exchange (no joins, no second
+    shuffle until the final per-user collapse)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    wu = W.partitionBy("user_id")
+    ty = F.col("event_type")
+    d = (
+        e.withColumn("t1", F.min(F.when(ty == "signup", F.col("ts"))).over(wu))
+        .withColumn(
+            "t2",
+            F.min(F.when((ty == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t3",
+            F.min(F.when((ty == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))).over(wu),
+        )
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("users_signup"),
+        F.count("t2").alias("users_click_after_signup"),
+        F.count("t3").alias("users_full_funnel"),
+        F.count(
+            F.when(F.col("t3") <= F.col("t1") + F.expr("INTERVAL 7 DAY"), F.lit(1))
+        ).alias("users_completed_within_7d"),
+    )
+
+
+@query(
+    "scd2_customer_status_history",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM seq
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+    iv AS (
+      SELECT o_custkey, o_orderstatus, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS version
+      FROM changes)
+    SELECT o_custkey, CAST(version AS INT) AS version, o_orderstatus,
+           valid_from, valid_to,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM iv
+    ORDER BY o_custkey, version
+    """,
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each customer's order-
+    status stream into versioned [valid_from, valid_to) intervals —
+    keep only change points (LAG differs), close each interval with
+    the next change's start (LEAD), open interval = current version.
+
+    The lakehouse dimension-maintenance shape: one shuffle on the
+    entity key; both window passes share the (o_custkey) partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    worder = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(worder))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    wiv = W.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(wiv))
+        .withColumn("version", F.row_number().over(wiv).cast("int"))
+        .select(
+            "o_custkey",
+            "version",
+            "o_orderstatus",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "version")
+    )

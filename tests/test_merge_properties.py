@@ -248,3 +248,54 @@ def test_versioned_table_racing_writers_exactly_one_wins(spark, tmp_path):
     # and sequential commits continue cleanly on top of the winner
     assert t.commit(spark.range(3).withColumnRenamed("id", "k")) == 2
     assert t.read().count() == 3
+
+
+class TestChangeDataFeed:
+    def test_changes_classifies_insert_update_delete(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "cdf"))
+        v1 = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+        )
+        t.commit(v1)
+        v2 = spark.createDataFrame(
+            [(2, "b", 99), (3, "c", 30), (4, "d", 40)], ["k", "s", "v"]
+        )
+        t.commit(v2)
+
+        rows = {
+            (r["k"], r["_change_type"]): r
+            for r in t.changes(["k"], v_from=1, v_to=2).collect()
+        }
+        assert set(rows) == {
+            (1, "delete"),
+            (2, "update_preimage"),
+            (2, "update_postimage"),
+            (4, "insert"),
+        }
+        assert rows[(2, "update_preimage")]["v"] == 20
+        assert rows[(2, "update_postimage")]["v"] == 99
+        assert rows[(4, "insert")]["v"] == 40
+        assert all(r["_commit_version"] == 2 for r in rows.values())
+
+    def test_changes_handles_schema_evolution(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "cdf_evo"))
+        t.commit(spark.createDataFrame([(1, "a")], ["k", "s"]))
+        t.commit(spark.createDataFrame([(1, "a", 5)], ["k", "s", "extra"]))
+        rows = {r["_change_type"]: r for r in t.changes(["k"], 1, 2).collect()}
+        # the added column flips NULL -> 5, which IS an update
+        assert set(rows) == {"update_preimage", "update_postimage"}
+        assert rows["update_preimage"]["extra"] is None
+        assert rows["update_postimage"]["extra"] == 5
+
+    def test_changes_unchanged_rows_emit_nothing(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "cdf_noop"))
+        df = spark.createDataFrame([(1, "a"), (2, None)], ["k", "s"])
+        t.commit(df)
+        t.commit(spark.createDataFrame([(1, "a"), (2, None)], ["k", "s"]))
+        assert t.changes(["k"], 1, 2).count() == 0  # null-safe compare

@@ -211,3 +211,33 @@ def test_mad_outliers_stays_jvm(spark):
     plan = _plan(spark, "mad_outlier_counts")
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_chained_windows_share_one_exchange(spark):
+    """funnel_signup_click_purchase chains three per-user window
+    minima (t2 reads t1, t3 reads t2); since all three windows use the
+    same user_id partitioning, Catalyst must plan exactly ONE
+    hash-partition exchange feeding stacked Window nodes — a second
+    exchange would mean the chaining broke the partitioning reuse."""
+    plan = _plan(spark, "funnel_signup_click_purchase")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_er_equi_joins_only(spark):
+    """blocked_er_part_names: both blocking passes must plan as
+    equi-joins on the block key (the a.name < b.name inequality rides
+    as a join condition, not a nested-loop predicate)."""
+    plan = _plan(spark, "blocked_er_part_names")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_queries_stay_jvm(spark):
+    for name in ["event_type_transitions", "scd2_customer_status_history",
+                 "bpe_adjacent_pair_counts", "doc_rarity_scores"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

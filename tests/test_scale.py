@@ -264,3 +264,63 @@ def test_zorder_value_auto_shrinks_bits_to_fit_sign_bit(spark):
     assert 0 <= got["lo"] <= got["hi"] < (1 << 60)
     with _pytest.raises(ValueError, match="cannot z-order"):
         zorder_value(df.select("a"), [f"c{i}" for i in range(64)], bits=16)
+
+
+def test_skipping_index_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Z-ordered layout + footer-stats index: a small range predicate
+    must read a strict subset of files yet return exactly the rows a
+    full scan returns."""
+    import pyspark.sql.functions as F
+
+    from pipeline_server_spark.operators.scale import (
+        build_skipping_index,
+        read_with_skipping,
+        write_zordered,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).cast("int").alias("a"),
+        ((F.col("id") * 7) % 139).cast("int").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zlake")
+    write_zordered(df, path, ["a", "b"], num_files=16)
+
+    idx = build_skipping_index(spark, path, ["a", "b"])
+    bounds = {"a": (10, 20), "b": (30, 45)}
+    picked_df, files_read, files_total = read_with_skipping(spark, path, idx, bounds)
+
+    assert files_total == 16
+    assert 0 < files_read < files_total  # the index actually pruned
+
+    expected = (
+        df.where(F.col("a").between(10, 20) & F.col("b").between(30, 45))
+        .groupBy().agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        .collect()[0]
+    )
+    got = picked_df.groupBy().agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (expected["n"], expected["s"])
+
+
+def test_skipping_index_empty_selection(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pipeline_server_spark.operators.scale import (
+        build_skipping_index,
+        read_with_skipping,
+        write_zordered,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).cast("int").alias("a"),
+        (F.col("id") % 7).cast("int").alias("b"),
+    )
+    path = str(tmp_path / "zlake2")
+    write_zordered(df, path, ["a", "b"], num_files=4)
+    idx = build_skipping_index(spark, path, ["a", "b"])
+    out, files_read, _ = read_with_skipping(spark, path, idx, {"a": (999, 1000)})
+    assert files_read == 0
+    assert out.count() == 0
