@@ -268,6 +268,12 @@ class PipelineApiServer:
             if method == "GET" and path == "/dataset/versions":
                 (name,) = need("name")
                 return 200, self.engine.versions(name)
+            if method == "GET" and path == "/dataset/changes":
+                name, v_from = need("name", "from")
+                return 200, self.engine.changes(
+                    name, int(v_from),
+                    int(q["to"]) if "to" in q else None,
+                )
             if method == "GET" and path == "/dataset/data":
                 (token,) = need("pipelinetoken")
                 return 200, {"rows": self.engine.retrieve(token)}

@@ -163,6 +163,30 @@ class Engine:
         table = VersionedTable(self.spark, dest.path, dest.file_format)
         return {"versions": table.versions(), "current": table.current_version()}
 
+    def changes(self, name: str, v_from: int, v_to: int | None = None,
+                limit: int = 10_000) -> dict[str, Any]:
+        """Change data feed between two snapshot versions of a
+        versioned dataset destination (VersionedTable.changes):
+        insert / delete / update_preimage / update_postimage rows,
+        keyed by the dataset's merge keys. ``limit`` bounds the rows
+        returned through the API (the feed itself is a DataFrame; API
+        consumers page or export instead of streaming 100 TB through
+        JSON)."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        config = self._configs[name]
+        dest = config.destination
+        if not dest.versioned or dest.path is None:
+            raise ValueError(f"dataset {name!r} has no versioned destination")
+        if not dest.key_fields:
+            raise ValueError(f"dataset {name!r} has no key fields for a change feed")
+        table = VersionedTable(self.spark, dest.path, dest.file_format)
+        feed = table.changes(list(dest.key_fields), v_from=v_from, v_to=v_to)
+        rows = [r.asDict() for r in feed.limit(limit).collect()]
+        return {"from": v_from,
+                "to": v_to if v_to is not None else table.current_version(),
+                "count": len(rows), "changes": rows}
+
     def retrieve(self, token: str) -> list[str]:
         """GET /dataset/data?pipelinetoken= — the transformed batch back
         as raw CSV lines from the token-addressed temp output

@@ -120,6 +120,92 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hourly_ohlc_downsample",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events WHERE event_type = 'purchase')
+    SELECT hour_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close
+    FROM r GROUP BY hour_ts ORDER BY hour_ts
+    """,
+)
+def hourly_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars (the financial rollup
+    shape): first/last tick per hour picked by an exact total order
+    (ts, event_id) — row_number windows, not nondeterministic
+    first()/min_by on ties — then one grouped pass for high/low/count.
+    One shuffle on the hour key serves both windows and the final
+    aggregate."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    r = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "value", "event_id", "ts"
+    )
+    w_open = W.partitionBy("hour_ts").orderBy("ts", "event_id")
+    w_close = W.partitionBy("hour_ts").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = r.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return (
+        r.groupBy("hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+@query(
+    "equi_depth_price_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def equi_depth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram via NTILE over an exact
+    total order — the CBO statistics shape. NOTE on scale: a global
+    NTILE is a single-partition sort; at 100 TB the same histogram
+    comes from approx_percentile boundaries + one grouped pass. This
+    query keeps the exact contract for the parity gate; the bounded
+    input here (orders keys) is what makes the global window
+    acceptable."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "scd2_customer_status_history",
     oracle="""
     WITH seq AS (
@@ -182,4 +268,110 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to").isNull().alias("is_current"),
         )
         .orderBy("o_custkey", "version")
+    )
+
+
+@query(
+    "value_spike_detection",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(CAST(value AS DECIMAL(14,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS trail_sum,
+             COUNT(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS trail_n
+      FROM events)
+    SELECT user_id, ts, event_id,
+           CAST(value AS DOUBLE) AS value,
+           CAST(trail_sum AS DOUBLE) AS trail_sum,
+           CAST(trail_n AS BIGINT) AS trail_n
+    FROM w
+    WHERE trail_n >= 5
+      AND CAST(value AS DECIMAL(14,4)) * trail_n > 3 * trail_sum
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def value_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly screen: events whose value exceeds 3× the trailing
+    average of the user's previous ≤10 events (minimum 5 of history so
+    cold starts don't fire). A bounded ROWS frame over (user, time) —
+    one shuffle, state per row is the 10-row frame, independent of
+    history length (the 100 TB property a growing RANGE frame lacks).
+
+    Float discipline: the trailing mean is compared in EXACT decimal —
+    ``value·n > 3·Σvalue`` on DECIMAL(14,4) — because a sliding-frame
+    double SUM associates differently across engines (running add vs
+    segment tree) and can flip a borderline comparison by one ulp."""
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(14,4)")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("trail_sum", F.sum(dec).over(w))
+        .withColumn("trail_n", F.count("value").over(w))
+        .where(
+            (F.col("trail_n") >= 5)
+            & (dec * F.col("trail_n") > 3 * F.col("trail_sum"))
+        )
+        .select("user_id", "ts", "event_id",
+                F.col("value").cast("double").alias("value"),
+                F.col("trail_sum").cast("double").alias("trail_sum"),
+                F.col("trail_n").cast("bigint").alias("trail_n"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "customer_order_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             DATE_DIFF('day',
+                       LAG(o_orderdate) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap
+    FROM g
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    HAVING COUNT(gap_days) >= 3
+    ORDER BY o_custkey
+    """,
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time statistics (purchase cadence): LAG on the
+    per-customer date sequence, integer day gaps, exact integer
+    aggregates — one shuffle serves the window and the groupBy (same
+    key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            F.sum("gap_days").alias("total_gap"),
+        )
+        .where(F.col("n_gaps") >= 3)
+        .orderBy("o_custkey")
     )

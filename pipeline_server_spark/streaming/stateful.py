@@ -126,3 +126,107 @@ def streaming_dedup_within_watermark(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.TimestampType()),
+        T.StructField("last", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(gap_seconds: int):
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def _session_fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState):
+        # Timeout fired with no new data: the open session is closed by
+        # event-time progress (watermark > last + gap) and emitted.
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": key[0], "session_start": start, "session_end": last,
+                  "n_events": n, "value_sum": s}]
+            )
+            return
+
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+        out = []
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = None
+            n, s = 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            if start is None:
+                start, last, n, s = ts, ts, 1, float(value)
+            elif ts - last > gap:
+                out.append({"user_id": key[0], "session_start": start,
+                            "session_end": last, "n_events": n, "value_sum": s})
+                start, last, n, s = ts, ts, 1, float(value)
+            else:
+                last = last if ts <= last else ts
+                n += 1
+                s += float(value)
+        state.update((start, last, n, s))
+        # close the still-open session once event time passes last + gap
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_seconds * 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end",
+                          "n_events", "value_sum"]
+        )
+
+    return _session_fn
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time sessionization with explicit state + timeout — the
+    canonical applyInPandasWithState operator (the batch twin is
+    queries/scenarios.sessionize_events' gap-window pass).
+
+    Per user, events accumulate into an open session; a gap larger
+    than ``gap`` closes it. Closed sessions emit immediately; the LAST
+    open session of a quiet user is closed by an EVENT-TIME TIMEOUT —
+    when the watermark (driven by other users' events) passes
+    last + gap — so no session dangles forever and state is O(open
+    sessions), not O(history).
+
+    Scale shape: state shards by user_id across executors; each batch
+    group sees only that user's new rows (sorted within the pandas
+    batch, Arrow-transferred)."""
+    gap_seconds = _parse_duration_seconds(gap)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_duration_seconds(text: str) -> int:
+    """'30 minutes' / '2 hours' / '45 seconds' → seconds."""
+    qty, unit = text.strip().split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult

@@ -333,3 +333,46 @@ def test_versioned_dataset_history_endpoint(spark, server):
     # registered but not versioned → client error; unknown → not found
     assert _code("/dataset/versions?name=api_orders") in (400, 404)
     assert _code("/dataset/versions?name=nope") == 404
+
+
+def test_change_feed_endpoint(spark, server):
+    """versioned merge destination: upload v1, upload a changed batch
+    (update + insert) -> GET /dataset/changes classifies the delta."""
+    srv, tmp_path = server
+
+    cfg = DatasetConfig(
+        name="api_cdf",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_cdf"),
+            write_mode="merge",
+            key_fields=("id",),
+            versioned=True,
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+    _call(srv.port, "POST", "/dataset/upload?dataset=api_cdf",
+          b"id,amount\n1,10.5\n2,20.0\n")
+    _call(srv.port, "POST", "/dataset/upload?dataset=api_cdf",
+          b"id,amount\n2,99.0\n3,30.0\n")
+
+    status, feed = _call(srv.port, "GET", "/dataset/changes?name=api_cdf&from=1&to=2")
+    assert status == 200
+    assert feed["from"] == 1 and feed["to"] == 2
+    kinds = {(int(float(c["id"])), c["_change_type"]) for c in feed["changes"]}
+    # merge keeps id=1, updates id=2, inserts id=3 → no delete rows
+    assert kinds == {(2, "update_preimage"), (2, "update_postimage"), (3, "insert")}
+
+    import urllib.error
+
+    def _code(path):
+        try:
+            return _call(srv.port, "GET", path)[0]
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert _code("/dataset/changes?name=api_cdf") == 400  # missing from=
+    assert _code("/dataset/changes?name=nope&from=1") == 404

@@ -102,3 +102,61 @@ def test_dedup_within_watermark_drops_in_window_duplicates(spark, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)), "duplicates survived"
     assert len(ids) == events.count(), "rows lost"
+
+
+def test_streaming_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
+    """Two users; user 1 has two sessions split by a >gap pause inside
+    one batch, plus an open session closed by EVENT-TIME TIMEOUT when
+    a later batch's watermark passes it. Asserts session boundaries,
+    counts, and that nothing dangles."""
+    import datetime as dt
+
+    from pipeline_server_spark.streaming.stateful import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, minutes, value=1.0):
+        return (uid, t0 + dt.timedelta(minutes=minutes), value)
+
+    batch1 = [
+        # user 1: session A (0,5,10), 40-min gap, session B (50,52)
+        ev(1, 0), ev(1, 5), ev(1, 10), ev(1, 50), ev(1, 52),
+        # user 2: one session
+        ev(2, 1), ev(2, 2),
+    ]
+    # batch 2: much later event advances the watermark far past
+    # everyone's last+gap, so all open sessions time out and emit
+    batch2 = [ev(3, 600)]
+
+    cols = ["user_id", "ts", "value"]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    spark.createDataFrame(batch1, cols).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2, cols).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = spark.createDataFrame(batch1, cols).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql(
+        "SELECT * FROM sess_out ORDER BY user_id, session_start"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    # user 1: two sessions — (0..10, 3 events) and (50..52, 2 events)
+    assert [((s.session_end - s.session_start).seconds // 60, s.n_events)
+            for s in by_user[1]] == [(10, 3), (2, 2)]
+    # user 2: one 1-minute session of 2 events (closed by timeout)
+    assert [(s.n_events,) for s in by_user[2]] == [(2,)]
