@@ -249,3 +249,39 @@ def read_with_skipping(
         empty = spark.read.parquet(path).where(F.lit(False))
         return empty, 0, total
     return spark.read.parquet(*picked).where(residual), len(picked), total
+
+
+def approx_equi_depth_histogram(
+    df: DataFrame, col: str, buckets: int = 10, rel_err: float = 1e-3
+) -> DataFrame:
+    """Equi-depth histogram THE 100 TB WAY (companion to the exact
+    NTILE query `equi_depth_price_histogram`, whose global window is a
+    single-partition sort): boundaries from `approxQuantile`
+    (Greenwald-Khanna, one pass, driver gets `buckets-1` doubles),
+    then one grouped pass assigns rows by binary-search-free
+    comparison against the broadcast boundary array. Two corpus scans,
+    zero global sorts; per-bucket counts are within rel_err·n of
+    n/buckets.
+
+    Returns (bucket int, n bigint, lo double, hi double)."""
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.stat.approxQuantile(col, qs, rel_err)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+        )
+    ).cast("int")
+    return (
+        df.select(F.col(col).cast("double").alias("_v"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

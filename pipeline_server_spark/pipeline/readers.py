@@ -52,6 +52,44 @@ def read_csv(spark: SparkSession, paths: str | list[str], source: SourceConfig,
     return reader.csv(paths)
 
 
+def read_fixed_width(
+    spark: SparkSession,
+    paths: str | list[str],
+    fields: list[tuple[str, int]],
+    trim: bool = True,
+    skip_header_lines: int = 0,
+) -> DataFrame:
+    """Fixed-width text scan (mainframe/COBOL-copybook exports — the
+    enterprise format family next to the reference's delimited S1/S2
+    surface; no reference analog, engine extension). ``fields`` is an
+    ordered (name, byte_width) list; columns come out as strings
+    (trimmed by default), to be typed by the normal conformance stage.
+
+    Pure JVM slicing: one ``spark.read.text`` scan + per-column
+    ``substring`` — whole-stage codegen, no Python, trivially
+    parallel over files/splits at any scale."""
+    txt = spark.read.text(paths)
+    if skip_header_lines:
+        # monotonically_increasing_id is 0-based within the FIRST split
+        # and row order inside a split follows file order, so the
+        # header rows are exactly ids < k — no global window needed.
+        # (Restriction: single file, header within the first split.)
+        if isinstance(paths, list) and len(paths) > 1:
+            raise ValueError("skip_header_lines supports a single file/glob of one file")
+        txt = (
+            txt.withColumn("_rn", F.monotonically_increasing_id())
+            .where(F.col("_rn") >= skip_header_lines)
+            .drop("_rn")
+        )
+    cols = []
+    start = 1
+    for name, width in fields:
+        c = F.substring(F.col("value"), start, width)
+        cols.append((F.trim(c) if trim else c).alias(name))
+        start += width
+    return txt.select(*cols)
+
+
 # --------------------------------------------------------------------------
 # S3 — JSON/XML (line mode vs whole-document mode)
 # --------------------------------------------------------------------------

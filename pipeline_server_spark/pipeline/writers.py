@@ -368,13 +368,19 @@ class VersionedTable:
         return self._version_dir(version)
 
     # -- operations ------------------------------------------------------
-    def commit(self, df: DataFrame, partition_by: tuple[str, ...] | list[str] = ()) -> int:
+    def commit(self, df: DataFrame, partition_by: tuple[str, ...] | list[str] = (),
+               metadata: dict | None = None) -> int:
         """Write the next immutable version directory, then publish it —
         one atomic pointer rename (single-writer manifest mode), or one
         put-if-absent commit-log record when the ``fs`` provides the
         conditional-PUT primitive (multi-writer mode: a losing racer
         raises :class:`CommitConflictError`, its staged data is removed,
-        and the table is untouched). Returns the new version."""
+        and the table is untouched). Returns the new version.
+
+        ``metadata`` (JSON-serializable dict) rides inside the version
+        directory as ``_meta.json`` — written BEFORE the publish point,
+        so a published version always has its metadata (the
+        exactly-once sink keys replay detection off it)."""
         import json
         import uuid
 
@@ -389,6 +395,9 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
+        if metadata:
+            with open(os.path.join(target, "_meta.json"), "w") as f:
+                json.dump(metadata, f)
         tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump({"version": version, "dir": os.path.basename(target)}, f)
@@ -426,6 +435,34 @@ class VersionedTable:
             if d.startswith("v") and d[1:9].isdigit()
             and (len(d) == 9 or d[9] == "-")
         })
+
+    def commit_metadata(self, version: int) -> dict:
+        """Metadata recorded at commit time for a version ({} if none)."""
+        import json
+
+        path = os.path.join(self._resolve_dir(version), "_meta.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def changes_range(self, keys: list[str], v_from: int,
+                      v_to: int | None = None) -> DataFrame:
+        """Multi-version change feed: the union of per-commit diffs for
+        every version in (v_from, v_to], each row tagged with the
+        ``_commit_version`` where it became visible — the shape a
+        downstream incremental consumer replays in order. k versions →
+        k key-joins; consumers that only need the NET change across the
+        range use :meth:`changes` (one join) instead."""
+        v_to = v_to if v_to is not None else self.current_version()
+        if v_to <= v_from:
+            raise ValueError(f"empty version range ({v_from}, {v_to}]")
+        feed = None
+        for v in range(v_from + 1, v_to + 1):
+            step = self.changes(keys, v_from=v - 1, v_to=v)
+            feed = step if feed is None else feed.unionByName(step)
+        return feed
 
     def changes(self, keys: list[str], v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed between two snapshots — the Delta-CDF /

@@ -90,6 +90,7 @@ def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = _ITERS,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a ``(src, dst)`` edge frame
     (already distinct): damping 0.85, rank mass in bigint 10^-12 units,
@@ -140,19 +141,22 @@ def pagerank_fixed_point(
         F.count(F.lit(1)).alias("deg")
     )
     r = nodes_l.select("node", F.lit(init).cast("bigint").alias("r"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = _contribution_step(r, edges_l, outdeg)
-        r = checkpoint_df(
-            nodes_l.join(contrib, "node", "left").select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr("(85 * coalesce(contrib, 0)) div 100")
-                ).cast("bigint").alias("r"),
-            ),
-            eager=True,
-            checkpoint_dir=checkpoint_dir,
+        nxt = nodes_l.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr("(85 * coalesce(contrib, 0)) div 100")
+            ).cast("bigint").alias("r"),
         )
+        # Truncate lineage every `checkpoint_every` rounds (and on the
+        # last): an eager checkpoint per round costs one blocking job
+        # each; letting the plan span two rounds halves the job count
+        # while keeping the plan depth bounded.
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            nxt = checkpoint_df(nxt, eager=True, checkpoint_dir=checkpoint_dir)
+        r = nxt
     # Loop output is eagerly checkpointed — re-binding to the caller's
     # session is metadata only.
     return transfer(r, base)
@@ -192,3 +196,72 @@ def pagerank_supplier_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.orderBy(F.desc("r"), F.asc("node")).select(
         "node", F.col("r").alias("rank_scaled")
     ).limit(20)
+
+
+@query(
+    "supplier_copurchase_similarity",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    deg AS (SELECT supp, COUNT(*) AS d FROM e GROUP BY supp),
+    shared AS (
+      SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS n_shared
+      FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY a.supp, b.supp),
+    j AS (
+      SELECT s.supp_a, s.supp_b, s.n_shared,
+             da.d + db.d - s.n_shared AS n_union
+      FROM shared s
+        JOIN deg da ON da.supp = s.supp_a
+        JOIN deg db ON db.supp = s.supp_b
+      WHERE s.n_shared >= 10)
+    SELECT supp_a, supp_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(CAST(n_shared AS DOUBLE) / n_union AS DOUBLE) AS jaccard
+    FROM j
+    ORDER BY jaccard DESC, supp_a, supp_b LIMIT 25
+    """,
+)
+def supplier_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph similarity on the bipartite projection: Jaccard of two
+    suppliers' customer sets (|A∩B| / |A∪B|), candidate pairs from a
+    self-join on the shared customer — the co-occurrence join whose
+    fan-out is bounded per customer by their supplier count, never
+    all-pairs. The ``n_shared ≥ 10`` support cutoff is the df-style
+    band that keeps the pair set sparse at scale. Jaccard itself is a
+    single int/int division — exact in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    shared = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("supp_a"), F.col("b.supp").alias("supp_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 10)
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("d").alias("db"))
+    return (
+        shared.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (F.col("da") + F.col("db") - F.col("n_shared")).cast("bigint").alias("n_union"),
+            (F.col("n_shared").cast("double")
+             / (F.col("da") + F.col("db") - F.col("n_shared"))).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
+        .limit(25)
+    )

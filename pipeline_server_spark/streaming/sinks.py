@@ -1,0 +1,89 @@
+"""Exactly-once streaming sinks over snapshot-versioned tables.
+
+Structured Streaming's ``foreachBatch`` gives AT-LEAST-ONCE batch
+delivery: after a failure between "sink wrote" and "checkpoint
+advanced", the same ``batch_id`` is REPLAYED. Exactly-once therefore
+needs an idempotent sink — the sink must detect a replay and do
+nothing (the pattern Spark's docs prescribe for transactional
+targets; Delta gets it from ``txnAppId``/``txnVersion``).
+
+Here the dedup token rides in :class:`VersionedTable` commit metadata
+(``_meta.json``, written before the atomic publish): a batch commits
+with ``{"batch_id": N}``; a replayed batch finds N already present in
+the committed-version metadata scan and skips. The scan is
+O(versions) driver-side file reads — bounded by vacuum retention; for
+long histories keep ``scan_last`` at its default so only the recent
+tail is consulted (a replay is always of a RECENT batch: Spark never
+re-delivers batches older than the last checkpoint advance).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+def committed_batch_ids(table: VersionedTable, scan_last: int = 50) -> set[int]:
+    """batch_ids recorded in the newest ``scan_last`` commit metadata."""
+    ids = set()
+    for v in table.versions()[-scan_last:]:
+        b = table.commit_metadata(v).get("batch_id")
+        if b is not None:
+            ids.add(int(b))
+    return ids
+
+
+def exactly_once_append_sink(
+    table: VersionedTable,
+    partition_by: tuple[str, ...] = (),
+    scan_last: int = 50,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function: append each micro-batch as one
+    snapshot commit carrying its ``batch_id``; a replayed batch_id is
+    a no-op, so the (write → checkpoint) failure window never
+    duplicates data. Usage::
+
+        stream.writeStream.foreachBatch(exactly_once_append_sink(t))
+              .option("checkpointLocation", ck).start()
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_batch_ids(table, scan_last):
+            return  # replay after failure — already committed
+        current = table.current_version()
+        combined = (
+            batch_df if current is None
+            else table.read().unionByName(batch_df, allowMissingColumns=True)
+        )
+        table.commit(combined, partition_by=partition_by,
+                     metadata={"batch_id": int(batch_id)})
+
+    return apply
+
+
+def exactly_once_merge_sink(
+    table: VersionedTable,
+    keys: list[str],
+    sequence_col: str | None = None,
+    scan_last: int = 50,
+) -> Callable[[DataFrame, int], None]:
+    """Keyed-merge variant: each micro-batch upserts into the current
+    snapshot and commits the merged state with its ``batch_id`` —
+    idempotent under replay AND under re-delivered rows (the merge
+    itself is idempotent on keys)."""
+    from pipeline_server_spark.pipeline.writers import merge_upsert_frames
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_batch_ids(table, scan_last):
+            return
+        current = table.current_version()
+        merged = (
+            batch_df.dropDuplicates(keys) if current is None
+            else merge_upsert_frames(table.read(), batch_df, keys, sequence_col)
+        )
+        table.commit(merged, metadata={"batch_id": int(batch_id)})
+
+    return apply

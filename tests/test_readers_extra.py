@@ -501,3 +501,51 @@ def test_xls_rejects_non_ole2_and_encrypted(tmp_path):
     bad.write_bytes(b"not an ole2 file at all")
     with pytest.raises(ValueError, match="OLE2"):
         parse_xls(str(bad))
+
+
+class TestFixedWidth:
+    def test_read_fixed_width_slices_and_trims(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.readers import read_fixed_width
+
+        p = tmp_path / "fw.txt"
+        p.write_text(
+            "0000100ACME      0012.50\n"
+            "0000200BOLTS INC 0099.99\n"
+        )
+        df = read_fixed_width(
+            spark, str(p), [("id", 7), ("name", 10), ("amount", 7)]
+        )
+        rows = {r["id"]: r for r in df.collect()}
+        assert rows["0000100"]["name"] == "ACME"
+        assert rows["0000200"]["name"] == "BOLTS INC"
+        assert rows["0000200"]["amount"] == "0099.99"
+
+    def test_read_fixed_width_header_skip_and_no_trim(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.readers import read_fixed_width
+
+        p = tmp_path / "fw2.txt"
+        p.write_text("HEADERLINE\nAB  12\nCD  34\n")
+        df = read_fixed_width(
+            spark, str(p), [("code", 4), ("num", 2)],
+            trim=False, skip_header_lines=1,
+        )
+        rows = sorted((r["code"], r["num"]) for r in df.collect())
+        assert rows == [("AB  ", "12"), ("CD  ", "34")]
+
+
+class TestApproxEquiDepth:
+    def test_buckets_are_balanced_and_cover(self, spark):
+        import pyspark.sql.functions as F
+
+        from pipeline_server_spark.operators.scale import approx_equi_depth_histogram
+
+        df = spark.range(100_000).select((F.col("id") % 9973).alias("v"))
+        hist = approx_equi_depth_histogram(df, "v", buckets=10, rel_err=1e-3).collect()
+        assert [r["bucket"] for r in hist] == list(range(1, 11))
+        total = sum(r["n"] for r in hist)
+        assert total == 100_000
+        for r in hist:
+            assert abs(r["n"] - 10_000) <= 600  # ~rel_err + modular unevenness
+        # bucket ranges must tile without overlap
+        for lo_r, hi_r in zip(hist, hist[1:]):
+            assert lo_r["hi"] <= hi_r["lo"]

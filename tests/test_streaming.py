@@ -372,3 +372,73 @@ def test_cdc_stream_apply_versioned_bootstraps_empty_table(spark, tmp_path):
     assert table.current_version() == 1
     result = {r.k: (r.name, r.v) for r in table.read().collect()}
     assert result == {1: ("a", 1.0), 2: ("b", 2.5)}
+
+
+class TestExactlyOnceSinks:
+    def test_append_sink_is_idempotent_under_replay(self, spark, tmp_path):
+        """Calling the foreachBatch fn twice with the same batch_id
+        (the failure-replay shape) commits exactly once."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+        from pipeline_server_spark.streaming.sinks import exactly_once_append_sink
+
+        t = VersionedTable(spark, str(tmp_path / "eo_append"))
+        sink = exactly_once_append_sink(t)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+        sink(b0, 0)
+        assert t.current_version() == 1 and t.read().count() == 2
+        sink(b0, 0)  # replay — must be a no-op
+        assert t.current_version() == 1 and t.read().count() == 2
+        sink(spark.createDataFrame([(3, "c")], ["k", "s"]), 1)
+        assert t.current_version() == 2 and t.read().count() == 3
+        assert t.commit_metadata(2) == {"batch_id": 1}
+
+    def test_merge_sink_through_real_stream(self, spark, tmp_path):
+        """Drive the merge sink through an actual availableNow stream,
+        then REUSE the same checkpoint with no new files: the second
+        run must not change the table (no re-commit)."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+        from pipeline_server_spark.streaming.sinks import exactly_once_merge_sink
+
+        src = tmp_path / "eo_src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], ["k", "s", "seq"]
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        spark.createDataFrame(
+            [(2, "B", 2), (3, "c", 2)], ["k", "s", "seq"]
+        ).coalesce(1).write.parquet(str(src / "b2"))
+
+        t = VersionedTable(spark, str(tmp_path / "eo_merge"))
+        schema = "k bigint, s string, seq bigint"
+        ck = str(tmp_path / "eo_ck")
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "*"))
+                .writeStream.foreachBatch(exactly_once_merge_sink(t, ["k"], "seq"))
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        got = {r["k"]: r["s"] for r in t.read().collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+        v_after = t.current_version()
+        run()  # same checkpoint, no new data → no new versions
+        assert t.current_version() == v_after
+        assert {r["k"]: r["s"] for r in t.read().collect()} == got
+
+    def test_changes_range_tags_each_commit(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "range_cdf"))
+        t.commit(spark.createDataFrame([(1, "a")], ["k", "s"]))
+        t.commit(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"]))
+        t.commit(spark.createDataFrame([(2, "b")], ["k", "s"]))
+        feed = t.changes_range(["k"], v_from=1, v_to=3).collect()
+        tagged = {(r["k"], r["_change_type"], r["_commit_version"]) for r in feed}
+        assert tagged == {(2, "insert", 2), (1, "delete", 3)}
