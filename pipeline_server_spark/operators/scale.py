@@ -285,3 +285,33 @@ def approx_equi_depth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Manual skew-salted equi-join for the case AQE's skew handling
+    can't fix (a single key so hot that even split sub-partitions of
+    ONE join task overwhelm an executor, or stats that hide the skew):
+    the big/skewed ``left`` gets a DETERMINISTIC salt (hash of the
+    whole row — stable under task retry, unlike rand()); the smaller
+    non-broadcastable ``right`` replicates each row ``salts`` times so
+    every (key, salt) cell finds its match. Result is row-identical to
+    the unsalted join; the hot key's rows spread over ``salts`` tasks.
+
+    Cost model: right side shuffles ``salts``× its size — worth it
+    exactly when the hot key's single reducer is the critical path.
+    ``how`` supports inner/left joins (the salt preserves left rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return l.join(r, on=[key, "_salt"], how=how).drop("_salt")

@@ -52,6 +52,50 @@ def read_csv(spark: SparkSession, paths: str | list[str], source: SourceConfig,
     return reader.csv(paths)
 
 
+def read_csv_with_rejects(
+    spark: SparkSession,
+    paths: str | list[str],
+    source: SourceConfig,
+    parity_mode: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 extension: malformed-row quarantine. PERMISSIVE parse with a
+    corrupt-record column — rows that fail the declared schema land in
+    a REJECTS frame (original line intact, for repair/replay) instead
+    of aborting the load or silently nulling fields. The reference's
+    closest behavior is the all-or-nothing DQ abort (F2 >100 errors);
+    this is the lakehouse-standard dead-letter shape.
+
+    Returns (good, rejects). Requires declared fields (schema
+    inference can't classify malformation). The parsed frame is
+    cached: Spark disallows filtering on the corrupt column over a
+    pure file scan (the parser would have nothing to fail against),
+    and both outputs share the one parse anyway."""
+    from pyspark.sql import types as T
+
+    if not source.fields:
+        raise ValueError("read_csv_with_rejects requires declared source fields")
+    fa = source.file
+    schema = to_struct_type(source.fields, parity_mode).add(
+        T.StructField("_corrupt_record", T.StringType())
+    )
+    df = (
+        spark.read.option("header", str(fa.header).lower())
+        .option("sep", fa.delimiter)
+        .option("encoding", fa.encoding)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(paths)
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, rejects
+
+
 def read_fixed_width(
     spark: SparkSession,
     paths: str | list[str],

@@ -299,3 +299,28 @@ class TestChangeDataFeed:
         t.commit(df)
         t.commit(spark.createDataFrame([(1, "a"), (2, None)], ["k", "s"]))
         assert t.changes(["k"], 1, 2).count() == 0  # null-safe compare
+
+
+class TestPartitionEvolution:
+    def test_versions_may_change_partition_layout(self, spark, tmp_path):
+        """Each snapshot owns its physical layout: v1 unpartitioned,
+        v2 partitioned — time travel and the change feed work across
+        the layout change (Iceberg-style partition evolution, free
+        here because versions are immutable directories)."""
+        import pyspark.sql.functions as F
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "pevo"))
+        df = spark.createDataFrame(
+            [(1, "us", 10), (2, "eu", 20), (3, "us", 30)], ["k", "region", "v"]
+        )
+        t.commit(df)  # v1: flat
+        t.commit(df.withColumn("v", F.col("v") + 1),
+                 partition_by=("region",))  # v2: partitioned
+        import os
+        assert any(d.startswith("region=") for d in
+                   os.listdir(t._resolve_dir(2)))
+        assert t.read(1).count() == 3 and t.read(2).count() == 3
+        kinds = {r["_change_type"] for r in t.changes(["k"], 1, 2).collect()}
+        assert kinds == {"update_preimage", "update_postimage"}

@@ -241,3 +241,34 @@ def test_sequence_queries_stay_jvm(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.slow
+def test_registry_wide_no_unbounded_nested_loops(spark):
+    """Whole-registry plan audit: BroadcastNestedLoopJoin is allowed
+    ONLY for the known 1-row scalar-subquery broadcasts (where it is
+    the correct O(n) plan); CartesianProduct and row-at-a-time Python
+    eval are allowed nowhere. A new query joining on a non-equi
+    predicate against a multi-row side fails here before it ships."""
+    SCALAR_BNLJ_OK = {
+        # each broadcasts a single aggregated row (scalar subquery)
+        "approx_price_quantiles",
+        "benford_leading_digit",
+        "dormant_rich_customers",
+        "nation_acctbal_concentration",
+        "orders_above_avg_price",
+        "vocab_coverage_topk",
+    }
+    offenders = {}
+    for name in sorted(QUERIES):
+        plan = _plan(spark, name)
+        probs = []
+        if "CartesianProduct" in plan:
+            probs.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BNLJ_OK:
+            probs.append("nested-loop")
+        if "BatchEvalPython" in plan:
+            probs.append("row-python")
+        if probs:
+            offenders[name] = probs
+    assert not offenders, offenders

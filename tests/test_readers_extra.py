@@ -549,3 +549,46 @@ class TestApproxEquiDepth:
         # bucket ranges must tile without overlap
         for lo_r, hi_r in zip(hist, hist[1:]):
             assert lo_r["hi"] <= hi_r["lo"]
+
+
+class TestCsvRejects:
+    def test_malformed_rows_quarantined(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.config import (
+            FileAttributes,
+            SchemaField,
+            SourceConfig,
+        )
+        from pipeline_server_spark.pipeline.readers import read_csv_with_rejects
+
+        p = tmp_path / "mixed.csv"
+        p.write_text(
+            "id,amount\n"
+            "1,10.5\n"
+            "2,notanumber\n"   # type failure
+            "3,30.0\n"
+        )
+        src = SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv", header=True),
+        )
+        good, rejects = read_csv_with_rejects(spark, str(p), src)
+        assert {r["id"] for r in good.collect()} == {1, 3}
+        raw = [r["raw_line"] for r in rejects.collect()]
+        assert raw == ["2,notanumber"]  # original line preserved
+
+    def test_all_good_means_empty_rejects(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.config import (
+            FileAttributes,
+            SchemaField,
+            SourceConfig,
+        )
+        from pipeline_server_spark.pipeline.readers import read_csv_with_rejects
+
+        p = tmp_path / "clean.csv"
+        p.write_text("id,amount\n1,1.0\n2,2.0\n")
+        src = SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv", header=True),
+        )
+        good, rejects = read_csv_with_rejects(spark, str(p), src)
+        assert good.count() == 2 and rejects.count() == 0

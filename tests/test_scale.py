@@ -324,3 +324,41 @@ def test_skipping_index_empty_selection(spark, tmp_path):
     out, files_read, _ = read_with_skipping(spark, path, idx, {"a": (999, 1000)})
     assert files_read == 0
     assert out.count() == 0
+
+
+def test_salted_equi_join_matches_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    from pipeline_server_spark.operators.scale import salted_equi_join
+
+    # skewed left: 90% of rows share key 7
+    left = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    got = (
+        salted_equi_join(left, right, "k", salts=8)
+        .groupBy().agg(F.count("*").alias("n"), F.sum("payload").alias("sp"),
+                       F.sum("rv").alias("sr")).collect()[0]
+    )
+    want = (
+        left.join(right, "k")
+        .groupBy().agg(F.count("*").alias("n"), F.sum("payload").alias("sp"),
+                       F.sum("rv").alias("sr")).collect()[0]
+    )
+    assert (got["n"], got["sp"], got["sr"]) == (want["n"], want["sp"], want["sr"])
+
+
+def test_salted_equi_join_left_preserves_unmatched(spark):
+    import pyspark.sql.functions as F
+
+    from pipeline_server_spark.operators.scale import salted_equi_join
+
+    left = spark.range(50).select((F.col("id") % 5).alias("k"), F.col("id").alias("p"))
+    right = spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    out = salted_equi_join(left, right, "k", salts=4, how="left")
+    assert out.count() == 50
+    assert out.where(F.col("v").isNull()).count() == 30  # keys 2,3,4
