@@ -184,10 +184,14 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str]) -> Dat
     from pyspark.sql import types as T
 
     sample = spark.read.parquet(path).select(*cols).schema
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    files = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        files.extend(
+            os.path.join(root, f) for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    files.sort()
     out_fields = [T.StructField("file", T.StringType()),
                   T.StructField("n_rows", T.LongType())]
     for f_ in sample.fields:
@@ -248,7 +252,10 @@ def read_with_skipping(
     if not picked:
         empty = spark.read.parquet(path).where(F.lit(False))
         return empty, 0, total
-    return spark.read.parquet(*picked).where(residual), len(picked), total
+    # basePath keeps partition columns when the picked files live in
+    # partition subdirectories
+    picked_df = spark.read.option("basePath", path).parquet(*picked).where(residual)
+    return picked_df, len(picked), total
 
 
 def approx_equi_depth_histogram(

@@ -58,6 +58,10 @@ class FileAttributes:
     # unstructured: preserve original name / forced extension
     file_extension: str | None = None
     preserve_filename: bool = False
+    # CSV dead-letter path: malformed rows (schema-violating) are
+    # quarantined to <destination>_rejects instead of aborting or
+    # silently nulling (requires declared fields) — readers.py
+    quarantine_rejects: bool = False
 
 
 @dataclass(frozen=True)

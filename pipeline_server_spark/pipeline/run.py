@@ -69,7 +69,22 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
         ]
         return RunResult(config.name, len(copied), None, {"files": copied})
 
-    raw = read_source(spark, paths, config)
+    rejected_rows = 0
+    if (
+        config.source.file.quarantine_rejects
+        and config.source.file.file_type == "csv"
+        and config.source.fields
+    ):
+        from pipeline_server_spark.pipeline.readers import read_csv_with_rejects
+
+        raw, rejects = read_csv_with_rejects(
+            spark, paths, config.source, config.parity_mode
+        )
+        rejected_rows = rejects.count()
+        if rejected_rows and config.destination.path is not None:
+            rejects.write.mode("append").text(config.destination.path + "_rejects")
+    else:
+        raw = read_source(spark, paths, config)
     raw = lowercase_headers(raw)
     raw = trim_string_columns(raw, config.source.file.trim_columns)
 
@@ -92,7 +107,8 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
 
     if config.destination.path is None:
         # dry-run/materialize-free mode: count only
-        return RunResult(config.name, staged.count(), report)
+        return RunResult(config.name, staged.count(), report,
+                         {"rejected_rows": rejected_rows})
 
     # rows-written metric via the Observation API: collected DURING the
     # write action — no second pass over the batch, and no re-scan of
@@ -122,11 +138,13 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
             merged = table.read().unionByName(staged)
         version = table.commit(merged, dest.partition_by)
         return RunResult(
-            config.name, int(obs.get["rows"]), report, {"version": version}
+            config.name, int(obs.get["rows"]), report,
+            {"version": version, "rejected_rows": rejected_rows},
         )
 
     if dest.write_mode == "merge":
         merge_upsert(spark, staged, dest)
     else:
         write_append(staged, dest)
-    return RunResult(config.name, int(obs.get["rows"]), report)
+    return RunResult(config.name, int(obs.get["rows"]), report,
+                     {"rejected_rows": rejected_rows})

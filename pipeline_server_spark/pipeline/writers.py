@@ -369,7 +369,8 @@ class VersionedTable:
 
     # -- operations ------------------------------------------------------
     def commit(self, df: DataFrame, partition_by: tuple[str, ...] | list[str] = (),
-               metadata: dict | None = None) -> int:
+               metadata: dict | None = None,
+               stats_cols: tuple[str, ...] | list[str] = ()) -> int:
         """Write the next immutable version directory, then publish it —
         one atomic pointer rename (single-writer manifest mode), or one
         put-if-absent commit-log record when the ``fs`` provides the
@@ -398,6 +399,15 @@ class VersionedTable:
         if metadata:
             with open(os.path.join(target, "_meta.json"), "w") as f:
                 json.dump(metadata, f)
+        if stats_cols:
+            # data-skipping stats ride INSIDE the immutable version dir
+            # (the `_`-prefix keeps them out of data scans) and publish
+            # atomically with it
+            from pipeline_server_spark.operators.scale import build_skipping_index
+
+            build_skipping_index(self.spark, target, list(stats_cols)) \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(target, "_index"))
         tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump({"version": version, "dir": os.path.basename(target)}, f)
@@ -435,6 +445,34 @@ class VersionedTable:
             if d.startswith("v") and d[1:9].isdigit()
             and (len(d) == 9 or d[9] == "-")
         })
+
+    def read_pruned(self, bounds: dict, version: int | None = None):
+        """Range read through the version's data-skipping index (built
+        at commit time via ``stats_cols``): returns (df, files_read,
+        files_total) — only files whose min/max envelope overlaps every
+        ``col: (lo, hi)`` bound are opened; the exact predicate is
+        re-applied as a residual. Falls back to a full-scan filtered
+        read (files_read == files_total) when the version has no index."""
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.operators.scale import read_with_skipping
+
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        d = self._resolve_dir(v)
+        idx_path = os.path.join(d, "_index")
+        if not os.path.isdir(idx_path):
+            df = self.read(v)
+            for c, (lo, hi) in bounds.items():
+                df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+            n = sum(
+                1 for root, dirs, names in os.walk(d)
+                for f in names if f.endswith(".parquet")
+            )
+            return df, n, n
+        idx = self.spark.read.parquet(idx_path)
+        return read_with_skipping(self.spark, d, idx, bounds)
 
     def commit_metadata(self, version: int) -> dict:
         """Metadata recorded at commit time for a version ({} if none)."""

@@ -324,3 +324,39 @@ class TestPartitionEvolution:
         assert t.read(1).count() == 3 and t.read(2).count() == 3
         kinds = {r["_change_type"] for r in t.changes(["k"], 1, 2).collect()}
         assert kinds == {"update_preimage", "update_postimage"}
+
+
+class TestVersionedSkippingIndex:
+    def test_commit_with_stats_then_pruned_read(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pipeline_server_spark.operators.scale import zorder_value
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vskip"))
+        df = spark.range(20_000).select(
+            (F.col("id") % 101).cast("int").alias("a"),
+            F.col("id").alias("payload"),
+        )
+        # cluster on `a` so file envelopes are narrow, then commit with stats
+        zdf = (zorder_value(df, ["a"], bits=8)
+               .repartitionByRange(8, "_z").sortWithinPartitions("_z").drop("_z"))
+        t.commit(zdf, stats_cols=("a",))
+
+        got, files_read, files_total = t.read_pruned({"a": (10, 20)})
+        assert files_total == 8 and 0 < files_read < 8
+        want = df.where(F.col("a").between(10, 20)).agg(
+            F.count("*").alias("n"), F.sum("payload").alias("s")).collect()[0]
+        have = got.agg(F.count("*").alias("n"), F.sum("payload").alias("s")).collect()[0]
+        assert (have["n"], have["s"]) == (want["n"], want["s"])
+
+    def test_read_pruned_without_index_falls_back(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vskip2"))
+        t.commit(spark.range(100).select((F.col("id") % 10).cast("int").alias("a")))
+        got, files_read, files_total = t.read_pruned({"a": (3, 4)})
+        assert files_read == files_total > 0
+        assert got.count() == 20

@@ -738,3 +738,39 @@ def test_versioned_table_sql_over_snapshots(spark, tmp_path):
         WHERE a.v IS NULL OR a.v <> b.v ORDER BY k
     """).collect()
     assert [(r.k, r.v_old, r.v_new) for r in diff] == [(2, 20.0, 99.0), (3, None, 30.0)]
+
+
+def test_run_dataset_quarantines_malformed_rows(spark, tmp_path):
+    """quarantine_rejects: schema-violating CSV rows go to the
+    <dest>_rejects dead-letter path; good rows load normally and the
+    run reports both counts."""
+    from pipeline_server_spark.pipeline.config import FileAttributes
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,amount\n"
+        "1,10.5\n"
+        "2,notanumber\n"
+        "3,30.0\n"
+        "oops,alsobad\n"
+    )
+    config = DatasetConfig(
+        name="dirty_csv",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv", header=True, quarantine_rejects=True),
+        ),
+        destination=DestinationConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            path=str(tmp_path / "clean_out"),
+        ),
+    )
+    result = run_dataset(spark, config, str(p))
+    assert result.rows_written == 2
+    assert result.details["rejected_rows"] == 2
+    out = spark.read.parquet(config.destination.path)
+    assert {r["id"] for r in out.collect()} == {1, 3}
+    rejects = spark.read.text(str(tmp_path / "clean_out") + "_rejects")
+    assert sorted(r["value"] for r in rejects.collect()) == [
+        "2,notanumber", "oops,alsobad",
+    ]
