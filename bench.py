@@ -92,6 +92,12 @@ def main() -> None:
         # can push a later query's shuffle into spill (observed as
         # 5-10× per-query outliers on identical plans)
         spark.catalog.clearCache()
+        # ... and localCheckpoint blocks from iterative queries
+        # (PageRank/CC) — clearCache() doesn't release those; they sit
+        # in the block manager until the ContextCleaner happens to GC
+        # them, which is exactly the nondeterminism a benchmark hates
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
         best, n = None, 0
         for _ in range(max(1, n_runs)):
             t0 = time.perf_counter()

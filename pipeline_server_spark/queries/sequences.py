@@ -375,3 +375,43 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_gaps") >= 3)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "price_deciles_by_returnflag",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag, l_extendedprice,
+             NTILE(10) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+      FROM lineitem)
+    SELECT l_returnflag, CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+    FROM t GROUP BY l_returnflag, decile
+    ORDER BY l_returnflag, decile
+    """,
+)
+def price_deciles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP deciles — the parallel form of the equi-depth
+    histogram: NTILE partitioned by the group key runs one sort per
+    partition ACROSS the cluster (contrast `equi_depth_price_histogram`
+    whose global NTILE is a single-partition sort). The window and the
+    rollup share the (l_returnflag) shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("l_returnflag", "decile")
+    )
