@@ -362,3 +362,21 @@ def test_salted_equi_join_left_preserves_unmatched(spark):
     out = salted_equi_join(left, right, "k", salts=4, how="left")
     assert out.count() == 50
     assert out.where(F.col("v").isNull()).count() == 30  # keys 2,3,4
+
+
+def test_salted_equi_join_spreads_hot_key(spark):
+    """The point of salting: the hot key's rows must occupy multiple
+    distinct salt cells (i.e. multiple reducer partitions), not one."""
+    import pyspark.sql.functions as F
+
+    from pipeline_server_spark.operators.scale import salted_equi_join
+
+    left = spark.range(10_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")  # 100% hot
+    )
+    right = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+    n_cells = left.withColumn("_salt", lsalt).select("_salt").distinct().count()
+    assert n_cells == 8  # every salt cell populated
+    out = salted_equi_join(left, right, "k", salts=8)
+    assert out.count() == 10_000
