@@ -415,3 +415,101 @@ def price_deciles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "decile")
     )
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey)
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same
+    order. The self-join fans out per order by (lines choose 2) — a
+    BOUNDED constant (TPC-H orders hold ≤7 lines), so the pair stream
+    is corpus-linear; the hot path is one orderkey-join plus one
+    map-side-combined pair count. Top-25 via TakeOrdered, no global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("c.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("c.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', MAX(o_orderdate), (SELECT d FROM maxd)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM per_cust)
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           COUNT(*) AS n_customers
+    FROM scored GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartiles): the
+    classic CRM rollup. The quartile windows run over CUSTOMER-LEVEL
+    aggregates — |customers| rows, orders of magnitude below the fact
+    table — so the global NTILEs sort a dimension, not the corpus
+    (the approx-boundary form swaps in above ~10⁸ customers).
+    Monetary is an exact DECIMAL sum; ties break on the key, so the
+    quartile assignment is engine-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = W.orderBy("recency_days", "o_custkey")
+    wf = W.orderBy(F.desc("frequency"), "o_custkey")
+    wm = W.orderBy(F.desc("monetary"), "o_custkey")
+    return (
+        per_cust.select(
+            "o_custkey",
+            F.ntile(4).over(wr).cast("int").alias("r"),
+            F.ntile(4).over(wf).cast("int").alias("f"),
+            F.ntile(4).over(wm).cast("int").alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )

@@ -258,6 +258,7 @@ def test_registry_wide_no_unbounded_nested_loops(spark):
         "nation_acctbal_concentration",
         "orders_above_avg_price",
         "vocab_coverage_topk",
+        "customer_rfm_segments",  # broadcast MAX(o_orderdate) scalar
     }
     offenders = {}
     for name in sorted(QUERIES):
