@@ -94,3 +94,37 @@ def conform_to_schema(
         else:
             raise ValueError(f"destination column {f.name!r} missing from data")
     return df.select(*cols)
+
+
+def detect_schema_drift(
+    df: DataFrame, dest_fields: tuple[SchemaField, ...], parity_mode: bool = False
+) -> dict:
+    """Schema-drift report for an incoming batch against the declared
+    destination schema (the ops signal the reference surfaces only as
+    a failed Glue/Athena DDL): added columns (present in the batch,
+    absent downstream — silently dropped by conformance), missing
+    columns (declared but absent — null-filled), and type changes
+    (both present, Spark types differ — cast-coerced). Name matching
+    is case-insensitive, mirroring ``lowercase_headers``.
+
+    Pure metadata — no job is run; call it on the lazy frame."""
+    have = {c.lower(): t for c, t in df.dtypes}
+    declared = {
+        f.name.lower(): spark_type(f.type, parity_mode).simpleString()
+        for f in dest_fields
+    }
+    added = sorted(c for c in have if c not in declared)
+    missing = sorted(c for c in declared if c not in have)
+    type_changed = sorted(
+        c for c in declared
+        if c in have and have[c] != declared[c]
+    )
+    return {
+        "added": added,
+        "missing": missing,
+        "type_changed": [
+            {"column": c, "incoming": have[c], "declared": declared[c]}
+            for c in type_changed
+        ],
+        "drifted": bool(added or missing or type_changed),
+    }

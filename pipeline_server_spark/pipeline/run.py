@@ -93,9 +93,16 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
         config.data_quality.validate_file_header
         or config.data_quality.column_rules
         or config.data_quality.row_rule
+        or config.data_quality.js_row_rule
     )
     if has_dq:
         report = dq_mod.check(raw, config.data_quality, config.source.fields)
+
+    drift = None
+    if config.destination.fields:
+        from pipeline_server_spark.pipeline.conform import detect_schema_drift
+
+        drift = detect_schema_drift(raw, config.destination.fields, config.parity_mode)
 
     staged = transform(raw, config.transformation, config.destination.fields, config.parity_mode)
     staged = conform_to_schema(staged, config.destination.fields, config.parity_mode)
@@ -108,7 +115,8 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
     if config.destination.path is None:
         # dry-run/materialize-free mode: count only
         return RunResult(config.name, staged.count(), report,
-                         {"rejected_rows": rejected_rows})
+                         {"rejected_rows": rejected_rows,
+                          "schema_drift": drift})
 
     # rows-written metric via the Observation API: collected DURING the
     # write action — no second pass over the batch, and no re-scan of
@@ -139,7 +147,8 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
         version = table.commit(merged, dest.partition_by)
         return RunResult(
             config.name, int(obs.get["rows"]), report,
-            {"version": version, "rejected_rows": rejected_rows},
+            {"version": version, "rejected_rows": rejected_rows,
+             "schema_drift": drift},
         )
 
     if dest.write_mode == "merge":
@@ -147,4 +156,4 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
     else:
         write_append(staged, dest)
     return RunResult(config.name, int(obs.get["rows"]), report,
-                     {"rejected_rows": rejected_rows})
+                     {"rejected_rows": rejected_rows, "schema_drift": drift})

@@ -237,3 +237,47 @@ class TestRejections:
     def test_bad_completion_value(self):
         with pytest.raises(JsTranslationError, match="complete with a HashMap"):
             translate_transformation_script("a + 1;", ["a"])
+
+
+class TestTranslationProperties:
+    """Property test: random arithmetic/comparison scripts translate to
+    expressions that agree with direct Python evaluation."""
+
+    def test_random_arithmetic_scripts_agree_with_python(self, spark):
+        import hypothesis.strategies as st
+        from hypothesis import HealthCheck, given, settings
+
+        # leaf values chosen to keep float math exact (dyadic rationals)
+        leaves = st.sampled_from(["a", "b", "2.0", "0.5", "4.0", "8.0"])
+        ops = st.sampled_from(["+", "-", "*"])
+
+        @st.composite
+        def exprs(draw, depth=0):
+            if depth >= 3 or draw(st.booleans()):
+                return draw(leaves)
+            l = draw(exprs(depth=depth + 1))
+            r = draw(exprs(depth=depth + 1))
+            return f"({l} {draw(ops)} {r})"
+
+        df = spark.createDataFrame([(3.0, -1.5)], ["a", "b"])
+
+        @given(e=exprs())
+        @settings(max_examples=25, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def check(e):
+            from pipeline_server_spark.pipeline.js_shim import (
+                translate_transformation_script,
+            )
+
+            src = f"""
+            var HashMap = Java.type('java.util.HashMap');
+            var map = new HashMap();
+            map.put('out', {e});
+            map;
+            """
+            spec = translate_transformation_script(src, ["a", "b"])
+            got = df.select(spec.expressions["out"].alias("out")).collect()[0]["out"]
+            want = eval(e, {"a": 3.0, "b": -1.5})
+            assert float(got) == float(want), (e, got, want)
+
+        check()

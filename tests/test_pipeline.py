@@ -774,3 +774,66 @@ def test_run_dataset_quarantines_malformed_rows(spark, tmp_path):
     assert sorted(r["value"] for r in rejects.collect()) == [
         "2,notanumber", "oops,alsobad",
     ]
+
+
+def test_run_dataset_reports_schema_drift(spark, tmp_path):
+    """Added / missing / type-changed columns in an incoming batch are
+    reported in RunResult.details while conformance proceeds (drop /
+    null-fill / cast) as before."""
+    from pipeline_server_spark.pipeline.config import FileAttributes
+
+    p = tmp_path / "drift.csv"
+    p.write_text("id,amount,surprise\n1,10.5,x\n2,20.0,y\n")
+    config = DatasetConfig(
+        name="drift_csv",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"),
+                    SchemaField("amount", "string"),   # incoming parsed as string
+                    SchemaField("surprise", "string")),
+            file=FileAttributes(file_type="csv", header=True),
+        ),
+        destination=DestinationConfig(
+            fields=(SchemaField("id", "int"),
+                    SchemaField("amount", "double"),   # declared double
+                    SchemaField("expected_col", "string")),
+            path=str(tmp_path / "drift_out"),
+        ),
+    )
+    result = run_dataset(spark, config, str(p))
+    drift = result.details["schema_drift"]
+    assert drift["drifted"]
+    assert drift["added"] == ["surprise"]
+    assert drift["missing"] == ["expected_col"]
+    assert drift["type_changed"] == [
+        {"column": "amount", "incoming": "string", "declared": "double"}
+    ]
+    out = spark.read.parquet(config.destination.path)
+    assert set(out.columns) == {"id", "amount", "expected_col"}
+
+
+def test_run_dataset_js_dq_rule_runs_in_lifecycle(spark, tmp_path):
+    """A config whose ONLY DQ input is a Nashorn script must still run
+    the DQ stage (warning-level: load proceeds, report carries counts)."""
+    from pipeline_server_spark.pipeline.config import FileAttributes
+
+    p = tmp_path / "jsdq.csv"
+    p.write_text("symbol,qty\nAXN,1\nIBM,2\n")
+    config = DatasetConfig(
+        name="jsdq_csv",
+        source=SourceConfig(
+            fields=(SchemaField("symbol", "string"), SchemaField("qty", "int")),
+            file=FileAttributes(file_type="csv", header=True),
+        ),
+        data_quality=DataQualityConfig(
+            js_row_rule='var ret = null; if (symbol == "AXN") ret = "flagged"; ret;',
+        ),
+        destination=DestinationConfig(
+            fields=(SchemaField("symbol", "string"), SchemaField("qty", "int")),
+            path=str(tmp_path / "jsdq_out"),
+        ),
+    )
+    result = run_dataset(spark, config, str(p))
+    assert result.dq is not None
+    assert result.dq.rule_counts["js_row_rule"] == 1
+    assert result.dq.warning_count == 1
+    assert result.rows_written == 2  # warnings don't block the load
