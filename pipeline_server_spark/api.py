@@ -340,8 +340,15 @@ class PipelineApiServer:
         # the reference's S3-event → pipeline loop, collapsed to a
         # synchronous ingest of the landed file
         result = self.engine.ingest(dataset, raw_path)
-        return 200, {"filename": raw_name, "rows_written": result.rows_written,
-                     "pipeline_token": result.details.get("pipeline_token")}
+        out = {"filename": raw_name, "rows_written": result.rows_written,
+               "pipeline_token": result.details.get("pipeline_token")}
+        # surface the round-5 run details when present: snapshot
+        # version, dead-letter count, schema drift report
+        for k in ("version", "rejected_rows", "schema_drift"):
+            v = result.details.get(k)
+            if v:
+                out[k] = v
+        return 200, out
 
 
 def _make_handler(server: PipelineApiServer):

@@ -376,3 +376,29 @@ def test_change_feed_endpoint(spark, server):
 
     assert _code("/dataset/changes?name=api_cdf") == 400  # missing from=
     assert _code("/dataset/changes?name=nope&from=1") == 404
+
+
+def test_upload_response_surfaces_run_details(spark, server):
+    """Versioned uploads report the committed snapshot version in the
+    upload response itself (plus drift/dead-letter counts when set)."""
+    srv, tmp_path = server
+    cfg = DatasetConfig(
+        name="api_details",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_details"),
+            write_mode="merge",
+            key_fields=("id",),
+            versioned=True,
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+    status, out = _call(srv.port, "POST", "/dataset/upload?dataset=api_details",
+                        b"id,amount\n1,10.5\n")
+    assert status == 200 and out["version"] == 1
+    status, out = _call(srv.port, "POST", "/dataset/upload?dataset=api_details",
+                        b"id,amount\n2,20.0\n")
+    assert out["version"] == 2
