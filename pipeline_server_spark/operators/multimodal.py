@@ -306,3 +306,123 @@ def extract_audio_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
 
     return df.mapInPandas(_extract, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: sample-level audio features (real PCM parse, not just headers)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("energy_sumsq", T.LongType()),
+    ]
+)
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit 8 kHz square-wave WAV derived from the
+    doc id: n_frames = 100 + id%400, half-period = 1 + id%15 samples,
+    amplitude = 1000 + (id%100)*10. Every feature of the signal has a
+    closed form in doc_id, which is what makes a genuinely decoded
+    audio path checkable by a SQL oracle (the oracle recomputes the
+    features analytically; Spark recomputes them from the bytes)."""
+    import struct
+
+    import numpy as np
+
+    n = 100 + doc_id % 400
+    half = 1 + doc_id % 15
+    amp = 1000 + (doc_id % 100) * 10
+    i = np.arange(n)
+    samples = np.where((i // half) % 2 == 0, amp, -amp).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(payload: bytes) -> "tuple[int, object]":
+    """REAL stdlib PCM decode: returns (sample_rate, int16 numpy array)
+    for mono 16-bit WAV — the sample-level companion of
+    decode_wav_header (which only reads chunk metadata)."""
+    import struct
+
+    import numpy as np
+
+    n_ch, rate, bits, _ = decode_wav_header(payload)
+    if n_ch != 1 or bits != 16:
+        raise NotImplementedError(
+            f"sample decode supports mono 16-bit PCM; got {n_ch}ch/{bits}bit "
+            "(header-only metadata still available via decode_wav_header)"
+        )
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            raw = payload[pos + 8:pos + 8 + length]
+            return rate, np.frombuffer(raw, dtype="<i2")
+        pos += 8 + length + (length & 1)
+    raise ValueError("corrupt WAV: missing data chunk")
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Sample-level audio features through Arrow mapInPandas: peak
+    amplitude, zero-crossing count, and integer energy (sum of squared
+    samples) — the standard screening features a training-data audio
+    pipeline computes before expensive transcription. All-integer
+    outputs keep the cross-engine value-hash gate exact. Per-row cost
+    is O(n_samples) numpy; no shuffle, partition-preserving."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                rate, s = decode_wav_samples(rec["payload"])
+                s64 = s.astype("int64")
+                rows.append(
+                    {
+                        "doc_id": rec["doc_id"],
+                        "n_frames": len(s),
+                        "sample_rate": rate,
+                        "duration_ms": len(s) * 1000 // max(rate, 1),
+                        "peak": int(np.abs(s64).max()) if len(s) else 0,
+                        "zero_crossings": int(np.count_nonzero(s64[1:] * s64[:-1] < 0)),
+                        "energy_sumsq": int((s64 * s64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the deterministic WAV payload per row (mapInPandas so
+    the bytes are built executor-side, never collected)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synth_wav_payload(int(i)) for i in ids],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _synth, schema=MEDIA_SCHEMA
+    )

@@ -265,3 +265,107 @@ def supplier_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
         .limit(25)
     )
+
+
+@query(
+    "triangle_count_suppliers",
+    oracle="""
+    WITH pairs AS (
+      SELECT l1.l_orderkey AS ok, l1.l_suppkey AS u, l2.l_suppkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+    edges AS (
+      SELECT u, v FROM pairs GROUP BY u, v
+      HAVING COUNT(DISTINCT ok) >= 3),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
+      GROUP BY node),
+    dedges AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    tris AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM dedges e1
+      JOIN dedges e2 ON e2.src = e1.dst
+      JOIN dedges e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    SELECT node AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS node FROM tris
+          UNION ALL SELECT y FROM tris
+          UNION ALL SELECT z FROM tris) t
+    GROUP BY node ORDER BY n_triangles DESC, suppkey LIMIT 20
+    """,
+)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the supplier co-occurrence graph
+    (edge = two suppliers on >=3 shared orders) using the
+    DEGREE-ORIENTED enumeration: orient each undirected edge from its
+    lower-(degree, id) endpoint, then join wedge src->y, y->z against
+    src->z. Orientation bounds every node's out-degree by O(sqrt(m))
+    (graph degeneracy), so the wedge join is O(m^1.5) worst case
+    instead of sum(deg^2) — THE standard scale fix for triangle
+    listing on power-law graphs, where hub nodes would otherwise
+    explode the self-join. Each triangle is produced exactly once; the
+    per-node count unions the three vertex roles. All shuffles are
+    edge-table-sized; the degree table rides along via joins the
+    optimizer broadcasts (node count << edge count)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.countDistinct("a.l_orderkey").alias("n_ok"))
+        .where(F.col("n_ok") >= 3)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dedges = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2, e3 = dedges.alias("e1"), dedges.alias("e2"), dedges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
+        )
+    )
+    return (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .select(F.col("node").alias("suppkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "suppkey")
+        .limit(20)
+    )

