@@ -246,3 +246,140 @@ def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "o_orderkey")
     )
+
+
+_CMS_D = 3    # hash rows
+_CMS_W = 64   # buckets per row
+
+
+@query(
+    "countmin_word_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (
+      SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY w),
+    hashes AS (
+      SELECT w, c, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 12))::BIGINT
+               % {_CMS_W} AS b
+      FROM wc CROSS JOIN (VALUES (0), (1), (2)) AS js(j)),
+    counters AS (
+      SELECT j, b, SUM(c) AS cnt FROM hashes GROUP BY j, b),
+    est AS (
+      SELECT h.w, MIN(ct.cnt) AS cms
+      FROM hashes h JOIN counters ct ON ct.j = h.j AND ct.b = h.b
+      GROUP BY h.w)
+    SELECT wc.w AS word,
+           CAST(wc.c AS BIGINT) AS exact_count,
+           CAST(est.cms AS BIGINT) AS cms_estimate
+    FROM wc JOIN est ON wc.w = est.w
+    ORDER BY word
+    """,
+)
+def countmin_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=3, w=64) over the corpus word stream, built
+    and probed identically in both engines: bucket = low 48 bits of
+    md5(row_salt|word) mod w — Spark's conv(substr(md5)) and DuckDB's
+    hex-cast produce the same integers, so the sketch ESTIMATES (not
+    just the exact counts) are value-hash-comparable. The counter
+    matrix is d*w cells regardless of corpus size — the textbook
+    mergeable-summary shape: counters are additive, so per-partition
+    sketches combine map-side and the shuffle carries 192 cells. The
+    estimate join back is counter-table-sized (broadcast). CMS
+    guarantees estimate >= exact; the oracle checks the exact equality
+    of both columns."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    hashes = wc.crossJoin(F.broadcast(js)).select(
+        "w",
+        "c",
+        "j",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("w"))), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        ).alias("b"),
+    )
+    counters = hashes.groupBy("j", "b").agg(F.sum("c").alias("cnt"))
+    est = (
+        hashes.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("w")
+        .agg(F.min("cnt").alias("cms"))
+    )
+    return (
+        wc.join(est, "w")
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").cast("bigint").alias("exact_count"),
+            F.col("cms").cast("bigint").alias("cms_estimate"),
+        )
+        .orderBy("word")
+    )
+
+
+@query(
+    "twap_event_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_int,
+             epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events WHERE value IS NOT NULL),
+    agg AS (
+      SELECT user_id,
+             SUM(CAST(v_int * (next_us - t_us) AS DECIMAL(28,0))) AS num,
+             SUM(CAST(next_us - t_us AS DECIMAL(28,0))) AS den,
+             COUNT(*) AS n_intervals
+      FROM seq WHERE next_us IS NOT NULL GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_intervals AS BIGINT) AS n_intervals,
+           CAST(den AS BIGINT) AS total_us,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100 AS twap
+    FROM agg ORDER BY user_id
+    """,
+)
+def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per user — each observation weighted
+    by how long it was the live value (micros until the next event),
+    the fair-average for irregularly-sampled series that plain AVG
+    silently mis-weights. Numerator/denominator accumulate as exact
+    integer-cents x micros in DECIMAL (Spark bigint SUM would wrap at
+    warehouse scale; DuckDB promotes to int128 — the decimal cast
+    makes both engines exact AND overflow-safe), then one double
+    division. One window shuffle on user_id, one hash-agg reusing the
+    same partitioning (Catalyst elides the second exchange)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_int"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("t_us")
+    agg = seq.groupBy("user_id").agg(
+        F.sum((F.col("v_int") * dt).cast("decimal(28,0)")).alias("num"),
+        F.sum(dt.cast("decimal(28,0)")).alias("den"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            F.col("n_intervals").cast("bigint").alias("n_intervals"),
+            F.col("den").cast("bigint").alias("total_us"),
+            (F.col("num").cast("double") / F.col("den").cast("double") / 100).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

@@ -182,3 +182,81 @@ class TestPlanShapes:
         # not 12 separate sorts
         assert plan.count("Window") <= 2  # Window node (+ sort inside)
         assert "pythonUDF" not in plan.lower()
+
+
+class TestSketchAndTwap:
+    def test_cms_overestimates_only(self, spark):
+        """CMS invariant: estimate >= exact for every item."""
+        from pipeline_server_spark.queries.statistics import countmin_word_counts
+
+        rows = countmin_word_counts(spark, SF_DIR).collect()
+        assert rows
+        assert all(r.cms_estimate >= r.exact_count for r in rows)
+        # with only ~30 distinct words over 192 counters most buckets
+        # are collision-free: the majority must be exact
+        exact = sum(1 for r in rows if r.cms_estimate == r.exact_count)
+        assert exact >= len(rows) // 2
+
+    def test_cms_counter_matrix_is_constant_size(self, spark):
+        """The sketch the shuffle carries is d*w cells, not corpus-sized."""
+        from pipeline_server_spark.queries import statistics as S
+
+        assert S._CMS_D * S._CMS_W == 192
+
+    def test_twap_bounds(self, spark):
+        """TWAP lies within [min, max] of the user's values."""
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.queries.statistics import twap_event_value
+
+        twap = twap_event_value(spark, SF_DIR)
+        bounds = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .where(F.col("value").isNotNull())
+            .groupBy("user_id")
+            .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        )
+        joined = twap.join(bounds, "user_id").collect()
+        assert joined
+        for r in joined:
+            assert r.vmin - 0.01 <= r.twap <= r.vmax + 0.01
+
+
+class TestRuntimeBloomFilter:
+    def test_bloom_filter_injected_for_selective_shuffle_join(self, spark):
+        """At warehouse scale a selective dim filter should prune the
+        fact scan via Spark's runtime Bloom filter (row-group level
+        semi-join reduction). Local test data is below every default
+        threshold, so thresholds are pinned to force the code path and
+        assert the engine configuration supports it — the conf knobs
+        session.py documents for cluster deployments."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("l_returnflag")
+                .count()
+            )
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan
+            assert "bloom_filter_agg" in plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
