@@ -746,8 +746,10 @@ def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the gram join is the cost; the document-frequency
     band (2 ≤ df ≤ 20) drops both singleton grams (no pair) and
-    boilerplate hot grams (join blowup), the standard cutoff — at
-    100 TB you'd also hash grams to 8 bytes before the shuffle. The
+    boilerplate hot grams (join blowup), the standard cutoff — and
+    grams are xxhash64-collapsed to 8 bytes right after the explode,
+    so every downstream shuffle (df count + both join sides) carries
+    a fixed-width key instead of a ~50-byte token string. The
     diagonal trick turns substring matching into two grouped
     aggregations; no per-pair alignment UDF."""
     d = load_table(spark, sf_dir, "documents")
@@ -758,7 +760,7 @@ def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice("_t", i, 8)),
     )
     g0 = base.select("doc_id", F.posexplode(grams).alias("p0", "gram")).select(
-        "doc_id", (F.col("p0") + 1).alias("pos"), "gram"
+        "doc_id", (F.col("p0") + 1).alias("pos"), F.xxhash64("gram").alias("gram")
     )
     df_band = (
         g0.groupBy("gram")

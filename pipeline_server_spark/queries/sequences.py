@@ -513,3 +513,54 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+@query(
+    "scd2_as_of_lookup",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM seq
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+    iv AS (
+      SELECT o_custkey, o_orderstatus, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS version
+      FROM changes)
+    SELECT o_custkey, o_orderstatus AS status_as_of, CAST(version AS INT) AS version
+    FROM iv
+    WHERE valid_from <= TIMESTAMP '1996-06-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-15 00:00:00')
+    ORDER BY o_custkey
+    """,
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) read over the SCD Type-2 dimension: the
+    one interval per entity that covers the pivot instant
+    (valid_from <= t < valid_to, open interval = current). Reuses the
+    scd2_customer_status_history build verbatim — the warehouse
+    pattern where the dimension is maintained once and every
+    historical report filters it — so the plan is the same single
+    entity-key shuffle plus a pruned filter; customers whose history
+    starts after the pivot are correctly absent."""
+    pivot = F.lit("1996-06-15 00:00:00").cast("timestamp")
+    hist = scd2_customer_status_history(spark, sf_dir)
+    return (
+        hist.where(
+            (F.col("valid_from") <= pivot)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > pivot))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status_as_of"),
+            "version",
+        )
+        .orderBy("o_custkey")
+    )

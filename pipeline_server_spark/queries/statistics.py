@@ -383,3 +383,46 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "histogram2d_qty_price",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS qbin,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 1000000 AS pbin
+      FROM lineitem)
+    SELECT qbin, pbin,
+           CAST(qbin * 5 + 1 AS BIGINT)  AS qty_lo,
+           CAST(pbin * 10000 AS BIGINT)  AS price_lo,
+           CAST(COUNT(*) AS BIGINT)      AS n
+    FROM b GROUP BY qbin, pbin ORDER BY qbin, pbin
+    """,
+)
+def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D equi-width histogram (quantity x price heatmap) — the
+    binned-aggregation shape behind density plots and bin-packed
+    re-partitioning decisions. Bin ids come from exact integer
+    arithmetic (cents // 10^6, never double floor-division, whose
+    boundary cells would disagree across engines); one map-side
+    combinable shuffle on the ~100 (qbin, pbin) cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.col("l_quantity").cast("bigint") - 1).alias("_q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_c"),
+    ).select(
+        F.expr("_q div 5").alias("qbin"),
+        F.expr("_c div 1000000").alias("pbin"),
+    )
+    return (
+        b.groupBy("qbin", "pbin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "qbin",
+            "pbin",
+            (F.col("qbin") * 5 + 1).cast("bigint").alias("qty_lo"),
+            (F.col("pbin") * 10000).cast("bigint").alias("price_lo"),
+            "n",
+        )
+        .orderBy("qbin", "pbin")
+    )

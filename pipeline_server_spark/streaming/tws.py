@@ -1,0 +1,177 @@
+"""transformWithStateInPandas operators — Spark 4's successor to
+applyInPandasWithState (SPARK-40434 -> SPARK-46815 state v2): typed
+state variables (ValueState / ListState / MapState) with per-entry
+TTL, instead of one opaque state tuple per key.
+
+Two canonical operators a CDC/training-data pipeline needs beyond the
+applyInPandasWithState set in streaming/stateful.py:
+
+- ``streaming_dedup_ttl``: cross-batch exact dedup whose per-key
+  memory EXPIRES — the unbounded-state fix for the dedup operator at
+  100 TB / infinite-retention streams. State is one ValueState per
+  content key with a TTL; RocksDB (on a cluster) evicts expired
+  entries instead of growing forever.
+- ``streaming_topk_per_key``: keeps the top-k values per key across
+  micro-batches in a bounded ListState and re-emits the current top-k
+  on every update — the streaming twin of the batch TakeOrdered.
+
+Both shard state by key hash exactly like the batch dedup family, so
+skewed keys spread across the state store's partitions.
+
+ENVIRONMENT GATE: the TWS Python worker speaks protobuf to the JVM
+state server (pyspark/sql/streaming/proto/StateMessage_pb2), so the
+``google.protobuf`` package must be importable on driver and
+executors. This container ships pyspark without protobuf, so
+``tws_available()`` reports False here and the streaming tests skip;
+on a real cluster ``pip install protobuf`` is the only step. The
+applyInPandasWithState operators in streaming/stateful.py cover the
+same semantics (minus TTL) with no extra dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run: the
+    state-server protocol needs google.protobuf at runtime."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("content_key", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+
+class _DedupTTLProcessor(StatefulProcessor):
+    """First-writer-wins per content key; seen-marker expires after
+    ``ttl_ms`` so the state store stays bounded on endless streams."""
+
+    def __init__(self, ttl_ms: int):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen",
+            T.StructType([T.StructField("marker", T.IntegerType())]),
+            ttlDurationMs=self._ttl_ms,
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return
+        first = None
+        for pdf in rows:
+            if len(pdf):
+                row = pdf.iloc[0]
+                first = (int(row["content_key"]), int(row["doc_id"]))
+                break
+        if first is None:
+            return
+        self._seen.update((1,))
+        yield pd.DataFrame({"content_key": [first[0]], "doc_id": [first[1]]})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_dedup_ttl(
+    stream: DataFrame,
+    ttl_ms: int = 24 * 3600 * 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact streaming dedup with expiring memory: emit the first
+    arrival of each content hash; forget keys not re-seen within
+    ``ttl_ms`` (event re-admitted after expiry — the deliberate
+    trade that keeps state bounded). Content is xxhash64-keyed like
+    the batch dedup family (operators/dedup.py), so the state shuffle
+    key is 8 bytes and uniform."""
+    keyed = stream.select(
+        F.xxhash64(F.col(text_col)).alias("content_key"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    return keyed.groupBy("content_key").transformWithStateInPandas(
+        statefulProcessor=_DedupTTLProcessor(ttl_ms),
+        outputStructType=DEDUP_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+
+
+TOPK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class _TopKProcessor(StatefulProcessor):
+    """Bounded ListState: merge each batch's values into the stored
+    top-k (k floats per key — O(k) state regardless of stream length),
+    emit the refreshed ranking for keys touched this batch."""
+
+    def __init__(self, k: int):
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._top = handle.getListState(
+            "topk", T.StructType([T.StructField("v", T.DoubleType())])
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        current = [float(t[0]) for t in self._top.get()]
+        fresh: list[float] = []
+        for pdf in rows:
+            fresh.extend(float(v) for v in pdf["value"].dropna())
+        if not fresh:
+            return
+        merged = sorted(current + fresh, reverse=True)[: self._k]
+        self._top.put([(v,) for v in merged])
+        uid = int(key[0])
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(merged),
+                "rank": list(range(1, len(merged) + 1)),
+                "value": merged,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_topk_per_key(stream: DataFrame, k: int = 3) -> DataFrame:
+    """Cross-batch top-k values per user: ListState holds exactly k
+    doubles per key; every micro-batch that touches a key re-emits its
+    refreshed ranking (downstream sinks upsert on (user_id, rank))."""
+    keyed = stream.select(F.col("user_id").cast("long").alias("user_id"), "value")
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TopKProcessor(k),
+        outputStructType=TOPK_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

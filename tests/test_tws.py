@@ -1,0 +1,157 @@
+"""transformWithStateInPandas operators (Spark 4 state-v2 API).
+
+The real streaming queries need google.protobuf (the TWS Python
+worker's wire protocol), which this container lacks — those tests
+skip with the same gate the operator exposes (tws_available()). The
+processor LOGIC (merge/dedup/emit semantics) is still fully tested
+here against fake state handles, so only the wire plumbing rides on
+the gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.streaming.tws import (
+    _DedupTTLProcessor,
+    _TopKProcessor,
+    streaming_dedup_ttl,
+    streaming_topk_per_key,
+    tws_available,
+)
+from tests.conftest import SF_SMALL
+
+needs_tws = pytest.mark.skipif(
+    not tws_available(),
+    reason="google.protobuf not installed (TWS state-server protocol)",
+)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeListState:
+    def __init__(self):
+        self._items: list = []
+
+    def get(self):
+        return iter(self._items)
+
+    def put(self, items):
+        self._items = list(items)
+
+
+class TestProcessorLogic:
+    def test_dedup_first_writer_wins_then_suppresses(self):
+        p = _DedupTTLProcessor(ttl_ms=1000)
+        p._seen = _FakeValueState()
+        batch = pd.DataFrame({"content_key": [7, 7], "doc_id": [10, 11]})
+        out = list(p.handleInputRows((7,), iter([batch]), None))
+        assert len(out) == 1
+        assert out[0].iloc[0]["doc_id"] == 10
+        # second batch for the same key: state suppresses
+        again = list(p.handleInputRows((7,), iter([batch]), None))
+        assert again == []
+
+    def test_topk_merges_across_batches_bounded(self):
+        p = _TopKProcessor(k=3)
+        p._top = _FakeListState()
+        b1 = pd.DataFrame({"value": [5.0, 1.0, 3.0]})
+        out1 = list(p.handleInputRows((42,), iter([b1]), None))[0]
+        assert list(out1["value"]) == [5.0, 3.0, 1.0]
+        b2 = pd.DataFrame({"value": [4.0, 0.5]})
+        out2 = list(p.handleInputRows((42,), iter([b2]), None))[0]
+        # merged with stored state, still capped at k=3
+        assert list(out2["value"]) == [5.0, 4.0, 3.0]
+        assert list(out2["rank"]) == [1, 2, 3]
+        assert len(p._top._items) == 3
+
+    def test_topk_empty_batch_emits_nothing(self):
+        p = _TopKProcessor(k=3)
+        p._top = _FakeListState()
+        empty = pd.DataFrame({"value": pd.Series([], dtype="float64")})
+        assert list(p.handleInputRows((1,), iter([empty]), None)) == []
+
+
+@needs_tws
+class TestStreamingEndToEnd:
+    def _drain(self, q):
+        q.awaitTermination(180)
+
+    def test_tws_dedup_drops_cross_batch_duplicates(self, spark, tmp_path):
+        docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(80)
+        src = tmp_path / "src"
+        src.mkdir()
+        docs.where(F.col("doc_id") < 40).coalesce(1).write.parquet(str(src / "b1"))
+        docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 60)).withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        ).coalesce(1).write.parquet(str(src / "b2"))
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_dedup_ttl(stream, ttl_ms=3600 * 1000)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        self._drain(q)
+        rows = spark.sql("SELECT content_key, doc_id FROM tws_dedup_out").collect()
+        assert len(rows) == 60
+        emitted = {r.doc_id for r in rows}
+        assert not any(1020 <= d < 1040 for d in emitted)
+
+    def test_tws_topk(self, spark, tmp_path):
+        events = (
+            load_table(spark, SF_SMALL, "events")
+            .select("user_id", "value")
+            .where(F.col("value").isNotNull() & (F.col("user_id") < 10))
+        )
+        src = tmp_path / "esrc"
+        src.mkdir()
+        events.coalesce(1).write.parquet(str(src / "all"))
+        stream = spark.readStream.schema(events.schema).parquet(str(src / "*"))
+        q = (
+            streaming_topk_per_key(stream, k=3)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_topk_out")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        self._drain(q)
+        got = {
+            (r.user_id, r.rank): r.value
+            for r in spark.sql("SELECT * FROM tws_topk_out").collect()
+        }
+        expected = (
+            events.groupBy("user_id")
+            .agg(F.sort_array(F.collect_list("value"), asc=False).alias("vs"))
+            .select("user_id", F.slice("vs", 1, 3).alias("top3"))
+            .collect()
+        )
+        assert expected
+        for row in expected:
+            for i, v in enumerate(row.top3, start=1):
+                assert got[(row.user_id, i)] == v
