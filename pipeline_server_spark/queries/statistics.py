@@ -426,3 +426,274 @@ def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qbin", "pbin")
     )
+
+
+@query(
+    "modal_event_type_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY n DESC, event_type) AS rk
+      FROM c)
+    SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+    FROM r WHERE rk = 1 ORDER BY user_id
+    """,
+)
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate (most frequent value per key) with a total-order
+    tie-break (higher count, then lexicographic) — the deterministic
+    version of SQL's ANY-tie `mode()`. Count shuffle on the composite
+    key, then a per-user WindowGroupLimit keeps only rank 1 — no
+    second full sort of the counts."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"),
+                F.col("n").cast("bigint").alias("n"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "activity_bitmap_stats",
+    oracle="""
+    SELECT user_id,
+           BIT_OR(CAST(1 AS BIGINT) << (CAST(EXTRACT(day FROM ts) AS INT) - 1))
+             AS dom_mask,
+           BIT_COUNT(BIT_OR(CAST(1 AS BIGINT) << (CAST(EXTRACT(day FROM ts) AS INT) - 1)))
+             AS n_active_dom,
+           BIT_OR(CAST(1 AS BIGINT) << (CAST(EXTRACT(month FROM ts) AS INT) - 1))
+             AS month_mask,
+           BIT_COUNT(BIT_OR(CAST(1 AS BIGINT) << (CAST(EXTRACT(month FROM ts) AS INT) - 1)))
+             AS n_active_months
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap distinct counting — the roaring-bitmap primitive OLAP
+    engines use for cheap distinct-buckets: each user's active
+    days-of-month and months fold into single bigint masks via BIT_OR
+    (associative + commutative = map-side combinable; the shuffle
+    carries ONE integer per user per mask where COUNT(DISTINCT day)
+    would carry a set), then BIT_COUNT reads the cardinality out of
+    the mask. Exact integers end to end."""
+    e = load_table(spark, sf_dir, "events")
+    # F.shiftleft only takes a literal shift; the per-row shift needs expr
+    dom_bit = F.expr("shiftleft(cast(1 as bigint), day(ts) - 1)")
+    mon_bit = F.expr("shiftleft(cast(1 as bigint), month(ts) - 1)")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.bit_or(dom_bit).alias("dom_mask"),
+            F.bit_count(F.bit_or(dom_bit)).cast("int").alias("n_active_dom"),
+            F.bit_or(mon_bit).alias("month_mask"),
+            F.bit_count(F.bit_or(mon_bit)).cast("int").alias("n_active_months"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "order_total_reconciliation",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS line_cents
+      FROM lineitem GROUP BY l_orderkey),
+    d AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+             s.line_cents,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) - s.line_cents AS delta
+      FROM orders o JOIN s ON o.o_orderkey = s.l_orderkey),
+    b AS (
+      SELECT CASE WHEN ABS(delta) * 100 <= total_cents THEN 'within_1pct'
+                  WHEN delta > 0 THEN 'header_over'
+                  ELSE 'header_under' END AS bucket,
+             delta
+      FROM d)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ABS(delta)) AS BIGINT) AS total_abs_delta_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation — the financial-close DQ check:
+    compare each order's header total against the sum of its line
+    prices in EXACT cents and bucket the discrepancy (within 1%,
+    header over, header under; the 1% test is integer arithmetic, no
+    float ratios). One lineitem shuffle on the order key; the header
+    join rides the same key. Magnitudes (sum of |delta| cents) ship
+    with the counts so downstream alerting can threshold on exposure,
+    not just row counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("line_cents")
+    )
+    d = o.join(s, o["o_orderkey"] == s["l_orderkey"]).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+        "line_cents",
+    ).withColumn("delta", F.col("total_cents") - F.col("line_cents"))
+    b = d.select(
+        F.when(F.abs(F.col("delta")) * 100 <= F.col("total_cents"), F.lit("within_1pct"))
+        .when(F.col("delta") > 0, F.lit("header_over"))
+        .otherwise(F.lit("header_under"))
+        .alias("bucket"),
+        "delta",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.abs(F.col("delta"))).cast("bigint").alias("total_abs_delta_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_DBSCAN_N = 1000       # bounded node set (oracle is the exact O(n^2) pass)
+_DBSCAN_Q = 1000       # quantization: component -> round(x * 1000)
+_DBSCAN_MINPTS = 2     # neighbors (excluding self) required for core
+
+
+@query(
+    "dbscan_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x * {_DBSCAN_Q}) AS BIGINT)) AS vq
+      FROM embeddings WHERE vec_id < {_DBSCAN_N}),
+    n AS (
+      SELECT vec_id, CAST(list_dot_product(vq, vq) AS BIGINT) AS nq FROM e),
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(list_dot_product(a.vq, b.vq) AS BIGINT) AS dot
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    edges0 AS (
+      SELECT va, vb FROM dots
+      JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+      WHERE dot > 0 AND 25 * dot * dot >= 4 * na.nq * nb.nq),
+    und AS (
+      SELECT va AS s, vb AS d FROM edges0
+      UNION ALL SELECT vb, va FROM edges0),
+    deg AS (SELECT s AS node, COUNT(*) AS dg FROM und GROUP BY s),
+    core AS (SELECT node FROM deg WHERE dg >= {_DBSCAN_MINPTS}),
+    cedges AS (
+      SELECT u.s, u.d FROM und u
+      JOIN core c1 ON c1.node = u.s JOIN core c2 ON c2.node = u.d),
+    reach AS (
+      SELECT node AS node, node AS r FROM core
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN cedges e ON e.s = reach.r),
+    clusters AS (
+      SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    border AS (
+      SELECT u.s AS node, MIN(c.cluster_id) AS cluster_id
+      FROM und u JOIN clusters c ON c.node = u.d
+      WHERE u.s NOT IN (SELECT node FROM core)
+      GROUP BY u.s)
+    SELECT e.vec_id,
+           CASE WHEN cl.node IS NOT NULL THEN 'core'
+                WHEN bo.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.cluster_id, bo.cluster_id) AS cluster_id
+    FROM e
+    LEFT JOIN clusters cl ON cl.node = e.vec_id
+    LEFT JOIN border  bo ON bo.node = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over embeddings (eps = cosine 0.4,
+    minPts = 2 neighbors excluding self): core points cluster by
+    connected components over core-core eps-edges (min-label ids),
+    border points attach to their smallest-labelled core neighbor,
+    the rest is noise. The eps test is EXACT integer arithmetic on
+    milli-quantized vectors (dot > 0 and 25*dot^2 >= 4*|a|^2*|b|^2
+    <=> cos >= 0.4) — a float threshold would flip boundary pairs
+    between engines. Pair generation here is the exact
+    dimension-index equi-join over a BOUNDED node set (the oracle is
+    the O(n^2) referee); the 100 TB path swaps it for the LSH-bucketed
+    candidate join (operators/similarity.py) feeding the same
+    core/border/noise classifier, and component labels come from the
+    pointer-doubling CC operator (O(log d) rounds)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _DBSCAN_N)
+    eq = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _DBSCAN_Q).cast("bigint"),
+        ).alias("vq"),
+    )
+    norms = eq.select(
+        "vec_id",
+        F.aggregate("vq", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x).alias("nq"),
+    )
+    comp = eq.select("vec_id", F.posexplode("vq").alias("i", "x"))
+    ca = comp.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
+    cb = comp.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
+    dots = (
+        ca.join(cb, (ca["i"] == cb["i"]) & (ca["va"] < cb["vb"]))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nq").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nq").alias("nb"))
+    edges0 = (
+        dots.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .where((F.col("dot") > 0)
+               & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("na") * F.col("nb")))
+        .select("va", "vb")
+    )
+    und = edges0.select(F.col("va").alias("s"), F.col("vb").alias("d")).unionAll(
+        edges0.select(F.col("vb").alias("s"), F.col("va").alias("d"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    core = deg.where(F.col("dg") >= _DBSCAN_MINPTS).select(F.col("s").alias("node"))
+    cedges = (
+        und.join(core.select(F.col("node").alias("s")), "s")
+        .join(core.select(F.col("node").alias("d")), "d")
+        .select(F.col("s").alias("doc_a"), F.col("d").alias("doc_b"))
+    )
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    # CC labels only nodes that appear in an edge; a core with no
+    # core neighbor is its own singleton cluster (the oracle seeds
+    # every core into the closure) — coalesce fills those.
+    cc = connected_components(cedges).select("node", "cluster_id")
+    clusters = (
+        core.join(cc, "node", "left")
+        .select("node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"))
+    )
+    border = (
+        und.join(clusters.select(F.col("node").alias("d"), "cluster_id"), "d")
+        .join(core.select(F.col("node").alias("s")), "s", "left_anti")
+        .groupBy("s")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+        .select(F.col("s").alias("node"), "b_cluster")
+    )
+    return (
+        eq.select("vec_id")
+        .join(clusters.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .join(border.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("cluster_id").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("cluster_id"), F.col("b_cluster")).alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )

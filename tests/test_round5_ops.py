@@ -260,3 +260,73 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestModeBitmapReconDbscan:
+    def test_mode_matches_pandas(self, spark):
+        from pipeline_server_spark.queries.statistics import modal_event_type_per_user
+
+        got = {r.user_id: (r.modal_type, r.n) for r in
+               modal_event_type_per_user(spark, SF_DIR).collect()}
+        pdf = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("user_id", "event_type")
+            .toPandas()
+        )
+        for uid, grp in pdf.groupby("user_id"):
+            counts = grp.event_type.value_counts()
+            top = counts.max()
+            # deterministic tie-break: lexicographically smallest
+            expect = min(t for t, c in counts.items() if c == top)
+            assert got[uid] == (expect, top)
+
+    def test_bitmap_counts_equal_distinct(self, spark):
+        """bit_count(mask) must equal COUNT(DISTINCT day-of-month)."""
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.queries.statistics import activity_bitmap_stats
+
+        got = {r.user_id: r.n_active_dom for r in
+               activity_bitmap_stats(spark, SF_DIR).collect()}
+        exact = {
+            r.user_id: r.d
+            for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.countDistinct(F.dayofmonth("ts")).alias("d"))
+            .collect()
+        }
+        assert got == exact
+
+    def test_reconciliation_buckets_partition_orders(self, spark):
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.queries.statistics import order_total_reconciliation
+
+        rows = order_total_reconciliation(spark, SF_DIR).collect()
+        n_orders_with_lines = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_orderkey").distinct()
+            .join(
+                spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert sum(r.n_orders for r in rows) == n_orders_with_lines
+        assert all(r.total_abs_delta_cents >= 0 for r in rows)
+
+    def test_dbscan_roles_consistent(self, spark):
+        from pipeline_server_spark.queries.statistics import dbscan_embedding_clusters
+
+        rows = dbscan_embedding_clusters(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            if r.role == "noise":
+                assert r.cluster_id is None
+            else:
+                assert r.cluster_id is not None
+        # every cluster label is one of its member core ids
+        cores = {r.vec_id for r in rows if r.role == "core"}
+        for r in rows:
+            if r.cluster_id is not None:
+                assert r.cluster_id in cores
