@@ -296,8 +296,11 @@ def countmin_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
-    hashes = wc.crossJoin(F.broadcast(js)).select(
+    # row-salt fan-out is a map-side literal-array explode (x3 rows),
+    # not a cross join — no join operator at all
+    hashes = wc.select(
+        "w", "c", F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    ).select(
         "w",
         "c",
         "j",
@@ -696,4 +699,43 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cluster_id"), F.col("b_cluster")).alias("cluster_id"),
         )
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "table_content_fingerprints",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 12))::BIGINT)
+                AS BIGINT) AS fingerprint
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy content fingerprint per partition-of-interest: the
+    SUM of a per-row content hash (low 48 bits of md5(id|text)) is
+    ORDER-INDEPENDENT and mergeable, so two replicas — or a table
+    before/after a migration — compare with one tiny aggregate each
+    and no sort, the Merkle-style replica check replication systems
+    run. 48-bit row hashes keep the bigint sum exact (10^7 rows x
+    2^48 < 2^63 — no modular wraparound to reason about), and md5 is
+    computed identically by both engines, so the fingerprints
+    themselves hash-match. Map-side combinable; shuffle carries one
+    (count, sum) pair per source."""
+    d = load_table(spark, sf_dir, "documents")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(row_hash).alias("fingerprint"),
+        )
+        .orderBy("source")
     )
