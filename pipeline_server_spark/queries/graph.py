@@ -267,6 +267,28 @@ def supplier_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+
+def _supplier_cooccurrence_edges(spark: SparkSession, sf_dir: str,
+                                 min_orders: int = 3) -> DataFrame:
+    """Undirected supplier co-occurrence edge list (u < v, suppliers
+    sharing >= min_orders distinct orders) — the common base graph of
+    the triangle and BFS queries. One lineitem self-join per order key
+    (fan-out bounded by lines-per-order) and one pair-key count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.countDistinct("a.l_orderkey").alias("n_ok"))
+        .where(F.col("n_ok") >= min_orders)
+        .select("u", "v")
+    )
+
+
 @query(
     "triangle_count_suppliers",
     oracle="""
@@ -314,19 +336,7 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node count unions the three vertex roles. All shuffles are
     edge-table-sized; the degree table rides along via joins the
     optimizer broadcasts (node count << edge count)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .agg(F.countDistinct("a.l_orderkey").alias("n_ok"))
-        .where(F.col("n_ok") >= 3)
-        .select("u", "v")
-    )
+    edges = _supplier_cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -368,4 +378,71 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("suppkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), "suppkey")
         .limit(20)
+    )
+
+
+_BFS_MAX_HOPS = 4
+
+
+@query(
+    "supplier_reach_hops",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT l1.l_orderkey AS ok, l1.l_suppkey AS u, l2.l_suppkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+    edges0 AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(DISTINCT ok) >= 3),
+    edges AS (
+      SELECT u AS s, v AS d FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    src AS (SELECT MIN(s) AS s0 FROM edges),
+    walk AS (
+      SELECT s0 AS node, 0 AS dist FROM src
+      UNION
+      SELECT e.d, w.dist + 1
+      FROM walk w JOIN edges e ON e.s = w.node
+      WHERE w.dist < {_BFS_MAX_HOPS})
+    SELECT node AS suppkey, CAST(MIN(dist) AS INT) AS hops
+    FROM walk GROUP BY node ORDER BY suppkey
+    """,
+)
+def supplier_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (single-source shortest hop distance, <= 4
+    hops) over the supplier co-occurrence graph, source = smallest
+    supplier in the edge set. The iterative shape every graph
+    traversal at scale uses: a FRONTIER table joined against the edge
+    list per round, min-distance dedupe, stop at the hop bound — each
+    round is one graph-sized equi-join shuffle, frontier never leaves
+    the cluster (the convergence aggregate is a bounded scalar, and
+    the loop count here is a constant, so there is no driver
+    round-trip at all). Oracle replays the same walk as a bounded
+    recursive CTE. The hop bound is the API contract (k-hop
+    neighborhood), not a convergence heuristic."""
+    edges0 = _supplier_cooccurrence_edges(spark, sf_dir)
+    edges = (
+        edges0.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(edges0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint(eager=True)  # edge list reused every round
+    )
+    src = edges.agg(F.min("s").alias("node")).select("node", F.lit(0).alias("dist"))
+    dist = src
+    frontier = src
+    for k in range(_BFS_MAX_HOPS):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["s"])
+            .select(F.col("d").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # true BFS frontier: only nodes first reached this round expand
+        # next round (re-expanding settled nodes would be |V| joins per
+        # round instead of |frontier|)
+        frontier = dist.where(F.col("dist") == k + 1)
+    return (
+        dist.select(F.col("node").alias("suppkey"), F.col("dist").cast("int").alias("hops"))
+        .orderBy("suppkey")
     )

@@ -739,3 +739,59 @@ def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "trimmed_mean_prices",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    kept AS (
+      SELECT l_returnflag, cents, n
+      FROM r WHERE rk > n // 10 AND rk <= n - n // 10)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100 AS trimmed_mean
+    FROM kept GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean per group — the robust location estimate that
+    survives the fat tails plain AVG is hostage to: rank within the
+    group (total order: price, then key columns, so the cut points
+    are deterministic), drop the bottom and top n//10 rows, average
+    the rest in exact integer cents with one final double division.
+    One shuffle on the group key serves rank + count; the trim is a
+    stateless filter on the ranked stream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rk") > F.expr("n div 10")) & (F.col("rk") <= F.col("n") - F.expr("n div 10"))
+    )
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (
+                F.sum("cents").cast("bigint").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

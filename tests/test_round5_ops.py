@@ -330,3 +330,40 @@ class TestModeBitmapReconDbscan:
         for r in rows:
             if r.cluster_id is not None:
                 assert r.cluster_id in cores
+
+
+class TestBfsAndTrimmedMean:
+    def test_bfs_source_zero_and_triangle_inequality(self, spark):
+        from pipeline_server_spark.queries.graph import supplier_reach_hops
+
+        rows = supplier_reach_hops(spark, SF_DIR).collect()
+        assert rows
+        by_hops = {}
+        for r in rows:
+            by_hops.setdefault(r.hops, []).append(r.suppkey)
+        # exactly one source at distance 0, and it is the min suppkey
+        assert len(by_hops[0]) == 1
+        assert by_hops[0][0] == min(r.suppkey for r in rows)
+        # hop levels are contiguous from 0
+        assert sorted(by_hops) == list(range(len(by_hops)))
+
+    def test_trimmed_mean_between_min_and_mean_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.queries.statistics import trimmed_mean_prices
+
+        got = {r.l_returnflag: r for r in trimmed_mean_prices(spark, SF_DIR).collect()}
+        stats = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("percentile(l_extendedprice, 0.1)").alias("p10"),
+                F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            )
+            .collect()
+        )
+        for s in stats:
+            r = got[s.l_returnflag]
+            assert s.n - 2 * (s.n // 10) == r.n_kept
+            assert s.p10 - 1 <= r.trimmed_mean <= s.p90 + 1
