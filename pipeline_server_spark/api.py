@@ -344,9 +344,12 @@ class PipelineApiServer:
                "pipeline_token": result.details.get("pipeline_token")}
         # surface the round-5 run details when present: snapshot
         # version, dead-letter count, schema drift report
+        # `is not None`, not truthiness: rejected_rows == 0 means
+        # "quarantine ran, zero rejects" and must stay visible (absent
+        # means quarantine wasn't configured).
         for k in ("version", "rejected_rows", "schema_drift"):
             v = result.details.get(k)
-            if v:
+            if v is not None:
                 out[k] = v
         return 200, out
 

@@ -160,7 +160,8 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     )
 
 
-def build_skipping_index(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
+                         schema=None) -> DataFrame:
     """File-level data-skipping index (the Delta/Iceberg stats-table
     idea): one row per parquet data file with per-column min/max read
     from its footer. Pair with :func:`write_zordered` — Z-ordered files
@@ -175,7 +176,9 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str]) -> Dat
     table and loading at plan time.
 
     Output schema: file string, n_rows bigint, then ``<col>_min`` /
-    ``<col>_max`` typed as the source columns.
+    ``<col>_max`` typed as the source columns. Pass ``schema`` (the
+    table's StructType) to make the zero-data-file case well-defined —
+    an empty index with correct types instead of a failed footer read.
     """
     import os
     from collections.abc import Iterator
@@ -183,7 +186,6 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str]) -> Dat
     import pandas as pd
     from pyspark.sql import types as T
 
-    sample = spark.read.parquet(path).select(*cols).schema
     files = []
     for root, dirs, names in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -192,6 +194,10 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str]) -> Dat
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     files.sort()
+    if schema is not None:
+        sample = T.StructType([schema[c] for c in cols])
+    else:
+        sample = spark.read.parquet(path).select(*cols).schema
     out_fields = [T.StructField("file", T.StringType()),
                   T.StructField("n_rows", T.LongType())]
     for f_ in sample.fields:
@@ -222,6 +228,11 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str]) -> Dat
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
 
+    if not files:
+        # zero data files (fresh/empty table): an empty index, not a
+        # crash — createDataFrame([]) can't infer and repartition(0)
+        # is invalid.
+        return spark.createDataFrame([], schema=out_schema)
     flist = spark.createDataFrame([(f,) for f in files], ["file"])
     return flist.repartition(min(len(files), 64)).mapInPandas(_stats, schema=out_schema)
 

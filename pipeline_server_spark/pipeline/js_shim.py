@@ -398,6 +398,23 @@ class _Interp:
         while self.peek().text in ("==", "===", "!=", "!==", "<", "<=", ">", ">="):
             op = self.next().text
             right = self.add_expr()
+            # JS null comparisons are NULL CHECKS, not SQL's
+            # null-propagating ``=``: Nashorn's ``x == null`` is true
+            # iff x is null/undefined (and ``!=`` the negation), while
+            # Spark's ``col == lit(None)`` is NULL for every row.
+            if isinstance(left, _Null) or isinstance(right, _Null):
+                if op in ("==", "===", "!=", "!=="):
+                    target = _to_col(right if isinstance(left, _Null) else left)
+                    left = (
+                        target.isNull() if op in ("==", "===")
+                        else target.isNotNull()
+                    )
+                    continue
+                raise JsTranslationError(
+                    f"relational operator {op!r} against a null literal "
+                    "(Nashorn coerces null to 0 here; not in the faithfully "
+                    "translated subset)"
+                )
             lc, rc = _to_col(left), _to_col(right)
             if op in ("==", "==="):
                 left = lc == rc
@@ -622,8 +639,13 @@ def translate_transformation_script(
                 {k: _to_col(v) for k, v in ev.entries.items()}, cond
             )
         if isinstance(ev, _Null) and isinstance(tv, _MapVal):
+            # Drop when the condition is falsy — in Nashorn a NULL
+            # comparison result takes the else (null) branch, so the
+            # drop predicate must be true for NULL conds too; a bare
+            # ``~cond`` would be NULL there and the row kept.
             return TranslatedTransform(
-                {k: _to_col(v) for k, v in tv.entries.items()}, ~cond
+                {k: _to_col(v) for k, v in tv.entries.items()},
+                ~F.coalesce(cond, F.lit(False)),
             )
     raise JsTranslationError(
         "transformation script must complete with a HashMap, or an if/else "

@@ -52,12 +52,31 @@ def read_csv(spark: SparkSession, paths: str | list[str], source: SourceConfig,
     return reader.csv(paths)
 
 
+@dataclass
+class CsvRejectsResult:
+    """(good, rejects) pair from a quarantine parse, plus the cached
+    parsed frame so the caller can release executor storage once the
+    rejects side has been materialized (count + dead-letter write).
+    Iterable, so ``good, rejects = read_csv_with_rejects(...)`` still
+    works for callers that accept the session-lifetime cache."""
+
+    good: DataFrame
+    rejects: DataFrame
+    _parsed: DataFrame
+
+    def __iter__(self):
+        return iter((self.good, self.rejects))
+
+    def unpersist(self) -> None:
+        self._parsed.unpersist()
+
+
 def read_csv_with_rejects(
     spark: SparkSession,
     paths: str | list[str],
     source: SourceConfig,
     parity_mode: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+) -> CsvRejectsResult:
     """S1 extension: malformed-row quarantine. PERMISSIVE parse with a
     corrupt-record column — rows that fail the declared schema land in
     a REJECTS frame (original line intact, for repair/replay) instead
@@ -65,11 +84,15 @@ def read_csv_with_rejects(
     closest behavior is the all-or-nothing DQ abort (F2 >100 errors);
     this is the lakehouse-standard dead-letter shape.
 
-    Returns (good, rejects). Requires declared fields (schema
-    inference can't classify malformation). The parsed frame is
-    cached: Spark disallows filtering on the corrupt column over a
-    pure file scan (the parser would have nothing to fail against),
-    and both outputs share the one parse anyway."""
+    Parse options MATCH :func:`read_csv` (multiLine, escape, encoding,
+    sparkReadOptions passthrough) so flipping quarantine on never
+    changes how well-formed rows parse — only where malformed ones go.
+    Requires declared fields (schema inference can't classify
+    malformation). The parsed frame is cached: Spark disallows
+    filtering on the corrupt column over a pure file scan (the parser
+    would have nothing to fail against), and both outputs share the
+    one parse anyway; call ``.unpersist()`` on the result once the
+    rejects side is materialized."""
     from pyspark.sql import types as T
 
     if not source.fields:
@@ -78,12 +101,19 @@ def read_csv_with_rejects(
     schema = to_struct_type(source.fields, parity_mode).add(
         T.StructField("_corrupt_record", T.StringType())
     )
-    df = (
+    reader = (
         spark.read.option("header", str(fa.header).lower())
         .option("sep", fa.delimiter)
         .option("encoding", fa.encoding)
+        .option("multiLine", "true")
         .option("escape", '"')
-        .option("mode", "PERMISSIVE")
+    )
+    for k, v in fa.spark_read_options.items():
+        reader = reader.option(k, v)
+    df = (
+        # mode/corrupt-column AFTER the passthrough: the quarantine
+        # contract (PERMISSIVE + _corrupt_record) is not overridable.
+        reader.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema)
         .csv(paths)
@@ -93,7 +123,7 @@ def read_csv_with_rejects(
     rejects = df.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
-    return good, rejects
+    return CsvRejectsResult(good, rejects, df)
 
 
 def read_fixed_width(

@@ -69,7 +69,8 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
         ]
         return RunResult(config.name, len(copied), None, {"files": copied})
 
-    rejected_rows = 0
+    rejected_rows = None  # None = quarantine not configured; 0 = ran, clean
+    quarantine = None
     if (
         config.source.file.quarantine_rejects
         and config.source.file.file_type == "csv"
@@ -77,14 +78,28 @@ def run_dataset(spark: SparkSession, config: DatasetConfig,
     ):
         from pipeline_server_spark.pipeline.readers import read_csv_with_rejects
 
-        raw, rejects = read_csv_with_rejects(
+        quarantine = read_csv_with_rejects(
             spark, paths, config.source, config.parity_mode
         )
+        raw, rejects = quarantine
         rejected_rows = rejects.count()
         if rejected_rows and config.destination.path is not None:
             rejects.write.mode("append").text(config.destination.path + "_rejects")
     else:
         raw = read_source(spark, paths, config)
+    try:
+        return _run_parsed(spark, config, raw, rejected_rows, temp_csv_path)
+    finally:
+        if quarantine is not None:
+            # Release the cached quarantine parse — without this every
+            # ingest pins one full-batch DataFrame in executor storage
+            # for the session's lifetime.
+            quarantine.unpersist()
+
+
+def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
+                rejected_rows: int,
+                temp_csv_path: str | None) -> RunResult:
     raw = lowercase_headers(raw)
     raw = trim_string_columns(raw, config.source.file.trim_columns)
 

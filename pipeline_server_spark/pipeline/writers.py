@@ -405,7 +405,8 @@ class VersionedTable:
             # atomically with it
             from pipeline_server_spark.operators.scale import build_skipping_index
 
-            build_skipping_index(self.spark, target, list(stats_cols)) \
+            build_skipping_index(self.spark, target, list(stats_cols),
+                                 schema=df.schema) \
                 .coalesce(1).write.mode("overwrite") \
                 .parquet(os.path.join(target, "_index"))
         tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
@@ -494,6 +495,8 @@ class VersionedTable:
         k key-joins; consumers that only need the NET change across the
         range use :meth:`changes` (one join) instead."""
         v_to = v_to if v_to is not None else self.current_version()
+        if v_to is None:
+            raise ValueError("table has no committed version — no change feed")
         if v_to <= v_from:
             raise ValueError(f"empty version range ({v_from}, {v_to}]")
         feed = None
@@ -521,6 +524,8 @@ class VersionedTable:
         is for tables mutated by merge/overwrite commits.
         """
         v_to = v_to if v_to is not None else self.current_version()
+        if v_to is None:
+            raise ValueError("table has no committed version — no change feed")
         a = self.read(v_from)
         b = self.read(v_to)
 

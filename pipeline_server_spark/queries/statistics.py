@@ -342,7 +342,7 @@ def countmin_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL),
     agg AS (
       SELECT user_id,
-             SUM(CAST(v_int * (next_us - t_us) AS DECIMAL(28,0))) AS num,
+             SUM(CAST(v_int AS DECIMAL(28,0)) * CAST(next_us - t_us AS DECIMAL(28,0))) AS num,
              SUM(CAST(next_us - t_us AS DECIMAL(28,0))) AS den,
              COUNT(*) AS n_intervals
       FROM seq WHERE next_us IS NOT NULL GROUP BY user_id)
@@ -373,7 +373,9 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("next_us").isNotNull())
     dt = F.col("next_us") - F.col("t_us")
     agg = seq.groupBy("user_id").agg(
-        F.sum((F.col("v_int") * dt).cast("decimal(28,0)")).alias("num"),
+        # Cast BEFORE multiplying: bigint * bigint wraps in int64 when
+        # cents x micros exceeds 2^63; decimal x decimal does not.
+        F.sum(F.col("v_int").cast("decimal(28,0)") * dt.cast("decimal(28,0)")).alias("num"),
         F.sum(dt.cast("decimal(28,0)")).alias("den"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
@@ -707,35 +709,39 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 12))::BIGINT)
-                AS BIGINT) AS fingerprint
+           CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 6))::BIGINT)
+                AS BIGINT) AS fingerprint_lo,
+           CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 7, 6))::BIGINT)
+                AS BIGINT) AS fingerprint_hi
     FROM documents GROUP BY source ORDER BY source
     """,
 )
 def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy content fingerprint per partition-of-interest: the
-    SUM of a per-row content hash (low 48 bits of md5(id|text)) is
-    ORDER-INDEPENDENT and mergeable, so two replicas — or a table
-    before/after a migration — compare with one tiny aggregate each
-    and no sort, the Merkle-style replica check replication systems
-    run. 48-bit row hashes keep the bigint sum exact (10^7 rows x
-    2^48 < 2^63 — no modular wraparound to reason about), and md5 is
-    computed identically by both engines, so the fingerprints
+    SUM of a per-row content hash is ORDER-INDEPENDENT and mergeable,
+    so two replicas — or a table before/after a migration — compare
+    with one tiny aggregate each and no sort, the Merkle-style replica
+    check replication systems run. TWO independent 24-bit row hashes
+    (disjoint md5 substrings) keep each bigint sum exact up to
+    ~5x10^14 rows per group (n x 2^24 < 2^63 — no silent non-ANSI
+    wraparound even at 100 TB; a single 48-bit hash sum would wrap at
+    ~65k rows, and DuckDB's int128 sum would diverge from Spark there)
+    while a changed row escapes BOTH sums with probability 2^-48. md5
+    is computed identically by both engines, so the fingerprints
     themselves hash-match. Map-side combinable; shuffle carries one
-    (count, sum) pair per source."""
+    (count, sum, sum) tuple per source."""
     d = load_table(spark, sf_dir, "documents")
-    row_hash = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    md5 = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+
+    def hash24(start: int):
+        return F.conv(F.substring(md5, start, 6), 16, 10).cast("bigint")
+
     return (
         d.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(row_hash).alias("fingerprint"),
+            F.sum(hash24(1)).alias("fingerprint_lo"),
+            F.sum(hash24(7)).alias("fingerprint_hi"),
         )
         .orderBy("source")
     )

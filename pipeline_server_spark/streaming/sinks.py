@@ -74,14 +74,21 @@ def exactly_once_merge_sink(
     snapshot and commits the merged state with its ``batch_id`` —
     idempotent under replay AND under re-delivered rows (the merge
     itself is idempotent on keys)."""
-    from pipeline_server_spark.pipeline.writers import merge_upsert_frames
+    from pipeline_server_spark.pipeline.writers import (
+        _dedupe_source_by_keys,
+        merge_upsert_frames,
+    )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_batch_ids(table, scan_last):
             return
         current = table.current_version()
+        # Bootstrap batch must use the same max-sequence-wins dedup as
+        # the merge path, or a doubly-delivered key in batch 0 could
+        # commit an arbitrary (possibly stale) row.
         merged = (
-            batch_df.dropDuplicates(keys) if current is None
+            _dedupe_source_by_keys(batch_df, keys, sequence_col)
+            if current is None
             else merge_upsert_frames(table.read(), batch_df, keys, sequence_col)
         )
         table.commit(merged, metadata={"batch_id": int(batch_id)})

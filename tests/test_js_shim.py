@@ -211,6 +211,53 @@ class TestConfigWiring:
         ]
 
 
+class TestNullSemantics:
+    """Nashorn null behavior, where it diverges from SQL three-valued
+    logic: ``== null`` is a null CHECK, and a NULL if-condition takes
+    the else branch (falsy), including when that branch drops the row."""
+
+    @pytest.fixture(scope="class")
+    def null_df(self, spark):
+        rows = [("AAPL", 100.0), ("NONE", None), ("MSFT", 410.0)]
+        return spark.createDataFrame(rows, ["symbol", "adj_close"])
+
+    def test_eq_null_is_null_check(self, spark, null_df):
+        src = """
+        if (adj_close == null) { 'missing price' } else { null }
+        """
+        msg = translate_quality_script(src, null_df.columns)
+        got = {r["symbol"]: r["v"] for r in
+               null_df.select("symbol", msg.alias("v")).collect()}
+        assert got == {"AAPL": None, "NONE": "missing price", "MSFT": None}
+
+    def test_neq_null_is_not_null_check(self, spark, null_df):
+        src = """
+        if (adj_close != null) { null } else { 'missing price' }
+        """
+        msg = translate_quality_script(src, null_df.columns)
+        got = {r["symbol"]: r["v"] for r in
+               null_df.select("symbol", msg.alias("v")).collect()}
+        assert got == {"AAPL": None, "NONE": "missing price", "MSFT": None}
+
+    def test_null_condition_takes_drop_branch(self, spark, null_df):
+        # Nashorn: null > 0 is false → else branch → null completion →
+        # row DROPPED. A naive ~cond translation would keep it.
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        if (adj_close > 0) { map } else { null }
+        """
+        spec = translate_transformation_script(src, null_df.columns)
+        out = apply_column_expressions(null_df, spec.expressions, spec.drop_predicate)
+        assert {r["symbol"] for r in out.collect()} == {"AAPL", "MSFT"}
+
+    def test_relational_null_comparison_rejected(self):
+        with pytest.raises(JsTranslationError, match="null literal"):
+            translate_quality_script(
+                "if (a > null) { 'x' } else { null }", ["a"]
+            )
+
+
 class TestRejections:
     """Outside the subset → a named JsTranslationError, never silence."""
 

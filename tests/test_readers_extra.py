@@ -592,3 +592,39 @@ class TestCsvRejects:
         )
         good, rejects = read_csv_with_rejects(spark, str(p), src)
         assert good.count() == 2 and rejects.count() == 0
+
+    def test_parse_options_match_read_csv(self, spark, tmp_path):
+        """Flipping quarantine on must not change how WELL-FORMED rows
+        parse: quoted embedded newlines (multiLine) and sparkReadOptions
+        (nullValue) behave exactly as in read_csv."""
+        from pipeline_server_spark.pipeline.config import (
+            FileAttributes,
+            SchemaField,
+            SourceConfig,
+        )
+        from pipeline_server_spark.pipeline.readers import (
+            read_csv,
+            read_csv_with_rejects,
+        )
+
+        p = tmp_path / "multiline.csv"
+        p.write_text(
+            'id,note\n'
+            '1,"line one\nline two"\n'
+            '2,NA\n'
+            '3,plain\n'
+        )
+        src = SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("note", "string")),
+            file=FileAttributes(
+                file_type="csv", header=True,
+                spark_read_options={"nullValue": "NA"},
+            ),
+        )
+        baseline = {r["id"]: r["note"] for r in read_csv(spark, str(p), src).collect()}
+        result = read_csv_with_rejects(spark, str(p), src)
+        good, rejects = result
+        got = {r["id"]: r["note"] for r in good.collect()}
+        assert got == baseline == {1: "line one\nline two", 2: None, 3: "plain"}
+        assert rejects.count() == 0
+        result.unpersist()  # the documented cache-release handle

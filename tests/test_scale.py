@@ -326,6 +326,40 @@ def test_skipping_index_empty_selection(spark, tmp_path):
     assert out.count() == 0
 
 
+def test_skipping_index_zero_data_files(spark, tmp_path):
+    """An empty/committed-empty table yields an empty, correctly-typed
+    index — not a createDataFrame/repartition crash mid-commit."""
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.scale import build_skipping_index
+
+    schema = T.StructType([
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.LongType()),
+    ])
+    empty_dir = tmp_path / "no_files"
+    empty_dir.mkdir()
+    idx = build_skipping_index(spark, str(empty_dir), ["a", "b"], schema=schema)
+    assert idx.count() == 0
+    assert idx.columns == ["file", "n_rows", "a_min", "a_max", "b_min", "b_max"]
+
+
+def test_versioned_commit_empty_frame_with_stats(spark, tmp_path):
+    """commit(stats_cols=...) of an empty frame must still publish."""
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = VersionedTable(spark, str(tmp_path / "empty_stats"))
+    v = t.commit(spark.createDataFrame([], schema), stats_cols=("k",))
+    assert v == 1
+    assert t.read().count() == 0
+
+
 def test_salted_equi_join_matches_plain_join(spark):
     import pyspark.sql.functions as F
 

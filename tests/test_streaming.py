@@ -432,6 +432,31 @@ class TestExactlyOnceSinks:
         assert t.current_version() == v_after
         assert {r["k"]: r["s"] for r in t.read().collect()} == got
 
+    def test_merge_sink_bootstrap_respects_sequence_col(self, spark, tmp_path):
+        """A doubly-delivered key in batch 0 (the bootstrap batch, no
+        existing snapshot) must keep the MAX-sequence row — the same
+        dedup contract the merge path applies on every later batch."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+        from pipeline_server_spark.streaming.sinks import exactly_once_merge_sink
+
+        t = VersionedTable(spark, str(tmp_path / "eo_boot"))
+        sink = exactly_once_merge_sink(t, ["k"], "seq")
+        b0 = spark.createDataFrame(
+            [(1, "stale", 1), (1, "fresh", 2), (2, "only", 1)], ["k", "s", "seq"]
+        )
+        sink(b0, 0)
+        got = {r["k"]: r["s"] for r in t.read().collect()}
+        assert got == {1: "fresh", 2: "only"}
+
+    def test_change_feed_on_empty_table_raises_clearly(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "empty_cdf"))
+        with pytest.raises(ValueError, match="no committed version"):
+            t.changes_range(["k"], v_from=0)
+        with pytest.raises(ValueError, match="no committed version"):
+            t.changes(["k"], v_from=0)
+
     def test_changes_range_tags_each_commit(self, spark, tmp_path):
         from pipeline_server_spark.pipeline.writers import VersionedTable
 
