@@ -54,6 +54,9 @@ HEADLINE = [
     # previously invisible to round-over-round regression tracking
     "shared_span_pairs",
     "weekly_active_users",
+    # round-5 session-2: prefix-filtered exact similarity join — the
+    # candidate-generation dial PPJoin turns vs the plain inverted index
+    "ppjoin_word_jaccard_pairs",
 ]
 
 

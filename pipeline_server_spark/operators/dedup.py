@@ -670,3 +670,128 @@ def minhash_lsh_incremental_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering exact set-similarity join (AllPairs / PPJoin family)
+# --------------------------------------------------------------------------
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    t_num: int,
+    t_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (a < b) of documents whose DISTINCT-word-set Jaccard
+    is >= t_num/t_den, via :func:`prefix_filter_pairs_from_elements`
+    over lowercased word tokens. For templated corpora where word SETS
+    barely discriminate, pass shingle elements to the element-level
+    function instead (see ``ppjoin_word_jaccard_pairs``)."""
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+        .distinct()
+    )
+    return prefix_filter_pairs_from_elements(toks, t_num, t_den)
+
+
+def prefix_filter_pairs_from_elements(
+    toks: DataFrame,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """All pairs (a < b) with set-Jaccard >= t_num/t_den over an
+    element frame ``(doc_id, tok)`` (distinct per doc), found with
+    PREFIX FILTERING (Chaudhuri et al. SSJoin 2006 / Bayardo et al.
+    AllPairs 2007 / Xiao et al. PPJoin 2008): order every doc's
+    elements by ascending global document frequency (rarest first) and
+    index only the first ``sz - ceil(t*sz) + 1`` — any pair meeting
+    the threshold must share at least one PREFIX element, so the
+    candidate join fans out on rare elements only, instead of every
+    posting of every element (the plain inverted-index shape of
+    :func:`ngram_jaccard_pairs`).
+
+    The threshold is a RATIONAL (t_num/t_den): the prefix length uses
+    exact integer ceil ``(t_num*sz + t_den - 1) div t_den`` — a float
+    ``ceil(0.6*sz)`` rounds the wrong way at exact multiples (0.6*5 =
+    3.0000000000000004 → 4) and silently breaks the completeness
+    guarantee.
+
+    Scale shape: NO global window/rank — the canonical element order
+    is the (df, element) tuple itself, so ordering each doc's array is
+    a per-group sort_array. The frequency table is vocabulary-sized
+    (AQE broadcasts it); the candidate equi-join shuffles only prefix
+    postings; verification is an array_intersect over the two sorted
+    arrays of the candidate pair. No cartesian, no collect.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must be in (0, 1] as t_num/t_den")
+    tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    # canonical total order = (global df asc, token asc); sorting the
+    # struct array gives every doc the same relative token order
+    ordered = (
+        toks.join(tdf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(tok_df, tok))), s -> s.tok)")
+            .alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn(
+            "plen",
+            F.expr(f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1"),
+        )
+        # used three times (prefix postings + both verify sides): cache
+        # instead of recomputing the distinct+join+sort lineage 3x
+        .cache()
+    )
+    prefix = ordered.select(
+        "doc_id", "sz",
+        F.posexplode(F.expr("slice(toks, 1, plen)")).alias("pos0", "tok"),
+    ).select("doc_id", "sz", (F.col("pos0") + 1).alias("pos"), "tok")
+    # PPJoin's two exact candidate prunes, both integer arithmetic:
+    # - length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+    # - positional filter: overlap <= tokens sharable before this
+    #   posting (min(pa,pb)-1) + this one + tokens after it
+    #   (min(szA-pa, szB-pb)); prune when even that misses the
+    #   required overlap alpha = ceil(t/(1+t) * (szA+szB)). A pair
+    #   survives if ANY of its shared prefix postings passes, so the
+    #   per-posting prune + distinct keeps completeness.
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    alpha = F.expr(
+        f"({t_num} * (a.sz + b.sz) + {t_num + t_den - 1}) div {t_num + t_den}"
+    )
+    ubound = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.least(sz_a - F.col("a.pos"), sz_b - F.col("b.pos"))
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.tok") == F.col("b.tok"))
+              & (F.col("a.doc_id") < F.col("b.doc_id"))
+              & (F.lit(t_num) * sz_a <= F.lit(t_den) * sz_b)
+              & (F.lit(t_num) * sz_b <= F.lit(t_den) * sz_a)
+              & (ubound >= alpha))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = ordered.select(F.col("doc_id").alias("doc_a"),
+                        F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a"))
+    fb = ordered.select(F.col("doc_id").alias("doc_b"),
+                        F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    thresh = float(t_num) / float(t_den)
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .where(F.col("jaccard") >= F.lit(thresh))
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -333,3 +333,39 @@ def salted_equi_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return l.join(r, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
+                             bits: int = 16) -> int:
+    """Delta-style ``OPTIMIZE ... ZORDER BY``: rewrite a
+    :class:`~pipeline_server_spark.pipeline.writers.VersionedTable`'s
+    CURRENT snapshot in Z-order over ``cols`` and commit it as a NEW
+    version carrying a per-file min/max skipping index on the same
+    columns — rows unchanged, layout clustered, so subsequent
+    ``read_pruned(bounds)`` calls open only the few files whose
+    hyper-rectangle overlaps the predicate.
+
+    Because it rides the snapshot commit protocol, the maintenance is
+    SAFE alongside readers (old version stays live until the atomic
+    pointer move) and reversible (time travel to the pre-optimize
+    version). Returns the new version number. One range-partitioning
+    shuffle on the Morton key — the honest cost of re-clustering; run
+    it at the cadence ingest fragments the layout, not per batch."""
+    df = table.read()
+    probe = df.agg(F.min(F.col(cols[0]).cast("double")).alias("m")).first()
+    if probe["m"] is None:
+        # empty snapshot (or all-null key column): nothing to cluster —
+        # commit as-is rather than crash on undefined z-order bounds
+        clustered = df
+    else:
+        zdf = zorder_value(df, cols, bits)
+        clustered = (
+            zdf.repartitionByRange(num_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    return table.commit(
+        clustered,
+        stats_cols=tuple(cols),
+        metadata={"operation": "optimize_zorder", "cols": list(cols)},
+    )

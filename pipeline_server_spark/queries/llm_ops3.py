@@ -153,3 +153,106 @@ def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "peak", "zero_crossings", "energy_sumsq")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ppjoin_word_jaccard_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_raw AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ppjoin_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard >= 0.7 pairs via PREFIX FILTERING —
+    the AllPairs/PPJoin scale path: index only each doc's rarest
+    ``sz - ceil(0.7*sz) + 1`` shingles, so candidate fan-out rides on
+    rare shingles instead of every posting (the plain inverted index
+    of ``dedup_ngram_jaccard``, which also differs by threshold: 0.7
+    here surfaces the near-miss band 0.7-0.8 that 0.8 hides). The
+    oracle is the full inverted-index exact join — the gate therefore
+    proves the prefix filter is COMPLETE (no pair lost), not just
+    plausible. Shingle elements, not word sets: on a templated corpus
+    word SETS are near-identical across most docs (57% of all pairs
+    >= 0.6 at sf0.01), which collapses any algorithm's selectivity;
+    3-gram shingles keep the match set near-duplicate-sized. Threshold
+    passed as the rational 7/10: prefix length uses exact integer ceil
+    (float 0.7*sz rounds wrong at exact multiples and drops pairs)."""
+    from pipeline_server_spark.operators.dedup import (
+        prefix_filter_pairs_from_elements,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    elems = shingles(docs).select("doc_id", F.col("shingle").alias("tok"))
+    return (
+        prefix_filter_pairs_from_elements(elems, t_num=7, t_den=10)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "train_split_assignment",
+    oracle="""
+    WITH b AS (
+      SELECT CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 98
+                 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 = 98
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY split ORDER BY split
+    """,
+)
+def train_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split by CONTENT-STABLE
+    hash (md5 of the doc id — identical in both engines, and identical
+    on every re-run/backfill, unlike rand()-based splits that reshuffle
+    documents between epochs and leak val into train). Reports per-
+    split doc/token/char totals. Pure map + one tiny aggregate —
+    embarrassingly parallel at any corpus size; the same bucket rule
+    applied at read time prunes nothing but costs one md5 per row."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10) \
+        .cast("bigint") % 100
+    return (
+        d.select(
+            F.when(bucket < 98, F.lit("train"))
+            .when(bucket == 98, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            F.length("text").alias("n_chars"),
+            F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -472,3 +472,89 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT 'customer.c_nationkey -> nation' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY relationship
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: for every FK edge in the schema,
+    the child row count and the count of ORPHANS (children whose parent
+    key resolves to nothing) — the cross-table data-quality audit that
+    runs after any bulk load or CDC replay. Each edge is one LEFT join
+    aggregated to two numbers; the parent side of every edge is a
+    dimension (nation/region/part/supplier/customer ≪ fact tables), so
+    AQE broadcasts it and the audit costs one pass over each fact
+    table with NO fact-side shuffle. A NULL-FK child counts as an
+    orphan (it matches no parent), which is what a load-gate needs."""
+    def edge(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+             label: str) -> DataFrame:
+        return (
+            child.select(F.col(ckey).alias("ck"))
+            .join(parent.select(F.col(pkey).alias("pk")),
+                  F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.lit(label).alias("relationship"),
+                F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("bigint").alias("orphans"),
+            )
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    edges = [
+        edge(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey -> nation"),
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey -> orders"),
+        edge(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey -> part"),
+        edge(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey -> supplier"),
+        edge(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey -> region"),
+        edge(o, "o_custkey", c, "c_custkey", "orders.o_custkey -> customer"),
+        edge(s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey -> nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("relationship")

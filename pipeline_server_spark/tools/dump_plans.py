@@ -117,6 +117,15 @@ SHOW = {
         "binary audio decode: partition-preserving Arrow mapInPandas, "
         "no shuffle at all"
     ),
+    "ppjoin_word_jaccard_pairs": (
+        "prefix-filtered set-similarity join: rarity-ordered prefix "
+        "postings, PPJoin length+position prunes inside the candidate "
+        "equi-join, array_intersect verify — no cartesian"
+    ),
+    "fk_orphan_audit": (
+        "referential-integrity sweep: every parent side broadcast, "
+        "one pass per fact table, no fact-side shuffle"
+    ),
 }
 
 

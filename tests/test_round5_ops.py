@@ -367,3 +367,79 @@ class TestBfsAndTrimmedMean:
             r = got[s.l_returnflag]
             assert s.n - 2 * (s.n // 10) == r.n_kept
             assert s.p10 - 1 <= r.trimmed_mean <= s.p90 + 1
+
+
+class TestPrefixFilterJoin:
+    """PPJoin prefix filtering: completeness vs brute force, exact
+    integer prefix length, and a sane distributed plan."""
+
+    def _brute(self, rows, t):
+        import itertools
+        import re
+
+        sets = {i: set(w for w in re.split(r"[^a-z0-9]+", s.lower()) if w)
+                for i, s in rows}
+        out = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                out.add((a, b))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from pipeline_server_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(80):
+            base = rng.sample(vocab, rng.randint(3, 12))
+            rows.append((i, " ".join(base)))
+            if rng.random() < 0.4:  # planted near-duplicate
+                dup = list(base)
+                if rng.random() < 0.5 and len(dup) > 3:
+                    dup.pop()
+                else:
+                    dup.append(rng.choice(vocab))
+                rows.append((1000 + i, " ".join(dup)))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["doc_a"], r["doc_b"])
+               for r in prefix_filter_jaccard_pairs(df, 3, 5).collect()}
+        assert got == self._brute(rows, 0.6)
+        assert got  # non-vacuous: planted dups must surface
+
+    def test_exact_integer_prefix_length(self, spark):
+        """sz=5, t=3/5: ceil(0.6*5)=3 exactly -> plen=3. Float 0.6*5
+        rounds to 3.0000000000000004 whose ceil is 4 -> plen=2, which
+        can LOSE qualifying pairs. Two 5-token docs sharing exactly
+        their 3 rarest tokens (J=3/7 < 0.6) plus two sharing 4 of 5
+        (J=4/6 >= 0.6) pin the boundary."""
+        from pipeline_server_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        rows = [
+            (1, "a b c d e"),
+            (2, "a b c d f"),  # J(1,2) = 4/6 >= 0.6 — must be found
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+               for r in prefix_filter_jaccard_pairs(df, 3, 5).collect()}
+        assert got == {(1, 2, round(4 / 6, 6))}
+
+    def test_plan_has_no_cartesian(self, spark):
+        from pipeline_server_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
+                                   ["doc_id", "text"])
+        plan = prefix_filter_jaccard_pairs(df, 3, 5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -414,3 +414,51 @@ def test_salted_equi_join_spreads_hot_key(spark):
     assert n_cells == 8  # every salt cell populated
     out = salted_equi_join(left, right, "k", salts=8)
     assert out.count() == 10_000
+
+
+def test_optimize_zorder_snapshot(spark, tmp_path):
+    """OPTIMIZE ZORDER over a snapshot table: rows identical, new
+    version carries a skipping index that actually prunes, and time
+    travel to the pre-optimize layout still works."""
+    import pyspark.sql.functions as F
+
+    from pipeline_server_spark.operators.scale import optimize_zorder_snapshot
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).cast("int").alias("a"),
+        ((F.col("id") * 7) % 139).cast("int").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    t = VersionedTable(spark, str(tmp_path / "opt_table"))
+    # fragmented initial layout: random order, many files
+    t.commit(df.repartition(32))
+    v2 = optimize_zorder_snapshot(t, ["a", "b"], num_files=16)
+    assert v2 == 2
+    assert t.commit_metadata(2)["operation"] == "optimize_zorder"
+
+    # row multiset unchanged
+    key = F.xxhash64("a", "b", "payload").cast("decimal(28,0)")
+    before = t.read(1).agg(F.sum(key).alias("s"), F.count("*").alias("n")).first()
+    after = t.read(2).agg(F.sum(key).alias("s"), F.count("*").alias("n")).first()
+    assert (before["s"], before["n"]) == (after["s"], after["n"])
+
+    # the committed index prunes a narrow range predicate
+    got, files_read, files_total = t.read_pruned({"a": (10, 20), "b": (30, 45)})
+    assert 0 < files_read < files_total
+    expected = df.where(F.col("a").between(10, 20) & F.col("b").between(30, 45)).count()
+    assert got.count() == expected
+
+
+def test_optimize_zorder_empty_snapshot(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.scale import optimize_zorder_snapshot
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    schema = T.StructType([T.StructField("a", T.IntegerType()),
+                           T.StructField("b", T.IntegerType())])
+    t = VersionedTable(spark, str(tmp_path / "opt_empty"))
+    t.commit(spark.createDataFrame([], schema))
+    assert optimize_zorder_snapshot(t, ["a", "b"]) == 2
+    assert t.read().count() == 0
