@@ -700,6 +700,67 @@ def prefix_filter_jaccard_pairs(
     return prefix_filter_pairs_from_elements(toks, t_num, t_den)
 
 
+def _ppjoin_ordered(toks: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Per-doc rarity-ordered element arrays + size + prefix length.
+    Cached: used by the prefix postings and BOTH verify sides."""
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must be in (0, 1] as t_num/t_den")
+    tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    # canonical total order = (global df asc, token asc); sorting the
+    # struct array gives every doc the same relative token order
+    return (
+        toks.join(tdf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(tok_df, tok))), s -> s.tok)")
+            .alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn(
+            "plen",
+            F.expr(f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1"),
+        )
+        .cache()
+    )
+
+
+def ppjoin_candidates(ordered: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs from prefix postings, pruned by
+    PPJoin's two exact integer filters:
+
+    - length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+    - positional filter: overlap <= elements sharable before this
+      posting (min(pa,pb)-1) + this one + elements after it
+      (min(szA-pa, szB-pb)); prune when even that misses the required
+      overlap alpha = ceil(t/(1+t) * (szA+szB)). A pair survives if
+      ANY of its shared prefix postings passes, so the per-posting
+      prune + distinct keeps completeness.
+    """
+    prefix = ordered.select(
+        "doc_id", "sz",
+        F.posexplode(F.expr("slice(toks, 1, plen)")).alias("pos0", "tok"),
+    ).select("doc_id", "sz", (F.col("pos0") + 1).alias("pos"), "tok")
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    alpha = F.expr(
+        f"({t_num} * (a.sz + b.sz) + {t_num + t_den - 1}) div {t_num + t_den}"
+    )
+    ubound = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.least(sz_a - F.col("a.pos"), sz_b - F.col("b.pos"))
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.tok") == F.col("b.tok"))
+              & (F.col("a.doc_id") < F.col("b.doc_id"))
+              & (F.lit(t_num) * sz_a <= F.lit(t_den) * sz_b)
+              & (F.lit(t_num) * sz_b <= F.lit(t_den) * sz_a)
+              & (ubound >= alpha))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def prefix_filter_pairs_from_elements(
     toks: DataFrame,
     t_num: int,
@@ -729,58 +790,8 @@ def prefix_filter_pairs_from_elements(
     postings; verification is an array_intersect over the two sorted
     arrays of the candidate pair. No cartesian, no collect.
     """
-    if not (0 < t_num <= t_den):
-        raise ValueError("threshold must be in (0, 1] as t_num/t_den")
-    tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
-    # canonical total order = (global df asc, token asc); sorting the
-    # struct array gives every doc the same relative token order
-    ordered = (
-        toks.join(tdf, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.expr("transform(sort_array(collect_list(struct(tok_df, tok))), s -> s.tok)")
-            .alias("toks")
-        )
-        .withColumn("sz", F.size("toks"))
-        .withColumn(
-            "plen",
-            F.expr(f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1"),
-        )
-        # used three times (prefix postings + both verify sides): cache
-        # instead of recomputing the distinct+join+sort lineage 3x
-        .cache()
-    )
-    prefix = ordered.select(
-        "doc_id", "sz",
-        F.posexplode(F.expr("slice(toks, 1, plen)")).alias("pos0", "tok"),
-    ).select("doc_id", "sz", (F.col("pos0") + 1).alias("pos"), "tok")
-    # PPJoin's two exact candidate prunes, both integer arithmetic:
-    # - length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
-    # - positional filter: overlap <= tokens sharable before this
-    #   posting (min(pa,pb)-1) + this one + tokens after it
-    #   (min(szA-pa, szB-pb)); prune when even that misses the
-    #   required overlap alpha = ceil(t/(1+t) * (szA+szB)). A pair
-    #   survives if ANY of its shared prefix postings passes, so the
-    #   per-posting prune + distinct keeps completeness.
-    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
-    alpha = F.expr(
-        f"({t_num} * (a.sz + b.sz) + {t_num + t_den - 1}) div {t_num + t_den}"
-    )
-    ubound = (
-        F.least(F.col("a.pos"), F.col("b.pos"))
-        + F.least(sz_a - F.col("a.pos"), sz_b - F.col("b.pos"))
-    )
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"),
-              (F.col("a.tok") == F.col("b.tok"))
-              & (F.col("a.doc_id") < F.col("b.doc_id"))
-              & (F.lit(t_num) * sz_a <= F.lit(t_den) * sz_b)
-              & (F.lit(t_num) * sz_b <= F.lit(t_den) * sz_a)
-              & (ubound >= alpha))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    ordered = _ppjoin_ordered(toks, t_num, t_den)
+    cand = ppjoin_candidates(ordered, t_num, t_den)
     fa = ordered.select(F.col("doc_id").alias("doc_a"),
                         F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a"))
     fb = ordered.select(F.col("doc_id").alias("doc_b"),

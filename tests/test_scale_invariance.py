@@ -163,3 +163,63 @@ def test_minhash_band_bucket_occupancy_scales(spark, n):
     assert stats["max_b"] <= 16
     # chance collisions stay a vanishing fraction of n
     assert int(stats["collision_pairs"] or 0) <= n // 100
+
+
+def _zipf_docs(spark, n: int, tokens_per_doc: int = 40,
+               vocab: int = 20_000, parts: int = 32):
+    """Zipf-distributed tokens: hot words appear in MOST docs — the
+    posting-list-explosion regime prefix filtering exists for (a plain
+    inverted index joins every posting of every hot shingle)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng(int(ids[0]) + 29)
+            toks = rng.zipf(1.3, size=(len(ids), tokens_per_doc)) % vocab
+            texts = [" ".join(f"w{t}" for t in row) for row in toks]
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return spark.range(n, numPartitions=parts).mapInPandas(_gen, schema=schema)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [5_000, 20_000])
+def test_ppjoin_candidate_work_scales_linearly(spark, n):
+    """Prefix-filtered similarity join on a 4×-growing Zipfian corpus
+    with no planted duplicates: candidate pairs PER DOC must stay flat
+    (bounded constant), i.e. total candidate work grows ~linearly.
+    The plain inverted index on the same corpus joins every posting of
+    every hot shingle — quadratic in the hot-token doc frequency."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.operators.dedup import (
+        _ppjoin_ordered,
+        ppjoin_candidates,
+        shingles,
+    )
+
+    docs = _zipf_docs(spark, n)
+    elems = shingles(docs).select("doc_id", F.col("shingle").alias("tok"))
+    ordered = _ppjoin_ordered(elems, 7, 10)
+    try:
+        n_cand = ppjoin_candidates(ordered, 7, 10).count()
+    finally:
+        ordered.unpersist()
+    per_doc = n_cand / n
+    print(f"\n[scale-invariance] ppjoin n={n} candidates={n_cand} "
+          f"per_doc={per_doc:.2f}")
+    # flat per-doc candidate bound at BOTH scales = the linear-growth
+    # evidence; random Zipf text with no dups should stay tiny
+    assert per_doc <= 2.0
