@@ -702,7 +702,16 @@ def prefix_filter_jaccard_pairs(
 
 def _ppjoin_ordered(toks: DataFrame, t_num: int, t_den: int) -> DataFrame:
     """Per-doc rarity-ordered element arrays + size + prefix length.
-    Cached: used by the prefix postings and BOTH verify sides."""
+
+    Materialized ONCE via a lazy ``localCheckpoint`` — it feeds the
+    prefix postings and BOTH verify sides, and unlike ``.cache()``
+    (a CacheManager entry that lives until explicitly uncached, one
+    leaked corpus-sized frame per invocation on a long-lived session)
+    the checkpoint blocks are reclaimed by the ContextCleaner when the
+    returned plan is garbage-collected. Executor-local blocks: on a
+    real cluster a lost executor fails the query instead of silently
+    recomputing — acceptable for a single query, same trade the
+    PageRank/CC loops document."""
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must be in (0, 1] as t_num/t_den")
     tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
@@ -720,7 +729,7 @@ def _ppjoin_ordered(toks: DataFrame, t_num: int, t_den: int) -> DataFrame:
             "plen",
             F.expr(f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
 

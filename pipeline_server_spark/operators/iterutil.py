@@ -61,12 +61,23 @@ def transfer(df: DataFrame, to_sess: SparkSession) -> DataFrame:
 
 def checkpoint_df(df: DataFrame, eager: bool, checkpoint_dir: str | None) -> DataFrame:
     """Truncate lineage: ``localCheckpoint`` when no directory is given
-    (executor-local blocks — fast, lost with an executor), reliable
-    ``checkpoint`` into ``checkpoint_dir`` otherwise (survives executor
-    loss; the mode to use on a real cluster for loops whose state is
-    expensive to rebuild)."""
+    (executor-local blocks — fast, lost with an executor), else a
+    RELIABLE checkpoint into a per-call unique subdirectory of
+    ``checkpoint_dir`` (survives executor loss; the mode to use on a
+    real cluster for loops whose state is expensive to rebuild).
+
+    The reliable mode is a parquet write + read-back rather than
+    ``df.checkpoint()``: RDD checkpointing requires
+    ``SparkContext.setCheckpointDir`` — CONTEXT-GLOBAL mutable state,
+    exactly what :func:`loop_session` exists to avoid. Two concurrent
+    loops with different directories would race the setting (one
+    loop's checkpoints landing in the other's directory); the
+    write/read form gives each call its own isolated path with the
+    same durability and the same truncated lineage. Files accumulate
+    one subdirectory per call — vacuum ``checkpoint_dir`` after the
+    loop, as with RDD checkpoint files."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=eager)
+    path = f"{checkpoint_dir.rstrip('/')}/ckpt_{uuid.uuid4().hex}"
+    df.write.mode("error").parquet(path)  # eager by nature
+    return df.sparkSession.read.parquet(path)

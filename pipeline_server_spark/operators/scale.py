@@ -251,10 +251,18 @@ def read_with_skipping(
     Returns (df, files_read, files_total). The index filter + collect
     is index-sized — the same driver-side cost as partition listing —
     never data-sized.
+
+    A file with NULL stats for a bounded column (a writer that disabled
+    statistics, or a row group without min/max) is ALWAYS read: unknown
+    must mean "may overlap", never "prune" — a NULL comparison would
+    silently drop the file and its matching rows.
     """
     cond = F.lit(True)
     for c, (lo, hi) in bounds.items():
-        cond = cond & (F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") <= F.lit(hi))
+        cond = cond & (
+            F.col(f"{c}_max").isNull()
+            | ((F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") <= F.lit(hi)))
+        )
     picked = [r["file"] for r in index.where(cond).select("file").collect()]
     total = index.count()
     residual = F.lit(True)
@@ -281,7 +289,11 @@ def approx_equi_depth_histogram(
     zero global sorts; per-bucket counts are within rel_err·n of
     n/buckets.
 
-    Returns (bucket int, n bigint, lo double, hi double)."""
+    Returns (bucket int, n bigint, lo double, hi double). NULL values
+    are excluded (approxQuantile ignores them when placing boundaries;
+    counting them — they'd all land in bucket 1 — would silently
+    inflate one bucket's depth)."""
+    df = df.where(F.col(col).isNotNull())
     qs = [i / buckets for i in range(1, buckets)]
     bounds = df.stat.approxQuantile(col, qs, rel_err)
     arr = F.array(*[F.lit(float(b)) for b in bounds])

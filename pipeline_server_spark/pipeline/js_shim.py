@@ -186,7 +186,11 @@ _MATH_FNS = {
     "abs": F.abs,
     "floor": F.floor,
     "ceil": F.ceil,
-    "round": F.round,
+    # JS Math.round is floor(x + 0.5) — half goes toward +infinity:
+    # round(2.5)=3 AND round(-2.5)=-2. Spark's F.round is HALF_UP
+    # (away from zero: -2.5 -> -3) and Python's round() is banker's
+    # (2.5 -> 2); both diverge from Nashorn on half-integers.
+    "round": lambda c: F.floor(c + F.lit(0.5)).cast("double"),
     "sqrt": F.sqrt,
     "pow": F.pow,
     "max": F.greatest,
@@ -197,12 +201,20 @@ _PY_MATH = {
     "abs": abs,
     "floor": lambda x: float(int(x) if x >= 0 or x == int(x) else int(x) - 1),
     "ceil": lambda x: float(int(x) if x == int(x) or x < 0 else int(x) + 1),
-    "round": lambda x: float(round(x)),
+    "round": lambda x: float(_py_floor(x + 0.5)),
     "sqrt": lambda x: x ** 0.5,
     "pow": lambda x, y: x ** y,
     "max": max,
     "min": min,
 }
+
+
+def _py_floor(x: float) -> int:
+    return int(x) if x >= 0 or x == int(x) else int(x) - 1
+
+
+_STR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                "v": "\v", "0": "\0"}
 
 
 # ---------------------------------------------------------------------------
@@ -555,7 +567,14 @@ class _Interp:
             return float(t.text) if "." in t.text else int(t.text)
         if t.kind == "str":
             body = t.text[1:-1]
-            return re.sub(r"\\(.)", r"\1", body)
+            # real JS escape semantics: \n is a NEWLINE, not the
+            # letter n (stripping only the backslash silently changes
+            # every message/delimiter containing an escape)
+            return re.sub(
+                r"\\(.)",
+                lambda m: _STR_ESCAPES.get(m.group(1), m.group(1)),
+                body,
+            )
         if t.kind == "kw":
             if t.text == "null":
                 return _NULL

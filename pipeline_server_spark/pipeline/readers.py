@@ -126,6 +126,27 @@ def read_csv_with_rejects(
     return CsvRejectsResult(good, rejects, df)
 
 
+def _expand_data_files(spark: SparkSession, paths: str | list[str]) -> list[str]:
+    """Expand paths/globs/directories to concrete data-file paths via
+    the Hadoop FileSystem (works for any supported scheme), skipping
+    `_`/`.`-prefixed bookkeeping files."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out: list[str] = []
+    for p in [paths] if isinstance(paths, str) else list(paths):
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(conf)
+        for st in fs.globStatus(jpath) or []:
+            if st.isDirectory():
+                for sub in fs.listStatus(st.getPath()):
+                    name = sub.getPath().getName()
+                    if sub.isFile() and not name.startswith(("_", ".")):
+                        out.append(sub.getPath().toString())
+            else:
+                out.append(st.getPath().toString())
+    return sorted(out)
+
+
 def read_fixed_width(
     spark: SparkSession,
     paths: str | list[str],
@@ -141,20 +162,37 @@ def read_fixed_width(
 
     Pure JVM slicing: one ``spark.read.text`` scan + per-column
     ``substring`` — whole-stage codegen, no Python, trivially
-    parallel over files/splits at any scale."""
-    txt = spark.read.text(paths)
+    parallel over files/splits at any scale.
+
+    ``skip_header_lines`` drops the first k lines OF EVERY FILE: the
+    path/glob/list is expanded driver-side (Hadoop globStatus — the
+    same metadata cost as Spark's own file listing) and each file gets
+    its own skip, because ``monotonically_increasing_id`` is 0-based
+    only in the first split of a multi-file scan — a shared scan would
+    silently keep every later file's header lines as data rows. One
+    plan branch per file; header-skipping mainframe drops are
+    file-at-a-time feeds, not million-file lakes."""
     if skip_header_lines:
-        # monotonically_increasing_id is 0-based within the FIRST split
-        # and row order inside a split follows file order, so the
-        # header rows are exactly ids < k — no global window needed.
-        # (Restriction: single file, header within the first split.)
-        if isinstance(paths, list) and len(paths) > 1:
-            raise ValueError("skip_header_lines supports a single file/glob of one file")
-        txt = (
-            txt.withColumn("_rn", F.monotonically_increasing_id())
-            .where(F.col("_rn") >= skip_header_lines)
-            .drop("_rn")
-        )
+        from functools import reduce
+
+        files = _expand_data_files(spark, paths)
+        if not files:
+            raise ValueError(f"no files match {paths!r}")
+
+        def one(f: str) -> DataFrame:
+            # ids are 0-based within the FIRST split and row order
+            # inside a split follows file order, so for a SINGLE file
+            # the header rows are exactly ids < k
+            return (
+                spark.read.text(f)
+                .withColumn("_rn", F.monotonically_increasing_id())
+                .where(F.col("_rn") >= skip_header_lines)
+                .drop("_rn")
+            )
+
+        txt = reduce(DataFrame.unionByName, (one(f) for f in files))
+    else:
+        txt = spark.read.text(paths)
     cols = []
     start = 1
     for name, width in fields:

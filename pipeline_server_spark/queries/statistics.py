@@ -94,7 +94,7 @@ def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rt AS BIGINT) AS row_total,
            CAST(ct AS BIGINT) AS col_total,
            CAST(n * obs - rt * ct AS DOUBLE) * CAST(n * obs - rt * ct AS DOUBLE)
-             / CAST(n * rt * ct AS DOUBLE) AS chi_contrib
+             / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) AS chi_contrib
     FROM marg ORDER BY priority, status
     """,
 )
@@ -132,7 +132,11 @@ def chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             "obs",
             F.col("rt").cast("bigint").alias("row_total"),
             F.col("ct").cast("bigint").alias("col_total"),
-            (diff * diff / (F.col("n") * F.col("rt") * F.col("ct")).cast("double")).alias("chi_contrib"),
+            # denominator factors cast to double BEFORE multiplying:
+            # the bigint triple product n*rt*ct wraps int64 past sf~3
+            (diff * diff
+             / (F.col("n").cast("double") * F.col("rt").cast("double")
+                * F.col("ct").cast("double"))).alias("chi_contrib"),
         )
         .orderBy("priority", "status")
     )

@@ -139,54 +139,75 @@ SESSION_OUTPUT = T.StructType(
 )
 SESSION_STATE = T.StructType(
     [
-        T.StructField("start", T.TimestampType()),
-        T.StructField("last", T.TimestampType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("s", T.DoubleType()),
+        T.StructField("starts", T.ArrayType(T.TimestampType())),
+        T.StructField("lasts", T.ArrayType(T.TimestampType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+        T.StructField("ss", T.ArrayType(T.DoubleType())),
     ]
 )
+
+_SESSION_COLS = ["user_id", "session_start", "session_end", "n_events", "value_sum"]
 
 
 def _make_session_fn(gap_seconds: int):
     gap = pd.Timedelta(seconds=gap_seconds)
 
-    def _session_fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState):
-        # Timeout fired with no new data: the open session is closed by
-        # event-time progress (watermark > last + gap) and emitted.
-        if state.hasTimedOut:
-            start, last, n, s = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [{"user_id": key[0], "session_start": start, "session_end": last,
-                  "n_events": n, "value_sum": s}]
+    def _rows(key, sessions):
+        return pd.DataFrame(
+            [{"user_id": key[0], "session_start": st, "session_end": la,
+              "n_events": n, "value_sum": s} for st, la, n, s in sessions],
+            columns=_SESSION_COLS,
+        )
+
+    def _retain(state: GroupState, open_sessions) -> None:
+        if open_sessions:
+            state.update(tuple(map(list, zip(*open_sessions))))
+            # every retained session has end + gap > watermark, so the
+            # timeout timestamp is legal (must exceed the watermark)
+            next_close = min(la for _, la, _, _ in open_sessions)
+            state.setTimeoutTimestamp(
+                int(next_close.timestamp() * 1000) + gap_seconds * 1000
             )
+        else:
+            state.remove()
+
+    def _session_fn(key: Any, batches: Iterator[pd.DataFrame], state: GroupState):
+        # State holds EVERY session the watermark hasn't sealed — not
+        # just the latest. An in-order stream keeps this list at one
+        # element; out-of-order (but non-late) events can open an
+        # EARLIER session, which a single-session state would silently
+        # fold into the newest one (wrong start, inflated counts). A
+        # session is emitted only once watermark >= end + gap — before
+        # that, a future >=-watermark event could still merge into it
+        # (the same emission rule Spark's built-in session_window uses).
+        wm = pd.Timestamp(state.getCurrentWatermarkMs(), unit="ms")
+
+        if state.hasTimedOut:
+            starts, lasts, ns, ss = state.get
+            sessions = list(zip(starts, lasts, ns, ss))
+            closed = [x for x in sessions if x[1] + gap <= wm]
+            _retain(state, [x for x in sessions if x[1] + gap > wm])
+            yield _rows(key, closed)
             return
 
-        rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
-        out = []
+        rows = pd.concat(list(batches), ignore_index=True)
+        intervals = [
+            (ts, ts, 1, float(v)) for ts, v in zip(rows["ts"], rows["value"])
+        ]
         if state.exists:
-            start, last, n, s = state.get
-        else:
-            start = last = None
-            n, s = 0, 0.0
-        for ts, value in zip(rows["ts"], rows["value"]):
-            if start is None:
-                start, last, n, s = ts, ts, 1, float(value)
-            elif ts - last > gap:
-                out.append({"user_id": key[0], "session_start": start,
-                            "session_end": last, "n_events": n, "value_sum": s})
-                start, last, n, s = ts, ts, 1, float(value)
+            starts, lasts, ns, ss = state.get
+            intervals += list(zip(starts, lasts, ns, ss))
+        intervals.sort(key=lambda x: (x[0], x[1]))
+        merged: list[tuple] = []
+        for st, la, n, s in intervals:
+            if merged and st - merged[-1][1] <= gap:
+                pst, pla, pn, ps = merged[-1]
+                merged[-1] = (pst, max(pla, la), pn + n, ps + s)
             else:
-                last = last if ts <= last else ts
-                n += 1
-                s += float(value)
-        state.update((start, last, n, s))
-        # close the still-open session once event time passes last + gap
-        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_seconds * 1000)
-        yield pd.DataFrame(
-            out, columns=["user_id", "session_start", "session_end",
-                          "n_events", "value_sum"]
-        )
+                merged.append((st, la, n, s))
+        closed = [x for x in merged if x[1] + gap <= wm]
+        _retain(state, [x for x in merged if x[1] + gap > wm])
+        yield _rows(key, closed)
 
     return _session_fn
 

@@ -258,6 +258,54 @@ class TestNullSemantics:
             )
 
 
+class TestNashornNumericsAndStrings:
+    """Nashorn-exact corners: Math.round half-handling and string
+    escape sequences."""
+
+    def test_math_round_half_toward_plus_infinity(self, spark):
+        # JS: round(2.5)=3, round(-2.5)=-2, round(3.5)=4 — not HALF_UP
+        # (Spark round: -2.5 -> -3) and not banker's (Python: 2.5 -> 2)
+        df = spark.createDataFrame(
+            [(2.5,), (-2.5,), (3.5,), (-3.5,), (2.4,)], ["v"]
+        )
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('r', Math.round(v));
+        map
+        """
+        spec = translate_transformation_script(src, ["v"])
+        out = apply_column_expressions(df, spec.expressions, spec.drop_predicate)
+        got = {r["v"]: r["r"] for r in out.collect()}
+        assert got == {2.5: 3.0, -2.5: -2.0, 3.5: 4.0, -3.5: -3.0, 2.4: 2.0}
+
+    def test_math_round_literal_matches_column_path(self, spark):
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('a', Math.round(2.5));
+        map.put('b', Math.round(-2.5));
+        map
+        """
+        spec = translate_transformation_script(src, ["v"])
+        out = apply_column_expressions(df, spec.expressions, spec.drop_predicate)
+        r = out.collect()[0]
+        assert (r["a"], r["b"]) == (3.0, -2.0)
+
+    def test_string_escapes_are_real_control_chars(self, spark):
+        df = spark.createDataFrame([("x",)], ["v"])
+        src = r"""
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('msg', 'line1\nline2\tend');
+        map
+        """
+        spec = translate_transformation_script(src, ["v"])
+        out = apply_column_expressions(df, spec.expressions, spec.drop_predicate)
+        assert out.collect()[0]["msg"] == "line1\nline2\tend"
+
+
 class TestRejections:
     """Outside the subset → a named JsTranslationError, never silence."""
 

@@ -532,6 +532,27 @@ class TestFixedWidth:
         rows = sorted((r["code"], r["num"]) for r in df.collect())
         assert rows == [("AB  ", "12"), ("CD  ", "34")]
 
+    def test_header_skip_applies_per_file_under_glob(self, spark, tmp_path):
+        """A glob matching several files must drop EVERY file's header,
+        not just the first split's (a shared scan would keep later
+        files' header lines as data rows)."""
+        from pipeline_server_spark.pipeline.readers import read_fixed_width
+
+        for i in range(3):
+            (tmp_path / f"part{i}.txt").write_text(
+                f"HEADER{i}\nA{i}01\nB{i}02\n"
+            )
+        df = read_fixed_width(
+            spark, str(tmp_path / "part*.txt"), [("code", 2), ("num", 2)],
+            skip_header_lines=1,
+        )
+        rows = sorted((r["code"], r["num"]) for r in df.collect())
+        assert rows == sorted(
+            (f"{ch}{i}", f"0{k}") for i in range(3)
+            for ch, k in (("A", 1), ("B", 2))
+        )
+        assert not any(code.startswith("HE") for code, _ in rows)
+
 
 class TestApproxEquiDepth:
     def test_buckets_are_balanced_and_cover(self, spark):

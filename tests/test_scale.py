@@ -462,3 +462,34 @@ def test_optimize_zorder_empty_snapshot(spark, tmp_path):
     t.commit(spark.createDataFrame([], schema))
     assert optimize_zorder_snapshot(t, ["a", "b"]) == 2
     assert t.read().count() == 0
+
+
+def test_skipping_index_null_stats_never_prunes(spark, tmp_path):
+    """A file whose index stats are NULL (writer without statistics /
+    stats-less row group) must ALWAYS be read — unknown means
+    may-overlap; a NULL comparison would silently drop its rows."""
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.scale import read_with_skipping
+
+    path = str(tmp_path / "nulled")
+    spark.createDataFrame([(5, 100), (15, 200)], ["a", "payload"]) \
+        .coalesce(1).write.parquet(path)
+    import os
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    idx = spark.createDataFrame(
+        [(files[0], 2, None, None)],
+        T.StructType([
+            T.StructField("file", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("a_min", T.IntegerType()),
+            T.StructField("a_max", T.IntegerType()),
+        ]),
+    )
+    got, files_read, files_total = read_with_skipping(
+        spark, path, idx, {"a": (10, 20)}
+    )
+    assert (files_read, files_total) == (1, 1)
+    assert [r["a"] for r in got.collect()] == [15]

@@ -213,10 +213,9 @@ def test_ppjoin_candidate_work_scales_linearly(spark, n):
     docs = _zipf_docs(spark, n)
     elems = shingles(docs).select("doc_id", F.col("shingle").alias("tok"))
     ordered = _ppjoin_ordered(elems, 7, 10)
-    try:
-        n_cand = ppjoin_candidates(ordered, 7, 10).count()
-    finally:
-        ordered.unpersist()
+    # localCheckpoint blocks are reclaimed by the ContextCleaner once
+    # `ordered` goes out of scope — no explicit unpersist needed
+    n_cand = ppjoin_candidates(ordered, 7, 10).count()
     per_doc = n_cand / n
     print(f"\n[scale-invariance] ppjoin n={n} candidates={n_cand} "
           f"per_doc={per_doc:.2f}")

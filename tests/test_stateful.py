@@ -160,3 +160,52 @@ def test_streaming_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
             for s in by_user[1]] == [(10, 3), (2, 2)]
     # user 2: one 1-minute session of 2 events (closed by timeout)
     assert [(s.n_events,) for s in by_user[2]] == [(2,)]
+
+
+def test_streaming_sessionize_out_of_order_earlier_session(spark, tmp_path):
+    """A non-late event OLDER than the open session must form its own
+    separate session — not silently fold into the newer session (which
+    would report the wrong start and inflated counts)."""
+    import datetime as dt
+
+    from pipeline_server_spark.streaming.stateful import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, minutes, value=1.0):
+        return (uid, t0 + dt.timedelta(minutes=minutes), value)
+
+    cols = ["user_id", "ts", "value"]
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    # batch 1 opens session [12:00, 12:10]
+    spark.createDataFrame([ev(1, 0), ev(1, 10)], cols) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: event 2h EARLIER (10:00) — within the 3h watermark, so
+    # not late; must become its own session
+    spark.createDataFrame([ev(1, -120)], cols) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    # batch 3: far-future event closes everything via timeout
+    spark.createDataFrame([ev(9, 600)], cols) \
+        .coalesce(1).write.parquet(str(src / "b3"))
+
+    schema = spark.createDataFrame([ev(1, 0)], cols).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="3 hours")
+        .writeStream.outputMode("append").format("memory").queryName("ooo_out")
+        .option("checkpointLocation", str(tmp_path / "ooo_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql(
+        "SELECT * FROM ooo_out WHERE user_id = 1 ORDER BY session_start"
+    ).collect()
+    got = [((r.session_end - r.session_start).seconds // 60, r.n_events)
+           for r in rows]
+    assert got == [(0, 1), (10, 2)], rows
