@@ -18,7 +18,7 @@ deliberate physical-design choices a 100 TB deployment makes):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -380,4 +380,55 @@ def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
         clustered,
         stats_cols=tuple(cols),
         metadata={"operation": "optimize_zorder", "cols": list(cols)},
+    )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "cum_end",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Global running SUM of ``value_col`` in ``order_col`` order —
+    WITHOUT the single-partition global window that
+    ``SUM() OVER (ORDER BY ...)`` plans (the classic 100 TB
+    bottleneck: every row through one task). Two-level scan instead:
+
+    1. range-bucket rows by ``order_col`` (order-preserving integer
+       division, bounds from one 2-scalar aggregate);
+    2. per-bucket totals (tiny: ``buckets`` rows) get a cumulative
+       offset via a window over the BUCKET table;
+    3. offsets broadcast-join back; a window PARTITIONED by bucket
+       adds the within-bucket running sum.
+
+    Every data-sized operation is partition-parallel; the only
+    sequential scan is over ~``buckets`` rows. ``order_col`` must be
+    numeric and UNIQUE (the total order that makes the prefix sum
+    well-defined). ``out`` is the INCLUSIVE running total; subtract
+    ``value_col`` for the exclusive prefix."""
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return df.withColumn(out, F.lit(None).cast("bigint"))
+    width = max(1, (int(hi) - int(lo) + buckets) // buckets)
+    b = df.withColumn(
+        "_bkt", F.expr(f"({order_col} - {int(lo)}) div {width}")
+    )
+    totals = b.groupBy("_bkt").agg(F.sum(value_col).alias("_bt"))
+    offsets = totals.select(
+        "_bkt",
+        (F.sum("_bt").over(
+            Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+        )).alias("_off"),
+    ).fillna({"_off": 0})
+    local = Window.partitionBy("_bkt").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out, (F.col("_off") + F.sum(value_col).over(local)).cast("bigint"))
+        .drop("_bkt", "_off")
     )

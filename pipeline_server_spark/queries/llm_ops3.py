@@ -256,3 +256,67 @@ def train_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_PPS_K = 50
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_end
+      FROM w),
+    t AS (SELECT SUM(n_tokens) AS total FROM w),
+    p AS (
+      SELECT doc_id, n_tokens, cum_end, cum_end - n_tokens AS cum_start,
+             total // {_PPS_K} AS step, (total // {_PPS_K}) // 2 AS off
+      FROM c, t)
+    SELECT doc_id, n_tokens,
+           CAST((cum_end - off + step - 1) // step
+              - (cum_start - off + step - 1) // step AS BIGINT) AS n_points
+    FROM p
+    WHERE (cum_end - off + step - 1) // step
+        > (cum_start - off + step - 1) // step
+    ORDER BY doc_id
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample of documents
+    weighted by token count — the deterministic weighted sampler
+    (sample points at offset + m*step over the cumulative weight line)
+    that replaces rand()-based weighted sampling when reproducibility
+    across engines/reruns matters. All integer arithmetic: exact and
+    bit-identical in both engines; sum(n_points) == k by construction.
+
+    Scale shape: the cumulative weight line comes from
+    :func:`~...operators.scale.distributed_prefix_sum` — a TWO-LEVEL
+    scan (range buckets → tiny bucket-offset window → per-bucket local
+    windows), NOT the single-partition global window ``SUM() OVER
+    (ORDER BY ...)`` plans; the only sequential pass is over ~1024
+    bucket rows. The grand total rides a broadcast 1-row crossJoin."""
+    from pipeline_server_spark.operators.scale import distributed_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    c = distributed_prefix_sum(d, "doc_id", "n_tokens", out="cum_end")
+    total = d.agg(F.sum("n_tokens").alias("total"))
+    p = (
+        c.crossJoin(F.broadcast(total))
+        .withColumn("step", F.expr(f"total div {_PPS_K}"))
+        .withColumn("off", F.expr("step div 2"))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    s_end = F.expr("(cum_end - off + step - 1) div step")
+    s_start = F.expr("(cum_start - off + step - 1) div step")
+    return (
+        p.withColumn("n_points", (s_end - s_start).cast("bigint"))
+        .where(F.col("n_points") > 0)
+        .select("doc_id", "n_tokens", "n_points")
+        .orderBy("doc_id")
+    )

@@ -443,3 +443,54 @@ class TestPrefixFilterJoin:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDistributedPrefixSum:
+    def test_matches_global_window(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from pipeline_server_spark.operators.scale import distributed_prefix_sum
+
+        df = spark.range(10_000).select(
+            (F.col("id") * 7 % 9973).alias("k"),
+            (F.col("id") % 13 + 1).alias("w"),
+        ).groupBy("k").agg(F.sum("w").alias("w"))  # unique order col
+        got = distributed_prefix_sum(df, "k", "w", buckets=64)
+        expected = df.withColumn(
+            "exp", F.sum("w").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            )
+        )
+        diff = (
+            got.join(expected, ["k", "w"])
+            .where(F.col("cum_end") != F.col("exp"))
+            .count()
+        )
+        assert diff == 0
+        assert got.count() == df.count()
+
+    def test_empty_frame(self, spark):
+        from pyspark.sql import types as T
+
+        from pipeline_server_spark.operators.scale import distributed_prefix_sum
+
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("w", T.LongType())])
+        out = distributed_prefix_sum(spark.createDataFrame([], schema), "k", "w")
+        assert out.count() == 0
+
+    def test_pps_sample_invariants(self, spark):
+        """sum(n_points) == k exactly, and the sample is deterministic
+        across runs (the whole point vs rand()-weighted sampling)."""
+        import pyspark.sql.functions as F
+
+        from pipeline_server_spark.queries import QUERIES
+
+        a = QUERIES["pps_systematic_sample"](spark, SF_DIR)
+        total = a.agg(F.sum("n_points").alias("s")).first()["s"]
+        assert total == 50
+        rows_a = [tuple(r) for r in a.collect()]
+        rows_b = [tuple(r) for r in
+                  QUERIES["pps_systematic_sample"](spark, SF_DIR).collect()]
+        assert rows_a == rows_b
