@@ -111,8 +111,10 @@ def ngram_jaccard_pairs(
     shingles appearing in more than that many docs (stop-shingles) —
     they cannot decide near-duplicates but dominate join fan-out at
     scale."""
-    sh = shingles(df, id_col, text_col, n).cache()
-    sh.count()  # materialize: reused by sizes + both join sides
+    # localCheckpoint, not .cache(): reused by sizes + both join
+    # sides, and the blocks are ContextCleaner-reclaimed when the plan
+    # is GC'd (a CacheManager entry would outlive every reference)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -302,9 +304,11 @@ def minhash_lsh_dedup_pairs(
     operations are the (band, key) candidate self-join and the
     candidate↔array joins for verification; verification itself is
     per-pair ``array_intersect`` on ~|doc| element long-arrays."""
-    hashed = hashed_shingle_arrays(df, id_col, text_col, n).cache()
-    hashed.count()  # materialize: reused 3× inside ONE downstream action
-    # (cache alone doesn't help there — Spark recomputes within a job)
+    # localCheckpoint (eager), not .cache(): reused 3x inside ONE
+    # downstream action (plain cache doesn't even help there — Spark
+    # recomputes within a job) and reclaimed on GC, not leaked in the
+    # CacheManager
+    hashed = hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures_from_arrays(hashed, num_perm)
     cand = lsh_candidate_pairs(sigs, bands, num_perm // bands)
 
@@ -648,8 +652,7 @@ def minhash_lsh_incremental_pairs(
     when the batch is small), and only candidate corpus docs ship their
     shingle arrays to verification."""
     hc = hashed_shingle_arrays(corpus, id_col, text_col, n)
-    hb = hashed_shingle_arrays(batch, id_col, text_col, n).cache()
-    hb.count()
+    hb = hashed_shingle_arrays(batch, id_col, text_col, n).localCheckpoint(eager=True)
     rpb = num_perm // bands
     bc = band_buckets(minhash_signatures_from_arrays(hc, num_perm), bands, rpb)
     bb = band_buckets(minhash_signatures_from_arrays(hb, num_perm), bands, rpb)
