@@ -732,7 +732,10 @@ def _ppjoin_ordered(toks: DataFrame, t_num: int, t_den: int) -> DataFrame:
             "plen",
             F.expr(f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1"),
         )
-        .localCheckpoint(eager=False)
+        # eager: all three uses (prefix + both verify sides) run inside
+        # ONE downstream action, where a lazy checkpoint (like a plain
+        # cache) would still recompute the subtree per use
+        .localCheckpoint(eager=True)
     )
 
 

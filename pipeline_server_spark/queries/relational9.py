@@ -558,3 +558,95 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out.orderBy("relationship")
+
+
+@query(
+    "kmv_daily_to_weekly_merge",
+    oracle="""
+    WITH hv AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day,
+             (user_id * 2654435761) % 4294967296 AS hv
+      FROM events),
+    daily AS (
+      SELECT day, hv,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn
+      FROM hv),
+    sketch AS (SELECT day, hv FROM daily WHERE rn <= 64),
+    weekly_in AS (
+      SELECT DISTINCT date_trunc('week', day) AS week, hv FROM sketch),
+    weekly AS (
+      SELECT week, hv,
+             ROW_NUMBER() OVER (PARTITION BY week ORDER BY hv) AS rn
+      FROM weekly_in),
+    est AS (
+      SELECT week,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS kth,
+             COUNT(*) AS n_sketch
+      FROM weekly WHERE rn <= 64 GROUP BY week),
+    exact AS (
+      SELECT date_trunc('week', ts) AS week,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1)
+    SELECT strftime(exact.week, '%Y-%m-%d') AS week,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END AS kmv_estimate,
+           ABS(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                    ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END
+               - exact_distinct) / exact_distinct <= 0.35 AS within_tol
+    FROM est JOIN exact ON est.week = exact.week
+    ORDER BY week
+    """,
+)
+def kmv_daily_to_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION — the operation mergeable sketches exist
+    for: per-day KMV partials (64 rows/day, the shape a pipeline
+    persists nightly) merge to weekly distinct-user estimates touching
+    ONLY sketch rows, never the raw events again. Correctness of the
+    merge is structural, not approximate-on-approximate: the k
+    smallest of a week's union are a subset of the union of its days'
+    k-smallest, so the merged sketch EQUALS the sketch built directly
+    from the week's raw data. Same Knuth-multiplicative exact-BIGINT
+    hash as ``kmv_distinct_sketch`` (bit-identical cross-engine);
+    estimates tolerance-gated against exact weekly distincts. Scale
+    shape: one distinct + per-day window over data; everything after
+    is sketch-sized (64 x days)."""
+    e = load_table(spark, sf_dir, "events")
+    hv = ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("hv")
+    daily_in = e.select(F.date_trunc("day", "ts").alias("day"), hv).distinct()
+    from pyspark.sql import Window as W
+
+    rn_d = F.row_number().over(W.partitionBy("day").orderBy("hv"))
+    sketch = daily_in.withColumn("rn", rn_d).where(F.col("rn") <= 64).select("day", "hv")
+    weekly_in = sketch.select(
+        F.date_trunc("week", "day").alias("week"), "hv"
+    ).distinct()
+    rn_w = F.row_number().over(W.partitionBy("week").orderBy("hv"))
+    est = (
+        weekly_in.withColumn("rn", rn_w)
+        .where(F.col("rn") <= 64)
+        .groupBy("week")
+        .agg(
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("kth"),
+            F.count(F.lit(1)).alias("n_sketch"),
+        )
+    )
+    exact = (
+        e.select(F.date_trunc("week", "ts").alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    kmv = F.when(
+        F.col("n_sketch") < 64, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(63.0) * F.lit(4294967296.0) / F.col("kth").cast("double"))
+    return (
+        est.join(exact, "week")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            kmv.alias("kmv_estimate"),
+            ((F.abs(kmv - F.col("exact_distinct")) / F.col("exact_distinct"))
+             <= 0.35).alias("within_tol"),
+        )
+        .orderBy("week")
+    )

@@ -126,6 +126,11 @@ SHOW = {
         "referential-integrity sweep: every parent side broadcast, "
         "one pass per fact table, no fact-side shuffle"
     ),
+    "pps_systematic_sample": (
+        "weighted systematic sample over a DISTRIBUTED prefix sum: "
+        "range buckets + tiny offset window, no single-partition "
+        "global window"
+    ),
 }
 
 
