@@ -423,6 +423,85 @@ class VersionedTable:
                 raise
         return version
 
+    def commit_append(self, df: DataFrame,
+                      partition_by: tuple[str, ...] | list[str] = (),
+                      metadata: dict | None = None,
+                      stats_cols: tuple[str, ...] | list[str] = ()) -> int:
+        """Append-only commit in O(batch): write ONLY the new rows into
+        the next version directory, then HARDLINK the previous
+        version's data files in — versus ``commit(read() ∪ batch)``,
+        which rewrites the ENTIRE table every commit (the write
+        amplification that makes per-micro-batch appends O(table) at
+        scale). Links share inodes, so vacuuming an old version
+        unlinks its names without touching data the newer version
+        still references, and every version stays a self-contained
+        directory (time travel, CDF, and readers unchanged). On an
+        object store substitute a server-side copy for ``os.link`` —
+        still metadata-cost, no data transfer through the writer.
+
+        Filename collisions cannot occur: Spark part-file names embed
+        a per-job UUID. ``stats_cols`` rebuilds the skipping index over
+        all files (footer metadata reads, O(#files) not O(rows))."""
+        import json
+        import uuid
+
+        put = getattr(self.fs, "put_if_absent", None)
+        current = self.current_version()
+        version = (current or 0) + 1
+        if current is not None:
+            # linked files are read with the batch's footer schema —
+            # appends must match (schema evolution goes through the
+            # full commit/merge path, which rewrites)
+            prev_cols = set(self.read(current).columns)
+            if set(df.columns) != prev_cols:
+                raise ValueError(
+                    f"commit_append schema mismatch: batch {sorted(df.columns)}"
+                    f" vs table {sorted(prev_cols)}; use commit()/merge for evolution"
+                )
+        target = self._version_dir(version)
+        if put is not None:
+            target = f"{target}-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format(self.file_format).save(target)
+        if current is not None:
+            prev = self._resolve_dir(current)
+            for root, dirs, names in os.walk(prev):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                rel = os.path.relpath(root, prev)
+                for name in names:
+                    if name.startswith(("_", ".")):
+                        continue
+                    dst_dir = (target if rel == "." else
+                               os.path.join(target, rel))
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.link(os.path.join(root, name),
+                            os.path.join(dst_dir, name))
+        if metadata:
+            with open(os.path.join(target, "_meta.json"), "w") as f:
+                json.dump(metadata, f)
+        if stats_cols:
+            from pipeline_server_spark.operators.scale import build_skipping_index
+
+            build_skipping_index(self.spark, target, list(stats_cols),
+                                 schema=df.schema) \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(target, "_index"))
+        tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "dir": os.path.basename(target)}, f)
+        if put is None:
+            self.fs.rename(tmp, self._manifest_path())  # THE commit point
+        else:
+            os.makedirs(self._commits_dir(), exist_ok=True)
+            try:
+                put(tmp, self._commit_file(version))  # THE commit point
+            except CommitConflictError:
+                self.fs.remove(target)
+                raise
+        return version
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: latest when ``version`` is None, else time
         travel to any un-vacuumed version."""

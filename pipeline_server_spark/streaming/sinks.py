@@ -53,13 +53,11 @@ def exactly_once_append_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_batch_ids(table, scan_last):
             return  # replay after failure — already committed
-        current = table.current_version()
-        combined = (
-            batch_df if current is None
-            else table.read().unionByName(batch_df, allowMissingColumns=True)
-        )
-        table.commit(combined, partition_by=partition_by,
-                     metadata={"batch_id": int(batch_id)})
+        # commit_append writes ONLY the batch and hardlinks the prior
+        # version's files — O(batch) per micro-batch, not the O(table)
+        # rewrite of commit(read() ∪ batch)
+        table.commit_append(batch_df, partition_by=partition_by,
+                            metadata={"batch_id": int(batch_id)})
 
     return apply
 

@@ -360,3 +360,69 @@ class TestVersionedSkippingIndex:
         got, files_read, files_total = t.read_pruned({"a": (3, 4)})
         assert files_read == files_total > 0
         assert got.count() == 20
+
+
+class TestCommitAppend:
+    def test_append_is_o_batch_and_versions_correct(self, spark, tmp_path):
+        """commit_append links the prior version's files: reads equal
+        the cumulative union, time travel works, and version N's new
+        bytes are only the batch (link count > 1 on shared files)."""
+        import os
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "app"))
+        b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+        b2 = spark.createDataFrame([(3, "c")], ["k", "s"])
+        b3 = spark.createDataFrame([(4, "d"), (5, "e")], ["k", "s"])
+        assert t.commit_append(b1) == 1
+        assert t.commit_append(b2) == 2
+        assert t.commit_append(b3) == 3
+
+        assert {r["k"] for r in t.read(1).collect()} == {1, 2}
+        assert {r["k"] for r in t.read(2).collect()} == {1, 2, 3}
+        assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4, 5}
+
+        # v3 shares v2's data files by inode (no rewrite)
+        v3 = t._resolve_dir(3)
+        shared = [
+            f for f in os.listdir(v3)
+            if f.endswith(".parquet") and os.stat(os.path.join(v3, f)).st_nlink > 1
+        ]
+        assert shared, "no hardlinked files — append rewrote the table"
+
+    def test_append_survives_vacuum_of_old_versions(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "appv"))
+        t.commit_append(spark.createDataFrame([(1, "a")], ["k", "s"]))
+        t.commit_append(spark.createDataFrame([(2, "b")], ["k", "s"]))
+        t.commit_append(spark.createDataFrame([(3, "c")], ["k", "s"]))
+        t.vacuum(keep=1)
+        # old version names gone, but the latest still reads everything
+        # (hardlinks keep shared inodes alive)
+        assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+
+    def test_append_partitioned_layout(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "appp"))
+        t.commit_append(
+            spark.createDataFrame([(1, "x"), (2, "y")], ["k", "p"]),
+            partition_by=("p",),
+        )
+        t.commit_append(
+            spark.createDataFrame([(3, "x")], ["k", "p"]), partition_by=("p",)
+        )
+        got = {(r["k"], r["p"]) for r in t.read().collect()}
+        assert got == {(1, "x"), (2, "y"), (3, "x")}
+
+    def test_append_schema_mismatch_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "apps"))
+        t.commit_append(spark.createDataFrame([(1, "a")], ["k", "s"]))
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            t.commit_append(spark.createDataFrame([(2,)], ["k"]))
