@@ -152,14 +152,18 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
         table = VersionedTable(spark, dest.path, dest.file_format)
         base = None if dest.delete_before_write else table.current_version()
         if base is None or dest.write_mode == "overwrite":
-            merged = staged
+            version = table.commit(staged, dest.partition_by)
         elif dest.write_mode == "merge":
             merged = merge_upsert_frames(
                 table.read(), staged.select(*table.read().columns), list(dest.key_fields)
             )
-        else:  # append = previous snapshot ∪ batch, as a NEW snapshot
-            merged = table.read().unionByName(staged)
-        version = table.commit(merged, dest.partition_by)
+            version = table.commit(merged, dest.partition_by)
+        else:
+            # append: O(batch) commit — only the batch is written, the
+            # prior snapshot's files are linked in (no full rewrite)
+            version = table.commit_append(
+                staged.select(*table.read().columns), dest.partition_by
+            )
         return RunResult(
             config.name, int(obs.get["rows"]), report,
             {"version": version, "rejected_rows": rejected_rows,

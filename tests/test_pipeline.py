@@ -837,3 +837,34 @@ def test_run_dataset_js_dq_rule_runs_in_lifecycle(spark, tmp_path):
     assert result.dq.rule_counts["js_row_rule"] == 1
     assert result.dq.warning_count == 1
     assert result.rows_written == 2  # warnings don't block the load
+
+
+def test_run_dataset_versioned_append_links_not_rewrites(spark, tmp_path, orders_csv):
+    """write_mode=append on a versioned destination commits O(batch):
+    the second ingest's version shares the first version's files by
+    inode instead of rewriting the table."""
+    import os
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    config = DatasetConfig(
+        name="orders_versioned_append",
+        source=_csv_source(),
+        destination=DestinationConfig(
+            fields=ORDER_FIELDS,
+            path=str(tmp_path / "vta"),
+            write_mode="append",
+            versioned=True,
+        ),
+    )
+    r1 = run_dataset(spark, config, orders_csv)
+    r2 = run_dataset(spark, config, orders_csv)
+    assert (r1.details["version"], r2.details["version"]) == (1, 2)
+    t = VersionedTable(spark, config.destination.path)
+    assert t.read(2).count() == 2 * t.read(1).count() > 0
+    v2 = t._resolve_dir(2)
+    shared = [
+        f for f in os.listdir(v2)
+        if f.endswith(".parquet") and os.stat(os.path.join(v2, f)).st_nlink > 1
+    ]
+    assert shared, "append rewrote the table instead of linking"
