@@ -154,10 +154,19 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
         if base is None or dest.write_mode == "overwrite":
             version = table.commit(staged, dest.partition_by)
         elif dest.write_mode == "merge":
-            merged = merge_upsert_frames(
-                table.read(), staged.select(*table.read().columns), list(dest.key_fields)
-            )
-            version = table.commit(merged, dest.partition_by)
+            if len(dest.partition_by) == 1:
+                # O(touched partitions): rewrite only the partitions
+                # the batch touches, hardlink the rest
+                version = table.commit_merge_partitioned(
+                    staged.select(*table.read().columns),
+                    list(dest.key_fields), dest.partition_by[0],
+                )
+            else:
+                merged = merge_upsert_frames(
+                    table.read(), staged.select(*table.read().columns),
+                    list(dest.key_fields),
+                )
+                version = table.commit(merged, dest.partition_by)
         else:
             # append: O(batch) commit — only the batch is written, the
             # prior snapshot's files are linked in (no full rewrite)

@@ -502,6 +502,87 @@ class VersionedTable:
                 raise
         return version
 
+    def commit_merge_partitioned(self, source: DataFrame, keys: list[str],
+                                 partition_col: str,
+                                 sequence_col: str | None = None,
+                                 metadata: dict | None = None) -> int:
+        """Keyed MERGE in O(touched partitions): merge the source only
+        against target rows in the partitions the source touches,
+        write those partitions into the next version, and HARDLINK
+        every untouched partition directory from the previous version
+        — versus ``commit(merge_upsert_frames(read(), source, keys))``,
+        which rewrites the ENTIRE table per merge batch. A CDC batch
+        that touches 3 of 10,000 date partitions writes 3.
+
+        Single partition column (the common date/tenant layout);
+        touched partitions are identified by a distinct over the
+        source (batch-sized) and pruned target-side with a broadcast
+        left-semi join — no driver-built OR-chain. Untouched
+        directories are matched by DECODING Hive-escaped partition dir
+        names (percent escapes, ``__HIVE_DEFAULT_PARTITION__`` for
+        null) against the source's partition values rendered as
+        strings. Falls back to requiring a first commit via
+        :meth:`commit`."""
+        import json
+        import urllib.parse
+        import uuid
+
+        current = self.current_version()
+        if current is None:
+            return self.commit(source, partition_by=(partition_col,),
+                               metadata=metadata)
+        target_df = self.read(current)
+        touched = source.select(partition_col).distinct()
+        touched_vals = {
+            "__HIVE_DEFAULT_PARTITION__" if r[0] is None else str(r[0])
+            for r in touched.collect()  # batch-sized, bounded
+        }
+        tgt_touched = target_df.join(
+            F.broadcast(touched), on=partition_col, how="left_semi"
+        )
+        merged = merge_upsert_frames(tgt_touched, source, keys, sequence_col)
+
+        put = getattr(self.fs, "put_if_absent", None)
+        version = current + 1
+        target = self._version_dir(version)
+        if put is not None:
+            target = f"{target}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(partition_col) \
+            .format(self.file_format).save(target)
+        prev = self._resolve_dir(current)
+        prefix = f"{partition_col}="
+        for name in os.listdir(prev):
+            if not name.startswith(prefix):
+                continue
+            value = urllib.parse.unquote(name[len(prefix):])
+            if value in touched_vals:
+                continue  # rewritten above
+            src_dir = os.path.join(prev, name)
+            dst_dir = os.path.join(target, name)
+            for root, dirs, files in os.walk(src_dir):
+                rel = os.path.relpath(root, src_dir)
+                out = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+                os.makedirs(out, exist_ok=True)
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        os.link(os.path.join(root, f), os.path.join(out, f))
+        if metadata:
+            with open(os.path.join(target, "_meta.json"), "w") as f:
+                json.dump(metadata, f)
+        tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "dir": os.path.basename(target)}, f)
+        if put is None:
+            self.fs.rename(tmp, self._manifest_path())  # THE commit point
+        else:
+            os.makedirs(self._commits_dir(), exist_ok=True)
+            try:
+                put(tmp, self._commit_file(version))  # THE commit point
+            except CommitConflictError:
+                self.fs.remove(target)
+                raise
+        return version
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: latest when ``version`` is None, else time
         travel to any un-vacuumed version."""

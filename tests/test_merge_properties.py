@@ -426,3 +426,66 @@ class TestCommitAppend:
         t.commit_append(spark.createDataFrame([(1, "a")], ["k", "s"]))
         with _pytest.raises(ValueError, match="schema mismatch"):
             t.commit_append(spark.createDataFrame([(2,)], ["k"]))
+
+
+class TestCommitMergePartitioned:
+    def test_merge_rewrites_only_touched_partitions(self, spark, tmp_path):
+        import os
+
+        from pipeline_server_spark.pipeline.writers import (
+            VersionedTable,
+            merge_upsert_frames,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "pm"))
+        base = spark.createDataFrame(
+            [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+             (3, "2024-01-02", "c"), (4, "2024-01-03", "d")],
+            ["k", "day", "s"],
+        )
+        t.commit(base, partition_by=("day",))
+        batch = spark.createDataFrame(
+            [(2, "2024-01-01", "B"), (5, "2024-01-03", "e")],
+            ["k", "day", "s"],
+        )
+        v2 = t.commit_merge_partitioned(batch, ["k"], "day")
+        assert v2 == 2
+
+        # result equals the full-rewrite merge
+        expected = {
+            (r["k"], str(r["day"]), r["s"])
+            for r in merge_upsert_frames(t.read(1), batch, ["k"]).collect()
+        }
+        got = {(r["k"], str(r["day"]), r["s"]) for r in t.read(2).collect()}
+        assert got == expected
+        assert got == {(1, "2024-01-01", "a"), (2, "2024-01-01", "B"),
+                       (3, "2024-01-02", "c"), (4, "2024-01-03", "d"),
+                       (5, "2024-01-03", "e")}
+
+        # the untouched 2024-01-02 partition is hardlinked, not rewritten
+        v2dir = t._resolve_dir(2)
+        untouched = os.path.join(v2dir, "day=2024-01-02")
+        links = [
+            f for f in os.listdir(untouched)
+            if f.endswith(".parquet")
+            and os.stat(os.path.join(untouched, f)).st_nlink > 1
+        ]
+        assert links, "untouched partition was rewritten"
+        # and the touched partitions were NOT linked (fresh files)
+        touched_dir = os.path.join(v2dir, "day=2024-01-01")
+        assert all(
+            os.stat(os.path.join(touched_dir, f)).st_nlink == 1
+            for f in os.listdir(touched_dir) if f.endswith(".parquet")
+        )
+
+    def test_merge_partitioned_bootstrap_and_time_travel(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "pmb"))
+        b1 = spark.createDataFrame([(1, "x", "a")], ["k", "p", "s"])
+        assert t.commit_merge_partitioned(b1, ["k"], "p") == 1
+        b2 = spark.createDataFrame([(1, "x", "A"), (2, "y", "b")],
+                                   ["k", "p", "s"])
+        assert t.commit_merge_partitioned(b2, ["k"], "p") == 2
+        assert {(r["k"], r["s"]) for r in t.read(1).collect()} == {(1, "a")}
+        assert {(r["k"], r["s"]) for r in t.read(2).collect()} == {(1, "A"), (2, "b")}
