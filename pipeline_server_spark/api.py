@@ -268,6 +268,11 @@ class PipelineApiServer:
             if method == "GET" and path == "/dataset/versions":
                 (name,) = need("name")
                 return 200, self.engine.versions(name)
+            if method == "POST" and path == "/dataset/tag":
+                name, tag = need("name", "tag")
+                return 200, self.engine.tag_version(
+                    name, tag, int(q["version"]) if "version" in q else None
+                )
             if method == "GET" and path == "/dataset/changes":
                 name, v_from = need("name", "from")
                 return 200, self.engine.changes(

@@ -161,7 +161,22 @@ class Engine:
         if not dest.versioned or dest.path is None:
             raise ValueError(f"dataset {name!r} has no versioned destination")
         table = VersionedTable(self.spark, dest.path, dest.file_format)
-        return {"versions": table.versions(), "current": table.current_version()}
+        return {"versions": table.versions(), "current": table.current_version(),
+                "tags": table.tags()}
+
+    def tag_version(self, name: str, tag: str,
+                    version: int | None = None) -> dict[str, Any]:
+        """Pin a named ref on a versioned dataset destination (default:
+        current version) — the control-plane face of
+        :meth:`VersionedTable.tag`."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        config = self._configs[name]
+        dest = config.destination
+        if not dest.versioned or dest.path is None:
+            raise ValueError(f"dataset {name!r} has no versioned destination")
+        table = VersionedTable(self.spark, dest.path, dest.file_format)
+        return {"tag": tag, "version": table.tag(tag, version)}
 
     def changes(self, name: str, v_from: int, v_to: int | None = None,
                 limit: int = 10_000) -> dict[str, Any]:

@@ -583,13 +583,70 @@ class VersionedTable:
                 raise
         return version
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read: latest when ``version`` is None, else time
-        travel to any un-vacuumed version."""
+    def read(self, version: int | None = None,
+             tag: str | None = None) -> DataFrame:
+        """Snapshot read: latest when neither ``version`` nor ``tag``
+        is given; else time travel to the un-vacuumed version (by
+        number or by named tag)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.tag_version(tag)
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         return self.spark.read.format(self.file_format).load(self._resolve_dir(v))
+
+    # -- named refs (Iceberg-style tags) ---------------------------------
+    def _tags_dir(self) -> str:
+        return os.path.join(self.root, "_tags")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a NAME to a version (default: current) — the 'prod' /
+        'validated' / 'train-v3' ref a consumer reads by meaning
+        instead of by number. Re-tagging moves the name atomically
+        (tmp-write + rename); the version must exist and survives
+        vacuum only if within the keep window — pin tags before
+        vacuuming, or vacuum with a larger keep."""
+        import json
+        import uuid
+
+        v = version if version is not None else self.current_version()
+        if v is None or v not in self.versions():
+            raise ValueError(f"cannot tag nonexistent version {v}")
+        if "/" in name or name.startswith((".", "_")):
+            raise ValueError(f"invalid tag name {name!r}")
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        tmp = os.path.join(self._tags_dir(), f".{name}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, os.path.join(self._tags_dir(), name))
+        return v
+
+    def tag_version(self, name: str) -> int:
+        import json
+
+        path = os.path.join(self._tags_dir(), name)
+        try:
+            with open(path) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise ValueError(f"no such tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.isdir(self._tags_dir()):
+            return {}
+        return {
+            n: self.tag_version(n)
+            for n in os.listdir(self._tags_dir())
+            if not n.startswith(".")
+        }
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._tags_dir(), name))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag {name!r}") from None
 
     def to_view(self, name: str, version: int | None = None) -> str:
         """Register a snapshot as a temp view so the full ``spark.sql``

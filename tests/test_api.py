@@ -315,7 +315,15 @@ def test_versioned_dataset_history_endpoint(spark, server):
 
     status, hist = _call(srv.port, "GET", "/dataset/versions?name=api_versioned")
     assert status == 200
-    assert hist == {"versions": [1, 2], "current": 2}
+    assert hist == {"versions": [1, 2], "current": 2, "tags": {}}
+
+    # pin a named ref and read the history again
+    status, tagged = _call(
+        srv.port, "POST", "/dataset/tag?name=api_versioned&tag=prod&version=1", b""
+    )
+    assert status == 200 and tagged == {"tag": "prod", "version": 1}
+    status, hist = _call(srv.port, "GET", "/dataset/versions?name=api_versioned")
+    assert hist["tags"] == {"prod": 1}
 
     # keyed merge of the same batch: still 2 rows at the head
     from pipeline_server_spark.pipeline.writers import VersionedTable

@@ -489,3 +489,29 @@ class TestCommitMergePartitioned:
         assert t.commit_merge_partitioned(b2, ["k"], "p") == 2
         assert {(r["k"], r["s"]) for r in t.read(1).collect()} == {(1, "a")}
         assert {(r["k"], r["s"]) for r in t.read(2).collect()} == {(1, "A"), (2, "b")}
+
+
+class TestVersionTags:
+    def test_tag_read_move_drop(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "tags"))
+        t.commit(spark.createDataFrame([(1,)], ["k"]))
+        t.commit(spark.createDataFrame([(1,), (2,)], ["k"]))
+        assert t.tag("prod", 1) == 1
+        assert t.tag("latest-validated") == 2  # default = current
+        assert t.tags() == {"prod": 1, "latest-validated": 2}
+        assert t.read(tag="prod").count() == 1
+        assert t.read(tag="latest-validated").count() == 2
+        # re-tag moves the name
+        assert t.tag("prod", 2) == 2
+        assert t.read(tag="prod").count() == 2
+        t.drop_tag("prod")
+        with _pytest.raises(ValueError, match="no such tag"):
+            t.read(tag="prod")
+        with _pytest.raises(ValueError, match="nonexistent version"):
+            t.tag("x", 99)
+        with _pytest.raises(ValueError, match="version OR tag"):
+            t.read(version=1, tag="latest-validated")
