@@ -606,8 +606,8 @@ class VersionedTable:
         'validated' / 'train-v3' ref a consumer reads by meaning
         instead of by number. Re-tagging moves the name atomically
         (tmp-write + rename); the version must exist and survives
-        vacuum only if within the keep window — pin tags before
-        vacuuming, or vacuum with a larger keep."""
+        vacuum (tagged versions are skipped until the tag is
+        dropped)."""
         import json
         import uuid
 
@@ -799,11 +799,15 @@ class VersionedTable:
         return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
 
     def vacuum(self, keep: int = 2) -> list[int]:
-        """Drop all but the newest ``keep`` version directories (never
-        the current pointer target). Returns removed versions."""
+        """Drop all but the newest ``keep`` version directories — never
+        the current pointer target, and never a TAGGED version (a
+        pinned ref means a consumer reads it by name; drop the tag
+        first to release it). Returns removed versions."""
         current = self.current_version()
+        pinned = set(self.tags().values())
         removable = [v for v in self.versions() if v != current]
         victims = removable[: max(0, len(removable) - (keep - 1))] if keep > 0 else removable
+        victims = [v for v in victims if v not in pinned]
         for v in victims:
             self.fs.remove(self._resolve_dir(v))
         return victims

@@ -515,3 +515,17 @@ class TestVersionTags:
             t.tag("x", 99)
         with _pytest.raises(ValueError, match="version OR tag"):
             t.read(version=1, tag="latest-validated")
+
+
+def test_vacuum_spares_tagged_versions(spark, tmp_path):
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vac_tag"))
+    for i in range(1, 5):
+        t.commit(spark.range(i).toDF("k"))
+    t.tag("prod", 1)
+    removed = t.vacuum(keep=1)
+    assert 1 not in removed and set(removed) == {2, 3}
+    assert t.read(tag="prod").count() == 1  # still readable
+    t.drop_tag("prod")
+    assert set(t.vacuum(keep=1)) == {1}
