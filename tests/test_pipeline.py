@@ -868,3 +868,32 @@ def test_run_dataset_versioned_append_links_not_rewrites(spark, tmp_path, orders
         if f.endswith(".parquet") and os.stat(os.path.join(v2, f)).st_nlink > 1
     ]
     assert shared, "append rewrote the table instead of linking"
+
+
+def test_quarantine_clean_file_reports_zero_not_absent(spark, tmp_path):
+    """rejected_rows == 0 means 'quarantine ran, zero rejects'; absent
+    (None) means quarantine wasn't configured — a client must be able
+    to tell the two apart."""
+    from pipeline_server_spark.pipeline.config import FileAttributes
+
+    p = tmp_path / "clean2.csv"
+    p.write_text("id,amount\n1,1.0\n2,2.0\n")
+    fields = (SchemaField("id", "int"), SchemaField("amount", "double"))
+
+    def cfg(name, quarantine):
+        return DatasetConfig(
+            name=name,
+            source=SourceConfig(
+                fields=fields,
+                file=FileAttributes(file_type="csv", header=True,
+                                    quarantine_rejects=quarantine),
+            ),
+            destination=DestinationConfig(
+                fields=fields, path=str(tmp_path / f"{name}_out")
+            ),
+        )
+
+    with_q = run_dataset(spark, cfg("with_q", True), str(p))
+    assert with_q.details["rejected_rows"] == 0
+    without_q = run_dataset(spark, cfg("without_q", False), str(p))
+    assert without_q.details["rejected_rows"] is None
