@@ -113,7 +113,11 @@ def ngram_jaccard_pairs(
     scale."""
     # localCheckpoint, not .cache(): reused by sizes + both join
     # sides, and the blocks are ContextCleaner-reclaimed when the plan
-    # is GC'd (a CacheManager entry would outlive every reference)
+    # is GC'd (a CacheManager entry would outlive every reference).
+    # Trade-off: checkpointed blocks are NOT recomputable on executor
+    # loss (the query fails instead of degrading) — under heavy
+    # executor churn, route through iterutil.checkpoint_df with a
+    # reliable checkpoint_dir instead
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         hot = (

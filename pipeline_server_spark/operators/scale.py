@@ -413,9 +413,14 @@ def distributed_prefix_sum(
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
         return df.withColumn(out, F.lit(None).cast("bigint"))
-    width = max(1, (int(hi) - int(lo) + buckets) // buckets)
+    width = max(1.0, (float(hi) - float(lo) + buckets) / buckets)
+    # floor of a fixed-positive-divisor division is monotone
+    # non-decreasing under IEEE rounding, so the bucketing preserves
+    # the order for ANY numeric order_col (fractional included; SQL
+    # `div` would reject non-integral types)
     b = df.withColumn(
-        "_bkt", F.expr(f"({order_col} - {int(lo)}) div {width}")
+        "_bkt",
+        F.floor((F.col(order_col) - F.lit(float(lo))) / F.lit(width)).cast("bigint"),
     )
     totals = b.groupBy("_bkt").agg(F.sum(value_col).alias("_bt"))
     offsets = totals.select(

@@ -382,23 +382,12 @@ class VersionedTable:
         directory as ``_meta.json`` — written BEFORE the publish point,
         so a published version always has its metadata (the
         exactly-once sink keys replay detection off it)."""
-        import json
-        import uuid
-
-        put = getattr(self.fs, "put_if_absent", None)
         version = (self.current_version() or 0) + 1
-        # Multi-writer staging must be writer-unique: two racers for
-        # version N must never share a data directory.
-        target = self._version_dir(version)
-        if put is not None:
-            target = f"{target}-{uuid.uuid4().hex[:8]}"
+        target = self._stage_dir(version)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
-        if metadata:
-            with open(os.path.join(target, "_meta.json"), "w") as f:
-                json.dump(metadata, f)
         if stats_cols:
             # data-skipping stats ride INSIDE the immutable version dir
             # (the `_`-prefix keeps them out of data scans) and publish
@@ -409,9 +398,35 @@ class VersionedTable:
                                  schema=df.schema) \
                 .coalesce(1).write.mode("overwrite") \
                 .parquet(os.path.join(target, "_index"))
+        return self._publish(version, target, metadata)
+
+    # -- incremental-commit plumbing -------------------------------------
+    def _stage_dir(self, version: int) -> str:
+        """Data directory to stage ``version`` into (uniquely suffixed
+        in multi-writer mode so racers never share a directory)."""
+        import uuid
+
+        target = self._version_dir(version)
+        if getattr(self.fs, "put_if_absent", None) is not None:
+            target = f"{target}-{uuid.uuid4().hex[:8]}"
+        return target
+
+    def _publish(self, version: int, target: str,
+                 metadata: dict | None) -> int:
+        """The shared commit epilogue: optional ``_meta.json``, then ONE
+        atomic publish — manifest-pointer rename (single-writer) or
+        put-if-absent commit-log record (multi-writer; the loser's
+        staged data is discarded, never published)."""
+        import json
+        import uuid
+
+        if metadata:
+            with open(os.path.join(target, "_meta.json"), "w") as f:
+                json.dump(metadata, f)
         tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump({"version": version, "dir": os.path.basename(target)}, f)
+        put = getattr(self.fs, "put_if_absent", None)
         if put is None:
             self.fs.rename(tmp, self._manifest_path())  # THE commit point
         else:
@@ -422,6 +437,61 @@ class VersionedTable:
                 self.fs.remove(target)  # never published — discard
                 raise
         return version
+
+    @staticmethod
+    def _link_tree(src_root: str, dst_root: str,
+                   skip_first_level: set[str] = frozenset()) -> None:
+        """Hardlink every data file under ``src_root`` into the same
+        relative location under ``dst_root``, skipping bookkeeping
+        (``_``/``.`` prefixes) and any first-level entry named in
+        ``skip_first_level``. On an object store substitute server-side
+        copy — still metadata-cost, no data through the writer."""
+        for name in os.listdir(src_root):
+            if name.startswith(("_", ".")) or name in skip_first_level:
+                continue
+            src = os.path.join(src_root, name)
+            if os.path.isfile(src):
+                os.makedirs(dst_root, exist_ok=True)
+                os.link(src, os.path.join(dst_root, name))
+                continue
+            for root, dirs, files in os.walk(src):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                rel = os.path.relpath(root, src_root)
+                out = os.path.join(dst_root, rel)
+                os.makedirs(out, exist_ok=True)
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        os.link(os.path.join(root, f), os.path.join(out, f))
+
+    def _partition_dirs(self, version: int) -> set[str]:
+        """First-level ``col=value`` directory names of a version."""
+        d = self._resolve_dir(version)
+        return {
+            n for n in os.listdir(d)
+            if "=" in n and not n.startswith(("_", "."))
+            and os.path.isdir(os.path.join(d, n))
+        }
+
+    def _check_layout(self, version: int, partition_by, op: str) -> None:
+        """Linked files must share the prior version's physical layout:
+        a flat table cannot take partitioned increments (or vice
+        versa), and the partition column must match — otherwise the
+        published version mixes root files with partition dirs and is
+        unreadable (or silently loses the unlinked rows)."""
+        pdirs = self._partition_dirs(version)
+        if partition_by:
+            expect = f"{partition_by[0]}="
+            if not pdirs or not all(n.startswith(expect) for n in pdirs):
+                raise ValueError(
+                    f"{op}: previous version is not hive-partitioned by "
+                    f"{partition_by[0]!r} (found {sorted(pdirs)[:3] or 'a flat layout'}); "
+                    "use commit() to (re)write the layout first"
+                )
+        elif pdirs:
+            raise ValueError(
+                f"{op}: previous version is partitioned ({sorted(pdirs)[:3]}); "
+                "pass the same partition_by or use commit()"
+            )
 
     def commit_append(self, df: DataFrame,
                       partition_by: tuple[str, ...] | list[str] = (),
@@ -435,52 +505,34 @@ class VersionedTable:
         scale). Links share inodes, so vacuuming an old version
         unlinks its names without touching data the newer version
         still references, and every version stays a self-contained
-        directory (time travel, CDF, and readers unchanged). On an
-        object store substitute a server-side copy for ``os.link`` —
-        still metadata-cost, no data transfer through the writer.
+        directory (time travel, CDF, and readers unchanged).
 
-        Filename collisions cannot occur: Spark part-file names embed
-        a per-job UUID. ``stats_cols`` rebuilds the skipping index over
-        all files (footer metadata reads, O(#files) not O(rows))."""
-        import json
-        import uuid
-
-        put = getattr(self.fs, "put_if_absent", None)
+        Guarded: linked files are read with a single footer schema, so
+        the batch must match the table's columns AND types, and the
+        physical layout (flat vs ``partition_by``) must match the
+        previous version — schema/layout evolution goes through the
+        rewriting :meth:`commit`. Filename collisions cannot occur:
+        Spark part-file names embed a per-job UUID. ``stats_cols``
+        rebuilds the skipping index over all files (footer metadata
+        reads, O(#files) not O(rows))."""
         current = self.current_version()
         version = (current or 0) + 1
         if current is not None:
-            # linked files are read with the batch's footer schema —
-            # appends must match (schema evolution goes through the
-            # full commit/merge path, which rewrites)
-            prev_cols = set(self.read(current).columns)
-            if set(df.columns) != prev_cols:
+            prev_types = dict(self.read(current).dtypes)
+            batch_types = dict(df.dtypes)
+            if batch_types != prev_types:
                 raise ValueError(
-                    f"commit_append schema mismatch: batch {sorted(df.columns)}"
-                    f" vs table {sorted(prev_cols)}; use commit()/merge for evolution"
+                    f"commit_append schema mismatch: batch {sorted(batch_types.items())}"
+                    f" vs table {sorted(prev_types.items())}; use commit()/merge for evolution"
                 )
-        target = self._version_dir(version)
-        if put is not None:
-            target = f"{target}-{uuid.uuid4().hex[:8]}"
+            self._check_layout(current, partition_by, "commit_append")
+        target = self._stage_dir(version)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
         if current is not None:
-            prev = self._resolve_dir(current)
-            for root, dirs, names in os.walk(prev):
-                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-                rel = os.path.relpath(root, prev)
-                for name in names:
-                    if name.startswith(("_", ".")):
-                        continue
-                    dst_dir = (target if rel == "." else
-                               os.path.join(target, rel))
-                    os.makedirs(dst_dir, exist_ok=True)
-                    os.link(os.path.join(root, name),
-                            os.path.join(dst_dir, name))
-        if metadata:
-            with open(os.path.join(target, "_meta.json"), "w") as f:
-                json.dump(metadata, f)
+            self._link_tree(self._resolve_dir(current), target)
         if stats_cols:
             from pipeline_server_spark.operators.scale import build_skipping_index
 
@@ -488,24 +540,13 @@ class VersionedTable:
                                  schema=df.schema) \
                 .coalesce(1).write.mode("overwrite") \
                 .parquet(os.path.join(target, "_index"))
-        tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "dir": os.path.basename(target)}, f)
-        if put is None:
-            self.fs.rename(tmp, self._manifest_path())  # THE commit point
-        else:
-            os.makedirs(self._commits_dir(), exist_ok=True)
-            try:
-                put(tmp, self._commit_file(version))  # THE commit point
-            except CommitConflictError:
-                self.fs.remove(target)
-                raise
-        return version
+        return self._publish(version, target, metadata)
 
     def commit_merge_partitioned(self, source: DataFrame, keys: list[str],
                                  partition_col: str,
                                  sequence_col: str | None = None,
-                                 metadata: dict | None = None) -> int:
+                                 metadata: dict | None = None,
+                                 immutable_partitions: bool = True) -> int:
         """Keyed MERGE in O(touched partitions): merge the source only
         against target rows in the partitions the source touches,
         write those partitions into the next version, and HARDLINK
@@ -514,74 +555,52 @@ class VersionedTable:
         which rewrites the ENTIRE table per merge batch. A CDC batch
         that touches 3 of 10,000 date partitions writes 3.
 
-        Single partition column (the common date/tenant layout);
-        touched partitions are identified by a distinct over the
+        Single partition column (the common date/tenant layout); the
+        previous version must actually be partitioned by it (guarded).
+        Touched partitions are identified by a distinct over the
         source (batch-sized) and pruned target-side with a broadcast
-        left-semi join — no driver-built OR-chain. Untouched
-        directories are matched by DECODING Hive-escaped partition dir
-        names (percent escapes, ``__HIVE_DEFAULT_PARTITION__`` for
-        null) against the source's partition values rendered as
-        strings. Falls back to requiring a first commit via
-        :meth:`commit`."""
-        import json
-        import urllib.parse
-        import uuid
+        NULL-SAFE left-semi join — a null partition value is a real
+        partition (``__HIVE_DEFAULT_PARTITION__``), not a dropped row.
+        Untouched directories are whatever first-level ``col=`` dirs
+        the merged write did NOT produce — derived from the actual
+        output, so Spark's own partition-value rendering is the single
+        source of truth (no driver-side string matching to drift).
 
+        ``immutable_partitions`` declares that an update never moves a
+        key between partitions (the normal date-partitioned contract —
+        same flag as :func:`merge_upsert`). If a key CAN move, pass
+        False: the old row would otherwise survive in its linked old
+        partition, so the merge falls back to the full-rewrite commit."""
         current = self.current_version()
         if current is None:
             return self.commit(source, partition_by=(partition_col,),
                                metadata=metadata)
         target_df = self.read(current)
+        if not immutable_partitions:
+            merged = merge_upsert_frames(target_df, source, keys, sequence_col)
+            return self.commit(merged, partition_by=(partition_col,),
+                               metadata=metadata)
+        self._check_layout(current, (partition_col,), "commit_merge_partitioned")
         touched = source.select(partition_col).distinct()
-        touched_vals = {
-            "__HIVE_DEFAULT_PARTITION__" if r[0] is None else str(r[0])
-            for r in touched.collect()  # batch-sized, bounded
-        }
-        tgt_touched = target_df.join(
-            F.broadcast(touched), on=partition_col, how="left_semi"
+        tgt_touched = target_df.alias("t").join(
+            F.broadcast(touched).alias("p"),
+            F.col(f"t.{partition_col}").eqNullSafe(F.col(f"p.{partition_col}")),
+            "left_semi",
         )
         merged = merge_upsert_frames(tgt_touched, source, keys, sequence_col)
 
-        put = getattr(self.fs, "put_if_absent", None)
         version = current + 1
-        target = self._version_dir(version)
-        if put is not None:
-            target = f"{target}-{uuid.uuid4().hex[:8]}"
+        target = self._stage_dir(version)
         merged.write.mode("overwrite").partitionBy(partition_col) \
             .format(self.file_format).save(target)
-        prev = self._resolve_dir(current)
-        prefix = f"{partition_col}="
-        for name in os.listdir(prev):
-            if not name.startswith(prefix):
-                continue
-            value = urllib.parse.unquote(name[len(prefix):])
-            if value in touched_vals:
-                continue  # rewritten above
-            src_dir = os.path.join(prev, name)
-            dst_dir = os.path.join(target, name)
-            for root, dirs, files in os.walk(src_dir):
-                rel = os.path.relpath(root, src_dir)
-                out = dst_dir if rel == "." else os.path.join(dst_dir, rel)
-                os.makedirs(out, exist_ok=True)
-                for f in files:
-                    if not f.startswith(("_", ".")):
-                        os.link(os.path.join(root, f), os.path.join(out, f))
-        if metadata:
-            with open(os.path.join(target, "_meta.json"), "w") as f:
-                json.dump(metadata, f)
-        tmp = os.path.join(self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "dir": os.path.basename(target)}, f)
-        if put is None:
-            self.fs.rename(tmp, self._manifest_path())  # THE commit point
-        else:
-            os.makedirs(self._commits_dir(), exist_ok=True)
-            try:
-                put(tmp, self._commit_file(version))  # THE commit point
-            except CommitConflictError:
-                self.fs.remove(target)
-                raise
-        return version
+        # everything the merged write rewrote, in Spark's own encoding
+        rewritten = {
+            n for n in os.listdir(target)
+            if n.startswith(f"{partition_col}=")
+        }
+        self._link_tree(self._resolve_dir(current), target,
+                        skip_first_level=rewritten)
+        return self._publish(version, target, metadata)
 
     def read(self, version: int | None = None,
              tag: str | None = None) -> DataFrame:

@@ -51,13 +51,40 @@ def exactly_once_append_sink(
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         if int(batch_id) in committed_batch_ids(table, scan_last):
             return  # replay after failure — already committed
+        meta = {"batch_id": int(batch_id)}
+        current = table.current_version()
+        if current is not None:
+            tgt_types = dict(table.read(current).dtypes)
+            extra = set(batch_df.columns) - set(tgt_types)
+            if extra:
+                # batch WIDENS the schema: evolution needs the
+                # rewriting commit (union with null-fill both ways)
+                combined = table.read(current).unionByName(
+                    batch_df, allowMissingColumns=True
+                )
+                table.commit(combined, partition_by=partition_by,
+                             metadata=meta)
+                return
+            missing = set(tgt_types) - set(batch_df.columns)
+            if missing:
+                # batch lacks columns the table has: null-fill to the
+                # table schema (the allowMissingColumns behavior)
+                batch_df = batch_df.select(
+                    *[
+                        F.col(c) if c in batch_df.columns
+                        else F.lit(None).cast(tgt_types[c]).alias(c)
+                        for c in tgt_types
+                    ]
+                )
         # commit_append writes ONLY the batch and hardlinks the prior
         # version's files — O(batch) per micro-batch, not the O(table)
         # rewrite of commit(read() ∪ batch)
         table.commit_append(batch_df, partition_by=partition_by,
-                            metadata={"batch_id": int(batch_id)})
+                            metadata=meta)
 
     return apply
 

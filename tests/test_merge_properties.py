@@ -529,3 +529,112 @@ def test_vacuum_spares_tagged_versions(spark, tmp_path):
     assert t.read(tag="prod").count() == 1  # still readable
     t.drop_tag("prod")
     assert set(t.vacuum(keep=1)) == {1}
+
+
+class TestIncrementalCommitGuards:
+    def test_merge_keeps_existing_null_partition_rows(self, spark, tmp_path):
+        """Null IS a partition: a batch touching the null partition must
+        not drop pre-existing null-partition rows (equality semi-join
+        would; the prune is null-safe)."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "np"))
+        schema = "k bigint, p string, s string"
+        base = spark.createDataFrame(
+            [(1, None, "a"), (2, None, "b"), (3, "x", "c")], schema
+        )
+        t.commit(base, partition_by=("p",))
+        batch = spark.createDataFrame([(2, None, "B")], schema)
+        t.commit_merge_partitioned(batch, ["k"], "p")
+        got = {(r["k"], r["s"]) for r in t.read().collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+    def test_merge_boolean_partition_no_duplicates(self, spark, tmp_path):
+        """Touched dirs come from the actual write output, so a type
+        whose str() differs from Spark's rendering (True vs 'true')
+        cannot be linked AND rewritten."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "bp"))
+        t.commit(
+            spark.createDataFrame([(1, True, "a"), (2, False, "b")],
+                                  ["k", "flag", "s"]),
+            partition_by=("flag",),
+        )
+        t.commit_merge_partitioned(
+            spark.createDataFrame([(1, True, "A")], ["k", "flag", "s"]),
+            ["k"], "flag",
+        )
+        rows = t.read().collect()
+        assert len(rows) == 2  # no resurrected stale duplicate of k=1
+        assert {(r["k"], r["s"]) for r in rows} == {(1, "A"), (2, "b")}
+
+    def test_merge_on_unpartitioned_table_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "flat"))
+        t.commit(spark.createDataFrame([(1, "x", "a")], ["k", "p", "s"]))
+        with _pytest.raises(ValueError, match="not hive-partitioned"):
+            t.commit_merge_partitioned(
+                spark.createDataFrame([(1, "x", "A")], ["k", "p", "s"]),
+                ["k"], "p",
+            )
+
+    def test_append_layout_mismatch_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "lay"))
+        t.commit(spark.createDataFrame([(1, "x")], ["k", "p"]),
+                 partition_by=("p",))
+        with _pytest.raises(ValueError, match="partitioned"):
+            t.commit_append(spark.createDataFrame([(2, "y")], ["k", "p"]))
+
+    def test_append_type_mismatch_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "typ"))
+        t.commit_append(spark.createDataFrame([(1,)], ["k"]))
+        bad = spark.createDataFrame([("oops",)], ["k"])  # same name, string
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            t.commit_append(bad)
+
+    def test_merge_mutable_partitions_fallback(self, spark, tmp_path):
+        """immutable_partitions=False: a key MOVING partitions must not
+        leave its stale row behind in the linked old partition."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "mv"))
+        t.commit(
+            spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                                  ["k", "day", "s"]),
+            partition_by=("day",),
+        )
+        moved = spark.createDataFrame([(1, "d2", "A")], ["k", "day", "s"])
+        t.commit_merge_partitioned(moved, ["k"], "day",
+                                   immutable_partitions=False)
+        got = {(r["k"], r["day"], r["s"]) for r in t.read().collect()}
+        assert got == {(1, "d2", "A"), (2, "d2", "b")}
+
+    def test_append_sink_null_fills_missing_columns(self, spark, tmp_path):
+        """The allowMissingColumns behavior the O(batch) sink must keep:
+        a narrower batch appends with nulls; a WIDER batch falls back to
+        the schema-evolving rewrite commit."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+        from pipeline_server_spark.streaming.sinks import exactly_once_append_sink
+
+        t = VersionedTable(spark, str(tmp_path / "nf"))
+        sink = exactly_once_append_sink(t)
+        sink(spark.createDataFrame([(1, "a", 1.5)], ["k", "s", "x"]), 0)
+        sink(spark.createDataFrame([(2, "b")], ["k", "s"]), 1)  # narrower
+        got = {(r["k"], r["s"], r["x"]) for r in t.read().collect()}
+        assert got == {(1, "a", 1.5), (2, "b", None)}
+        sink(spark.createDataFrame([(3, "c", 2.5, "new")],
+                                   ["k", "s", "x", "extra"]), 2)  # wider
+        rows = {(r["k"], r["extra"]) for r in t.read().collect()}
+        assert rows == {(1, None), (2, None), (3, "new")}
