@@ -259,6 +259,7 @@ def test_registry_wide_no_unbounded_nested_loops(spark):
         "orders_above_avg_price",
         "vocab_coverage_topk",
         "customer_rfm_segments",  # broadcast MAX(o_orderdate) scalar
+        "pps_systematic_sample",  # broadcast SUM(n_tokens) 1-row total
     }
     offenders = {}
     for name in sorted(QUERIES):
