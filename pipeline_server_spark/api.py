@@ -268,6 +268,12 @@ class PipelineApiServer:
             if method == "GET" and path == "/dataset/versions":
                 (name,) = need("name")
                 return 200, self.engine.versions(name)
+            if method == "POST" and path == "/dataset/optimize":
+                name, cols = need("name", "zorderby")
+                return 200, self.engine.optimize(
+                    name, cols.split(","),
+                    num_files=int(q.get("files", 16)),
+                )
             if method == "POST" and path == "/dataset/tag":
                 name, tag = need("name", "tag")
                 return 200, self.engine.tag_version(

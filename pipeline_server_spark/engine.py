@@ -164,6 +164,23 @@ class Engine:
         return {"versions": table.versions(), "current": table.current_version(),
                 "tags": table.tags()}
 
+    def optimize(self, name: str, zorder_by: list[str],
+                 num_files: int = 16) -> dict[str, Any]:
+        """Re-cluster a versioned dataset's current snapshot in Z-order
+        over the given columns and commit it as a new version with a
+        data-skipping index — the OPTIMIZE ZORDER maintenance action,
+        exposed over the control plane so operators can schedule it."""
+        from pipeline_server_spark.operators.scale import optimize_zorder_snapshot
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        config = self._configs[name]
+        dest = config.destination
+        if not dest.versioned or dest.path is None:
+            raise ValueError(f"dataset {name!r} has no versioned destination")
+        table = VersionedTable(self.spark, dest.path, dest.file_format)
+        version = optimize_zorder_snapshot(table, zorder_by, num_files=num_files)
+        return {"version": version, "zorder_by": zorder_by}
+
     def tag_version(self, name: str, tag: str,
                     version: int | None = None) -> dict[str, Any]:
         """Pin a named ref on a versioned dataset destination (default:

@@ -410,3 +410,42 @@ def test_upload_response_surfaces_run_details(spark, server):
     status, out = _call(srv.port, "POST", "/dataset/upload?dataset=api_details",
                         b"id,amount\n2,20.0\n")
     assert out["version"] == 2
+
+
+def test_optimize_endpoint_reclusters_versioned_dataset(spark, server):
+    """POST /dataset/optimize commits a Z-ordered rewrite as a new
+    version with rows unchanged."""
+    srv, tmp_path = server
+
+    cfg = DatasetConfig(
+        name="api_optimize",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_optimize"),
+            write_mode="merge",
+            key_fields=("id",),
+            versioned=True,
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+    csv = b"id,amount\n" + b"".join(
+        f"{i},{(i * 7) % 100}.5\n".encode() for i in range(200)
+    )
+    status, out = _call(srv.port, "POST", "/dataset/upload?dataset=api_optimize", csv)
+    assert status == 200 and out["rows_written"] == 200
+
+    status, opt = _call(
+        srv.port, "POST",
+        "/dataset/optimize?name=api_optimize&zorderby=id,amount&files=4", b"",
+    )
+    assert status == 200
+    assert opt == {"version": 2, "zorder_by": ["id", "amount"]}
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    t = VersionedTable(spark, cfg.destination.path)
+    assert t.read(2).count() == t.read(1).count() == 200
+    assert t.commit_metadata(2)["operation"] == "optimize_zorder"
