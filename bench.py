@@ -57,6 +57,12 @@ HEADLINE = [
     # round-5 session-2: prefix-filtered exact similarity join — the
     # candidate-generation dial PPJoin turns vs the plain inverted index
     "ppjoin_word_jaccard_pairs",
+    # round-6 (round-5 verdict item 6): the three heaviest round-5
+    # shapes not yet under regression tracking — density clustering,
+    # bounded-depth BFS expansion, and degeneracy-ordered wedge counting
+    "dbscan_embedding_clusters",
+    "supplier_reach_hops",
+    "triangle_count_suppliers",
 ]
 
 

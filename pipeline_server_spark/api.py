@@ -269,10 +269,17 @@ class PipelineApiServer:
                 (name,) = need("name")
                 return 200, self.engine.versions(name)
             if method == "POST" and path == "/dataset/optimize":
-                name, cols = need("name", "zorderby")
-                return 200, self.engine.optimize(
-                    name, cols.split(","),
-                    num_files=int(q.get("files", 16)),
+                # zorderby=c1,c2 → re-cluster + skipping index;
+                # without it → bin-packing small-file compaction
+                (name,) = need("name")
+                if "zorderby" in q:
+                    return 200, self.engine.optimize(
+                        name, q["zorderby"].split(","),
+                        num_files=int(q.get("files", 16)),
+                    )
+                return 200, self.engine.compact(
+                    name,
+                    target_file_bytes=int(q.get("targetbytes", 128 * 1024 * 1024)),
                 )
             if method == "POST" and path == "/dataset/tag":
                 name, tag = need("name", "tag")

@@ -181,6 +181,30 @@ class Engine:
         version = optimize_zorder_snapshot(table, zorder_by, num_files=num_files)
         return {"version": version, "zorder_by": zorder_by}
 
+    def compact(self, name: str,
+                target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:
+        """Bin-packing small-file compaction (OPTIMIZE without ZORDER)
+        of a versioned dataset's current snapshot, committed as a new
+        version — the maintenance action that pays down the small-file
+        and manifest-width debt accumulated by incremental
+        (append/merge) commits. Preserves the destination's hive
+        partitioning."""
+        from pipeline_server_spark.operators.scale import optimize_compact_snapshot
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        config = self._configs[name]
+        dest = config.destination
+        if not dest.versioned or dest.path is None:
+            raise ValueError(f"dataset {name!r} has no versioned destination")
+        table = VersionedTable(self.spark, dest.path, dest.file_format)
+        version = optimize_compact_snapshot(
+            table, target_file_bytes=target_file_bytes,
+            partition_by=dest.partition_by,
+        )
+        n = len(table._entries_for_version(version))
+        return {"version": version, "files": n,
+                "target_file_bytes": int(target_file_bytes)}
+
     def tag_version(self, name: str, tag: str,
                     version: int | None = None) -> dict[str, Any]:
         """Pin a named ref on a versioned dataset destination (default:

@@ -1,0 +1,584 @@
+"""Baseline JPEG codec — stdlib + numpy only, no image libraries.
+
+Closes the declared JPEG gate in :mod:`multimodal` (round-5 verdict
+item 8) for the dominant web-corpus image format: BASELINE sequential
+DCT, 8-bit, grayscale or YCbCr with any sampling factors (4:4:4,
+4:2:0, 4:2:2), restart intervals — i.e. what cameras and the web
+overwhelmingly emit. Progressive (SOF2) and the exotic SOF types stay
+a named :class:`NotImplementedError` gate.
+
+The format itself is an open ISO standard (ITU-T T.81); the tables in
+Annex K (standard quantization + Huffman tables) are normative
+publication content. The reference system only byte-passes media
+(ObjectStoreLoader.scala:95-144) — decoding is part of this repo's
+beyond-reference multimodal surface, used by
+:func:`multimodal.extract_media_metadata` under ``real_codecs=True``.
+
+A minimal baseline ENCODER (4:4:4, standard tables) rides along so
+tests can synthesize deterministic fixtures without any image library
+and prove the decoder round-trip (encode → decode ≈ original within
+quantization error).
+
+Scale shape: pure per-payload CPU work — called from Arrow-batched
+``mapInPandas`` (one decode per row inside a batch), no shuffle, no
+driver involvement.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1/K.2 quantization tables (quality ~50)
+STD_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+STD_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8x8 DCT-II basis matrix: C[u, x] = c(u)/2 * cos((2x+1)uπ/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _C[_u, _x] = 0.5 * _cu * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """JPEG canonical Huffman assignment: codes of each length in
+    value order, starting from (prev_code + 1) << 1."""
+    code = 0
+    out = []  # (length, code, value)
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((length, code, values[k]))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    def __init__(self, bits: list[int], values: list[int]):
+        self.lut = {(ln, c): v for ln, c, v in _canonical_codes(bits, values)}
+        self.max_len = max((ln for ln, _, _ in _canonical_codes(bits, values)),
+                           default=0)
+
+    def decode(self, br: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            v = self.lut.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 byte unstuffing;
+    stops (raises _MarkerFound) at a real marker so the scan loop can
+    handle RSTn / EOI."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG: truncated scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise _MarkerFound(nxt)
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        if v < (1 << (s - 1)):  # negative branch of EXTEND (F.12)
+            v -= (1 << s) - 1
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+class _MarkerFound(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a BASELINE JPEG. Returns (width, height, n_components,
+    pixels) with pixels shaped (height, width, n_components) uint8 —
+    RGB for 3-component YCbCr, gray for 1-component. Progressive /
+    arithmetic / hierarchical JPEGs raise NotImplementedError (the
+    remaining declared gate); corrupt data raises ValueError."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None  # (precision, H, W, comps) comps: [(cid, h, v, tq)]
+    restart_interval = 0
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2: pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    table = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    table = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                quant[tq] = table  # zigzag order
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1: p + 17])
+                n = sum(bits)
+                values = list(seg[p + 17: p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, values)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (precision, h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X}: only BASELINE "
+                "sequential (SOF0/SOF1) is decoded in-process; "
+                "progressive/arithmetic/hierarchical remain gated"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append((cs, tt >> 4, tt & 15))
+            data_start = pos + seg_len
+            return _decode_scan(payload, data_start, frame, scan_comps,
+                                quant, huff_dc, huff_ac, restart_interval)
+        # APPn / COM / others: skip
+        pos += seg_len
+    raise ValueError("corrupt JPEG: no scan data")
+
+
+def _decode_scan(data, pos, frame, scan_comps, quant, huff_dc, huff_ac,
+                 restart_interval):
+    _precision, H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+
+    planes = {}
+    for cid, h, v, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.float64)
+
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    br = _BitReader(data, pos)
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    mcu = 0
+    total = mcus_x * mcus_y
+    try:
+        while mcu < total:
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # expect RSTn between intervals: byte-align and consume
+                br.align()
+                p = br.pos
+                while p + 1 < len(data) and not (
+                    data[p] == 0xFF and data[p + 1] != 0x00
+                ):
+                    p += 1
+                if p + 1 < len(data) and 0xD0 <= data[p + 1] <= 0xD7:
+                    br.pos = p + 2
+                pred = {cid: 0 for cid in pred}
+            my, mx = divmod(mcu, mcus_x)
+            for cid, td, ta in scan_comps:
+                h, v, tq = by_id[cid]
+                qt = quant[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        block = _decode_block(br, huff_dc[td], huff_ac[ta],
+                                              qt, pred, cid)
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+            mcu += 1
+    except _MarkerFound as m:
+        if not (m.marker == 0xD9 or 0xD0 <= m.marker <= 0xD7):
+            raise ValueError(f"corrupt JPEG: unexpected marker 0xFF{m.marker:02X}")
+
+    # upsample each plane to full MCU-grid resolution, crop, color-convert
+    out_planes = []
+    for cid, h, v, _tq in comps:
+        p = planes[cid]
+        if h != hmax or v != vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(p[:H, :W])
+    n = len(out_planes)
+    if n == 1:
+        gray = np.clip(out_planes[0] + 128.0, 0, 255).astype(np.uint8)
+        return W, H, 1, gray[:, :, None]
+    if n == 3:
+        y = out_planes[0] + 128.0
+        cb = out_planes[1]
+        cr = out_planes[2]
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+        return W, H, 3, rgb
+    raise NotImplementedError(f"{n}-component JPEG (CMYK?) not supported")
+
+
+def _decode_block(br, dc_dec, ac_dec, qt, pred, cid) -> np.ndarray:
+    zz = np.zeros(64, dtype=np.int32)
+    t = dc_dec.decode(br)
+    diff = br.receive_extend(t)
+    pred[cid] += diff
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run past block end")
+        zz[k] = br.receive_extend(s)
+        k += 1
+    coefs = np.zeros(64, dtype=np.float64)
+    coefs[ZIGZAG] = zz * qt  # dequantize, un-zigzag
+    return _idct2(coefs.reshape(8, 8))
+
+
+# ---------------------------------------------------------------------------
+# Minimal baseline encoder (fixture generation / round-trip tests)
+# ---------------------------------------------------------------------------
+
+
+class _HuffEncoder:
+    def __init__(self, bits, values):
+        self.codes = {v: (ln, c) for ln, c, v in _canonical_codes(bits, values)}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= (8 - self.nbits)
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw-bits) per EXTEND's inverse (F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt, dc_enc, ac_enc,
+                  pred: list, ci: int) -> None:
+    coefs = _dct2(block)
+    # quantize in zigzag order: zz[i] = round(coef[ZIGZAG[i]]/qt[i])
+    zz = np.rint(coefs.reshape(64)[ZIGZAG] / qt).astype(np.int64)
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    s, bits_ = _magnitude(diff)
+    ln, code = dc_enc.codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits_, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_enc.codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits_ = _magnitude(v)
+        ln, code = ac_enc.codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits_, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_enc.codes[0x00]  # EOB
+        bw.write(code, ln)
+
+
+def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a baseline
+    JPEG with the Annex K tables — 4:4:4, or 4:2:0 chroma subsampling
+    with ``subsample=True`` (2×2-average-pooled Cb/Cr, the camera/web
+    default, which exercises a decoder's MCU interleave + upsampling).
+    Deterministic; built for test fixtures, not throughput."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if px.ndim == 2:
+        px = px[:, :, None]
+    H, W = px.shape[:2]
+    if gray:
+        comps = [px[:, :, 0].astype(np.float64) - 128.0]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+
+    # sampling factors per component: 4:2:0 doubles luma's h/v
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+
+    if not gray and subsample:
+        # 2x2 average pooling of chroma (pad to even first)
+        for i in (1, 2):
+            c = comps[i]
+            c = np.pad(c, ((0, c.shape[0] % 2), (0, c.shape[1] % 2)), mode="edge")
+            comps[i] = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2]
+                               + c[0::2, 1::2] + c[1::2, 1::2])
+
+    qts = [STD_QUANT_LUMA] + ([] if gray else [STD_QUANT_CHROMA, STD_QUANT_CHROMA])
+    dc_encs = [_HuffEncoder(*STD_DC_LUMA)] + (
+        [] if gray else [_HuffEncoder(*STD_DC_CHROMA)] * 2)
+    ac_encs = [_HuffEncoder(*STD_AC_LUMA)] + (
+        [] if gray else [_HuffEncoder(*STD_AC_CHROMA)] * 2)
+
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    padded = []
+    for (h, v), c in zip(samp, comps):
+        th, tw = mcus_y * v * 8, mcus_x * h * 8
+        padded.append(np.pad(
+            c, ((0, th - c.shape[0]), (0, tw - c.shape[1])), mode="edge"))
+
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, plane in enumerate(padded):
+                h, v = samp[ci]
+                for byi in range(v):
+                    for bxi in range(h):
+                        y0 = (my * v + byi) * 8
+                        x0 = (mx * h + bxi) * 8
+                        _encode_block(bw, plane[y0:y0 + 8, x0:x0 + 8],
+                                      qts[ci], dc_encs[ci], ac_encs[ci],
+                                      pred, ci)
+    bw.flush()
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    # DQT
+    seg(0xDB, bytes([0x00]) + bytes(int(x) for x in STD_QUANT_LUMA))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(int(x) for x in STD_QUANT_CHROMA))
+    # SOF0
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, H, W, nc)
+    for i in range(nc):
+        h, v = samp[i]
+        sof += struct.pack(">BBB", i + 1, (h << 4) | v, 0 if i == 0 else 1)
+    seg(0xC0, sof)
+    # DHT
+    def dht(tc: int, th: int, spec) -> None:
+        bits, values = spec
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    dht(0, 0, STD_DC_LUMA)
+    dht(1, 0, STD_AC_LUMA)
+    if not gray:
+        dht(0, 1, STD_DC_CHROMA)
+        dht(1, 1, STD_AC_CHROMA)
+    # SOS
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(bw.out)
+    out.extend(b"\xFF\xD9")  # EOI
+    return bytes(out)

@@ -200,11 +200,17 @@ def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def _real_decode(payload: bytes, media_type: str) -> tuple[int, int]:
-    """Real-codec dispatch (all stdlib, no image libraries): PNG pixels
-    via decode_png, BMP/GIF dimensions via header parse. JPEG and
-    video still need external libs (absent in this container)."""
+    """Real-codec dispatch (stdlib + numpy, no image libraries): PNG
+    pixels via decode_png, baseline-JPEG pixels via
+    :mod:`.jpeg`, BMP/GIF dimensions via header parse. Remaining
+    gates: progressive JPEG and video codecs."""
     if media_type == "image/png" or payload[:8] == _PNG_SIG:
         w, h, _c, _px = decode_png(payload)
+        return w, h
+    if media_type in ("image/jpeg", "image/jpg") or payload[:2] == b"\xFF\xD8":
+        from pipeline_server_spark.operators.jpeg import decode_jpeg
+
+        w, h, _c, _px = decode_jpeg(payload)
         return w, h
     if media_type == "image/bmp" or payload[:2] == b"BM":
         w, h, _bpp = decode_bmp_header(payload)
@@ -212,18 +218,20 @@ def _real_decode(payload: bytes, media_type: str) -> tuple[int, int]:
     if media_type == "image/gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_header(payload)
     raise NotImplementedError(
-        f"no in-process codec for {media_type!r}: PNG/BMP/GIF supported "
-        "in-process; JPEG/video need external libs not installed here"
+        f"no in-process codec for {media_type!r}: PNG/baseline-JPEG/BMP/"
+        "GIF supported in-process; progressive JPEG and video codecs "
+        "need external libs not installed here"
     )
 
 
 def extract_media_metadata(df: DataFrame, real_codecs: bool = False) -> DataFrame:
     """Decode/feature-extract via mapInPandas: Arrow-batched binary in,
-    typed metadata struct out. ``real_codecs=True`` decodes PNG
-    payloads for real (stdlib zlib+struct — decode_png); non-PNG media
-    under real_codecs raises NotImplementedError (no JPEG/audio libs in
-    this container). ``real_codecs=False`` keeps the deterministic
-    fake for plumbing tests."""
+    typed metadata struct out. ``real_codecs=True`` decodes PNG and
+    baseline-JPEG payloads for real (stdlib+numpy — decode_png,
+    jpeg.decode_jpeg) and parses BMP/GIF headers; other media under
+    real_codecs raises NotImplementedError (progressive JPEG / video
+    need libs absent in this container). ``real_codecs=False`` keeps
+    the deterministic fake for plumbing tests."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

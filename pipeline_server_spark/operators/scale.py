@@ -161,7 +161,7 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
 
 
 def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
-                         schema=None) -> DataFrame:
+                         schema=None, files: list[str] | None = None) -> DataFrame:
     """File-level data-skipping index (the Delta/Iceberg stats-table
     idea): one row per parquet data file with per-column min/max read
     from its footer. Pair with :func:`write_zordered` — Z-ordered files
@@ -186,14 +186,18 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
     import pandas as pd
     from pyspark.sql import types as T
 
-    files = []
-    for root, dirs, names in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        files.extend(
-            os.path.join(root, f) for f in names
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-    files.sort()
+    if files is None:
+        # default: every data file under `path`; an explicit `files`
+        # list (e.g. a VersionedTable manifest spanning several
+        # version directories) overrides the walk
+        files = []
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            files.extend(
+                os.path.join(root, f) for f in names
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+    files = sorted(files)
     if schema is not None:
         sample = T.StructType([schema[c] for c in cols])
     else:
@@ -242,6 +246,7 @@ def read_with_skipping(
     path: str,
     index: DataFrame,
     bounds: dict[str, tuple],
+    reader=None,
 ) -> tuple[DataFrame, int, int]:
     """Plan a range-predicate read through the skipping index: keep
     only files whose [min, max] envelope overlaps every requested
@@ -256,6 +261,12 @@ def read_with_skipping(
     statistics, or a row group without min/max) is ALWAYS read: unknown
     must mean "may overlap", never "prune" — a NULL comparison would
     silently drop the file and its matching rows.
+
+    ``reader`` overrides how picked files become a DataFrame (a
+    VersionedTable passes its manifest-grouped reader so picked files
+    spanning several version directories resolve their partition
+    columns); reader([]) must return a schema-correct DataFrame — the
+    empty case applies ``where(False)`` to it.
     """
     cond = F.lit(True)
     for c, (lo, hi) in bounds.items():
@@ -268,13 +279,17 @@ def read_with_skipping(
     residual = F.lit(True)
     for c, (lo, hi) in bounds.items():
         residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
+    if reader is None:
+        # basePath keeps partition columns when the picked files live
+        # in partition subdirectories
+        def reader(files):
+            if not files:
+                return spark.read.parquet(path)
+            return spark.read.option("basePath", path).parquet(*files)
+
     if not picked:
-        empty = spark.read.parquet(path).where(F.lit(False))
-        return empty, 0, total
-    # basePath keeps partition columns when the picked files live in
-    # partition subdirectories
-    picked_df = spark.read.option("basePath", path).parquet(*picked).where(residual)
-    return picked_df, len(picked), total
+        return reader([]).where(F.lit(False)), 0, total
+    return reader(picked).where(residual), len(picked), total
 
 
 def approx_equi_depth_histogram(
@@ -383,6 +398,44 @@ def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
     )
 
 
+def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
+                              partition_by: tuple[str, ...] | list[str] = ()) -> int:
+    """Delta-style ``OPTIMIZE`` (bin-packing compaction, no
+    re-clustering): rewrite a
+    :class:`~pipeline_server_spark.pipeline.writers.VersionedTable`'s
+    CURRENT snapshot into ~``target_file_bytes`` files and commit it
+    as a NEW version — rows unchanged. This is the maintenance action
+    that pays down incremental-commit debt: 10k ``commit_append``
+    micro-batches leave 10k+ small files (the classic scan killer —
+    one task + one open per file) and a 10k-entry manifest spanning
+    10k version directories (a 10k-way union read plan); one
+    compaction collapses both to a handful of files in ONE directory.
+
+    Because it rides the snapshot commit protocol it is SAFE alongside
+    readers (the old version stays live until the atomic publish) and
+    reversible (time travel to the pre-compaction version; ``vacuum``
+    reclaims the small files once no retained version references
+    them). ``partition_by`` preserves a hive layout — each partition's
+    files are merged within the partition. ``coalesce`` (no shuffle)
+    sizes the rewrite; the write itself is the only data pass.
+    Returns the new version number."""
+    import math
+    import os as _os
+
+    df = table.read()
+    total = sum(
+        _os.path.getsize(table._abs_file(e))
+        for e in table._entries_for_version(table.current_version())
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    return table.commit(
+        df.coalesce(n_files),
+        partition_by=tuple(partition_by),
+        metadata={"operation": "optimize_compact",
+                  "target_file_bytes": int(target_file_bytes)},
+    )
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     order_col: str,
@@ -407,12 +460,17 @@ def distributed_prefix_sum(
     numeric and UNIQUE (the total order that makes the prefix sum
     well-defined). ``out`` is the INCLUSIVE running total; subtract
     ``value_col`` for the exclusive prefix."""
+    # the running total keeps SUM's native result type (bigint for
+    # integrals, double for floats, widened decimal for decimals) — an
+    # unconditional bigint cast would silently truncate fractional
+    # value_cols; schema-only derivation, no job
+    sum_type = df.select(F.sum(value_col).alias(out)).schema[0].dataType
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
-        return df.withColumn(out, F.lit(None).cast("bigint"))
+        return df.withColumn(out, F.lit(None).cast(sum_type))
     width = max(1.0, (float(hi) - float(lo) + buckets) / buckets)
     # floor of a fixed-positive-divisor division is monotone
     # non-decreasing under IEEE rounding, so the bucketing preserves
@@ -434,6 +492,6 @@ def distributed_prefix_sum(
     )
     return (
         b.join(F.broadcast(offsets), "_bkt")
-        .withColumn(out, (F.col("_off") + F.sum(value_col).over(local)).cast("bigint"))
+        .withColumn(out, (F.col("_off") + F.sum(value_col).over(local)).cast(sum_type))
         .drop("_bkt", "_off")
     )

@@ -127,6 +127,14 @@ class DestinationConfig:
     # travel) instead of writing the path in place. Beyond-reference
     # (the reference leans on Athena/Iceberg for this).
     versioned: bool = False
+    # MERGE contract: a key's partition-column values never change
+    # across updates (the normal date-partitioned lakehouse layout),
+    # which licenses partition-pruned merges. Set False when an update
+    # CAN move a row between partitions — merges then take the
+    # move-safe full-table path, matching the reference's Iceberg
+    # MERGE INTO (IcebergUtil.scala buildMergeIntoSql), which matches
+    # keys across all partitions.
+    immutable_partitions: bool = True
 
 
 @dataclass(frozen=True)

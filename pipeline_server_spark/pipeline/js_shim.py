@@ -30,9 +30,17 @@ Supported subset (symbolically executed, conditions stay data-side):
 - ``new Date(_pipelinetimestamp)`` + ``getFullYear/getMonth/getDate``
 - ``String(expr)``, ``Number(expr)``, ``Math.abs/floor/ceil/round/
   sqrt/pow/max/min``
+- ``parseInt(x[, 10])`` / ``parseFloat(x)`` — leading-number parse
+  with JS semantics (trailing garbage ignored; no parse → null, the
+  translation's NaN stand-in)
+- string methods ``.substring(a[, b])`` (JS clamp+swap), ``.indexOf``
+  (literal needle, −1 when absent), ``.toUpperCase/.toLowerCase``,
+  and the ``.length`` property
 - ``if (cond) ... else ...`` — merged with ``F.when``; a branch whose
   completion value is ``null`` becomes the drop predicate
   (transformation) or the not-a-violation arm (quality)
+- ternary ``cond ? a : b`` (same merge rules as if/else, so
+  ``cond ? map : null`` works in completion position)
 - comparison / logical operators ``== != < <= > >= && || !``
 
 Scale note: the translated script is pure Catalyst expressions — no
@@ -70,7 +78,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
-  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[-+*/%<>=!(){};,.])
+  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[-+*/%<>=!(){};,.?:])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -387,7 +395,21 @@ class _Interp:
 
     # --- expressions (precedence climbing) ---
     def expression(self) -> Any:
-        return self.or_expr()
+        val = self.or_expr()
+        if not self.at("?"):
+            return val
+        # ternary, right-associative; reuses the if/else value-merge so
+        # `cond ? map : null` in completion position yields the same
+        # _Cond the drop-predicate translation consumes. A NULL
+        # condition is falsy in Nashorn → else arm, which F.when's
+        # unmatched-NULL → otherwise already implements.
+        self.next()
+        then_v = self.expression()
+        self.expect(":")
+        else_v = self.expression()
+        if isinstance(val, bool):
+            return then_v if val else else_v
+        return self._merge_values(_to_col(val), then_v, else_v)
 
     def or_expr(self) -> Any:
         left = self.and_expr()
@@ -428,6 +450,20 @@ class _Interp:
                     "translated subset)"
                 )
             lc, rc = _to_col(left), _to_col(right)
+            if op in ("<", "<=", ">", ">="):
+                # A null column VALUE in a Nashorn relational goes
+                # through ToNumber(null) = 0, so `x < 5` is TRUE for
+                # null x — while Spark's comparison would be NULL (and
+                # any downstream coalesce-to-false routes the row to
+                # the other branch). Coalesce potentially-null operands
+                # to 0 to match; exact for the numeric comparisons the
+                # shipped dialect uses (a nullable STRING operand would
+                # still diverge on non-numeric text — JS ToNumber gives
+                # NaN/false — which stays outside the faithful subset).
+                if not isinstance(left, (int, float, str, bool)):
+                    lc = F.coalesce(lc, F.lit(0))
+                if not isinstance(right, (int, float, str, bool)):
+                    rc = F.coalesce(rc, F.lit(0))
             if op in ("==", "==="):
                 left = lc == rc
             elif op in ("!=", "!=="):
@@ -501,6 +537,11 @@ class _Interp:
                 if self.at("("):
                     args = self.call_args()
                     val = self._method_call(val, name, args)
+                elif name == "length" and isinstance(val, (str, _StrVal, Column)):
+                    val = (
+                        len(val) if isinstance(val, str)
+                        else F.length(_to_col(val).cast("string"))
+                    )
                 else:
                     raise JsTranslationError(
                         f"property access .{name} without a call is not supported"
@@ -555,7 +596,83 @@ class _Interp:
             return _MATH_FNS[name](*[_to_col(a) for a in args])
         if obj is _HashMapType and name == "type":
             return obj
+        if isinstance(obj, str):
+            # literal receiver: fold with exact JS semantics
+            folded = self._py_string_method(obj, name, args)
+            if folded is not None:
+                return folded
+        if isinstance(obj, (str, _StrVal, Column)):
+            return self._col_string_method(obj, name, args)
         raise JsTranslationError(f"method .{name}() on {type(obj).__name__} is not supported")
+
+    @staticmethod
+    def _py_string_method(obj: str, name: str, args: list[Any]) -> Any:
+        if name == "toUpperCase" and not args:
+            return obj.upper()
+        if name == "toLowerCase" and not args:
+            return obj.lower()
+        if name == "indexOf" and len(args) == 1 and isinstance(args[0], str):
+            return obj.find(args[0])
+        if name == "substring" and args and all(isinstance(a, int) for a in args):
+            a = max(0, min(len(obj), args[0]))
+            b = max(0, min(len(obj), args[1])) if len(args) == 2 else len(obj)
+            lo, hi = sorted((a, b))
+            return obj[lo:hi]
+        return None
+
+    def _col_string_method(self, obj: Any, name: str, args: list[Any]) -> Any:
+        """JS String.prototype methods lowered to Catalyst. The
+        receiver is cast to string (the dialect only calls these on
+        string-typed columns; a numeric receiver would be a TypeError
+        in Nashorn, which the translation cannot see — the cast keeps
+        it total rather than wrong)."""
+        sc = _to_col(obj).cast("string")
+        if name in ("toUpperCase", "toLowerCase"):
+            if args:
+                raise JsTranslationError(f".{name}() takes no arguments")
+            return _StrVal(F.upper(sc) if name == "toUpperCase" else F.lower(sc))
+        if name == "indexOf":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise JsTranslationError(
+                    ".indexOf requires one literal string argument"
+                )
+            # JS: 0-based, -1 when absent; instr: 1-based, 0 when absent
+            return F.instr(sc, args[0]) - F.lit(1)
+        if name == "substring":
+            if not 1 <= len(args) <= 2:
+                raise JsTranslationError(".substring takes 1 or 2 arguments")
+            ln = F.length(sc)
+
+            def clamp(x: Any):
+                return F.greatest(F.lit(0), F.least(_to_col(x).cast("int"), ln))
+
+            a = clamp(args[0])
+            b = clamp(args[1]) if len(args) == 2 else ln
+            lo, hi = F.least(a, b), F.greatest(a, b)  # JS swaps if a > b
+            return _StrVal(sc.substr(lo + F.lit(1), hi - lo))
+        raise JsTranslationError(f"String method .{name}() is not supported")
+
+    _INT_RE = r"^\s*([+-]?\d+)"
+    _FLOAT_RE = r"^\s*([+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)"
+
+    def _parse_number(self, name: str, v: Any) -> Any:
+        """JS parseInt/parseFloat: parse the LEADING number of the
+        ToString'd argument, ignoring trailing garbage ('12px' → 12);
+        nothing parseable → null (the translation's NaN stand-in —
+        Catalyst has no NaN integer, and a null routes comparisons the
+        same way NaN's always-false does for the = / if patterns in the
+        dialect). parseInt truncates toward zero ('3.9' → 3), matching
+        ToString-then-leading-digits."""
+        pat = self._INT_RE if name == "parseInt" else self._FLOAT_RE
+        if isinstance(v, (int, float, str)):  # literal: fold now
+            m = re.match(pat, str(v))
+            if not m:
+                return _NULL
+            return int(m.group(1)) if name == "parseInt" else float(m.group(1))
+        c = _to_col(v).cast("string")
+        lead = F.regexp_extract(c, pat, 1)
+        out_type = "long" if name == "parseInt" else "double"
+        return F.when(lead == "", F.lit(None)).otherwise(lead.cast(out_type))
 
     def primary(self) -> Any:
         t = self.next()
@@ -606,6 +723,15 @@ class _Interp:
             if name == "Number" and self.at("("):
                 args = self.call_args()
                 return _to_col(args[0]).cast("double")
+            if name in ("parseInt", "parseFloat") and self.at("("):
+                args = self.call_args()
+                if len(args) == 2 and args[1] == 10:
+                    args = args[:1]  # explicit decimal radix
+                if len(args) != 1:
+                    raise JsTranslationError(
+                        f"{name} with a radix other than 10 is not supported"
+                    )
+                return self._parse_number(name, args[0])
             if self.at("("):
                 raise JsTranslationError(f"function call {name}(...) is not supported")
             if name in self.env:

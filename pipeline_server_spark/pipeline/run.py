@@ -145,34 +145,51 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
     dest = config.destination
     if dest.versioned:
         from pipeline_server_spark.pipeline.writers import (
+            ConditionalPutFS,
             VersionedTable,
+            commit_with_retry,
             merge_upsert_frames,
         )
 
-        table = VersionedTable(spark, dest.path, dest.file_format)
-        base = None if dest.delete_before_write else table.current_version()
-        if base is None or dest.write_mode == "overwrite":
-            version = table.commit(staged, dest.partition_by)
-        elif dest.write_mode == "merge":
-            if len(dest.partition_by) == 1:
-                # O(touched partitions): rewrite only the partitions
-                # the batch touches, hardlink the rest
-                version = table.commit_merge_partitioned(
-                    staged.select(*table.read().columns),
-                    list(dest.key_fields), dest.partition_by[0],
-                )
-            else:
+        # Conditional-PUT commit log + optimistic retry: ingests from
+        # SEPARATE engine processes sharing this destination race
+        # safely — exactly one writer wins each version, the loser
+        # re-reads the winner's snapshot inside _commit and replays
+        # (same-process ingests already serialize on the engine's
+        # per-destination lock, U8).
+        table = VersionedTable(spark, dest.path, dest.file_format,
+                               fs=ConditionalPutFS())
+
+        def _commit() -> int:
+            base = None if dest.delete_before_write else table.current_version()
+            if base is None or dest.write_mode == "overwrite":
+                return table.commit(staged, dest.partition_by)
+            if dest.write_mode == "merge":
+                if dest.partition_by:
+                    # O(touched partitions): rewrite only the partitions
+                    # the batch touches, reuse the rest.
+                    # immutable_partitions comes from the config — an
+                    # operator whose updates can move a key between
+                    # partitions opts into the move-safe full-rewrite
+                    # path inside commit_merge_partitioned.
+                    return table.commit_merge_partitioned(
+                        staged.select(*table.read().columns),
+                        list(dest.key_fields), list(dest.partition_by),
+                        immutable_partitions=dest.immutable_partitions,
+                    )
                 merged = merge_upsert_frames(
                     table.read(), staged.select(*table.read().columns),
                     list(dest.key_fields),
                 )
-                version = table.commit(merged, dest.partition_by)
-        else:
+                return table.commit(merged, dest.partition_by)
             # append: O(batch) commit — only the batch is written, the
-            # prior snapshot's files are linked in (no full rewrite)
-            version = table.commit_append(
+            # prior snapshot's files ride forward in the manifest (no
+            # rewrite, no per-file linking)
+            return table.commit_append(
                 staged.select(*table.read().columns), dest.partition_by
             )
+
+        version = commit_with_retry(_commit)
         return RunResult(
             config.name, int(obs.get["rows"]), report,
             {"version": version, "rejected_rows": rejected_rows,
@@ -180,7 +197,8 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
         )
 
     if dest.write_mode == "merge":
-        merge_upsert(spark, staged, dest)
+        merge_upsert(spark, staged, dest,
+                     immutable_partitions=dest.immutable_partitions)
     else:
         write_append(staged, dest)
     return RunResult(config.name, int(obs.get["rows"]), report,

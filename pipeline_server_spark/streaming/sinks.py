@@ -94,18 +94,41 @@ def exactly_once_merge_sink(
     keys: list[str],
     sequence_col: str | None = None,
     scan_last: int = 50,
+    partition_by: tuple[str, ...] | list[str] = (),
+    immutable_partitions: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """Keyed-merge variant: each micro-batch upserts into the current
-    snapshot and commits the merged state with its ``batch_id`` —
-    idempotent under replay AND under re-delivered rows (the merge
-    itself is idempotent on keys)."""
+    snapshot and commits with its ``batch_id`` — idempotent under
+    replay AND under re-delivered rows (the merge itself is idempotent
+    on keys).
+
+    With ``partition_by`` the sink rides
+    :meth:`VersionedTable.commit_merge_partitioned`: each micro-batch
+    rewrites ONLY the partitions it touches and carries every other
+    partition's files forward by manifest reference — O(touched) per
+    trigger, where the unpartitioned fallback is an O(table) rewrite
+    per trigger (the round-5 verdict's write-amplification finding).
+    A streaming upsert into a 100 TB date-partitioned table must pass
+    its partition columns here. ``immutable_partitions=False`` (keys
+    may move between partitions) forces the move-safe full rewrite."""
     from pipeline_server_spark.pipeline.writers import (
         _dedupe_source_by_keys,
         merge_upsert_frames,
     )
 
+    cols = list(partition_by)
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_batch_ids(table, scan_last):
+            return
+        meta = {"batch_id": int(batch_id)}
+        if cols:
+            # O(touched partitions) incremental merge commit; handles
+            # the bootstrap batch (with key dedup) itself
+            table.commit_merge_partitioned(
+                batch_df, keys, cols, sequence_col, metadata=meta,
+                immutable_partitions=immutable_partitions,
+            )
             return
         current = table.current_version()
         # Bootstrap batch must use the same max-sequence-wins dedup as
@@ -116,6 +139,6 @@ def exactly_once_merge_sink(
             if current is None
             else merge_upsert_frames(table.read(), batch_df, keys, sequence_col)
         )
-        table.commit(merged, metadata={"batch_id": int(batch_id)})
+        table.commit(merged, metadata=meta)
 
     return apply

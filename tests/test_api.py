@@ -449,3 +449,39 @@ def test_optimize_endpoint_reclusters_versioned_dataset(spark, server):
     t = VersionedTable(spark, cfg.destination.path)
     assert t.read(2).count() == t.read(1).count() == 200
     assert t.commit_metadata(2)["operation"] == "optimize_zorder"
+
+
+def test_optimize_endpoint_compacts_without_zorder(spark, server):
+    """POST /dataset/optimize with no zorderby bin-packs the snapshot:
+    many small incremental commits collapse to one directory / few
+    files, rows identical."""
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    cfg = DatasetConfig(
+        name="api_compact",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_compact"),
+            write_mode="append",
+            versioned=True,
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+    for i in range(3):
+        csv = f"id,amount\n{i},{i}.5\n".encode()
+        status, out = _call(srv.port, "POST",
+                            "/dataset/upload?dataset=api_compact", csv)
+        assert status == 200 and out["rows_written"] == 1
+    t = VersionedTable(spark, str(tmp_path / "out" / "api_compact"))
+    assert len({e[0] for e in t._entries_for_version(3)}) == 3
+
+    status, out = _call(srv.port, "POST",
+                        "/dataset/optimize?name=api_compact&targetbytes=1073741824",
+                        b"")
+    assert status == 200 and out["version"] == 4 and out["files"] == 1
+    assert t.read(4).count() == 3
+    assert t.commit_metadata(4)["operation"] == "optimize_compact"

@@ -251,6 +251,20 @@ class TestNullSemantics:
         out = apply_column_expressions(null_df, spec.expressions, spec.drop_predicate)
         assert {r["symbol"] for r in out.collect()} == {"AAPL", "MSFT"}
 
+    def test_null_value_in_ordering_coerces_to_zero(self, spark, null_df):
+        # Nashorn ToNumber(null) = 0, so `adj_close < 200` is TRUE for
+        # a null adj_close (0 < 200) → if-branch → row KEPT. The raw
+        # NULL-propagating translation routed it to the else (drop)
+        # branch instead (round-5 advice item).
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        if (adj_close < 200) { map } else { null }
+        """
+        spec = translate_transformation_script(src, null_df.columns)
+        out = apply_column_expressions(null_df, spec.expressions, spec.drop_predicate)
+        assert {r["symbol"] for r in out.collect()} == {"AAPL", "NONE"}
+
     def test_relational_null_comparison_rejected(self):
         with pytest.raises(JsTranslationError, match="null literal"):
             translate_quality_script(
@@ -376,3 +390,90 @@ class TestTranslationProperties:
             assert float(got) == float(want), (e, got, want)
 
         check()
+
+
+class TestRound6Constructs:
+    """Round-5 verdict item 9: parseInt/parseFloat, String.prototype
+    methods, .length, and the ternary operator — each lowered to pure
+    Catalyst, with named rejection unchanged for loops/regex."""
+
+    @pytest.fixture(scope="class")
+    def sdf(self, spark):
+        return spark.createDataFrame(
+            [("AAPL US", "12px", 101.5), ("msft ln", "x9", 99.0),
+             (None, "  -42.5e1abc", 100.0)],
+            ["symbol", "raw", "px"],
+        )
+
+    def _map_script(self, body: str) -> str:
+        return (
+            "var HashMap = Java.type('java.util.HashMap');"
+            "var map = new HashMap();" + body + "map;"
+        )
+
+    def test_parse_int_and_float_columns(self, spark, sdf):
+        src = self._map_script(
+            "map.put('i', parseInt(raw));"
+            "map.put('f', parseFloat(raw));"
+            "map.put('ten', parseInt('10.9', 10));"
+        )
+        spec = translate_transformation_script(src, sdf.columns)
+        out = apply_column_expressions(sdf, spec.expressions, spec.drop_predicate)
+        rows = {r["raw"]: (r["i"], r["f"], r["ten"]) for r in out.collect()}
+        # JS: parseInt('12px')=12; parseInt('x9')=NaN→null;
+        # parseFloat('  -42.5e1abc')=-425.0
+        assert rows["12px"] == (12, 12.0, 10)
+        assert rows["x9"] == (None, None, 10)
+        assert rows["  -42.5e1abc"] == (-42, -425.0, 10)
+
+    def test_string_methods_and_length(self, spark, sdf):
+        src = self._map_script(
+            "map.put('up', symbol.toUpperCase());"
+            "map.put('head', symbol.substring(0, 4));"
+            "map.put('spc', symbol.indexOf(' '));"
+            "map.put('n', symbol.length);"
+            "map.put('lit', 'AbC'.toLowerCase());"
+            "map.put('litsub', 'abcdef'.substring(4, 1));"
+        )
+        spec = translate_transformation_script(src, sdf.columns)
+        out = apply_column_expressions(sdf, spec.expressions, spec.drop_predicate)
+        rows = {r["raw"]: (r["up"], r["head"], r["spc"], r["n"], r["lit"], r["litsub"])
+                for r in out.collect()}
+        assert rows["12px"] == ("AAPL US", "AAPL", 4, 7, "abc", "bcd")
+        assert rows["x9"] == ("MSFT LN", "msft", 4, 7, "abc", "bcd")
+        # null receiver propagates null (SQL side) — Nashorn would
+        # TypeError; the row survives with nulls
+        assert rows["  -42.5e1abc"][0] is None
+
+    def test_ternary_in_value_and_completion_position(self, spark, sdf):
+        # value position
+        src = self._map_script(
+            "map.put('band', px >= 100 ? 'high' : 'low');"
+        )
+        spec = translate_transformation_script(src, sdf.columns)
+        out = apply_column_expressions(sdf, spec.expressions, spec.drop_predicate)
+        assert {r["raw"]: r["band"] for r in out.collect()} == {
+            "12px": "high", "x9": "low", "  -42.5e1abc": "high"}
+        # completion position choosing map vs null → drop predicate
+        src2 = (
+            "var HashMap = Java.type('java.util.HashMap');"
+            "var map = new HashMap();"
+            "px >= 100 ? map : null;"
+        )
+        spec2 = translate_transformation_script(src2, sdf.columns)
+        out2 = apply_column_expressions(sdf, spec2.expressions, spec2.drop_predicate)
+        assert {r["raw"] for r in out2.collect()} == {"12px", "  -42.5e1abc"}
+        # quality position: message vs null
+        msg = translate_quality_script(
+            "px < 100 ? 'too cheap' : null", sdf.columns)
+        got = {r["raw"]: r["v"] for r in
+               sdf.select("raw", msg.alias("v")).collect()}
+        assert got == {"12px": None, "x9": "too cheap", "  -42.5e1abc": None}
+
+    def test_named_rejection_still_intact(self):
+        with pytest.raises(JsTranslationError, match="not supported"):
+            translate_quality_script("for (var i = 0; i < 3; i = i + 1) {}", [])
+        with pytest.raises(JsTranslationError, match="radix"):
+            translate_quality_script("parseInt(a, 16)", ["a"])
+        with pytest.raises(JsTranslationError, match="indexOf"):
+            translate_quality_script("a.indexOf(b)", ["a", "b"])

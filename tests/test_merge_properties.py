@@ -364,9 +364,11 @@ class TestVersionedSkippingIndex:
 
 class TestCommitAppend:
     def test_append_is_o_batch_and_versions_correct(self, spark, tmp_path):
-        """commit_append links the prior version's files: reads equal
-        the cumulative union, time travel works, and version N's new
-        bytes are only the batch (link count > 1 on shared files)."""
+        """commit_append publishes a manifest carrying the prior
+        version's files forward: reads equal the cumulative union,
+        time travel works, and version N's directory holds ONLY the
+        batch's files — no per-prior-file filesystem work (no links,
+        no copies)."""
         import os
 
         from pipeline_server_spark.pipeline.writers import VersionedTable
@@ -383,13 +385,55 @@ class TestCommitAppend:
         assert {r["k"] for r in t.read(2).collect()} == {1, 2, 3}
         assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4, 5}
 
-        # v3 shares v2's data files by inode (no rewrite)
+        # O(batch) in FILESYSTEM OPERATIONS: v3's own dir contains only
+        # the files the batch wrote (older data is carried by manifest
+        # reference, not linked/copied in)
         v3 = t._resolve_dir(3)
-        shared = [
-            f for f in os.listdir(v3)
-            if f.endswith(".parquet") and os.stat(os.path.join(v3, f)).st_nlink > 1
-        ]
-        assert shared, "no hardlinked files — append rewrote the table"
+        own = t._list_data_files(v3)
+        entries3 = t._read_filelist(3)
+        carried = [e for e in entries3 if e[0] != os.path.basename(v3)]
+        assert own and len(own) < len(entries3)
+        assert set(entries3) >= {(os.path.basename(v3), r) for r in own}
+        # every carried entry points at an EXISTING prior-version file
+        assert carried and all(os.path.exists(t._abs_file(e)) for e in carried)
+        # and v3's files all have link count 1 — nothing was hardlinked
+        assert all(
+            os.stat(os.path.join(v3, r)).st_nlink == 1 for r in own
+        )
+
+    def test_append_commit_filesystem_ops_are_o_batch(self, spark, tmp_path, monkeypatch):
+        """The per-commit syscall budget does not grow with table
+        size: committing batch N+1 performs zero os.link calls and
+        walks only the new version's directory (the previous design
+        linked every prior file — O(table) per commit, and O(table)
+        server-side copies on object stores)."""
+        import os as _os
+
+        from pipeline_server_spark.pipeline import writers as W
+
+        t = W.VersionedTable(spark, str(tmp_path / "appops"))
+        # build up a table with many prior files
+        t.commit(spark.range(200).selectExpr("id as k", "id * 2 as v")
+                 .repartition(8))
+        links = []
+        real_link = _os.link
+        monkeypatch.setattr(W.os, "link", lambda *a: links.append(a) or real_link(*a))
+        walked = []
+        real_walk = _os.walk
+
+        def counting_walk(top, *a, **kw):
+            walked.append(top)
+            return real_walk(top, *a, **kw)
+
+        monkeypatch.setattr(W.os, "walk", counting_walk)
+        batch = spark.createDataFrame([(9999, 9)], ["k", "v"]).coalesce(1)
+        v = t.commit_append(batch)
+        assert links == [], "commit_append hardlinked prior files"
+        # every directory walked during the commit is the NEW version's
+        # staging dir — never the prior version's data tree
+        new_dir = t._resolve_dir(v)
+        assert walked and all(w.startswith(new_dir) for w in walked), walked
+        assert t.read().count() == 201
 
     def test_append_survives_vacuum_of_old_versions(self, spark, tmp_path):
         from pipeline_server_spark.pipeline.writers import VersionedTable
@@ -462,21 +506,19 @@ class TestCommitMergePartitioned:
                        (3, "2024-01-02", "c"), (4, "2024-01-03", "d"),
                        (5, "2024-01-03", "e")}
 
-        # the untouched 2024-01-02 partition is hardlinked, not rewritten
+        # the untouched 2024-01-02 partition is carried forward by
+        # manifest reference to v1's file — v2's own directory holds
+        # ONLY the touched partitions it rewrote
         v2dir = t._resolve_dir(2)
-        untouched = os.path.join(v2dir, "day=2024-01-02")
-        links = [
-            f for f in os.listdir(untouched)
-            if f.endswith(".parquet")
-            and os.stat(os.path.join(untouched, f)).st_nlink > 1
-        ]
-        assert links, "untouched partition was rewritten"
-        # and the touched partitions were NOT linked (fresh files)
-        touched_dir = os.path.join(v2dir, "day=2024-01-01")
-        assert all(
-            os.stat(os.path.join(touched_dir, f)).st_nlink == 1
-            for f in os.listdir(touched_dir) if f.endswith(".parquet")
-        )
+        own = t._list_data_files(v2dir)
+        own_parts = {r.split(os.sep)[0] for r in own}
+        assert own_parts == {"day=2024-01-01", "day=2024-01-03"}
+        entries = t._read_filelist(2)
+        carried = [e for e in entries if e[0] != os.path.basename(v2dir)]
+        assert carried and all(
+            e[1].startswith("day=2024-01-02") for e in carried
+        ), carried
+        assert all(os.path.exists(t._abs_file(e)) for e in carried)
 
     def test_merge_partitioned_bootstrap_and_time_travel(self, spark, tmp_path):
         from pipeline_server_spark.pipeline.writers import VersionedTable
@@ -638,3 +680,192 @@ class TestIncrementalCommitGuards:
                                    ["k", "s", "x", "extra"]), 2)  # wider
         rows = {(r["k"], r["extra"]) for r in t.read().collect()}
         assert rows == {(1, None), (2, None), (3, "new")}
+
+
+class TestManifestCommitsRound6:
+    """Round-6 additions: multi-column partitioned merges, optimistic
+    multi-writer retry, manifest-aware vacuum chains, and compaction."""
+
+    def test_merge_two_partition_columns_equals_full_merge(self, spark, tmp_path):
+        """commit_merge_partitioned on a composite (day, tenant) layout:
+        result equals the full-rewrite merge; only touched composite
+        partitions are rewritten, the rest carried by reference."""
+        import os
+
+        from pipeline_server_spark.pipeline.writers import (
+            VersionedTable,
+            merge_upsert_frames,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "mc2"))
+        base = spark.createDataFrame(
+            [(1, "d1", "t1", "a"), (2, "d1", "t2", "b"),
+             (3, "d2", "t1", "c"), (4, "d2", "t2", "d")],
+            ["k", "day", "tenant", "s"],
+        )
+        t.commit(base, partition_by=("day", "tenant"))
+        batch = spark.createDataFrame(
+            [(2, "d1", "t2", "B"), (5, "d3", "t1", "e")],
+            ["k", "day", "tenant", "s"],
+        )
+        v2 = t.commit_merge_partitioned(batch, ["k"], ["day", "tenant"])
+        assert v2 == 2
+        expected = {
+            (r["k"], r["day"], r["tenant"], r["s"])
+            for r in merge_upsert_frames(t.read(1), batch, ["k"]).collect()
+        }
+        got = {(r["k"], r["day"], r["tenant"], r["s"]) for r in t.read(2).collect()}
+        assert got == expected and len(got) == 5
+
+        v2dir = t._resolve_dir(2)
+        own_prefixes = {
+            os.sep.join(r.split(os.sep)[:2]) for r in t._list_data_files(v2dir)
+        }
+        assert own_prefixes == {os.path.join("day=d1", "tenant=t2"),
+                                os.path.join("day=d3", "tenant=t1")}
+        carried = [e for e in t._read_filelist(2)
+                   if e[0] != os.path.basename(v2dir)]
+        carried_prefixes = {os.sep.join(e[1].split(os.sep)[:2]) for e in carried}
+        assert carried_prefixes == {os.path.join("day=d1", "tenant=t1"),
+                                    os.path.join("day=d2", "tenant=t1"),
+                                    os.path.join("day=d2", "tenant=t2")}
+
+    def test_merge_layout_guard_rejects_wrong_column_order(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "mc3"))
+        t.commit(
+            spark.createDataFrame([(1, "d1", "t1", "a")],
+                                  ["k", "day", "tenant", "s"]),
+            partition_by=("day", "tenant"),
+        )
+        batch = spark.createDataFrame([(1, "d1", "t1", "A")],
+                                      ["k", "day", "tenant", "s"])
+        with _pytest.raises(ValueError, match="not hive-partitioned"):
+            t.commit_merge_partitioned(batch, ["k"], ["tenant", "day"])
+
+    def test_racing_writers_both_commit_with_retry(self, spark, tmp_path):
+        """Two writers race the same version with a ConditionalPutFS:
+        without retry one loses; with commit_with_retry BOTH commit,
+        versions are strictly ordered, and no batch's rows are lost."""
+        import threading
+
+        from pipeline_server_spark.pipeline.writers import (
+            ConditionalPutFS,
+            VersionedTable,
+            commit_with_retry,
+        )
+
+        root = str(tmp_path / "race")
+        barrier = threading.Barrier(2)
+        results, errors = {}, []
+
+        def writer(tag: str, lo: int):
+            try:
+                t = VersionedTable(spark, root, fs=ConditionalPutFS())
+                batch = spark.createDataFrame(
+                    [(lo + i, tag) for i in range(3)], ["k", "src"]
+                )
+
+                def attempt():
+                    cur = t.current_version()
+                    if cur is None:
+                        return t.commit(batch)
+                    return t.commit_append(batch)
+
+                barrier.wait(timeout=60)
+                results[tag] = commit_with_retry(attempt)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        th = [threading.Thread(target=writer, args=("a", 0)),
+              threading.Thread(target=writer, args=("b", 100))]
+        [x.start() for x in th]
+        [x.join() for x in th]
+        assert not errors
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert sorted(results.values()) == [1, 2]
+        assert t.versions() == [1, 2]
+        got = {r["k"] for r in t.read().collect()}
+        assert got == {0, 1, 2, 100, 101, 102}
+
+    def test_vacuum_keeps_files_referenced_by_newer_manifests(self, spark, tmp_path):
+        """Vacuuming the version that WROTE a file must not delete it
+        while newer manifests still reference it; once nothing does, a
+        later vacuum sweeps the tombstoned directory."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vch"))
+        t.commit_append(spark.createDataFrame([(1, "a")], ["k", "s"]))
+        t.commit_append(spark.createDataFrame([(2, "b")], ["k", "s"]))
+        t.commit_append(spark.createDataFrame([(3, "c")], ["k", "s"]))
+        removed = t.vacuum(keep=1)
+        assert removed == [1, 2]
+        assert t.versions() == [3]
+        # v1/v2's files are still referenced by v3's manifest → alive
+        assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            t.read(1)
+        # a full rewrite drops every reference to the old files; the
+        # next vacuum re-sweeps the tombstoned dirs and removes them
+        t.commit(t.read().where("k >= 2"))
+        t.vacuum(keep=1)
+        import os
+
+        vbase = os.path.join(t.root, "_versions")
+        leftover = [d for d in os.listdir(vbase)
+                    if os.path.exists(os.path.join(vbase, d, t.VACUUMED))]
+        assert leftover == []
+        assert {r["k"] for r in t.read().collect()} == {2, 3}
+
+    def test_optimize_compact_collapses_files_and_manifest(self, spark, tmp_path):
+        """OPTIMIZE (no ZORDER): after many appends, compaction commits
+        a version with few files in ONE directory, identical rows."""
+        from pipeline_server_spark.operators.scale import optimize_compact_snapshot
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "cmp"))
+        for i in range(6):
+            t.commit_append(
+                spark.createDataFrame([(i, f"s{i}")], ["k", "s"]).coalesce(1)
+            )
+        before = t._entries_for_version(t.current_version())
+        assert len(before) == 6 and len({e[0] for e in before}) == 6
+        v = optimize_compact_snapshot(t, target_file_bytes=1 << 30)
+        after = t._entries_for_version(v)
+        assert len(after) == 1 and len({e[0] for e in after}) == 1
+        assert {r["k"] for r in t.read().collect()} == set(range(6))
+        assert t.commit_metadata(v)["operation"] == "optimize_compact"
+        # partitioned variant preserves the hive layout
+        t2 = VersionedTable(spark, str(tmp_path / "cmp2"))
+        for i in range(4):
+            t2.commit_append(
+                spark.createDataFrame([(i, "p%d" % (i % 2))], ["k", "p"]),
+                partition_by=("p",),
+            )
+        v2 = optimize_compact_snapshot(t2, target_file_bytes=1 << 30,
+                                       partition_by=("p",))
+        got = {(r["k"], r["p"]) for r in t2.read(v2).collect()}
+        assert got == {(0, "p0"), (1, "p1"), (2, "p0"), (3, "p1")}
+        assert all("=" in e[1].split("/")[0] for e in t2._entries_for_version(v2))
+
+    def test_append_accepts_string_partition_values_that_read_back_typed(
+            self, spark, tmp_path):
+        """Round-5 advice item 2: a STRING partition column holding
+        numeric text reads back as int via partition-value inference;
+        a type-identical second batch must still append cleanly."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "sp"))
+        b = spark.createDataFrame([("5", 1), ("2021", 2)], ["p", "v"])
+        assert dict(b.dtypes)["p"] == "string"
+        t.commit_append(b, partition_by=("p",))
+        t.commit_append(
+            spark.createDataFrame([("7", 3)], ["p", "v"]), partition_by=("p",)
+        )
+        got = {(str(r["p"]), r["v"]) for r in t.read().collect()}
+        assert got == {("5", 1), ("2021", 2), ("7", 3)}

@@ -839,10 +839,11 @@ def test_run_dataset_js_dq_rule_runs_in_lifecycle(spark, tmp_path):
     assert result.rows_written == 2  # warnings don't block the load
 
 
-def test_run_dataset_versioned_append_links_not_rewrites(spark, tmp_path, orders_csv):
+def test_run_dataset_versioned_append_is_o_batch(spark, tmp_path, orders_csv):
     """write_mode=append on a versioned destination commits O(batch):
-    the second ingest's version shares the first version's files by
-    inode instead of rewriting the table."""
+    the second ingest's version directory holds only its own batch —
+    the first version's files are carried forward by manifest
+    reference, not rewritten (and not even linked/copied)."""
     import os
 
     from pipeline_server_spark.pipeline.writers import VersionedTable
@@ -863,11 +864,10 @@ def test_run_dataset_versioned_append_links_not_rewrites(spark, tmp_path, orders
     t = VersionedTable(spark, config.destination.path)
     assert t.read(2).count() == 2 * t.read(1).count() > 0
     v2 = t._resolve_dir(2)
-    shared = [
-        f for f in os.listdir(v2)
-        if f.endswith(".parquet") and os.stat(os.path.join(v2, f)).st_nlink > 1
-    ]
-    assert shared, "append rewrote the table instead of linking"
+    entries = t._read_filelist(2)
+    carried = [e for e in entries if e[0] != os.path.basename(v2)]
+    assert carried, "append rewrote the table instead of referencing v1"
+    assert all(os.stat(t._abs_file(e)).st_nlink == 1 for e in entries)
 
 
 def test_quarantine_clean_file_reports_zero_not_absent(spark, tmp_path):
@@ -897,3 +897,100 @@ def test_quarantine_clean_file_reports_zero_not_absent(spark, tmp_path):
     assert with_q.details["rejected_rows"] == 0
     without_q = run_dataset(spark, cfg("without_q", False), str(p))
     assert without_q.details["rejected_rows"] is None
+
+
+def test_merge_overwrite_mode_is_write_scoped_not_session_global(spark, tmp_path):
+    """Round-5 verdict item 2: merge_upsert's dynamic partition
+    overwrite rides a per-write option. A concurrent STATIC-mode
+    overwrite on another thread during the merge window keeps static
+    semantics (it replaces ALL partitions of its own table), and the
+    session conf is never mutated."""
+    import threading
+
+    from pipeline_server_spark.pipeline.writers import merge_upsert
+
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static") == "static"
+
+    # merge target: partitioned, merge touches only p=1
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], ["k", "p", "s"]) \
+        .write.partitionBy("p").parquet(tgt)
+    # other table: two partitions; the concurrent static overwrite
+    # writes ONLY p=1 rows — static semantics must drop its p=2
+    other = str(tmp_path / "other")
+    spark.createDataFrame([(10, 1), (20, 2)], ["v", "p"]) \
+        .write.partitionBy("p").parquet(other)
+
+    stop = threading.Event()
+    errs = []
+
+    def concurrent_static_overwrites():
+        try:
+            while not stop.is_set():
+                spark.createDataFrame([(11, 1)], ["v", "p"]) \
+                    .write.mode("overwrite").partitionBy("p").parquet(other)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=concurrent_static_overwrites)
+    th.start()
+    try:
+        for i in range(3):
+            dest = DestinationConfig(
+                path=tgt, write_mode="merge", key_fields=("k",),
+                partition_by=("p",),
+            )
+            batch = spark.createDataFrame([(1, 1, f"A{i}")], ["k", "p", "s"])
+            merge_upsert(spark, batch, dest)
+    finally:
+        stop.set()
+        th.join()
+    assert not errs
+    # merge was dynamic: untouched p=2 survived all three merges
+    got = {(r["k"], r["p"], r["s"]) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, 1, "A2"), (2, 2, "b")}
+    # the concurrent writer stayed STATIC: its p=2 partition was
+    # dropped by its own full overwrite (the session conf never leaked)
+    other_rows = {(r["v"], r["p"]) for r in spark.read.parquet(other).collect()}
+    assert other_rows == {(11, 1)}
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static") == "static"
+
+
+def test_run_dataset_versioned_merge_honors_mutable_partitions(spark, tmp_path):
+    """Round-5 ADVICE item 1: immutable_partitions=False in the config
+    reaches the versioned commit_merge_partitioned path, so an update
+    that MOVES a key between partitions leaves exactly one row."""
+    from pipeline_server_spark.pipeline.config import FileAttributes
+
+    fields = (SchemaField("k", "int"), SchemaField("day", "string"),
+              SchemaField("s", "string"))
+
+    def cfg(immutable: bool, path: str) -> DatasetConfig:
+        return DatasetConfig(
+            name="mv_cfg",
+            source=SourceConfig(
+                fields=fields,
+                file=FileAttributes(file_type="csv", header=True),
+            ),
+            destination=DestinationConfig(
+                fields=fields, path=path, write_mode="merge",
+                key_fields=("k",), partition_by=("day",),
+                versioned=True, immutable_partitions=immutable,
+            ),
+        )
+
+    p1 = tmp_path / "b1.csv"
+    p1.write_text("k,day,s\n1,d1,a\n2,d2,b\n")
+    p2 = tmp_path / "b2.csv"  # k=1 MOVES d1 -> d2
+    p2.write_text("k,day,s\n1,d2,A\n")
+
+    out = str(tmp_path / "mv_out")
+    run_dataset(spark, cfg(False, out), str(p1))
+    run_dataset(spark, cfg(False, out), str(p2))
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    got = {(r["k"], r["day"], r["s"])
+           for r in VersionedTable(spark, out).read().collect()}
+    assert got == {(1, "d2", "A"), (2, "d2", "b")}

@@ -493,3 +493,26 @@ def test_skipping_index_null_stats_never_prunes(spark, tmp_path):
     )
     assert (files_read, files_total) == (1, 1)
     assert [r["a"] for r in got.collect()] == [15]
+
+
+def test_distributed_prefix_sum_preserves_fractional_type(spark):
+    """Round-5 advice item 3: a DOUBLE value_col keeps its fractional
+    cumulative sum (the old unconditional bigint cast truncated it);
+    integral inputs still come back bigint."""
+    import pyspark.sql.functions as F
+
+    from pipeline_server_spark.operators.scale import distributed_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(1, 9)], ["o", "w"]
+    )
+    got = distributed_prefix_sum(df, "o", "w", out="c", buckets=4)
+    assert dict(got.dtypes)["c"] == "double"
+    vals = {r["o"]: r["c"] for r in got.collect()}
+    assert vals == {i: i * 0.5 for i in range(1, 9)}
+    # empty frame keeps the same type
+    empty = distributed_prefix_sum(df.where(F.lit(False)), "o", "w", out="c")
+    assert dict(empty.dtypes)["c"] == "double"
+    # integral stays bigint (pps_systematic_sample contract)
+    ints = spark.createDataFrame([(1, 2), (2, 3)], ["o", "w"])
+    assert dict(distributed_prefix_sum(ints, "o", "w", out="c").dtypes)["c"] == "bigint"

@@ -467,3 +467,88 @@ class TestExactlyOnceSinks:
         feed = t.changes_range(["k"], v_from=1, v_to=3).collect()
         tagged = {(r["k"], r["_change_type"], r["_commit_version"]) for r in feed}
         assert tagged == {(2, "insert", 2), (1, "delete", 3)}
+
+
+def test_merge_sink_partitioned_is_o_touched_partitions(spark, tmp_path):
+    """exactly_once_merge_sink(partition_by=...): each micro-batch
+    rewrites only the partitions it touches — untouched partitions'
+    files are carried forward by manifest reference (same absolute
+    paths across versions), replay stays a no-op, and the result
+    equals the cumulative merge."""
+    import os
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.sinks import exactly_once_merge_sink
+
+    t = VersionedTable(spark, str(tmp_path / "pms"))
+    sink = exactly_once_merge_sink(t, ["k"], sequence_col="seq",
+                                   partition_by=("day",))
+    b0 = spark.createDataFrame(
+        [(1, "d1", "a", 1), (2, "d2", "b", 1), (3, "d3", "c", 1)],
+        ["k", "day", "s", "seq"],
+    )
+    sink(b0, 0)
+    v1_files = {t._abs_file(e) for e in t._entries_for_version(1)}
+    d2_files = {f for f in v1_files if "day=d2" in f}
+    assert d2_files
+
+    b1 = spark.createDataFrame([(1, "d1", "A", 2), (4, "d3", "e", 2)],
+                               ["k", "day", "s", "seq"])
+    sink(b1, 1)
+    assert t.current_version() == 2
+    # untouched d2 partition: the SAME files, not a rewrite
+    v2_files = {t._abs_file(e) for e in t._entries_for_version(2)}
+    assert d2_files <= v2_files
+    v2dir = t._resolve_dir(2)
+    own_parts = {r.split(os.sep)[0] for r in t._list_data_files(v2dir)}
+    assert own_parts == {"day=d1", "day=d3"}
+
+    # replay of batch 1 after a simulated failure is a no-op
+    sink(b1, 1)
+    assert t.current_version() == 2
+    got = {(r["k"], r["day"], r["s"]) for r in t.read().collect()}
+    assert got == {(1, "d1", "A"), (2, "d2", "b"),
+                   (3, "d3", "c"), (4, "d3", "e")}
+
+
+def test_merge_sink_partitioned_checkpoint_reuse_e2e(spark, tmp_path):
+    """The partitioned merge sink through a REAL stream with
+    checkpoint restart: second run re-delivers nothing new, table
+    state is the exact per-key max-seq merge."""
+    import glob
+    import json
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.sinks import exactly_once_merge_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = "k INT, day STRING, s STRING, seq INT"
+    (src / "a.json").write_text("\n".join(
+        json.dumps(d) for d in [
+            {"k": 1, "day": "d1", "s": "a", "seq": 1},
+            {"k": 2, "day": "d2", "s": "b", "seq": 1},
+        ]))
+    t = VersionedTable(spark, str(tmp_path / "pmt"))
+    sink = exactly_once_merge_sink(t, ["k"], sequence_col="seq",
+                                   partition_by=("day",))
+
+    def run_once():
+        q = (spark.readStream.schema(schema).json(str(src))
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    n_versions = t.current_version()
+    (src / "b.json").write_text(json.dumps(
+        {"k": 1, "day": "d1", "s": "A", "seq": 2}))
+    run_once()
+    got = {(r["k"], r["s"]) for r in t.read().collect()}
+    assert got == {(1, "A"), (2, "b")}
+    # restart with no new data: no new version (checkpoint + batch_id dedup)
+    before = t.current_version()
+    run_once()
+    assert t.current_version() == before
