@@ -87,11 +87,16 @@ def config_from_dict(d: dict) -> DatasetConfig:
         data_quality=DataQualityConfig(
             validate_file_header=dq.get("validate_file_header", False),
             column_rules=tuple(ColumnRule(**r) for r in dq.get("column_rules", ())),
+            # JSON-carried Nashorn script (the reference's shipped .js
+            # corpus over REST) — only the Python-callable hooks are
+            # non-serializable and dropped
+            js_row_rule=dq.get("js_row_rule"),
             row_rule_is_error=dq.get("row_rule_is_error", False),
             max_errors=dq.get("max_errors", 100),
         ),
         transformation=TransformationConfig(
             deduplicate=tr.get("deduplicate", False),
+            js_script=tr.get("js_script"),
         ),
         destination=DestinationConfig(
             fields=tuple(SchemaField(**f) for f in dst.get("fields", ())),
@@ -103,6 +108,10 @@ def config_from_dict(d: dict) -> DatasetConfig:
             delete_before_write=dst.get("delete_before_write", False),
             save_transformed=dst.get("save_transformed", False),
             versioned=dst.get("versioned", False),
+            # without this, a REST-registered mutable-partition-key
+            # dataset silently falls back to the pruned merge and
+            # leaves stale rows behind when a key changes partition
+            immutable_partitions=dst.get("immutable_partitions", True),
         ),
         parity_mode=d.get("parity_mode", False),
     )

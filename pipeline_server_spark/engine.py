@@ -171,15 +171,34 @@ class Engine:
         data-skipping index — the OPTIMIZE ZORDER maintenance action,
         exposed over the control plane so operators can schedule it."""
         from pipeline_server_spark.operators.scale import optimize_zorder_snapshot
-        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        table, dest = self._versioned_table(name)
+        # same lock + commit protocol as ingests: without them a
+        # concurrent upload and this maintenance commit would both
+        # claim version N through DIFFERENT publish protocols
+        # (commit log vs manifest rename) and silently shadow one
+        # another
+        with self._dest_lock(dest.path):
+            version = optimize_zorder_snapshot(table, zorder_by,
+                                               num_files=num_files)
+        return {"version": version, "zorder_by": zorder_by}
+
+    def _versioned_table(self, name: str):
+        """The dataset's VersionedTable on the SAME multi-writer
+        commit protocol (ConditionalPutFS commit log) the ingest path
+        uses — maintenance and ingest commits must race through one
+        protocol or neither detects the other."""
+        from pipeline_server_spark.pipeline.writers import (
+            ConditionalPutFS,
+            VersionedTable,
+        )
 
         config = self._configs[name]
         dest = config.destination
         if not dest.versioned or dest.path is None:
             raise ValueError(f"dataset {name!r} has no versioned destination")
-        table = VersionedTable(self.spark, dest.path, dest.file_format)
-        version = optimize_zorder_snapshot(table, zorder_by, num_files=num_files)
-        return {"version": version, "zorder_by": zorder_by}
+        return VersionedTable(self.spark, dest.path, dest.file_format,
+                              fs=ConditionalPutFS()), dest
 
     def compact(self, name: str,
                 target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:
@@ -190,17 +209,13 @@ class Engine:
         (append/merge) commits. Preserves the destination's hive
         partitioning."""
         from pipeline_server_spark.operators.scale import optimize_compact_snapshot
-        from pipeline_server_spark.pipeline.writers import VersionedTable
 
-        config = self._configs[name]
-        dest = config.destination
-        if not dest.versioned or dest.path is None:
-            raise ValueError(f"dataset {name!r} has no versioned destination")
-        table = VersionedTable(self.spark, dest.path, dest.file_format)
-        version = optimize_compact_snapshot(
-            table, target_file_bytes=target_file_bytes,
-            partition_by=dest.partition_by,
-        )
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            version = optimize_compact_snapshot(
+                table, target_file_bytes=target_file_bytes,
+                partition_by=dest.partition_by,
+            )
         n = len(table._entries_for_version(version))
         return {"version": version, "files": n,
                 "target_file_bytes": int(target_file_bytes)}

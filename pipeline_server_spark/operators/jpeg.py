@@ -161,66 +161,132 @@ def _canonical_codes(bits: list[int], values: list[int]):
     return out
 
 
+_HUFF_LUT_CACHE: dict = {}
+_HUFF_LUT_CACHE_MAX = 64  # ~0.5 MB per LUT; bound so a corpus of
+# per-image optimized tables (libjpeg optimize_coding, phone cameras)
+# cannot grow executor memory without limit — eviction is FIFO, which
+# keeps the 4 standard Annex K tables hot in practice
+
+
 class _HuffDecoder:
+    """16-bit-prefix lookup decoder: one peek + one list index per
+    code instead of a per-bit loop with a dict probe per length — the
+    standard pure-Python speed structure (~10x over bit-at-a-time on
+    real entropy streams). LUTs for a (bits, values) spec are memoized
+    process-wide (bounded): decoding a corpus encoded with the Annex K
+    tables builds each table once, not once per image."""
+
     def __init__(self, bits: list[int], values: list[int]):
-        self.lut = {(ln, c): v for ln, c, v in _canonical_codes(bits, values)}
-        self.max_len = max((ln for ln, _, _ in _canonical_codes(bits, values)),
-                           default=0)
+        key = (tuple(bits), tuple(values))
+        lut = _HUFF_LUT_CACHE.get(key)
+        if lut is None:
+            lut = [None] * 65536
+            for ln, code, v in _canonical_codes(bits, values):
+                lo = code << (16 - ln)
+                entry = (v, ln)
+                for i in range(lo, lo + (1 << (16 - ln))):
+                    lut[i] = entry
+            while len(_HUFF_LUT_CACHE) >= _HUFF_LUT_CACHE_MAX:
+                _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
+            _HUFF_LUT_CACHE[key] = lut
+        self.lut = lut
 
     def decode(self, br: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            v = self.lut.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("corrupt JPEG: invalid Huffman code")
+        entry = self.lut[br.peek16()]
+        if entry is None:
+            raise ValueError("corrupt JPEG: invalid Huffman code")
+        br.consume(entry[1])
+        return entry[0]
 
 
 class _BitReader:
-    """Entropy-coded-segment bit reader with 0xFF00 byte unstuffing;
-    stops (raises _MarkerFound) at a real marker so the scan loop can
-    handle RSTn / EOI."""
+    """Entropy-coded-segment reader with 0xFF00 byte unstuffing,
+    refilled a byte at a time into an integer window. ``peek16`` pads
+    past a marker/EOF with 1-bits (never consuming them), so the last
+    real code in the scan still resolves; ``consume``/``receive``
+    raise _MarkerFound at a real marker and ValueError on truncation
+    — only when the decode actually needs bits that don't exist."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self.acc = 0
+        self.window = 0
         self.nbits = 0
+        self.stopped = False  # hit a marker or end of data
+        self.marker: int | None = None
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("corrupt JPEG: truncated scan")
-            b = self.data[self.pos]
-            self.pos += 1
+    def _fill(self) -> None:
+        data, pos = self.data, self.pos
+        while self.nbits <= 16 and not self.stopped:
+            if pos >= len(data):
+                self.stopped = True
+                break
+            b = data[pos]
             if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                nxt = data[pos + 1] if pos + 1 < len(data) else None
                 if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
+                    pos += 2
                 else:
-                    raise _MarkerFound(nxt)
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+                    self.stopped = True
+                    self.marker = nxt  # None = data ends on a bare 0xFF
+                    break
+            else:
+                pos += 1
+            self.window = ((self.window << 8) | b) & 0xFFFFFF
+            self.nbits += 8
+        self.pos = pos
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        n = self.nbits
+        if n >= 16:
+            return (self.window >> (n - 16)) & 0xFFFF
+        pad = 16 - n
+        return ((self.window << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def _starved(self):
+        if self.marker is not None:
+            raise _MarkerFound(self.marker)
+        raise ValueError("corrupt JPEG: truncated scan")
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            self._fill()
+            if n > self.nbits:
+                self._starved()
+        self.nbits -= n
+
+    def receive(self, s: int) -> int:
+        if s > self.nbits:
+            self._fill()
+            if s > self.nbits:
+                self._starved()
+        self.nbits -= s
+        return (self.window >> self.nbits) & ((1 << s) - 1)
 
     def receive_extend(self, s: int) -> int:
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        v = self.receive(s)
         if v < (1 << (s - 1)):  # negative branch of EXTEND (F.12)
             v -= (1 << s) - 1
         return v
 
-    def align(self) -> None:
+    def restart(self) -> None:
+        """Restart-interval boundary: drop padding bits, consume the
+        expected RSTn marker, resume entropy decoding after it."""
+        self.window = 0
         self.nbits = 0
+        self.stopped = False
+        self.marker = None
+        if (self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
 
 
 class _MarkerFound(Exception):
-    def __init__(self, marker):
+    def __init__(self, marker: int):
         self.marker = marker
 
 
@@ -232,6 +298,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     remaining declared gate); corrupt data raises ValueError."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG: missing SOI")
+    try:
+        return _parse_and_decode(payload)
+    except (IndexError, struct.error) as e:
+        # malformed segment contents (e.g. a DHT whose BITS counts
+        # overrun the segment) surface as the documented ValueError
+        raise ValueError(f"corrupt JPEG: malformed segment ({e})") from e
+
+
+def _parse_and_decode(payload: bytes):
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffDecoder] = {}
@@ -248,7 +323,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(payload):
+            raise ValueError("corrupt JPEG: truncated marker segment")
         (seg_len,) = struct.unpack_from(">H", payload, pos)
+        if pos + seg_len > len(payload):
+            raise ValueError("corrupt JPEG: truncated marker segment")
         seg = payload[pos + 2: pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -323,15 +402,9 @@ def _decode_scan(data, pos, frame, scan_comps, quant, huff_dc, huff_ac,
     try:
         while mcu < total:
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # expect RSTn between intervals: byte-align and consume
-                br.align()
-                p = br.pos
-                while p + 1 < len(data) and not (
-                    data[p] == 0xFF and data[p + 1] != 0x00
-                ):
-                    p += 1
-                if p + 1 < len(data) and 0xD0 <= data[p + 1] <= 0xD7:
-                    br.pos = p + 2
+                # RSTn between intervals: discard pad bits, skip the
+                # marker, reset the DC predictors
+                br.restart()
                 pred = {cid: 0 for cid in pred}
             my, mx = divmod(mcu, mcus_x)
             for cid, td, ta in scan_comps:

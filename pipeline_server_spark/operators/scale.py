@@ -422,15 +422,26 @@ def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
     import math
     import os as _os
 
+    cur = table.current_version()
     df = table.read()
     total = sum(
         _os.path.getsize(table._abs_file(e))
-        for e in table._entries_for_version(table.current_version())
+        for e in table._entries_for_version(cur)
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
+    # a compaction must not silently DROP the current snapshot's
+    # data-skipping index (e.g. from a prior OPTIMIZE ZORDER) — the
+    # stats columns are recovered from the index's own schema
+    # (<col>_min/<col>_max) and rebuilt over the compacted files
+    stats_cols: tuple = ()
+    idx_path = _os.path.join(table._resolve_dir(cur), "_index")
+    if _os.path.isdir(idx_path):
+        names = [f.name for f in table.spark.read.parquet(idx_path).schema.fields]
+        stats_cols = tuple(n[:-4] for n in names if n.endswith("_min"))
     return table.commit(
         df.coalesce(n_files),
         partition_by=tuple(partition_by),
+        stats_cols=stats_cols,
         metadata={"operation": "optimize_compact",
                   "target_file_bytes": int(target_file_bytes)},
     )

@@ -356,6 +356,17 @@ class _Interp:
         if tv is ev:
             return tv
         if isinstance(tv, _MapVal) and isinstance(ev, _MapVal):
+            # untouched on both arms (clone shares every entry object):
+            # return the ORIGINAL so references resolved before the
+            # branch (e.g. the receiver of a later .put) stay live —
+            # replacing it with an equal copy would silently strand
+            # those references on a stale object
+            if tv.entries.keys() == ev.entries.keys() and all(
+                tv.entries[k] is ev.entries[k]
+                or self._same_literal(tv.entries[k], ev.entries[k])
+                for k in tv.entries
+            ):
+                return tv
             out = _MapVal()
             for key in list(tv.entries) + [k for k in ev.entries if k not in tv.entries]:
                 t_has, e_has = key in tv.entries, key in ev.entries
@@ -398,18 +409,32 @@ class _Interp:
         val = self.or_expr()
         if not self.at("?"):
             return val
-        # ternary, right-associative; reuses the if/else value-merge so
-        # `cond ? map : null` in completion position yields the same
-        # _Cond the drop-predicate translation consumes. A NULL
-        # condition is falsy in Nashorn → else arm, which F.when's
-        # unmatched-NULL → otherwise already implements.
+        # ternary, right-associative; reuses the if/else value- AND
+        # env-merge so `cond ? map : null` in completion position
+        # yields the same _Cond the drop-predicate translation
+        # consumes, and a side-effectful arm (`cond ? m.put(..) :
+        # m.put(..)`) mutates a per-arm CLONE of the environment, not
+        # shared state — in Nashorn only the selected arm executes. A
+        # NULL condition is falsy in Nashorn → else arm, which
+        # F.when's unmatched-NULL → otherwise already implements.
         self.next()
+        pre_env = dict(self.env)
+        pre_maps = {k: v.copy() for k, v in self.env.items()
+                    if isinstance(v, _MapVal)}
         then_v = self.expression()
+        then_env = self.env
         self.expect(":")
+        self.env = dict(pre_env)
+        for k, v in pre_maps.items():
+            self.env[k] = v.copy()
         else_v = self.expression()
+        else_env = self.env
         if isinstance(val, bool):
+            self.env = then_env if val else else_env
             return then_v if val else else_v
-        return self._merge_values(_to_col(val), then_v, else_v)
+        cond = _to_col(val)
+        self.env = self._merge_envs(cond, then_env, else_env)
+        return self._merge_values(cond, then_v, else_v)
 
     def or_expr(self) -> Any:
         left = self.and_expr()
@@ -450,32 +475,40 @@ class _Interp:
                     "translated subset)"
                 )
             lc, rc = _to_col(left), _to_col(right)
+            if op in ("==", "==="):
+                res = lc == rc
+            elif op in ("!=", "!=="):
+                res = lc != rc
+            elif op == "<":
+                res = lc < rc
+            elif op == "<=":
+                res = lc <= rc
+            elif op == ">":
+                res = lc > rc
+            else:
+                res = lc >= rc
             if op in ("<", "<=", ">", ">="):
                 # A null column VALUE in a Nashorn relational goes
                 # through ToNumber(null) = 0, so `x < 5` is TRUE for
-                # null x — while Spark's comparison would be NULL (and
-                # any downstream coalesce-to-false routes the row to
-                # the other branch). Coalesce potentially-null operands
-                # to 0 to match; exact for the numeric comparisons the
-                # shipped dialect uses (a nullable STRING operand would
-                # still diverge on non-numeric text — JS ToNumber gives
-                # NaN/false — which stays outside the faithful subset).
-                if not isinstance(left, (int, float, str, bool)):
-                    lc = F.coalesce(lc, F.lit(0))
-                if not isinstance(right, (int, float, str, bool)):
-                    rc = F.coalesce(rc, F.lit(0))
-            if op in ("==", "==="):
-                left = lc == rc
-            elif op in ("!=", "!=="):
-                left = lc != rc
-            elif op == "<":
-                left = lc < rc
-            elif op == "<=":
-                left = lc <= rc
-            elif op == ">":
-                left = lc > rc
-            else:
-                left = lc >= rc
+                # null x — while Spark's raw comparison is NULL (and a
+                # downstream coalesce-to-false routes the row to the
+                # other branch). When the OTHER operand is a numeric
+                # literal the 0-substituted result is a CONSTANT, so
+                # coalesce the comparison RESULT to it — type-safe for
+                # date/timestamp/string columns, where coalescing the
+                # OPERAND to 0 would fail analysis. Column-vs-column
+                # (or vs string literal) keeps the raw NULL-propagating
+                # comparison, documented as outside the faithful
+                # subset.
+                import operator as _op
+
+                py = {"<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}[op]
+                num = (int, float, bool)
+                if isinstance(left, num) and not isinstance(right, (*num, str)):
+                    res = F.coalesce(res, F.lit(bool(py(float(left), 0.0))))
+                elif isinstance(right, num) and not isinstance(left, (*num, str)):
+                    res = F.coalesce(res, F.lit(bool(py(0.0, float(right)))))
+            left = res
         return left
 
     def add_expr(self) -> Any:
@@ -725,11 +758,15 @@ class _Interp:
                 return _to_col(args[0]).cast("double")
             if name in ("parseInt", "parseFloat") and self.at("("):
                 args = self.call_args()
-                if len(args) == 2 and args[1] == 10:
+                # isinstance check first: `args[1] == 10` on a Column
+                # builds an expression whose truth value raises — a
+                # non-literal radix must reach the NAMED rejection below
+                if len(args) == 2 and isinstance(args[1], int) and args[1] == 10:
                     args = args[:1]  # explicit decimal radix
                 if len(args) != 1:
                     raise JsTranslationError(
-                        f"{name} with a radix other than 10 is not supported"
+                        f"{name} with a radix other than a literal 10 "
+                        "is not supported"
                     )
                 return self._parse_number(name, args[0])
             if self.at("("):

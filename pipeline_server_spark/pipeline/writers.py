@@ -88,6 +88,19 @@ class SwapCommitFS:
     def remove(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
+    def remove_file(self, path: str) -> None:
+        """Delete ONE file (vacuum's per-file garbage collection —
+        object-store backends map this to a single DELETE)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def touch(self, path: str) -> None:
+        """Create an empty marker object (vacuum tombstones)."""
+        with open(path, "w"):
+            pass
+
 
 class CommitConflictError(RuntimeError):
     """Another writer published this version first: the losing commit
@@ -427,11 +440,32 @@ class VersionedTable:
         except FileNotFoundError:
             return None
 
-    def _write_filelist(self, target: str, entries: list[tuple[str, str]]) -> None:
+    def _write_filelist(self, target: str, entries: list[tuple[str, str]],
+                        schema=None) -> None:
         import json
 
+        doc: dict = {"files": [list(e) for e in entries]}
+        if schema is not None:
+            # lets a version with ZERO data files (empty bootstrap
+            # batch) still answer read() with a typed empty DataFrame
+            doc["schema"] = schema.json()
         with open(os.path.join(target, self.FILELIST), "w") as f:
-            json.dump({"files": [list(e) for e in entries]}, f)
+            json.dump(doc, f)
+
+    def _filelist_schema(self, version: int):
+        import json
+
+        from pyspark.sql import types as T
+
+        try:
+            with open(os.path.join(self._resolve_dir(version), self.FILELIST)) as f:
+                doc = json.load(f)
+        except FileNotFoundError:
+            return None
+        return (
+            T.StructType.fromJson(json.loads(doc["schema"]))
+            if "schema" in doc else None
+        )
 
     def _entries_for_version(self, version: int) -> list[tuple[str, str]]:
         """File manifest of a version; a legacy version's is synthesized
@@ -492,7 +526,7 @@ class VersionedTable:
         writer.format(self.file_format).save(target)
         entries = [(os.path.basename(target), rel)
                    for rel in self._list_data_files(target)]
-        self._write_filelist(target, entries)
+        self._write_filelist(target, entries, schema=df.schema)
         if stats_cols:
             self._build_index(target, entries, stats_cols, df.schema)
         return self._publish(version, target, metadata)
@@ -506,6 +540,13 @@ class VersionedTable:
         reads only — O(#files), not O(rows)."""
         from pipeline_server_spark.operators.scale import build_skipping_index
 
+        if self.file_format != "parquet":
+            # the index reads parquet footers; an orc table's manifest
+            # would crash inside the stats job with an opaque pyarrow
+            # error — refuse up front instead
+            raise ValueError(
+                f"stats_cols requires a parquet table, not {self.file_format!r}"
+            )
         build_skipping_index(
             self.spark, target, list(stats_cols), schema=schema,
             files=[self._abs_file(e) for e in entries],
@@ -567,26 +608,71 @@ class VersionedTable:
         holds only its new files)."""
         rels = [e[1] for e in self._entries_for_version(version)]
         if partition_by:
-            for i, col in enumerate(partition_by):
-                expect = f"{col}="
-                bad = [
-                    r for r in rels
-                    if len(r.split(os.sep)) <= len(partition_by)
-                    or not r.split(os.sep)[i].startswith(expect)
-                ]
-                if bad or not rels:
-                    sample = sorted({os.path.dirname(r) or "<flat>" for r in rels})[:3]
-                    raise ValueError(
-                        f"{op}: previous version is not hive-partitioned by "
-                        f"{list(partition_by)!r} (found {sample or 'no files'}); "
-                        "use commit() to (re)write the layout first"
-                    )
+            # EXACT depth: every data file sits precisely
+            # len(partition_by) directories deep, each level matching
+            # its column. A deeper prior layout (extra partition
+            # columns) must fail too — carrying those files forward
+            # would mix partition schemas across directories and make
+            # the published version's union read unresolvable.
+            depth = len(partition_by)
+            bad = [
+                r for r in rels
+                if len(r.split(os.sep)) != depth + 1
+                or any(
+                    not r.split(os.sep)[i].startswith(f"{col}=")
+                    for i, col in enumerate(partition_by)
+                )
+            ]
+            if bad or not rels:
+                sample = sorted({os.path.dirname(r) or "<flat>" for r in rels})[:3]
+                raise ValueError(
+                    f"{op}: previous version is not hive-partitioned by "
+                    f"exactly {list(partition_by)!r} (found {sample or 'no files'}); "
+                    "use commit() to (re)write the layout first"
+                )
         elif any(os.sep in r for r in rels):
             sample = sorted({os.path.dirname(r) for r in rels if os.sep in r})[:3]
             raise ValueError(
                 f"{op}: previous version is partitioned ({sample}); "
                 "pass the same partition_by or use commit()"
             )
+
+    def _check_partition_types(self, target: str, partition_by,
+                               prev_types: dict, op: str) -> None:
+        """Partition-column types are DERIVED per directory (inferred
+        from the path values), so two version directories can
+        legitimately infer DIFFERENT types for the same column — e.g.
+        prior values '2021-01-01' (date) and a new batch writing '1.5'
+        (double) — and the per-directory union read would then fail on
+        every subsequent read of the published version. Guard at
+        commit time instead: the batch directory's inferred partition
+        types must equal the table's. Costs one listing + schema
+        inference over the NEW directory only — O(batch)."""
+        if not partition_by:
+            return
+        if not self._list_data_files(target):
+            # empty batch (normal under idle streaming triggers, or a
+            # DQ stage that rejected every row): a partitioned write
+            # of zero rows produces no data files and no partition
+            # dirs — nothing to type-check, and spark.read on the
+            # empty directory cannot infer a schema
+            return
+        new_types = dict(
+            self.spark.read.format(self.file_format).load(target).dtypes
+        )
+        for c in partition_by:
+            if new_types.get(c) in (None, "void"):
+                # batch wrote only NULL values for this partition
+                # column (__HIVE_DEFAULT_PARTITION__ infers as void) —
+                # null is compatible with any prior type
+                continue
+            if c in prev_types and new_types.get(c) != prev_types[c]:
+                raise ValueError(
+                    f"{op}: partition column {c!r} reads back as "
+                    f"{new_types.get(c)!r} for this batch vs {prev_types[c]!r} "
+                    "for the table (directory-value type inference); make the "
+                    "values render consistently or use commit() to rewrite"
+                )
 
     def commit_append(self, df: DataFrame,
                       partition_by: tuple[str, ...] | list[str] = (),
@@ -617,7 +703,14 @@ class VersionedTable:
         O(#files) not O(rows))."""
         current = self.current_version()
         version = (current or 0) + 1
-        if current is not None:
+        prev_types: dict | None = None
+        # a prior version with NO data files (an empty bootstrap batch)
+        # has nothing to guard against — treat the first non-empty
+        # batch as the layout/schema baseline
+        prior_has_data = (
+            current is not None and bool(self._entries_for_version(current))
+        )
+        if prior_has_data:
             # Compare TYPES only for non-partition columns: partition
             # columns are stored as directory names, so the read-back
             # type is whatever Spark's partition-column inference
@@ -641,10 +734,17 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
+        if prior_has_data:
+            try:
+                self._check_partition_types(target, partition_by, prev_types,
+                                            "commit_append")
+            except ValueError:
+                self.fs.remove(target)  # never published — discard staging
+                raise
         prior = self._entries_for_version(current) if current is not None else []
         entries = prior + [(os.path.basename(target), rel)
                            for rel in self._list_data_files(target)]
-        self._write_filelist(target, entries)
+        self._write_filelist(target, entries, schema=df.schema)
         if stats_cols:
             self._build_index(target, entries, stats_cols, df.schema)
         return self._publish(version, target, metadata)
@@ -685,11 +785,12 @@ class VersionedTable:
         full-rewrite commit."""
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         current = self.current_version()
-        if current is None:
-            # bootstrap = merge into an empty table: the same
-            # max-sequence-wins dedup as the merge path, or a batch
-            # with a doubly-delivered key would commit an arbitrary
-            # (possibly stale) row
+        if current is None or not self._entries_for_version(current):
+            # bootstrap = merge into an empty table (no table, or only
+            # zero-file versions from empty bootstrap batches): the
+            # same max-sequence-wins dedup as the merge path, or a
+            # batch with a doubly-delivered key would commit an
+            # arbitrary (possibly stale) row
             return self.commit(_dedupe_source_by_keys(source, keys, sequence_col),
                                partition_by=tuple(cols), metadata=metadata)
         target_df = self.read(current)
@@ -712,6 +813,12 @@ class VersionedTable:
         target = self._stage_dir(version)
         merged.write.mode("overwrite").partitionBy(*cols) \
             .format(self.file_format).save(target)
+        try:
+            self._check_partition_types(target, cols, dict(target_df.dtypes),
+                                        "commit_merge_partitioned")
+        except ValueError:
+            self.fs.remove(target)  # never published — discard staging
+            raise
         new_rels = self._list_data_files(target)
         # everything the merged write rewrote, in Spark's own encoding
         rewritten = {self._partition_prefix(rel, len(cols)) for rel in new_rels}
@@ -719,7 +826,7 @@ class VersionedTable:
             e for e in self._entries_for_version(current)
             if self._partition_prefix(e[1], len(cols)) not in rewritten
         ] + [(os.path.basename(target), rel) for rel in new_rels]
-        self._write_filelist(target, entries)
+        self._write_filelist(target, entries, schema=merged.schema)
         return self._publish(version, target, metadata)
 
     def read(self, version: int | None = None,
@@ -738,9 +845,15 @@ class VersionedTable:
         if os.path.exists(os.path.join(d, self.VACUUMED)):
             raise FileNotFoundError(f"version {v} at {self.root} was vacuumed")
         entries = self._read_filelist(v)
+        if entries is None:
+            # legacy (pre-manifest) self-contained directory
+            return self.spark.read.format(self.file_format).load(d)
         if not entries:
-            # legacy (pre-manifest) self-contained directory, or an
-            # empty commit (schema lives in the dir's empty part file)
+            # a version with zero data files (empty bootstrap batch):
+            # the manifest recorded the schema so the read still types
+            schema = self._filelist_schema(v)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema=schema)
             return self.spark.read.format(self.file_format).load(d)
         return self._read_files([self._abs_file(e) for e in entries])
 
@@ -993,18 +1106,14 @@ class VersionedTable:
                 continue
             for rel in self._list_data_files(d):
                 if (base, rel) not in referenced:
-                    try:
-                        os.remove(os.path.join(d, rel))
-                    except FileNotFoundError:
-                        pass
+                    self.fs.remove_file(os.path.join(d, rel))
             # strip the version's identity (manifest, metadata, index)
             for name in (self.FILELIST, "_meta.json"):
-                try:
-                    os.remove(os.path.join(d, name))
-                except FileNotFoundError:
-                    pass
-            shutil.rmtree(os.path.join(d, "_index"), ignore_errors=True)
-            # prune now-empty partition dirs bottom-up
+                self.fs.remove_file(os.path.join(d, name))
+            self.fs.remove(os.path.join(d, "_index"))
+            # prune now-empty partition dirs bottom-up (directories are
+            # a POSIX-only concept — object stores have no empties to
+            # prune, so the rmdir stays local-os and best-effort)
             for root, dirs, files in os.walk(d, topdown=False):
                 if root != d and not dirs and not files:
                     try:
@@ -1014,8 +1123,7 @@ class VersionedTable:
             if self._list_data_files(d):
                 # still holds files newer manifests reference — keep
                 # the directory, tombstone the version
-                with open(os.path.join(d, self.VACUUMED), "w"):
-                    pass
+                self.fs.touch(os.path.join(d, self.VACUUMED))
             else:
                 self.fs.remove(d)
         # re-sweep directories tombstoned by EARLIER vacuums: a file
@@ -1028,10 +1136,7 @@ class VersionedTable:
                 continue
             for rel in self._list_data_files(d):
                 if (name, rel) not in referenced:
-                    try:
-                        os.remove(os.path.join(d, rel))
-                    except FileNotFoundError:
-                        pass
+                    self.fs.remove_file(os.path.join(d, rel))
             if not self._list_data_files(d):
                 self.fs.remove(d)
         return victims
@@ -1049,16 +1154,18 @@ def commit_with_retry(attempt, retries: int = 5):
     commit merges against the winner's data instead of the stale
     snapshot — no lost updates, versions strictly ordered.
 
-    Returns ``attempt()``'s result (the committed version). After
-    ``retries`` consecutive conflicts the last
-    :class:`CommitConflictError` propagates — under that much
-    contention the caller should back off or serialize."""
-    for _ in range(retries):
+    Returns ``attempt()``'s result (the committed version).
+    ``retries`` is the TOTAL attempt budget: after that many
+    consecutive conflicts the last :class:`CommitConflictError`
+    propagates — under that much contention the caller should back
+    off or serialize."""
+    last: CommitConflictError | None = None
+    for _ in range(max(1, retries)):
         try:
             return attempt()
-        except CommitConflictError:
-            continue
-    return attempt()
+        except CommitConflictError as e:
+            last = e
+    raise last
 
 
 def merge_upsert_frames_evolving(target: DataFrame, source: DataFrame,

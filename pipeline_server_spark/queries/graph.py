@@ -355,6 +355,20 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # materialize ONCE: the wedge join references this table three
+        # times (e1/e2/e3) — without the checkpoint each alias re-runs
+        # the full lineitem self-join + co-occurrence aggregation
+        # (3x the query's entire cost); localCheckpoint is
+        # GC-reclaimed, no CacheManager entry. The repartition widens
+        # the PROBE side of the wedge join: the edge table is small
+        # enough to broadcast, so without it the ~100x wedge explosion
+        # runs in however few map tasks the aggregate output happened
+        # to coalesce to (AQE sizes partitions by INPUT bytes and
+        # cannot see a join's fan-out) — the cost is one edge-sized
+        # shuffle, the win is full-cluster parallelism on the heavy
+        # stage.
+        .localCheckpoint(eager=True)
+        .repartition(64)
     )
     e1, e2, e3 = dedges.alias("e1"), dedges.alias("e2"), dedges.alias("e3")
     tris = (

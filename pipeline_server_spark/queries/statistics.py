@@ -648,7 +648,11 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.aggregate("vq", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x).alias("nq"),
     )
-    comp = eq.select("vec_id", F.posexplode("vq").alias("i", "x"))
+    # repartition widens the pair join's probe side: the component
+    # table is broadcast-small, so the O(n^2 d) join output would
+    # otherwise materialize in the couple of map tasks the 500-row
+    # scan planned (AQE sizes by input, not fan-out)
+    comp = eq.select("vec_id", F.posexplode("vq").alias("i", "x")).repartition(64)
     ca = comp.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
     cb = comp.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
     dots = (
@@ -664,6 +668,11 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("dot") > 0)
                & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("na") * F.col("nb")))
         .select("va", "vb")
+        # materialize ONCE: degree, core-edge, CC (iterative!), and
+        # border passes all re-derive from this — without the
+        # checkpoint each re-runs the O(n^2 d) dimension-index pair
+        # join; localCheckpoint is GC-reclaimed, no CacheManager entry
+        .localCheckpoint(eager=True)
     )
     und = edges0.select(F.col("va").alias("s"), F.col("vb").alias("d")).unionAll(
         edges0.select(F.col("vb").alias("s"), F.col("va").alias("d"))

@@ -9,6 +9,19 @@ import sys
 
 SHOW = {
     "pricing_summary": "TPC-H Q1 shape: pushdown + partial/final hash agg",
+    "triangle_count_suppliers": (
+        "degeneracy-oriented wedge join: dedges materialized once "
+        "(localCheckpoint), probe side repartitioned so the wedge "
+        "explosion parallelizes (AQE sizes by input, not fan-out)"
+    ),
+    "dbscan_embedding_clusters": (
+        "exact eps pair join materialized once and reused by degree/"
+        "core/CC/border passes; broadcast norms; bounded node set"
+    ),
+    "supplier_reach_hops": (
+        "frontier-only BFS: per-round graph-sized equi-join, "
+        "checkpointed edge list, no driver round-trip"
+    ),
     "revenue_forecast": "all predicates reach the parquet scan",
     "regional_revenue": "6-way join: dims broadcast, facts hash-join",
     "top25_orders": "global top-k without a full sort",

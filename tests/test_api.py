@@ -485,3 +485,38 @@ def test_optimize_endpoint_compacts_without_zorder(spark, server):
     assert status == 200 and out["version"] == 4 and out["files"] == 1
     assert t.read(4).count() == 3
     assert t.commit_metadata(4)["operation"] == "optimize_compact"
+
+
+def test_config_roundtrip_preserves_round6_fields():
+    """config_from_dict must carry every JSON-serializable field:
+    immutable_partitions=False and the Nashorn scripts previously
+    dropped silently (review round-6 finding 1 — a REST-registered
+    mutable-partition dataset fell back to the pruned merge and kept
+    stale rows when a key changed partition)."""
+    from pipeline_server_spark.api import config_from_dict, config_to_dict
+    from pipeline_server_spark.pipeline.config import (
+        DataQualityConfig,
+        TransformationConfig,
+    )
+
+    cfg = DatasetConfig(
+        name="rt6",
+        source=SourceConfig(
+            fields=(SchemaField("k", "int"), SchemaField("day", "string")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        data_quality=DataQualityConfig(js_row_rule="null;"),
+        transformation=TransformationConfig(
+            js_script="var HashMap = Java.type('java.util.HashMap'); new HashMap();"
+        ),
+        destination=DestinationConfig(
+            path="/tmp/rt6", write_mode="merge", key_fields=("k",),
+            partition_by=("day",), versioned=True,
+            immutable_partitions=False,
+        ),
+    )
+    back = config_from_dict(config_to_dict(cfg))
+    assert back.destination.immutable_partitions is False
+    assert back.transformation.js_script == cfg.transformation.js_script
+    assert back.data_quality.js_row_rule == "null;"
+    assert back == cfg

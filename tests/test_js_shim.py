@@ -477,3 +477,47 @@ class TestRound6Constructs:
             translate_quality_script("parseInt(a, 16)", ["a"])
         with pytest.raises(JsTranslationError, match="indexOf"):
             translate_quality_script("a.indexOf(b)", ["a", "b"])
+
+
+class TestRound6ReviewFixes:
+    def test_date_column_relational_still_translates_and_runs(self, spark):
+        """The null-ordering fallback must not break non-numeric
+        comparisons: a date-typed column compared against a string
+        literal keeps the raw comparison (high-review finding 2)."""
+        df = spark.createDataFrame(
+            [("a", "2021-01-01"), ("b", "2022-06-01")], ["k", "d"]
+        ).select("k", F.col("d").cast("date").alias("d"))
+        msg = translate_quality_script(
+            "if (d < '2022-01-01') { 'too old' } else { null }", df.columns)
+        got = {r["k"]: r["v"] for r in df.select("k", msg.alias("v")).collect()}
+        assert got == {"a": "too old", "b": None}
+
+    def test_null_numeric_fallback_still_nashorn_exact(self, spark):
+        df = spark.createDataFrame([("x", None), ("y", 10.0)],
+                                   "k string, v double")
+        # null v: ToNumber(null)=0 → 0 < 5 true; 5 < 0 false
+        lt = translate_quality_script(
+            "if (v < 5) { 'low' } else { null }", df.columns)
+        gt = translate_quality_script(
+            "if (5 < v) { 'hi' } else { null }", df.columns)
+        rows = {r["k"]: (r["lt"], r["gt"]) for r in
+                df.select("k", lt.alias("lt"), gt.alias("gt")).collect()}
+        assert rows["x"] == ("low", None)
+        assert rows["y"] == (None, "hi")
+
+    def test_ternary_side_effect_arms_are_isolated(self, spark):
+        """Only the selected arm's map.put may take effect — the arms
+        must evaluate against cloned environments (high-review
+        finding 3)."""
+        df = spark.createDataFrame([("a", 1.0), ("b", 300.0)],
+                                   ["sym", "px"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        px > 100 ? m.put('band', 'hi') : m.put('band', 'lo');
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, spec.drop_predicate)
+        got = {r["sym"]: r["band"] for r in out.collect()}
+        assert got == {"a": "lo", "b": "hi"}

@@ -671,3 +671,22 @@ def test_jpeg_420_subsampling_and_dri(spark):
     spliced = base[:sos] + dri + base[sos:]
     w, h, n, px = decode_jpeg(spliced)
     assert (w, h) == (8, 8) and int(px[0, 0, 0]) in range(97, 102)
+
+
+def test_jpeg_truncated_scan_raises_valueerror():
+    """A download cut mid-scan (possibly on a bare 0xFF) must raise
+    the documented ValueError, not an uncontrolled TypeError (review
+    round-6 finding 8)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pipeline_server_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    payload = encode_jpeg((np.arange(32 * 32).reshape(32, 32) % 256
+                           ).astype(np.uint8))
+    for cut_at in (len(payload) // 2, len(payload) - 3):
+        cut = payload[:cut_at]
+        if not cut.endswith(b"\xff"):
+            cut += b"\xff"
+        with _pytest.raises(ValueError, match="truncated|corrupt"):
+            decode_jpeg(cut)

@@ -869,3 +869,122 @@ class TestManifestCommitsRound6:
         )
         got = {(str(r["p"]), r["v"]) for r in t.read().collect()}
         assert got == {("5", 1), ("2021", 2), ("7", 3)}
+
+    def test_layout_guard_rejects_deeper_prior_layout(self, spark, tmp_path):
+        """A prior version partitioned DEEPER than the requested
+        partition_by must be rejected — carrying its files forward
+        would mix partition schemas across directories and break every
+        subsequent read (review round-6 finding 2)."""
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "deep"))
+        t.commit(
+            spark.createDataFrame([(1, "d1", "t1", "a")],
+                                  ["k", "day", "tenant", "s"]),
+            partition_by=("day", "tenant"),
+        )
+        with _pytest.raises(ValueError, match="not hive-partitioned"):
+            t.commit_append(
+                spark.createDataFrame([(2, "d1", "t1", "b")],
+                                      ["k", "day", "tenant", "s"]),
+                partition_by=("day",),
+            )
+        # and read() still works (nothing was published)
+        assert t.current_version() == 1 and t.read().count() == 1
+
+    def test_partition_type_divergence_rejected_at_commit(self, spark, tmp_path):
+        """Per-directory partition-value inference can derive DIFFERENT
+        types for the same column across versions ('2021-01-01' → date,
+        '1.5' → double); the commit must refuse instead of publishing a
+        version whose union read fails (review round-6 finding 4)."""
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "ptype"))
+        t.commit_append(
+            spark.createDataFrame([("2021-01-01", 1)], ["p", "v"]),
+            partition_by=("p",),
+        )
+        with _pytest.raises(ValueError, match="partition column 'p'"):
+            t.commit_append(
+                spark.createDataFrame([("1.5", 2)], ["p", "v"]),
+                partition_by=("p",),
+            )
+        assert t.current_version() == 1
+        # staged version-2 data was discarded, and the table still reads
+        assert t.read().count() == 1
+
+    def test_commit_with_retry_budget_is_total_attempts(self, tmp_path):
+        """retries=N means N attempts total; the last conflict
+        propagates (review round-6 finding 5)."""
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import (
+            CommitConflictError,
+            commit_with_retry,
+        )
+
+        calls = []
+
+        def always_conflicts():
+            calls.append(1)
+            raise CommitConflictError("contention")
+
+        with _pytest.raises(CommitConflictError):
+            commit_with_retry(always_conflicts, retries=3)
+        assert len(calls) == 3
+
+        # success on attempt 2 of 3 returns the result
+        calls.clear()
+
+        def second_try():
+            calls.append(1)
+            if len(calls) < 2:
+                raise CommitConflictError("racer won")
+            return 42
+
+        assert commit_with_retry(second_try, retries=3) == 42
+        assert len(calls) == 2
+
+    def test_stats_cols_on_orc_table_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "orcidx"), file_format="orc")
+        with _pytest.raises(ValueError, match="parquet"):
+            t.commit(spark.createDataFrame([(1,)], ["a"]), stats_cols=("a",))
+
+    def test_compact_preserves_skipping_index(self, spark, tmp_path):
+        """OPTIMIZE (compaction) after OPTIMIZE ZORDER must keep the
+        data-skipping index alive — read_pruned still prunes on the
+        compacted version (high-review round-6 finding 5)."""
+        import pyspark.sql.functions as F
+
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot,
+            optimize_zorder_snapshot,
+        )
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "cmpidx"))
+        t.commit(spark.range(20_000).select(
+            (F.col("id") % 101).cast("int").alias("a"),
+            F.col("id").alias("payload")))
+        optimize_zorder_snapshot(t, ["a"], num_files=8)
+        v = optimize_compact_snapshot(t, target_file_bytes=64 * 1024)
+        import os
+
+        # the index survives the compaction commit (it may prune less
+        # than the pre-compaction layout — coalesce can merge
+        # non-adjacent z-ranges, same as Delta's plain OPTIMIZE — but
+        # it must not silently disappear)
+        assert os.path.isdir(os.path.join(t._resolve_dir(v), "_index"))
+        got, files_read, files_total = t.read_pruned({"a": (10, 20)})
+        assert files_read <= files_total
+        # ids 0..19999, a = id % 101: each a in 10..20 occurs exactly
+        # 20000 // 101 = 198 times (the remainder 2 lands on a in {0,1})
+        assert got.count() == 11 * 198

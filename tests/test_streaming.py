@@ -552,3 +552,44 @@ def test_merge_sink_partitioned_checkpoint_reuse_e2e(spark, tmp_path):
     before = t.current_version()
     run_once()
     assert t.current_version() == before
+
+
+def test_append_sink_tolerates_empty_partitioned_batches(spark, tmp_path):
+    """Empty micro-batches are normal under availableNow/idle triggers
+    (and when DQ rejects every row): the O(batch) append sink must not
+    crash on a zero-row partitioned write — including the empty
+    BOOTSTRAP batch, after which the first real batch sets the layout
+    baseline (high-review round-6 finding 1)."""
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.sinks import exactly_once_append_sink
+
+    t = VersionedTable(spark, str(tmp_path / "empt"))
+    sink = exactly_once_append_sink(t, partition_by=("day",))
+    schema = "k INT, day STRING, s STRING"
+    empty = spark.createDataFrame([], schema)
+    sink(empty, 0)  # empty bootstrap batch
+    assert t.current_version() == 1
+    assert t.read().count() == 0 and t.read().columns == ["k", "day", "s"]
+    sink(spark.createDataFrame([(1, "d1", "a")], schema), 1)
+    sink(empty, 2)  # empty mid-stream batch
+    sink(spark.createDataFrame([(2, "d2", "b")], schema), 3)
+    assert t.current_version() == 4
+    got = {(r["k"], r["day"]) for r in t.read().collect()}
+    assert got == {(1, "d1"), (2, "d2")}
+
+
+def test_merge_sink_tolerates_empty_partitioned_batches(spark, tmp_path):
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.sinks import exactly_once_merge_sink
+
+    t = VersionedTable(spark, str(tmp_path / "empm"))
+    sink = exactly_once_merge_sink(t, ["k"], sequence_col="seq",
+                                   partition_by=("day",))
+    schema = "k INT, day STRING, s STRING, seq INT"
+    empty = spark.createDataFrame([], schema)
+    sink(empty, 0)
+    sink(spark.createDataFrame([(1, "d1", "a", 1)], schema), 1)
+    sink(empty, 2)
+    sink(spark.createDataFrame([(1, "d1", "A", 2)], schema), 3)
+    got = {(r["k"], r["s"]) for r in t.read().collect()}
+    assert got == {(1, "A")}
