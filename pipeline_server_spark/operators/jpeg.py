@@ -1,11 +1,13 @@
-"""Baseline JPEG codec — stdlib + numpy only, no image libraries.
+"""JPEG codec — stdlib + numpy only, no image libraries.
 
 Closes the declared JPEG gate in :mod:`multimodal` (round-5 verdict
-item 8) for the dominant web-corpus image format: BASELINE sequential
-DCT, 8-bit, grayscale or YCbCr with any sampling factors (4:4:4,
-4:2:0, 4:2:2), restart intervals — i.e. what cameras and the web
-overwhelmingly emit. Progressive (SOF2) and the exotic SOF types stay
-a named :class:`NotImplementedError` gate.
+item 8) for the web-corpus image format: BASELINE sequential DCT
+(SOF0/1) and PROGRESSIVE (SOF2, spectral selection + successive
+approximation, EOB runs), 8-bit, grayscale or YCbCr with any sampling
+factors (4:4:4, 4:2:0, 4:2:2), restart intervals — i.e. what cameras
+and the web emit. Arithmetic-coded / hierarchical / lossless SOF
+types stay a named :class:`NotImplementedError` gate (as do video
+codecs, in :mod:`multimodal`).
 
 The format itself is an open ISO standard (ITU-T T.81); the tables in
 Annex K (standard quantization + Huffman tables) are normative
@@ -14,10 +16,12 @@ publication content. The reference system only byte-passes media
 beyond-reference multimodal surface, used by
 :func:`multimodal.extract_media_metadata` under ``real_codecs=True``.
 
-A minimal baseline ENCODER (4:4:4, standard tables) rides along so
-tests can synthesize deterministic fixtures without any image library
-and prove the decoder round-trip (encode → decode ≈ original within
-quantization error).
+Minimal ENCODERS (baseline and progressive, sharing one quantization
+front half) ride along so tests can synthesize deterministic fixtures
+without any image library and prove the decoders against each other:
+a baseline and a progressive stream built from the same input carry
+IDENTICAL coefficients, so their decodes must match BIT-EXACTLY —
+a far stronger oracle than a lossy round-trip tolerance.
 
 Scale shape: pure per-payload CPU work — called from Arrow-batched
 ``mapInPandas`` (one decode per row inside a batch), no shuffle, no
@@ -291,11 +295,19 @@ class _MarkerFound(Exception):
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a BASELINE JPEG. Returns (width, height, n_components,
-    pixels) with pixels shaped (height, width, n_components) uint8 —
-    RGB for 3-component YCbCr, gray for 1-component. Progressive /
-    arithmetic / hierarchical JPEGs raise NotImplementedError (the
-    remaining declared gate); corrupt data raises ValueError."""
+    """Decode a BASELINE (SOF0/1) or PROGRESSIVE (SOF2) JPEG. Returns
+    (width, height, n_components, pixels) with pixels shaped
+    (height, width, n_components) uint8 — RGB for 3-component YCbCr,
+    gray for 1-component. Arithmetic-coded / hierarchical / lossless
+    JPEGs raise NotImplementedError (the remaining declared gates);
+    corrupt data raises ValueError.
+
+    Architecture: every scan accumulates quantized coefficients into
+    per-component block stores (progressive scans refine them across
+    multiple SOS segments); dequantization and a BATCHED numpy IDCT
+    run once at the end — so a baseline stream and a progressive
+    stream carrying the same coefficients decode to bit-identical
+    pixels (the property the round-trip tests assert)."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG: missing SOI")
     try:
@@ -311,8 +323,10 @@ def _parse_and_decode(payload: bytes):
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
-    frame = None  # (precision, H, W, comps) comps: [(cid, h, v, tq)]
+    frame = None  # (progressive, H, W, comps) comps: [(cid, h, v, tq)]
     restart_interval = 0
+    store = None  # cid -> np.int64 (grid_y, grid_x, 64), zigzag order
+    saw_scan = False
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -335,10 +349,10 @@ def _parse_and_decode(payload: bytes):
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 p += 1
                 if pq:
-                    table = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    table = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int64)
                     p += 128
                 else:
-                    table = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    table = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
                     p += 64
                 quant[tq] = table  # zigzag order
         elif marker == 0xC4:  # DHT
@@ -350,85 +364,274 @@ def _parse_and_decode(payload: bytes):
                 values = list(seg[p + 17: p + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
-            precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            _precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (precision, h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = (marker == 0xC2, h, w, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X}: only BASELINE "
-                "sequential (SOF0/SOF1) is decoded in-process; "
-                "progressive/arithmetic/hierarchical remain gated"
+                f"JPEG SOF marker 0xFF{marker:02X}: baseline (SOF0/1) and "
+                "progressive (SOF2) Huffman streams are decoded in-process; "
+                "arithmetic/hierarchical/lossless remain gated"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if store is None:
+                store = _alloc_store(frame)
             ns = seg[0]
             scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((cs, tt >> 4, tt & 15))
-            data_start = pos + seg_len
-            return _decode_scan(payload, data_start, frame, scan_comps,
-                                quant, huff_dc, huff_ac, restart_interval)
+            progressive = frame[0]
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                a = seg[3 + 2 * ns]
+                spec = (ss, se, a >> 4, a & 15)
+            else:
+                spec = (0, 63, 0, 0)
+            pos = _decode_scan_into(
+                payload, pos + seg_len, frame, scan_comps, spec, store,
+                huff_dc, huff_ac, restart_interval, progressive,
+            )
+            saw_scan = True
+            # resume the marker walk at the scan-terminating marker
+            while pos < len(payload) and payload[pos] != 0xFF:
+                pos += 1
+            continue
         # APPn / COM / others: skip
         pos += seg_len
-    raise ValueError("corrupt JPEG: no scan data")
+    if not saw_scan or store is None:
+        raise ValueError("corrupt JPEG: no scan data")
+    return _finish(frame, store, quant)
 
 
-def _decode_scan(data, pos, frame, scan_comps, quant, huff_dc, huff_ac,
-                 restart_interval):
-    _precision, H, W, comps = frame
+def _grid_dims(frame):
+    _prog, H, W, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
 
-    planes = {}
-    for cid, h, v, _tq in comps:
-        planes[cid] = np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.float64)
 
+def _alloc_store(frame):
+    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
+    return {
+        cid: np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
+        for cid, h, v, _tq in frame[3]
+    }
+
+
+def _noninterleaved_blocks(frame, cid):
+    """Block-grid dims for a SINGLE-component (non-interleaved) scan:
+    ceil(component samples / 8) per T.81 — can be SMALLER than the
+    interleaved MCU grid (whose padding blocks are never coded in a
+    non-interleaved scan; they stay zero and are cropped away)."""
+    _prog, H, W, comps = frame
+    hmax, vmax, _, _ = _grid_dims(frame)
+    h, v = next((c[1], c[2]) for c in comps if c[0] == cid)
+    comp_w = -(-W * h // hmax)
+    comp_h = -(-H * v // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _decode_scan_into(data, pos, frame, scan_comps, spec, store,
+                      huff_dc, huff_ac, restart_interval, progressive):
+    """Decode ONE scan's entropy segment into the coefficient store;
+    returns the position where the entropy data ended."""
+    ss, se, ah, al = spec
+    comps = frame[3]
     by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    hmax, vmax, mcus_x, mcus_y = _grid_dims(frame)
+
+    if len(scan_comps) == 1:
+        cid, td, ta = scan_comps[0]
+        nby, nbx = _noninterleaved_blocks(frame, cid)
+        total = nby * nbx
+
+        def unit(i):
+            byi, bxi = divmod(i, nbx)
+            return ((cid, td, ta, byi, bxi),)
+    else:
+        if progressive and ss != 0:
+            raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+        total = mcus_x * mcus_y
+
+        def unit(i):
+            my, mx = divmod(i, mcus_x)
+            out = []
+            for cid, td, ta in scan_comps:
+                h, v, _tq = by_id[cid]
+                for byy in range(v):
+                    for bxx in range(h):
+                        out.append((cid, td, ta, my * v + byy, mx * h + bxx))
+            return out
+
     br = _BitReader(data, pos)
     pred = {cid: 0 for cid, _, _ in scan_comps}
-    mcu = 0
-    total = mcus_x * mcus_y
+    state = {"eobrun": 0}
     try:
-        while mcu < total:
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                # RSTn between intervals: discard pad bits, skip the
-                # marker, reset the DC predictors
+        for i in range(total):
+            if restart_interval and i and i % restart_interval == 0:
                 br.restart()
                 pred = {cid: 0 for cid in pred}
-            my, mx = divmod(mcu, mcus_x)
-            for cid, td, ta in scan_comps:
-                h, v, tq = by_id[cid]
-                qt = quant[tq]
-                for by in range(v):
-                    for bx in range(h):
-                        block = _decode_block(br, huff_dc[td], huff_ac[ta],
-                                              qt, pred, cid)
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
-            mcu += 1
+                state["eobrun"] = 0
+            for cid, td, ta, byi, bxi in unit(i):
+                block = store[cid][byi, bxi]
+                if not progressive:
+                    _block_baseline(br, huff_dc[td], huff_ac[ta], pred, cid,
+                                    block)
+                elif ss == 0 and ah == 0:
+                    _block_dc_first(br, huff_dc[td], pred, cid, block, al)
+                elif ss == 0:
+                    _block_dc_refine(br, block, al)
+                elif ah == 0:
+                    _block_ac_first(br, huff_ac[ta], block, ss, se, al, state)
+                else:
+                    _block_ac_refine(br, huff_ac[ta], block, ss, se, al, state)
     except _MarkerFound as m:
         if not (m.marker == 0xD9 or 0xD0 <= m.marker <= 0xD7):
-            raise ValueError(f"corrupt JPEG: unexpected marker 0xFF{m.marker:02X}")
+            raise ValueError(
+                f"corrupt JPEG: unexpected marker 0xFF{m.marker:02X} in scan"
+            )
+    return br.pos
 
-    # upsample each plane to full MCU-grid resolution, crop, color-convert
+
+def _block_baseline(br, dc_dec, ac_dec, pred, cid, block) -> None:
+    t = dc_dec.decode(br)
+    pred[cid] += br.receive_extend(t)
+    block[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run past block end")
+        block[k] = br.receive_extend(s)
+        k += 1
+
+
+def _block_dc_first(br, dc_dec, pred, cid, block, al) -> None:
+    t = dc_dec.decode(br)
+    pred[cid] += br.receive_extend(t)
+    block[0] = pred[cid] << al
+
+
+def _block_dc_refine(br, block, al) -> None:
+    # append one magnitude bit (two's-complement OR is exact for the
+    # negative DC values too — the higher bits already decoded are
+    # (dc >> (Al+1)) << (Al+1))
+    if br.receive(1):
+        block[0] |= 1 << al
+
+
+def _block_ac_first(br, ac_dec, block, ss, se, al, state) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac_dec.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                break  # EOB(run): rest of this band is zero
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        block[k] = br.receive_extend(s) << al
+        k += 1
+
+
+def _block_ac_refine(br, ac_dec, block, ss, se, al, state) -> None:
+    """Successive-approximation AC refinement (T.81 G.2 semantics):
+    within the band, correction bits refine already-nonzero history
+    coefficients positionally while run/EOB symbols place newly
+    significant ±1<<Al values; an EOB run still consumes correction
+    bits for the remaining nonzero coefficients of each block."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac_dec.decode(br)
+            r, s = rs >> 4, rs & 15
+            s_val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    break
+                # r == 15: span of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement magnitude must be 1")
+                s_val = p1 if br.receive(1) else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if br.receive(1) and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                block[k] = s_val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(block[k])
+            if c != 0 and br.receive(1) and (c & p1) == 0:
+                block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish(frame, store, quant):
+    """Dequantize + batched IDCT + upsample + color-convert — runs
+    once over the accumulated coefficient store."""
+    _prog, H, W, comps = frame
+    hmax, vmax, _, _ = _grid_dims(frame)
     out_planes = []
-    for cid, h, v, _tq in comps:
-        p = planes[cid]
+    for cid, h, v, tq in comps:
+        if tq not in quant:
+            raise ValueError(f"corrupt JPEG: missing quantization table {tq}")
+        blocks = store[cid]  # (gy, gx, 64) int64, zigzag order
+        deq = (blocks * quant[tq]).astype(np.float64)
+        nat = np.empty_like(deq)
+        nat[..., ZIGZAG] = deq  # un-zigzag to natural order
+        gy, gx = nat.shape[:2]
+        blk = nat.reshape(gy, gx, 8, 8)
+        # batched IDCT: C.T @ B @ C over every block at once
+        spatial = np.einsum("ij,xyjk,kl->xyil", _C.T, blk, _C)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
         if h != hmax or v != vmax:
-            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
-        out_planes.append(p[:H, :W])
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0),
+                              hmax // h, axis=1)
+        out_planes.append(plane[:H, :W])
     n = len(out_planes)
     if n == 1:
         gray = np.clip(out_planes[0] + 128.0, 0, 255).astype(np.uint8)
@@ -445,33 +648,8 @@ def _decode_scan(data, pos, frame, scan_comps, quant, huff_dc, huff_ac,
     raise NotImplementedError(f"{n}-component JPEG (CMYK?) not supported")
 
 
-def _decode_block(br, dc_dec, ac_dec, qt, pred, cid) -> np.ndarray:
-    zz = np.zeros(64, dtype=np.int32)
-    t = dc_dec.decode(br)
-    diff = br.receive_extend(t)
-    pred[cid] += diff
-    zz[0] = pred[cid]
-    k = 1
-    while k < 64:
-        rs = ac_dec.decode(br)
-        r, s = rs >> 4, rs & 15
-        if s == 0:
-            if r == 15:
-                k += 16  # ZRL
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("corrupt JPEG: AC run past block end")
-        zz[k] = br.receive_extend(s)
-        k += 1
-    coefs = np.zeros(64, dtype=np.float64)
-    coefs[ZIGZAG] = zz * qt  # dequantize, un-zigzag
-    return _idct2(coefs.reshape(8, 8))
-
-
 # ---------------------------------------------------------------------------
-# Minimal baseline encoder (fixture generation / round-trip tests)
+# Minimal encoders (fixture generation / round-trip tests)
 # ---------------------------------------------------------------------------
 
 
@@ -517,11 +695,68 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, qt, dc_enc, ac_enc,
-                  pred: list, ci: int) -> None:
-    coefs = _dct2(block)
-    # quantize in zigzag order: zz[i] = round(coef[ZIGZAG[i]]/qt[i])
-    zz = np.rint(coefs.reshape(64)[ZIGZAG] / qt).astype(np.int64)
+def _component_coefficients(pixels: np.ndarray, subsample: bool):
+    """Shared encoder front half: color transform, optional 4:2:0
+    pooling, padding to the interleaved MCU grid, per-block DCT +
+    quantization. Returns (gray, samp, H, W, blocks) where blocks[i]
+    is an int64 (grid_y, grid_x, 64) array of ZIGZAG-ordered quantized
+    coefficients — the same representation the decoder accumulates, so
+    a baseline and a progressive stream built from one call carry
+    IDENTICAL coefficients (the bit-exact cross-check the tests use)."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if px.ndim == 2:
+        px = px[:, :, None]
+    H, W = px.shape[:2]
+    if gray:
+        comps = [px[:, :, 0].astype(np.float64) - 128.0]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+
+    if not gray and subsample:
+        for i in (1, 2):
+            c = comps[i]
+            c = np.pad(c, ((0, c.shape[0] % 2), (0, c.shape[1] % 2)),
+                       mode="edge")
+            comps[i] = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2]
+                               + c[0::2, 1::2] + c[1::2, 1::2])
+
+    qts = [STD_QUANT_LUMA] + ([] if gray else [STD_QUANT_CHROMA] * 2)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    blocks = []
+    for (h, v), c, qt in zip(samp, comps, qts):
+        th, tw = mcus_y * v * 8, mcus_x * h * 8
+        plane = np.pad(c, ((0, th - c.shape[0]), (0, tw - c.shape[1])),
+                       mode="edge")
+        gy, gx = th // 8, tw // 8
+        arr = np.zeros((gy, gx, 64), dtype=np.int64)
+        for byi in range(gy):
+            for bxi in range(gx):
+                coefs = _dct2(plane[byi * 8:(byi + 1) * 8,
+                                    bxi * 8:(bxi + 1) * 8])
+                arr[byi, bxi] = np.rint(coefs.reshape(64)[ZIGZAG] / qt
+                                        ).astype(np.int64)
+        blocks.append(arr)
+    return gray, samp, H, W, blocks
+
+
+def _emit_block_sequential(bw, zz, dc_enc, ac_enc, pred, ci) -> None:
     diff = int(zz[0]) - pred[ci]
     pred[ci] = int(zz[0])
     s, bits_ = _magnitude(diff)
@@ -550,108 +785,311 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qt, dc_enc, ac_enc,
         bw.write(code, ln)
 
 
+def _seg(out: bytearray, marker: int, body: bytes) -> None:
+    out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+    out.extend(body)
+
+
+def _dht_body(tc: int, th: int, spec) -> bytes:
+    bits, values = spec
+    return bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+
+
+def _headers(out: bytearray, gray: bool, samp, H: int, W: int,
+             sof_marker: int) -> None:
+    _seg(out, 0xDB, bytes([0x00]) + bytes(int(x) for x in STD_QUANT_LUMA))
+    if not gray:
+        _seg(out, 0xDB, bytes([0x01]) + bytes(int(x) for x in STD_QUANT_CHROMA))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, H, W, nc)
+    for i in range(nc):
+        h, v = samp[i]
+        sof += struct.pack(">BBB", i + 1, (h << 4) | v, 0 if i == 0 else 1)
+    _seg(out, sof_marker, sof)
+
+
 def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a baseline
     JPEG with the Annex K tables — 4:4:4, or 4:2:0 chroma subsampling
     with ``subsample=True`` (2×2-average-pooled Cb/Cr, the camera/web
     default, which exercises a decoder's MCU interleave + upsampling).
     Deterministic; built for test fixtures, not throughput."""
-    px = np.asarray(pixels)
-    gray = px.ndim == 2 or px.shape[2] == 1
-    if px.ndim == 2:
-        px = px[:, :, None]
-    H, W = px.shape[:2]
-    if gray:
-        comps = [px[:, :, 0].astype(np.float64) - 128.0]
-    else:
-        r = px[:, :, 0].astype(np.float64)
-        g = px[:, :, 1].astype(np.float64)
-        b = px[:, :, 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-        comps = [y, cb, cr]
-
-    # sampling factors per component: 4:2:0 doubles luma's h/v
-    if gray:
-        samp = [(1, 1)]
-    elif subsample:
-        samp = [(2, 2), (1, 1), (1, 1)]
-    else:
-        samp = [(1, 1), (1, 1), (1, 1)]
-    hmax = max(h for h, _ in samp)
-    vmax = max(v for _, v in samp)
-
-    if not gray and subsample:
-        # 2x2 average pooling of chroma (pad to even first)
-        for i in (1, 2):
-            c = comps[i]
-            c = np.pad(c, ((0, c.shape[0] % 2), (0, c.shape[1] % 2)), mode="edge")
-            comps[i] = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2]
-                               + c[0::2, 1::2] + c[1::2, 1::2])
-
-    qts = [STD_QUANT_LUMA] + ([] if gray else [STD_QUANT_CHROMA, STD_QUANT_CHROMA])
+    gray, samp, H, W, blocks = _component_coefficients(pixels, subsample)
     dc_encs = [_HuffEncoder(*STD_DC_LUMA)] + (
         [] if gray else [_HuffEncoder(*STD_DC_CHROMA)] * 2)
     ac_encs = [_HuffEncoder(*STD_AC_LUMA)] + (
         [] if gray else [_HuffEncoder(*STD_AC_CHROMA)] * 2)
-
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
-    padded = []
-    for (h, v), c in zip(samp, comps):
-        th, tw = mcus_y * v * 8, mcus_x * h * 8
-        padded.append(np.pad(
-            c, ((0, th - c.shape[0]), (0, tw - c.shape[1])), mode="edge"))
 
     bw = _BitWriter()
-    pred = [0] * len(comps)
+    pred = [0] * len(blocks)
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, plane in enumerate(padded):
+            for ci, arr in enumerate(blocks):
                 h, v = samp[ci]
                 for byi in range(v):
                     for bxi in range(h):
-                        y0 = (my * v + byi) * 8
-                        x0 = (mx * h + bxi) * 8
-                        _encode_block(bw, plane[y0:y0 + 8, x0:x0 + 8],
-                                      qts[ci], dc_encs[ci], ac_encs[ci],
-                                      pred, ci)
+                        _emit_block_sequential(
+                            bw, arr[my * v + byi, mx * h + bxi],
+                            dc_encs[ci], ac_encs[ci], pred, ci)
     bw.flush()
 
-    out = bytearray(b"\xFF\xD8")  # SOI
-
-    def seg(marker: int, body: bytes) -> None:
-        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
-        out.extend(body)
-
-    # DQT
-    seg(0xDB, bytes([0x00]) + bytes(int(x) for x in STD_QUANT_LUMA))
+    out = bytearray(b"\xFF\xD8")
+    _headers(out, gray, samp, H, W, 0xC0)
+    _seg(out, 0xC4, _dht_body(0, 0, STD_DC_LUMA))
+    _seg(out, 0xC4, _dht_body(1, 0, STD_AC_LUMA))
     if not gray:
-        seg(0xDB, bytes([0x01]) + bytes(int(x) for x in STD_QUANT_CHROMA))
-    # SOF0
+        _seg(out, 0xC4, _dht_body(0, 1, STD_DC_CHROMA))
+        _seg(out, 0xC4, _dht_body(1, 1, STD_AC_CHROMA))
     nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, H, W, nc)
-    for i in range(nc):
-        h, v = samp[i]
-        sof += struct.pack(">BBB", i + 1, (h << 4) | v, 0 if i == 0 else 1)
-    seg(0xC0, sof)
-    # DHT
-    def dht(tc: int, th: int, spec) -> None:
-        bits, values = spec
-        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
-
-    dht(0, 0, STD_DC_LUMA)
-    dht(1, 0, STD_AC_LUMA)
-    if not gray:
-        dht(0, 1, STD_DC_CHROMA)
-        dht(1, 1, STD_AC_CHROMA)
-    # SOS
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    seg(0xDA, sos)
+    _seg(out, 0xDA, sos)
     out.extend(bw.out)
-    out.extend(b"\xFF\xD9")  # EOI
+    out.extend(b"\xFF\xD9")
+    return bytes(out)
+
+
+# -- progressive encoder ----------------------------------------------------
+
+
+class _SymCollector:
+    """First pass of the two-pass progressive AC encode: record which
+    Huffman symbols the scan needs so a (fixed-length canonical) table
+    covering exactly those symbols can be emitted in its DHT."""
+
+    def __init__(self):
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.syms.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanEmitter:
+    def __init__(self, bw: _BitWriter, enc: _HuffEncoder):
+        self.bw = bw
+        self.enc = enc
+
+    def sym(self, s: int) -> None:
+        ln, code = self.enc.codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _fixed_table(symbols) -> tuple[list[int], list[int]]:
+    """Canonical fixed-length Huffman spec covering ``symbols``: n
+    codes of length L = n.bit_length() (2^L >= n+1, so the all-ones
+    code — reserved by T.81 — is never assigned)."""
+    syms = sorted(set(symbols)) or [0x00]
+    n = len(syms)
+    length = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+def _point(v: int, al: int) -> int:
+    """AC point transform: magnitude shifted toward zero (T.81 uses
+    integer division of the magnitude, NOT arithmetic shift)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _emit_ac_first(block_iter, ss, se, al, sink) -> None:
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sink.sym(nbits << 4)
+            sink.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for zz in block_iter:
+        t = [_point(int(zz[k]), al) for k in range(ss, se + 1)]
+        if not any(t):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        last = max(i for i, v in enumerate(t) if v)
+        for i in range(last + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.sym(0xF0)
+                run -= 16
+            s, bits_ = _magnitude(v)
+            sink.sym((run << 4) | s)
+            sink.bits(bits_, s)
+            run = 0
+        if last < len(t) - 1:
+            eobrun += 1
+    flush()
+
+
+def _emit_ac_refine(block_iter, ss, se, al, sink) -> None:
+    """Refinement-scan emitter (the inverse of _block_ac_refine, T.81
+    G.1.2.3 semantics): newly significant coefficients (|v|>>Al == 1)
+    get run/sign symbols; history coefficients (|v|>>Al > 1) contribute
+    one positional correction bit each, queued and flushed after the
+    next symbol (or with the EOB run they fall inside)."""
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sink.sym(nbits << 4)
+            sink.bits(eobrun - (1 << nbits), nbits)
+            for b in eob_bits:
+                sink.bits(b, 1)
+            eobrun = 0
+            eob_bits = []
+
+    for zz in block_iter:
+        t = [_point(int(zz[k]), al) for k in range(ss, se + 1)]
+        newly = [i for i, v in enumerate(t) if abs(v) == 1]
+        eob_pos = (newly[-1] + 1) if newly else 0
+        run = 0
+        pend: list[int] = []
+        for i in range(eob_pos):
+            v = t[i]
+            a = abs(v)
+            if a == 0:
+                run += 1
+                continue
+            if a > 1:
+                pend.append(a & 1)
+                continue
+            flush()  # scan-level EOB run must precede this block's syms
+            while run > 15:
+                sink.sym(0xF0)
+                for b in pend:
+                    sink.bits(b, 1)
+                pend = []
+                run -= 16
+            sink.sym((run << 4) | 1)
+            sink.bits(1 if v > 0 else 0, 1)
+            for b in pend:
+                sink.bits(b, 1)
+            pend = []
+            run = 0
+        if eob_pos < len(t):
+            eobrun += 1
+            eob_bits.extend(abs(v) & 1 for v in t[eob_pos:] if abs(v) > 1)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray,
+                            subsample: bool = False) -> bytes:
+    """Encode as a PROGRESSIVE (SOF2) JPEG with successive
+    approximation — the scan script mirrors the common libjpeg shape:
+    an interleaved DC-first scan at Al=1, a DC refinement scan, and
+    per component two spectral AC bands at Al=1 followed by their
+    refinement scans to Al=0. Coefficients are identical to
+    :func:`encode_jpeg`'s for the same input (shared front half), so
+    decode(baseline) == decode(progressive) BIT-EXACTLY — the
+    cross-oracle the tests assert. AC scans carry custom fixed-length
+    Huffman tables built in a counting pre-pass (the standard
+    sequential tables lack the EOB-run symbols)."""
+    gray, samp, H, W, blocks = _component_coefficients(pixels, subsample)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    nc = len(blocks)
+
+    out = bytearray(b"\xFF\xD8")
+    _headers(out, gray, samp, H, W, 0xC2)
+
+    def mcu_units():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    h, v = samp[ci]
+                    for byi in range(v):
+                        for bxi in range(h):
+                            yield ci, blocks[ci][my * v + byi, mx * h + bxi]
+
+    def comp_blocks(ci):
+        h, v = samp[ci]
+        comp_w = -(-W * h // hmax)
+        comp_h = -(-H * v // vmax)
+        nbx, nby = -(-comp_w // 8), -(-comp_h // 8)
+        for byi in range(nby):
+            for bxi in range(nbx):
+                yield blocks[ci][byi, bxi]
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for cs, td, ta in scan_comps:
+            body += bytes([cs, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return body
+
+    # scan 1: DC first, interleaved, Al=1, standard DC tables
+    _seg(out, 0xC4, _dht_body(0, 0, STD_DC_LUMA))
+    if not gray:
+        _seg(out, 0xC4, _dht_body(0, 1, STD_DC_CHROMA))
+    dc_encs = [_HuffEncoder(*STD_DC_LUMA)] + (
+        [] if gray else [_HuffEncoder(*STD_DC_CHROMA)] * 2)
+    _seg(out, 0xDA, sos([(i + 1, 0 if i == 0 else 1, 0) for i in range(nc)],
+                        0, 0, 0, 1))
+    bw = _BitWriter()
+    pred = [0] * nc
+    for ci, zz in mcu_units():
+        diff = (int(zz[0]) >> 1) - pred[ci]
+        pred[ci] = int(zz[0]) >> 1
+        s, bits_ = _magnitude(diff)
+        ln, code = dc_encs[ci].codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits_, s)
+    bw.flush()
+    out.extend(bw.out)
+
+    # scan 2: DC refinement Ah=1 -> Al=0 (raw bits, no Huffman)
+    _seg(out, 0xDA, sos([(i + 1, 0, 0) for i in range(nc)], 0, 0, 1, 0))
+    bw = _BitWriter()
+    for ci, zz in mcu_units():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+
+    # per-component AC band scans (first at Al=1, then refinement)
+    bands = [(1, 20), (21, 63)]
+    for ci in range(nc):
+        for emit, ah, al in ((_emit_ac_first, 0, 1), (_emit_ac_refine, 1, 0)):
+            for ss, se in bands:
+                counter = _SymCollector()
+                emit(comp_blocks(ci), ss, se, al, counter)
+                spec = _fixed_table(counter.syms)
+                _seg(out, 0xC4, _dht_body(1, 0, spec))
+                _seg(out, 0xDA, sos([(ci + 1, 0, 0)], ss, se, ah, al))
+                bw = _BitWriter()
+                emit(comp_blocks(ci), ss, se, al,
+                     _ScanEmitter(bw, _HuffEncoder(*spec)))
+                bw.flush()
+                out.extend(bw.out)
+
+    out.extend(b"\xFF\xD9")
     return bytes(out)

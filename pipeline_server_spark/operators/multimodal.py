@@ -201,9 +201,9 @@ def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
 
 def _real_decode(payload: bytes, media_type: str) -> tuple[int, int]:
     """Real-codec dispatch (stdlib + numpy, no image libraries): PNG
-    pixels via decode_png, baseline-JPEG pixels via
+    pixels via decode_png, baseline AND progressive JPEG pixels via
     :mod:`.jpeg`, BMP/GIF dimensions via header parse. Remaining
-    gates: progressive JPEG and video codecs."""
+    gates: arithmetic-coded/hierarchical JPEG and video codecs."""
     if media_type == "image/png" or payload[:8] == _PNG_SIG:
         w, h, _c, _px = decode_png(payload)
         return w, h
@@ -218,18 +218,18 @@ def _real_decode(payload: bytes, media_type: str) -> tuple[int, int]:
     if media_type == "image/gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_header(payload)
     raise NotImplementedError(
-        f"no in-process codec for {media_type!r}: PNG/baseline-JPEG/BMP/"
-        "GIF supported in-process; progressive JPEG and video codecs "
-        "need external libs not installed here"
+        f"no in-process codec for {media_type!r}: PNG/JPEG(baseline+"
+        "progressive)/BMP/GIF supported in-process; video codecs need "
+        "external libs not installed here"
     )
 
 
 def extract_media_metadata(df: DataFrame, real_codecs: bool = False) -> DataFrame:
     """Decode/feature-extract via mapInPandas: Arrow-batched binary in,
     typed metadata struct out. ``real_codecs=True`` decodes PNG and
-    baseline-JPEG payloads for real (stdlib+numpy — decode_png,
-    jpeg.decode_jpeg) and parses BMP/GIF headers; other media under
-    real_codecs raises NotImplementedError (progressive JPEG / video
+    JPEG (baseline + progressive) payloads for real (stdlib+numpy —
+    decode_png, jpeg.decode_jpeg) and parses BMP/GIF headers; other
+    media under real_codecs raises NotImplementedError (video codecs
     need libs absent in this container). ``real_codecs=False`` keeps
     the deterministic fake for plumbing tests."""
 

@@ -479,14 +479,33 @@ class VersionedTable:
     def _abs_file(self, entry: tuple[str, str]) -> str:
         return os.path.join(self.root, "_versions", entry[0], entry[1])
 
-    def _read_files(self, files: list[str]) -> DataFrame:
+    @staticmethod
+    def _conform(df: DataFrame, schema) -> DataFrame:
+        """Project one group's scan onto the version's RECORDED schema:
+        missing columns null-fill (additive schema evolution — older
+        files simply lack the new column) and every present column is
+        cast to the writer's type — which also round-trips partition
+        columns exactly (directory-value inference may read '5' back
+        as int; the cast restores the written string), so grouped
+        reads can never disagree on a type."""
+        have = {f.name for f in df.schema.fields}
+        cols = [
+            (F.col(f.name).cast(f.dataType) if f.name in have
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
+    def _read_files(self, files: list[str], schema=None) -> DataFrame:
         """Read an explicit list of ABSOLUTE data-file paths as one
         DataFrame: one ``basePath``-anchored scan per contributing
         version directory (hive partition columns are inferred from
         the path components BELOW each basePath; Spark rejects a
-        single scan across differing roots), unioned by name. Width =
-        number of contributing directories — bounded by compaction
-        cadence, see the class docstring."""
+        single scan across differing roots), unioned by name — each
+        group conformed to the version's recorded ``schema`` when one
+        is available (see :meth:`_conform`). Width = number of
+        contributing directories — bounded by compaction cadence, see
+        the class docstring."""
         vroot = os.path.join(self.root, "_versions")
         groups: dict[str, list[str]] = {}
         for f in files:
@@ -498,6 +517,8 @@ class VersionedTable:
             .format(self.file_format).load(sorted(fs))
             for d, fs in sorted(groups.items())
         ]
+        if schema is not None:
+            parts = [self._conform(p, schema) for p in parts]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -677,7 +698,8 @@ class VersionedTable:
     def commit_append(self, df: DataFrame,
                       partition_by: tuple[str, ...] | list[str] = (),
                       metadata: dict | None = None,
-                      stats_cols: tuple[str, ...] | list[str] = ()) -> int:
+                      stats_cols: tuple[str, ...] | list[str] = (),
+                      evolve_schema: bool = False) -> int:
         """Append-only commit in O(batch): write ONLY the new rows into
         the next version directory and publish a file manifest = the
         previous version's list + the batch's files — two metadata
@@ -724,17 +746,36 @@ class VersionedTable:
             prev_np = {k: v for k, v in prev_types.items() if k not in part}
             batch_np = {k: v for k, v in batch_types.items() if k not in part}
             if batch_np != prev_np or set(batch_types) != set(prev_types):
-                raise ValueError(
-                    f"commit_append schema mismatch: batch {sorted(batch_types.items())}"
-                    f" vs table {sorted(prev_types.items())}; use commit()/merge for evolution"
+                # ``evolve_schema``: ADDITIVE widening commits O(batch)
+                # — the batch may introduce new non-partition columns;
+                # every pre-existing column must keep its type and the
+                # new union schema is recorded in the manifest, so
+                # older files null-fill at read time (the Delta
+                # mergeSchema behavior, without rewriting the table)
+                additive = (
+                    evolve_schema
+                    and set(prev_types) <= set(batch_types)
+                    and all(batch_np.get(k) == v for k, v in prev_np.items())
+                    and part <= set(prev_types)  # no new partition cols
                 )
+                if not additive:
+                    raise ValueError(
+                        f"commit_append schema mismatch: batch {sorted(batch_types.items())}"
+                        f" vs table {sorted(prev_types.items())}; use commit()/merge "
+                        "for non-additive evolution (or pass evolve_schema=True "
+                        "for additive widening)"
+                    )
             self._check_layout(current, partition_by, "commit_append")
         target = self._stage_dir(version)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
-        if prior_has_data:
+        if prior_has_data and self._filelist_schema(current) is None:
+            # only needed for versions WITHOUT a recorded schema (the
+            # pre-schema manifest era): with one, every grouped read
+            # casts partition columns back to the writer's type, so
+            # per-directory inference divergence is harmless
             try:
                 self._check_partition_types(target, partition_by, prev_types,
                                             "commit_append")
@@ -813,12 +854,15 @@ class VersionedTable:
         target = self._stage_dir(version)
         merged.write.mode("overwrite").partitionBy(*cols) \
             .format(self.file_format).save(target)
-        try:
-            self._check_partition_types(target, cols, dict(target_df.dtypes),
-                                        "commit_merge_partitioned")
-        except ValueError:
-            self.fs.remove(target)  # never published — discard staging
-            raise
+        if self._filelist_schema(current) is None:
+            # see commit_append: with a recorded schema, grouped reads
+            # conform partition types, so divergence is harmless
+            try:
+                self._check_partition_types(target, cols, dict(target_df.dtypes),
+                                            "commit_merge_partitioned")
+            except ValueError:
+                self.fs.remove(target)  # never published — discard staging
+                raise
         new_rels = self._list_data_files(target)
         # everything the merged write rewrote, in Spark's own encoding
         rewritten = {self._partition_prefix(rel, len(cols)) for rel in new_rels}
@@ -855,7 +899,8 @@ class VersionedTable:
             if schema is not None:
                 return self.spark.createDataFrame([], schema=schema)
             return self.spark.read.format(self.file_format).load(d)
-        return self._read_files([self._abs_file(e) for e in entries])
+        return self._read_files([self._abs_file(e) for e in entries],
+                                schema=self._filelist_schema(v))
 
     # -- named refs (Iceberg-style tags) ---------------------------------
     def _tags_dir(self) -> str:
@@ -959,7 +1004,9 @@ class VersionedTable:
             # picked files can span version directories (incremental
             # commits); [] = nothing survived pruning — the caller
             # applies where(False), we just supply the schema
-            return self._read_files(files) if files else self.read(v)
+            if not files:
+                return self.read(v)
+            return self._read_files(files, schema=self._filelist_schema(v))
 
         idx = self.spark.read.parquet(idx_path)
         return read_with_skipping(self.spark, d, idx, bounds, reader=reader)

@@ -57,34 +57,32 @@ def exactly_once_append_sink(
             return  # replay after failure — already committed
         meta = {"batch_id": int(batch_id)}
         current = table.current_version()
+        widened = False
         if current is not None:
             tgt_types = dict(table.read(current).dtypes)
-            extra = set(batch_df.columns) - set(tgt_types)
-            if extra:
-                # batch WIDENS the schema: evolution needs the
-                # rewriting commit (union with null-fill both ways)
-                combined = table.read(current).unionByName(
-                    batch_df, allowMissingColumns=True
-                )
-                table.commit(combined, partition_by=partition_by,
-                             metadata=meta)
-                return
             missing = set(tgt_types) - set(batch_df.columns)
             if missing:
                 # batch lacks columns the table has: null-fill to the
-                # table schema (the allowMissingColumns behavior)
+                # table schema (the allowMissingColumns behavior),
+                # keeping any NEW batch columns for the widening path
                 batch_df = batch_df.select(
                     *[
                         F.col(c) if c in batch_df.columns
                         else F.lit(None).cast(tgt_types[c]).alias(c)
                         for c in tgt_types
-                    ]
+                    ],
+                    *[F.col(c) for c in batch_df.columns
+                      if c not in tgt_types],
                 )
-        # commit_append writes ONLY the batch and hardlinks the prior
-        # version's files — O(batch) per micro-batch, not the O(table)
-        # rewrite of commit(read() ∪ batch)
+            widened = bool(set(batch_df.columns) - set(tgt_types))
+        # commit_append writes ONLY the batch; the prior version's
+        # files ride forward by manifest reference — O(batch) per
+        # micro-batch, not the O(table) rewrite of commit(read() ∪
+        # batch). A batch that WIDENS the schema commits O(batch) too:
+        # the manifest records the union schema and older files
+        # null-fill at read time (additive evolution).
         table.commit_append(batch_df, partition_by=partition_by,
-                            metadata=meta)
+                            metadata=meta, evolve_schema=widened)
 
     return apply
 

@@ -628,14 +628,15 @@ def test_jpeg_roundtrip_and_spark_real_codec_path(spark):
     row = extract_media_metadata(media, real_codecs=True).collect()[0]
     assert (row.width, row.height) == (56, 40)
 
-    # progressive (SOF2) remains a named gate
+    # arithmetic coding (SOF9) remains a named gate (progressive SOF2
+    # is now decoded — see test_jpeg_progressive_decodes_bit_exactly)
     import pytest as _pytest
 
-    sof2 = bytearray(payload)
-    idx = sof2.find(b"\xFF\xC0")
-    sof2[idx + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="BASELINE"):
-        decode_jpeg(bytes(sof2))
+    sof9 = bytearray(payload)
+    idx = sof9.find(b"\xFF\xC0")
+    sof9[idx + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(sof9))
 
 
 def test_jpeg_420_subsampling_and_dri(spark):
@@ -690,3 +691,43 @@ def test_jpeg_truncated_scan_raises_valueerror():
             cut += b"\xff"
         with _pytest.raises(ValueError, match="truncated|corrupt"):
             decode_jpeg(cut)
+
+
+def test_jpeg_progressive_decodes_bit_exactly_vs_baseline(spark):
+    """Progressive (SOF2) decode: a baseline and a progressive stream
+    built from the SAME quantized coefficients must decode to
+    BIT-IDENTICAL pixels — covering spectral selection, successive
+    approximation (DC and AC refinement), EOB runs, ZRL-in-refinement,
+    and 4:2:0 interleave. Noise input maximizes entropy-path coverage."""
+    import numpy as np
+
+    from pipeline_server_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        np.full((24, 17), 130, dtype=np.uint8),                 # gray flat
+        (rng.rand(40, 56) * 255).astype(np.uint8),              # gray noise
+        (rng.rand(33, 50, 3) * 255).astype(np.uint8),           # rgb noise
+    ]
+    for img in cases:
+        for sub in ((False, True) if img.ndim == 3 else (False,)):
+            base = decode_jpeg(encode_jpeg(img, subsample=sub))
+            prog_payload = encode_jpeg_progressive(img, subsample=sub)
+            prog = decode_jpeg(prog_payload)
+            assert base[:3] == prog[:3]
+            assert (base[3] == prog[3]).all(), "progressive decode diverged"
+            # and the stream really is SOF2
+            assert b"\xff\xc2" in prog_payload and b"\xff\xc0" not in prog_payload
+
+    # the Spark real-codec path reports true dimensions for progressive
+    payload = encode_jpeg_progressive(cases[2])
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "image/jpeg")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = extract_media_metadata(media, real_codecs=True).collect()[0]
+    assert (row.width, row.height) == (50, 33)

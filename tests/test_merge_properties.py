@@ -894,13 +894,15 @@ class TestManifestCommitsRound6:
         # and read() still works (nothing was published)
         assert t.current_version() == 1 and t.read().count() == 1
 
-    def test_partition_type_divergence_rejected_at_commit(self, spark, tmp_path):
+    def test_partition_type_divergence_conformed_by_recorded_schema(
+            self, spark, tmp_path):
         """Per-directory partition-value inference can derive DIFFERENT
         types for the same column across versions ('2021-01-01' → date,
-        '1.5' → double); the commit must refuse instead of publishing a
-        version whose union read fails (review round-6 finding 4)."""
-        import pytest as _pytest
-
+        '1.5' → double). The manifest records the WRITER's schema, and
+        every grouped read casts partition columns back to it — so the
+        divergence is harmless and both versions read with the original
+        string values (review round-6 finding 4, superseded by
+        schema-recording conformance)."""
         from pipeline_server_spark.pipeline.writers import VersionedTable
 
         t = VersionedTable(spark, str(tmp_path / "ptype"))
@@ -908,14 +910,14 @@ class TestManifestCommitsRound6:
             spark.createDataFrame([("2021-01-01", 1)], ["p", "v"]),
             partition_by=("p",),
         )
-        with _pytest.raises(ValueError, match="partition column 'p'"):
-            t.commit_append(
-                spark.createDataFrame([("1.5", 2)], ["p", "v"]),
-                partition_by=("p",),
-            )
-        assert t.current_version() == 1
-        # staged version-2 data was discarded, and the table still reads
-        assert t.read().count() == 1
+        t.commit_append(
+            spark.createDataFrame([("1.5", 2)], ["p", "v"]),
+            partition_by=("p",),
+        )
+        got = t.read()
+        assert dict(got.dtypes)["p"] == "string"
+        assert {(r["p"], r["v"]) for r in got.collect()} == {
+            ("2021-01-01", 1), ("1.5", 2)}
 
     def test_commit_with_retry_budget_is_total_attempts(self, tmp_path):
         """retries=N means N attempts total; the last conflict

@@ -593,3 +593,35 @@ def test_merge_sink_tolerates_empty_partitioned_batches(spark, tmp_path):
     sink(spark.createDataFrame([(1, "d1", "A", 2)], schema), 3)
     got = {(r["k"], r["s"]) for r in t.read().collect()}
     assert got == {(1, "A")}
+
+
+def test_append_sink_widening_batch_commits_o_batch(spark, tmp_path):
+    """A micro-batch that ADDS a column no longer forces a full-table
+    rewrite: the evolving append records the union schema in the
+    manifest, older files null-fill at read time, and the new
+    version's directory contains only the batch's files."""
+    import os
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.sinks import exactly_once_append_sink
+
+    t = VersionedTable(spark, str(tmp_path / "wid"))
+    sink = exactly_once_append_sink(t)
+    sink(spark.createDataFrame([(1, "a", 1.5)], ["k", "s", "x"]), 0)
+    v1_files = set(t._entries_for_version(1))
+    sink(spark.createDataFrame([(3, "c", 2.5, "new")],
+                               ["k", "s", "x", "extra"]), 1)  # wider
+    # O(batch): v2's own dir holds only the batch; v1 files carried
+    v2 = t._resolve_dir(2)
+    entries2 = set(t._entries_for_version(2))
+    assert v1_files <= entries2
+    own = {e for e in entries2 if e[0] == os.path.basename(v2)}
+    assert own and own == entries2 - v1_files
+    got = {(r["k"], r["extra"]) for r in t.read().collect()}
+    assert got == {(1, None), (3, "new")}
+    # narrower batch after widening still null-fills (and stays O(batch))
+    sink(spark.createDataFrame([(4, "d")], ["k", "s"]), 2)
+    rows = {(r["k"], r["x"], r["extra"]) for r in t.read().collect()}
+    assert rows == {(1, 1.5, None), (3, 2.5, "new"), (4, None, None)}
+    # time travel: v1 keeps its original (narrow) schema
+    assert t.read(1).columns == ["k", "s", "x"]
