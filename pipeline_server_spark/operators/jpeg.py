@@ -312,10 +312,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("not a JPEG: missing SOI")
     try:
         return _parse_and_decode(payload)
-    except (IndexError, struct.error) as e:
-        # malformed segment contents (e.g. a DHT whose BITS counts
-        # overrun the segment) surface as the documented ValueError
-        raise ValueError(f"corrupt JPEG: malformed segment ({e})") from e
+    except (IndexError, struct.error, KeyError, StopIteration,
+            ZeroDivisionError) as e:
+        # malformed segment contents (a DHT whose BITS counts overrun
+        # the segment, a scan naming an undefined component or Huffman
+        # table, zero sampling factors, ...) surface as the documented
+        # ValueError — a bare StopIteration in particular would be
+        # swallowed by PEP 479 inside generator-based callers like
+        # multimodal's mapInPandas batch loop
+        raise ValueError(f"corrupt JPEG: malformed segment ({e!r})") from e
 
 
 def _parse_and_decode(payload: bytes):
@@ -365,7 +370,15 @@ def _parse_and_decode(payload: bytes):
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, values)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
-            _precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8:
+                # 12-bit extended/progressive streams are LEGAL JPEG;
+                # decoding them with 8-bit level shift + clip would
+                # return silent garbage — refuse by name instead
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG sample precision: only 8-bit "
+                    "streams are decoded in-process"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
@@ -975,16 +988,23 @@ def _emit_ac_refine(block_iter, ss, se, al, sink) -> None:
             if a == 0:
                 run += 1
                 continue
-            if a > 1:
-                pend.append(a & 1)
-                continue
-            flush()  # scan-level EOB run must precede this block's syms
+            # ZRLs must flush on arrival at ANY nonzero — history
+            # included — so every queued correction bit stays inside
+            # the window of the symbol it rides with: queueing this
+            # history bit FIRST and emitting the ZRL later would put
+            # the bit ahead of a window that hasn't reached its
+            # position, desyncing the decoder (jcphuff's loop shape)
             while run > 15:
+                flush()  # scan-level EOB run precedes any symbol
                 sink.sym(0xF0)
+                run -= 16
                 for b in pend:
                     sink.bits(b, 1)
                 pend = []
-                run -= 16
+            if a > 1:
+                pend.append(a & 1)
+                continue
+            flush()
             sink.sym((run << 4) | 1)
             sink.bits(1 if v > 0 else 0, 1)
             for b in pend:

@@ -443,3 +443,66 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
+                    t_num: int = 4, t_den: int = 5) -> DataFrame:
+    """Exact SPARSE-vector cosine similarity join over term-frequency
+    vectors — the weighted complement of the set-Jaccard family
+    (PPJoin/:mod:`dedup`) and the dense-embedding LSH paths: documents
+    as integer TF vectors, candidate pairs blocked on RARE terms
+    (document frequency <= ``df_cap`` — the inverted-index lists that
+    stay short at any corpus size, so candidate work rides on rare
+    terms instead of stopword postings), then the dot product verified
+    EXACTLY over the candidates' COMPLETE vectors. The cosine
+    threshold ``t_num/t_den`` is tested in exact integer arithmetic
+    (t_den^2 * dot^2 >= t_num^2 * |a|^2 * |b|^2, products in DECIMAL
+    so 100 TB-scale norms cannot wrap int64 silently).
+
+    Recall contract: a pair is surfaced iff the documents share at
+    least one sub-cap-df term (blocked otherwise) AND their exact
+    TF-cosine clears the threshold — the same contract the oracle
+    evaluates, so the parity gate checks candidate generation AND
+    verification. Input ``tf``: (doc_id, tok, tf bigint).
+
+    Scale shape: one df-filtered posting self-join (rare lists only),
+    one pair-grouped exact-dot aggregation bounded by the candidate
+    count, broadcast-sized norm join. No cartesian, no collect."""
+    n2 = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2"))
+    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = tf.join(docfreq.where(F.col("df") <= df_cap), "tok")
+    cand = (
+        rare.alias("a").join(
+            rare.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    dots = (
+        cand.join(tf.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tf.alias("tb"),
+              (F.col("tb.doc_id") == F.col("doc_b"))
+              & (F.col("tb.tok") == F.col("ta.tok")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ta.tf") * F.col("tb.tf")).cast("long").alias("dot"))
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
+    dec = "decimal(38,0)"
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(t_den * t_den).cast(dec) * F.col("dot").cast(dec)
+                * F.col("dot").cast(dec)
+                >= F.lit(t_num * t_num).cast(dec) * F.col("n2_a").cast(dec)
+                * F.col("n2_b").cast(dec)
+            )
+        )
+        .select("doc_a", "doc_b", "dot", "n2_a", "n2_b")
+    )

@@ -479,46 +479,34 @@ class VersionedTable:
     def _abs_file(self, entry: tuple[str, str]) -> str:
         return os.path.join(self.root, "_versions", entry[0], entry[1])
 
-    @staticmethod
-    def _conform(df: DataFrame, schema) -> DataFrame:
-        """Project one group's scan onto the version's RECORDED schema:
-        missing columns null-fill (additive schema evolution — older
-        files simply lack the new column) and every present column is
-        cast to the writer's type — which also round-trips partition
-        columns exactly (directory-value inference may read '5' back
-        as int; the cast restores the written string), so grouped
-        reads can never disagree on a type."""
-        have = {f.name for f in df.schema.fields}
-        cols = [
-            (F.col(f.name).cast(f.dataType) if f.name in have
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in schema.fields
-        ]
-        return df.select(*cols)
-
     def _read_files(self, files: list[str], schema=None) -> DataFrame:
         """Read an explicit list of ABSOLUTE data-file paths as one
         DataFrame: one ``basePath``-anchored scan per contributing
-        version directory (hive partition columns are inferred from
-        the path components BELOW each basePath; Spark rejects a
-        single scan across differing roots), unioned by name — each
-        group conformed to the version's recorded ``schema`` when one
-        is available (see :meth:`_conform`). Width = number of
-        contributing directories — bounded by compaction cadence, see
-        the class docstring."""
+        version directory (hive partition columns resolve from the
+        path components BELOW each basePath; Spark rejects a single
+        scan across differing roots), unioned by name. When the
+        version recorded its writer ``schema`` (every manifest since
+        round 6 does), the scans take it as the USER-SPECIFIED schema:
+        partition columns parse directly from the raw directory value
+        to the writer's type — a string partition value like '01'
+        round-trips EXACTLY (type inference would read it back as
+        int 1, and a cast back to string would yield '1'), missing
+        columns null-fill (additive schema evolution), and no two
+        groups can disagree on a type. Width = number of contributing
+        directories — bounded by compaction cadence, see the class
+        docstring."""
         vroot = os.path.join(self.root, "_versions")
         groups: dict[str, list[str]] = {}
         for f in files:
             rel = os.path.relpath(f, vroot)
             d = rel.split(os.sep, 1)[0]
             groups.setdefault(d, []).append(f)
-        parts = [
-            self.spark.read.option("basePath", os.path.join(vroot, d))
-            .format(self.file_format).load(sorted(fs))
-            for d, fs in sorted(groups.items())
-        ]
-        if schema is not None:
-            parts = [self._conform(p, schema) for p in parts]
+        parts = []
+        for d, fs in sorted(groups.items()):
+            rd = self.spark.read.option("basePath", os.path.join(vroot, d))
+            if schema is not None:
+                rd = rd.schema(schema)
+            parts.append(rd.format(self.file_format).load(sorted(fs)))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -658,43 +646,6 @@ class VersionedTable:
                 "pass the same partition_by or use commit()"
             )
 
-    def _check_partition_types(self, target: str, partition_by,
-                               prev_types: dict, op: str) -> None:
-        """Partition-column types are DERIVED per directory (inferred
-        from the path values), so two version directories can
-        legitimately infer DIFFERENT types for the same column — e.g.
-        prior values '2021-01-01' (date) and a new batch writing '1.5'
-        (double) — and the per-directory union read would then fail on
-        every subsequent read of the published version. Guard at
-        commit time instead: the batch directory's inferred partition
-        types must equal the table's. Costs one listing + schema
-        inference over the NEW directory only — O(batch)."""
-        if not partition_by:
-            return
-        if not self._list_data_files(target):
-            # empty batch (normal under idle streaming triggers, or a
-            # DQ stage that rejected every row): a partitioned write
-            # of zero rows produces no data files and no partition
-            # dirs — nothing to type-check, and spark.read on the
-            # empty directory cannot infer a schema
-            return
-        new_types = dict(
-            self.spark.read.format(self.file_format).load(target).dtypes
-        )
-        for c in partition_by:
-            if new_types.get(c) in (None, "void"):
-                # batch wrote only NULL values for this partition
-                # column (__HIVE_DEFAULT_PARTITION__ infers as void) —
-                # null is compatible with any prior type
-                continue
-            if c in prev_types and new_types.get(c) != prev_types[c]:
-                raise ValueError(
-                    f"{op}: partition column {c!r} reads back as "
-                    f"{new_types.get(c)!r} for this batch vs {prev_types[c]!r} "
-                    "for the table (directory-value type inference); make the "
-                    "values render consistently or use commit() to rewrite"
-                )
-
     def commit_append(self, df: DataFrame,
                       partition_by: tuple[str, ...] | list[str] = (),
                       metadata: dict | None = None,
@@ -771,17 +722,6 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
-        if prior_has_data and self._filelist_schema(current) is None:
-            # only needed for versions WITHOUT a recorded schema (the
-            # pre-schema manifest era): with one, every grouped read
-            # casts partition columns back to the writer's type, so
-            # per-directory inference divergence is harmless
-            try:
-                self._check_partition_types(target, partition_by, prev_types,
-                                            "commit_append")
-            except ValueError:
-                self.fs.remove(target)  # never published — discard staging
-                raise
         prior = self._entries_for_version(current) if current is not None else []
         entries = prior + [(os.path.basename(target), rel)
                            for rel in self._list_data_files(target)]
@@ -854,15 +794,6 @@ class VersionedTable:
         target = self._stage_dir(version)
         merged.write.mode("overwrite").partitionBy(*cols) \
             .format(self.file_format).save(target)
-        if self._filelist_schema(current) is None:
-            # see commit_append: with a recorded schema, grouped reads
-            # conform partition types, so divergence is harmless
-            try:
-                self._check_partition_types(target, cols, dict(target_df.dtypes),
-                                            "commit_merge_partitioned")
-            except ValueError:
-                self.fs.remove(target)  # never published — discard staging
-                raise
         new_rels = self._list_data_files(target)
         # everything the merged write rewrote, in Spark's own encoding
         rewritten = {self._partition_prefix(rel, len(cols)) for rel in new_rels}

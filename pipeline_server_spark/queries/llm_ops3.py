@@ -320,3 +320,63 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_points")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "tf_cosine_near_dup_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+    n2 AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY doc_id),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      JOIN df ON df.tok = a.tok
+      WHERE df.df <= 25),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM cand c
+      JOIN tf a ON a.doc_id = c.doc_a
+      JOIN tf b ON b.doc_id = c.doc_b AND b.tok = a.tok
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT d.doc_a, d.doc_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+    FROM dots d
+    JOIN n2 na ON na.doc_id = d.doc_a
+    JOIN n2 nb ON nb.doc_id = d.doc_b
+    WHERE d.dot > 0
+      AND 25 * CAST(d.dot AS HUGEINT) * d.dot
+          >= 16 * CAST(na.n2 AS HUGEINT) * nb.n2
+    ORDER BY d.doc_a, d.doc_b
+    """,
+)
+def tf_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse TF-vector cosine >= 0.8 document pairs — the
+    WEIGHTED similarity join missing between the set-Jaccard family
+    (``ppjoin_word_jaccard_pairs``: presence/absence) and the dense
+    embedding paths (``dedup_embedding_cosine``): repeated terms
+    count, so boilerplate-heavy near-dups that word SETS blur apart
+    separate on term frequencies. Candidates block on RARE terms
+    (document frequency <= 25 — posting lists that stay short at any
+    corpus size), the dot product is verified exactly over the
+    candidates' full vectors, and the 4/5 threshold is tested in
+    integer/decimal arithmetic (no float cosine to flip boundary
+    pairs between engines). Output keeps the exact integers (dot,
+    |a|^2, |b|^2) rather than a derived float. Scale shape: see
+    :func:`operators.similarity.tf_cosine_pairs`."""
+    from pipeline_server_spark.operators.similarity import tf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return (
+        tf_cosine_pairs(tf, df_cap=25, t_num=4, t_den=5)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -74,6 +74,37 @@ def exactly_once_append_sink(
                     *[F.col(c) for c in batch_df.columns
                       if c not in tgt_types],
                 )
+            # NUMERIC type drift on existing columns: a batch column
+            # NARROWER than the table's upcasts losslessly (int →
+            # bigint) so the append stays O(batch); a batch column
+            # WIDER than the table's would truncate if downcast, so
+            # the table itself must widen — the one case that still
+            # takes the rewriting commit (union-coercion semantics,
+            # matching the pre-manifest sink's behavior).
+            rank = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                    "float": 4, "double": 5}
+            batch_types = dict(batch_df.dtypes)
+            upcasts, table_widens = {}, False
+            for c, bt in batch_types.items():
+                tt = tgt_types.get(c)
+                if tt is None or tt == bt:
+                    continue
+                if bt in rank and tt in rank:
+                    if rank[bt] < rank[tt]:
+                        upcasts[c] = tt
+                    else:
+                        table_widens = True
+            if table_widens:
+                combined = table.read(current).unionByName(
+                    batch_df, allowMissingColumns=True)
+                table.commit(combined, partition_by=partition_by,
+                             metadata=meta)
+                return
+            if upcasts:
+                batch_df = batch_df.select(
+                    *[F.col(c).cast(upcasts[c]).alias(c) if c in upcasts
+                      else F.col(c) for c in batch_df.columns]
+                )
             widened = bool(set(batch_df.columns) - set(tgt_types))
         # commit_append writes ONLY the batch; the prior version's
         # files ride forward by manifest reference — O(batch) per

@@ -731,3 +731,94 @@ def test_jpeg_progressive_decodes_bit_exactly_vs_baseline(spark):
     )
     row = extract_media_metadata(media, real_codecs=True).collect()[0]
     assert (row.width, row.height) == (50, 33)
+
+
+def test_jpeg_ac_refinement_unit_roundtrip_reconstructs_exactly():
+    """Property-style unit check of the trickiest JPEG path: AC
+    successive-approximation. Encode random sparse coefficient blocks
+    through the first-pass (Al=1) and refinement (Al=0) emitters, run
+    both through the scan decoders, and require EXACT reconstruction —
+    this forces ZRL-in-refinement, multi-block EOB runs, and
+    interleaved history-correction bits that image-level fixtures only
+    hit by luck."""
+    import numpy as np
+
+    from pipeline_server_spark.operators.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _HuffEncoder,
+        _ScanEmitter,
+        _SymCollector,
+        _block_ac_first,
+        _block_ac_refine,
+        _emit_ac_first,
+        _emit_ac_refine,
+        _fixed_table,
+        _HuffDecoder,
+    )
+
+    rng = np.random.RandomState(42)
+    n = 120
+    blocks = np.zeros((n, 64), dtype=np.int64)
+    # sparse magnitudes incl. values whose LSB matters at Al=1
+    mask = rng.rand(n, 64) < 0.06
+    blocks[mask] = rng.randint(-41, 42, size=int(mask.sum()))
+    blocks[rng.rand(n) < 0.3] = 0  # fully-empty blocks → EOB runs
+    # a crafted block whose only coefficient sits deep in the band →
+    # guaranteed ZRL in the refinement scan
+    blocks[5] = 0
+    blocks[5][60] = 1
+
+    for ss, se in ((1, 63), (1, 20), (21, 63)):
+        store = np.zeros((n, 64), dtype=np.int64)
+        for emitter, decoder, ah, al in (
+            (_emit_ac_first, _block_ac_first, 0, 1),
+            (_emit_ac_refine, _block_ac_refine, 1, 0),
+        ):
+            counter = _SymCollector()
+            emitter(iter(blocks), ss, se, al, counter)
+            spec = _fixed_table(counter.syms)
+            bw = _BitWriter()
+            emitter(iter(blocks), ss, se, al, _ScanEmitter(bw, _HuffEncoder(*spec)))
+            bw.flush()
+            br = _BitReader(bytes(bw.out) + b"\xFF\xD9", 0)
+            dec = _HuffDecoder(*spec)
+            state = {"eobrun": 0}
+            for i in range(n):
+                if ah == 0:
+                    _block_ac_first(br, dec, store[i], ss, se, al, state)
+                else:
+                    _block_ac_refine(br, dec, store[i], ss, se, al, state)
+            if ah == 1 and ss == 21:
+                # the crafted deep coefficient actually exercised ZRL
+                assert 0xF0 in counter.syms
+        band = slice(ss, se + 1)
+        assert (store[:, band] == blocks[:, band]).all(), (ss, se)
+
+
+import os as _os_jpeg
+
+_REAL_JPEGS = [
+    p for p in (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "test/imghdrdata/python.jpg",
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+        "rust/html/embedded-book/assets/verify.jpeg",
+    ) if _os_jpeg.path.exists(p)
+]
+
+
+@pytest.mark.skipif(not _REAL_JPEGS, reason="no third-party JPEGs on disk")
+def test_jpeg_decodes_real_third_party_files():
+    """Files produced by REAL encoders (libjpeg-style optimized
+    Huffman tables, genuine subsampling) — the decoder must handle
+    streams it did not author: correct dimensions, full entropy decode
+    without desync, plausible pixel statistics."""
+    from pipeline_server_spark.operators.jpeg import decode_jpeg
+
+    for p in _REAL_JPEGS:
+        data = open(p, "rb").read()
+        w, h, n, px = decode_jpeg(data)
+        assert w > 0 and h > 0 and n in (1, 3)
+        assert px.shape == (h, w, n)
+        assert 5.0 < float(px.std())  # not a flat/garbage field

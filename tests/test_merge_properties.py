@@ -990,3 +990,25 @@ class TestManifestCommitsRound6:
         # ids 0..19999, a = id % 101: each a in 10..20 occurs exactly
         # 20000 // 101 = 198 times (the remainder 2 lands on a in {0,1})
         assert got.count() == 11 * 198
+
+    def test_non_canonical_string_partition_values_roundtrip(self, spark, tmp_path):
+        """'01', '007', '1e3', '+5' as STRING partition values must
+        read back verbatim: the recorded schema rides into the reader
+        as the user-specified schema, so the raw directory value parses
+        directly as string — type inference would read '01' as int 1
+        and a cast back would yield '1' (high-review-2 finding 1)."""
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "nc"))
+        vals = ["01", "007", "1e3", "+5"]
+        t.commit_append(
+            spark.createDataFrame([(v, i) for i, v in enumerate(vals)],
+                                  ["p", "x"]),
+            partition_by=("p",),
+        )
+        t.commit_append(
+            spark.createDataFrame([("02", 9)], ["p", "x"]),
+            partition_by=("p",),
+        )
+        got = {(r["p"], r["x"]) for r in t.read().collect()}
+        assert got == {("01", 0), ("007", 1), ("1e3", 2), ("+5", 3), ("02", 9)}

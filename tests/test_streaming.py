@@ -625,3 +625,28 @@ def test_append_sink_widening_batch_commits_o_batch(spark, tmp_path):
     assert rows == {(1, 1.5, None), (3, 2.5, "new"), (4, None, None)}
     # time travel: v1 keeps its original (narrow) schema
     assert t.read(1).columns == ["k", "s", "x"]
+
+
+def test_append_sink_numeric_type_drift(spark, tmp_path):
+    """Coercible numeric drift between batch and table: a NARROWER
+    batch column upcasts losslessly and stays O(batch); a WIDER batch
+    column forces the table itself to widen via the rewriting commit
+    (union-coercion semantics) — neither kills the stream
+    (high-review-2 finding 2)."""
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+    from pipeline_server_spark.streaming.sinks import exactly_once_append_sink
+
+    t = VersionedTable(spark, str(tmp_path / "drift"))
+    sink = exactly_once_append_sink(t)
+    sink(spark.createDataFrame([(1, 10)], "k INT, x BIGINT"), 0)
+    # narrower batch (x INT) + a NEW column: upcast + evolving append
+    sink(spark.createDataFrame([(2, 20, "n")], "k INT, x INT, extra STRING"), 1)
+    assert dict(t.read().dtypes)["x"] == "bigint"
+    got = {(r["k"], r["x"], r["extra"]) for r in t.read().collect()}
+    assert got == {(1, 10, None), (2, 20, "n")}
+    # v2 committed O(batch): v1's file is carried by reference
+    assert set(t._entries_for_version(1)) <= set(t._entries_for_version(2))
+    # WIDER batch (k BIGINT): table widens via rewrite, rows correct
+    sink(spark.createDataFrame([(3, 30)], "k BIGINT, x BIGINT"), 2)
+    assert dict(t.read().dtypes)["k"] == "bigint"
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
