@@ -41,6 +41,10 @@ Supported subset (symbolically executed, conditions stay data-side):
   (transformation) or the not-a-violation arm (quality)
 - ternary ``cond ? a : b`` (same merge rules as if/else, so
   ``cond ? map : null`` works in completion position)
+- ``for``/``while`` loops whose condition folds to a literal every
+  iteration — UNROLLED at translation time (capped), so loop-built
+  lookup tables / accumulator and string constructions become
+  constants; a column-valued condition raises by name
 - comparison / logical operators ``== != < <= > >= && || !``
 
 Scale note: the translated script is pure Catalyst expressions — no
@@ -83,7 +87,8 @@ _TOKEN_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
-_KEYWORDS = {"var", "let", "const", "new", "if", "else", "null", "true", "false", "return"}
+_KEYWORDS = {"var", "let", "const", "new", "if", "else", "null", "true",
+             "false", "return", "for", "while", "break", "continue"}
 
 
 @dataclass
@@ -221,6 +226,16 @@ def _py_floor(x: float) -> int:
     return int(x) if x >= 0 or x == int(x) else int(x) - 1
 
 
+def _js_str(v) -> str:
+    """JS ToString for literals: true/false lowercase, integral floats
+    render without the decimal point (1.0 -> '1')."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
 _STR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
                 "v": "\v", "0": "\0"}
 
@@ -279,6 +294,14 @@ class _Interp:
         if t.kind == "kw" and t.text == "if":
             self.if_statement()
             return
+        if t.kind == "kw" and t.text in ("for", "while"):
+            self.loop_statement(t.text)
+            return
+        if t.kind == "kw" and t.text in ("break", "continue"):
+            raise JsTranslationError(
+                f"{t.text!r} is not supported (loops unroll only with "
+                "straight-line bodies)"
+            )
         if t.kind == "kw" and t.text == "return":
             self.next()
             if not self.at(";") and self.peek().kind != "eof":
@@ -298,6 +321,132 @@ class _Interp:
             return
         self.completion = self.expression()
         self._semi()
+
+    _LOOP_CAP = 10_000
+
+    def _skip_to_semi(self) -> int:
+        """Advance past tokens to the ';' terminating a for-clause
+        (no nesting possible inside) and return the index AFTER it."""
+        depth = 0
+        while True:
+            t = self.next()
+            if t.kind == "eof":
+                raise JsTranslationError("unterminated for-clause")
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                depth -= 1
+            elif t.text == ";" and depth == 0:
+                return self.i
+
+    def _skip_balanced_paren(self) -> int:
+        """From just inside '(', advance past the matching ')'."""
+        depth = 1
+        while depth:
+            t = self.next()
+            if t.kind == "eof":
+                raise JsTranslationError("unterminated loop header")
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        return self.i
+
+    def _skip_statement_or_block(self) -> None:
+        """Skip a body WITHOUT executing it (zero-iteration loops)."""
+        if self.at("{"):
+            depth = 0
+            while True:
+                t = self.next()
+                if t.kind == "eof":
+                    raise JsTranslationError("unterminated block")
+                if t.text == "{":
+                    depth += 1
+                elif t.text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        return
+        else:
+            while True:
+                t = self.next()
+                if t.kind == "eof" or t.text == ";":
+                    return
+
+    def loop_statement(self, kw: str) -> None:
+        """Bounded compile-time loop UNROLLING: ``for``/``while`` whose
+        condition folds to a Python literal at every symbolic
+        iteration (loop variables must stay literals — a column-valued
+        condition cannot be unrolled and raises by name). The body
+        re-executes by rewinding the token cursor; its effects
+        (map.put, var assignment) accumulate in the environment
+        exactly as Nashorn's would, so loop-built lookup tables and
+        string/accumulator constructions translate to constants.
+        Capped at ``_LOOP_CAP`` iterations."""
+        self.next()  # for | while
+        self.expect("(")
+        if kw == "for":
+            # init clause: empty, var decl, or assignment
+            if self.at(";"):
+                self.next()
+            else:
+                self.statement()  # consumes its ';'
+            cond_pos = self.i
+            self._skip_to_semi()
+            update_pos = self.i
+            self._skip_balanced_paren()
+        else:
+            cond_pos = self.i
+            self._skip_balanced_paren()
+            update_pos = None
+        body_pos = self.i
+        body_end = None
+        iterations = 0
+        while True:
+            self.i = cond_pos
+            cond_val = True if self.at(";") else self.expression()
+            if isinstance(cond_val, Column) or not isinstance(
+                cond_val, (bool, int, float, str, _Null, type(None))
+            ):
+                raise JsTranslationError(
+                    f"{kw} condition must fold to a literal to unroll "
+                    "(a column-valued condition cannot drive a "
+                    "compile-time loop)"
+                )
+            truthy = bool(cond_val) and not isinstance(cond_val, _Null)
+            if not truthy:
+                break
+            iterations += 1
+            if iterations > self._LOOP_CAP:
+                raise JsTranslationError(
+                    f"{kw} loop exceeded {self._LOOP_CAP} unrolled "
+                    "iterations"
+                )
+            self.i = body_pos
+            self.block_or_statement()
+            body_end = self.i
+            if update_pos is not None:
+                self.i = update_pos
+                if not self.at(")"):
+                    self._loop_update()
+        # position after the body (skip it unexecuted if zero iterations)
+        if body_end is None:
+            self.i = body_pos
+            self._skip_statement_or_block()
+        else:
+            self.i = body_end
+        self.completion = _NULL
+
+    def _loop_update(self) -> None:
+        """The for-update clause: one assignment (i = expr)."""
+        t = self.peek()
+        if t.kind == "ident" and self.toks[self.i + 1].text == "=":
+            name = self.next().text
+            self.next()
+            self.env[name] = self.expression()
+            return
+        raise JsTranslationError(
+            "for-update must be a single assignment (i = i + 1)"
+        )
 
     def _semi(self) -> None:
         if self.at(";"):
@@ -441,7 +590,10 @@ class _Interp:
         while self.at("||"):
             self.next()
             right = self.and_expr()
-            left = _to_col(left) | _to_col(right)
+            if isinstance(left, bool) and isinstance(right, bool):
+                left = left or right  # literal fold (loop conditions)
+            else:
+                left = _to_col(left) | _to_col(right)
         return left
 
     def and_expr(self) -> Any:
@@ -449,7 +601,10 @@ class _Interp:
         while self.at("&&"):
             self.next()
             right = self.cmp_expr()
-            left = _to_col(left) & _to_col(right)
+            if isinstance(left, bool) and isinstance(right, bool):
+                left = left and right  # literal fold (loop conditions)
+            else:
+                left = _to_col(left) & _to_col(right)
         return left
 
     def cmp_expr(self) -> Any:
@@ -474,6 +629,18 @@ class _Interp:
                     "(Nashorn coerces null to 0 here; not in the faithfully "
                     "translated subset)"
                 )
+            _num = (int, float, bool)
+            if (isinstance(left, _num) and isinstance(right, _num)) or (
+                isinstance(left, str) and isinstance(right, str)
+            ):
+                # literal fold — required for unrollable loop
+                # conditions (and cheap constant folding elsewhere)
+                import operator as _op
+
+                left = {"==": _op.eq, "===": _op.eq, "!=": _op.ne,
+                        "!==": _op.ne, "<": _op.lt, "<=": _op.le,
+                        ">": _op.gt, ">=": _op.ge}[op](left, right)
+                continue
             lc, rc = _to_col(left), _to_col(right)
             if op in ("==", "==="):
                 res = lc == rc
@@ -533,6 +700,14 @@ class _Interp:
                     "*": lambda a, b: a * b, "/": lambda a, b: a / b,
                     "%": lambda a, b: a % b}[op](left, right)
         if op == "+" and (
+            isinstance(left, str) or isinstance(right, str)
+        ) and isinstance(left, (str, int, float, bool)) \
+                and isinstance(right, (str, int, float, bool)):
+            # both literals, one a string: fold to a Python string with
+            # JS ToString number rendering (1.0 -> '1') — keeps
+            # loop-built map keys literal, which map.put requires
+            return _js_str(left) + _js_str(right)
+        if op == "+" and (
             isinstance(left, (str, _StrVal)) or isinstance(right, (str, _StrVal))
         ):
             return _StrVal(
@@ -546,7 +721,10 @@ class _Interp:
         t = self.peek()
         if t.text == "!":
             self.next()
-            return ~_to_col(self.unary_expr())
+            v = self.unary_expr()
+            if isinstance(v, bool):
+                return not v
+            return ~_to_col(v)
         if t.text == "-":
             self.next()
             v = self.unary_expr()

@@ -384,9 +384,11 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tris.select(F.col("x").alias("node"))
-        .unionAll(tris.select(F.col("y").alias("node")))
-        .unionAll(tris.select(F.col("z").alias("node")))
+        # ONE pass over the wedge-join output: explode the three vertex
+        # roles inline — a union of three selects would reference the
+        # (unexchanged, broadcast-joined) wedge plan three times and
+        # recompute the entire enumeration per role
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
         .select(F.col("node").alias("suppkey"), "n_triangles")

@@ -471,8 +471,17 @@ class TestRound6Constructs:
         assert got == {"12px": None, "x9": "too cheap", "  -42.5e1abc": None}
 
     def test_named_rejection_still_intact(self):
-        with pytest.raises(JsTranslationError, match="not supported"):
-            translate_quality_script("for (var i = 0; i < 3; i = i + 1) {}", [])
+        # literal-bounded loops UNROLL now; the named rejections are a
+        # column-valued condition, break/continue, and the iteration cap
+        with pytest.raises(JsTranslationError, match="fold to a literal"):
+            translate_quality_script(
+                "while (a > 0) { a = a - 1 } null;", ["a"])
+        with pytest.raises(JsTranslationError, match="break"):
+            translate_quality_script(
+                "for (var i = 0; i < 3; i = i + 1) { break; } null;", [])
+        with pytest.raises(JsTranslationError, match="unrolled"):
+            translate_quality_script(
+                "for (var i = 0; i < 100000; i = i + 1) {} null;", [])
         with pytest.raises(JsTranslationError, match="radix"):
             translate_quality_script("parseInt(a, 16)", ["a"])
         with pytest.raises(JsTranslationError, match="indexOf"):
@@ -521,3 +530,62 @@ class TestRound6ReviewFixes:
         out = apply_column_expressions(df, spec.expressions, spec.drop_predicate)
         got = {r["sym"]: r["band"] for r in out.collect()}
         assert got == {"a": "lo", "b": "hi"}
+
+
+class TestLoopUnrolling:
+    """for/while with literal conditions unroll at translation time —
+    loop-built lookup tables, accumulators, and string constructions
+    become constants in the Catalyst plan (still zero Python at run
+    time)."""
+
+    def test_for_loop_accumulator_and_built_keys(self, spark):
+        df = spark.createDataFrame([(2.0,), (10.0,)], ["px"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var total = 0;
+        for (var i = 1; i <= 4; i = i + 1) {
+            total = total + i;
+            map.put('bucket_' + i, px * i);
+        }
+        map.put('total', total);
+        map;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        assert set(spec.expressions) == {
+            "bucket_1", "bucket_2", "bucket_3", "bucket_4", "total"}
+        out = apply_column_expressions(df, spec.expressions, None)
+        r = {row["px"]: row.asDict() for row in out.collect()}
+        assert r[2.0]["bucket_3"] == 6.0 and r[10.0]["bucket_4"] == 40.0
+        assert r[2.0]["total"] == 10
+        # still pure Catalyst: no Python boundary in the plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_while_loop_and_zero_iteration_for(self, spark):
+        df = spark.createDataFrame([("x",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var p = 1;
+        var n = 0;
+        while (p < 100) { p = p * 3; n = n + 1; }
+        map.put('p', p);
+        map.put('n', n);
+        for (var i = 0; i < 0; i = i + 1) { map.put('never', 1); }
+        map;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        assert "never" not in spec.expressions
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert (out["p"], out["n"]) == (243, 5)
+
+    def test_loop_condition_on_column_rejected_by_name(self):
+        with pytest.raises(JsTranslationError, match="fold to a literal"):
+            translate_transformation_script(
+                "var HashMap = Java.type('java.util.HashMap');"
+                "var m = new HashMap();"
+                "for (var i = 0; i < qty; i = i + 1) { m.put('a', 1); }"
+                "m;",
+                ["qty"],
+            )
