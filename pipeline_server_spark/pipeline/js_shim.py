@@ -228,11 +228,21 @@ def _py_floor(x: float) -> int:
 
 def _js_str(v) -> str:
     """JS ToString for literals: true/false lowercase, integral floats
-    render without the decimal point (1.0 -> '1')."""
+    render without the decimal point (1.0 -> '1'), null -> 'null',
+    ±Infinity/NaN by name."""
+    import math
+
+    if isinstance(v, _Null) or v is None:
+        return "null"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v == int(v):
-        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v == int(v):
+            return str(int(v))
     return str(v)
 
 
@@ -353,8 +363,12 @@ class _Interp:
         return self.i
 
     def _skip_statement_or_block(self) -> None:
-        """Skip a body WITHOUT executing it (zero-iteration loops)."""
-        if self.at("{"):
+        """Skip a body WITHOUT executing it (zero-iteration loops, the
+        untaken branch of a folded if). Recursive over compound
+        statements: an unbraced `if`/`for`/`while` body contains
+        nested blocks whose ';'s must not terminate the skip."""
+        t = self.peek()
+        if t.text == "{":
             depth = 0
             while True:
                 t = self.next()
@@ -366,11 +380,32 @@ class _Interp:
                     depth -= 1
                     if depth == 0:
                         return
-        else:
-            while True:
-                t = self.next()
-                if t.kind == "eof" or t.text == ";":
-                    return
+        if t.kind == "kw" and t.text == "if":
+            self.next()
+            self.expect("(")
+            self._skip_balanced_paren()
+            self._skip_statement_or_block()
+            if self.peek().kind == "kw" and self.peek().text == "else":
+                self.next()
+                self._skip_statement_or_block()
+            return
+        if t.kind == "kw" and t.text in ("for", "while"):
+            self.next()
+            self.expect("(")
+            self._skip_balanced_paren()
+            self._skip_statement_or_block()
+            return
+        depth = 0
+        while True:
+            t = self.next()
+            if t.kind == "eof":
+                return
+            if t.text in "([":
+                depth += 1
+            elif t.text in ")]":
+                depth -= 1
+            elif t.text == ";" and depth == 0:
+                return
 
     def loop_statement(self, kw: str) -> None:
         """Bounded compile-time loop UNROLLING: ``for``/``while`` whose
@@ -416,10 +451,14 @@ class _Interp:
             if not truthy:
                 break
             iterations += 1
-            if iterations > self._LOOP_CAP:
+            self._unrolled = getattr(self, "_unrolled", 0) + 1
+            if iterations > self._LOOP_CAP or self._unrolled > self._LOOP_CAP:
+                # the budget is GLOBAL across (nested) loops: two
+                # nested sub-cap loops must not multiply into hours of
+                # symbolic execution on user-supplied scripts
                 raise JsTranslationError(
-                    f"{kw} loop exceeded {self._LOOP_CAP} unrolled "
-                    "iterations"
+                    f"{kw} loop exceeded the {self._LOOP_CAP} total "
+                    "unrolled-iteration budget"
                 )
             self.i = body_pos
             self.block_or_statement()
@@ -466,8 +505,26 @@ class _Interp:
     def if_statement(self) -> None:
         self.expect("if")
         self.expect("(")
-        cond = _to_col(self.expression())
+        cond_val = self.expression()
         self.expect(")")
+        if isinstance(cond_val, (bool, int, float, str, _Null)):
+            # literal condition (the normal case inside unrolled
+            # loops): execute ONLY the taken branch — merging through
+            # F.when would turn literal accumulators into Columns and
+            # falsely reject unrollable loops / loop-built map keys
+            truthy = bool(cond_val) and not isinstance(cond_val, _Null)
+            if truthy:
+                self.block_or_statement()
+                if self.peek().kind == "kw" and self.peek().text == "else":
+                    self.next()
+                    self._skip_statement_or_block()
+            else:
+                self._skip_statement_or_block()
+                if self.peek().kind == "kw" and self.peek().text == "else":
+                    self.next()
+                    self.block_or_statement()
+            return
+        cond = _to_col(cond_val)
 
         pre_env = dict(self.env)
         pre_maps = {k: v.copy() for k, v in self.env.items() if isinstance(v, _MapVal)}
@@ -637,9 +694,19 @@ class _Interp:
                 # conditions (and cheap constant folding elsewhere)
                 import operator as _op
 
-                left = {"==": _op.eq, "===": _op.eq, "!=": _op.ne,
-                        "!==": _op.ne, "<": _op.lt, "<=": _op.le,
-                        ">": _op.gt, ">=": _op.ge}[op](left, right)
+                if op in ("===", "!=="):
+                    # strict equality: no cross-type coercion (1 ===
+                    # true is FALSE in Nashorn; Python True == 1)
+                    same_kind = (
+                        (isinstance(left, bool) == isinstance(right, bool))
+                        and (isinstance(left, str) == isinstance(right, str))
+                    )
+                    eq = same_kind and left == right
+                    left = eq if op == "===" else not eq
+                else:
+                    left = {"==": _op.eq, "!=": _op.ne, "<": _op.lt,
+                            "<=": _op.le, ">": _op.gt,
+                            ">=": _op.ge}[op](left, right)
                 continue
             lc, rc = _to_col(left), _to_col(right)
             if op in ("==", "==="):
@@ -696,23 +763,56 @@ class _Interp:
 
     def _arith(self, op: str, left: Any, right: Any) -> Any:
         if isinstance(left, (int, float)) and isinstance(right, (int, float)):
-            return {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
-                    "*": lambda a, b: a * b, "/": lambda a, b: a / b,
-                    "%": lambda a, b: a % b}[op](left, right)
+            # JS number semantics for the literal fold: remainder takes
+            # the DIVIDEND's sign (math.fmod, not Python %), x/0 is
+            # ±Infinity, and the NaN results (0/0, x%0) have no
+            # faithful constant here — reject by name instead of
+            # leaking ZeroDivisionError past the JsTranslationError
+            # contract
+            import math
+
+            if op == "+":
+                return left + right
+            if op == "-":
+                return left - right
+            if op == "*":
+                return left * right
+            if op == "/":
+                if right == 0:
+                    if left == 0:
+                        raise JsTranslationError(
+                            "0/0 folds to NaN, which has no literal here")
+                    return math.inf if left > 0 else -math.inf
+                return left / right
+            if right == 0:
+                raise JsTranslationError(
+                    "x % 0 folds to NaN, which has no literal here")
+            r = math.fmod(left, right)
+            return int(r) if isinstance(left, int) and isinstance(right, int) \
+                else r
+        lit_types = (str, int, float, bool, _Null)
         if op == "+" and (
             isinstance(left, str) or isinstance(right, str)
-        ) and isinstance(left, (str, int, float, bool)) \
-                and isinstance(right, (str, int, float, bool)):
+        ) and isinstance(left, lit_types) and isinstance(right, lit_types):
             # both literals, one a string: fold to a Python string with
-            # JS ToString number rendering (1.0 -> '1') — keeps
-            # loop-built map keys literal, which map.put requires
-            return _js_str(left) + _js_str(right)
+            # JS ToString rendering (1.0 -> '1', null -> 'null') —
+            # keeps loop-built map keys literal, which map.put requires
+            out = _js_str(left) + _js_str(right)
+            if len(out) > 1_000_000:
+                raise JsTranslationError(
+                    "literal string construction exceeded 1MB")
+            return out
         if op == "+" and (
             isinstance(left, (str, _StrVal)) or isinstance(right, (str, _StrVal))
         ):
-            return _StrVal(
-                F.concat(_to_col(left).cast("string"), _to_col(right).cast("string"))
-            )
+            # string context: a NULL operand VALUE renders as the text
+            # 'null' in Nashorn ('price missing: ' + price with null
+            # price flags the row) — raw concat would null-propagate
+            # and silently turn a violation message into no-violation
+            return _StrVal(F.concat(
+                F.coalesce(_to_col(left).cast("string"), F.lit("null")),
+                F.coalesce(_to_col(right).cast("string"), F.lit("null")),
+            ))
         lc, rc = _to_col(left), _to_col(right)
         return {"+": lambda: lc + rc, "-": lambda: lc - rc, "*": lambda: lc * rc,
                 "/": lambda: lc / rc, "%": lambda: lc % rc}[op]()

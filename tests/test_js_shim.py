@@ -589,3 +589,105 @@ class TestLoopUnrolling:
                 "m;",
                 ["qty"],
             )
+
+
+class TestLoopReviewFixes:
+    """Round-6 third-review fixes on the unroller and literal folds."""
+
+    def test_null_in_string_concat_renders_null_text(self, spark):
+        # Nashorn: 'price missing: ' + null -> 'price missing: null';
+        # a null-propagating concat would silently VALIDATE the bad row
+        df = spark.createDataFrame([(None,), (5.0,)], "price double")
+        msg = translate_quality_script(
+            "if (price == null) 'price missing: ' + price; else null;",
+            df.columns)
+        got = {r["price"]: r["v"] for r in
+               df.select("price", msg.alias("v")).collect()}
+        assert got[5.0] is None
+        assert got[None] == "price missing: null"
+        # literal fold too
+        msg2 = translate_quality_script("'a' + null", [])
+        assert df.select(msg2.alias("v")).collect()[0]["v"] == "anull"
+
+    def test_literal_if_folds_inside_loops(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var label = '';
+        var n = 0;
+        while (n < 5) { if (1 == 1) { n = n + 2; } else { n = n + 1; } }
+        for (var i = 0; i < 3; i = i + 1) {
+            if (i == 1) { label = label + 'mid'; }
+            else { label = label + i; }
+        }
+        m.put('k_' + label, n);
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        assert set(spec.expressions) == {"k_0mid2"}
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["k_0mid2"] == 6
+
+    def test_zero_iteration_loop_skips_unbraced_compound_body(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        for (var i = 0; i < 0; i = i + 1)
+            if (1 > 0) { m.put('x', 1); m.put('y', 2); }
+        m.put('z', 3);
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        assert set(spec.expressions) == {"z"}
+
+    def test_global_unroll_budget_covers_nested_loops(self):
+        src = """
+        for (var i = 0; i < 5000; i = i + 1)
+            for (var j = 0; j < 5000; j = j + 1) { var t = 1; }
+        null;
+        """
+        with pytest.raises(JsTranslationError, match="budget"):
+            translate_quality_script(src, [])
+
+    def test_js_arithmetic_literal_semantics(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('rem', -5 % 3);
+        m.put('div', 1 / 0 > 0);
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["rem"] == -2  # dividend sign, not Python's +1
+        assert out["div"] is True  # 1/0 = Infinity
+        with pytest.raises(JsTranslationError, match="NaN"):
+            translate_quality_script("var x = 1 % 0; null;", [])
+        with pytest.raises(JsTranslationError, match="NaN"):
+            translate_quality_script("var x = 0 / 0; null;", [])
+
+    def test_strict_equality_literal_fold(self):
+        # 1 === true is FALSE in Nashorn (no coercion); Python True == 1
+        src = """
+        var flag = true;
+        var n = 0;
+        while (flag === 1) { n = n + 1; flag = false; }
+        n == 1 ? 'ran' : null;
+        """
+        msg = translate_quality_script(src, [])
+        # loop must NOT have run: completion folds to null
+        from pipeline_server_spark.pipeline.js_shim import _Null  # noqa
+        # msg is a Column of NULL string; just check it renders as lit null
+        assert "NULL" in msg._jc.toString().upper() or "null" in str(msg)
+
+    def test_string_construction_bound(self):
+        src = """
+        var s = 'xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx';
+        for (var i = 0; i < 40; i = i + 1) { s = s + s; }
+        null;
+        """
+        with pytest.raises(JsTranslationError, match="1MB"):
+            translate_quality_script(src, [])
