@@ -63,6 +63,11 @@ HEADLINE = [
     "dbscan_embedding_clusters",
     "supplier_reach_hops",
     "triangle_count_suppliers",
+    # round-7 (round-6 verdict item 8): the iterative BPE merge-train
+    # loop — 12 sequential rounds of pair-count + carry-scan rewrite,
+    # a different regression surface (driver round-trips + per-round
+    # localCheckpoint) than any single-shot query above
+    "bpe_merge_train",
 ]
 
 

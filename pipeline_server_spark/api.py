@@ -112,6 +112,8 @@ def config_from_dict(d: dict) -> DatasetConfig:
             # dataset silently falls back to the pruned merge and
             # leaves stale rows behind when a key changes partition
             immutable_partitions=dst.get("immutable_partitions", True),
+            stats_cols=tuple(dst.get("stats_cols", ())),
+            auto_compact_dirs=dst.get("auto_compact_dirs", 64),
         ),
         parity_mode=d.get("parity_mode", False),
     )

@@ -431,13 +431,21 @@ def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
     n_files = max(1, math.ceil(total / target_file_bytes))
     # a compaction must not silently DROP the current snapshot's
     # data-skipping index (e.g. from a prior OPTIMIZE ZORDER) — the
-    # stats columns are recovered from the index's own schema
-    # (<col>_min/<col>_max) and rebuilt over the compacted files
-    stats_cols: tuple = ()
+    # stats columns come from the manifest's explicit record; for a
+    # pre-record version they are recovered from the index's own
+    # schema, accepting only names with a matching _min/_max PAIR
+    # that is also a real table column (a data column literally named
+    # 'size_min' must not be misparsed — round-6 advice)
+    stats_cols: tuple = tuple(table._filelist_stats_cols(cur) or ())
     idx_path = _os.path.join(table._resolve_dir(cur), "_index")
-    if _os.path.isdir(idx_path):
-        names = [f.name for f in table.spark.read.parquet(idx_path).schema.fields]
-        stats_cols = tuple(n[:-4] for n in names if n.endswith("_min"))
+    if not stats_cols and _os.path.isdir(idx_path):
+        names = {f.name for f in table.spark.read.parquet(idx_path).schema.fields}
+        table_cols = set(df.columns)
+        stats_cols = tuple(
+            n[:-4] for n in sorted(names)
+            if n.endswith("_min") and f"{n[:-4]}_max" in names
+            and n[:-4] in table_cols
+        )
     return table.commit(
         df.coalesce(n_files),
         partition_by=tuple(partition_by),

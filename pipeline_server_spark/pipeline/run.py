@@ -163,7 +163,8 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
         def _commit() -> int:
             base = None if dest.delete_before_write else table.current_version()
             if base is None or dest.write_mode == "overwrite":
-                return table.commit(staged, dest.partition_by)
+                return table.commit(staged, dest.partition_by,
+                                    stats_cols=dest.stats_cols)
             if dest.write_mode == "merge":
                 if dest.partition_by:
                     # O(touched partitions): rewrite only the partitions
@@ -176,25 +177,51 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
                         staged.select(*table.read().columns),
                         list(dest.key_fields), list(dest.partition_by),
                         immutable_partitions=dest.immutable_partitions,
+                        stats_cols=dest.stats_cols,
                     )
                 merged = merge_upsert_frames(
                     table.read(), staged.select(*table.read().columns),
                     list(dest.key_fields),
                 )
-                return table.commit(merged, dest.partition_by)
+                return table.commit(merged, dest.partition_by,
+                                    stats_cols=dest.stats_cols)
             # append: O(batch) commit — only the batch is written, the
             # prior snapshot's files ride forward in the manifest (no
-            # rewrite, no per-file linking)
+            # rewrite, no per-file linking). stats_cols keeps the
+            # skipping index alive incrementally (and commit_append
+            # carries a previously-built index forward on its own even
+            # when the config doesn't name the columns).
             return table.commit_append(
-                staged.select(*table.read().columns), dest.partition_by
+                staged.select(*table.read().columns), dest.partition_by,
+                stats_cols=dest.stats_cols,
             )
 
         version = commit_with_retry(_commit)
-        return RunResult(
-            config.name, int(obs.get["rows"]), report,
-            {"version": version, "rejected_rows": rejected_rows,
-             "schema_drift": drift},
-        )
+        # AUTO-COMPACTION: incremental commits each widen the union
+        # read plan by one version directory; past the policy knob the
+        # ingest pays one bin-packing OPTIMIZE commit so read width
+        # stays bounded. Same table object → same ConditionalPutFS
+        # commit protocol (and the engine's per-destination lock is
+        # already held around run_dataset), so the compaction can
+        # never shadow a concurrent ingest's commit.
+        compacted = None
+        if (
+            dest.auto_compact_dirs
+            and table.manifest_width(version) > dest.auto_compact_dirs
+        ):
+            from pipeline_server_spark.operators.scale import (
+                optimize_compact_snapshot,
+            )
+
+            compacted = commit_with_retry(
+                lambda: optimize_compact_snapshot(
+                    table, partition_by=dest.partition_by)
+            )
+        details = {"version": version, "rejected_rows": rejected_rows,
+                   "schema_drift": drift}
+        if compacted is not None:
+            details["auto_compacted_version"] = compacted
+        return RunResult(config.name, int(obs.get["rows"]), report, details)
 
     if dest.write_mode == "merge":
         merge_upsert(spark, staged, dest,

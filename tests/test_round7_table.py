@@ -1,0 +1,493 @@
+"""Round-7 VersionedTable work: continuous data-skipping index across
+incremental commits, O(batch) change feed from manifests, hash-bucketed
+merges for unpartitioned tables, auto-compaction policy, and vacuum
+commit-log hygiene (round-6 verdict items 1, 2, 4, 5 + advice)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.writers import (
+    ConditionalPutFS,
+    VersionedTable,
+    merge_upsert_frames,
+)
+
+
+def _orders(spark, lo, hi, part=None):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    if part is not None:
+        df = df.withColumn("p", (F.col("k") % part).cast("int"))
+    return df
+
+
+class TestIndexContinuity:
+    def test_append_keeps_index_alive_without_stats_cols(self, spark, tmp_path):
+        """The round-6 verdict's top finding: an indexed table must
+        keep pruning after a plain commit_append (no stats_cols
+        argument) — previously read_pruned fell back to full scan
+        until a manual OPTIMIZE."""
+        t = VersionedTable(spark, str(tmp_path / "ic1"))
+        t.commit(_orders(spark, 0, 8000).repartitionByRange(8, "k"),
+                 stats_cols=("k",))
+        _, fr0, ft0 = t.read_pruned({"k": (100, 200)})
+        assert 0 < fr0 < ft0 == 8
+
+        # plain appends — continuity is automatic
+        t.commit_append(_orders(spark, 8000, 9000).coalesce(1))
+        t.commit_append(_orders(spark, 9000, 9500).coalesce(1))
+
+        got, fr, ft = t.read_pruned({"k": (100, 200)})
+        assert ft == 10 and 0 < fr < ft, "index died on append"
+        assert got.count() == 101
+        # a bound inside the new batch reads the new file
+        got2, fr2, _ = t.read_pruned({"k": (9400, 9499)})
+        assert got2.count() == 100 and 0 < fr2 < ft
+
+    def test_append_index_work_is_o_batch(self, spark, tmp_path, monkeypatch):
+        """Per-commit index maintenance computes footer stats ONLY for
+        the batch's new files; carried files reuse prior index rows."""
+        from pipeline_server_spark.operators import scale as S
+
+        t = VersionedTable(spark, str(tmp_path / "ic2"))
+        t.commit(_orders(spark, 0, 8000).repartitionByRange(8, "k"),
+                 stats_cols=("k",))
+
+        calls = []
+        real = S.build_skipping_index
+
+        def counting(spark_, path, cols, schema=None, files=None):
+            calls.append(list(files or []))
+            return real(spark_, path, cols, schema=schema, files=files)
+
+        monkeypatch.setattr(S, "build_skipping_index", counting)
+        v = t.commit_append(_orders(spark, 8000, 8100).coalesce(1))
+        assert len(calls) == 1 and len(calls[0]) == 1, \
+            "footer stats recomputed for carried files"
+        # the published index still covers EVERY live file
+        idx = spark.read.parquet(os.path.join(t._resolve_dir(v), "_index"))
+        assert idx.count() == len(t._read_filelist(v)) == 9
+
+    def test_partitioned_merge_keeps_index_alive(self, spark, tmp_path, monkeypatch):
+        """commit_merge_partitioned (which previously had no stats_cols
+        at all) maintains the index: carried partitions keep their
+        rows, rewritten partitions get fresh footer stats."""
+        from pipeline_server_spark.operators import scale as S
+
+        t = VersionedTable(spark, str(tmp_path / "ic3"))
+        t.commit(_orders(spark, 0, 4000, part=8), partition_by=("p",),
+                 stats_cols=("k",))
+        _, fr0, ft0 = t.read_pruned({"k": (0, 50)})
+        assert 0 < fr0 < ft0
+
+        calls = []
+        real = S.build_skipping_index
+
+        def counting(spark_, path, cols, schema=None, files=None):
+            calls.append(list(files or []))
+            return real(spark_, path, cols, schema=schema, files=files)
+
+        monkeypatch.setattr(S, "build_skipping_index", counting)
+        # touch exactly one partition (k % 8 == 0)
+        src = spark.createDataFrame([(0, 999), (8, 999)], ["k", "v"]) \
+            .withColumn("p", (F.col("k") % 8).cast("int"))
+        v = t.commit_merge_partitioned(src, ["k"], "p")
+        assert len(calls) == 1, "expected one incremental stats pass"
+        new_dir = os.path.basename(t._resolve_dir(v))
+        n_new = sum(1 for e in t._read_filelist(v) if e[0] == new_dir)
+        assert len(calls[0]) == n_new, "stats recomputed beyond the rewritten partition"
+
+        # index matches the live file list exactly (no stale rows for
+        # the rewritten partition's old files)
+        idx = spark.read.parquet(os.path.join(t._resolve_dir(v), "_index"))
+        live = {t._abs_file(e) for e in t._read_filelist(v)}
+        assert {r["file"] for r in idx.select("file").collect()} == live
+
+        # pruned reads stay correct post-merge
+        got, fr, ft = t.read_pruned({"k": (0, 50)})
+        want = t.read().where(F.col("k").between(0, 50))
+        assert sorted((r["k"], r["v"]) for r in got.collect()) == \
+            sorted((r["k"], r["v"]) for r in want.collect())
+        assert got.where(F.col("k") == 8).first()["v"] == 999
+
+    def test_explicit_stats_cols_override_reindexes(self, spark, tmp_path):
+        """Passing different stats_cols to an incremental commit
+        switches the indexed columns (full footer pass)."""
+        t = VersionedTable(spark, str(tmp_path / "ic4"))
+        t.commit(_orders(spark, 0, 1000).repartitionByRange(4, "k"),
+                 stats_cols=("k",))
+        v = t.commit_append(_orders(spark, 1000, 1100).coalesce(1),
+                            stats_cols=("v",))
+        assert t._filelist_stats_cols(v) == ["v"]
+        _, fr, ft = t.read_pruned({"v": (0, 100)})
+        assert 0 < fr < ft == 5
+
+    def test_lifecycle_append_plumbs_stats_cols(self, spark, tmp_path):
+        """DestinationConfig.stats_cols reaches the versioned commit:
+        the FIRST ingest already builds the index and later ingests
+        keep it."""
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig,
+            DestinationConfig,
+            FileAttributes,
+            SchemaField,
+            SourceConfig,
+        )
+        from pipeline_server_spark.pipeline.run import run_dataset
+
+        csv = tmp_path / "b.csv"
+        csv.write_text("k,v\n" + "\n".join(f"{i},{i*2}" for i in range(500)))
+        fields = (SchemaField("k", "bigint"), SchemaField("v", "bigint"))
+        config = DatasetConfig(
+            name="stats_plumb",
+            source=SourceConfig(fields=fields,
+                                file=FileAttributes(file_type="csv")),
+            destination=DestinationConfig(
+                fields=fields, path=str(tmp_path / "vt"),
+                versioned=True, stats_cols=("k",),
+            ),
+        )
+        run_dataset(spark, config, str(csv))
+        run_dataset(spark, config, str(csv))
+        t = VersionedTable(spark, config.destination.path)
+        assert t.current_version() == 2
+        assert t._filelist_stats_cols(2) == ["k"]
+        _, fr, ft = t.read_pruned({"k": (0, 10)})
+        assert ft > 0 and fr <= ft  # index present (tiny table may not prune)
+        assert os.path.isdir(os.path.join(t._resolve_dir(2), "_index"))
+
+
+class TestChangeFeedFromManifests:
+    def test_append_steps_read_only_new_files(self, spark, tmp_path):
+        """An append-only history's change feed is served from the
+        manifests: only the NEW versions' directories are opened — no
+        prior-snapshot scan, no join (round-6 verdict item 2)."""
+        t = VersionedTable(spark, str(tmp_path / "cf1"))
+        t.commit_append(_orders(spark, 0, 100))
+        t.commit_append(_orders(spark, 100, 150))
+        t.commit_append(_orders(spark, 150, 160))
+
+        feed = t.changes_range(["k"], v_from=1, v_to=3)
+        rows = feed.collect()
+        assert all(r["_change_type"] == "insert" for r in rows)
+        assert {r["_commit_version"] for r in rows} == {2, 3}
+        assert sorted(r["k"] for r in rows) == list(range(100, 160))
+
+        # IO assertion: v1's files are never touched
+        v1_dir = t._resolve_dir(1)
+        touched = feed.inputFiles()
+        assert touched and not any(f.startswith("file:" + v1_dir) or
+                                   v1_dir in f for f in touched)
+        allowed = {t._resolve_dir(2), t._resolve_dir(3)}
+        assert all(any(d in f for d in allowed) for f in touched)
+
+    def test_append_fast_path_matches_snapshot_diff(self, spark, tmp_path):
+        """Parity: on unique-key appends, the manifest fast path and
+        the full-outer snapshot diff produce identical feeds."""
+        t = VersionedTable(spark, str(tmp_path / "cf2"))
+        t.commit_append(_orders(spark, 0, 50))
+        t.commit_append(_orders(spark, 50, 80))
+        fast = t.changes_range(["k"], 1, 2).select("k", "v", "_change_type",
+                                                   "_commit_version")
+        slow = t.changes(["k"], 1, 2).select("k", "v", "_change_type",
+                                             "_commit_version")
+        assert sorted(map(tuple, fast.collect())) == \
+            sorted(map(tuple, slow.collect()))
+
+    def test_mixed_history_dispatches_per_kind(self, spark, tmp_path):
+        """merge commits in the range still take the snapshot diff
+        (updates/deletes are possible); append commits stay O(batch)."""
+        t = VersionedTable(spark, str(tmp_path / "cf3"))
+        t.commit(_orders(spark, 0, 10, part=2), partition_by=("p",))     # v1 full
+        t.commit_append(_orders(spark, 10, 12, part=2), partition_by=("p",))  # v2
+        src = spark.createDataFrame([(0, 777, 0)], ["k", "v", "p"])
+        t.commit_merge_partitioned(src, ["k"], "p")                       # v3 merge
+
+        feed = t.changes_range(["k"], 1).collect()
+        kinds = {(r["k"], r["_change_type"], r["_commit_version"]) for r in feed}
+        assert (10, "insert", 2) in kinds and (11, "insert", 2) in kinds
+        assert (0, "update_preimage", 3) in kinds
+        assert (0, "update_postimage", 3) in kinds
+        assert len(feed) == 4
+
+    def test_schema_evolving_append_null_fills_feed(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "cf4"))
+        t.commit_append(spark.createDataFrame([(1, "a")], ["k", "s"]))
+        t.commit_append(spark.createDataFrame([(2, "b", 9)], ["k", "s", "extra"]),
+                        evolve_schema=True)
+        feed = {(r["k"], r["extra"]) for r in
+                t.changes_range(["k"], 0, 2).collect()}
+        assert feed == {(1, None), (2, 9)}
+
+
+class TestBucketedMerge:
+    def test_bucketed_merge_rewrites_only_touched_buckets(self, spark, tmp_path):
+        """An unpartitioned table with a hash-bucket layout merges in
+        O(touched buckets): the new version's directory holds only the
+        rewritten buckets' files, everything else carries forward by
+        manifest reference (round-6 verdict item 4)."""
+        t = VersionedTable(spark, str(tmp_path / "bk1"))
+        base = _orders(spark, 0, 2000)
+        t.commit_bucketed(base, ["k"], n_buckets=16)
+        assert t.bucket_spec() == {"keys": ["k"], "n": 16}
+        assert t.read().columns == ["k", "v", "_bucket"]
+
+        src = spark.createDataFrame([(5, -5), (2005, -1)], ["k", "v"])
+        v = t.commit_merge_bucketed(src, ["k"])
+
+        # new version dir contains only the touched buckets
+        new_dir = t._resolve_dir(v)
+        own = t._list_data_files(new_dir)
+        touched = {r[0] for r in
+                   src.select(t._bucket_expr(["k"], 16).alias("b")).collect()}
+        own_buckets = {int(rel.split(os.sep)[0].split("=")[1]) for rel in own}
+        assert own_buckets == touched and len(own_buckets) <= 2
+        carried = [e for e in t._read_filelist(v)
+                   if e[0] != os.path.basename(new_dir)]
+        assert carried, "untouched buckets were rewritten"
+
+        # row identity vs the plain full merge
+        want = merge_upsert_frames(base, src, ["k"])
+        got = t.read().drop("_bucket")
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+
+    def test_bucketed_merge_bootstrap_and_reserved_column(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "bk2"))
+        # bootstrap straight through commit_merge_bucketed, with a
+        # doubly-delivered key resolved by sequence
+        src = spark.createDataFrame(
+            [(1, "old", 1), (1, "new", 2), (2, "x", 1)], ["k", "s", "seq"])
+        t.commit_merge_bucketed(src, ["k"], sequence_col="seq", n_buckets=4)
+        got = {(r["k"], r["s"]) for r in t.read().collect()}
+        assert got == {(1, "new"), (2, "x")}
+
+        with pytest.raises(ValueError, match="reserved"):
+            t.commit_merge_bucketed(
+                t.read(), ["k"], n_buckets=4)  # carries _bucket already
+
+    def test_bucket_keys_must_be_subset_of_merge_keys(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "bk3"))
+        t.commit_bucketed(_orders(spark, 0, 10), ["k"], n_buckets=4)
+        with pytest.raises(ValueError, match="subset"):
+            t.commit_merge_bucketed(
+                spark.createDataFrame([(1,)], ["v"]), ["v"])
+
+    def test_merge_sink_bucketed_idempotent(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.sinks import exactly_once_merge_sink
+
+        t = VersionedTable(spark, str(tmp_path / "bk4"))
+        sink = exactly_once_merge_sink(t, ["k"], bucket_buckets=8)
+        sink(_orders(spark, 0, 100), 0)
+        b1 = spark.createDataFrame([(5, -5), (100, 200)], ["k", "v"])
+        sink(b1, 1)
+        sink(b1, 1)  # replay — must be a no-op
+        assert t.current_version() == 2
+        got = {(r["k"], r["v"]) for r in t.read().drop("_bucket").collect()}
+        assert (5, -5) in got and (100, 200) in got and len(got) == 101
+        with pytest.raises(ValueError, match="not both"):
+            exactly_once_merge_sink(t, ["k"], partition_by=("p",),
+                                    bucket_buckets=8)
+
+
+class TestAutoCompaction:
+    def test_ingest_loop_keeps_read_plan_width_bounded(self, spark, tmp_path):
+        """A long append loop with auto_compact_dirs=3 never lets the
+        manifest span more than 4 version directories, and rows are
+        identical to the no-compaction history (round-6 verdict
+        item 5)."""
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig,
+            DestinationConfig,
+            FileAttributes,
+            SchemaField,
+            SourceConfig,
+        )
+        from pipeline_server_spark.pipeline.run import run_dataset
+
+        csv = tmp_path / "batch.csv"
+        csv.write_text("k,v\n1,10\n2,20\n3,30\n")
+        fields = (SchemaField("k", "bigint"), SchemaField("v", "bigint"))
+        config = DatasetConfig(
+            name="autocompact",
+            source=SourceConfig(fields=fields,
+                                file=FileAttributes(file_type="csv")),
+            destination=DestinationConfig(
+                fields=fields, path=str(tmp_path / "vt"),
+                versioned=True, auto_compact_dirs=3,
+            ),
+        )
+        t = VersionedTable(spark, config.destination.path)
+        widths = []
+        compactions = 0
+        for i in range(8):
+            r = run_dataset(spark, config, str(csv))
+            widths.append(t.manifest_width())
+            compactions += "auto_compacted_version" in r.details
+        assert max(widths) <= 3, widths  # compaction restores width 1
+        assert compactions >= 1
+        assert t.read().count() == 8 * 3
+        assert t.read().where(F.col("k") == 1).count() == 8
+
+    def test_zero_disables(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.config import (
+            ConfigValidationError,
+            DatasetConfig,
+            DestinationConfig,
+            SchemaField,
+        )
+        from pipeline_server_spark.pipeline.config import validate_config
+        import dataclasses
+
+        cfg = DatasetConfig(
+            name="x",
+            destination=DestinationConfig(auto_compact_dirs=0))
+        validate_config(cfg)  # 0 is legal (disabled)
+        with pytest.raises(ConfigValidationError, match="auto_compact"):
+            validate_config(dataclasses.replace(
+                cfg, destination=DestinationConfig(auto_compact_dirs=-1)))
+
+
+class TestVacuumHygiene:
+    def test_vacuumed_multiwriter_version_reads_cleanly(self, spark, tmp_path):
+        """A fully-removed multi-writer version must raise the clean
+        'was vacuumed' error, and its commit-log record must not
+        linger (round-6 advice)."""
+        t = VersionedTable(spark, str(tmp_path / "vh1"), fs=ConditionalPutFS())
+        t.commit(_orders(spark, 0, 10))
+        t.commit(_orders(spark, 0, 20))
+        t.commit(_orders(spark, 0, 30))
+        removed = t.vacuum(keep=1)
+        assert removed == [1, 2]
+        for v in removed:
+            with pytest.raises(FileNotFoundError, match="vacuum"):
+                t.read(v)
+        # records of fully-removed versions are gone; current's remains
+        assert not os.path.exists(t._commit_file(1))
+        assert not os.path.exists(t._commit_file(2))
+        assert os.path.exists(t._commit_file(3))
+        assert t.current_version() == 3
+        assert t.read().count() == 30
+
+    def test_orphan_stage_dir_swept(self, spark, tmp_path):
+        """A crashed losing racer's staged directory (no commit record
+        points at it) is garbage-collected by vacuum."""
+        t = VersionedTable(spark, str(tmp_path / "vh2"), fs=ConditionalPutFS())
+        t.commit(_orders(spark, 0, 10))
+        t.commit(_orders(spark, 0, 20))
+        # fake the loser: a v2 stage dir with a different suffix than
+        # the winner's, containing a half-written file
+        loser = os.path.join(t.root, "_versions", "v00000002-deadbeef")
+        os.makedirs(loser)
+        with open(os.path.join(loser, "part-000.parquet"), "w") as f:
+            f.write("junk")
+        t.vacuum(keep=5)  # removes no versions, still sweeps orphans
+        assert not os.path.exists(loser)
+        assert t.read().count() == 20
+
+    def test_inflight_stage_dir_not_swept(self, spark, tmp_path):
+        """A stage dir for a FUTURE version (an in-flight commit) must
+        survive vacuum."""
+        t = VersionedTable(spark, str(tmp_path / "vh3"), fs=ConditionalPutFS())
+        t.commit(_orders(spark, 0, 10))
+        inflight = os.path.join(t.root, "_versions", "v00000002-cafecafe")
+        os.makedirs(inflight)
+        t.vacuum(keep=1)
+        assert os.path.exists(inflight)
+
+
+class TestConfigRoundTrip:
+    def test_stats_and_compact_fields_survive_dict_round_trip(self):
+        from pipeline_server_spark.api import config_from_dict
+
+        d = {
+            "name": "rt",
+            "destination": {
+                "path": "/tmp/x", "versioned": True,
+                "stats_cols": ["K1", "k2"], "auto_compact_dirs": 7,
+            },
+        }
+        cfg = config_from_dict(d)
+        assert cfg.destination.stats_cols == ("K1", "k2")
+        assert cfg.destination.auto_compact_dirs == 7
+
+    def test_validation_rules(self):
+        import dataclasses
+
+        from pipeline_server_spark.pipeline.config import (
+            ConfigValidationError,
+            DatasetConfig,
+            DestinationConfig,
+            SchemaField,
+            validate_config,
+        )
+
+        fields = (SchemaField("a", "bigint"),)
+        ok = DatasetConfig(name="v", destination=DestinationConfig(
+            fields=fields, versioned=True, stats_cols=("a",)))
+        validate_config(ok)
+        with pytest.raises(ConfigValidationError, match="versioned"):
+            validate_config(dataclasses.replace(ok, destination=DestinationConfig(
+                fields=fields, stats_cols=("a",))))
+        with pytest.raises(ConfigValidationError, match="not in destination"):
+            validate_config(dataclasses.replace(ok, destination=DestinationConfig(
+                fields=fields, versioned=True, stats_cols=("zz",))))
+        with pytest.raises(ConfigValidationError, match="parquet"):
+            validate_config(dataclasses.replace(ok, destination=DestinationConfig(
+                fields=fields, versioned=True, stats_cols=("a",),
+                file_format="orc")))
+
+
+class TestCompactionStatsRecovery:
+    def test_compaction_uses_recorded_stats_cols(self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "cs1"))
+        t.commit(_orders(spark, 0, 4000).repartitionByRange(8, "k"),
+                 stats_cols=("k",))
+        v = optimize_compact_snapshot(t, target_file_bytes=10_000)
+        assert t._filelist_stats_cols(v) == ["k"]
+        _, fr, ft = t.read_pruned({"k": (0, 100)})
+        assert ft > 0 and fr <= ft
+        assert os.path.isdir(os.path.join(t._resolve_dir(v), "_index"))
+
+    def test_legacy_fallback_requires_min_max_pair_in_schema(
+            self, spark, tmp_path):
+        """Pre-record versions recover stats cols from the index
+        schema, but ONLY names with a _min/_max pair that is a real
+        table column (round-6 advice: a data column literally named
+        'size_min' must not be misparsed)."""
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "cs2"))
+        df = _orders(spark, 0, 500).withColumn("size_min", F.lit(1))
+        t.commit(df.repartitionByRange(4, "k"), stats_cols=("k",))
+        # simulate a legacy manifest: strip the stats_cols record
+        flpath = os.path.join(t._resolve_dir(1), t.FILELIST)
+        doc = json.load(open(flpath))
+        doc.pop("stats_cols")
+        json.dump(doc, open(flpath, "w"))
+        # plant a poison column in the index that only the pair+schema
+        # check rejects ('size_min' has no 'size_min_max' sibling and
+        # 'size_' is not a table column)
+        idxp = os.path.join(t._resolve_dir(1), "_index")
+        idx = spark.read.parquet(idxp).withColumn("size_min", F.lit(0))
+        idx.coalesce(1).write.mode("overwrite").parquet(idxp + "_tmp")
+        import shutil
+
+        shutil.rmtree(idxp)
+        os.rename(idxp + "_tmp", idxp)
+
+        v = optimize_compact_snapshot(t, target_file_bytes=10_000)
+        assert t._filelist_stats_cols(v) == ["k"]
