@@ -462,10 +462,15 @@ def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
     (t_den^2 * dot^2 >= t_num^2 * |a|^2 * |b|^2). Exactness domain:
     the triple products fit decimal(38,0) for dot, |a|^2, |b|^2 up to
     ~1.9e18 — beyond any real corpus; past that the comparison falls
-    back EXPLICITLY to double arithmetic (coalesce) instead of
-    silently dropping the pair on decimal overflow. Output integers
-    are cast to bigint (NULL, never wrapped, in the same pathological
-    regime).
+    back EXPLICITLY to double arithmetic instead of silently dropping
+    (or crashing on) a qualifying pair. Spark 4 runs ANSI mode by
+    default, where a plain decimal overflow THROWS rather than
+    nulling, so every expression that can overflow in the
+    pathological regime goes through ``try_sum``/``try_multiply``/
+    ``try_cast`` (NULL on overflow under BOTH ANSI settings — round-7
+    review) with a parallel double accumulation carrying the
+    fallback values. Output integers are bigint via ``try_cast``
+    (NULL, never wrapped, in the same regime).
 
     Recall contract: a pair is surfaced iff the documents share at
     least one sub-cap-df term (blocked otherwise) AND their exact
@@ -476,9 +481,15 @@ def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
     Scale shape: one df-filtered posting self-join (rare lists only),
     one pair-grouped exact-dot aggregation bounded by the candidate
     count, broadcast-sized norm join. No cartesian, no collect."""
-    tfd = F.col("tf").cast("decimal(18,0)")
+    tfd = F.col("tf").cast("decimal(19,0)")
     n2 = tf.groupBy("doc_id").agg(
-        F.sum(tfd * tfd).cast("decimal(38,0)").alias("n2"))
+        # products are decimal(37,0) — cannot overflow for tf < 1e18;
+        # the SUM can: try_sum nulls instead of ANSI-throwing, and the
+        # double accumulation carries the fallback value
+        F.try_sum(tfd * tfd).cast("decimal(38,0)").alias("n2"),
+        F.sum(F.col("tf").cast("double") * F.col("tf").cast("double"))
+         .alias("n2f"),
+    )
     docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     rare = tf.join(docfreq.where(F.col("df") <= df_cap), "tok")
     cand = (
@@ -497,35 +508,43 @@ def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
               (F.col("tb.doc_id") == F.col("doc_b"))
               & (F.col("tb.tok") == F.col("ta.tok")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("ta.tf").cast("decimal(18,0)")
-                   * F.col("tb.tf").cast("decimal(18,0)"))
-             .cast("decimal(38,0)").alias("dot"))
+        .agg(F.try_sum(F.col("ta.tf").cast("decimal(19,0)")
+                       * F.col("tb.tf").cast("decimal(19,0)"))
+             .cast("decimal(38,0)").alias("dot"),
+             F.sum(F.col("ta.tf").cast("double")
+                   * F.col("tb.tf").cast("double")).alias("dotf"))
     )
-    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
-    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
-    # exact decimal comparison; a decimal(38,0) overflow in the triple
-    # product yields NULL (never a wrapped value), and the coalesce
-    # falls back to double arithmetic for exactly those pathological
+    na = n2.select(F.col("doc_id").alias("doc_a"),
+                   F.col("n2").alias("n2_a"), F.col("n2f").alias("n2f_a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"),
+                   F.col("n2").alias("n2_b"), F.col("n2f").alias("n2f_b"))
+    # exact decimal comparison; any overflow in the triple product (or
+    # an overflowed-NULL input) yields NULL via try_multiply — never a
+    # throw (ANSI) or a wrapped value — and the coalesce then falls
+    # back to the double accumulations for exactly those pathological
     # magnitudes instead of silently dropping a qualifying pair
     exact = (
-        F.lit(t_den * t_den).cast("decimal(38,0)") * F.col("dot")
-        * F.col("dot")
-        >= F.lit(t_num * t_num).cast("decimal(38,0)") * F.col("n2_a")
-        * F.col("n2_b")
+        F.try_multiply(
+            F.try_multiply(F.lit(t_den * t_den).cast("decimal(38,0)"),
+                           F.col("dot")),
+            F.col("dot"))
+        >= F.try_multiply(
+            F.try_multiply(F.lit(t_num * t_num).cast("decimal(38,0)"),
+                           F.col("n2_a")),
+            F.col("n2_b"))
     )
     approx = (
-        F.lit(float(t_den * t_den)) * F.col("dot").cast("double")
-        * F.col("dot").cast("double")
-        >= F.lit(float(t_num * t_num)) * F.col("n2_a").cast("double")
-        * F.col("n2_b").cast("double")
+        F.lit(float(t_den * t_den)) * F.col("dotf") * F.col("dotf")
+        >= F.lit(float(t_num * t_num)) * F.col("n2f_a") * F.col("n2f_b")
     )
     return (
         dots.join(na, "doc_a").join(nb, "doc_b")
-        .where((F.col("dot") > 0) & F.coalesce(exact, approx))
+        .where(F.coalesce(F.col("dot") > 0, F.col("dotf") > 0)
+               & F.coalesce(exact, approx))
         .select(
             "doc_a", "doc_b",
-            F.col("dot").cast("long").alias("dot"),
-            F.col("n2_a").cast("long").alias("n2_a"),
-            F.col("n2_b").cast("long").alias("n2_b"),
+            F.col("dot").try_cast("long").alias("dot"),
+            F.col("n2_a").try_cast("long").alias("n2_a"),
+            F.col("n2_b").try_cast("long").alias("n2_b"),
         )
     )

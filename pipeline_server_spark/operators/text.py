@@ -194,7 +194,8 @@ def doc_fingerprints(
 
 def bpe_train(words: DataFrame, num_merges: int,
               word_col: str = "w", freq_col: str = "freq",
-              shuffle_partitions: int = 16) -> list[tuple[int, str, str, str, int]]:
+              shuffle_partitions: int = 16,
+              checkpoint_dir: str | None = None) -> list[tuple[int, str, str, str, int]]:
     """Byte-pair-encoding merge TRAINING (the tokenizer-building loop
     an LLM-data pipeline actually runs, not just the inner pair
     statistic): ``num_merges`` greedy rounds over a word-frequency
@@ -220,7 +221,11 @@ def bpe_train(words: DataFrame, num_merges: int,
     The sequential dependence (round k+1's counts depend on round k's
     merge) is inherent to BPE — the per-round work is what
     parallelizes, exactly as in distributed tokenizer trainers."""
-    from pipeline_server_spark.operators.iterutil import loop_session, transfer
+    from pipeline_server_spark.operators.iterutil import (
+        checkpoint_df,
+        loop_session,
+        transfer,
+    )
 
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
@@ -231,7 +236,12 @@ def bpe_train(words: DataFrame, num_merges: int,
         F.col(freq_col).cast("long").alias("freq"),
         F.expr(f"transform(sequence(1, length({word_col})), "
                f"i -> substring({word_col}, i, 1))").alias("syms"),
-    ).where(F.col("w") != "").localCheckpoint(eager=True)
+    ).where(F.col("w") != "")
+    # per-round lineage truncation via the shared helper: local
+    # checkpoint blocks are ContextCleaner-freed once the previous
+    # round's state is unreferenced; pass checkpoint_dir for the
+    # cluster-reliable mode (same contract as the dedup/CC loops)
+    state = checkpoint_df(state, eager=True, checkpoint_dir=checkpoint_dir)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, num_merges + 1):
@@ -256,9 +266,9 @@ def bpe_train(words: DataFrame, num_merges: int,
             break  # no word has two symbols left — vocabulary exhausted
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((rank, l, r, l + r, cnt))
-        state = state.withColumn(
-            "syms", _bpe_merge_scan(F.col("syms"), l, r)
-        ).localCheckpoint(eager=True)
+        state = checkpoint_df(
+            state.withColumn("syms", _bpe_merge_scan(F.col("syms"), l, r)),
+            eager=True, checkpoint_dir=checkpoint_dir)
     return merges
 
 

@@ -231,6 +231,11 @@ def validate_config(config: DatasetConfig) -> DatasetConfig:
     for s in config.destination.stats_cols:
         if dest_names and s not in dest_names:
             errors.append(f"stats column {s!r} not in destination schema")
+        if s in config.destination.partition_by:
+            errors.append(
+                f"stats column {s!r} is a partition column — partition "
+                "values are not stored in parquet footers (partition "
+                "pruning already covers them)")
     if config.destination.stats_cols and not config.destination.versioned:
         errors.append("stats_cols requires versioned=True (the skipping index "
                       "rides VersionedTable commits)")

@@ -299,6 +299,21 @@ class _Interp:
         # over the fall-through completion.
         self.finished: bool = False
         self.pending: list[tuple[Column, Any]] = []
+        # map SIDE EFFECTS of a conditionally-returning arm: a
+        # `return` stops execution but does not undo `.put` calls made
+        # before it, so for rows that took the arm the map's state at
+        # the return IS its final state. Each entry is (guard,
+        # {name: _MapVal snapshot at the return}); folded
+        # first-match-wins over the fall-through map state at the end
+        # of a function call (before parameter copy-back) — the same
+        # discipline `pending` applies to return VALUES.
+        self.pending_maps: list[tuple[Column, dict]] = []
+        # lexical-scope base for function bodies: the TOP-LEVEL
+        # environment captured at the outermost call (Nashorn's
+        # declared functions close over global scope, not their
+        # caller's locals; globals can't change mid-chain because
+        # outer assignment inside a function is rejected by name)
+        self._global_env: dict | None = None
         # unroll depth WITHIN the current function frame (reset per
         # call): a data-dependent return inside an unrolled loop body
         # cannot be translated faithfully (later iterations would
@@ -681,12 +696,15 @@ class _Interp:
         pre_maps = {k: v.copy() for k, v in self.env.items() if isinstance(v, _MapVal)}
         pre_completion = self.completion
         pre_pending = len(self.pending)
+        pre_pmaps = len(self.pending_maps)
 
         self.block_or_statement()
         then_env, then_completion = dict(self.env), self.completion
         then_finished = self.finished
         then_pending = self.pending[pre_pending:]
         del self.pending[pre_pending:]
+        then_pmaps = self.pending_maps[pre_pmaps:]
+        del self.pending_maps[pre_pmaps:]
         self.finished = False
 
         if self.peek().kind == "kw" and self.peek().text == "else":
@@ -700,6 +718,8 @@ class _Interp:
             else_finished = self.finished
             else_pending = self.pending[pre_pending:]
             del self.pending[pre_pending:]
+            else_pmaps = self.pending_maps[pre_pmaps:]
+            del self.pending_maps[pre_pmaps:]
             self.finished = False
         else:
             else_env = dict(pre_env)
@@ -708,6 +728,7 @@ class _Interp:
             else_completion = pre_completion
             else_finished = False
             else_pending = []
+            else_pmaps = []
 
         if (then_finished or else_finished or then_pending or else_pending) \
                 and self._unroll_depth > 0:
@@ -727,12 +748,19 @@ class _Interp:
         # taken: AND each inner guard with the arm guard
         self.pending.extend((then_guard & g, v) for g, v in then_pending)
         self.pending.extend((else_guard & g, v) for g, v in else_pending)
+        # nested conditional-return map snapshots apply only when
+        # their arm is taken, same as the values above
+        self.pending_maps.extend((then_guard & g, s) for g, s in then_pmaps)
+        self.pending_maps.extend((else_guard & g, s) for g, s in else_pmaps)
 
         if then_finished and else_finished:
             # both arms returned: this path is done; later statements
-            # are dead code on every row
+            # are dead code on every row. Maps still merge — a .put
+            # before either return is a side effect the caller sees
+            # for that arm's rows (adopting one arm's env would hand
+            # every row the then arm's mutations)
             self.finished = True
-            self.env = then_env
+            self.env = self._merge_envs(cond, then_env, else_env)
             self.completion = self._merge_values(cond, then_completion,
                                                  else_completion)
             return
@@ -740,13 +768,24 @@ class _Interp:
             # rows taking the then arm returned — record the guarded
             # value (frozen: later map mutations must not leak into
             # the already-returned value) and continue on the else
-            # path only
+            # path only. Map mutations made BEFORE the return are
+            # side effects those rows keep: snapshot the arm's map
+            # states for the end-of-call fold (a mutation-dropping
+            # mistranslation otherwise — round-7 review)
             self.pending.append((then_guard, self._freeze(then_completion)))
+            self.pending_maps.append((then_guard, {
+                k: v.copy() for k, v in then_env.items()
+                if isinstance(v, _MapVal)
+            }))
             self.env = self._restore_untouched(else_env, pre_env)
             self.completion = else_completion
             return
         if else_finished:
             self.pending.append((else_guard, self._freeze(else_completion)))
+            self.pending_maps.append((else_guard, {
+                k: v.copy() for k, v in else_env.items()
+                if isinstance(v, _MapVal)
+            }))
             self.env = then_env
             self.completion = then_completion
             return
@@ -795,11 +834,7 @@ class _Interp:
             # branch (e.g. the receiver of a later .put) stay live —
             # replacing it with an equal copy would silently strand
             # those references on a stale object
-            if tv.entries.keys() == ev.entries.keys() and all(
-                tv.entries[k] is ev.entries[k]
-                or self._same_literal(tv.entries[k], ev.entries[k])
-                for k in tv.entries
-            ):
+            if self._same_map_state(tv, ev):
                 return tv
             out = _MapVal()
             for key in list(tv.entries) + [k for k in ev.entries if k not in tv.entries]:
@@ -828,6 +863,16 @@ class _Interp:
             # condition so the caller can derive the drop predicate
             return _Cond(cond, tv, ev)
         return F.when(cond, _to_col(tv)).otherwise(_to_col(ev))
+
+    def _same_map_state(self, a: "_MapVal", b: "_MapVal") -> bool:
+        """Content-identical map states (same keys, entry objects
+        identical or equal plain literals) — the 'untouched across a
+        branch' test."""
+        return a.entries.keys() == b.entries.keys() and all(
+            a.entries[k] is b.entries[k]
+            or self._same_literal(a.entries[k], b.entries[k])
+            for k in a.entries
+        )
 
     @staticmethod
     def _same_literal(a: Any, b: Any) -> bool:
@@ -1158,13 +1203,24 @@ class _Interp:
         if len(self._call_stack) >= 16:
             raise JsTranslationError("function call nesting exceeds 16")
         saved_env = self.env
-        saved = (self.finished, self.pending, self.completion, self.i,
+        saved = (self.finished, self.pending, self.pending_maps,
+                 self.completion, self.i,
                  self._unroll_depth, getattr(self, "_local_decls", set()))
-        self.env = dict(saved_env)
+        # lexical scoping: a declared function closes over the GLOBAL
+        # environment, never its caller's locals — a nested call must
+        # not see the enclosing function's parameters (Nashorn
+        # resolves free identifiers in global scope; round-7 review).
+        # Globals cannot have changed since the outermost call because
+        # outer assignment inside a function is rejected below.
+        if not self._call_stack:
+            self._global_env = saved_env
+        base_env = saved_env if not self._call_stack else self._global_env
+        self.env = dict(base_env)
         self.env.update(zip(fn.params, args))
         self._local_decls: set[str] = set()
         self.finished = False
         self.pending = []
+        self.pending_maps = []
         self.completion = _NULL
         # fresh frame: an OUTER unrolled loop must not forbid this
         # function's own (contained) conditional returns, while a
@@ -1179,12 +1235,27 @@ class _Interp:
             value: Any = self.completion if self.finished else _NULL
             for g, v in reversed(self.pending):
                 value = self._merge_values(g, v, value)
+            # fold map side effects of conditionally-returning arms:
+            # rows that returned keep the map state AT their return —
+            # first-match-wins over the fall-through state, mirroring
+            # the value fold above (round-7 review: a .put before a
+            # conditional return was silently dropped)
+            for g, snap in reversed(self.pending_maps):
+                for name, state in snap.items():
+                    cur = self.env.get(name)
+                    # identity-preserving: a map the returning arm
+                    # left in the same state as the fall-through path
+                    # must keep its object (a content-equal clone
+                    # would falsely trip the outer-assignment check)
+                    if (isinstance(cur, _MapVal)
+                            and not self._same_map_state(state, cur)):
+                        self.env[name] = self._merge_values(g, state, cur)
             # reject assignments to outer variables: the expansion
             # discards them, which would silently diverge from Nashorn
             # (shared MAP mutation via .put keeps object identity and
             # is fine — it's visible to the caller)
             map_args = [a for a in args if isinstance(a, _MapVal)]
-            for k, old in saved_env.items():
+            for k, old in base_env.items():
                 if k in fn.params or k in self._local_decls:
                     continue
                 if any(old is a for a in map_args):
@@ -1218,7 +1289,8 @@ class _Interp:
         finally:
             self._call_stack.pop()
             self.env = saved_env
-            (self.finished, self.pending, self.completion, self.i,
+            (self.finished, self.pending, self.pending_maps,
+             self.completion, self.i,
              self._unroll_depth, self._local_decls) = saved
         return value
 

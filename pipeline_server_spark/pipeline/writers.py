@@ -350,6 +350,10 @@ class VersionedTable:
     COMMITS = "_commits"
     FILELIST = "_filelist.json"
     VACUUMED = "_vacuumed"
+    # minimum age before vacuum may sweep an unreferenced orphan stage
+    # directory: younger dirs may belong to a LIVE racer still writing
+    # (Delta's VACUUM retention-window idea)
+    orphan_ttl_s: float = 3600.0
 
     def __init__(self, spark: SparkSession, root: str,
                  file_format: str = "parquet", fs: SwapCommitFS | None = None):
@@ -451,7 +455,8 @@ class VersionedTable:
         return None if doc is None else [tuple(e) for e in doc["files"]]
 
     def _write_filelist(self, target: str, entries: list[tuple[str, str]],
-                        schema=None, stats_cols=None, kind: str | None = None) -> None:
+                        schema=None, stats_cols=None, kind: str | None = None,
+                        partition_by=None) -> None:
         import json
 
         doc: dict = {"files": [list(e) for e in entries]}
@@ -472,6 +477,11 @@ class VersionedTable:
             # this: an append version's diff is exactly its new files
             # read as inserts (no snapshot join)
             doc["kind"] = kind
+        if partition_by:
+            # the physical layout depth — a merge commit's change-feed
+            # step diffs only the REWRITTEN partitions (identified by
+            # this many path components), never the carried ones
+            doc["partition_by"] = list(partition_by)
         with open(os.path.join(target, self.FILELIST), "w") as f:
             json.dump(doc, f)
 
@@ -555,6 +565,7 @@ class VersionedTable:
         directory as ``_meta.json`` — written BEFORE the publish point,
         so a published version always has its metadata (the
         exactly-once sink keys replay detection off it)."""
+        self._check_stats_partition_overlap(stats_cols, partition_by)
         version = (self.current_version() or 0) + 1
         target = self._stage_dir(version)
         writer = df.write.mode("overwrite")
@@ -564,10 +575,26 @@ class VersionedTable:
         entries = [(os.path.basename(target), rel)
                    for rel in self._list_data_files(target)]
         self._write_filelist(target, entries, schema=df.schema,
-                             stats_cols=stats_cols, kind="full")
+                             stats_cols=stats_cols, kind="full",
+                             partition_by=partition_by)
         if stats_cols:
             self._build_index(target, entries, stats_cols, df.schema)
         return self._publish(version, target, metadata)
+
+    @staticmethod
+    def _check_stats_partition_overlap(stats_cols, partition_cols) -> None:
+        """A partition column's values live in directory names, not in
+        parquet footers — indexing one would crash executor-side with
+        an opaque KeyError in the footer read (round-7 review). Reads
+        prune partition columns through partition pruning already;
+        reject by name."""
+        bad = sorted(set(stats_cols) & set(partition_cols))
+        if bad:
+            raise ValueError(
+                f"stats_cols {bad} are partition columns — partition values "
+                "are not stored in data-file footers (partition pruning "
+                "already covers them); index data columns only"
+            )
 
     def _build_index(self, target: str, entries: list[tuple[str, str]],
                      stats_cols, schema, prior_version: int | None = None,
@@ -613,12 +640,16 @@ class VersionedTable:
                 )
                 if carried:
                     # prior rows for files NOT carried forward (a merge
-                    # rewrote their partitions) must be dropped; the
-                    # carried list is manifest-sized (driver-side JSON
-                    # already holds it), so comparing/joining against
-                    # it is index-metadata work, not data work
-                    prior_files = {r["file"] for r in
-                                   prior_idx.select("file").collect()}
+                    # rewrote their partitions) must be dropped. The
+                    # append-vs-merge distinction is answered from the
+                    # MANIFESTS alone (both already parsed driver-side)
+                    # — no collect of the prior index (a 100k-file
+                    # table would otherwise ship 100k rows to the
+                    # driver per micro-batch; round-7 review)
+                    prior_files = {
+                        self._abs_file(e)
+                        for e in self._entries_for_version(prior_version)
+                    }
                     if set(carried) == prior_files:
                         kept = prior_idx  # append: everything carries
                     else:
@@ -748,6 +779,7 @@ class VersionedTable:
         part-file names embed a per-job UUID. ``stats_cols`` rebuilds
         the skipping index over the full list (footer metadata reads,
         O(#files) not O(rows))."""
+        self._check_stats_partition_overlap(stats_cols, partition_by)
         current = self.current_version()
         version = (current or 0) + 1
         prev_types: dict | None = None
@@ -811,7 +843,8 @@ class VersionedTable:
             self._filelist_stats_cols(current) if current is not None else None
         )
         self._write_filelist(target, entries, schema=df.schema,
-                             stats_cols=effective_stats, kind="append")
+                             stats_cols=effective_stats, kind="append",
+                             partition_by=partition_by)
         if effective_stats:
             self._build_index(target, entries, effective_stats, df.schema,
                               prior_version=current, new_entries=new_entries)
@@ -853,6 +886,7 @@ class VersionedTable:
         forward old partition, so the merge falls back to the
         full-rewrite commit."""
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        self._check_stats_partition_overlap(stats_cols, cols)
         current = self.current_version()
         # index continuity, same contract as commit_append: a merge
         # into an indexed table keeps the index alive (rebuilt
@@ -900,7 +934,8 @@ class VersionedTable:
             if self._partition_prefix(e[1], len(cols)) not in rewritten
         ] + new_entries
         self._write_filelist(target, entries, schema=merged.schema,
-                             stats_cols=effective_stats, kind="merge")
+                             stats_cols=effective_stats, kind="merge",
+                             partition_by=cols)
         if effective_stats:
             self._build_index(target, entries, effective_stats, merged.schema,
                               prior_version=current, new_entries=new_entries)
@@ -976,6 +1011,17 @@ class VersionedTable:
         construction)."""
         spec = self.bucket_spec()
         current = self.current_version()
+        if (spec is None and current is not None
+                and self._entries_for_version(current)):
+            # a POPULATED table with no bucket layout: treating this
+            # as bootstrap would full-rewrite the table with only the
+            # batch — silent loss of every existing row (round-7
+            # review). The rewrite must be an explicit choice.
+            raise ValueError(
+                f"table at {self.root} exists but is not hash-bucketed; "
+                "call commit_bucketed(read(), keys) once to establish "
+                "the layout before merging"
+            )
         if spec is None or current is None or not self._entries_for_version(current):
             # bootstrap: establish the layout with the first batch
             # (same max-sequence-wins dedup as every merge bootstrap)
@@ -1196,10 +1242,17 @@ class VersionedTable:
             raise ValueError(f"empty version range ({v_from}, {v_to}]")
         feed = None
         for v in range(v_from + 1, v_to + 1):
-            if self._commit_kind(v) == "append":
+            kind = self._commit_kind(v)
+            if kind == "append":
                 step = self._append_inserts(v)
                 if step is None:
                     continue  # empty append batch: no changes
+            elif kind == "merge":
+                # O(touched partitions): diff only the partitions the
+                # merge rewrote (named by the manifest) — carried
+                # partitions' files are byte-identical by construction
+                # and cannot contribute a change row
+                step = self._merge_partition_diff(keys, v)
             else:
                 step = self.changes(keys, v_from=v - 1, v_to=v)
             feed = step if feed is None else feed.unionByName(
@@ -1209,6 +1262,43 @@ class VersionedTable:
             # empty feed, not None
             feed = self.changes(keys, v_from=v_to - 1, v_to=v_to).where(F.lit(False))
         return feed
+
+    def _merge_partition_diff(self, keys: list[str], version: int) -> DataFrame:
+        """Change-feed step of a ``commit_merge_partitioned`` version
+        in O(touched partitions): the manifest names the files the
+        merge actually rewrote (those in the version's own directory)
+        and the layout depth it recorded, so the keyed diff runs over
+        ONLY the rewritten partitions — current side = the version's
+        new files, prior side = the previous version's files under the
+        same partition prefixes. Untouched partitions carry forward
+        byte-identical files and cannot produce a change row. A
+        replayer of k merge commits on a 100 TB table pays k
+        touched-partition joins, not k full-table shuffles."""
+        doc = self._filelist_doc(version) or {}
+        cols = doc.get("partition_by") or []
+        base = os.path.basename(self._resolve_dir(version))
+        entries = self._entries_for_version(version)
+        new = [e for e in entries if e[0] == base]
+        if not cols or not new:
+            # no recorded layout (legacy manifest) or an empty batch:
+            # the honest snapshot diff / empty feed
+            return self.changes(keys, v_from=version - 1, v_to=version)
+        depth = len(cols)
+        rewritten = {self._partition_prefix(rel, depth) for _, rel in new}
+        prior_touched = [
+            e for e in self._entries_for_version(version - 1)
+            if self._partition_prefix(e[1], depth) in rewritten
+        ]
+        b = self._read_files([self._abs_file(e) for e in new],
+                             schema=self._filelist_schema(version))
+        if prior_touched:
+            a = self._read_files(
+                [self._abs_file(e) for e in prior_touched],
+                schema=self._filelist_schema(version - 1))
+        else:
+            # the merge created brand-new partitions: all inserts
+            a = self.spark.createDataFrame([], b.schema)
+        return self._snapshot_diff(a, b, keys, version)
 
     def _append_inserts(self, version: int) -> DataFrame | None:
         """The insert rows of an append commit, read straight from the
@@ -1248,9 +1338,15 @@ class VersionedTable:
         v_to = v_to if v_to is not None else self.current_version()
         if v_to is None:
             raise ValueError("table has no committed version — no change feed")
-        a = self.read(v_from)
-        b = self.read(v_to)
+        return self._snapshot_diff(self.read(v_from), self.read(v_to),
+                                   keys, v_to)
 
+    def _snapshot_diff(self, a: DataFrame, b: DataFrame, keys: list[str],
+                       v_to: int) -> DataFrame:
+        """The keyed full-outer diff of two row sets, tagged with
+        ``_change_type``/``_commit_version`` — the core of
+        :meth:`changes`, also applied to partition SUBSETS by the
+        change feed's merge-commit fast path."""
         # widen both sides to the union schema (evolution-safe diff)
         a_types = dict(a.dtypes)
         b_types = dict(b.dtypes)
@@ -1385,9 +1481,16 @@ class VersionedTable:
         # sweep ORPHAN stage directories: a losing racer that crashed
         # between staging and its CommitConflictError cleanup leaves a
         # uniquely-suffixed directory that no commit record points to
-        # and no manifest references — provably dead once its version
-        # number has a committed winner elsewhere
+        # and no manifest references. A lost race alone does NOT prove
+        # death — a LIVE racer may still be mid-write in its stage dir
+        # (its own conflict cleanup runs at publish) — so the sweep
+        # additionally requires the directory to be old
+        # (``orphan_ttl_s``, same idea as Delta's VACUUM retention
+        # window; round-7 review).
+        import time
+
         cur = self.current_version() or 0
+        now = time.time()
         for name in (os.listdir(vbase) if os.path.isdir(vbase) else []):
             if len(name) <= 9 or name[9] != "-" or not name[1:9].isdigit():
                 continue
@@ -1395,8 +1498,15 @@ class VersionedTable:
             if v > cur or name in referenced_dirs:
                 continue
             rec = self._commit_record_dir(v)
-            if rec is not None and rec != name:
-                self.fs.remove(os.path.join(vbase, name))
+            if rec is None or rec == name:
+                continue
+            path = os.path.join(vbase, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # racer removed it concurrently
+            if age >= self.orphan_ttl_s:
+                self.fs.remove(path)
         return victims
 
     def _commit_record_dir(self, version: int) -> str | None:

@@ -979,3 +979,79 @@ class TestRound7LoopCompletion:
         msg = translate_quality_script(src, stock_df.columns)
         got = stock_df.select(msg.alias("m")).collect()[0]["m"]
         assert got is None
+
+
+class TestRound7ReviewFixes:
+    """Round-7 review: map side effects of conditionally-returning
+    arms must survive (the state at the return IS final for rows that
+    took the arm), and declared functions resolve free identifiers in
+    GLOBAL scope (lexical), never the caller's locals."""
+
+    def test_map_put_before_conditional_return_survives(self, spark, stock_df):
+        src = """
+        function mark(m, p) {
+            if (p > 200.0) { m.put('big', 'y'); return; }
+            m.put('big', 'n');
+        }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        mark(map, adj_close);
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: r["big"] for r in out.collect()}
+        assert got == {"AAPL": "n", "FAX": "n", "AXN": "n", "MSFT": "y"}
+
+    def test_both_arms_put_then_return_merges_per_row(self, spark, stock_df):
+        src = """
+        function mark(m, p) {
+            if (p > 200.0) { m.put('sz', 'big'); return 1; }
+            else { m.put('sz', 'small'); return 2; }
+        }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var code = mark(map, adj_close);
+        map.put('code', code);
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: (r["sz"], r["code"]) for r in out.collect()}
+        assert got["MSFT"] == ("big", 1)
+        assert got["AXN"] == ("small", 2)
+
+    def test_later_put_does_not_leak_into_returned_rows(self, spark, stock_df):
+        """A put AFTER the conditional return executes only for rows
+        that did not return — returned rows keep the column's source
+        value for keys they never put."""
+        src = """
+        function mark(m, p) {
+            if (p > 200.0) { m.put('flag', 'early'); return; }
+            m.put('flag', 'late');
+            m.put('only_late', 'x');
+        }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        mark(map, adj_close);
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: (r["flag"], r["only_late"]) for r in out.collect()}
+        assert got["MSFT"] == ("early", None)
+        assert got["AXN"] == ("late", "x")
+
+    def test_function_sees_global_not_caller_local(self, spark, stock_df):
+        src = """
+        var t = 'G';
+        function inner() { return t; }
+        function outer(t) { return inner(); }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('v', outer('L'));
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        assert {r["v"] for r in out.collect()} == {"G"}

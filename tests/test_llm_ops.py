@@ -898,3 +898,44 @@ class TestBpeMergeTrain:
         merges = bpe_train(words, 5)
         # after merging (a, b) no word has 2 symbols left
         assert merges == [(1, "a", "b", "ab", 3)]
+
+
+class TestTfCosineOverflowFallback:
+    """Round-7 review: Spark 4 runs ANSI mode by default, where plain
+    decimal overflow THROWS — the double fallback must ride try_sum/
+    try_multiply/try_cast so pathological magnitudes degrade to double
+    arithmetic instead of crashing the job or dropping pairs."""
+
+    def test_small_domain_exact(self, spark):
+        from pipeline_server_spark.operators.similarity import tf_cosine_pairs
+
+        tf = spark.createDataFrame(
+            [(1, "a", 3), (1, "b", 4), (2, "a", 3), (2, "b", 4), (3, "c", 9)],
+            "doc_id bigint, tok string, tf bigint")
+        got = tf_cosine_pairs(tf, df_cap=25, t_num=4, t_den=5).collect()
+        assert [(r["doc_a"], r["doc_b"], r["dot"]) for r in got] == [(1, 2, 25)]
+
+    def test_overflow_magnitudes_fall_back_to_double(self, spark):
+        """tf ~ 2e18: dot = 8e36 fits decimal(38,0) but dot^2 does not
+        — the exact comparison nulls via try_multiply and the double
+        accumulations decide; identical vectors (cosine 1) must
+        surface, orthogonal-ish ones must not. Outputs null instead of
+        a wrapped/overflowed long."""
+        from pipeline_server_spark.operators.similarity import tf_cosine_pairs
+
+        big = 2 * 10**18
+        tf = spark.createDataFrame(
+            [(1, "a", big), (2, "a", big),          # identical → cosine 1
+             (3, "a", 1), (4, "a", big), (4, "b", big)],
+            "doc_id bigint, tok string, tf bigint")
+        rows = {(r["doc_a"], r["doc_b"]): r
+                for r in tf_cosine_pairs(tf, df_cap=25,
+                                         t_num=4, t_den=5).collect()}
+        assert (1, 2) in rows          # parallel → survives via doubles
+        assert (1, 3) in rows          # single-token vectors on the
+        # same term are parallel too (cosine exactly 1), mixed regime:
+        # n2_b fits long, n2_a does not
+        assert rows[(1, 3)]["n2_b"] == 1 and rows[(1, 3)]["n2_a"] is None
+        # the discrimination case: cos((a),(a,b)) = 1/sqrt(2) < 0.8
+        assert (1, 4) not in rows and (2, 4) not in rows
+        assert rows[(1, 2)]["dot"] is None  # 4e36 > bigint → NULL not wrap

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -388,6 +389,13 @@ class TestVacuumHygiene:
         os.makedirs(loser)
         with open(os.path.join(loser, "part-000.parquet"), "w") as f:
             f.write("junk")
+        # a FRESH lost-race stage dir may belong to a LIVE racer still
+        # writing (its own publish-time conflict cleanup handles it):
+        # vacuum must leave it until it ages past the retention window
+        t.vacuum(keep=5)
+        assert os.path.exists(loser)
+        old = time.time() - 2 * t.orphan_ttl_s
+        os.utime(loser, (old, old))
         t.vacuum(keep=5)  # removes no versions, still sweeps orphans
         assert not os.path.exists(loser)
         assert t.read().count() == 20
@@ -491,3 +499,114 @@ class TestCompactionStatsRecovery:
 
         v = optimize_compact_snapshot(t, target_file_bytes=10_000)
         assert t._filelist_stats_cols(v) == ["k"]
+
+
+class TestRound7ReviewGuards:
+    """Round-7 review fixes on the table layer."""
+
+    def test_merge_bucketed_into_populated_unbucketed_raises(self, spark, tmp_path):
+        """Treating a populated non-bucketed table as bootstrap would
+        full-rewrite it with only the batch — silent loss of every
+        existing row."""
+        t = VersionedTable(spark, str(tmp_path / "rg1"))
+        t.commit(_orders(spark, 0, 50))
+        with pytest.raises(ValueError, match="not hash-bucketed"):
+            t.commit_merge_bucketed(_orders(spark, 0, 3), ["k"])
+        assert t.read().count() == 50  # untouched
+
+    def test_stats_cols_on_partition_column_rejected_by_name(self, spark, tmp_path):
+        """Partition values live in directory names, not parquet
+        footers — indexing one crashed executor-side with an opaque
+        KeyError before the guard."""
+        df = _orders(spark, 0, 10).withColumn("p", F.col("k") % 2)
+        t = VersionedTable(spark, str(tmp_path / "rg2"))
+        with pytest.raises(ValueError, match="partition column"):
+            t.commit(df, partition_by=("p",), stats_cols=("p",))
+        t.commit(df, partition_by=("p",), stats_cols=("v",))
+        with pytest.raises(ValueError, match="partition column"):
+            t.commit_append(df, partition_by=("p",), stats_cols=("p", "v"))
+        with pytest.raises(ValueError, match="partition column"):
+            t.commit_merge_partitioned(df, ["k"], "p", stats_cols=("p",))
+
+    def test_config_rejects_partition_stats_col(self):
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig, DestinationConfig, SourceConfig, validate_config,
+        )
+
+        cfg = DatasetConfig(
+            name="x",
+            source=SourceConfig(),
+            destination=DestinationConfig(
+                versioned=True, file_format="parquet",
+                partition_by=("d",), stats_cols=("d",),
+            ),
+        )
+        with pytest.raises(ValueError, match="partition column"):
+            validate_config(cfg)
+
+
+class TestMergeStepPartitionDiff:
+    """Round-7: a merge commit's change-feed step diffs ONLY the
+    partitions the merge rewrote (named by the manifest) — carried
+    partitions' byte-identical files are never opened."""
+
+    def test_parity_with_snapshot_diff(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mpd1"))
+        t.commit(_orders(spark, 0, 4000, part=8), partition_by=("p",))
+        src = spark.createDataFrame(
+            [(0, 999, 0), (4001, 5, 1)], ["k", "v", "p"])
+        v = t.commit_merge_partitioned(src, ["k"], "p")
+        key = ["k", "v", "_change_type", "_commit_version"]
+        fast = sorted(tuple(r[c] for c in key)
+                      for r in t.changes_range(["k"], v - 1, v).collect())
+        slow = sorted(tuple(r[c] for c in key)
+                      for r in t.changes(["k"], v - 1, v).collect())
+        assert fast == slow
+        kinds = {r[2] for r in fast}
+        assert kinds == {"insert", "update_preimage", "update_postimage"}
+
+    def test_reads_only_touched_partitions(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mpd2"))
+        t.commit(_orders(spark, 0, 4000, part=8), partition_by=("p",))
+        src = spark.createDataFrame([(8, 999, 0)], ["k", "v", "p"])  # p=0 only
+        v = t.commit_merge_partitioned(src, ["k"], "p")
+
+        seen: list[list[str]] = []
+        orig = t._read_files
+
+        def spy(files, schema=None):
+            seen.append(list(files))
+            return orig(files, schema=schema)
+
+        t._read_files = spy
+        t.changes_range(["k"], v - 1, v).collect()
+        opened = [f for batch in seen for f in batch]
+        assert opened, "fast path not taken"
+        assert all(f"{os.sep}p=0{os.sep}" in f for f in opened), \
+            f"opened untouched partitions: {opened}"
+
+    def test_new_partition_merge_is_all_inserts(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mpd3"))
+        t.commit(_orders(spark, 0, 100, part=2), partition_by=("p",))
+        src = spark.createDataFrame([(500, 1, 7), (501, 2, 7)],
+                                    ["k", "v", "p"])  # brand-new p=7
+        v = t.commit_merge_partitioned(src, ["k"], "p")
+        feed = t.changes_range(["k"], v - 1, v).collect()
+        assert {(r["k"], r["_change_type"]) for r in feed} == \
+            {(500, "insert"), (501, "insert")}
+
+    def test_bucketed_merge_feed_parity(self, spark, tmp_path):
+        """The bucketed layout rides the same fast path (partition_by
+        = _bucket recorded in the manifest)."""
+        t = VersionedTable(spark, str(tmp_path / "mpd4"), fs=ConditionalPutFS())
+        t.commit_bucketed(_orders(spark, 0, 500), ["k"], n_buckets=16)
+        src = spark.createDataFrame([(0, 999), (600, 1)], ["k", "v"])
+        v = t.commit_merge_bucketed(src, ["k"])
+        key = ["k", "v", "_change_type"]
+        fast = sorted(tuple(r[c] for c in key)
+                      for r in t.changes_range(["k"], v - 1, v).collect())
+        slow = sorted(tuple(r[c] for c in key)
+                      for r in t.changes(["k"], v - 1, v).collect())
+        assert fast == slow
+        assert (0, 999, "update_postimage") in fast
+        assert (600, 1, "insert") in fast
