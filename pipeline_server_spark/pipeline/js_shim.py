@@ -97,7 +97,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
-  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[-+*/%<>=!(){};,.?:])
+  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|[-+*/%<>=!(){};,.?:])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -105,6 +105,10 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"var", "let", "const", "new", "if", "else", "null", "true",
              "false", "return", "for", "while", "break", "continue",
              "function"}
+
+# compound-assignment operators accepted in statement and for-update
+# position; `op[0]` is the underlying binary operator
+_COMPOUND_OPS = ("+=", "-=", "*=", "/=", "%=")
 
 
 @dataclass
@@ -445,7 +449,12 @@ class _Interp:
             return
         if t.kind == "kw" and t.text == "function":
             self.next()
+            fname = self.peek().text
             body = self._register_function(self.i)  # (re-)bind, incl. nested
+            if self._call_stack:
+                # a function declared INSIDE a function body is local
+                # (like var) — must not trip the undeclared-global check
+                self._local_decls.add(fname)
             self.i = body
             self._skip_statement_or_block()  # skip the body block
             # a declaration's completion is EMPTY (keeps the previous
@@ -458,6 +467,31 @@ class _Interp:
             val = self.expression()
             self._semi()
             self.env[name] = val
+            self.completion = _NULL
+            return
+        # compound assignment / increment-decrement (statement
+        # position): i += 1 is i = i + 1, s += 'x' concatenates —
+        # the single most common accumulator form (round-7 verdict)
+        if t.kind == "ident" and self.toks[self.i + 1].text in _COMPOUND_OPS:
+            name = self.next().text
+            op = self.next().text
+            val = self.expression()
+            self._semi()
+            self.env[name] = self._compound(name, op, val)
+            self.completion = _NULL
+            return
+        if t.kind == "ident" and self.toks[self.i + 1].text in ("++", "--"):
+            name = self.next().text
+            op = self.next().text
+            self._semi()
+            self._incdec(name, op)
+            self.completion = _NULL
+            return
+        if t.text in ("++", "--") and self.toks[self.i + 1].kind == "ident":
+            op = self.next().text
+            name = self.next().text
+            self._semi()
+            self._incdec(name, op)
             self.completion = _NULL
             return
         self.completion = self.expression()
@@ -630,16 +664,58 @@ class _Interp:
         # rides through untouched too
 
     def _loop_update(self) -> None:
-        """The for-update clause: one assignment (i = expr)."""
+        """The for-update clause: ``i = expr``, ``i op= expr``, or
+        ``i++``/``i--``/``++i``/``--i`` — the postfix forms cover the
+        most common real-world loop header (round-7 verdict item 6)."""
         t = self.peek()
         if t.kind == "ident" and self.toks[self.i + 1].text == "=":
             name = self.next().text
             self.next()
             self.env[name] = self.expression()
             return
+        if t.kind == "ident" and self.toks[self.i + 1].text in _COMPOUND_OPS:
+            name = self.next().text
+            op = self.next().text
+            self.env[name] = self._compound(name, op, self.expression())
+            return
+        if t.kind == "ident" and self.toks[self.i + 1].text in ("++", "--"):
+            name = self.next().text
+            self._incdec(name, self.next().text)
+            return
+        if t.text in ("++", "--") and self.toks[self.i + 1].kind == "ident":
+            op = self.next().text
+            self._incdec(self.next().text, op)
+            return
         raise JsTranslationError(
-            "for-update must be a single assignment (i = i + 1)"
+            "for-update must be a single assignment "
+            "(i = i + 1, i += 1, i++)"
         )
+
+    def _compound(self, name: str, op: str, val: Any) -> Any:
+        """``name op= val`` desugars to ``name = name op val`` with the
+        same operator semantics as the binary form (so ``s += 'x'``
+        string-concatenates, exactly as in Nashorn)."""
+        if name not in self.env:
+            raise JsTranslationError(
+                f"compound assignment to undeclared variable {name!r}")
+        return self._arith(op[0], self.env[name], val)
+
+    def _incdec(self, name: str, op: str) -> None:
+        """``i++``/``i--`` (either fix): numeric increment in place.
+        Non-numeric current values reject by name — Nashorn would
+        ToNumber-coerce a string here, which the faithful subset does
+        not model."""
+        if name not in self.env:
+            raise JsTranslationError(
+                f"{op} on undeclared variable {name!r}")
+        old = self.env[name]
+        if isinstance(old, bool):
+            old = int(old)  # ToNumber(true) = 1
+        if not isinstance(old, (int, float, Column)):
+            raise JsTranslationError(
+                f"{name}{op} requires a numeric value (ToNumber "
+                "coercion of non-numbers is not in the faithful subset)")
+        self.env[name] = self._arith("+" if op == "++" else "-", old, 1)
 
     def _semi(self) -> None:
         if self.at(";"):
@@ -1269,6 +1345,18 @@ class _Interp:
                     raise JsTranslationError(
                         f"function {fn.name!r} assigns outer variable {k!r} "
                         "(pass it as a parameter or return the value)"
+                    )
+            # a brand-new UNDECLARED name (`x = 5` with no `var` and x
+            # nowhere outer) creates a Nashorn GLOBAL visible to the
+            # caller — the env restore would silently discard it, so
+            # reject by name (round-7 advice)
+            for k in self.env:
+                if (k not in base_env and k not in fn.params
+                        and k not in self._local_decls):
+                    raise JsTranslationError(
+                        f"function {fn.name!r} assigns undeclared variable "
+                        f"{k!r} (a Nashorn global) — declare it with var "
+                        "or return the value"
                     )
             # a map parameter is pass-by-reference: an UNCONDITIONAL
             # .put mutates the caller's object in place already, but a

@@ -456,7 +456,7 @@ class VersionedTable:
 
     def _write_filelist(self, target: str, entries: list[tuple[str, str]],
                         schema=None, stats_cols=None, kind: str | None = None,
-                        partition_by=None) -> None:
+                        partition_by=None, bloom_cols=None) -> None:
         import json
 
         doc: dict = {"files": [list(e) for e in entries]}
@@ -464,6 +464,11 @@ class VersionedTable:
             # lets a version with ZERO data files (empty bootstrap
             # batch) still answer read() with a typed empty DataFrame
             doc["schema"] = schema.json()
+        if bloom_cols:
+            # which columns the version's index carries point-lookup
+            # Bloom filters for — inherited by incremental commits
+            # exactly like stats_cols
+            doc["bloom_cols"] = list(bloom_cols)
         if stats_cols:
             # the EXPLICIT record of which columns the version's
             # skipping index covers — incremental commits read this to
@@ -500,6 +505,11 @@ class VersionedTable:
         commit time), or None when the version has no recorded index."""
         doc = self._filelist_doc(version)
         return None if doc is None else doc.get("stats_cols")
+
+    def _filelist_bloom_cols(self, version: int) -> list[str] | None:
+        """Columns the version's index carries Bloom filters for."""
+        doc = self._filelist_doc(version)
+        return None if doc is None else doc.get("bloom_cols")
 
     def _commit_kind(self, version: int) -> str | None:
         doc = self._filelist_doc(version)
@@ -553,7 +563,8 @@ class VersionedTable:
     # -- operations ------------------------------------------------------
     def commit(self, df: DataFrame, partition_by: tuple[str, ...] | list[str] = (),
                metadata: dict | None = None,
-               stats_cols: tuple[str, ...] | list[str] = ()) -> int:
+               stats_cols: tuple[str, ...] | list[str] = (),
+               bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
         """Write the next immutable version directory, then publish it —
         one atomic pointer rename (single-writer manifest mode), or one
         put-if-absent commit-log record when the ``fs`` provides the
@@ -564,8 +575,15 @@ class VersionedTable:
         ``metadata`` (JSON-serializable dict) rides inside the version
         directory as ``_meta.json`` — written BEFORE the publish point,
         so a published version always has its metadata (the
-        exactly-once sink keys replay detection off it)."""
-        self._check_stats_partition_overlap(stats_cols, partition_by)
+        exactly-once sink keys replay detection off it).
+
+        ``bloom_cols`` adds per-file point-lookup Bloom filters for
+        the named columns to the skipping index (round-7 verdict item
+        9) — costs one vectorized column read per new file at commit
+        time; serves exact-match probes through
+        :meth:`read_pruned`'s ``points``."""
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols), partition_by)
         version = (self.current_version() or 0) + 1
         target = self._stage_dir(version)
         writer = df.write.mode("overwrite")
@@ -576,9 +594,11 @@ class VersionedTable:
                    for rel in self._list_data_files(target)]
         self._write_filelist(target, entries, schema=df.schema,
                              stats_cols=stats_cols, kind="full",
-                             partition_by=partition_by)
-        if stats_cols:
-            self._build_index(target, entries, stats_cols, df.schema)
+                             partition_by=partition_by,
+                             bloom_cols=bloom_cols)
+        if stats_cols or bloom_cols:
+            self._build_index(target, entries, stats_cols, df.schema,
+                              bloom_cols=bloom_cols)
         return self._publish(version, target, metadata)
 
     @staticmethod
@@ -598,7 +618,8 @@ class VersionedTable:
 
     def _build_index(self, target: str, entries: list[tuple[str, str]],
                      stats_cols, schema, prior_version: int | None = None,
-                     new_entries: list[tuple[str, str]] | None = None) -> None:
+                     new_entries: list[tuple[str, str]] | None = None,
+                     bloom_cols=()) -> None:
         """Data-skipping stats over the version's COMPLETE file list
         (not just the files new in this commit), riding INSIDE the
         immutable version dir (the ``_`` prefix keeps them out of data
@@ -625,7 +646,9 @@ class VersionedTable:
         if (
             prior_version is not None
             and new_entries is not None
-            and self._filelist_stats_cols(prior_version) == list(stats_cols)
+            and (self._filelist_stats_cols(prior_version) or [])
+            == list(stats_cols or [])
+            and (self._filelist_bloom_cols(prior_version) or []) == list(bloom_cols)
         ):
             prior_idx_path = os.path.join(
                 self._resolve_dir(prior_version), "_index")
@@ -636,7 +659,7 @@ class VersionedTable:
                            if self._abs_file(e) not in new_set]
                 new_rows = build_skipping_index(
                     self.spark, target, list(stats_cols), schema=schema,
-                    files=sorted(new_set),
+                    files=sorted(new_set), bloom_cols=list(bloom_cols),
                 )
                 if carried:
                     # prior rows for files NOT carried forward (a merge
@@ -656,13 +679,18 @@ class VersionedTable:
                         keep_df = self.spark.createDataFrame(
                             [(p,) for p in sorted(carried)], ["file"])
                         kept = prior_idx.join(keep_df, "file", "left_semi")
-                    idx = kept.unionByName(new_rows)
+                    # allowMissingColumns: a prior index built before a
+                    # stats column existed (e.g. pre-null-count rows)
+                    # carries forward with NULL = unknown — safe, never
+                    # prunes
+                    idx = kept.unionByName(new_rows, allowMissingColumns=True)
                 else:
                     idx = new_rows
         if idx is None:
             idx = build_skipping_index(
                 self.spark, target, list(stats_cols), schema=schema,
                 files=[self._abs_file(e) for e in entries],
+                bloom_cols=list(bloom_cols),
             )
         idx.coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(target, "_index"))
@@ -755,7 +783,8 @@ class VersionedTable:
                       partition_by: tuple[str, ...] | list[str] = (),
                       metadata: dict | None = None,
                       stats_cols: tuple[str, ...] | list[str] = (),
-                      evolve_schema: bool = False) -> int:
+                      evolve_schema: bool = False,
+                      bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
         """Append-only commit in O(batch): write ONLY the new rows into
         the next version directory and publish a file manifest = the
         previous version's list + the batch's files — two metadata
@@ -779,7 +808,8 @@ class VersionedTable:
         part-file names embed a per-job UUID. ``stats_cols`` rebuilds
         the skipping index over the full list (footer metadata reads,
         O(#files) not O(rows))."""
-        self._check_stats_partition_overlap(stats_cols, partition_by)
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols), partition_by)
         current = self.current_version()
         version = (current or 0) + 1
         prev_types: dict | None = None
@@ -842,12 +872,19 @@ class VersionedTable:
         effective_stats = list(stats_cols) or (
             self._filelist_stats_cols(current) if current is not None else None
         )
+        effective_bloom = list(bloom_cols) or (
+            (self._filelist_bloom_cols(current) or [])
+            if current is not None else []
+        )
         self._write_filelist(target, entries, schema=df.schema,
                              stats_cols=effective_stats, kind="append",
-                             partition_by=partition_by)
-        if effective_stats:
-            self._build_index(target, entries, effective_stats, df.schema,
-                              prior_version=current, new_entries=new_entries)
+                             partition_by=partition_by,
+                             bloom_cols=effective_bloom)
+        if effective_stats or effective_bloom:
+            self._build_index(target, entries, effective_stats or [],
+                              df.schema, prior_version=current,
+                              new_entries=new_entries,
+                              bloom_cols=effective_bloom)
         return self._publish(version, target, metadata)
 
     def commit_merge_partitioned(self, source: DataFrame, keys: list[str],
@@ -855,7 +892,8 @@ class VersionedTable:
                                  sequence_col: str | None = None,
                                  metadata: dict | None = None,
                                  immutable_partitions: bool = True,
-                                 stats_cols: tuple[str, ...] | list[str] = ()) -> int:
+                                 stats_cols: tuple[str, ...] | list[str] = (),
+                                 bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
         """Keyed MERGE in O(touched partitions): merge the source only
         against target rows in the partitions the source touches,
         write those partitions into the next version, and CARRY
@@ -886,7 +924,8 @@ class VersionedTable:
         forward old partition, so the merge falls back to the
         full-rewrite commit."""
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-        self._check_stats_partition_overlap(stats_cols, cols)
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols), cols)
         current = self.current_version()
         # index continuity, same contract as commit_append: a merge
         # into an indexed table keeps the index alive (rebuilt
@@ -894,6 +933,10 @@ class VersionedTable:
         # get fresh footer stats)
         effective_stats = list(stats_cols) or (
             (self._filelist_stats_cols(current) or [])
+            if current is not None else []
+        )
+        effective_bloom = list(bloom_cols) or (
+            (self._filelist_bloom_cols(current) or [])
             if current is not None else []
         )
         if current is None or not self._entries_for_version(current):
@@ -904,12 +947,14 @@ class VersionedTable:
             # arbitrary (possibly stale) row
             return self.commit(_dedupe_source_by_keys(source, keys, sequence_col),
                                partition_by=tuple(cols), metadata=metadata,
-                               stats_cols=effective_stats)
+                               stats_cols=effective_stats,
+                               bloom_cols=effective_bloom)
         target_df = self.read(current)
         if not immutable_partitions:
             merged = merge_upsert_frames(target_df, source, keys, sequence_col)
             return self.commit(merged, partition_by=tuple(cols),
-                               metadata=metadata, stats_cols=effective_stats)
+                               metadata=metadata, stats_cols=effective_stats,
+                               bloom_cols=effective_bloom)
         self._check_layout(current, cols, "commit_merge_partitioned")
         touched = source.select(*cols).distinct()
         cond = None
@@ -935,10 +980,12 @@ class VersionedTable:
         ] + new_entries
         self._write_filelist(target, entries, schema=merged.schema,
                              stats_cols=effective_stats, kind="merge",
-                             partition_by=cols)
-        if effective_stats:
-            self._build_index(target, entries, effective_stats, merged.schema,
-                              prior_version=current, new_entries=new_entries)
+                             partition_by=cols, bloom_cols=effective_bloom)
+        if effective_stats or effective_bloom:
+            self._build_index(target, entries, effective_stats or [],
+                              merged.schema, prior_version=current,
+                              new_entries=new_entries,
+                              bloom_cols=effective_bloom)
         return self._publish(version, target, metadata)
 
     # -- hash-bucketed physical layout (Hudi bucket-index idea) ----------
@@ -969,7 +1016,8 @@ class VersionedTable:
 
     def commit_bucketed(self, df: DataFrame, keys: list[str],
                         n_buckets: int = 64, metadata: dict | None = None,
-                        stats_cols: tuple[str, ...] | list[str] = ()) -> int:
+                        stats_cols: tuple[str, ...] | list[str] = (),
+                        bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
         """(Re)write the table hash-bucketed on ``keys``: a synthetic
         ``_bucket`` partition column = ``xxhash64(keys) % n_buckets``
         (the Hudi bucket-index layout). An UNPARTITIONED table has no
@@ -993,13 +1041,15 @@ class VersionedTable:
         os.replace(tmp, os.path.join(self.root, self.BUCKETSPEC))
         dfb = df.withColumn(self.BUCKET_COL, self._bucket_expr(keys, n_buckets))
         return self.commit(dfb, partition_by=(self.BUCKET_COL,),
-                           metadata=metadata, stats_cols=stats_cols)
+                           metadata=metadata, stats_cols=stats_cols,
+                           bloom_cols=bloom_cols)
 
     def commit_merge_bucketed(self, source: DataFrame, keys: list[str],
                               sequence_col: str | None = None,
                               metadata: dict | None = None,
                               n_buckets: int = 64,
-                              stats_cols: tuple[str, ...] | list[str] = ()) -> int:
+                              stats_cols: tuple[str, ...] | list[str] = (),
+                              bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
         """Keyed MERGE into a hash-bucketed table in O(touched
         buckets): computes each source row's ``_bucket`` from the
         recorded spec and delegates to the partition-pruned merge on
@@ -1032,7 +1082,8 @@ class VersionedTable:
                     f"bucket keys {bkeys} must be a subset of merge keys {keys}")
             return self.commit_bucketed(
                 _dedupe_source_by_keys(source, keys, sequence_col),
-                bkeys, n, metadata=metadata, stats_cols=stats_cols)
+                bkeys, n, metadata=metadata, stats_cols=stats_cols,
+                bloom_cols=bloom_cols)
         bkeys = list(spec["keys"])
         if not set(bkeys) <= set(keys):
             raise ValueError(
@@ -1045,7 +1096,8 @@ class VersionedTable:
         # partitions are immutable by construction
         return self.commit_merge_partitioned(
             src, keys, [self.BUCKET_COL], sequence_col, metadata=metadata,
-            immutable_partitions=True, stats_cols=stats_cols)
+            immutable_partitions=True, stats_cols=stats_cols,
+            bloom_cols=bloom_cols)
 
     def read(self, version: int | None = None,
              tag: str | None = None) -> DataFrame:
@@ -1166,13 +1218,18 @@ class VersionedTable:
             return 0
         return len({e[0] for e in self._entries_for_version(v)})
 
-    def read_pruned(self, bounds: dict, version: int | None = None):
-        """Range read through the version's data-skipping index (built
-        at commit time via ``stats_cols``): returns (df, files_read,
-        files_total) — only files whose min/max envelope overlaps every
-        ``col: (lo, hi)`` bound are opened; the exact predicate is
-        re-applied as a residual. Falls back to a full-scan filtered
-        read (files_read == files_total) when the version has no index."""
+    def read_pruned(self, bounds: dict, version: int | None = None,
+                    points: dict | None = None):
+        """Predicate read through the version's data-skipping index
+        (built at commit time via ``stats_cols``/``bloom_cols``):
+        returns (df, files_read, files_total) — only files whose
+        stats could satisfy every predicate are opened; the exact
+        predicate is re-applied as a residual. ``bounds`` values are
+        ``(lo, hi)`` ranges or ``"is_null"``/``"not_null"``;
+        ``points`` maps columns to exact-match values served by the
+        per-file Bloom filters (and min/max where present). Falls
+        back to a full-scan filtered read (files_read == files_total)
+        when the version has no index."""
         from pyspark.sql import functions as F
 
         from pipeline_server_spark.operators.scale import read_with_skipping
@@ -1184,8 +1241,15 @@ class VersionedTable:
         idx_path = os.path.join(d, "_index")
         if not os.path.isdir(idx_path):
             df = self.read(v)
-            for c, (lo, hi) in bounds.items():
-                df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+            for c, pv in (points or {}).items():
+                df = df.where(F.col(c) == F.lit(pv))
+            for c, b in bounds.items():
+                if b == "is_null":
+                    df = df.where(F.col(c).isNull())
+                elif b == "not_null":
+                    df = df.where(F.col(c).isNotNull())
+                else:
+                    df = df.where(F.col(c).between(F.lit(b[0]), F.lit(b[1])))
             entries = self._read_filelist(v)
             n = len(entries) if entries else sum(
                 1 for root, dirs, names in os.walk(d)
@@ -1202,7 +1266,8 @@ class VersionedTable:
             return self._read_files(files, schema=self._filelist_schema(v))
 
         idx = self.spark.read.parquet(idx_path)
-        return read_with_skipping(self.spark, d, idx, bounds, reader=reader)
+        return read_with_skipping(self.spark, d, idx, bounds, reader=reader,
+                                  points=points)
 
     def commit_metadata(self, version: int) -> dict:
         """Metadata recorded at commit time for a version ({} if none)."""
@@ -1242,6 +1307,13 @@ class VersionedTable:
             raise ValueError(f"empty version range ({v_from}, {v_to}]")
         feed = None
         for v in range(v_from + 1, v_to + 1):
+            op = self.commit_metadata(v).get("operation")
+            if isinstance(op, str) and op.startswith("optimize_"):
+                # compaction / z-order rewrites the SAME rows (layout
+                # maintenance, zero row changes by construction) — a
+                # replayer crossing one must not pay a full-table
+                # self-diff to discover an empty step
+                continue
             kind = self._commit_kind(v)
             if kind == "append":
                 step = self._append_inserts(v)
@@ -1279,9 +1351,19 @@ class VersionedTable:
         base = os.path.basename(self._resolve_dir(version))
         entries = self._entries_for_version(version)
         new = [e for e in entries if e[0] == base]
-        if not cols or not new:
-            # no recorded layout (legacy manifest) or an empty batch:
-            # the honest snapshot diff / empty feed
+        prior_vacuumed = (
+            self._read_filelist(version - 1) is None
+            or os.path.exists(os.path.join(self._resolve_dir(version - 1),
+                                           self.VACUUMED))
+        )
+        if not cols or not new or prior_vacuumed:
+            # No recorded layout (legacy manifest), an empty batch, or a
+            # vacuumed/legacy prior version. The vacuumed case matters:
+            # without a manifest the prior side would be SYNTHESIZED from
+            # the residual directory (reclaimed files missing), silently
+            # misreporting updates/deletes as inserts — fall through to
+            # changes(), whose read(version-1) raises the clear
+            # "was vacuumed" error instead.
             return self.changes(keys, v_from=version - 1, v_to=version)
         depth = len(cols)
         rewritten = {self._partition_prefix(rel, depth) for _, rel in new}
@@ -1492,7 +1574,8 @@ class VersionedTable:
         cur = self.current_version() or 0
         now = time.time()
         for name in (os.listdir(vbase) if os.path.isdir(vbase) else []):
-            if len(name) <= 9 or name[9] != "-" or not name[1:9].isdigit():
+            if (not name.startswith("v") or len(name) <= 9
+                    or name[9] != "-" or not name[1:9].isdigit()):
                 continue
             v = int(name[1:9])
             if v > cur or name in referenced_dirs:

@@ -5,7 +5,7 @@ Each module registers (spark_callable, oracle_sql) pairs via
 the merged registry to the driver's correctness harness.
 """
 
-from pipeline_server_spark.queries.registry import ORACLE, QUERIES, query
+from pipeline_server_spark.queries.registry import ORACLE, ORACLE_PY, QUERIES, query
 
 # Importing the modules populates the registry.
 from pipeline_server_spark.queries import relational  # noqa: E402,F401
@@ -28,4 +28,4 @@ from pipeline_server_spark.queries import sequences  # noqa: E402,F401
 from pipeline_server_spark.queries import llm_ops3  # noqa: E402,F401
 from pipeline_server_spark.queries import statistics  # noqa: E402,F401
 
-__all__ = ["QUERIES", "ORACLE", "query"]
+__all__ = ["QUERIES", "ORACLE", "ORACLE_PY", "query"]

@@ -19,10 +19,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# Python-computed oracles for queries whose semantics are not
+# SQL-expressible (sequential/iterative algorithms): name → callable
+# taking the sf_dir and returning the EXPECTED rows as a pandas
+# DataFrame (same column names/dtype classes as the Spark result).
+# The local-correctness tool runs these through the same
+# compare_frames value gate as the SQL oracles, so such queries get
+# schema+hash checks instead of rows-only (round-7 verdict item 3).
+# The DRIVER artifact still records them rows-only (it only consumes
+# oracle_sql()).
+ORACLE_PY: dict[str, Callable] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named query; ``oracle=None`` → rows-only check."""
+def query(name: str, oracle: str | None = None,
+          oracle_py: Callable | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle=None`` → rows-only in the
+    driver artifact; pass ``oracle_py`` to still get full value checks
+    in the committed local artifact."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -30,6 +43,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if oracle_py is not None:
+            ORACLE_PY[name] = oracle_py
         return fn
 
     return deco

@@ -27,6 +27,12 @@ SHOW = {
         "pair count (one argmax row to driver) + pure-JVM carry-scan "
         "merge, localCheckpoint keeps plans flat across 12 rounds"
     ),
+    "bpe_encode_corpus": (
+        "BPE encode: trained merges applied in rank order as chained "
+        "JVM carry-scan column rewrites over the vocabulary-sized "
+        "word table (merges are plan literals, no per-row Python, "
+        "no shuffle until the final token aggregation)"
+    ),
     "revenue_forecast": "all predicates reach the parquet scan",
     "regional_revenue": "6-way join: dims broadcast, facts hash-join",
     "top25_orders": "global top-k without a full sort",

@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from pipeline_server_spark.queries import ORACLE, QUERIES
+    from pipeline_server_spark.queries import ORACLE, ORACLE_PY, QUERIES
     from pipeline_server_spark.tools.oracle_compare import (
         compare_frames,
         duck_connection,
@@ -62,8 +62,15 @@ def main(argv: list[str] | None = None) -> int:
         try:
             spark_pdf = QUERIES[name](spark, args.sf_dir).toPandas()
             row["spark_rows"] = int(len(spark_pdf))
-            if name in ORACLE:
-                oracle_pdf = duck_connection(args.sf_dir).execute(ORACLE[name]).df()
+            if name in ORACLE or name in ORACLE_PY:
+                # SQL oracle (the driver's contract) or, for queries
+                # whose semantics are not SQL-expressible, a
+                # Python-computed referee — SAME value gate either way
+                if name in ORACLE:
+                    oracle_pdf = duck_connection(args.sf_dir).execute(ORACLE[name]).df()
+                else:
+                    oracle_pdf = ORACLE_PY[name](args.sf_dir)
+                    row["oracle_kind"] = "python"
                 row["oracle_rows"] = int(len(oracle_pdf))
                 problems = compare_frames(spark_pdf, oracle_pdf)
                 row["rows_match"] = len(spark_pdf) == len(oracle_pdf)

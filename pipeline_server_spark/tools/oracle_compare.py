@@ -91,10 +91,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
 
 
 def run_compare(spark, name: str, sf_dir: str) -> list[str]:
-    from pipeline_server_spark.queries import ORACLE, QUERIES
+    from pipeline_server_spark.queries import ORACLE, ORACLE_PY, QUERIES
 
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
-    if name not in ORACLE:
+    if name in ORACLE:
+        oracle_pdf = duck_connection(sf_dir).execute(ORACLE[name]).df()
+    elif name in ORACLE_PY:
+        oracle_pdf = ORACLE_PY[name](sf_dir)
+    else:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
-    oracle_pdf = duck_connection(sf_dir).execute(ORACLE[name]).df()
     return compare_frames(spark_pdf, oracle_pdf)

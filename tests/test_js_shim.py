@@ -1055,3 +1055,123 @@ class TestRound7ReviewFixes:
         spec = translate_transformation_script(src, stock_df.columns)
         out = apply_column_expressions(stock_df, spec.expressions, None)
         assert {r["v"] for r in out.collect()} == {"G"}
+
+
+class TestRound8IncDec:
+    """`i++`/`i--`/compound assignment (round-7 verdict item 6) and
+    the undeclared-global rejection inside functions (round-7
+    advice)."""
+
+    def test_postfix_increment_loop_header(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var total = 0;
+        for (var i = 0; i < 8; i++) { total += i; }
+        m.put('total', total);
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["total"] == 28
+
+    def test_postfix_decrement_and_prefix_forms(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var s = '';
+        for (var i = 3; i > 0; i--) { s += i; }
+        var j = 0;
+        ++j;
+        j++;
+        --j;
+        m.put('s', s);
+        m.put('j', j);
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["s"] == "321"
+        assert out["j"] == 1
+
+    def test_compound_assignment_statement_forms(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var x = 10;
+        x += 5; x -= 3; x *= 4; x /= 2; x %= 7;
+        var s = 'a';
+        s += 'b';
+        m.put('x', x);
+        m.put('s', s);
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        # ((10+5-3)*4)/2 = 24, 24 % 7 = 3
+        assert out["x"] == 3
+        assert out["s"] == "ab"
+
+    def test_compound_on_column_accumulator(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var v = adj_close;
+        v += 1.0;
+        v *= 2.0;
+        m.put('v2', v);
+        m;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: r["v2"] for r in out.collect()}
+        assert got["AAPL"] == (100.0 + 1.0) * 2.0
+
+    def test_increment_on_string_rejected_by_name(self):
+        with pytest.raises(JsTranslationError, match="numeric"):
+            translate_quality_script("var s = 'a'; s++; null;", [])
+
+    def test_increment_undeclared_rejected(self):
+        with pytest.raises(JsTranslationError, match="undeclared"):
+            translate_quality_script("q++; null;", [])
+
+    def test_compound_undeclared_rejected(self):
+        with pytest.raises(JsTranslationError, match="undeclared"):
+            translate_quality_script("q += 1; null;", [])
+
+    def test_column_driven_increment_loop_still_rejects(self, stock_df):
+        src = "for (var i = 0; i < adj_close; i++) { var t = 1; } null;"
+        with pytest.raises(JsTranslationError, match="literal"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_function_undeclared_global_rejected(self, stock_df):
+        # `x = 5` with no var and x nowhere outer creates a Nashorn
+        # GLOBAL visible to the caller — must reject, not discard
+        src = """
+        function f(p) { x = 5; return p; }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('v', f(adj_close));
+        map;
+        """
+        with pytest.raises(JsTranslationError, match="undeclared"):
+            translate_transformation_script(src, stock_df.columns)
+
+    def test_nested_function_decl_is_local_not_global(self, spark, stock_df):
+        src = """
+        function f(p) {
+            function g(q) { return q + 1.0; }
+            return g(p);
+        }
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('v', f(adj_close));
+        map;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: r["v"] for r in out.collect()}
+        assert got["AAPL"] == 101.0

@@ -939,3 +939,86 @@ class TestTfCosineOverflowFallback:
         # the discrimination case: cos((a),(a,b)) = 1/sqrt(2) < 0.8
         assert (1, 4) not in rows and (2, 4) not in rows
         assert rows[(1, 2)]["dot"] is None  # 4e36 > bigint → NULL not wrap
+
+
+class TestBpeEncode:
+    """Round-8: the encode (apply) pass vs the HuggingFace/Sennrich
+    GREEDY lowest-rank procedure — a deliberately different algorithm
+    than the operator's rank-order application; agreement on trained
+    tables is the documented equivalence."""
+
+    @staticmethod
+    def _greedy(word, ranks):
+        syms = list(word)
+        while len(syms) >= 2:
+            best = None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best is None or rk < best[0]):
+                    best = (rk, syms[i], syms[i + 1])
+            if best is None:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[1]
+                        and syms[i + 1] == best[2]):
+                    out.append(best[1] + best[2])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_matches_greedy_on_trained_table(self, spark):
+        from pipeline_server_spark.operators.text import bpe_encode, bpe_train
+
+        freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+                 "lowest": 4, "new": 7}
+        words = spark.createDataFrame(list(freqs.items()), ["w", "freq"])
+        merges = bpe_train(words, 10)
+        ranks = {(m[1], m[2]): m[0] for m in merges}
+        got = {r["w"]: list(r["toks"]) for r in
+               bpe_encode(words, merges, out_col="toks").collect()}
+        for w in freqs:
+            assert got[w] == self._greedy(w, ranks), w
+        # every word round-trips: concatenating tokens restores it
+        assert all("".join(t) == w for w, t in got.items())
+
+    def test_unseen_words_encode_with_trained_merges(self, spark):
+        """Encoding applies to words the trainer never saw — the
+        production shape (train once, encode any corpus)."""
+        from pipeline_server_spark.operators.text import bpe_encode, bpe_train
+
+        train = spark.createDataFrame(
+            [("newest", 6), ("widest", 3)], ["w", "freq"])
+        merges = bpe_train(train, 6)
+        ranks = {(m[1], m[2]): m[0] for m in merges}
+        unseen = spark.createDataFrame(
+            [("easternmost", 1), ("x", 1), ("est", 1)], ["w", "freq"])
+        got = {r["w"]: list(r["toks"]) for r in
+               bpe_encode(unseen, merges, out_col="toks").collect()}
+        for w in ("easternmost", "x", "est"):
+            assert got[w] == self._greedy(w, ranks), w
+
+    def test_bare_pair_table_and_checkpoint_path(self, spark, tmp_path):
+        from pipeline_server_spark.operators.text import bpe_encode
+
+        words = spark.createDataFrame([("aaaa", 1), ("ab", 1)], ["w", "freq"])
+        # bare (left, right) pairs, checkpoint every merge, reliable dir
+        merges = [("a", "a"), ("aa", "aa"), ("a", "b")]
+        got = {r["w"]: list(r["toks"]) for r in
+               bpe_encode(words, merges, out_col="toks", checkpoint_every=1,
+                          checkpoint_dir=str(tmp_path)).collect()}
+        assert got["aaaa"] == ["aaaa"]
+        assert got["ab"] == ["ab"]
+
+    def test_encode_is_pure_jvm(self, spark):
+        """No Python evaluation nodes in the encode plan."""
+        from pipeline_server_spark.operators.text import bpe_encode
+
+        words = spark.createDataFrame([("abc", 1)], ["w", "freq"])
+        plan = bpe_encode(words, [("a", "b")], out_col="toks") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

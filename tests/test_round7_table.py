@@ -64,9 +64,9 @@ class TestIndexContinuity:
         calls = []
         real = S.build_skipping_index
 
-        def counting(spark_, path, cols, schema=None, files=None):
+        def counting(spark_, path, cols, schema=None, files=None, **kw):
             calls.append(list(files or []))
-            return real(spark_, path, cols, schema=schema, files=files)
+            return real(spark_, path, cols, schema=schema, files=files, **kw)
 
         monkeypatch.setattr(S, "build_skipping_index", counting)
         v = t.commit_append(_orders(spark, 8000, 8100).coalesce(1))
@@ -91,9 +91,9 @@ class TestIndexContinuity:
         calls = []
         real = S.build_skipping_index
 
-        def counting(spark_, path, cols, schema=None, files=None):
+        def counting(spark_, path, cols, schema=None, files=None, **kw):
             calls.append(list(files or []))
-            return real(spark_, path, cols, schema=schema, files=files)
+            return real(spark_, path, cols, schema=schema, files=files, **kw)
 
         monkeypatch.setattr(S, "build_skipping_index", counting)
         # touch exactly one partition (k % 8 == 0)

@@ -341,7 +341,8 @@ def test_skipping_index_zero_data_files(spark, tmp_path):
     empty_dir.mkdir()
     idx = build_skipping_index(spark, str(empty_dir), ["a", "b"], schema=schema)
     assert idx.count() == 0
-    assert idx.columns == ["file", "n_rows", "a_min", "a_max", "b_min", "b_max"]
+    assert idx.columns == ["file", "n_rows", "a_min", "a_max", "a_nulls",
+                           "b_min", "b_max", "b_nulls"]
 
 
 def test_versioned_commit_empty_frame_with_stats(spark, tmp_path):
@@ -516,3 +517,117 @@ def test_distributed_prefix_sum_preserves_fractional_type(spark):
     # integral stays bigint (pps_systematic_sample contract)
     ints = spark.createDataFrame([(1, 2), (2, 3)], ["o", "w"])
     assert dict(distributed_prefix_sum(ints, "o", "w", out="c").dtypes)["c"] == "bigint"
+
+
+class TestNullCountSkipping:
+    """Round-8 (round-7 verdict item 8): per-column null counts in the
+    skipping index serve IS NULL / IS NOT NULL predicates and let
+    range predicates safely skip all-null files."""
+
+    @staticmethod
+    def _lake(spark, tmp_path):
+        """Three one-file batches: all-null x, no-null x, mixed x."""
+        import os
+
+        from pyspark.sql import types as T
+
+        path = str(tmp_path / "nlake")
+        schema = T.StructType([
+            T.StructField("x", T.IntegerType()),
+            T.StructField("payload", T.LongType()),
+        ])
+        batches = [
+            [(None, 1), (None, 2)],            # all-null
+            [(10, 3), (20, 4)],                # no-null
+            [(None, 5), (30, 6)],              # mixed
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(path)
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+        assert len(files) == 3
+        return path
+
+    def test_null_predicates_prune(self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import (
+            build_skipping_index,
+            read_with_skipping,
+        )
+
+        path = self._lake(spark, tmp_path)
+        idx = build_skipping_index(spark, path, ["x"])
+        assert "x_nulls" in idx.columns
+
+        got, fr, ft = read_with_skipping(spark, path, idx, {"x": "is_null"})
+        assert ft == 3 and fr == 2  # the no-null file pruned
+        assert sorted(r["payload"] for r in got.collect()) == [1, 2, 5]
+
+        got, fr, _ = read_with_skipping(spark, path, idx, {"x": "not_null"})
+        assert fr == 2  # the all-null file pruned
+        assert sorted(r["payload"] for r in got.collect()) == [3, 4, 6]
+
+    def test_range_bound_skips_all_null_file(self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import (
+            build_skipping_index,
+            read_with_skipping,
+        )
+
+        path = self._lake(spark, tmp_path)
+        idx = build_skipping_index(spark, path, ["x"])
+        got, fr, ft = read_with_skipping(spark, path, idx, {"x": (0, 100)})
+        # previously 3 (all-null file's absent min/max → unconditional
+        # read); the null count proves no value can match
+        assert ft == 3 and fr == 2
+        assert sorted(r["payload"] for r in got.collect()) == [3, 4, 6]
+
+    def test_legacy_index_without_null_counts_is_safe(self, spark, tmp_path):
+        """An index built before null-count stats (no _nulls columns)
+        must neither crash nor prune on null predicates."""
+        from pipeline_server_spark.operators.scale import (
+            build_skipping_index,
+            read_with_skipping,
+        )
+
+        path = self._lake(spark, tmp_path)
+        idx = build_skipping_index(spark, path, ["x"]).drop("x_nulls")
+        got, fr, ft = read_with_skipping(spark, path, idx, {"x": "is_null"})
+        assert (fr, ft) == (3, 3)  # no pruning — but correct rows
+        assert sorted(r["payload"] for r in got.collect()) == [1, 2, 5]
+        got, fr, _ = read_with_skipping(spark, path, idx, {"x": (0, 100)})
+        assert fr == 3  # conservative legacy behavior preserved
+        assert sorted(r["payload"] for r in got.collect()) == [3, 4, 6]
+
+    def test_versioned_table_is_null_read_pruned(self, spark, tmp_path):
+        """End-to-end through VersionedTable.read_pruned, including
+        the incremental index maintenance path."""
+        from pyspark.sql import types as T
+
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        schema = T.StructType([
+            T.StructField("x", T.IntegerType()),
+            T.StructField("payload", T.LongType()),
+        ])
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.createDataFrame([(1, 1), (2, 2)], schema).coalesce(1),
+                 stats_cols=("x",))
+        t.commit_append(
+            spark.createDataFrame([(None, 3), (None, 4)], schema).coalesce(1))
+        got, fr, ft = t.read_pruned({"x": "is_null"})
+        assert ft == 2 and fr == 1
+        assert sorted(r["payload"] for r in got.collect()) == [3, 4]
+        got, fr, _ = t.read_pruned({"x": "not_null"})
+        assert fr == 1
+        assert sorted(r["payload"] for r in got.collect()) == [1, 2]
+
+    def test_no_index_fallback_handles_null_predicates(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt2"))
+        t.commit(spark.createDataFrame(
+            [(None, 1), (5, 2)], "x int, payload long"))  # no stats_cols
+        got, fr, ft = t.read_pruned({"x": "is_null"})
+        assert fr == ft
+        assert [r["payload"] for r in got.collect()] == [1]
