@@ -113,6 +113,7 @@ def config_from_dict(d: dict) -> DatasetConfig:
             # leaves stale rows behind when a key changes partition
             immutable_partitions=dst.get("immutable_partitions", True),
             stats_cols=tuple(dst.get("stats_cols", ())),
+            bloom_cols=tuple(dst.get("bloom_cols", ())),
             auto_compact_dirs=dst.get("auto_compact_dirs", 64),
         ),
         parity_mode=d.get("parity_mode", False),

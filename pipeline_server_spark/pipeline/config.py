@@ -142,6 +142,15 @@ class DestinationConfig:
     # pruning under the table's normal write cadence (round-6 verdict
     # item 1). Requires versioned=True + parquet.
     stats_cols: tuple[str, ...] = ()
+    # Columns to maintain per-file Bloom point-lookup filters over on
+    # a versioned destination (round-7 verdict item 9): exact-match
+    # probes (`read_pruned(points={col: v})`) skip files that
+    # definitely lack the value — the path min/max stats cannot serve
+    # for a high-cardinality key on un-clustered data. Built from a
+    # vectorized column read of each commit's NEW files only (same
+    # incremental O(batch) contract as stats_cols). Requires
+    # versioned=True + parquet.
+    bloom_cols: tuple[str, ...] = ()
     # Auto-compaction policy for versioned destinations: when the
     # current manifest spans more than this many version directories
     # (incremental commits each add one; the union read plan is that
@@ -180,6 +189,7 @@ def normalize_config(config: DatasetConfig) -> DatasetConfig:
             key_fields=tuple(k.lower() for k in config.destination.key_fields),
             partition_by=tuple(p.lower() for p in config.destination.partition_by),
             stats_cols=tuple(s.lower() for s in config.destination.stats_cols),
+            bloom_cols=tuple(s.lower() for s in config.destination.bloom_cols),
         ),
     )
 
@@ -236,11 +246,23 @@ def validate_config(config: DatasetConfig) -> DatasetConfig:
                 f"stats column {s!r} is a partition column — partition "
                 "values are not stored in parquet footers (partition "
                 "pruning already covers them)")
+    for s in config.destination.bloom_cols:
+        if dest_names and s not in dest_names:
+            errors.append(f"bloom column {s!r} not in destination schema")
+        if s in config.destination.partition_by:
+            errors.append(
+                f"bloom column {s!r} is a partition column — partition "
+                "pruning already serves exact matches on it")
     if config.destination.stats_cols and not config.destination.versioned:
         errors.append("stats_cols requires versioned=True (the skipping index "
                       "rides VersionedTable commits)")
+    if config.destination.bloom_cols and not config.destination.versioned:
+        errors.append("bloom_cols requires versioned=True (the skipping index "
+                      "rides VersionedTable commits)")
     if config.destination.stats_cols and config.destination.file_format != "parquet":
         errors.append("stats_cols requires parquet (footer-statistics reads)")
+    if config.destination.bloom_cols and config.destination.file_format != "parquet":
+        errors.append("bloom_cols requires parquet (Arrow column reads)")
     if config.destination.auto_compact_dirs < 0:
         errors.append("auto_compact_dirs must be >= 0 (0 disables)")
     if config.destination.file_format not in ("parquet", "orc"):

@@ -60,7 +60,33 @@ Supported subset (symbolically executed, conditions stay data-side):
   drop predicate); a data-dependent return INSIDE an unrolled loop
   body is rejected by name (later iterations' effects could not be
   masked for returned rows)
-- comparison / logical operators ``== != < <= > >= && || !``
+- comparison / logical operators ``== != < <= > >= && || !``;
+  ``++``/``--`` and compound assignment ``+= -= *= /= %=`` in
+  statement and for-update position (so ``for (var i = 0; i < 8;
+  i++)`` unrolls)
+- array literals ``[a, b, c]`` with LITERAL-index reads/writes
+  (out-of-bounds reads undefined; ``a[a.length] = x`` appends),
+  ``.length``, ``.push`` (returns new length), ``.join``,
+  ``.indexOf`` — loop-built lookup tables over an unrolled index
+  fold to constants, and an all-expression array used as a map value
+  becomes an ARRAY column (``F.array``). Faithful-or-reject
+  boundaries: column-valued indexes, mutation under a
+  data-dependent branch, arrays as function arguments, and outer-
+  array mutation inside functions all reject by name
+- regex literals ``/pat/flags`` (flags g i m s) with a validated
+  JS→Java pattern translation (Spark's regexp functions are
+  Java-regex): ``re.test(s)`` → ``rlike``; ``s.replace(re, 'x')`` —
+  global via ``regexp_replace`` with $-reference translation,
+  non-global via a first-match splice (``regexp_instr`` +
+  ``regexp_extract``); ``s.replace('lit', 'x')`` replaces the FIRST
+  occurrence (JS string-pattern semantics); ``s.split(sep)`` →
+  ``F.split`` keeping trailing empties (an ARRAY column supporting
+  ``[i]``/``.length``/``.join``/``.indexOf``); ``s.search(re)``.
+  Faithful-or-reject: escapes whose Java meaning differs (``\v``,
+  octal), ``[]``/``[^]`` classes, ``.match``, ``.exec``, capturing
+  split, dollar-backtick/dollar-quote context refs, and non-literal
+  replacements all reject by name; ``\b`` in a class becomes backspace, literal
+  braces are escaped for Java
 
 Scale note: the translated script is pure Catalyst expressions — no
 Python boundary, whole-stage codegen applies — which is the entire
@@ -97,7 +123,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
-  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|[-+*/%<>=!(){};,.?:])
+  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|[-+*/%<>=!(){};,.?:\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -105,6 +131,31 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"var", "let", "const", "new", "if", "else", "null", "true",
              "false", "return", "for", "while", "break", "continue",
              "function"}
+
+# A `/` starts a regex literal only in EXPRESSION position — i.e. when
+# the previous token cannot end an operand. After an operand, `/` is
+# division (`a / b`, `i /= 2`). This is the standard one-token-lookback
+# heuristic; the one genuinely ambiguous JS corner (`)` — e.g.
+# `if (x) /re/.test(s)`) lexes as division, and the resulting parse
+# error rejects the script rather than mistranslating it.
+_REGEX_LITERAL_RE = re.compile(
+    r"/(?P<body>(?:[^/\\\n\[]|\\.|\[(?:[^\]\\\n]|\\.)*\])+)/(?P<flags>[A-Za-z]*)"
+)
+_OPERAND_ENDERS = {")", "]", "++", "--"}
+_OPERAND_KWS = {"null", "true", "false"}
+
+
+def _regex_position(toks: list["_Tok"]) -> bool:
+    if not toks:
+        return True
+    p = toks[-1]
+    if p.kind in ("num", "str", "regex"):
+        return False
+    if p.kind == "ident":
+        return False
+    if p.kind == "kw":
+        return p.text not in _OPERAND_KWS
+    return p.text not in _OPERAND_ENDERS
 
 # compound-assignment operators accepted in statement and for-update
 # position; `op[0]` is the underlying binary operator
@@ -122,6 +173,13 @@ def _tokenize(src: str) -> list[_Tok]:
     toks: list[_Tok] = []
     i = 0
     while i < len(src):
+        if (src[i] == "/" and src[i + 1: i + 2] not in ("/", "*")
+                and _regex_position(toks)):
+            rm = _REGEX_LITERAL_RE.match(src, i)
+            if rm:
+                toks.append(_Tok("regex", rm.group(), rm.start()))
+                i = rm.end()
+                continue
         m = _TOKEN_RE.match(src, i)
         if not m:
             raise JsTranslationError(f"unrecognized character {src[i]!r} at offset {i}")
@@ -158,6 +216,225 @@ class _MapVal:
 
     def copy(self) -> "_MapVal":
         return _MapVal(dict(self.entries))
+
+
+@dataclass
+class _ArrVal:
+    """A JS array literal under symbolic construction: elements are
+    literals or Columns. Indexing requires a LITERAL index (the
+    unroller's loop variables qualify); a column-valued index rejects
+    by name. Mutation under a data-dependent branch rejects (the two
+    arms' states cannot merge element-wise without dropping Nashorn
+    identity semantics)."""
+
+    items: list[Any] = field(default_factory=list)
+
+    def copy(self) -> "_ArrVal":
+        return _ArrVal(list(self.items))
+
+
+@dataclass
+class _RegexVal:
+    """A JS regex literal, pre-translated to a Java pattern the Spark
+    regexp functions can run. Immutable — safe to share across branch
+    arms like any literal. ``pattern`` carries inline (?i)(?m)(?s)
+    prefixes for the i/m/s flags; ``global_flag`` records /g (a
+    replace-ALL vs replace-FIRST semantic, not a pattern property);
+    ``n_groups`` counts capturing groups for $n replacement refs."""
+
+    pattern: str
+    global_flag: bool
+    n_groups: int
+
+
+@dataclass
+class _ColArrVal:
+    """An ARRAY-typed Column (the result of String.split): element
+    reads lower to F.get (out-of-bounds → null, as JS undefined),
+    .length to F.size, .join to F.array_join, .indexOf to
+    F.array_position. Immutable — mutation (push, indexed write)
+    rejects by name; Nashorn split results are real JS arrays, but a
+    column-valued array cannot be mutated symbolically."""
+
+    col: Column
+
+
+# JS→Java regex: alphabetic escapes that mean the same thing in both
+# dialects (everything else alphabetic either differs — \v is a
+# vertical-tab CHAR in JS but a whitespace CLASS in Java — or is
+# JS-only, and rejects/translates explicitly below).
+_RE_SAME_ALPHA_ESC = set("dDwWsSnrtf")
+
+
+def _translate_js_regex(body: str, flags: str) -> _RegexVal:
+    """Validate a JS regex literal body and emit the equivalent Java
+    pattern (Spark's regexp functions are Java-regex). Faithful or
+    reject: constructs whose semantics differ between the dialects
+    (octal escapes, \\v, [^], literal braces) are translated where a
+    lossless Java spelling exists and rejected by name otherwise."""
+    global_flag = False
+    prefix = ""
+    for f in flags:
+        if f == "g":
+            global_flag = True
+        elif f in "ims":
+            prefix += f"(?{f})"
+        else:
+            raise JsTranslationError(
+                f"regex flag {f!r} is not supported (supported: g i m s)")
+    out: list[str] = []
+    n_groups = 0
+    backrefs: list[int] = []
+    i = 0
+    in_class = False
+
+    def esc(j: int) -> tuple[str, int]:
+        """Translate the escape starting at body[j] == '\\'."""
+        if j + 1 >= len(body):
+            raise JsTranslationError("regex ends with a lone backslash")
+        c = body[j + 1]
+        if not c.isalnum():
+            # backslash before a non-alphanumeric is that literal char
+            # in both dialects ('/' needs no escape in Java but keeping
+            # it escaped is harmless)
+            return "\\" + c, j + 2
+        if c in _RE_SAME_ALPHA_ESC:
+            return "\\" + c, j + 2
+        if c == "b":
+            if in_class:
+                return "\\x08", j + 2  # JS [\b] is BACKSPACE
+            return "\\b", j + 2
+        if c == "B" and not in_class:
+            return "\\B", j + 2
+        if c == "v":
+            return "\\x0B", j + 2  # Java \v is a whitespace CLASS
+        if c == "0":
+            return "\\x00", j + 2  # Java \0 starts an octal escape
+        if c == "x" and re.match(r"[0-9A-Fa-f]{2}", body[j + 2: j + 4]):
+            return body[j: j + 4], j + 4
+        if c == "u" and re.match(r"[0-9A-Fa-f]{4}", body[j + 2: j + 6]):
+            return body[j: j + 6], j + 6
+        if c.isdigit() and not in_class:
+            m = re.match(r"\d+", body[j + 1:])
+            backrefs.append(int(m.group()))
+            return body[j: j + 1 + m.end()], j + 1 + m.end()
+        raise JsTranslationError(
+            f"regex escape \\{c} is not supported (its Java-regex "
+            "meaning differs from JS or does not exist)")
+
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\":
+            t, i = esc(i)
+            out.append(t)
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            if body[i + 1: i + 3] == "^]":
+                out.append("[\\s\\S]")  # JS [^] = any char; Java errors
+                i += 3
+                continue
+            if body[i + 1: i + 2] == "]":
+                raise JsTranslationError(
+                    "empty character class [] (never matches in JS, "
+                    "a syntax error in Java) is not supported")
+            in_class = True
+            out.append("[")
+            i += 1
+            continue
+        if ch == "(":
+            nxt = body[i + 1: i + 2]
+            if nxt != "?":
+                n_groups += 1
+                out.append("(")
+                i += 1
+                continue
+            tail = body[i + 2:]
+            if tail[:1] in (":", "=", "!") or tail[:2] in ("<=", "<!"):
+                out.append(body[i: i + 2])
+                i += 2
+                continue
+            m = re.match(r"<([A-Za-z][A-Za-z0-9]*)>", tail)
+            if m:
+                n_groups += 1  # named groups: same syntax in Java
+                out.append(body[i: i + 3 + m.end() - 1])
+                i += 2 + m.end()
+                continue
+            raise JsTranslationError(
+                f"regex group construct (?{tail[:2]}... is not supported")
+        if ch == "{":
+            m = re.match(r"\{\d+(,\d*)?\}", body[i:])
+            if m:
+                out.append(m.group())
+                i += m.end()
+            else:
+                out.append("\\{")  # literal { in JS; Java quantifier error
+                i += 1
+            continue
+        if ch == "}":
+            # a } that closed a quantifier was consumed above; a bare
+            # one is a literal in JS but ambiguous in Java
+            out.append("\\}")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    if in_class:
+        raise JsTranslationError("unterminated character class in regex")
+    for b in backrefs:
+        if b > n_groups:
+            raise JsTranslationError(
+                f"regex backreference \\{b} exceeds the group count "
+                f"({n_groups}) — an octal escape in JS sloppy mode, "
+                "which Java-regex reads differently")
+    return _RegexVal(prefix + "".join(out), global_flag, n_groups)
+
+
+def _js_repl_to_java(repl: str, n_groups: int) -> str:
+    """Translate a JS replacement string to Java ``Matcher`` syntax:
+    $$→literal $, $&→$0, $n/$nn kept when the group exists (JS prefers
+    the longest valid reference), everything else made literal (Java
+    errors on dangling $ and bare backslash where JS keeps them)."""
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        c = repl[i]
+        if c == "\\":
+            out.append("\\\\")
+            i += 1
+            continue
+        if c == "$" and i + 1 < len(repl):
+            nxt = repl[i + 1]
+            if nxt == "$":
+                out.append("\\$")
+                i += 2
+                continue
+            if nxt == "&":
+                out.append("$0")
+                i += 2
+                continue
+            if nxt.isdigit():
+                two = repl[i + 1: i + 3]
+                if len(two) == 2 and two.isdigit() and 10 <= int(two) <= n_groups:
+                    out.append("$" + two)
+                    i += 3
+                    continue
+                if 1 <= int(nxt) <= n_groups:
+                    out.append("$" + nxt)
+                    i += 2
+                    continue
+        if c == "$":
+            out.append("\\$")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 @dataclass
@@ -215,6 +492,14 @@ def _to_col(v: Any) -> Column:
         return F.when(v.cond, _to_col(v.then_val)).otherwise(_to_col(v.else_val))
     if isinstance(v, _StrVal):
         return v.col
+    if isinstance(v, _ArrVal):
+        return F.array(*[_to_col(x) for x in v.items])
+    if isinstance(v, _ColArrVal):
+        return v.col
+    if isinstance(v, _RegexVal):
+        raise JsTranslationError(
+            "a regex literal cannot be used as a value (call .test(s), "
+            "or pass it to .replace/.split/.search)")
     raise JsTranslationError(f"value {v!r} cannot be used as a column expression")
 
 
@@ -469,6 +754,20 @@ class _Interp:
             self.env[name] = val
             self.completion = _NULL
             return
+        # indexed assignment: a[i] = expr (literal index; i == length
+        # appends, as in Nashorn; beyond-length sparse writes reject)
+        if (t.kind == "ident" and self.toks[self.i + 1].text == "["
+                and self._is_indexed_assignment()):
+            name = self.next().text
+            self.next()  # '['
+            idx = self.expression()
+            self.expect("]")
+            self.expect("=")
+            val = self.expression()
+            self._semi()
+            self._index_assign(name, idx, val)
+            self.completion = _NULL
+            return
         # compound assignment / increment-decrement (statement
         # position): i += 1 is i = i + 1, s += 'x' concatenates —
         # the single most common accumulator form (round-7 verdict)
@@ -691,6 +990,45 @@ class _Interp:
             "(i = i + 1, i += 1, i++)"
         )
 
+    def _is_indexed_assignment(self) -> bool:
+        """Lookahead from ``ident [``: does the matching ``]`` lead
+        straight into a plain ``=``? Distinguishes the statement
+        ``a[0] = x;`` from the expression statement ``a[0];``."""
+        j = self.i + 1  # at '['
+        depth = 0
+        while j < len(self.toks):
+            tx = self.toks[j].text
+            if tx == "[":
+                depth += 1
+            elif tx == "]":
+                depth -= 1
+                if depth == 0:
+                    return self.toks[j + 1].text == "="
+            elif self.toks[j].kind == "eof" or tx == ";":
+                return False
+            j += 1
+        return False
+
+    def _index_assign(self, name: str, idx: Any, val: Any) -> None:
+        arr = self.env.get(name)
+        if not isinstance(arr, _ArrVal):
+            raise JsTranslationError(
+                f"indexed assignment to {name!r}, which is not an array")
+        if isinstance(idx, bool) or not isinstance(idx, (int, float)) \
+                or int(idx) != idx or idx < 0:
+            raise JsTranslationError(
+                "array index in assignment must fold to a literal "
+                "non-negative integer")
+        i = int(idx)
+        if i < len(arr.items):
+            arr.items[i] = val
+        elif i == len(arr.items):
+            arr.items.append(val)  # a[a.length] = x appends
+        else:
+            raise JsTranslationError(
+                f"sparse array write at index {i} (length "
+                f"{len(arr.items)}) is not supported")
+
     def _compound(self, name: str, op: str, val: Any) -> Any:
         """``name op= val`` desugars to ``name = name op val`` with the
         same operator semantics as the binary form (so ``s += 'x'``
@@ -769,7 +1107,8 @@ class _Interp:
         else_guard = ~then_guard
 
         pre_env = dict(self.env)
-        pre_maps = {k: v.copy() for k, v in self.env.items() if isinstance(v, _MapVal)}
+        pre_maps = {k: v.copy() for k, v in self.env.items()
+                    if isinstance(v, (_MapVal, _ArrVal))}
         pre_completion = self.completion
         pre_pending = len(self.pending)
         pre_pmaps = len(self.pending_maps)
@@ -848,6 +1187,8 @@ class _Interp:
             # side effects those rows keep: snapshot the arm's map
             # states for the end-of-call fold (a mutation-dropping
             # mistranslation otherwise — round-7 review)
+            self._reject_array_mutation(
+                then_env, pre_maps, "a data-dependent returning arm")
             self.pending.append((then_guard, self._freeze(then_completion)))
             self.pending_maps.append((then_guard, {
                 k: v.copy() for k, v in then_env.items()
@@ -857,6 +1198,8 @@ class _Interp:
             self.completion = else_completion
             return
         if else_finished:
+            self._reject_array_mutation(
+                else_env, pre_maps, "a data-dependent returning arm")
             self.pending.append((else_guard, self._freeze(else_completion)))
             self.pending_maps.append((else_guard, {
                 k: v.copy() for k, v in else_env.items()
@@ -871,13 +1214,27 @@ class _Interp:
 
     @staticmethod
     def _freeze(v: Any) -> Any:
-        return v.copy() if isinstance(v, _MapVal) else v
+        return v.copy() if isinstance(v, (_MapVal, _ArrVal)) else v
+
+    def _reject_array_mutation(self, env: dict, pre_maps: dict,
+                               where: str) -> None:
+        """An array mutated on an arm that RETURNED cannot fold (the
+        map machinery snapshots per-arm states; arrays reject by name
+        instead of silently dropping the mutation)."""
+        for k, snap in pre_maps.items():
+            if isinstance(snap, _ArrVal):
+                cur = env.get(k)
+                if not (isinstance(cur, _ArrVal)
+                        and self._same_arr_state(cur, snap)):
+                    raise JsTranslationError(
+                        f"array {k!r} mutated under {where} is not "
+                        "supported (build the array unconditionally)")
 
     def _restore_untouched(self, env: dict, pre_env: dict) -> dict:
-        """Swap content-identical map CLONES back to the original
-        objects: receivers resolved before the branch point to the
-        originals, so an untouched map must keep its identity (the
-        same rule _merge_values applies)."""
+        """Swap content-identical map/array CLONES back to the
+        original objects: receivers resolved before the branch point
+        to the originals, so an untouched value must keep its
+        identity (the same rule _merge_values applies)."""
         for k, orig in pre_env.items():
             cur = env.get(k)
             if (
@@ -889,6 +1246,11 @@ class _Interp:
                     or self._same_literal(cur.entries[x], orig.entries[x])
                     for x in cur.entries
                 )
+            ):
+                env[k] = orig
+            elif (
+                isinstance(orig, _ArrVal) and isinstance(cur, _ArrVal)
+                and cur is not orig and self._same_arr_state(cur, orig)
             ):
                 env[k] = orig
         return env
@@ -904,6 +1266,28 @@ class _Interp:
     def _merge_values(self, cond: Column, tv: Any, ev: Any) -> Any:
         if tv is ev:
             return tv
+        if isinstance(tv, _ArrVal) or isinstance(ev, _ArrVal):
+            # untouched across both arms: keep the then-side object
+            # (identity rule as for maps). A DIVERGING array cannot
+            # merge element-wise without breaking Nashorn identity
+            # semantics — reject by name, never mistranslate.
+            if (isinstance(tv, _ArrVal) and isinstance(ev, _ArrVal)
+                    and self._same_arr_state(tv, ev)):
+                return tv
+            raise JsTranslationError(
+                "array mutated under a data-dependent condition is not "
+                "supported (build the array unconditionally, or port "
+                "this script to a Python row function)")
+        if isinstance(tv, _ColArrVal) or isinstance(ev, _ColArrVal):
+            # keep the array-ness through the merge so later .length /
+            # [i] / .join still lower to array functions (a mismatched
+            # non-array arm fails Catalyst analysis loudly)
+            return _ColArrVal(
+                F.when(cond, _to_col(tv)).otherwise(_to_col(ev)))
+        if isinstance(tv, _RegexVal) or isinstance(ev, _RegexVal):
+            raise JsTranslationError(
+                "a regex chosen under a data-dependent condition is not "
+                "supported (apply each regex unconditionally)")
         if isinstance(tv, _MapVal) and isinstance(ev, _MapVal):
             # untouched on both arms (clone shares every entry object):
             # return the ORIGINAL so references resolved before the
@@ -939,6 +1323,12 @@ class _Interp:
             # condition so the caller can derive the drop predicate
             return _Cond(cond, tv, ev)
         return F.when(cond, _to_col(tv)).otherwise(_to_col(ev))
+
+    def _same_arr_state(self, a: "_ArrVal", b: "_ArrVal") -> bool:
+        return len(a.items) == len(b.items) and all(
+            x is y or self._same_literal(x, y)
+            for x, y in zip(a.items, b.items)
+        )
 
     def _same_map_state(self, a: "_MapVal", b: "_MapVal") -> bool:
         """Content-identical map states (same keys, entry objects
@@ -999,7 +1389,7 @@ class _Interp:
             return out
         pre_env = dict(self.env)
         pre_maps = {k: v.copy() for k, v in self.env.items()
-                    if isinstance(v, _MapVal)}
+                    if isinstance(v, (_MapVal, _ArrVal))}
         then_v = self.expression()
         then_env = self.env
         self.expect(":")
@@ -1018,7 +1408,7 @@ class _Interp:
         literal-condition ternary. Maps are cloned so mutation lands
         on throwaways."""
         saved_env = self.env
-        self.env = {k: (v.copy() if isinstance(v, _MapVal) else v)
+        self.env = {k: (v.copy() if isinstance(v, (_MapVal, _ArrVal)) else v)
                     for k, v in saved_env.items()}
         try:
             self.expression()
@@ -1231,6 +1621,10 @@ class _Interp:
                 if self.at("("):
                     args = self.call_args()
                     val = self._method_call(val, name, args)
+                elif name == "length" and isinstance(val, _ArrVal):
+                    val = len(val.items)
+                elif name == "length" and isinstance(val, _ColArrVal):
+                    val = F.size(val.col)
                 elif name == "length" and isinstance(val, (str, _StrVal, Column)):
                     val = (
                         len(val) if isinstance(val, str)
@@ -1240,8 +1634,49 @@ class _Interp:
                     raise JsTranslationError(
                         f"property access .{name} without a call is not supported"
                     )
+            elif self.at("["):
+                self.next()
+                idx = self.expression()
+                self.expect("]")
+                val = self._index_value(val, idx)
             else:
                 return val
+
+    def _index_value(self, val: Any, idx: Any) -> Any:
+        """``a[i]`` read: a literal index into an array value (an
+        unrolled loop variable folds to one). Out of bounds reads
+        undefined, as in Nashorn. Column-valued indexes and non-array
+        receivers reject by name; an ARRAY-typed Column (a split
+        result) indexes data-side via F.get, where out-of-bounds is
+        null — the same routing as undefined for the dialect's
+        comparison/if patterns."""
+        if isinstance(val, _ColArrVal):
+            if isinstance(idx, bool) or not isinstance(
+                    idx, (int, float, Column)):
+                raise JsTranslationError(
+                    "array index must be a number or a numeric column")
+            if isinstance(idx, float):
+                if int(idx) != idx:
+                    return _NULL  # fractional index: undefined
+                idx = int(idx)
+            if isinstance(idx, Column):
+                idx = idx.cast("int")
+            return F.get(val.col, idx)
+        if not isinstance(val, _ArrVal):
+            raise JsTranslationError(
+                "indexing is only supported on array literals "
+                f"(got {type(val).__name__})")
+        if isinstance(idx, bool) or not isinstance(idx, (int, float)):
+            raise JsTranslationError(
+                "array index must fold to a literal number (a "
+                "column-valued index cannot be resolved at translation "
+                "time)")
+        i = int(idx)
+        if i != idx:
+            return _NULL  # fractional index: undefined in Nashorn
+        if 0 <= i < len(val.items):
+            return val.items[i]
+        return _NULL  # out of bounds reads undefined
 
     def call_args(self) -> list[Any]:
         self.expect("(")
@@ -1278,6 +1713,10 @@ class _Interp:
             )
         if len(self._call_stack) >= 16:
             raise JsTranslationError("function call nesting exceeds 16")
+        if any(isinstance(a, _ArrVal) for a in args):
+            raise JsTranslationError(
+                f"array argument to function {fn.name!r} is not supported "
+                "(arrays pass by reference in Nashorn; inline the logic)")
         saved_env = self.env
         saved = (self.finished, self.pending, self.pending_maps,
                  self.completion, self.i,
@@ -1291,6 +1730,13 @@ class _Interp:
         if not self._call_stack:
             self._global_env = saved_env
         base_env = saved_env if not self._call_stack else self._global_env
+        # outer arrays are SHARED objects (dict(base_env) copies the
+        # reference): snapshot their state so in-place mutation inside
+        # the body can be detected and rejected below — the map-fold
+        # machinery that makes conditional returns sound does not
+        # cover arrays
+        arr_snaps = {k: v.copy() for k, v in base_env.items()
+                     if isinstance(v, _ArrVal)}
         self.env = dict(base_env)
         self.env.update(zip(fn.params, args))
         self._local_decls: set[str] = set()
@@ -1346,6 +1792,15 @@ class _Interp:
                         f"function {fn.name!r} assigns outer variable {k!r} "
                         "(pass it as a parameter or return the value)"
                     )
+            for k, snap in arr_snaps.items():
+                cur = self.env.get(k)
+                if k in fn.params or k in self._local_decls:
+                    continue
+                if not (isinstance(cur, _ArrVal)
+                        and self._same_arr_state(cur, snap)):
+                    raise JsTranslationError(
+                        f"function {fn.name!r} mutates outer array {k!r} "
+                        "(return the value instead)")
             # a brand-new UNDECLARED name (`x = 5` with no `var` and x
             # nowhere outer) creates a Nashorn GLOBAL visible to the
             # caller — the env restore would silently discard it, so
@@ -1423,9 +1878,149 @@ class _Interp:
             folded = self._py_string_method(obj, name, args)
             if folded is not None:
                 return folded
+        if isinstance(obj, _ArrVal):
+            return self._array_method(obj, name, args)
+        if isinstance(obj, _RegexVal):
+            return self._regex_method(obj, name, args)
+        if isinstance(obj, _ColArrVal):
+            return self._col_array_method(obj, name, args)
         if isinstance(obj, (str, _StrVal, Column)):
             return self._col_string_method(obj, name, args)
         raise JsTranslationError(f"method .{name}() on {type(obj).__name__} is not supported")
+
+    @staticmethod
+    def _array_method(obj: _ArrVal, name: str, args: list[Any]) -> Any:
+        if name == "push":
+            if not args:
+                raise JsTranslationError(".push() needs at least one argument")
+            obj.items.extend(args)
+            return len(obj.items)  # Nashorn returns the new length
+        if name == "join":
+            sep = args[0] if args else ","
+            if not isinstance(sep, str):
+                raise JsTranslationError(".join() separator must be a literal string")
+            if all(isinstance(x, (str, int, float, bool, _Null)) for x in obj.items):
+                return sep.join(_js_str(x) for x in obj.items)
+            return _StrVal(F.concat_ws(
+                sep, *[F.coalesce(_to_col(x).cast("string"), F.lit("null"))
+                       for x in obj.items]))
+        if name == "indexOf" and len(args) == 1:
+            probe = args[0]
+            if not isinstance(probe, (str, int, float, bool)):
+                raise JsTranslationError(
+                    ".indexOf() on an array needs a literal argument")
+            for i, x in enumerate(obj.items):
+                if isinstance(x, type(probe)) and x == probe:
+                    return i
+            if all(isinstance(x, (str, int, float, bool, _Null))
+                   for x in obj.items):
+                return -1
+            raise JsTranslationError(
+                ".indexOf() over column-valued array elements cannot "
+                "fold (comparison order is data-dependent)")
+        raise JsTranslationError(
+            f"array method .{name}() is not supported "
+            "(supported: push, join, indexOf, .length)")
+
+    @staticmethod
+    def _regex_method(obj: _RegexVal, name: str, args: list[Any]) -> Any:
+        if name == "test":
+            if len(args) != 1:
+                raise JsTranslationError(".test() takes exactly one argument")
+            # Nashorn does NOT throw on test(null): the argument is
+            # ToString'd, so a SQL NULL tests the pattern against the
+            # string "null" and yields a REAL boolean. Fix at the
+            # result (constant fallback), never by coalescing the
+            # operand to a typed literal — the round-7 rule. (The
+            # shim's single _NULL conflates JS null/undefined; a JS
+            # undefined would stringify to "undefined" — patterns
+            # distinguishing the two literal spellings are out of
+            # scope.)
+            base = _to_col(args[0]).cast("string").rlike(obj.pattern)
+            py_pat = re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", obj.pattern)
+            null_result = bool(re.search(py_pat, "null"))
+            return F.coalesce(base, F.lit(null_result))
+        raise JsTranslationError(
+            f"regex method .{name}() is not supported (supported: test; "
+            "use s.replace/s.split/s.search for the rest)")
+
+    @staticmethod
+    def _col_array_method(obj: _ColArrVal, name: str, args: list[Any]) -> Any:
+        if name == "join":
+            sep = args[0] if args else ","
+            if not isinstance(sep, str):
+                raise JsTranslationError(
+                    ".join() separator must be a literal string")
+            # JS stringifies null/undefined elements to '' when joining
+            return _StrVal(F.array_join(obj.col, sep, ""))
+        if name == "indexOf" and len(args) == 1:
+            probe = args[0]
+            if isinstance(probe, _Null) or probe is None:
+                raise JsTranslationError(
+                    ".indexOf(null) on a split result is not supported")
+            # JS: 0-based, -1 absent; array_position: 1-based, 0 absent
+            return F.array_position(obj.col, _to_col(probe)) - F.lit(1)
+        if name == "push":
+            raise JsTranslationError(
+                "mutating a column-valued array (.push) is not supported")
+        raise JsTranslationError(
+            f"array method .{name}() on a split result is not supported "
+            "(supported: join, indexOf, element access, .length)")
+
+    @staticmethod
+    def _replace_first(sc: Column, rv: _RegexVal, repl: str) -> Column:
+        """JS non-global regex replace: splice the translated
+        replacement (literal segments + $n group reads) over the FIRST
+        match — Spark's regexp_replace is replace-ALL, so the first
+        match is located with regexp_instr and the string recomposed
+        around it. No match leaves the input unchanged; a null input
+        stays null through the concat."""
+        pat = rv.pattern
+        pos = F.regexp_instr(sc, F.lit(pat))
+        m0 = F.regexp_extract(sc, pat, 0)
+        parts: list[Column] = []
+        buf: list[str] = []
+
+        def flush() -> None:
+            if buf:
+                parts.append(F.lit("".join(buf)))
+                buf.clear()
+
+        i = 0
+        while i < len(repl):
+            c = repl[i]
+            if c == "$" and i + 1 < len(repl):
+                nxt = repl[i + 1]
+                if nxt == "$":
+                    buf.append("$")
+                    i += 2
+                    continue
+                if nxt == "&":
+                    flush()
+                    parts.append(m0)
+                    i += 2
+                    continue
+                if nxt.isdigit():
+                    two = repl[i + 1: i + 3]
+                    if (len(two) == 2 and two.isdigit()
+                            and 10 <= int(two) <= rv.n_groups):
+                        flush()
+                        parts.append(F.regexp_extract(sc, pat, int(two)))
+                        i += 3
+                        continue
+                    if 1 <= int(nxt) <= rv.n_groups:
+                        flush()
+                        parts.append(F.regexp_extract(sc, pat, int(nxt)))
+                        i += 2
+                        continue
+            buf.append(c)
+            i += 1
+        flush()
+        repl_col = F.concat(*parts) if parts else F.lit("")
+        return F.when(pos == F.lit(0), sc).otherwise(F.concat(
+            sc.substr(F.lit(1), pos - F.lit(1)),
+            repl_col,
+            sc.substr(pos + F.length(m0), F.length(sc))))
 
     @staticmethod
     def _py_string_method(obj: str, name: str, args: list[Any]) -> Any:
@@ -1472,6 +2067,69 @@ class _Interp:
             b = clamp(args[1]) if len(args) == 2 else ln
             lo, hi = F.least(a, b), F.greatest(a, b)  # JS swaps if a > b
             return _StrVal(sc.substr(lo + F.lit(1), hi - lo))
+        if name == "replace":
+            if len(args) != 2:
+                raise JsTranslationError(".replace takes exactly two arguments")
+            pat, repl = args
+            if not isinstance(repl, str):
+                raise JsTranslationError(
+                    ".replace replacement must be a literal string (JS "
+                    "interprets $-patterns inside it, which a column value "
+                    "cannot carry)")
+            if re.search(r"\$[`']", repl):
+                raise JsTranslationError(
+                    ".replace $` / $' context references are not supported")
+            if isinstance(pat, str):
+                # string pattern: JS replaces the FIRST occurrence only
+                # ($& is the matched literal, $$ a literal dollar)
+                lit = pat
+                repl_txt = re.sub(
+                    r"\$([$&])",
+                    lambda m: lit if m.group(1) == "&" else "$", repl)
+                pos = F.instr(sc, lit)
+                return _StrVal(F.when(pos == F.lit(0), sc).otherwise(F.concat(
+                    sc.substr(F.lit(1), pos - F.lit(1)),
+                    F.lit(repl_txt),
+                    sc.substr(pos + F.lit(len(lit)), F.length(sc)))))
+            if isinstance(pat, _RegexVal):
+                if pat.global_flag:
+                    return _StrVal(F.regexp_replace(
+                        sc, pat.pattern,
+                        _js_repl_to_java(repl, pat.n_groups)))
+                return _StrVal(self._replace_first(sc, pat, repl))
+            raise JsTranslationError(
+                ".replace pattern must be a literal string or regex literal")
+        if name == "split":
+            if len(args) != 1:
+                raise JsTranslationError(
+                    ".split takes exactly one argument (limit is not "
+                    "supported)")
+            sep = args[0]
+            if isinstance(sep, str):
+                if sep == "":
+                    raise JsTranslationError(
+                        '.split("") (split into characters) is not supported')
+                return _ColArrVal(F.split(sc, re.escape(sep), -1))
+            if isinstance(sep, _RegexVal):
+                if sep.n_groups:
+                    raise JsTranslationError(
+                        ".split with capturing groups is not supported (JS "
+                        "splices captures into the result; Java regex split "
+                        "does not)")
+                return _ColArrVal(F.split(sc, sep.pattern, -1))
+            raise JsTranslationError(
+                ".split separator must be a literal string or regex literal")
+        if name == "search":
+            if len(args) != 1 or not isinstance(args[0], _RegexVal):
+                raise JsTranslationError(
+                    ".search takes one regex literal argument")
+            # JS: 0-based first-match index, -1 absent (regexp_instr is
+            # 1-based with 0 absent — null input stays null)
+            return F.regexp_instr(sc, F.lit(args[0].pattern)) - F.lit(1)
+        if name == "match":
+            raise JsTranslationError(
+                ".match() is not supported (its array-or-null result is "
+                "not expressible here; use .test/.replace/.split/.search)")
         raise JsTranslationError(f"String method .{name}() is not supported")
 
     _INT_RE = r"^\s*([+-]?\d+)"
@@ -1502,6 +2160,18 @@ class _Interp:
             v = self.expression()
             self.expect(")")
             return v
+        if t.text == "[":
+            items: list[Any] = []
+            if not self.at("]"):
+                items.append(self.expression())
+                while self.at(","):
+                    self.next()
+                    items.append(self.expression())
+            self.expect("]")
+            return _ArrVal(items)
+        if t.kind == "regex":
+            m = _REGEX_LITERAL_RE.match(t.text)
+            return _translate_js_regex(m.group("body"), m.group("flags"))
         if t.kind == "num":
             return float(t.text) if "." in t.text else int(t.text)
         if t.kind == "str":

@@ -164,7 +164,8 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
             base = None if dest.delete_before_write else table.current_version()
             if base is None or dest.write_mode == "overwrite":
                 return table.commit(staged, dest.partition_by,
-                                    stats_cols=dest.stats_cols)
+                                    stats_cols=dest.stats_cols,
+                                    bloom_cols=dest.bloom_cols)
             if dest.write_mode == "merge":
                 if dest.partition_by:
                     # O(touched partitions): rewrite only the partitions
@@ -178,13 +179,15 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
                         list(dest.key_fields), list(dest.partition_by),
                         immutable_partitions=dest.immutable_partitions,
                         stats_cols=dest.stats_cols,
+                        bloom_cols=dest.bloom_cols,
                     )
                 merged = merge_upsert_frames(
                     table.read(), staged.select(*table.read().columns),
                     list(dest.key_fields),
                 )
                 return table.commit(merged, dest.partition_by,
-                                    stats_cols=dest.stats_cols)
+                                    stats_cols=dest.stats_cols,
+                                    bloom_cols=dest.bloom_cols)
             # append: O(batch) commit — only the batch is written, the
             # prior snapshot's files ride forward in the manifest (no
             # rewrite, no per-file linking). stats_cols keeps the
@@ -194,6 +197,7 @@ def _run_parsed(spark: SparkSession, config: DatasetConfig, raw: DataFrame,
             return table.commit_append(
                 staged.select(*table.read().columns), dest.partition_by,
                 stats_cols=dest.stats_cols,
+                bloom_cols=dest.bloom_cols,
             )
 
         version = commit_with_retry(_commit)

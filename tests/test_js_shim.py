@@ -1175,3 +1175,333 @@ class TestRound8IncDec:
         out = apply_column_expressions(stock_df, spec.expressions, None)
         got = {r["symbol"]: r["v"] for r in out.collect()}
         assert got["AAPL"] == 101.0
+
+
+class TestRound8Arrays:
+    """JS array literals in the shim (round-7 verdict 'missing #2'):
+    literal construction, literal-index reads/writes, .length, push/
+    join/indexOf, loop-driven lookup tables; faithful-or-reject on
+    column indexes and data-dependent mutation."""
+
+    def test_lookup_table_in_unrolled_loop(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var names = ['jan', 'feb', 'mar', 'apr'];
+        var s = '';
+        for (var i = 0; i < names.length; i++) { s += names[i]; }
+        m.put('all', s);
+        m.put('third', names[2]);
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["all"] == "janfebmarapr"
+        assert out["third"] == "mar"
+
+    def test_push_build_and_join(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var a = [];
+        for (var i = 0; i < 4; i++) { a.push(i * i); }
+        m.put('n', a.length);
+        m.put('joined', a.join('-'));
+        m.put('idx', a.indexOf(4));
+        m.put('missing', a.indexOf(99));
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["n"] == 4
+        assert out["joined"] == "0-1-4-9"
+        assert out["idx"] == 2
+        assert out["missing"] == -1
+
+    def test_indexed_assignment_and_append(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var a = [10, 20];
+        a[0] = 11;
+        a[2] = 30;
+        m.put('v', a.join(','));
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["v"] == "11,20,30"
+
+    def test_column_elements_and_array_column_output(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var pair = [adj_close, adj_close + 1.0];
+        m.put('hi', pair[1]);
+        m.put('both', pair);
+        m;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: (r["hi"], list(r["both"])) for r in out.collect()}
+        assert got["AAPL"] == (101.0, [100.0, 101.0])
+
+    def test_out_of_bounds_reads_undefined(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var a = [1];
+        a[5] == null ? 'oob-undefined' : null;
+        """
+        msg = translate_quality_script(src, df.columns)
+        assert df.select(msg.alias("v")).collect()[0]["v"] == "oob-undefined"
+
+    def test_column_index_rejected_by_name(self, stock_df):
+        src = "var a = [1, 2]; var x = a[adj_close]; null;"
+        with pytest.raises(JsTranslationError, match="literal"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_data_dependent_mutation_rejected(self, stock_df):
+        src = """
+        var a = [1];
+        if (adj_close > 100.0) { a.push(2); }
+        a.length == 1 ? 'x' : null;
+        """
+        with pytest.raises(JsTranslationError, match="array"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_untouched_array_rides_through_branches(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var a = ['lo', 'hi'];
+        if (adj_close > 100.0) { m.put('tier', a[1]); }
+        else { m.put('tier', a[0]); }
+        m.put('post', a.join('/'));
+        m;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: (r["tier"], r["post"]) for r in out.collect()}
+        assert got["MSFT"] == ("hi", "lo/hi")
+        assert got["AXN"] == ("lo", "lo/hi")
+
+    def test_array_arg_and_outer_mutation_rejected(self, stock_df):
+        with pytest.raises(JsTranslationError, match="array argument"):
+            translate_quality_script(
+                "function f(a) { return 1; } var q = [1]; f(q); null;",
+                stock_df.columns)
+        with pytest.raises(JsTranslationError, match="outer array"):
+            translate_quality_script(
+                "var q = [1]; function g() { q.push(2); return 1; } g(); null;",
+                stock_df.columns)
+
+    def test_sparse_write_rejected(self, stock_df):
+        with pytest.raises(JsTranslationError, match="sparse"):
+            translate_quality_script("var a = [1]; a[5] = 2; null;",
+                                     stock_df.columns)
+
+    def test_ternary_untaken_arm_push_discarded(self, spark):
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var a = [1];
+        var x = 1 == 1 ? 5 : a.push(9);
+        a.length == 1 ? 'clean' : null;
+        """
+        msg = translate_quality_script(src, df.columns)
+        assert df.select(msg.alias("v")).collect()[0]["v"] == "clean"
+
+
+class TestRound8Regex:
+    """JS regex literals (round-7 verdict 'missing #2'): validated
+    JS→Java pattern translation, test/replace/split/search lowered to
+    rlike/regexp_replace/regexp_instr/split, split results as ARRAY
+    columns; faithful-or-reject on dialect divergences."""
+
+    @pytest.fixture(scope="class")
+    def text_df(self, spark):
+        return spark.createDataFrame(
+            [("u1", "hello world", "a,b,,c", "2024-01-02"),
+             ("u2", "HELLO", "x", None),
+             ("u3", None, "", "bad")],
+            "id string, txt string, csv string, d string")
+
+    def _run(self, df, src):
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, spec.drop_predicate)
+        return {r["id"]: r.asDict() for r in out.collect()}
+
+    def test_test_replace_split_search_end_to_end(self, spark, text_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('tested', /^hel+o/i.test(txt));
+        m.put('first_sub', txt.replace(/l+/, '[$&]'));
+        m.put('all_sub', txt.replace(/l/g, 'L'));
+        m.put('lit_first', csv.replace(',', ';'));
+        m.put('part0', csv.split(',')[0]);
+        m.put('last', csv.split(',')[csv.split(',').length - 1]);
+        m.put('nparts', csv.split(',').length);
+        m.put('joined', csv.split(',').join('|'));
+        m.put('pos', txt.search(/wor/));
+        m.put('datelike', /^\\d{4}-\\d{2}-\\d{2}$/.test(d));
+        m.put('grp', d.replace(/^(\\d{4})-(\\d{2}).*$/, '$2/$1'));
+        m;
+        """
+        got = self._run(text_df, src)
+        u1 = got["u1"]
+        assert u1["tested"] is True
+        assert u1["first_sub"] == "he[ll]o world"   # first match only
+        assert u1["all_sub"] == "heLLo worLd"       # /g replaces all
+        assert u1["lit_first"] == "a;b,,c"          # string pattern: first only
+        assert u1["part0"] == "a" and u1["last"] == "c"
+        assert u1["nparts"] == 4                    # trailing/interior empties kept
+        assert u1["joined"] == "a|b||c"
+        assert u1["pos"] == 6
+        assert u1["datelike"] is True
+        assert u1["grp"] == "01/2024"
+        u2 = got["u2"]
+        assert u2["tested"] is True                 # i flag
+        assert u2["pos"] == -1                      # JS: -1 when absent
+        # Nashorn ToString's a null .test() ARGUMENT to "null" and
+        # returns a real boolean — never SQL NULL
+        assert u2["datelike"] is False
+        u3 = got["u3"]
+        assert u3["datelike"] is False
+        assert u3["grp"] == "bad"                   # no match: unchanged
+
+    def test_test_null_matching_pattern(self, spark, text_df):
+        src = "/^null$/.test(txt) ? 'isnull' : null;"
+        msg = translate_quality_script(src, text_df.columns)
+        got = {r["id"]: r["v"] for r in
+               text_df.select("id", msg.alias("v")).collect()}
+        assert got["u3"] == "isnull" and got["u1"] is None
+
+    def test_division_still_lexes_after_operands(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var x = 8; x /= 2;
+        m.put('half', adj_close / 2.0);
+        m.put('quarter', (adj_close) / 4.0);
+        m.put('xx', x / 2);
+        m;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions, None)
+        got = {r["symbol"]: r.asDict() for r in out.collect()}
+        assert got["AAPL"]["half"] == pytest.approx(50.0)
+        assert got["AAPL"]["quarter"] == pytest.approx(25.0)
+        assert got["AAPL"]["xx"] == 2
+
+    def test_replacement_dollar_forms(self, spark, text_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('dd', txt.replace(/o/g, '$$'));
+        m.put('bad_ref', txt.replace(/(l)/g, '$9'));
+        m.put('lit_amp', csv.replace(',', '<$&>'));
+        m;
+        """
+        got = self._run(text_df, src)
+        assert got["u1"]["dd"] == "hell$ w$rld"     # $$ → literal $
+        assert got["u1"]["bad_ref"] == "he$9$9o wor$9d"  # $9 > groups: literal
+        assert got["u1"]["lit_amp"] == "a<,>b,,c"   # $& = matched literal
+
+    def test_js_java_divergences_translate(self, spark, text_df):
+        df = text_df.sparkSession.createDataFrame(
+            [("v1", "a\x0bb"), ("v2", "a\x08b"), ("v3", "x{2}y")],
+            "id string, s string")
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('vtab', /a\\vb/.test(s));
+        m.put('bsp', /[\\b]/.test(s));
+        m.put('anychar', /^[^]+$/.test(s));
+        m.put('litbrace', s.replace(/x{2}y/, 'Q'));
+        m;
+        """
+        got = self._run(df, src)
+        assert got["v1"]["vtab"] is True and got["v2"]["vtab"] is False
+        assert got["v2"]["bsp"] is True and got["v1"]["bsp"] is False
+        assert got["v1"]["anychar"] is True
+        # {2} after a literal x IS a quantifier — matches 'xxy' not 'x{2}y'
+        assert got["v3"]["litbrace"] == "x{2}y"
+
+    def test_literal_brace_nonquantifier(self, spark, text_df):
+        df = text_df.sparkSession.createDataFrame(
+            [("v1", "a{b}c")], "id string, s string")
+        src = "var HashMap = Java.type('java.util.HashMap'); var m = new HashMap(); m.put('hit', /a{b}c/.test(s)); m;"
+        got = self._run(df, src)
+        assert got["v1"]["hit"] is True             # JS literal-brace semantics
+
+    def test_split_regex_and_whitespace(self, spark, text_df):
+        df = text_df.sparkSession.createDataFrame(
+            [("v1", "one  two\tthree"), ("v2", "a.b.c")],
+            "id string, s string")
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('n', s.split(/\\s+/).length);
+        m.put('dot0', s.split('.')[0]);
+        m.put('where', s.split(/\\s+/).indexOf('two'));
+        m;
+        """
+        got = self._run(df, src)
+        assert got["v1"]["n"] == 3
+        assert got["v2"]["dot0"] == "a"             # literal '.' escaped
+        assert got["v1"]["where"] == 1 and got["v2"]["where"] == -1
+
+    def test_stays_jvm_side(self, spark, text_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('a', txt.replace(/l+/, 'L'));
+        m.put('b', csv.split(',').join(';'));
+        m;
+        """
+        spec = translate_transformation_script(src, text_df.columns)
+        out = apply_column_expressions(text_df, spec.expressions, None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_rejections_by_name(self, stock_df):
+        cases = [
+            ("/a(?=b/u.test(symbol) ? null : 'x';", "flag"),
+            ("/[]/.test(symbol) ? null : 'x';", "empty character class"),
+            ("/\\cA/.test(symbol) ? null : 'x';", "escape"),
+            ("/(a)\\2/.test(symbol) ? null : 'x';", "backreference"),
+            ("symbol.split(/(a)/) ? null : 'x';", "capturing group"),
+            ("symbol.match(/a/) ? null : 'x';", ".match"),
+            ("symbol.replace(/a/, symbol) ? null : 'x';", "literal string"),
+            ("symbol.replace(/a/, \"$`x\") ? null : 'x';", "context reference"),
+            ("symbol.split('') ? null : 'x';", "characters"),
+            ("/a/.exec(symbol) ? null : 'x';", "not supported"),
+        ]
+        for src, needle in cases:
+            with pytest.raises(JsTranslationError, match=needle):
+                translate_quality_script(src, stock_df.columns)
+
+    def test_regex_choice_under_data_condition_rejected(self, stock_df):
+        src = """
+        var r = /a/;
+        if (adj_close > 100.0) { r = /b/; }
+        r.test(symbol) ? 'x' : null;
+        """
+        with pytest.raises(JsTranslationError, match="regex"):
+            translate_quality_script(src, stock_df.columns)
+
+    def test_split_result_through_branches_keeps_arrayness(self, spark, text_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var p = csv.split(',');
+        if (id == 'u2') { p = txt.split(' '); }
+        m.put('n', p.length);
+        m;
+        """
+        got = self._run(text_df, src)
+        assert got["u1"]["n"] == 4
+        assert got["u2"]["n"] == 1

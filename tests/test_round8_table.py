@@ -397,3 +397,73 @@ class TestBloomPointLookup:
             t.read_pruned({"k": (0, 1)}, points={"k": 5})
         with pytest.raises(ValueError, match="is_null"):
             t.read_pruned({}, points={"k": None})
+
+
+class TestBloomConfigPlumbing:
+    def test_bloom_cols_survive_dict_round_trip_and_validate(self):
+        import dataclasses
+
+        from pipeline_server_spark.api import config_from_dict
+        from pipeline_server_spark.pipeline.config import (
+            ConfigValidationError,
+            DestinationConfig,
+            validate_config,
+        )
+
+        cfg = config_from_dict({
+            "name": "rt8",
+            "destination": {
+                "path": "/tmp/x", "versioned": True,
+                "fields": [{"name": "K1", "type": "bigint"}],
+                "bloom_cols": ["K1"],
+            },
+        })
+        assert cfg.destination.bloom_cols == ("K1",)
+        norm = validate_config(cfg)
+        assert norm.destination.bloom_cols == ("k1",)
+        with pytest.raises(ConfigValidationError, match="bloom.*versioned"):
+            validate_config(dataclasses.replace(
+                cfg, destination=dataclasses.replace(
+                    cfg.destination, versioned=False)))
+        with pytest.raises(ConfigValidationError, match="bloom column 'zz'"):
+            validate_config(dataclasses.replace(
+                cfg, destination=dataclasses.replace(
+                    cfg.destination, bloom_cols=("zz",))))
+        with pytest.raises(ConfigValidationError, match="partition"):
+            validate_config(dataclasses.replace(
+                cfg, destination=dataclasses.replace(
+                    cfg.destination, partition_by=("k1",), bloom_cols=("k1",))))
+
+    def test_lifecycle_append_plumbs_bloom_cols(self, spark, tmp_path):
+        """DestinationConfig.bloom_cols reaches the versioned commit:
+        the first ingest builds the Bloom index, later ingests keep it
+        alive, and point lookups prune."""
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig,
+            DestinationConfig,
+            FileAttributes,
+            SchemaField,
+            SourceConfig,
+        )
+        from pipeline_server_spark.pipeline.run import run_dataset
+
+        fields = (SchemaField("k", "bigint"), SchemaField("v", "bigint"))
+        config = DatasetConfig(
+            name="bloom_plumb",
+            source=SourceConfig(fields=fields,
+                                file=FileAttributes(file_type="csv")),
+            destination=DestinationConfig(
+                fields=fields, path=str(tmp_path / "vt"),
+                versioned=True, bloom_cols=("k",),
+            ),
+        )
+        for b in range(3):
+            csv = tmp_path / f"b{b}.csv"
+            csv.write_text("k,v\n" + "\n".join(
+                f"{b * 1000 + i},{i}" for i in range(500)))
+            run_dataset(spark, config, str(csv))
+        t = VersionedTable(spark, config.destination.path)
+        assert t._filelist_bloom_cols(t.current_version()) == ["k"]
+        got, fr, ft = t.read_pruned({}, points={"k": 2123})
+        assert ft == 3 and 0 < fr < ft
+        assert [r["v"] for r in got.collect()] == [123]
