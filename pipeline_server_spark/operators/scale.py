@@ -174,25 +174,41 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
 
 def _bloom_hash_pair(value) -> tuple[int, int]:
     """Two deterministic 31-bit hash seeds for a key value via a
-    canonical type-tagged byte encoding (so 5 and '5' never collide
-    by construction). The executor-side build and the driver-side
-    probe MUST derive positions identically — this function is that
-    single source of truth. Probe values must be the same Python type
-    the column yields (int for integral columns, str for strings)."""
+    canonical type-tagged byte encoding. The executor-side build and
+    the driver-side probe MUST derive positions identically — this
+    function is that single source of truth — so values are
+    CANONICALIZED before tagging rather than hashed by exact Python
+    type: all numerics (int / float / Decimal, plus numpy scalars)
+    with the same mathematical value hash identically (a probe of 5
+    must hit a double column's 5.0 — a type slip here silently PRUNES
+    files containing the value), and date/timestamp/decimal text
+    renderings share the string tag so a '2024-01-02' probe hits a
+    DATE column. Numbers and their string spellings still never
+    collide (n: vs s:); a Bloom over-match merely declines to prune,
+    which is always safe."""
     import hashlib
+    from decimal import Decimal
 
+    if type(value).__module__ == "numpy" and hasattr(value, "item"):
+        value = value.item()
     if isinstance(value, bool):
         b = b"B:" + (b"1" if value else b"0")
-    elif isinstance(value, int):
-        b = b"i:" + str(value).encode()
-    elif isinstance(value, float):
-        b = b"f:" + repr(value).encode()
-    elif isinstance(value, str):
-        b = b"s:" + value.encode("utf-8")
+    elif isinstance(value, (int, float, Decimal)):
+        if isinstance(value, float):
+            canon = (str(int(value))
+                     if value.is_integer() and abs(value) < 1e16
+                     else repr(value))
+        elif isinstance(value, Decimal):
+            canon = (str(int(value))
+                     if value == value.to_integral_value()
+                     else format(value.normalize(), "f"))
+        else:
+            canon = str(value)
+        b = b"n:" + canon.encode()
     elif isinstance(value, (bytes, bytearray)):
         b = b"b:" + bytes(value)
-    else:  # date/timestamp/decimal: ISO text is stable across sides
-        b = b"o:" + str(value).encode("utf-8")
+    else:  # str, date, timestamp: ISO text is stable across sides
+        b = b"s:" + str(value).encode("utf-8")
     d = hashlib.sha256(b).digest()
     h1 = int.from_bytes(d[:8], "big") % (1 << 31)
     h2 = int.from_bytes(d[8:16], "big") % ((1 << 31) - 1) + 1  # never 0
@@ -627,6 +643,12 @@ def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
     cur = table.current_version()
     df = table.read()
     pcols = list(partition_by)
+    if not pcols and hasattr(table, "recorded_partition_by"):
+        # omitting partition_by must PRESERVE a recorded hive layout,
+        # not silently flatten it (the same brick-the-next-merge
+        # failure the bucket guard below prevents); an explicit
+        # partition_by still re-layouts deliberately
+        pcols = table.recorded_partition_by(cur)
     spec = table.bucket_spec() if hasattr(table, "bucket_spec") else None
     if spec is not None:
         # the bucket layout is table-level physical state: compaction
@@ -716,14 +738,18 @@ def _pack_per_partition(df: DataFrame, pcols: list[str], total_bytes: int,
         cond = eq if cond is None else (cond & eq)
     joined = df.alias("d").join(F.broadcast(kdf.alias("k")), cond) \
         .select([F.col(f"d.{c}") for c in df.columns] + [F.col("k._k")])
-    hashable = [
-        c for c in df.columns
-        if c not in pcols
-        and not isinstance(df.schema[c].dataType,
-                           (T.MapType, T.ArrayType, T.StructType))
+    # every non-partition column feeds the salt — xxhash64 hashes
+    # arrays/structs natively; maps (not hashable in Spark SQL) go
+    # through to_json. Restricting to scalar columns would collapse
+    # the salt to a constant on all-complex schemas (token arrays,
+    # embeddings) and emit ONE oversized file per partition.
+    salt_cols = [
+        F.to_json(F.col(c))
+        if isinstance(df.schema[c].dataType, T.MapType) else F.col(c)
+        for c in df.columns if c not in pcols
     ]
-    salt = (F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.col("_k"))
-            if hashable else F.lit(0))
+    salt = (F.pmod(F.xxhash64(*salt_cols), F.col("_k"))
+            if salt_cols else F.lit(0))
     n_shuffle = max(1, min(sum(r[-1] for r in k_rows), 4096))
     return (
         joined.withColumn("_salt", salt.cast("int"))

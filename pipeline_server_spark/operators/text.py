@@ -314,8 +314,13 @@ def bpe_encode(df: DataFrame, merges: list[tuple],
 
     out = df.withColumn(
         out_col,
-        F.expr(f"transform(sequence(1, length({word_col})), "
-               f"i -> substring({word_col}, i, 1))"),
+        # sequence(1, 0) would generate a DESCENDING [1, 0] (Spark
+        # defaults the step to -1 when start > stop), tokenizing the
+        # empty word to two phantom '' tokens — guard it to []
+        F.expr(f"CASE WHEN length({word_col}) = 0 "
+               f"THEN cast(array() as array<string>) "
+               f"ELSE transform(sequence(1, length({word_col})), "
+               f"i -> substring({word_col}, i, 1)) END"),
     )
     for i, m in enumerate(merges, 1):
         l, r = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])

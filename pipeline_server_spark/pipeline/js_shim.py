@@ -331,7 +331,14 @@ def _translate_js_regex(body: str, flags: str) -> _RegexVal:
         if in_class:
             if ch == "]":
                 in_class = False
-            out.append(ch)
+                out.append(ch)
+            elif ch in "[&":
+                # literal chars in a JS class, but Java-only class
+                # metacharacters ('[a[b]' nested union, '[a&&b]'
+                # intersection) — escape so the class stays literal
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
             i += 1
             continue
         if ch == "[":
@@ -1900,17 +1907,33 @@ class _Interp:
             if not isinstance(sep, str):
                 raise JsTranslationError(".join() separator must be a literal string")
             if all(isinstance(x, (str, int, float, bool, _Null)) for x in obj.items):
-                return sep.join(_js_str(x) for x in obj.items)
+                # Array.prototype.join special-cases null/undefined to
+                # the EMPTY string (ES5.1 §15.4.4.5) — unlike String()
+                return sep.join(
+                    "" if isinstance(x, _Null) else _js_str(x)
+                    for x in obj.items)
             return _StrVal(F.concat_ws(
-                sep, *[F.coalesce(_to_col(x).cast("string"), F.lit("null"))
+                sep, *[F.coalesce(_to_col(x).cast("string"), F.lit(""))
                        for x in obj.items]))
         if name == "indexOf" and len(args) == 1:
             probe = args[0]
             if not isinstance(probe, (str, int, float, bool)):
                 raise JsTranslationError(
                     ".indexOf() on an array needs a literal argument")
+
+            def strict_eq(x: Any) -> bool:
+                # JS ===: all numbers are one type (4 === 4.0) but
+                # booleans are NOT numbers (true !== 1) — mirror the
+                # shim's cmp_expr strict-equality rule
+                if isinstance(probe, bool) or isinstance(x, bool):
+                    return isinstance(probe, bool) and isinstance(x, bool) \
+                        and x is probe
+                if isinstance(probe, (int, float)):
+                    return isinstance(x, (int, float)) and float(x) == float(probe)
+                return isinstance(x, str) and x == probe
+
             for i, x in enumerate(obj.items):
-                if isinstance(x, type(probe)) and x == probe:
+                if isinstance(x, (str, int, float, bool)) and strict_eq(x):
                     return i
             if all(isinstance(x, (str, int, float, bool, _Null))
                    for x in obj.items):

@@ -511,6 +511,24 @@ class VersionedTable:
         doc = self._filelist_doc(version)
         return None if doc is None else doc.get("bloom_cols")
 
+    def stats_cols(self, version: int) -> list[str] | None:
+        """Public accessor: the version's recorded skipping-index
+        columns (None when none) — full-rewrite callers use this to
+        carry index continuity through a plain ``commit()``."""
+        return self._filelist_stats_cols(version)
+
+    def bloom_cols(self, version: int) -> list[str] | None:
+        """Public accessor: the version's recorded Bloom columns."""
+        return self._filelist_bloom_cols(version)
+
+    def recorded_partition_by(self, version: int) -> list[str]:
+        """The hive partition columns the version was committed with
+        ([] when unpartitioned or pre-record) — maintenance actions
+        consult this so they preserve the layout instead of silently
+        flattening it."""
+        doc = self._filelist_doc(version)
+        return list((doc or {}).get("partition_by") or [])
+
     def _commit_kind(self, version: int) -> str | None:
         doc = self._filelist_doc(version)
         return None if doc is None else doc.get("kind")
@@ -1242,6 +1260,12 @@ class VersionedTable:
         if not os.path.isdir(idx_path):
             df = self.read(v)
             for c, pv in (points or {}).items():
+                if pv is None:
+                    # match the indexed path's validation: col == NULL
+                    # would silently drop every row
+                    raise ValueError(
+                        f"point lookup on {c!r} with None — use "
+                        "bounds={..: 'is_null'}")
                 df = df.where(F.col(c) == F.lit(pv))
             for c, b in bounds.items():
                 if b == "is_null":

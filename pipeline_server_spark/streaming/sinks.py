@@ -123,8 +123,14 @@ def exactly_once_append_sink(
             if table_widens:
                 combined = table.read(current).unionByName(
                     batch_df, allowMissingColumns=True)
+                # full-rewrite commits do NOT auto-inherit the skipping
+                # index the way commit_append does — carry the prior
+                # manifest's indexed columns through explicitly, or one
+                # widening batch permanently drops the table's index
                 table.commit(combined, partition_by=partition_by,
-                             metadata=meta)
+                             metadata=meta,
+                             stats_cols=table.stats_cols(current) or (),
+                             bloom_cols=table.bloom_cols(current) or ())
                 return
             if upcasts:
                 batch_df = batch_df.select(
@@ -224,6 +230,11 @@ def exactly_once_merge_sink(
             if current is None
             else merge_upsert_frames(table.read(), batch_df, keys, sequence_col)
         )
-        table.commit(merged, metadata=meta)
+        # full-rewrite commit: inherit the indexed columns explicitly
+        # (see the append sink's widening path)
+        stats = table.stats_cols(current) if current is not None else ()
+        bloom = table.bloom_cols(current) if current is not None else ()
+        table.commit(merged, metadata=meta,
+                     stats_cols=stats or (), bloom_cols=bloom or ())
 
     return apply

@@ -1505,3 +1505,71 @@ class TestRound8Regex:
         got = self._run(text_df, src)
         assert got["u1"]["n"] == 4
         assert got["u2"]["n"] == 1
+
+
+class TestRound8ReviewFixes:
+    """Self-review findings on the array/regex subset, pinned."""
+
+    def test_array_join_null_renders_empty(self, spark, stock_df):
+        """ES5.1 Array.prototype.join maps null/undefined to the EMPTY
+        string (unlike String(null) == 'null') — both the literal fold
+        and the column path."""
+        df = spark.createDataFrame([("u1", None), ("u2", "x")],
+                                   "id string, s string")
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('lit', [1, null, 2].join(','));
+        m.put('col', [s, 'y'].join('-'));
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None)
+        got = {r["id"]: r.asDict() for r in out.collect()}
+        assert got["u1"]["lit"] == "1,,2"
+        assert got["u1"]["col"] == "-y"
+        assert got["u2"]["col"] == "x-y"
+
+    def test_array_indexof_js_strict_equality(self, spark):
+        """JS ===: 4 === 4.0 (one number type) but true !== 1."""
+        df = spark.createDataFrame([("r",)], ["k"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var h = 8 / 2;
+        m.put('float_probe', [4, 9].indexOf(h));
+        m.put('int_probe_float_elem', [0.5, 2.0].indexOf(2));
+        m.put('bool_vs_one', [true].indexOf(1));
+        m.put('one_vs_bool', [1].indexOf(true));
+        m.put('bool_hit', [false, true].indexOf(true));
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None).collect()[0]
+        assert out["float_probe"] == 0
+        assert out["int_probe_float_elem"] == 1
+        assert out["bool_vs_one"] == -1
+        assert out["one_vs_bool"] == -1
+        assert out["bool_hit"] == 1
+
+    def test_class_bracket_and_ampersand_literal(self, spark):
+        """'[' and '&&' are literal inside a JS class but Java-only
+        metacharacters (nested union / intersection) — they must be
+        escaped, or /[a&&b]/ silently becomes the empty class."""
+        df = spark.createDataFrame(
+            [("v1", "a"), ("v2", "["), ("v3", "&"), ("v4", "c")],
+            "id string, s string")
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('cls', /^[a[]$/.test(s));
+        m.put('amp', /^[a&&b]$/.test(s));
+        m;
+        """
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions, None)
+        got = {r["id"]: r.asDict() for r in out.collect()}
+        assert got["v1"]["cls"] is True and got["v2"]["cls"] is True
+        assert got["v4"]["cls"] is False
+        assert got["v1"]["amp"] is True and got["v3"]["amp"] is True
+        assert got["v4"]["amp"] is False

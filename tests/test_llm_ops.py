@@ -1022,3 +1022,14 @@ class TestBpeEncode:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_empty_and_single_char_words(self, spark):
+        """sequence(1, 0) generates DESCENDING [1, 0] in Spark — an
+        empty word must tokenize to [], not two phantom '' tokens."""
+        from pipeline_server_spark.operators.text import bpe_encode
+
+        words = spark.createDataFrame([("", 1), ("a", 1)], ["w", "freq"])
+        got = {r["w"]: list(r["toks"]) for r in
+               bpe_encode(words, [("a", "b")], out_col="toks").collect()}
+        assert got[""] == []
+        assert got["a"] == ["a"]

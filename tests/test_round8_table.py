@@ -467,3 +467,120 @@ class TestBloomConfigPlumbing:
         got, fr, ft = t.read_pruned({}, points={"k": 2123})
         assert ft == 3 and 0 < fr < ft
         assert [r["v"] for r in got.collect()] == [123]
+
+
+class TestReviewFixesR8:
+    """Round-8 self-review findings, each pinned by a regression."""
+
+    def test_widening_append_sink_keeps_index(self, spark, tmp_path):
+        """A micro-batch that WIDENS a numeric column takes the
+        full-rewrite commit — which must carry the prior manifest's
+        stats/bloom columns, not silently drop the skipping index."""
+        from pipeline_server_spark.streaming.sinks import (
+            exactly_once_append_sink,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "rf1"))
+        t.commit(spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")).repartition(4),
+            stats_cols=("v",), bloom_cols=("k",))
+        sink = exactly_once_append_sink(t)
+        wide = spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
+        sink(wide, 0)  # v is double > bigint: table widens
+        v = t.current_version()
+        assert t.stats_cols(v) == ["v"]
+        assert t.bloom_cols(v) == ["k"]
+        got, fr, ft = t.read_pruned({}, points={"k": 500})
+        assert 0 < fr < ft
+        assert got.count() == 1
+
+    def test_merge_sink_fallback_keeps_index(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.sinks import (
+            exactly_once_merge_sink,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "rf2"))
+        t.commit(spark.range(500).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")).repartition(4),
+            bloom_cols=("k",))
+        sink = exactly_once_merge_sink(t, ["k"])
+        sink(spark.createDataFrame([(1, 99), (600, 1)], ["k", "v"]), 0)
+        assert t.bloom_cols(t.current_version()) == ["k"]
+
+    def test_bloom_probe_numeric_type_insensitive(self, spark, tmp_path):
+        """An int probe on a DOUBLE column (and the reverse) must hash
+        to the same positions as the stored values — a type slip here
+        silently PRUNES files that contain the value."""
+        import numpy as np
+
+        t = VersionedTable(spark, str(tmp_path / "rf3"))
+        t.commit(spark.range(2000).select(
+            (F.col("id") * 1.0).alias("d"), F.col("id").alias("i"))
+            .repartition(8), bloom_cols=("d", "i"))
+        # int probe on double column
+        got, fr, ft = t.read_pruned({}, points={"d": 123})
+        assert got.count() == 1, "int probe missed double value"
+        # float probe on bigint column
+        got, fr, ft = t.read_pruned({}, points={"i": 123.0})
+        assert got.count() == 1, "float probe missed int value"
+        # numpy scalar probe
+        got, fr, ft = t.read_pruned({}, points={"i": np.int64(77)})
+        assert got.count() == 1, "numpy probe missed int value"
+
+    def test_bloom_decimal_scale_insensitive(self, spark, tmp_path):
+        from decimal import Decimal
+
+        t = VersionedTable(spark, str(tmp_path / "rf4"))
+        df = spark.range(500).select(
+            (F.col("id").cast("decimal(10,2)") / 4).alias("d"))
+        t.commit(df.repartition(4), bloom_cols=("d",))
+        # stored values have scale from decimal(10,2)/4; probe with a
+        # differently-scaled spelling of the same number
+        got, _, _ = t.read_pruned({}, points={"d": Decimal("5.250")})
+        assert got.count() == 1
+        got, _, _ = t.read_pruned({}, points={"d": Decimal("1")})
+        assert got.count() == 1  # 4/4: integral decimal
+        got, _, _ = t.read_pruned({}, points={"d": 5.25})
+        assert got.count() == 1  # float spelling of the same value
+
+    def test_no_index_fallback_none_point_raises(self, spark, tmp_path):
+        """points={c: None} must raise on the fallback path exactly as
+        the indexed path does — col == NULL silently returns nothing."""
+        t = VersionedTable(spark, str(tmp_path / "rf5"))
+        t.commit(_orders(spark, 0, 100))  # no stats/bloom: no _index
+        with pytest.raises(ValueError, match="is_null"):
+            t.read_pruned({}, points={"k": None})
+
+    def test_compaction_inherits_recorded_partition_layout(self, spark, tmp_path):
+        """optimize_compact_snapshot() with partition_by omitted must
+        preserve the manifest's recorded hive layout — flattening it
+        bricks the next commit_merge_partitioned behind the layout
+        guard."""
+        t = VersionedTable(spark, str(tmp_path / "rf6"))
+        t.commit(_orders(spark, 0, 1000, part=4), partition_by=("p",))
+        v = optimize_compact_snapshot(t)  # no partition_by argument
+        rels = [e[1] for e in t._read_filelist(v)]
+        assert rels and all(r.split(os.sep)[0].startswith("p=") for r in rels)
+        # the merge path still works post-compaction
+        src = spark.createDataFrame([(0, 999, 0)], ["k", "v", "p"])
+        t.commit_merge_partitioned(src, ["k"], ["p"])
+        assert t.read().where("k = 0").collect()[0]["v"] == 999
+
+    def test_packing_salt_on_all_complex_columns(self, spark, tmp_path):
+        """A table whose only data columns are arrays must still split
+        a big partition into multiple files — the salt hashes complex
+        columns (restricting to scalars collapses it to a constant)."""
+        t = VersionedTable(spark, str(tmp_path / "rf7"))
+        df = spark.range(30000).select(
+            F.lit(0).alias("p"),
+            F.array(F.col("id"), F.col("id") * 2).alias("arr"),
+            F.create_map(F.lit("k"), F.col("id")).alias("m"))
+        t.commit(df.repartition(8), partition_by=("p",))
+        total = sum(os.path.getsize(t._abs_file(e))
+                    for e in t._entries_for_version(1))
+        v = optimize_compact_snapshot(t, target_file_bytes=total // 4,
+                                      partition_by=("p",))
+        per_part = len(t._read_filelist(v))
+        assert per_part >= 2, "all-complex salt collapsed to one file"
+        assert t.read(v).count() == 30000
