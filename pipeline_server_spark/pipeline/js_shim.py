@@ -488,6 +488,30 @@ class _Cond:
     else_val: Any
 
 
+class _LoweredLoopValue:
+    """Completion value of a column-bound LOWERED loop. Nashorn's loop
+    completion is the last body iteration's value, which a fold over
+    ``F.sequence`` cannot recover — the sentinel propagates lazily (a
+    later statement normally overwrites the completion) and rejects by
+    name only if actually consumed as a value."""
+
+    __slots__ = ()
+
+
+_LOOP_VALUE = _LoweredLoopValue()
+
+
+@dataclass(frozen=True)
+class _PostLoopTemp:
+    """A ``var`` declared INSIDE a column-bound lowered loop body. In
+    Nashorn it is function-scoped and would hold the last iteration's
+    value after the loop — a value the fold cannot recover — so
+    reading it after the loop rejects by name; re-assigning it is
+    fine."""
+
+    name: str
+
+
 def _to_col(v: Any) -> Column:
     if isinstance(v, Column):
         return v
@@ -507,6 +531,18 @@ def _to_col(v: Any) -> Column:
         raise JsTranslationError(
             "a regex literal cannot be used as a value (call .test(s), "
             "or pass it to .replace/.split/.search)")
+    if isinstance(v, _LoweredLoopValue):
+        raise JsTranslationError(
+            "the completion value of a column-bound loop is not "
+            "available (Nashorn's loop value is the last body "
+            "iteration's value, which the fold cannot recover) — end "
+            "the script/branch with an explicit expression instead")
+    if isinstance(v, _PostLoopTemp):
+        raise JsTranslationError(
+            f"variable {v.name!r} was declared inside a column-bound "
+            "loop body; its post-loop value (the last iteration's) is "
+            "not recoverable from the fold — declare it before the "
+            "loop or recompute it after")
     raise JsTranslationError(f"value {v!r} cannot be used as a column expression")
 
 
@@ -920,10 +956,17 @@ class _Interp:
             if isinstance(cond_val, Column) or not isinstance(
                 cond_val, (bool, int, float, str, _Null, type(None))
             ):
+                if (kw == "for" and iterations == 0
+                        and isinstance(cond_val, Column)
+                        and self._lower_column_loop(cond_pos, update_pos,
+                                                    body_pos)):
+                    return
                 raise JsTranslationError(
                     f"{kw} condition must fold to a literal to unroll "
                     "(a column-valued condition cannot drive a "
-                    "compile-time loop)"
+                    "compile-time loop, and only the strided "
+                    "`for (var i = lit; i < col; i += lit)` shape "
+                    "lowers to a fold)"
                 )
             truthy = bool(cond_val) and not isinstance(cond_val, _Null)
             if not truthy:
@@ -996,6 +1039,301 @@ class _Interp:
             "for-update must be a single assignment "
             "(i = i + 1, i += 1, i++)"
         )
+
+    # --- column-bound loop lowering (F.aggregate over F.sequence) ---
+
+    @staticmethod
+    def _int_literal(v: Any) -> int | None:
+        """``v`` as a Python int when it is an integer-valued numeric
+        literal (bools excluded), else None."""
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return None
+
+    def _parse_loop_step(self, update_pos: int) -> tuple[str, int] | None:
+        """Structural parse of a for-update clause as a strided
+        loop-variable step: ``i++`` / ``i--`` / ``++i`` / ``--i`` /
+        ``i += k`` / ``i -= k`` / ``i = i + k`` / ``i = i - k`` with
+        ``k`` folding to a nonzero integer literal. Returns
+        ``(var, step)``, or None when the clause has another shape
+        (the caller falls back to the unroll rejection)."""
+        save = self.i
+        try:
+            t0, t1 = self.toks[update_pos], self.toks[update_pos + 1]
+            if t0.kind == "ident" and t1.text in ("++", "--"):
+                if self.toks[update_pos + 2].text != ")":
+                    return None
+                return t0.text, (1 if t1.text == "++" else -1)
+            if t0.text in ("++", "--") and t1.kind == "ident":
+                if self.toks[update_pos + 2].text != ")":
+                    return None
+                return t1.text, (1 if t0.text == "++" else -1)
+            if t0.kind == "ident" and t1.text in ("+=", "-="):
+                self.i = update_pos + 2
+                k = self._int_literal(self.expression())
+                if not self.at(")") or k is None or k == 0:
+                    return None
+                return t0.text, (k if t1.text == "+=" else -k)
+            if (t0.kind == "ident" and t1.text == "="
+                    and self.toks[update_pos + 2].kind == "ident"
+                    and self.toks[update_pos + 2].text == t0.text
+                    and self.toks[update_pos + 3].text in ("+", "-")):
+                self.i = update_pos + 4
+                k = self._int_literal(self.expression())
+                if not self.at(")") or k is None or k == 0:
+                    return None
+                return t0.text, (k if self.toks[update_pos + 3].text == "+"
+                                 else -k)
+            return None
+        finally:
+            self.i = save
+
+    _STATE_TAGS = {"num": "double", "str": "string", "bool": "boolean"}
+
+    def _lower_column_loop(self, cond_pos: int, update_pos: int | None,
+                           body_pos: int) -> bool:
+        """A ``for`` loop whose BOUND is a column lowers to a Catalyst
+        fold instead of rejecting: ``for (var i = a; i < n; i += s)``
+        over scalar accumulators becomes ``F.aggregate(F.sequence(a,
+        stop(n), s), struct(inits), body-as-lambda)`` — the body is
+        symbolically executed inside the higher-order function's merge
+        lambda, so the whole loop is ONE JVM-side expression per row
+        (no unrolling cap, no Python UDF; closes the reference's
+        column-driven loop-bound gap, ``Transformation.scala:71-133``).
+
+        Faithful-or-reject boundaries: literal integer init and step;
+        condition shape ``i < / <= / > / >= <expr>``; only scalar
+        accumulator state (any ``return``, map/array mutation, or a
+        map/array created per iteration rejects by name); an
+        accumulator's type class (number / string / boolean) must be
+        stable across an iteration. Numeric accumulators compute in
+        DOUBLE (Nashorn numbers) — note a double renders "5.0" in
+        string concat, like every double COLUMN in this shim's concat
+        (Nashorn's ToString prints "5"; literal folds collapse, column
+        values do not). Nashorn coercions preserved: a NULL
+        bound means ToNumber(null)=0 (zero iterations from a 0 start),
+        a non-numeric string bound means NaN (always-false compare,
+        zero iterations), fractional bounds iterate while strictly
+        under. The loop var reads post-loop as its first failing
+        value; the loop's own completion value and body-declared
+        ``var`` temps reject by name only if actually consumed.
+        Returns False (no state mutated by this call) when the shapes
+        above don't match, so the caller's unroll rejection fires."""
+        if update_pos is None:
+            return False
+        parsed = self._parse_loop_step(update_pos)
+        if parsed is None:
+            return False
+        var, step = parsed
+        init = self._int_literal(self.env.get(var))
+        if init is None:
+            return False
+        self.i = cond_pos
+        if not (self.peek().kind == "ident" and self.peek().text == var):
+            return False
+        self.next()
+        op = self.peek().text
+        if op not in ("<", "<=", ">", ">="):
+            return False
+        self.next()
+        # below-comparison precedence: `i < n && x` must NOT parse
+        # `n && x` as the bound — the leftover `&&` fails the ';'
+        # check and the loop rejects instead of mistranslating
+        bound = self.add_expr()
+        if not self.at(";"):
+            return False
+        if (step > 0) != (op in ("<", "<=")):
+            raise JsTranslationError(
+                f"for-loop steps {'+' if step > 0 else ''}{step} toward "
+                f"a `{op}` bound — the loop never terminates for rows "
+                "where the condition holds (Nashorn would hang)")
+
+        bc = _to_col(bound)
+        # Nashorn ToNumber at the compare: null -> 0; a non-numeric
+        # string -> NaN, whose compares are always false (try_cast
+        # gives NULL — never an ANSI throw — and the guard below
+        # routes NULL to zero iterations)
+        eff = F.when(bc.isNull(), F.lit(0.0)) \
+            .otherwise(bc.try_cast("double"))
+        stop = {
+            "<": F.ceil(eff) - F.lit(1),
+            "<=": F.floor(eff),
+            ">": F.floor(eff) + F.lit(1),
+            ">=": F.ceil(eff),
+        }[op].cast("long")
+        startc = F.lit(init).cast("long")
+        guard = (startc <= stop) if step > 0 else (startc >= stop)
+        seq = F.when(guard, F.sequence(startc, stop,
+                                       F.lit(step).cast("long"))) \
+            .otherwise(F.array().cast("array<bigint>"))
+
+        snap_env = dict(self.env)
+        snap_objs = {k: v.copy() for k, v in self.env.items()
+                     if isinstance(v, (_MapVal, _ArrVal))}
+        saved_completion = self.completion
+        n_pending, n_pmaps = len(self.pending), len(self.pending_maps)
+
+        def classify(v: Any) -> str | None:
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, (int, float)):
+                return "num"
+            if isinstance(v, (str, _StrVal)):
+                return "str"
+            if isinstance(v, _ColArrVal):
+                return "arr"
+            if isinstance(v, Column):
+                return "col"
+            return None
+
+        _MARKERS = {"num": lambda: F.lit(0.0),
+                    "str": lambda: _StrVal(F.lit("").cast("string")),
+                    "bool": lambda: F.lit(True)}
+
+        def run_body(bindings: dict) -> dict:
+            self.env = dict(snap_env)
+            for k, v in snap_objs.items():
+                self.env[k] = v.copy()  # pristine clone per run
+            self.env.update(bindings)
+            self.completion = saved_completion
+            self.i = body_pos
+            self._unroll_depth += 1
+            try:
+                self.block_or_statement()
+            finally:
+                self._unroll_depth -= 1
+            if self.finished or len(self.pending) > n_pending \
+                    or len(self.pending_maps) > n_pmaps:
+                self.finished = False
+                del self.pending[n_pending:]
+                del self.pending_maps[n_pmaps:]
+                raise JsTranslationError(
+                    "`return` inside a column-bound loop body is not "
+                    "supported (the fold cannot stop early)")
+            for k, pristine in snap_objs.items():
+                cur = self.env.get(k)
+                same = (
+                    isinstance(cur, _MapVal) and isinstance(pristine, _MapVal)
+                    and self._same_map_state(cur, pristine)
+                ) or (
+                    isinstance(cur, _ArrVal) and isinstance(pristine, _ArrVal)
+                    and self._same_arr_state(cur, pristine)
+                )
+                if not same:
+                    raise JsTranslationError(
+                        f"map/array {k!r} mutated inside a column-bound "
+                        "loop body — loop state must be scalar "
+                        "accumulators (numbers, strings, booleans)")
+            if self.env.get(var) is not bindings[var]:
+                raise JsTranslationError(
+                    f"assigning the loop variable {var!r} inside a "
+                    "column-bound loop body is not supported")
+            return self.env
+
+        # --- discovery to a FIXPOINT: accumulators must be bound as
+        # marker COLUMNS while discovering, or a literal-valued
+        # `if (acc > 10)` would take one branch only and under-detect
+        # the mutated set (and other vars mutated in the untaken arm)
+        state_cls: dict[str, str] = {}
+        post: dict = {}
+        body_end_i = body_pos
+        while True:
+            bindings: dict[str, Any] = {var: F.lit(0).cast("long")}
+            for k, cls in state_cls.items():
+                mk = _MARKERS.get(cls)
+                bindings[k] = mk() if mk else snap_env[k]
+            post = run_body(bindings)
+            body_end_i = self.i
+            new = []
+            for k, v in post.items():
+                if k == var or k in state_cls or isinstance(v, _FuncVal):
+                    continue
+                if k not in snap_env:
+                    continue  # body-declared temp: poisoned below
+                if k in snap_objs:
+                    continue  # verified unmutated in run_body
+                if v is bindings.get(k, snap_env[k]) \
+                        or self._same_literal(snap_env[k], v):
+                    continue
+                new.append(k)
+            if not new:
+                break
+            for k in new:
+                cls = classify(snap_env[k])
+                if cls is None:
+                    raise JsTranslationError(
+                        f"accumulator {k!r} holds a "
+                        f"{type(snap_env[k]).__name__} before a "
+                        "column-bound loop — initialize accumulators "
+                        "with a number, string, or boolean literal "
+                        "(or a column)")
+                state_cls[k] = cls
+
+        temps = [k for k, v in post.items()
+                 if k not in snap_env and k != var
+                 and not isinstance(v, _FuncVal)]
+
+        def rewrap(cls: str, c: Column) -> Any:
+            if cls == "str":
+                return _StrVal(c)
+            if cls == "arr":
+                return _ColArrVal(c)
+            return c
+
+        state = sorted(state_cls)
+        if state:
+            _OK_MERGED = {
+                "num": ("num", "col"), "str": ("str",),
+                "bool": ("bool", "col"),
+                "col": ("num", "col", "str", "bool", "arr"),
+                "arr": ("arr", "col"),
+            }
+
+            def merge_fn(acc: Column, x: Column) -> Column:
+                b = {var: x}
+                for k in state:
+                    b[k] = rewrap(state_cls[k], acc[k])
+                env_after = run_body(b)
+                outs = []
+                for k in state:
+                    v = env_after[k]
+                    cls, merged = state_cls[k], classify(v)
+                    if merged not in _OK_MERGED[cls]:
+                        raise JsTranslationError(
+                            f"accumulator {k!r} changes type class "
+                            f"across a column-bound loop iteration "
+                            f"({cls} -> {merged or type(v).__name__}) — "
+                            "not supported")
+                    c = _to_col(v)
+                    tag = self._STATE_TAGS.get(cls)
+                    outs.append((c.cast(tag) if tag else c).alias(k))
+                return F.struct(*outs)
+
+            inits = []
+            for k in state:
+                c = _to_col(snap_env[k])
+                tag = self._STATE_TAGS.get(state_cls[k])
+                inits.append((c.cast(tag) if tag else c).alias(k))
+            res = F.aggregate(seq, F.struct(*inits), merge_fn)
+        else:
+            res = None  # side-effect-free body: nothing to fold
+
+        # post-loop environment: fold results, the loop var's first
+        # failing value, poisoned in-body temps, everything else as
+        # before the loop (maps/arrays keep their ORIGINAL identity)
+        self.env = snap_env
+        for k in state:
+            self.env[k] = rewrap(state_cls[k], res[k])
+        self.env[var] = (startc + F.size(seq) * F.lit(step)).cast("long")
+        for k in temps:
+            self.env[k] = _PostLoopTemp(k)
+        self.completion = _LOOP_VALUE
+        self.i = body_end_i
+        return True
 
     def _is_indexed_assignment(self) -> bool:
         """Lookahead from ``ident [``: does the matching ``]`` lead
@@ -1273,6 +1611,14 @@ class _Interp:
     def _merge_values(self, cond: Column, tv: Any, ev: Any) -> Any:
         if tv is ev:
             return tv
+        if isinstance(tv, (_LoweredLoopValue, _PostLoopTemp)) or \
+                isinstance(ev, (_LoweredLoopValue, _PostLoopTemp)):
+            # a lowered loop's completion (or in-body temp) merging
+            # with anything stays poisoned: a later statement normally
+            # overwrites it, and consuming it rejects by name in
+            # _to_col — raising HERE would falsely reject scripts that
+            # never read the value
+            return _LOOP_VALUE
         if isinstance(tv, _ArrVal) or isinstance(ev, _ArrVal):
             # untouched across both arms: keep the then-side object
             # (identity rule as for maps). A DIVERGING array cannot
@@ -2262,6 +2608,13 @@ class _Interp:
                         f"function {name!r} used as a value (only direct "
                         "calls are supported)"
                     )
+                if isinstance(v, _PostLoopTemp):
+                    raise JsTranslationError(
+                        f"variable {name!r} was declared inside a "
+                        "column-bound loop body; its post-loop value "
+                        "(the last iteration's) is not recoverable from "
+                        "the fold — declare it before the loop or "
+                        "recompute it after")
                 return v
             if name == "_pipelinetimestamp":
                 return self.ts
@@ -2304,6 +2657,11 @@ def _flatten_map_completion(completion: Any):
     The drop predicate is true exactly when the selected arm is null;
     guards are already null-coalesced (Nashorn truthiness), so the
     predicate is never NULL itself."""
+    if isinstance(completion, _LoweredLoopValue):
+        raise JsTranslationError(
+            "a column-bound loop cannot be the script's final "
+            "statement — assign its results to variables and complete "
+            "with a HashMap")
     if isinstance(completion, _MapVal):
         return {k: _to_col(v) for k, v in completion.entries.items()}, None
     if isinstance(completion, _Cond):
@@ -2363,6 +2721,11 @@ def translate_quality_script(src: str, columns: list[str]) -> Column:
     interp = _Interp(src, columns, "")
     interp.run()
     completion = _final_completion(interp)
+    if isinstance(completion, _LoweredLoopValue):
+        raise JsTranslationError(
+            "a column-bound loop cannot be the script's final "
+            "statement — assign its result to a variable and complete "
+            "with null or a message")
     if isinstance(completion, _StrVal):
         completion = completion.col
     if isinstance(completion, _Null):

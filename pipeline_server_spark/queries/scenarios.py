@@ -260,3 +260,47 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "js_transform_column_loop",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber * (l_linenumber + 1) / 2 AS DOUBLE) AS gauss,
+           REPEAT('#', l_linenumber) AS marks
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def js_transform_column_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 row-function via the JS shim with a COLUMN-BOUND loop
+    (Transformation.scala:71-133 scripts iterating to a column's
+    value): ``for (var i = 0; i < l_linenumber; i++)`` lowers to ONE
+    Catalyst expression — F.aggregate over F.sequence with the body as
+    a higher-order-function lambda — so the per-row loop runs
+    JVM-side with no unroll cap and no Python UDF; the oracle is the
+    closed form (Gauss sum + string repeat). 100 TB shape: a scalar
+    expression per row, no shuffle, fully codegen'd."""
+    from pipeline_server_spark.pipeline.js_shim import (
+        translate_transformation_script,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = """
+    var HashMap = Java.type('java.util.HashMap');
+    var map = new HashMap();
+    var gauss = 0;
+    var marks = '';
+    for (var i = 0; i < l_linenumber; i++) {
+        gauss += i + 1;
+        marks = marks + '#';
+    }
+    map.put('gauss', gauss);
+    map.put('marks', marks);
+    map;
+    """
+    spec = translate_transformation_script(src, li.columns)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        *[c.alias(k) for k, c in spec.expressions.items()],
+    ).orderBy("l_orderkey", "l_linenumber")
