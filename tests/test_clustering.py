@@ -1,0 +1,135 @@
+"""Distributed spherical k-means + SemDeDup (operators/clustering.py).
+
+The load-bearing property is BATCH-INDEPENDENCE: every step is exact
+integer arithmetic, so the fitted centroids and the kept/dropped set
+are a pure function of the data — identical across repartitionings
+(the local stand-in for "identical between local[32] and a
+1000-executor cluster")."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.clustering import (
+    QUANT,
+    kmeans_assign,
+    kmeans_fit,
+    semantic_dedup,
+)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(80, 8)
+    # plant 6 exact-direction duplicates of ids 0..5 (scaled — unit
+    # normalization makes them cosine-1 twins)
+    rows = [(i, X[i]) for i in range(80)]
+    rows += [(1000 + i, X[i] * 3.0) for i in range(6)]
+    return _vec_df(spark, rows)
+
+
+class TestKmeansFit:
+    def test_matches_single_batch_numpy_referee(self, spark, corpus):
+        cent = np.array(kmeans_fit(corpus, k=5, iters=4))
+
+        pdf = corpus.orderBy("vec_id").toPandas()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms
+        Q = np.floor(Xn * QUANT + 0.5).astype(np.int64)
+        ref = Xn[:5].copy()
+        for _ in range(4):
+            cq = np.floor(ref * QUANT + 0.5).astype(np.int64)
+            cells = np.argmax(Q @ cq.T, axis=1)
+            for j in range(5):
+                members = Q[cells == j]
+                if len(members):
+                    m = members.sum(axis=0) / (QUANT * len(members))
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        ref[j] = m / n
+        assert np.array_equal(cent, ref)  # bit-identical, not approx
+
+    def test_batch_and_partition_invariance(self, spark, corpus):
+        a = kmeans_fit(corpus, k=5, iters=4)
+        b = kmeans_fit(corpus.repartition(7), k=5, iters=4)
+        c = kmeans_fit(corpus.repartition(1), k=5, iters=4)
+        assert a == b == c  # exact-integer pipeline: no float drift
+
+    def test_k_exceeding_corpus_rejects(self, spark):
+        df = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        with pytest.raises(ValueError, match="exceeds the corpus"):
+            kmeans_fit(df, k=5, iters=1)
+
+    def test_zero_vector_is_tolerated(self, spark):
+        df = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+                             (3, [0.0, 0.0])])
+        cent = kmeans_fit(df, k=2, iters=2)
+        assert len(cent) == 2
+        assigned = {r["vec_id"]: r["cell"]
+                    for r in kmeans_assign(df, cent).collect()}
+        assert assigned[3] in (0, 1)  # zero vector lands deterministically
+
+
+class TestSemanticDedup:
+    def test_planted_twins_dropped_originals_kept(self, spark, corpus):
+        cent = kmeans_fit(corpus, k=5, iters=4)
+        out = {r["vec_id"]: r["kept"]
+               for r in semantic_dedup(corpus, cent,
+                                       tau_num=99, tau_den=100).collect()}
+        assert len(out) == 86
+        for i in range(6):
+            assert out[1000 + i] is False, f"twin {1000+i} not dropped"
+            assert out[i] is True, f"original {i} dropped"
+        # untouched ids with no twin stay kept (random gaussians in
+        # 8-d don't reach cosine 0.99)
+        assert all(out[i] for i in range(6, 80))
+
+    def test_threshold_is_exact_not_float(self, spark):
+        # two vectors with cosine exactly 0.8: (1,0) and (0.8, 0.6);
+        # tau 4/5 keeps them AT the threshold (>=), tau 81/100 drops
+        # the test into "not near" — an exact boundary a float
+        # comparison could miss by an ulp
+        df = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.8, 0.6])])
+        cent = [[1.0, 0.0], [0.0, 1.0]]
+        at = {r["vec_id"]: r["kept"]
+              for r in semantic_dedup(df, cent, tau_num=4,
+                                      tau_den=5).collect()}
+        above = {r["vec_id"]: r["kept"]
+                 for r in semantic_dedup(df, cent, tau_num=81,
+                                         tau_den=100).collect()}
+        assert at[2] is False and at[1] is True
+        assert above[2] is True
+
+    def test_cross_cluster_twins_survive_documented(self, spark):
+        # SemDeDup's known property: near-dups split across cells are
+        # not compared. Orthogonal-ish centroids + two twins forced
+        # into different cells by construction stay kept.
+        df = _vec_df(spark, [(1, [1.0, 0.05]), (2, [0.05, 1.0])])
+        cent = [[1.0, 0.0], [0.0, 1.0]]
+        out = {r["vec_id"]: r["kept"]
+               for r in semantic_dedup(df, cent, tau_num=1,
+                                       tau_den=100).collect()}
+        assert out == {1: True, 2: True}
+
+    def test_no_cartesian_in_plan(self, spark, corpus):
+        cent = kmeans_fit(corpus, k=5, iters=1)
+        plan = semantic_dedup(corpus, cent)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_invalid_threshold_rejects(self, spark, corpus):
+        with pytest.raises(ValueError, match="tau"):
+            semantic_dedup(corpus, [[1.0, 0.0]], tau_num=3, tau_den=2)
