@@ -293,6 +293,9 @@ class PipelineApiServer:
                     name,
                     target_file_bytes=int(q.get("targetbytes", 128 * 1024 * 1024)),
                 )
+            if method == "POST" and path == "/dataset/restore":
+                name, version = need("name", "version")
+                return 200, self.engine.restore(name, int(version))
             if method == "POST" and path == "/dataset/tag":
                 name, tag = need("name", "tag")
                 return 200, self.engine.tag_version(

@@ -220,6 +220,18 @@ class Engine:
         return {"version": version, "files": n,
                 "target_file_bytes": int(target_file_bytes)}
 
+    def restore(self, name: str, version: int) -> dict[str, Any]:
+        """Roll a versioned dataset back to ``version`` as a NEW
+        commit (Delta RESTORE): O(1) in data — the new manifest
+        re-references the old version's files. Shares the ingest's
+        destination lock + multi-writer commit protocol, like
+        optimize/compact: a restore racing an upload must lose or win
+        through the same commit log."""
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            new_version = table.restore(version)
+        return {"version": new_version, "restored_version": version}
+
     def tag_version(self, name: str, tag: str,
                     version: int | None = None) -> dict[str, Any]:
         """Pin a named ref on a versioned dataset destination (default:

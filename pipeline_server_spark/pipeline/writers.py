@@ -14,6 +14,7 @@ transform/.../ObjectStoreUtil.scala:87-119).
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import shutil
 import tempfile
@@ -458,8 +459,14 @@ class VersionedTable:
                         schema=None, stats_cols=None, kind: str | None = None,
                         partition_by=None, bloom_cols=None) -> None:
         import json
+        import time
 
-        doc: dict = {"files": [list(e) for e in entries]}
+        # wall-clock commit time (written pre-publish, so a published
+        # version always carries it) — serves TIMESTAMP AS OF time
+        # travel; pre-existing versions without it fall back to the
+        # manifest file's mtime in commit_timestamp()
+        doc: dict = {"files": [list(e) for e in entries],
+                     "committed_at": time.time()}
         if schema is not None:
             # lets a version with ZERO data files (empty bootstrap
             # batch) still answer read() with a typed empty DataFrame
@@ -1118,14 +1125,18 @@ class VersionedTable:
             bloom_cols=bloom_cols)
 
     def read(self, version: int | None = None,
-             tag: str | None = None) -> DataFrame:
-        """Snapshot read: latest when neither ``version`` nor ``tag``
-        is given; else time travel to the un-vacuumed version (by
-        number or by named tag)."""
+             tag: str | None = None,
+             as_of: "float | _dt.datetime | None" = None) -> DataFrame:
+        """Snapshot read: latest when no selector is given; else time
+        travel to the un-vacuumed version — by number, by named tag,
+        or by TIMESTAMP (``as_of``: the snapshot that was current at
+        that wall-clock instant, Delta's ``TIMESTAMP AS OF``)."""
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of version / tag / as_of")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version OR tag, not both")
             version = self.tag_version(tag)
+        if as_of is not None:
+            version = self.version_as_of(as_of)
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -1209,6 +1220,86 @@ class VersionedTable:
         surface works over it (time-travel SQL: one view per version)."""
         self.read(version).createOrReplaceTempView(name)
         return name
+
+    def commit_timestamp(self, version: int) -> float:
+        """Wall-clock commit time of ``version`` (epoch seconds):
+        the manifest's recorded ``committed_at``, falling back to the
+        manifest file's mtime for versions written before the field
+        existed (and to the directory mtime for legacy pre-manifest
+        versions)."""
+        doc = self._filelist_doc(version)
+        if doc is not None and "committed_at" in doc:
+            return float(doc["committed_at"])
+        d = self._resolve_dir(version)
+        flist = os.path.join(d, self.FILELIST)
+        return os.path.getmtime(flist if os.path.exists(flist) else d)
+
+    def version_as_of(self, ts: float | _dt.datetime) -> int:
+        """TIMESTAMP AS OF resolution: the highest un-vacuumed version
+        committed at or before ``ts`` (epoch seconds or a datetime; a
+        naive datetime is read in local time, like ``.timestamp()``).
+        Raises when the table has no version that old."""
+        t = ts.timestamp() if isinstance(ts, _dt.datetime) else float(ts)
+        eligible = [v for v in self.versions()
+                    if self.commit_timestamp(v) <= t]
+        if not eligible:
+            raise ValueError(
+                f"no version at {self.root} committed at or before {ts!r} "
+                "(earliest may have been vacuumed)")
+        return max(eligible)
+
+    def restore(self, version: int, metadata: dict | None = None) -> int:
+        """Delta-style RESTORE: publish a NEW version whose file list
+        is ``version``'s — the table's current state rolls back while
+        history stays intact (consumers that already read the bad
+        versions replay the restore as an honest snapshot diff through
+        :meth:`changes_range`). O(1) in data: no file is copied or
+        rewritten, the new manifest re-references the old version's
+        files (the manifest design's reference counting keeps them
+        alive through vacuum), and the restored version's skipping
+        index is carried wholesale. Multi-writer safe: goes through
+        the same stage + conditional-publish protocol as every commit.
+
+        Rejects when ``version`` was vacuumed (its files are gone) or
+        is a pre-manifest legacy directory, and when the table is
+        hash-bucketed but the restored snapshot predates the bucket
+        layout (the ``_bucketspec.json`` contract would silently
+        mismatch the flat file list — re-bucket explicitly instead)."""
+        if version not in self.versions():
+            raise ValueError(
+                f"cannot restore version {version} at {self.root}: "
+                "not a live version (vacuumed or never committed)")
+        entries = self._read_filelist(version)
+        if entries is None:
+            raise ValueError(
+                f"cannot restore legacy pre-manifest version {version} "
+                "(no file manifest to re-reference)")
+        doc = self._filelist_doc(version) or {}
+        restored_layout = list(doc.get("partition_by") or [])
+        if self.bucket_spec() is not None and "_bucket" not in restored_layout:
+            raise ValueError(
+                f"table is hash-bucketed but version {version} predates "
+                "the bucket layout — commit_bucketed the restored data "
+                "explicitly instead of restore()")
+        new_version = (self.current_version() or 0) + 1
+        target = self._stage_dir(new_version)
+        os.makedirs(target, exist_ok=True)
+        schema = self._filelist_schema(version)
+        self._write_filelist(
+            target, entries, schema=schema,
+            stats_cols=doc.get("stats_cols"),
+            kind="restore",
+            partition_by=restored_layout or None,
+            bloom_cols=doc.get("bloom_cols"))
+        src_idx = os.path.join(self._resolve_dir(version), "_index")
+        if os.path.isdir(src_idx):
+            # the restored version's index covers exactly its files —
+            # carry it as-is (O(index), no footer reads)
+            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        meta = {"operation": "restore", "restored_version": version}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(new_version, target, meta)
 
     def versions(self) -> list[int]:
         base = os.path.join(self.root, "_versions")

@@ -520,3 +520,56 @@ def test_config_roundtrip_preserves_round6_fields():
     assert back.transformation.js_script == cfg.transformation.js_script
     assert back.data_quality.js_row_rule == "null;"
     assert back == cfg
+
+
+def test_restore_endpoint_rolls_back_versioned_dataset(spark, server):
+    """POST /dataset/restore commits a rollback version that
+    re-references the restored snapshot's files (no data rewrite)."""
+    srv, tmp_path = server
+
+    cfg = DatasetConfig(
+        name="api_restore",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_restore"),
+            write_mode="merge",
+            key_fields=("id",),
+            versioned=True,
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+
+    def upload(lo, hi):
+        csv = b"id,amount\n" + b"".join(
+            f"{i},{i}.5\n".encode() for i in range(lo, hi))
+        status, out = _call(
+            srv.port, "POST", "/dataset/upload?dataset=api_restore", csv)
+        assert status == 200
+
+    upload(0, 100)
+    upload(100, 150)  # v2 merges in 50 more rows
+
+    status, out = _call(
+        srv.port, "POST", "/dataset/restore?name=api_restore&version=1", b"")
+    assert status == 200
+    assert out == {"version": 3, "restored_version": 1}
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    t = VersionedTable(spark, cfg.destination.path)
+    assert t.read().count() == 100          # rolled back
+    assert t.read(2).count() == 150         # history intact
+    assert t.commit_metadata(3)["operation"] == "restore"
+
+    status, hist = _call(srv.port, "GET", "/dataset/versions?name=api_restore")
+    assert hist["current"] == 3 and hist["versions"] == [1, 2, 3]
+
+    # missing params are a 400, like every endpoint
+    try:
+        _call(srv.port, "POST", "/dataset/restore?name=api_restore", b"")
+        raise AssertionError("missing version param did not 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -1,586 +1,168 @@
-"""Round-8 VersionedTable work: bucket-layout-aware compaction,
-streaming-sink auto-compaction, per-partition compaction packing,
-optimize-commit change-feed skip, and the round-7 advice fixes
-(vacuumed-prior change-feed fallback, orphan-sweep 'v' prefix,
-skipping-index walk over bucketed layouts)."""
+"""Round-8 session-2 VersionedTable work: TIMESTAMP AS OF time travel
+and Delta-style RESTORE (O(1)-in-data rollback commits that
+re-reference the restored version's files through the manifest)."""
 
 from __future__ import annotations
 
+import datetime as dt
+import json
 import os
 import time
 
 import pytest
 from pyspark.sql import functions as F
 
-from pipeline_server_spark.operators.scale import (
-    build_skipping_index,
-    optimize_compact_snapshot,
-)
-from pipeline_server_spark.pipeline.writers import (
-    ConditionalPutFS,
-    VersionedTable,
-    merge_upsert_frames,
-)
-
-
-def _orders(spark, lo, hi, part=None):
-    df = spark.range(lo, hi).select(
-        F.col("id").alias("k"),
-        (F.col("id") * 2).alias("v"),
-    )
-    if part is not None:
-        df = df.withColumn("p", (F.col("k") % part).cast("int"))
-    return df
-
-
-class TestBucketAwareCompaction:
-    def test_compaction_preserves_bucket_layout(self, spark, tmp_path):
-        """Round-7 verdict item 1 done-criterion (a): bucketed table →
-        N merges → compaction → commit_merge_bucketed still works,
-        rows identical, manifest width collapsed."""
-        t = VersionedTable(spark, str(tmp_path / "bc1"))
-        base = _orders(spark, 0, 2000)
-        t.commit_bucketed(base, ["k"], n_buckets=8)
-        for i in range(4):
-            src = spark.createDataFrame(
-                [(i, -i), (2000 + i, i)], ["k", "v"])
-            t.commit_merge_bucketed(src, ["k"])
-        assert t.manifest_width() > 1
-        expected = sorted(
-            map(tuple, t.read().drop("_bucket").collect()))
-
-        v = optimize_compact_snapshot(t, target_file_bytes=1 << 30)
-        assert t.manifest_width(v) == 1
-        # the layout survived: still hive-partitioned by _bucket
-        rels = [e[1] for e in t._read_filelist(v)]
-        assert rels and all(r.split(os.sep)[0].startswith("_bucket=")
-                            for r in rels)
-        assert sorted(map(tuple, t.read().drop("_bucket").collect())) \
-            == expected
-
-        # the advertised merge path still works post-compaction
-        src = spark.createDataFrame([(0, 12345), (9999, 1)], ["k", "v"])
-        v2 = t.commit_merge_bucketed(src, ["k"])
-        got = {(r["k"], r["v"]) for r in t.read().drop("_bucket").collect()}
-        assert (0, 12345) in got and (9999, 1) in got
-        # and it is still O(touched buckets): carried entries exist
-        new_dir = os.path.basename(t._resolve_dir(v2))
-        assert any(e[0] != new_dir for e in t._read_filelist(v2))
-
-    def test_conflicting_partition_by_rejected(self, spark, tmp_path):
-        t = VersionedTable(spark, str(tmp_path / "bc2"))
-        t.commit_bucketed(_orders(spark, 0, 100), ["k"], n_buckets=4)
-        with pytest.raises(ValueError, match="hash-bucketed"):
-            optimize_compact_snapshot(t, partition_by=("v",))
-        # explicit _bucket (or nothing) is fine
-        v = optimize_compact_snapshot(t, partition_by=("_bucket",))
-        assert t.manifest_width(v) == 1
-
-
-class TestSinkAutoCompaction:
-    def test_bucketed_merge_sink_bounds_manifest_width(self, spark, tmp_path):
-        """Round-7 verdict item 1 done-criterion (b): a long-running
-        bucketed streaming upsert keeps the manifest width bounded
-        instead of growing one version dir per trigger forever."""
-        from pipeline_server_spark.streaming.sinks import (
-            exactly_once_merge_sink,
-        )
-
-        t = VersionedTable(spark, str(tmp_path / "sc1"))
-        sink = exactly_once_merge_sink(
-            t, ["k"], bucket_buckets=4, auto_compact_dirs=3)
-        widths = []
-        for b in range(12):
-            batch = spark.createDataFrame(
-                [(b % 7, b), (100 + b, b)], ["k", "v"])
-            sink(batch, b)
-            widths.append(t.manifest_width())
-        assert max(widths) <= 3, widths
-        # rows match a plain sequential merge of the same batches
-        want = _apply_merges(spark, 12)
-        got = sorted((r["k"], r["v"])
-                     for r in t.read().drop("_bucket").collect())
-        assert got == want
-        # merges still work after however many compactions ran
-        spec = t.bucket_spec()
-        assert spec == {"keys": ["k"], "n": 4}
-
-    def test_append_sink_bounds_manifest_width(self, spark, tmp_path):
-        from pipeline_server_spark.streaming.sinks import (
-            exactly_once_append_sink,
-        )
-
-        t = VersionedTable(spark, str(tmp_path / "sc2"))
-        sink = exactly_once_append_sink(t, auto_compact_dirs=3)
-        for b in range(10):
-            sink(_orders(spark, b * 10, b * 10 + 10), b)
-            assert t.manifest_width() <= 3
-        assert t.read().count() == 100
-
-    def test_sink_without_policy_unchanged(self, spark, tmp_path):
-        from pipeline_server_spark.streaming.sinks import (
-            exactly_once_append_sink,
-        )
-
-        t = VersionedTable(spark, str(tmp_path / "sc3"))
-        sink = exactly_once_append_sink(t)
-        for b in range(5):
-            sink(_orders(spark, b, b + 1), b)
-        assert t.manifest_width() == 5  # no silent compaction
-
-
-def _apply_merges(spark, n):
-    rows = {}
-    for b in range(n):
-        for k, v in [(b % 7, b), (100 + b, b)]:
-            rows[k] = v
-    return sorted(rows.items())
-
-
-class TestPerPartitionPacking:
-    def test_skewed_partitions_pack_independently(self, spark, tmp_path):
-        """Round-7 verdict item 2 done-criterion: per-partition file
-        counts track each partition's OWN bytes (small partitions
-        compact to ONE file even when the big one needs several), and
-        rows are identical. The old global coalesce(n) spread every
-        partition's rows over n tasks → up to n files per partition."""
-        t = VersionedTable(spark, str(tmp_path / "pp1"))
-        big = _orders(spark, 0, 40000).withColumn("p", F.lit(0))
-        small = _orders(spark, 40000, 43500).withColumn(
-            "p", (F.col("k") % 7 + 1).cast("int"))
-        df = big.unionByName(small).repartition(16)
-        t.commit(df, partition_by=("p",))
-        expected = sorted((r["k"], r["v"], r["p"])
-                          for r in t.read().collect())
-        total = sum(os.path.getsize(t._abs_file(e))
-                    for e in t._entries_for_version(1))
-
-        v = optimize_compact_snapshot(t, target_file_bytes=total // 5,
-                                      partition_by=("p",))
-        per_part: dict[str, int] = {}
-        for _, rel in t._read_filelist(v):
-            part = rel.split(os.sep)[0]
-            per_part[part] = per_part.get(part, 0) + 1
-        # the 7 small partitions (~1.2% of bytes each) get exactly 1
-        for i in range(1, 8):
-            assert per_part[f"p={i}"] == 1, per_part
-        # the big partition (~92% of bytes ≈ 4.6 targets) splits
-        assert 2 <= per_part["p=0"] <= 7, per_part
-        assert sorted((r["k"], r["v"], r["p"])
-                      for r in t.read().collect()) == expected
-        assert t.manifest_width(v) == 1
-
-    def test_unpartitioned_total_file_count(self, spark, tmp_path):
-        t = VersionedTable(spark, str(tmp_path / "pp2"))
-        t.commit(_orders(spark, 0, 20000).repartition(16))
-        total = sum(os.path.getsize(t._abs_file(e))
-                    for e in t._entries_for_version(1))
-        v = optimize_compact_snapshot(t, target_file_bytes=total // 3)
-        assert len(t._read_filelist(v)) <= 4
-        assert t.read().count() == 20000
-
-    def test_null_partition_value_packs(self, spark, tmp_path):
-        """NULL is a real partition (__HIVE_DEFAULT_PARTITION__) — the
-        packing join must be null-safe or its rows vanish."""
-        t = VersionedTable(spark, str(tmp_path / "pp3"))
-        df = _orders(spark, 0, 100).withColumn(
-            "p", F.when(F.col("k") < 50, F.lit(None)).otherwise(F.lit(1))
-            .cast("int"))
-        t.commit(df, partition_by=("p",))
-        v = optimize_compact_snapshot(t, partition_by=("p",))
-        got = t.read(v)
-        assert got.count() == 100
-        assert got.where(F.col("p").isNull()).count() == 50
-
-
-class TestOptimizeCommitChangeFeed:
-    def test_feed_skips_optimize_commits(self, spark, tmp_path):
-        """A replayer crossing a compaction commit must not pay a
-        full-table self-diff to discover zero changes — and the feed
-        across the range matches the history without the compaction."""
-        t = VersionedTable(spark, str(tmp_path / "oc1"))
-        t.commit_append(_orders(spark, 0, 100))        # v1
-        t.commit_append(_orders(spark, 100, 150))      # v2
-        optimize_compact_snapshot(t)                   # v3 (no row changes)
-        t.commit_append(_orders(spark, 150, 160))      # v4
-
-        feed = t.changes_range(["k"], v_from=1, v_to=4)
-        rows = feed.collect()
-        assert {r["_commit_version"] for r in rows} == {2, 4}
-        assert sorted(r["k"] for r in rows) == list(range(100, 160))
-        # IO: the compacted snapshot (v3's big file) is never opened
-        v3_dir = t._resolve_dir(3)
-        assert not any(v3_dir in f for f in feed.inputFiles())
-
-    def test_optimize_only_range_is_empty_feed(self, spark, tmp_path):
-        t = VersionedTable(spark, str(tmp_path / "oc2"))
-        t.commit_append(_orders(spark, 0, 10))
-        optimize_compact_snapshot(t)
-        feed = t.changes_range(["k"], v_from=1, v_to=2)
-        assert feed.count() == 0
-        assert "_change_type" in feed.columns
-
-
-class TestRound7AdviceFixes:
-    def test_merge_feed_on_vacuumed_prior_raises_cleanly(self, spark, tmp_path):
-        """The merge fast path must not synthesize the prior side from
-        a vacuumed version's residual directory (silently misreporting
-        updates as inserts) — it falls back to changes(), which raises
-        the clear 'was vacuumed' error."""
-        t = VersionedTable(spark, str(tmp_path / "af1"))
-        t.commit(_orders(spark, 0, 1000, part=4), partition_by=("p",))  # v1
-        src = spark.createDataFrame([(0, 999, 0)], ["k", "v", "p"])
-        t.commit_merge_partitioned(src, ["k"], "p")                     # v2
-        t.commit(_orders(spark, 0, 10, part=4), partition_by=("p",))    # v3
-        removed = t.vacuum(keep=1)
-        assert 1 in removed
-        with pytest.raises(FileNotFoundError, match="vacuum"):
-            t.changes_range(["k"], v_from=1, v_to=2).collect()
-
-    def test_orphan_sweep_requires_v_prefix(self, spark, tmp_path):
-        """A bookkeeping directory shaped like 'X12345678-*' under
-        _versions must survive the orphan sweep (round-7 advice)."""
-        t = VersionedTable(spark, str(tmp_path / "af2"), fs=ConditionalPutFS())
-        t.commit(_orders(spark, 0, 10))
-        t.commit(_orders(spark, 0, 20))
-        bystander = os.path.join(t.root, "_versions", "X00000001-cafe")
-        os.makedirs(bystander)
-        old = time.time() - 2 * t.orphan_ttl_s
-        os.utime(bystander, (old, old))
-        t.vacuum(keep=5)
-        assert os.path.exists(bystander)
-
-    def test_skipping_index_walk_sees_bucket_dirs(self, spark, tmp_path):
-        """build_skipping_index's default walk must keep '_'-prefixed
-        hive partition dirs ('_bucket=N') — previously it indexed ZERO
-        files on a bucketed layout (round-7 advice)."""
-        path = str(tmp_path / "af3")
-        df = _orders(spark, 0, 1000).withColumn(
-            "_bucket", F.pmod(F.xxhash64("k"), F.lit(4)).cast("int"))
-        df.write.partitionBy("_bucket").parquet(path)
-        idx = build_skipping_index(spark, path, ["k"])
-        n_files = sum(
-            1 for root, dirs, names in os.walk(path)
-            for f in names if f.endswith(".parquet"))
-        assert idx.count() == n_files > 0
-
-
-class TestBloomPointLookup:
-    """Round-7 verdict item 9: per-file Bloom filters for
-    point-lookup skipping — min/max prunes ranges, but a
-    high-cardinality key probe on un-clustered data spans every
-    file's range; the Bloom answers 'definitely not here'."""
-
-    def test_unbucketed_point_lookup_reduces_files(self, spark, tmp_path):
-        t = VersionedTable(spark, str(tmp_path / "bl1"))
-        # interleaved keys: every file's [min,max] spans the whole
-        # domain, so min/max alone cannot prune a point probe
-        df = spark.range(8000).select(
-            (F.col("id") * 37 % 7919).alias("k"),
-            F.col("id").alias("v"))
-        t.commit(df.repartition(16), bloom_cols=("k",))
-        probe = 37 % 7919  # id=1's key — lives in very few files
-        got, fr, ft = t.read_pruned({}, points={"k": probe})
-        assert ft == 16 and 0 < fr < ft, (fr, ft)
-        want = sorted(r["v"] for r in df.where(F.col("k") == probe).collect())
-        assert sorted(r["v"] for r in got.collect()) == want
-
-    def test_bucketed_point_lookup_reduces_files(self, spark, tmp_path):
-        t = VersionedTable(spark, str(tmp_path / "bl2"))
-        df = spark.range(4000).select(
-            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
-        t.commit_bucketed(df.repartition(4), ["k"], n_buckets=8,
-                          bloom_cols=("k",))
-        got, fr, ft = t.read_pruned({}, points={"k": 1234})
-        assert ft > 1 and 0 < fr < ft, (fr, ft)
-        assert [r["v"] for r in got.collect()] == [2468]
-
-    def test_absent_key_prunes_everything_or_fp_bounded(self, spark, tmp_path):
-        """Probing many ABSENT keys: the false-positive rate over the
-        index must stay near the configured fpp (bounded test)."""
-        from pipeline_server_spark.operators.scale import (
-            build_skipping_index,
-            read_with_skipping,
-        )
-
-        path = str(tmp_path / "bl3")
-        spark.range(20000).select((F.col("id") * 2).alias("k")) \
-            .repartition(8).write.parquet(path)
-        idx = build_skipping_index(spark, path, [], bloom_cols=["k"],
-                                   bloom_fpp=0.03).localCheckpoint()
-        # 200 odd keys — none present; min/max can't help ([] bounds)
-        fp = 0
-        trials = 0
-        for probe in range(1, 400, 2):
-            _, fr, ft = read_with_skipping(
-                spark, path, idx, {}, points={"k": int(probe)})
-            trials += ft
-            fp += fr
-        assert trials == 200 * 8
-        assert fp / trials < 0.10, f"fp rate {fp/trials}"  # 3x slack on 3%
-
-    def test_incremental_commits_keep_bloom_alive_o_batch(
-            self, spark, tmp_path, monkeypatch):
-        """Appends/merges inherit bloom_cols and only the NEW files
-        pay the column read (same continuity contract as stats)."""
-        from pipeline_server_spark.operators import scale as S
-
-        t = VersionedTable(spark, str(tmp_path / "bl4"))
-        t.commit(spark.range(2000).select(
-            F.col("id").alias("k"), F.lit(1).alias("v")).repartition(8),
-            bloom_cols=("k",))
-
-        calls = []
-        real = S.build_skipping_index
-
-        def counting(spark_, path, cols, schema=None, files=None,
-                     bloom_cols=None, bloom_fpp=0.03):
-            calls.append(list(files or []))
-            return real(spark_, path, cols, schema=schema, files=files,
-                        bloom_cols=bloom_cols, bloom_fpp=bloom_fpp)
-
-        monkeypatch.setattr(S, "build_skipping_index", counting)
-        v = t.commit_append(spark.range(2000, 2100).select(
-            F.col("id").alias("k"), F.lit(2).alias("v")).coalesce(1))
-        assert len(calls) == 1 and len(calls[0]) == 1, \
-            "bloom rebuilt for carried files"
-        assert t._filelist_bloom_cols(v) == ["k"]
-        # probe an appended key: index covers old + new files
-        got, fr, ft = t.read_pruned({}, points={"k": 2050})
-        assert ft == 9 and 0 < fr < ft
-        assert [r["v"] for r in got.collect()] == [2]
-
-    def test_bloom_survives_compaction(self, spark, tmp_path):
-        from pipeline_server_spark.operators.scale import (
-            optimize_compact_snapshot,
-        )
-
-        t = VersionedTable(spark, str(tmp_path / "bl5"))
-        t.commit(spark.range(1000).select(
-            F.col("id").alias("k"), F.lit(1).alias("v")).repartition(4),
-            bloom_cols=("k",))
-        t.commit_append(spark.range(1000, 1050).select(
-            F.col("id").alias("k"), F.lit(2).alias("v")).coalesce(1))
-        v = optimize_compact_snapshot(t, target_file_bytes=4096)
-        assert t._filelist_bloom_cols(v) == ["k"]
-        got, fr, ft = t.read_pruned({}, points={"k": 1025})
-        assert fr <= ft and got.count() == 1
-
-    def test_type_tagged_hashing_no_cross_type_hits(self, spark, tmp_path):
-        """int 5 and string '5' must not share bloom positions by
-        construction; and a string-key probe works end to end."""
-        from pipeline_server_spark.operators.scale import (
-            build_skipping_index,
-            read_with_skipping,
-        )
-
-        path = str(tmp_path / "bl6")
-        spark.createDataFrame(
-            [(f"key_{i}",) for i in range(1000)], ["s"]) \
-            .repartition(6).write.parquet(path)
-        idx = build_skipping_index(spark, path, [], bloom_cols=["s"])
-        got, fr, ft = read_with_skipping(
-            spark, path, idx, {}, points={"s": "key_77"})
-        assert ft == 6 and 0 < fr < ft
-        assert [r["s"] for r in got.collect()] == ["key_77"]
-
-    def test_points_and_bounds_compose(self, spark, tmp_path):
-        t = VersionedTable(spark, str(tmp_path / "bl7"))
-        df = spark.range(5000).select(
-            F.col("id").alias("k"), (F.col("id") % 100).alias("g"))
-        t.commit(df.repartitionByRange(8, "k"), stats_cols=("g",),
-                 bloom_cols=("k",))
-        got, fr, ft = t.read_pruned({"g": (0, 99)}, points={"k": 4321})
-        assert 0 < fr < ft == 8
-        assert [(r["k"], r["g"]) for r in got.collect()] == [(4321, 21)]
-        with pytest.raises(ValueError, match="both bounds and points"):
-            t.read_pruned({"k": (0, 1)}, points={"k": 5})
-        with pytest.raises(ValueError, match="is_null"):
-            t.read_pruned({}, points={"k": None})
-
-
-class TestBloomConfigPlumbing:
-    def test_bloom_cols_survive_dict_round_trip_and_validate(self):
-        import dataclasses
-
-        from pipeline_server_spark.api import config_from_dict
-        from pipeline_server_spark.pipeline.config import (
-            ConfigValidationError,
-            DestinationConfig,
-            validate_config,
-        )
-
-        cfg = config_from_dict({
-            "name": "rt8",
-            "destination": {
-                "path": "/tmp/x", "versioned": True,
-                "fields": [{"name": "K1", "type": "bigint"}],
-                "bloom_cols": ["K1"],
-            },
-        })
-        assert cfg.destination.bloom_cols == ("K1",)
-        norm = validate_config(cfg)
-        assert norm.destination.bloom_cols == ("k1",)
-        with pytest.raises(ConfigValidationError, match="bloom.*versioned"):
-            validate_config(dataclasses.replace(
-                cfg, destination=dataclasses.replace(
-                    cfg.destination, versioned=False)))
-        with pytest.raises(ConfigValidationError, match="bloom column 'zz'"):
-            validate_config(dataclasses.replace(
-                cfg, destination=dataclasses.replace(
-                    cfg.destination, bloom_cols=("zz",))))
-        with pytest.raises(ConfigValidationError, match="partition"):
-            validate_config(dataclasses.replace(
-                cfg, destination=dataclasses.replace(
-                    cfg.destination, partition_by=("k1",), bloom_cols=("k1",))))
-
-    def test_lifecycle_append_plumbs_bloom_cols(self, spark, tmp_path):
-        """DestinationConfig.bloom_cols reaches the versioned commit:
-        the first ingest builds the Bloom index, later ingests keep it
-        alive, and point lookups prune."""
-        from pipeline_server_spark.pipeline.config import (
-            DatasetConfig,
-            DestinationConfig,
-            FileAttributes,
-            SchemaField,
-            SourceConfig,
-        )
-        from pipeline_server_spark.pipeline.run import run_dataset
-
-        fields = (SchemaField("k", "bigint"), SchemaField("v", "bigint"))
-        config = DatasetConfig(
-            name="bloom_plumb",
-            source=SourceConfig(fields=fields,
-                                file=FileAttributes(file_type="csv")),
-            destination=DestinationConfig(
-                fields=fields, path=str(tmp_path / "vt"),
-                versioned=True, bloom_cols=("k",),
-            ),
-        )
-        for b in range(3):
-            csv = tmp_path / f"b{b}.csv"
-            csv.write_text("k,v\n" + "\n".join(
-                f"{b * 1000 + i},{i}" for i in range(500)))
-            run_dataset(spark, config, str(csv))
-        t = VersionedTable(spark, config.destination.path)
-        assert t._filelist_bloom_cols(t.current_version()) == ["k"]
-        got, fr, ft = t.read_pruned({}, points={"k": 2123})
-        assert ft == 3 and 0 < fr < ft
-        assert [r["v"] for r in got.collect()] == [123]
-
-
-class TestReviewFixesR8:
-    """Round-8 self-review findings, each pinned by a regression."""
-
-    def test_widening_append_sink_keeps_index(self, spark, tmp_path):
-        """A micro-batch that WIDENS a numeric column takes the
-        full-rewrite commit — which must carry the prior manifest's
-        stats/bloom columns, not silently drop the skipping index."""
-        from pipeline_server_spark.streaming.sinks import (
-            exactly_once_append_sink,
-        )
-
-        t = VersionedTable(spark, str(tmp_path / "rf1"))
-        t.commit(spark.range(1000).select(
-            F.col("id").alias("k"), F.col("id").alias("v")).repartition(4),
-            stats_cols=("v",), bloom_cols=("k",))
-        sink = exactly_once_append_sink(t)
-        wide = spark.range(1000, 1010).select(
-            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
-        sink(wide, 0)  # v is double > bigint: table widens
-        v = t.current_version()
-        assert t.stats_cols(v) == ["v"]
-        assert t.bloom_cols(v) == ["k"]
-        got, fr, ft = t.read_pruned({}, points={"k": 500})
-        assert 0 < fr < ft
-        assert got.count() == 1
-
-    def test_merge_sink_fallback_keeps_index(self, spark, tmp_path):
-        from pipeline_server_spark.streaming.sinks import (
-            exactly_once_merge_sink,
-        )
-
-        t = VersionedTable(spark, str(tmp_path / "rf2"))
-        t.commit(spark.range(500).select(
-            F.col("id").alias("k"), F.lit(0).alias("v")).repartition(4),
-            bloom_cols=("k",))
-        sink = exactly_once_merge_sink(t, ["k"])
-        sink(spark.createDataFrame([(1, 99), (600, 1)], ["k", "v"]), 0)
-        assert t.bloom_cols(t.current_version()) == ["k"]
-
-    def test_bloom_probe_numeric_type_insensitive(self, spark, tmp_path):
-        """An int probe on a DOUBLE column (and the reverse) must hash
-        to the same positions as the stored values — a type slip here
-        silently PRUNES files that contain the value."""
-        import numpy as np
-
-        t = VersionedTable(spark, str(tmp_path / "rf3"))
-        t.commit(spark.range(2000).select(
-            (F.col("id") * 1.0).alias("d"), F.col("id").alias("i"))
-            .repartition(8), bloom_cols=("d", "i"))
-        # int probe on double column
-        got, fr, ft = t.read_pruned({}, points={"d": 123})
-        assert got.count() == 1, "int probe missed double value"
-        # float probe on bigint column
-        got, fr, ft = t.read_pruned({}, points={"i": 123.0})
-        assert got.count() == 1, "float probe missed int value"
-        # numpy scalar probe
-        got, fr, ft = t.read_pruned({}, points={"i": np.int64(77)})
-        assert got.count() == 1, "numpy probe missed int value"
-
-    def test_bloom_decimal_scale_insensitive(self, spark, tmp_path):
-        from decimal import Decimal
-
-        t = VersionedTable(spark, str(tmp_path / "rf4"))
-        df = spark.range(500).select(
-            (F.col("id").cast("decimal(10,2)") / 4).alias("d"))
-        t.commit(df.repartition(4), bloom_cols=("d",))
-        # stored values have scale from decimal(10,2)/4; probe with a
-        # differently-scaled spelling of the same number
-        got, _, _ = t.read_pruned({}, points={"d": Decimal("5.250")})
-        assert got.count() == 1
-        got, _, _ = t.read_pruned({}, points={"d": Decimal("1")})
-        assert got.count() == 1  # 4/4: integral decimal
-        got, _, _ = t.read_pruned({}, points={"d": 5.25})
-        assert got.count() == 1  # float spelling of the same value
-
-    def test_no_index_fallback_none_point_raises(self, spark, tmp_path):
-        """points={c: None} must raise on the fallback path exactly as
-        the indexed path does — col == NULL silently returns nothing."""
-        t = VersionedTable(spark, str(tmp_path / "rf5"))
-        t.commit(_orders(spark, 0, 100))  # no stats/bloom: no _index
-        with pytest.raises(ValueError, match="is_null"):
-            t.read_pruned({}, points={"k": None})
-
-    def test_compaction_inherits_recorded_partition_layout(self, spark, tmp_path):
-        """optimize_compact_snapshot() with partition_by omitted must
-        preserve the manifest's recorded hive layout — flattening it
-        bricks the next commit_merge_partitioned behind the layout
-        guard."""
-        t = VersionedTable(spark, str(tmp_path / "rf6"))
-        t.commit(_orders(spark, 0, 1000, part=4), partition_by=("p",))
-        v = optimize_compact_snapshot(t)  # no partition_by argument
-        rels = [e[1] for e in t._read_filelist(v)]
-        assert rels and all(r.split(os.sep)[0].startswith("p=") for r in rels)
-        # the merge path still works post-compaction
-        src = spark.createDataFrame([(0, 999, 0)], ["k", "v", "p"])
-        t.commit_merge_partitioned(src, ["k"], ["p"])
-        assert t.read().where("k = 0").collect()[0]["v"] == 999
-
-    def test_packing_salt_on_all_complex_columns(self, spark, tmp_path):
-        """A table whose only data columns are arrays must still split
-        a big partition into multiple files — the salt hashes complex
-        columns (restricting to scalars collapses it to a constant)."""
-        t = VersionedTable(spark, str(tmp_path / "rf7"))
-        df = spark.range(30000).select(
-            F.lit(0).alias("p"),
-            F.array(F.col("id"), F.col("id") * 2).alias("arr"),
-            F.create_map(F.lit("k"), F.col("id")).alias("m"))
-        t.commit(df.repartition(8), partition_by=("p",))
-        total = sum(os.path.getsize(t._abs_file(e))
-                    for e in t._entries_for_version(1))
-        v = optimize_compact_snapshot(t, target_file_bytes=total // 4,
-                                      partition_by=("p",))
-        per_part = len(t._read_filelist(v))
-        assert per_part >= 2, "all-complex salt collapsed to one file"
-        assert t.read(v).count() == 30000
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+
+class TestTimestampTravel:
+    def test_version_as_of_picks_the_snapshot_current_at_ts(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "ts1"))
+        t.commit(_rows(spark, 0, 10))
+        ts_after_v1 = time.time()
+        time.sleep(0.05)
+        t.commit(_rows(spark, 0, 20))
+        time.sleep(0.05)
+        t.commit_append(_rows(spark, 20, 25))
+
+        assert t.version_as_of(ts_after_v1) == 1
+        assert t.version_as_of(time.time()) == 3
+        assert t.read(as_of=ts_after_v1).count() == 10
+        # datetime input works too
+        assert t.read(
+            as_of=dt.datetime.now() + dt.timedelta(seconds=1)).count() == 25
+
+    def test_before_first_commit_rejects(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "ts2"))
+        t.commit(_rows(spark, 0, 5))
+        with pytest.raises(ValueError, match="at or before"):
+            t.version_as_of(t.commit_timestamp(1) - 10.0)
+
+    def test_selector_exclusivity(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "ts3"))
+        t.commit(_rows(spark, 0, 5))
+        with pytest.raises(ValueError, match="at most one"):
+            t.read(version=1, as_of=time.time())
+
+    def test_pre_field_manifest_falls_back_to_mtime(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "ts4"))
+        t.commit(_rows(spark, 0, 5))
+        # simulate a round-7 manifest: strip the committed_at field
+        flist = os.path.join(t._resolve_dir(1), t.FILELIST)
+        with open(flist) as f:
+            doc = json.load(f)
+        del doc["committed_at"]
+        with open(flist, "w") as f:
+            json.dump(doc, f)
+        assert t.commit_timestamp(1) == pytest.approx(
+            os.path.getmtime(flist))
+        assert t.version_as_of(time.time()) == 1
+
+
+class TestRestore:
+    def test_restore_rolls_back_without_copying_data(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r1"))
+        t.commit(_rows(spark, 0, 100))
+        t.commit_append(_rows(spark, 100, 150))
+        t.commit(_rows(spark, 0, 10))  # the "bad" overwrite
+
+        v = t.restore(2)
+        assert v == 4 and t.current_version() == 4
+        got = {r["k"] for r in t.read().collect()}
+        assert got == set(range(150))
+        # O(1) in data: the restore version dir holds NO parquet files
+        rd = t._resolve_dir(4)
+        data_files = [f for _, _, names in os.walk(rd) for f in names
+                      if f.endswith(".parquet")]
+        assert data_files == []
+        # history intact: the bad v3 still reads
+        assert t.read(3).count() == 10
+        assert t.commit_metadata(4)["operation"] == "restore"
+        assert t.commit_metadata(4)["restored_version"] == 2
+
+    def test_change_feed_replays_restore_as_snapshot_diff(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r2"))
+        t.commit(_rows(spark, 0, 10))
+        t.commit(_rows(spark, 0, 10).withColumn(
+            "v", F.col("v") + 1))  # v2: all values bumped
+        t.restore(1)
+        feed = t.changes_range(["k"], 2, 3).collect()
+        # every row's value changed back: update_pre/update_post pairs
+        kinds = {r["_change_type"] for r in feed}
+        assert kinds == {"update_preimage", "update_postimage"}
+        assert all(r["_commit_version"] == 3 for r in feed)
+        post = {r["k"]: r["v"] for r in feed
+                if r["_change_type"] == "update_postimage"}
+        assert post == {k: 2 * k for k in range(10)}
+
+    def test_restore_carries_skipping_index(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r3"))
+        t.commit(_rows(spark, 0, 8000).repartitionByRange(8, "k"),
+                 stats_cols=("k",))
+        t.commit(_rows(spark, 0, 10))  # unindexed overwrite
+        t.restore(1)
+        got, fr, ft = t.read_pruned({"k": (100, 200)})
+        assert ft == 8 and 0 < fr < ft, "index lost through restore"
+        assert got.count() == 101
+        # and incremental commits on top keep it alive
+        t.commit_append(_rows(spark, 8000, 8500).coalesce(1))
+        _, fr2, ft2 = t.read_pruned({"k": (8000, 8100)})
+        assert ft2 == 9 and 0 < fr2 < ft2
+
+    def test_restore_of_vacuumed_version_rejects(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r4"))
+        t.commit(_rows(spark, 0, 10))
+        t.commit(_rows(spark, 10, 20))
+        t.commit(_rows(spark, 20, 30))
+        t.vacuum(keep=1)
+        with pytest.raises(ValueError, match="not a live version"):
+            t.restore(1)
+
+    def test_restored_files_survive_vacuum(self, spark, tmp_path):
+        """Reference counting: after restore(1), vacuuming down to the
+        restore must keep v1's data files alive (the restore manifest
+        references them) and the restored read still works."""
+        t = VersionedTable(spark, str(tmp_path / "r5"))
+        t.commit(_rows(spark, 0, 50))
+        t.commit(_rows(spark, 50, 60))
+        t.restore(1)
+        t.vacuum(keep=1)
+        assert {r["k"] for r in t.read().collect()} == set(range(50))
+
+    def test_restore_pre_bucket_snapshot_on_bucketed_table_rejects(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r6"))
+        t.commit(_rows(spark, 0, 10))  # v1: flat
+        t.commit_bucketed(_rows(spark, 0, 10), keys=["k"], n_buckets=4)
+        with pytest.raises(ValueError, match="bucket"):
+            t.restore(1)
+
+    def test_restore_of_bucketed_version_keeps_merges_working(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r7"))
+        t.commit_bucketed(_rows(spark, 0, 100), keys=["k"], n_buckets=4)
+        t.commit_merge_bucketed(
+            _rows(spark, 0, 5).withColumn("v", F.lit(999).cast("bigint")),
+            keys=["k"])
+        t.restore(1)
+        # bucketed merge still works on top of the restore
+        t.commit_merge_bucketed(
+            _rows(spark, 1, 2).withColumn("v", F.lit(-1).cast("bigint")),
+            keys=["k"])
+        vals = {r["k"]: r["v"] for r in t.read().collect()}
+        assert vals[0] == 0 and vals[1] == -1 and vals[4] == 8
+
+    def test_restore_legacy_version_rejects(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r8"))
+        t.commit(_rows(spark, 0, 10))
+        os.remove(os.path.join(t._resolve_dir(1), t.FILELIST))  # legacy
+        t2 = VersionedTable(spark, str(tmp_path / "r8"))
+        with pytest.raises(ValueError, match="legacy"):
+            t2.restore(1)
