@@ -73,6 +73,16 @@ HEADLINE = [
     # column rewrites, the post-training corpus pass an LLM pipeline
     # actually runs at scale
     "bpe_encode_corpus",
+    # round-8 session 2: distributed Lloyd k-means (6 iterations of
+    # scan + decimal partial-sum aggregation — a per-iteration job
+    # overhead surface like bpe_merge_train) and SemDeDup's
+    # within-cell pairwise join on top of it
+    "kmeans_embedding_clusters",
+    "semantic_dedup_embeddings",
+    # round-8 session 2: the JS column-bound loop lowering — one
+    # F.aggregate-over-sequence expression per row; regression here
+    # means the fold stopped being a single codegen'd projection
+    "js_transform_column_loop",
 ]
 
 

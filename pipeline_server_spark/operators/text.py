@@ -274,7 +274,7 @@ def bpe_train(words: DataFrame, num_merges: int,
 
 def bpe_encode(df: DataFrame, merges: list[tuple],
                word_col: str = "w", out_col: str = "tokens",
-               checkpoint_every: int = 16,
+               checkpoint_every: int = 4,
                checkpoint_dir: str | None = None) -> DataFrame:
     """BPE ENCODE — tokenize words with a TRAINED merge table (the
     complement of :func:`bpe_train`, and the pass an LLM pipeline
@@ -301,10 +301,14 @@ def bpe_encode(df: DataFrame, merges: list[tuple],
     DataFrame — each a whole-stage-codegen ``aggregate`` lambda, no
     shuffle, no driver traffic; lineage is truncated every
     ``checkpoint_every`` merges (localCheckpoint, or a reliable
-    checkpoint under ``checkpoint_dir``) so the expression tree stays
-    analyzable for large vocabularies. Typically applied to the
-    DISTINCT-word table (vocabulary-sized) and joined back to the
-    corpus, not to every corpus row.
+    checkpoint under ``checkpoint_dir``). The cadence matters far
+    more than row count: Catalyst's analysis/optimization of nested
+    aggregate lambdas is SUPERLINEAR in nesting depth — at 12
+    un-truncated levels the 31-word sf0.1 vocabulary spent ~19s in
+    the driver planning a 1s job (round-8 bench), so the default
+    truncates every 4 merges. Typically applied to the DISTINCT-word
+    table (vocabulary-sized) and joined back to the corpus, not to
+    every corpus row.
 
     ``merges`` accepts the trainer's output rows ``(rank, left,
     right, merged, count)`` or bare ``(left, right)`` pairs; rows are
