@@ -293,6 +293,10 @@ class PipelineApiServer:
                     name,
                     target_file_bytes=int(q.get("targetbytes", 128 * 1024 * 1024)),
                 )
+            if method == "GET" and path == "/dataset/stats":
+                (name,) = need("name")
+                return 200, self.engine.snapshot_stats(
+                    name, int(q["version"]) if "version" in q else None)
             if method == "POST" and path == "/dataset/restore":
                 name, version = need("name", "version")
                 return 200, self.engine.restore(name, int(version))

@@ -220,6 +220,26 @@ class Engine:
         return {"version": version, "files": n,
                 "target_file_bytes": int(target_file_bytes)}
 
+    def snapshot_stats(self, name: str,
+                       version: int | None = None) -> dict[str, Any]:
+        """Metadata-only snapshot statistics of a versioned dataset
+        (VersionedTable.snapshot_stats): row/file counts and
+        per-indexed-column min/max/null counts from the skipping
+        index — no data scan. Values that aren't JSON-native (dates,
+        decimals) are stringified for the wire."""
+        table, _ = self._versioned_table(name)
+        s = table.snapshot_stats(version)
+
+        def wire(v: Any) -> Any:
+            return v if v is None or isinstance(v, (bool, int, float, str)) \
+                else str(v)
+
+        s["columns"] = {
+            c: {k: wire(x) for k, x in d.items()}
+            for c, d in s.get("columns", {}).items()
+        }
+        return s
+
     def restore(self, name: str, version: int) -> dict[str, Any]:
         """Roll a versioned dataset back to ``version`` as a NEW
         commit (Delta RESTORE): O(1) in data — the new manifest

@@ -1221,6 +1221,75 @@ class VersionedTable:
         self.read(version).createOrReplaceTempView(name)
         return name
 
+    def snapshot_stats(self, version: int | None = None) -> dict:
+        """METADATA-ONLY snapshot statistics (the Delta/Iceberg
+        "answer COUNT(*)/MIN/MAX from the manifest" parity): row
+        count, file count, and per-indexed-column min / max / null
+        count, computed from the version's skipping index — no data
+        file is opened. On a 100 TB table this is an index-sized
+        aggregation (rows = files) instead of a full scan; the index
+        is maintained O(batch) by every commit kind, so the answer is
+        always current.
+
+        Exactness: numeric/date/timestamp min-max are exact (parquet
+        footer stats). String min/max are reported as written by the
+        writer — parquet MAY truncate long string statistics to
+        bounds (a prefix <= the true min), so treat string extremes
+        as bounds, not exact values. A column's ``nulls`` is None
+        when any file's null count is unknown (a writer that disabled
+        statistics).
+
+        Falls back to an executor-side footer pass (still O(#files)
+        metadata reads, never a data scan) for row/file counts when
+        the version has no index; ``columns`` is empty then."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        entries = self._entries_for_version(v)
+        out: dict = {"version": v, "n_files": len(entries)}
+        idx_path = os.path.join(self._resolve_dir(v), "_index")
+        stats_cols = self._filelist_stats_cols(v) or []
+        if os.path.isdir(idx_path):
+            idx = self.spark.read.parquet(idx_path)
+            if idx.count() == len(entries):
+                aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_n")]
+                for c in stats_cols:
+                    aggs += [
+                        F.min(f"{c}_min").alias(f"{c}__min"),
+                        F.max(f"{c}_max").alias(f"{c}__max"),
+                        F.sum(f"{c}_nulls").alias(f"{c}__nulls"),
+                        F.max(F.col(f"{c}_nulls").isNull().cast("int"))
+                        .alias(f"{c}__unk"),
+                    ]
+                row = idx.agg(*aggs).collect()[0]
+                out["n_rows"] = int(row["_n"])
+                out["columns"] = {
+                    c: {
+                        "min": row[f"{c}__min"],
+                        "max": row[f"{c}__max"],
+                        "nulls": (None if row[f"{c}__unk"]
+                                  else int(row[f"{c}__nulls"] or 0)),
+                    }
+                    for c in stats_cols
+                }
+                return out
+            # stale/partial index (shouldn't happen — continuity is
+            # maintained per commit): fall through to the footer pass
+            # rather than report wrong totals
+        from pipeline_server_spark.operators.scale import build_skipping_index
+
+        if entries:
+            counts = build_skipping_index(
+                self.spark, self.root, cols=[],
+                schema=self._filelist_schema(v),
+                files=[self._abs_file(e) for e in entries],
+            ).agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_n")).collect()
+            out["n_rows"] = int(counts[0]["_n"])
+        else:
+            out["n_rows"] = 0
+        out["columns"] = {}
+        return out
+
     def commit_timestamp(self, version: int) -> float:
         """Wall-clock commit time of ``version`` (epoch seconds):
         the manifest's recorded ``committed_at``, falling back to the

@@ -573,3 +573,36 @@ def test_restore_endpoint_rolls_back_versioned_dataset(spark, server):
         raise AssertionError("missing version param did not 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_stats_endpoint_is_metadata_only(spark, server):
+    """GET /dataset/stats serves row/file counts and column extremes
+    from the skipping index."""
+    srv, tmp_path = server
+
+    cfg = DatasetConfig(
+        name="api_stats",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_stats"),
+            write_mode="merge",
+            key_fields=("id",),
+            versioned=True,
+            stats_cols=("amount",),
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+    csv = b"id,amount\n" + b"".join(
+        f"{i},{i}.25\n".encode() for i in range(300))
+    status, _ = _call(srv.port, "POST", "/dataset/upload?dataset=api_stats", csv)
+    assert status == 200
+
+    status, s = _call(srv.port, "GET", "/dataset/stats?name=api_stats")
+    assert status == 200
+    assert s["n_rows"] == 300 and s["version"] == 1
+    assert s["columns"]["amount"]["min"] == 0.25
+    assert s["columns"]["amount"]["max"] == 299.25
+    assert s["columns"]["amount"]["nulls"] == 0

@@ -166,3 +166,57 @@ class TestRestore:
         t2 = VersionedTable(spark, str(tmp_path / "r8"))
         with pytest.raises(ValueError, match="legacy"):
             t2.restore(1)
+
+
+class TestSnapshotStats:
+    def test_exact_from_index_across_commit_kinds(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "s1"))
+        df1 = _rows(spark, 0, 1000)
+        t.commit(df1.repartitionByRange(4, "k"), stats_cols=("k", "v"))
+        t.commit_append(_rows(spark, 1000, 1200).coalesce(1))
+
+        s = t.snapshot_stats()
+        assert s["n_rows"] == 1200 and s["n_files"] >= 5
+        assert s["columns"]["k"] == {"min": 0, "max": 1199, "nulls": 0}
+        assert s["columns"]["v"] == {"min": 0, "max": 2398, "nulls": 0}
+        # historical snapshot answers from ITS index
+        s1 = t.snapshot_stats(1)
+        assert s1["n_rows"] == 1000 and s1["columns"]["k"]["max"] == 999
+
+    def test_metadata_only_no_data_file_opened(self, spark, tmp_path):
+        """The proof of the claim: corrupt every data file — the
+        stats still answer exactly (only the index parquet and
+        manifests are read)."""
+        t = VersionedTable(spark, str(tmp_path / "s2"))
+        t.commit(_rows(spark, 0, 500).repartitionByRange(4, "k"),
+                 stats_cols=("k",))
+        for e in t._entries_for_version(1):
+            with open(t._abs_file(e), "wb") as f:
+                f.write(b"corrupt")
+        s = t.snapshot_stats()
+        assert s["n_rows"] == 500
+        assert s["columns"]["k"] == {"min": 0, "max": 499, "nulls": 0}
+
+    def test_null_counts_served(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "s3"))
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 4 == 0, F.col("id")).alias("v"))
+        t.commit(df, stats_cols=("v",))
+        s = t.snapshot_stats()
+        assert s["columns"]["v"]["nulls"] == 75
+        assert s["columns"]["v"]["min"] == 0 and s["columns"]["v"]["max"] == 96
+
+    def test_unindexed_table_counts_via_footers(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "s4"))
+        t.commit(_rows(spark, 0, 321))
+        s = t.snapshot_stats()
+        assert s["n_rows"] == 321 and s["columns"] == {}
+
+    def test_empty_bootstrap_version(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "s5"))
+        t.commit(_rows(spark, 0, 1).where(F.lit(False)))
+        s = t.snapshot_stats()
+        # Spark may still emit one empty part file for an empty write;
+        # the row count is what must be exactly zero
+        assert s["n_rows"] == 0 and s["n_files"] <= 1
