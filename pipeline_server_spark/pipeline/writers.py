@@ -1609,61 +1609,7 @@ class VersionedTable:
 
     def _snapshot_diff(self, a: DataFrame, b: DataFrame, keys: list[str],
                        v_to: int) -> DataFrame:
-        """The keyed full-outer diff of two row sets, tagged with
-        ``_change_type``/``_commit_version`` — the core of
-        :meth:`changes`, also applied to partition SUBSETS by the
-        change feed's merge-commit fast path."""
-        # widen both sides to the union schema (evolution-safe diff)
-        a_types = dict(a.dtypes)
-        b_types = dict(b.dtypes)
-        all_cols = list(a.columns) + [c for c in b.columns if c not in a_types]
-        for c in all_cols:
-            if c not in a_types:
-                a = a.withColumn(c, F.lit(None).cast(b_types[c]))
-            if c not in b_types:
-                b = b.withColumn(c, F.lit(None).cast(a_types[c]))
-        data_cols = [c for c in all_cols if c not in keys]
-
-        oa = a.select(
-            *[F.col(c).alias(f"_a_{c}") for c in all_cols],
-            F.lit(True).alias("_in_a"),
-        )
-        ob = b.select(
-            *[F.col(c).alias(f"_b_{c}") for c in all_cols],
-            F.lit(True).alias("_in_b"),
-        )
-        cond = None
-        for k in keys:
-            e = F.col(f"_a_{k}").eqNullSafe(F.col(f"_b_{k}"))
-            cond = e if cond is None else (cond & e)
-        j = oa.join(ob, cond, "full_outer")
-
-        differs = F.lit(False)
-        for c in data_cols:
-            differs = differs | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
-
-        inserts = j.where(F.col("_in_a").isNull()).select(
-            *[F.col(f"_b_{c}").alias(c) for c in all_cols],
-            F.lit("insert").alias("_change_type"),
-            F.lit(v_to).cast("int").alias("_commit_version"),
-        )
-        deletes = j.where(F.col("_in_b").isNull()).select(
-            *[F.col(f"_a_{c}").alias(c) for c in all_cols],
-            F.lit("delete").alias("_change_type"),
-            F.lit(v_to).cast("int").alias("_commit_version"),
-        )
-        upd = j.where(F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull() & differs)
-        pre = upd.select(
-            *[F.col(f"_a_{c}").alias(c) for c in all_cols],
-            F.lit("update_preimage").alias("_change_type"),
-            F.lit(v_to).cast("int").alias("_commit_version"),
-        )
-        post = upd.select(
-            *[F.col(f"_b_{c}").alias(c) for c in all_cols],
-            F.lit("update_postimage").alias("_change_type"),
-            F.lit(v_to).cast("int").alias("_commit_version"),
-        )
-        return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+        return snapshot_change_feed(a, b, keys, v_to)
 
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` versions — never the
@@ -1858,3 +1804,65 @@ def merge_upsert_frames_evolving(target: DataFrame, source: DataFrame,
 
     return merge_upsert_frames(widen(target, t_types), widen(source, s_types),
                                keys, sequence_col)
+
+
+def snapshot_change_feed(a: DataFrame, b: DataFrame, keys: list[str],
+                         v_to: int = 0) -> DataFrame:
+    """The keyed full-outer diff of two row sets, tagged with
+    ``_change_type``/``_commit_version`` — the core of
+    :meth:`VersionedTable.changes` (also applied to partition
+    SUBSETS by the change feed's merge-commit fast path), public
+    as a pure-frame function so CDF consumers (e.g.
+    :mod:`...operators.mv`) can be driven from any two snapshots,
+    not only a VersionedTable."""
+    # widen both sides to the union schema (evolution-safe diff)
+    a_types = dict(a.dtypes)
+    b_types = dict(b.dtypes)
+    all_cols = list(a.columns) + [c for c in b.columns if c not in a_types]
+    for c in all_cols:
+        if c not in a_types:
+            a = a.withColumn(c, F.lit(None).cast(b_types[c]))
+        if c not in b_types:
+            b = b.withColumn(c, F.lit(None).cast(a_types[c]))
+    data_cols = [c for c in all_cols if c not in keys]
+
+    oa = a.select(
+        *[F.col(c).alias(f"_a_{c}") for c in all_cols],
+        F.lit(True).alias("_in_a"),
+    )
+    ob = b.select(
+        *[F.col(c).alias(f"_b_{c}") for c in all_cols],
+        F.lit(True).alias("_in_b"),
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"_a_{k}").eqNullSafe(F.col(f"_b_{k}"))
+        cond = e if cond is None else (cond & e)
+    j = oa.join(ob, cond, "full_outer")
+
+    differs = F.lit(False)
+    for c in data_cols:
+        differs = differs | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+
+    inserts = j.where(F.col("_in_a").isNull()).select(
+        *[F.col(f"_b_{c}").alias(c) for c in all_cols],
+        F.lit("insert").alias("_change_type"),
+        F.lit(v_to).cast("int").alias("_commit_version"),
+    )
+    deletes = j.where(F.col("_in_b").isNull()).select(
+        *[F.col(f"_a_{c}").alias(c) for c in all_cols],
+        F.lit("delete").alias("_change_type"),
+        F.lit(v_to).cast("int").alias("_commit_version"),
+    )
+    upd = j.where(F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull() & differs)
+    pre = upd.select(
+        *[F.col(f"_a_{c}").alias(c) for c in all_cols],
+        F.lit("update_preimage").alias("_change_type"),
+        F.lit(v_to).cast("int").alias("_commit_version"),
+    )
+    post = upd.select(
+        *[F.col(f"_b_{c}").alias(c) for c in all_cols],
+        F.lit("update_postimage").alias("_change_type"),
+        F.lit(v_to).cast("int").alias("_commit_version"),
+    )
+    return inserts.unionAll(deletes).unionAll(pre).unionAll(post)

@@ -304,3 +304,63 @@ def js_transform_column_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         *[c.alias(k) for k, c in spec.expressions.items()],
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "mv_refresh_from_change_feed",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN o_totalprice + 10.0 ELSE o_totalprice END AS price,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM v2 GROUP BY month ORDER BY month
+    """,
+)
+def mv_refresh_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance driven by a CHANGE
+    DATA FEED (:mod:`...operators.mv` — the update/delete-capable
+    complement of ``incremental_agg_refresh``'s append-only partial
+    re-aggregation): a monthly revenue rollup is materialized over the
+    v1 orders snapshot; v2 then updates every ``o_orderkey % 97 == 0``
+    row's price (+10) and deletes every ``% 101 == 0`` row; the
+    Delta-CDF-shaped diff (insert/delete/update pre+post) folds into
+    the view as per-group deltas — the old fact rows are never
+    rescanned. The oracle recomputes the rollup from v2 from scratch;
+    bit-equality (exact DECIMAL deltas) proves the maintenance
+    algebra, including updates that only change a measure and deletes
+    that shrink a group. Cost shape at 100 TB: O(|feed| + |groups|),
+    not O(|table|)."""
+    from pipeline_server_spark.operators.mv import apply_change_feed_to_rollup
+    from pipeline_server_spark.pipeline.writers import snapshot_change_feed
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_orderdate",
+    )
+    v2 = v1.where(F.col("o_orderkey") % 101 != 0).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 97 == 0,
+               F.col("price") + F.lit(10.0).cast("decimal(12,2)"))
+        .otherwise(F.col("price")).cast("decimal(12,2)"),
+    )
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    mv = v1.groupBy(month).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price").alias("revenue"),
+    )
+    feed = snapshot_change_feed(v1, v2, keys=["o_orderkey"]) \
+        .withColumn("month", month)
+    refreshed = apply_change_feed_to_rollup(
+        mv, feed, group_cols=["month"], sum_cols={"revenue": "price"},
+        count_col="n")
+    return refreshed.select(
+        "month", "n", F.col("revenue").cast("double").alias("revenue")
+    ).orderBy("month")

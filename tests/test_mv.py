@@ -1,0 +1,122 @@
+"""Change-feed-driven incremental view maintenance (operators/mv.py):
+the maintained view must equal a from-scratch recompute for every
+change shape, and disagreement between feed and view must fail loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from pipeline_server_spark.operators.mv import (
+    apply_change_feed_to_rollup,
+    change_feed_to_rollup_delta,
+)
+from pipeline_server_spark.pipeline.writers import snapshot_change_feed
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, g string, x decimal(10,2)")
+
+
+def _mv(df):
+    return df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("revenue"),
+    )
+
+
+def _refresh(spark, v1_rows, v2_rows):
+    v1, v2 = _snap(spark, v1_rows), _snap(spark, v2_rows)
+    feed = snapshot_change_feed(v1, v2, keys=["k"])
+    got = apply_change_feed_to_rollup(
+        _mv(v1), feed, group_cols=["g"], sum_cols={"revenue": "x"},
+        count_col="n")
+    want = _mv(v2)
+    g = {r["g"]: (r["n"], r["revenue"]) for r in got.collect()}
+    w = {r["g"]: (r["n"], r["revenue"]) for r in want.collect()}
+    assert g == w, (g, w)
+
+
+class TestRefreshEqualsRecompute:
+    def test_inserts_updates_deletes(self, spark):
+        from decimal import Decimal as D
+        v1 = [(1, "a", D("10.00")), (2, "a", D("5.00")), (3, "b", D("7.00"))]
+        v2 = [(1, "a", D("12.50")),            # measure update
+              (3, "b", D("7.00")),             # unchanged
+              (4, "b", D("1.00")),             # insert
+              (5, "c", D("9.99"))]             # insert into NEW group
+        _refresh(spark, v1, v2)                # k=2 deleted
+
+    def test_update_moves_row_between_groups(self, spark):
+        from decimal import Decimal as D
+        v1 = [(1, "a", D("10.00")), (2, "b", D("5.00"))]
+        v2 = [(1, "b", D("10.00")), (2, "b", D("5.00"))]  # a -> b
+        _refresh(spark, v1, v2)  # group 'a' must disappear entirely
+
+    def test_group_vanishes_when_count_hits_zero(self, spark):
+        from decimal import Decimal as D
+        v1 = [(1, "a", D("10.00")), (2, "b", D("5.00"))]
+        v2 = [(2, "b", D("5.00"))]
+        v1df, v2df = _snap(spark, v1), _snap(spark, v2)
+        feed = snapshot_change_feed(v1df, v2df, keys=["k"])
+        out = apply_change_feed_to_rollup(
+            _mv(v1df), feed, ["g"], {"revenue": "x"}, count_col="n")
+        assert {r["g"] for r in out.collect()} == {"b"}
+
+    def test_empty_feed_is_identity(self, spark):
+        from decimal import Decimal as D
+        v1 = [(1, "a", D("10.00"))]
+        _refresh(spark, v1, v1)
+
+    def test_multi_step_chaining_stays_exact(self, spark):
+        """Refresh through 3 successive feeds == recompute of the
+        final snapshot (delta algebra composes)."""
+        from decimal import Decimal as D
+        snaps = [
+            [(1, "a", D("1.00")), (2, "b", D("2.00"))],
+            [(1, "a", D("3.00")), (2, "b", D("2.00")), (3, "a", D("4.00"))],
+            [(2, "c", D("2.00")), (3, "a", D("4.00"))],
+            [(2, "c", D("2.50")), (3, "a", D("4.00")), (4, "c", D("0.01"))],
+        ]
+        dfs = [_snap(spark, s) for s in snaps]
+        mv = _mv(dfs[0])
+        for prev, cur in zip(dfs, dfs[1:]):
+            feed = snapshot_change_feed(prev, cur, keys=["k"])
+            mv = apply_change_feed_to_rollup(
+                mv, feed, ["g"], {"revenue": "x"}, count_col="n")
+        g = {r["g"]: (r["n"], r["revenue"]) for r in mv.collect()}
+        w = {r["g"]: (r["n"], r["revenue"]) for r in _mv(dfs[-1]).collect()}
+        assert g == w
+
+
+class TestLoudFailures:
+    def test_unknown_change_type_raises(self, spark):
+        from decimal import Decimal as D
+        feed = spark.createDataFrame(
+            [(1, "a", D("1.00"), "upsert")],
+            "k long, g string, x decimal(10,2), _change_type string")
+        with pytest.raises(Exception, match="unknown _change_type"):
+            change_feed_to_rollup_delta(
+                feed, ["g"], {"revenue": "x"}).collect()
+
+    def test_mismatched_feed_negative_count_raises(self, spark):
+        from decimal import Decimal as D
+        mv = spark.createDataFrame(
+            [("a", 1, D("1.00"))], "g string, n long, revenue decimal(10,2)")
+        feed = spark.createDataFrame(
+            [(1, "a", D("1.00"), "delete"), (2, "a", D("2.00"), "delete")],
+            "k long, g string, x decimal(10,2), _change_type string")
+        with pytest.raises(Exception, match="negative group count"):
+            apply_change_feed_to_rollup(
+                mv, feed, ["g"], {"revenue": "x"}, count_col="n").collect()
+
+    def test_missing_view_columns_reject(self, spark):
+        from decimal import Decimal as D
+        mv = spark.createDataFrame([("a", 1)], "g string, n long")
+        feed = spark.createDataFrame(
+            [(1, "a", D("1.00"), "insert")],
+            "k long, g string, x decimal(10,2), _change_type string")
+        with pytest.raises(ValueError, match="missing columns"):
+            apply_change_feed_to_rollup(
+                mv, feed, ["g"], {"revenue": "x"}, count_col="n")
