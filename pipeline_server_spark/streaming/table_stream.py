@@ -1,0 +1,240 @@
+"""Structured-Streaming source over a VersionedTable's commit log.
+
+The Delta streaming-source idea on this repo's manifest design,
+implemented as a Spark 4 **Python DataSource** (pyspark.sql.datasource)
+so ``spark.readStream.format("versioned_table_stream")`` works like
+any built-in source:
+
+- **Offsets are versions.** A micro-batch covers the commit range
+  ``(start, end]``; progress/restart semantics come from the
+  checkpoint exactly like Kafka offsets (exactly-once with a
+  checkpointLocation).
+- **Append commits stream as inserts.** A ``commit_append`` version's
+  step is exactly its NEW files (the manifest names them), so a batch
+  is read straight from those parquet files — one InputPartition per
+  file, read EXECUTOR-SIDE with pyarrow; no join, no snapshot scan,
+  O(batch) at any table size. Version 1's bootstrap ``full`` commit
+  streams the same way (no prior state ⇒ every row is an insert).
+- **Change commits (merge/overwrite/restore/optimize beyond v1)**:
+  like Delta's source, the stream REFUSES by default (their row-level
+  diff is not derivable from files alone) and skips them with
+  ``skipChangeCommits=true`` — downstream consumers that need the
+  full diff use :meth:`VersionedTable.changes_range` in batch.
+  Compaction commits (``optimize_*`` metadata operations rewrite the
+  same rows) are skipped automatically — zero row changes by
+  construction.
+
+Every emitted row carries ``_commit_version`` so downstream stateful
+operators can key replay detection the same way the exactly-once
+sinks do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FORMAT_NAME = "versioned_table_stream"
+
+
+# ---------------------------------------------------------------------------
+# pure-file manifest resolution (no SparkSession — this code runs inside
+# the data source on the driver; mirrors VersionedTable's layout contract:
+# _manifest.json pointer OR _commits/vNNNNNNNN.json records, version dirs
+# _versions/vNNNNNNNN[-suffix], per-version _filelist.json)
+# ---------------------------------------------------------------------------
+
+
+def _commits_dir(root: str) -> str:
+    return os.path.join(root, "_commits")
+
+
+def _current_version(root: str) -> int | None:
+    cdir = _commits_dir(root)
+    if os.path.isdir(cdir):
+        vs = [int(f[1:9]) for f in os.listdir(cdir)
+              if f.startswith("v") and f.endswith(".json")
+              and f[1:9].isdigit()]
+        if vs:
+            return max(vs)
+    try:
+        with open(os.path.join(root, "_manifest.json")) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        return None
+
+
+def _resolve_dir(root: str, version: int) -> str:
+    rec = os.path.join(_commits_dir(root), f"v{version:08d}.json")
+    if os.path.exists(rec):
+        with open(rec) as f:
+            return os.path.join(root, "_versions", json.load(f)["dir"])
+    return os.path.join(root, "_versions", f"v{version:08d}")
+
+
+def _doc(root: str, version: int) -> dict | None:
+    try:
+        with open(os.path.join(_resolve_dir(root, version),
+                               "_filelist.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _meta_operation(root: str, version: int) -> str | None:
+    try:
+        with open(os.path.join(_resolve_dir(root, version),
+                               "_meta.json")) as f:
+            return json.load(f).get("operation")
+    except FileNotFoundError:
+        return None
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, version: int):
+        self.path = path
+        self.version = version
+
+
+class _VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.root = options.get("path") or options.get("tablepath")
+        if not self.root:
+            raise ValueError(
+                f"{FORMAT_NAME}: option 'path' (the VersionedTable root) "
+                "is required")
+        self.schema_fields = [f.name for f in schema.fields
+                              if f.name != "_commit_version"]
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true")
+        start = options.get("startingversion")
+        self._starting = int(start) if start is not None else None
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        if self._starting is not None:
+            # startingVersion=N streams version N ITSELF first (Delta
+            # semantics) — the offset is exclusive, so start at N-1
+            return {"version": self._starting - 1}
+        cur = _current_version(self.root)
+        # default: stream only commits made AFTER the query starts
+        return {"version": cur if cur is not None else 0}
+
+    def latestOffset(self) -> dict:
+        cur = _current_version(self.root)
+        return {"version": cur if cur is not None else 0}
+
+    # -- planning ---------------------------------------------------------
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            doc = _doc(self.root, v)
+            if doc is None:
+                raise ValueError(
+                    f"{FORMAT_NAME}: version {v} of {self.root} has no "
+                    "manifest (legacy or vacuumed) — start the stream at a "
+                    "newer version")
+            kind = doc.get("kind") or "full"
+            op = _meta_operation(self.root, v)
+            if isinstance(op, str) and op.startswith("optimize_"):
+                continue  # layout maintenance: zero row changes
+            if kind == "append" or v == 1:
+                base = os.path.basename(_resolve_dir(self.root, v))
+                parts.extend(
+                    _FilePartition(
+                        os.path.join(self.root, "_versions", d, rel), v)
+                    for d, rel in doc.get("files", [])
+                    if d == base
+                )
+                continue
+            if self.skip_change_commits:
+                continue
+            raise ValueError(
+                f"{FORMAT_NAME}: version {v} of {self.root} is a "
+                f"{kind!r} commit — its row-level changes are not "
+                "streamable from files alone. Pass "
+                "skipChangeCommits=true to ignore change commits (Delta "
+                "semantics), or replay them in batch via "
+                "VersionedTable.changes_range().")
+        return parts
+
+    # -- execution (runs on executors) -------------------------------------
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = []
+        n = tbl.num_rows
+        for name in self.schema_fields:
+            if name in tbl.column_names:
+                cols.append(tbl.column(name).to_pylist())
+            else:
+                # schema evolution: a pre-evolution file null-fills
+                cols.append([None] * n)
+        cols.append([partition.version] * n)
+        return iter(zip(*cols)) if n else iter(())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+
+class VersionedTableStreamDataSource(DataSource):
+    """``spark.readStream.format("versioned_table_stream")
+    .option("path", root).load()`` — register with
+    :func:`register_stream_source` first (Python data sources are
+    session-scoped)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        root = self.options.get("path") or self.options.get("tablepath")
+        if not root:
+            raise ValueError(
+                f"{FORMAT_NAME}: option 'path' (the VersionedTable root) "
+                "is required")
+        cur = _current_version(root)
+        if cur is None:
+            raise ValueError(f"{FORMAT_NAME}: no committed version at {root}")
+        doc = _doc(root, cur)
+        if doc is None or "schema" not in doc:
+            raise ValueError(
+                f"{FORMAT_NAME}: version {cur} of {root} has no recorded "
+                "schema (legacy manifest) — recommit or OPTIMIZE once")
+        base = T.StructType.fromJson(json.loads(doc["schema"]))
+        # everything nullable: files written before an additive schema
+        # evolution null-fill the new columns, and a recorded
+        # non-nullable field would NPE the unsafe row writer
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in base.fields]
+            + [T.StructField("_commit_version", T.IntegerType())])
+
+    def streamReader(self, schema):
+        return _VersionedTableStreamReader(schema, self.options)
+
+
+def register_stream_source(spark) -> None:
+    """Idempotently register the data source with the session."""
+    spark.dataSource.register(VersionedTableStreamDataSource)
+
+
+def stream_inserts(spark, root: str, starting_version: int | None = None,
+                   skip_change_commits: bool = False):
+    """Convenience: a streaming DataFrame of the table's insert feed."""
+    register_stream_source(spark)
+    r = spark.readStream.format(FORMAT_NAME).option("path", root)
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    if skip_change_commits:
+        r = r.option("skipChangeCommits", "true")
+    return r.load()

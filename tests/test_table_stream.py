@@ -1,0 +1,164 @@
+"""Structured-Streaming source over the VersionedTable commit log
+(streaming/table_stream.py — a Spark 4 Python DataSource): offsets are
+versions, append commits stream O(batch) from their manifest-named
+files, change commits refuse or skip with Delta's skipChangeCommits
+semantics, and checkpoints give exactly-once across restarts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.writers import VersionedTable
+from pipeline_server_spark.streaming.table_stream import stream_inserts
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+
+def _drain(spark, df, name, checkpoint=None):
+    w = df.writeStream.format("memory").queryName(name) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+class TestAppendStreaming:
+    def test_replay_from_starting_version(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t1"))
+        t.commit(_rows(spark, 0, 10))
+        t.commit_append(_rows(spark, 10, 15))
+        t.commit_append(_rows(spark, 15, 18))
+
+        out = _drain(spark, stream_inserts(spark, t.root, starting_version=1),
+                     "ts_replay").collect()
+        assert sorted(r["k"] for r in out) == list(range(18))
+        byv = {r["k"]: r["_commit_version"] for r in out}
+        assert byv[0] == 1 and byv[12] == 2 and byv[17] == 3
+
+    def test_default_start_streams_only_new_commits(self, spark, tmp_path):
+        """No startingVersion: the initial offset pins to the CURRENT
+        version when the query first starts (Delta's default — history
+        is not replayed), and later runs on the same checkpoint pick
+        up only commits made since."""
+        t = VersionedTable(spark, str(tmp_path / "t2"))
+        ckpt, out_dir = str(tmp_path / "ck"), str(tmp_path / "out")
+        t.commit(_rows(spark, 0, 10))
+
+        def run():
+            q = (stream_inserts(spark, t.root)
+                 .writeStream.format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run()  # pins the offset at v1; nothing replayed
+        t.commit_append(_rows(spark, 10, 12))
+        run()
+        got = sorted(r["k"] for r in spark.read.parquet(out_dir).collect())
+        assert got == [10, 11]
+
+    def test_checkpoint_gives_exactly_once_across_restarts(
+            self, spark, tmp_path):
+        # the memory sink cannot recover a checkpoint; a parquet sink
+        # proves the real restart contract
+        t = VersionedTable(spark, str(tmp_path / "t3"))
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+        t.commit(_rows(spark, 0, 5))
+
+        def run():
+            q = (stream_inserts(spark, t.root, starting_version=1)
+                 .writeStream.format("parquet")
+                 .option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run()
+        assert spark.read.parquet(out_dir).count() == 5
+        t.commit_append(_rows(spark, 5, 9))
+        t.commit_append(_rows(spark, 9, 11))
+        run()  # restart from the SAME checkpoint: only versions 2-3 arrive
+        got = sorted(r["k"] for r in spark.read.parquet(out_dir).collect())
+        assert got == list(range(11))  # each row exactly once
+
+    def test_schema_evolution_null_fills_old_files(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t4"))
+        t.commit(_rows(spark, 0, 3))
+        t.commit_append(
+            _rows(spark, 3, 5).withColumn("w", F.lit("x")),
+            evolve_schema=True)
+        out = _drain(spark, stream_inserts(spark, t.root, starting_version=1),
+                     "ts_evo").collect()
+        got = {r["k"]: r["w"] for r in out}
+        assert got[0] is None and got[4] == "x"
+
+
+class TestChangeCommits:
+    def _merge_table(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "m1"))
+        t.commit(_rows(spark, 0, 10).withColumn(
+            "p", (F.col("k") % 2).cast("int")), partition_by=("p",))
+        src = _rows(spark, 0, 2).withColumn(
+            "p", (F.col("k") % 2).cast("int")).withColumn(
+            "v", F.lit(99).cast("bigint"))
+        t.commit_merge_partitioned(src, keys=["k"], partition_by=("p",))
+        t.commit_append(_rows(spark, 10, 12).withColumn(
+            "p", (F.col("k") % 2).cast("int")), partition_by=("p",))
+        return t
+
+    def test_merge_commit_refuses_by_default(self, spark, tmp_path):
+        t = self._merge_table(spark, tmp_path)
+        df = stream_inserts(spark, t.root, starting_version=1)
+        q = df.writeStream.format("memory").queryName("ts_refuse") \
+            .trigger(availableNow=True).start()
+        with pytest.raises(Exception, match="skipChangeCommits"):
+            q.awaitTermination(120)
+            raise AssertionError("merge commit did not refuse")
+
+    def test_skip_change_commits_streams_appends_only(self, spark, tmp_path):
+        t = self._merge_table(spark, tmp_path)
+        out = _drain(
+            spark,
+            stream_inserts(spark, t.root, starting_version=1,
+                           skip_change_commits=True),
+            "ts_skip").collect()
+        # v1 bootstrap + v3 append; the v2 merge is skipped
+        assert sorted(r["k"] for r in out) == list(range(12))
+        assert {r["_commit_version"] for r in out} == {1, 3}
+
+    def test_optimize_commits_skip_automatically(self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot)
+
+        t = VersionedTable(spark, str(tmp_path / "o1"))
+        t.commit(_rows(spark, 0, 6))
+        t.commit_append(_rows(spark, 6, 8))
+        optimize_compact_snapshot(t)  # v3: same rows, new layout
+        t.commit_append(_rows(spark, 8, 9))
+        out = _drain(spark, stream_inserts(spark, t.root, starting_version=1),
+                     "ts_opt").collect()
+        # no refusal, no duplicate rows from the compaction rewrite
+        assert sorted(r["k"] for r in out) == list(range(9))
+        assert {r["_commit_version"] for r in out} == {1, 2, 4}
+
+    def test_vacuumed_range_errors_clearly(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "v1"))
+        t.commit(_rows(spark, 0, 4))
+        t.commit(_rows(spark, 0, 6))
+        t.commit(_rows(spark, 0, 8))
+        t.vacuum(keep=1)
+        df = stream_inserts(spark, t.root, starting_version=1)
+        q = df.writeStream.format("memory").queryName("ts_vac") \
+            .trigger(availableNow=True).start()
+        with pytest.raises(Exception, match="legacy or vacuumed"):
+            q.awaitTermination(120)
+            raise AssertionError("vacuumed range did not error")
