@@ -162,3 +162,45 @@ class TestChangeCommits:
         with pytest.raises(Exception, match="legacy or vacuumed"):
             q.awaitTermination(120)
             raise AssertionError("vacuumed range did not error")
+
+
+class TestMedallionComposition:
+    def test_table_to_table_incremental_pipeline(self, spark, tmp_path):
+        """Bronze -> silver: stream_inserts over the bronze
+        VersionedTable, a transform, and the exactly-once append sink
+        into a silver VersionedTable — the incremental
+        medallion-pipeline composition. Restarting after new bronze
+        commits moves ONLY the new rows; silver history is one commit
+        per processed micro-batch and replays are no-ops."""
+        from pipeline_server_spark.streaming.sinks import (
+            exactly_once_append_sink)
+
+        bronze = VersionedTable(spark, str(tmp_path / "bronze"))
+        silver = VersionedTable(spark, str(tmp_path / "silver"))
+        ckpt = str(tmp_path / "ck")
+        bronze.commit(_rows(spark, 0, 20))
+
+        def run():
+            df = stream_inserts(spark, bronze.root, starting_version=1)
+            out = df.where(F.col("k") % 2 == 0).select(
+                "k", (F.col("v") * 10).alias("v10"), "_commit_version")
+            q = (out.writeStream
+                 .foreachBatch(exactly_once_append_sink(silver))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run()
+        got1 = {r["k"]: r["v10"] for r in silver.read().collect()}
+        assert got1 == {k: k * 20 for k in range(0, 20, 2)}
+
+        bronze.commit_append(_rows(spark, 20, 30))
+        run()  # restart: only bronze v2 flows
+        got2 = {r["k"]: r["v10"] for r in silver.read().collect()}
+        assert got2 == {k: k * 20 for k in range(0, 30, 2)}
+        # silver advanced incrementally (append commits), not rewritten
+        kinds = {v: silver._commit_kind(v) for v in silver.versions()}
+        assert all(k in ("append", "full") for k in kinds.values())
+
+        run()  # no new bronze commits: a replayed/empty run adds no rows
+        assert silver.read().count() == len(got2)
