@@ -1370,6 +1370,179 @@ class VersionedTable:
             meta.update(metadata)
         return self._publish(new_version, target, meta)
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY parity: one record per live version —
+        version, commit timestamp, commit kind (full / append / merge
+        / restore / delete / update), recorded layout, file count, and
+        the commit's user metadata (operation etc.). Manifest-sized;
+        no data is read."""
+        out = []
+        for v in self.versions():
+            doc = self._filelist_doc(v) or {}
+            out.append({
+                "version": v,
+                "committed_at": self.commit_timestamp(v),
+                "kind": doc.get("kind") or ("full" if doc else "legacy"),
+                "partition_by": list(doc.get("partition_by") or []),
+                "n_files": len(self._entries_for_version(v)),
+                "metadata": self.commit_metadata(v),
+            })
+        return out
+
+    def delete_where(self, predicate, bounds: dict | None = None,
+                     points: dict | None = None,
+                     metadata: dict | None = None) -> int:
+        """Row-level DELETE as a copy-on-write commit that rewrites
+        ONLY the files that actually contain matching rows (the Delta
+        DELETE algorithm): phase 1 finds touched files — through the
+        skipping index first when ``bounds``/``points`` describe the
+        predicate's envelope (index-sized, no data scan for the
+        pruning step), then by scanning only the index-surviving
+        candidates for real matches via ``input_file_name`` — and
+        phase 2 rewrites just those files without the matching rows.
+        Every untouched file carries forward by reference (O(1));
+        the skipping index is maintained O(rewritten files). At
+        100 TB a keyed delete with ``points`` touches the handful of
+        files whose Bloom/min-max admit the key, not the table.
+
+        ``predicate`` is the EXACT row condition (a Column);
+        ``bounds``/``points`` are the optional index envelope in
+        :meth:`read_pruned`'s vocabulary — they must be IMPLIED BY
+        the predicate (a superset envelope is correct, a narrower one
+        silently misses files; the caller owns that contract, exactly
+        like Delta's file-skipping on a DELETE WHERE).
+
+        Returns the new version. The change feed replays a delete
+        version as an honest snapshot diff."""
+        return self._rewrite_where(predicate, "delete", None,
+                                   bounds=bounds, points=points,
+                                   metadata=metadata)
+
+    def update_where(self, predicate, assignments: dict,
+                     bounds: dict | None = None,
+                     points: dict | None = None,
+                     metadata: dict | None = None) -> int:
+        """Row-level UPDATE, same pruned copy-on-write shape as
+        :meth:`delete_where`: only files containing matching rows are
+        rewritten, with ``assignments`` (column name → Column
+        expression, evaluated against the pre-update row) applied to
+        matching rows and every other row kept verbatim. Assignments
+        may not touch partition/layout columns (a row changing
+        partition is a merge's job — reject by name rather than
+        silently strand it in the old directory)."""
+        if not assignments:
+            raise ValueError("update_where: empty assignments")
+        layout = set(self.recorded_partition_by(
+            self.current_version() or 0))
+        bad = sorted(set(assignments) & layout)
+        if bad:
+            raise ValueError(
+                f"update_where may not assign layout columns {bad} — "
+                "a partition-moving update is a keyed merge "
+                "(commit_merge_partitioned), not an in-place rewrite")
+        return self._rewrite_where(predicate, "update", assignments,
+                                   bounds=bounds, points=points,
+                                   metadata=metadata)
+
+    def _rewrite_where(self, predicate, kind: str, assignments: dict | None,
+                       bounds: dict | None, points: dict | None,
+                       metadata: dict | None) -> int:
+        current = self.current_version()
+        if current is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        entries = self._entries_for_version(current)
+        doc = self._filelist_doc(current) or {}
+        layout = tuple(doc.get("partition_by") or [])
+        schema = self._filelist_schema(current)
+
+        # phase 0: index envelope → candidate files (index-sized)
+        if (bounds or points) and os.path.isdir(
+                os.path.join(self._resolve_dir(current), "_index")):
+            _, picked, _ = self._pruned_files(bounds or {}, points, current)
+            candidates = picked
+        else:
+            candidates = [self._abs_file(e) for e in entries]
+        # phase 1: which candidates REALLY contain matching rows
+        touched: set[str] = set()
+        if candidates:
+            cdf = self._read_files(candidates, schema=schema)
+            hit_rows = (
+                cdf.where(predicate)
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
+            )
+            import urllib.parse as _up
+
+            for r in hit_rows:
+                p = _up.unquote(_up.urlparse(r["_f"]).path)
+                touched.add(os.path.abspath(p))
+        if not touched:
+            # nothing matches: no new version, the table is unchanged
+            return current
+
+        version = current + 1
+        target = self._stage_dir(version)
+        keep = self._read_files(sorted(touched), schema=schema)
+        if kind == "delete":
+            rewritten = keep.where(~F.coalesce(predicate, F.lit(False)))
+        else:
+            hit = F.coalesce(predicate, F.lit(False))
+            rewritten = keep.select(*[
+                (F.when(hit, assignments[c]).otherwise(F.col(c))
+                 .cast(dict(keep.dtypes)[c]).alias(c))
+                if c in assignments else F.col(c)
+                for c in keep.columns
+            ])
+        writer = rewritten.write.mode("overwrite")
+        if layout:
+            writer = writer.partitionBy(*layout)
+        writer.format(self.file_format).save(target)
+        base = os.path.basename(target)
+        new_entries = [(base, rel) for rel in self._list_data_files(target)]
+        carried = [e for e in entries
+                   if os.path.abspath(self._abs_file(e)) not in touched]
+        all_entries = carried + new_entries
+        stats_cols = doc.get("stats_cols") or []
+        bloom_cols = doc.get("bloom_cols") or []
+        self._write_filelist(target, all_entries, schema=schema,
+                             stats_cols=stats_cols or None,
+                             kind=kind, partition_by=layout or None,
+                             bloom_cols=bloom_cols or None)
+        if stats_cols or bloom_cols:
+            self._build_index(target, all_entries, stats_cols, schema,
+                              prior_version=current,
+                              new_entries=new_entries,
+                              bloom_cols=bloom_cols)
+        meta = {"operation": kind,
+                "rewritten_files": len(touched),
+                "carried_files": len(carried)}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(version, target, meta)
+
+    def _pruned_files(self, bounds: dict, points: dict | None,
+                      version: int) -> tuple[None, list[str], int]:
+        """The index-pruning core of :meth:`read_pruned`, returning
+        the picked FILE LIST instead of a DataFrame (DML wants the
+        candidates, not a scan)."""
+        from pipeline_server_spark.operators.scale import read_with_skipping
+
+        d = self._resolve_dir(version)
+        idx = self.spark.read.parquet(os.path.join(d, "_index"))
+        picked_holder: list[list[str]] = [[]]
+
+        def reader(files: list[str]):
+            picked_holder[0] = list(files)
+            if not files:
+                return self.read(version)
+            return self._read_files(files,
+                                    schema=self._filelist_schema(version))
+
+        read_with_skipping(self.spark, d, idx, bounds, reader=reader,
+                           points=points)
+        return None, picked_holder[0], len(self._entries_for_version(version))
+
     def versions(self) -> list[int]:
         base = os.path.join(self.root, "_versions")
         if not os.path.isdir(base):

@@ -33,6 +33,24 @@ SHOW = {
         "word table (merges are plan literals, no per-row Python, "
         "no shuffle until the final token aggregation)"
     ),
+    "js_transform_column_loop": (
+        "column-bound JS loop lowered to ONE F.aggregate-over-sequence "
+        "projection: whole-stage codegen, no UDF, no shuffle before "
+        "the final sort"
+    ),
+    "kmeans_embedding_clusters": (
+        "distributed Lloyd: per-iteration mapInPandas partials + "
+        "k-group decimal aggregation; k×(d+1) scalars to the driver "
+        "per round, vectors never shuffle"
+    ),
+    "semantic_dedup_embeddings": (
+        "SemDeDup: within-cell equi-join only (no cartesian), exact "
+        "integer cosine threshold in decimal"
+    ),
+    "mv_refresh_from_change_feed": (
+        "CDF rollup maintenance: feed deltas union the view and "
+        "re-aggregate map-side; old fact rows never rescanned"
+    ),
     "revenue_forecast": "all predicates reach the parquet scan",
     "regional_revenue": "6-way join: dims broadcast, facts hash-join",
     "top25_orders": "global top-k without a full sort",

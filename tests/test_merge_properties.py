@@ -555,7 +555,7 @@ class TestVersionTags:
             t.read(tag="prod")
         with _pytest.raises(ValueError, match="nonexistent version"):
             t.tag("x", 99)
-        with _pytest.raises(ValueError, match="version OR tag"):
+        with _pytest.raises(ValueError, match="at most one"):
             t.read(version=1, tag="latest-validated")
 
 

@@ -220,3 +220,98 @@ class TestSnapshotStats:
         # Spark may still emit one empty part file for an empty write;
         # the row count is what must be exactly zero
         assert s["n_rows"] == 0 and s["n_files"] <= 1
+
+
+class TestPrunedDml:
+    def test_delete_rewrites_only_touched_files(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d1"))
+        t.commit(_rows(spark, 0, 8000).repartitionByRange(8, "k"),
+                 stats_cols=("k",))
+        v = t.delete_where(F.col("k").between(100, 150),
+                           bounds={"k": (100, 150)})
+        assert v == 2
+        got = t.read()
+        assert got.count() == 8000 - 51
+        assert got.where(F.col("k").between(100, 150)).count() == 0
+        meta = t.commit_metadata(2)
+        assert meta["operation"] == "delete"
+        assert meta["rewritten_files"] == 1 and meta["carried_files"] == 7
+        # O(touched): the new version dir holds exactly the rewrite
+        base = os.path.basename(t._resolve_dir(2))
+        new = [e for e in t._entries_for_version(2) if e[0] == base]
+        assert len(new) == 1
+
+    def test_delete_without_match_is_a_noop_version(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d2"))
+        t.commit(_rows(spark, 0, 100))
+        assert t.delete_where(F.col("k") > 10**9) == 1
+        assert t.current_version() == 1
+
+    def test_index_continuity_and_stats_after_delete(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d3"))
+        t.commit(_rows(spark, 0, 4000).repartitionByRange(4, "k"),
+                 stats_cols=("k",))
+        t.delete_where(F.col("k") < 1000, bounds={"k": (None, None)
+                       if False else (0, 999)})
+        got, fr, ft = t.read_pruned({"k": (3000, 3100)})
+        assert got.count() == 101 and 0 < fr < ft
+        s = t.snapshot_stats()
+        assert s["n_rows"] == 3000
+        assert s["columns"]["k"]["min"] == 1000
+
+    def test_update_applies_to_matching_rows_only(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "u1"))
+        t.commit(_rows(spark, 0, 1000).repartitionByRange(4, "k"),
+                 stats_cols=("k",))
+        v = t.update_where(F.col("k") < 10,
+                           {"v": F.col("v") + 1000},
+                           bounds={"k": (0, 9)})
+        assert v == 2
+        vals = {r["k"]: r["v"] for r in t.read().collect()}
+        assert vals[5] == 10 + 1000 and vals[500] == 1000
+        assert t.commit_metadata(2)["operation"] == "update"
+        assert t.commit_metadata(2)["rewritten_files"] == 1
+
+    def test_update_layout_column_rejects(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "u2"))
+        df = _rows(spark, 0, 100).withColumn(
+            "p", (F.col("k") % 2).cast("int"))
+        t.commit(df, partition_by=("p",))
+        with pytest.raises(ValueError, match="layout columns"):
+            t.update_where(F.col("k") == 1, {"p": F.lit(5)})
+
+    def test_partitioned_delete_preserves_layout(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d4"))
+        df = _rows(spark, 0, 100).withColumn(
+            "p", (F.col("k") % 4).cast("int"))
+        t.commit(df, partition_by=("p",))
+        t.delete_where(F.col("p") == 2)
+        assert t.read().where(F.col("p") == 2).count() == 0
+        assert t.read().count() == 75
+        # a keyed merge still works on the recorded layout
+        t.commit_merge_partitioned(
+            _rows(spark, 0, 1).withColumn("p", F.lit(0).cast("int"))
+            .withColumn("v", F.lit(-7).cast("bigint")),
+            keys=["k"], partition_by=("p",))
+        assert {r["v"] for r in t.read().where(F.col("k") == 0).collect()} \
+            == {-7}
+
+    def test_change_feed_replays_delete(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d5"))
+        t.commit(_rows(spark, 0, 10))
+        t.delete_where(F.col("k") >= 8)
+        feed = t.changes_range(["k"], 1, 2).collect()
+        assert {(r["k"], r["_change_type"]) for r in feed} == {
+            (8, "delete"), (9, "delete")}
+
+    def test_history_records_all_kinds(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "h1"))
+        t.commit(_rows(spark, 0, 10))
+        t.commit_append(_rows(spark, 10, 12))
+        t.delete_where(F.col("k") == 0)
+        t.restore(1)
+        h = t.history()
+        assert [e["kind"] for e in h] == ["full", "append", "delete",
+                                          "restore"]
+        assert all(e["committed_at"] > 0 for e in h)
+        assert h[3]["metadata"]["restored_version"] == 1
