@@ -300,6 +300,32 @@ class PipelineApiServer:
             if method == "POST" and path == "/dataset/restore":
                 name, version = need("name", "version")
                 return 200, self.engine.restore(name, int(version))
+            if method == "GET" and path == "/dataset/history":
+                (name,) = need("name")
+                return 200, self.engine.table_history(name)
+            if method == "GET" and path == "/dataset/constraints":
+                (name,) = need("name")
+                return 200, self.engine.table_constraints(name)
+            if method == "POST" and path == "/dataset/constraint":
+                (name,) = need("name")
+                return 200, self.engine.add_constraint(
+                    name, check_name=q.get("checkname"),
+                    expr=q.get("expr"),
+                    not_null=(q["notnull"].split(",")
+                              if "notnull" in q else None))
+            if method == "DELETE" and path == "/dataset/constraint":
+                (name,) = need("name")
+                return 200, self.engine.drop_constraint(
+                    name, check_name=q.get("checkname"),
+                    not_null=(q["notnull"].split(",")
+                              if "notnull" in q else None))
+            if method == "POST" and path == "/dataset/changefeed":
+                name, keys = need("name", "keys")
+                return 200, self.engine.enable_change_feed(
+                    name, keys.split(","))
+            if method == "POST" and path == "/dataset/delete":
+                name, where = need("name", "where")
+                return 200, self.engine.delete_rows(name, where)
             if method == "POST" and path == "/dataset/tag":
                 name, tag = need("name", "tag")
                 return 200, self.engine.tag_version(

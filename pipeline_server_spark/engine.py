@@ -252,6 +252,68 @@ class Engine:
             new_version = table.restore(version)
         return {"version": new_version, "restored_version": version}
 
+    def table_history(self, name: str) -> dict[str, Any]:
+        """DESCRIBE HISTORY of a versioned dataset — manifest-sized,
+        no data read (VersionedTable.history)."""
+        table, _ = self._versioned_table(name)
+        return {"history": table.history()}
+
+    def table_constraints(self, name: str) -> dict[str, Any]:
+        table, _ = self._versioned_table(name)
+        return table.constraints()
+
+    def add_constraint(self, name: str, check_name: str | None = None,
+                       expr: str | None = None,
+                       not_null: list[str] | None = None) -> dict[str, Any]:
+        """ALTER TABLE ADD CONSTRAINT over the control plane: a CHECK
+        (``check_name`` + ``expr``) or NOT NULL column list. Existing
+        data is validated before the invariant is accepted (index-
+        proven where possible); thereafter every commit path enforces
+        it against its new rows."""
+        table, _ = self._versioned_table(name)
+        if check_name is not None:
+            if not expr:
+                raise ValueError("a CHECK constraint needs expr")
+            table.add_check_constraint(check_name, expr)
+        if not_null:
+            table.set_not_null(*not_null)
+        return self.table_constraints(name)
+
+    def drop_constraint(self, name: str, check_name: str | None = None,
+                        not_null: list[str] | None = None) -> dict[str, Any]:
+        table, _ = self._versioned_table(name)
+        if check_name is not None:
+            table.drop_check_constraint(check_name)
+        if not_null:
+            table.drop_not_null(*not_null)
+        return self.table_constraints(name)
+
+    def enable_change_feed(self, name: str, keys: list[str]) -> dict[str, Any]:
+        """Turn on commit-time change files for a versioned dataset
+        (VersionedTable.enable_change_feed): subsequent merge / DML /
+        overwrite / restore commits materialize their row-level diff,
+        and GET /dataset/changes plus the streaming readChangeFeed
+        source replay them as file reads."""
+        table, _ = self._versioned_table(name)
+        table.enable_change_feed(keys)
+        return {"change_feed": True, "keys": list(keys)}
+
+    def delete_rows(self, name: str, where: str) -> dict[str, Any]:
+        """Row-level DELETE over the control plane (DELETE FROM ...
+        WHERE): index-pruned copy-on-write — only files containing
+        matching rows are rewritten (VersionedTable.delete_where).
+        Shares the ingest's destination lock + commit protocol."""
+        from pyspark.sql import functions as F
+
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            before = table.current_version()
+            version = table.delete_where(F.expr(where))
+        meta = (table.commit_metadata(version)
+                if version != before else {"rewritten_files": 0})
+        return {"version": version, "matched": version != before,
+                "rewritten_files": meta.get("rewritten_files", 0)}
+
     def tag_version(self, name: str, tag: str,
                     version: int | None = None) -> dict[str, Any]:
         """Pin a named ref on a versioned dataset destination (default:

@@ -109,6 +109,12 @@ class CommitConflictError(RuntimeError):
     table and retry on top of the winner's version."""
 
 
+class ConstraintViolationError(ValueError):
+    """A commit's NEW rows violated a table CHECK / NOT NULL
+    constraint: the staged data was discarded and the table is
+    untouched. The message carries per-constraint violation counts."""
+
+
 class ConditionalPutFS(SwapCommitFS):
     """``SwapCommitFS`` plus an atomic PUT-IF-ABSENT — the
     conditional-PUT primitive multi-writer safety needs (S3
@@ -457,7 +463,8 @@ class VersionedTable:
 
     def _write_filelist(self, target: str, entries: list[tuple[str, str]],
                         schema=None, stats_cols=None, kind: str | None = None,
-                        partition_by=None, bloom_cols=None) -> None:
+                        partition_by=None, bloom_cols=None,
+                        cdf: bool = False) -> None:
         import json
         import time
 
@@ -494,6 +501,11 @@ class VersionedTable:
             # step diffs only the REWRITTEN partitions (identified by
             # this many path components), never the carried ones
             doc["partition_by"] = list(partition_by)
+        if cdf:
+            # the commit wrote its row-level diff to <dir>/_changes at
+            # commit time — batch + streaming CDF consumers read those
+            # files instead of computing a snapshot join
+            doc["cdf"] = True
         with open(os.path.join(target, self.FILELIST), "w") as f:
             json.dump(doc, f)
 
@@ -615,12 +627,20 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
+        self._validate_staged(target, df.schema, "commit")
+        # a full rewrite's change set IS a full snapshot diff — the
+        # honest cost of overwriting a CDF table (bootstrap writes
+        # none: v1 streams as inserts straight from its data files)
+        wrote_cdf = self._maybe_write_cdf(
+            target, version,
+            (lambda: self.read(version - 1)) if version > 1 else None,
+            lambda: self._read_staged(target, df.schema), metadata)
         entries = [(os.path.basename(target), rel)
                    for rel in self._list_data_files(target)]
         self._write_filelist(target, entries, schema=df.schema,
                              stats_cols=stats_cols, kind="full",
                              partition_by=partition_by,
-                             bloom_cols=bloom_cols)
+                             bloom_cols=bloom_cols, cdf=wrote_cdf)
         if stats_cols or bloom_cols:
             self._build_index(target, entries, stats_cols, df.schema,
                               bloom_cols=bloom_cols)
@@ -883,6 +903,7 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(self.file_format).save(target)
+        self._validate_staged(target, df.schema, "commit_append")
         prior = self._entries_for_version(current) if current is not None else []
         new_entries = [(os.path.basename(target), rel)
                        for rel in self._list_data_files(target)]
@@ -995,6 +1016,16 @@ class VersionedTable:
         target = self._stage_dir(version)
         merged.write.mode("overwrite").partitionBy(*cols) \
             .format(self.file_format).save(target)
+        # new + rewritten rows only — carried partitions were
+        # validated by the commits that wrote them
+        self._validate_staged(target, merged.schema,
+                              "commit_merge_partitioned")
+        # O(touched): the diff joins only the rewritten partitions'
+        # pre-image against the staged rows — carried partitions are
+        # byte-identical and cannot contribute a change row
+        wrote_cdf = self._maybe_write_cdf(
+            target, version, lambda: tgt_touched,
+            lambda: self._read_staged(target, merged.schema), metadata)
         new_rels = self._list_data_files(target)
         # everything the merged write rewrote, in Spark's own encoding
         rewritten = {self._partition_prefix(rel, len(cols)) for rel in new_rels}
@@ -1005,7 +1036,8 @@ class VersionedTable:
         ] + new_entries
         self._write_filelist(target, entries, schema=merged.schema,
                              stats_cols=effective_stats, kind="merge",
-                             partition_by=cols, bloom_cols=effective_bloom)
+                             partition_by=cols, bloom_cols=effective_bloom,
+                             cdf=wrote_cdf)
         if effective_stats or effective_bloom:
             self._build_index(target, entries, effective_stats or [],
                               merged.schema, prior_version=current,
@@ -1350,16 +1382,26 @@ class VersionedTable:
                 f"table is hash-bucketed but version {version} predates "
                 "the bucket layout — commit_bucketed the restored data "
                 "explicitly instead of restore()")
-        new_version = (self.current_version() or 0) + 1
+        current = self.current_version() or 0
+        new_version = current + 1
         target = self._stage_dir(new_version)
         os.makedirs(target, exist_ok=True)
         schema = self._filelist_schema(version)
+        # with CDF on, the rollback's row-level diff (current vs
+        # restored snapshot) is materialized at commit time so
+        # consumers replay the restore from files — the one commit
+        # kind whose change set is honestly O(table-diff)
+        wrote_cdf = self._maybe_write_cdf(
+            target, new_version,
+            (lambda: self.read(current)) if current >= 1 else None,
+            lambda: self.read(version),
+            {"operation": "restore"})
         self._write_filelist(
             target, entries, schema=schema,
             stats_cols=doc.get("stats_cols"),
             kind="restore",
             partition_by=restored_layout or None,
-            bloom_cols=doc.get("bloom_cols"))
+            bloom_cols=doc.get("bloom_cols"), cdf=wrote_cdf)
         src_idx = os.path.join(self._resolve_dir(version), "_index")
         if os.path.isdir(src_idx):
             # the restored version's index covers exactly its files —
@@ -1388,6 +1430,249 @@ class VersionedTable:
                 "metadata": self.commit_metadata(v),
             })
         return out
+
+    # -- table constraints (Delta CHECK / NOT NULL invariants) -----------
+    CONSTRAINTS = "_constraints.json"
+
+    def constraints(self) -> dict:
+        """The table's declared invariants:
+        ``{"check": {name: sql_expr}, "not_null": [col, ...]}``.
+        Table-level state (like the bucket layout), enforced against
+        every commit's NEW rows by every commit path."""
+        import json
+
+        try:
+            with open(os.path.join(self.root, self.CONSTRAINTS)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"check": {}, "not_null": []}
+
+    def _write_constraints(self, cons: dict) -> None:
+        import json
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f".{self.CONSTRAINTS}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, os.path.join(self.root, self.CONSTRAINTS))
+
+    def add_check_constraint(self, name: str, expr: str,
+                             validate: bool = True) -> None:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta
+        invariant semantics: SQL-standard CHECK, so a row passes when
+        the expression is TRUE **or NULL** and fails only on FALSE.
+        ``validate=True`` (default, like Delta) scans the CURRENT
+        snapshot once — column-pruned to the referenced columns — and
+        rejects the constraint if any existing row violates it.
+        Thereafter every commit path validates only its NEW rows
+        (O(batch), one aggregation over the staged files)."""
+        if not name or not expr:
+            raise ValueError("constraint needs a name and an expression")
+        cons = self.constraints()
+        if name in cons["check"]:
+            raise ValueError(f"constraint {name!r} already exists "
+                             f"({cons['check'][name]!r}); drop it first")
+        if validate and self.current_version() is not None:
+            bad = self.read().agg(
+                F.count_if(~F.coalesce(F.expr(expr), F.lit(True)))
+                .alias("n")).collect()[0]["n"]
+            if bad:
+                raise ConstraintViolationError(
+                    f"cannot add CHECK {name!r} ({expr}): {bad} existing "
+                    "row(s) violate it")
+        cons["check"][name] = expr
+        self._write_constraints(cons)
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        if name not in cons["check"]:
+            raise ValueError(f"no CHECK constraint named {name!r}")
+        del cons["check"][name]
+        self._write_constraints(cons)
+
+    def set_not_null(self, *cols: str, validate: bool = True) -> None:
+        """Declare NOT NULL column invariants. Validation of existing
+        data is METADATA-ONLY when the skipping index covers the
+        column (its summed per-file null counts prove zero nulls
+        without opening a data file — the round-8 ``snapshot_stats``
+        path); otherwise one column-pruned scan counts nulls."""
+        if not cols:
+            raise ValueError("set_not_null needs at least one column")
+        cons = self.constraints()
+        todo = [c for c in cols if c not in cons["not_null"]]
+        if validate and todo and self.current_version() is not None:
+            proven: set[str] = set()
+            stats = self.snapshot_stats()
+            for c in todo:
+                info = stats.get("columns", {}).get(c)
+                if info is not None and info.get("nulls") == 0:
+                    proven.add(c)  # index-proven, no scan
+            unproven = [c for c in todo if c not in proven]
+            if unproven:
+                df = self.read()
+                missing = [c for c in unproven if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"NOT NULL on non-existent column(s) {missing}")
+                row = df.agg(*[
+                    F.count_if(F.col(c).isNull()).alias(c)
+                    for c in unproven]).collect()[0]
+                bad = {c: row[c] for c in unproven if row[c]}
+                if bad:
+                    raise ConstraintViolationError(
+                        f"cannot set NOT NULL: existing null counts {bad}")
+        cons["not_null"] = cons["not_null"] + todo
+        self._write_constraints(cons)
+
+    def drop_not_null(self, *cols: str) -> None:
+        cons = self.constraints()
+        missing = [c for c in cols if c not in cons["not_null"]]
+        if missing:
+            raise ValueError(f"column(s) not declared NOT NULL: {missing}")
+        cons["not_null"] = [c for c in cons["not_null"] if c not in cols]
+        self._write_constraints(cons)
+
+    # -- change data feed (Delta enableChangeDataFeed) -------------------
+    CDFSPEC = "_cdf.json"
+    CHANGES = "_changes"
+
+    def cdf_spec(self) -> dict | None:
+        """The table's change-data-feed property ({"keys": [...]}) or
+        None when CDF is off. Table-level state, like the bucket
+        layout."""
+        import json
+
+        try:
+            with open(os.path.join(self.root, self.CDFSPEC)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def enable_change_feed(self, keys: list[str]) -> None:
+        """Turn on commit-time change files (the Delta
+        ``enableChangeDataFeed`` design): every subsequent
+        merge / overwrite / DML / restore commit writes its row-level
+        diff to ``<version-dir>/_changes`` parquet AS PART OF the
+        commit, so batch (:meth:`changes_range`) and streaming
+        (``readChangeFeed``) consumers replay any commit kind by
+        READING FILES — no post-hoc snapshot joins, O(change-set) per
+        commit at any table size. Appends need no change files (their
+        new data files ARE the insert feed); optimize commits write
+        none (zero row changes by construction). ``keys`` identify
+        rows for the diff, exactly like :meth:`changes`. Commits made
+        BEFORE enabling have no change files and replay through the
+        computed paths (batch) or refuse (streaming), like Delta."""
+        if not keys:
+            raise ValueError("enable_change_feed needs the row-identity keys")
+        import json
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f".{self.CDFSPEC}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"keys": list(keys)}, f)
+        os.replace(tmp, os.path.join(self.root, self.CDFSPEC))
+
+    def disable_change_feed(self) -> None:
+        try:
+            os.remove(os.path.join(self.root, self.CDFSPEC))
+        except FileNotFoundError:
+            pass
+
+    def _read_staged(self, target: str, schema) -> DataFrame:
+        """The staged (not yet published) write read back — partition
+        columns parse from the directory names into the writer's
+        types, same contract as :meth:`_read_files`."""
+        r = self.spark.read.format(self.file_format)
+        if schema is not None:
+            r = r.schema(schema)
+        return r.load(target)
+
+    def _write_cdf(self, target: str, change_df: DataFrame) -> bool:
+        change_df.write.mode("overwrite").parquet(
+            os.path.join(target, self.CHANGES))
+        return True
+
+    def _maybe_write_cdf(self, target: str, version: int,
+                         prior_df, new_df,
+                         metadata: dict | None) -> bool:
+        """Commit-time change files for a rewriting commit: the keyed
+        diff of the replaced rows vs the staged rows, written inside
+        the version dir BEFORE the publish point (a published version
+        either has its change files or was committed with CDF off —
+        never a torn feed). Skipped for optimize commits (zero row
+        changes) and for bootstraps (the stream reads v1's data files
+        as inserts). The diff is scoped by the caller: a partitioned
+        merge passes only the touched partitions' pre-image, so the
+        join is O(touched), not O(table).
+
+        ``prior_df``/``new_df`` are ZERO-ARG CALLABLES (or None), so a
+        commit with CDF off pays nothing — not even the driver-side
+        manifest reads of building the two scan plans."""
+        spec = self.cdf_spec()
+        if spec is None:
+            return False
+        op = (metadata or {}).get("operation")
+        if isinstance(op, str) and op.startswith("optimize_"):
+            return False
+        if prior_df is None:
+            return False
+        return self._write_cdf(target, snapshot_change_feed(
+            prior_df(), new_df(), list(spec["keys"]), v_to=version))
+
+    def _validate_staged(self, target: str, schema, op: str) -> None:
+        """Enforce the table's invariants against a commit's STAGED
+        data — called by every commit path between the physical write
+        and the manifest write, so a violating commit is never
+        published and its staged files are removed. Cost: one
+        aggregation job over the staged files, column-pruned by
+        parquet to the constraint columns, all constraints in one
+        pass, one row to the driver — O(batch) regardless of table
+        size. A constraint referencing a column absent from the new
+        schema fails loudly (the commit would silently orphan the
+        invariant otherwise)."""
+        cons = self.constraints()
+        checks: dict = cons.get("check") or {}
+        not_null = cons.get("not_null") or []
+        if not checks and not not_null:
+            return
+        have = set(schema.fieldNames()) if schema is not None else None
+        if have is not None:
+            gone = [c for c in not_null if c not in have]
+            if gone:
+                self.fs.remove(target)
+                raise ConstraintViolationError(
+                    f"{op}: NOT NULL column(s) {gone} absent from the "
+                    "commit's schema; drop_not_null first or keep the column")
+        df = self.spark.read.format(self.file_format)
+        if schema is not None:
+            df = df.schema(schema)
+        try:
+            df = df.load(target)
+            aggs = [
+                F.count_if(~F.coalesce(F.expr(e), F.lit(True)))
+                .alias(f"c_{n}") for n, e in checks.items()
+            ] + [
+                F.count_if(F.col(c).isNull()).alias(f"n_{c}")
+                for c in not_null
+            ]
+            row = df.agg(*aggs).collect()[0]
+        except ConstraintViolationError:
+            raise
+        except Exception:
+            self.fs.remove(target)  # unresolvable constraint column etc.
+            raise
+        bad = {f"CHECK {n} ({checks[n]})": row[f"c_{n}"]
+               for n in checks if row[f"c_{n}"]}
+        bad.update({f"NOT NULL {c}": row[f"n_{c}"]
+                    for c in not_null if row[f"n_{c}"]})
+        if bad:
+            self.fs.remove(target)
+            raise ConstraintViolationError(
+                f"{op}: staged batch violates table constraints "
+                f"(violating-row counts: {bad}); commit aborted, "
+                "table untouched")
 
     def delete_where(self, predicate, bounds: dict | None = None,
                      points: dict | None = None,
@@ -1498,6 +1783,35 @@ class VersionedTable:
         if layout:
             writer = writer.partitionBy(*layout)
         writer.format(self.file_format).save(target)
+        # an UPDATE's assignments can violate invariants; a DELETE's
+        # survivors were already valid but the check is O(rewritten)
+        self._validate_staged(target, rewritten.schema, kind)
+        wrote_cdf = False
+        if self.cdf_spec() is not None:
+            # a DML's change set needs NO join: the matching rows ARE
+            # the deletes (pre-image) or updates (post-image) —
+            # O(matched rows), derived straight from the touched files
+            matching = keep.where(F.coalesce(predicate, F.lit(False)))
+
+            def _tag(df_, ctype):
+                return df_.select(
+                    *df_.columns,
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(version).cast("int").alias("_commit_version"))
+
+            if kind == "delete":
+                change = _tag(matching, "delete")
+            else:
+                post = matching.select(*[
+                    (assignments[c].cast(dict(keep.dtypes)[c]).alias(c))
+                    if c in assignments else F.col(c)
+                    for c in keep.columns
+                ])
+                # the feed's vocabulary is Delta's: an update is a
+                # pre-image/post-image row pair
+                change = _tag(matching, "update_preimage").unionAll(
+                    _tag(post, "update_postimage"))
+            wrote_cdf = self._write_cdf(target, change)
         base = os.path.basename(target)
         new_entries = [(base, rel) for rel in self._list_data_files(target)]
         carried = [e for e in entries
@@ -1508,7 +1822,7 @@ class VersionedTable:
         self._write_filelist(target, all_entries, schema=schema,
                              stats_cols=stats_cols or None,
                              kind=kind, partition_by=layout or None,
-                             bloom_cols=bloom_cols or None)
+                             bloom_cols=bloom_cols or None, cdf=wrote_cdf)
         if stats_cols or bloom_cols:
             self._build_index(target, all_entries, stats_cols, schema,
                               prior_version=current,
@@ -1672,7 +1986,15 @@ class VersionedTable:
                 # self-diff to discover an empty step
                 continue
             kind = self._commit_kind(v)
-            if kind == "append":
+            if (self._filelist_doc(v) or {}).get("cdf"):
+                # the commit materialized its diff at commit time
+                # (enable_change_feed): the step is a FILE READ —
+                # O(change-set), no join, regardless of commit kind.
+                # The recorded diff was keyed by the CDF spec at
+                # commit time, which owns row identity for the feed.
+                step = self.spark.read.parquet(
+                    os.path.join(self._resolve_dir(v), self.CHANGES))
+            elif kind == "append":
                 step = self._append_inserts(v)
                 if step is None:
                     continue  # empty append batch: no changes

@@ -98,9 +98,12 @@ def _meta_operation(root: str, version: int) -> str | None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int, change_file: bool = False):
         self.path = path
         self.version = version
+        # True: a commit-time _changes file (carries its own
+        # _change_type column); False: a data file (insert feed)
+        self.change_file = change_file
 
 
 class _VersionedTableStreamReader(DataSourceStreamReader):
@@ -111,9 +114,12 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
                 f"{FORMAT_NAME}: option 'path' (the VersionedTable root) "
                 "is required")
         self.schema_fields = [f.name for f in schema.fields
-                              if f.name != "_commit_version"]
+                              if f.name not in ("_commit_version",
+                                                "_change_type")]
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true")
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true")
         start = options.get("startingversion")
         self._starting = int(start) if start is not None else None
 
@@ -145,6 +151,18 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
             op = _meta_operation(self.root, v)
             if isinstance(op, str) and op.startswith("optimize_"):
                 continue  # layout maintenance: zero row changes
+            if self.read_change_feed and doc.get("cdf"):
+                # the commit materialized its row-level diff at commit
+                # time (enable_change_feed): stream it straight from
+                # the _changes files — one partition per file,
+                # O(change-set), any commit kind
+                ch = os.path.join(_resolve_dir(self.root, v), "_changes")
+                parts.extend(
+                    _FilePartition(os.path.join(ch, f), v,
+                                   change_file=True)
+                    for f in sorted(os.listdir(ch))
+                    if f.endswith(".parquet"))
+                continue
             if kind == "append" or v == 1:
                 base = os.path.basename(_resolve_dir(self.root, v))
                 parts.extend(
@@ -156,12 +174,20 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
                 continue
             if self.skip_change_commits:
                 continue
+            if self.read_change_feed:
+                raise ValueError(
+                    f"{FORMAT_NAME}: version {v} of {self.root} is a "
+                    f"{kind!r} commit with no commit-time change files "
+                    "— it predates enable_change_feed() on the table. "
+                    "Start the stream at a newer version, or pass "
+                    "skipChangeCommits=true to ignore it.")
             raise ValueError(
                 f"{FORMAT_NAME}: version {v} of {self.root} is a "
                 f"{kind!r} commit — its row-level changes are not "
                 "streamable from files alone. Pass "
                 "skipChangeCommits=true to ignore change commits (Delta "
-                "semantics), or replay them in batch via "
+                "semantics), enable_change_feed() on the table and use "
+                "readChangeFeed=true, or replay in batch via "
                 "VersionedTable.changes_range().")
         return parts
 
@@ -178,6 +204,13 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
             else:
                 # schema evolution: a pre-evolution file null-fills
                 cols.append([None] * n)
+        if self.read_change_feed:
+            if getattr(partition, "change_file", False):
+                cols.append(tbl.column("_change_type").to_pylist())
+            else:
+                # a data file of an append/bootstrap commit IS the
+                # insert feed — no change file needed or written
+                cols.append(["insert"] * n)
         cols.append([partition.version] * n)
         return iter(zip(*cols)) if n else iter(())
 
@@ -215,9 +248,13 @@ class VersionedTableStreamDataSource(DataSource):
         # everything nullable: files written before an additive schema
         # evolution null-fill the new columns, and a recorded
         # non-nullable field would NPE the unsafe row writer
+        fields = [T.StructField(f.name, f.dataType, True)
+                  for f in base.fields]
+        if str(self.options.get("readchangefeed",
+                                "false")).lower() == "true":
+            fields.append(T.StructField("_change_type", T.StringType()))
         return T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in base.fields]
-            + [T.StructField("_commit_version", T.IntegerType())])
+            fields + [T.StructField("_commit_version", T.IntegerType())])
 
     def streamReader(self, schema):
         return _VersionedTableStreamReader(schema, self.options)
@@ -233,6 +270,25 @@ def stream_inserts(spark, root: str, starting_version: int | None = None,
     """Convenience: a streaming DataFrame of the table's insert feed."""
     register_stream_source(spark)
     r = spark.readStream.format(FORMAT_NAME).option("path", root)
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    if skip_change_commits:
+        r = r.option("skipChangeCommits", "true")
+    return r.load()
+
+
+def stream_changes(spark, root: str, starting_version: int | None = None,
+                   skip_change_commits: bool = False):
+    """The streaming CHANGE DATA FEED (Delta ``readChangeFeed``):
+    every row tagged ``_change_type`` insert/update/delete +
+    ``_commit_version``. Appends stream from their data files;
+    merge/DML/overwrite/restore commits stream from the change files
+    they materialized at commit time (``enable_change_feed`` must be
+    on when those commits happen). O(change-set) per micro-batch at
+    any table size — no snapshot joins on the read path."""
+    register_stream_source(spark)
+    r = (spark.readStream.format(FORMAT_NAME).option("path", root)
+         .option("readChangeFeed", "true"))
     if starting_version is not None:
         r = r.option("startingVersion", str(starting_version))
     if skip_change_commits:

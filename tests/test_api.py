@@ -606,3 +606,72 @@ def test_stats_endpoint_is_metadata_only(spark, server):
     assert s["columns"]["amount"]["min"] == 0.25
     assert s["columns"]["amount"]["max"] == 299.25
     assert s["columns"]["amount"]["nulls"] == 0
+
+
+def test_constraint_history_delete_endpoints(spark, server):
+    """The round-8 DML/invariant control plane: POST /dataset/constraint
+    validates and installs invariants that then REJECT a violating
+    upload (400, table untouched); POST /dataset/delete is an
+    index-pruned copy-on-write DELETE; GET /dataset/history shows
+    every commit kind."""
+    srv, tmp_path = server
+
+    cfg = DatasetConfig(
+        name="api_dml",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("amount", "double")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(
+            path=str(tmp_path / "out" / "api_dml"),
+            write_mode="merge",
+            key_fields=("id",),
+            versioned=True,
+        ),
+    )
+    _call(srv.port, "POST", "/dataset", json.dumps(config_to_dict(cfg)).encode())
+
+    def upload(lo, hi, expect=200):
+        csv = b"id,amount\n" + b"".join(
+            f"{i},{i}.5\n".encode() for i in range(lo, hi))
+        try:
+            status, out = _call(
+                srv.port, "POST", "/dataset/upload?dataset=api_dml", csv)
+        except urllib.error.HTTPError as e:
+            status, out = e.code, json.loads(e.read().decode())
+        assert status == expect, out
+        return out
+
+    upload(0, 100)
+    status, cons = _call(
+        srv.port, "POST",
+        "/dataset/constraint?name=api_dml&checkname=id_nonneg"
+        "&expr=id%20%3E%3D%200&notnull=id", b"")
+    assert status == 200
+    assert cons == {"check": {"id_nonneg": "id >= 0"}, "not_null": ["id"]}
+    status, cons = _call(srv.port, "GET", "/dataset/constraints?name=api_dml")
+    assert status == 200 and "id_nonneg" in cons["check"]
+
+    # violating upload → client error, dataset untouched
+    upload(-5, -1, expect=400)
+    status, out = _call(srv.port, "GET", "/dataset/versions?name=api_dml")
+    assert out["current"] == 1
+
+    # row-level DELETE
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/delete?name=api_dml&where=id%20%3C%2010", b"")
+    assert status == 200
+    assert out["version"] == 2 and out["matched"] is True
+
+    status, hist = _call(srv.port, "GET", "/dataset/history?name=api_dml")
+    assert status == 200
+    kinds = [h["kind"] for h in hist["history"]]
+    assert kinds[-1] == "delete"
+
+    # drop the CHECK → previously-violating rows upload fine
+    status, cons = _call(
+        srv.port, "DELETE",
+        "/dataset/constraint?name=api_dml&checkname=id_nonneg", b"")
+    assert status == 200 and cons["check"] == {}
+    upload(-5, -1)

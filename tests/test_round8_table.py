@@ -315,3 +315,203 @@ class TestPrunedDml:
                                           "restore"]
         assert all(e["committed_at"] > 0 for e in h)
         assert h[3]["metadata"]["restored_version"] == 1
+
+
+class TestConstraints:
+    def test_check_enforced_on_append_table_untouched(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        t = VersionedTable(spark, str(tmp_path / "c1"))
+        t.commit(_rows(spark, 0, 100))
+        t.add_check_constraint("v_nonneg", "v >= 0")
+        bad = _rows(spark, 100, 110).withColumn(
+            "v", F.col("v") - F.lit(10**9))
+        with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+            t.commit_append(bad)
+        # the violating commit was never published and left no stage dir
+        assert t.current_version() == 1 and t.read().count() == 100
+        assert not [d for d in os.listdir(
+            os.path.join(t.root, "_versions")) if d.startswith("v0000002")]
+        t.commit_append(_rows(spark, 100, 110))  # valid batch still lands
+        assert t.read().count() == 110
+
+    def test_add_check_validates_existing_rows(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        t = VersionedTable(spark, str(tmp_path / "c2"))
+        t.commit(_rows(spark, 0, 50))
+        with pytest.raises(ConstraintViolationError, match="49 existing"):
+            t.add_check_constraint("k_small", "k < 1")
+        assert t.constraints()["check"] == {}  # rejected, not stored
+
+    def test_null_passes_check_sql_semantics(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "c3"))
+        t.commit(_rows(spark, 0, 10))
+        t.add_check_constraint("v_pos", "v >= 0")
+        nullish = spark.range(1).select(
+            F.lit(999).cast("bigint").alias("k"),
+            F.lit(None).cast("bigint").alias("v"))
+        t.commit_append(nullish)  # UNKNOWN is a pass, like SQL CHECK
+        assert t.read().count() == 11
+
+    def test_not_null_index_proven_without_scan(self, spark, tmp_path):
+        """set_not_null on an indexed column is metadata-only: corrupt
+        every data file first — validation must still succeed."""
+        t = VersionedTable(spark, str(tmp_path / "c4"))
+        t.commit(_rows(spark, 0, 200).repartitionByRange(2, "k"),
+                 stats_cols=("k",))
+        for e in t._entries_for_version(1):
+            with open(t._abs_file(e), "wb") as f:
+                f.write(b"corrupt")
+        t.set_not_null("k")
+        assert t.constraints()["not_null"] == ["k"]
+
+    def test_not_null_scan_path_finds_nulls(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        t = VersionedTable(spark, str(tmp_path / "c5"))
+        df = _rows(spark, 0, 20).withColumn(
+            "v", F.when(F.col("k") < 3, None).otherwise(F.col("v")))
+        t.commit(df)
+        with pytest.raises(ConstraintViolationError, match="'v': 3"):
+            t.set_not_null("v")
+        t.set_not_null("k")
+        bad = spark.range(1).select(
+            F.lit(None).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("v"))
+        with pytest.raises(ConstraintViolationError, match="NOT NULL k"):
+            t.commit_append(bad)
+
+    def test_merge_and_update_paths_enforce(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        t = VersionedTable(spark, str(tmp_path / "c6"))
+        df = _rows(spark, 0, 100).withColumn(
+            "p", (F.col("k") % 4).cast("int"))
+        t.commit(df, partition_by=("p",))
+        t.add_check_constraint("v_cap", "v < 1000000")
+        bad_src = _rows(spark, 0, 1).withColumn(
+            "p", F.lit(0).cast("int")).withColumn(
+            "v", F.lit(10**7).cast("bigint"))
+        with pytest.raises(ConstraintViolationError, match="v_cap"):
+            t.commit_merge_partitioned(bad_src, keys=["k"],
+                                       partition_by=("p",))
+        assert t.current_version() == 1
+        with pytest.raises(ConstraintViolationError, match="v_cap"):
+            t.update_where(F.col("k") == 5, {"v": F.lit(10**7)})
+        assert t.current_version() == 1
+        # compliant merge + update still work
+        ok_src = bad_src.withColumn("v", F.lit(7).cast("bigint"))
+        t.commit_merge_partitioned(ok_src, keys=["k"], partition_by=("p",))
+        t.update_where(F.col("k") == 5, {"v": F.lit(42).cast("bigint")})
+        vals = {r["k"]: r["v"] for r in t.read().collect()}
+        assert vals[0] == 7 and vals[5] == 42
+
+    def test_drop_constraint_lifts_enforcement(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        t = VersionedTable(spark, str(tmp_path / "c7"))
+        t.commit(_rows(spark, 0, 10))
+        t.add_check_constraint("v_neg", "v >= 0")
+        bad = _rows(spark, 10, 11).withColumn("v", F.lit(-1).cast("bigint"))
+        with pytest.raises(ConstraintViolationError):
+            t.commit_append(bad)
+        t.drop_check_constraint("v_neg")
+        t.commit_append(bad)
+        assert t.read().count() == 11
+
+    def test_full_rewrite_dropping_not_null_column_rejects(
+            self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        t = VersionedTable(spark, str(tmp_path / "c8"))
+        t.commit(_rows(spark, 0, 10))
+        t.set_not_null("v")
+        with pytest.raises(ConstraintViolationError, match="absent"):
+            t.commit(_rows(spark, 0, 5).drop("v"))
+        assert t.current_version() == 1
+
+
+class TestChangeFeedFiles:
+    """Commit-time change files (enable_change_feed): merge / DML /
+    overwrite / restore commits materialize their row-level diff into
+    <version-dir>/_changes as part of the commit, so the batch feed
+    replays them by READING FILES — no snapshot joins."""
+
+    def _mk(self, spark, path, cdf=True):
+        t = VersionedTable(spark, str(path))
+        df = _rows(spark, 0, 100).withColumn(
+            "p", (F.col("k") % 4).cast("int"))
+        t.commit(df, partition_by=("p",))
+        if cdf:
+            t.enable_change_feed(["k"])
+        return t
+
+    def test_merge_feed_parity_and_file_only_replay(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "f1")
+        ref = self._mk(spark, tmp_path / "f1_ref", cdf=False)
+        src = spark.createDataFrame(
+            [(0, -1, 0), (1000, -2, 0)], "k long, v long, p int")
+        for x in (t, ref):
+            x.commit_merge_partitioned(src, keys=["k"], partition_by=("p",))
+        assert (t._filelist_doc(2) or {}).get("cdf") is True
+        got = {(r["k"], r["v"], r["_change_type"])
+               for r in t.changes_range(["k"], 1, 2).collect()}
+        want = {(r["k"], r["v"], r["_change_type"])
+                for r in ref.changes_range(["k"], 1, 2).collect()}
+        assert got == want
+        assert {c for _, _, c in got} == {
+            "update_preimage", "update_postimage", "insert"}
+        # file-only proof: corrupt EVERY data file of both versions —
+        # the feed still answers exactly (only _changes is read)
+        for v in (1, 2):
+            for e in t._entries_for_version(v):
+                with open(t._abs_file(e), "wb") as f:
+                    f.write(b"corrupt")
+        again = {(r["k"], r["v"], r["_change_type"])
+                 for r in t.changes_range(["k"], 1, 2).collect()}
+        assert again == want
+
+    def test_dml_changes_without_joins(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "f2")
+        t.delete_where(F.col("k") >= 98)
+        t.update_where(F.col("k") == 0, {"v": F.col("v") + 5000})
+        feed = t.changes_range(["k"], 1, 3).collect()
+        assert {(r["k"], r["_change_type"], r["_commit_version"])
+                for r in feed} == {
+            (98, "delete", 2), (99, "delete", 2),
+            (0, "update_preimage", 3), (0, "update_postimage", 3)}
+        imgs = {r["_change_type"]: r["v"] for r in feed if r["k"] == 0}
+        assert imgs["update_preimage"] == 0
+        assert imgs["update_postimage"] == 5000
+
+    def test_optimize_commits_write_no_changes(self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot)
+        t = self._mk(spark, tmp_path / "f3")
+        t.commit_append(_rows(spark, 100, 110).withColumn(
+            "p", (F.col("k") % 4).cast("int")), partition_by=("p",))
+        optimize_compact_snapshot(t)
+        assert (t._filelist_doc(3) or {}).get("cdf") is None
+        assert not os.path.isdir(
+            os.path.join(t._resolve_dir(3), "_changes"))
+        feed = t.changes_range(["k"], 1, 3)
+        assert feed.where(F.col("_commit_version") == 3).count() == 0
+        assert feed.count() == 10  # the append's inserts only
+
+    def test_overwrite_and_restore_feed(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "f4"))
+        t.commit(_rows(spark, 0, 10))
+        t.enable_change_feed(["k"])
+        t.commit(_rows(spark, 5, 12))  # overwrite: del 0-4, ins 10-11
+        by_type = {r["_change_type"]: r["n"] for r in
+                   t.changes_range(["k"], 1, 2)
+                   .groupBy("_change_type").agg(F.count("*").alias("n"))
+                   .collect()}
+        assert by_type == {"delete": 5, "insert": 2}
+        t.restore(1)
+        by_type = {r["_change_type"]: r["n"] for r in
+                   t.changes_range(["k"], 2, 3)
+                   .groupBy("_change_type").agg(F.count("*").alias("n"))
+                   .collect()}
+        assert by_type == {"insert": 5, "delete": 2}

@@ -204,3 +204,77 @@ class TestMedallionComposition:
 
         run()  # no new bronze commits: a replayed/empty run adds no rows
         assert silver.read().count() == len(got2)
+
+
+class TestChangeFeedStreaming:
+    """readChangeFeed=true: merge/DML/overwrite/restore commits stream
+    from the change files they materialized at commit time
+    (enable_change_feed) — O(change-set) per micro-batch, pure file
+    reads on the executors, no snapshot joins."""
+
+    def test_streams_every_commit_kind(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+        t = VersionedTable(spark, str(tmp_path / "cdf1"))
+        t.commit(_rows(spark, 0, 10))                       # v1 inserts
+        t.enable_change_feed(["k"])
+        t.commit_append(_rows(spark, 10, 13))               # v2 inserts
+        df = _rows(spark, 0, 20)
+        t.commit(df.withColumn("p", (F.col("k") % 2).cast("int")),
+                 partition_by=("p",))                       # v3 overwrite
+        src = spark.createDataFrame([(0, -1, 0)], "k long, v long, p int")
+        t.commit_merge_partitioned(src, keys=["k"],
+                                   partition_by=("p",))     # v4 update
+        t.delete_where(F.col("k") == 19)                    # v5 delete
+
+        got = _drain(spark, stream_changes(spark, str(tmp_path / "cdf1"),
+                                           starting_version=1), "cdf_all")
+        rows = got.collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["_commit_version"], []).append(r)
+        assert {r["_change_type"] for r in by[1]} == {"insert"}
+        assert len(by[1]) == 10
+        assert {r["_change_type"] for r in by[2]} == {"insert"}
+        assert sorted(r["k"] for r in by[2]) == [10, 11, 12]
+        # v3 overwrite: 7 new keys insert (13..19), 20 value-unchanged
+        # keys produce no rows... but p column appears: schema differs;
+        # the diff is vs the pre-overwrite snapshot
+        assert {r["_change_type"] for r in by[3]} >= {"insert"}
+        assert {r["k"] for r in by[3] if r["_change_type"] == "insert"} \
+            >= set(range(13, 20))
+        assert {r["_change_type"] for r in by[4]} == {
+            "update_preimage", "update_postimage"}
+        assert {r["k"] for r in by[4]} == {0}
+        assert [(r["k"], r["_change_type"]) for r in by[5]] == [
+            (19, "delete")]
+
+    def test_pre_cdf_change_commit_refuses_with_clear_error(
+            self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+        t = VersionedTable(spark, str(tmp_path / "cdf2"))
+        t.commit(_rows(spark, 0, 10))
+        t.commit(_rows(spark, 0, 5))  # overwrite BEFORE enabling CDF
+        t.enable_change_feed(["k"])
+        q = (stream_changes(spark, str(tmp_path / "cdf2"),
+                            starting_version=2)
+             .writeStream.format("memory").queryName("cdf_refuse")
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="enable_change_feed"):
+            q.awaitTermination(120)
+
+    def test_skip_change_commits_skips_pre_cdf_commits(
+            self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+        t = VersionedTable(spark, str(tmp_path / "cdf3"))
+        t.commit(_rows(spark, 0, 10))
+        t.commit(_rows(spark, 0, 5))  # pre-CDF overwrite: skipped
+        t.enable_change_feed(["k"])
+        t.delete_where(F.col("k") == 0)  # post-CDF: streamed
+        got = _drain(spark, stream_changes(
+            spark, str(tmp_path / "cdf3"), starting_version=2,
+            skip_change_commits=True), "cdf_skip")
+        assert [(r["k"], r["_change_type"], r["_commit_version"])
+                for r in got.collect()] == [(0, "delete", 3)]
