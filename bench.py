@@ -83,6 +83,10 @@ HEADLINE = [
     # F.aggregate-over-sequence expression per row; regression here
     # means the fold stopped being a single codegen'd projection
     "js_transform_column_loop",
+    # round-8 session 3: the add-one bigram-LM surprisal scorer —
+    # three corpus shuffles (doc-bigram collapse, model counts,
+    # per-doc resum) plus a vocabulary-sized model join
+    "bigram_lm_surprisal",
 ]
 
 

@@ -319,6 +319,11 @@ class PipelineApiServer:
                     name, check_name=q.get("checkname"),
                     not_null=(q["notnull"].split(",")
                               if "notnull" in q else None))
+            if method == "POST" and path == "/dataset/clone":
+                name, dest = need("name", "dest")
+                return 200, self.engine.clone_dataset(
+                    name, dest,
+                    int(q["version"]) if "version" in q else None)
             if method == "POST" and path == "/dataset/changefeed":
                 name, keys = need("name", "keys")
                 return 200, self.engine.enable_change_feed(

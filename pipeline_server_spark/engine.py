@@ -298,6 +298,17 @@ class Engine:
         table.enable_change_feed(keys)
         return {"change_feed": True, "keys": list(keys)}
 
+    def clone_dataset(self, name: str, dest_path: str,
+                      version: int | None = None) -> dict[str, Any]:
+        """Zero-copy SHALLOW CLONE of a versioned dataset's snapshot to
+        ``dest_path`` (VersionedTable.clone_to) — fork a production
+        table for dev/test without copying a byte."""
+        table, _ = self._versioned_table(name)
+        clone = table.clone_to(dest_path, version=version)
+        return {"cloned_to": clone.root,
+                "source_version": version
+                if version is not None else table.current_version()}
+
     def delete_rows(self, name: str, where: str) -> dict[str, Any]:
         """Row-level DELETE over the control plane (DELETE FROM ...
         WHERE): index-pruned copy-on-write — only files containing

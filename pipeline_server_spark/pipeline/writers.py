@@ -561,8 +561,35 @@ class VersionedTable:
         d = self._resolve_dir(version)
         return [(os.path.basename(d), rel) for rel in self._list_data_files(d)]
 
+    CLONESOURCE = "_clonesource.json"
+
+    def _clone_bases(self) -> dict:
+        """For a SHALLOW CLONE: the absolute source directory of each
+        version-dir basename inherited at clone time (resolved through
+        the source's own clone bases, so clone-of-clone chains flatten
+        to one hop). Cached — the file is written once at clone
+        creation and never mutated."""
+        bases = getattr(self, "_clone_bases_cache", None)
+        if bases is None:
+            import json
+
+            try:
+                with open(os.path.join(self.root, self.CLONESOURCE)) as f:
+                    bases = json.load(f)["bases"]
+            except FileNotFoundError:
+                bases = {}
+            self._clone_bases_cache = bases
+        return bases
+
     def _abs_file(self, entry: tuple[str, str]) -> str:
-        return os.path.join(self.root, "_versions", entry[0], entry[1])
+        local = os.path.join(self.root, "_versions", entry[0], entry[1])
+        bases = self._clone_bases()
+        if bases and not os.path.exists(local) and entry[0] in bases:
+            # shallow clone: the referenced file lives in the SOURCE
+            # table (zero-copy); files committed after the clone are
+            # local and resolve above
+            return os.path.join(bases[entry[0]], entry[1])
+        return local
 
     def _read_files(self, files: list[str], schema=None) -> DataFrame:
         """Read an explicit list of ABSOLUTE data-file paths as one
@@ -580,15 +607,23 @@ class VersionedTable:
         groups can disagree on a type. Width = number of contributing
         directories — bounded by compaction cadence, see the class
         docstring."""
-        vroot = os.path.join(self.root, "_versions")
+        # group by each file's OWN version directory (the path up to
+        # and including the component after '_versions') — structural,
+        # so a shallow clone's externally-resolved files anchor at
+        # their SOURCE version dir and partition columns still parse
+        # from the components below it
+        marker = os.sep + "_versions" + os.sep
         groups: dict[str, list[str]] = {}
         for f in files:
-            rel = os.path.relpath(f, vroot)
-            d = rel.split(os.sep, 1)[0]
-            groups.setdefault(d, []).append(f)
+            i = f.rfind(marker)
+            if i < 0:
+                raise ValueError(f"data file outside any _versions dir: {f}")
+            head = f[: i + len(marker)]
+            d = f[i + len(marker):].split(os.sep, 1)[0]
+            groups.setdefault(os.path.join(head, d), []).append(f)
         parts = []
-        for d, fs in sorted(groups.items()):
-            rd = self.spark.read.option("basePath", os.path.join(vroot, d))
+        for base, fs in sorted(groups.items()):
+            rd = self.spark.read.option("basePath", base)
             if schema is not None:
                 rd = rd.schema(schema)
             parts.append(rd.format(self.file_format).load(sorted(fs)))
@@ -1430,6 +1465,79 @@ class VersionedTable:
                 "metadata": self.commit_metadata(v),
             })
         return out
+
+    def clone_to(self, dest_root: str, version: int | None = None,
+                 metadata: dict | None = None) -> "VersionedTable":
+        """ZERO-COPY SHALLOW CLONE (Delta ``CLONE ... SHALLOW``): a new
+        table at ``dest_root`` whose v1 manifest references THIS
+        table's data files — no byte is copied, so forking a 100 TB
+        table for a dev/test/experiment branch is a metadata write.
+        The clone evolves independently (appends / merges / DML /
+        compaction commit LOCAL files on top; a compaction makes it
+        self-contained); its vacuum only ever reclaims its own local
+        files. Table properties travel: bucket layout, constraints,
+        CDF spec, and the cloned version's skipping index (copied —
+        it is manifest-sized, not data-sized).
+
+        The Delta caveat applies verbatim: VACUUM ON THE SOURCE can
+        reclaim files the clone still references (the source does not
+        know about clone manifests). Clone from a TAGGED source
+        version to pin it, or compact the clone to cut the cord.
+
+        Clone-of-clone chains flatten at creation: every inherited
+        version-dir basename records its FINAL absolute source
+        directory, one hop at read time regardless of depth."""
+        import json
+        import uuid
+
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        entries = self._read_filelist(v)
+        if entries is None:
+            raise ValueError(
+                f"cannot clone legacy pre-manifest version {v} "
+                "(no file manifest to reference)")
+        doc = self._filelist_doc(v) or {}
+        dest_root = os.path.abspath(dest_root)
+        dest = VersionedTable(self.spark, dest_root, self.file_format)
+        if dest.current_version() is not None:
+            raise ValueError(f"clone target {dest_root} is already a table")
+        # every inherited basename → its FINAL absolute source dir
+        # (resolved through OUR OWN clone bases, so chains flatten)
+        rep = {e[0]: e[1] for e in entries}  # one rel per basename
+        bases = {
+            d: self._abs_file((d, rel))[: -len(rel) - 1]
+            for d, rel in rep.items()
+        }
+        os.makedirs(dest_root, exist_ok=True)
+        tmp = os.path.join(dest_root,
+                           f".{self.CLONESOURCE}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"source_root": os.path.abspath(self.root),
+                       "source_version": v, "bases": bases}, f)
+        os.replace(tmp, os.path.join(dest_root, self.CLONESOURCE))
+        # table properties travel with the clone
+        for prop in (self.BUCKETSPEC, self.CONSTRAINTS, self.CDFSPEC):
+            src = os.path.join(self.root, prop)
+            if os.path.exists(src):
+                shutil.copyfile(src, os.path.join(dest_root, prop))
+        target = dest._stage_dir(1)
+        os.makedirs(target, exist_ok=True)
+        dest._write_filelist(
+            target, entries, schema=self._filelist_schema(v),
+            stats_cols=doc.get("stats_cols"), kind="clone",
+            partition_by=doc.get("partition_by"),
+            bloom_cols=doc.get("bloom_cols"))
+        src_idx = os.path.join(self._resolve_dir(v), "_index")
+        if os.path.isdir(src_idx):
+            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        meta = {"operation": "clone",
+                "source": os.path.abspath(self.root), "source_version": v}
+        if metadata:
+            meta.update(metadata)
+        dest._publish(1, target, meta)
+        return dest
 
     # -- table constraints (Delta CHECK / NOT NULL invariants) -----------
     CONSTRAINTS = "_constraints.json"

@@ -569,3 +569,101 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+@query(
+    "bigram_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    big AS (
+      SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tok) - 1)) AS g(i)),
+    dbig AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM big GROUP BY ALL),
+    c12 AS (SELECT w1, w2, SUM(cnt) AS c12 FROM dbig GROUP BY ALL),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY ALL),
+    vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)),
+    terms AS (
+      SELECT d.doc_id, d.cnt,
+             CAST(CAST(d.cnt AS DOUBLE)
+                  * (log2(CAST(c1.c1 + vocab.v AS DOUBLE))
+                     - log2(CAST(c12.c12 + 1 AS DOUBLE)))
+                  AS DECIMAL(27,9)) AS term
+      FROM dbig d
+      JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS surprisal_bits,
+           CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE) AS avg_bits
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring by an add-one-smoothed BIGRAM language
+    model trained on the corpus itself (the classic KenLM-style
+    perplexity filter of LLM data pipelines, self-contained): per
+    document, the total and per-bigram average surprisal
+    -log2 P(w2|w1) with P = (c12 + 1) / (c1 + V). High average
+    surprisal = improbable word sequences = boilerplate/garbled text.
+
+    Exactness across engines (the value-hash gate): every log2 is a
+    PER-ROW double of an exact integer (bit-stable, like the Benford
+    referee); the only cross-row float aggregation goes through
+    DECIMAL(27,9) per-row casts, an exact decimal SUM, and the
+    string-roundtrip double rendering (pricing_summary's trick).
+
+    Scale shape: bigrams come from slice+zip_with on the token array
+    (no positional self-join); instances collapse to per-doc distinct
+    bigram counts BEFORE the model join (map-side combined); the
+    model tables are vocabulary-sized (c1 broadcasts, c12 hash-joins
+    under AQE); the vocab size is an allowlisted 1-row scalar
+    broadcast. Corpus-linear, three shuffles, no collects.
+
+    Reference scope anchor: the row-level scoring pass of the
+    transform job (Transform.scala:99-112) with a corpus-global model
+    — same shape as doc_rarity_scores, but a real conditional LM."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(tok, F.lit(1), F.size(tok) - 1),
+        F.slice(tok, F.lit(2), F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    dbig = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c12 = dbig.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    term = (
+        F.col("cnt").cast("double")
+        * (F.log2((F.col("c1") + F.col("v")).cast("double"))
+           - F.log2((F.col("c12") + F.lit(1)).cast("double")))
+    ).cast("decimal(27,9)")
+    terms = (
+        dbig.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "cnt", term.alias("term"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum("term").cast("string").cast("double")
+            .alias("surprisal_bits"),
+            (F.sum("term").cast("string").cast("double")
+             / F.sum("cnt").cast("double")).alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -47,6 +47,12 @@ SHOW = {
         "SemDeDup: within-cell equi-join only (no cartesian), exact "
         "integer cosine threshold in decimal"
     ),
+    "bigram_lm_surprisal": (
+        "bigram LM scoring: slice+zip_with bigrams (no positional "
+        "self-join), per-doc collapse BEFORE the model join, "
+        "vocabulary-sized model sides broadcast/hash-joined, one "
+        "1-row scalar broadcast for V"
+    ),
     "mv_refresh_from_change_feed": (
         "CDF rollup maintenance: feed deltas union the view and "
         "re-aggregate map-side; old fact rows never rescanned"

@@ -515,3 +515,88 @@ class TestChangeFeedFiles:
                    .groupBy("_change_type").agg(F.count("*").alias("n"))
                    .collect()}
         assert by_type == {"insert": 5, "delete": 2}
+
+
+class TestShallowClone:
+    def test_zero_copy_and_equal_read(self, spark, tmp_path):
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.commit(_rows(spark, 0, 5000).repartitionByRange(4, "k"),
+                   stats_cols=("k",))
+        src.commit_append(_rows(spark, 5000, 6000).coalesce(1))
+        c = src.clone_to(str(tmp_path / "dev"))
+        assert c.read().count() == 6000
+        assert {r["k"] for r in c.read().where(F.col("k") < 3).collect()} \
+            == {0, 1, 2}
+        # zero-copy: the clone holds NO parquet data files (only the
+        # copied _index parquet is allowed)
+        data_files = [f for root, _, names in os.walk(str(tmp_path / "dev"))
+                      for f in names if f.endswith(".parquet")
+                      and "_index" not in root]
+        assert data_files == []
+        assert c.commit_metadata(1)["operation"] == "clone"
+        # the skipping index travelled: pruned reads work immediately
+        got, fr, ft = c.read_pruned({"k": (100, 200)})
+        assert got.count() == 101 and 0 < fr < ft
+
+    def test_independent_evolution(self, spark, tmp_path):
+        src = VersionedTable(spark, str(tmp_path / "s2"))
+        df = _rows(spark, 0, 100).withColumn(
+            "p", (F.col("k") % 4).cast("int"))
+        src.commit(df, partition_by=("p",))
+        c = src.clone_to(str(tmp_path / "d2"))
+        # clone-side merge + delete: local files on top of references
+        c.commit_merge_partitioned(
+            _rows(spark, 0, 1).withColumn("p", F.lit(0).cast("int"))
+            .withColumn("v", F.lit(-5).cast("bigint")),
+            keys=["k"], partition_by=("p",))
+        c.delete_where(F.col("k") == 99)
+        vals = {r["k"]: r["v"] for r in c.read().collect()}
+        assert vals[0] == -5 and 99 not in vals and len(vals) == 99
+        # the source never moved
+        svals = {r["k"]: r["v"] for r in src.read().collect()}
+        assert svals[0] == 0 and svals[99] == 198 and len(svals) == 100
+
+    def test_clone_vacuum_never_touches_source(self, spark, tmp_path):
+        src = VersionedTable(spark, str(tmp_path / "s3"))
+        src.commit(_rows(spark, 0, 50))
+        c = src.clone_to(str(tmp_path / "d3"))
+        c.commit(_rows(spark, 0, 10))  # clone moves on (local rewrite)
+        c.vacuum(keep=1)
+        assert src.read().count() == 50  # source files intact
+        assert c.read().count() == 10
+
+    def test_clone_of_clone_flattens(self, spark, tmp_path):
+        src = VersionedTable(spark, str(tmp_path / "s4"))
+        src.commit(_rows(spark, 0, 30))
+        c1 = src.clone_to(str(tmp_path / "d4a"))
+        c1.commit_append(_rows(spark, 30, 40))
+        c2 = c1.clone_to(str(tmp_path / "d4b"))
+        assert c2.read().count() == 40
+        bases = c2._clone_bases()
+        # every base points at a REAL directory (final hop recorded)
+        assert all(os.path.isdir(b) for b in bases.values())
+
+    def test_properties_travel(self, spark, tmp_path):
+        src = VersionedTable(spark, str(tmp_path / "s5"))
+        src.commit(_rows(spark, 0, 10))
+        src.add_check_constraint("v_nonneg", "v >= 0")
+        src.enable_change_feed(["k"])
+        c = src.clone_to(str(tmp_path / "d5"))
+        assert c.constraints()["check"] == {"v_nonneg": "v >= 0"}
+        assert c.cdf_spec() == {"keys": ["k"]}
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        with pytest.raises(ConstraintViolationError):
+            c.commit_append(_rows(spark, 10, 11).withColumn(
+                "v", F.lit(-1).cast("bigint")))
+        c.delete_where(F.col("k") == 0)
+        feed = c.changes_range(["k"], 1, 2).collect()
+        assert [(r["k"], r["_change_type"]) for r in feed] == [(0, "delete")]
+
+    def test_clone_into_existing_table_rejects(self, spark, tmp_path):
+        src = VersionedTable(spark, str(tmp_path / "s6"))
+        src.commit(_rows(spark, 0, 10))
+        other = VersionedTable(spark, str(tmp_path / "d6"))
+        other.commit(_rows(spark, 0, 5))
+        with pytest.raises(ValueError, match="already a table"):
+            src.clone_to(str(tmp_path / "d6"))
