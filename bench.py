@@ -87,6 +87,9 @@ HEADLINE = [
     # three corpus shuffles (doc-bigram collapse, model counts,
     # per-doc resum) plus a vocabulary-sized model join
     "bigram_lm_surprisal",
+    # round-8 session 3: Gopher repetition rules — the dual-n gram
+    # explode is the widest row-multiplier in the corpus family
+    "gopher_repetition_signals",
 ]
 
 

@@ -667,3 +667,117 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "gopher_repetition_signals",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    g2 AS (
+      SELECT doc_id, 2 AS n, tok[i] || ' ' || tok[i + 1] AS gram
+      FROM toks, UNNEST(generate_series(1, len(tok) - 1)) AS a(i)),
+    g3 AS (
+      SELECT doc_id, 3 AS n,
+             tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(tok) - 2)) AS a(i)),
+    cnts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt
+      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+      GROUP BY ALL),
+    agg AS (
+      SELECT doc_id,
+             SUM(CASE WHEN n = 2 THEN cnt END) AS tot2,
+             COUNT(CASE WHEN n = 2 THEN 1 END) AS d2,
+             MAX(CASE WHEN n = 2 THEN cnt END) AS top2,
+             SUM(CASE WHEN n = 3 THEN cnt END) AS tot3,
+             COUNT(CASE WHEN n = 3 THEN 1 END) AS d3
+      FROM cnts GROUP BY doc_id),
+    words AS (SELECT doc_id, len(tok) AS n_words FROM toks)
+    SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           CASE WHEN tot2 > 0 THEN
+             CAST(tot2 - d2 AS DOUBLE) / CAST(tot2 AS DOUBLE) END
+             AS dup_bigram_frac,
+           CASE WHEN tot3 > 0 THEN
+             CAST(tot3 - d3 AS DOUBLE) / CAST(tot3 AS DOUBLE) END
+             AS dup_trigram_frac,
+           CASE WHEN tot2 > 0 THEN
+             CAST(top2 AS DOUBLE) / CAST(tot2 AS DOUBLE) END
+             AS top_bigram_frac
+    FROM words w LEFT JOIN agg USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style REPETITION quality rules (Rae et al.
+    2021 §A1.1, restated word-level for this corpus): per document,
+    the fraction of duplicate bigram and trigram occurrences and the
+    share of the single most frequent bigram — high values flag
+    boilerplate, keyboard-mash, and template spam for the curation
+    filter. Every ratio is a PER-ROW double division of two exact
+    integers (bit-stable across engines; no cross-row float math at
+    all).
+
+    Scale shape: n-grams come from array ``transform`` over the token
+    array (no positional self-join), collapse to per-(doc, n, gram)
+    counts in ONE map-side-combined shuffle for both n, and reduce to
+    one row per document. Corpus-linear, two shuffles, no model table,
+    no collects."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tok"))
+
+    def grams(n: int):
+        expr = " || ' ' || ".join(
+            f"element_at(tok, CAST(i + {j} AS INT))" for j in range(n))
+        body = F.expr(
+            f"transform(sequence(1, size(tok) - {n - 1}), i -> {expr})")
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short
+        # docs to an empty gram list instead
+        return F.when(F.size(F.col("tok")) >= n, body).otherwise(
+            F.array().cast("array<string>"))
+
+    g2 = grams(2)
+    g3 = grams(3)
+    tagged = docs.select(
+        "doc_id",
+        F.size("tok").cast("long").alias("n_words"),
+        F.explode(
+            F.concat(
+                F.transform(g2, lambda g: F.struct(
+                    F.lit(2).alias("n"), g.alias("gram"))),
+                F.transform(g3, lambda g: F.struct(
+                    F.lit(3).alias("n"), g.alias("gram"))),
+            )
+        ).alias("t"),
+    ).select("doc_id", "n_words", F.col("t.n").alias("n"),
+             F.col("t.gram").alias("gram"))
+    cnts = tagged.groupBy("doc_id", "n_words", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    two = F.col("n") == 2
+    three = F.col("n") == 3
+    agg = cnts.groupBy("doc_id", "n_words").agg(
+        F.sum(F.when(two, F.col("cnt"))).alias("tot2"),
+        F.count(F.when(two, F.lit(1))).alias("d2"),
+        F.max(F.when(two, F.col("cnt"))).alias("top2"),
+        F.sum(F.when(three, F.col("cnt"))).alias("tot3"),
+        F.count(F.when(three, F.lit(1))).alias("d3"),
+    )
+    # docs too short for any bigram never reach `tagged`: re-join the
+    # full doc list so they appear with NULL fractions, like the oracle
+    base = docs.select("doc_id", F.size("tok").cast("long").alias("n_words"))
+    agg = base.join(agg, ["doc_id", "n_words"], "left")
+    frac = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.col(num).cast("double") / F.col(den).cast("double"))
+    return agg.select(
+        "doc_id",
+        "n_words",
+        F.when(F.col("tot2") > 0,
+               (F.col("tot2") - F.col("d2")).cast("double")
+               / F.col("tot2").cast("double")).alias("dup_bigram_frac"),
+        F.when(F.col("tot3") > 0,
+               (F.col("tot3") - F.col("d3")).cast("double")
+               / F.col("tot3").cast("double")).alias("dup_trigram_frac"),
+        frac("top2", "tot2").alias("top_bigram_frac"),
+    ).orderBy("doc_id")

@@ -47,6 +47,11 @@ SHOW = {
         "SemDeDup: within-cell equi-join only (no cartesian), exact "
         "integer cosine threshold in decimal"
     ),
+    "gopher_repetition_signals": (
+        "repetition quality rules: array-transform n-grams (no "
+        "positional self-join), ONE map-side-combined gram-count "
+        "shuffle for both n, per-row integer-ratio doubles"
+    ),
     "bigram_lm_surprisal": (
         "bigram LM scoring: slice+zip_with bigrams (no positional "
         "self-join), per-doc collapse BEFORE the model join, "

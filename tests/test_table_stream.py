@@ -278,3 +278,68 @@ class TestChangeFeedStreaming:
             skip_change_commits=True), "cdf_skip")
         assert [(r["k"], r["_change_type"], r["_commit_version"])
                 for r in got.collect()] == [(0, "delete", 3)]
+
+
+class TestStreamingMaterializedView:
+    """stream_changes → exactly_once_mv_sink: end-to-end incremental
+    materialized-view maintenance over every commit kind, exactly-once
+    across restarts, view == from-scratch recompute at every step."""
+
+    def _recompute(self, t):
+        return {(r["g"], r["n"], r["total"]) for r in
+                t.read().groupBy("g").agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("v").alias("total")).collect()}
+
+    def _view_rows(self, view):
+        return {(r["g"], r["n"], r["total"])
+                for r in view.read().collect()}
+
+    def test_mv_tracks_table_across_commit_kinds(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.sinks import (
+            exactly_once_mv_sink)
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+
+        root = str(tmp_path / "base")
+        t = VersionedTable(spark, root)
+        grouped = _rows(spark, 0, 60).withColumn(
+            "g", (F.col("k") % 3).cast("int"))
+        t.commit(grouped.withColumn("p", (F.col("k") % 2).cast("int")),
+                 partition_by=("p",))
+        t.enable_change_feed(["k"])
+        t.commit_append(_rows(spark, 60, 70).withColumn(
+            "g", (F.col("k") % 3).cast("int")).withColumn(
+            "p", (F.col("k") % 2).cast("int")), partition_by=("p",))
+        # merge: moves k=0 from g=0 to g=2 AND bumps its value
+        src = spark.createDataFrame(
+            [(0, 555, 2, 0)], "k long, v long, g int, p int")
+        t.commit_merge_partitioned(src, keys=["k"], partition_by=("p",))
+        t.delete_where(F.col("k").between(60, 64))
+
+        view = VersionedTable(spark, str(tmp_path / "view"))
+        ck = str(tmp_path / "ck")
+
+        def run():
+            q = (stream_changes(spark, root, starting_version=1)
+                 .writeStream
+                 .foreachBatch(exactly_once_mv_sink(
+                     view, ["g"], {"total": "v"}))
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run()
+        assert self._view_rows(view) == self._recompute(t)
+
+        # the table moves on: more DML + a restore; same checkpoint
+        # picks up ONLY the new versions (exactly-once)
+        t.update_where(F.col("k") == 1, {"v": F.col("v") + 10000})
+        t.delete_where(F.col("g") == 1)
+        run()
+        assert self._view_rows(view) == self._recompute(t)
+
+        # idempotent re-run with nothing new: view version unchanged
+        v_before = view.current_version()
+        run()
+        assert view.current_version() == v_before
