@@ -112,59 +112,93 @@ def kmeans_fit(
     cent = _normalize_block(
         np.array([r["_v"] for r in seed_rows], dtype=np.float64))
 
+    # QUANTIZE ONCE, iterate many: the per-vector normalize+quantize is
+    # iteration-invariant, so it runs in one Arrow pass whose result is
+    # persisted (memory-and-disk: a larger-than-cluster corpus spills
+    # instead of failing; the quantized frame is the same width as the
+    # input). Every Lloyd iteration then reads integer quanta directly
+    # — no parquet re-decode, no re-normalization. Results are
+    # batching-independent by construction, so caching cannot change
+    # the fixpoint.
+    q_schema = T.StructType([T.StructField("_q", T.ArrayType(T.LongType()))])
+
+    def _quantize_rows(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = _quantize_block(
+                np.stack(pdf["_v"].to_numpy()).astype(np.float64))
+            yield pd.DataFrame({"_q": [row.tolist() for row in q]})
+
+    qvecs = vecs.mapInPandas(_quantize_rows, schema=q_schema).persist()
+
     partial_schema = T.StructType([
         T.StructField("cell", T.IntegerType()),
         T.StructField("cnt", T.LongType()),
         T.StructField("qs", T.ArrayType(T.LongType())),
     ])
 
-    for _ in range(iters):
-        cq = _quantize_centroids(cent.tolist())
+    try:
+        for _ in range(iters):
+            cq = _quantize_centroids(cent.tolist())
 
-        def _partials(batches: Iterator["object"],
-                      _cq: "np.ndarray" = cq) -> Iterator["object"]:
-            import numpy as np
-            import pandas as pd
+            def _partials(batches: Iterator["object"],
+                          _cq: "np.ndarray" = cq) -> Iterator["object"]:
+                import numpy as np
+                import pandas as pd
 
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                q = _quantize_block(
-                    np.stack(pdf["_v"].to_numpy()).astype(np.float64))
-                cells = np.argmax(q @ _cq.T, axis=1)
-                cnt = np.bincount(cells, minlength=len(_cq))
-                sums = np.zeros((len(_cq), q.shape[1]), dtype=np.int64)
-                np.add.at(sums, cells, q)
-                live = np.nonzero(cnt)[0]
-                yield pd.DataFrame({
-                    "cell": live.astype("int32"),
-                    "cnt": cnt[live].astype("int64"),
-                    "qs": [sums[j].tolist() for j in live],
-                })
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    q = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+                    cells = np.argmax(q @ _cq.T, axis=1)
+                    cnt = np.bincount(cells, minlength=len(_cq))
+                    sums = np.zeros((len(_cq), q.shape[1]), dtype=np.int64)
+                    np.add.at(sums, cells, q)
+                    live = np.nonzero(cnt)[0]
+                    yield pd.DataFrame({
+                        "cell": live.astype("int32"),
+                        "cnt": cnt[live].astype("int64"),
+                        "qs": [sums[j].tolist() for j in live],
+                    })
 
-        agg = (
-            vecs.mapInPandas(_partials, schema=partial_schema)
-            .groupBy("cell")
-            .agg(
-                F.sum("cnt").alias("cnt"),
-                # element-wise DECIMAL sums: exact at any corpus size,
-                # map-side combinable, k×d scalars total
-                *[F.sum(F.col("qs")[i].cast("decimal(28,0)")).alias(f"s{i}")
-                  for i in range(d)],
+            # M-step: ONE narrow aggregation over the exploded partials
+            # — (cell, pos) keyed DECIMAL sums, k×d rows to the driver.
+            # (The earlier shape planned d separate decimal aggregates;
+            # at d=64 Catalyst analysis dominated the sub-second job,
+            # 6× per fit.) Each partial contributes its `cnt` once per
+            # pos, so per-cell count = the pos-0 group's cnt sum.
+            rows = (
+                qvecs.mapInPandas(_partials, schema=partial_schema)
+                .select("cell", "cnt",
+                        F.posexplode("qs").alias("pos", "q"))
+                .groupBy("cell", "pos")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum(F.col("q").cast("decimal(28,0)")).alias("s"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        new_cent = cent.copy()
-        for r in agg:
-            j, cnt = r["cell"], int(r["cnt"])
-            if cnt == 0:
-                continue
-            s = np.array([float(int(r[f"s{i}"])) for i in range(d)])
-            m = s / (QUANT * cnt)
-            n = np.linalg.norm(m)
-            if n > 0:
-                new_cent[j] = m / n
-        cent = new_cent
+            sums = np.zeros((k, d), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for r in rows:
+                sums[r["cell"], r["pos"]] = float(int(r["s"]))
+                if r["pos"] == 0:
+                    cnts[r["cell"]] = int(r["cnt"])
+            new_cent = cent.copy()
+            for j in range(k):
+                if cnts[j] == 0:
+                    continue
+                m = sums[j] / (QUANT * cnts[j])
+                n = np.linalg.norm(m)
+                if n > 0:
+                    new_cent[j] = m / n
+            cent = new_cent
+    finally:
+        qvecs.unpersist()
     return [[float(x) for x in row] for row in cent]
 
 
