@@ -289,6 +289,14 @@ class PipelineApiServer:
                         name, q["zorderby"].split(","),
                         num_files=int(q.get("files", 16)),
                     )
+                if "partitions" in q:
+                    # OPTIMIZE WHERE: comma-separated Spark-rendered
+                    # partition prefixes ('p=0,p=1')
+                    return 200, self.engine.compact_partitions(
+                        name, q["partitions"].split(","),
+                        target_file_bytes=int(
+                            q.get("targetbytes", 128 * 1024 * 1024)),
+                    )
                 return 200, self.engine.compact(
                     name,
                     target_file_bytes=int(q.get("targetbytes", 128 * 1024 * 1024)),

@@ -200,6 +200,21 @@ class Engine:
         return VersionedTable(self.spark, dest.path, dest.file_format,
                               fs=ConditionalPutFS()), dest
 
+    def compact_partitions(self, name: str, prefixes: list[str],
+                           target_file_bytes: int = 128 * 1024 * 1024,
+                           ) -> dict[str, Any]:
+        """Partition-scoped incremental compaction (OPTIMIZE WHERE):
+        bin-pack ONLY the named partitions (Spark-rendered prefixes
+        like 'p=0'), carrying every other partition forward by
+        manifest reference — O(touched partitions), not O(table)."""
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            version = table.compact_partitions(
+                prefixes=prefixes, target_file_bytes=target_file_bytes)
+        return {"version": version,
+                "metadata": table.commit_metadata(version)
+                if version == table.current_version() else {}}
+
     def compact(self, name: str,
                 target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:
         """Bin-packing small-file compaction (OPTIMIZE without ZORDER)

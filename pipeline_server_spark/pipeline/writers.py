@@ -1539,6 +1539,103 @@ class VersionedTable:
         dest._publish(1, target, meta)
         return dest
 
+    def compact_partitions(self, prefixes: list[str] | None = None,
+                           match=None,
+                           target_file_bytes: int = 128 * 1024 * 1024,
+                           metadata: dict | None = None,
+                           min_files: int = 2) -> int:
+        """PARTITION-SCOPED incremental compaction (Delta ``OPTIMIZE
+        WHERE``): bin-pack only the selected partitions' files and
+        carry every other partition forward by manifest reference —
+        versus :func:`...operators.scale.optimize_compact_snapshot`,
+        which rewrites the WHOLE table. On a 10k-partition table where
+        only today's partitions fragment (the streaming-append
+        pattern), maintenance cost drops from O(table) to O(touched
+        partitions) per run. Works on hash-bucketed layouts too
+        (partitions are ``_bucket=N``).
+
+        Selection: ``prefixes`` = exact partition-path prefixes in
+        Spark's own rendering (``"p=0"``, ``"date=2024-01-01/tenant=a"``),
+        and/or ``match`` = a callable over the partition's
+        ``{col: rendered-value}`` dict; no selector = every partition.
+        Partitions already packed (fewer than ``min_files`` files) are
+        skipped, so a scheduled run on a healthy table is a no-op
+        commit-free return. The commit is an ``optimize_`` operation:
+        zero row changes, so the change feed and the streaming source
+        skip it and no change files are written; the skipping index is
+        rebuilt O(rewritten files) with full continuity."""
+        from pipeline_server_spark.operators.scale import (
+            _pack_per_partition)
+
+        current = self.current_version()
+        if current is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        doc = self._filelist_doc(current) or {}
+        layout = list(doc.get("partition_by") or [])
+        if not layout:
+            raise ValueError(
+                "compact_partitions needs a hive/bucket layout — use "
+                "optimize_compact_snapshot for a flat table")
+        depth = len(layout)
+        entries = self._entries_for_version(current)
+        by_part: dict[str, list[tuple[str, str]]] = {}
+        for e in entries:
+            by_part.setdefault(self._partition_prefix(e[1], depth),
+                               []).append(e)
+
+        def _vals(prefix: str) -> dict:
+            return dict(c.split("=", 1) for c in prefix.split(os.sep))
+
+        pset = set(prefixes) if prefixes is not None else None
+        selected = []
+        for p, es in sorted(by_part.items()):
+            if len(es) < min_files:
+                continue  # already packed
+            wanted = (
+                (pset is None and match is None)  # no selector = all
+                or (pset is not None and p in pset)
+                or (match is not None and match(_vals(p)))
+            )
+            if wanted:
+                selected.append(p)
+        if not selected:
+            return current  # healthy table: no commit, no rewrite
+        touched = [e for p in selected for e in by_part[p]]
+        files = [self._abs_file(e) for e in touched]
+        schema = self._filelist_schema(current)
+        df = self._read_files(files, schema=schema)
+        total = sum(os.path.getsize(f) for f in files)
+        packed = _pack_per_partition(df, layout, total, target_file_bytes)
+        version = current + 1
+        target = self._stage_dir(version)
+        packed.write.mode("overwrite").partitionBy(*layout) \
+            .format(self.file_format).save(target)
+        base = os.path.basename(target)
+        new_entries = [(base, rel) for rel in self._list_data_files(target)]
+        sel = set(selected)
+        carried = [e for e in entries
+                   if self._partition_prefix(e[1], depth) not in sel]
+        all_entries = carried + new_entries
+        stats_cols = doc.get("stats_cols") or []
+        bloom_cols = doc.get("bloom_cols") or []
+        self._write_filelist(target, all_entries, schema=schema,
+                             stats_cols=stats_cols or None,
+                             kind="optimize", partition_by=layout,
+                             bloom_cols=bloom_cols or None)
+        if stats_cols or bloom_cols:
+            self._build_index(target, all_entries, stats_cols, schema,
+                              prior_version=current,
+                              new_entries=new_entries,
+                              bloom_cols=bloom_cols)
+        meta = {"operation": "optimize_compact_partitions",
+                "partitions": len(selected),
+                "rewritten_files": len(touched),
+                "new_files": len(new_entries),
+                "carried_files": len(carried)}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(version, target, meta)
+
     # -- table constraints (Delta CHECK / NOT NULL invariants) -----------
     CONSTRAINTS = "_constraints.json"
 

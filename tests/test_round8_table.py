@@ -600,3 +600,86 @@ class TestShallowClone:
         other.commit(_rows(spark, 0, 5))
         with pytest.raises(ValueError, match="already a table"):
             src.clone_to(str(tmp_path / "d6"))
+
+
+class TestPartitionScopedCompaction:
+    def _fragmented(self, spark, path, parts=4, appends=5):
+        t = VersionedTable(spark, str(path))
+        for i in range(appends):
+            df = _rows(spark, i * 100, (i + 1) * 100).withColumn(
+                "p", (F.col("k") % parts).cast("int"))
+            if i == 0:
+                t.commit(df, partition_by=("p",), stats_cols=("k",))
+            else:
+                t.commit_append(df, partition_by=("p",))
+        return t
+
+    def test_compacts_only_selected_partitions(self, spark, tmp_path):
+        t = self._fragmented(spark, tmp_path / "pc1")
+        before = t._entries_for_version(t.current_version())
+        keep_p1 = {e for e in before
+                   if e[1].split(os.sep)[0] == "p=1"}
+        v = t.compact_partitions(prefixes=["p=0", "p=2"])
+        after = t._entries_for_version(v)
+        # untouched partitions carried VERBATIM (same manifest entries)
+        assert {e for e in after if e[1].split(os.sep)[0] == "p=1"} \
+            == keep_p1
+        # selected partitions collapsed: 5 appended files -> 1 packed
+        for p in ("p=0", "p=2"):
+            files = [e for e in after if e[1].split(os.sep)[0] == p]
+            assert len(files) == 1, (p, files)
+        # rows identical (sum v over k=0..499 of 2k = 249500)
+        assert t.read().count() == 500
+        assert t.read().agg(F.sum("v")).collect()[0][0] == 249500
+        meta = t.commit_metadata(v)
+        assert meta["operation"] == "optimize_compact_partitions"
+        n_sel = len([e for e in before
+                     if e[1].split(os.sep)[0] in ("p=0", "p=2")])
+        assert meta["partitions"] == 2
+        assert meta["rewritten_files"] == n_sel > 2
+
+    def test_match_callable_and_noop(self, spark, tmp_path):
+        t = self._fragmented(spark, tmp_path / "pc2")
+        v = t.compact_partitions(match=lambda vals: vals["p"] == "3")
+        assert len([e for e in t._entries_for_version(v)
+                    if e[1].startswith("p=3")]) == 1
+        # everything already packed under min_files → commit-free no-op
+        assert t.compact_partitions(match=lambda vals: vals["p"] == "3") == v
+
+    def test_feed_and_stream_skip_and_index_survives(self, spark, tmp_path):
+        t = self._fragmented(spark, tmp_path / "pc3")
+        t.enable_change_feed(["k"])
+        v = t.compact_partitions()  # all partitions
+        # zero row changes: the batch feed crossing it emits only the
+        # appends' inserts; no _changes files were written
+        assert not os.path.isdir(os.path.join(t._resolve_dir(v), "_changes"))
+        feed = t.changes_range(["k"], 1, v)
+        assert feed.count() == 400  # the 4 appends
+        assert feed.where(F.col("_commit_version") == v).count() == 0
+        # index continuity through the partition-scoped rewrite
+        got, fr, ft = t.read_pruned({"k": (0, 50)})
+        assert got.count() == 51 and 0 < fr <= ft
+        # DML and merges still work on the compacted layout
+        t.delete_where(F.col("k") == 0)
+        assert t.read().count() == 499
+
+    def test_flat_table_rejects(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "pc4"))
+        t.commit(_rows(spark, 0, 10))
+        with pytest.raises(ValueError, match="flat"):
+            t.compact_partitions()
+
+    def test_bucketed_layout_compacts_by_bucket(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "pc5"))
+        t.commit_bucketed(_rows(spark, 0, 100), keys=["k"], n_buckets=2)
+        for i in range(3):
+            t.commit_merge_bucketed(
+                _rows(spark, 100 + i, 101 + i), keys=["k"])
+        v = t.compact_partitions()
+        t.commit_merge_bucketed(
+            _rows(spark, 0, 1).withColumn("v", F.lit(-9).cast("bigint")),
+            keys=["k"])
+        vals = {r["k"]: r["v"] for r in t.read().collect()}
+        assert vals[0] == -9 and len(vals) == 103
+        assert t.commit_metadata(v)["operation"] == \
+            "optimize_compact_partitions"
