@@ -316,6 +316,9 @@ class PipelineApiServer:
                 return 200, self.engine.table_constraints(name)
             if method == "POST" and path == "/dataset/constraint":
                 (name,) = need("name")
+                if "checkname" not in q and "notnull" not in q:
+                    raise _BadRequest(
+                        "constraint needs checkname+expr and/or notnull")
                 return 200, self.engine.add_constraint(
                     name, check_name=q.get("checkname"),
                     expr=q.get("expr"),
@@ -323,6 +326,9 @@ class PipelineApiServer:
                               if "notnull" in q else None))
             if method == "DELETE" and path == "/dataset/constraint":
                 (name,) = need("name")
+                if "checkname" not in q and "notnull" not in q:
+                    raise _BadRequest(
+                        "constraint needs checkname and/or notnull")
                 return 200, self.engine.drop_constraint(
                     name, check_name=q.get("checkname"),
                     not_null=(q["notnull"].split(",")

@@ -209,11 +209,13 @@ class Engine:
         manifest reference — O(touched partitions), not O(table)."""
         table, dest = self._versioned_table(name)
         with self._dest_lock(dest.path):
+            before = table.current_version()
             version = table.compact_partitions(
                 prefixes=prefixes, target_file_bytes=target_file_bytes)
-        return {"version": version,
+        compacted = version != before
+        return {"version": version, "compacted": compacted,
                 "metadata": table.commit_metadata(version)
-                if version == table.current_version() else {}}
+                if compacted else {}}
 
     def compact(self, name: str,
                 target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:

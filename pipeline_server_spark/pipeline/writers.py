@@ -1417,6 +1417,20 @@ class VersionedTable:
                 f"table is hash-bucketed but version {version} predates "
                 "the bucket layout — commit_bucketed the restored data "
                 "explicitly instead of restore()")
+        cons = self.constraints()
+        if cons["check"] or cons["not_null"]:
+            # a rollback republishes OLD rows — they may predate a
+            # constraint added since, so restore validates the restored
+            # snapshot like every other commit path validates its new
+            # rows (one column-pruned pass; the honest cost of
+            # restoring a constrained table)
+            bad = self._count_violations(
+                self.read(version), cons["check"], cons["not_null"])
+            if bad:
+                raise ConstraintViolationError(
+                    f"restore({version}): the restored snapshot violates "
+                    f"table constraints (violating-row counts: {bad}); "
+                    "drop the constraint or pick a later version")
         current = self.current_version() or 0
         new_version = current + 1
         target = self._stage_dir(new_version)
@@ -1506,8 +1520,10 @@ class VersionedTable:
         # every inherited basename → its FINAL absolute source dir
         # (resolved through OUR OWN clone bases, so chains flatten)
         rep = {e[0]: e[1] for e in entries}  # one rel per basename
+        # abspath: a source opened via a RELATIVE root must not leak
+        # CWD-dependent paths into the clone's permanent record
         bases = {
-            d: self._abs_file((d, rel))[: -len(rel) - 1]
+            d: os.path.abspath(self._abs_file((d, rel))[: -len(rel) - 1])
             for d, rel in rep.items()
         }
         os.makedirs(dest_root, exist_ok=True)
@@ -1854,30 +1870,35 @@ class VersionedTable:
         if schema is not None:
             df = df.schema(schema)
         try:
-            df = df.load(target)
-            aggs = [
-                F.count_if(~F.coalesce(F.expr(e), F.lit(True)))
-                .alias(f"c_{n}") for n, e in checks.items()
-            ] + [
-                F.count_if(F.col(c).isNull()).alias(f"n_{c}")
-                for c in not_null
-            ]
-            row = df.agg(*aggs).collect()[0]
-        except ConstraintViolationError:
-            raise
+            bad = self._count_violations(df.load(target), checks, not_null)
         except Exception:
             self.fs.remove(target)  # unresolvable constraint column etc.
             raise
-        bad = {f"CHECK {n} ({checks[n]})": row[f"c_{n}"]
-               for n in checks if row[f"c_{n}"]}
-        bad.update({f"NOT NULL {c}": row[f"n_{c}"]
-                    for c in not_null if row[f"n_{c}"]})
         if bad:
             self.fs.remove(target)
             raise ConstraintViolationError(
                 f"{op}: staged batch violates table constraints "
                 f"(violating-row counts: {bad}); commit aborted, "
                 "table untouched")
+
+    @staticmethod
+    def _count_violations(df: DataFrame, checks: dict,
+                          not_null: list) -> dict:
+        """All constraint violation counts over ``df`` in ONE
+        column-pruned aggregation pass (one row to the driver)."""
+        aggs = [
+            F.count_if(~F.coalesce(F.expr(e), F.lit(True)))
+            .alias(f"c_{n}") for n, e in checks.items()
+        ] + [
+            F.count_if(F.col(c).isNull()).alias(f"n_{c}")
+            for c in not_null
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {f"CHECK {n} ({checks[n]})": row[f"c_{n}"]
+               for n in checks if row[f"c_{n}"]}
+        bad.update({f"NOT NULL {c}": row[f"n_{c}"]
+                    for c in not_null if row[f"n_{c}"]})
+        return bad
 
     def delete_where(self, predicate, bounds: dict | None = None,
                      points: dict | None = None,
@@ -1930,6 +1951,18 @@ class VersionedTable:
                 f"update_where may not assign layout columns {bad} — "
                 "a partition-moving update is a keyed merge "
                 "(commit_merge_partitioned), not an in-place rewrite")
+        spec = self.bucket_spec()
+        if spec is not None:
+            bad = sorted(set(assignments) & set(spec["keys"]))
+            if bad:
+                # _bucket = xxhash64(keys) % n: changing a key in place
+                # strands the row in its old bucket, and the next
+                # bucketed merge (which prunes to the NEW key's bucket)
+                # would insert a silent duplicate
+                raise ValueError(
+                    f"update_where may not assign bucket key columns "
+                    f"{bad} — re-keying is a delete + merge, not an "
+                    "in-place rewrite")
         return self._rewrite_where(predicate, "update", assignments,
                                    bounds=bounds, points=points,
                                    metadata=metadata)

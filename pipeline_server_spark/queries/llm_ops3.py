@@ -767,17 +767,15 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full doc list so they appear with NULL fractions, like the oracle
     base = docs.select("doc_id", F.size("tok").cast("long").alias("n_words"))
     agg = base.join(agg, ["doc_id", "n_words"], "left")
-    frac = lambda num, den: F.when(  # noqa: E731
-        F.col(den) > 0,
-        F.col(num).cast("double") / F.col(den).cast("double"))
+
+    def frac(num, den):  # NULL (not 0/0) for gram-less docs, like SQL
+        return F.when(F.col(den) > 0,
+                      num.cast("double") / F.col(den).cast("double"))
+
     return agg.select(
         "doc_id",
         "n_words",
-        F.when(F.col("tot2") > 0,
-               (F.col("tot2") - F.col("d2")).cast("double")
-               / F.col("tot2").cast("double")).alias("dup_bigram_frac"),
-        F.when(F.col("tot3") > 0,
-               (F.col("tot3") - F.col("d3")).cast("double")
-               / F.col("tot3").cast("double")).alias("dup_trigram_frac"),
-        frac("top2", "tot2").alias("top_bigram_frac"),
+        frac(F.col("tot2") - F.col("d2"), "tot2").alias("dup_bigram_frac"),
+        frac(F.col("tot3") - F.col("d3"), "tot3").alias("dup_trigram_frac"),
+        frac(F.col("top2"), "tot2").alias("top_bigram_frac"),
     ).orderBy("doc_id")

@@ -282,10 +282,14 @@ def exactly_once_mv_sink(
         feed = batch_df.drop("_commit_version")
         current = view.current_version()
         if current is None:
-            # bootstrap: the first batch's net deltas ARE the view
-            new_view = change_feed_to_rollup_delta(
-                feed, group_cols, sum_cols, count_col=count_col,
-            ).where(F.col(count_col) > 0)
+            # bootstrap through the SAME guarded fold as steady state
+            # (an empty view + the batch): a feed started mid-history
+            # produces negative group counts and must raise loudly,
+            # not silently drop the evidence
+            empty = change_feed_to_rollup_delta(
+                feed.limit(0), group_cols, sum_cols, count_col=count_col)
+            new_view = apply_change_feed_to_rollup(
+                empty, feed, group_cols, sum_cols, count_col=count_col)
         else:
             new_view = apply_change_feed_to_rollup(
                 view.read(current), feed, group_cols, sum_cols,

@@ -97,6 +97,27 @@ def _meta_operation(root: str, version: int) -> str | None:
         return None
 
 
+def _clone_bases(root: str) -> dict:
+    """A SHALLOW CLONE's inherited version-dir basename → absolute
+    source directory map (written once at clone creation). Empty for
+    ordinary tables."""
+    try:
+        with open(os.path.join(root, "_clonesource.json")) as f:
+            return json.load(f).get("bases", {})
+    except FileNotFoundError:
+        return {}
+
+
+def _abs_data_file(root: str, bases: dict, d: str, rel: str) -> str:
+    """Mirror VersionedTable._abs_file for the pure-file stream layer:
+    local version dir first, the clone's recorded source dir when the
+    file was inherited."""
+    local = os.path.join(root, "_versions", d, rel)
+    if bases and d in bases and not os.path.exists(local):
+        return os.path.join(bases[d], rel)
+    return local
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str, version: int, change_file: bool = False):
         self.path = path
@@ -164,12 +185,18 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
                     if f.endswith(".parquet"))
                 continue
             if kind == "append" or v == 1:
+                # v1 is the bootstrap snapshot: EVERY manifest entry is
+                # an insert — including entries a SHALLOW CLONE
+                # inherited, which live in the source table's dirs and
+                # resolve through the clone-bases map. An append
+                # version's inserts are only its OWN new files.
                 base = os.path.basename(_resolve_dir(self.root, v))
+                bases = _clone_bases(self.root)
                 parts.extend(
                     _FilePartition(
-                        os.path.join(self.root, "_versions", d, rel), v)
+                        _abs_data_file(self.root, bases, d, rel), v)
                     for d, rel in doc.get("files", [])
-                    if d == base
+                    if v == 1 or d == base
                 )
                 continue
             if self.skip_change_commits:

@@ -683,3 +683,37 @@ class TestPartitionScopedCompaction:
         assert vals[0] == -9 and len(vals) == 103
         assert t.commit_metadata(v)["operation"] == \
             "optimize_compact_partitions"
+
+
+class TestReviewFixes:
+    """Round-8 session-3 self-review findings, each pinned by a test."""
+
+    def test_update_where_bucket_key_rejects(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rf1"))
+        t.commit_bucketed(_rows(spark, 0, 50), keys=["k"], n_buckets=4)
+        with pytest.raises(ValueError, match="bucket key"):
+            t.update_where(F.col("k") == 5, {"k": F.lit(105)})
+        # non-key updates still fine
+        t.update_where(F.col("k") == 5, {"v": F.lit(0).cast("bigint")})
+        assert {r["v"] for r in t.read().where(F.col("k") == 5).collect()} \
+            == {0}
+
+    def test_restore_validates_constraints(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+        t = VersionedTable(spark, str(tmp_path / "rf2"))
+        t.commit(_rows(spark, 0, 10).withColumn(
+            "v", F.when(F.col("k") < 2, None).otherwise(F.col("v"))))
+        t.commit(_rows(spark, 0, 10))  # v2: clean
+        t.set_not_null("v")            # validated against v2 — ok
+        with pytest.raises(ConstraintViolationError, match="restored"):
+            t.restore(1)               # v1 has nulls in v
+        assert t.current_version() == 2
+        t.drop_not_null("v")
+        assert t.restore(1) == 3       # constraint gone: restore lands
+
+    def test_clone_bases_are_absolute(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rf3"))
+        t.commit(_rows(spark, 0, 10))
+        c = t.clone_to(str(tmp_path / "rf3c"))
+        assert all(os.path.isabs(b) for b in c._clone_bases().values())

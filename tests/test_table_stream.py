@@ -343,3 +343,43 @@ class TestStreamingMaterializedView:
         v_before = view.current_version()
         run()
         assert view.current_version() == v_before
+
+
+class TestCloneStreaming:
+    def test_stream_bootstraps_from_a_shallow_clone(self, spark, tmp_path):
+        """The v1 bootstrap of a CLONE references the source's files —
+        the pure-file stream layer must resolve them through the
+        clone-bases map, not silently emit zero rows."""
+        src = VersionedTable(spark, str(tmp_path / "cs_src"))
+        src.commit(_rows(spark, 0, 25))
+        clone = src.clone_to(str(tmp_path / "cs_clone"))
+        clone.commit_append(_rows(spark, 25, 30))
+        got = _drain(spark, stream_inserts(
+            spark, str(tmp_path / "cs_clone"), starting_version=1),
+            "clone_stream")
+        rows = got.collect()
+        assert len(rows) == 30
+        assert {r["_commit_version"] for r in rows} == {1, 2}
+
+    def test_mv_bootstrap_raises_on_mid_history_feed(self, spark, tmp_path):
+        """A view bootstrapped from a feed that starts mid-history sees
+        deletes for rows it never counted — that must raise the same
+        loud negative-count error as steady state, not silently drop."""
+        from pipeline_server_spark.streaming.sinks import (
+            exactly_once_mv_sink)
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+        t = VersionedTable(spark, str(tmp_path / "mvb"))
+        t.commit(_rows(spark, 0, 10).withColumn(
+            "g", (F.col("k") % 2).cast("int")))
+        t.enable_change_feed(["k"])
+        t.delete_where(F.col("k") < 3)
+        view = VersionedTable(spark, str(tmp_path / "mvb_view"))
+        q = (stream_changes(spark, str(tmp_path / "mvb"),
+                            starting_version=2)  # skips the bootstrap
+             .writeStream
+             .foreachBatch(exactly_once_mv_sink(view, ["g"], {"total": "v"}))
+             .option("checkpointLocation", str(tmp_path / "mvb_ck"))
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="negative group count"):
+            q.awaitTermination(120)
