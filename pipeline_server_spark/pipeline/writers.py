@@ -864,7 +864,8 @@ class VersionedTable:
                       metadata: dict | None = None,
                       stats_cols: tuple[str, ...] | list[str] = (),
                       evolve_schema: bool = False,
-                      bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
+                      bloom_cols: tuple[str, ...] | list[str] = (),
+                      optimized_write: bool = False) -> int:
         """Append-only commit in O(batch): write ONLY the new rows into
         the next version directory and publish a file manifest = the
         previous version's list + the batch's files — two metadata
@@ -933,6 +934,15 @@ class VersionedTable:
                         "for additive widening)"
                     )
             self._check_layout(current, partition_by, "commit_append")
+        if optimized_write and partition_by:
+            # the Delta optimizedWrite idea: one shuffle colocates each
+            # hive partition's batch rows into one task, so the append
+            # writes ~1 file per touched partition instead of
+            # tasks×partitions small files — PREVENTING the small-file
+            # debt auto-compaction exists to pay. AQE coalesces the
+            # shuffle to the live partition count. Skipped for flat
+            # tables (a global coalesce would serialize a big batch).
+            df = df.repartition(*[F.col(c) for c in partition_by])
         target = self._stage_dir(version)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -974,7 +984,8 @@ class VersionedTable:
                                  metadata: dict | None = None,
                                  immutable_partitions: bool = True,
                                  stats_cols: tuple[str, ...] | list[str] = (),
-                                 bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
+                                 bloom_cols: tuple[str, ...] | list[str] = (),
+                                 optimized_write: bool = False) -> int:
         """Keyed MERGE in O(touched partitions): merge the source only
         against target rows in the partitions the source touches,
         write those partitions into the next version, and CARRY
@@ -1046,6 +1057,10 @@ class VersionedTable:
             F.broadcast(touched).alias("p"), cond, "left_semi",
         )
         merged = merge_upsert_frames(tgt_touched, source, keys, sequence_col)
+        if optimized_write:
+            # ~1 file per rewritten partition instead of
+            # tasks×partitions (see commit_append's optimized_write)
+            merged = merged.repartition(*[F.col(c) for c in cols])
 
         version = current + 1
         target = self._stage_dir(version)
@@ -1141,7 +1156,8 @@ class VersionedTable:
                               metadata: dict | None = None,
                               n_buckets: int = 64,
                               stats_cols: tuple[str, ...] | list[str] = (),
-                              bloom_cols: tuple[str, ...] | list[str] = ()) -> int:
+                              bloom_cols: tuple[str, ...] | list[str] = (),
+                              optimized_write: bool = False) -> int:
         """Keyed MERGE into a hash-bucketed table in O(touched
         buckets): computes each source row's ``_bucket`` from the
         recorded spec and delegates to the partition-pruned merge on
@@ -1189,7 +1205,7 @@ class VersionedTable:
         return self.commit_merge_partitioned(
             src, keys, [self.BUCKET_COL], sequence_col, metadata=metadata,
             immutable_partitions=True, stats_cols=stats_cols,
-            bloom_cols=bloom_cols)
+            bloom_cols=bloom_cols, optimized_write=optimized_write)
 
     def read(self, version: int | None = None,
              tag: str | None = None,

@@ -63,6 +63,7 @@ def exactly_once_append_sink(
     partition_by: tuple[str, ...] = (),
     scan_last: int = 50,
     auto_compact_dirs: int | None = None,
+    optimized_write: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function: append each micro-batch as one
     snapshot commit carrying its ``batch_id``; a replayed batch_id is
@@ -145,7 +146,8 @@ def exactly_once_append_sink(
         # the manifest records the union schema and older files
         # null-fill at read time (additive evolution).
         v = table.commit_append(batch_df, partition_by=partition_by,
-                                metadata=meta, evolve_schema=widened)
+                                metadata=meta, evolve_schema=widened,
+                                optimized_write=optimized_write)
         _maybe_auto_compact(table, v, auto_compact_dirs, partition_by)
 
     return apply
@@ -160,6 +162,7 @@ def exactly_once_merge_sink(
     immutable_partitions: bool = True,
     bucket_buckets: int | None = None,
     auto_compact_dirs: int | None = None,
+    optimized_write: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Keyed-merge variant: each micro-batch upserts into the current
     snapshot and commits with its ``batch_id`` — idempotent under
@@ -206,6 +209,7 @@ def exactly_once_merge_sink(
             v = table.commit_merge_partitioned(
                 batch_df, keys, cols, sequence_col, metadata=meta,
                 immutable_partitions=immutable_partitions,
+                optimized_write=optimized_write,
             )
             _maybe_auto_compact(table, v, auto_compact_dirs, cols)
             return
@@ -216,6 +220,7 @@ def exactly_once_merge_sink(
             v = table.commit_merge_bucketed(
                 batch_df, keys, sequence_col, metadata=meta,
                 n_buckets=bucket_buckets,
+                optimized_write=optimized_write,
             )
             # partition_by=() — optimize_compact_snapshot reads the
             # bucket spec itself and compacts with the _bucket layout

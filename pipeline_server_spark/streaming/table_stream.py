@@ -143,6 +143,25 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
             str(options.get("readchangefeed", "false")).lower() == "true")
         start = options.get("startingversion")
         self._starting = int(start) if start is not None else None
+        # Delta's maxFilesPerTrigger idea at this source's granularity:
+        # bound each micro-batch to N commits so a long backlog (or a
+        # stream started at version 1 of a year-old table) replays as
+        # bounded batches instead of ONE giant catch-up batch that has
+        # to fit executor memory and checkpoint atomically. Note
+        # trigger(availableNow) snapshots a SINGLE end offset, so the
+        # cap bounds that run (re-run to keep draining); continuous
+        # triggers drain the backlog as capped micro-batches.
+        mvpt = options.get("maxversionspertrigger")
+        self._max_versions = int(mvpt) if mvpt is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError(
+                f"{FORMAT_NAME}: maxVersionsPerTrigger must be >= 1")
+        # progress watermark for the cap: learned from initialOffset /
+        # partitions() (the API's latestOffset takes no start, so the
+        # first micro-batch after a checkpoint RESTART is uncapped —
+        # best-effort admission control, like Delta's maxFilesPerTrigger)
+        self._last_end: int | None = (
+            self._starting - 1 if self._starting is not None else None)
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -156,10 +175,14 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.root)
-        return {"version": cur if cur is not None else 0}
+        cur = cur if cur is not None else 0
+        if self._max_versions is not None and self._last_end is not None:
+            cur = min(cur, self._last_end + self._max_versions)
+        return {"version": cur}
 
     # -- planning ---------------------------------------------------------
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._last_end = int(end["version"])  # cap watermark
         parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             doc = _doc(self.root, v)
@@ -293,7 +316,8 @@ def register_stream_source(spark) -> None:
 
 
 def stream_inserts(spark, root: str, starting_version: int | None = None,
-                   skip_change_commits: bool = False):
+                   skip_change_commits: bool = False,
+                   max_versions_per_trigger: int | None = None):
     """Convenience: a streaming DataFrame of the table's insert feed."""
     register_stream_source(spark)
     r = spark.readStream.format(FORMAT_NAME).option("path", root)
@@ -301,11 +325,15 @@ def stream_inserts(spark, root: str, starting_version: int | None = None,
         r = r.option("startingVersion", str(starting_version))
     if skip_change_commits:
         r = r.option("skipChangeCommits", "true")
+    if max_versions_per_trigger is not None:
+        r = r.option("maxVersionsPerTrigger",
+                     str(max_versions_per_trigger))
     return r.load()
 
 
 def stream_changes(spark, root: str, starting_version: int | None = None,
-                   skip_change_commits: bool = False):
+                   skip_change_commits: bool = False,
+                   max_versions_per_trigger: int | None = None):
     """The streaming CHANGE DATA FEED (Delta ``readChangeFeed``):
     every row tagged ``_change_type`` insert/update/delete +
     ``_commit_version``. Appends stream from their data files;
@@ -320,4 +348,7 @@ def stream_changes(spark, root: str, starting_version: int | None = None,
         r = r.option("startingVersion", str(starting_version))
     if skip_change_commits:
         r = r.option("skipChangeCommits", "true")
+    if max_versions_per_trigger is not None:
+        r = r.option("maxVersionsPerTrigger",
+                     str(max_versions_per_trigger))
     return r.load()

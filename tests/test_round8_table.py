@@ -717,3 +717,106 @@ class TestReviewFixes:
         t.commit(_rows(spark, 0, 10))
         c = t.clone_to(str(tmp_path / "rf3c"))
         assert all(os.path.isabs(b) for b in c._clone_bases().values())
+
+
+class TestOptimizedWrite:
+    def test_append_writes_one_file_per_partition(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "ow1"))
+        df = _rows(spark, 0, 400).withColumn(
+            "p", (F.col("k") % 4).cast("int"))
+        t.commit(df, partition_by=("p",))
+        t.commit_append(df.withColumn("k", F.col("k") + 1000),
+                        partition_by=("p",), optimized_write=True)
+        base = os.path.basename(t._resolve_dir(2))
+        new = [e for e in t._entries_for_version(2) if e[0] == base]
+        per_part: dict = {}
+        for _, rel in new:
+            per_part.setdefault(rel.split(os.sep)[0], []).append(rel)
+        assert set(per_part) == {"p=0", "p=1", "p=2", "p=3"}
+        assert all(len(v) == 1 for v in per_part.values()), per_part
+        assert t.read().count() == 800
+        # unoptimized control: the same batch writes MANY more files
+        t2 = VersionedTable(spark, str(tmp_path / "ow1b"))
+        t2.commit(df, partition_by=("p",))
+        t2.commit_append(df.withColumn("k", F.col("k") + 1000),
+                         partition_by=("p",))
+        n2 = len([e for e in t2._entries_for_version(2)
+                  if e[0] == os.path.basename(t2._resolve_dir(2))])
+        assert n2 > 4
+
+    def test_merge_optimized_write(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "ow2"))
+        df = _rows(spark, 0, 400).withColumn(
+            "p", (F.col("k") % 4).cast("int"))
+        t.commit(df, partition_by=("p",))
+        src = _rows(spark, 0, 8).withColumn(
+            "p", (F.col("k") % 4).cast("int")).withColumn(
+            "v", F.lit(-1).cast("bigint"))
+        v = t.commit_merge_partitioned(src, keys=["k"], partition_by=("p",),
+                                       optimized_write=True)
+        base = os.path.basename(t._resolve_dir(v))
+        new = [e for e in t._entries_for_version(v) if e[0] == base]
+        parts = {rel.split(os.sep)[0] for _, rel in new}
+        assert len(new) == len(parts) == 4  # one file per partition
+        assert t.read().where(F.col("v") == -1).count() == 8
+
+
+class TestDmlMultiWriter:
+    def test_racing_dml_exactly_one_wins_and_retry_replays(
+            self, spark, tmp_path):
+        """Two delete_where writers racing for the same version under
+        ConditionalPutFS: one publishes, the loser raises
+        CommitConflictError with its stage discarded, and
+        commit_with_retry replays the loser on top of the winner —
+        the standard optimistic-concurrency story now covering DML."""
+        import threading
+
+        from pipeline_server_spark.pipeline.writers import (
+            CommitConflictError,
+            ConditionalPutFS,
+            VersionedTable,
+            commit_with_retry,
+        )
+
+        root = str(tmp_path / "dml_race")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.commit(_rows(spark, 0, 100))
+
+        class FrozenCurrent(VersionedTable):
+            def current_version(self):
+                return 1
+
+        barrier = threading.Barrier(2)
+        results: dict = {}
+
+        def deleter(tag, lo, hi):
+            t = FrozenCurrent(spark, root, fs=ConditionalPutFS())
+            barrier.wait()
+            try:
+                results[tag] = ("ok", t.delete_where(
+                    F.col("k").between(lo, hi)))
+            except CommitConflictError:
+                results[tag] = ("conflict", None)
+
+        threads = [threading.Thread(target=deleter, args=("a", 0, 9)),
+                   threading.Thread(target=deleter, args=("b", 90, 99))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        kinds = sorted(k for k, _ in results.values())
+        assert kinds == ["conflict", "ok"]
+
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert t.current_version() == 2
+        assert t.read().count() == 90  # exactly one delete landed
+
+        # the loser replays through the retry protocol and BOTH
+        # deletes are now applied
+        lo, hi = (0, 9) if results["a"][0] == "conflict" else (90, 99)
+        commit_with_retry(lambda: t.delete_where(
+            F.col("k").between(lo, hi)))
+        assert t.read().count() == 80
+        assert t.read().where(
+            F.col("k").between(0, 9) | F.col("k").between(90, 99)
+        ).count() == 0

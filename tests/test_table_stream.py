@@ -383,3 +383,38 @@ class TestCloneStreaming:
              .trigger(availableNow=True).start())
         with pytest.raises(Exception, match="negative group count"):
             q.awaitTermination(120)
+
+
+class TestMaxVersionsPerTrigger:
+    def test_backlog_replays_in_bounded_batches(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mv1"))
+        t.commit(_rows(spark, 0, 5))
+        for i in range(1, 6):
+            t.commit_append(_rows(spark, 5 * i, 5 * (i + 1)))
+        # continuous micro-batches: the 6-version backlog must drain as
+        # >= 3 bounded batches of <= 2 versions (10 rows) each, losing
+        # nothing. (availableNow snapshots ONE end offset, so there the
+        # cap bounds the RUN instead — documented.)
+        q = (stream_inserts(spark, str(tmp_path / "mv1"),
+                            starting_version=1,
+                            max_versions_per_trigger=2)
+             .writeStream.format("memory").queryName("mvpt").start())
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("select * from mvpt").collect()
+            batches = [p for p in q.recentProgress
+                       if p["numInputRows"] > 0]
+        finally:
+            q.stop()
+        assert len(rows) == 30  # nothing lost to the cap
+        assert {r["_commit_version"] for r in rows} == set(range(1, 7))
+        assert len(batches) >= 3
+        assert all(p["numInputRows"] <= 10 for p in batches)
+
+    def test_cap_validates(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mv2"))
+        t.commit(_rows(spark, 0, 5))
+        with pytest.raises(Exception, match="maxVersionsPerTrigger"):
+            _drain(spark, stream_inserts(
+                spark, str(tmp_path / "mv2"), starting_version=1,
+                max_versions_per_trigger=0), "mvpt_bad")
