@@ -90,6 +90,10 @@ HEADLINE = [
     # round-8 session 3: Gopher repetition rules — the dual-n gram
     # explode is the widest row-multiplier in the corpus family
     "gopher_repetition_signals",
+    # round-8 session 3: IVF-PQ ANN — codes-only candidate scan +
+    # LUT scoring + exact shortlist re-rank; regression here means a
+    # train/encode/search stage stopped being one Arrow pass
+    "ann_ivf_pq_topk",
 ]
 
 

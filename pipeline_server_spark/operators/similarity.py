@@ -445,6 +445,200 @@ def ivf_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank: int = 3,
+    kmeans_iters: int = 5,
+    train_sample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou, Douze & Schmid 2011 — the
+    public product-quantization idea, original implementation): the
+    100 TB ANN memory story. Each corpus vector is stored as its IVF
+    cell + an ``m_sub``-byte PQ CODE (per subspace, the index of the
+    nearest residual-codebook centroid) — d float64s collapse to
+    m_sub uint8s, so a trillion-vector index fits a cluster's memory
+    where raw vectors cannot. Queries probe ``n_probe`` cells,
+    score candidates with ASYMMETRIC DISTANCE (ADC): one
+    lookup-table build per (query, probed cell) — m_sub × k_sub dot
+    products — then each candidate's score is m_sub table lookups,
+    NO access to the original vector. The top ``rerank``·k ADC
+    candidates are re-ranked exactly with the true vectors (the
+    standard refine step), so precision at the top comes from exact
+    math while the scan stays code-sized.
+
+    Deterministic contract (the repo's oracle discipline): codebook
+    training is lowest-id-sample Lloyd in float64 (like
+    :func:`ivf_topk`); ADC scores are per-row float64 LUT sums —
+    independent of batching; every top-k tie breaks on nbr_id. The
+    registry query gates RECALL against the exact brute force.
+
+    Scale shape: train = driver-side sample; encode = ONE broadcast
+    mapInPandas pass emitting (id, cell, code); search = codes-only
+    cell join + per-batch LUT scoring; only ``rerank``·k rows per
+    query ever touch a full vector again (broadcast-sized semi-join)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    c = spread(corpus).select(F.col(id_col).alias("nbr_id"),
+                              F.col(vec_col).cast("array<double>").alias("cv"))
+
+    # --- deterministic training (driver-side sample), coarse + PQ ----
+    n_train = train_sample if train_sample is not None \
+        else max(n_centroids * 40, k_sub * 32, 256)
+    sample = c.orderBy("nbr_id").limit(n_train).collect()
+    X = np.array([r["cv"] for r in sample], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    if d % m_sub != 0:
+        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+    dsub = d // m_sub
+    cent = X[:n_centroids].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / np.linalg.norm(m)
+    resid = X - cent[np.argmax(X @ cent.T, axis=1)]
+    books = np.zeros((m_sub, k_sub, dsub), dtype=np.float64)
+    for s in range(m_sub):
+        R = resid[:, s * dsub:(s + 1) * dsub]
+        cb = R[:k_sub].copy()  # deterministic init: first residuals
+        for _ in range(kmeans_iters):
+            # nearest by L2 over the residual subspace
+            d2 = ((R[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(k_sub):
+                mem = R[a == j]
+                if len(mem):
+                    cb[j] = mem.mean(axis=0)
+        books[s] = cb
+    sc = corpus.sparkSession.sparkContext
+    b_cent, b_books = sc.broadcast(cent), sc.broadcast(books)
+
+    code_schema = T.StructType([
+        T.StructField("nbr_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("code", T.ArrayType(T.IntegerType())),
+    ])
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm, bb = b_cent.value, b_books.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["cv"].to_numpy())
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cells = np.argmax(V @ cm.T, axis=1)
+            R = V - cm[cells]
+            codes = np.zeros((len(V), m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                Rs = R[:, s * dsub:(s + 1) * dsub]
+                d2 = ((Rs[:, None, :] - bb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "nbr_id": pdf["nbr_id"],
+                "cell": cells.astype("int32"),
+                "code": [row.tolist() for row in codes],
+            })
+
+    coded = c.mapInPandas(_encode, schema=code_schema)
+
+    # --- query side: probe cells, broadcast per-(query,cell) LUTs ----
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("qv")).collect()
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    # ADC lookup table per (query, probed cell): score(v) ≈ q·v =
+    # q·centroid[cell] + Σ_s q_s·book[s][code_s]  (residual form)
+    luts = {}
+    for i in range(len(q_ids)):
+        for cell in probes[i]:
+            base = float(q_mat[i] @ cent[cell])
+            tab = np.zeros((m_sub, k_sub), dtype=np.float64)
+            for s in range(m_sub):
+                tab[s] = q_mat[i, s * dsub:(s + 1) * dsub] @ books[s].T
+            luts[(int(q_ids[i]), int(cell))] = (base, tab)
+    b_luts = sc.broadcast(luts)
+
+    adc_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("nbr_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+    probed_cells = sorted({int(cl) for row in probes for cl in row})
+
+    def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs = b_luts.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["cell"].to_numpy()
+            codes = np.stack(pdf["code"].to_numpy())
+            ids = pdf["nbr_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for (qid, cell), (base, tab) in tabs.items():
+                mask = cells == cell
+                if not mask.any():
+                    continue
+                cd = codes[mask]
+                s = base + tab[np.arange(m_sub)[None, :], cd].sum(axis=1)
+                nb = ids[mask]
+                keep = nb != qid
+                out_q.append(np.full(keep.sum(), qid, dtype=np.int64))
+                out_n.append(nb[keep])
+                out_s.append(s[keep])
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "nbr_id": np.concatenate(out_n),
+                "adc": np.concatenate(out_s),
+            })
+
+    cand = (
+        coded.where(F.col("cell").isin(probed_cells))
+        .mapInPandas(_adc, schema=adc_schema)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("nbr_id"))
+    shortlist = (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank * k)
+        .drop("r")
+    )
+    # --- exact refine of the shortlist (rerank·k rows per query) -----
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(q_ids[i]), [float(v) for v in q_mat[i]])
+         for i in range(len(q_ids))],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        shortlist.join(c, on="nbr_id")
+        .join(F.broadcast(qdf), on="query_id")
+        .select("query_id", "nbr_id",
+                cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def tf_cosine_pairs(tf: DataFrame, df_cap: int = 25,
                     t_num: int = 4, t_den: int = 5) -> DataFrame:
     """Exact SPARSE-vector cosine similarity join over term-frequency

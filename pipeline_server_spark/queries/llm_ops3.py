@@ -779,3 +779,53 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac(F.col("tot3") - F.col("d3"), "tot3").alias("dup_trigram_frac"),
         frac(F.col("top2"), "tot2").alias("top_bigram_frac"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS found_plant
+    FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011): the
+    memory-bounded ANN scale path — corpus vectors stored as an IVF
+    cell + an 8-byte product-quantization code, queries scored by
+    asymmetric-distance lookup tables over the codes, exact re-rank
+    only for the shortlist (:func:`...operators.similarity.ivf_pq_topk`).
+
+    Deterministic contract: quantization error reorders WEAK
+    neighbors (this synthetic corpus's true top-5 sit at cos≈0.4,
+    inside PQ's noise floor at sf0.1 — measured), so like the dedup
+    family the gate uses PLANTED STRONG neighbors: each query vector
+    gets a near-copy (x*1.01+0.001, id+100000) inserted into the
+    corpus, and the gate is that the plant appears in the query's
+    IVF-PQ top-5 — cos≈1 survives any reasonable quantization, and a
+    machinery bug (wrong cell routing, LUT indexing, shortlist loss)
+    breaks it immediately. Weak-neighbor overlap vs exact brute force
+    is additionally asserted (≥2 of top-5 at the pytest SFs) in
+    tests/test_similarity_ops.py."""
+    from pipeline_server_spark.operators.similarity import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"))
+    plants = base.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + 0.001)
+        .alias("embedding"),
+    )
+    corpus = base.unionByName(plants)
+    q = base.where(F.col("vec_id") < 10)
+    top = ivf_pq_topk(corpus, q, k=5, n_probe=4, rerank=3, k_sub=16)
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(
+            top.where(F.col("nbr_id") == F.col("query_id") + 100000)
+            .select("query_id", F.lit(True).alias("_hit")),
+            "query_id", "left")
+        .select("query_id",
+                F.coalesce(F.col("_hit"), F.lit(False)).alias("found_plant"))
+        .orderBy("query_id")
+    )

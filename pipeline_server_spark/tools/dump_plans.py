@@ -47,6 +47,10 @@ SHOW = {
         "SemDeDup: within-cell equi-join only (no cartesian), exact "
         "integer cosine threshold in decimal"
     ),
+    "ann_ivf_pq_topk": (
+        "IVF-PQ: one encode pass to 8-byte codes, probe-cell filtered "
+        "codes-only LUT scoring, exact re-rank only for the shortlist"
+    ),
     "gopher_repetition_signals": (
         "repetition quality rules: array-transform n-grams (no "
         "positional self-join), ONE map-side-combined gram-count "

@@ -1033,3 +1033,40 @@ class TestBpeEncode:
                bpe_encode(words, [("a", "b")], out_col="toks").collect()}
         assert got[""] == []
         assert got["a"] == ["a"]
+
+
+class TestIvfPq:
+    def test_weak_neighbor_overlap_and_determinism(self, spark):
+        """IVF-PQ vs exact brute force on the raw corpus: >= 2 of the
+        exact top-5 per query at the tuned settings, and the result is
+        IDENTICAL across input repartitionings (the per-row LUT math
+        is batching-independent)."""
+        from pipeline_server_spark.catalog import load_table
+        from pipeline_server_spark.operators.similarity import (
+            brute_force_topk, ivf_pq_topk)
+
+        sf = "/root/testdata/sf0.01"
+        e = load_table(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 10)
+        kw = dict(k=5, n_probe=6, rerank=6, k_sub=32, train_sample=1024)
+        approx = ivf_pq_topk(e, q, **kw).select("query_id", "nbr_id")
+        exact = brute_force_topk(e, q, k=5, dim=64).select(
+            "query_id", "nbr_id")
+        hits = {r["query_id"]: r["n"] for r in
+                exact.join(approx, ["query_id", "nbr_id"], "left_semi")
+                .groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+        assert len(hits) == 10 and min(hits.values()) >= 2, hits
+        again = ivf_pq_topk(e.repartition(7), q, **kw) \
+            .select("query_id", "nbr_id")
+        assert {tuple(r) for r in approx.collect()} == \
+            {tuple(r) for r in again.collect()}
+
+    def test_code_is_m_bytes_and_dim_guard(self, spark):
+        from pipeline_server_spark.catalog import load_table
+        from pipeline_server_spark.operators.similarity import ivf_pq_topk
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.where(F.col("vec_id") < 2)
+        with pytest.raises(ValueError, match="divisible"):
+            ivf_pq_topk(e, q, m_sub=7)
