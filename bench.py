@@ -94,6 +94,10 @@ HEADLINE = [
     # LUT scoring + exact shortlist re-rank; regression here means a
     # train/encode/search stage stopped being one Arrow pass
     "ann_ivf_pq_topk",
+    # round-8 session 3: the unigram-LM EM trainer — 3 sequential
+    # lattice/aggregate rounds, the BPE trainer's regression twin for
+    # the SentencePiece side
+    "unigram_lm_train",
 ]
 
 

@@ -345,6 +345,18 @@ class PipelineApiServer:
             if method == "POST" and path == "/dataset/delete":
                 name, where = need("name", "where")
                 return 200, self.engine.delete_rows(name, where)
+            if method == "POST" and path == "/dataset/update":
+                # set=col:expr(,col:expr)* — ':' splits on the FIRST
+                # occurrence so expressions may contain colons
+                name, where, set_ = need("name", "where", "set")
+                try:
+                    assignments = dict(
+                        pair.split(":", 1) for pair in set_.split(","))
+                except ValueError:
+                    raise _BadRequest(
+                        "set must be col:expr(,col:expr)*")
+                return 200, self.engine.update_rows(name, where,
+                                                    assignments)
             if method == "POST" and path == "/dataset/tag":
                 name, tag = need("name", "tag")
                 return 200, self.engine.tag_version(

@@ -342,6 +342,26 @@ class Engine:
         return {"version": version, "matched": version != before,
                 "rewritten_files": meta.get("rewritten_files", 0)}
 
+    def update_rows(self, name: str, where: str,
+                    assignments: dict[str, str]) -> dict[str, Any]:
+        """Row-level UPDATE over the control plane (UPDATE ... SET ...
+        WHERE ...): index-pruned copy-on-write — only files containing
+        matching rows are rewritten (VersionedTable.update_where).
+        ``assignments`` maps column → SQL expression evaluated against
+        the pre-update row. Shares the ingest's destination lock."""
+        from pyspark.sql import functions as F
+
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            before = table.current_version()
+            version = table.update_where(
+                F.expr(where),
+                {c: F.expr(e) for c, e in assignments.items()})
+        meta = (table.commit_metadata(version)
+                if version != before else {"rewritten_files": 0})
+        return {"version": version, "matched": version != before,
+                "rewritten_files": meta.get("rewritten_files", 0)}
+
     def tag_version(self, name: str, tag: str,
                     version: int | None = None) -> dict[str, Any]:
         """Pin a named ref on a versioned dataset destination (default:

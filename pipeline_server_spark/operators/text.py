@@ -367,3 +367,165 @@ def _bpe_merge_scan(syms: Column, l: str, r: str) -> Column:
             .otherwise(F.concat(s["acc"], F.array(s["carry"])))
 
     return F.aggregate(syms, init, step, fin)
+
+
+def unigram_lm_train(words: DataFrame, vocab_size: int = 40,
+                     em_iters: int = 3, max_piece_len: int = 6,
+                     seed_size: int = 300,
+                     word_col: str = "w", freq_col: str = "freq",
+                     ) -> list[tuple[str, int, float]]:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece
+    unigram model; public idea, original implementation; simplified:
+    fixed EM iterations + final truncation instead of the
+    EM/prune alternation, substring-count seeding instead of the
+    enhanced-suffix-array scores). The OTHER major subword tokenizer
+    besides BPE: pieces carry probabilities, a word's segmentation is
+    the lattice over all piece decompositions, and training is EM —
+    E-step = forward-backward expected piece counts per word, M-step
+    = renormalized counts.
+
+    Deterministic/EXACT across any partitioning (the repo's oracle
+    discipline, the kmeans playbook): each word's forward-backward
+    runs in fixed iteration order in plain float64 (per-row math —
+    batching cannot reorder it); the per-(word, piece) contribution
+    ``expected_count * word_freq`` is cast to DECIMAL(38,12) per row
+    (Spark's shortest-repr HALF_UP cast, mirrored by the referee) and
+    cross-word sums are EXACT decimal aggregation; M-step probs are
+    decimal ratios converted once to float64. Result: bit-identical
+    to the pure-Python referee regardless of shuffle order.
+
+    Scale shape: the state is the PIECE TABLE (seed_size rows,
+    broadcast each iteration); the work table is the DISTINCT-WORD
+    frequency table (vocabulary-sized — the corpus is touched once,
+    the bpe_train amortization); each EM iteration is one Arrow
+    mapInPandas pass emitting (word, piece) contribution rows plus
+    one map-side-combined decimal aggregation; the only driver state
+    is seed_size decimal counts per iteration.
+
+    Returns ``[(piece, rank, prob), ...]`` — single characters always
+    survive (every string stays segmentable), multi-char pieces
+    truncate to ``vocab_size`` by (prob desc, piece asc)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    if vocab_size < 1 or em_iters < 1:
+        raise ValueError("vocab_size and em_iters must be >= 1")
+    w = words.select(F.col(word_col).alias("w"),
+                     F.col(freq_col).cast("long").alias("freq")) \
+        .where((F.col("w") != "") & F.col("w").isNotNull())
+
+    # --- seed: substring occurrence counts, weighted by word freq ----
+    subs = w.select(
+        F.explode(F.expr(
+            f"""flatten(transform(sequence(1, length(w)),
+                 i -> transform(sequence(0, least({max_piece_len},
+                                                  length(w) - i + 1) - 1),
+                      l -> substring(w, i, l + 1))))"""
+        )).alias("piece"),
+        F.col("freq"),
+    ).where(F.length("piece") >= 1)
+    # driver traffic is SEED-SIZED: the alphabet plus the top
+    # seed_size substrings by freq×len (exact-integer sort key,
+    # piece-lexicographic ties) — never the full distinct-substring
+    # table, which is corpus-scale
+    agg = subs.groupBy("piece").agg(F.sum("freq").alias("n"))
+    char_rows = agg.where(F.length("piece") == 1).collect()
+    chars = sorted(r["piece"] for r in char_rows)
+    multi_rows = (
+        agg.where(F.length("piece") > 1)
+        .orderBy((F.col("n") * F.length("piece")).desc(), F.col("piece"))
+        .limit(max(0, seed_size - len(chars)))
+        .collect()
+    )
+    seed = chars + [r["piece"] for r in multi_rows]
+    score = {r["piece"]: int(r["n"]) * len(r["piece"])
+             for r in list(char_rows) + list(multi_rows)}
+    total0 = sum(score.get(p, 1) for p in seed)
+    probs = {p: score.get(p, 1) / total0 for p in seed}
+
+    sc = words.sparkSession.sparkContext
+    out_schema = T.StructType([
+        T.StructField("piece", T.StringType()),
+        T.StructField("c", T.DoubleType()),
+    ])
+
+    for _ in range(em_iters):
+        b_probs = sc.broadcast(probs)
+
+        def _estep(batches: Iterator["object"],
+                   _L: int = max_piece_len) -> Iterator["object"]:
+            import pandas as pd
+
+            pv = b_probs.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_p, out_c = [], []
+                for word, freq in zip(pdf["w"], pdf["freq"]):
+                    n = len(word)
+                    # forward: alpha[i] = P(prefix of length i)
+                    alpha = [0.0] * (n + 1)
+                    alpha[0] = 1.0
+                    for i in range(1, n + 1):
+                        s = 0.0
+                        for j in range(max(0, i - _L), i):
+                            p = pv.get(word[j:i])
+                            if p:
+                                s += alpha[j] * p
+                        alpha[i] = s
+                    z = alpha[n]
+                    if z <= 0.0:
+                        continue  # unsegmentable (char outside seed)
+                    beta = [0.0] * (n + 1)
+                    beta[n] = 1.0
+                    for i in range(n - 1, -1, -1):
+                        s = 0.0
+                        for j in range(i + 1, min(n, i + _L) + 1):
+                            p = pv.get(word[i:j])
+                            if p:
+                                s += p * beta[j]
+                        beta[i] = s
+                    exp: dict = {}
+                    for i in range(n):
+                        for j in range(i + 1, min(n, i + _L) + 1):
+                            piece = word[i:j]
+                            p = pv.get(piece)
+                            if p:
+                                e = alpha[i] * p * beta[j] / z
+                                exp[piece] = exp.get(piece, 0.0) + e
+                    f = float(freq)
+                    for piece in sorted(exp):
+                        out_p.append(piece)
+                        out_c.append(exp[piece] * f)
+                yield pd.DataFrame({"piece": out_p, "c": out_c})
+
+        rows = (
+            w.mapInPandas(_estep, schema=out_schema)
+            .groupBy("piece")
+            # per-row double→decimal cast (shortest-repr HALF_UP),
+            # then EXACT decimal sum — shuffle order cannot move a ulp
+            .agg(F.sum(F.col("c").cast("decimal(38,12)")).alias("cq"))
+            .collect()
+        )
+        import decimal as _dec
+
+        counts_d = {r["piece"]: r["cq"] for r in rows if r["cq"] is not None}
+        total = sum((counts_d[p] for p in sorted(counts_d)),
+                    _dec.Decimal(0))
+        if total <= 0:
+            raise ValueError("unigram_lm_train: EM collapsed to zero mass")
+        probs = {p: float(counts_d[p] / total) for p in seed
+                 if p in counts_d and counts_d[p] > 0}
+        # single chars must stay segmentable even at zero expected
+        # count (e.g. a char only inside always-better pieces)
+        for chp in chars:
+            probs.setdefault(chp, 0.0)
+
+    ranked_multi = sorted(
+        ((p, pr) for p, pr in probs.items() if len(p) > 1 and pr > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[: max(0, vocab_size - len(chars))]
+    final = [(p, probs[p]) for p in chars] + ranked_multi
+    final.sort(key=lambda t: (-t[1], t[0]))
+    return [(p, rank + 1, pr) for rank, (p, pr) in enumerate(final)]

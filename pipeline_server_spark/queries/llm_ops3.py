@@ -829,3 +829,132 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("_hit"), F.lit(False)).alias("found_plant"))
         .orderBy("query_id")
     )
+
+
+_UNI_VOCAB, _UNI_ITERS, _UNI_LEN, _UNI_SEED = 40, 3, 6, 300
+
+
+def _unigram_py_oracle(sf_dir: str):
+    """Independent pure-Python unigram-LM EM referee — same algorithm
+    SPEC as operators.text.unigram_lm_train (per-word float64 lattice
+    in fixed loop order; per-(word,piece) contribution quantized to
+    decimal scale 12 by the shortest-repr HALF_UP rule, which is what
+    Spark's double→decimal(38,12) cast does; exact decimal sums), no
+    shared code with the Spark path."""
+    import decimal
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    L, V, ITERS, SEED = _UNI_LEN, _UNI_VOCAB, _UNI_ITERS, _UNI_SEED
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    freq: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                freq[w] += 1
+
+    counts: Counter = Counter()
+    for w, f in freq.items():
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(L, n - i) + 1):
+                counts[w[i:i + ln]] += f
+    chars = sorted({p for p in counts if len(p) == 1})
+    multi = sorted((p for p in counts if len(p) > 1),
+                   key=lambda p: (-counts[p] * len(p), p))[
+        : max(0, SEED - len(chars))]
+    seed = chars + multi
+    score = {p: counts[p] * len(p) for p in counts}
+    total0 = sum(score.get(p, 1) for p in seed)
+    probs = {p: score.get(p, 1) / total0 for p in seed}
+
+    q12 = decimal.Decimal("1.000000000000")
+    for _ in range(ITERS):
+        agg: dict = {}
+        for w in freq:  # cross-word order irrelevant: sums are exact
+            f = float(freq[w])
+            n = len(w)
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for i in range(1, n + 1):
+                s = 0.0
+                for j in range(max(0, i - L), i):
+                    p = probs.get(w[j:i])
+                    if p:
+                        s += alpha[j] * p
+                alpha[i] = s
+            z = alpha[n]
+            if z <= 0.0:
+                continue
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for i in range(n - 1, -1, -1):
+                s = 0.0
+                for j in range(i + 1, min(n, i + L) + 1):
+                    p = probs.get(w[i:j])
+                    if p:
+                        s += p * beta[j]
+                beta[i] = s
+            exp: dict = {}
+            for i in range(n):
+                for j in range(i + 1, min(n, i + L) + 1):
+                    piece = w[i:j]
+                    p = probs.get(piece)
+                    if p:
+                        e = alpha[i] * p * beta[j] / z
+                        exp[piece] = exp.get(piece, 0.0) + e
+            for piece in exp:
+                c = exp[piece] * f
+                dq = decimal.Decimal(repr(c)).quantize(
+                    q12, rounding=decimal.ROUND_HALF_UP)
+                agg[piece] = agg.get(piece, decimal.Decimal(0)) + dq
+        total = sum((agg[p] for p in sorted(agg)), decimal.Decimal(0))
+        probs = {p: float(agg[p] / total) for p in seed
+                 if p in agg and agg[p] > 0}
+        for c in chars:
+            probs.setdefault(c, 0.0)
+
+    ranked_multi = sorted(
+        ((p, pr) for p, pr in probs.items() if len(p) > 1 and pr > 0),
+        key=lambda t: (-t[1], t[0]))[: max(0, V - len(chars))]
+    final = [(p, probs[p]) for p in chars] + ranked_multi
+    final.sort(key=lambda t: (-t[1], t[0]))
+    return pd.DataFrame({
+        "piece": [p for p, _ in final],
+        "rank": pd.array(range(1, len(final) + 1), dtype="int32"),
+        "prob": [pr for _, pr in final],
+    })
+
+
+@query("unigram_lm_train", oracle_py=_unigram_py_oracle)
+# no SQL oracle: EM over a segmentation lattice is not
+# SQL-expressible; the local artifact value-checks against the
+# independent pure-Python referee above (driver records rows-only)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018)
+    over the corpus vocabulary — the OTHER major subword tokenizer
+    besides BPE (:func:`...operators.text.unigram_lm_train`): 3 EM
+    iterations of forward-backward expected piece counts, probs from
+    exact decimal count ratios, final vocab = single chars + top
+    pieces. Bit-identical to the referee at any partitioning: the
+    lattice math is per-word float64 in fixed order, and cross-word
+    aggregation is per-row decimal(38,12) quantization + exact sums
+    (the kmeans playbook applied to EM)."""
+    from pipeline_server_spark.operators.text import unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    table = unigram_lm_train(
+        words, vocab_size=_UNI_VOCAB, em_iters=_UNI_ITERS,
+        max_piece_len=_UNI_LEN, seed_size=_UNI_SEED)
+    return spark.createDataFrame(
+        [(p, r, pr) for p, r, pr in table],
+        "piece string, rank int, prob double",
+    ).orderBy("rank")

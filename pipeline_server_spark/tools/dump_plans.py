@@ -47,6 +47,11 @@ SHOW = {
         "SemDeDup: within-cell equi-join only (no cartesian), exact "
         "integer cosine threshold in decimal"
     ),
+    "unigram_lm_train": (
+        "unigram-LM EM: per-iteration Arrow lattice pass over the "
+        "vocab-sized word table + ONE exact-decimal piece aggregation; "
+        "driver state = seed-sized counts"
+    ),
     "ann_ivf_pq_topk": (
         "IVF-PQ: one encode pass to 8-byte codes, probe-cell filtered "
         "codes-only LUT scoring, exact re-rank only for the shortlist"

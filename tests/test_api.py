@@ -664,10 +664,18 @@ def test_constraint_history_delete_endpoints(spark, server):
     assert status == 200
     assert out["version"] == 2 and out["matched"] is True
 
+    # row-level UPDATE: amount = amount + 100 where id = 20
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/update?name=api_dml&where=id%20%3D%2020"
+        "&set=amount:amount%2B100", b"")
+    assert status == 200
+    assert out["version"] == 3 and out["matched"] is True
+
     status, hist = _call(srv.port, "GET", "/dataset/history?name=api_dml")
     assert status == 200
     kinds = [h["kind"] for h in hist["history"]]
-    assert kinds[-1] == "delete"
+    assert kinds[-2:] == ["delete", "update"]
 
     # drop the CHECK → previously-violating rows upload fine
     status, cons = _call(

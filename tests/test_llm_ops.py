@@ -1070,3 +1070,47 @@ class TestIvfPq:
         q = e.where(F.col("vec_id") < 2)
         with pytest.raises(ValueError, match="divisible"):
             ivf_pq_topk(e, q, m_sub=7)
+
+
+class TestUnigramLm:
+    def test_repartition_invariance_and_structure(self, spark):
+        """The EM result is bit-identical across input partitionings
+        (per-word float64 lattice + exact decimal cross-word sums),
+        single chars always survive, probs are a ranked distribution."""
+        from pipeline_server_spark.catalog import load_table
+        from pipeline_server_spark.operators.text import unigram_lm_train
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        words = (
+            docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+        a = unigram_lm_train(words, vocab_size=30, em_iters=2)
+        b = unigram_lm_train(words.repartition(13), vocab_size=30,
+                             em_iters=2)
+        assert a == b  # exact, including every float
+        pieces = [p for p, _, _ in a]
+        corpus_chars = {c for (w,) in words.select("w").collect()
+                        for c in w}
+        assert corpus_chars <= set(p for p in pieces if len(p) == 1) | {
+            p for p in pieces}  # alphabet survives
+        probs = [pr for _, _, pr in a]
+        assert probs == sorted(probs, reverse=True)
+        assert all(pr >= 0 for pr in probs)
+
+    def test_repetitive_corpus_promotes_the_repeated_piece(self, spark):
+        from pipeline_server_spark.operators.text import unigram_lm_train
+
+        words = spark.createDataFrame(
+            [("ababab", 50), ("abab", 30), ("cd", 5)],
+            "w string, freq long")
+        out = unigram_lm_train(words, vocab_size=8, em_iters=3,
+                               max_piece_len=4, seed_size=20)
+        ranked = [p for p, _, _ in out]
+        # 'abab'/'ab' dominate the lattice mass over bare chars
+        assert ranked[0] in ("abab", "ab")
+        top_prob = out[0][2]
+        char_probs = [pr for p, _, pr in out if p in ("a", "b")]
+        assert all(top_prob > cp for cp in char_probs)
