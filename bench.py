@@ -98,6 +98,9 @@ HEADLINE = [
     # lattice/aggregate rounds, the BPE trainer's regression twin for
     # the SentencePiece side
     "unigram_lm_train",
+    # round-8 session 3: the Viterbi apply pass over the trained
+    # unigram pieces (the SentencePiece encode twin of bpe_encode)
+    "unigram_encode_corpus",
 ]
 
 

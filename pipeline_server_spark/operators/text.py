@@ -529,3 +529,86 @@ def unigram_lm_train(words: DataFrame, vocab_size: int = 40,
     final = [(p, probs[p]) for p in chars] + ranked_multi
     final.sort(key=lambda t: (-t[1], t[0]))
     return [(p, rank + 1, pr) for rank, (p, pr) in enumerate(final)]
+
+
+def unigram_encode(df: DataFrame, pieces: list[tuple],
+                   max_piece_len: int = 6,
+                   word_col: str = "w", out_col: str = "tokens",
+                   ) -> DataFrame:
+    """Unigram-LM ENCODE — Viterbi tokenization with a TRAINED piece
+    table (the complement of :func:`unigram_lm_train`, mirroring
+    :func:`bpe_encode` for the SentencePiece side): each word's
+    segmentation is the max-probability path through its piece
+    lattice. ``pieces`` is the trainer's ``[(piece, rank, prob), ...]``
+    output (or any ``(piece, prob)``-shaped rows).
+
+    DETERMINISTIC: per-word Viterbi in fixed-order float64 — each
+    position scans candidate pieces LONGEST-first (split point ``j``
+    ascending) comparing with strict ``>``, so score ties keep the
+    longest piece, and the
+    unknown-character fallback emits the character itself with a
+    score penalty of 0 probability only when no trained piece covers
+    it (every trained alphabet char does; a truly novel char
+    segments as itself). Batching cannot change any word's tokens.
+
+    Scale shape: one Arrow mapInPandas pass with the piece table
+    broadcast (seed-sized); no shuffle. Apply to the DISTINCT-word
+    table and broadcast-join the token arrays back to the corpus —
+    the same amortization as bpe_encode."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    prob = {t[0]: float(t[-1]) for t in pieces}
+    if not prob:
+        raise ValueError("unigram_encode: empty piece table")
+    sc = df.sparkSession.sparkContext
+    b_prob = sc.broadcast(prob)
+
+    out_fields = df.schema.fields + [
+        T.StructField(out_col, T.ArrayType(T.StringType()))]
+    out_schema = T.StructType(out_fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def _viterbi(batches: Iterator["object"],
+                 _L: int = max_piece_len) -> Iterator["object"]:
+        import math
+
+        pv = b_prob.value
+
+        def encode(word: str) -> list[str]:
+            n = len(word)
+            # best[i] = (logscore, n_pieces) of the best segmentation
+            # of word[:i]; back[i] = split point
+            NEG = -math.inf
+            best = [NEG] * (n + 1)
+            best[0] = 0.0
+            back = [0] * (n + 1)
+            for i in range(1, n + 1):
+                for j in range(max(0, i - _L), i):
+                    piece = word[j:i]
+                    p = pv.get(piece)
+                    if p is not None and p > 0.0 and best[j] > NEG:
+                        s = best[j] + math.log(p)
+                        if s > best[i]:
+                            best[i], back[i] = s, j
+                if best[i] == NEG:
+                    # unknown coverage: single char fallback (counts
+                    # as probability-1 so known suffixes still win)
+                    best[i], back[i] = best[i - 1], i - 1
+            out = []
+            i = n
+            while i > 0:
+                j = back[i]
+                out.append(word[j:i])
+                i = j
+            return out[::-1]
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [encode(w) for w in pdf[word_col]]
+            yield pdf
+
+    return df.mapInPandas(_viterbi, schema=out_schema)

@@ -834,17 +834,18 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_VOCAB, _UNI_ITERS, _UNI_LEN, _UNI_SEED = 40, 3, 6, 300
 
 
-def _unigram_py_oracle(sf_dir: str):
-    """Independent pure-Python unigram-LM EM referee — same algorithm
-    SPEC as operators.text.unigram_lm_train (per-word float64 lattice
-    in fixed loop order; per-(word,piece) contribution quantized to
-    decimal scale 12 by the shortest-repr HALF_UP rule, which is what
-    Spark's double→decimal(38,12) cast does; exact decimal sums), no
-    shared code with the Spark path."""
+def _py_unigram(sf_dir: str):
+    """Independent pure-Python unigram-LM EM referee core — same
+    algorithm SPEC as operators.text.unigram_lm_train (per-word
+    float64 lattice in fixed loop order; per-(word,piece) contribution
+    quantized to decimal scale 12 by the shortest-repr HALF_UP rule,
+    which is what Spark's double→decimal(38,12) cast does; exact
+    decimal sums), no shared code with the Spark path. Returns
+    (final_piece_table, word_freqs) — shared by the train AND encode
+    referees."""
     import decimal
     from collections import Counter
 
-    import pandas as pd
     import pyarrow.parquet as pq
 
     L, V, ITERS, SEED = _UNI_LEN, _UNI_VOCAB, _UNI_ITERS, _UNI_SEED
@@ -922,6 +923,13 @@ def _unigram_py_oracle(sf_dir: str):
         key=lambda t: (-t[1], t[0]))[: max(0, V - len(chars))]
     final = [(p, probs[p]) for p in chars] + ranked_multi
     final.sort(key=lambda t: (-t[1], t[0]))
+    return final, freq
+
+
+def _unigram_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    final, _ = _py_unigram(sf_dir)
     return pd.DataFrame({
         "piece": [p for p, _ in final],
         "rank": pd.array(range(1, len(final) + 1), dtype="int32"),
@@ -958,3 +966,92 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, r, pr) for p, r, pr in table],
         "piece string, rank int, prob double",
     ).orderBy("rank")
+
+
+def _unigram_encode_py_oracle(sf_dir: str):
+    """Pure-Python Viterbi referee for unigram_encode_corpus: trains
+    via _py_unigram, segments each distinct word with the identical
+    longest-first strict-> Viterbi, and aggregates the token stats."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    final, freq = _py_unigram(sf_dir)
+    pv = dict(final)
+    L = _UNI_LEN
+
+    def encode(word: str) -> list[str]:
+        n = len(word)
+        NEG = -math.inf
+        best = [NEG] * (n + 1)
+        best[0] = 0.0
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - L), i):
+                p = pv.get(word[j:i])
+                if p is not None and p > 0.0 and best[j] > NEG:
+                    s = best[j] + math.log(p)
+                    if s > best[i]:
+                        best[i], back[i] = s, j
+            if best[i] == NEG:
+                best[i], back[i] = best[i - 1], i - 1
+        out = []
+        i = n
+        while i > 0:
+            j = back[i]
+            out.append(word[j:i])
+            i = j
+        return out[::-1]
+
+    occ: Counter = Counter()
+    nwords: Counter = Counter()
+    for w, f in freq.items():
+        toks = encode(w)
+        for t in toks:
+            occ[t] += f
+        for t in set(toks):
+            nwords[t] += 1
+    pieces = sorted(occ)
+    return pd.DataFrame({
+        "token": pieces,
+        "occurrences": pd.array([occ[t] for t in pieces], dtype="int64"),
+        "n_words": pd.array([nwords[t] for t in pieces], dtype="int64"),
+    })
+
+
+@query("unigram_encode_corpus", oracle_py=_unigram_encode_py_oracle)
+# no SQL oracle (Viterbi over a lattice); value-checked against the
+# pure-Python referee through ORACLE_PY
+def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE over the corpus vocabulary: train the piece
+    table (same EM as ``unigram_lm_train``), Viterbi-tokenize the
+    DISTINCT-word table (:func:`...operators.text.unigram_encode` —
+    one Arrow pass, pieces broadcast), and report per-token corpus
+    occurrences (weighted by word frequency) and distinct-word
+    counts — the whole-corpus tokenizer-apply pass, mirroring
+    ``bpe_encode_corpus`` for the SentencePiece side."""
+    from pipeline_server_spark.operators.text import (
+        unigram_encode, unigram_lm_train)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    table = unigram_lm_train(
+        words, vocab_size=_UNI_VOCAB, em_iters=_UNI_ITERS,
+        max_piece_len=_UNI_LEN, seed_size=_UNI_SEED)
+    encoded = unigram_encode(
+        words, [(p, pr) for p, _, pr in table],
+        max_piece_len=_UNI_LEN, word_col="w", out_col="toks")
+    tok = encoded.select("w", "freq", F.explode("toks").alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.sum("freq").cast("long").alias("occurrences"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+        .orderBy("token")
+    )

@@ -47,6 +47,10 @@ SHOW = {
         "SemDeDup: within-cell equi-join only (no cartesian), exact "
         "integer cosine threshold in decimal"
     ),
+    "unigram_encode_corpus": (
+        "Viterbi tokenizer apply: pieces broadcast, ONE Arrow pass "
+        "over the vocab-sized word table, token stats map-side combined"
+    ),
     "unigram_lm_train": (
         "unigram-LM EM: per-iteration Arrow lattice pass over the "
         "vocab-sized word table + ONE exact-decimal piece aggregation; "
