@@ -346,15 +346,32 @@ class PipelineApiServer:
                 name, where = need("name", "where")
                 return 200, self.engine.delete_rows(name, where)
             if method == "POST" and path == "/dataset/update":
-                # set=col:expr(,col:expr)* — ':' splits on the FIRST
-                # occurrence so expressions may contain colons
-                name, where, set_ = need("name", "where", "set")
-                try:
-                    assignments = dict(
-                        pair.split(":", 1) for pair in set_.split(","))
-                except ValueError:
+                name, where = need("name", "where")
+                if body:
+                    # JSON body {"col": "sql expr", ...} — the full
+                    # expression grammar (commas and all)
+                    assignments = json.loads(body.decode("utf-8"))
+                    if (not isinstance(assignments, dict)
+                            or not all(isinstance(v, str)
+                                       for v in assignments.values())):
+                        raise _BadRequest(
+                            "update body must be a JSON object of "
+                            "column -> SQL expression strings")
+                elif "set" in q:
+                    # query-string shorthand set=col:expr(,col:expr)*
+                    # — ':' splits on the FIRST occurrence; expressions
+                    # containing ',' need the JSON body form
+                    try:
+                        assignments = dict(
+                            pair.split(":", 1)
+                            for pair in q["set"].split(","))
+                    except ValueError:
+                        raise _BadRequest(
+                            "set must be col:expr(,col:expr)* — use a "
+                            "JSON body for expressions containing ','")
+                else:
                     raise _BadRequest(
-                        "set must be col:expr(,col:expr)*")
+                        "update needs a JSON body or set= assignments")
                 return 200, self.engine.update_rows(name, where,
                                                     assignments)
             if method == "POST" and path == "/dataset/tag":

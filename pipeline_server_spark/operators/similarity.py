@@ -496,6 +496,11 @@ def ivf_pq_topk(
     n_train = train_sample if train_sample is not None \
         else max(n_centroids * 40, k_sub * 32, 256)
     sample = c.orderBy("nbr_id").limit(n_train).collect()
+    if len(sample) < max(n_centroids, k_sub):
+        raise ValueError(
+            f"ivf_pq_topk: training sample has {len(sample)} vectors "
+            f"but needs >= max(n_centroids={n_centroids}, "
+            f"k_sub={k_sub}) — shrink the codebooks or grow the corpus")
     X = np.array([r["cv"] for r in sample], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     d = X.shape[1]
@@ -626,7 +631,10 @@ def ivf_pq_topk(
         "query_id long, qv array<double>",
     )
     exact = (
-        shortlist.join(c, on="nbr_id")
+        # the shortlist is rerank·k rows per query — broadcast it so
+        # the refine is a map-side semi-probe of the corpus, not a
+        # corpus-wide shuffle on nbr_id
+        c.join(F.broadcast(shortlist), on="nbr_id")
         .join(F.broadcast(qdf), on="query_id")
         .select("query_id", "nbr_id",
                 cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))

@@ -411,9 +411,13 @@ def unigram_lm_train(words: DataFrame, vocab_size: int = 40,
 
     if vocab_size < 1 or em_iters < 1:
         raise ValueError("vocab_size and em_iters must be >= 1")
+    # persist the (vocab-sized) word table: seeding + every EM
+    # iteration re-reads it, and without this each action would
+    # recompute the caller's corpus-wide explode/groupBy from scratch
+    # — 2+em_iters corpus scans instead of one
     w = words.select(F.col(word_col).alias("w"),
                      F.col(freq_col).cast("long").alias("freq")) \
-        .where((F.col("w") != "") & F.col("w").isNotNull())
+        .where((F.col("w") != "") & F.col("w").isNotNull()).persist()
 
     # --- seed: substring occurrence counts, weighted by word freq ----
     subs = w.select(
@@ -522,6 +526,7 @@ def unigram_lm_train(words: DataFrame, vocab_size: int = 40,
         for chp in chars:
             probs.setdefault(chp, 0.0)
 
+    w.unpersist()
     ranked_multi = sorted(
         ((p, pr) for p, pr in probs.items() if len(p) > 1 and pr > 0),
         key=lambda t: (-t[1], t[0]),

@@ -1959,6 +1959,19 @@ class VersionedTable:
         silently strand it in the old directory)."""
         if not assignments:
             raise ValueError("update_where: empty assignments")
+        current = self.current_version()
+        schema = (self._filelist_schema(current)
+                  if current is not None else None)
+        if schema is not None:
+            unknown = sorted(set(assignments) - set(schema.fieldNames()))
+            if unknown:
+                # _rewrite_where applies assignments by matching column
+                # names — an unmatched key would be SILENTLY dropped
+                # and the "update" would publish a byte-identical
+                # version while reporting matched=true
+                raise ValueError(
+                    f"update_where: unknown column(s) {unknown} in "
+                    "assignments")
         layout = set(self.recorded_partition_by(
             self.current_version() or 0))
         bad = sorted(set(assignments) & layout)

@@ -144,24 +144,25 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         start = options.get("startingversion")
         self._starting = int(start) if start is not None else None
         # Delta's maxFilesPerTrigger idea at this source's granularity:
-        # bound each micro-batch to N commits so a long backlog (or a
-        # stream started at version 1 of a year-old table) replays as
-        # bounded batches instead of ONE giant catch-up batch that has
-        # to fit executor memory and checkpoint atomically. Note
-        # trigger(availableNow) snapshots a SINGLE end offset, so the
-        # cap bounds that run (re-run to keep draining); continuous
-        # triggers drain the backlog as capped micro-batches.
+        # bound each micro-batch to N commits. The engine asks for
+        # the latest offset BEFORE revealing the batch start (measured:
+        # latestOffset precedes initialOffset on a fresh query, and a
+        # restarted query never calls initialOffset at all), so the
+        # watermark can only be learned when partitions() plans a
+        # batch — the FIRST micro-batch of each run is therefore
+        # uncapped, and every later one is bounded. Seeding the
+        # watermark any earlier (e.g. from startingVersion) would cap
+        # latestOffset BELOW a restart's checkpointed offset and
+        # REPLAY already-delivered versions — worse than an unbounded
+        # first batch. availableNow additionally snapshots ONE end
+        # offset, so there the cap has no effect by construction.
         mvpt = options.get("maxversionspertrigger")
         self._max_versions = int(mvpt) if mvpt is not None else None
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError(
                 f"{FORMAT_NAME}: maxVersionsPerTrigger must be >= 1")
-        # progress watermark for the cap: learned from initialOffset /
-        # partitions() (the API's latestOffset takes no start, so the
-        # first micro-batch after a checkpoint RESTART is uncapped —
-        # best-effort admission control, like Delta's maxFilesPerTrigger)
-        self._last_end: int | None = (
-            self._starting - 1 if self._starting is not None else None)
+        # the cap watermark — see the comment above
+        self._last_end: int | None = None
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:

@@ -672,10 +672,17 @@ def test_constraint_history_delete_endpoints(spark, server):
     assert status == 200
     assert out["version"] == 3 and out["matched"] is True
 
+    # JSON body carries the full expression grammar (commas included)
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/update?name=api_dml&where=id%20%3D%2021",
+        json.dumps({"amount": "greatest(amount, 0)"}).encode())
+    assert status == 200 and out["version"] == 4
+
     status, hist = _call(srv.port, "GET", "/dataset/history?name=api_dml")
     assert status == 200
     kinds = [h["kind"] for h in hist["history"]]
-    assert kinds[-2:] == ["delete", "update"]
+    assert kinds[-3:] == ["delete", "update", "update"]
 
     # drop the CHECK → previously-violating rows upload fine
     status, cons = _call(

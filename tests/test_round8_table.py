@@ -820,3 +820,12 @@ class TestDmlMultiWriter:
         assert t.read().where(
             F.col("k").between(0, 9) | F.col("k").between(90, 99)
         ).count() == 0
+
+
+class TestUpdateWhereValidation:
+    def test_unknown_assignment_column_rejects(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "uv1"))
+        t.commit(_rows(spark, 0, 10))
+        with pytest.raises(ValueError, match="unknown column"):
+            t.update_where(F.col("k") == 1, {"vv": F.lit(5)})
+        assert t.current_version() == 1

@@ -387,20 +387,22 @@ class TestCloneStreaming:
 
 class TestMaxVersionsPerTrigger:
     def test_backlog_replays_in_bounded_batches(self, spark, tmp_path):
+        """The cap bounds every micro-batch AFTER the first of a run
+        (the engine reports the latest offset before revealing the
+        batch start, so the first batch cannot be capped safely —
+        documented). A backlog accumulating while the stream runs
+        drains as bounded batches."""
         t = VersionedTable(spark, str(tmp_path / "mv1"))
         t.commit(_rows(spark, 0, 5))
-        for i in range(1, 6):
-            t.commit_append(_rows(spark, 5 * i, 5 * (i + 1)))
-        # continuous micro-batches: the 6-version backlog must drain as
-        # >= 3 bounded batches of <= 2 versions (10 rows) each, losing
-        # nothing. (availableNow snapshots ONE end offset, so there the
-        # cap bounds the RUN instead — documented.)
         q = (stream_inserts(spark, str(tmp_path / "mv1"),
                             starting_version=1,
                             max_versions_per_trigger=2)
              .writeStream.format("memory").queryName("mvpt").start())
         try:
-            q.processAllAvailable()
+            q.processAllAvailable()  # batch 1 (uncapped): v1 only
+            for i in range(1, 6):    # 5-version backlog builds up
+                t.commit_append(_rows(spark, 5 * i, 5 * (i + 1)))
+            q.processAllAvailable()  # drains capped: >= 3 batches
             rows = spark.sql("select * from mvpt").collect()
             batches = [p for p in q.recentProgress
                        if p["numInputRows"] > 0]
@@ -408,8 +410,9 @@ class TestMaxVersionsPerTrigger:
             q.stop()
         assert len(rows) == 30  # nothing lost to the cap
         assert {r["_commit_version"] for r in rows} == set(range(1, 7))
-        assert len(batches) >= 3
-        assert all(p["numInputRows"] <= 10 for p in batches)
+        assert len(batches) >= 4  # 1 uncapped + >= 3 capped
+        # every batch after the first is <= 2 versions = 10 rows
+        assert all(p["numInputRows"] <= 10 for p in batches[1:])
 
     def test_cap_validates(self, spark, tmp_path):
         t = VersionedTable(spark, str(tmp_path / "mv2"))
@@ -418,3 +421,37 @@ class TestMaxVersionsPerTrigger:
             _drain(spark, stream_inserts(
                 spark, str(tmp_path / "mv2"), starting_version=1,
                 max_versions_per_trigger=0), "mvpt_bad")
+
+
+class TestCapRestartSafety:
+    def test_capped_stream_restart_does_not_replay(self, spark, tmp_path):
+        """The admission-control watermark must not be seeded from
+        startingVersion at construction: a RESTARTED query never calls
+        initialOffset, and a constructor-seeded watermark would cap
+        latestOffset below the checkpointed offset — the engine would
+        commit the lower offset and re-deliver old versions."""
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+        t = VersionedTable(spark, str(tmp_path / "cr1"))
+        t.commit(_rows(spark, 0, 5))
+        for i in range(1, 5):
+            t.commit_append(_rows(spark, 5 * i, 5 * (i + 1)))
+        ck = str(tmp_path / "cr1_ck")
+        got: list = []
+
+        def run():
+            q = (stream_inserts(spark, str(tmp_path / "cr1"),
+                                starting_version=1,
+                                max_versions_per_trigger=2)
+                 .writeStream
+                 .foreachBatch(lambda df, bid: got.extend(df.collect()))
+                 .option("checkpointLocation", ck).start())
+            q.processAllAvailable()
+            q.stop()
+
+        run()
+        assert len(got) == 25 and len({r["k"] for r in got}) == 25
+        t.commit_append(_rows(spark, 25, 30))  # new data post-restart
+        run()
+        assert len(got) == 30, "restart replayed already-delivered rows"
+        assert len({r["k"] for r in got}) == 30
