@@ -284,18 +284,22 @@ class PipelineApiServer:
                 # zorderby=c1,c2 → re-cluster + skipping index;
                 # without it → bin-packing small-file compaction
                 (name,) = need("name")
-                if "zorderby" in q:
-                    return 200, self.engine.optimize(
-                        name, q["zorderby"].split(","),
-                        num_files=int(q.get("files", 16)),
-                    )
                 if "partitions" in q:
                     # OPTIMIZE WHERE: comma-separated Spark-rendered
-                    # partition prefixes ('p=0,p=1')
+                    # partition prefixes ('p=0,p=1'); with zorderby=
+                    # the selected partitions re-cluster instead of
+                    # bin-packing
                     return 200, self.engine.compact_partitions(
                         name, q["partitions"].split(","),
                         target_file_bytes=int(
                             q.get("targetbytes", 128 * 1024 * 1024)),
+                        zorder_cols=(q["zorderby"].split(",")
+                                     if "zorderby" in q else None),
+                    )
+                if "zorderby" in q:
+                    return 200, self.engine.optimize(
+                        name, q["zorderby"].split(","),
+                        num_files=int(q.get("files", 16)),
                     )
                 return 200, self.engine.compact(
                     name,

@@ -202,16 +202,19 @@ class Engine:
 
     def compact_partitions(self, name: str, prefixes: list[str],
                            target_file_bytes: int = 128 * 1024 * 1024,
+                           zorder_cols: list[str] | None = None,
                            ) -> dict[str, Any]:
         """Partition-scoped incremental compaction (OPTIMIZE WHERE):
-        bin-pack ONLY the named partitions (Spark-rendered prefixes
-        like 'p=0'), carrying every other partition forward by
-        manifest reference — O(touched partitions), not O(table)."""
+        bin-pack — or, with ``zorder_cols``, Z-ORDER re-cluster —
+        ONLY the named partitions (Spark-rendered prefixes like
+        'p=0'), carrying every other partition forward by manifest
+        reference — O(touched partitions), not O(table)."""
         table, dest = self._versioned_table(name)
         with self._dest_lock(dest.path):
             before = table.current_version()
             version = table.compact_partitions(
-                prefixes=prefixes, target_file_bytes=target_file_bytes)
+                prefixes=prefixes, target_file_bytes=target_file_bytes,
+                zorder_cols=zorder_cols)
         compacted = version != before
         return {"version": version, "compacted": compacted,
                 "metadata": table.commit_metadata(version)

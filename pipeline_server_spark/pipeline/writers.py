@@ -1575,7 +1575,9 @@ class VersionedTable:
                            match=None,
                            target_file_bytes: int = 128 * 1024 * 1024,
                            metadata: dict | None = None,
-                           min_files: int = 2) -> int:
+                           min_files: int = 2,
+                           zorder_cols: list[str] | None = None,
+                           zorder_bits: int = 16) -> int:
         """PARTITION-SCOPED incremental compaction (Delta ``OPTIMIZE
         WHERE``): bin-pack only the selected partitions' files and
         carry every other partition forward by manifest reference —
@@ -1637,7 +1639,30 @@ class VersionedTable:
         schema = self._filelist_schema(current)
         df = self._read_files(files, schema=schema)
         total = sum(os.path.getsize(f) for f in files)
-        packed = _pack_per_partition(df, layout, total, target_file_bytes)
+        if zorder_cols:
+            # partition-scoped ZORDER WHERE: re-cluster ONLY the
+            # selected partitions by the Morton key — range-partition
+            # on (layout, z) so each hive partition's files hold
+            # contiguous z ranges, sized ~ceil(bytes/target), while
+            # every untouched partition carries forward (the
+            # O(table) optimize_zorder_snapshot's incremental twin)
+            import math as _math
+
+            from pipeline_server_spark.operators.scale import zorder_value
+
+            n_files = max(1, _math.ceil(total / target_file_bytes))
+            packed = (
+                zorder_value(df, list(zorder_cols), zorder_bits)
+                .repartitionByRange(
+                    max(n_files, len(selected)),
+                    *[F.col(c) for c in layout], F.col("_z"))
+                .sortWithinPartitions(
+                    *[F.col(c) for c in layout], F.col("_z"))
+                .drop("_z")
+            )
+        else:
+            packed = _pack_per_partition(df, layout, total,
+                                         target_file_bytes)
         version = current + 1
         target = self._stage_dir(version)
         packed.write.mode("overwrite").partitionBy(*layout) \
@@ -1649,6 +1674,11 @@ class VersionedTable:
                    if self._partition_prefix(e[1], depth) not in sel]
         all_entries = carried + new_entries
         stats_cols = doc.get("stats_cols") or []
+        if zorder_cols:
+            # the clustered columns must be indexed for the layout to
+            # pay off; widening the indexed set costs one full footer
+            # pass (the documented stats_cols-change contract)
+            stats_cols = sorted(set(stats_cols) | set(zorder_cols))
         bloom_cols = doc.get("bloom_cols") or []
         self._write_filelist(target, all_entries, schema=schema,
                              stats_cols=stats_cols or None,

@@ -829,3 +829,35 @@ class TestUpdateWhereValidation:
         with pytest.raises(ValueError, match="unknown column"):
             t.update_where(F.col("k") == 1, {"vv": F.lit(5)})
         assert t.current_version() == 1
+
+
+class TestZorderWhere:
+    def test_partition_scoped_zorder_clusters_and_carries(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "zw1"))
+        df = spark.range(0, 8000).select(
+            (F.col("id") % 4).cast("int").alias("p"),
+            (F.xxhash64("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        t.commit(df.repartition(8), partition_by=("p",), stats_cols=("v",))
+        before = t._entries_for_version(1)
+        keep_p3 = {e for e in before if e[1].startswith("p=3")}
+        v = t.compact_partitions(prefixes=["p=0", "p=1"],
+                                 zorder_cols=["k"],
+                                 target_file_bytes=8 * 1024)
+        after = t._entries_for_version(v)
+        # untouched partitions carried verbatim
+        assert {e for e in after if e[1].startswith("p=3")} == keep_p3
+        # rows identical
+        assert t.read().count() == 8000
+        assert t.read().agg(F.sum("v")).collect()[0][0] == \
+            8000 * 7999 // 2
+        # the zorder columns joined the index and point-range reads
+        # on the clustered partitions prune files
+        got, fr, ft = t.read_pruned({"k": (0, 10)})
+        assert got.count() == t.read().where(
+            F.col("k").between(0, 10)).count()
+        assert 0 < fr < ft
+        meta = t.commit_metadata(v)
+        assert meta["operation"] == "optimize_compact_partitions"
