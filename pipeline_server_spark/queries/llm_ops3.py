@@ -19,7 +19,7 @@ back. No collects, no cartesian products.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pipeline_server_spark.catalog import load_table
@@ -1054,4 +1054,84 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("w").cast("long").alias("n_words"),
         )
         .orderBy("token")
+    )
+
+
+@query(
+    "zipf_token_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT w, COUNT(*) AS f FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    top AS (
+      SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank
+      FROM freq ORDER BY f DESC, w LIMIT 1000),
+    pts AS (
+      SELECT log2(CAST(rank AS DOUBLE)) AS x,
+             log2(CAST(f AS DOUBLE)) AS y
+      FROM top),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE) AS intercept
+    FROM sums
+    """,
+)
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of
+    log2(freq) ~ log2(rank) over the top-1000 tokens — the standard
+    natural-language sanity check (slope ≈ −1 for Zipfian text;
+    synthetic or template-heavy corpora flatten it). Exactness: ranks
+    and frequencies are exact integers; the per-row log2/products are
+    bit-stable doubles; the four moment sums go through per-row
+    DECIMAL(27,9) casts, exact decimal addition, and the
+    string-roundtrip double rendering; the final slope/intercept are
+    a fixed sequence of IEEE double ops on identical inputs — the
+    same discipline as the Benford and bigram-LM referees.
+
+    Scale shape: corpus-linear frequency count (map-side combined),
+    vocabulary-sized top-k (orderBy + limit — Spark plans a
+    TakeOrdered, no global sort materialization), 1000-row moment
+    aggregation. One row out."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = (
+        freq.orderBy(F.desc("f"), F.asc("w")).limit(1000)
+        .withColumn("rank", F.row_number().over(
+            W.orderBy(F.desc("f"), F.asc("w"))))
+    )
+    x = F.log2(F.col("rank").cast("double"))
+    y = F.log2(F.col("f").cast("double"))
+    pts = top.select(x.alias("x"), y.alias("y"))
+    dec = lambda c: c.cast("decimal(27,9)")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("string").cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("string").cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("string").cast("double")
+        .alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("string").cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / \
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
     )
