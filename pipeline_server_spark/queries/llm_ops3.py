@@ -1135,3 +1135,63 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("zipf_slope"),
         ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
     )
+
+
+@query(
+    "doc_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    dc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY ALL),
+    dn AS (SELECT doc_id, SUM(c) AS n FROM dc GROUP BY doc_id),
+    gc AS (SELECT w, SUM(c) AS g FROM dc GROUP BY w),
+    gn AS (SELECT SUM(g) AS m FROM gc),
+    terms AS (
+      SELECT dc.doc_id,
+             CAST(CAST(dc.c AS DOUBLE) / CAST(dn.n AS DOUBLE)
+                  * log2((CAST(dc.c AS DOUBLE) / CAST(dn.n AS DOUBLE))
+                         / (CAST(gc.g AS DOUBLE) / CAST(gn.m AS DOUBLE)))
+                  AS DECIMAL(27,9)) AS t
+      FROM dc JOIN dn USING (doc_id) JOIN gc USING (w) CROSS JOIN gn)
+    SELECT doc_id,
+           CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE) AS kl_bits
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KL divergence from the corpus unigram distribution
+    — KL(doc ‖ corpus) in bits: the cheap topicality/outlier filter of
+    the CCNet family (a document whose word mix diverges hard from the
+    corpus is boilerplate, spam, or another language). Exactness: each
+    term p·log2(p/q) is a fixed sequence of IEEE double ops on exact
+    integer ratios (bit-stable per row), quantized DECIMAL(27,9) and
+    summed exactly per document — the bigram-LM discipline.
+
+    Scale shape: per-doc term counts collapse FIRST (map-side
+    combined), the corpus frequency table is vocabulary-sized (AQE
+    broadcasts the join back), the total is a 1-row scalar broadcast.
+    Corpus-linear, no collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    dc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dn = dc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    gc = dc.groupBy("w").agg(F.sum("c").alias("g"))
+    gn = gc.agg(F.sum("g").alias("m"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    q = F.col("g").cast("double") / F.col("m").cast("double")
+    term = (p * F.log2(p / q)).cast("decimal(27,9)")
+    return (
+        dc.join(dn, "doc_id")
+        .join(F.broadcast(gc), "w")
+        .crossJoin(F.broadcast(gn))
+        .select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").cast("string").cast("double").alias("kl_bits"))
+        .orderBy("doc_id")
+    )

@@ -261,6 +261,7 @@ def test_registry_wide_no_unbounded_nested_loops(spark):
         "customer_rfm_segments",  # broadcast MAX(o_orderdate) scalar
         "pps_systematic_sample",  # broadcast SUM(n_tokens) 1-row total
         "bigram_lm_surprisal",  # broadcast COUNT(DISTINCT token) scalar
+        "doc_kl_divergence",  # broadcast SUM(g) 1-row corpus total
     }
     offenders = {}
     for name in sorted(QUERIES):
