@@ -1195,3 +1195,88 @@ def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t").cast("string").cast("double").alias("kl_bits"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "lexical_diversity_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+    dc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY ALL)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS type_token_ratio,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_fraction
+    FROM dc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def lexical_diversity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: type-token
+    ratio and hapax-legomenon fraction — low TTR flags repetitive/
+    template text, near-1 hapax on long docs flags keyboard mash
+    (both standard curation features next to the Gopher rules). All
+    per-row double divisions of exact integers — bit-stable. One
+    map-side-combined (doc, word) collapse, one per-doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    dc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            (F.count(F.lit(1)).cast("double")
+             / F.sum("c").cast("double")).alias("type_token_ratio"),
+            (F.count(F.when(F.col("c") == 1, F.lit(1))).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("hapax_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "template_prefix_clusters",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5)
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM pre GROUP BY prefix HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, prefix LIMIT 50
+    """,
+)
+def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection by shared 5-word prefix: groups
+    of documents opening with the same words are form letters,
+    scraped templates, or mirrored pages — the cheap first pass
+    before MinHash (C4 drops boilerplate lines the same way). One
+    map-side-combined groupBy on the prefix key; canonical doc =
+    lowest id, the dedup family's keep-first convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    pre = (
+        docs.where(F.size(tok) >= 5)
+        .select("doc_id",
+                F.concat_ws(" ", F.slice(tok, 1, 5)).alias("prefix"))
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("canonical_doc"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+        .limit(50)
+    )
