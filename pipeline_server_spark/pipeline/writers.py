@@ -2442,10 +2442,14 @@ class VersionedTable:
             for rel in self._list_data_files(d):
                 if (base, rel) not in referenced:
                     self.fs.remove_file(os.path.join(d, rel))
-            # strip the version's identity (manifest, metadata, index)
+            # strip the version's identity (manifest, metadata, index,
+            # and its commit-time change files — a vacuumed version's
+            # feed slice is unservable by contract, and the diff can
+            # be data-sized)
             for name in (self.FILELIST, "_meta.json"):
                 self.fs.remove_file(os.path.join(d, name))
             self.fs.remove(os.path.join(d, "_index"))
+            self.fs.remove(os.path.join(d, self.CHANGES))
             # prune now-empty partition dirs bottom-up (directories are
             # a POSIX-only concept — object stores have no empties to
             # prune, so the rmdir stays local-os and best-effort)

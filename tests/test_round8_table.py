@@ -861,3 +861,28 @@ class TestZorderWhere:
         assert 0 < fr < ft
         meta = t.commit_metadata(v)
         assert meta["operation"] == "optimize_compact_partitions"
+
+
+class TestVacuumChangeFiles:
+    def test_vacuum_reclaims_change_files_and_feed_errors_cleanly(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "vc1"))
+        df = _rows(spark, 0, 100).withColumn(
+            "p", (F.col("k") % 2).cast("int"))
+        t.commit(df, partition_by=("p",))
+        t.enable_change_feed(["k"])
+        src = _rows(spark, 0, 1).withColumn(
+            "p", F.lit(0).cast("int")).withColumn(
+            "v", F.lit(-1).cast("bigint"))
+        t.commit_merge_partitioned(src, keys=["k"], partition_by=("p",))
+        v2_dir = t._resolve_dir(2)
+        assert os.path.isdir(os.path.join(v2_dir, "_changes"))
+        t.delete_where(F.col("k") == 99)  # v3, has its own _changes
+        t.vacuum(keep=1)  # v1, v2 vacuumed (v2's files carried)
+        assert not os.path.isdir(os.path.join(v2_dir, "_changes"))
+        # a feed over the vacuumed range errors cleanly, not wrongly
+        with pytest.raises(Exception, match="vacuum"):
+            t.changes_range(["k"], 1, 2).collect()
+        # the live version's change files still serve
+        assert [(r["k"], r["_change_type"]) for r in
+                t.changes_range(["k"], 2, 3).collect()] == [(99, "delete")]
