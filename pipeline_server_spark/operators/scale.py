@@ -119,15 +119,31 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16,
     bits = min(bits, 63 // len(cols))
     if bits < 1:
         raise ValueError(f"cannot z-order {len(cols)} columns in 63 key bits")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder_value: unknown column(s) {missing}")
+    # try_cast: under ANSI (Spark 4 default) a plain cast THROWS on a
+    # non-numeric string mid-job; the probe must instead surface the
+    # clean no-numeric-values error below
     bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+        *[F.min(F.col(c).try_cast("double")).alias(f"_mn_{c}")
+          for c in cols],
+        *[F.max(F.col(c).try_cast("double")).alias(f"_mx_{c}")
+          for c in cols],
     ).first()
     m = len(cols)
     max_bucket = (1 << bits) - 1
     z = F.lit(0).cast("bigint")
     for ci, c in enumerate(cols):
         lo, hi = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        if lo is None or hi is None:
+            # a non-numeric column casts to all-NULL doubles, an
+            # all-null/empty one has no bounds — either way there is
+            # nothing to cluster on; say so instead of TypeError-ing
+            # on None arithmetic (reachable from the REST zorderby=)
+            raise ValueError(
+                f"zorder_value: column {c!r} has no numeric values to "
+                "cluster on (non-numeric, all-null, or empty input)")
         span = (hi - lo) or 1.0
         scaled = F.coalesce(
             F.least(

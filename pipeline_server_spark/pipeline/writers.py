@@ -1621,9 +1621,13 @@ class VersionedTable:
             return dict(c.split("=", 1) for c in prefix.split(os.sep))
 
         pset = set(prefixes) if prefixes is not None else None
+        # a bin-packing run skips already-packed partitions; an
+        # explicit RE-CLUSTER request must not — a single large
+        # unclustered file is exactly what ZORDER WHERE is for
+        skip_below = 1 if zorder_cols else min_files
         selected = []
         for p, es in sorted(by_part.items()):
-            if len(es) < min_files:
+            if len(es) < skip_below:
                 continue  # already packed
             wanted = (
                 (pset is None and match is None)  # no selector = all
@@ -1676,9 +1680,12 @@ class VersionedTable:
         stats_cols = doc.get("stats_cols") or []
         if zorder_cols:
             # the clustered columns must be indexed for the layout to
-            # pay off; widening the indexed set costs one full footer
-            # pass (the documented stats_cols-change contract)
-            stats_cols = sorted(set(stats_cols) | set(zorder_cols))
+            # pay off. ORDER-PRESERVING append: _build_index's
+            # incremental path requires exact list equality with the
+            # prior manifest, so re-ordering already-indexed columns
+            # would force a full footer pass for nothing
+            stats_cols = list(stats_cols) + [
+                c for c in zorder_cols if c not in stats_cols]
         bloom_cols = doc.get("bloom_cols") or []
         self._write_filelist(target, all_entries, schema=schema,
                              stats_cols=stats_cols or None,

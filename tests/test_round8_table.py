@@ -886,3 +886,31 @@ class TestVacuumChangeFiles:
         # the live version's change files still serve
         assert [(r["k"], r["_change_type"]) for r in
                 t.changes_range(["k"], 2, 3).collect()] == [(99, "delete")]
+
+
+class TestZorderGuards:
+    def test_zorder_where_includes_single_file_partitions(
+            self, spark, tmp_path):
+        """An explicit re-cluster request must not be skipped by the
+        bin-packing already-packed heuristic: one large unclustered
+        file per partition is exactly what ZORDER WHERE is for."""
+        t = VersionedTable(spark, str(tmp_path / "zg1"))
+        df = spark.range(0, 2000).select(
+            (F.col("id") % 2).cast("int").alias("p"),
+            (F.xxhash64("id") % 500).alias("k"),
+            F.col("id").alias("v"))
+        t.commit(df.coalesce(1), partition_by=("p",))  # 1 file/partition
+        v = t.compact_partitions(zorder_cols=["k"],
+                                 target_file_bytes=4 * 1024)
+        assert v == 2, "single-file partitions were skipped"
+        got, fr, ft = t.read_pruned({"k": (0, 10)})
+        assert got.count() > 0 and 0 < fr < ft
+
+    def test_zorder_on_non_numeric_column_errors_cleanly(
+            self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import zorder_value
+        df = spark.createDataFrame([(1, "x")], "k long, name string")
+        with pytest.raises(ValueError, match="no numeric values"):
+            zorder_value(df, ["name"])
+        with pytest.raises(ValueError, match="unknown column"):
+            zorder_value(df, ["nope"])
