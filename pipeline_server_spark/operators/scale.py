@@ -145,10 +145,15 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16,
                 f"zorder_value: column {c!r} has no numeric values to "
                 "cluster on (non-numeric, all-null, or empty input)")
         span = (hi - lo) or 1.0
+        # try_cast row-side too: a mixed numeric/garbage string column
+        # passes the bounds probe (some values cast) and a plain ANSI
+        # cast would then throw mid-write on the garbage rows — NULL
+        # routes them through the coalesce to bucket 0 instead
         scaled = F.coalesce(
             F.least(
                 F.lit(max_bucket),
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_bucket),
+                F.floor((F.col(c).try_cast("double") - F.lit(lo))
+                        / F.lit(span) * max_bucket),
             ).cast("bigint"),
             F.lit(0).cast("bigint"),
         )
