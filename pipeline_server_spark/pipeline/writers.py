@@ -1095,6 +1095,143 @@ class VersionedTable:
                               bloom_cols=effective_bloom)
         return self._publish(version, target, metadata)
 
+    def commit_cdc_partitioned(self, changes: DataFrame, keys: list[str],
+                               partition_by: str | list[str],
+                               seq_col: str = "_commit_version",
+                               metadata: dict | None = None,
+                               stats_cols: tuple[str, ...] | list[str] = (),
+                               bloom_cols: tuple[str, ...] | list[str] = (),
+                               ) -> int:
+        """Apply a CHANGE-DATA-FEED slice — rows tagged
+        ``_change_type`` insert / update_preimage / update_postimage /
+        delete, the exact shape :meth:`changes_range` and the
+        ``readChangeFeed`` stream emit — as ONE commit that rewrites
+        only the touched partitions: upserts land, deleted keys
+        disappear, untouched partitions carry forward by manifest
+        reference. This is the replication primitive: a downstream
+        REPLICA table follows an upstream table's feed with O(touched
+        partitions) work per batch, deletes included (which plain
+        :meth:`commit_merge_partitioned` cannot express).
+
+        A batch may span several upstream commits, so the slice is
+        NETTED first: per key, the change with the highest ``seq_col``
+        wins (pre-images are discarded — they carry no apply
+        semantics; a version never emits both a delete and a
+        post-image for one key). The upstream layout contract applies:
+        a key's partition values never change (CDC feeds carry full
+        rows; a partition-moving update upstream would be a
+        delete+insert pair, which nets correctly).
+
+        Bootstrap (empty table): the netted non-delete rows commit as
+        the initial snapshot. CDF/constraints compose: with
+        ``enable_change_feed`` on the replica, the commit writes its
+        own change files (pre-image = the touched partitions), and
+        invariants validate the staged rewrite like every commit."""
+        cols = ([partition_by] if isinstance(partition_by, str)
+                else list(partition_by))
+        if "_change_type" not in changes.columns:
+            raise ValueError("commit_cdc_partitioned: feed needs "
+                             "_change_type")
+        if seq_col not in changes.columns:
+            raise ValueError(
+                f"commit_cdc_partitioned: feed needs {seq_col!r} "
+                "(the netting order)")
+        from pyspark.sql import Window as W
+
+        live = changes.where(F.col("_change_type").isin(
+            "insert", "update_postimage", "delete"))
+        w = W.partitionBy(*keys).orderBy(F.desc(seq_col))
+        net = (live.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn", seq_col))
+        upserts = net.where(
+            F.col("_change_type") != "delete").drop("_change_type")
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols), cols)
+        current = self.current_version()
+        effective_stats = list(stats_cols) or (
+            (self._filelist_stats_cols(current) or [])
+            if current is not None else [])
+        effective_bloom = list(bloom_cols) or (
+            (self._filelist_bloom_cols(current) or [])
+            if current is not None else [])
+        if current is None or not self._entries_for_version(current):
+            return self.commit(upserts, partition_by=tuple(cols),
+                               metadata=metadata,
+                               stats_cols=effective_stats,
+                               bloom_cols=effective_bloom)
+        self._check_layout(current, cols, "commit_cdc_partitioned")
+        target_df = self.read(current)
+        touched = net.select(*cols).distinct()
+        cond = None
+        for c in cols:
+            eq = F.col(f"t.{c}").eqNullSafe(F.col(f"p.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        tgt_touched = target_df.alias("t").join(
+            F.broadcast(touched).alias("p"), cond, "left_semi")
+        # survivors = touched-partition rows whose key was NOT netted
+        # (a netted key is either re-inserted by its upsert row or
+        # gone); then the upserts land
+        survivors = tgt_touched.join(
+            net.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.unionByName(
+            upserts.select(*survivors.columns))
+
+        version = current + 1
+        target = self._stage_dir(version)
+        merged.write.mode("overwrite").partitionBy(*cols) \
+            .format(self.file_format).save(target)
+        self._validate_staged(target, merged.schema,
+                              "commit_cdc_partitioned")
+        wrote_cdf = self._maybe_write_cdf(
+            target, version, lambda: tgt_touched,
+            lambda: self._read_staged(target, merged.schema), metadata)
+        new_rels = self._list_data_files(target)
+        new_entries = [(os.path.basename(target), rel)
+                       for rel in new_rels]
+        # carried entries drop for every partition the WRITE produced
+        # AND for every partition the batch touched — a partition whose
+        # every row was deleted writes no files but must not carry its
+        # old rows forward (the one case plain merges never hit)
+        dropped = {self._partition_prefix(rel, len(cols))
+                   for rel in new_rels}
+        dropped |= self._touched_prefix_set(
+            touched.collect(), cols)  # batch-sized driver traffic
+        entries = [
+            e for e in self._entries_for_version(current)
+            if self._partition_prefix(e[1], len(cols)) not in dropped
+        ] + new_entries
+        self._write_filelist(target, entries, schema=merged.schema,
+                             stats_cols=effective_stats, kind="merge",
+                             partition_by=cols,
+                             bloom_cols=effective_bloom, cdf=wrote_cdf)
+        if effective_stats or effective_bloom:
+            self._build_index(target, entries, effective_stats or [],
+                              merged.schema, prior_version=current,
+                              new_entries=new_entries,
+                              bloom_cols=effective_bloom)
+        meta = {"operation": "cdc_apply",
+                "rewritten_partitions": len(dropped)}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(version, target, meta)
+
+    @staticmethod
+    def _touched_prefix_set(touched_rows, cols) -> set:
+        """Spark-rendered partition prefixes for the touched partition
+        values — matching the hive directory encoding used in
+        manifests (string rendering of each value; NULL renders as
+        __HIVE_DEFAULT_PARTITION__)."""
+        out = set()
+        for r in touched_rows:
+            parts = []
+            for c in cols:
+                v = r[c]
+                parts.append(
+                    f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None
+                    else f"{c}={v}")
+            out.add(os.sep.join(parts))
+        return out
+
     # -- hash-bucketed physical layout (Hudi bucket-index idea) ----------
     BUCKET_COL = "_bucket"
     BUCKETSPEC = "_bucketspec.json"

@@ -304,3 +304,37 @@ def exactly_once_mv_sink(
         view.commit(new_view, metadata={"batch_id": int(batch_id)})
 
     return apply
+
+
+def exactly_once_replica_sink(
+    table: VersionedTable,
+    keys: list[str],
+    partition_by: tuple[str, ...] | list[str],
+    scan_last: int = 50,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function for CROSS-TABLE CDC REPLICATION:
+    each micro-batch is a change-data-feed slice (the
+    ``stream_changes`` shape) applied to the replica via
+    :meth:`VersionedTable.commit_cdc_partitioned` — upserts land,
+    deletes disappear, untouched partitions carry forward, O(touched
+    partitions) per trigger, with ``batch_id`` replay protection.
+    Composed end-to-end: upstream table with ``enable_change_feed``
+    → ``stream_changes`` → this sink → a replica that mirrors every
+    commit kind (append / merge / DML / overwrite / restore) without
+    ever scanning the upstream snapshot. Usage::
+
+        stream_changes(spark, src_root, starting_version=1) \\
+            .writeStream.foreachBatch(exactly_once_replica_sink(
+                replica, ["k"], ("p",))) \\
+            .option("checkpointLocation", ck) \\
+            .trigger(availableNow=True).start()
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_batch_ids(table, scan_last):
+            return  # replay after failure — already committed
+        table.commit_cdc_partitioned(
+            batch_df, keys, list(partition_by),
+            metadata={"batch_id": int(batch_id)})
+
+    return apply

@@ -137,6 +137,12 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         self.schema_fields = [f.name for f in schema.fields
                               if f.name not in ("_commit_version",
                                                 "_change_type")]
+        # simpleString types drive partition-value parsing in read():
+        # hive layout stores partition COLUMNS in directory names, not
+        # in the parquet files — a data-file read must recover them
+        # from the path or every partitioned table streams NULLs there
+        self.schema_types = {f.name: f.dataType.simpleString()
+                             for f in schema.fields}
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true")
         self.read_change_feed = (
@@ -243,6 +249,32 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         return parts
 
     # -- execution (runs on executors) -------------------------------------
+    @staticmethod
+    def _path_partition_value(path: str, name: str, dtype: str):
+        """The hive partition value encoded in the file's directory
+        path (``.../name=value/...``), converted to the schema type —
+        or ``(False, None)`` when the path has no such component."""
+        import datetime as _dt
+        import urllib.parse as _up
+
+        for comp in path.split(os.sep)[:-1]:
+            if not comp.startswith(f"{name}="):
+                continue
+            raw = comp[len(name) + 1:]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return True, None
+            s = _up.unquote(raw)
+            if dtype in ("tinyint", "smallint", "int", "bigint"):
+                return True, int(s)
+            if dtype in ("float", "double"):
+                return True, float(s)
+            if dtype == "boolean":
+                return True, s.lower() == "true"
+            if dtype == "date":
+                return True, _dt.date.fromisoformat(s)
+            return True, s  # string-family: the rendering IS the value
+        return False, None
+
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
@@ -253,8 +285,13 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
             if name in tbl.column_names:
                 cols.append(tbl.column(name).to_pylist())
             else:
-                # schema evolution: a pre-evolution file null-fills
-                cols.append([None] * n)
+                # hive layout: partition columns live in the DIRECTORY
+                # name, not the file — recover them from the path;
+                # only a truly absent column (pre-evolution file)
+                # null-fills
+                found, val = self._path_partition_value(
+                    partition.path, name, self.schema_types.get(name, ""))
+                cols.append([val if found else None] * n)
         if self.read_change_feed:
             if getattr(partition, "change_file", False):
                 cols.append(tbl.column("_change_type").to_pylist())
