@@ -1215,6 +1215,62 @@ class VersionedTable:
             meta.update(metadata)
         return self._publish(version, target, meta)
 
+    def commit_cdc_bucketed(self, changes: DataFrame, keys: list[str],
+                            seq_col: str = "_commit_version",
+                            metadata: dict | None = None,
+                            n_buckets: int = 64,
+                            stats_cols: tuple[str, ...] | list[str] = (),
+                            bloom_cols: tuple[str, ...] | list[str] = (),
+                            ) -> int:
+        """CDC apply into a HASH-BUCKETED replica — the replication
+        path for an unpartitioned upstream (no natural pruning column
+        on the replica either): each feed row's ``_bucket`` comes from
+        the recorded spec and the apply delegates to
+        :meth:`commit_cdc_partitioned` on the synthetic column —
+        O(touched buckets) per batch, deletes included. Establishes
+        the layout with the first batch's netted upserts (same
+        bootstrap contract as :meth:`commit_merge_bucketed`); bucket
+        keys must be a subset of ``keys`` so a key never changes
+        buckets."""
+        spec = self.bucket_spec()
+        current = self.current_version()
+        if (spec is None and current is not None
+                and self._entries_for_version(current)):
+            raise ValueError(
+                f"table at {self.root} exists but is not hash-bucketed; "
+                "call commit_bucketed(read(), keys) once to establish "
+                "the layout before CDC-applying into it")
+        bkeys = list(spec["keys"]) if spec else list(keys)
+        n = int(spec["n"]) if spec else int(n_buckets)
+        if not set(bkeys) <= set(keys):
+            raise ValueError(
+                f"bucket keys {bkeys} must be a subset of CDC keys {keys}")
+        if self.BUCKET_COL in changes.columns:
+            raise ValueError(
+                f"{self.BUCKET_COL!r} is reserved for the bucket layout")
+        if spec is None or current is None or \
+                not self._entries_for_version(current):
+            # bootstrap: net the slice, establish the layout with the
+            # surviving upserts
+            from pyspark.sql import Window as W
+
+            live = changes.where(F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"))
+            w = W.partitionBy(*keys).orderBy(F.desc(seq_col))
+            net = (live.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1).drop("_rn", seq_col))
+            upserts = net.where(
+                F.col("_change_type") != "delete").drop("_change_type")
+            return self.commit_bucketed(
+                upserts, bkeys, n, metadata=metadata,
+                stats_cols=stats_cols, bloom_cols=bloom_cols)
+        src = changes.withColumn(
+            self.BUCKET_COL, self._bucket_expr(bkeys, int(spec["n"])))
+        return self.commit_cdc_partitioned(
+            src, keys, [self.BUCKET_COL], seq_col=seq_col,
+            metadata=metadata, stats_cols=stats_cols,
+            bloom_cols=bloom_cols)
+
     @staticmethod
     def _touched_prefix_set(touched_rows, cols) -> set:
         """Spark-rendered partition prefixes for the touched partition

@@ -309,7 +309,8 @@ def exactly_once_mv_sink(
 def exactly_once_replica_sink(
     table: VersionedTable,
     keys: list[str],
-    partition_by: tuple[str, ...] | list[str],
+    partition_by: tuple[str, ...] | list[str] = (),
+    bucket_buckets: int | None = None,
     scan_last: int = 50,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function for CROSS-TABLE CDC REPLICATION:
@@ -330,11 +331,24 @@ def exactly_once_replica_sink(
             .trigger(availableNow=True).start()
     """
 
+    if partition_by and bucket_buckets:
+        raise ValueError("pass partition_by OR bucket_buckets, not both")
+    if not partition_by and not bucket_buckets:
+        raise ValueError(
+            "a replica needs a pruning layout: partition_by for a "
+            "partitioned upstream, bucket_buckets for a flat one")
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_batch_ids(table, scan_last):
             return  # replay after failure — already committed
-        table.commit_cdc_partitioned(
-            batch_df, keys, list(partition_by),
-            metadata={"batch_id": int(batch_id)})
+        meta = {"batch_id": int(batch_id)}
+        if partition_by:
+            table.commit_cdc_partitioned(
+                batch_df, keys, list(partition_by), metadata=meta)
+        else:
+            # flat upstream: the replica lays out by hash bucket so
+            # the apply stays O(touched buckets)
+            table.commit_cdc_bucketed(
+                batch_df, keys, metadata=meta, n_buckets=bucket_buckets)
 
     return apply

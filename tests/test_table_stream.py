@@ -535,3 +535,47 @@ class TestPartitionColumnRecovery:
         got = {(r["k"], r["p"], r["s"]) for r in out}
         want = {(r["k"], r["p"], r["s"]) for r in df.collect()}
         assert got == want  # values, not NULLs
+
+
+class TestBucketedReplica:
+    def test_flat_upstream_replicates_into_hash_buckets(
+            self, spark, tmp_path):
+        from pipeline_server_spark.streaming.sinks import (
+            exactly_once_replica_sink)
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+
+        root = str(tmp_path / "flat_up")
+        up = VersionedTable(spark, root)
+        up.commit(_rows(spark, 0, 50))  # flat: no pruning column
+        up.enable_change_feed(["k"])
+        up.commit_append(_rows(spark, 50, 60))
+        up.update_where(F.col("k") == 0, {"v": F.lit(-7).cast("bigint")})
+        up.delete_where(F.col("k") >= 55)
+
+        replica = VersionedTable(spark, str(tmp_path / "flat_rep"))
+        ck = str(tmp_path / "flat_ck")
+
+        def run():
+            q = (stream_changes(spark, root, starting_version=1)
+                 .writeStream
+                 .foreachBatch(exactly_once_replica_sink(
+                     replica, ["k"], bucket_buckets=4))
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        def snap(t):
+            return {(r["k"], r["v"]) for r in
+                    t.read().drop("_bucket").collect()}
+
+        run()
+        assert snap(replica) == snap(up)
+        assert replica.bucket_spec() == {"keys": ["k"], "n": 4}
+        # the replica keeps following, O(touched buckets) per batch
+        up.delete_where(F.col("k") == 1)
+        up.commit_append(_rows(spark, 100, 103))
+        run()
+        assert snap(replica) == snap(up)
+        meta = replica.commit_metadata(replica.current_version())
+        assert meta["operation"] == "cdc_apply"
