@@ -80,7 +80,8 @@ def kmeans_fit(
     iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list[list[float]]:
+    _return_quantized: bool = False,
+):
     """Full-corpus spherical k-means (Lloyd). Deterministic by
     construction: init = the ``k`` lowest-id vectors (normalized);
     E-step = exact integer-dot argmax; M-step = exact integer partial
@@ -120,7 +121,13 @@ def kmeans_fit(
     # — no parquet re-decode, no re-normalization. Results are
     # batching-independent by construction, so caching cannot change
     # the fixpoint.
-    q_schema = T.StructType([T.StructField("_q", T.ArrayType(T.LongType()))])
+    # With _return_quantized the persisted (_id, _q) frame is returned
+    # alongside the centroids (NOT unpersisted — the caller owns it;
+    # pq_codebooks_fit reuses it so IVF-PQ training quantizes once).
+    q_schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("_q", T.ArrayType(T.LongType())),
+    ])
 
     def _quantize_rows(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
@@ -131,7 +138,8 @@ def kmeans_fit(
                 continue
             q = _quantize_block(
                 np.stack(pdf["_v"].to_numpy()).astype(np.float64))
-            yield pd.DataFrame({"_q": [row.tolist() for row in q]})
+            yield pd.DataFrame({"_id": pdf["_id"],
+                                "_q": [row.tolist() for row in q]})
 
     qvecs = vecs.mapInPandas(_quantize_rows, schema=q_schema).persist()
 
@@ -197,9 +205,184 @@ def kmeans_fit(
                 if n > 0:
                     new_cent[j] = m / n
             cent = new_cent
-    finally:
+    except BaseException:
         qvecs.unpersist()
-    return [[float(x) for x in row] for row in cent]
+        raise
+    if not _return_quantized:
+        qvecs.unpersist()
+    cent_list = [[float(x) for x in row] for row in cent]
+    if _return_quantized:
+        return cent_list, qvecs
+    return cent_list
+
+
+def pq_codebooks_fit(
+    df: DataFrame,
+    centroids: list[list[float]],
+    m_sub: int = 8,
+    k_sub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvecs: DataFrame | None = None,
+) -> list:
+    """Full-corpus PRODUCT-QUANTIZATION codebooks (Jégou et al. 2011;
+    round-8 verdict #3 — training must see the corpus, not a
+    lowest-id prefix sample): per coarse cell, residual vectors are
+    split into ``m_sub`` subspaces and each subspace gets a ``k_sub``-
+    centroid L2 k-means — all subspaces trained in the SAME passes.
+
+    Exact-math discipline (the :func:`kmeans_fit` playbook, so the
+    codebooks are bit-identical across partitionings/batchings):
+
+    - unit vectors and coarse centroids are quantized at ``QUANT``, so
+      each residual is a DIFFERENCE OF QUANTA — exact int64, no
+      re-rounding;
+    - subspace assignment is an exact integer argmin of
+      ``|r|² − 2 r·c + |c|²`` (first-lowest codeword wins ties);
+    - M-step sums int64 partials per Arrow batch, combines them in
+      DECIMAL, and rounds each mean to a quantum with integer
+      floor(s/c + 0.5) on the driver;
+    - init = the ``k_sub`` lowest-id residuals (the distributed
+      analogue of the old sample's "first residuals").
+
+    Scale shape: ONE residual pass persisted (same width as the
+    input), then per iteration one mapInPandas emitting ≤ m_sub·k_sub
+    partial rows per batch + one (sub, cell, pos)-keyed decimal
+    aggregation — m_sub·k_sub·(dsub+1) numbers to the driver per
+    round, vectors never shuffle. Returns ``m_sub × k_sub × dsub``
+    unit-scale floats.
+
+    ``qvecs``: the already-quantized ``(_id, _q)`` frame from
+    ``kmeans_fit(_return_quantized=True)`` — reusing it skips the
+    second quantize pass (same quanta by construction, so the result
+    is bit-identical either way)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    d = len(centroids[0])
+    if d % m_sub != 0:
+        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+    dsub = d // m_sub
+    cq = _quantize_centroids(centroids)
+
+    r_schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("_qr", T.ArrayType(T.LongType())),
+    ])
+
+    def _residuals(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if "_q" in pdf.columns:
+                q = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+            else:
+                q = _quantize_block(
+                    np.stack(pdf["_v"].to_numpy()).astype(np.float64))
+            cells = np.argmax(q @ cq.T, axis=1)
+            r = q - cq[cells]  # exact: quanta minus quanta
+            yield pd.DataFrame({
+                "_id": pdf["_id"],
+                "_qr": [row.tolist() for row in r],
+            })
+
+    src = qvecs if qvecs is not None else df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    qr = src.mapInPandas(_residuals, schema=r_schema).persist()
+
+    partial_schema = T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("qs", T.ArrayType(T.LongType())),
+    ])
+
+    try:
+        seed_rows = qr.orderBy("_id").limit(k_sub).collect()
+        if len(seed_rows) < k_sub:
+            raise ValueError(
+                f"pq_codebooks_fit: k_sub={k_sub} exceeds the corpus "
+                f"size {len(seed_rows)}")
+        seed = np.array([r["_qr"] for r in seed_rows], dtype=np.int64)
+        # cb[s]: k_sub × dsub int64 quanta
+        cb = np.stack([seed[:, s * dsub:(s + 1) * dsub].copy()
+                       for s in range(m_sub)])
+
+        for _ in range(iters):
+
+            def _partials(batches: Iterator["object"],
+                          _cb: "np.ndarray" = cb.copy()) -> Iterator["object"]:
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    q = np.stack(pdf["_qr"].to_numpy()).astype(np.int64)
+                    subs, cells_o, cnts_o, qs_o = [], [], [], []
+                    for s in range(m_sub):
+                        Rs = q[:, s * dsub:(s + 1) * dsub]
+                        cbs = _cb[s]
+                        # exact int64 L2: |r|²−2r·c+|c|² (≲2e15 ≪ 2^63)
+                        d2 = (
+                            (Rs * Rs).sum(axis=1)[:, None]
+                            - 2 * (Rs @ cbs.T)
+                            + (cbs * cbs).sum(axis=1)[None, :]
+                        )
+                        a = np.argmin(d2, axis=1)  # first-lowest ties
+                        cnt = np.bincount(a, minlength=k_sub)
+                        sums = np.zeros((k_sub, dsub), dtype=np.int64)
+                        np.add.at(sums, a, Rs)
+                        live = np.nonzero(cnt)[0]
+                        subs.append(np.full(len(live), s, dtype=np.int32))
+                        cells_o.append(live.astype(np.int32))
+                        cnts_o.append(cnt[live].astype(np.int64))
+                        qs_o.extend(sums[j].tolist() for j in live)
+                    yield pd.DataFrame({
+                        "sub": np.concatenate(subs),
+                        "cell": np.concatenate(cells_o),
+                        "cnt": np.concatenate(cnts_o),
+                        "qs": qs_o,
+                    })
+
+            rows = (
+                qr.mapInPandas(_partials, schema=partial_schema)
+                .select("sub", "cell", "cnt",
+                        F.posexplode("qs").alias("pos", "q"))
+                .groupBy("sub", "cell", "pos")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum(F.col("q").cast("decimal(28,0)")).alias("s"),
+                )
+                .collect()
+            )
+            new_cb = cb.copy()
+            cnts = np.zeros((m_sub, k_sub), dtype=np.int64)
+            sums: dict = {}
+            for r in rows:
+                sums[(r["sub"], r["cell"], r["pos"])] = int(r["s"])
+                if r["pos"] == 0:
+                    cnts[r["sub"], r["cell"]] = int(r["cnt"])
+            for s in range(m_sub):
+                for j in range(k_sub):
+                    c = int(cnts[s, j])
+                    if c == 0:
+                        continue  # empty cluster keeps its codeword
+                    for pos in range(dsub):
+                        sv = sums.get((s, j, pos), 0)
+                        # floor(sv/c + 0.5) in exact integers
+                        new_cb[s, j, pos] = (2 * sv + c) // (2 * c)
+            cb = new_cb
+    finally:
+        qr.unpersist()
+    return [[[float(x) / QUANT for x in code] for code in book]
+            for book in cb]
 
 
 def kmeans_assign(

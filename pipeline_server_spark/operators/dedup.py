@@ -426,11 +426,16 @@ def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
     faster than interpreted higher-order-function lambdas, same
     float-evaluation order."""
     if dim is not None:
-        return dot_expr(a, b, dim) / (F.sqrt(dot_expr(a, a, dim)) * F.sqrt(dot_expr(b, b, dim)))
+        den = F.sqrt(dot_expr(a, a, dim)) * F.sqrt(dot_expr(b, b, dim))
+        # zero-norm guard: cos(0-vector, ·) = 0 by convention (matches
+        # clustering._normalize_block; ANSI mode THROWS on 0/0)
+        return F.when(den != 0.0, dot_expr(a, b, dim) / den) \
+            .otherwise(F.lit(0.0))
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    den = F.sqrt(na) * F.sqrt(nb)
+    return F.when(den != 0.0, dot / den).otherwise(F.lit(0.0))
 
 
 def embedding_near_dup_pairs(

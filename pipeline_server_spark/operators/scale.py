@@ -488,9 +488,14 @@ def read_with_skipping(
         elif b == "not_null":
             cond = cond & ~all_null
         else:
+            # (lo, hi) with None = unbounded on that side (a one-sided
+            # predicate like `k < 10` derives (None, 10))
             lo, hi = b
-            overlap = (F.col(f"{c}_max") >= F.lit(lo)) & \
-                (F.col(f"{c}_min") <= F.lit(hi))
+            overlap = F.lit(True)
+            if lo is not None:
+                overlap = overlap & (F.col(f"{c}_max") >= F.lit(lo))
+            if hi is not None:
+                overlap = overlap & (F.col(f"{c}_min") <= F.lit(hi))
             cond = cond & ~all_null & (F.col(f"{c}_max").isNull() | overlap)
     picked = [r["file"] for r in index.where(cond).select("file").collect()]
     total = index.count()
@@ -503,7 +508,10 @@ def read_with_skipping(
         elif b == "not_null":
             residual = residual & F.col(c).isNotNull()
         else:
-            residual = residual & F.col(c).between(F.lit(b[0]), F.lit(b[1]))
+            if b[0] is not None:
+                residual = residual & (F.col(c) >= F.lit(b[0]))
+            if b[1] is not None:
+                residual = residual & (F.col(c) <= F.lit(b[1]))
     if reader is None:
         # basePath keeps partition columns when the picked files live
         # in partition subdirectories

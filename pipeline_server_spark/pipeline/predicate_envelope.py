@@ -1,0 +1,212 @@
+"""Derive a skipping-index envelope (bounds / points) from a DML
+predicate itself.
+
+Round-8 verdict #1: ``delete_where`` / ``update_where`` used to trust
+a CALLER-SUPPLIED ``bounds``/``points`` envelope that "must be implied
+by the predicate; a narrower one silently misses files" — a silent
+data-loss footgun (and the REST path passed none at all, so every DML
+paid a full-table phase-1 scan). Delta derives file skipping from the
+DELETE/UPDATE predicate precisely so no caller can get this wrong;
+this module does the same for the conjunctive shapes an index can
+serve (reference parity anchor: the reference's row-level ops are
+keyed SQL emitted at the warehouse, RedshiftLoader.scala /
+SnowflakeLoader.scala — pruning there is the warehouse's job; here it
+is ours).
+
+Safety property that makes the walker simple: the envelope only has
+to be a SUPERSET of the predicate. A conjunct the walker cannot prove
+contributes NOTHING (widening is always correct); ``OR`` / ``NOT`` /
+UDFs / casts around the column side all fall back the same way — the
+worst case is the old full candidate scan, never a missed file.
+
+Recognized conjunct shapes (attribute on either side):
+
+- ``col = lit`` / ``col <=> lit``       → point (Bloom + min/max)
+- ``col <=> NULL`` / ``col IS NULL``    → bounds "is_null"
+- ``col IS NOT NULL``                   → bounds "not_null"
+- ``col >/>=/</<= lit``                 → one-sided range bound
+- ``col BETWEEN a AND b``               → (desugared to >= and <=)
+- ``col IN (lits)``                     → value range (one value: point)
+
+The predicate is resolved against the TABLE SCHEMA through a real
+(empty) analyzed plan, so literal values come back typed — Catalyst
+internal encodings (UTF8String, epoch micros/days, Decimal) are
+converted to the Python values ``F.lit`` round-trips identically.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, SparkSession
+    from pyspark.sql.types import StructType
+
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+_RANGE_OPS = {
+    # class name -> (bound kind when attr is LEFT, when attr is RIGHT)
+    "GreaterThan": ("lo", "hi"),
+    "GreaterThanOrEqual": ("lo", "hi"),
+    "LessThan": ("hi", "lo"),
+    "LessThanOrEqual": ("hi", "lo"),
+}
+
+_SUPPORTED_VALUE_TYPES = (
+    "boolean", "tinyint", "smallint", "int", "bigint",
+    "float", "double", "date", "timestamp", "timestamp_ntz", "string",
+)
+
+
+def _catalyst_to_py(value, simple_dt: str):
+    """Python value for a Catalyst-internal eval() result, or raise.
+
+    The converted value must round-trip through ``F.lit`` to the same
+    Catalyst value the analyzer produced — the index comparison and
+    the residual filter in read_with_skipping re-litify it."""
+    if value is None:
+        return None
+    if simple_dt in ("timestamp",):
+        # micros since epoch UTC -> session-local naive (F.lit's
+        # interpretation); symmetric with how the literal was encoded
+        return _dt.datetime.fromtimestamp(0) + _dt.timedelta(
+            microseconds=int(value))
+    if simple_dt == "timestamp_ntz":
+        return _EPOCH_DT + _dt.timedelta(microseconds=int(value))
+    if simple_dt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=int(value))
+    if simple_dt.startswith("decimal"):
+        return _decimal.Decimal(str(value.toString()))
+    if simple_dt == "string":
+        return str(value.toString())
+    if simple_dt in _SUPPORTED_VALUE_TYPES:
+        # boolean/ints/floats arrive as Python natives via py4j
+        if isinstance(value, (bool, int, float)):
+            return value
+    raise ValueError(f"unsupported literal type {simple_dt!r}")
+
+
+def _flatten_and(e):
+    if e.getClass().getSimpleName() == "And":
+        yield from _flatten_and(e.children().apply(0))
+        yield from _flatten_and(e.children().apply(1))
+    else:
+        yield e
+
+
+def _attr_name(e) -> str | None:
+    if e.getClass().getSimpleName() == "AttributeReference":
+        return str(e.name())
+    return None
+
+
+def _literal_value(e):
+    """(python_value, True) when e is a foldable scalar (a Literal or
+    a cast of one), else (None, False)."""
+    try:
+        if not e.foldable():
+            return None, False
+        return _catalyst_to_py(e.eval(None),
+                               e.dataType().simpleString()), True
+    except Exception:
+        return None, False
+
+
+def derive_envelope(spark: "SparkSession", predicate: "Column",
+                    schema: "StructType") -> tuple[dict, dict]:
+    """(bounds, points) implied by ``predicate`` over a table with
+    ``schema`` — in :meth:`VersionedTable.read_pruned`'s vocabulary.
+    Conjuncts the walker can't serve contribute nothing; a predicate
+    with no derivable conjunct yields ``({}, {})`` (full scan)."""
+    try:
+        cond = (spark.createDataFrame([], schema)
+                .where(predicate)
+                ._jdf.queryExecution().analyzed().condition())
+    except Exception:
+        # analysis failing here would fail identically (and louder) in
+        # the DML's own phase-1 scan — don't mask that error path
+        return {}, {}
+
+    points: dict = {}
+    los: dict = {}
+    his: dict = {}
+    is_null: set = set()
+    not_null: set = set()
+
+    for c in _flatten_and(cond):
+        try:
+            name = c.getClass().getSimpleName()
+            kids = c.children()
+            if name in ("IsNull", "IsNotNull"):
+                col = _attr_name(kids.apply(0))
+                if col is not None:
+                    (is_null if name == "IsNull" else not_null).add(col)
+                continue
+            if name == "In":
+                col = _attr_name(kids.apply(0))
+                if col is None:
+                    continue
+                vals = []
+                ok = True
+                for i in range(1, kids.size()):
+                    v, got = _literal_value(kids.apply(i))
+                    if not got:
+                        ok = False
+                        break
+                    if v is not None:  # IN (.., NULL) never matches NULL
+                        vals.append(v)
+                if not ok or not vals:
+                    continue
+                if len(vals) == 1:
+                    points.setdefault(col, vals[0])
+                else:
+                    los.setdefault(col, []).append(min(vals))
+                    his.setdefault(col, []).append(max(vals))
+                continue
+            if kids.size() != 2:
+                continue
+            left, right = kids.apply(0), kids.apply(1)
+            for attr_side, val_side, attr_is_left in (
+                    (left, right, True), (right, left, False)):
+                col = _attr_name(attr_side)
+                if col is None:
+                    continue
+                v, got = _literal_value(val_side)
+                if not got:
+                    break
+                if name in ("EqualTo", "EqualNullSafe"):
+                    if v is None:
+                        if name == "EqualNullSafe":
+                            is_null.add(col)
+                        # col = NULL matches nothing: no constraint
+                    else:
+                        points.setdefault(col, v)
+                elif name in _RANGE_OPS and v is not None:
+                    kind = _RANGE_OPS[name][0 if attr_is_left else 1]
+                    (los if kind == "lo" else his).setdefault(
+                        col, []).append(v)
+                break
+        except Exception:
+            continue  # unprovable conjunct: widen, never narrow
+
+    bounds: dict = {}
+    for col in set(los) | set(his) | is_null | not_null:
+        if col in points:
+            continue  # the point alone is implied and strictly tighter
+        if col in is_null:
+            bounds[col] = "is_null"
+            continue
+        try:
+            lo = max(los[col]) if col in los else None
+            hi = min(his[col]) if col in his else None
+        except Exception:
+            continue
+        if lo is None and hi is None:
+            if col in not_null:
+                bounds[col] = "not_null"
+            continue
+        bounds[col] = (lo, hi)
+    return bounds, points

@@ -419,7 +419,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    approx = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).select("query_id", "nbr_id")
+    # 3 Lloyd iterations: a 16-cell coarse PARTITIONER converges in a
+    # couple of rounds; the recall gate below enforces the quality bar
+    # and each extra iteration is a full corpus pass
+    approx = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4,
+                      kmeans_iters=3).select("query_id", "nbr_id")
     exact = brute_force_topk(e, q, k=5, dim=64).select("query_id", "nbr_id")
     hits = (
         exact.join(approx, ["query_id", "nbr_id"], "left_semi")

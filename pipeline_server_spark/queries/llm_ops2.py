@@ -167,10 +167,13 @@ def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def term_relevance_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 salient terms by tf/df (the TF-IDF shape with
     an exact-rational score, so both engines rank identically). Two
-    hash aggs — (doc, term) then (term) — one broadcast-able join back,
-    one per-doc window. The document-frequency table is tiny relative
-    to the corpus (vocabulary ≪ tokens), so at fleet scale the join
-    broadcasts; ties break on the term itself."""
+    hash aggs — (doc, term) then (term) — one equi-join back, one
+    per-doc window. The document-frequency table is vocabulary-sized
+    and data-dependent (10^8+ distinct terms on a web corpus), so the
+    join is NOT hint-forced to broadcast: AQE broadcasts it when it
+    measures under threshold and shuffle-hash-joins otherwise
+    (round-8 verdict — a forced hint is the classic 100 TB OOM).
+    Ties break on the term itself."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -178,7 +181,7 @@ def term_relevance_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf").cast("double") / F.col("df")
     win = W.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .select(
             "doc_id",
             "term",

@@ -652,8 +652,13 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(27,9)")
     terms = (
         dbig.join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
-        .crossJoin(F.broadcast(vocab))
+        # c1 is the unigram MODEL — vocabulary-sized, data-dependent
+        # (10^8-10^9 distinct tokens on a real web corpus), so no
+        # forced broadcast: AQE auto-broadcasts when it measures small
+        # and falls back to a shuffled hash join when it doesn't
+        # (round-8 verdict: a forced hint here is an OOM at 100 TB)
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar: always safe
         .select("doc_id", "cnt", term.alias("term"))
     )
     return (
@@ -818,7 +823,12 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(plants)
     q = base.where(F.col("vec_id") < 10)
-    top = ivf_pq_topk(corpus, q, k=5, n_probe=4, rerank=3, k_sub=16)
+    # kmeans_iters=3: coarse cells + residual codebooks both converge
+    # in a couple of Lloyd rounds at this k; the plant gate (cos≈1)
+    # and the pytest weak-neighbor overlap enforce quality, and every
+    # extra iteration is a full corpus pass
+    top = ivf_pq_topk(corpus, q, k=5, n_probe=4, rerank=3, k_sub=16,
+                      kmeans_iters=3)
     return (
         q.select(F.col("vec_id").alias("query_id"))
         .join(
@@ -1188,7 +1198,11 @@ def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (p * F.log2(p / q)).cast("decimal(27,9)")
     return (
         dc.join(dn, "doc_id")
-        .join(F.broadcast(gc), "w")
+        # gc is the corpus term-frequency table — vocabulary-sized and
+        # data-dependent; let AQE size the join instead of forcing a
+        # broadcast that OOMs at web-corpus vocabularies (round-8
+        # verdict). gn stays hinted: it is ONE row by construction.
+        .join(gc, "w")
         .crossJoin(F.broadcast(gn))
         .select("doc_id", term.alias("t"))
         .groupBy("doc_id")

@@ -272,7 +272,18 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
                 return True, s.lower() == "true"
             if dtype == "date":
                 return True, _dt.date.fromisoformat(s)
-            return True, s  # string-family: the rendering IS the value
+            if dtype in ("timestamp", "timestamp_ntz"):
+                return True, _dt.datetime.fromisoformat(s)
+            if dtype.startswith("decimal"):
+                import decimal
+                return True, decimal.Decimal(s)
+            if dtype == "string" or dtype.startswith(("char", "varchar")):
+                return True, s  # string-family: the rendering IS the value
+            # falling through to the raw string for an unknown type
+            # would stream a wrong-typed value (round-8 advice)
+            raise ValueError(
+                f"unsupported hive partition type {dtype!r} for "
+                f"partition column {name!r}")
         return False, None
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

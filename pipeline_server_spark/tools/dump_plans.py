@@ -75,6 +75,24 @@ SHOW = {
         "CDF rollup maintenance: feed deltas union the view and "
         "re-aggregate map-side; old fact rows never rescanned"
     ),
+    "zipf_token_fit": (
+        "Zipf rank-frequency fit: one gram-count shuffle, rank from a "
+        "window over the count key, OLS moments in one decimal agg"
+    ),
+    "doc_kl_divergence": (
+        "KL(doc‖corpus): per-doc and corpus term tables equi-joined "
+        "on the token key — the vocabulary-sized corpus side is AQE-"
+        "sized, NOT hint-broadcast (round-8 verdict); one 1-row "
+        "scalar broadcast for the corpus total"
+    ),
+    "lexical_diversity_scores": (
+        "type/token + hapax ratios: one (doc, token) aggregation, "
+        "map-side combined, per-row double math"
+    ),
+    "template_prefix_clusters": (
+        "template detection: prefix-key groupBy (no pairwise join), "
+        "cluster stats in one aggregation"
+    ),
     "revenue_forecast": "all predicates reach the parquet scan",
     "regional_revenue": "6-way join: dims broadcast, facts hash-join",
     "top25_orders": "global top-k without a full sort",

@@ -690,3 +690,55 @@ def test_constraint_history_delete_endpoints(spark, server):
         "/dataset/constraint?name=api_dml&checkname=id_nonneg", b"")
     assert status == 200 and cons["check"] == {}
     upload(-5, -1)
+
+
+def test_rest_dml_prunes_through_the_derived_envelope(spark, server):
+    """Round-9 verdict #1, REST face: /dataset/delete and
+    /dataset/update used to pass NO envelope, so every DML paid a
+    full-table phase-1 scan. The envelope is now derived from the
+    where-string itself — an indexed predicate opens a strict subset
+    of the table's files (IO-asserted via the commit's
+    candidate_files/total_files telemetry)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_prune")
+    cfg = DatasetConfig(
+        name="api_prune",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    t = VersionedTable(spark, path)
+    t.commit(
+        spark.range(0, 8000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v"))
+        .repartitionByRange(8, "id"),
+        stats_cols=("id",))
+
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/delete?name=api_prune&where=id%20%3C%20100", b"")
+    assert status == 200 and out["matched"] is True
+    meta = t.commit_metadata(out["version"])
+    assert meta["candidate_files"] < meta["total_files"], \
+        "REST delete scanned the whole table"
+
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/update?name=api_prune&where=id%20%3D%20500"
+        "&set=v:v%2B1", b"")
+    assert status == 200 and out["matched"] is True
+    meta = t.commit_metadata(out["version"])
+    assert meta["candidate_files"] < meta["total_files"], \
+        "REST update scanned the whole table"
+    got = {r["id"]: r["v"] for r in
+           t.read().where(F.col("id").isin(99, 100, 500)).collect()}
+    assert 99 not in got and got[100] == 200 and got[500] == 1001

@@ -1048,7 +1048,7 @@ class TestIvfPq:
         sf = "/root/testdata/sf0.01"
         e = load_table(spark, sf, "embeddings")
         q = e.where(F.col("vec_id") < 10)
-        kw = dict(k=5, n_probe=6, rerank=6, k_sub=32, train_sample=1024)
+        kw = dict(k=5, n_probe=6, rerank=6, k_sub=32)
         approx = ivf_pq_topk(e, q, **kw).select("query_id", "nbr_id")
         exact = brute_force_topk(e, q, k=5, dim=64).select(
             "query_id", "nbr_id")

@@ -113,11 +113,16 @@ def test_interval_join_is_equi_with_range_condition(spark):
     assert "event_type" in plan  # source filters pushed into both scans
 
 
-def test_term_relevance_broadcasts_doc_freq(spark):
-    """The vocabulary-side (df) join must broadcast — never shuffle the
-    (doc, term) side on term."""
+def test_term_relevance_equi_joins_doc_freq(spark):
+    """The vocabulary-side (df) join is an equi-join sized by AQE —
+    NOT a forced broadcast (the df table is vocabulary-sized and
+    data-dependent; a mandatory broadcast hint is an OOM on a web
+    corpus — round-8 verdict #1) and never a nested loop."""
     plan = _plan(spark, "term_relevance_top3")
-    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
 
 
 def test_ngram_coverage_single_gram_shuffle(spark):

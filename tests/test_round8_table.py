@@ -227,8 +227,7 @@ class TestPrunedDml:
         t = VersionedTable(spark, str(tmp_path / "d1"))
         t.commit(_rows(spark, 0, 8000).repartitionByRange(8, "k"),
                  stats_cols=("k",))
-        v = t.delete_where(F.col("k").between(100, 150),
-                           bounds={"k": (100, 150)})
+        v = t.delete_where(F.col("k").between(100, 150))
         assert v == 2
         got = t.read()
         assert got.count() == 8000 - 51
@@ -251,8 +250,7 @@ class TestPrunedDml:
         t = VersionedTable(spark, str(tmp_path / "d3"))
         t.commit(_rows(spark, 0, 4000).repartitionByRange(4, "k"),
                  stats_cols=("k",))
-        t.delete_where(F.col("k") < 1000, bounds={"k": (None, None)
-                       if False else (0, 999)})
+        t.delete_where(F.col("k") < 1000)
         got, fr, ft = t.read_pruned({"k": (3000, 3100)})
         assert got.count() == 101 and 0 < fr < ft
         s = t.snapshot_stats()
@@ -264,8 +262,7 @@ class TestPrunedDml:
         t.commit(_rows(spark, 0, 1000).repartitionByRange(4, "k"),
                  stats_cols=("k",))
         v = t.update_where(F.col("k") < 10,
-                           {"v": F.col("v") + 1000},
-                           bounds={"k": (0, 9)})
+                           {"v": F.col("v") + 1000})
         assert v == 2
         vals = {r["k"]: r["v"] for r in t.read().collect()}
         assert vals[5] == 10 + 1000 and vals[500] == 1000

@@ -1,0 +1,308 @@
+"""Round-9 advice fixes.
+
+1. CDC partition matching BY VALUE (writers._prefix_part_values):
+   Spark's hive path rendering (lowercase booleans, percent-escaped
+   specials) diverges from Python's f-string, so the old
+   string-rendered touched-prefix set silently failed to drop a
+   partition whose every row was deleted — CDC deletes lost in the
+   replica (round-8 advice, high).
+2. Stream source recovers TIMESTAMP / DECIMAL partition values typed
+   (round-8 advice, low).
+3. Zero-norm embeddings no longer poison ANN normalization
+   (round-8 advice, low).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+def _drain(spark, stream_df, name):
+    out = []
+    q = (stream_df.writeStream
+         .foreachBatch(lambda df, bid: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation",
+                 spark.conf.get("spark.sql.warehouse.dir") + f"/_ck_{name}")
+         .start())
+    q.awaitTermination(120)
+    return out
+
+
+class TestCdcDeleteAllOfPartitionByValue:
+    """A CDC batch that deletes EVERY row of a partition writes no
+    files for it, so the drop decision rides entirely on matching the
+    touched partition value against the manifest's Spark-rendered
+    prefix — exactly where Python-vs-Spark rendering diverges."""
+
+    def test_boolean_partition_delete_all(self, spark, tmp_path):
+        # Spark renders the hive path as p=true; Python str(True) is
+        # 'True' — the pre-fix comparison never matched, and the
+        # deleted keys survived in the replica.
+        t = VersionedTable(spark, str(tmp_path / "b1"))
+        df = spark.createDataFrame(
+            [(k, k * 2, k % 2 == 0) for k in range(10)],
+            "k long, v long, p boolean")
+        t.commit(df, partition_by=("p",))
+        feed = spark.createDataFrame(
+            [(k, k * 2, True, "delete", 1) for k in range(0, 10, 2)],
+            "k long, v long, p boolean, _change_type string, "
+            "_commit_version long")
+        t.commit_cdc_partitioned(feed, keys=["k"], partition_by=["p"])
+        got = {(r["k"], r["p"]) for r in t.read().collect()}
+        assert got == {(k, False) for k in range(1, 10, 2)}, \
+            "deleted keys survived: touched-partition match failed"
+
+    def test_percent_escaped_string_partition_delete_all(
+            self, spark, tmp_path):
+        # ':' is percent-escaped by Spark's escapePathName (p=x%3Ay);
+        # a plain f-string renders p=x:y and never matches.
+        t = VersionedTable(spark, str(tmp_path / "s1"))
+        df = spark.createDataFrame(
+            [(1, "x:y"), (2, "x:y"), (3, "plain"), (4, None)],
+            "k long, p string")
+        t.commit(df, partition_by=("p",))
+        feed = spark.createDataFrame(
+            [(1, "x:y", "delete", 1), (2, "x:y", "delete", 1),
+             (4, None, "delete", 1)],
+            "k long, p string, _change_type string, _commit_version long")
+        t.commit_cdc_partitioned(feed, keys=["k"], partition_by=["p"])
+        got = {(r["k"], r["p"]) for r in t.read().collect()}
+        assert got == {(3, "plain")}
+
+    def test_timestamp_partition_delete_all(self, spark, tmp_path):
+        # Spark renders 'ts=2024-01-01 12%3A00%3A00'; Python's
+        # f-string gives 'ts=2024-01-01 12:00:00'.
+        t = VersionedTable(spark, str(tmp_path / "t1"))
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        t1 = dt.datetime(2024, 6, 1, 7, 30, 0)
+        df = spark.createDataFrame(
+            [(1, t0), (2, t0), (3, t1)], "k long, ts timestamp")
+        t.commit(df, partition_by=("ts",))
+        feed = spark.createDataFrame(
+            [(1, t0, "delete", 1), (2, t0, "delete", 1)],
+            "k long, ts timestamp, _change_type string, "
+            "_commit_version long")
+        t.commit_cdc_partitioned(feed, keys=["k"], partition_by=["ts"])
+        got = {(r["k"], r["ts"]) for r in t.read().collect()}
+        assert got == {(3, t1)}
+
+    def test_mixed_upsert_and_full_partition_delete(self, spark, tmp_path):
+        # survivors + upserts in one partition, full wipe of another —
+        # the untouched partition carries forward by reference.
+        t = VersionedTable(spark, str(tmp_path / "m1"))
+        df = spark.createDataFrame(
+            [(k, k, bool(k % 2)) for k in range(12)],
+            "k long, v long, p boolean")
+        t.commit(df, partition_by=("p",))
+        feed = spark.createDataFrame(
+            # wipe p=false entirely; update one key in p=true
+            [(k, k, False, "delete", 1) for k in range(0, 12, 2)]
+            + [(1, 999, True, "update_postimage", 1)],
+            "k long, v long, p boolean, _change_type string, "
+            "_commit_version long")
+        t.commit_cdc_partitioned(feed, keys=["k"], partition_by=["p"])
+        got = {(r["k"], r["v"]) for r in t.read().collect()}
+        assert got == {(1, 999)} | {(k, k) for k in range(3, 12, 2)}
+
+    def test_unsupported_partition_type_raises(self):
+        with pytest.raises(ValueError, match="unsupported hive"):
+            VersionedTable._parse_hive_part_value("AAA=", "binary")
+
+
+class TestTypedPartitionStreamRecovery:
+    def test_timestamp_and_decimal_partition_values_stream_typed(
+            self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+
+        root = str(tmp_path / "tsdec")
+        t = VersionedTable(spark, root)
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 12, 0, 0),
+             decimal.Decimal("10.50")),
+            (2, dt.datetime(2024, 1, 2, 0, 30, 15),
+             decimal.Decimal("-3.25")),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, d decimal(10,2)")
+        t.commit(df, partition_by=("ts", "d"))
+        got = _drain(spark, stream_inserts(spark, root,
+                                           starting_version=1),
+                     str(tmp_path / "ck_tsdec"))
+        assert {(r["k"], r["ts"], r["d"]) for r in got} == set(rows)
+
+
+class TestZeroNormEmbeddingGuard:
+    def _corpus(self, spark, d=8, n=40):
+        rows = []
+        for i in range(n):
+            if i == 0:
+                v = [0.0] * d  # the poison row
+            else:
+                v = [float((i * 7 + j * 3) % 11 - 5) for j in range(d)]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_brute_force_zero_vector_scores_finite(self, spark):
+        import math
+
+        from pipeline_server_spark.operators.similarity import (
+            brute_force_topk)
+
+        corpus = self._corpus(spark)
+        queries = corpus.where(F.col("vec_id").isin(0, 5))
+        out = brute_force_topk(corpus, queries, k=3).collect()
+        assert all(math.isfinite(r["cosine"]) for r in out)
+        assert {r["query_id"] for r in out} == {0, 5}
+
+    def test_ivf_pq_zero_vector_does_not_poison_training(self, spark):
+        import math
+
+        from pipeline_server_spark.operators.similarity import ivf_pq_topk
+
+        corpus = self._corpus(spark)
+        queries = corpus.where(F.col("vec_id").isin(0, 5, 9))
+        out = ivf_pq_topk(corpus, queries, k=3, n_centroids=4,
+                          n_probe=4, m_sub=2, k_sub=4).collect()
+        # pre-fix: the id-0 zero vector NaN-poisoned centroid training
+        # and every downstream ADC score
+        assert out, "no results at all — training collapsed"
+        assert all(math.isfinite(r["cosine"]) for r in out)
+        assert {r["query_id"] for r in out} == {0, 5, 9}
+
+
+class TestDerivedDmlEnvelope:
+    """Round-9 verdict #1: the DML pruning envelope is DERIVED from
+    the predicate — the caller-supplied (and silently-narrowable)
+    envelope parameter is gone from every public entry point."""
+
+    def _schema(self):
+        from pyspark.sql import types as T
+        return T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("x", T.DoubleType()),
+        ])
+
+    def test_derivation_shapes(self, spark):
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        sch = self._schema()
+
+        b, p = derive_envelope(spark, F.col("k") == 5, sch)
+        assert (b, p) == ({}, {"k": 5})
+
+        b, p = derive_envelope(
+            spark, (F.col("k") >= 10) & (F.col("k") < 20), sch)
+        assert (b, p) == ({"k": (10, 20)}, {})
+
+        b, p = derive_envelope(spark, F.col("k").between(3, 7), sch)
+        assert (b, p) == ({"k": (3, 7)}, {})
+
+        b, p = derive_envelope(spark, F.expr("k < 100"), sch)
+        assert (b, p) == ({"k": (None, 100)}, {})
+
+        b, p = derive_envelope(spark, F.col("s").isin("a", "m", "c"), sch)
+        assert (b, p) == ({"s": ("a", "m")}, {})
+
+        b, p = derive_envelope(spark, F.col("s").isin("only"), sch)
+        assert (b, p) == ({}, {"s": "only"})
+
+        b, p = derive_envelope(
+            spark, F.col("x").isNull() & (F.col("k") > 0), sch)
+        assert (b, p) == ({"x": "is_null", "k": (0, None)}, {})
+
+        b, p = derive_envelope(spark, F.col("x").isNotNull(), sch)
+        assert (b, p) == ({"x": "not_null"}, {})
+
+        import datetime as dt
+        b, p = derive_envelope(
+            spark, F.col("ts") >= dt.datetime(2024, 1, 1, 12), sch)
+        assert b == {"ts": (dt.datetime(2024, 1, 1, 12), None)} and p == {}
+
+        # literal on the LEFT flips the bound direction
+        b, p = derive_envelope(spark, F.lit(50) > F.col("k"), sch)
+        assert (b, p) == ({"k": (None, 50)}, {})
+
+    def test_underivable_shapes_widen_never_narrow(self, spark):
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        sch = self._schema()
+        # OR cannot narrow a conjunctive envelope
+        b, p = derive_envelope(
+            spark, (F.col("k") == 1) | (F.col("k") == 2), sch)
+        assert (b, p) == ({}, {})
+        # an underivable conjunct contributes nothing; the provable
+        # one still does
+        b, p = derive_envelope(
+            spark,
+            (F.col("k") == 5) & (F.length("s") > F.col("x")), sch)
+        assert (b, p) == ({}, {"k": 5})
+        # arithmetic around the column side is not provable
+        b, p = derive_envelope(spark, (F.col("k") + 1) < 10, sch)
+        assert (b, p) == ({}, {})
+
+    def test_delete_prunes_via_derived_envelope(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "dp1"))
+        t.commit(
+            spark.range(0, 8000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .repartitionByRange(8, "k"),
+            stats_cols=("k",))
+        t.delete_where(F.col("k").between(100, 150))
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"], \
+            "derived envelope did not prune the phase-1 scan"
+        assert t.read().count() == 8000 - 51
+
+    def test_point_delete_prunes_through_bloom(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "dp2"))
+        t.commit(
+            spark.range(0, 4000).select(
+                (F.col("id") * 37 % 4000).alias("k"),
+                F.col("id").alias("v")).repartition(8),
+            stats_cols=("v",), bloom_cols=("k",))
+        t.delete_where(F.col("k") == 123)
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"]
+        assert t.read().where(F.col("k") == 123).count() == 0
+        assert t.read().count() == 3999
+
+    def test_string_predicate_accepted_and_pruned(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "dp3"))
+        t.commit(
+            spark.range(0, 8000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .repartitionByRange(8, "k"),
+            stats_cols=("k",))
+        t.update_where("k < 10", {"v": F.col("v") + 1000})
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"]
+        vals = {r["k"]: r["v"] for r in
+                t.read().where(F.col("k") < 12).collect()}
+        assert vals[5] == 1010 and vals[11] == 22
+
+    def test_manual_envelope_footgun_is_gone(self, spark, tmp_path):
+        import inspect
+
+        for m in (VersionedTable.delete_where, VersionedTable.update_where):
+            params = inspect.signature(m).parameters
+            assert "bounds" not in params and "points" not in params, \
+                "the caller-supplied envelope footgun is back"
+        t = VersionedTable(spark, str(tmp_path / "dp4"))
+        t.commit(spark.range(0, 10).select(F.col("id").alias("k")))
+        with pytest.raises(TypeError):
+            t.delete_where(F.col("k") < 5, bounds={"k": (0, 1)})
+        with pytest.raises(TypeError):
+            t.update_where(F.col("k") < 5, {"k": F.lit(0)},
+                           points={"k": 0})
