@@ -101,6 +101,11 @@ HEADLINE = [
     # round-8 session 3: the Viterbi apply pass over the trained
     # unigram pieces (the SentencePiece encode twin of bpe_encode)
     "unigram_encode_corpus",
+    # round-9: the hashed-n-gram quality classifier — 4 Newton rounds
+    # of one Arrow pass + a model-sized (gradient+Hessian) decimal
+    # reduction each, then a scoring pass; the iterative-training
+    # regression twin for the CCNet-style quality-filter family
+    "quality_classifier_scores",
 ]
 
 
@@ -125,11 +130,15 @@ def main() -> None:
         # block-manager setup + per-round job scheduling)
         QUERIES["corpus_curation_pipeline"](spark, warm).count()
 
-    # min of two runs per query: the plan's cost is the floor; the
-    # delta between runs is scheduler/OS noise this report should not
-    # carry round-over-round (both runs execute the full plan).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # min of N runs per query AFTER a discarded warm-up run: the
+    # plan's cost is the floor; the delta between runs is
+    # scheduler/OS noise this report should not carry round-over-round
+    # (round-8 verdict #7: the official r8 artifact carried a uniform
+    # ~1.27× machine-churn inflation — min-of-5 + an explicit warm-up
+    # + an in-band load marker make that visible instead of argued).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    load_start = os.getloadavg()[0]
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
@@ -146,11 +155,13 @@ def main() -> None:
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             jrdd.unpersist()
         best, n = None, 0
-        for _ in range(max(1, n_runs)):
+        for run in range(max(1, n_runs) + 1):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             elapsed = time.perf_counter() - t0
+            if run == 0:
+                continue  # warm-up: first execution pays codegen/JIT
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
@@ -164,6 +175,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                # in-band machine-churn markers: a loaded box shows up
+                # here instead of masquerading as a code regression
+                "loadavg_1m_start": round(load_start, 2),
+                "loadavg_1m_end": round(os.getloadavg()[0], 2),
+                "bench_runs": n_runs,
             }
         )
     )

@@ -1,0 +1,221 @@
+"""Hashed-n-gram quality classifier (train + score).
+
+The standard pretraining-data quality filter (the public idea behind
+CCNet / GPT-3's Wikipedia-vs-crawl logistic regression and fastText's
+hashed-n-gram classifiers; original implementation): a LOGISTIC
+REGRESSION over hashed word uni+bigram PRESENCE features, trained
+with ridge-regularized NEWTON/IRLS steps where — following this
+repo's exact-math playbook (:mod:`.clustering`) — all PER-ROW math is
+float64 (batching can't change it) and every CROSS-ROW sum (gradient
+AND Hessian) is an exact integer/decimal aggregation of per-row
+QUANTIZED contributions, so the trained weights — and every score —
+are bit-identical across partitionings, Arrow batch sizes, and
+executor counts. Newton rather than plain GD because presence
+features are heavily correlated (plain GD oscillates; IRLS converges
+in ~4 rounds). Reference scope anchor: the reference has no ML
+operators; this extends the text-quality family (SURVEY.md §2
+beyond-ref, round-8 verdict #4).
+
+Algorithm SPEC (the pure-Python registry referee re-implements this
+spec with no shared code):
+
+1. tokens  = text.split(' ') minus empty strings
+2. grams   = tokens ++ [w_i + ' ' + w_{i+1} for consecutive pairs]
+3. bucket  = pmod(xxhash64_seed42(utf8(gram)), d)  (Spark's xxhash64)
+4. x       = PRESENCE vector: x[b] = 1.0 iff some gram hashed to b,
+             plus a constant bias feature x[d] = 1.0
+5. Newton, ``iters`` rounds, ridge ``lam``:
+     z_i = Σ_b (x_i ⊙ w)          (row-local pairwise sum — fixed
+                                    length ⇒ batching-independent)
+     p_i = 1 / (1 + exp(-z_i));   e_i = p_i − y_i;  r_i = p_i(1−p_i)
+     qe_i = floor(e_i·10⁹ + 0.5); qr_i = floor(r_i·10⁹ + 0.5)
+     (binary x makes the per-row quantized gradient/Hessian exactly
+      qe_i·x_i and qr_i·x_i x_iᵀ — int64 matmuls per batch, DECIMAL
+      across batches)
+     g = Σqe/(10⁹n) + lam·w;  H = ΣqH/(10⁹n) + lam·I
+     w −= solve(H, g)             (driver-side, identical inputs ⇒
+                                    identical step on both engines)
+6. score_i = floor(p_i(final w) · 10⁹ + 0.5) / 10⁹
+
+Scale shape: gram hashing and presence are pure JVM + one Arrow
+pass; the hashed-gram frame is persisted once; each Newton round is
+ONE mapInPandas pass emitting a single (d+1)+(d+1)² int64 partial
+row per Arrow batch plus one pos-keyed decimal aggregation — the
+model-sized Hessian (d=128 ⇒ ~17k numbers) to the driver per round,
+never rows; scoring is one more Arrow pass. On 100 TB: per-round
+cost = one narrow scan of the persisted frame; driver state = the
+weight vector + Hessian.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+
+#: per-row quantum scale: |e|, r <= 1 so quanta fit ±10^9; per-batch
+#: int64 sums hold ~9e9 rows per Arrow batch; cross-batch sums are
+#: DECIMAL(38,0)
+QUANT = 10**9
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    d_buckets: int = 128,
+    text_col: str = "text",
+) -> "F.Column":
+    """Column expression: the document's hashed uni+bigram bucket
+    array (``array<int>``, values in [0, d_buckets)). Pure JVM —
+    split, slice/zip_with bigrams, xxhash64, pmod — no UDF."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pairs),
+        F.slice(toks, 2, pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.transform(
+        F.concat(toks, bigrams),
+        lambda g: F.pmod(F.xxhash64(g), F.lit(d_buckets)).cast("int"))
+
+
+def _presence_block(bucket_lists, d: int) -> "np.ndarray":
+    """n × (d+1) float64 presence matrix (bias last) for one Arrow
+    batch — per-row work only, so batching can't change a value."""
+    import numpy as np
+
+    n = len(bucket_lists)
+    X = np.zeros((n, d + 1), dtype=np.float64)
+    for i, buckets in enumerate(bucket_lists):
+        b = np.asarray(buckets, dtype=np.int64)
+        if len(b):
+            X[i, np.unique(b)] = 1.0
+        X[i, d] = 1.0
+    return X
+
+
+def quality_classifier_fit(
+    docs: DataFrame,
+    label: "F.Column",
+    d_buckets: int = 128,
+    iters: int = 4,
+    lam: float = 1e-3,
+    text_col: str = "text",
+) -> list[float]:
+    """Train the hashed-n-gram logistic regression; returns the
+    ``d_buckets + 1`` weights (bias last) as plain floats —
+    model-sized driver state, like the BPE trainer's vocab.
+
+    ``label`` is a Column evaluating to the 0/1 training target."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    feats = docs.select(
+        label.cast("double").alias("_y"),
+        hashed_gram_buckets(docs, d_buckets, text_col).alias("_b"),
+    ).persist()
+
+    d1 = d_buckets + 1
+    partial_schema = T.StructType([
+        T.StructField("cnt", T.LongType()),
+        T.StructField("qs", T.ArrayType(T.LongType())),
+    ])
+    w = np.zeros(d1, dtype=np.float64)
+
+    try:
+        for _ in range(iters):
+
+            def _partials(batches: Iterator["object"],
+                          _w: "np.ndarray" = w.copy()) -> Iterator["object"]:
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    X = _presence_block(pdf["_b"].to_numpy(), d_buckets)
+                    z = (X * _w[None, :]).sum(axis=1)
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    y = pdf["_y"].to_numpy(dtype=np.float64)
+                    qe = np.floor((p - y) * QUANT + 0.5).astype(np.int64)
+                    qr = np.floor(p * (1.0 - p) * QUANT
+                                  + 0.5).astype(np.int64)
+                    Xi = X.astype(np.int64)  # binary ⇒ exact
+                    g = Xi.T @ qe                       # (d1,)
+                    H = (Xi * qr[:, None]).T @ Xi       # (d1, d1)
+                    yield pd.DataFrame({
+                        "cnt": [len(pdf)],
+                        "qs": [np.concatenate([g, H.ravel()]).tolist()],
+                    })
+
+            rows = (
+                feats.mapInPandas(_partials, schema=partial_schema)
+                .select("cnt", F.posexplode("qs").alias("pos", "q"))
+                .groupBy("pos")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+                )
+                .collect()
+            )
+            if not rows:
+                raise ValueError("quality_classifier_fit: empty input")
+            # every batch contributes its row count once per pos, so
+            # any pos group's cnt IS the corpus size
+            n = float(int(rows[0]["cnt"]))
+            flat = np.zeros(d1 + d1 * d1, dtype=np.float64)
+            for r in rows:
+                flat[r["pos"]] = float(int(r["s"]))
+            g = flat[:d1] / (QUANT * n) + lam * w
+            H = flat[d1:].reshape(d1, d1) / (QUANT * n) \
+                + lam * np.eye(d1)
+            w = w - np.linalg.solve(H, g)
+    finally:
+        feats.unpersist()
+    return [float(x) for x in w]
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    weights: list[float],
+    d_buckets: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One scoring pass with the trained weights: ``(doc_id,
+    quality_score double)`` where the score is the logistic
+    probability quantized at 10⁹ (identical on any engine computing
+    the spec)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    w = np.asarray(weights, dtype=np.float64)
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("quality_score", T.DoubleType()),
+    ])
+
+    feats = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        hashed_gram_buckets(docs, d_buckets, text_col).alias("_b"),
+    )
+
+    def _score(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _presence_block(pdf["_b"].to_numpy(), d_buckets)
+            z = (X * w[None, :]).sum(axis=1)
+            p = 1.0 / (1.0 + np.exp(-z))
+            q = np.floor(p * QUANT + 0.5) / QUANT
+            yield pd.DataFrame({"doc_id": pdf["_id"],
+                                "quality_score": q})
+
+    return feats.mapInPandas(_score, schema=out_schema)

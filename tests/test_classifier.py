@@ -1,0 +1,87 @@
+"""Hashed-n-gram quality classifier (round-9): partitioning
+invariance, genuine learning, and the pure-Python XXH64 referee's
+parity with Spark's xxhash64."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _label(markers=("spark", "vector")):
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    label = None
+    for m in markers:
+        c = F.array_contains(toks, m)
+        label = c if label is None else (label & c)
+    return label
+
+
+class TestQualityClassifier:
+    def test_weights_are_partitioning_invariant(self, spark):
+        """The exact-quanta gradient/Hessian sums make the trained
+        model a pure function of the data — bit-identical weights
+        whether the corpus arrives in 1 partition or 13."""
+        from pipeline_server_spark.operators.classifier import (
+            quality_classifier_fit)
+
+        docs = load_table(spark, SF, "documents")
+        w1 = quality_classifier_fit(docs.repartition(13), _label(),
+                                    d_buckets=64, iters=3)
+        w2 = quality_classifier_fit(docs.coalesce(1), _label(),
+                                    d_buckets=64, iters=3)
+        assert w1 == w2
+
+    def test_classifier_learns_above_prior(self, spark):
+        """Accuracy on the training target must clearly beat the
+        majority-class prior — the machinery isn't just converging to
+        a constant."""
+        from pipeline_server_spark.queries.classifier import (
+            quality_classifier_scores)
+
+        pdf = quality_classifier_scores(spark, SF).toPandas()
+        prior = max(pdf["label"].mean(), 1 - pdf["label"].mean())
+        acc = (pdf["predicted_hq"] == (pdf["label"] == 1)).mean()
+        assert acc >= prior + 0.15, (acc, prior)
+        # and the scores genuinely spread, not a constant near the prior
+        assert pdf["quality_score"].max() - pdf["quality_score"].min() > 0.5
+
+    def test_python_xxh64_matches_spark(self, spark):
+        from pipeline_server_spark.queries.classifier import _xxh64
+
+        words = ["spark", "a", "hello world", "x" * 40, "",
+                 "naïve-ütf8", "q" * 31, "r" * 32, "s" * 33]
+        got = {r["s"]: r["h"] for r in spark.createDataFrame(
+            [(w,) for w in words], "s string")
+            .select("s", F.xxhash64("s").alias("h")).collect()}
+        for w in words:
+            mine = _xxh64(w.encode("utf-8"), 42)
+            if mine >= (1 << 63):
+                mine -= 1 << 64
+            assert mine == got[w], w
+
+    def test_score_range_and_quantization(self, spark):
+        from pipeline_server_spark.operators.classifier import (
+            quality_classifier_fit, quality_classifier_score)
+
+        docs = load_table(spark, SF, "documents")
+        w = quality_classifier_fit(docs, _label(), d_buckets=64, iters=2)
+        pdf = quality_classifier_score(docs, w, d_buckets=64).toPandas()
+        assert ((pdf["quality_score"] >= 0.0)
+                & (pdf["quality_score"] <= 1.0)).all()
+        # quantized at 1e-9: re-quantizing is a no-op
+        import numpy as np
+        q = np.floor(pdf["quality_score"].to_numpy() * 1e9 + 0.5) / 1e9
+        assert (q == pdf["quality_score"].to_numpy()).all()
+
+    def test_empty_input_raises(self, spark):
+        from pipeline_server_spark.operators.classifier import (
+            quality_classifier_fit)
+
+        docs = load_table(spark, SF, "documents").where(F.lit(False))
+        with pytest.raises(Exception, match="empty input"):
+            quality_classifier_fit(docs, _label(), d_buckets=16, iters=1)
