@@ -101,6 +101,10 @@ HEADLINE = [
     # round-8 session 3: the Viterbi apply pass over the trained
     # unigram pieces (the SentencePiece encode twin of bpe_encode)
     "unigram_encode_corpus",
+    # round-9: exact substring-removal dedup — shared_span_pairs'
+    # banded gram join plus interval union + corpus rewrite; the
+    # heaviest pure-SQL-oracle shape in the Lee-et-al family
+    "remove_duplicate_spans",
     # round-9: the hashed-n-gram quality classifier — 4 Newton rounds
     # of one Arrow pass + a model-sized (gradient+Hessian) decimal
     # reduction each, then a scoring pass; the iterative-training
