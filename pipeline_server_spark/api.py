@@ -312,6 +312,12 @@ class PipelineApiServer:
             if method == "POST" and path == "/dataset/restore":
                 name, version = need("name", "version")
                 return 200, self.engine.restore(name, int(version))
+            if method == "POST" and path == "/dataset/rename-column":
+                name, old, new = need("name", "from", "to")
+                return 200, self.engine.rename_column(name, old, new)
+            if method == "POST" and path == "/dataset/drop-column":
+                name, col = need("name", "column")
+                return 200, self.engine.drop_column(name, col)
             if method == "GET" and path == "/dataset/history":
                 (name,) = need("name")
                 return 200, self.engine.table_history(name)

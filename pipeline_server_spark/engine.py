@@ -272,6 +272,24 @@ class Engine:
             new_version = table.restore(version)
         return {"version": new_version, "restored_version": version}
 
+    def rename_column(self, name: str, old: str, new: str) -> dict[str, Any]:
+        """Metadata-only column RENAME on a versioned dataset (Delta
+        column-mapping; round-9): O(1) in data, index/feed/stream
+        resolve through the mapping. Same lock + commit protocol as
+        every maintenance commit."""
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            version = table.rename_column(old, new)
+        return {"version": version, "renamed": {old: new}}
+
+    def drop_column(self, name: str, col: str) -> dict[str, Any]:
+        """Metadata-only column DROP (tombstoned — a later re-add can
+        never bind the dropped bytes)."""
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            version = table.drop_column(col)
+        return {"version": version, "dropped": col}
+
     def table_history(self, name: str) -> dict[str, Any]:
         """DESCRIBE HISTORY of a versioned dataset — manifest-sized,
         no data read (VersionedTable.history)."""

@@ -364,6 +364,15 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
                 names = {md.schema.column(i).path: i for i in range(md.num_columns)}
                 row = {"file": fpath, "n_rows": md.num_rows}
                 for c in cols:
+                    if c not in names:
+                        # the file's PHYSICAL schema deviates (written
+                        # before a column RENAME/DROP): stats unknown
+                        # — recorded as NULL, so the file is always
+                        # read, never wrongly pruned
+                        row[f"{c}_min"] = None
+                        row[f"{c}_max"] = None
+                        row[f"{c}_nulls"] = None
+                        continue
                     lo = hi = None
                     nulls: int | None = 0
                     mm_known = True
@@ -389,6 +398,10 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
                     row[f"{c}_max"] = hi
                     row[f"{c}_nulls"] = nulls
                 for c in blooms:
+                    if c not in names:
+                        row[f"{c}_bloom"] = None  # absent ⇒ always read
+                        row[f"{c}_bloom_k"] = None
+                        continue
                     col_vals = pf.read(columns=[c]).column(0).to_pylist()
                     words, k = _bloom_build(col_vals, bloom_fpp)
                     row[f"{c}_bloom"] = words

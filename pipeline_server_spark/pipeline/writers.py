@@ -461,10 +461,15 @@ class VersionedTable:
         doc = self._filelist_doc(version)
         return None if doc is None else [tuple(e) for e in doc["files"]]
 
+    #: sentinel: _write_filelist inherits the prior version's
+    #: dir_renames unless the caller overrides explicitly (restore
+    #: must restore the OLD mapping, possibly none)
+    _INHERIT = object()
+
     def _write_filelist(self, target: str, entries: list[tuple[str, str]],
                         schema=None, stats_cols=None, kind: str | None = None,
                         partition_by=None, bloom_cols=None,
-                        cdf: bool = False) -> None:
+                        cdf: bool = False, dir_renames=_INHERIT) -> None:
         import json
         import time
 
@@ -506,6 +511,16 @@ class VersionedTable:
             # commit time — batch + streaming CDF consumers read those
             # files instead of computing a snapshot join
             doc["cdf"] = True
+        if dir_renames is self._INHERIT:
+            # column-mapping continuity (round-8 verdict #6): every
+            # commit carries forward the accumulated per-directory
+            # physical→logical deviations so files written before a
+            # RENAME/DROP keep reading correctly by reference
+            cur = self.current_version()
+            dir_renames = ((self._filelist_doc(cur) or {})
+                           .get("dir_renames") if cur is not None else None)
+        if dir_renames:
+            doc["dir_renames"] = dir_renames
         with open(os.path.join(target, self.FILELIST), "w") as f:
             json.dump(doc, f)
 
@@ -518,6 +533,20 @@ class VersionedTable:
         if doc is None or "schema" not in doc:
             return None
         return T.StructType.fromJson(json.loads(doc["schema"]))
+
+    def _dir_renames(self, version: int | None) -> dict:
+        """The version's accumulated column mapping:
+        ``{version-dir-basename: {physical_column: logical_column |
+        None}}`` — per-directory deviations from identity. A file's
+        PHYSICAL column names are whatever the table's logical names
+        were when its directory was written; a later metadata-only
+        RENAME records phys→new-logical for every then-referenced
+        directory, and a DROP records phys→None (a tombstone, so a
+        column re-added under the same name can never bind to the
+        dropped column's bytes). Absent entry/dir = identity."""
+        if version is None:
+            return {}
+        return (self._filelist_doc(version) or {}).get("dir_renames") or {}
 
     def _filelist_stats_cols(self, version: int) -> list[str] | None:
         """Columns the version's skipping index covers (recorded at
@@ -591,7 +620,42 @@ class VersionedTable:
             return os.path.join(bases[entry[0]], entry[1])
         return local
 
-    def _read_files(self, files: list[str], schema=None) -> DataFrame:
+    def _read_mapped_group(self, base: str, fs: list[str], schema,
+                           dev: dict) -> DataFrame:
+        """Read one version directory whose physical column names
+        deviate from the logical schema (``dev``: physical → logical
+        | None): the scan requests the PHYSICAL schema (so parquet
+        column pruning and typed partition parsing still apply),
+        then aliases back to logical names; a logical column whose
+        name is CLAIMED in this directory by a renamed-away or
+        dropped column null-fills instead of binding to stale bytes."""
+        from pyspark.sql import types as T
+
+        inv = {log: phys for phys, log in dev.items() if log is not None}
+        claimed = set(dev)
+        phys_fields = []
+        plan: list[tuple[str, object]] = []  # (physical-or-None, field)
+        for f in schema.fields:
+            phys = inv.get(f.name)
+            if phys is None:
+                if f.name in claimed:
+                    plan.append((None, f))  # absent here: null-fill
+                    continue
+                phys = f.name
+            phys_fields.append(
+                T.StructField(phys, f.dataType, f.nullable, f.metadata))
+            plan.append((phys, f))
+        df = (self.spark.read.option("basePath", base)
+              .schema(T.StructType(phys_fields))
+              .format(self.file_format).load(sorted(fs)))
+        return df.select(*[
+            (F.lit(None).cast(f.dataType).alias(f.name) if phys is None
+             else df[phys].alias(f.name))
+            for phys, f in plan
+        ])
+
+    def _read_files(self, files: list[str], schema=None,
+                    dir_renames: dict | None = None) -> DataFrame:
         """Read an explicit list of ABSOLUTE data-file paths as one
         DataFrame: one ``basePath``-anchored scan per contributing
         version directory (hive partition columns resolve from the
@@ -623,6 +687,10 @@ class VersionedTable:
             groups.setdefault(os.path.join(head, d), []).append(f)
         parts = []
         for base, fs in sorted(groups.items()):
+            dev = (dir_renames or {}).get(os.path.basename(base)) or {}
+            if schema is not None and dev:
+                parts.append(self._read_mapped_group(base, fs, schema, dev))
+                continue
             rd = self.spark.read.option("basePath", base)
             if schema is not None:
                 rd = rd.schema(schema)
@@ -1500,7 +1568,8 @@ class VersionedTable:
                 return self.spark.createDataFrame([], schema=schema)
             return self.spark.read.format(self.file_format).load(d)
         return self._read_files([self._abs_file(e) for e in entries],
-                                schema=self._filelist_schema(v))
+                                schema=self._filelist_schema(v),
+                                dir_renames=self._dir_renames(v))
 
     # -- named refs (Iceberg-style tags) ---------------------------------
     def _tags_dir(self) -> str:
@@ -1732,6 +1801,165 @@ class VersionedTable:
             meta.update(metadata)
         return self._publish(new_version, target, meta)
 
+    # -- column mapping: metadata-only RENAME / DROP ----------------------
+    def rename_column(self, old: str, new: str,
+                      metadata: dict | None = None) -> int:
+        """Delta-style column-mapping RENAME (round-8 verdict #6): a
+        METADATA-ONLY commit — no data file is copied or rewritten (a
+        rename used to be a full-table rewrite that broke the change
+        feed and the skipping index). The new manifest re-references
+        every file, records the new logical schema, and extends the
+        per-directory physical→logical deviations
+        (:meth:`_dir_renames`) so old files keep reading by
+        reference; the skipping index carries with its stat columns
+        renamed (index-sized, no footer read). Layout / bucket-key
+        columns are rejected (their names live in directory paths and
+        the bucket spec); CHECK constraints referencing the column
+        must be dropped first; a NOT NULL declaration and a
+        change-feed key follow the rename."""
+        if not new:
+            raise ValueError("rename_column: empty new name")
+        return self._map_column("rename", old, new, metadata)
+
+    def drop_column(self, col: str, metadata: dict | None = None) -> int:
+        """Metadata-only column DROP: the column leaves the logical
+        schema and every referenced directory records a TOMBSTONE for
+        its physical column, so a column re-added later under the
+        same name can never bind to the dropped column's bytes
+        (old-file reads null-fill it). O(1) in data; the physical
+        bytes are reclaimed only when the files themselves are
+        rewritten or vacuumed, exactly like Delta column mapping."""
+        return self._map_column("drop", col, None, metadata)
+
+    def _map_column(self, op: str, old: str, new: str | None,
+                    metadata: dict | None) -> int:
+        import re
+
+        from pyspark.sql import types as T
+
+        current = self.current_version()
+        if current is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        schema = self._filelist_schema(current)
+        if schema is None:
+            raise ValueError(
+                f"{op}_column needs a manifest-recorded schema "
+                "(legacy pre-manifest version)")
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"{op}_column: no column {old!r} "
+                             f"(have {names})")
+        if op == "rename":
+            if new == old:
+                raise ValueError("rename_column: new name equals old")
+            if new in names:
+                raise ValueError(
+                    f"rename_column: column {new!r} already exists")
+        doc = self._filelist_doc(current) or {}
+        layout = list(doc.get("partition_by") or [])
+        if old in layout:
+            raise ValueError(
+                f"cannot {op} partition column {old!r} — its values "
+                "live in directory names; rewrite with a new layout "
+                "instead")
+        spec = self.bucket_spec()
+        if spec is not None and old in spec["keys"]:
+            raise ValueError(
+                f"cannot {op} bucket key column {old!r} — the hash "
+                "layout is keyed on it")
+        cons = self.constraints()
+        pat = re.compile(rf"\b{re.escape(old)}\b")
+        refs = sorted(n for n, expr in cons["check"].items()
+                      if pat.search(expr))
+        if refs:
+            raise ValueError(
+                f"CHECK constraint(s) {refs} reference column {old!r} "
+                "— drop them first")
+        if op == "drop" and old in cons["not_null"]:
+            raise ValueError(
+                f"column {old!r} is declared NOT NULL — "
+                "drop_not_null first")
+        cdf = self.cdf_spec()
+        if op == "drop" and cdf is not None and old in cdf["keys"]:
+            raise ValueError(
+                f"column {old!r} is a change-feed key — "
+                "disable_change_feed first")
+
+        entries = self._entries_for_version(current)
+        new_map = {d: dict(m)
+                   for d, m in self._dir_renames(current).items()}
+        for d in sorted({e[0] for e in entries}):
+            m = new_map.setdefault(d, {})
+            inv = {log: phys for phys, log in m.items() if log is not None}
+            if old in inv:
+                phys = inv[old]
+            elif old not in m:  # identity: this dir stores it as `old`
+                phys = old
+            else:
+                continue  # logical column absent in this dir
+            m[phys] = new if op == "rename" else None
+        new_map = {d: m for d, m in new_map.items() if m}
+
+        if op == "rename":
+            fields = [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old else f
+                for f in schema.fields
+            ]
+        else:
+            fields = [f for f in schema.fields if f.name != old]
+        new_schema = T.StructType(fields)
+
+        def _swap(lst: list[str]) -> list[str]:
+            if op == "rename":
+                return [new if c == old else c for c in lst]
+            return [c for c in lst if c != old]
+
+        stats = list(doc.get("stats_cols") or [])
+        blooms = list(doc.get("bloom_cols") or [])
+        new_stats, new_blooms = _swap(stats), _swap(blooms)
+
+        version = current + 1
+        target = self._stage_dir(version)
+        os.makedirs(target, exist_ok=True)
+        self._write_filelist(
+            target, entries, schema=new_schema,
+            stats_cols=new_stats or None,
+            kind=f"{op}_column",
+            partition_by=layout or None,
+            bloom_cols=new_blooms or None,
+            dir_renames=new_map or None)
+        src_idx = os.path.join(self._resolve_dir(current), "_index")
+        if os.path.isdir(src_idx) and (new_stats or new_blooms):
+            # the index is file-level metadata: carry it with its stat
+            # columns renamed/dropped — O(index), zero footer reads,
+            # so incremental maintenance stays alive across the rename
+            idx = self.spark.read.parquet(src_idx)
+            for suf in ("_min", "_max", "_nulls", "_bloom"):
+                c = f"{old}{suf}"
+                if c not in idx.columns:
+                    continue
+                idx = (idx.withColumnRenamed(c, f"{new}{suf}")
+                       if op == "rename" else idx.drop(c))
+            idx.write.mode("overwrite").parquet(
+                os.path.join(target, "_index"))
+        meta = {"operation": f"{op}_column", "from": old}
+        if op == "rename":
+            meta["to"] = new
+        if metadata:
+            meta.update(metadata)
+        out = self._publish(version, target, meta)
+        # table-level properties follow AFTER the publish point so a
+        # losing racer leaves them untouched
+        if op == "rename" and old in cons["not_null"]:
+            cons["not_null"] = [new if c == old else c
+                                for c in cons["not_null"]]
+            self._write_constraints(cons)
+        if op == "rename" and cdf is not None and old in cdf["keys"]:
+            self.enable_change_feed(
+                [new if k == old else k for k in cdf["keys"]])
+        return out
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY parity: one record per live version —
         version, commit timestamp, commit kind (full / append / merge
@@ -1896,7 +2124,8 @@ class VersionedTable:
         touched = [e for p in selected for e in by_part[p]]
         files = [self._abs_file(e) for e in touched]
         schema = self._filelist_schema(current)
-        df = self._read_files(files, schema=schema)
+        df = self._read_files(files, schema=schema,
+                              dir_renames=self._dir_renames(current))
         total = sum(os.path.getsize(f) for f in files)
         if zorder_cols:
             # partition-scoped ZORDER WHERE: re-cluster ONLY the
@@ -2317,7 +2546,8 @@ class VersionedTable:
         # phase 1: which candidates REALLY contain matching rows
         touched: set[str] = set()
         if candidates:
-            cdf = self._read_files(candidates, schema=schema)
+            cdf = self._read_files(candidates, schema=schema,
+                                   dir_renames=self._dir_renames(current))
             hit_rows = (
                 cdf.where(predicate)
                 .select(F.input_file_name().alias("_f"))
@@ -2335,7 +2565,8 @@ class VersionedTable:
 
         version = current + 1
         target = self._stage_dir(version)
-        keep = self._read_files(sorted(touched), schema=schema)
+        keep = self._read_files(sorted(touched), schema=schema,
+                                dir_renames=self._dir_renames(current))
         if kind == "delete":
             rewritten = keep.where(~F.coalesce(predicate, F.lit(False)))
         else:
@@ -2423,7 +2654,8 @@ class VersionedTable:
             if not files:
                 return self.read(version)
             return self._read_files(files,
-                                    schema=self._filelist_schema(version))
+                                    schema=self._filelist_schema(version),
+                                    dir_renames=self._dir_renames(version))
 
         read_with_skipping(self.spark, d, idx, bounds, reader=reader,
                            points=points)
@@ -2509,7 +2741,8 @@ class VersionedTable:
             # applies where(False), we just supply the schema
             if not files:
                 return self.read(v)
-            return self._read_files(files, schema=self._filelist_schema(v))
+            return self._read_files(files, schema=self._filelist_schema(v),
+                                    dir_renames=self._dir_renames(v))
 
         idx = self.spark.read.parquet(idx_path)
         return read_with_skipping(self.spark, d, idx, bounds, reader=reader,
@@ -2561,6 +2794,13 @@ class VersionedTable:
                 # self-diff to discover an empty step
                 continue
             kind = self._commit_kind(v)
+            if kind in ("rename_column", "drop_column"):
+                # metadata-only column-mapping commit: zero row
+                # changes by construction; steps before/after it keep
+                # their own versions' column names (the range union
+                # null-fills across the boundary, the documented
+                # schema-evolution behavior)
+                continue
             if (self._filelist_doc(v) or {}).get("cdf"):
                 # the commit materialized its diff at commit time
                 # (enable_change_feed): the step is a FILE READ —
@@ -2626,11 +2866,13 @@ class VersionedTable:
             if self._partition_prefix(e[1], depth) in rewritten
         ]
         b = self._read_files([self._abs_file(e) for e in new],
-                             schema=self._filelist_schema(version))
+                             schema=self._filelist_schema(version),
+                             dir_renames=self._dir_renames(version))
         if prior_touched:
             a = self._read_files(
                 [self._abs_file(e) for e in prior_touched],
-                schema=self._filelist_schema(version - 1))
+                schema=self._filelist_schema(version - 1),
+                dir_renames=self._dir_renames(version - 1))
         else:
             # the merge created brand-new partitions: all inserts
             a = self.spark.createDataFrame([], b.schema)
@@ -2646,7 +2888,8 @@ class VersionedTable:
         if not new:
             return None
         df = self._read_files([self._abs_file(e) for e in new],
-                              schema=self._filelist_schema(version))
+                              schema=self._filelist_schema(version),
+                              dir_renames=self._dir_renames(version))
         return df.select(
             *df.columns,
             F.lit("insert").alias("_change_type"),

@@ -119,12 +119,19 @@ def _abs_data_file(root: str, bases: dict, d: str, rel: str) -> str:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int, change_file: bool = False):
+    def __init__(self, path: str, version: int, change_file: bool = False,
+                 col_map: dict | None = None):
         self.path = path
         self.version = version
         # True: a commit-time _changes file (carries its own
         # _change_type column); False: a data file (insert feed)
         self.change_file = change_file
+        # column mapping across RENAME/DROP commits: stream-schema
+        # (current logical) name → the PHYSICAL name this version's
+        # files carry, or None when the logical column did not exist
+        # yet / was re-added after a drop (null-fill). Empty/absent =
+        # identity.
+        self.col_map = col_map or {}
 
 
 class _VersionedTableStreamReader(DataSourceStreamReader):
@@ -167,85 +174,213 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError(
                 f"{FORMAT_NAME}: maxVersionsPerTrigger must be >= 1")
+        # FILE-granular admission control (round-8 verdict #8): one
+        # fat commit is otherwise an unbounded micro-batch no version
+        # cap can split. Offsets carry (version, files-into-next), so
+        # a version's file list drains across triggers with
+        # exactly-once preserved by the ordinary offset checkpointing.
+        mfpt = options.get("maxfilespertrigger")
+        self._max_files = int(mfpt) if mfpt is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError(
+                f"{FORMAT_NAME}: maxFilesPerTrigger must be >= 1")
+        mbpt = options.get("maxbytespertrigger")
+        self._max_bytes = int(mbpt) if mbpt is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError(
+                f"{FORMAT_NAME}: maxBytesPerTrigger must be >= 1")
         # the cap watermark — see the comment above
-        self._last_end: int | None = None
+        self._last_end: tuple[int, int] | None = None
 
     # -- offsets ---------------------------------------------------------
+    # An offset {"version": v, "files": k} means: every streamable
+    # file of versions <= v delivered, PLUS the first k files of
+    # version v+1's (deterministically sorted) stream-file list.
+    # k=0 is the version boundary; offsets written by older builds
+    # ({"version": v} only) read as k=0 — fully compatible.
+    @staticmethod
+    def _off(o: dict) -> tuple[int, int]:
+        return int(o["version"]), int(o.get("files", 0))
+
     def initialOffset(self) -> dict:
         if self._starting is not None:
             # startingVersion=N streams version N ITSELF first (Delta
             # semantics) — the offset is exclusive, so start at N-1
-            return {"version": self._starting - 1}
+            return {"version": self._starting - 1, "files": 0}
         cur = _current_version(self.root)
         # default: stream only commits made AFTER the query starts
-        return {"version": cur if cur is not None else 0}
+        return {"version": cur if cur is not None else 0, "files": 0}
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.root)
         cur = cur if cur is not None else 0
-        if self._max_versions is not None and self._last_end is not None:
-            cur = min(cur, self._last_end + self._max_versions)
-        return {"version": cur}
+        if self._last_end is None:
+            # first call of this run: the batch start is unknown (see
+            # the watermark comment above) — uncapped by construction
+            return {"version": cur, "files": 0}
+        v0, k0 = self._last_end
+        if self._max_versions is not None:
+            cur = min(cur, v0 + self._max_versions)
+        if self._max_files is None and self._max_bytes is None:
+            return {"version": max(cur, v0), "files": k0 if cur <= v0 else 0}
+        # walk file-by-file from the watermark, stopping when either
+        # cap would be exceeded — always admitting at least one file
+        # so the stream can never stall on a single oversized file
+        ops = self._mapping_ops_after(v0)
+        n_files = 0
+        n_bytes = 0
+        end_v, end_k = v0, k0
+        u = v0 + 1
+        while u <= cur:
+            fs = self._stream_files(u, ops)
+            lo = k0 if u == v0 + 1 else 0
+            stopped = False
+            for j in range(lo, len(fs)):
+                try:
+                    sz = os.path.getsize(fs[j][0])
+                except OSError:
+                    sz = 0
+                if n_files >= 1 and (
+                        (self._max_files is not None
+                         and n_files + 1 > self._max_files)
+                        or (self._max_bytes is not None
+                            and n_bytes + sz > self._max_bytes)):
+                    stopped = True
+                    break
+                n_files += 1
+                n_bytes += sz
+                end_v, end_k = u - 1, j + 1
+            if stopped:
+                break
+            end_v, end_k = u, 0  # version u fully admitted
+            u += 1
+        return {"version": end_v, "files": end_k}
 
     # -- planning ---------------------------------------------------------
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        self._last_end = int(end["version"])  # cap watermark
-        parts: list[InputPartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            doc = _doc(self.root, v)
-            if doc is None:
-                raise ValueError(
-                    f"{FORMAT_NAME}: version {v} of {self.root} has no "
-                    "manifest (legacy or vacuumed) — start the stream at a "
-                    "newer version")
-            kind = doc.get("kind") or "full"
-            op = _meta_operation(self.root, v)
-            if isinstance(op, str) and op.startswith("optimize_"):
-                continue  # layout maintenance: zero row changes
-            if self.read_change_feed and doc.get("cdf"):
-                # the commit materialized its row-level diff at commit
-                # time (enable_change_feed): stream it straight from
-                # the _changes files — one partition per file,
-                # O(change-set), any commit kind
-                ch = os.path.join(_resolve_dir(self.root, v), "_changes")
-                parts.extend(
-                    _FilePartition(os.path.join(ch, f), v,
-                                   change_file=True)
+    def _mapping_ops_after(self, v_low: int) -> list[tuple]:
+        """(version, from, to|None) for every rename/drop commit after
+        ``v_low`` up to the table's current version — the chain that
+        translates a planned version's physical column names to the
+        stream's (current-schema) logical names. Manifest-sized file
+        reads only."""
+        cur = _current_version(self.root) or 0
+        ops: list[tuple] = []
+        for u in range(v_low + 1, cur + 1):
+            try:
+                with open(os.path.join(_resolve_dir(self.root, u),
+                                       "_meta.json")) as f:
+                    meta = json.load(f)
+            except FileNotFoundError:
+                continue
+            o = meta.get("operation")
+            if o == "rename_column":
+                ops.append((u, meta.get("from"), meta.get("to")))
+            elif o == "drop_column":
+                ops.append((u, meta.get("from"), None))
+        return ops
+
+    def _col_map_at(self, v: int, ops: list[tuple]) -> dict:
+        """stream-schema name → physical name in version ``v``'s files
+        (None = the logical column did not exist at ``v``: a column
+        renamed-away/dropped there and re-added since must null-fill,
+        never bind to the old bytes)."""
+        cmap: dict = {}
+        for name in self.schema_fields:
+            cur = name
+            dead = False
+            for u, f, t in reversed(ops):
+                if u <= v:
+                    break
+                if t == cur:
+                    cur = f  # undo the rename
+                elif f == cur:
+                    # the physical name `cur` at versions <= u belongs
+                    # to a column since renamed away (t != None) or
+                    # dropped (t None) — the CURRENT column of this
+                    # name is a later re-add, absent at v
+                    dead = True
+                    break
+            if dead:
+                cmap[name] = None
+            elif cur != name:
+                cmap[name] = cur
+        return cmap
+
+    def _stream_files(self, v: int, ops: list[tuple]) -> list[tuple[str, bool]]:
+        """Version ``v``'s streamable files in a DETERMINISTIC order
+        (the file-granular offsets slice this list, so it must come
+        back identical across planner calls and restarts):
+        ``(path, is_change_file)`` pairs — [] for zero-row-change
+        commits (optimize / rename / drop / skipped change commits)."""
+        doc = _doc(self.root, v)
+        if doc is None:
+            raise ValueError(
+                f"{FORMAT_NAME}: version {v} of {self.root} has no "
+                "manifest (legacy or vacuumed) — start the stream at a "
+                "newer version")
+        kind = doc.get("kind") or "full"
+        op = _meta_operation(self.root, v)
+        if isinstance(op, str) and op.startswith("optimize_"):
+            return []  # layout maintenance: zero row changes
+        if kind in ("rename_column", "drop_column"):
+            return []  # metadata-only: zero row changes
+        if self.read_change_feed and doc.get("cdf"):
+            # the commit materialized its row-level diff at commit
+            # time (enable_change_feed): stream it straight from the
+            # _changes files — O(change-set), any commit kind
+            ch = os.path.join(_resolve_dir(self.root, v), "_changes")
+            return [(os.path.join(ch, f), True)
                     for f in sorted(os.listdir(ch))
-                    if f.endswith(".parquet"))
-                continue
-            if kind == "append" or v == 1:
-                # v1 is the bootstrap snapshot: EVERY manifest entry is
-                # an insert — including entries a SHALLOW CLONE
-                # inherited, which live in the source table's dirs and
-                # resolve through the clone-bases map. An append
-                # version's inserts are only its OWN new files.
-                base = os.path.basename(_resolve_dir(self.root, v))
-                bases = _clone_bases(self.root)
-                parts.extend(
-                    _FilePartition(
-                        _abs_data_file(self.root, bases, d, rel), v)
-                    for d, rel in doc.get("files", [])
-                    if v == 1 or d == base
-                )
-                continue
-            if self.skip_change_commits:
-                continue
-            if self.read_change_feed:
-                raise ValueError(
-                    f"{FORMAT_NAME}: version {v} of {self.root} is a "
-                    f"{kind!r} commit with no commit-time change files "
-                    "— it predates enable_change_feed() on the table. "
-                    "Start the stream at a newer version, or pass "
-                    "skipChangeCommits=true to ignore it.")
+                    if f.endswith(".parquet")]
+        if kind == "append" or v == 1:
+            # v1 is the bootstrap snapshot: EVERY manifest entry is
+            # an insert — including entries a SHALLOW CLONE
+            # inherited, which live in the source table's dirs and
+            # resolve through the clone-bases map. An append
+            # version's inserts are only its OWN new files.
+            base = os.path.basename(_resolve_dir(self.root, v))
+            bases = _clone_bases(self.root)
+            return [(_abs_data_file(self.root, bases, d, rel), False)
+                    for d, rel in sorted(doc.get("files", []))
+                    if v == 1 or d == base]
+        if self.skip_change_commits:
+            return []
+        if self.read_change_feed:
             raise ValueError(
                 f"{FORMAT_NAME}: version {v} of {self.root} is a "
-                f"{kind!r} commit — its row-level changes are not "
-                "streamable from files alone. Pass "
-                "skipChangeCommits=true to ignore change commits (Delta "
-                "semantics), enable_change_feed() on the table and use "
-                "readChangeFeed=true, or replay in batch via "
-                "VersionedTable.changes_range().")
+                f"{kind!r} commit with no commit-time change files "
+                "— it predates enable_change_feed() on the table. "
+                "Start the stream at a newer version, or pass "
+                "skipChangeCommits=true to ignore it.")
+        raise ValueError(
+            f"{FORMAT_NAME}: version {v} of {self.root} is a "
+            f"{kind!r} commit — its row-level changes are not "
+            "streamable from files alone. Pass "
+            "skipChangeCommits=true to ignore change commits (Delta "
+            "semantics), enable_change_feed() on the table and use "
+            "readChangeFeed=true, or replay in batch via "
+            "VersionedTable.changes_range().")
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        sv, sk = self._off(start)
+        ev, ek = self._off(end)
+        self._last_end = (ev, ek)  # cap watermark
+        parts: list[InputPartition] = []
+        ops = self._mapping_ops_after(sv)
+        last_u = ev + 1 if ek > 0 else ev
+        for u in range(sv + 1, last_u + 1):
+            fs = self._stream_files(u, ops)
+            if not fs:
+                continue
+            lo = sk if u == sv + 1 else 0
+            hi = ek if u == ev + 1 else len(fs)
+            if lo >= hi:
+                continue
+            cmap = self._col_map_at(u, ops) if ops else {}
+            parts.extend(
+                _FilePartition(path, u, change_file=is_change,
+                               col_map=cmap)
+                for path, is_change in fs[lo:hi])
         return parts
 
     # -- execution (runs on executors) -------------------------------------
@@ -292,9 +427,17 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(partition.path)
         cols = []
         n = tbl.num_rows
+        cmap = getattr(partition, "col_map", None) or {}
         for name in self.schema_fields:
-            if name in tbl.column_names:
-                cols.append(tbl.column(name).to_pylist())
+            src = cmap.get(name, name)
+            if src is None:
+                # the logical column did not exist at this version
+                # (dropped + re-added since): null-fill, never bind
+                # the old bytes
+                cols.append([None] * n)
+                continue
+            if src in tbl.column_names:
+                cols.append(tbl.column(src).to_pylist())
             else:
                 # hive layout: partition columns live in the DIRECTORY
                 # name, not the file — recover them from the path;
@@ -366,7 +509,9 @@ def register_stream_source(spark) -> None:
 
 def stream_inserts(spark, root: str, starting_version: int | None = None,
                    skip_change_commits: bool = False,
-                   max_versions_per_trigger: int | None = None):
+                   max_versions_per_trigger: int | None = None,
+                   max_files_per_trigger: int | None = None,
+                   max_bytes_per_trigger: int | None = None):
     """Convenience: a streaming DataFrame of the table's insert feed."""
     register_stream_source(spark)
     r = spark.readStream.format(FORMAT_NAME).option("path", root)
@@ -377,12 +522,18 @@ def stream_inserts(spark, root: str, starting_version: int | None = None,
     if max_versions_per_trigger is not None:
         r = r.option("maxVersionsPerTrigger",
                      str(max_versions_per_trigger))
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return r.load()
 
 
 def stream_changes(spark, root: str, starting_version: int | None = None,
                    skip_change_commits: bool = False,
-                   max_versions_per_trigger: int | None = None):
+                   max_versions_per_trigger: int | None = None,
+                   max_files_per_trigger: int | None = None,
+                   max_bytes_per_trigger: int | None = None):
     """The streaming CHANGE DATA FEED (Delta ``readChangeFeed``):
     every row tagged ``_change_type`` insert/update/delete +
     ``_commit_version``. Appends stream from their data files;
@@ -400,4 +551,8 @@ def stream_changes(spark, root: str, starting_version: int | None = None,
     if max_versions_per_trigger is not None:
         r = r.option("maxVersionsPerTrigger",
                      str(max_versions_per_trigger))
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return r.load()

@@ -742,3 +742,41 @@ def test_rest_dml_prunes_through_the_derived_envelope(spark, server):
     got = {r["id"]: r["v"] for r in
            t.read().where(F.col("id").isin(99, 100, 500)).collect()}
     assert 99 not in got and got[100] == 200 and got[500] == 1001
+
+
+def test_rest_column_mapping_endpoints(spark, server):
+    """POST /dataset/rename-column and /dataset/drop-column: the
+    round-9 metadata-only column-mapping commits over the control
+    plane."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_colmap")
+    cfg = DatasetConfig(
+        name="api_colmap",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    t = VersionedTable(spark, path)
+    t.commit(spark.range(0, 10).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("int").alias("v")))
+
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/rename-column?name=api_colmap&from=v&to=val", b"")
+    assert status == 200 and out == {"version": 2, "renamed": {"v": "val"}}
+    assert {r["val"] for r in t.read().collect()} == {2 * k for k in range(10)}
+
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/drop-column?name=api_colmap&column=val", b"")
+    assert status == 200 and out["version"] == 3
+    assert t.read().columns == ["id"]

@@ -1,0 +1,360 @@
+"""Column mapping (round-9): metadata-only RENAME / DROP on
+VersionedTable — O(1) in data, with the skipping index, change feed,
+streaming source, and DML all resolving through the mapping."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+
+def _drain(spark, stream_df, ck):
+    out = []
+    q = (stream_df.writeStream
+         .foreachBatch(lambda df, bid: out.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ck).start())
+    q.awaitTermination(120)
+    return out
+
+
+class TestRenameBasics:
+    def test_rename_is_metadata_only_and_reads_correctly(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r1"))
+        t.commit(_rows(spark, 0, 100))
+        entries_before = t._entries_for_version(1)
+        v = t.rename_column("v", "value")
+        assert v == 2
+        # O(1) in data: the new manifest references the SAME files and
+        # the rename version dir contains no data files
+        assert t._entries_for_version(2) == entries_before
+        assert t._list_data_files(t._resolve_dir(2)) == []
+        got = {(r["k"], r["value"]) for r in t.read().collect()}
+        assert got == {(k, 2 * k) for k in range(100)}
+        assert t.read().columns == ["k", "value"]
+        # time travel: the old version keeps its old schema
+        assert t.read(version=1).columns == ["k", "v"]
+
+    def test_writes_after_rename_mix_with_old_files(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r2"))
+        t.commit(_rows(spark, 0, 50).withColumn(
+            "p", (F.col("k") % 2).cast("int")), partition_by=("p",))
+        t.rename_column("v", "value")
+        t.commit_append(
+            spark.range(50, 60).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("value"),
+                (F.col("id") % 2).cast("int").alias("p")),
+            partition_by=("p",))
+        got = {(r["k"], r["value"]) for r in t.read().collect()}
+        assert got == {(k, 2 * k) for k in range(60)}
+        # keyed merge across the boundary still lands
+        t.commit_merge_partitioned(
+            spark.createDataFrame([(0, 999, 0)], "k long, value long, p int"),
+            keys=["k"], partition_by=("p",))
+        vals = {r["k"]: r["value"] for r in t.read().collect()}
+        assert vals[0] == 999 and vals[59] == 118
+
+    def test_double_rename_composes(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r3"))
+        t.commit(_rows(spark, 0, 10))
+        t.rename_column("v", "v2")
+        t.commit_append(spark.range(10, 15).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v2")))
+        t.rename_column("v2", "v3")
+        got = {(r["k"], r["v3"]) for r in t.read().collect()}
+        assert got == {(k, 2 * k) for k in range(15)}
+
+    def test_index_carries_through_rename(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r4"))
+        t.commit(_rows(spark, 0, 4000).repartitionByRange(4, "k"),
+                 stats_cols=("v",), bloom_cols=("k",))
+        t.rename_column("v", "value")
+        # index carried, stat columns renamed: pruned read on the NEW
+        # name opens a strict subset of files
+        got, fr, ft = t.read_pruned({"value": (0, 100)})
+        assert 0 < fr < ft
+        assert got.count() == 51
+        # Bloom point lookup still prunes on the untouched column
+        got2, fr2, ft2 = t.read_pruned({}, points={"k": 123})
+        assert got2.count() == 1 and fr2 < ft2
+        # and DML derives envelopes against the renamed column
+        t.delete_where(F.col("value") < 100)
+        meta = t.commit_metadata(t.current_version())
+        assert meta["candidate_files"] < meta["total_files"]
+        assert t.read().count() == 4000 - 50
+
+    def test_incremental_index_maintenance_survives_rename(
+            self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "r5"))
+        t.commit(_rows(spark, 0, 1000), stats_cols=("v",))
+        t.rename_column("v", "value")
+        t.commit_append(spark.range(1000, 1100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("value")))
+        got, fr, ft = t.read_pruned({"value": (2100, 2150)})
+        assert got.count() == 26 and 0 < fr < ft
+
+
+class TestDropAndReAdd:
+    def test_drop_is_metadata_only(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d1"))
+        t.commit(_rows(spark, 0, 20))
+        entries = t._entries_for_version(1)
+        t.drop_column("v")
+        assert t._entries_for_version(2) == entries
+        assert t.read().columns == ["k"]
+        assert t.read().count() == 20
+
+    def test_readded_column_never_binds_old_bytes(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d2"))
+        t.commit(_rows(spark, 0, 10))
+        t.drop_column("v")
+        # re-add a column with the SAME name via append (additive
+        # schema evolution): the old files' physical 'v' bytes are
+        # tombstoned and must read NULL, not 2k
+        t.commit_append(spark.range(10, 15).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")),
+            evolve_schema=True)
+        vals = {r["k"]: r["v"] for r in t.read().collect()}
+        assert all(vals[k] is None for k in range(10))
+        assert all(vals[k] == -1 for k in range(10, 15))
+
+
+class TestGuards:
+    def test_layout_bucket_constraint_cdf_guards(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "g1"))
+        t.commit(_rows(spark, 0, 10).withColumn(
+            "p", (F.col("k") % 2).cast("int")), partition_by=("p",))
+        with pytest.raises(ValueError, match="partition column"):
+            t.rename_column("p", "p2")
+        with pytest.raises(ValueError, match="already exists"):
+            t.rename_column("v", "k")
+        with pytest.raises(ValueError, match="no column"):
+            t.drop_column("nope")
+
+        tb = VersionedTable(spark, str(tmp_path / "g2"))
+        tb.commit_bucketed(_rows(spark, 0, 10), ["k"], n_buckets=4)
+        with pytest.raises(ValueError, match="bucket key"):
+            tb.rename_column("k", "kk")
+
+        tc = VersionedTable(spark, str(tmp_path / "g3"))
+        tc.commit(_rows(spark, 0, 10))
+        tc.add_check_constraint("v_pos", "v >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            tc.rename_column("v", "value")
+        tc.drop_check_constraint("v_pos")
+        tc.set_not_null("v")
+        with pytest.raises(ValueError, match="NOT NULL"):
+            tc.drop_column("v")
+        # a NOT NULL declaration FOLLOWS a rename
+        tc.rename_column("v", "value")
+        assert tc.constraints()["not_null"] == ["value"]
+
+        td = VersionedTable(spark, str(tmp_path / "g4"))
+        td.commit(_rows(spark, 0, 10))
+        td.enable_change_feed(["k"])
+        with pytest.raises(ValueError, match="change-feed key"):
+            td.drop_column("k")
+        td.rename_column("k", "kk")
+        assert td.cdf_spec()["keys"] == ["kk"]
+
+
+class TestFeedsAcrossRename:
+    def test_changes_range_across_rename_boundary(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "f1"))
+        t.commit(_rows(spark, 0, 10))                      # v1
+        t.rename_column("v", "value")                      # v2 (no rows)
+        t.commit_append(spark.range(10, 12).select(        # v3
+            F.col("id").alias("k"), (F.col("id") * 2).alias("value")))
+        feed = t.changes_range(["k"], v_from=1).collect()
+        # the rename contributes NO step; v3's appends do
+        assert {r["_commit_version"] for r in feed} == {3}
+        assert {(r["k"], r["value"]) for r in feed} == {(10, 20), (11, 22)}
+
+    def test_stream_inserts_across_rename(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+
+        root = str(tmp_path / "f2")
+        t = VersionedTable(spark, root)
+        t.commit(_rows(spark, 0, 10))                      # v1 (old name)
+        t.rename_column("v", "value")                      # v2
+        t.commit_append(spark.range(10, 15).select(        # v3 (new name)
+            F.col("id").alias("k"), (F.col("id") * 2).alias("value")))
+        out = _drain(spark, stream_inserts(spark, root, starting_version=1),
+                     str(tmp_path / "ck_f2"))
+        got = {(r["k"], r["value"]) for r in out}
+        # v1's files carry physical column 'v' — the stream resolves
+        # it to the current logical name instead of null-filling
+        assert got == {(k, 2 * k) for k in range(15)}
+
+    def test_stream_null_fills_readded_column(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+
+        root = str(tmp_path / "f3")
+        t = VersionedTable(spark, root)
+        t.commit(_rows(spark, 0, 5))                       # v1
+        t.drop_column("v")                                 # v2
+        t.commit_append(spark.range(5, 8).select(          # v3: re-added
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")),
+            evolve_schema=True)
+        out = _drain(spark, stream_inserts(spark, root, starting_version=1),
+                     str(tmp_path / "ck_f3"))
+        got = {r["k"]: r["v"] for r in out}
+        assert all(got[k] is None for k in range(5))
+        assert all(got[k] == -1 for k in range(5, 8))
+
+
+class TestFileGranularAdmission:
+    """Round-9 verdict #8: one fat commit must not become one
+    unbounded micro-batch — maxFilesPerTrigger/maxBytesPerTrigger
+    split a version's FILE LIST across triggers, exactly-once
+    preserved by ordinary offset checkpointing."""
+
+    def _fat_table(self, spark, root, n_files=8):
+        t = VersionedTable(spark, root)
+        t.commit(_rows(spark, 0, 800).repartition(n_files))
+        return t
+
+    def test_fat_commit_drains_in_bounded_batches(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+
+        root = str(tmp_path / "fat1")
+        self._fat_table(spark, root, n_files=8)
+        batches: list[int] = []
+        rows: list = []
+
+        def sink(df, bid):
+            got = df.collect()
+            if got:
+                batches.append(len({r["k"] for r in got}))
+                rows.extend(got)
+
+        q = (stream_inserts(spark, root, starting_version=1,
+                            max_files_per_trigger=2)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ck_fat1"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        # the first batch of a fresh run is uncapped by design (the
+        # watermark is learned at first planning); every later batch
+        # is bounded — with availableNow the run snapshots one end
+        # offset, so here we assert on exactly-once + total delivery
+        # and bound the TAIL batches
+        assert len(rows) == 800 and len({r["k"] for r in rows}) == 800
+        for n in batches[1:]:
+            assert n <= 2 * (800 // 8), batches
+
+    def test_micro_batches_are_file_bounded_after_warmup(
+            self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            _VersionedTableStreamReader)
+        from pyspark.sql import types as T
+
+        root = str(tmp_path / "fat2")
+        self._fat_table(spark, root, n_files=8)
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("_commit_version", T.IntegerType())])
+        r = _VersionedTableStreamReader(
+            schema, {"path": root, "maxfilespertrigger": "3"})
+        start = {"version": 0, "files": 0}
+        seen: list[str] = []
+        off = start
+        hops = 0
+        while True:
+            r._last_end = (off["version"], off.get("files", 0))
+            end = r.latestOffset()
+            if end == off:
+                break
+            parts = r.partitions(off, end)
+            assert len(parts) <= 3, (off, end, len(parts))
+            seen.extend(p.path for p in parts)
+            off = end
+            hops += 1
+            assert hops < 50
+        # all 8 files delivered exactly once, in >= 3 bounded hops
+        assert len(seen) == 8 and len(set(seen)) == 8
+        assert hops >= 3
+
+    def test_byte_cap_admits_at_least_one_file(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            _VersionedTableStreamReader)
+        from pyspark.sql import types as T
+
+        root = str(tmp_path / "fat3")
+        self._fat_table(spark, root, n_files=4)
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("_commit_version", T.IntegerType())])
+        # 1-byte cap: smaller than any parquet file — progress must
+        # still be one file per trigger, never a stall
+        r = _VersionedTableStreamReader(
+            schema, {"path": root, "maxbytespertrigger": "1"})
+        off = {"version": 0, "files": 0}
+        files = 0
+        for _ in range(20):
+            r._last_end = (off["version"], off.get("files", 0))
+            end = r.latestOffset()
+            if end == off:
+                break
+            parts = r.partitions(off, end)
+            assert len(parts) == 1
+            files += 1
+            off = end
+        assert files == 4
+
+    def test_old_checkpoint_offset_without_files_key_still_works(
+            self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            _VersionedTableStreamReader)
+        from pyspark.sql import types as T
+
+        root = str(tmp_path / "fat4")
+        t = self._fat_table(spark, root, n_files=2)
+        t.commit_append(_rows(spark, 800, 810))
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("_commit_version", T.IntegerType())])
+        r = _VersionedTableStreamReader(schema, {"path": root})
+        # a pre-round-9 checkpoint offset has no "files" key
+        parts = r.partitions({"version": 1}, {"version": 2})
+        assert {p.version for p in parts} == {2}
+
+
+class TestIndexRebuildAcrossRename:
+    def test_new_index_over_prerename_files_is_safe(self, spark, tmp_path):
+        """Establishing a NEW index after a rename footer-reads old
+        files whose physical column name differs — their stats record
+        as unknown (always read), never a crash or a wrong prune."""
+        t = VersionedTable(spark, str(tmp_path / "ix1"))
+        t.commit(_rows(spark, 0, 1000).repartitionByRange(4, "k"))
+        t.rename_column("v", "value")
+        # first index EVER established on the appended version: old
+        # files deviate physically
+        t.commit_append(
+            spark.range(1000, 1200).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("value"))
+            .repartitionByRange(2, "k"),
+            stats_cols=("value",))
+        got, fr, ft = t.read_pruned({"value": (0, 100)})
+        # the matching rows live in a pre-rename (stats-unknown) file:
+        # it must be read
+        assert got.count() == 51
+        # new files DO prune (their stats are known and disjoint)
+        assert fr < ft

@@ -574,9 +574,9 @@ class TestMergeStepPartitionDiff:
         seen: list[list[str]] = []
         orig = t._read_files
 
-        def spy(files, schema=None):
+        def spy(files, schema=None, **kw):
             seen.append(list(files))
-            return orig(files, schema=schema)
+            return orig(files, schema=schema, **kw)
 
         t._read_files = spy
         t.changes_range(["k"], v - 1, v).collect()
