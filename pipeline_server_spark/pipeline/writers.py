@@ -2534,15 +2534,71 @@ class VersionedTable:
         # list (the pre-round-9 REST behavior), never to wrong results
         bounds: dict = {}
         points: dict = {}
+        if schema is not None:
+            bounds, points = derive_envelope(self.spark, predicate, schema)
+        # manifest-level PARTITION pruning: envelope constraints on
+        # layout columns filter the candidate list directly — parsing
+        # each entry's hive prefix back to typed values — so a
+        # partition-scoped DML stops scanning the table even WITHOUT
+        # a skipping index (layout columns have no footer stats; this
+        # is their pruning path). Parse failures keep the entry:
+        # widen, never narrow.
+        cand_entries = entries
+        lb = {c: b for c, b in bounds.items()
+              if c in layout} if layout else {}
+        lp = {c: v for c, v in points.items()
+              if c in layout} if layout else {}
+        if lb or lp:
+            part_types = {f.name: f.dataType.simpleString()
+                          for f in schema.fields if f.name in layout}
+
+            def _part_ok(rel: str) -> bool:
+                try:
+                    vals = {}
+                    for comp in self._partition_prefix(
+                            rel, len(layout)).split(os.sep):
+                        name, raw = comp.split("=", 1)
+                        vals[name] = self._parse_hive_part_value(
+                            raw, part_types[name])
+                    for c, v in lp.items():
+                        pv = vals[c]
+                        if pv is None or self._canon_part_value(pv) \
+                                != self._canon_part_value(v):
+                            return False
+                    for c, b in lb.items():
+                        pv = vals[c]
+                        if b == "is_null":
+                            if pv is not None:
+                                return False
+                        elif b == "not_null":
+                            if pv is None:
+                                return False
+                        else:
+                            if pv is None:
+                                return False  # NULL fails any range
+                            lo, hi = b
+                            if lo is not None and pv < lo:
+                                return False
+                            if hi is not None and pv > hi:
+                                return False
+                    return True
+                except Exception:
+                    return True  # unprovable: read it
+
+            cand_entries = [e for e in entries if _part_ok(e[1])]
         has_index = os.path.isdir(
             os.path.join(self._resolve_dir(current), "_index"))
-        if has_index and schema is not None:
-            bounds, points = derive_envelope(self.spark, predicate, schema)
-        if (bounds or points) and has_index:
-            _, picked, _ = self._pruned_files(bounds, points, current)
-            candidates = picked
+        data_bounds = {c: b for c, b in bounds.items() if c not in lb}
+        data_points = {c: v for c, v in points.items() if c not in lp}
+        if (data_bounds or data_points) and has_index:
+            _, picked, _ = self._pruned_files(
+                data_bounds, data_points, current)
+            pick_set = set(picked)
+            candidates = [f for f in
+                          (self._abs_file(e) for e in cand_entries)
+                          if f in pick_set]
         else:
-            candidates = [self._abs_file(e) for e in entries]
+            candidates = [self._abs_file(e) for e in cand_entries]
         # phase 1: which candidates REALLY contain matching rows
         touched: set[str] = set()
         if candidates:

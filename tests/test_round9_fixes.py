@@ -306,3 +306,65 @@ class TestDerivedDmlEnvelope:
         with pytest.raises(TypeError):
             t.update_where(F.col("k") < 5, {"k": F.lit(0)},
                            points={"k": 0})
+
+
+class TestPartitionPrunedDml:
+    """Layout columns have no footer stats — their DML pruning path is
+    the MANIFEST: envelope constraints on partition columns filter the
+    candidate entries by parsing each hive prefix back to typed
+    values. Works without any skipping index."""
+
+    def test_partition_equality_prunes_without_index(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "pp1"))
+        t.commit(
+            spark.range(0, 900).select(
+                F.col("id").alias("k"), (F.col("id") % 9).cast("int")
+                .alias("p")),
+            partition_by=("p",))
+        t.delete_where(F.col("p") == 3)
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"]
+        assert t.read().where(F.col("p") == 3).count() == 0
+        assert t.read().count() == 800
+
+    def test_partition_range_and_data_point_compose(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "pp2"))
+        t.commit(
+            spark.range(0, 900).select(
+                F.col("id").alias("k"), (F.col("id") % 9).cast("int")
+                .alias("p")).repartition(4),
+            partition_by=("p",), bloom_cols=("k",))
+        # p >= 7 prunes by manifest; k = 700 prunes by Bloom within
+        t.update_where((F.col("p") >= 7) & (F.col("k") == 700),
+                       {"k": F.lit(-1).cast("long")})
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"]
+        got = t.read()
+        assert got.where(F.col("k") == -1).count() == 1
+        assert got.where(F.col("k") == 700).count() == 0
+
+    def test_string_partition_with_escaped_value(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "pp3"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, "x:y"), (2, "x:y"), (3, "plain"), (4, None)],
+                "k long, p string"),
+            partition_by=("p",))
+        # the derived point value 'x:y' must match the percent-escaped
+        # manifest prefix p=x%3Ay by VALUE
+        t.delete_where(F.col("p") == "x:y")
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"]
+        got = {(r["k"], r["p"]) for r in t.read().collect()}
+        assert got == {(3, "plain"), (4, None)}
+
+    def test_is_null_partition_constraint(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "pp4"))
+        t.commit(
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, None)], "k long, p string"),
+            partition_by=("p",))
+        t.delete_where(F.col("p").isNull())
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"]
+        assert {r["k"] for r in t.read().collect()} == {1}
