@@ -1169,6 +1169,7 @@ class VersionedTable:
                                metadata: dict | None = None,
                                stats_cols: tuple[str, ...] | list[str] = (),
                                bloom_cols: tuple[str, ...] | list[str] = (),
+                               evolve_schema: bool = False,
                                ) -> int:
         """Apply a CHANGE-DATA-FEED slice — rows tagged
         ``_change_type`` insert / update_preimage / update_postimage /
@@ -1194,7 +1195,14 @@ class VersionedTable:
         the initial snapshot. CDF/constraints compose: with
         ``enable_change_feed`` on the replica, the commit writes its
         own change files (pre-image = the touched partitions), and
-        invariants validate the staged rewrite like every commit."""
+        invariants validate the staged rewrite like every commit.
+
+        Schema evolution: STRICT by default — a feed whose column set
+        differs from the table raises (a silent
+        ``select(table.columns)`` used to DROP an upstream-added
+        column's values). ``evolve_schema=True`` widens additively in
+        both directions (union-by-name null-fill), the
+        ``commit_append(evolve_schema=True)`` contract."""
         cols = ([partition_by] if isinstance(partition_by, str)
                 else list(partition_by))
         if "_change_type" not in changes.columns:
@@ -1241,8 +1249,20 @@ class VersionedTable:
         # gone); then the upserts land
         survivors = tgt_touched.join(
             net.select(*keys).distinct(), keys, "left_anti")
-        merged = survivors.unionByName(
-            upserts.select(*survivors.columns))
+        if set(upserts.columns) != set(survivors.columns):
+            if not evolve_schema:
+                raise ValueError(
+                    "commit_cdc_partitioned: feed columns "
+                    f"{sorted(upserts.columns)} != table columns "
+                    f"{sorted(survivors.columns)} — pass "
+                    "evolve_schema=True for additive union-by-name "
+                    "widening (a silent select() here would drop an "
+                    "upstream-added column's values)")
+            merged = survivors.unionByName(upserts,
+                                           allowMissingColumns=True)
+        else:
+            merged = survivors.unionByName(
+                upserts.select(*survivors.columns))
 
         version = current + 1
         target = self._stage_dir(version)
@@ -1304,6 +1324,7 @@ class VersionedTable:
                             n_buckets: int = 64,
                             stats_cols: tuple[str, ...] | list[str] = (),
                             bloom_cols: tuple[str, ...] | list[str] = (),
+                            evolve_schema: bool = False,
                             ) -> int:
         """CDC apply into a HASH-BUCKETED replica — the replication
         path for an unpartitioned upstream (no natural pruning column
@@ -1352,7 +1373,7 @@ class VersionedTable:
         return self.commit_cdc_partitioned(
             src, keys, [self.BUCKET_COL], seq_col=seq_col,
             metadata=metadata, stats_cols=stats_cols,
-            bloom_cols=bloom_cols)
+            bloom_cols=bloom_cols, evolve_schema=evolve_schema)
 
     @staticmethod
     def _canon_part_value(v):

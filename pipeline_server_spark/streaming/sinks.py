@@ -312,6 +312,8 @@ def exactly_once_replica_sink(
     partition_by: tuple[str, ...] | list[str] = (),
     bucket_buckets: int | None = None,
     scan_last: int = 50,
+    upstream_root: str | None = None,
+    evolve_schema: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function for CROSS-TABLE CDC REPLICATION:
     each micro-batch is a change-data-feed slice (the
@@ -329,7 +331,17 @@ def exactly_once_replica_sink(
                 replica, ["k"], ("p",))) \\
             .option("checkpointLocation", ck) \\
             .trigger(availableNow=True).start()
-    """
+
+    SCHEMA EVOLUTION across the stream: ``evolve_schema=True`` lets
+    an upstream-ADDED column widen the replica additively (CDC apply
+    is strict by default). ``upstream_root`` additionally realigns
+    the replica through upstream column-mapping commits: the CDF
+    stream presents every row in its CURRENT logical names, so when
+    the upstream renames/drops a column the batch schema stops
+    matching the replica — the sink then replays the upstream's
+    recorded rename/drop operations (in version order) onto the
+    replica BEFORE applying the batch, so the replica follows
+    metadata-only commits with metadata-only commits."""
 
     if partition_by and bucket_buckets:
         raise ValueError("pass partition_by OR bucket_buckets, not both")
@@ -338,17 +350,59 @@ def exactly_once_replica_sink(
             "a replica needs a pruning layout: partition_by for a "
             "partitioned upstream, bucket_buckets for a flat one")
 
+    def _realign_columns(batch_cols: set) -> None:
+        """Replay upstream rename/drop commits onto the replica until
+        its columns match the batch's (metadata-only, idempotent —
+        an op whose source column is gone already applied)."""
+        import json
+        import os
+
+        from pipeline_server_spark.streaming.table_stream import (
+            _current_version, _resolve_dir)
+
+        cur = table.current_version()
+        if cur is None:
+            return  # bootstrap: the batch defines the schema
+        have = set((table._filelist_schema(cur) or
+                    table.read().schema).fieldNames())
+        have -= {table.BUCKET_COL}  # replica-internal layout column
+        if have == batch_cols:
+            return
+        up_cur = _current_version(upstream_root) or 0
+        for u in range(1, up_cur + 1):
+            try:
+                with open(os.path.join(
+                        _resolve_dir(upstream_root, u), "_meta.json")) as f:
+                    meta = json.load(f)
+            except FileNotFoundError:
+                continue
+            op = meta.get("operation")
+            if op == "rename_column" and meta.get("from") in have \
+                    and meta.get("to") not in have:
+                table.rename_column(meta["from"], meta["to"])
+                have = (have - {meta["from"]}) | {meta["to"]}
+            elif op == "drop_column" and meta.get("from") in have \
+                    and meta.get("from") not in batch_cols:
+                table.drop_column(meta["from"])
+                have = have - {meta["from"]}
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_batch_ids(table, scan_last):
             return  # replay after failure — already committed
+        if upstream_root is not None:
+            _realign_columns(
+                set(batch_df.columns) - {"_change_type",
+                                         "_commit_version"})
         meta = {"batch_id": int(batch_id)}
         if partition_by:
             table.commit_cdc_partitioned(
-                batch_df, keys, list(partition_by), metadata=meta)
+                batch_df, keys, list(partition_by), metadata=meta,
+                evolve_schema=evolve_schema)
         else:
             # flat upstream: the replica lays out by hash bucket so
             # the apply stays O(touched buckets)
             table.commit_cdc_bucketed(
-                batch_df, keys, metadata=meta, n_buckets=bucket_buckets)
+                batch_df, keys, metadata=meta, n_buckets=bucket_buckets,
+                evolve_schema=evolve_schema)
 
     return apply

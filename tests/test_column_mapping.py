@@ -358,3 +358,81 @@ class TestIndexRebuildAcrossRename:
         assert got.count() == 51
         # new files DO prune (their stats are known and disjoint)
         assert fr < ft
+
+
+class TestReplicationAcrossSchemaEvolution:
+    def _run(self, spark, root, replica, ck, **sink_kw):
+        from pipeline_server_spark.streaming.sinks import (
+            exactly_once_replica_sink)
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+
+        q = (stream_changes(spark, root, starting_version=1)
+             .writeStream
+             .foreachBatch(exactly_once_replica_sink(
+                 replica, ["k"], ("p",), **sink_kw))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    def test_replica_follows_upstream_rename(self, spark, tmp_path):
+        root = str(tmp_path / "sr_up")
+        up = VersionedTable(spark, root)
+        grouped = _rows(spark, 0, 30).withColumn(
+            "p", (F.col("k") % 3).cast("int"))
+        up.commit(grouped, partition_by=("p",))
+        up.enable_change_feed(["k"])
+        replica = VersionedTable(spark, str(tmp_path / "sr_rep"))
+        ck = str(tmp_path / "sr_ck")
+        self._run(spark, root, replica, ck, upstream_root=root)
+        assert replica.read().columns == ["k", "v", "p"]
+
+        # upstream renames mid-replication, then keeps writing
+        up.rename_column("v", "value")
+        up.commit_append(
+            spark.range(30, 35).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("value"),
+                (F.col("id") % 3).cast("int").alias("p")),
+            partition_by=("p",))
+        up.delete_where(F.col("k") == 0)
+        self._run(spark, root, replica, ck, upstream_root=root)
+        assert set(replica.read().columns) == {"k", "value", "p"}
+        snap = {(r["k"], r["value"]) for r in replica.read().collect()}
+        want = {(r["k"], r["value"]) for r in up.read().collect()}
+        assert snap == want and (0, 0) not in snap
+
+    def test_replica_widens_on_upstream_added_column(self, spark, tmp_path):
+        root = str(tmp_path / "sw_up")
+        up = VersionedTable(spark, root)
+        up.commit(_rows(spark, 0, 12).withColumn(
+            "p", (F.col("k") % 2).cast("int")), partition_by=("p",))
+        up.enable_change_feed(["k"])
+        replica = VersionedTable(spark, str(tmp_path / "sw_rep"))
+        ck = str(tmp_path / "sw_ck")
+        self._run(spark, root, replica, ck, evolve_schema=True)
+
+        up.commit_append(
+            spark.range(12, 16).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+                (F.col("id") % 2).cast("int").alias("p"),
+                F.lit("x").alias("extra")),
+            partition_by=("p",), evolve_schema=True)
+        self._run(spark, root, replica, ck, evolve_schema=True)
+        got = {(r["k"], r["extra"]) for r in replica.read().collect()}
+        assert (12, "x") in got and (0, None) in got
+        assert len(got) == 16
+
+    def test_strict_cdc_apply_rejects_schema_drift(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "strict"))
+        t.commit(_rows(spark, 0, 6).withColumn(
+            "p", (F.col("k") % 2).cast("int")), partition_by=("p",))
+        feed = spark.createDataFrame(
+            [(0, 1, 0, "y", "insert", 1)],
+            "k long, v long, p int, extra string, _change_type string, "
+            "_commit_version long")
+        with pytest.raises(ValueError, match="evolve_schema"):
+            t.commit_cdc_partitioned(feed, ["k"], ["p"])
+        # pre-round-9 behavior silently DROPPED 'extra'; now it widens
+        t.commit_cdc_partitioned(feed, ["k"], ["p"], evolve_schema=True)
+        got = {r["k"]: r["extra"] for r in t.read().collect()}
+        assert got[0] == "y" and got[1] is None
