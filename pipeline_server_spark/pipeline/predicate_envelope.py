@@ -71,9 +71,14 @@ def _catalyst_to_py(value, simple_dt: str):
         return None
     if simple_dt in ("timestamp",):
         # micros since epoch UTC -> session-local naive (F.lit's
-        # interpretation); symmetric with how the literal was encoded
-        return _dt.datetime.fromtimestamp(0) + _dt.timedelta(
-            microseconds=int(value))
+        # interpretation); fromtimestamp applies the correct UTC
+        # offset FOR THAT INSTANT (an epoch-anchored delta would be
+        # wrong by the DST shift in DST-observing system timezones),
+        # and the sub-second part rides exactly as an integer micros
+        # delta that can never cross a DST boundary
+        secs, rem = divmod(int(value), 10**6)
+        return (_dt.datetime.fromtimestamp(secs)
+                + _dt.timedelta(microseconds=rem))
     if simple_dt == "timestamp_ntz":
         return _EPOCH_DT + _dt.timedelta(microseconds=int(value))
     if simple_dt == "date":

@@ -1811,7 +1811,12 @@ class VersionedTable:
             stats_cols=doc.get("stats_cols"),
             kind="restore",
             partition_by=restored_layout or None,
-            bloom_cols=doc.get("bloom_cols"), cdf=wrote_cdf)
+            bloom_cols=doc.get("bloom_cols"), cdf=wrote_cdf,
+            # the RESTORED snapshot's column mapping, not the current
+            # one (the default inherit) — restoring across a rename
+            # with the post-rename map would null-fill the restored
+            # files' columns
+            dir_renames=doc.get("dir_renames"))
         src_idx = os.path.join(self._resolve_dir(version), "_index")
         if os.path.isdir(src_idx):
             # the restored version's index covers exactly its files —
@@ -2064,7 +2069,12 @@ class VersionedTable:
             target, entries, schema=self._filelist_schema(v),
             stats_cols=doc.get("stats_cols"), kind="clone",
             partition_by=doc.get("partition_by"),
-            bloom_cols=doc.get("bloom_cols"))
+            bloom_cols=doc.get("bloom_cols"),
+            # the source version's column mapping travels with the
+            # clone (a fresh dest has nothing to inherit — without
+            # this a clone of a renamed table null-fills the renamed
+            # columns of every inherited file)
+            dir_renames=doc.get("dir_renames"))
         src_idx = os.path.join(self._resolve_dir(v), "_index")
         if os.path.isdir(src_idx):
             shutil.copytree(src_idx, os.path.join(target, "_index"))

@@ -436,3 +436,41 @@ class TestReplicationAcrossSchemaEvolution:
         t.commit_cdc_partitioned(feed, ["k"], ["p"], evolve_schema=True)
         got = {r["k"]: r["extra"] for r in t.read().collect()}
         assert got[0] == "y" and got[1] is None
+
+
+class TestRestoreAndCloneAcrossRename:
+    def test_restore_to_pre_rename_snapshot(self, spark, tmp_path):
+        """Restore must carry the RESTORED version's column mapping,
+        not inherit the current one — inheriting would null-fill the
+        restored files' columns (found in round-9 self-review)."""
+        t = VersionedTable(spark, str(tmp_path / "rr1"))
+        t.commit(_rows(spark, 0, 10))                     # v1: k, v
+        t.rename_column("v", "value")                     # v2
+        t.commit_append(spark.range(10, 12).select(       # v3
+            F.col("id").alias("k"), (F.col("id") * 2).alias("value")))
+        t.restore(1)                                      # v4 = v1
+        got = {(r["k"], r["v"]) for r in t.read().collect()}
+        assert got == {(k, 2 * k) for k in range(10)}, \
+            "restored rows lost their column values"
+        assert t.read().columns == ["k", "v"]
+        # and the post-rename history still reads correctly
+        assert t.read(version=3).columns == ["k", "value"]
+
+    def test_restore_to_post_rename_snapshot(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rr2"))
+        t.commit(_rows(spark, 0, 10))                     # v1
+        t.rename_column("v", "value")                     # v2
+        t.commit_append(spark.range(10, 12).select(       # v3
+            F.col("id").alias("k"), (F.col("id") * 2).alias("value")))
+        t.restore(2)                                      # v4 = v2 state
+        got = {(r["k"], r["value"]) for r in t.read().collect()}
+        assert got == {(k, 2 * k) for k in range(10)}
+
+    def test_clone_of_renamed_table_keeps_values(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rc1"))
+        t.commit(_rows(spark, 0, 10))
+        t.rename_column("v", "value")
+        c = t.clone_to(str(tmp_path / "rc1_clone"))
+        got = {(r["k"], r["value"]) for r in c.read().collect()}
+        assert got == {(k, 2 * k) for k in range(10)}, \
+            "clone lost the source's column mapping"
