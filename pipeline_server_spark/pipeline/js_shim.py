@@ -73,6 +73,17 @@ Supported subset (symbolically executed, conditions stay data-side):
   boundaries: column-valued indexes, mutation under a
   data-dependent branch, arrays as function arguments, and outer-
   array mutation inside functions all reject by name
+- object literals ``{k: v, "s k": v, 3: v}`` with property
+  reads/writes (``o.k`` / ``o["k"]`` / ``o.k = v``; missing reads
+  undefined; numeric keys ToString-coerce as in JS) — loop/function-
+  built config objects fold to constants; a COLUMN-keyed read over
+  an all-scalar object lowers to ``try_element_at(create_map(...),
+  key)`` (the JVM-side lookup-table decode; missing key → null under
+  both ANSI settings); an object used as a map value becomes a
+  STRUCT column. Faithful-or-reject boundaries mirror arrays:
+  mutation under a data-dependent branch/returning arm, objects as
+  function arguments, column-keyed reads over non-scalar values, and
+  object methods all reject by name
 - regex literals ``/pat/flags`` (flags g i m s) with a validated
   JS→Java pattern translation (Spark's regexp functions are
   Java-regex): ``re.test(s)`` → ``rlike``; ``s.replace(re, 'x')`` —
@@ -231,6 +242,40 @@ class _ArrVal:
 
     def copy(self) -> "_ArrVal":
         return _ArrVal(list(self.items))
+
+
+@dataclass
+class _ObjVal:
+    """A JS object literal under symbolic construction: STRING keys
+    (numeric literal keys normalize to their JS string form) →
+    literal/Column values. Property reads with a literal key fold at
+    translation time (missing → undefined/null, as in Nashorn); a
+    COLUMN-valued key lowers to ``F.element_at(F.create_map(...),
+    key)`` when every value is scalar — the lookup-table decode
+    pattern. Mutation follows the array policy: literal-key writes in
+    statement position, mutation under a data-dependent branch and
+    object arguments to functions reject by name."""
+
+    entries: dict[str, Any] = field(default_factory=dict)
+
+    def copy(self) -> "_ObjVal":
+        return _ObjVal(dict(self.entries))
+
+
+def _js_obj_key(v: Any) -> str | None:
+    """The JS property-name string for a literal key value (member
+    access ToString-coerces), or None when the key cannot fold."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return str(int(v)) if v == int(v) else repr(v)
+    if isinstance(v, _Null):
+        return "null"
+    return None
 
 
 @dataclass
@@ -525,6 +570,13 @@ def _to_col(v: Any) -> Column:
         return v.col
     if isinstance(v, _ArrVal):
         return F.array(*[_to_col(x) for x in v.items])
+    if isinstance(v, _ObjVal):
+        if not v.entries:
+            raise JsTranslationError(
+                "an empty object literal cannot be used as a value "
+                "(a struct column needs at least one field)")
+        return F.struct(*[_to_col(x).alias(k)
+                          for k, x in v.entries.items()])
     if isinstance(v, _ColArrVal):
         return v.col
     if isinstance(v, _RegexVal):
@@ -795,6 +847,21 @@ class _Interp:
             val = self.expression()
             self._semi()
             self.env[name] = val
+            self.completion = _NULL
+            return
+        # object property assignment: obj.prop = expr (single level;
+        # the receiver must be an object literal in scope)
+        if (t.kind == "ident" and self.toks[self.i + 1].text == "."
+                and self.toks[self.i + 2].kind == "ident"
+                and self.toks[self.i + 3].text == "="
+                and isinstance(self.env.get(t.text), _ObjVal)):
+            name = self.next().text
+            self.next()  # '.'
+            prop = self.next().text
+            self.next()  # '='
+            val = self.expression()
+            self._semi()
+            self.env[name].entries[prop] = val
             self.completion = _NULL
             return
         # indexed assignment: a[i] = expr (literal index; i == length
@@ -1173,7 +1240,7 @@ class _Interp:
 
         snap_env = dict(self.env)
         snap_objs = {k: v.copy() for k, v in self.env.items()
-                     if isinstance(v, (_MapVal, _ArrVal))}
+                     if isinstance(v, (_MapVal, _ArrVal, _ObjVal))}
         saved_completion = self.completion
         n_pending, n_pmaps = len(self.pending), len(self.pending_maps)
 
@@ -1222,6 +1289,9 @@ class _Interp:
                 ) or (
                     isinstance(cur, _ArrVal) and isinstance(pristine, _ArrVal)
                     and self._same_arr_state(cur, pristine)
+                ) or (
+                    isinstance(cur, _ObjVal) and isinstance(pristine, _ObjVal)
+                    and self._same_obj_state(cur, pristine)
                 )
                 if not same:
                     raise JsTranslationError(
@@ -1356,9 +1426,19 @@ class _Interp:
 
     def _index_assign(self, name: str, idx: Any, val: Any) -> None:
         arr = self.env.get(name)
+        if isinstance(arr, _ObjVal):
+            key = _js_obj_key(idx)
+            if key is None:
+                raise JsTranslationError(
+                    "object property key in assignment must fold to a "
+                    "literal (a column-valued key cannot be resolved "
+                    "at translation time)")
+            arr.entries[key] = val
+            return
         if not isinstance(arr, _ArrVal):
             raise JsTranslationError(
-                f"indexed assignment to {name!r}, which is not an array")
+                f"indexed assignment to {name!r}, which is not an array "
+                "or object literal")
         if isinstance(idx, bool) or not isinstance(idx, (int, float)) \
                 or int(idx) != idx or idx < 0:
             raise JsTranslationError(
@@ -1453,7 +1533,7 @@ class _Interp:
 
         pre_env = dict(self.env)
         pre_maps = {k: v.copy() for k, v in self.env.items()
-                    if isinstance(v, (_MapVal, _ArrVal))}
+                    if isinstance(v, (_MapVal, _ArrVal, _ObjVal))}
         pre_completion = self.completion
         pre_pending = len(self.pending)
         pre_pmaps = len(self.pending_maps)
@@ -1559,7 +1639,7 @@ class _Interp:
 
     @staticmethod
     def _freeze(v: Any) -> Any:
-        return v.copy() if isinstance(v, (_MapVal, _ArrVal)) else v
+        return v.copy() if isinstance(v, (_MapVal, _ArrVal, _ObjVal)) else v
 
     def _reject_array_mutation(self, env: dict, pre_maps: dict,
                                where: str) -> None:
@@ -1574,6 +1654,13 @@ class _Interp:
                     raise JsTranslationError(
                         f"array {k!r} mutated under {where} is not "
                         "supported (build the array unconditionally)")
+            elif isinstance(snap, _ObjVal):
+                cur = env.get(k)
+                if not (isinstance(cur, _ObjVal)
+                        and self._same_obj_state(cur, snap)):
+                    raise JsTranslationError(
+                        f"object {k!r} mutated under {where} is not "
+                        "supported (build the object unconditionally)")
 
     def _restore_untouched(self, env: dict, pre_env: dict) -> dict:
         """Swap content-identical map/array CLONES back to the
@@ -1596,6 +1683,11 @@ class _Interp:
             elif (
                 isinstance(orig, _ArrVal) and isinstance(cur, _ArrVal)
                 and cur is not orig and self._same_arr_state(cur, orig)
+            ):
+                env[k] = orig
+            elif (
+                isinstance(orig, _ObjVal) and isinstance(cur, _ObjVal)
+                and cur is not orig and self._same_obj_state(cur, orig)
             ):
                 env[k] = orig
         return env
@@ -1631,6 +1723,16 @@ class _Interp:
                 "array mutated under a data-dependent condition is not "
                 "supported (build the array unconditionally, or port "
                 "this script to a Python row function)")
+        if isinstance(tv, _ObjVal) or isinstance(ev, _ObjVal):
+            # same policy as arrays: identity-preserving when
+            # untouched, reject a data-dependent divergence by name
+            if (isinstance(tv, _ObjVal) and isinstance(ev, _ObjVal)
+                    and self._same_obj_state(tv, ev)):
+                return tv
+            raise JsTranslationError(
+                "object mutated under a data-dependent condition is "
+                "not supported (build the object unconditionally, or "
+                "port this script to a Python row function)")
         if isinstance(tv, _ColArrVal) or isinstance(ev, _ColArrVal):
             # keep the array-ness through the merge so later .length /
             # [i] / .join still lower to array functions (a mismatched
@@ -1681,6 +1783,13 @@ class _Interp:
         return len(a.items) == len(b.items) and all(
             x is y or self._same_literal(x, y)
             for x, y in zip(a.items, b.items)
+        )
+
+    def _same_obj_state(self, a: "_ObjVal", b: "_ObjVal") -> bool:
+        return a.entries.keys() == b.entries.keys() and all(
+            a.entries[k] is b.entries[k]
+            or self._same_literal(a.entries[k], b.entries[k])
+            for k in a.entries
         )
 
     def _same_map_state(self, a: "_MapVal", b: "_MapVal") -> bool:
@@ -1742,7 +1851,7 @@ class _Interp:
             return out
         pre_env = dict(self.env)
         pre_maps = {k: v.copy() for k, v in self.env.items()
-                    if isinstance(v, (_MapVal, _ArrVal))}
+                    if isinstance(v, (_MapVal, _ArrVal, _ObjVal))}
         then_v = self.expression()
         then_env = self.env
         self.expect(":")
@@ -1983,6 +2092,9 @@ class _Interp:
                         len(val) if isinstance(val, str)
                         else F.length(_to_col(val).cast("string"))
                     )
+                elif isinstance(val, _ObjVal):
+                    # property read folds; missing → undefined (null)
+                    val = val.entries.get(name, _NULL)
                 else:
                     raise JsTranslationError(
                         f"property access .{name} without a call is not supported"
@@ -2015,6 +2127,34 @@ class _Interp:
             if isinstance(idx, Column):
                 idx = idx.cast("int")
             return F.get(val.col, idx)
+        if isinstance(val, _ObjVal):
+            key = _js_obj_key(idx)
+            if key is not None:
+                return val.entries.get(key, _NULL)
+            if not isinstance(idx, (Column, _StrVal)):
+                raise JsTranslationError(
+                    "object lookup key must be a literal or a column "
+                    f"(got {type(idx).__name__})")
+            # COLUMN-keyed lookup-table decode: every value must be a
+            # scalar so the object lowers to a MAP literal; a missing
+            # key reads null (undefined), as in Nashorn
+            if not val.entries:
+                return _NULL
+            bad = sorted(k for k, v in val.entries.items()
+                         if not isinstance(v, (bool, int, float, str,
+                                               _Null, Column, _StrVal)))
+            if bad:
+                raise JsTranslationError(
+                    "column-keyed object lookup needs scalar values; "
+                    f"keys {bad} hold non-scalars")
+            pairs = []
+            for k, v in val.entries.items():
+                pairs.append(F.lit(k))
+                pairs.append(_to_col(v))
+            # try_element_at: a missing key is undefined (null) under
+            # BOTH ANSI settings — plain element_at THROWS under ANSI
+            return F.try_element_at(F.create_map(*pairs),
+                                    _to_col(idx).cast("string"))
         if not isinstance(val, _ArrVal):
             raise JsTranslationError(
                 "indexing is only supported on array literals "
@@ -2066,10 +2206,11 @@ class _Interp:
             )
         if len(self._call_stack) >= 16:
             raise JsTranslationError("function call nesting exceeds 16")
-        if any(isinstance(a, _ArrVal) for a in args):
+        if any(isinstance(a, (_ArrVal, _ObjVal)) for a in args):
             raise JsTranslationError(
-                f"array argument to function {fn.name!r} is not supported "
-                "(arrays pass by reference in Nashorn; inline the logic)")
+                f"array/object argument to function {fn.name!r} is not "
+                "supported (they pass by reference in Nashorn; inline "
+                "the logic)")
         saved_env = self.env
         saved = (self.finished, self.pending, self.pending_maps,
                  self.completion, self.i,
@@ -2203,6 +2344,11 @@ class _Interp:
         raise JsTranslationError(f"constructor new {ctor}(...) is not supported")
 
     def _method_call(self, obj: Any, name: str, args: list[Any]) -> Any:
+        if isinstance(obj, _ObjVal):
+            raise JsTranslationError(
+                f"object method .{name}() is not supported (object "
+                "literals support property reads/writes and "
+                "column-keyed lookup only)")
         if isinstance(obj, _MapVal):
             if name == "put":
                 if len(args) != 2 or not isinstance(args[0], str):
@@ -2538,6 +2684,31 @@ class _Interp:
                     items.append(self.expression())
             self.expect("]")
             return _ArrVal(items)
+        if t.text == "{":
+            entries: dict[str, Any] = {}
+            if not self.at("}"):
+                while True:
+                    kt = self.next()
+                    if kt.kind == "str":
+                        key = kt.text[1:-1]
+                    elif kt.kind == "ident" or kt.kind == "kw":
+                        key = kt.text
+                    elif kt.kind == "num":
+                        key = _js_obj_key(
+                            float(kt.text) if "." in kt.text
+                            else int(kt.text))
+                    else:
+                        raise JsTranslationError(
+                            f"object literal key {kt.text!r} must be an "
+                            "identifier, string, or number")
+                    self.expect(":")
+                    entries[key] = self.expression()
+                    if self.at(","):
+                        self.next()
+                        continue
+                    break
+            self.expect("}")
+            return _ObjVal(entries)
         if t.kind == "regex":
             m = _REGEX_LITERAL_RE.match(t.text)
             return _translate_js_regex(m.group("body"), m.group("flags"))

@@ -1297,7 +1297,7 @@ class TestRound8Arrays:
         assert got["AXN"] == ("lo", "lo/hi")
 
     def test_array_arg_and_outer_mutation_rejected(self, stock_df):
-        with pytest.raises(JsTranslationError, match="array argument"):
+        with pytest.raises(JsTranslationError, match="array/object argument"):
             translate_quality_script(
                 "function f(a) { return 1; } var q = [1]; f(q); null;",
                 stock_df.columns)
@@ -1903,3 +1903,160 @@ class TestColumnBoundLoops:
         self._reject(
             "var a=null; for (var i=0;i<n;i++){ a = i; } a;",
             "number, string, or boolean")
+
+
+class TestRound9Objects:
+    """Object literals: property reads/writes, loop/function-built
+    config objects, the column-keyed lookup-table decode, and the
+    faithful-or-reject boundaries (mirroring the array policy)."""
+
+    def _spec(self, src, cols=("symbol", "adj_close", "trade_date")):
+        return translate_transformation_script(src, list(cols))
+
+    def test_property_read_write_and_missing_is_undefined(
+            self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var cfg = {scale: 2.0, label: 'x'};
+        cfg.bonus = 5.0;
+        cfg['label'] = 'scaled';
+        map.put('v', adj_close * cfg.scale + cfg.bonus);
+        map.put('label', cfg.label);
+        map.put('missing', cfg.nothere);
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["symbol"]: r.asDict() for r in out.collect()}
+        assert got["AAPL"]["v"] == pytest.approx(205.0)
+        assert got["AAPL"]["label"] == "scaled"
+        assert got["AAPL"]["missing"] is None
+
+    def test_numeric_and_string_keys_tostring_coerce(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var o = {1: 'one', 'two words': 2};
+        map.put('a', o[1]);
+        map.put('b', o['1']);
+        map.put('c', o['two words']);
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        r = out.collect()[0]
+        assert (r["a"], r["b"], r["c"]) == ("one", "one", 2)
+
+    def test_column_keyed_lookup_table_decode(self, spark, stock_df):
+        """The classic ETL dictionary decode: a literal object indexed
+        by a COLUMN lowers to try_element_at(create_map(...), key) —
+        JVM-side, missing keys read null."""
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var names = {AAPL: 'Apple', MSFT: 'Microsoft', FAX: 'Fax Corp'};
+        map.put('company', names[symbol]);
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["symbol"]: r["company"] for r in out.collect()}
+        assert got == {"AAPL": "Apple", "MSFT": "Microsoft",
+                       "FAX": "Fax Corp", "AXN": None}
+        # and the plan is a pure expression — no Python boundary
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+
+    def test_loop_built_object_folds(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var powers = {};
+        for (var i = 0; i < 4; i++) {
+            powers[i] = Math.pow(2, i);
+        }
+        map.put('p3', powers[3]);
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        assert out.collect()[0]["p3"] == 8.0
+
+    def test_object_as_map_value_becomes_struct(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        map.put('info', {sym: symbol, dbl: adj_close * 2.0});
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        r = out.where(F.col("symbol") == "AAPL").collect()[0]
+        assert r["info"]["sym"] == "AAPL"
+        assert r["info"]["dbl"] == pytest.approx(200.0)
+
+    def test_unconditional_object_untouched_across_branch(
+            self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var cfg = {hi: 'H', lo: 'L'};
+        if (adj_close > 200.0) {
+            map.put('tier', cfg.hi);
+        } else {
+            map.put('tier', cfg.lo);
+        }
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["symbol"]: r["tier"] for r in out.collect()}
+        assert got["MSFT"] == "H" and got["FAX"] == "L"
+
+    def test_rejections(self, spark, stock_df):
+        cases = [
+            # mutation under a data-dependent branch
+            ("""var o = {a: 1};
+                if (adj_close > 200.0) { o.a = 2; }
+                o.a;""", "object"),
+            # object as function argument
+            ("""function f(x) { return 1; }
+                var o = {a: 1};
+                f(o);""", "argument"),
+            # column-keyed lookup over non-scalar values
+            ("""var o = {a: [1, 2]};
+                o[symbol];""", "scalar"),
+            # object method
+            ("""var o = {a: 1};
+                o.hasOwnProperty('a');""", "method"),
+            # column-valued property key in ASSIGNMENT
+            ("""var o = {a: 1};
+                o[symbol] = 2;
+                o.a;""", "literal"),
+        ]
+        for src, needle in cases:
+            full = ("var HashMap = Java.type('java.util.HashMap');"
+                    "var map = new HashMap();" + src + "; map;")
+            with pytest.raises(JsTranslationError, match=needle):
+                translate_transformation_script(
+                    full, ["symbol", "adj_close", "trade_date"])
+
+    def test_empty_object_column_key_reads_null(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var o = {};
+        map.put('x', o[symbol]);
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        assert all(r["x"] is None for r in out.collect())
