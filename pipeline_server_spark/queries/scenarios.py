@@ -364,3 +364,59 @@ def mv_refresh_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refreshed.select(
         "month", "n", F.col("revenue").cast("double").alias("revenue")
     ).orderBy("month")
+
+
+@query(
+    "js_transform_object_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             WHEN '3-MEDIUM' THEN 3 WHEN '5-LOW' THEN 5
+           END AS priority_rank,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 4.0 WHEN '2-HIGH' THEN 2.0
+             ELSE 1.0
+           END * o_totalprice AS weighted_price
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def js_transform_object_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 row-function via the JS shim with OBJECT LITERALS (round-9):
+    the classic ETL dictionary decode — a literal lookup object
+    indexed by a COLUMN lowers to ``try_element_at(create_map(...),
+    key)`` (missing key → null, '4-NOT SPECIFIED' here), and a
+    config object's literal property reads fold at translation time.
+    The whole script is one codegen'd projection — no Python
+    boundary, no shuffle; the oracle is the CASE-WHEN closed form."""
+    from pipeline_server_spark.pipeline.js_shim import (
+        translate_transformation_script,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    src = """
+    var HashMap = Java.type('java.util.HashMap');
+    var map = new HashMap();
+    var rank = {'1-URGENT': 1, '2-HIGH': 2, '3-MEDIUM': 3, '5-LOW': 5};
+    var cfg = {urgentBoost: 4.0, highBoost: 2.0};
+    map.put('priority_rank', rank[o_orderpriority]);
+    var w = 1.0;
+    if (o_orderpriority == '1-URGENT') {
+        w = cfg.urgentBoost;
+    } else {
+        if (o_orderpriority == '2-HIGH') { w = cfg.highBoost; }
+    }
+    map.put('weighted_price', w * o_totalprice);
+    map;
+    """
+    spec = translate_transformation_script(src, o.columns)
+    return o.select(
+        "o_orderkey",
+        spec.expressions["priority_rank"].cast("int")
+        .alias("priority_rank"),
+        # ×4/×2/×1 are exact IEEE scalings, so plain doubles are
+        # bit-identical across engines (no decimal staging needed)
+        spec.expressions["weighted_price"].cast("double")
+        .alias("weighted_price"),
+    ).orderBy("o_orderkey")
