@@ -27,6 +27,8 @@ Recognized conjunct shapes (attribute on either side):
 - ``col >/>=/</<= lit``                 → one-sided range bound
 - ``col BETWEEN a AND b``               → (desugared to >= and <=)
 - ``col IN (lits)``                     → value range (one value: point)
+- ``col LIKE 'p%'`` / ``startswith``    → string range [p, next(p))
+  (inclusive-superset upper bound via last-char increment)
 
 The predicate is resolved against the TABLE SCHEMA through a real
 (empty) analyzed plan, so literal values come back typed — Catalyst
@@ -170,6 +172,34 @@ def derive_envelope(spark: "SparkSession", predicate: "Column",
                 else:
                     los.setdefault(col, []).append(min(vals))
                     his.setdefault(col, []).append(max(vals))
+                continue
+            if name in ("StartsWith", "Like"):
+                col = _attr_name(kids.apply(0))
+                if col is None:
+                    continue
+                v, got = _literal_value(kids.apply(1))
+                if not got or not isinstance(v, str) or not v:
+                    continue
+                if name == "Like":
+                    # only the pure-prefix shape 'p%' (no other
+                    # metacharacters) is derivable
+                    if (not v.endswith("%") or "_" in v
+                            or "\\" in v or "%" in v[:-1]):
+                        continue
+                    v = v[:-1]
+                    if not v:
+                        continue
+                los.setdefault(col, []).append(v)
+                # inclusive upper bound: bump the last non-max char —
+                # every string with prefix v sorts strictly below it
+                # (a wider-than-needed bound is always safe)
+                trimmed = v.rstrip("\U0010FFFF")
+                if trimmed:
+                    bump = ord(trimmed[-1]) + 1
+                    if 0xD800 <= bump <= 0xDFFF:
+                        bump = 0xE000  # skip the surrogate gap
+                    his.setdefault(col, []).append(
+                        trimmed[:-1] + chr(bump))
                 continue
             if kids.size() != 2:
                 continue

@@ -2574,53 +2574,14 @@ class VersionedTable:
         # a skipping index (layout columns have no footer stats; this
         # is their pruning path). Parse failures keep the entry:
         # widen, never narrow.
-        cand_entries = entries
-        lb = {c: b for c, b in bounds.items()
-              if c in layout} if layout else {}
-        lp = {c: v for c, v in points.items()
-              if c in layout} if layout else {}
-        if lb or lp:
-            part_types = {f.name: f.dataType.simpleString()
-                          for f in schema.fields if f.name in layout}
-
-            def _part_ok(rel: str) -> bool:
-                try:
-                    vals = {}
-                    for comp in self._partition_prefix(
-                            rel, len(layout)).split(os.sep):
-                        name, raw = comp.split("=", 1)
-                        vals[name] = self._parse_hive_part_value(
-                            raw, part_types[name])
-                    for c, v in lp.items():
-                        pv = vals[c]
-                        if pv is None or self._canon_part_value(pv) \
-                                != self._canon_part_value(v):
-                            return False
-                    for c, b in lb.items():
-                        pv = vals[c]
-                        if b == "is_null":
-                            if pv is not None:
-                                return False
-                        elif b == "not_null":
-                            if pv is None:
-                                return False
-                        else:
-                            if pv is None:
-                                return False  # NULL fails any range
-                            lo, hi = b
-                            if lo is not None and pv < lo:
-                                return False
-                            if hi is not None and pv > hi:
-                                return False
-                    return True
-                except Exception:
-                    return True  # unprovable: read it
-
-            cand_entries = [e for e in entries if _part_ok(e[1])]
+        cand_entries = (self._prune_entries_by_partition(
+            entries, bounds, points, layout, schema)
+            if layout and schema is not None else list(entries))
         has_index = os.path.isdir(
             os.path.join(self._resolve_dir(current), "_index"))
-        data_bounds = {c: b for c, b in bounds.items() if c not in lb}
-        data_points = {c: v for c, v in points.items() if c not in lp}
+        data_bounds = {c: b for c, b in bounds.items() if c not in layout}
+        data_points = {c: v for c, v in points.items()
+                       if c not in layout}
         if (data_bounds or data_points) and has_index:
             _, picked, _ = self._pruned_files(
                 data_bounds, data_points, current)
@@ -2773,6 +2734,102 @@ class VersionedTable:
         if v is None:
             return 0
         return len({e[0] for e in self._entries_for_version(v)})
+
+    def read_where(self, predicate,
+                   version: int | None = None) -> tuple[DataFrame, int, int]:
+        """Predicate read with AUTOMATIC file skipping — the READ
+        counterpart of the round-9 DML derivation: the envelope
+        (bounds/points) derives from the predicate itself
+        (:mod:`.predicate_envelope`; underivable conjuncts widen),
+        layout-column constraints prune the candidate entries through
+        the MANIFEST (typed hive-prefix parsing — partition pruning
+        with no index at all), data-column constraints prune through
+        the stats/Bloom index when one exists, and the EXACT predicate
+        re-applies as the residual filter. ``predicate`` is a Column
+        or a SQL string. Returns ``(df, files_read, files_total)``
+        like :meth:`read_pruned`."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        schema = self._filelist_schema(v)
+        entries = self._entries_for_version(v)
+        if schema is None or entries is None:
+            # legacy version: no manifest schema to derive against
+            return self.read(v).where(predicate), -1, -1
+        bounds, points = derive_envelope(self.spark, predicate, schema)
+        doc = self._filelist_doc(v) or {}
+        layout = list(doc.get("partition_by") or [])
+        cand = self._prune_entries_by_partition(
+            entries, bounds, points, layout, schema)
+        data_bounds = {c: b for c, b in bounds.items() if c not in layout}
+        data_points = {c: pv for c, pv in points.items()
+                       if c not in layout}
+        total = len(entries)
+        has_index = os.path.isdir(
+            os.path.join(self._resolve_dir(v), "_index"))
+        files = [self._abs_file(e) for e in cand]
+        if (data_bounds or data_points) and has_index:
+            _, picked, _ = self._pruned_files(data_bounds, data_points, v)
+            pick = set(picked)
+            files = [f for f in files if f in pick]
+        if not files:
+            return (self.read(v).where(F.lit(False)), 0, total)
+        df = self._read_files(files, schema=schema,
+                              dir_renames=self._dir_renames(v))
+        return df.where(predicate), len(files), total
+
+    def _prune_entries_by_partition(self, entries, bounds: dict,
+                                    points: dict, layout: list,
+                                    schema) -> list:
+        """Candidate entries surviving the envelope's LAYOUT-column
+        constraints, matched by typed hive-prefix values (parse
+        failures keep the entry — widen, never narrow)."""
+        lb = {c: b for c, b in bounds.items() if c in layout}
+        lp = {c: pv for c, pv in points.items() if c in layout}
+        if not (lb or lp):
+            return list(entries)
+        part_types = {f.name: f.dataType.simpleString()
+                      for f in schema.fields if f.name in layout}
+
+        def _ok(rel: str) -> bool:
+            try:
+                vals = {}
+                for comp in self._partition_prefix(
+                        rel, len(layout)).split(os.sep):
+                    name, raw = comp.split("=", 1)
+                    vals[name] = self._parse_hive_part_value(
+                        raw, part_types[name])
+                for c, pv in lp.items():
+                    got = vals[c]
+                    if got is None or self._canon_part_value(got) \
+                            != self._canon_part_value(pv):
+                        return False
+                for c, b in lb.items():
+                    got = vals[c]
+                    if b == "is_null":
+                        if got is not None:
+                            return False
+                    elif b == "not_null":
+                        if got is None:
+                            return False
+                    else:
+                        if got is None:
+                            return False
+                        lo, hi = b
+                        if lo is not None and got < lo:
+                            return False
+                        if hi is not None and got > hi:
+                            return False
+                return True
+            except Exception:
+                return True
+
+        return [e for e in entries if _ok(e[1])]
 
     def read_pruned(self, bounds: dict, version: int | None = None,
                     points: dict | None = None):

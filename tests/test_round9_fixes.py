@@ -368,3 +368,61 @@ class TestPartitionPrunedDml:
         meta = t.commit_metadata(2)
         assert meta["candidate_files"] < meta["total_files"]
         assert {r["k"] for r in t.read().collect()} == {1}
+
+
+class TestReadWhere:
+    """read_where: predicate-derived file skipping on the READ path —
+    manifest partition pruning + stats/Bloom index + exact residual."""
+
+    def test_reads_prune_and_filter(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rw1"))
+        t.commit(
+            spark.range(0, 8000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+                (F.col("id") % 8).cast("int").alias("p"))
+            .repartitionByRange(8, "k"),
+            partition_by=("p",), stats_cols=("k",))
+        df, fr, ft = t.read_where((F.col("p") == 3) & (F.col("k") < 1000))
+        assert 0 < fr < ft
+        got = {r["k"] for r in df.collect()}
+        assert got == {k for k in range(1000) if k % 8 == 3}
+
+    def test_sql_string_and_no_index(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rw2"))
+        t.commit(
+            spark.range(0, 900).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 9).cast("int").alias("p")),
+            partition_by=("p",))
+        df, fr, ft = t.read_where("p = 4 and k >= 100")
+        assert 0 < fr < ft  # manifest partition pruning, no index
+        assert df.count() == len([k for k in range(100, 900) if k % 9 == 4])
+
+    def test_like_prefix_derives_a_range(self, spark):
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+        from pyspark.sql import types as T
+
+        sch = T.StructType([T.StructField("s", T.StringType())])
+        b, p = derive_envelope(spark, F.col("s").startswith("abc"), sch)
+        assert p == {} and b["s"][0] == "abc" and b["s"][1] == "abd"
+        b, p = derive_envelope(spark, F.col("s").like("ab%"), sch)
+        assert b["s"] == ("ab", "ac")
+        # non-prefix patterns don't derive
+        b, p = derive_envelope(spark, F.col("s").like("%x"), sch)
+        assert (b, p) == ({}, {})
+        b, p = derive_envelope(spark, F.col("s").like("a_c%"), sch)
+        assert (b, p) == ({}, {})
+
+    def test_like_prefix_prunes_files(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rw3"))
+        t.commit(
+            spark.range(0, 4000).select(
+                F.concat(F.lit("id-"),
+                         F.lpad(F.col("id").cast("string"), 5, "0"))
+                .alias("s"), F.col("id").alias("k"))
+            .repartitionByRange(8, "s"),
+            stats_cols=("s",))
+        df, fr, ft = t.read_where(F.col("s").like("id-000%"))
+        assert 0 < fr < ft
+        assert df.count() == 100  # id-00000 .. id-00099
