@@ -474,3 +474,54 @@ class TestRestoreAndCloneAcrossRename:
         got = {(r["k"], r["value"]) for r in c.read().collect()}
         assert got == {(k, 2 * k) for k in range(10)}, \
             "clone lost the source's column mapping"
+
+
+class TestMappingMultiWriter:
+    def test_racing_renames_exactly_one_wins(self, spark, tmp_path):
+        """Two rename_column racers under ConditionalPutFS: one
+        publishes, the loser raises CommitConflictError with its
+        staged (metadata-only) version discarded and the table-level
+        properties untouched — the same optimistic-concurrency story
+        as DML, now covering column-mapping commits."""
+        import threading
+
+        from pipeline_server_spark.pipeline.writers import (
+            CommitConflictError,
+            ConditionalPutFS,
+        )
+
+        root = str(tmp_path / "map_race")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.commit(_rows(spark, 0, 50))
+
+        class FrozenCurrent(VersionedTable):
+            def current_version(self):
+                return 1
+
+        barrier = threading.Barrier(2)
+        results: dict = {}
+
+        def renamer(tag, new):
+            t = FrozenCurrent(spark, root, fs=ConditionalPutFS())
+            barrier.wait()
+            try:
+                results[tag] = ("ok", t.rename_column("v", new))
+            except CommitConflictError:
+                results[tag] = ("conflict", None)
+
+        threads = [threading.Thread(target=renamer, args=("a", "va")),
+                   threading.Thread(target=renamer, args=("b", "vb"))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        kinds = sorted(k for k, _ in results.values())
+        assert kinds == ["conflict", "ok"]
+
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert t.current_version() == 2
+        winner = [tag for tag, (k, _) in results.items() if k == "ok"][0]
+        want = {"a": "va", "b": "vb"}[winner]
+        assert set(t.read().columns) == {"k", want}
+        got = {(r["k"], r[want]) for r in t.read().collect()}
+        assert got == {(k, 2 * k) for k in range(50)}
