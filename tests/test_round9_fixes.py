@@ -426,3 +426,136 @@ class TestReadWhere:
         df, fr, ft = t.read_where(F.col("s").like("id-000%"))
         assert 0 < fr < ft
         assert df.count() == 100  # id-00000 .. id-00099
+
+
+class TestEnvelopeSoundnessProperty:
+    """Property test for the DML envelope derivation — the one
+    invariant whose violation is SILENT DATA LOSS: every row
+    satisfying the predicate must satisfy the derived envelope
+    (the envelope may be wider, never narrower)."""
+
+    def test_envelope_implied_by_predicate(self, spark):
+        import random
+
+        from pyspark.sql import types as T
+
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        sch = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ])
+        rng = random.Random(0xC0FFEE)
+        strings = ["", "a", "ab", "abc", "m", "zz", "x:y", None]
+
+        def rand_rows(n=40):
+            return [
+                {"k": rng.choice([None] + list(range(-5, 16))),
+                 "s": rng.choice(strings),
+                 "x": rng.choice([None, -1.5, 0.0, 3.25, 9.75])}
+                for _ in range(n)
+            ]
+
+        def rand_conjunct():
+            kind = rng.choice(
+                ["cmp", "scmp", "in", "null", "prefix", "arith", "orr"])
+            if kind == "cmp":
+                c = rng.choice(["k", "x"])
+                op = rng.choice(["==", "<", "<=", ">", ">="])
+                lit = rng.randint(-5, 15)
+                return kind, (c, op, lit)
+            if kind == "scmp":
+                return kind, ("s", rng.choice(["==", "<", ">"]),
+                              rng.choice(["a", "m", "zz"]))
+            if kind == "in":
+                c = rng.choice(["k", "s"])
+                vals = ([rng.randint(-5, 15) for _ in range(3)]
+                        if c == "k" else
+                        rng.sample(["a", "ab", "m", "zz"], 2))
+                return kind, (c, vals)
+            if kind == "null":
+                return kind, (rng.choice(["k", "s", "x"]),
+                              rng.choice([True, False]))
+            if kind == "prefix":
+                return kind, ("s", rng.choice(["a", "ab"]))
+            if kind == "arith":
+                return kind, ("k", rng.randint(-5, 15))
+            return kind, ("k", rng.randint(-5, 15), rng.randint(-5, 15))
+
+        def to_col(kind, args):
+            if kind == "cmp" or kind == "scmp":
+                c, op, lit = args
+                col = F.col(c)
+                return {"==": col == lit, "<": col < lit,
+                        "<=": col <= lit, ">": col > lit,
+                        ">=": col >= lit}[op]
+            if kind == "in":
+                return F.col(args[0]).isin(*args[1])
+            if kind == "null":
+                c, isnull = args
+                return F.col(c).isNull() if isnull else F.col(c).isNotNull()
+            if kind == "prefix":
+                return F.col(args[0]).startswith(args[1])
+            if kind == "arith":
+                return (F.col(args[0]) + 1) < args[1]
+            return (F.col(args[0]) == args[1]) | (F.col(args[0]) == args[2])
+
+        def py_eval(kind, args, row):
+            if kind in ("cmp", "scmp"):
+                c, op, lit = args
+                v = row[c]
+                if v is None:
+                    return False
+                return {"==": v == lit, "<": v < lit, "<=": v <= lit,
+                        ">": v > lit, ">=": v >= lit}[op]
+            if kind == "in":
+                return row[args[0]] is not None and row[args[0]] in args[1]
+            if kind == "null":
+                c, isnull = args
+                return (row[c] is None) == isnull
+            if kind == "prefix":
+                return row[args[0]] is not None and \
+                    row[args[0]].startswith(args[1])
+            if kind == "arith":
+                return row[args[0]] is not None and \
+                    row[args[0]] + 1 < args[1]
+            return row[args[0]] in (args[1], args[2])
+
+        def env_ok(row, bounds, points):
+            for c, v in points.items():
+                if row[c] is None or row[c] != v:
+                    return False
+            for c, b in bounds.items():
+                got = row[c]
+                if b == "is_null":
+                    if got is not None:
+                        return False
+                elif b == "not_null":
+                    if got is None:
+                        return False
+                else:
+                    lo, hi = b
+                    if got is None:
+                        return False
+                    if lo is not None and got < lo:
+                        return False
+                    if hi is not None and got > hi:
+                        return False
+            return True
+
+        for trial in range(25):
+            conjs = [rand_conjunct()
+                     for _ in range(rng.randint(1, 4))]
+            pred = None
+            for kind, args in conjs:
+                c = to_col(kind, args)
+                pred = c if pred is None else (pred & c)
+            bounds, points = derive_envelope(spark, pred, sch)
+            for row in rand_rows():
+                if all(py_eval(k, a, row) for k, a in conjs):
+                    assert env_ok(row, bounds, points), (
+                        trial, conjs, row, bounds, points,
+                        "row satisfies the predicate but was outside "
+                        "the derived envelope — silent-data-loss bug")
