@@ -118,6 +118,9 @@ def quality_classifier_fit(
         label.cast("double").alias("_y"),
         hashed_gram_buckets(docs, d_buckets, text_col).alias("_b"),
     ).persist()
+    # (no kmeans_fit-style repack here: the input is a raw parquet
+    # scan whose partitioning already tracks data size — measured A/B
+    # showed the probe jobs cost more than they save)
 
     d1 = d_buckets + 1
     partial_schema = T.StructType([
