@@ -38,6 +38,21 @@ SHOW = {
         "projection: whole-stage codegen, no UDF, no shuffle before "
         "the final sort"
     ),
+    "js_transform_object_lookup": (
+        "JS object-literal dictionary decode lowered to "
+        "try_element_at(create_map(...), key): one codegen'd "
+        "projection, no Python boundary"
+    ),
+    "quality_classifier_scores": (
+        "hashed-n-gram Newton/IRLS classifier: pure-JVM feature "
+        "hashing, per-round one Arrow pass + model-sized decimal "
+        "reduction, one scoring pass"
+    ),
+    "remove_duplicate_spans": (
+        "exact substring removal: df-banded 8-byte-gram join, "
+        "diagonal islands, span-sized position explode, one JVM "
+        "array-filter rewrite pass"
+    ),
     "kmeans_embedding_clusters": (
         "distributed Lloyd: per-iteration mapInPandas partials + "
         "k-group decimal aggregation; k×(d+1) scalars to the driver "
