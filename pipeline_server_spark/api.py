@@ -312,6 +312,11 @@ class PipelineApiServer:
             if method == "POST" and path == "/dataset/restore":
                 name, version = need("name", "version")
                 return 200, self.engine.restore(name, int(version))
+            if method == "GET" and path == "/dataset/rows":
+                (name,) = need("name")
+                return 200, self.engine.scan_rows(
+                    name, where=q.get("where"),
+                    limit=int(q.get("limit", 100)))
             if method == "POST" and path == "/dataset/rename-column":
                 name, old, new = need("name", "from", "to")
                 return 200, self.engine.rename_column(name, old, new)

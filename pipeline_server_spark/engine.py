@@ -272,6 +272,33 @@ class Engine:
             new_version = table.restore(version)
         return {"version": new_version, "restored_version": version}
 
+    def scan_rows(self, name: str, where: str | None = None,
+                  limit: int = 100) -> dict[str, Any]:
+        """GET /dataset/rows — a bounded predicate scan over a
+        versioned dataset, served through the round-9 derived-envelope
+        read path (:meth:`VersionedTable.read_where`): manifest
+        partition pruning + stats/Bloom skipping + exact residual, so
+        an indexed point probe over the control plane opens a handful
+        of files, not the table. ``limit`` caps the JSON payload
+        (bounded driver traffic by construction)."""
+        if limit < 1 or limit > 10_000:
+            raise ValueError("limit must be in [1, 10000]")
+        table, _ = self._versioned_table(name)
+        if where:
+            df, files_read, files_total = table.read_where(where)
+        else:
+            df = table.read()
+            files_read = files_total = len(
+                table._entries_for_version(table.current_version()))
+        rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+        for r in rows:  # JSON-safe values
+            for k, v in r.items():
+                if not isinstance(v, (str, int, float, bool, type(None),
+                                      list, dict)):
+                    r[k] = str(v)
+        return {"rows": rows, "n": len(rows),
+                "files_read": files_read, "files_total": files_total}
+
     def rename_column(self, name: str, old: str, new: str) -> dict[str, Any]:
         """Metadata-only column RENAME on a versioned dataset (Delta
         column-mapping; round-9): O(1) in data, index/feed/stream

@@ -173,6 +173,20 @@ def derive_envelope(spark: "SparkSession", predicate: "Column",
                     los.setdefault(col, []).append(min(vals))
                     his.setdefault(col, []).append(max(vals))
                 continue
+            if name == "Between":
+                # the SQL parser's BETWEEN survives analysis as a
+                # RuntimeReplaceable node (the Column API's .between
+                # desugars to >= and <=) — read its accessors directly
+                col = _attr_name(c.input())
+                if col is None:
+                    continue
+                lo, got_lo = _literal_value(c.lower())
+                hi, got_hi = _literal_value(c.upper())
+                if got_lo and lo is not None:
+                    los.setdefault(col, []).append(lo)
+                if got_hi and hi is not None:
+                    his.setdefault(col, []).append(hi)
+                continue
             if name in ("StartsWith", "Like"):
                 col = _attr_name(kids.apply(0))
                 if col is None:

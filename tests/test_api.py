@@ -780,3 +780,43 @@ def test_rest_column_mapping_endpoints(spark, server):
         "/dataset/drop-column?name=api_colmap&column=val", b"")
     assert status == 200 and out["version"] == 3
     assert t.read().columns == ["id"]
+
+
+def test_rest_rows_scan_prunes_through_derived_envelope(spark, server):
+    """GET /dataset/rows: a bounded predicate scan over the control
+    plane, served by read_where — files_read < files_total for an
+    indexed predicate, exact residual applied."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_rows")
+    cfg = DatasetConfig(
+        name="api_rows",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    VersionedTable(spark, path).commit(
+        spark.range(0, 4000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v"))
+        .repartitionByRange(8, "id"),
+        stats_cols=("id",))
+
+    status, out = _call(
+        srv.port, "GET",
+        "/dataset/rows?name=api_rows&where=id%20between%20100%20and%20104")
+    assert status == 200
+    assert out["files_read"] < out["files_total"]
+    assert {r["id"] for r in out["rows"]} == {100, 101, 102, 103, 104}
+    assert out["rows"][0]["v"] in (200, 202, 204, 206, 208)
+
+    status, out = _call(
+        srv.port, "GET", "/dataset/rows?name=api_rows&limit=3")
+    assert status == 200 and out["n"] == 3

@@ -559,3 +559,23 @@ class TestEnvelopeSoundnessProperty:
                         trial, conjs, row, bounds, points,
                         "row satisfies the predicate but was outside "
                         "the derived envelope — silent-data-loss bug")
+
+
+class TestSqlBetweenEnvelope:
+    def test_sql_between_derives_a_range(self, spark):
+        """The SQL parser's BETWEEN survives analysis as a
+        RuntimeReplaceable node (unlike Column.between, which desugars
+        to >= and <=) — it must still derive, or every REST
+        'x between a and b' DML/scan silently full-scans."""
+        from pyspark.sql import types as T
+
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        sch = T.StructType([T.StructField("k", T.LongType()),
+                            T.StructField("s", T.StringType())])
+        b, p = derive_envelope(spark, F.expr("k between 3 and 7"), sch)
+        assert (b, p) == ({"k": (3, 7)}, {})
+        b, p = derive_envelope(
+            spark, F.expr("k between 3 and 7 and s = 'x'"), sch)
+        assert b == {"k": (3, 7)} and p == {"s": "x"}
