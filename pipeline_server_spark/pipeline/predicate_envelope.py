@@ -104,7 +104,25 @@ def _flatten_and(e):
         yield e
 
 
+#: lossless ORDER-EMBEDDING widenings the analyzer inserts to coerce
+#: literals — unwrapping them is safe for both min/max bounds (the
+#: skip comparison coerces identically) and Bloom points (the probe
+#: hash canonicalizes numerics by mathematical value)
+_INT_WIDTH = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
 def _attr_name(e) -> str | None:
+    while e.getClass().getSimpleName() == "Cast":
+        child = e.children().apply(0)
+        src = child.dataType().simpleString()
+        dst = e.dataType().simpleString()
+        ok = (src == dst
+              or (src in _INT_WIDTH and dst in _INT_WIDTH
+                  and _INT_WIDTH[src] <= _INT_WIDTH[dst])
+              or (src == "float" and dst == "double"))
+        if not ok:
+            return None  # lossy/non-monotone cast: not provable
+        e = child
     if e.getClass().getSimpleName() == "AttributeReference":
         return str(e.name())
     return None

@@ -579,3 +579,23 @@ class TestSqlBetweenEnvelope:
         b, p = derive_envelope(
             spark, F.expr("k between 3 and 7 and s = 'x'"), sch)
         assert b == {"k": (3, 7)} and p == {"s": "x"}
+
+    def test_analyzer_coercion_casts_unwrap(self, spark):
+        """The analyzer wraps the ATTRIBUTE in a widening cast when a
+        SQL literal list needs coercion (k bigint IN (int literals)) —
+        the walker unwraps lossless order-embedding casts so REST
+        IN-lists prune; lossy casts stay underivable."""
+        from pyspark.sql import types as T
+
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        sch = T.StructType([T.StructField("k", T.LongType()),
+                            T.StructField("s", T.StringType())])
+        b, p = derive_envelope(spark, F.expr("k in (1,2,3)"), sch)
+        assert (b, p) == ({"k": (1, 3)}, {})
+        b, p = derive_envelope(spark, F.expr("k in (7)"), sch)
+        assert (b, p) == ({}, {"k": 7})
+        # lossy coercion of the attribute: not provable
+        b, p = derive_envelope(spark, F.expr("s = 5"), sch)
+        assert (b, p) == ({}, {})
