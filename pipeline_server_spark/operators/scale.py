@@ -500,9 +500,14 @@ def read_with_skipping(
             cond = cond & ~no_null
         elif b == "not_null":
             cond = cond & ~all_null
-        else:
+        elif f"{c}_min" in index.columns:
             # (lo, hi) with None = unbounded on that side (a one-sided
-            # predicate like `k < 10` derives (None, 10))
+            # predicate like `k < 10` derives (None, 10)). A column the
+            # index does not cover (no {c}_min/{c}_max stats — e.g. a
+            # derived-envelope column outside stats_cols) contributes
+            # no pruning at all: referencing the absent stat columns
+            # would raise UNRESOLVED_COLUMN, and pretending is wrong —
+            # the residual still applies the exact bound row-level.
             lo, hi = b
             overlap = F.lit(True)
             if lo is not None:

@@ -79,8 +79,21 @@ def _catalyst_to_py(value, simple_dt: str):
         # and the sub-second part rides exactly as an integer micros
         # delta that can never cross a DST boundary
         secs, rem = divmod(int(value), 10**6)
-        return (_dt.datetime.fromtimestamp(secs)
-                + _dt.timedelta(microseconds=rem))
+        dt = (_dt.datetime.fromtimestamp(secs)
+              + _dt.timedelta(microseconds=rem))
+        # re-litify guard: F.lit converts back through time.mktime,
+        # which IGNORES the fold attribute — in the DST fall-back hour
+        # two instants share one naive wall clock and the round-trip
+        # can come back an hour off, NARROWING the envelope (silently
+        # pruning files that contain matching rows). An instant whose
+        # mktime(fromtimestamp(t)) != t is therefore underivable:
+        # raise so the conjunct widens to a full scan (round-9 advice)
+        import time as _time
+        if int(_time.mktime(dt.timetuple())) != secs:
+            raise ValueError(
+                "timestamp literal in a DST-ambiguous local hour does "
+                "not round-trip through mktime — widening")
+        return dt
     if simple_dt == "timestamp_ntz":
         return _EPOCH_DT + _dt.timedelta(microseconds=int(value))
     if simple_dt == "date":

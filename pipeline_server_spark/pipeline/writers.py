@@ -469,7 +469,8 @@ class VersionedTable:
     def _write_filelist(self, target: str, entries: list[tuple[str, str]],
                         schema=None, stats_cols=None, kind: str | None = None,
                         partition_by=None, bloom_cols=None,
-                        cdf: bool = False, dir_renames=_INHERIT) -> None:
+                        cdf: bool = False, dir_renames=_INHERIT,
+                        dvs=_INHERIT) -> None:
         import json
         import time
 
@@ -521,6 +522,18 @@ class VersionedTable:
                            .get("dir_renames") if cur is not None else None)
         if dir_renames:
             doc["dir_renames"] = dir_renames
+        if dvs is self._INHERIT:
+            # deletion-vector continuity: carrying the prior version's
+            # DV entries is the CORRUPTION-SAFE default — a commit that
+            # carries data files forward but loses their DVs would
+            # resurrect deleted rows; a stale DV row (its file since
+            # rewritten) matches nothing and is merely dead weight
+            # until compaction resets the list. Full-rewrite paths
+            # (commit / OPTIMIZE) pass dvs=None to reset.
+            cur = self.current_version()
+            dvs = self._filelist_dvs(cur) if cur is not None else None
+        if dvs:
+            doc["dvs"] = [list(e) for e in dvs]
         with open(os.path.join(target, self.FILELIST), "w") as f:
             json.dump(doc, f)
 
@@ -621,7 +634,7 @@ class VersionedTable:
         return local
 
     def _read_mapped_group(self, base: str, fs: list[str], schema,
-                           dev: dict) -> DataFrame:
+                           dev: dict, lineage: bool = False) -> DataFrame:
         """Read one version directory whose physical column names
         deviate from the logical schema (``dev``: physical → logical
         | None): the scan requests the PHYSICAL schema (so parquet
@@ -648,14 +661,20 @@ class VersionedTable:
         df = (self.spark.read.option("basePath", base)
               .schema(T.StructType(phys_fields))
               .format(self.file_format).load(sorted(fs)))
-        return df.select(*[
+        cols = [
             (F.lit(None).cast(f.dataType).alias(f.name) if phys is None
              else df[phys].alias(f.name))
             for phys, f in plan
-        ])
+        ]
+        if lineage:
+            cols += [F.col("_metadata.file_path").alias(self._DV_FILE),
+                     F.col("_metadata.row_index").alias(self._DV_POS)]
+        return df.select(*cols)
 
     def _read_files(self, files: list[str], schema=None,
-                    dir_renames: dict | None = None) -> DataFrame:
+                    dir_renames: dict | None = None,
+                    dvs: list[tuple[str, str]] | None = None,
+                    keep_lineage: bool = False) -> DataFrame:
         """Read an explicit list of ABSOLUTE data-file paths as one
         DataFrame: one ``basePath``-anchored scan per contributing
         version directory (hive partition columns resolve from the
@@ -685,19 +704,41 @@ class VersionedTable:
             head = f[: i + len(marker)]
             d = f[i + len(marker):].split(os.sep, 1)[0]
             groups.setdefault(os.path.join(head, d), []).append(f)
+        need_lineage = bool(dvs) or keep_lineage
         parts = []
         for base, fs in sorted(groups.items()):
             dev = (dir_renames or {}).get(os.path.basename(base)) or {}
             if schema is not None and dev:
-                parts.append(self._read_mapped_group(base, fs, schema, dev))
+                parts.append(self._read_mapped_group(
+                    base, fs, schema, dev, lineage=need_lineage))
                 continue
             rd = self.spark.read.option("basePath", base)
             if schema is not None:
                 rd = rd.schema(schema)
-            parts.append(rd.format(self.file_format).load(sorted(fs)))
+            p = rd.format(self.file_format).load(sorted(fs))
+            if need_lineage:
+                p = p.select(
+                    "*",
+                    F.col("_metadata.file_path").alias(self._DV_FILE),
+                    F.col("_metadata.row_index").alias(self._DV_POS))
+            parts.append(p)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dvs:
+            # merge-on-read masking: drop rows a deletion vector names
+            # by (file identity, row position). The DV side is O(total
+            # deleted rows) — typically tiny next to the data, so AQE
+            # broadcasts it; the anti-join preserves the scan's
+            # pushdown/pruning untouched.
+            dv = self._dv_frame(dvs)
+            out = (out.withColumn("__dv_key", self._dv_key_expr())
+                   .join(dv, (F.col("__dv_key") == F.col("__dv_m_file"))
+                         & (F.col(self._DV_POS) == F.col("__dv_m_pos")),
+                         "left_anti")
+                   .drop("__dv_key"))
+        if need_lineage and not keep_lineage:
+            out = out.drop(self._DV_FILE, self._DV_POS)
         return out
 
     # -- operations ------------------------------------------------------
@@ -743,7 +784,11 @@ class VersionedTable:
         self._write_filelist(target, entries, schema=df.schema,
                              stats_cols=stats_cols, kind="full",
                              partition_by=partition_by,
-                             bloom_cols=bloom_cols, cdf=wrote_cdf)
+                             bloom_cols=bloom_cols, cdf=wrote_cdf,
+                             # full rewrite: every file is new, no
+                             # deletion vector can reference one —
+                             # reset instead of inheriting dead weight
+                             dvs=None)
         if stats_cols or bloom_cols:
             self._build_index(target, entries, stats_cols, df.schema,
                               bloom_cols=bloom_cols)
@@ -1289,9 +1334,29 @@ class VersionedTable:
                      for rel in new_rels}
         part_types = {c: merged.schema[c].dataType.simpleString()
                       for c in cols}
+        # timestamp partition values must NOT be collected as Python
+        # datetimes: PySpark converts them through the DRIVER OS
+        # timezone, while the hive path (the other side of the
+        # comparison) renders in spark.sql.session.timeZone — under a
+        # non-default session tz the two naive wall-clocks differ by
+        # the offset and fully-deleted partitions silently carry
+        # forward (round-9 advice). Let SPARK render the value with
+        # the same cast the path writer uses, then parse both sides
+        # with fromisoformat: one timezone, by construction.
+        import datetime as _dt
+        ts_cols = {c for c in cols
+                   if part_types[c] in ("timestamp", "timestamp_ntz")}
+        proj = [F.col(c).cast("string").alias(c) if c in ts_cols
+                else F.col(c) for c in cols]
+
+        def _touched_val(c, v):
+            if c in ts_cols and v is not None:
+                return _dt.datetime.fromisoformat(v)
+            return self._canon_part_value(v)
+
         touched_vals = {
-            tuple(self._canon_part_value(r[c]) for c in cols)
-            for r in touched.collect()  # batch-sized driver traffic
+            tuple(_touched_val(c, r[c]) for c in cols)
+            for r in touched.select(*proj).collect()  # batch-sized
         }
 
         def _carries(rel: str) -> bool:
@@ -1590,7 +1655,8 @@ class VersionedTable:
             return self.spark.read.format(self.file_format).load(d)
         return self._read_files([self._abs_file(e) for e in entries],
                                 schema=self._filelist_schema(v),
-                                dir_renames=self._dir_renames(v))
+                                dir_renames=self._dir_renames(v),
+                                dvs=self._filelist_dvs(v))
 
     # -- named refs (Iceberg-style tags) ---------------------------------
     def _tags_dir(self) -> str:
@@ -1816,7 +1882,11 @@ class VersionedTable:
             # one (the default inherit) — restoring across a rename
             # with the post-rename map would null-fill the restored
             # files' columns
-            dir_renames=doc.get("dir_renames"))
+            dir_renames=doc.get("dir_renames"),
+            # likewise its deletion vectors: rolling back across a DML
+            # must restore the rows THAT version masked, no more
+            # (inherit would re-apply later deletes), no less
+            dvs=doc.get("dvs"))
         src_idx = os.path.join(self._resolve_dir(version), "_index")
         if os.path.isdir(src_idx):
             # the restored version's index covers exactly its files —
@@ -2043,8 +2113,13 @@ class VersionedTable:
         if dest.current_version() is not None:
             raise ValueError(f"clone target {dest_root} is already a table")
         # every inherited basename → its FINAL absolute source dir
-        # (resolved through OUR OWN clone bases, so chains flatten)
-        rep = {e[0]: e[1] for e in entries}  # one rel per basename
+        # (resolved through OUR OWN clone bases, so chains flatten).
+        # DV sidecar entries count too: a pure merge-on-read DELETE
+        # version contributes no data file, so its directory would
+        # otherwise never enter the bases map and the clone's masking
+        # read could not resolve the vector.
+        src_dvs = [tuple(e) for e in doc.get("dvs") or []]
+        rep = {e[0]: e[1] for e in list(entries) + src_dvs}
         # abspath: a source opened via a RELATIVE root must not leak
         # CWD-dependent paths into the clone's permanent record
         bases = {
@@ -2059,7 +2134,8 @@ class VersionedTable:
                        "source_version": v, "bases": bases}, f)
         os.replace(tmp, os.path.join(dest_root, self.CLONESOURCE))
         # table properties travel with the clone
-        for prop in (self.BUCKETSPEC, self.CONSTRAINTS, self.CDFSPEC):
+        for prop in (self.BUCKETSPEC, self.CONSTRAINTS, self.CDFSPEC,
+                     self.DVSPEC):
             src = os.path.join(self.root, prop)
             if os.path.exists(src):
                 shutil.copyfile(src, os.path.join(dest_root, prop))
@@ -2074,7 +2150,10 @@ class VersionedTable:
             # clone (a fresh dest has nothing to inherit — without
             # this a clone of a renamed table null-fills the renamed
             # columns of every inherited file)
-            dir_renames=doc.get("dir_renames"))
+            dir_renames=doc.get("dir_renames"),
+            # and its deletion vectors — a clone of a MOR-deleted
+            # table must not resurrect the deleted rows
+            dvs=doc.get("dvs"))
         src_idx = os.path.join(self._resolve_dir(v), "_index")
         if os.path.isdir(src_idx):
             shutil.copytree(src_idx, os.path.join(target, "_index"))
@@ -2368,6 +2447,85 @@ class VersionedTable:
             os.remove(os.path.join(self.root, self.CDFSPEC))
         except FileNotFoundError:
             pass
+
+    # -- deletion vectors (Delta 2.3+/Iceberg-v2 merge-on-read DML) -------
+    DVSPEC = "_dvspec.json"
+    DVDIR = "_dv"
+    #: lineage columns _read_files attaches for DV masking/derivation —
+    #: double-underscored to stay clear of user schemas
+    _DV_FILE = "__dv_file"
+    _DV_POS = "__dv_pos"
+
+    def dv_enabled(self) -> bool:
+        """Whether DML runs MERGE-ON-READ (deletion vectors) instead of
+        copy-on-write. Table-level property, like the CDF spec."""
+        import json
+
+        try:
+            with open(os.path.join(self.root, self.DVSPEC)) as f:
+                return bool(json.load(f).get("enabled"))
+        except FileNotFoundError:
+            return False
+
+    def enable_deletion_vectors(self) -> None:
+        """Turn on MERGE-ON-READ DML (the public Delta 2.3+ deletion-
+        vector / Iceberg-v2 positional-delete design): delete_where /
+        update_where stop rewriting whole files for a handful of
+        matching rows — they commit a ``_dv`` sidecar of (file,
+        position) pairs, O(matched rows) in bytes written, and every
+        read face (read / read_pruned / read_where / changes /
+        streaming CDF) masks through it. A point delete on a 100 TB
+        table with 1 GB files goes from rewriting ~1 GB per touched
+        file (~10^9x write amplification) to writing a few hundred
+        bytes; commit metadata shows ``rewritten_files: 0``.
+        Copy-on-write remains the COMPACTION path: OPTIMIZE
+        (optimize_compact_snapshot / compact_partitions) reads masked
+        and materializes the vectors away."""
+        import json
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f".{self.DVSPEC}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"enabled": True}, f)
+        os.replace(tmp, os.path.join(self.root, self.DVSPEC))
+
+    def disable_deletion_vectors(self) -> None:
+        """Back to copy-on-write DML for FUTURE commits. Existing
+        deletion vectors stay live (reads keep masking) until a
+        compaction materializes them away."""
+        try:
+            os.remove(os.path.join(self.root, self.DVSPEC))
+        except FileNotFoundError:
+            pass
+
+    def _filelist_dvs(self, version: int) -> list[tuple[str, str]]:
+        """The version's live deletion-vector sidecar entries,
+        ``[(version-dir-basename, relative-path), ...]`` — same shape
+        and resolution (:meth:`_abs_file`) as data entries."""
+        doc = self._filelist_doc(version)
+        return [tuple(e) for e in (doc or {}).get("dvs") or []]
+
+    def _dv_frame(self, dvs: list[tuple[str, str]]) -> DataFrame:
+        """The union of DV sidecars as (``__dv_m_file``,
+        ``__dv_m_pos``) — aliased so the anti-join never collides with
+        a data column literally named 'file'/'pos'."""
+        paths = [self._abs_file(tuple(e)) for e in dvs]
+        return (self.spark.read.schema("file string, pos bigint")
+                .parquet(*paths)
+                .select(F.col("file").alias("__dv_m_file"),
+                        F.col("pos").alias("__dv_m_pos")))
+
+    @classmethod
+    def _dv_key_expr(cls):
+        """The stable file identity a DV row records: the path below
+        the LAST ``/_versions/`` component (``<dir-basename>/<rel>``),
+        URL-decoded because ``_metadata.file_path`` is a URI (a hive
+        directory literally named ``p=x%20y`` arrives encoded as
+        ``p=x%2520y``). Shared by the write (DV derivation) and read
+        (masking) sides, so the two can never disagree."""
+        return F.url_decode(F.regexp_extract(
+            F.col(cls._DV_FILE), "^.*/_versions/(.+)$", 1))
 
     def _read_staged(self, target: str, schema) -> DataFrame:
         """The staged (not yet published) write read back — partition

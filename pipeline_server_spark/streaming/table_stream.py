@@ -144,6 +144,13 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         self.schema_fields = [f.name for f in schema.fields
                               if f.name not in ("_commit_version",
                                                 "_change_type")]
+        # the stream schema is FIXED at reader construction: it
+        # reflects the table's logical schema as of this version.
+        # Rename/drop commits AFTER it cannot be mapped through — the
+        # planner raises (fail-on-schema-change, Delta semantics)
+        # instead of silently null-filling a column whose bytes the
+        # files physically contain.
+        self._schema_version = _current_version(self.root) or 0
         # simpleString types drive partition-value parsing in read():
         # hive layout stores partition COLUMNS in directory names, not
         # in the parquet files — a data-file read must recover them
@@ -257,13 +264,19 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         return {"version": end_v, "files": end_k}
 
     # -- planning ---------------------------------------------------------
-    def _mapping_ops_after(self, v_low: int) -> list[tuple]:
+    def _mapping_ops_after(self, v_low: int,
+                           v_high: int | None = None) -> list[tuple]:
         """(version, from, to|None) for every rename/drop commit after
-        ``v_low`` up to the table's current version — the chain that
-        translates a planned version's physical column names to the
-        stream's (current-schema) logical names. Manifest-sized file
-        reads only."""
-        cur = _current_version(self.root) or 0
+        ``v_low`` up to ``v_high`` (default: the table's current
+        version) — the chain that translates a planned version's
+        physical column names to the stream's logical names. Manifest-
+        sized file reads only. Planning clamps ``v_high`` to the
+        batch's end version / the stream's schema version: a rename
+        committed mid-run past both must NOT enter the chain, or every
+        pre-rename version's old-named column goes 'dead' and streams
+        NULLs for bytes the files physically contain."""
+        cur = v_high if v_high is not None else (
+            _current_version(self.root) or 0)
         ops: list[tuple] = []
         for u in range(v_low + 1, cur + 1):
             try:
@@ -366,8 +379,26 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         ev, ek = self._off(end)
         self._last_end = (ev, ek)  # cap watermark
         parts: list[InputPartition] = []
-        ops = self._mapping_ops_after(sv)
         last_u = ev + 1 if ek > 0 else ev
+        # clamp the mapping chain: renames at versions <= the schema
+        # version are history the stream schema already reflects (map
+        # through them); renames past the planned end are invisible to
+        # this batch by construction. A rename BETWEEN the schema
+        # version and the planned end is a live schema change — the
+        # fixed stream schema can no longer bind this batch's columns,
+        # so fail loudly (restart picks up the new schema) rather than
+        # null-fill.
+        anchor = max(last_u, self._schema_version)
+        ops = self._mapping_ops_after(sv, anchor)
+        late = sorted(u for u, _f, _t in ops if u > self._schema_version)
+        if late:
+            raise RuntimeError(
+                f"{FORMAT_NAME}: column rename/drop committed at "
+                f"version(s) {late} of {self.root} after this stream's "
+                f"schema was fixed (version {self._schema_version}) — "
+                "the stream schema no longer matches the table's "
+                "logical schema. Restart the query to adopt the new "
+                "schema (fail-on-schema-change, Delta semantics).")
         for u in range(sv + 1, last_u + 1):
             fs = self._stream_files(u, ops)
             if not fs:

@@ -1,0 +1,238 @@
+"""Round-10 advice fixes.
+
+1. HIGH — a derived envelope with a range conjunct on a column the
+   skipping index does NOT cover used to reference the absent
+   ``{c}_min``/``{c}_max`` stat columns and crash every DML /
+   read_where / REST rows call with AnalysisException
+   (UNRESOLVED_COLUMN) the moment ANY index existed on the table.
+   read_with_skipping now skips pruning for uncovered range columns
+   (the residual still applies the exact bound).
+2. MEDIUM — a column rename/drop committed WHILE a stream runs made
+   the old-named column 'dead' for every pre-rename version (the
+   mapping chain extended to the table's current version, past the
+   stream's fixed schema) and silently streamed NULLs for bytes the
+   files physically contain. The planner now clamps the chain to
+   max(batch end, schema version) and raises fail-on-schema-change
+   when a rename past the schema version is crossed.
+3. MEDIUM — CDC by-value partition matching collected timestamp
+   values through the DRIVER OS timezone while parsing hive paths in
+   the SESSION timezone; under a non-default session tz fully-deleted
+   timestamp partitions silently carried forward. Both sides now
+   render/parse through the session timezone (Spark-side cast to
+   string + fromisoformat).
+4. LOW — a timestamp literal in the DST fall-back hour does not
+   round-trip through mktime (which ignores fold); the envelope
+   derivation now treats it as underivable (widen) instead of
+   narrowing an hour off.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+class TestEnvelopeOnUnindexedColumn:
+    """delete_where(col('v') > 150) with stats_cols=('k',) — the
+    reproduced HIGH crash: the derived envelope carries a range on a
+    column the index has no stats for."""
+
+    def _table(self, spark, tmp_path, name):
+        t = VersionedTable(spark, str(tmp_path / name))
+        t.commit(
+            spark.range(0, 2000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .repartitionByRange(8, "k"),
+            stats_cols=("k",))
+        return t
+
+    def test_delete_where_range_on_uncovered_column(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "u1")
+        t.delete_where(F.col("v") > 150)  # pre-fix: AnalysisException
+        assert t.read().count() == 76  # v = 2k <= 150 -> k <= 75
+        assert t.read().where(F.col("v") > 150).count() == 0
+
+    def test_update_where_range_on_uncovered_column(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "u2")
+        t.update_where(F.col("v") < 10, {"v": F.lit(0).cast("long")})
+        got = {r["k"]: r["v"] for r in
+               t.read().where(F.col("k") < 7).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 10, 6: 12}
+
+    def test_read_where_range_on_uncovered_column(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "u3")
+        df, picked, total = t.read_where(F.col("v").between(100, 110))
+        assert {r["k"] for r in df.collect()} == {50, 51, 52, 53, 54, 55}
+
+    def test_mixed_covered_and_uncovered_still_prunes(self, spark, tmp_path):
+        # the covered conjunct (k) must keep pruning files even though
+        # the uncovered one (v) contributes nothing
+        t = self._table(spark, tmp_path, "u4")
+        t.delete_where((F.col("k") < 100) & (F.col("v") > 10))
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"]
+        assert t.read().count() == 2000 - 94  # k in 6..99 matches both
+
+    def test_read_pruned_bounds_on_uncovered_column(self, spark, tmp_path):
+        # the user-facing read_pruned has the same hole: bounds on a
+        # column outside stats_cols must read (residual) not crash
+        t = self._table(spark, tmp_path, "u5")
+        df, picked, total = t.read_pruned({"v": (100, 110)})
+        assert {r["k"] for r in df.collect()} == {50, 51, 52, 53, 54, 55}
+        assert picked == total  # no stats -> no pruning, never wrong
+
+
+class TestStreamSchemaChangeMidRun:
+    """The planner-level pin: a rename committed after the stream's
+    schema was fixed must (a) NOT turn pre-rename versions' columns
+    into NULL-fills for batches that do not cross it, and (b) raise
+    fail-on-schema-change for batches that do."""
+
+    def _reader(self, spark, root):
+        from pipeline_server_spark.streaming.table_stream import (
+            _VersionedTableStreamReader)
+
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("_commit_version", T.IntegerType()),
+        ])
+        return _VersionedTableStreamReader(
+            schema, {"path": root, "startingversion": "1"})
+
+    def test_batch_below_rename_keeps_identity_mapping(self, spark,
+                                                       tmp_path):
+        root = str(tmp_path / "s1")
+        t = VersionedTable(spark, root)
+        df = spark.range(0, 10).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2).alias("a"))
+        t.commit(df)                        # v1
+        t.commit_append(df.where("k < 3"))  # v2
+        reader = self._reader(spark, root)  # schema fixed at v2
+        t.rename_column("a", "b")           # v3: committed mid-run
+        parts = reader.partitions({"version": 0, "files": 0},
+                                  {"version": 2, "files": 0})
+        assert parts, "no partitions planned"
+        # pre-fix: the chain extended to v3, 'a' went dead, col_map
+        # {'a': None} -> NULLs for physically-present bytes
+        assert all(p.col_map == {} for p in parts), \
+            [p.col_map for p in parts]
+
+    def test_batch_crossing_rename_raises_schema_change(self, spark,
+                                                        tmp_path):
+        root = str(tmp_path / "s2")
+        t = VersionedTable(spark, root)
+        df = spark.range(0, 10).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2).alias("a"))
+        t.commit(df)                        # v1
+        reader = self._reader(spark, root)  # schema fixed at v1
+        t.rename_column("a", "b")           # v2
+        t.commit_append(
+            spark.range(0, 3).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("b")))  # v3
+        with pytest.raises(RuntimeError, match="[Rr]estart"):
+            reader.partitions({"version": 0, "files": 0},
+                              {"version": 3, "files": 0})
+
+    def test_historical_rename_still_maps_through(self, spark, tmp_path):
+        # the supported case must keep working: renames BEFORE the
+        # stream's schema version map old versions' physical names
+        root = str(tmp_path / "s3")
+        t = VersionedTable(spark, root)
+        t.commit(spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("olda")))  # v1
+        t.rename_column("olda", "a")                                   # v2
+        reader = self._reader(spark, root)  # schema fixed at v2: k, a
+        parts = reader.partitions({"version": 0, "files": 0},
+                                  {"version": 1, "files": 0})
+        assert parts and all(p.col_map == {"a": "olda"} for p in parts)
+
+
+class TestCdcTimestampPartitionSessionTz:
+    """Timestamp-partition CDC delete under session tz != driver OS
+    tz: the fully-deleted partition must drop (pre-fix it silently
+    carried forward because the collected value was rendered in OS tz
+    while the path parsed in session tz)."""
+
+    def test_delete_all_of_timestamp_partition_nondefault_tz(
+            self, spark, tmp_path):
+        prior = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            t = VersionedTable(spark, str(tmp_path / "tz1"))
+            ts0 = dt.datetime(2024, 6, 1, 12, 0)    # interpreted session-tz
+            ts1 = dt.datetime(2024, 6, 2, 12, 0)
+            df = spark.createDataFrame(
+                [(k, ts0 if k % 2 == 0 else ts1) for k in range(10)],
+                "k long, ts timestamp")
+            t.commit(df, partition_by=("ts",))
+            feed = spark.createDataFrame(
+                [(k, ts0, "delete", 1) for k in range(0, 10, 2)],
+                "k long, ts timestamp, _change_type string, "
+                "_commit_version long")
+            t.commit_cdc_partitioned(feed, keys=["k"], partition_by=["ts"])
+            got = {r["k"] for r in t.read().collect()}
+            assert got == {1, 3, 5, 7, 9}, \
+                "fully-deleted timestamp partition carried forward"
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+class TestDstFoldWidens:
+    """_catalyst_to_py must refuse (-> widen) a timestamp in the DST
+    fall-back hour, where fromtimestamp/mktime are not inverses."""
+
+    def _with_tz(self, tz):
+        old = os.environ.get("TZ")
+        os.environ["TZ"] = tz
+        time.tzset()
+        return old
+
+    def _restore_tz(self, old):
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+    def test_ambiguous_hour_raises_normal_hour_passes(self):
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            _catalyst_to_py)
+
+        old = self._with_tz("America/New_York")
+        try:
+            # 2024-11-03 01:30 EST (second occurrence of the 01:30
+            # wall clock) = 2024-11-03T06:30:00Z
+            ambiguous = int(dt.datetime(
+                2024, 11, 3, 6, 30,
+                tzinfo=dt.timezone.utc).timestamp()) * 10**6
+            with pytest.raises(ValueError, match="widen"):
+                _catalyst_to_py(ambiguous, "timestamp")
+            # an ordinary instant round-trips and converts
+            plain = int(dt.datetime(
+                2024, 6, 1, 12, 0,
+                tzinfo=dt.timezone.utc).timestamp()) * 10**6
+            got = _catalyst_to_py(plain, "timestamp")
+            assert got == dt.datetime(2024, 6, 1, 8, 0)  # EDT wall clock
+        finally:
+            self._restore_tz(old)
+
+    def test_utc_has_no_ambiguous_hours(self):
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            _catalyst_to_py)
+
+        old = self._with_tz("UTC")
+        try:
+            v = int(dt.datetime(2024, 11, 3, 6, 30,
+                                tzinfo=dt.timezone.utc).timestamp()) * 10**6
+            assert _catalyst_to_py(v, "timestamp") == \
+                dt.datetime(2024, 11, 3, 6, 30)
+        finally:
+            self._restore_tz(old)
