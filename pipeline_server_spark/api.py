@@ -357,6 +357,15 @@ class PipelineApiServer:
                 name, keys = need("name", "keys")
                 return 200, self.engine.enable_change_feed(
                     name, keys.split(","))
+            if method == "POST" and path == "/dataset/partition-spec":
+                name, by = need("name", "by")
+                cols = [c for c in by.split(",") if c]
+                return 200, self.engine.set_partition_spec(name, cols)
+            if method == "POST" and path == "/dataset/deletion-vectors":
+                (name,) = need("name")
+                if q.get("enabled", "true").lower() == "false":
+                    return 200, self.engine.disable_deletion_vectors(name)
+                return 200, self.engine.enable_deletion_vectors(name)
             if method == "POST" and path == "/dataset/delete":
                 name, where = need("name", "where")
                 return 200, self.engine.delete_rows(name, where)

@@ -363,6 +363,32 @@ class Engine:
         table.enable_change_feed(keys)
         return {"change_feed": True, "keys": list(keys)}
 
+    def set_partition_spec(self, name: str,
+                           cols: list[str]) -> dict[str, Any]:
+        """Metadata-only partition-spec evolution
+        (VersionedTable.set_partition_spec): existing directories keep
+        reading/pruning by the spec their paths encode; new commits
+        write the new spec; one OPTIMIZE materializes it."""
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            version = table.set_partition_spec(cols)
+        return {"version": version, "partition_by": list(cols)}
+
+    def enable_deletion_vectors(self, name: str) -> dict[str, Any]:
+        """Switch the dataset's DML to MERGE-ON-READ
+        (VersionedTable.enable_deletion_vectors): delete/update commits
+        write (file, position) sidecars instead of rewriting files —
+        rewritten_files: 0 and O(matched rows) bytes per DML; OPTIMIZE
+        materializes the vectors away."""
+        table, _ = self._versioned_table(name)
+        table.enable_deletion_vectors()
+        return {"deletion_vectors": True}
+
+    def disable_deletion_vectors(self, name: str) -> dict[str, Any]:
+        table, _ = self._versioned_table(name)
+        table.disable_deletion_vectors()
+        return {"deletion_vectors": False}
+
     def clone_dataset(self, name: str, dest_path: str,
                       version: int | None = None) -> dict[str, Any]:
         """Zero-copy SHALLOW CLONE of a versioned dataset's snapshot to
@@ -388,7 +414,9 @@ class Engine:
         meta = (table.commit_metadata(version)
                 if version != before else {"rewritten_files": 0})
         return {"version": version, "matched": version != before,
-                "rewritten_files": meta.get("rewritten_files", 0)}
+                "rewritten_files": meta.get("rewritten_files", 0),
+                "mode": meta.get("mode", "copy_on_write"),
+                "dv_rows": meta.get("dv_rows", 0)}
 
     def update_rows(self, name: str, where: str,
                     assignments: dict[str, str]) -> dict[str, Any]:
@@ -408,7 +436,9 @@ class Engine:
         meta = (table.commit_metadata(version)
                 if version != before else {"rewritten_files": 0})
         return {"version": version, "matched": version != before,
-                "rewritten_files": meta.get("rewritten_files", 0)}
+                "rewritten_files": meta.get("rewritten_files", 0),
+                "mode": meta.get("mode", "copy_on_write"),
+                "dv_rows": meta.get("dv_rows", 0)}
 
     def tag_version(self, name: str, tag: str,
                     version: int | None = None) -> dict[str, Any]:
@@ -464,10 +494,133 @@ class Engine:
 
     def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:
         """Arbitrary SQL over the registered lake tables — the stand-in
-        for the reference's Athena passthrough (AthenaUtil.scala:30-113)."""
+        for the reference's Athena passthrough (AthenaUtil.scala:30-113).
+
+        DML dispatch (round-9 verdict #7): ``DELETE FROM <dataset>
+        [WHERE ...]`` and ``UPDATE <dataset> SET col = expr[, ...]
+        [WHERE ...]`` strings route to the versioned storage layer's
+        index-pruned DML (delete_where / update_where — same pruning,
+        invariants, CDF, and deletion-vector semantics as the REST
+        face), extending the reference's sqlOverride surface to
+        lakehouse DML without the REST detour. Returns a one-row
+        summary DataFrame (version, matched, rewritten_files, mode,
+        dv_rows). Everything else goes to spark.sql verbatim."""
+        dml = self._parse_dml(query)
+        if dml is not None:
+            kind, name, where, assignments = dml
+            if kind == "delete":
+                out = self.delete_rows(name, where)
+            else:
+                out = self.update_rows(name, where, assignments)
+            return self.spark.createDataFrame(
+                [(out["version"], out["matched"], out["rewritten_files"],
+                  out["mode"], out["dv_rows"])],
+                "version long, matched boolean, rewritten_files long, "
+                "mode string, dv_rows long")
         if sf_dir:
             register_views(self.spark, sf_dir)
         return self.spark.sql(query)
+
+    @staticmethod
+    def _split_top_level(s: str, sep: str) -> list[str]:
+        """Split on ``sep`` (a single char) at paren/quote depth zero —
+        a SET list like ``a = f(x, y), b = 'v,w'`` must not split
+        inside the call or the literal."""
+        parts, buf, depth, quote = [], [], 0, None
+        i = 0
+        while i < len(s):
+            c = s[i]
+            if quote:
+                buf.append(c)
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+                buf.append(c)
+            elif c == "(":
+                depth += 1
+                buf.append(c)
+            elif c == ")":
+                depth -= 1
+                buf.append(c)
+            elif c == sep and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(c)
+            i += 1
+        parts.append("".join(buf))
+        return parts
+
+    @classmethod
+    def _find_top_level_where(cls, s: str) -> int:
+        """Offset of the first top-level WHERE keyword, or -1."""
+        import re
+
+        depth, quote = 0, None
+        for m in re.finditer(r"\S+|\s+", s):
+            tok = m.group(0)
+            if tok.isspace():
+                continue
+            if quote is None and depth == 0 \
+                    and tok.upper() == "WHERE":
+                return m.start()
+            for c in tok:
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+        return -1
+
+    def _parse_dml(self, query: str):
+        """(kind, dataset, where, assignments) for DELETE/UPDATE
+        statements naming a REGISTERED dataset, else None (the query
+        falls through to spark.sql — e.g. SELECTs, or DML against a
+        plain temp view we do not manage)."""
+        import re
+
+        q = query.strip().rstrip(";").strip()
+        m = re.match(r"(?is)^DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", q)
+        if m:
+            name, rest = m.group(1), m.group(2).strip()
+            if name not in self._configs:
+                return None
+            if rest:
+                wm = re.match(r"(?is)^WHERE\s+(.+)$", rest)
+                if not wm:
+                    raise ValueError(
+                        f"cannot parse DELETE statement tail: {rest!r}")
+                where = wm.group(1).strip()
+            else:
+                where = "true"  # full-table delete (L4/L6 semantics)
+            return ("delete", name, where, None)
+        m = re.match(r"(?is)^UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.*)$", q)
+        if m:
+            name, rest = m.group(1), m.group(2)
+            if name not in self._configs:
+                return None
+            wpos = self._find_top_level_where(rest)
+            if wpos >= 0:
+                set_part, where = rest[:wpos], rest[wpos + 5:].strip()
+            else:
+                set_part, where = rest, "true"
+            assignments: dict[str, str] = {}
+            for piece in self._split_top_level(set_part, ","):
+                am = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$",
+                              piece)
+                if not am:
+                    raise ValueError(
+                        f"cannot parse SET assignment: {piece!r}")
+                assignments[am.group(1)] = am.group(2)
+            if not assignments:
+                raise ValueError("UPDATE with empty SET list")
+            return ("update", name, where, assignments)
+        return None
 
     # -- observability ----------------------------------------------------
 

@@ -443,6 +443,20 @@ class VersionedTable:
                 out.append(f if rel == "." else os.path.join(rel, f))
         return sorted(out)
 
+    @staticmethod
+    def _list_dv_files(root_dir: str) -> list[str]:
+        """Relative paths of the deletion-vector sidecar parquet files
+        under a version directory (``_dv/...``) — invisible to
+        :meth:`_list_data_files` by the ``_`` prefix, but reference-
+        counted by vacuum exactly like data files."""
+        d = os.path.join(root_dir, VersionedTable.DVDIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(VersionedTable.DVDIR, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", ".")))
+
     def _filelist_doc(self, version: int) -> dict | None:
         """The version's full ``_filelist.json`` document, or None for
         a legacy (pre-manifest, self-contained-directory) version."""
@@ -470,7 +484,7 @@ class VersionedTable:
                         schema=None, stats_cols=None, kind: str | None = None,
                         partition_by=None, bloom_cols=None,
                         cdf: bool = False, dir_renames=_INHERIT,
-                        dvs=_INHERIT) -> None:
+                        dvs=_INHERIT, dir_specs=_INHERIT) -> None:
         import json
         import time
 
@@ -534,6 +548,17 @@ class VersionedTable:
             dvs = self._filelist_dvs(cur) if cur is not None else None
         if dvs:
             doc["dvs"] = [list(e) for e in dvs]
+        if dir_specs is self._INHERIT:
+            # partition-spec evolution (Iceberg-style): per-directory
+            # DEVIATING specs carry forward like dir_renames — a
+            # directory written under an older spec keeps reading /
+            # pruning by the spec its paths actually encode. Full
+            # rewrites pass dir_specs=None to reset.
+            cur = self.current_version()
+            dir_specs = ((self._filelist_doc(cur) or {})
+                         .get("dir_specs") if cur is not None else None)
+        if dir_specs:
+            doc["dir_specs"] = {d: list(c) for d, c in dir_specs.items()}
         with open(os.path.join(target, self.FILELIST), "w") as f:
             json.dump(doc, f)
 
@@ -589,6 +614,119 @@ class VersionedTable:
         flattening it."""
         doc = self._filelist_doc(version)
         return list((doc or {}).get("partition_by") or [])
+
+    def _dir_specs(self, version: int | None) -> dict[str, list[str]]:
+        """Per-directory DEVIATING partition specs ({dir-basename:
+        [cols...]}) — directories written before a partition-spec
+        evolution. A directory absent from the map follows the
+        version's ``partition_by``."""
+        if version is None:
+            return {}
+        doc = self._filelist_doc(version) or {}
+        return {d: list(c) for d, c in (doc.get("dir_specs") or {}).items()}
+
+    def _spec_for_dir(self, d: str, layout, dir_specs: dict) -> list[str]:
+        """The partition spec the files of directory ``d`` were
+        physically written with."""
+        return dir_specs.get(d, list(layout or []))
+
+    def _require_uniform_spec(self, version: int, op: str) -> None:
+        """Partition-SCOPED operations (merge / CDC apply / OPTIMIZE
+        WHERE) identify carried files by hive prefix at the current
+        spec's depth — a directory written under an older spec cannot
+        be prefix-matched (its path encodes different columns), so
+        these ops refuse on a mixed-spec table rather than silently
+        mis-carrying rows. OPTIMIZE (full compaction) materializes the
+        current spec and clears the deviation map."""
+        dev = self._dir_specs(version)
+        if not dev:
+            return
+        live = {e[0] for e in self._entries_for_version(version)}
+        stale = sorted(set(dev) & live)
+        if stale:
+            raise ValueError(
+                f"{op}: directories {stale[:3]} were written under an "
+                "older partition spec (spec evolution) — run "
+                "optimize_compact_snapshot() once to materialize the "
+                "current spec before partition-scoped operations")
+
+    def set_partition_spec(self, new_cols: tuple[str, ...] | list[str],
+                           metadata: dict | None = None) -> int:
+        """PARTITION-SPEC EVOLUTION (the public Iceberg v1→v2 spec-
+        evolution idea; round-9 verdict #4): change the table's
+        partition columns as a METADATA-ONLY commit — no file is
+        rewritten. Every existing directory records the spec its paths
+        actually encode (``dir_specs``, the ``dir_renames`` pattern);
+        future commits write the NEW spec; reads, predicate-derived
+        pruning, and DML resolve each directory by its own spec.
+        Partition-scoped merges / CDC / OPTIMIZE WHERE require a
+        uniform spec (they refuse with remediation); one full
+        compaction materializes the new layout and clears the map.
+
+        Rejects: columns outside the schema, columns carrying
+        stats/Bloom indexes (partition values are not in footers — the
+        round-7 overlap rule, now per-spec), and hash-bucketed tables
+        (the bucket layout IS the spec there)."""
+        cols = list(new_cols)
+        current = self.current_version()
+        if current is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if self.bucket_spec() is not None:
+            raise ValueError(
+                "set_partition_spec: table is hash-bucketed — the "
+                f"{self.BUCKET_COL!r} layout is its partition spec")
+        doc = self._filelist_doc(current)
+        if doc is None:
+            raise ValueError(
+                "set_partition_spec: legacy pre-manifest version has "
+                "no layout record to evolve")
+        old = list(doc.get("partition_by") or [])
+        if cols == old:
+            return current  # no-op: spec unchanged
+        schema = self._filelist_schema(current)
+        if schema is not None:
+            missing = sorted(set(cols) - set(schema.fieldNames()))
+            if missing:
+                raise ValueError(
+                    f"set_partition_spec: columns {missing} not in the "
+                    "table schema")
+        stats = set(self._filelist_stats_cols(current) or [])
+        blooms = set(self._filelist_bloom_cols(current) or [])
+        bad = sorted(set(cols) & (stats | blooms))
+        if bad:
+            raise ValueError(
+                f"set_partition_spec: columns {bad} carry stats/Bloom "
+                "indexes — partition values are not stored in data-file "
+                "footers; drop them from the index first")
+        entries = self._entries_for_version(current)
+        dev = self._dir_specs(current)
+        # every LIVE directory not already recorded keeps the spec it
+        # was written with (the outgoing partition_by)
+        for d in {e[0] for e in entries}:
+            dev.setdefault(d, old)
+        # directories already ON the new spec need no deviation record
+        dev = {d: sp for d, sp in dev.items() if sp != cols}
+        version = current + 1
+        target = self._stage_dir(version)
+        os.makedirs(target, exist_ok=True)
+        self._write_filelist(
+            target, entries, schema=schema,
+            # RECORDED order: index continuity requires exact list
+            # equality with the prior manifest
+            stats_cols=self._filelist_stats_cols(current),
+            kind="partition_spec",
+            partition_by=cols or None,
+            bloom_cols=self._filelist_bloom_cols(current),
+            dvs=doc.get("dvs"),
+            dir_specs=dev or None)
+        src_idx = os.path.join(self._resolve_dir(current), "_index")
+        if os.path.isdir(src_idx):
+            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        meta = {"operation": "set_partition_spec",
+                "from": old, "to": cols}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(version, target, meta)
 
     def _commit_kind(self, version: int) -> str | None:
         doc = self._filelist_doc(version)
@@ -786,13 +924,27 @@ class VersionedTable:
                              partition_by=partition_by,
                              bloom_cols=bloom_cols, cdf=wrote_cdf,
                              # full rewrite: every file is new, no
-                             # deletion vector can reference one —
-                             # reset instead of inheriting dead weight
-                             dvs=None)
+                             # deletion vector can reference one and no
+                             # directory deviates from this commit's
+                             # spec — reset instead of inheriting
+                             dvs=None, dir_specs=None)
         if stats_cols or bloom_cols:
             self._build_index(target, entries, stats_cols, df.schema,
                               bloom_cols=bloom_cols)
         return self._publish(version, target, metadata)
+
+    def _historical_spec_cols(self, version: int | None,
+                              partition_by) -> list:
+        """Union of the active partition columns and every carried
+        directory's DEVIATING spec columns — the full set whose values
+        live in paths (not footers) somewhere in the manifest, which
+        the stats/Bloom overlap guard must cover after a partition-
+        spec evolution."""
+        cols = set(partition_by or [])
+        if version is not None:
+            for sp in self._dir_specs(version).values():
+                cols.update(sp)
+        return sorted(cols)
 
     @staticmethod
     def _check_stats_partition_overlap(stats_cols, partition_cols) -> None:
@@ -940,36 +1092,44 @@ class VersionedTable:
         flat files with partition dirs and is unreadable (or silently
         loses rows). Judged from the version's FILE MANIFEST, which is
         the source of truth (an incremental version's own directory
-        holds only its new files)."""
-        rels = [e[1] for e in self._entries_for_version(version)]
-        if partition_by:
-            # EXACT depth: every data file sits precisely
-            # len(partition_by) directories deep, each level matching
-            # its column. A deeper prior layout (extra partition
-            # columns) must fail too — carrying those files forward
-            # would mix partition schemas across directories and make
-            # the published version's union read unresolvable.
-            depth = len(partition_by)
-            bad = [
-                r for r in rels
-                if len(r.split(os.sep)) != depth + 1
-                or any(
-                    not r.split(os.sep)[i].startswith(f"{col}=")
-                    for i, col in enumerate(partition_by)
-                )
-            ]
-            if bad or not rels:
-                sample = sorted({os.path.dirname(r) or "<flat>" for r in rels})[:3]
+        holds only its new files). A directory with a RECORDED
+        deviating spec (partition-spec evolution) is checked against
+        ITS OWN spec — per-directory basePath scans resolve mixed
+        depths, so carrying it is legal."""
+        dev = self._dir_specs(version)
+        if dev:
+            # after a spec evolution, deviating dirs bypass the
+            # per-file check — so a stale caller partition_by could
+            # silently mint a THIRD layout. Pin it to the recorded
+            # current spec.
+            rec = self.recorded_partition_by(version)
+            if list(partition_by or []) != rec:
                 raise ValueError(
-                    f"{op}: previous version is not hive-partitioned by "
-                    f"exactly {list(partition_by)!r} (found {sample or 'no files'}); "
-                    "use commit() to (re)write the layout first"
-                )
-        elif any(os.sep in r for r in rels):
-            sample = sorted({os.path.dirname(r) for r in rels if os.sep in r})[:3]
+                    f"{op}: the table's partition spec evolved to "
+                    f"{rec}; pass exactly that partition_by")
+        entries = self._entries_for_version(version)
+        bad: list[str] = []
+        any_checked = False
+        for d, rel in entries:
+            spec = self._spec_for_dir(d, partition_by, dev)
+            parts = rel.split(os.sep)
+            if spec:
+                if len(parts) != len(spec) + 1 or any(
+                        not parts[i].startswith(f"{col}=")
+                        for i, col in enumerate(spec)):
+                    bad.append(rel)
+            elif os.sep in rel:
+                bad.append(rel)
+            any_checked = True
+        if bad or (partition_by and not any_checked):
+            sample = sorted({os.path.dirname(r) or "<flat>"
+                             for r in bad})[:3]
             raise ValueError(
-                f"{op}: previous version is partitioned ({sample}); "
-                "pass the same partition_by or use commit()"
+                f"{op}: previous version is not hive-partitioned by "
+                f"exactly {list(partition_by)!r} (found "
+                f"{sample or 'no files'}); use commit() to (re)write "
+                "the layout first, or set_partition_spec() to evolve "
+                "it as metadata"
             )
 
     def commit_append(self, df: DataFrame,
@@ -1002,9 +1162,10 @@ class VersionedTable:
         part-file names embed a per-job UUID. ``stats_cols`` rebuilds
         the skipping index over the full list (footer metadata reads,
         O(#files) not O(rows))."""
-        self._check_stats_partition_overlap(
-            tuple(stats_cols) + tuple(bloom_cols), partition_by)
         current = self.current_version()
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols),
+            self._historical_spec_cols(current, partition_by))
         version = (current or 0) + 1
         prev_types: dict | None = None
         # a prior version with NO data files (an empty bootstrap batch)
@@ -1129,9 +1290,10 @@ class VersionedTable:
         forward old partition, so the merge falls back to the
         full-rewrite commit."""
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-        self._check_stats_partition_overlap(
-            tuple(stats_cols) + tuple(bloom_cols), cols)
         current = self.current_version()
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols),
+            self._historical_spec_cols(current, cols))
         # index continuity, same contract as commit_append: a merge
         # into an indexed table keeps the index alive (rebuilt
         # incrementally below — only the rewritten partitions' files
@@ -1161,6 +1323,7 @@ class VersionedTable:
                                metadata=metadata, stats_cols=effective_stats,
                                bloom_cols=effective_bloom)
         self._check_layout(current, cols, "commit_merge_partitioned")
+        self._require_uniform_spec(current, "commit_merge_partitioned")
         touched = source.select(*cols).distinct()
         cond = None
         for c in cols:
@@ -1266,9 +1429,10 @@ class VersionedTable:
                .where(F.col("_rn") == 1).drop("_rn", seq_col))
         upserts = net.where(
             F.col("_change_type") != "delete").drop("_change_type")
-        self._check_stats_partition_overlap(
-            tuple(stats_cols) + tuple(bloom_cols), cols)
         current = self.current_version()
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols),
+            self._historical_spec_cols(current, cols))
         effective_stats = list(stats_cols) or (
             (self._filelist_stats_cols(current) or [])
             if current is not None else [])
@@ -1281,6 +1445,7 @@ class VersionedTable:
                                stats_cols=effective_stats,
                                bloom_cols=effective_bloom)
         self._check_layout(current, cols, "commit_cdc_partitioned")
+        self._require_uniform_spec(current, "commit_cdc_partitioned")
         target_df = self.read(current)
         touched = net.select(*cols).distinct()
         cond = None
@@ -1741,6 +1906,14 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         entries = self._entries_for_version(v)
         out: dict = {"version": v, "n_files": len(entries)}
+        dvs = self._filelist_dvs(v)
+        if dvs:
+            # deletion vectors make per-file footer stats SUPERSETS of
+            # the live rows (a masked row may have held the min). The
+            # exact answer is a hybrid: clean files answer from the
+            # index; DV'd files (and only those) get one masked scan —
+            # O(deleted-row files), never the table.
+            return self._snapshot_stats_with_dvs(v, entries, dvs, out)
         idx_path = os.path.join(self._resolve_dir(v), "_index")
         stats_cols = self._filelist_stats_cols(v) or []
         if os.path.isdir(idx_path):
@@ -1782,6 +1955,99 @@ class VersionedTable:
         else:
             out["n_rows"] = 0
         out["columns"] = {}
+        return out
+
+    def _snapshot_stats_with_dvs(self, v: int, entries, dvs,
+                                 out: dict) -> dict:
+        """Exact snapshot statistics for a version carrying deletion
+        vectors: files with NO DV row answer from the skipping index
+        (their footer stats are exact); files WITH DV rows get one
+        masked scan — the footprint is O(files containing deleted
+        rows), which a point delete keeps at a handful — and the two
+        halves combine. Without an index, the row count is still
+        exact (footer total minus DV rows); column stats are empty,
+        matching the no-index contract."""
+        dv = self._dv_frame(dvs)
+        per_file = dv.groupBy("__dv_m_file").count().collect()
+        dirty_keys = {r["__dv_m_file"] for r in per_file}
+        total_deleted = sum(int(r["count"]) for r in per_file)
+        out["dv_rows"] = total_deleted
+
+        def _key(e) -> str:
+            return e[0] + "/" + e[1].replace(os.sep, "/")
+
+        ents = [tuple(e) for e in entries]
+        dirty = [e for e in ents if _key(e) in dirty_keys]
+        clean_abs = [self._abs_file(e) for e in ents
+                     if _key(e) not in dirty_keys]
+        dirty_abs = [self._abs_file(e) for e in dirty]
+        stats_cols = self._filelist_stats_cols(v) or []
+        schema = self._filelist_schema(v)
+        idx_path = os.path.join(self._resolve_dir(v), "_index")
+        idx = (self.spark.read.parquet(idx_path)
+               if os.path.isdir(idx_path) else None)
+        if idx is None or idx.count() != len(ents):
+            from pipeline_server_spark.operators.scale import (
+                build_skipping_index)
+
+            if ents:
+                n = build_skipping_index(
+                    self.spark, self.root, cols=[], schema=schema,
+                    files=[self._abs_file(e) for e in ents],
+                ).agg(F.coalesce(F.sum("n_rows"), F.lit(0))
+                      .alias("_n")).collect()[0]["_n"]
+                out["n_rows"] = int(n) - total_deleted
+            else:
+                out["n_rows"] = 0
+            out["columns"] = {}
+            return out
+        # clean half: index rows of un-DV'd files
+        cidx = (idx.where(~F.col("file").isin(dirty_abs))
+                if dirty_abs else idx)
+        aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_n")]
+        for c in stats_cols:
+            aggs += [
+                F.min(f"{c}_min").alias(f"{c}__min"),
+                F.max(f"{c}_max").alias(f"{c}__max"),
+                F.sum(f"{c}_nulls").alias(f"{c}__nulls"),
+                F.max(F.col(f"{c}_nulls").isNull().cast("int"))
+                .alias(f"{c}__unk"),
+            ]
+        crow = cidx.agg(*aggs).collect()[0]
+        # dirty half: one masked scan of only the DV'd files
+        drow = None
+        if dirty_abs:
+            ddf = self._read_files(dirty_abs, schema=schema,
+                                   dir_renames=self._dir_renames(v),
+                                   dvs=dvs)
+            daggs = [F.count(F.lit(1)).alias("_n")]
+            for c in stats_cols:
+                daggs += [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                    F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"{c}__nulls"),
+                ]
+            drow = ddf.agg(*daggs).collect()[0]
+        out["n_rows"] = int(crow["_n"]) + (int(drow["_n"]) if drow else 0)
+
+        def _mm(fn, a, b):
+            vals = [x for x in (a, b) if x is not None]
+            return fn(vals) if vals else None
+
+        cols = {}
+        for c in stats_cols:
+            dmin = drow[f"{c}__min"] if drow else None
+            dmax = drow[f"{c}__max"] if drow else None
+            dn = int(drow[f"{c}__nulls"] or 0) if drow else 0
+            unk = bool(crow[f"{c}__unk"]) and bool(clean_abs)
+            cols[c] = {
+                "min": _mm(min, crow[f"{c}__min"], dmin),
+                "max": _mm(max, crow[f"{c}__max"], dmax),
+                "nulls": (None if unk
+                          else int(crow[f"{c}__nulls"] or 0) + dn),
+            }
+        out["columns"] = cols
         return out
 
     def commit_timestamp(self, version: int) -> float:
@@ -1886,7 +2152,10 @@ class VersionedTable:
             # likewise its deletion vectors: rolling back across a DML
             # must restore the rows THAT version masked, no more
             # (inherit would re-apply later deletes), no less
-            dvs=doc.get("dvs"))
+            dvs=doc.get("dvs"),
+            # and its per-directory partition specs (restoring across
+            # a spec evolution must read old dirs by their own spec)
+            dir_specs=doc.get("dir_specs"))
         src_idx = os.path.join(self._resolve_dir(version), "_index")
         if os.path.isdir(src_idx):
             # the restored version's index covers exactly its files —
@@ -2153,7 +2422,8 @@ class VersionedTable:
             dir_renames=doc.get("dir_renames"),
             # and its deletion vectors — a clone of a MOR-deleted
             # table must not resurrect the deleted rows
-            dvs=doc.get("dvs"))
+            dvs=doc.get("dvs"),
+            dir_specs=doc.get("dir_specs"))
         src_idx = os.path.join(self._resolve_dir(v), "_index")
         if os.path.isdir(src_idx):
             shutil.copytree(src_idx, os.path.join(target, "_index"))
@@ -2203,6 +2473,7 @@ class VersionedTable:
             raise ValueError(
                 "compact_partitions needs a hive/bucket layout — use "
                 "optimize_compact_snapshot for a flat table")
+        self._require_uniform_spec(current, "compact_partitions")
         depth = len(layout)
         entries = self._entries_for_version(current)
         by_part: dict[str, list[tuple[str, str]]] = {}
@@ -2234,8 +2505,12 @@ class VersionedTable:
         touched = [e for p in selected for e in by_part[p]]
         files = [self._abs_file(e) for e in touched]
         schema = self._filelist_schema(current)
+        # masked read: compaction is the copy-on-write path that
+        # MATERIALIZES deletion vectors away for the partitions it
+        # rewrites (their stale DV rows then match nothing)
         df = self._read_files(files, schema=schema,
-                              dir_renames=self._dir_renames(current))
+                              dir_renames=self._dir_renames(current),
+                              dvs=self._filelist_dvs(current))
         total = sum(os.path.getsize(f) for f in files)
         if zorder_cols:
             # partition-scoped ZORDER WHERE: re-cluster ONLY the
@@ -2516,6 +2791,26 @@ class VersionedTable:
                 .select(F.col("file").alias("__dv_m_file"),
                         F.col("pos").alias("__dv_m_pos")))
 
+    def dv_debt(self, version: int | None = None) -> dict:
+        """Merge-on-read deletion DEBT of a version: how many deleted
+        rows every read is paying an anti-join to mask, and how many
+        data files carry a vector. Metadata-sized (parquet row-count
+        metadata over the sidecars, no data read) — the number an
+        OPTIMIZE scheduler keys on: compaction materializes the
+        vectors away and returns the debt to zero."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        dvs = self._filelist_dvs(v)
+        if not dvs:
+            return {"dv_rows": 0, "dv_files": 0, "dv_sidecars": 0}
+        dv = self._dv_frame(dvs)
+        row = dv.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("__dv_m_file").alias("nf")).collect()[0]
+        return {"dv_rows": int(row["n"]), "dv_files": int(row["nf"]),
+                "dv_sidecars": len(dvs)}
+
     @classmethod
     def _dv_key_expr(cls):
         """The stable file identity a DV row records: the path below
@@ -2732,9 +3027,12 @@ class VersionedTable:
         # a skipping index (layout columns have no footer stats; this
         # is their pruning path). Parse failures keep the entry:
         # widen, never narrow.
+        dml_dir_specs = self._dir_specs(current)
         cand_entries = (self._prune_entries_by_partition(
-            entries, bounds, points, layout, schema)
-            if layout and schema is not None else list(entries))
+            entries, bounds, points, layout, schema,
+            dir_specs=dml_dir_specs)
+            if (layout or dml_dir_specs) and schema is not None
+            else list(entries))
         has_index = os.path.isdir(
             os.path.join(self._resolve_dir(current), "_index"))
         data_bounds = {c: b for c, b in bounds.items() if c not in layout}
@@ -2749,14 +3047,26 @@ class VersionedTable:
                           if f in pick_set]
         else:
             candidates = [self._abs_file(e) for e in cand_entries]
-        # phase 1: which candidates REALLY contain matching rows
+        cur_dvs = self._filelist_dvs(current)
+        if self.dv_enabled():
+            return self._mor_dml(predicate, kind, assignments, metadata,
+                                 current, entries, doc, layout, schema,
+                                 candidates, cur_dvs)
+        # phase 1: which candidates REALLY contain matching rows.
+        # Existing deletion vectors mask the scan — a row deleted by a
+        # prior MOR commit must neither re-match nor survive into the
+        # rewrite below.
         touched: set[str] = set()
         if candidates:
+            # lineage column, not input_file_name(): the DV mask is an
+            # anti-join, and input_file_name() rejects plans with more
+            # than one file source
             cdf = self._read_files(candidates, schema=schema,
-                                   dir_renames=self._dir_renames(current))
+                                   dir_renames=self._dir_renames(current),
+                                   dvs=cur_dvs, keep_lineage=True)
             hit_rows = (
                 cdf.where(predicate)
-                .select(F.input_file_name().alias("_f"))
+                .select(F.col(self._DV_FILE).alias("_f"))
                 .distinct()
                 .collect()
             )
@@ -2772,7 +3082,8 @@ class VersionedTable:
         version = current + 1
         target = self._stage_dir(version)
         keep = self._read_files(sorted(touched), schema=schema,
-                                dir_renames=self._dir_renames(current))
+                                dir_renames=self._dir_renames(current),
+                                dvs=cur_dvs)
         if kind == "delete":
             rewritten = keep.where(~F.coalesce(predicate, F.lit(False)))
         else:
@@ -2838,6 +3149,123 @@ class VersionedTable:
                 # phase-1 scan size vs table size: how well the derived
                 # envelope pruned (IO-asserted by tests, ops telemetry
                 # in production)
+                "candidate_files": len(candidates),
+                "total_files": len(entries)}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(version, target, meta)
+
+    def _mor_dml(self, predicate, kind: str, assignments: dict | None,
+                 metadata: dict | None, current: int, entries, doc: dict,
+                 layout, schema, candidates: list[str],
+                 cur_dvs: list[tuple[str, str]]) -> int:
+        """MERGE-ON-READ DML (deletion vectors — the public Delta 2.3+
+        / Iceberg-v2 positional-delete design): instead of rewriting
+        every file that contains a matching row (copy-on-write's
+        ~file-size write amplification per matched row), the commit
+        writes a ``_dv`` parquet sidecar of (file identity, row
+        position) pairs — O(matched rows) bytes — and, for UPDATE, one
+        new data file holding just the post-image rows. Every data
+        file carries forward by reference: ``rewritten_files`` is 0 by
+        construction. Positions come from ``_metadata.row_index``
+        (stable parquet row order), derived by the same expression the
+        read-side mask uses. Compaction (OPTIMIZE) stays the
+        copy-on-write path that materializes vectors away."""
+        if not candidates:
+            return current
+        version = current + 1
+        target = self._stage_dir(version)
+        src = self._read_files(candidates, schema=schema,
+                               dir_renames=self._dir_renames(current),
+                               dvs=cur_dvs, keep_lineage=True)
+        hit = F.coalesce(predicate, F.lit(False))
+        matches = src.where(hit)
+        # the DV sidecar is the match detection AND the commit payload:
+        # written first so a zero-match DML can abort without
+        # publishing. Parallelism follows the candidate scan, so a
+        # point delete writes one small file and a mass delete fans out.
+        dv_dir = os.path.join(target, self.DVDIR)
+        (matches.select(self._dv_key_expr().alias("file"),
+                        F.col(self._DV_POS).alias("pos"))
+         .write.mode("overwrite").parquet(dv_dir))
+        stat = (self.spark.read.schema("file string, pos bigint")
+                .parquet(dv_dir)
+                .agg(F.count("*").alias("n"),
+                     F.countDistinct("file").alias("nf")).collect()[0])
+        matched_rows, dv_files = int(stat["n"]), int(stat["nf"])
+        if matched_rows == 0:
+            self.fs.remove(target)
+            return current
+        data_cols = [c for c in src.columns
+                     if c not in (self._DV_FILE, self._DV_POS)]
+        base = os.path.basename(target)
+        new_entries: list[tuple[str, str]] = []
+        if kind == "update":
+            dtypes = dict(src.dtypes)
+            post = matches.select(*[
+                (assignments[c].cast(dtypes[c]).alias(c))
+                if c in assignments else F.col(c)
+                for c in data_cols])
+            # append, not overwrite — the _dv sidecar already lives in
+            # the stage directory
+            w = post.write.mode("append")
+            if layout:
+                w = w.partitionBy(*layout)
+            w.format(self.file_format).save(target)
+            self._validate_staged(target, post.schema, kind)
+            new_entries = [(base, rel)
+                           for rel in self._list_data_files(target)]
+        wrote_cdf = False
+        if self.cdf_spec() is not None:
+            matching = matches.select(*data_cols)
+
+            def _tag(df_, ctype):
+                return df_.select(
+                    *df_.columns,
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(version).cast("int").alias("_commit_version"))
+
+            if kind == "delete":
+                change = _tag(matching, "delete")
+            else:
+                dtypes = dict(src.dtypes)
+                post_c = matching.select(*[
+                    (assignments[c].cast(dtypes[c]).alias(c))
+                    if c in assignments else F.col(c)
+                    for c in data_cols])
+                change = _tag(matching, "update_preimage").unionAll(
+                    _tag(post_c, "update_postimage"))
+            wrote_cdf = self._write_cdf(target, change)
+        all_entries = list(entries) + new_entries
+        dv_rels = sorted(
+            os.path.join(self.DVDIR, f) for f in os.listdir(dv_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", ".")))
+        all_dvs = list(cur_dvs) + [(base, rel) for rel in dv_rels]
+        stats_cols = doc.get("stats_cols") or []
+        bloom_cols = doc.get("bloom_cols") or []
+        self._write_filelist(target, all_entries, schema=schema,
+                             stats_cols=stats_cols or None,
+                             kind=kind, partition_by=layout or None,
+                             bloom_cols=bloom_cols or None, cdf=wrote_cdf,
+                             dvs=all_dvs)
+        if stats_cols or bloom_cols:
+            if new_entries:
+                self._build_index(target, all_entries, stats_cols, schema,
+                                  prior_version=current,
+                                  new_entries=new_entries,
+                                  bloom_cols=bloom_cols)
+            else:
+                # pure delete: every data file carries forward, so the
+                # prior index covers the list exactly — copy O(index).
+                # DV'd files keep their (now superset) stats: pruning
+                # stays sound, phase-1/residual re-checks rows.
+                src_idx = os.path.join(self._resolve_dir(current), "_index")
+                if os.path.isdir(src_idx):
+                    shutil.copytree(src_idx, os.path.join(target, "_index"))
+        meta = {"operation": kind, "mode": "merge_on_read",
+                "rewritten_files": 0,
+                "dv_files": dv_files, "dv_rows": matched_rows,
+                "carried_files": len(entries),
                 "candidate_files": len(candidates),
                 "total_files": len(entries)}
         if metadata:
@@ -2923,7 +3351,8 @@ class VersionedTable:
         doc = self._filelist_doc(v) or {}
         layout = list(doc.get("partition_by") or [])
         cand = self._prune_entries_by_partition(
-            entries, bounds, points, layout, schema)
+            entries, bounds, points, layout, schema,
+            dir_specs=self._dir_specs(v))
         data_bounds = {c: b for c, b in bounds.items() if c not in layout}
         data_points = {c: pv for c, pv in points.items()
                        if c not in layout}
@@ -2938,36 +3367,53 @@ class VersionedTable:
         if not files:
             return (self.read(v).where(F.lit(False)), 0, total)
         df = self._read_files(files, schema=schema,
-                              dir_renames=self._dir_renames(v))
+                              dir_renames=self._dir_renames(v),
+                              dvs=self._filelist_dvs(v))
         return df.where(predicate), len(files), total
 
     def _prune_entries_by_partition(self, entries, bounds: dict,
                                     points: dict, layout: list,
-                                    schema) -> list:
-        """Candidate entries surviving the envelope's LAYOUT-column
+                                    schema,
+                                    dir_specs: dict | None = None) -> list:
+        """Candidate entries surviving the envelope's PARTITION-column
         constraints, matched by typed hive-prefix values (parse
-        failures keep the entry — widen, never narrow)."""
-        lb = {c: b for c, b in bounds.items() if c in layout}
-        lp = {c: pv for c, pv in points.items() if c in layout}
+        failures keep the entry — widen, never narrow). With partition-
+        spec evolution, each entry parses by ITS directory's spec: a
+        constraint on a column that is not a partition column in that
+        directory simply cannot prune it there (the residual / phase-1
+        scan still applies the exact predicate)."""
+        dir_specs = dir_specs or {}
+        all_spec_cols = set(layout or [])
+        for sp in dir_specs.values():
+            all_spec_cols.update(sp)
+        lb = {c: b for c, b in bounds.items() if c in all_spec_cols}
+        lp = {c: pv for c, pv in points.items() if c in all_spec_cols}
         if not (lb or lp):
             return list(entries)
         part_types = {f.name: f.dataType.simpleString()
-                      for f in schema.fields if f.name in layout}
+                      for f in schema.fields if f.name in all_spec_cols}
 
-        def _ok(rel: str) -> bool:
+        def _ok(entry) -> bool:
+            spec = self._spec_for_dir(entry[0], layout, dir_specs)
+            if not spec:
+                return True  # flat directory: nothing in the path
             try:
                 vals = {}
                 for comp in self._partition_prefix(
-                        rel, len(layout)).split(os.sep):
+                        entry[1], len(spec)).split(os.sep):
                     name, raw = comp.split("=", 1)
                     vals[name] = self._parse_hive_part_value(
                         raw, part_types[name])
                 for c, pv in lp.items():
+                    if c not in vals:
+                        continue  # not a partition column in this dir
                     got = vals[c]
                     if got is None or self._canon_part_value(got) \
                             != self._canon_part_value(pv):
                         return False
                 for c, b in lb.items():
+                    if c not in vals:
+                        continue
                     got = vals[c]
                     if b == "is_null":
                         if got is not None:
@@ -2987,7 +3433,7 @@ class VersionedTable:
             except Exception:
                 return True
 
-        return [e for e in entries if _ok(e[1])]
+        return [e for e in entries if _ok(e)]
 
     def read_pruned(self, bounds: dict, version: int | None = None,
                     points: dict | None = None):
@@ -3044,7 +3490,8 @@ class VersionedTable:
             if not files:
                 return self.read(v)
             return self._read_files(files, schema=self._filelist_schema(v),
-                                    dir_renames=self._dir_renames(v))
+                                    dir_renames=self._dir_renames(v),
+                                    dvs=self._filelist_dvs(v))
 
         idx = self.spark.read.parquet(idx_path)
         return read_with_skipping(self.spark, d, idx, bounds, reader=reader,
@@ -3096,7 +3543,8 @@ class VersionedTable:
                 # self-diff to discover an empty step
                 continue
             kind = self._commit_kind(v)
-            if kind in ("rename_column", "drop_column"):
+            if kind in ("rename_column", "drop_column",
+                        "partition_spec"):
                 # metadata-only column-mapping commit: zero row
                 # changes by construction; steps before/after it keep
                 # their own versions' column names (the range union
@@ -3169,12 +3617,14 @@ class VersionedTable:
         ]
         b = self._read_files([self._abs_file(e) for e in new],
                              schema=self._filelist_schema(version),
-                             dir_renames=self._dir_renames(version))
+                             dir_renames=self._dir_renames(version),
+                             dvs=self._filelist_dvs(version))
         if prior_touched:
             a = self._read_files(
                 [self._abs_file(e) for e in prior_touched],
                 schema=self._filelist_schema(version - 1),
-                dir_renames=self._dir_renames(version - 1))
+                dir_renames=self._dir_renames(version - 1),
+                dvs=self._filelist_dvs(version - 1))
         else:
             # the merge created brand-new partitions: all inserts
             a = self.spark.createDataFrame([], b.schema)
@@ -3253,6 +3703,11 @@ class VersionedTable:
         referenced: set[tuple[str, str]] = set()
         for v in retained:
             referenced.update(self._entries_for_version(v))
+            # deletion-vector sidecars are reference-counted exactly
+            # like data files: a retained manifest's dvs entries keep
+            # the sidecar alive — deleting one would RESURRECT the
+            # deleted rows on every masked read
+            referenced.update(self._filelist_dvs(v))
         referenced_dirs = {d for d, _ in referenced}
         for v in victims:
             d = self._resolve_dir(v)
@@ -3262,7 +3717,7 @@ class VersionedTable:
                 self.fs.remove(d)
                 self._drop_commit_record(base)
                 continue
-            for rel in self._list_data_files(d):
+            for rel in self._list_data_files(d) + self._list_dv_files(d):
                 if (base, rel) not in referenced:
                     self.fs.remove_file(os.path.join(d, rel))
             # strip the version's identity (manifest, metadata, index,
@@ -3282,7 +3737,7 @@ class VersionedTable:
                         os.rmdir(root)
                     except OSError:
                         pass
-            if self._list_data_files(d):
+            if self._list_data_files(d) or self._list_dv_files(d):
                 # still holds files newer manifests reference — keep
                 # the directory, tombstone the version
                 self.fs.touch(os.path.join(d, self.VACUUMED))
@@ -3303,10 +3758,10 @@ class VersionedTable:
             d = os.path.join(vbase, name)
             if not os.path.exists(os.path.join(d, self.VACUUMED)):
                 continue
-            for rel in self._list_data_files(d):
+            for rel in self._list_data_files(d) + self._list_dv_files(d):
                 if (name, rel) not in referenced:
                     self.fs.remove_file(os.path.join(d, rel))
-            if not self._list_data_files(d):
+            if not (self._list_data_files(d) or self._list_dv_files(d)):
                 self.fs.remove(d)
                 self._drop_commit_record(name)
         # sweep ORPHAN stage directories: a losing racer that crashed

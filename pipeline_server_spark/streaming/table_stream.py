@@ -335,7 +335,7 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         op = _meta_operation(self.root, v)
         if isinstance(op, str) and op.startswith("optimize_"):
             return []  # layout maintenance: zero row changes
-        if kind in ("rename_column", "drop_column"):
+        if kind in ("rename_column", "drop_column", "partition_spec"):
             return []  # metadata-only: zero row changes
         if self.read_change_feed and doc.get("cdf"):
             # the commit materialized its row-level diff at commit
@@ -351,6 +351,17 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
             # inherited, which live in the source table's dirs and
             # resolve through the clone-bases map. An append
             # version's inserts are only its OWN new files.
+            if v == 1 and doc.get("dvs"):
+                # a clone of a merge-on-read-deleted table: its v1
+                # files carry deletion vectors this pure-file source
+                # cannot mask — streaming them raw would RESURRECT
+                # deleted rows. Refuse with the remediation.
+                raise ValueError(
+                    f"{FORMAT_NAME}: version {v} of {self.root} carries "
+                    "deletion vectors (a clone of a merge-on-read "
+                    "table) — compact the table once (OPTIMIZE "
+                    "materializes the vectors away) before streaming "
+                    "its bootstrap snapshot")
             base = os.path.basename(_resolve_dir(self.root, v))
             bases = _clone_bases(self.root)
             return [(_abs_data_file(self.root, bases, d, rel), False)

@@ -744,6 +744,58 @@ def test_rest_dml_prunes_through_the_derived_envelope(spark, server):
     assert 99 not in got and got[100] == 200 and got[500] == 1001
 
 
+def test_rest_deletion_vectors_merge_on_read(spark, server):
+    """POST /dataset/deletion-vectors switches the REST DML to
+    merge-on-read: a point delete reports rewritten_files: 0 with the
+    matched count as dv_rows, and reads mask through the sidecar."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_dv")
+    cfg = DatasetConfig(
+        name="api_dv",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    t = VersionedTable(spark, path)
+    t.commit(
+        spark.range(0, 4000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v"))
+        .repartitionByRange(8, "id"),
+        stats_cols=("id",))
+
+    status, out = _call(
+        srv.port, "POST", "/dataset/deletion-vectors?name=api_dv", b"")
+    assert status == 200 and out["deletion_vectors"] is True
+
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/delete?name=api_dv&where=id%20%3D%20777", b"")
+    assert status == 200 and out["matched"] is True
+    assert out["mode"] == "merge_on_read"
+    assert out["rewritten_files"] == 0 and out["dv_rows"] == 1
+    assert t.read().count() == 3999
+    assert t.read().where("id = 777").count() == 0
+
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/deletion-vectors?name=api_dv&enabled=false", b"")
+    assert status == 200 and out["deletion_vectors"] is False
+    status, out = _call(
+        srv.port, "POST",
+        "/dataset/delete?name=api_dv&where=id%20%3D%20778", b"")
+    assert status == 200 and out["rewritten_files"] > 0  # back to COW
+    assert t.read().count() == 3998
+
+
 def test_rest_column_mapping_endpoints(spark, server):
     """POST /dataset/rename-column and /dataset/drop-column: the
     round-9 metadata-only column-mapping commits over the control

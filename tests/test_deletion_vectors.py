@@ -1,0 +1,344 @@
+"""Deletion vectors — merge-on-read DML (round-9 verdict #1).
+
+The public Delta 2.3+ deletion-vector / Iceberg-v2 positional-delete
+design, re-expressed on the VersionedTable manifest: with
+``enable_deletion_vectors()``, delete_where / update_where write a
+``_dv`` parquet sidecar of (file identity, row position) pairs —
+O(matched rows) bytes, ``rewritten_files: 0`` — instead of rewriting
+every file that contains a matching row. Every read face masks
+through the vectors; compaction stays the copy-on-write path that
+materializes them away; vacuum reference-counts the sidecars like
+data files.
+
+Reference anchor: the reference's DML surface is warehouse SQL
+(RedshiftLoader.scala:149-184, SnowflakeLoader.scala:233-291); this
+is its lakehouse-native scale path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.writers import (
+    ConditionalPutFS, VersionedTable)
+
+
+def _mk(spark, path, n=1000, stats=("k",), parts=8):
+    t = VersionedTable(spark, str(path))
+    t.enable_deletion_vectors()
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.commit(df.repartitionByRange(parts, "k"), stats_cols=stats)
+    return t
+
+
+class TestPointDelete:
+    def test_zero_rewrite_and_masked_reads(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "p1")
+        v = t.delete_where(F.col("k") == 123)
+        meta = t.commit_metadata(v)
+        assert meta["rewritten_files"] == 0
+        assert meta["dv_rows"] == 1 and meta["dv_files"] == 1
+        assert meta["candidate_files"] < meta["total_files"], \
+            "index pruning must still apply in MOR mode"
+        assert t.read().count() == 999
+        assert t.read().where("k = 123").count() == 0
+
+    def test_dv_bytes_scale_with_matches_not_files(self, spark, tmp_path):
+        # the whole point: a point delete's commit writes ~bytes of
+        # sidecar, not a rewritten data file
+        t = _mk(spark, tmp_path / "p2")
+        v = t.delete_where(F.col("k") == 7)
+        d = t._resolve_dir(v)
+        dv_bytes = sum(
+            os.path.getsize(os.path.join(d, rel))
+            for rel in t._list_dv_files(d))
+        data_bytes = sum(
+            os.path.getsize(t._abs_file(e))
+            for e in t._entries_for_version(v))
+        assert 0 < dv_bytes < data_bytes / 4
+        assert t._list_data_files(d) == []  # no data file staged
+
+    def test_no_match_is_noop(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "p3")
+        assert t.delete_where(F.col("k") == 10**9) == 1
+        assert t.current_version() == 1
+
+    def test_cumulative_deletes_and_time_travel(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "p4")
+        t.delete_where(F.col("k") == 123)
+        t.delete_where(F.col("k").between(120, 130))
+        assert t.read().count() == 989
+        assert t.read(2).count() == 999   # first delete only
+        assert t.read(1).count() == 1000  # pre-delete snapshot
+        # a row already deleted never re-matches (DV rows stay unique)
+        assert t.commit_metadata(3)["dv_rows"] == 10
+
+    def test_delete_then_cow_after_disable(self, spark, tmp_path):
+        # copy-on-write after merge-on-read must keep masking the
+        # existing vectors — both in match detection and the rewrite
+        t = _mk(spark, tmp_path / "p5")
+        t.delete_where(F.col("k") == 10)
+        t.disable_deletion_vectors()
+        v = t.delete_where(F.col("k") < 20)
+        meta = t.commit_metadata(v)
+        assert meta["rewritten_files"] > 0  # back to COW
+        assert t.read().count() == 980
+        assert t.read().where("k = 10").count() == 0
+
+
+class TestUpdateMergeOnRead:
+    def test_update_appends_postimage(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "u1")
+        v = t.update_where(F.col("k") == 5, {"v": F.col("v") + 1000})
+        meta = t.commit_metadata(v)
+        assert meta["rewritten_files"] == 0 and meta["dv_rows"] == 1
+        got = {r["k"]: r["v"] for r in
+               t.read().where("k in (4,5,6)").collect()}
+        assert got == {4: 8, 5: 1010, 6: 12}
+        assert t.read().count() == 1000
+
+    def test_update_respects_constraints(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import (
+            ConstraintViolationError)
+
+        t = _mk(spark, tmp_path / "u2")
+        t.add_check_constraint("v_small", "v < 10000")
+        with pytest.raises(ConstraintViolationError):
+            t.update_where(F.col("k") == 5, {"v": F.lit(99999).cast("long")})
+        # the violating commit never published
+        assert t.current_version() == 1
+        assert t.read().where("k = 5").collect()[0]["v"] == 10
+
+    def test_partitioned_update_keeps_layout(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "u3"))
+        t.enable_deletion_vectors()
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            (F.col("id") % 4).alias("p"))
+        t.commit(df, partition_by=("p",))
+        v = t.update_where(F.col("k") == 6, {"v": F.lit(-1).cast("long")})
+        assert t.commit_metadata(v)["rewritten_files"] == 0
+        got = t.read().where("k = 6").collect()
+        assert [(r["v"], r["p"]) for r in got] == [(-1, 2)]
+        # partition pruning still works across the DV commit
+        rw, nread, ntot = t.read_where("p = 2")
+        assert rw.count() == 50 and nread < ntot
+
+
+class TestPartitionedDelete:
+    def test_whole_partition_mor_delete(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "d1"))
+        t.enable_deletion_vectors()
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p"))
+        t.commit(df, partition_by=("p",))
+        v = t.delete_where(F.col("p") == 3)
+        meta = t.commit_metadata(v)
+        assert meta["rewritten_files"] == 0
+        assert meta["candidate_files"] < meta["total_files"], \
+            "manifest partition pruning must pre-filter candidates"
+        assert t.read().where("p = 3").count() == 0
+        assert t.read().count() == 300
+
+
+class TestChangesAndStreaming:
+    def test_cdf_replays_mor_delete_and_update(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "c1"))
+        t.enable_deletion_vectors()
+        t.enable_change_feed(["k"])
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        t.commit(df.repartition(4))
+        t.delete_where(F.col("k") == 42)
+        t.update_where(F.col("k") == 7, {"v": F.lit(700).cast("long")})
+        feed = t.changes_range(["k"], 1).collect()
+        by_type = {}
+        for r in feed:
+            by_type.setdefault(r["_change_type"], []).append(r)
+        assert [r["k"] for r in by_type["delete"]] == [42]
+        assert [r["k"] for r in by_type["update_preimage"]] == [7]
+        post = by_type["update_postimage"][0]
+        assert post["k"] == 7 and post["v"] == 700
+
+    def test_changes_without_cdf_snapshot_diff(self, spark, tmp_path):
+        # no commit-time change files: the masked snapshot diff must
+        # still report the MOR delete
+        t = _mk(spark, tmp_path / "c2", n=100, parts=4)
+        t.delete_where(F.col("k") == 42)
+        feed = t.changes(["k"], v_from=1, v_to=2).collect()
+        assert [(r["k"], r["_change_type"]) for r in feed] == \
+            [(42, "delete")]
+
+    def test_read_change_feed_stream_over_mor(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_changes)
+
+        t = VersionedTable(spark, str(tmp_path / "c3"))
+        t.enable_deletion_vectors()
+        t.enable_change_feed(["k"])
+        df = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        t.commit(df.repartition(2))
+        t.delete_where(F.col("k") == 13)
+        out = []
+        q = (stream_changes(spark, t.root, starting_version=2)
+             .writeStream
+             .foreachBatch(lambda b, _id: out.extend(b.collect()))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck_c3"))
+             .start())
+        q.awaitTermination(120)
+        assert [(r["k"], r["_change_type"]) for r in out] == \
+            [(13, "delete")]
+
+    def test_clone_bootstrap_stream_refuses_dvs(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+
+        t = _mk(spark, tmp_path / "c4", n=100, parts=2)
+        t.delete_where(F.col("k") == 1)
+        c = t.clone_to(str(tmp_path / "c4_clone"))
+        out = []
+        q = (stream_inserts(spark, c.root, starting_version=1)
+             .writeStream
+             .foreachBatch(lambda b, _id: out.extend(b.collect()))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck_c4"))
+             .start())
+        with pytest.raises(Exception, match="deletion vectors"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+        assert not out
+
+
+class TestCloneRestoreVacuum:
+    def test_clone_masks_inherited_dvs(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "v1")
+        t.delete_where(F.col("k").between(0, 9))
+        c = t.clone_to(str(tmp_path / "v1_clone"))
+        assert c.read().count() == 990
+        assert c.read().where("k < 10").count() == 0
+        # the clone's own DML composes on the inherited vectors
+        c.delete_where(F.col("k") == 500)
+        assert c.read().count() == 989
+        assert t.read().count() == 990  # source untouched
+
+    def test_restore_across_dml(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "v2")
+        t.delete_where(F.col("k") == 1)   # v2
+        t.delete_where(F.col("k") == 2)   # v3
+        t.restore(2)                      # v4: only k=1 deleted
+        assert t.read().count() == 999
+        assert t.read().where("k = 2").count() == 1
+        t.restore(1)                      # v5: nothing deleted
+        assert t.read().count() == 1000
+
+    def test_vacuum_keeps_referenced_dv_sidecars(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "v3")
+        t.delete_where(F.col("k") == 123)          # v2: writes the DV
+        t.commit_append(spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")))  # v3
+        t.commit_append(spark.range(1010, 1020).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")))  # v4
+        removed = t.vacuum(keep=1)
+        assert removed  # old versions gone
+        # the v2 sidecar must survive: v4's manifest references it
+        assert t.read().count() == 1019
+        assert t.read().where("k = 123").count() == 0
+
+    def test_vacuum_reclaims_orphaned_dvs_after_compaction(
+            self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "v4")
+        vdml = t.delete_where(F.col("k") == 123)
+        dv_dir = os.path.join(t._resolve_dir(vdml), "_dv")
+        assert t._list_dv_files(t._resolve_dir(vdml))
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot)
+
+        optimize_compact_snapshot(t)  # materializes, drops dv refs
+        t.vacuum(keep=1)
+        # nothing references the sidecar now — it must be gone
+        assert not os.path.isdir(dv_dir) or not t._list_dv_files(
+            t._resolve_dir(vdml) if vdml in t.versions() else dv_dir)
+        assert t.read().count() == 999
+
+
+class TestMergeAfterMor:
+    def test_partitioned_merge_does_not_resurrect(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "m1"))
+        t.enable_deletion_vectors()
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            (F.col("id") % 4).alias("p"))
+        t.commit(df, partition_by=("p",))
+        t.delete_where(F.col("k") == 8)  # p=0
+        src = spark.createDataFrame([(4, 999, 0)], "k long, v long, p long")
+        t.commit_merge_partitioned(src, keys=["k"], partition_by=["p"])
+        # the merge rewrote partition p=0 from the MASKED pre-image:
+        # k=8 must stay gone, k=4 updated
+        assert t.read().where("k = 8").count() == 0
+        assert t.read().where("k = 4").collect()[0]["v"] == 999
+        assert t.read().count() == 99
+
+    def test_multi_writer_mor_delete_race(self, spark, tmp_path):
+        root = str(tmp_path / "m2")
+        t1 = VersionedTable(spark, root, fs=ConditionalPutFS())
+        t1.enable_deletion_vectors()
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        t1.commit(df.repartition(4))
+        from pipeline_server_spark.pipeline.writers import (
+            CommitConflictError, commit_with_retry)
+
+        t2 = VersionedTable(spark, root, fs=ConditionalPutFS())
+        # deterministic race: both prepare v2; exactly one wins, the
+        # retry replays the loser on top
+        commit_with_retry(lambda: t1.delete_where(F.col("k") == 1))
+        commit_with_retry(lambda: t2.delete_where(F.col("k") == 2))
+        assert t1.read().count() == 98
+        assert t1.read().where("k in (1,2)").count() == 0
+
+
+class TestStatsUnderDvs:
+    def test_snapshot_stats_exact(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "s1")
+        t.delete_where(F.col("k") == 0)    # deletes the current min
+        t.delete_where(F.col("k") == 999)  # and the max
+        st = t.snapshot_stats()
+        assert st["n_rows"] == 998 and st["dv_rows"] == 2
+        # min/max are LIVE-row exact, not stale footer envelopes
+        assert st["columns"]["k"]["min"] == 1
+        assert st["columns"]["k"]["max"] == 998
+        assert st["columns"]["k"]["nulls"] == 0
+
+    def test_snapshot_stats_no_index(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "s2"))
+        t.enable_deletion_vectors()
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        t.commit(df.repartition(4))  # no stats_cols
+        t.delete_where(F.col("k") < 10)
+        st = t.snapshot_stats()
+        assert st["n_rows"] == 90 and st["dv_rows"] == 10
+        assert st["columns"] == {}
+
+
+class TestDvDebt:
+    def test_debt_grows_and_compaction_clears_it(self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot)
+
+        t = _mk(spark, tmp_path / "debt1")
+        assert t.dv_debt() == {"dv_rows": 0, "dv_files": 0,
+                               "dv_sidecars": 0}
+        t.delete_where(F.col("k") < 10)
+        t.delete_where(F.col("k") == 500)
+        debt = t.dv_debt()
+        assert debt["dv_rows"] == 11 and debt["dv_sidecars"] == 2
+        assert debt["dv_files"] >= 1
+        optimize_compact_snapshot(t)
+        assert t.dv_debt()["dv_rows"] == 0

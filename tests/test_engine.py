@@ -196,3 +196,78 @@ def test_load_table_converts_nested_ntz(spark, tmp_path):
         F.unix_micros(F.element_at("ts_list", 1)).alias("c"),
     ).first()
     assert row.a == row.b == row.c == 1_700_000_000_000_000
+
+
+def test_engine_sql_dml_dispatch(spark, tmp_path):
+    """Round-9 verdict #7: engine.sql routes DELETE FROM / UPDATE ...
+    SET ... strings to the versioned index-pruned DML instead of
+    spark.sql — the sqlOverride surface extended to lakehouse DML."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqldml")
+    cfg = DatasetConfig(
+        name="sqldml",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.commit(
+        spark.range(0, 4000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v"))
+        .repartitionByRange(8, "id"),
+        stats_cols=("id",))
+
+    out = eng.sql("DELETE FROM sqldml WHERE id < 100").collect()[0]
+    assert out["matched"] is True
+    meta = t.commit_metadata(out["version"])
+    assert meta["candidate_files"] < meta["total_files"], \
+        "SQL DELETE did not prune through the derived envelope"
+    assert t.read().count() == 3900
+
+    out = eng.sql(
+        "UPDATE sqldml SET v = v + least(10, 20), id = id WHERE id = 500"
+    ).collect()[0]
+    assert out["matched"] is True
+    assert t.read().where("id = 500").collect()[0]["v"] == 1010
+
+    # trailing semicolon + no WHERE = full-table delete
+    out = eng.sql("DELETE FROM sqldml;").collect()[0]
+    assert out["matched"] is True and t.read().count() == 0
+
+    # SELECTs and unknown table names still go to spark.sql
+    spark.range(3).createOrReplaceTempView("plain_view")
+    assert eng.sql("SELECT COUNT(*) AS n FROM plain_view").collect()[0].n == 3
+
+
+def test_engine_sql_dml_merge_on_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqldml2")
+    cfg = DatasetConfig(
+        name="sqldml2",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"),),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.enable_deletion_vectors()
+    t.commit(spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("id")).repartition(4))
+    out = eng.sql("DELETE FROM sqldml2 WHERE id = 7").collect()[0]
+    assert out["mode"] == "merge_on_read"
+    assert out["rewritten_files"] == 0 and out["dv_rows"] == 1
+    assert t.read().count() == 999

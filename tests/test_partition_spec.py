@@ -1,0 +1,216 @@
+"""Partition-spec evolution (round-9 verdict #4): Iceberg-style —
+``set_partition_spec`` is a METADATA-ONLY commit; old directories keep
+reading and pruning by the spec their paths encode (``dir_specs``, the
+``dir_renames`` pattern), new commits write the new spec, and one full
+compaction materializes the layout and clears the map. Partition-
+scoped merge/CDC/OPTIMIZE-WHERE refuse on a mixed-spec table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") % 3).alias("q"),
+        (F.col("id") * 2).alias("v"))
+
+
+class TestSpecEvolutionBasics:
+    def test_metadata_only_commit(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "b1"))
+        t.commit(_df(spark, 0, 400), partition_by=("p",))
+        v = t.set_partition_spec(["q"])
+        d = t._resolve_dir(v)
+        assert t._list_data_files(d) == [], "spec evolution wrote data"
+        assert t.recorded_partition_by(v) == ["q"]
+        assert t._dir_specs(v)  # the old dir records its spec
+        assert t.read().count() == 400  # reads unchanged
+
+    def test_noop_when_unchanged(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "b2"))
+        t.commit(_df(spark, 0, 40), partition_by=("p",))
+        assert t.set_partition_spec(["p"]) == 1
+        assert t.current_version() == 1
+
+    def test_new_appends_use_new_spec_reads_union(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "b3"))
+        t.commit(_df(spark, 0, 400), partition_by=("p",))
+        t.set_partition_spec(["q"])
+        t.commit_append(_df(spark, 400, 600), partition_by=("q",))
+        got = t.read()
+        assert got.count() == 600
+        # every column is intact on BOTH sides of the boundary: p was
+        # path-encoded in the old dir and is data in the new; q vice
+        # versa
+        r = {row["k"]: (row["p"], row["q"], row["v"])
+             for row in got.where("k in (3, 450)").collect()}
+        assert r == {3: (3, 0, 6), 450: (2, 0, 900)}
+
+    def test_rejects_indexed_and_unknown_columns(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "b4"))
+        t.commit(_df(spark, 0, 40).repartition(2), stats_cols=("q",))
+        with pytest.raises(ValueError, match="stats/Bloom"):
+            t.set_partition_spec(["q"])
+        with pytest.raises(ValueError, match="not in the table schema"):
+            t.set_partition_spec(["nope"])
+
+    def test_rejects_bucketed_table(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "b5"))
+        t.commit_bucketed(_df(spark, 0, 40), keys=["k"], n_buckets=4)
+        with pytest.raises(ValueError, match="hash-bucketed"):
+            t.set_partition_spec(["p"])
+
+    def test_stale_partition_by_after_evolution_rejects(self, spark,
+                                                        tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "b6"))
+        t.commit(_df(spark, 0, 400), partition_by=("p",))
+        t.set_partition_spec(["q"])
+        with pytest.raises(ValueError, match="evolved"):
+            t.commit_append(_df(spark, 400, 440), partition_by=("p",))
+
+
+class TestPruningAcrossSpecs:
+    def _table(self, spark, tmp_path, name):
+        t = VersionedTable(spark, str(tmp_path / name))
+        t.commit(_df(spark, 0, 400), partition_by=("p",))
+        t.set_partition_spec(["q"])
+        t.commit_append(_df(spark, 400, 800), partition_by=("q",))
+        return t
+
+    def test_read_where_prunes_old_spec_column(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "p1")
+        df, nread, ntot = t.read_where("p = 2")
+        assert {r["k"] % 4 for r in df.collect()} == {2}
+        assert df.count() == 200
+        # old-spec dirs prune on p by path; new-spec dirs cannot (p is
+        # data there) — strictly fewer files than the table
+        assert nread < ntot
+
+    def test_read_where_prunes_new_spec_column(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "p2")
+        df, nread, ntot = t.read_where("q = 1")
+        assert df.count() == 267  # k % 3 == 1 over [0, 800)
+        assert {r["q"] for r in df.collect()} == {1}
+        assert nread < ntot
+
+    def test_dml_across_the_boundary(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "p3")
+        v = t.delete_where(F.col("q") == 1)
+        meta = t.commit_metadata(v)
+        assert meta["candidate_files"] < meta["total_files"]
+        assert t.read().where("q = 1").count() == 0
+        # rows on BOTH sides of the spec boundary were deleted
+        assert t.read().count() == 800 - (800 + 1) // 3
+
+    def test_partition_scoped_ops_refuse_until_compaction(
+            self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "p4")
+        src = spark.createDataFrame(
+            [(1, 1, 1, 999)], "k long, p long, q long, v long")
+        with pytest.raises(ValueError, match="older partition spec"):
+            t.commit_merge_partitioned(src, keys=["k"],
+                                       partition_by=["q"])
+        with pytest.raises(ValueError, match="older partition spec"):
+            t.compact_partitions(["q=1"])
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot)
+
+        cv = optimize_compact_snapshot(t)
+        assert t._dir_specs(cv) == {}  # materialized: map cleared
+        assert t.recorded_partition_by(cv) == ["q"]
+        t.commit_merge_partitioned(src, keys=["k"], partition_by=["q"])
+        assert t.read().where("k = 1").collect()[0]["v"] == 999
+
+    def test_restore_across_spec_boundary(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "p5")
+        t.restore(1)  # back to the p-partitioned snapshot
+        assert t.read().count() == 400
+        assert t.recorded_partition_by(t.current_version()) == ["p"]
+        df, nread, ntot = t.read_where("p = 2")
+        assert df.count() == 100 and nread < ntot
+
+    def test_stats_on_historical_spec_col_rejected(self, spark,
+                                                   tmp_path):
+        t = self._table(spark, tmp_path, "p6")
+        # p lives in PATHS in the old dirs — footer stats for it would
+        # crash the index build on carried files
+        with pytest.raises(ValueError, match="partition columns"):
+            t.commit_append(_df(spark, 800, 840),
+                            partition_by=("q",), stats_cols=("p",))
+
+
+class TestFeedAndStreamAcrossSpecs:
+    def test_changes_range_skips_spec_commit(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "f1"))
+        t.commit(_df(spark, 0, 40), partition_by=("p",))
+        t.set_partition_spec(["q"])                       # v2
+        t.commit_append(_df(spark, 40, 50), partition_by=("q",))  # v3
+        feed = t.changes_range(["k"], 1).collect()
+        assert {r["_commit_version"] for r in feed} == {3}
+        assert sorted(r["k"] for r in feed) == list(range(40, 50))
+        # partition values of the new-spec append ride typed
+        assert all(r["q"] == r["k"] % 3 for r in feed)
+
+    def test_stream_inserts_across_spec_boundary(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+
+        t = VersionedTable(spark, str(tmp_path / "f2"))
+        t.commit(_df(spark, 0, 20), partition_by=("p",))
+        out = []
+        q = (stream_inserts(spark, t.root, starting_version=1)
+             .writeStream
+             .foreachBatch(lambda b, _id: out.extend(b.collect()))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck_f2"))
+             .start())
+        q.awaitTermination(120)
+        t.set_partition_spec(["q"])
+        t.commit_append(_df(spark, 20, 30), partition_by=("q",))
+        q2 = (stream_inserts(spark, t.root, starting_version=None)
+              .writeStream
+              .foreachBatch(lambda b, _id: out.extend(b.collect()))
+              .trigger(availableNow=True)
+              .option("checkpointLocation", str(tmp_path / "ck_f2"))
+              .start())
+        q2.awaitTermination(120)
+        assert sorted(r["k"] for r in out) == list(range(30))
+        # partition columns typed from BOTH layouts' paths
+        assert all(r["p"] == r["k"] % 4 and r["q"] == r["k"] % 3
+                   for r in out)
+
+
+class TestRestFace:
+    def test_engine_and_rest_partition_spec(self, spark, tmp_path):
+        from pipeline_server_spark.engine import Engine
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig, DestinationConfig, FileAttributes,
+            SchemaField, SourceConfig)
+
+        eng = Engine(spark)
+        path = str(tmp_path / "eng1")
+        cfg = DatasetConfig(
+            name="spec_ds",
+            source=SourceConfig(
+                fields=(SchemaField("k", "bigint"),
+                        SchemaField("p", "bigint"),
+                        SchemaField("q", "bigint"),
+                        SchemaField("v", "bigint")),
+                file=FileAttributes(file_type="csv"),
+            ),
+            destination=DestinationConfig(path=path, versioned=True),
+        )
+        eng.register(cfg)
+        t = VersionedTable(spark, path)
+        t.commit(_df(spark, 0, 40), partition_by=("p",))
+        out = eng.set_partition_spec("spec_ds", ["q"])
+        assert out["partition_by"] == ["q"]
+        assert t.recorded_partition_by(out["version"]) == ["q"]
