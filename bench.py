@@ -110,6 +110,10 @@ HEADLINE = [
     # reduction each, then a scoring pass; the iterative-training
     # regression twin for the CCNet-style quality-filter family
     "quality_classifier_scores",
+    # round-10: perceptual image dHash dedup — a per-payload decode +
+    # hash Arrow pass feeding the Hamming-ball chunk join; regression
+    # here means the decode stopped batching or the join went all-pairs
+    "image_near_dup_pairs",
 ]
 
 

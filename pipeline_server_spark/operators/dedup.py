@@ -356,29 +356,33 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return sums.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming. Blocking: split the
-    64-bit hash into 4 × 16-bit chunks — any pair within hamming ≤ 3
-    must agree on ≥1 chunk (pigeonhole), so candidates come from 4
-    equi-joins, not n²."""
-    assert max_hamming <= 3, "4-chunk blocking guarantees recall only for hamming ≤ 3"
-    sigs = simhash_64(df, id_col, text_col)
+def hamming_near_pairs(sigs: DataFrame, hash_col: str,
+                       max_hamming: int = 3,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Pairs of ids whose 64-bit hashes are within ``max_hamming``.
+    Blocking: split the hash into 4 × 16-bit chunks — any pair within
+    hamming ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so candidates
+    come from 4 equi-joins, not n². Shared by SimHash text dedup and
+    the perceptual image-dHash dedup (round-9 verdict #3)."""
+    assert max_hamming <= 3, \
+        "4-chunk blocking guarantees recall only for hamming ≤ 3"
     chunks = sigs.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                        F.shiftright(F.col(hash_col), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
                     )
                     for c in range(4)
                 ]
             )
         ).alias("ck"),
-    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    ).select("doc_id", "_h", F.col("ck.chunk").alias("chunk"),
+             F.col("ck.ckey").alias("ckey"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -391,8 +395,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col("a._h").alias("sim_a"),
+            F.col("b._h").alias("sim_b"),
         )
         .distinct()
     )
@@ -401,6 +405,14 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming, through the shared
+    4×16-bit-chunk Hamming-ball band join."""
+    sigs = simhash_64(df, id_col, text_col)
+    return hamming_near_pairs(sigs, "simhash", max_hamming)
 
 
 # --------------------------------------------------------------------------

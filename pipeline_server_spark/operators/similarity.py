@@ -441,50 +441,15 @@ def ivf_topk(
     )
 
 
-def ivf_pq_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    m_sub: int = 8,
-    k_sub: int = 16,
-    rerank: int = 3,
-    kmeans_iters: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ approximate top-k (Jégou, Douze & Schmid 2011 — the
-    public product-quantization idea, original implementation): the
-    100 TB ANN memory story. Each corpus vector is stored as its IVF
-    cell + an ``m_sub``-byte PQ CODE (per subspace, the index of the
-    nearest residual-codebook centroid) — d float64s collapse to
-    m_sub uint8s, so a trillion-vector index fits a cluster's memory
-    where raw vectors cannot. Queries probe ``n_probe`` cells,
-    score candidates with ASYMMETRIC DISTANCE (ADC): one
-    lookup-table build per (query, probed cell) — m_sub × k_sub dot
-    products — then each candidate's score is m_sub table lookups,
-    NO access to the original vector. The top ``rerank``·k ADC
-    candidates are re-ranked exactly with the true vectors (the
-    standard refine step), so precision at the top comes from exact
-    math while the scan stays code-sized.
-
-    Deterministic contract (the repo's oracle discipline): coarse
-    centroids AND per-subspace codebooks are trained by the FULL-
-    CORPUS distributed k-means (:func:`..clustering.kmeans_fit` /
-    :func:`..clustering.pq_codebooks_fit` — round-8 verdict #3: no
-    prefix-sample collect anywhere in training; exact integer/decimal
-    steps make both partitioning-invariant); ADC scores are per-row
-    float64 LUT sums — independent of batching; every top-k tie
-    breaks on nbr_id. The registry query gates RECALL against the
-    exact brute force.
-
-    Scale shape: train = per-iteration corpus passes with
-    model-sized (k×d / m·k_sub×dsub) driver traffic; encode = ONE
-    broadcast mapInPandas pass emitting (id, cell, code); search =
-    codes-only cell join + per-batch LUT scoring; only ``rerank``·k
-    rows per query ever touch a full vector again (broadcast-sized
-    semi-join)."""
+def _ivf_pq_index(corpus: DataFrame, n_centroids: int, m_sub: int,
+                  k_sub: int, kmeans_iters: int, id_col: str,
+                  vec_col: str):
+    """Shared IVF-PQ index build (training + corpus encode) for the
+    interactive (:func:`ivf_pq_topk`) and bulk (:func:`ivf_pq_knn_join`)
+    search paths: full-corpus distributed k-means coarse centroids,
+    exact-quanta PQ codebooks, and the codes frame (nbr_id, cell,
+    code) from ONE broadcast mapInPandas pass. Returns
+    (corpus_vectors, centroids, codebooks, b_cent, b_books, coded)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -545,6 +510,187 @@ def ivf_pq_topk(
             })
 
     coded = c.mapInPandas(_encode, schema=code_schema)
+    return c, cent, books, b_cent, b_books, coded
+
+
+def ivf_pq_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank: int = 3,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BULK IVF-PQ kNN-JOIN (round-9 verdict #5): the same index and
+    the same math as :func:`ivf_pq_topk`, with the query side kept a
+    DATAFRAME end-to-end — no ``queries.collect()``, no per-
+    (query, cell) driver LUT dicts — so corpus-vs-corpus retrieval
+    (hard-negative mining, the common curation shape) scales to a
+    query set as large as the corpus.
+
+    Plan shape: queries cell-assign + normalize in one Arrow pass
+    (broadcast centroids, one (query, cell, qv) row per probe);
+    candidates come from an EQUI-JOIN of the codes frame with the
+    probe frame on ``cell``; ADC lookup tables are built executor-
+    side per (query, cell) group within each Arrow batch from the
+    broadcast codebooks; the exact refine joins shortlist → corpus →
+    queries with AQE-sized shuffles instead of a driver-built
+    broadcast. Output is BIT-IDENTICAL to :func:`ivf_pq_topk` on the
+    same inputs (registry-gated): every float op runs in the same
+    order on the same doubles."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    c, cent, books, b_cent, b_books, coded = _ivf_pq_index(
+        corpus, n_centroids, m_sub, k_sub, kmeans_iters, id_col, vec_col)
+    dsub = cent.shape[1] // m_sub
+
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"))
+    probe_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("qv", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = _normalize_block(np.stack(pdf["qv"].to_numpy()))
+            pr = np.argsort(-(Q @ cm.T), axis=1)[:, :n_probe]
+            qids = pdf["query_id"].to_numpy()
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, n_probe),
+                "cell": pr.ravel().astype("int32"),
+                "qv": [Q[i].tolist()
+                       for i in range(len(Q)) for _ in range(n_probe)],
+            })
+
+    qp = q.mapInPandas(_probe, schema=probe_schema)
+
+    adc_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("nbr_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def _adc_bulk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bb, cm = b_books.value, b_cent.value
+        rng = np.arange(m_sub)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            frames = []
+            # one LUT per (query, cell) group — the same amortization
+            # as the interactive path's driver dict, built where the
+            # candidates already are
+            for (qid, cell), grp in pdf.groupby(["query_id", "cell"],
+                                                sort=False):
+                qvec = np.asarray(grp["qv"].iloc[0], dtype=np.float64)
+                base = float(qvec @ cm[int(cell)])
+                tab = np.zeros((m_sub, k_sub), dtype=np.float64)
+                for s in range(m_sub):
+                    tab[s] = qvec[s * dsub:(s + 1) * dsub] @ bb[s].T
+                cd = np.stack(grp["code"].to_numpy())
+                sarr = base + tab[rng, cd].sum(axis=1)
+                nb = grp["nbr_id"].to_numpy()
+                keep = nb != qid
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(int(keep.sum()), qid,
+                                        dtype=np.int64),
+                    "nbr_id": nb[keep],
+                    "adc": sarr[keep],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = coded.join(qp, "cell").mapInPandas(_adc_bulk, schema=adc_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("nbr_id"))
+    shortlist = (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank * k)
+        .drop("r")
+    )
+    qdf = qp.select("query_id", "qv").dropDuplicates(["query_id"])
+    exact = (
+        # bulk mode: |Q| scales with the corpus, so the refine is an
+        # AQE-sized shuffle join, never a driver-built broadcast
+        c.join(shortlist, on="nbr_id")
+        .join(qdf, on="query_id")
+        .select("query_id", "nbr_id",
+                cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank: int = 3,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou, Douze & Schmid 2011 — the
+    public product-quantization idea, original implementation): the
+    100 TB ANN memory story. Each corpus vector is stored as its IVF
+    cell + an ``m_sub``-byte PQ CODE (per subspace, the index of the
+    nearest residual-codebook centroid) — d float64s collapse to
+    m_sub uint8s, so a trillion-vector index fits a cluster's memory
+    where raw vectors cannot. Queries probe ``n_probe`` cells,
+    score candidates with ASYMMETRIC DISTANCE (ADC): one
+    lookup-table build per (query, probed cell) — m_sub × k_sub dot
+    products — then each candidate's score is m_sub table lookups,
+    NO access to the original vector. The top ``rerank``·k ADC
+    candidates are re-ranked exactly with the true vectors (the
+    standard refine step), so precision at the top comes from exact
+    math while the scan stays code-sized.
+
+    Deterministic contract (the repo's oracle discipline): coarse
+    centroids AND per-subspace codebooks are trained by the FULL-
+    CORPUS distributed k-means (:func:`..clustering.kmeans_fit` /
+    :func:`..clustering.pq_codebooks_fit` — round-8 verdict #3: no
+    prefix-sample collect anywhere in training; exact integer/decimal
+    steps make both partitioning-invariant); ADC scores are per-row
+    float64 LUT sums — independent of batching; every top-k tie
+    breaks on nbr_id. The registry query gates RECALL against the
+    exact brute force.
+
+    Scale shape: train = per-iteration corpus passes with
+    model-sized (k×d / m·k_sub×dsub) driver traffic; encode = ONE
+    broadcast mapInPandas pass emitting (id, cell, code); search =
+    codes-only cell join + per-batch LUT scoring; only ``rerank``·k
+    rows per query ever touch a full vector again (broadcast-sized
+    semi-join)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    c, cent, books, b_cent, b_books, coded = _ivf_pq_index(
+        corpus, n_centroids, m_sub, k_sub, kmeans_iters, id_col, vec_col)
+    dsub = cent.shape[1] // m_sub
+    sc = corpus.sparkSession.sparkContext
 
     # --- query side: probe cells, broadcast per-(query,cell) LUTs ----
     qrows = queries.select(F.col(id_col).alias("query_id"),

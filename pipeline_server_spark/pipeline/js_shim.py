@@ -2159,11 +2159,39 @@ class _Interp:
             raise JsTranslationError(
                 "indexing is only supported on array literals "
                 f"(got {type(val).__name__})")
+        if isinstance(idx, Column):
+            # COLUMN-valued index into an array literal — the
+            # month-name-decode shape (round-9 verdict #6), the array
+            # twin of the column-keyed object lookup. Every element
+            # must be a scalar so the array lowers to an F.array
+            # literal; F.get is 0-based like JS and reads negative /
+            # out-of-bounds as null (undefined). JS reads a FRACTIONAL
+            # numeric index as undefined too, so guard on integrality
+            # instead of silently truncating.
+            if not val.items:
+                return _NULL
+            bad = [i for i, v in enumerate(val.items)
+                   if not isinstance(v, (bool, int, float, str, _Null,
+                                         Column, _StrVal))]
+            if bad:
+                raise JsTranslationError(
+                    "column-indexed array needs scalar elements; "
+                    f"positions {bad} hold non-scalars")
+            kinds = {("s" if isinstance(v, (str, _StrVal)) else "n")
+                     for v in val.items
+                     if not isinstance(v, (_Null, Column))}
+            if len(kinds) > 1:
+                raise JsTranslationError(
+                    "column-indexed array mixes string and numeric "
+                    "elements — Spark's array type cannot carry both")
+            arr = F.array(*[_to_col(v) for v in val.items])
+            as_long = idx.cast("long")
+            return F.when(idx == as_long,
+                          F.get(arr, as_long.cast("int")))
         if isinstance(idx, bool) or not isinstance(idx, (int, float)):
             raise JsTranslationError(
-                "array index must fold to a literal number (a "
-                "column-valued index cannot be resolved at translation "
-                "time)")
+                "array index must fold to a literal number or a "
+                "numeric column")
         i = int(idx)
         if i != idx:
             return _NULL  # fractional index: undefined in Nashorn

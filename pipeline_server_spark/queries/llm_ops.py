@@ -635,3 +635,162 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("chunk", 1).alias("first_token"),
         F.element_at("chunk", -1).alias("last_token"),
     ).orderBy("doc_id", "chunk_index")
+
+
+def _image_dhash_py_oracle(sf_dir: str):
+    """Independent dHash referee: regenerates the fixture corpus'
+    gray arrays in PURE PYTHON (stdlib sha256 quantization — not the
+    operator's numpy path), box-means, difference-hashes, and
+    brute-forces every pair's Hamming distance. Only the JPEG variant
+    round-trips through operators.jpeg (its quantization noise IS the
+    content; that codec is itself validated bit-exact against
+    third-party decodes in pytest)."""
+    import hashlib
+
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+
+    def tile(i):
+        h = hashlib.sha256(str(i).encode()).digest()
+        b = (h * 3)[:72]
+        return [[(b[r * 9 + c] % 4) * 48 + 40 + (c % 2) * 16
+                 for c in range(9)] for r in range(8)]
+
+    def upscale(t, f):
+        return [[v for v in row for _ in range(f)]
+                for row in t for _ in range(f)]
+
+    def box98(img):
+        h, w = len(img), len(img[0])
+        sums = [[0.0] * 9 for _ in range(8)]
+        cnts = [[0] * 9 for _ in range(8)]
+        for y in range(h):
+            yb = (y * 8) // h
+            for x in range(w):
+                xb = (x * 9) // w
+                sums[yb][xb] += img[y][x]
+                cnts[yb][xb] += 1
+        return [[sums[r][c] / cnts[r][c] for c in range(9)]
+                for r in range(8)]
+
+    def dhash(img):
+        t = box98(img)
+        v = 0
+        i = 0
+        for r in range(8):
+            for c in range(8):
+                if t[r][c + 1] > t[r][c]:
+                    v |= 1 << i
+                i += 1
+        return v
+
+    hashes = {}
+    for i in ids:
+        hashes[i] = dhash(upscale(tile(i), 4))
+    for i in ids:
+        if i >= 30:
+            continue
+        if i % 3 == 0:    # +5 brightness: comparisons unchanged
+            img = [[min(v + 5, 255) for v in row]
+                   for row in upscale(tile(i), 4)]
+        elif i % 3 == 1:  # 2x resize
+            img = upscale(tile(i), 8)
+        else:             # JPEG round-trip: real quantization noise
+            from pipeline_server_spark.operators.multimodal import (
+                decode_image_gray, synth_image_payload)
+
+            p, m = synth_image_payload(i, "jpeg")
+            img = [[int(v) for v in row]
+                   for row in decode_image_gray(p, m).tolist()]
+        hashes[i + 100000] = dhash(img)
+    keys = sorted(hashes)
+    rows = []
+    for a_i, a in enumerate(keys):
+        ha = hashes[a]
+        for b in keys[a_i + 1:]:
+            d = bin(ha ^ hashes[b]).count("1")
+            if d <= 3:
+                rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) \
+        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}) \
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+@query("image_near_dup_pairs", oracle_py=_image_dhash_py_oracle)
+# no SQL oracle: the decode + perceptual hash is not SQL-expressible;
+# the pure-Python referee goes through the same rows+schema+hash gate
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-duplicate detection (round-9 verdict #3)
+    — the multimodal twin of MinHash text dedup, public dHash idea:
+    per image, decode → box-downscale to a 9x8 luma grid → 64-bit
+    difference hash (one Arrow pass, executor-side); candidate pairs
+    come from the SimHash family's 4x16-bit-chunk Hamming-ball band
+    join (pigeonhole recall guarantee for hamming ≤ 3, no all-pairs).
+    The fixture corpus plants a near-duplicate for every doc_id < 30 —
+    brightness-shifted, 2x-resized, or re-encoded through the real
+    JPEG codec — and the hash survives all three re-expressions.
+
+    Scale shape: decode cost is one mapInPandas pass over the
+    payloads; the join carries (chunk, 16-bit key) — corpus-linear
+    like every dedup family member."""
+    from pipeline_server_spark.operators.dedup import hamming_near_pairs
+    from pipeline_server_spark.operators.multimodal import (
+        attach_image_payload, image_dhash)
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = image_dhash(attach_image_payload(d))
+    return (
+        hamming_near_pairs(sigs, "dhash", max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "ann_ivf_pq_knn_join",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS bulk_matches
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id
+    """,
+)
+def ann_ivf_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BULK IVF-PQ kNN-join gate (round-9 verdict #5): the query side
+    stays a DataFrame end-to-end (cell-assign Arrow pass + equi-join
+    probe cells + executor-side ADC LUTs + shuffle-joined refine — no
+    queries.collect(), no per-(query,cell) driver dicts), and the
+    output must be BIT-IDENTICAL to the interactive ivf_pq_topk path
+    on the same inputs: per query, every (nbr_id, rank) matches and
+    every cosine matches EXACTLY (null-safe float64 equality, no
+    tolerance; the pytest twin additionally compares the raw IEEE-754
+    bit patterns)."""
+    from pipeline_server_spark.operators.similarity import (
+        ivf_pq_knn_join, ivf_pq_topk)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 50)
+    a = ivf_pq_topk(e, q, k=5)
+    b = ivf_pq_knn_join(e, q, k=5)
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.rank") == F.col("b.rank")),
+        "full_outer")
+    per_row_ok = (
+        F.col("a.query_id").isNotNull() & F.col("b.query_id").isNotNull()
+        & (F.col("a.nbr_id") == F.col("b.nbr_id"))
+        # exact double equality, no tolerance — both paths must have
+        # run the identical float ops in the identical order
+        & F.col("a.cosine").eqNullSafe(F.col("b.cosine")))
+    return (
+        joined.select(
+            F.coalesce(F.col("a.query_id"), F.col("b.query_id"))
+            .alias("query_id"),
+            per_row_ok.alias("_ok"))
+        .groupBy("query_id")
+        .agg(F.min("_ok").alias("bulk_matches"))
+        .orderBy("query_id")
+    )

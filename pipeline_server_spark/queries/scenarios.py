@@ -420,3 +420,52 @@ def js_transform_object_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spec.expressions["weighted_price"].cast("double")
         .alias("weighted_price"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "js_transform_array_index",
+    oracle="""
+    SELECT o_orderkey,
+           list_extract(
+             ['JAN','FEB','MAR','APR','MAY','JUN',
+              'JUL','AUG','SEP','OCT','NOV','DEC'],
+             CAST(o_orderkey % 12 AS INT) + 1) AS key_month,
+           12 AS n_names,
+           CASE WHEN o_orderkey % 12 = 0 THEN 'JAN' ELSE 'OTHER' END
+             AS first_flag
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def js_transform_array_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 row-function via the JS shim with ARRAY LITERALS indexed by
+    a COLUMN (round-9 verdict #6): the month-name-decode shape —
+    ``months[expr]`` lowers to a guarded 0-based ``F.get`` over an
+    ``F.array`` literal (fractional index → undefined/null, out of
+    bounds → null, exactly Nashorn), ``.length`` folds at translation
+    time, and a literal-index read still folds to a constant. One
+    codegen'd projection, no Python boundary."""
+    from pipeline_server_spark.pipeline.js_shim import (
+        translate_transformation_script,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    src = """
+    var HashMap = Java.type('java.util.HashMap');
+    var map = new HashMap();
+    var months = ['JAN','FEB','MAR','APR','MAY','JUN',
+                  'JUL','AUG','SEP','OCT','NOV','DEC'];
+    map.put('key_month', months[o_orderkey % 12]);
+    map.put('n_names', months.length);
+    var flag = 'OTHER';
+    if (months[o_orderkey % 12] == months[0]) { flag = 'JAN'; }
+    map.put('first_flag', flag);
+    map;
+    """
+    spec = translate_transformation_script(src, o.columns)
+    return o.select(
+        "o_orderkey",
+        spec.expressions["key_month"].alias("key_month"),
+        spec.expressions["n_names"].cast("int").alias("n_names"),
+        spec.expressions["first_flag"].alias("first_flag"),
+    ).orderBy("o_orderkey")

@@ -48,6 +48,20 @@ SHOW = {
         "hashing, per-round one Arrow pass + model-sized decimal "
         "reduction, one scoring pass"
     ),
+    "image_near_dup_pairs": (
+        "perceptual image dHash dedup: decode+hash in one Arrow "
+        "pass, candidates from the 4x16-bit-chunk Hamming-ball "
+        "equi-join — no all-pairs"
+    ),
+    "ann_ivf_pq_knn_join": (
+        "bulk kNN-join gate: query side stays a DataFrame (probe "
+        "Arrow pass + cell equi-join + executor-side ADC LUTs), "
+        "refine is AQE-sized shuffle joins — no query collect"
+    ),
+    "js_transform_array_index": (
+        "JS array literal indexed by a column: guarded 0-based "
+        "F.get over an F.array literal, one codegen'd projection"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

@@ -1,0 +1,85 @@
+"""Perceptual image near-duplicate dedup (round-9 verdict #3): dHash
+over decoded luma + the SimHash family's Hamming-ball chunk join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.multimodal import (
+    attach_image_payload, box_downscale, decode_bmp_gray, decode_image_gray,
+    dhash64_gray, encode_bmp_gray, gray_tile, image_dhash,
+    synth_image_payload)
+
+
+class TestBmpCodec:
+    def test_round_trip_even_and_padded_widths(self):
+        img = np.kron(gray_tile(3), np.ones((4, 4), dtype=np.uint8))
+        assert (decode_bmp_gray(encode_bmp_gray(img)) == img).all()
+        odd = img[:, :33]  # stride-padding path
+        assert (decode_bmp_gray(encode_bmp_gray(odd)) == odd).all()
+
+    def test_rejects_non_bmp_and_wrong_depth(self):
+        with pytest.raises(ValueError, match="not a BMP"):
+            decode_bmp_gray(b"PNG whatever")
+
+
+class TestDhash:
+    def test_invariant_to_brightness_resize_jpeg(self):
+        base = np.kron(gray_tile(11), np.ones((4, 4), dtype=np.uint8))
+        h0 = dhash64_gray(base)
+        for v in ("bright", "resize", "jpeg"):
+            p, m = synth_image_payload(11, v)
+            hv = dhash64_gray(decode_image_gray(p, m))
+            assert bin((h0 ^ hv) & (2**64 - 1)).count("1") <= 3, v
+
+    def test_distinct_content_distinct_hash(self):
+        hs = [dhash64_gray(np.kron(gray_tile(i),
+                                   np.ones((4, 4), dtype=np.uint8)))
+              for i in range(100)]
+        import itertools
+
+        m = min(bin((a ^ b) & (2**64 - 1)).count("1")
+                for a, b in itertools.combinations(hs, 2))
+        assert m > 3  # no false pair within the detection ball
+
+    def test_box_downscale_non_divisible_dims(self):
+        # 10x13 → 8x9: bins by (y*8)//h, exact means per cell
+        a = np.arange(130, dtype=np.uint8).reshape(10, 13)
+        t = box_downscale(a, 8, 9)
+        assert t.shape == (8, 9)
+        ys = [y for y in range(10) if (y * 8) // 10 == 0]
+        xs = [x for x in range(13) if (x * 9) // 13 == 0]
+        expect = np.mean([a[y, x] for y in ys for x in xs])
+        assert t[0, 0] == expect
+
+
+class TestImageNearDupPairs:
+    def test_planted_variants_found_nothing_else(self, spark):
+        from pipeline_server_spark.operators.dedup import hamming_near_pairs
+
+        docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+        media = attach_image_payload(docs, plant_below=30)
+        sigs = image_dhash(media)
+        pairs = hamming_near_pairs(sigs, "dhash", max_hamming=3).collect()
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert got == {(i, i + 100000) for i in range(30)}
+        assert all(r["hamming"] <= 3 for r in pairs)
+
+    def test_simhash_path_unchanged_by_refactor(self, spark):
+        # simhash_near_pairs now routes through hamming_near_pairs —
+        # the text family must behave as before
+        from pipeline_server_spark.operators.dedup import simhash_near_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 4),
+             (2, "the quick brown fox jumps over the lazy dog " * 4
+              + "extra token"),
+             (3, "completely different content about spark shuffles "
+                 "and parquet footers " * 3)],
+            "doc_id long, text string")
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in simhash_near_pairs(docs).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1266,10 +1266,22 @@ class TestRound8Arrays:
         msg = translate_quality_script(src, df.columns)
         assert df.select(msg.alias("v")).collect()[0]["v"] == "oob-undefined"
 
-    def test_column_index_rejected_by_name(self, stock_df):
-        src = "var a = [1, 2]; var x = a[adj_close]; null;"
-        with pytest.raises(JsTranslationError, match="literal"):
-            translate_quality_script(src, stock_df.columns)
+    def test_column_index_now_lowers_to_get(self, spark, stock_df):
+        # round-10: a column-valued index into an array literal stopped
+        # rejecting — it lowers to a guarded 0-based F.get (see
+        # TestRound10ColumnArrayIndex for the semantics pins)
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var a = [1.0, 2.0];
+        m.put('x', a[adj_close]);
+        m;
+        """
+        spec = translate_transformation_script(src, stock_df.columns)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["symbol"]: r["x"] for r in out.collect()}
+        assert got["AAPL"] is None  # index 100.0: out of bounds
 
     def test_data_dependent_mutation_rejected(self, stock_df):
         src = """
@@ -2060,3 +2072,100 @@ class TestRound9Objects:
         out = apply_column_expressions(stock_df, spec.expressions,
                                        spec.drop_predicate)
         assert all(r["x"] is None for r in out.collect())
+
+
+class TestRound10ColumnArrayIndex:
+    """Round-9 verdict #6: a COLUMN-valued index into an array
+    LITERAL lowers to a guarded 0-based F.get over an F.array literal
+    — faithful Nashorn semantics (fractional index undefined, out of
+    bounds / negative undefined) — instead of rejecting."""
+
+    def _spec(self, src, cols=("symbol", "adj_close", "trade_date")):
+        return translate_transformation_script(src, list(cols))
+
+    def test_column_index_decode(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 2.0), (2, 3.0), (5, 9.0)], ["k", "v"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var names = ['zero', 'one', 'two'];
+        map.put('name', names[k]);
+        map.put('n', names.length);
+        map;
+        """
+        spec = translate_transformation_script(src, ["k", "v"])
+        out = apply_column_expressions(df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["k"]: (r["name"], r["n"]) for r in out.collect()}
+        # out of bounds reads undefined (null), as in Nashorn
+        assert got == {0: ("zero", 3), 1: ("one", 3), 2: ("two", 3),
+                       5: (None, 3)}
+
+    def test_fractional_and_negative_index_read_null(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (1.5,), (-1.0,)], ["x"])
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var names = ['a', 'b', 'c'];
+        map.put('name', names[x]);
+        map;
+        """
+        spec = translate_transformation_script(src, ["x"])
+        out = apply_column_expressions(df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["x"]: r["name"] for r in out.collect()}
+        assert got == {1.0: "b", 1.5: None, -1.0: None}
+
+    def test_arithmetic_index_expression(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var buckets = [10.0, 20.0, 30.0, 40.0, 50.0];
+        map.put('b', buckets[adj_close % 5]);
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        got = {r["symbol"]: r["b"] for r in out.collect()}
+        # 100.0 % 5 = 0 -> 10.0; 55.5 % 5 = 0.5 fractional -> null;
+        # 12.25 % 5 = 2.25 -> null; 410 % 5 = 0 -> 10.0
+        assert got == {"AAPL": 10.0, "FAX": None, "AXN": None,
+                       "MSFT": 10.0}
+
+    def test_mixed_element_types_reject_by_name(self, spark):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var mixed = ['a', 2.0];
+        map.put('x', mixed[adj_close]);
+        map;
+        """
+        with pytest.raises(JsTranslationError, match="mixes string"):
+            self._spec(src)
+
+    def test_non_scalar_elements_reject_by_name(self, spark):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var nested = [[1, 2], [3, 4]];
+        map.put('x', nested[adj_close]);
+        map;
+        """
+        with pytest.raises(JsTranslationError, match="scalar"):
+            self._spec(src)
+
+    def test_literal_index_still_folds(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var map = new HashMap();
+        var names = ['a', 'b', 'c'];
+        map.put('x', names[1]);
+        map;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        assert all(r["x"] == "b" for r in out.collect())
