@@ -400,6 +400,64 @@ class Engine:
                 "source_version": version
                 if version is not None else table.current_version()}
 
+    def insert_rows(self, name: str, tail: str) -> dict[str, Any]:
+        """``INSERT INTO <dataset> [ (cols) ] VALUES ... | SELECT ...``
+        over the control plane: the payload evaluates through
+        spark.sql (VALUES rows or an arbitrary SELECT over registered
+        views), aligns POSITIONALLY to the named columns (or the full
+        table schema), casts to the table's types, and lands as an
+        O(batch) versioned append — invariants validated, layout
+        preserved. An explicit column list null-fills the unnamed
+        columns (SQL semantics)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        table, dest = self._versioned_table(name)
+        if table.bucket_spec() is not None:
+            raise ValueError(
+                "INSERT INTO a hash-bucketed dataset is not supported "
+                "over SQL — use commit_bucketed/commit_merge_bucketed")
+        current = table.current_version()
+        schema = (table._filelist_schema(current)
+                  if current is not None else None)
+        if schema is None:
+            raise ValueError(
+                f"dataset {name!r} has no committed schema to insert "
+                "into — ingest a first batch")
+        cm = re.match(r"(?is)^\(([^)]*)\)\s*(.*)$", tail)
+        if cm:
+            target_cols = [c.strip() for c in cm.group(1).split(",")]
+            body = cm.group(2).strip()
+            unknown = sorted(set(target_cols) - set(schema.fieldNames()))
+            if unknown:
+                raise ValueError(
+                    f"INSERT column(s) {unknown} not in dataset schema")
+        else:
+            target_cols = list(schema.fieldNames())
+            body = tail
+        if not re.match(r"(?is)^(VALUES|SELECT|TABLE|WITH)\b", body):
+            raise ValueError(
+                f"cannot parse INSERT payload: {body[:80]!r}")
+        df = self.spark.sql(body)
+        if len(df.columns) != len(target_cols):
+            raise ValueError(
+                f"INSERT payload has {len(df.columns)} columns, "
+                f"expected {len(target_cols)}")
+        types = {f.name: f.dataType for f in schema.fields}
+        by_target = dict(zip(target_cols, df.columns))
+        aligned = df.select(*[
+            (F.col(by_target[c]).cast(types[c]).alias(c)
+             if c in by_target
+             else F.lit(None).cast(types[c]).alias(c))
+            for c in schema.fieldNames()
+        ])
+        layout = tuple(table.recorded_partition_by(current))
+        with self._dest_lock(dest.path):
+            n = aligned.count()
+            version = table.commit_append(aligned, partition_by=layout)
+        return {"version": version, "rows_inserted": n}
+
     def delete_rows(self, name: str, where: str) -> dict[str, Any]:
         """Row-level DELETE over the control plane (DELETE FROM ...
         WHERE): index-pruned copy-on-write — only files containing
@@ -508,6 +566,11 @@ class Engine:
         dml = self._parse_dml(query)
         if dml is not None:
             kind, name, where, assignments = dml
+            if kind == "insert":
+                out = self.insert_rows(name, where)  # where = the tail
+                return self.spark.createDataFrame(
+                    [(out["version"], out["rows_inserted"])],
+                    "version long, rows_inserted long")
             if kind == "delete":
                 out = self.delete_rows(name, where)
             else:
@@ -585,6 +648,12 @@ class Engine:
         import re
 
         q = query.strip().rstrip(";").strip()
+        m = re.match(r"(?is)^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$", q)
+        if m:
+            name, tail = m.group(1), m.group(2).strip()
+            if name not in self._configs:
+                return None
+            return ("insert", name, tail, None)
         m = re.match(r"(?is)^DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", q)
         if m:
             name, rest = m.group(1), m.group(2).strip()

@@ -1371,6 +1371,172 @@ class VersionedTable:
                               bloom_cols=effective_bloom)
         return self._publish(version, target, metadata)
 
+    def commit_merge_dv(self, source: DataFrame, keys: list[str],
+                        sequence_col: str | None = None,
+                        metadata: dict | None = None,
+                        stats_cols: tuple[str, ...] | list[str] = (),
+                        bloom_cols: tuple[str, ...] | list[str] = (),
+                        ) -> int:
+        """MERGE-ON-READ keyed upsert (the Delta-DV merge design): the
+        matched target rows are DELETION-VECTORED instead of their
+        files being rewritten, and the (deduplicated) source batch
+        appends as new files — ``rewritten_files: 0`` at any batch
+        size. The niche next to the layout-pruned merges: a table with
+        NO helpful layout for the merge keys (or mid spec evolution,
+        where prefix-matched carries are impossible) pays
+        O(matched + batch) WRITE instead of rewriting every touched
+        file; the scan side prunes through the SOURCE's key envelope
+        (per key column, min/max — two scalars to the driver — filters
+        candidate files via the same stats index DML uses, the public
+        Delta merge file-pruning idea).
+
+        Works regardless of the deletion-vector table property: the
+        caller chooses merge-on-read by calling this method; OPTIMIZE
+        materializes the vectors away as usual. Hash-bucketed tables
+        keep :meth:`commit_merge_bucketed` (already O(touched
+        buckets)). Strict schema: source columns must equal the
+        table's."""
+        if self.bucket_spec() is not None:
+            raise ValueError(
+                "commit_merge_dv: table is hash-bucketed — "
+                "commit_merge_bucketed is already O(touched buckets)")
+        current = self.current_version()
+        self._check_stats_partition_overlap(
+            tuple(stats_cols) + tuple(bloom_cols),
+            self._historical_spec_cols(
+                current, self.recorded_partition_by(current or 0)))
+        src0 = _dedupe_source_by_keys(source, keys, sequence_col)
+        if sequence_col is not None and sequence_col in src0.columns:
+            src0 = src0.drop(sequence_col)  # netting order, not data
+        if current is None or not self._entries_for_version(current):
+            return self.commit(src0, metadata=metadata,
+                               stats_cols=stats_cols,
+                               bloom_cols=bloom_cols)
+        doc = self._filelist_doc(current) or {}
+        layout = tuple(doc.get("partition_by") or [])
+        schema = self._filelist_schema(current)
+        entries = self._entries_for_version(current)
+        cur_dvs = self._filelist_dvs(current)
+        effective_stats = list(stats_cols) or (
+            self._filelist_stats_cols(current) or [])
+        effective_bloom = list(bloom_cols) or (
+            self._filelist_bloom_cols(current) or [])
+        if schema is not None:
+            if set(src0.columns) != set(schema.fieldNames()):
+                raise ValueError(
+                    "commit_merge_dv: source columns "
+                    f"{sorted(src0.columns)} != table columns "
+                    f"{sorted(schema.fieldNames())}")
+            src0 = src0.select(*schema.fieldNames())
+        if src0.isEmpty():
+            return current  # empty batch: nothing to merge
+        # phase 0: candidate files from the SOURCE's key envelope —
+        # a file whose key stats cannot overlap [src_min, src_max]
+        # cannot contain a matched row (conjunctive per key column;
+        # all-null key columns derive no bound and simply widen)
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"_lo_{k}"),
+                     F.max(k).alias(f"_hi_{k}")]
+        row = src0.agg(*aggs).collect()[0]
+        bounds = {k: (row[f"_lo_{k}"], row[f"_hi_{k}"])
+                  for k in keys if row[f"_lo_{k}"] is not None}
+        dml_dir_specs = self._dir_specs(current)
+        cand_entries = (self._prune_entries_by_partition(
+            entries, bounds, {}, list(layout), schema,
+            dir_specs=dml_dir_specs)
+            if (layout or dml_dir_specs) and schema is not None
+            else list(entries))
+        data_bounds = {c: b for c, b in bounds.items()
+                       if c not in layout}
+        has_index = os.path.isdir(
+            os.path.join(self._resolve_dir(current), "_index"))
+        if data_bounds and has_index:
+            _, picked, _ = self._pruned_files(data_bounds, None, current)
+            pick = set(picked)
+            candidates = [f for f in
+                          (self._abs_file(e) for e in cand_entries)
+                          if f in pick]
+        else:
+            candidates = [self._abs_file(e) for e in cand_entries]
+        version = current + 1
+        target = self._stage_dir(version)
+        # stage the batch as new files under the CURRENT spec
+        w = src0.write.mode("overwrite")
+        if layout:
+            w = w.partitionBy(*layout)
+        w.format(self.file_format).save(target)
+        self._validate_staged(target, src0.schema, "commit_merge_dv")
+        base = os.path.basename(target)
+        new_entries = [(base, rel)
+                       for rel in self._list_data_files(target)]
+        # phase 1: matched target rows -> deletion vector
+        matched_rows = 0
+        dv_files = 0
+        matched = None
+        if candidates:
+            tdf = self._read_files(candidates, schema=schema,
+                                   dir_renames=self._dir_renames(current),
+                                   dvs=cur_dvs, keep_lineage=True)
+            matched = tdf.join(src0.select(*keys).distinct(), keys,
+                               "left_semi")
+            dv_dir = os.path.join(target, self.DVDIR)
+            (matched.select(self._dv_key_expr().alias("file"),
+                            F.col(self._DV_POS).alias("pos"))
+             .write.mode("overwrite").parquet(dv_dir))
+            stat = (self.spark.read.schema("file string, pos bigint")
+                    .parquet(dv_dir)
+                    .agg(F.count("*").alias("n"),
+                         F.countDistinct("file").alias("nf"))
+                    .collect()[0])
+            matched_rows, dv_files = int(stat["n"]), int(stat["nf"])
+            if matched_rows == 0:
+                shutil.rmtree(dv_dir)  # pure insert: no sidecar
+        wrote_cdf = False
+        if self.cdf_spec() is not None:
+            data_cols = [c for c in src0.columns]
+
+            def _tag(df_, ctype):
+                return df_.select(
+                    *data_cols,
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(version).cast("int").alias("_commit_version"))
+
+            if matched is not None and matched_rows > 0:
+                mkeys = matched.select(*keys).distinct()
+                change = (
+                    _tag(matched, "update_preimage")
+                    .unionAll(_tag(src0.join(mkeys, keys, "left_semi"),
+                                   "update_postimage"))
+                    .unionAll(_tag(src0.join(mkeys, keys, "left_anti"),
+                                   "insert")))
+            else:
+                change = _tag(src0, "insert")
+            wrote_cdf = self._write_cdf(target, change)
+        all_entries = list(entries) + new_entries
+        dv_rels = self._list_dv_files(target)
+        all_dvs = list(cur_dvs) + [(base, rel) for rel in dv_rels]
+        self._write_filelist(target, all_entries, schema=schema,
+                             stats_cols=effective_stats or None,
+                             kind="merge_dv",
+                             partition_by=list(layout) or None,
+                             bloom_cols=effective_bloom or None,
+                             cdf=wrote_cdf, dvs=all_dvs or None)
+        if effective_stats or effective_bloom:
+            self._build_index(target, all_entries, effective_stats,
+                              schema, prior_version=current,
+                              new_entries=new_entries,
+                              bloom_cols=effective_bloom)
+        meta = {"operation": "merge", "mode": "merge_on_read",
+                "rewritten_files": 0, "new_files": len(new_entries),
+                "dv_rows": matched_rows, "dv_files": dv_files,
+                "carried_files": len(entries),
+                "candidate_files": len(candidates),
+                "total_files": len(entries)}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(version, target, meta)
+
     def commit_cdc_partitioned(self, changes: DataFrame, keys: list[str],
                                partition_by: str | list[str],
                                seq_col: str = "_commit_version",

@@ -342,3 +342,136 @@ class TestDvDebt:
         assert debt["dv_files"] >= 1
         optimize_compact_snapshot(t)
         assert t.dv_debt()["dv_rows"] == 0
+
+
+class TestMergeOnReadMerge:
+    """commit_merge_dv: keyed upsert with the matched rows deletion-
+    vectored and the batch appended — rewritten_files: 0."""
+
+    def test_upsert_zero_rewrite_and_pruning(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mm1"))
+        t.commit(
+            spark.range(0, 2000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .repartitionByRange(8, "k"),
+            stats_cols=("k",))
+        src = spark.createDataFrame(
+            [(5, 5000), (6, 6000)], "k long, v long")
+        ver = t.commit_merge_dv(src, keys=["k"])
+        meta = t.commit_metadata(ver)
+        assert meta["rewritten_files"] == 0
+        assert meta["dv_rows"] == 2
+        # the batch's key envelope [5, 6] admits only the low-range
+        # files into the matched scan
+        assert meta["candidate_files"] < meta["total_files"], \
+            "source key envelope did not prune the matched scan"
+        got = {r["k"]: r["v"] for r in
+               t.read().where("k in (4,5,6)").collect()}
+        assert got == {4: 8, 5: 5000, 6: 6000}
+        assert t.read().count() == 2000
+        # a wide batch (update + far insert) merges correctly even
+        # though its envelope cannot prune
+        v2 = t.commit_merge_dv(spark.createDataFrame(
+            [(7, 7000), (2500, 1)], "k long, v long"), keys=["k"])
+        assert t.commit_metadata(v2)["dv_rows"] == 1
+        assert t.read().count() == 2001
+        assert t.read().where("k = 2500").collect()[0]["v"] == 1
+
+    def test_partitioned_and_sequence_dedupe(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mm2"))
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+            (F.col("id") * 2).alias("v"))
+        t.commit(df, partition_by=("p",))
+        src = spark.createDataFrame(
+            [(7, 3, 1, 10), (7, 3, 2, 20), (300, 0, 1, 30)],
+            "k long, p long, _seq long, v long")
+        ver = t.commit_merge_dv(src, keys=["k"], sequence_col="_seq")
+        assert t.commit_metadata(ver)["rewritten_files"] == 0
+        got = {r["k"]: (r["p"], r["v"]) for r in
+               t.read().where("k in (7, 300)").collect()}
+        assert got == {7: (3, 20), 300: (0, 30)}  # max-seq row won
+        # the new files landed under the hive layout
+        rw, nread, ntot = t.read_where("p = 3")
+        assert rw.count() == 50 and nread < ntot
+
+    def test_pure_insert_writes_no_sidecar(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "mm3", n=100, parts=2)
+        ver = t.commit_merge_dv(
+            spark.createDataFrame([(500, 1)], "k long, v long"),
+            keys=["k"])
+        meta = t.commit_metadata(ver)
+        assert meta["dv_rows"] == 0
+        assert t._list_dv_files(t._resolve_dir(ver)) == []
+        assert t.read().count() == 101
+
+    def test_empty_source_is_noop(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "mm4", n=50, parts=2)
+        src = spark.createDataFrame([], "k long, v long")
+        assert t.commit_merge_dv(src, keys=["k"]) == 1
+        assert t.current_version() == 1
+
+    def test_cdf_tags_update_pair_and_insert(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mm5"))
+        t.enable_change_feed(["k"])
+        t.commit(spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .repartition(2))
+        src = spark.createDataFrame([(3, 333), (100, 1)],
+                                    "k long, v long")
+        t.commit_merge_dv(src, keys=["k"])
+        feed = t.changes_range(["k"], 1).collect()
+        by = {}
+        for r in feed:
+            by.setdefault(r["_change_type"], []).append((r["k"], r["v"]))
+        assert by["update_preimage"] == [(3, 6)]
+        assert by["update_postimage"] == [(3, 333)]
+        assert by["insert"] == [(100, 1)]
+
+    def test_works_across_partition_spec_evolution(self, spark,
+                                                   tmp_path):
+        # THE niche: prefix-matched merges refuse on mixed specs,
+        # merge-on-read doesn't care
+        t = VersionedTable(spark, str(tmp_path / "mm6"))
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+            (F.col("id") % 3).alias("q"), (F.col("id") * 2).alias("v"))
+        t.commit(df, partition_by=("p",))
+        t.set_partition_spec(["q"])
+        src = spark.createDataFrame([(7, 3, 1, 777)],
+                                    "k long, p long, q long, v long")
+        with pytest.raises(ValueError, match="older partition spec"):
+            t.commit_merge_partitioned(src, keys=["k"],
+                                       partition_by=["q"])
+        ver = t.commit_merge_dv(src, keys=["k"])
+        assert t.commit_metadata(ver)["rewritten_files"] == 0
+        assert t.read().where("k = 7").collect()[0]["v"] == 777
+        assert t.read().count() == 200
+
+    def test_rejects_bucketed_and_schema_drift(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "mm7"))
+        t.commit_bucketed(
+            spark.range(0, 50).select(F.col("id").alias("k"),
+                                      (F.col("id") * 2).alias("v")),
+            keys=["k"], n_buckets=4)
+        with pytest.raises(ValueError, match="bucketed"):
+            t.commit_merge_dv(
+                spark.createDataFrame([(1, 1)], "k long, v long"),
+                keys=["k"])
+        t2 = _mk(spark, tmp_path / "mm8", n=50, parts=2)
+        with pytest.raises(ValueError, match="source columns"):
+            t2.commit_merge_dv(
+                spark.createDataFrame([(1,)], "k long"), keys=["k"])
+
+    def test_second_merge_does_not_resurrect(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "mm9", n=100, parts=2)
+        t.commit_merge_dv(spark.createDataFrame(
+            [(5, 1)], "k long, v long"), keys=["k"])
+        t.commit_merge_dv(spark.createDataFrame(
+            [(5, 2)], "k long, v long"), keys=["k"])
+        rows = t.read().where("k = 5").collect()
+        assert [(r["k"], r["v"]) for r in rows] == [(5, 2)]
+        assert t.read().count() == 100
+        # time travel shows each stage
+        assert t.read(2).where("k = 5").collect()[0]["v"] == 1
+        assert t.read(1).where("k = 5").collect()[0]["v"] == 10

@@ -271,3 +271,59 @@ def test_engine_sql_dml_merge_on_read(spark, tmp_path):
     assert out["mode"] == "merge_on_read"
     assert out["rewritten_files"] == 0 and out["dv_rows"] == 1
     assert t.read().count() == 999
+
+
+def test_engine_sql_insert_dispatch(spark, tmp_path):
+    """INSERT INTO <dataset> VALUES/SELECT routes to a versioned
+    append — the third leg of the SQL DML dispatch."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlins")
+    cfg = DatasetConfig(
+        name="sqlins",
+        source=SourceConfig(
+            fields=(SchemaField("k", "bigint"), SchemaField("p", "bigint"),
+                    SchemaField("v", "bigint")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.commit(spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p"),
+        (F.col("id") * 2).alias("v")), partition_by=("p",))
+
+    out = eng.sql(
+        "INSERT INTO sqlins VALUES (100, 0, 1), (101, 1, 2)").collect()[0]
+    assert out["rows_inserted"] == 2
+    assert t.read().count() == 12
+    # layout preserved: the new rows live under the hive partitions
+    rw, nread, ntot = t.read_where("p = 1")
+    assert rw.count() == 6 and nread < ntot
+
+    # explicit column list null-fills the rest
+    out = eng.sql("INSERT INTO sqlins (k, p) VALUES (200, 0)").collect()[0]
+    assert out["rows_inserted"] == 1
+    row = t.read().where("k = 200").collect()[0]
+    assert row["v"] is None and row["p"] == 0
+
+    # SELECT payload over a temp view
+    spark.range(300, 303).select(
+        F.col("id").alias("a"), F.lit(1).alias("b"),
+        (F.col("id") * 10).alias("c")).createOrReplaceTempView("ins_src")
+    out = eng.sql(
+        "INSERT INTO sqlins SELECT a, b, c FROM ins_src").collect()[0]
+    assert out["rows_inserted"] == 3
+    assert t.read().count() == 16
+    assert t.read().where("k = 301").collect()[0]["v"] == 3010
+
+    # malformed payload is a clear error
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cannot parse INSERT"):
+        eng.sql("INSERT INTO sqlins FROM nowhere")
+    with _pt.raises(ValueError, match="not in dataset schema"):
+        eng.sql("INSERT INTO sqlins (nope) VALUES (1)")
