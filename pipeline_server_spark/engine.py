@@ -400,6 +400,120 @@ class Engine:
                 "source_version": version
                 if version is not None else table.current_version()}
 
+    def merge_rows(self, name: str, _unused, spec: dict) -> dict[str, Any]:
+        """``MERGE INTO <dataset> [AS d] USING <src> [AS s] ON
+        d.k = s.k [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT
+        MATCHED THEN INSERT *`` — exactly the upsert shape the
+        reference compiles for its lakehouse and warehouses
+        (IcebergUtil.scala:124-157, SnowflakeLoader.scala:233-291),
+        dispatched to the layout-appropriate versioned merge:
+        hive-partitioned → commit_merge_partitioned (O(touched
+        partitions)); hash-bucketed → commit_merge_bucketed (O(touched
+        buckets)); flat → commit_merge_dv (merge-on-read,
+        rewritten_files: 0). An explicit all-columns SET/INSERT list
+        in the reference's generated style is accepted when every
+        assignment is the identity ``d.c = s.c``; any other mapping
+        rejects by name (a computed merge is the library API's job)."""
+        import re
+
+        table, dest = self._versioned_table(name)
+        t_alias = spec["target_alias"]
+        src_sql = spec["source"]
+        sm = re.match(r"(?is)^\((.*)\)(?:\s+AS)?\s*([A-Za-z_]\w*)?\s*$",
+                      src_sql)
+        if sm:
+            src_df = self.spark.sql(sm.group(1))
+            s_alias = sm.group(2) or "src"
+        else:
+            im = re.match(r"(?is)^([A-Za-z_]\w*)(?:\s+AS)?"
+                          r"\s*([A-Za-z_]\w*)?\s*$", src_sql)
+            if not im:
+                raise ValueError(
+                    f"cannot parse MERGE source: {src_sql!r}")
+            self._register_dataset_views(im.group(1))
+            src_df = self.spark.table(im.group(1))
+            s_alias = im.group(2) or im.group(1)
+
+        def _strip(s: str) -> str:
+            s = s.strip()
+            while s.startswith("(") and s.endswith(")"):
+                s = s[1:-1].strip()
+            return s
+
+        keys: list[str] = []
+        for conj in re.split(r"(?i)\s+AND\s+", _strip(spec["on"])):
+            em = re.match(
+                r"(?s)^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*=\s*"
+                r"([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$", _strip(conj))
+            if not em:
+                raise ValueError(
+                    f"MERGE ON supports alias.col = alias.col "
+                    f"equalities only (got {conj.strip()!r})")
+            a_al, a_c, b_al, b_c = em.groups()
+            pair = {a_al: a_c, b_al: b_c}
+            if set(pair) != {t_alias, s_alias} or a_c != b_c:
+                raise ValueError(
+                    "MERGE ON must equate the SAME column across the "
+                    f"two aliases ({t_alias!r}, {s_alias!r}); got "
+                    f"{conj.strip()!r}")
+            keys.append(a_c)
+        cl = re.sub(r"\s+", " ", spec["clauses"]).strip()
+        star = re.match(
+            r"(?i)^WHEN MATCHED THEN UPDATE SET (\*|.+?) "
+            r"WHEN NOT MATCHED THEN INSERT (\*|.+)$", cl)
+        if not star:
+            raise ValueError(
+                "MERGE supports exactly: WHEN MATCHED THEN UPDATE SET "
+                "*|<identity list> WHEN NOT MATCHED THEN INSERT "
+                "*|<all-columns VALUES>")
+        set_part, ins_part = star.group(1), star.group(2)
+        if set_part != "*":
+            for piece in self._split_top_level(set_part, ","):
+                am = re.match(
+                    r"(?is)^\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*"
+                    r"([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$", piece)
+                if (not am or am.group(2) != am.group(4)
+                        or am.group(3) != s_alias
+                        or (am.group(1) or t_alias) != t_alias):
+                    raise ValueError(
+                        f"MERGE SET supports the identity all-columns "
+                        f"form only; got {piece.strip()!r}")
+        if ins_part != "*":
+            vm = re.match(r"(?is)^\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*$",
+                          ins_part)
+            ok = False
+            if vm:
+                cols = [c.strip() for c in vm.group(1).split(",")]
+                vals = [self._split_top_level(vm.group(2), ",")[i].strip()
+                        for i in range(len(cols))] \
+                    if vm.group(2).count(",") == vm.group(1).count(",") \
+                    else None
+                ok = vals is not None and all(
+                    re.match(rf"(?is)^{s_alias}\s*\.\s*{re.escape(c)}$",
+                             v) for c, v in zip(cols, vals))
+            if not ok:
+                raise ValueError(
+                    "MERGE INSERT supports * or the identity "
+                    "all-columns (cols) VALUES (s.cols) form")
+        layout = table.recorded_partition_by(
+            table.current_version() or 0)
+        src_cols = set(src_df.columns)
+        missing = sorted(set(keys) - src_cols)
+        if missing:
+            raise ValueError(f"MERGE source lacks key column(s) {missing}")
+        with self._dest_lock(dest.path):
+            if table.bucket_spec() is not None:
+                version = table.commit_merge_bucketed(src_df, keys=keys)
+                strategy = "bucketed"
+            elif layout:
+                version = table.commit_merge_partitioned(
+                    src_df, keys=keys, partition_by=layout)
+                strategy = "partitioned"
+            else:
+                version = table.commit_merge_dv(src_df, keys=keys)
+                strategy = "merge_on_read"
+        return {"version": version, "strategy": strategy}
+
     def insert_rows(self, name: str, tail: str) -> dict[str, Any]:
         """``INSERT INTO <dataset> [ (cols) ] VALUES ... | SELECT ...``
         over the control plane: the payload evaluates through
@@ -571,6 +685,11 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(out["version"], out["rows_inserted"])],
                     "version long, rows_inserted long")
+            if kind == "merge":
+                out = self.merge_rows(name, where, assignments)
+                return self.spark.createDataFrame(
+                    [(out["version"], out["strategy"])],
+                    "version long, strategy string")
             if kind == "delete":
                 out = self.delete_rows(name, where)
             else:
@@ -582,7 +701,31 @@ class Engine:
                 "mode string, dv_rows long")
         if sf_dir:
             register_views(self.spark, sf_dir)
+        self._register_dataset_views(query)
         return self.spark.sql(query)
+
+    def _register_dataset_views(self, query: str) -> None:
+        """SELECTs over the control plane read versioned datasets BY
+        NAME: any registered dataset whose name appears as an
+        identifier in the query is (re)published as a temp view of its
+        current snapshot before spark.sql runs — the Athena-over-Glue
+        experience (the reference's lake tables are queryable by name;
+        AthenaUtil.scala:30-113) without a separate catalog step."""
+        import re
+
+        words = set(re.findall(r"[A-Za-z_]\w*", query))
+        for name in self._configs:
+            if name not in words:
+                continue
+            cfg = self._configs[name]
+            dest = cfg.destination
+            if not dest.versioned or dest.path is None:
+                continue
+            try:
+                table, _ = self._versioned_table(name)
+                table.read().createOrReplaceTempView(name)
+            except FileNotFoundError:
+                pass  # registered but never ingested: leave unresolved
 
     @staticmethod
     def _split_top_level(s: str, sep: str) -> list[str]:
@@ -648,6 +791,19 @@ class Engine:
         import re
 
         q = query.strip().rstrip(";").strip()
+        m = re.match(r"(?is)^MERGE\s+INTO\s+([A-Za-z_]\w*)"
+                     r"(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?"
+                     r"\s+USING\s+(.+?)\s+ON\s+(.+?)"
+                     r"\s+(WHEN\s+.+)$", q)
+        if m:
+            name = m.group(1)
+            if name not in self._configs:
+                return None
+            spec = {"target_alias": m.group(2) or name,
+                    "source": m.group(3).strip(),
+                    "on": m.group(4).strip(),
+                    "clauses": m.group(5).strip()}
+            return ("merge", name, None, spec)
         m = re.match(r"(?is)^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$", q)
         if m:
             name, tail = m.group(1), m.group(2).strip()
