@@ -1514,8 +1514,7 @@ class VersionedTable:
                 change = _tag(src0, "insert")
             wrote_cdf = self._write_cdf(target, change)
         all_entries = list(entries) + new_entries
-        dv_rels = self._list_dv_files(target)
-        all_dvs = list(cur_dvs) + [(base, rel) for rel in dv_rels]
+        all_dvs = self._finalize_dvs(target, base, cur_dvs)
         self._write_filelist(target, all_entries, schema=schema,
                              stats_cols=effective_stats or None,
                              kind="merge_dv",
@@ -2957,6 +2956,38 @@ class VersionedTable:
                 .select(F.col("file").alias("__dv_m_file"),
                         F.col("pos").alias("__dv_m_pos")))
 
+    #: once a version would reference more DV sidecar files than this,
+    #: the committing DML coalesces every live DV row into one fresh
+    #: sidecar set — bounding the union width each masked read pays at
+    #: any DML cadence (the Delta-checkpoint idea for vectors). Cost:
+    #: O(total deleted rows) rewrite on the coalescing commit only.
+    dv_sidecar_cap: int = 32
+
+    def _finalize_dvs(self, target: str, base: str,
+                      cur_dvs: list[tuple[str, str]]
+                      ) -> list[tuple[str, str]]:
+        """The manifest ``dvs`` list for a commit that staged fresh
+        deletion-vector rows in ``<target>/_dv``: carried + fresh
+        below the sidecar cap; above it, every live DV row is
+        rewritten into the fresh commit's own sidecar (old files stay
+        for time travel; vacuum reclaims them when their versions
+        age out)."""
+        new_rels = self._list_dv_files(target)
+        if not new_rels:
+            return list(cur_dvs)
+        combined = list(cur_dvs) + [(base, rel) for rel in new_rels]
+        if len(combined) <= self.dv_sidecar_cap:
+            return combined
+        merged = self._dv_frame(combined).select(
+            F.col("__dv_m_file").alias("file"),
+            F.col("__dv_m_pos").alias("pos"))
+        tmp = os.path.join(target, "_dv_merged")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dv_dir = os.path.join(target, self.DVDIR)
+        shutil.rmtree(dv_dir)
+        os.rename(tmp, dv_dir)
+        return [(base, rel) for rel in self._list_dv_files(target)]
+
     def dv_debt(self, version: int | None = None) -> dict:
         """Merge-on-read deletion DEBT of a version: how many deleted
         rows every read is paying an anti-join to mask, and how many
@@ -3403,10 +3434,7 @@ class VersionedTable:
                     _tag(post_c, "update_postimage"))
             wrote_cdf = self._write_cdf(target, change)
         all_entries = list(entries) + new_entries
-        dv_rels = sorted(
-            os.path.join(self.DVDIR, f) for f in os.listdir(dv_dir)
-            if f.endswith(".parquet") and not f.startswith(("_", ".")))
-        all_dvs = list(cur_dvs) + [(base, rel) for rel in dv_rels]
+        all_dvs = self._finalize_dvs(target, base, cur_dvs)
         stats_cols = doc.get("stats_cols") or []
         bloom_cols = doc.get("bloom_cols") or []
         self._write_filelist(target, all_entries, schema=schema,

@@ -475,3 +475,30 @@ class TestMergeOnReadMerge:
         # time travel shows each stage
         assert t.read(2).where("k = 5").collect()[0]["v"] == 1
         assert t.read(1).where("k = 5").collect()[0]["v"] == 10
+
+
+class TestDvSidecarCoalescing:
+    def test_many_point_deletes_bound_sidecar_width(self, spark,
+                                                    tmp_path):
+        t = _mk(spark, tmp_path / "co1", n=500, parts=4)
+        t.dv_sidecar_cap = 6  # force the coalesce early
+        for k in range(20):
+            t.delete_where(F.col("k") == k)
+        v = t.current_version()
+        assert len(t._filelist_dvs(v)) <= 6, \
+            "sidecar list grew past the cap"
+        assert t.read().count() == 480
+        assert t.read().where("k < 20").count() == 0
+        # older versions' masking is untouched (time travel)
+        assert t.read(5).count() == 500 - 4
+        # and the debt metric sees every live row exactly once
+        assert t.dv_debt()["dv_rows"] == 20
+
+    def test_coalesced_vectors_survive_vacuum(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "co2", n=200, parts=2)
+        t.dv_sidecar_cap = 3
+        for k in range(8):
+            t.delete_where(F.col("k") == k)
+        t.vacuum(keep=1)
+        assert t.read().count() == 192
+        assert t.read().where("k < 8").count() == 0
