@@ -120,7 +120,8 @@ def _abs_data_file(root: str, bases: dict, d: str, rel: str) -> str:
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str, version: int, change_file: bool = False,
-                 col_map: dict | None = None):
+                 col_map: dict | None = None,
+                 dv_paths: list[str] | None = None):
         self.path = path
         self.version = version
         # True: a commit-time _changes file (carries its own
@@ -132,6 +133,13 @@ class _FilePartition(InputPartition):
         # yet / was re-added after a drop (null-fill). Empty/absent =
         # identity.
         self.col_map = col_map or {}
+        # deletion-vector sidecar parquet files live on the
+        # bootstrap version (a clone of a merge-on-read table):
+        # the reader masks this file's vectored positions so deleted
+        # rows are never resurrected into the insert feed. Bounded by
+        # dv_sidecar_cap sidecars; rows are filtered at the key, so
+        # each executor reads only its own file's positions.
+        self.dv_paths = dv_paths or []
 
 
 class _VersionedTableStreamReader(DataSourceStreamReader):
@@ -351,17 +359,6 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
             # inherited, which live in the source table's dirs and
             # resolve through the clone-bases map. An append
             # version's inserts are only its OWN new files.
-            if v == 1 and doc.get("dvs"):
-                # a clone of a merge-on-read-deleted table: its v1
-                # files carry deletion vectors this pure-file source
-                # cannot mask — streaming them raw would RESURRECT
-                # deleted rows. Refuse with the remediation.
-                raise ValueError(
-                    f"{FORMAT_NAME}: version {v} of {self.root} carries "
-                    "deletion vectors (a clone of a merge-on-read "
-                    "table) — compact the table once (OPTIMIZE "
-                    "materializes the vectors away) before streaming "
-                    "its bootstrap snapshot")
             base = os.path.basename(_resolve_dir(self.root, v))
             bases = _clone_bases(self.root)
             return [(_abs_data_file(self.root, bases, d, rel), False)
@@ -419,9 +416,20 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
             if lo >= hi:
                 continue
             cmap = self._col_map_at(u, ops) if ops else {}
+            dv_paths: list[str] = []
+            if u == 1:
+                # v1 is the bootstrap snapshot: a clone of a
+                # merge-on-read table inherits deletion vectors the
+                # reader must mask, or deleted rows RESURRECT into the
+                # insert feed. Sidecars resolve like data files
+                # (clone-bases aware); width bounded by dv_sidecar_cap.
+                doc = _doc(self.root, u) or {}
+                bases = _clone_bases(self.root)
+                dv_paths = [_abs_data_file(self.root, bases, d, rel)
+                            for d, rel in doc.get("dvs") or []]
             parts.extend(
                 _FilePartition(path, u, change_file=is_change,
-                               col_map=cmap)
+                               col_map=cmap, dv_paths=dv_paths)
                 for path, is_change in fs[lo:hi])
         return parts
 
@@ -467,6 +475,26 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        dv_paths = getattr(partition, "dv_paths", None) or []
+        if dv_paths:
+            # mask this file's deletion-vector positions (merge-on-read
+            # bootstrap): the DV key is the path below _versions/, the
+            # same identity VersionedTable._dv_key_expr records, and
+            # the sidecar read is filtered to this file's rows only
+            import numpy as np
+            import pyarrow as pa
+
+            key = partition.path.rsplit(
+                f"{os.sep}_versions{os.sep}", 1)[-1]
+            dead: set[int] = set()
+            for p in dv_paths:
+                t = pq.read_table(p, columns=["file", "pos"],
+                                  filters=[("file", "==", key)])
+                dead.update(t.column("pos").to_pylist())
+            if dead:
+                keep = np.ones(tbl.num_rows, dtype=bool)
+                keep[list(dead)] = False
+                tbl = tbl.filter(pa.array(keep))
         cols = []
         n = tbl.num_rows
         cmap = getattr(partition, "col_map", None) or {}

@@ -195,12 +195,17 @@ class TestChangesAndStreaming:
         assert [(r["k"], r["_change_type"]) for r in out] == \
             [(13, "delete")]
 
-    def test_clone_bootstrap_stream_refuses_dvs(self, spark, tmp_path):
+    def test_clone_bootstrap_stream_masks_dvs(self, spark, tmp_path):
+        """The v1 bootstrap of a clone of a merge-on-read table carries
+        deletion vectors: the stream reader masks them (same identity
+        key as the batch read faces), so deleted rows never resurrect
+        into the insert feed."""
         from pipeline_server_spark.streaming.table_stream import (
             stream_inserts)
 
         t = _mk(spark, tmp_path / "c4", n=100, parts=2)
         t.delete_where(F.col("k") == 1)
+        t.delete_where(F.col("k").between(90, 99))
         c = t.clone_to(str(tmp_path / "c4_clone"))
         out = []
         q = (stream_inserts(spark, c.root, starting_version=1)
@@ -209,10 +214,10 @@ class TestChangesAndStreaming:
              .trigger(availableNow=True)
              .option("checkpointLocation", str(tmp_path / "ck_c4"))
              .start())
-        with pytest.raises(Exception, match="deletion vectors"):
-            q.awaitTermination(120)
-            q.processAllAvailable()
-        assert not out
+        q.awaitTermination(120)
+        ks = sorted(r["k"] for r in out)
+        assert ks == sorted(set(range(100)) - {1} - set(range(90, 100)))
+        assert ks == sorted(r["k"] for r in c.read().collect())
 
 
 class TestCloneRestoreVacuum:
