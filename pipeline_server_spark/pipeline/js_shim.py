@@ -50,9 +50,16 @@ Supported subset (symbolically executed, conditions stay data-side):
 - ``function name(a, b) { ... }`` declarations (hoisted) + direct
   calls — INLINE-EXPANDED at the call site with parameters bound to
   the argument values; map arguments are pass-by-reference (``.put``
-  inside the function mutates the caller's map); recursion,
-  assignment to outer variables, and function-as-value are rejected
-  by name
+  inside the function mutates the caller's map); recursion (direct,
+  mutual, or through an alias) and assignment to outer variables are
+  rejected by name
+- functions as VALUES: anonymous function expressions (``var f =
+  function (a) {...}``), aliasing (``var g = f``), passing functions
+  as arguments to other functions, and calling a call's function
+  result (``pick(x)(y)``) — every call still inline-expands, so the
+  recursion/nesting bounds apply unchanged; NAMED function
+  expressions and storing a function in the output map reject by
+  name
 - ``return`` anywhere: a definite return ends the path (and stops an
   enclosing unrolled loop — Nashorn's behavior); a return under a
   data-dependent condition folds into the completion value
@@ -93,8 +100,14 @@ Supported subset (symbolically executed, conditions stay data-side):
   occurrence (JS string-pattern semantics); ``s.split(sep)`` →
   ``F.split`` keeping trailing empties (an ARRAY column supporting
   ``[i]``/``.length``/``.join``/``.indexOf``); ``s.search(re)``.
-  Faithful-or-reject: escapes whose Java meaning differs (``\v``,
-  octal), ``[]``/``[^]`` classes, ``.match``, ``.exec``, capturing
+  ``s.match(re)`` / ``re.exec(s)`` (non-global) keep the
+  array-or-null result SYMBOLIC: truthiness/null-tests lower to the
+  matched-predicate, ``m[0]``/``m[i]``/``m.length`` to match-guarded
+  ``regexp_extract``; a group read is allowed only when the group
+  participates in EVERY match (else JS undefined ≠ Spark ``''`` —
+  reject by name). Faithful-or-reject: escapes whose Java meaning
+  differs (``\v``, octal), ``[]``/``[^]`` classes, global-flag
+  ``.match``/``.exec``, capturing
   split, dollar-backtick/dollar-quote context refs, and non-literal
   replacements all reject by name; ``\b`` in a class becomes backspace, literal
   braces are escaped for Java
@@ -302,6 +315,77 @@ class _ColArrVal:
     column-valued array cannot be mutated symbolically."""
 
     col: Column
+
+
+@dataclass
+class _MatchVal:
+    """The result of non-global ``s.match(re)`` / ``re.exec(s)``: an
+    array-or-null JS value the translation keeps SYMBOLIC — truthiness
+    (``if (m)``, ``m ? :``, ``!m``, ``m == null``) lowers to the
+    matched-predicate (``rlike``), ``m[0]`` / ``m[i]`` to a
+    match-guarded ``regexp_extract`` (null when unmatched), and
+    ``m.length`` to a guarded constant. Reads through an UNMATCHED
+    result evaluate null where Nashorn would raise a TypeError — the
+    translation is total, like the string-method receiver cast; real
+    scripts guard with ``if (m)``. A group read ``m[i]`` (i ≥ 1) is
+    supported only when group i participates in EVERY match of the
+    pattern (never under a ``?``/``*``/``{0,n}`` repeat or inside an
+    alternation): a non-participating group is ``undefined`` in JS but
+    ``''`` from Spark's regexp_extract, so conditional groups reject
+    by name rather than mistranslate."""
+
+    sc: Column      # the ToString'd receiver
+    pattern: str    # translated Java pattern
+    n_groups: int
+
+    def matched(self) -> Column:
+        """The non-null boolean 'm is not null' predicate (a NULL
+        receiver routes as unmatched — Nashorn would throw)."""
+        return F.coalesce(self.sc.rlike(self.pattern), F.lit(False))
+
+
+def _truthy_operand(v: Any) -> Any:
+    """A match result in boolean context is its matched-predicate."""
+    return v.matched() if isinstance(v, _MatchVal) else v
+
+
+def _unconditional_groups(pattern: str) -> set[int] | None:
+    """Capturing-group numbers that participate in EVERY match of the
+    pattern — i.e. not under a min=0 repeat, not in an alternation
+    branch, not inside a lookaround. ``None`` when the (Java) pattern
+    does not parse with Python's engine; callers must then treat every
+    group as conditional."""
+    try:
+        import re._parser as _sre  # Python 3.11+
+    except ImportError:  # pragma: no cover
+        import sre_parse as _sre
+    try:
+        tree = _sre.parse(re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", pattern))
+    except Exception:
+        return None
+    out: set[int] = set()
+
+    def walk(seq, conditional: bool) -> None:
+        for op, av in seq:
+            o = str(op)
+            if o == "SUBPATTERN":
+                gid, _ax, _ay, sub = av
+                if gid is not None and not conditional:
+                    out.add(gid)
+                walk(sub, conditional)
+            elif o in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+                mn, _mx, sub = av
+                walk(sub, conditional or mn == 0)
+            elif o == "BRANCH":
+                for b in av[1]:
+                    walk(b, True)
+            elif o in ("ASSERT", "ASSERT_NOT"):
+                walk(av[1], True)
+            elif o == "ATOMIC_GROUP":
+                walk(av, conditional)
+
+    walk(tree, False)
+    return out
 
 
 # JS→Java regex: alphabetic escapes that mean the same thing in both
@@ -582,7 +666,17 @@ def _to_col(v: Any) -> Column:
     if isinstance(v, _RegexVal):
         raise JsTranslationError(
             "a regex literal cannot be used as a value (call .test(s), "
-            "or pass it to .replace/.split/.search)")
+            "or pass it to .replace/.split/.search/.match)")
+    if isinstance(v, _MatchVal):
+        raise JsTranslationError(
+            "a .match()/.exec() result cannot be used as a value — test "
+            "it (if (m)), index it (m[0], m[i]), or read m.length; store "
+            "m[0] instead of m")
+    if isinstance(v, _FuncVal):
+        raise JsTranslationError(
+            f"function {v.name!r} cannot be used as a column value "
+            "(functions may be aliased, passed to other functions, and "
+            "called — not stored in the output map)")
     if isinstance(v, _LoweredLoopValue):
         raise JsTranslationError(
             "the completion value of a column-bound loop is not "
@@ -747,9 +841,34 @@ class _Interp:
             elif t.text in (")", "]", "}"):
                 depth -= 1
             elif t.kind == "kw" and t.text == "function" and depth == 0:
+                prev = self.toks[i - 1] if i else None
+                if prev is not None and (
+                        prev.text in ("=", "(", ",", ":", "?", "[",
+                                      "&&", "||")
+                        or (prev.kind == "kw" and prev.text == "return")):
+                    i += 1  # a function EXPRESSION: not hoisted in JS
+                    continue
                 i = self._register_function(i + 1)
                 continue
             i += 1
+
+    def _parse_function_tail(self, name: str) -> _FuncVal:
+        """Parse ``(params) {`` from the CURSOR (just past the
+        ``function`` keyword of an anonymous function expression),
+        leaving the cursor ON the body's ``{``."""
+        self.expect("(")
+        params: list[str] = []
+        while not self.at(")"):
+            tk = self.next()
+            if tk.kind == "ident":
+                params.append(tk.text)
+            elif tk.text != ",":
+                raise JsTranslationError(
+                    f"unsupported parameter {tk.text!r} in function {name}")
+        self.next()  # ')'
+        if not self.at("{"):
+            raise JsTranslationError(f"function {name} body must be a block")
+        return _FuncVal(name, params, self.i)
 
     def _register_function(self, j: int) -> int:
         """Parse a function header starting at token ``j`` (just past
@@ -758,8 +877,9 @@ class _Interp:
         name = self.toks[j]
         if name.kind != "ident":
             raise JsTranslationError(
-                "anonymous function expressions are not supported "
-                "(declare `function name(...) {...}`)"
+                "a function declaration needs a name (anonymous "
+                "function expressions are supported in expression "
+                "position only: `var f = function (...) {...}`)"
             )
         j += 1
         if self.toks[j].text != "(":
@@ -1505,7 +1625,7 @@ class _Interp:
     def if_statement(self) -> None:
         self.expect("if")
         self.expect("(")
-        cond_val = self.expression()
+        cond_val = _truthy_operand(self.expression())
         self.expect(")")
         if isinstance(cond_val, (bool, int, float, str, _Null)):
             # literal condition (the normal case inside unrolled
@@ -1821,6 +1941,7 @@ class _Interp:
         val = self.or_expr()
         if not self.at("?"):
             return val
+        val = _truthy_operand(val)
         # ternary, right-associative; reuses the if/else value- AND
         # env-merge so `cond ? map : null` in completion position
         # yields the same _Cond the drop-predicate translation
@@ -1882,6 +2003,7 @@ class _Interp:
         while self.at("||"):
             self.next()
             right = self.and_expr()
+            left, right = _truthy_operand(left), _truthy_operand(right)
             if isinstance(left, bool) and isinstance(right, bool):
                 left = left or right  # literal fold (loop conditions)
             else:
@@ -1893,6 +2015,7 @@ class _Interp:
         while self.at("&&"):
             self.next()
             right = self.cmp_expr()
+            left, right = _truthy_operand(left), _truthy_operand(right)
             if isinstance(left, bool) and isinstance(right, bool):
                 left = left and right  # literal fold (loop conditions)
             else:
@@ -1910,7 +2033,13 @@ class _Interp:
             # Spark's ``col == lit(None)`` is NULL for every row.
             if isinstance(left, _Null) or isinstance(right, _Null):
                 if op in ("==", "===", "!=", "!=="):
-                    target = _to_col(right if isinstance(left, _Null) else left)
+                    other = right if isinstance(left, _Null) else left
+                    if isinstance(other, _MatchVal):
+                        # m == null is true iff the match FAILED
+                        m = other.matched()
+                        left = ~m if op in ("==", "===") else m
+                        continue
+                    target = _to_col(other)
                     left = (
                         target.isNull() if op in ("==", "===")
                         else target.isNotNull()
@@ -2059,6 +2188,8 @@ class _Interp:
             v = self.unary_expr()
             if isinstance(v, bool):
                 return not v
+            if isinstance(v, _MatchVal):
+                return ~v.matched()  # !m: true iff the match failed
             return ~_to_col(v)
         if t.text == "-":
             self.next()
@@ -2087,6 +2218,10 @@ class _Interp:
                     val = len(val.items)
                 elif name == "length" and isinstance(val, _ColArrVal):
                     val = F.size(val.col)
+                elif name == "length" and isinstance(val, _MatchVal):
+                    # full match + n groups when matched; null (the
+                    # total stand-in for Nashorn's TypeError) when not
+                    val = F.when(val.matched(), F.lit(val.n_groups + 1))
                 elif name == "length" and isinstance(val, (str, _StrVal, Column)):
                     val = (
                         len(val) if isinstance(val, str)
@@ -2104,6 +2239,8 @@ class _Interp:
                 idx = self.expression()
                 self.expect("]")
                 val = self._index_value(val, idx)
+            elif self.at("(") and isinstance(val, _FuncVal):
+                val = self._call_function(val, self.call_args())
             else:
                 return val
 
@@ -2115,6 +2252,29 @@ class _Interp:
         result) indexes data-side via F.get, where out-of-bounds is
         null — the same routing as undefined for the dialect's
         comparison/if patterns."""
+        if isinstance(val, _MatchVal):
+            if isinstance(idx, bool) or not isinstance(idx, (int, float)):
+                raise JsTranslationError(
+                    "a .match() result index must be a literal number")
+            if isinstance(idx, float):
+                if int(idx) != idx:
+                    return _NULL  # fractional index: undefined
+                idx = int(idx)
+            if idx < 0 or idx > val.n_groups:
+                return _NULL  # out of bounds: undefined
+            if idx >= 1:
+                uncond = _unconditional_groups(val.pattern)
+                if uncond is None or idx not in uncond:
+                    raise JsTranslationError(
+                        f"group {idx} of /{val.pattern}/ may not "
+                        "participate in a match (it sits under an "
+                        "optional repeat or alternation): JS reads "
+                        "undefined there, Spark's regexp_extract reads "
+                        "'' — rewrite the pattern so the group always "
+                        "participates")
+            return _StrVal(F.when(
+                val.matched(),
+                F.regexp_extract(val.sc, val.pattern, idx)))
         if isinstance(val, _ColArrVal):
             if isinstance(idx, bool) or not isinstance(
                     idx, (int, float, Column)):
@@ -2483,9 +2643,21 @@ class _Interp:
             py_pat = re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", obj.pattern)
             null_result = bool(re.search(py_pat, "null"))
             return F.coalesce(base, F.lit(null_result))
+        if name == "exec":
+            if len(args) != 1:
+                raise JsTranslationError(".exec() takes exactly one argument")
+            if obj.global_flag:
+                raise JsTranslationError(
+                    ".exec on a /g regex is STATEFUL in JS (lastIndex "
+                    "advances per call) — not translatable; drop /g for "
+                    "first-match semantics")
+            # same array-or-null value as s.match(re); the argument is
+            # ToString'd like .test's
+            return _MatchVal(_to_col(args[0]).cast("string"),
+                             obj.pattern, obj.n_groups)
         raise JsTranslationError(
-            f"regex method .{name}() is not supported (supported: test; "
-            "use s.replace/s.split/s.search for the rest)")
+            f"regex method .{name}() is not supported (supported: test, "
+            "exec; use s.replace/s.split/s.search/s.match for the rest)")
 
     @staticmethod
     def _col_array_method(obj: _ColArrVal, name: str, args: list[Any]) -> Any:
@@ -2670,9 +2842,16 @@ class _Interp:
             # 1-based with 0 absent — null input stays null)
             return F.regexp_instr(sc, F.lit(args[0].pattern)) - F.lit(1)
         if name == "match":
-            raise JsTranslationError(
-                ".match() is not supported (its array-or-null result is "
-                "not expressible here; use .test/.replace/.split/.search)")
+            if len(args) != 1 or not isinstance(args[0], _RegexVal):
+                raise JsTranslationError(
+                    ".match takes one regex literal argument")
+            pat = args[0]
+            if pat.global_flag:
+                raise JsTranslationError(
+                    ".match with /g (array of ALL matches, null when "
+                    "none) is not supported — use .replace/.split, or "
+                    "drop /g for first-match-with-groups")
+            return _MatchVal(sc, pat.pattern, pat.n_groups)
         raise JsTranslationError(f"String method .{name}() is not supported")
 
     _INT_RE = r"^\s*([+-]?\d+)"
@@ -2759,6 +2938,34 @@ class _Interp:
                 return True
             if t.text == "false":
                 return False
+            if t.text == "function":
+                # anonymous function EXPRESSION (`var f = function(a)
+                # {...}`): a first-class _FuncVal — aliasable, passable
+                # to other functions, callable through any binding. A
+                # NAMED function expression binds its name inside the
+                # body only (a scope this inliner does not model) and
+                # rejects by name.
+                if self.peek().kind == "ident":
+                    raise JsTranslationError(
+                        "named function expressions are not supported "
+                        "(the inner self-binding implies recursion; use "
+                        "an anonymous `function (...) {...}` or a "
+                        "declaration)")
+                if self._call_stack:
+                    # a function expression inside a FUNCTION BODY may
+                    # close over the enclosing call's locals; this
+                    # inliner resolves free identifiers in global
+                    # scope, which would silently read the wrong
+                    # binding — reject rather than mistranslate. (A
+                    # top-level expression's free identifiers resolve
+                    # exactly like a declaration's.)
+                    raise JsTranslationError(
+                        "a function expression inside a function body "
+                        "is not supported (it may close over locals; "
+                        "declare it at top level and pass it in)")
+                fv = self._parse_function_tail(f"<anonymous@{t.pos}>")
+                self._skip_statement_or_block()  # skip past the body
+                return fv
             raise JsTranslationError(f"keyword {t.text!r} in expression position")
         if t.kind == "ident":
             name = t.text
@@ -2802,11 +3009,6 @@ class _Interp:
                 raise JsTranslationError(f"function call {name}(...) is not supported")
             if name in self.env:
                 v = self.env[name]
-                if isinstance(v, _FuncVal):
-                    raise JsTranslationError(
-                        f"function {name!r} used as a value (only direct "
-                        "calls are supported)"
-                    )
                 if isinstance(v, _PostLoopTemp):
                     raise JsTranslationError(
                         f"variable {name!r} was declared inside a "

@@ -469,3 +469,66 @@ def js_transform_array_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spec.expressions["n_names"].cast("int").alias("n_names"),
         spec.expressions["first_flag"].alias("first_flag"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "js_transform_regex_match",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN regexp_matches(o_orderpriority, '^([0-9])-([A-Z]+)$')
+                THEN CAST(regexp_extract(
+                       o_orderpriority, '^([0-9])-([A-Z]+)$', 1) AS BIGINT)
+           END AS pr_num,
+           COALESCE(CASE WHEN regexp_matches(
+                             o_orderpriority, '^([0-9])-([A-Z]+)$')
+                         THEN regexp_extract(
+                             o_orderpriority, '^([0-9])-([A-Z]+)$', 2)
+                    END, 'NONE') AS pr_word,
+           CASE WHEN regexp_matches(o_orderpriority, '^([0-9])-([A-Z]+)$')
+                THEN 3 ELSE -1 END AS pr_len,
+           CASE WHEN regexp_matches(o_orderpriority, '^([0-9])-([A-Z]+)$')
+                THEN (6 - CAST(regexp_extract(
+                       o_orderpriority, '^([0-9])-([A-Z]+)$', 1) AS BIGINT))
+                     * 10
+                ELSE 0 END AS score
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def js_transform_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 row-function via the JS shim with non-global ``.match``
+    capture groups AND first-class function values (round 10): the
+    match result stays symbolic (truthiness → rlike, ``m[i]`` →
+    match-guarded ``regexp_extract``, ``m.length`` → guarded
+    constant), and the score helper is an anonymous function
+    expression passed through a higher-order ``apply`` — every call
+    inline-expands, so the whole script is still ONE codegen'd
+    projection with no Python boundary. '4-NOT SPECIFIED' exercises
+    the unmatched path (its space fails ``[A-Z]+``). Reference
+    parity: Transformation.scala:71-148 Nashorn scripts.
+    """
+    from pipeline_server_spark.pipeline.js_shim import (
+        translate_transformation_script,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    src = """
+    var HashMap = Java.type('java.util.HashMap');
+    var map = new HashMap();
+    function apply(fn, v) { return fn(v); }
+    var toScore = function (r) { return (6 - r) * 10; };
+    var m = o_orderpriority.match(/^(\\d)-([A-Z]+)$/);
+    map.put('pr_num', m ? parseInt(m[1]) : null);
+    map.put('pr_word', m ? m[2] : 'NONE');
+    map.put('pr_len', m ? m.length : -1);
+    map.put('score', m ? apply(toScore, parseInt(m[1])) : 0);
+    map;
+    """
+    spec = translate_transformation_script(src, o.columns)
+    return o.select(
+        "o_orderkey",
+        spec.expressions["pr_num"].cast("long").alias("pr_num"),
+        spec.expressions["pr_word"].alias("pr_word"),
+        spec.expressions["pr_len"].cast("int").alias("pr_len"),
+        spec.expressions["score"].cast("long").alias("score"),
+    ).orderBy("o_orderkey")

@@ -62,6 +62,11 @@ SHOW = {
         "JS array literal indexed by a column: guarded 0-based "
         "F.get over an F.array literal, one codegen'd projection"
     ),
+    "js_transform_regex_match": (
+        "JS non-global .match groups + first-class function values: "
+        "match-guarded regexp_extract, inline-expanded higher-order "
+        "calls, one codegen'd projection"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

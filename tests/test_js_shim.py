@@ -956,10 +956,18 @@ class TestRound7Functions:
         with pytest.raises(JsTranslationError, match="argument"):
             translate_quality_script(src, stock_df.columns)
 
-    def test_function_as_value_rejected(self, stock_df):
-        src = "function f(a) { return a; } var g = f; return null;"
-        with pytest.raises(JsTranslationError, match="used as a value"):
-            translate_quality_script(src, stock_df.columns)
+    def test_function_stored_in_map_rejected(self, stock_df):
+        # aliasing (var g = f) is supported since round 10; what stays
+        # rejected is using the function as a COLUMN value
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        function f(a) { return a; }
+        var m = new HashMap();
+        m.put('x', f);
+        m;
+        """
+        with pytest.raises(JsTranslationError, match="column value"):
+            translate_transformation_script(src, stock_df.columns)
 
 
 class TestRound7LoopCompletion:
@@ -1494,11 +1502,11 @@ class TestRound8Regex:
             ("/\\cA/.test(symbol) ? null : 'x';", "escape"),
             ("/(a)\\2/.test(symbol) ? null : 'x';", "backreference"),
             ("symbol.split(/(a)/) ? null : 'x';", "capturing group"),
-            ("symbol.match(/a/) ? null : 'x';", ".match"),
+            ("symbol.match(/a/g) ? null : 'x';", "/g"),
             ("symbol.replace(/a/, symbol) ? null : 'x';", "literal string"),
             ("symbol.replace(/a/, \"$`x\") ? null : 'x';", "context reference"),
             ("symbol.split('') ? null : 'x';", "characters"),
-            ("/a/.exec(symbol) ? null : 'x';", "not supported"),
+            ("/a/g.exec(symbol) ? null : 'x';", "STATEFUL"),
         ]
         for src, needle in cases:
             with pytest.raises(JsTranslationError, match=needle):
@@ -2169,3 +2177,170 @@ class TestRound10ColumnArrayIndex:
         out = apply_column_expressions(stock_df, spec.expressions,
                                        spec.drop_predicate)
         assert all(r["x"] == "b" for r in out.collect())
+
+
+class TestRound10MatchExec:
+    """Non-global .match/.exec as SYMBOLIC array-or-null values:
+    truthiness/null-tests lower to the matched predicate, indexed
+    reads to match-guarded regexp_extract, .length to a guarded
+    constant; conditional capture groups reject by name (JS undefined
+    vs Spark '')."""
+
+    @pytest.fixture(scope="class")
+    def match_df(self, spark):
+        return spark.createDataFrame(
+            [("u1", "2024-01-02", "abc 42 xyz"),
+             ("u2", "bad", "no digits"),
+             ("u3", None, None)],
+            "id string, d string, txt string")
+
+    def _run(self, df, src):
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions,
+                                       spec.drop_predicate)
+        return {r["id"]: r.asDict() for r in out.collect()}, out
+
+    def test_match_groups_truthiness_length(self, spark, match_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var mm = d.match(/^(\\d{4})-(\\d{2})-(\\d{2})$/);
+        m.put('y', mm ? mm[1] : 'none');
+        m.put('mo', mm ? mm[2] : 'none');
+        m.put('full', mm ? mm[0] : null);
+        m.put('len', mm ? mm.length : -1);
+        m.put('isnull', mm == null);
+        m.put('notm', !mm);
+        var ex = /(\\d+)/.exec(txt);
+        m.put('num', ex != null ? ex[1] : '');
+        m;
+        """
+        got, out = self._run(match_df, src)
+        u1 = got["u1"]
+        assert (u1["y"], u1["mo"], u1["full"], u1["len"]) == \
+            ("2024", "01", "2024-01-02", 4)
+        assert u1["isnull"] is False and u1["notm"] is False
+        assert u1["num"] == "42"
+        u2 = got["u2"]
+        assert (u2["y"], u2["full"], u2["len"]) == ("none", None, -1)
+        assert u2["isnull"] is True and u2["notm"] is True
+        assert u2["num"] == ""
+        # a NULL receiver routes as unmatched (total translation)
+        u3 = got["u3"]
+        assert u3["y"] == "none" and u3["isnull"] is True
+        # the point of the translation: pure Catalyst
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_out_of_bounds_group_is_undefined(self, spark, match_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var mm = d.match(/^(\\d{4})/);
+        m.put('oob', mm ? mm[5] : 'unmatched');
+        m;
+        """
+        got, _ = self._run(match_df, src)
+        assert got["u1"]["oob"] is None  # matched, index 5: undefined
+
+    def test_conditional_group_read_rejected(self, stock_df):
+        cases = [
+            "var m = symbol.match(/(a)?x/); m ? m[1] : 'n';",   # ? repeat
+            "var m = symbol.match(/(a)|b/); m ? m[1] : 'n';",   # branch
+            "var m = symbol.match(/(a)*x/); m ? m[1] : 'n';",   # * repeat
+        ]
+        for src in cases:
+            with pytest.raises(JsTranslationError, match="participate"):
+                translate_quality_script(src, stock_df.columns)
+
+    def test_plus_repeat_group_allowed(self, spark, match_df):
+        # a {1,} repeat participates in every match — allowed
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var mm = txt.match(/(\\d+)/);
+        m.put('n', mm ? mm[1] : 'none');
+        m;
+        """
+        got, _ = self._run(match_df, src)
+        assert got["u1"]["n"] == "42" and got["u2"]["n"] == "none"
+
+    def test_match_as_value_rejected(self, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        m.put('x', symbol.match(/a/));
+        m;
+        """
+        with pytest.raises(JsTranslationError, match="m\\[0\\]"):
+            translate_transformation_script(src, stock_df.columns)
+
+
+class TestRound10FunctionValues:
+    """Functions as first-class values: anonymous function
+    expressions, aliasing, passing functions to functions, calling a
+    call's function result. Every call still inline-expands."""
+
+    def _spec(self, src, cols=("symbol", "adj_close", "trade_date")):
+        return translate_transformation_script(src, list(cols))
+
+    def test_alias_higher_order_and_returned_function(self, spark,
+                                                      stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        function inc(x) { return x + 1; }
+        function apply(fn, v) { return fn(v); }
+        var g = inc;
+        var tripler = function (q) { return q * 3; };
+        function pick(b) { return inc; }
+        m.put('a', g(1));
+        m.put('b', apply(inc, 3));
+        m.put('c', tripler(4));
+        m.put('d', apply(tripler, adj_close));
+        m.put('e', pick(true)(9));
+        m;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        r = {x["symbol"]: x.asDict() for x in out.collect()}["AAPL"]
+        assert (r["a"], r["b"], r["c"], r["e"]) == (2, 4, 12, 10)
+        assert r["d"] == pytest.approx(300.0)
+
+    def test_anonymous_passed_inline(self, spark, stock_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        function apply(fn, v) { return fn(v); }
+        m.put('x', apply(function (q) { return q - 1; }, 10));
+        m;
+        """
+        spec = self._spec(src)
+        out = apply_column_expressions(stock_df, spec.expressions,
+                                       spec.drop_predicate)
+        assert all(r["x"] == 9 for r in out.collect())
+
+    def test_recursion_through_alias_rejected(self, stock_df):
+        src = """
+        function f(a) { return g(a); }
+        var g = f;
+        f(1) ? null : 'x';
+        """
+        with pytest.raises(JsTranslationError, match="recursive"):
+            translate_quality_script(src, ["symbol"])
+
+    def test_function_expression_in_body_rejected(self, stock_df):
+        # a function expression inside a function body may close over
+        # locals the global-scope inliner would silently misresolve
+        src = """
+        function f(a) { var h = function (x) { return a; }; return h(1); }
+        f(2) ? null : 'x';
+        """
+        with pytest.raises(JsTranslationError, match="close over"):
+            translate_quality_script(src, ["symbol"])
+
+    def test_named_function_expression_rejected(self, stock_df):
+        src = "var f = function g(x) { return x; }; return null;"
+        with pytest.raises(JsTranslationError, match="named function"):
+            translate_quality_script(src, ["symbol"])
