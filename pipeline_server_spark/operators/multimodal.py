@@ -644,3 +644,123 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         _synth, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual AUDIO near-duplicate fingerprinting (round-10): the audio
+# twin of image dHash — per-clip 64-bit frame-energy-delta sign hash
+# (the public acoustic-fingerprint idea behind Chromaprint/Shazam,
+# reduced to the energy envelope), deduped through the same
+# Hamming-ball chunk join as SimHash/dHash. Reference parity: the
+# reference only byte-passes media (S5); this is the beyond-reference
+# curation operator a multimodal training-data pipeline needs.
+# ---------------------------------------------------------------------------
+
+def synth_wav_noise_payload(doc_id: int, variant: str | None = None) -> bytes:
+    """Deterministic mono 16-bit 8 kHz NOISE clip: n = 1000 + id%300
+    LCG samples in [-1024, 1024) (seed = Knuth-hash(id)) — unlike the
+    square wave (whose |sample| is constant, collapsing every
+    frame-energy comparison), the noise stream gives each doc a unique
+    energy envelope. Variants are perceptually-identical re-masters:
+    ``loud`` (exact 2x gain — energies scale 4x, every comparison
+    preserved), ``offset`` (+1 DC bias), ``requant`` (8-level
+    requantization, the lossy-ish one: hamming ≤ 3 empirically over
+    the planted range)."""
+    import struct
+
+    import numpy as np
+
+    n = 1000 + doc_id % 300
+    x = (doc_id * 2654435761) % (1 << 32)
+    xs = np.empty(n, dtype=np.uint64)
+    for k in range(n):
+        x = (1103515245 * x + 12345) % (1 << 32)
+        xs[k] = x
+    s = ((xs >> np.uint64(16)) % 2048).astype(np.int64) - 1024
+    if variant == "loud":
+        s = s * 2
+    elif variant == "offset":
+        s = s + 1
+    elif variant == "requant":
+        s = (s >> 3) << 3
+    elif variant is not None:
+        raise ValueError(f"unknown variant {variant!r}")
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_fp64(samples) -> int:
+    """64-bit acoustic fingerprint: 65 equal-index frames (frame j =
+    samples[(j*n)//65 : ((j+1)*n)//65]), integer frame energies, one
+    bit per neighbor comparison e[j+1] > e[j] — gain-invariant by
+    construction (energies scale uniformly). Returned as SIGNED int64
+    (Spark LongType), like dhash64_gray."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    if n < 65:
+        raise ValueError("audio_fp64 needs at least 65 samples")
+    starts = (np.arange(65) * n) // 65
+    e = np.add.reduceat(s * s, starts)
+    v = 0
+    for i in range(64):
+        if e[i + 1] > e[i]:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """(doc_id, fp) for a binary WAV table — REAL PCM decode +
+    fingerprint in ONE Arrow pass (mapInPandas; per-payload CPU stays
+    executor-side, nothing collected)."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "fp": [
+                    audio_fp64(decode_wav_samples(p)[1])
+                    for p in pdf[payload_col]
+                ],
+            })
+
+    return df.mapInPandas(_fp, schema="doc_id long, fp long")
+
+
+def attach_noise_wav_payload(df: DataFrame, id_col: str = "doc_id",
+                             plant_below: int = 30) -> DataFrame:
+    """Fixture corpus for the audio near-dup query: one noise clip per
+    row, PLUS a planted re-master (id + 100000) for every ``doc_id <
+    plant_below`` — 2x gain, +1 DC bias, or 8-level requantization by
+    doc_id % 3 (the dedup family's planted-copy convention). Payloads
+    are synthesized executor-side."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        variants = ("loud", "offset", "requant")
+        for pdf in batches:
+            ids, payloads, media = [], [], []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                ids.append(i)
+                payloads.append(synth_wav_noise_payload(i))
+                media.append("audio/wav")
+                if i < plant_below:
+                    ids.append(i + 100000)
+                    payloads.append(
+                        synth_wav_noise_payload(i, variants[i % 3]))
+                    media.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": media})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _synth, schema=MEDIA_SCHEMA)

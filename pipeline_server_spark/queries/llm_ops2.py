@@ -236,6 +236,77 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_sample_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 AS h
+      FROM documents),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_start
+      FROM t)
+    SELECT c.doc_id, c.source, c.n_tokens
+    FROM c, tot
+    WHERE c.cum_start < (tot.total *
+        CASE WHEN c.source IN ('src0', 'src1', 'src2') THEN 8
+             WHEN c.source IN ('src3', 'src4', 'src5') THEN 4
+             ELSE 2 END) // 100
+    ORDER BY c.doc_id
+    """,
+)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-MIXTURE sampling to per-source TOKEN BUDGETS — the
+    training-data composition step (fill each domain's share of the
+    token budget, e.g. 8%/4%/2% of corpus tokens here): documents are
+    taken per source in deterministic Knuth-hash order until the
+    source's budget is crossed (a document is kept iff its EXCLUSIVE
+    prefix starts inside the budget — greedy fill, reproducible across
+    engines and reruns, no RNG). Differs from
+    ``stratified_sample_documents`` (rate THINNING — expected share,
+    no budget guarantee) and ``pps_systematic_sample`` (global
+    size-weighted k-sample): this one hits an absolute per-domain
+    token target.
+
+    Scale shape: the per-source cumulative token line comes from
+    :func:`~...operators.scale.grouped_prefix_sum` — the grouped
+    two-level scan (per-(source, bucket) totals + a tiny
+    offsets window), NOT the ``SUM() OVER (PARTITION BY source ORDER
+    BY ...)`` plan whose per-domain window serializes a dominant
+    domain through one task. All-integer arithmetic: exact and
+    bit-identical in both engines."""
+    from pipeline_server_spark.operators.scale import grouped_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .alias("h"),
+    )
+    c = grouped_prefix_sum(d, "source", ["h", "doc_id"], "n_tokens")
+    total = d.agg(F.sum("n_tokens").alias("total"))
+    pct = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(8))
+        .when(F.col("source").isin("src3", "src4", "src5"), F.lit(4))
+        .otherwise(F.lit(2))
+    )
+    return (
+        c.withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("_pct", pct)
+        .where(F.col("cum_start") < F.expr("(total * _pct) div 100"))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "corpus_curation_pipeline",
     oracle="""
     WITH RECURSIVE q0 AS (

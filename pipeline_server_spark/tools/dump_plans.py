@@ -62,6 +62,16 @@ SHOW = {
         "JS array literal indexed by a column: guarded 0-based "
         "F.get over an F.array literal, one codegen'd projection"
     ),
+    "audio_near_dup_pairs": (
+        "acoustic fingerprint dedup: WAV PCM decode + 64-bit "
+        "frame-energy-delta hash in one Arrow pass, Hamming-ball "
+        "chunk equi-join — corpus-linear, no all-pairs"
+    ),
+    "mixture_sample_documents": (
+        "domain-mixture token-budget fill: grouped two-level prefix "
+        "scan (per-(source,bucket) totals + tiny offsets window), "
+        "no single-task per-domain window"
+    ),
     "js_transform_regex_match": (
         "JS non-global .match groups + first-class function values: "
         "match-guarded regexp_extract, inline-expanded higher-order "

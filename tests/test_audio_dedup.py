@@ -1,0 +1,73 @@
+"""Perceptual audio near-duplicate dedup (round 10): 64-bit
+frame-energy-delta fingerprint over REAL WAV PCM decode + the SimHash
+family's Hamming-ball chunk join."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.multimodal import (
+    attach_noise_wav_payload, audio_fingerprint, audio_fp64,
+    decode_wav_samples, synth_wav_noise_payload)
+
+
+class TestAudioFp:
+    def _fp(self, i, variant=None):
+        return audio_fp64(decode_wav_samples(
+            synth_wav_noise_payload(i, variant))[1])
+
+    def test_invariant_to_gain_bias_requant(self):
+        for i in range(12):
+            h0 = self._fp(i)
+            for v in ("loud", "offset", "requant"):
+                d = bin((h0 ^ self._fp(i, v)) & (2**64 - 1)).count("1")
+                assert d <= 3, (i, v, d)
+        # 2x gain is invariant BY CONSTRUCTION (energies scale 4x)
+        assert self._fp(5) == self._fp(5, "loud")
+
+    def test_distinct_content_distinct_hash(self):
+        hs = [self._fp(i) for i in range(100)]
+        m = min(bin((a ^ b) & (2**64 - 1)).count("1")
+                for a, b in itertools.combinations(hs, 2))
+        assert m > 3  # no false pair within the detection ball
+
+    def test_decode_is_real_riff(self):
+        rate, s = decode_wav_samples(synth_wav_noise_payload(7))
+        assert rate == 8000 and len(s) == 1000 + 7 % 300
+        assert int(abs(s).max()) <= 1024
+
+    def test_unknown_variant_rejected(self):
+        with pytest.raises(ValueError, match="variant"):
+            synth_wav_noise_payload(1, "reverb")
+
+
+class TestAudioNearDupPairs:
+    def test_planted_remasters_found_nothing_else(self, spark):
+        from pipeline_server_spark.operators.dedup import hamming_near_pairs
+
+        docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+        media = attach_noise_wav_payload(docs, plant_below=30)
+        sigs = audio_fingerprint(media)
+        pairs = hamming_near_pairs(sigs, "fp", max_hamming=3).collect()
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert got == {(i, i + 100000) for i in range(30)}
+        assert all(r["hamming"] <= 3 for r in pairs)
+
+    def test_registry_query_matches_pure_python_referee(self, spark):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from oracle_harness import compare_frames
+
+        import __spark_entry__ as E
+        from pipeline_server_spark.queries.llm_ops import (
+            _audio_fp_py_oracle)
+
+        spdf = E.queries()["audio_near_dup_pairs"](
+            spark, "/root/testdata/sf0.001").toPandas()
+        assert len(spdf) == 30
+        assert not compare_frames(spdf, _audio_fp_py_oracle(
+            "/root/testdata/sf0.001"))

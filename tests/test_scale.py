@@ -631,3 +631,39 @@ class TestNullCountSkipping:
         got, fr, ft = t.read_pruned({"x": "is_null"})
         assert fr == ft
         assert [r["payload"] for r in got.collect()] == [1]
+
+
+def test_grouped_prefix_sum_matches_window_and_is_partitioning_invariant(spark):
+    """The grouped two-level scan must equal the naive
+    SUM() OVER (PARTITION BY g ORDER BY ...) result on every row, for
+    any input partitioning and tie-broken composite orderings."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from pipeline_server_spark.operators.scale import grouped_prefix_sum
+
+    rng = random.Random(7)
+    rows = [(i, f"g{rng.randrange(5)}", rng.randrange(100), rng.randrange(1, 50))
+            for i in range(500)]
+    # duplicate primary order values force the doc_id tiebreak
+    df = spark.createDataFrame(rows, "doc_id long, g string, h long, w long")
+    naive = df.withColumn(
+        "expect",
+        F.sum("w").over(
+            W.partitionBy("g").orderBy("h", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    for parts in (1, 7):
+        got = grouped_prefix_sum(
+            df.repartition(parts), "g", ["h", "doc_id"], "w", buckets=16)
+        j = got.join(naive.select("doc_id", "expect"), "doc_id")
+        assert j.where(F.col("cum_end") != F.col("expect")).count() == 0
+        assert j.count() == 500
+
+
+def test_grouped_prefix_sum_empty_and_type(spark):
+    from pipeline_server_spark.operators.scale import grouped_prefix_sum
+
+    df = spark.createDataFrame([], "doc_id long, g string, h long, w double")
+    out = grouped_prefix_sum(df, "g", ["h", "doc_id"], "w", out="c")
+    assert out.count() == 0 and dict(out.dtypes)["c"] == "double"
