@@ -1,0 +1,396 @@
+"""ISO-BMFF (MP4) container plumbing — pure stdlib, no codec.
+
+The reference byte-passes media files (S5 unstructured passthrough,
+DatasetService.scala's object-copy path); a training-data pipeline
+additionally needs the CONTAINER layer of video: which codec, how
+long, where each sample's (frame's) bytes live, which samples are
+keyframes — so a frame-sampling stage can slice the exact codec
+bitstream bytes for a downstream decoder without ever decoding
+in-pipeline. This module implements that layer for real: a minimal
+ISO base-media writer (synthesizes deterministic fixture MP4s) and a
+box parser that walks ``moov/trak/mdia/minf/stbl`` and expands the
+``stsc``/``stco``/``stsz``/``stts``/``stss`` sample tables into
+absolute per-sample byte ranges (the public ISO/IEC 14496-12 design).
+Pixel DECODE stays a named gate (`NotImplementedError`) — the
+container math, schemas, partitioning, and byte extraction are real
+and referee-tested.
+
+Scale shape: parsing is one Arrow pass over payload batches
+(``mapInPandas``); per-payload cost is O(boxes + samples), driver
+traffic zero.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_TIMESCALE = 1000  # ms ticks
+_FRAME_DELTA = 40  # 25 fps
+_SYNC_EVERY = 5    # every 5th sample is a keyframe
+_CHUNK_SAMPLES = 4  # samples per chunk (exercises stsc/stco math)
+
+
+# -- deterministic fixture frames (closed form — the referee side
+# regenerates these WITHOUT parsing any container) --------------------
+def frame_count(doc_id: int) -> int:
+    return 8 + doc_id % 9
+
+
+def frame_bytes(doc_id: int, i: int) -> bytes:
+    """Codec-bitstream stand-in for sample ``i`` (0-based) of clip
+    ``doc_id``: LCG byte stream, length varying per (doc, frame)."""
+    n = 24 + (doc_id * 31 + i * 7) % 33
+    x = (doc_id * 1_000_003 + i * 97 + 1) % (1 << 32)
+    out = bytearray()
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 32)
+        out.append((x >> 16) & 0xFF)
+    return bytes(out)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def build_mp4(doc_id: int, width: int = 320, height: int = 240) -> bytes:
+    """A minimal but SPEC-SHAPED one-video-track MP4: ``ftyp`` +
+    ``mdat`` (frames concatenated, chunked 4-per) + ``moov`` with the
+    full sample-table suite. ``mdat`` precedes ``moov`` so ``stco``
+    offsets are independent of the metadata size (the progressive-
+    download layout every muxer emits for streaming ingest)."""
+    n = frame_count(doc_id)
+    frames = [frame_bytes(doc_id, i) for i in range(n)]
+    sizes = [len(f) for f in frames]
+    duration = n * _FRAME_DELTA
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    mdat = _box(b"mdat", b"".join(frames))
+    # absolute chunk offsets: every _CHUNK_SAMPLES samples start a chunk
+    chunk_offsets = []
+    pos = len(ftyp) + 8  # into mdat payload
+    for i, sz in enumerate(sizes):
+        if i % _CHUNK_SAMPLES == 0:
+            chunk_offsets.append(pos)
+        pos += sz
+
+    stts = _full(b"stts", 0, 0, struct.pack(
+        ">III", 1, n, _FRAME_DELTA))
+    n_chunks = len(chunk_offsets)
+    # stsc runs: all chunks carry _CHUNK_SAMPLES except a short tail
+    tail = n - (n_chunks - 1) * _CHUNK_SAMPLES
+    runs = [(1, _CHUNK_SAMPLES, 1)]
+    if tail != _CHUNK_SAMPLES and n_chunks > 1:
+        runs.append((n_chunks, tail, 1))
+    elif n_chunks == 1:
+        runs = [(1, n, 1)]
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", *r) for r in runs))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", s) for s in sizes))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", n_chunks) + b"".join(
+        struct.pack(">I", o) for o in chunk_offsets))
+    syncs = list(range(1, n + 1, _SYNC_EVERY))
+    stss = _full(b"stss", 0, 0, struct.pack(">I", len(syncs)) + b"".join(
+        struct.pack(">I", s) for s in syncs))
+    # visual sample entry: 78-byte body, codec fourcc avc1 (no avcC —
+    # the parser reads the container layer, never the bitstream)
+    vse = (struct.pack(">6xH", 1)                    # reserved + dri
+           + struct.pack(">HH12x", 0, 0)             # pre_defined/rsvd
+           + struct.pack(">HH", width, height)
+           + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+           + struct.pack(">I", 0) + struct.pack(">H", 1)
+           + b"\x00" * 32                            # compressorname
+           + struct.pack(">Hh", 24, -1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(b"avc1", vse))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    url_ = _full(b"url ", 0, 1, b"")  # self-contained
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url_)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, _TIMESCALE, duration, 0x55C4, 0))  # lang 'und'
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(
+        ">IIII4xI8xHHHH", 0, 0, 1, 0, duration, 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, _TIMESCALE, duration)
+        + struct.pack(">IH2x8x", 0x10000, 0x100)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# -- parser ------------------------------------------------------------
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf",
+               b"edts", b"udta", b"mvex", b"moof", b"traf"}
+
+
+def _walk(buf: bytes, lo: int, hi: int, out: list, depth: int = 0) -> None:
+    """Flat (type, payload_lo, payload_hi, depth) list of every box —
+    64-bit ``largesize`` honored, truncated/zero-size boxes rejected
+    (a malformed payload must error, not loop)."""
+    i = lo
+    while i + 8 <= hi:
+        size = struct.unpack_from(">I", buf, i)[0]
+        btype = buf[i + 4: i + 8]
+        head = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", buf, i + 8)[0]
+            head = 16
+        elif size == 0:
+            size = hi - i  # box extends to end of enclosing scope
+        if size < head or i + size > hi:
+            raise ValueError(
+                f"malformed ISO-BMFF box {btype!r} at {i}: size {size}")
+        out.append((btype, i + head, i + size, depth))
+        if btype in _CONTAINERS:
+            _walk(buf, i + head, i + size, out, depth + 1)
+        i += size
+
+
+def _u32s(buf: bytes, lo: int, n: int, stride: int = 4, off: int = 0):
+    return [struct.unpack_from(">I", buf, lo + off + k * stride)[0]
+            for k in range(n)]
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Container metadata + fully expanded sample table of the FIRST
+    video track: ``{brand, timescale, duration_ms, codec, width,
+    height, samples: [(offset, size, t_ms, is_sync), ...]}`` —
+    offsets ABSOLUTE into the payload, so ``payload[o:o+s]`` is the
+    exact codec bitstream of that sample (ISO/IEC 14496-12 ch. 8
+    sample-table math: stsc runs × stco chunk offsets + stsz prefix
+    sums within each chunk)."""
+    boxes: list = []
+    _walk(payload, 0, len(payload), boxes)
+    by_type: dict = {}
+    for btype, lo, hi, depth in boxes:
+        by_type.setdefault(btype, []).append((lo, hi, depth))
+    if b"ftyp" not in by_type or b"moov" not in by_type:
+        raise ValueError("not an ISO-BMFF file (no ftyp/moov)")
+    f_lo, _, _ = by_type[b"ftyp"][0]
+    brand = payload[f_lo: f_lo + 4].decode("latin1")
+    mv_lo = by_type[b"mvhd"][0][0]
+    mv_ver = payload[mv_lo]
+    if mv_ver == 1:
+        timescale = struct.unpack_from(">I", payload, mv_lo + 20)[0]
+        duration = struct.unpack_from(">Q", payload, mv_lo + 24)[0]
+    else:
+        timescale = struct.unpack_from(">I", payload, mv_lo + 12)[0]
+        duration = struct.unpack_from(">I", payload, mv_lo + 16)[0]
+
+    def _in(span, inner):
+        return span[0] <= inner[0] and inner[1] <= span[1]
+
+    # first trak whose hdlr is 'vide'
+    video: dict | None = None
+    for t_lo, t_hi, _ in by_type.get(b"trak", []):
+        hdlrs = [h for h in by_type.get(b"hdlr", [])
+                 if _in((t_lo, t_hi), h)]
+        if not hdlrs or payload[hdlrs[0][0] + 8: hdlrs[0][0] + 12] != b"vide":
+            continue
+        span = (t_lo, t_hi)
+
+        def grab(bt, required=True):
+            cands = [c for c in by_type.get(bt, []) if _in(span, c)]
+            if not cands:
+                if required:
+                    raise ValueError(f"video track missing {bt!r}")
+                return None
+            return cands[0]
+
+        md_lo = grab(b"mdhd")[0]
+        md_ts = struct.unpack_from(
+            ">I", payload, md_lo + (20 if payload[md_lo] == 1 else 12))[0]
+        sd_lo = grab(b"stsd")[0]
+        # first sample entry: 4 past entry_count; entry = size+fourcc
+        codec = payload[sd_lo + 12: sd_lo + 16].decode("latin1")
+        # visual sample entry: 8 (size+fourcc) + 6 reserved + 2 dri +
+        # 2+2+12 pre_defined/reserved → width at entry+32
+        width = struct.unpack_from(">H", payload, sd_lo + 8 + 32)[0]
+        height = struct.unpack_from(">H", payload, sd_lo + 8 + 34)[0]
+
+        sz_lo = grab(b"stsz")[0]
+        fixed, n = struct.unpack_from(">II", payload, sz_lo + 4)
+        sizes = ([fixed] * n if fixed
+                 else _u32s(payload, sz_lo + 12, n))
+        co = grab(b"stco", required=False)
+        if co is not None:
+            c_lo = co[0]
+            n_chunks = struct.unpack_from(">I", payload, c_lo + 4)[0]
+            offsets = _u32s(payload, c_lo + 8, n_chunks)
+        else:
+            c_lo = grab(b"co64")[0]
+            n_chunks = struct.unpack_from(">I", payload, c_lo + 4)[0]
+            offsets = [struct.unpack_from(">Q", payload, c_lo + 8 + 8 * k)[0]
+                       for k in range(n_chunks)]
+        sc_lo = grab(b"stsc")[0]
+        n_runs = struct.unpack_from(">I", payload, sc_lo + 4)[0]
+        runs = [struct.unpack_from(">III", payload, sc_lo + 8 + 12 * k)
+                for k in range(n_runs)]
+        tt_lo = grab(b"stts")[0]
+        n_tt = struct.unpack_from(">I", payload, tt_lo + 4)[0]
+        tts = [struct.unpack_from(">II", payload, tt_lo + 8 + 8 * k)
+               for k in range(n_tt)]
+        ss = grab(b"stss", required=False)
+        syncs = (set(_u32s(payload, ss[0] + 8,
+                           struct.unpack_from(">I", payload, ss[0] + 4)[0]))
+                 if ss is not None else None)  # None = every sample sync
+
+        # expand stsc runs across chunks → per-sample absolute offsets
+        per_chunk = []
+        for r_i, (first, spc, _desc) in enumerate(runs):
+            last = (runs[r_i + 1][0] - 1 if r_i + 1 < len(runs)
+                    else n_chunks)
+            per_chunk += [spc] * (last - first + 1)
+        sample_offsets = []
+        s = 0
+        for ch, spc in enumerate(per_chunk):
+            pos = offsets[ch]
+            for _ in range(spc):
+                if s >= n:
+                    break
+                sample_offsets.append(pos)
+                pos += sizes[s]
+                s += 1
+        if s != n:
+            raise ValueError(
+                f"sample-table mismatch: stsc/stco cover {s} of {n}")
+        # decode times from stts deltas
+        times, t = [], 0
+        for cnt, delta in tts:
+            for _ in range(cnt):
+                times.append(t)
+                t += delta
+        samples = [
+            (sample_offsets[i], sizes[i],
+             times[i] * 1000 // max(md_ts, 1),
+             syncs is None or (i + 1) in syncs)
+            for i in range(n)
+        ]
+        video = {"codec": codec, "width": width, "height": height,
+                 "samples": samples}
+        break
+    if video is None:
+        raise ValueError("no video track")
+    return {"brand": brand, "timescale": timescale,
+            "duration_ms": duration * 1000 // max(timescale, 1), **video}
+
+
+# -- Spark faces -------------------------------------------------------
+def attach_mp4_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload, media_type) — synthesized fixture clips, one
+    Arrow pass (the same attach pattern as the image/audio columns)."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            ids = b[id_col].astype("int64")
+            yield pd.DataFrame({
+                id_col: ids,
+                "payload": [build_mp4(int(i)) for i in ids],
+                "media_type": "video/mp4",
+            })
+
+    return df.select(id_col).mapInPandas(_synth, schema=schema)
+
+
+def mp4_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Typed container metadata per clip — the schema a catalog of
+    100 TB of video needs before any decode is scheduled."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_keyframes", T.IntegerType()),
+        T.StructField("bitstream_bytes", T.LongType()),
+    ])
+
+    def _meta(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, payload in zip(b[id_col], b["payload"]):
+                m = parse_mp4(bytes(payload))
+                rows.append((
+                    int(i), m["brand"], m["codec"], m["width"],
+                    m["height"], m["duration_ms"], len(m["samples"]),
+                    sum(1 for s in m["samples"] if s[3]),
+                    sum(s[1] for s in m["samples"])))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(_meta, schema=schema)
+
+
+def mp4_keyframe_slices(df: DataFrame, id_col: str = "doc_id",
+                        every_k: int = 1) -> DataFrame:
+    """FRAME SAMPLING for real: every ``every_k``-th KEYFRAME's exact
+    bitstream bytes, sliced out of the payload by the sample table —
+    what a downstream GPU decode stage consumes. Decoding the bytes
+    to pixels stays a named gate (no codec in-container); the byte
+    plumbing, offsets, and timestamps are exact."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),   # 1-based sample no.
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("nbytes", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def _slices(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, payload in zip(b[id_col], b["payload"]):
+                p = bytes(payload)
+                m = parse_mp4(p)
+                keys = [(idx + 1, s) for idx, s in enumerate(m["samples"])
+                        if s[3]]
+                for j, (no, (off, sz, t_ms, _)) in enumerate(keys):
+                    if j % every_k:
+                        continue
+                    rows.append((int(i), no, t_ms, sz, p[off: off + sz]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(_slices, schema=schema)
+
+
+def decode_mp4_frame(frame: bytes) -> None:
+    """NAMED GATE: turning a sliced sample's bitstream into pixels
+    needs an H.264/H.265 decoder, which this container intentionally
+    lacks (no third-party codecs). The container layer above is real;
+    plug a decoder into the mapInPandas stage that consumes
+    :func:`mp4_keyframe_slices` output."""
+    raise NotImplementedError(
+        "video bitstream decode requires an external codec (e.g. "
+        "PyAV/ffmpeg) — not available in this environment; the "
+        "container/sample-table layer is fully implemented")

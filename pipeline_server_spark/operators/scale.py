@@ -613,6 +613,19 @@ def salted_equi_join(
     return l.join(r, on=[key, "_salt"], how=how).drop("_salt")
 
 
+def _snapshot_for_rewrite(table):
+    """The current snapshot as a full-rewrite input: with row tracking
+    on, the stable ids ride along materialized (physical
+    ``__row_id_mat`` column, stripped from the recorded logical schema
+    by the manifest writer) — OPTIMIZE must never change a row's
+    identity."""
+    if (getattr(table, "row_tracking_enabled", None)
+            and table.row_tracking_enabled()):
+        return table.read_with_row_ids().withColumnRenamed(
+            table.ROW_ID, table._ROWID_MAT)
+    return table.read()
+
+
 def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
                              bits: int = 16) -> int:
     """Delta-style ``OPTIMIZE ... ZORDER BY``: rewrite a
@@ -629,7 +642,7 @@ def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
     version). Returns the new version number. One range-partitioning
     shuffle on the Morton key — the honest cost of re-clustering; run
     it at the cadence ingest fragments the layout, not per batch."""
-    df = table.read()
+    df = _snapshot_for_rewrite(table)
     probe = df.agg(F.min(F.col(cols[0]).cast("double")).alias("m")).first()
     if probe["m"] is None:
         # empty snapshot (or all-null key column): nothing to cluster —
@@ -688,7 +701,7 @@ def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
     import os as _os
 
     cur = table.current_version()
-    df = table.read()
+    df = _snapshot_for_rewrite(table)
     pcols = list(partition_by)
     if not pcols and hasattr(table, "recorded_partition_by"):
         # omitting partition_by must PRESERVE a recorded hive layout,

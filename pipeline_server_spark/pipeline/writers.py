@@ -484,7 +484,8 @@ class VersionedTable:
                         schema=None, stats_cols=None, kind: str | None = None,
                         partition_by=None, bloom_cols=None,
                         cdf: bool = False, dir_renames=_INHERIT,
-                        dvs=_INHERIT, dir_specs=_INHERIT) -> None:
+                        dvs=_INHERIT, dir_specs=_INHERIT,
+                        row_bases=_INHERIT, row_floor: int = 0) -> None:
         import json
         import time
 
@@ -496,7 +497,15 @@ class VersionedTable:
                      "committed_at": time.time()}
         if schema is not None:
             # lets a version with ZERO data files (empty bootstrap
-            # batch) still answer read() with a typed empty DataFrame
+            # batch) still answer read() with a typed empty DataFrame.
+            # The materialized row-id column is PHYSICAL bookkeeping,
+            # never part of the logical schema — strip it so a
+            # compaction that wrote it can't leak it into reads.
+            if any(f.name == self._ROWID_MAT for f in schema.fields):
+                from pyspark.sql import types as T
+
+                schema = T.StructType(
+                    [f for f in schema.fields if f.name != self._ROWID_MAT])
             doc["schema"] = schema.json()
         if bloom_cols:
             # which columns the version's index carries point-lookup
@@ -559,6 +568,25 @@ class VersionedTable:
                          .get("dir_specs") if cur is not None else None)
         if dir_specs:
             doc["dir_specs"] = {d: list(c) for d, c in dir_specs.items()}
+        # row tracking: carried files keep their base (that IS the
+        # stability guarantee), new files allocate from the advancing
+        # watermark. The watermark inherits from the CURRENT version
+        # even on restore/clone (row_floor raises it further, never
+        # lowers) so no id is ever re-issued across the whole history.
+        cur = self.current_version()
+        cur_doc = (self._filelist_doc(cur) or {}) if cur is not None else {}
+        if row_bases is self._INHERIT:
+            row_bases = cur_doc.get("row_bases")
+        floor = max(int(cur_doc.get("row_watermark") or 0),
+                    int(row_floor or 0))
+        if self.row_tracking_enabled():
+            bm, wm = self._alloc_row_bases(target, entries, row_bases, floor)
+            doc["row_bases"] = bm
+            doc["row_watermark"] = wm
+        elif floor:
+            # tracking off: ids are discarded but the high-water mark
+            # rides along so a re-enable can never reuse one
+            doc["row_watermark"] = floor
         with open(os.path.join(target, self.FILELIST), "w") as f:
             json.dump(doc, f)
 
@@ -812,7 +840,8 @@ class VersionedTable:
     def _read_files(self, files: list[str], schema=None,
                     dir_renames: dict | None = None,
                     dvs: list[tuple[str, str]] | None = None,
-                    keep_lineage: bool = False) -> DataFrame:
+                    keep_lineage: bool = False,
+                    row_bases: dict | None = None) -> DataFrame:
         """Read an explicit list of ABSOLUTE data-file paths as one
         DataFrame: one ``basePath``-anchored scan per contributing
         version directory (hive partition columns resolve from the
@@ -842,7 +871,20 @@ class VersionedTable:
             head = f[: i + len(marker)]
             d = f[i + len(marker):].split(os.sep, 1)[0]
             groups.setdefault(os.path.join(head, d), []).append(f)
-        need_lineage = bool(dvs) or keep_lineage
+        need_lineage = bool(dvs) or keep_lineage or row_bases is not None
+        if row_bases is not None:
+            if schema is None:
+                raise ValueError(
+                    "row-id read needs the manifest schema (legacy "
+                    "pre-manifest versions have no row tracking)")
+            from pyspark.sql import types as T
+
+            # the materialized-id column joins the SCAN schema: files
+            # that physically carry it (rewritten by DML/OPTIMIZE)
+            # surface it, fresh files null-fill — per file, exactly
+            # the coalesce the id formula wants
+            schema = T.StructType(list(schema.fields) + [
+                T.StructField(self._ROWID_MAT, T.LongType())])
         parts = []
         for base, fs in sorted(groups.items()):
             dev = (dir_renames or {}).get(os.path.basename(base)) or {}
@@ -875,6 +917,23 @@ class VersionedTable:
                          & (F.col(self._DV_POS) == F.col("__dv_m_pos")),
                          "left_anti")
                    .drop("__dv_key"))
+        if row_bases is not None:
+            # stable row id: materialized wins (the row survived a
+            # rewrite), else base + physical position. The base map is
+            # manifest-sized — broadcast, so the scan's pushdown and
+            # partition pruning are untouched.
+            bm = self.spark.createDataFrame(
+                [(k, int(v)) for k, v in row_bases.items()],
+                "__rb_file string, __rb_base bigint")
+            out = (out.withColumn("__rb_key", self._dv_key_expr())
+                   .join(F.broadcast(bm),
+                         F.col("__rb_key") == F.col("__rb_file"), "left")
+                   .withColumn(self.ROW_ID,
+                               F.coalesce(
+                                   F.col(self._ROWID_MAT),
+                                   F.col("__rb_base") + F.col(self._DV_POS)))
+                   .drop("__rb_key", "__rb_file", "__rb_base",
+                         self._ROWID_MAT))
         if need_lineage and not keep_lineage:
             out = out.drop(self._DV_FILE, self._DV_POS)
         return out
@@ -2320,7 +2379,10 @@ class VersionedTable:
             dvs=doc.get("dvs"),
             # and its per-directory partition specs (restoring across
             # a spec evolution must read old dirs by their own spec)
-            dir_specs=doc.get("dir_specs"))
+            dir_specs=doc.get("dir_specs"),
+            # and its row-id bases — a row's id survives the rollback;
+            # the watermark still inherits from CURRENT (never reused)
+            row_bases=doc.get("row_bases"))
         src_idx = os.path.join(self._resolve_dir(version), "_index")
         if os.path.isdir(src_idx):
             # the restored version's index covers exactly its files —
@@ -2569,7 +2631,7 @@ class VersionedTable:
         os.replace(tmp, os.path.join(dest_root, self.CLONESOURCE))
         # table properties travel with the clone
         for prop in (self.BUCKETSPEC, self.CONSTRAINTS, self.CDFSPEC,
-                     self.DVSPEC):
+                     self.DVSPEC, self.ROWSPEC):
             src = os.path.join(self.root, prop)
             if os.path.exists(src):
                 shutil.copyfile(src, os.path.join(dest_root, prop))
@@ -2588,7 +2650,11 @@ class VersionedTable:
             # and its deletion vectors — a clone of a MOR-deleted
             # table must not resurrect the deleted rows
             dvs=doc.get("dvs"),
-            dir_specs=doc.get("dir_specs"))
+            dir_specs=doc.get("dir_specs"),
+            # row ids travel (inherited files keep them); the source's
+            # watermark floors the clone's so the fork can't re-issue
+            row_bases=doc.get("row_bases"),
+            row_floor=int(doc.get("row_watermark") or 0))
         src_idx = os.path.join(self._resolve_dir(v), "_index")
         if os.path.isdir(src_idx):
             shutil.copytree(src_idx, os.path.join(target, "_index"))
@@ -2672,10 +2738,16 @@ class VersionedTable:
         schema = self._filelist_schema(current)
         # masked read: compaction is the copy-on-write path that
         # MATERIALIZES deletion vectors away for the partitions it
-        # rewrites (their stale DV rows then match nothing)
+        # rewrites (their stale DV rows then match nothing) — and,
+        # with row tracking on, materializes the rewritten rows' ids
+        # so OPTIMIZE never changes a row's identity
+        row_bases = doc.get("row_bases")
         df = self._read_files(files, schema=schema,
                               dir_renames=self._dir_renames(current),
-                              dvs=self._filelist_dvs(current))
+                              dvs=self._filelist_dvs(current),
+                              row_bases=row_bases)
+        if row_bases is not None:
+            df = df.withColumnRenamed(self.ROW_ID, self._ROWID_MAT)
         total = sum(os.path.getsize(f) for f in files)
         if zorder_cols:
             # partition-scoped ZORDER WHERE: re-cluster ONLY the
@@ -2938,6 +3010,163 @@ class VersionedTable:
             os.remove(os.path.join(self.root, self.DVSPEC))
         except FileNotFoundError:
             pass
+
+    # -- row tracking (stable row IDs) ------------------------------------
+    ROWSPEC = "_rowtracking.json"
+    #: the PHYSICAL column a rewriting commit materializes preserved
+    #: row IDs into (Delta row tracking's materialized-row-id design):
+    #: internal — stripped from every recorded logical schema, pruned
+    #: by every plain read (the scan schema never names it)
+    _ROWID_MAT = "__row_id_mat"
+    #: the LOGICAL row-id column read_with_row_ids() exposes
+    ROW_ID = "_row_id"
+
+    def row_tracking_enabled(self) -> bool:
+        """Whether commits assign stable row IDs. Table-level property,
+        like deletion vectors / the CDF spec."""
+        import json
+
+        try:
+            with open(os.path.join(self.root, self.ROWSPEC)) as f:
+                return bool(json.load(f).get("enabled"))
+        except FileNotFoundError:
+            return False
+
+    def enable_row_tracking(self) -> int | None:
+        """Turn on STABLE ROW IDs (the public Delta 3.x row-tracking /
+        Iceberg row-lineage design): every data file gets a
+        ``base_row_id`` allocated from a monotone manifest watermark
+        (fresh row's id = base + parquet row position, O(files)
+        footer metadata at commit time, no data read), and rewriting
+        commits — copy-on-write DML, merge-on-read UPDATE,
+        OPTIMIZE / compaction — MATERIALIZE surviving rows' ids into a
+        physical ``__row_id_mat`` column so ``_row_id =
+        coalesce(materialized, base + position)`` is stable across
+        rewrites. :meth:`read_with_row_ids` exposes the column;
+        plain reads never see it (the scan schema prunes it).
+
+        Scope (documented, Delta has the same historical caveat):
+        partition-rewriting MERGE / CDC-apply paths assign FRESH ids
+        to every row of a rewritten partition — ids stay UNIQUE
+        (bases only ever come from the advancing watermark) but are
+        not preserved there; ``update_where`` / ``delete_where`` /
+        OPTIMIZE preserve.
+
+        On a table with existing data this publishes one metadata-only
+        backfill commit (no file copied) allocating bases for every
+        current file; returns its version (None for an empty table)."""
+        import json
+        import uuid
+
+        if self.file_format != "parquet":
+            raise ValueError(
+                "row tracking needs parquet data files (base allocation "
+                f"reads footer row counts); table is {self.file_format!r}")
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f".{self.ROWSPEC}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"enabled": True}, f)
+        os.replace(tmp, os.path.join(self.root, self.ROWSPEC))
+        current = self.current_version()
+        if current is None:
+            return None  # first commit allocates from watermark 0
+        doc = self._filelist_doc(current)
+        if doc is None:
+            raise ValueError(
+                "cannot enable row tracking on a legacy pre-manifest "
+                "version — commit once (or OPTIMIZE) first")
+        if doc.get("row_bases") is not None:
+            return current  # re-enable after disable: bases are live
+        version = current + 1
+        target = self._stage_dir(version)
+        os.makedirs(target, exist_ok=True)
+        self._write_filelist(
+            target, [tuple(e) for e in doc["files"]],
+            schema=self._filelist_schema(current),
+            stats_cols=doc.get("stats_cols"),
+            kind="row_tracking",
+            partition_by=doc.get("partition_by"),
+            bloom_cols=doc.get("bloom_cols"))
+        src_idx = os.path.join(self._resolve_dir(current), "_index")
+        if os.path.isdir(src_idx):
+            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        return self._publish(version, target,
+                             {"operation": "enable_row_tracking"})
+
+    def disable_row_tracking(self) -> None:
+        """Stop assigning row IDs on FUTURE commits. The next commit
+        drops the base map (existing ids are discarded) but CARRIES the
+        watermark, so a later re-enable can never re-issue an id."""
+        try:
+            os.remove(os.path.join(self.root, self.ROWSPEC))
+        except FileNotFoundError:
+            pass
+
+    def _alloc_row_bases(self, target: str, entries,
+                         prior: dict | None, floor: int
+                         ) -> tuple[dict, int]:
+        """Per-file ``base_row_id`` map for a commit's manifest: files
+        already based keep their base (stability); new files allocate
+        ``[watermark, watermark + num_rows)`` from parquet FOOTER
+        metadata (no data read — O(new files) local metadata I/Os,
+        the same order as writing the files). Keys are the DV-side
+        file identity (``<version-dir-basename>/<rel>``) so the read
+        join and the map can never disagree."""
+        import pyarrow.parquet as pq
+
+        prior = prior or {}
+        tbase = os.path.basename(target)
+        out: dict = {}
+        wm = int(floor)
+        for d, rel in entries:
+            key = f"{d}/{rel}"
+            if key in prior:
+                out[key] = prior[key]
+                continue
+            path = (os.path.join(target, rel) if d == tbase
+                    else self._abs_file((d, rel)))
+            out[key] = wm
+            wm += pq.ParquetFile(path).metadata.num_rows
+        return out, wm
+
+    def read_with_row_ids(self, version: int | None = None,
+                          tag: str | None = None,
+                          as_of: "float | _dt.datetime | None" = None
+                          ) -> DataFrame:
+        """Snapshot read PLUS the stable ``_row_id`` column (long):
+        ``coalesce(materialized id, base_row_id + row position)`` —
+        the id a row keeps across appends, DML (copy-on-write and
+        merge-on-read), and OPTIMIZE. Requires
+        :meth:`enable_row_tracking`."""
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of version / tag / as_of")
+        if tag is not None:
+            version = self.tag_version(tag)
+        if as_of is not None:
+            version = self.version_as_of(as_of)
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        doc = self._filelist_doc(v) or {}
+        rb = doc.get("row_bases")
+        if rb is None:
+            raise ValueError(
+                f"version {v} at {self.root} has no row-id bases — "
+                "call enable_row_tracking() (an existing table "
+                "backfills with one metadata-only commit)")
+        entries = [tuple(e) for e in doc["files"]]
+        schema = self._filelist_schema(v)
+        if not entries:
+            from pyspark.sql import types as T
+
+            empty = T.StructType(list(schema.fields) + [
+                T.StructField(self.ROW_ID, T.LongType())])
+            return self.spark.createDataFrame([], schema=empty)
+        return self._read_files([self._abs_file(e) for e in entries],
+                                schema=schema,
+                                dir_renames=self._dir_renames(v),
+                                dvs=self._filelist_dvs(v),
+                                row_bases=rb)
 
     def _filelist_dvs(self, version: int) -> list[tuple[str, str]]:
         """The version's live deletion-vector sidecar entries,
@@ -3278,9 +3507,15 @@ class VersionedTable:
 
         version = current + 1
         target = self._stage_dir(version)
+        # row tracking: surviving rows' ids MATERIALIZE into the
+        # rewritten files (physical __row_id_mat column) — that is the
+        # whole stability guarantee under copy-on-write
+        row_bases = doc.get("row_bases")
         keep = self._read_files(sorted(touched), schema=schema,
                                 dir_renames=self._dir_renames(current),
-                                dvs=cur_dvs)
+                                dvs=cur_dvs, row_bases=row_bases)
+        if row_bases is not None:
+            keep = keep.withColumnRenamed(self.ROW_ID, self._ROWID_MAT)
         if kind == "delete":
             rewritten = keep.where(~F.coalesce(predicate, F.lit(False)))
         else:
@@ -3303,7 +3538,11 @@ class VersionedTable:
             # a DML's change set needs NO join: the matching rows ARE
             # the deletes (pre-image) or updates (post-image) —
             # O(matched rows), derived straight from the touched files
-            matching = keep.where(F.coalesce(predicate, F.lit(False)))
+            # the feed's schema is the LOGICAL one — never the
+            # materialized row-id bookkeeping column
+            cdf_cols = [c for c in keep.columns if c != self._ROWID_MAT]
+            matching = (keep.where(F.coalesce(predicate, F.lit(False)))
+                        .select(*cdf_cols))
 
             def _tag(df_, ctype):
                 return df_.select(
@@ -3317,7 +3556,7 @@ class VersionedTable:
                 post = matching.select(*[
                     (assignments[c].cast(dict(keep.dtypes)[c]).alias(c))
                     if c in assignments else F.col(c)
-                    for c in keep.columns
+                    for c in cdf_cols
                 ])
                 # the feed's vocabulary is Delta's: an update is a
                 # pre-image/post-image row pair
@@ -3372,9 +3611,14 @@ class VersionedTable:
             return current
         version = current + 1
         target = self._stage_dir(version)
+        # row tracking: an UPDATE's post-image rows must carry their
+        # pre-image ids (materialized) — the DV masks the old position,
+        # so base+position alone would mint a fresh id
+        row_bases = doc.get("row_bases")
         src = self._read_files(candidates, schema=schema,
                                dir_renames=self._dir_renames(current),
-                               dvs=cur_dvs, keep_lineage=True)
+                               dvs=cur_dvs, keep_lineage=True,
+                               row_bases=row_bases)
         hit = F.coalesce(predicate, F.lit(False))
         matches = src.where(hit)
         # the DV sidecar is the match detection AND the commit payload:
@@ -3394,15 +3638,17 @@ class VersionedTable:
             self.fs.remove(target)
             return current
         data_cols = [c for c in src.columns
-                     if c not in (self._DV_FILE, self._DV_POS)]
+                     if c not in (self._DV_FILE, self._DV_POS, self.ROW_ID)]
         base = os.path.basename(target)
         new_entries: list[tuple[str, str]] = []
         if kind == "update":
             dtypes = dict(src.dtypes)
-            post = matches.select(*[
-                (assignments[c].cast(dtypes[c]).alias(c))
-                if c in assignments else F.col(c)
-                for c in data_cols])
+            post = matches.select(*(
+                [(assignments[c].cast(dtypes[c]).alias(c))
+                 if c in assignments else F.col(c)
+                 for c in data_cols]
+                + ([F.col(self.ROW_ID).alias(self._ROWID_MAT)]
+                   if row_bases is not None else [])))
             # append, not overwrite — the _dv sidecar already lives in
             # the stage directory
             w = post.write.mode("append")
@@ -3738,7 +3984,7 @@ class VersionedTable:
                 continue
             kind = self._commit_kind(v)
             if kind in ("rename_column", "drop_column",
-                        "partition_spec"):
+                        "partition_spec", "row_tracking"):
                 # metadata-only column-mapping commit: zero row
                 # changes by construction; steps before/after it keep
                 # their own versions' column names (the range union

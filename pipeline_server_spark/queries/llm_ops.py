@@ -837,6 +837,112 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_meta_py_oracle(sf_dir: str):
+    """Independent referee: the fixture clips' container facts in
+    CLOSED FORM (frame count / duration / keyframe cadence / byte
+    totals straight from the generator's arithmetic — no MP4 parsing
+    anywhere on the referee side)."""
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    rows = []
+    for d in ids:
+        n = 8 + d % 9
+        rows.append((
+            d, "avc1", 320, 240, n * 40, n, (n + 4) // 5,
+            sum(24 + (d * 31 + i * 7) % 33 for i in range(n))))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "codec", "width", "height", "duration_ms",
+        "n_samples", "n_keyframes", "bitstream_bytes"]).astype({
+            "doc_id": "int64", "width": "int32", "height": "int32",
+            "duration_ms": "int64", "n_samples": "int32",
+            "n_keyframes": "int32", "bitstream_bytes": "int64"})
+
+
+@query("video_container_metadata", oracle_py=_video_meta_py_oracle)
+# no SQL oracle: ISO-BMFF box walking is not SQL-expressible; the
+# closed-form referee goes through the same rows+schema+hash gate
+def video_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO CONTAINER cataloging (round 10): parse each clip's
+    ISO-BMFF (MP4) structure — brand, codec fourcc, track dimensions,
+    duration, sample/keyframe counts, bitstream bytes — in one Arrow
+    pass over the payload column (stdlib box parser,
+    :mod:`...operators.mp4`), the metadata layer a 100 TB video corpus
+    needs BEFORE any decode is scheduled (pixel decode stays a named
+    gate; the container math is real and referee-pinned). The fixture
+    clips are spec-shaped MP4s: ftyp + chunked mdat + full
+    stsd/stts/stsc/stsz/stco/stss sample tables."""
+    from pipeline_server_spark.operators.mp4 import (
+        attach_mp4_payload, mp4_metadata)
+
+    d = load_table(spark, sf_dir, "documents")
+    return (mp4_metadata(attach_mp4_payload(d))
+            .select("doc_id", "codec", "width", "height", "duration_ms",
+                    "n_samples", "n_keyframes", "bitstream_bytes")
+            .orderBy("doc_id"))
+
+
+def _video_keyframe_py_oracle(sf_dir: str):
+    """Independent referee for frame extraction: expected keyframe
+    numbers, timestamps, lengths, and CRC32s regenerated from the
+    frame generator's closed form — if the parser's stsc/stco/stsz
+    offset math is off by one byte anywhere, the CRC mismatches."""
+    import zlib
+
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+
+    def fb(d, i):
+        n = 24 + (d * 31 + i * 7) % 33
+        x = (d * 1_000_003 + i * 97 + 1) % (1 << 32)
+        out = bytearray()
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % (1 << 32)
+            out.append((x >> 16) & 0xFF)
+        return bytes(out)
+
+    rows = []
+    for d in ids:
+        n = 8 + d % 9
+        for i in range(0, n, 5):  # keyframe cadence
+            b = fb(d, i)
+            rows.append((d, i + 1, i * 40, len(b), zlib.crc32(b)))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "frame_idx", "t_ms", "nbytes", "crc"]).astype({
+            "doc_id": "int64", "frame_idx": "int32", "t_ms": "int64",
+            "nbytes": "int32", "crc": "int64"})
+
+
+@query("video_keyframe_extraction", oracle_py=_video_keyframe_py_oracle)
+# no SQL oracle: sample-table expansion is not SQL-expressible; the
+# closed-form CRC referee goes through the same rows+schema+hash gate
+def video_keyframe_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO FRAME SAMPLING for real (round 10): slice every
+    keyframe's exact bitstream bytes out of each clip by expanding the
+    ISO-BMFF sample tables (stsc runs × stco chunk offsets + stsz
+    prefix sums — :func:`...operators.mp4.mp4_keyframe_slices`), the
+    stage that feeds a downstream GPU decoder at 100 TB without
+    decoding in-pipeline. The byte plumbing is verified end-to-end:
+    the result carries each frame's JVM-side ``crc32``, matched
+    bit-for-bit against a referee that regenerates the frames from
+    the generator's closed form WITHOUT touching a container."""
+    from pipeline_server_spark.operators.mp4 import (
+        attach_mp4_payload, mp4_keyframe_slices)
+
+    d = load_table(spark, sf_dir, "documents")
+    return (mp4_keyframe_slices(attach_mp4_payload(d))
+            .select("doc_id", "frame_idx", "t_ms", "nbytes",
+                    F.crc32(F.col("frame")).alias("crc"))
+            .orderBy("doc_id", "frame_idx"))
+
+
 @query(
     "ann_ivf_pq_knn_join",
     oracle="""

@@ -307,6 +307,75 @@ def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shuffle_shard_manifest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents),
+    h AS (
+      SELECT doc_id, skey,
+             ('0x' || substr(skey, 1, 12))::BIGINT AS hkey,
+             CAST(('0x' || substr(skey, 1, 6))::BIGINT % 8 AS INT) AS shard
+      FROM t)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY hkey, skey, doc_id) - 1
+             AS BIGINT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+)
+def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded GLOBAL-SHUFFLE shard manifest — the training-order step
+    of a data pipeline: every document gets a deterministic
+    pseudo-random key (md5 of seed:doc_id — no RNG, so the plan is
+    reproducible across engines, reruns, and retries), a shard by
+    uniform hash bucket (16^6 % n_shards == 0 for power-of-two shard
+    counts: exactly uniform), and a 0-based position within its shard
+    in key order. Reading shards round-robin by position replays one
+    fixed global permutation — the property distributed training
+    loaders need (each worker takes a shard; epoch order is the
+    interleave).
+
+    Scale shape: shard ASSIGNMENT is pure hashing (no global sort, no
+    shuffle beyond the final order), and the within-shard position is
+    :func:`~...operators.scale.grouped_prefix_sum` of 1 — the
+    two-level grouped scan, NOT ``ROW_NUMBER() OVER (PARTITION BY
+    shard)`` whose per-shard window serializes ~1/n_shards of the
+    corpus through a single task. At 100 TB with 1024 shards each
+    shard's line is built by ~buckets parallel tasks.
+
+    Reference anchor: the reference shuffles only via warehouse
+    ``ORDER BY random()`` at load time (DataPuller.scala:36-235 has no
+    deterministic-order concept); this is the reproducible-permutation
+    upgrade a training pipeline requires."""
+    from pipeline_server_spark.operators.scale import grouped_prefix_sum
+
+    n_shards = 8
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+        .alias("skey"),
+    ).select(
+        "doc_id",
+        "skey",
+        F.conv(F.substring("skey", 1, 12), 16, 10).cast("bigint")
+        .alias("hkey"),
+        (F.conv(F.substring("skey", 1, 6), 16, 10).cast("bigint")
+         % n_shards).cast("int").alias("shard"),
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    return (
+        grouped_prefix_sum(d, "shard", ["hkey", "skey", "doc_id"], "_one",
+                           out="_cum")
+        .select("doc_id", "shard",
+                (F.col("_cum") - F.lit(1)).cast("bigint").alias("pos"))
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
     "corpus_curation_pipeline",
     oracle="""
     WITH RECURSIVE q0 AS (

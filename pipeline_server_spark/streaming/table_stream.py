@@ -343,7 +343,8 @@ class _VersionedTableStreamReader(DataSourceStreamReader):
         op = _meta_operation(self.root, v)
         if isinstance(op, str) and op.startswith("optimize_"):
             return []  # layout maintenance: zero row changes
-        if kind in ("rename_column", "drop_column", "partition_spec"):
+        if kind in ("rename_column", "drop_column", "partition_spec",
+                    "row_tracking"):
             return []  # metadata-only: zero row changes
         if self.read_change_feed and doc.get("cdf"):
             # the commit materialized its row-level diff at commit

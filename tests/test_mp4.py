@@ -1,0 +1,102 @@
+"""ISO-BMFF container plumbing (round 10): writer/parser round-trip
+byte-exactness, sample-table edge shapes, malformed-input rejection,
+and the Spark faces (metadata catalog + keyframe slicing).
+
+Reference anchor: the reference only byte-passes media
+(DatasetService.scala's object-copy path); the container layer is the
+beyond-reference surface a video curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pipeline_server_spark.operators.mp4 import (
+    _CHUNK_SAMPLES, _FRAME_DELTA, _SYNC_EVERY, attach_mp4_payload,
+    build_mp4, decode_mp4_frame, frame_bytes, frame_count,
+    mp4_keyframe_slices, mp4_metadata, parse_mp4)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("doc_id", [0, 1, 4, 8, 9, 16, 17, 123, 5029])
+    def test_every_sample_byte_exact(self, doc_id):
+        p = build_mp4(doc_id)
+        m = parse_mp4(p)
+        n = frame_count(doc_id)
+        assert m["codec"] == "avc1"
+        assert (m["width"], m["height"]) == (320, 240)
+        assert m["duration_ms"] == n * _FRAME_DELTA
+        assert len(m["samples"]) == n
+        for i, (off, sz, t_ms, sync) in enumerate(m["samples"]):
+            assert p[off:off + sz] == frame_bytes(doc_id, i)
+            assert t_ms == i * _FRAME_DELTA
+            assert sync == (i % _SYNC_EVERY == 0)
+
+    def test_chunking_actually_varies(self):
+        # the fixture set must exercise both multi-chunk and
+        # tail-chunk stsc shapes, or the round trip proves nothing
+        counts = {frame_count(d) % _CHUNK_SAMPLES for d in range(20)}
+        assert len(counts) > 1
+
+
+class TestMalformed:
+    def test_truncated_box_rejects(self):
+        p = build_mp4(3)
+        with pytest.raises(ValueError, match="malformed|not an ISO"):
+            parse_mp4(p[: len(p) - 10])
+
+    def test_garbage_rejects(self):
+        with pytest.raises(ValueError):
+            parse_mp4(b"\x00" * 64)
+
+    def test_undersized_box_rejects(self):
+        bad = struct.pack(">I", 4) + b"ftyp"
+        with pytest.raises(ValueError, match="malformed"):
+            parse_mp4(bad + b"\x00" * 16)
+
+    def test_audio_only_track_rejects(self):
+        p = bytearray(build_mp4(2))
+        i = p.find(b"vide")
+        p[i:i + 4] = b"soun"
+        with pytest.raises(ValueError, match="no video track"):
+            parse_mp4(bytes(p))
+
+    def test_decode_is_a_named_gate(self):
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_mp4_frame(b"\x01\x02")
+
+
+class TestSparkFaces:
+    def test_metadata_catalog(self, spark):
+        df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+        got = {r["doc_id"]: r for r in
+               mp4_metadata(attach_mp4_payload(df)).collect()}
+        assert len(got) == 30
+        for d, r in got.items():
+            n = frame_count(d)
+            assert r["n_samples"] == n
+            assert r["n_keyframes"] == (n + _SYNC_EVERY - 1) // _SYNC_EVERY
+            assert r["bitstream_bytes"] == sum(
+                len(frame_bytes(d, i)) for i in range(n))
+
+    def test_keyframe_slices_and_stride(self, spark):
+        df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+        rows = mp4_keyframe_slices(attach_mp4_payload(df)).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r["frame_idx"])
+            expect = list(range(0, frame_count(d), _SYNC_EVERY))
+            assert [r["frame_idx"] - 1 for r in rs] == expect
+            for r in rs:
+                assert bytes(r["frame"]) == frame_bytes(d, r["frame_idx"] - 1)
+        # stride: every 2nd keyframe
+        rows2 = mp4_keyframe_slices(
+            attach_mp4_payload(df), every_k=2).collect()
+        for r in rows2:
+            ks = list(range(0, frame_count(r["doc_id"]), _SYNC_EVERY))
+            kept = ks[::2]
+            assert r["frame_idx"] - 1 in kept

@@ -1,0 +1,247 @@
+"""Row tracking — stable row IDs (the public Delta 3.x row-tracking /
+Iceberg row-lineage design), re-expressed on the VersionedTable
+manifest: ``enable_row_tracking()`` allocates a ``base_row_id`` per
+data file from a monotone manifest watermark (parquet footer row
+counts — no data read), exposes ``_row_id = coalesce(materialized,
+base + row position)`` through ``read_with_row_ids()``, and every
+in-place rewrite path (copy-on-write DML, merge-on-read UPDATE,
+OPTIMIZE / compaction / ZORDER) MATERIALIZES surviving rows' ids into
+a physical ``__row_id_mat`` column so identity survives the rewrite.
+
+Documented scope: partition-rewriting MERGE / CDC-apply assign FRESH
+ids to rewritten partitions' rows — unique (bases only ever come off
+the advancing watermark), not preserved.
+
+Reference anchor: the reference has no row-identity concept (its DML
+is warehouse SQL, RedshiftLoader.scala:149-184); this is the
+lakehouse feature CDC/audit consumers key on at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.scale import (
+    optimize_compact_snapshot, optimize_zorder_snapshot)
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+def _ids(t, version=None):
+    """{k: _row_id} of a snapshot."""
+    rows = t.read_with_row_ids(version=version).select("k", "_row_id") \
+        .collect()
+    out = {}
+    for r in rows:
+        assert r["k"] not in out, f"duplicate key {r['k']} in snapshot"
+        out[r["k"]] = r["_row_id"]
+    return out
+
+
+def _mk(spark, path, n=200, parts=4, dv=False, partitioned=False):
+    t = VersionedTable(spark, str(path))
+    if dv:
+        t.enable_deletion_vectors()
+    t.enable_row_tracking()
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("p"),
+        (F.col("id") * 2).alias("v"))
+    if partitioned:
+        t.commit(df, partition_by=("p",))
+    else:
+        t.commit(df.repartition(parts), stats_cols=("k",))
+    return t
+
+
+class TestAssignment:
+    def test_fresh_ids_dense_and_unique(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "a1")
+        ids = _ids(t)
+        assert len(ids) == 200
+        assert sorted(ids.values()) == list(range(200))
+
+    def test_append_extends_watermark(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "a2")
+        before = _ids(t)
+        t.commit_append(spark.range(500, 520).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("p"),
+            (F.col("id") * 2).alias("v")))
+        after = _ids(t)
+        for k, i in before.items():
+            assert after[k] == i, "existing rows keep their id on append"
+        new_ids = [after[k] for k in range(500, 520)]
+        assert min(new_ids) >= 200, "fresh ids come from past the watermark"
+        assert len(set(after.values())) == len(after)
+
+    def test_plain_read_never_sees_the_columns(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "a3")
+        t.delete_where(F.col("k") == 5)  # forces a materialized rewrite
+        cols = set(t.read().columns)
+        assert "_row_id" not in cols and "__row_id_mat" not in cols
+
+    def test_requires_enable(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "a4"))
+        t.commit(spark.range(3).select(F.col("id").alias("k")))
+        with pytest.raises(ValueError, match="enable_row_tracking"):
+            t.read_with_row_ids()
+
+    def test_enable_backfills_existing_table(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "a5"))
+        t.commit(spark.range(10).select(F.col("id").alias("k")))
+        v = t.enable_row_tracking()
+        assert v == 2
+        meta = t.commit_metadata(v)
+        assert meta["operation"] == "enable_row_tracking"
+        ids = _ids(t)
+        assert sorted(ids.values()) == list(range(10))
+
+
+class TestDmlPreservation:
+    @pytest.mark.parametrize("dv", [False, True],
+                             ids=["copy_on_write", "merge_on_read"])
+    def test_delete_preserves_survivors(self, spark, tmp_path, dv):
+        t = _mk(spark, tmp_path / f"d_{dv}", dv=dv)
+        before = _ids(t)
+        t.delete_where((F.col("k") >= 50) & (F.col("k") < 60))
+        after = _ids(t)
+        assert set(after) == set(range(200)) - set(range(50, 60))
+        for k, i in after.items():
+            assert i == before[k], f"survivor {k} changed id"
+
+    @pytest.mark.parametrize("dv", [False, True],
+                             ids=["copy_on_write", "merge_on_read"])
+    def test_update_preserves_updated_rows(self, spark, tmp_path, dv):
+        t = _mk(spark, tmp_path / f"u_{dv}", dv=dv)
+        before = _ids(t)
+        t.update_where(F.col("k") < 20, {"v": F.col("v") + 1000})
+        after = _ids(t)
+        assert after == before, "an update changes values, never identity"
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got[3] == 1006 and got[100] == 200
+
+    def test_delete_then_update_then_delete(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "seq", dv=True)
+        before = _ids(t)
+        t.delete_where(F.col("k") == 7)
+        t.update_where(F.col("k") == 8, {"v": F.lit(-1)})
+        t.disable_deletion_vectors()
+        t.delete_where(F.col("k") == 9)  # CoW over the MOR history
+        after = _ids(t)
+        assert set(before) - set(after) == {7, 9}
+        for k, i in after.items():
+            assert i == before[k]
+
+
+class TestMaintenancePreservation:
+    def test_full_compaction_preserves(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "m1", dv=True)
+        t.delete_where(F.col("k") % 17 == 0)
+        before = _ids(t)
+        optimize_compact_snapshot(t, target_file_bytes=1 << 20)
+        assert _ids(t) == before
+        # and the debt is actually paid down
+        assert t.dv_debt()["dv_files"] == 0
+
+    def test_zorder_preserves(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "m2")
+        before = _ids(t)
+        optimize_zorder_snapshot(t, ["k"], num_files=4)
+        assert _ids(t) == before
+
+    def test_partition_compaction_preserves(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "m3", partitioned=True)
+        # fragment two partitions
+        for start in (1000, 1100):
+            t.commit_append(spark.range(start, start + 10).select(
+                F.col("id").alias("k"), (F.col("id") % 2).alias("p"),
+                (F.col("id") * 2).alias("v")), partition_by=("p",))
+        before = _ids(t)
+        v = t.compact_partitions(prefixes=["p=0", "p=1"])
+        assert t.commit_metadata(v)["rewritten_files"] > 0
+        assert _ids(t) == before
+
+
+class TestHistoryFaces:
+    def test_time_travel_sees_old_ids(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "h1")
+        v1 = t.current_version()
+        before = _ids(t)
+        t.delete_where(F.col("k") < 100)
+        old = _ids(t, version=v1)
+        assert old == before
+
+    def test_restore_preserves_and_never_reuses(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "h2")
+        v1 = t.current_version()
+        before = _ids(t)
+        t.delete_where(F.col("k") >= 100)
+        t.restore(v1)
+        assert _ids(t) == before
+        t.commit_append(spark.range(900, 905).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("p"),
+            (F.col("id") * 2).alias("v")))
+        after = _ids(t)
+        fresh = [after[k] for k in range(900, 905)]
+        assert min(fresh) >= 200, \
+            "post-restore appends mint ids past the all-history watermark"
+        assert len(set(after.values())) == len(after)
+
+    def test_clone_carries_ids_and_watermark(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "h3")
+        before = _ids(t)
+        c = t.clone_to(str(tmp_path / "h3_clone"))
+        assert _ids(c) == before
+        c.commit_append(spark.range(700, 703).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("p"),
+            (F.col("id") * 2).alias("v")))
+        after = _ids(c)
+        assert min(after[k] for k in range(700, 703)) >= 200
+        assert len(set(after.values())) == len(after)
+
+    def test_merge_mints_unique_ids(self, spark, tmp_path):
+        # documented scope: a partition-rewriting merge does NOT
+        # preserve rewritten rows' ids — but ids stay unique
+        t = _mk(spark, tmp_path / "h4", partitioned=True)
+        src = spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("p"),
+            F.lit(-5).alias("v"))
+        t.commit_merge_partitioned(src, keys=["k"], partition_by=("p",))
+        ids = _ids(t)
+        assert len(set(ids.values())) == len(ids) == 200
+
+    def test_disable_keeps_watermark(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "h5")
+        t.disable_row_tracking()
+        t.commit_append(spark.range(300, 310).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("p"),
+            (F.col("id") * 2).alias("v")))
+        with pytest.raises(ValueError, match="enable_row_tracking"):
+            t.read_with_row_ids()
+        t.enable_row_tracking()
+        ids = _ids(t)
+        # old ids were discarded on the disabled commit; the re-enable
+        # must still never re-issue one
+        assert min(ids.values()) >= 200
+        assert len(set(ids.values())) == len(ids) == 210
+
+
+class TestStreamAndFeedUnaffected:
+    def test_changes_range_skips_the_backfill_commit(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "s1"))
+        t.commit_append(spark.range(5).select(F.col("id").alias("k")))
+        t.enable_row_tracking()
+        t.commit_append(spark.range(5, 8).select(F.col("id").alias("k")))
+        feed = t.changes_range(["k"], v_from=1)
+        got = sorted(r["k"] for r in feed.collect())
+        assert got == [5, 6, 7]
+        assert "__row_id_mat" not in feed.columns
+
+    def test_cdf_excludes_bookkeeping_column(self, spark, tmp_path):
+        t = _mk(spark, tmp_path / "s2")
+        t.enable_change_feed(["k"])
+        v = t.update_where(F.col("k") == 3, {"v": F.lit(0)})
+        ch = spark.read.parquet(
+            str(tmp_path / "s2" / "_versions") + f"/v{v:08d}/_changes")
+        assert "__row_id_mat" not in ch.columns
+        assert sorted(set(r["_change_type"] for r in ch.collect())) == [
+            "update_postimage", "update_preimage"]
