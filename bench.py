@@ -114,6 +114,20 @@ HEADLINE = [
     # hash Arrow pass feeding the Hamming-ball chunk join; regression
     # here means the decode stopped batching or the join went all-pairs
     "image_near_dup_pairs",
+    # round-10: acoustic-fingerprint dedup — the audio twin (WAV PCM
+    # decode + energy-envelope sign hash + the same chunk join)
+    "audio_near_dup_pairs",
+    # round-10: domain-mixture token-budget fill — grouped two-level
+    # prefix sum; regression means the per-source cumulative line
+    # fell back to a single-task window
+    "mixture_sample_documents",
+    # round-10: seeded global-shuffle shard manifest — hashing +
+    # grouped prefix-sum of 1; the training-order step
+    "shuffle_shard_manifest",
+    # round-10: ISO-BMFF keyframe slicing — per-payload container
+    # parse + sample-table expansion in one Arrow pass; regression
+    # means the parse stopped batching
+    "video_keyframe_extraction",
 ]
 
 

@@ -402,3 +402,144 @@ def test_engine_sql_merge_dispatch(spark, tmp_path):
         eng.sql("MERGE INTO mrg_f d USING mrg_src2 s ON d.k = s.v "
                 "WHEN MATCHED THEN UPDATE SET * "
                 "WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_engine_sql_maintenance_dispatch(spark, tmp_path):
+    """Round 10: engine.sql routes OPTIMIZE / VACUUM / RESTORE /
+    DESCRIBE HISTORY to the versioned maintenance surface — the same
+    lock + commit protocol as the REST face."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlmaint")
+    cfg = DatasetConfig(
+        name="sqlmaint",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("p", "int"),
+                    SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True,
+                                      partition_by=("p",)),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 4).cast("int").alias("p"),
+            (F.col("id") * 2).cast("int").alias("v"))
+
+    t.commit(batch(0, 400), partition_by=("p",))
+    for lo in (400, 500, 600):
+        t.commit_append(batch(lo, lo + 100), partition_by=("p",))
+
+    # DESCRIBE HISTORY: one row per live version, kind recorded
+    hist = eng.sql("DESCRIBE HISTORY sqlmaint").collect()
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert hist[1]["kind"] == "append"
+
+    # OPTIMIZE WHERE: partition-scoped compaction, others carried
+    out = eng.sql("OPTIMIZE sqlmaint WHERE p = 0").collect()[0]
+    assert out["compacted"] is True
+    meta = t.commit_metadata(out["version"])
+    assert meta["partitions"] == 1 and meta["carried_files"] > 0
+
+    # a WHERE on a non-layout column rejects by name
+    with pytest.raises(ValueError, match="prefix of the partition"):
+        eng.sql("OPTIMIZE sqlmaint WHERE v = 3")
+
+    # OPTIMIZE ZORDER BY: re-cluster + skipping index
+    out = eng.sql("OPTIMIZE sqlmaint ZORDER BY (id)").collect()[0]
+    assert out["operation"] == "optimize_zorder"
+    assert t.stats_cols(out["version"]) == ["id"]
+
+    # bare OPTIMIZE: full bin-packing compaction
+    out = eng.sql("OPTIMIZE sqlmaint").collect()[0]
+    assert out["operation"] == "optimize_compact"
+    assert t.read().count() == 700
+
+    # RESTORE ... TO VERSION AS OF
+    v_before = t.current_version()
+    out = eng.sql(
+        f"RESTORE TABLE sqlmaint TO VERSION AS OF {v_before - 1}"
+    ).collect()[0]
+    assert out["restored_version"] == v_before - 1
+    assert t.current_version() == v_before + 1
+
+    # VACUUM RETAIN n VERSIONS: old versions' files reclaimed
+    removed = eng.sql("VACUUM sqlmaint RETAIN 2 VERSIONS").collect()
+    assert [r["removed_version"] for r in removed]
+    with pytest.raises(Exception):
+        t.read(version=1).count()
+    assert t.read().count() == 700
+
+    # the zorder/restore chain left a flat layout: a WHERE now names
+    # the honest remediation instead of compacting the whole table
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        eng.sql("OPTIMIZE sqlmaint WHERE p = 0")
+
+    # statements naming unregistered tables fall through to spark.sql
+    with pytest.raises(Exception):
+        eng.sql("DESCRIBE HISTORY not_registered_anywhere")
+
+
+def test_engine_sql_alter_table_dispatch(spark, tmp_path):
+    """Round 10: engine.sql routes ALTER TABLE clauses (column
+    mapping, constraints, partition-spec evolution) to the same
+    control-plane methods as the REST face."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import (
+        ConstraintViolationError, VersionedTable)
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlalter")
+    cfg = DatasetConfig(
+        name="sqlalter",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.commit(spark.range(0, 50).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("int").alias("v")))
+
+    out = eng.sql("ALTER TABLE sqlalter RENAME COLUMN v TO val") \
+        .collect()[0]
+    assert out["operation"] == "rename_column" and out["version"] == 2
+    assert t.read().where("val = 4").count() == 1  # metadata-only, O(1)
+
+    out = eng.sql(
+        "ALTER TABLE sqlalter ADD CONSTRAINT positive CHECK (val >= 0)"
+    ).collect()[0]
+    assert out["operation"] == "add_constraint"
+    with pytest.raises(ConstraintViolationError):
+        t.commit_append(spark.createDataFrame(
+            [(99, -1)], "id int, val int"))
+
+    eng.sql("ALTER TABLE sqlalter DROP CONSTRAINT positive")
+    eng.sql("ALTER TABLE sqlalter ALTER COLUMN id SET NOT NULL")
+    assert t.constraints()["not_null"] == ["id"]
+    eng.sql("ALTER TABLE sqlalter ALTER COLUMN id DROP NOT NULL")
+    assert t.constraints()["not_null"] == []
+
+    out = eng.sql("ALTER TABLE sqlalter DROP COLUMN val").collect()[0]
+    assert out["operation"] == "drop_column"
+    assert "val" not in t.read().columns
+
+    out = eng.sql("ALTER TABLE sqlalter SET PARTITION SPEC (id)") \
+        .collect()[0]
+    assert out["operation"] == "set_partition_spec"
+    assert t.recorded_partition_by(t.current_version()) == ["id"]
+
+    # unknown clause rejects by name with remediation
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        eng.sql("ALTER TABLE sqlalter CLUSTER BY (id)")

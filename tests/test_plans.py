@@ -265,6 +265,7 @@ def test_registry_wide_no_unbounded_nested_loops(spark):
         "vocab_coverage_topk",
         "customer_rfm_segments",  # broadcast MAX(o_orderdate) scalar
         "pps_systematic_sample",  # broadcast SUM(n_tokens) 1-row total
+        "mixture_sample_documents",  # broadcast SUM(n_tokens) 1-row total
         "bigram_lm_surprisal",  # broadcast COUNT(DISTINCT token) scalar
         "doc_kl_divergence",  # broadcast SUM(g) 1-row corpus total
     }
