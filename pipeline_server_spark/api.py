@@ -316,7 +316,9 @@ class PipelineApiServer:
                 (name,) = need("name")
                 return 200, self.engine.scan_rows(
                     name, where=q.get("where"),
-                    limit=int(q.get("limit", 100)))
+                    limit=int(q.get("limit", 100)),
+                    with_row_ids=q.get(
+                        "with_row_ids", "false").lower() == "true")
             if method == "POST" and path == "/dataset/rename-column":
                 name, old, new = need("name", "from", "to")
                 return 200, self.engine.rename_column(name, old, new)
@@ -361,6 +363,15 @@ class PipelineApiServer:
                 name, by = need("name", "by")
                 cols = [c for c in by.split(",") if c]
                 return 200, self.engine.set_partition_spec(name, cols)
+            if method == "POST" and path == "/dataset/vacuum":
+                (name,) = need("name")
+                return 200, self.engine.vacuum(
+                    name, keep=int(q.get("keep", 2)))
+            if method == "POST" and path == "/dataset/row-tracking":
+                (name,) = need("name")
+                if q.get("enabled", "true").lower() == "false":
+                    return 200, self.engine.disable_row_tracking(name)
+                return 200, self.engine.enable_row_tracking(name)
             if method == "POST" and path == "/dataset/deletion-vectors":
                 (name,) = need("name")
                 if q.get("enabled", "true").lower() == "false":

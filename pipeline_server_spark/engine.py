@@ -428,21 +428,26 @@ class Engine:
         return "/".join(f"{c}={vals[c]}" for c in layout[:k])
 
     def scan_rows(self, name: str, where: str | None = None,
-                  limit: int = 100) -> dict[str, Any]:
+                  limit: int = 100,
+                  with_row_ids: bool = False) -> dict[str, Any]:
         """GET /dataset/rows — a bounded predicate scan over a
         versioned dataset, served through the round-9 derived-envelope
         read path (:meth:`VersionedTable.read_where`): manifest
         partition pruning + stats/Bloom skipping + exact residual, so
         an indexed point probe over the control plane opens a handful
         of files, not the table. ``limit`` caps the JSON payload
-        (bounded driver traffic by construction)."""
+        (bounded driver traffic by construction). ``with_row_ids``
+        adds the stable ``_row_id`` column (round 10 — requires row
+        tracking on the dataset): the audit/GDPR point-lookup face."""
         if limit < 1 or limit > 10_000:
             raise ValueError("limit must be in [1, 10000]")
         table, _ = self._versioned_table(name)
         if where:
-            df, files_read, files_total = table.read_where(where)
+            df, files_read, files_total = table.read_where(
+                where, with_row_ids=with_row_ids)
         else:
-            df = table.read()
+            df = (table.read_with_row_ids() if with_row_ids
+                  else table.read())
             files_read = files_total = len(
                 table._entries_for_version(table.current_version()))
         rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
@@ -543,6 +548,23 @@ class Engine:
         table, _ = self._versioned_table(name)
         table.disable_deletion_vectors()
         return {"deletion_vectors": False}
+
+    def enable_row_tracking(self, name: str) -> dict[str, Any]:
+        """Turn on STABLE ROW IDs for the dataset
+        (VersionedTable.enable_row_tracking, round 10): an existing
+        table backfills per-file bases with one metadata-only commit
+        under the destination lock; thereafter ids survive DML and
+        OPTIMIZE, and GET /dataset/rows?with_row_ids=true serves
+        them."""
+        table, dest = self._versioned_table(name)
+        with self._dest_lock(dest.path):
+            version = table.enable_row_tracking()
+        return {"row_tracking": True, "backfill_version": version}
+
+    def disable_row_tracking(self, name: str) -> dict[str, Any]:
+        table, _ = self._versioned_table(name)
+        table.disable_row_tracking()
+        return {"row_tracking": False}
 
     def clone_dataset(self, name: str, dest_path: str,
                       version: int | None = None) -> dict[str, Any]:

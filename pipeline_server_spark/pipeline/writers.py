@@ -3762,7 +3762,9 @@ class VersionedTable:
         return len({e[0] for e in self._entries_for_version(v)})
 
     def read_where(self, predicate,
-                   version: int | None = None) -> tuple[DataFrame, int, int]:
+                   version: int | None = None,
+                   with_row_ids: bool = False
+                   ) -> tuple[DataFrame, int, int]:
         """Predicate read with AUTOMATIC file skipping — the READ
         counterpart of the round-9 DML derivation: the envelope
         (bounds/points) derives from the predicate itself
@@ -3773,12 +3775,22 @@ class VersionedTable:
         the stats/Bloom index when one exists, and the EXACT predicate
         re-applies as the residual filter. ``predicate`` is a Column
         or a SQL string. Returns ``(df, files_read, files_total)``
-        like :meth:`read_pruned`."""
+        like :meth:`read_pruned`. ``with_row_ids`` adds the stable
+        ``_row_id`` column (requires :meth:`enable_row_tracking`) —
+        the pruned point-lookup face an audit/GDPR consumer keys on:
+        'which row ids match this predicate' without a table scan."""
         if isinstance(predicate, str):
             predicate = F.expr(predicate)
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        row_bases = None
+        if with_row_ids:
+            row_bases = (self._filelist_doc(v) or {}).get("row_bases")
+            if row_bases is None:
+                raise ValueError(
+                    f"version {v} at {self.root} has no row-id bases — "
+                    "call enable_row_tracking() first")
         from pipeline_server_spark.pipeline.predicate_envelope import (
             derive_envelope)
 
@@ -3805,10 +3817,13 @@ class VersionedTable:
             pick = set(picked)
             files = [f for f in files if f in pick]
         if not files:
-            return (self.read(v).where(F.lit(False)), 0, total)
+            empty = (self.read_with_row_ids(v) if with_row_ids
+                     else self.read(v))
+            return (empty.where(F.lit(False)), 0, total)
         df = self._read_files(files, schema=schema,
                               dir_renames=self._dir_renames(v),
-                              dvs=self._filelist_dvs(v))
+                              dvs=self._filelist_dvs(v),
+                              row_bases=row_bases)
         return df.where(predicate), len(files), total
 
     def _prune_entries_by_partition(self, entries, bounds: dict,

@@ -872,3 +872,62 @@ def test_rest_rows_scan_prunes_through_derived_envelope(spark, server):
     status, out = _call(
         srv.port, "GET", "/dataset/rows?name=api_rows&limit=3")
     assert status == 200 and out["n"] == 3
+
+
+def test_rest_row_tracking_and_vacuum(spark, server):
+    """Round 10: POST /dataset/row-tracking + GET
+    /dataset/rows?with_row_ids=true (stable ids survive DML over the
+    control plane) and POST /dataset/vacuum."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_rowid")
+    cfg = DatasetConfig(
+        name="api_rowid",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    t = VersionedTable(spark, path)
+    t.commit(
+        spark.range(0, 2000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v"))
+        .repartitionByRange(8, "id"),
+        stats_cols=("id",))
+
+    status, out = _call(srv.port, "POST",
+                        "/dataset/row-tracking?name=api_rowid")
+    assert status == 200 and out["row_tracking"] is True
+    assert out["backfill_version"] == 2
+
+    status, out = _call(
+        srv.port, "GET",
+        "/dataset/rows?name=api_rowid&where=id%3D1500&with_row_ids=true")
+    assert status == 200 and out["n"] == 1
+    assert out["files_read"] < out["files_total"]
+    rid_before = out["rows"][0]["_row_id"]
+
+    # a CoW rewrite of that file must not move the row's id
+    _call(srv.port, "POST",
+          "/dataset/delete?name=api_rowid&where=id%3D1501")
+    status, out = _call(
+        srv.port, "GET",
+        "/dataset/rows?name=api_rowid&where=id%3D1500&with_row_ids=true")
+    assert status == 200 and out["rows"][0]["_row_id"] == rid_before
+
+    # plain rows face stays id-free
+    status, out = _call(
+        srv.port, "GET", "/dataset/rows?name=api_rowid&where=id%3D1500")
+    assert status == 200 and "_row_id" not in out["rows"][0]
+
+    # vacuum over the control plane: version 1's rewritten file ages out
+    status, out = _call(srv.port, "POST",
+                        "/dataset/vacuum?name=api_rowid&keep=1")
+    assert status == 200 and out["removed_versions"]
