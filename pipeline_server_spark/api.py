@@ -366,7 +366,8 @@ class PipelineApiServer:
             if method == "POST" and path == "/dataset/vacuum":
                 (name,) = need("name")
                 return 200, self.engine.vacuum(
-                    name, keep=int(q.get("keep", 2)))
+                    name, keep=int(q.get("keep", 2)),
+                    hours=float(q["hours"]) if "hours" in q else None)
             if method == "POST" and path == "/dataset/row-tracking":
                 (name,) = need("name")
                 if q.get("enabled", "true").lower() == "false":

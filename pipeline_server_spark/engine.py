@@ -272,21 +272,27 @@ class Engine:
             new_version = table.restore(version)
         return {"version": new_version, "restored_version": version}
 
-    def vacuum(self, name: str, keep: int = 2) -> dict[str, Any]:
+    def vacuum(self, name: str, keep: int = 2,
+               hours: float | None = None) -> dict[str, Any]:
         """VACUUM a versioned dataset: reclaim files referenced by no
         retained version (reference-counted; the newest ``keep``
-        versions stay time-travelable). Shares the destination lock —
-        a vacuum racing an ingest must serialize through it."""
+        versions stay time-travelable). ``hours`` adds the Delta
+        RETAIN-hours age window: in-window versions are retained
+        regardless of count. Shares the destination lock — a vacuum
+        racing an ingest must serialize through it."""
         table, dest = self._versioned_table(name)
         with self._dest_lock(dest.path):
-            removed = table.vacuum(keep=keep)
-        return {"removed_versions": removed, "kept": keep}
+            removed = table.vacuum(
+                keep=keep,
+                older_than_s=hours * 3600.0 if hours is not None else None)
+        return {"removed_versions": removed, "kept": keep,
+                "retain_hours": hours}
 
     _MAINT_HELP = ("supported maintenance SQL: OPTIMIZE <dataset> "
                    "[WHERE <partition equality conjunction>] "
                    "[ZORDER BY (c, ...)]; VACUUM <dataset> [RETAIN n "
-                   "VERSIONS]; RESTORE [TABLE] <dataset> TO VERSION "
-                   "AS OF n; DESCRIBE HISTORY <dataset>")
+                   "VERSIONS|HOURS]; RESTORE [TABLE] <dataset> TO "
+                   "VERSION AS OF n; DESCRIBE HISTORY <dataset>")
 
     def _parse_maintenance(self, query: str):
         """(kind, dataset, spec) for OPTIMIZE / VACUUM / RESTORE /
@@ -317,12 +323,17 @@ class Engine:
                 where = wm.group(1).strip()
             return ("optimize", name, {"where": where, "zorder": zorder})
         m = re.match(r"(?is)^VACUUM\s+([A-Za-z_]\w*)"
-                     r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$", q)
+                     r"(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*$", q)
         if m:
             name = m.group(1)
             if name not in self._configs:
                 return None
-            return ("vacuum", name, {"keep": int(m.group(2) or 2)})
+            n, unit = m.group(2), (m.group(3) or "").upper()
+            if unit == "HOURS":
+                # Delta's RETAIN shape: age window, keep=1 floor (the
+                # current version always survives)
+                return ("vacuum", name, {"keep": 1, "hours": float(n)})
+            return ("vacuum", name, {"keep": int(n or 2), "hours": None})
         m = re.match(r"(?is)^RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+"
                      r"VERSION\s+AS\s+OF\s+(\d+)\s*$", q)
         if m:
@@ -886,7 +897,8 @@ class Engine:
                     [(out["version"], "optimize_compact", True)],
                     "version long, operation string, compacted boolean")
             if kind == "vacuum":
-                out = self.vacuum(name, keep=spec["keep"])
+                out = self.vacuum(name, keep=spec["keep"],
+                                  hours=spec.get("hours"))
                 return self.spark.createDataFrame(
                     [(v,) for v in out["removed_versions"]],
                     "removed_version long")
@@ -941,8 +953,74 @@ class Engine:
                 "mode string, dv_rows long")
         if sf_dir:
             register_views(self.spark, sf_dir)
+        query = self._rewrite_time_travel(query)
+        query = self._rewrite_table_changes(query)
         self._register_dataset_views(query)
         return self.spark.sql(query)
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """SQL time travel over registered datasets (the Delta
+        syntax): ``<dataset> VERSION AS OF n`` and ``<dataset>
+        TIMESTAMP AS OF '<ts>'`` publish the historical snapshot as a
+        temp view and rewrite the reference to it. Conservative by
+        construction: only the exact ``name VERSION|TIMESTAMP AS OF
+        <literal>`` shape on a REGISTERED dataset rewrites; anything
+        else reaches spark.sql untouched (and fails there, as vanilla
+        Spark has no time travel over parquet paths)."""
+        import re
+
+        def sub(m: "re.Match") -> str:
+            name, which, lit = m.group(1), m.group(2).upper(), m.group(3)
+            if name not in self._configs:
+                return m.group(0)
+            table, _ = self._versioned_table(name)
+            if which == "VERSION":
+                v = int(lit)
+            else:
+                import datetime as _dtm
+
+                ts = _dtm.datetime.fromisoformat(lit.strip("'\""))
+                v = table.version_as_of(ts)
+            view = f"{name}__v{v}"
+            table.read(version=v).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"([A-Za-z_]\w*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            r"('[^']*'|\"[^\"]*\"|\d+)",
+            sub, query, flags=re.IGNORECASE)
+
+    def _rewrite_table_changes(self, query: str) -> str:
+        """Delta's CDF table-valued function over registered datasets:
+        ``table_changes('<dataset>', v_from[, v_to])`` publishes the
+        range's change feed (VersionedTable.changes_range — O(batch)
+        for append steps, commit-time change files where CDF is on) as
+        a temp view and rewrites the call to it. Keys come from the
+        dataset's CDF spec when enabled, else its merge keys."""
+        import re
+
+        def sub(m: "re.Match") -> str:
+            name = m.group(1)
+            if name not in self._configs:
+                return m.group(0)
+            v_from = int(m.group(2))
+            v_to = int(m.group(3)) if m.group(3) else None
+            table, _ = self._versioned_table(name)
+            spec = table.cdf_spec()
+            keys = spec["keys"] if spec else None
+            if keys is None:
+                raise ValueError(
+                    f"table_changes({name!r}): the dataset has no "
+                    "change-feed keys — enable_change_feed(keys) first")
+            feed = table.changes_range(keys, v_from, v_to)
+            view = f"{name}__changes_{v_from}_{v_to if v_to else 'cur'}"
+            feed.createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"table_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)"
+            r"(?:\s*,\s*(\d+))?\s*\)",
+            sub, query, flags=re.IGNORECASE)
 
     def _register_dataset_views(self, query: str) -> None:
         """SELECTs over the control plane read versioned datasets BY

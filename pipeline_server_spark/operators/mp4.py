@@ -315,7 +315,9 @@ def attach_mp4_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "media_type": "video/mp4",
             })
 
-    return df.select(id_col).mapInPandas(_synth, schema=schema)
+    from pipeline_server_spark.operators.multimodal import _fanout_ids
+
+    return _fanout_ids(df, id_col).mapInPandas(_synth, schema=schema)
 
 
 def mp4_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -416,6 +416,19 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def _fanout_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """The payload-synth input fanned out over the session's default
+    parallelism: the fixture corpus arrives from ONE parquet file as
+    ONE partition, which would serialize every attach stage's
+    per-payload CPU through a single Python worker — and the Hamming
+    self-joins recompute the synth subtree PER SIDE, doubling the
+    serial cost (real corpora arrive pre-partitioned; this restores
+    the honest shape). The shuffle moves only the id column."""
+    sc = df.sparkSession.sparkContext
+    return (df.select(F.col(id_col).cast("long").alias(id_col))
+            .repartition(sc.defaultParallelism))
+
+
 def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize the deterministic WAV payload per row (mapInPandas so
     the bytes are built executor-side, never collected)."""
@@ -431,7 +444,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _fanout_ids(df, id_col).mapInPandas(
         _synth, schema=MEDIA_SCHEMA
     )
 
@@ -642,7 +655,7 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads, "media_type": media})
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _fanout_ids(df, id_col).mapInPandas(
         _synth, schema=MEDIA_SCHEMA)
 
 
@@ -762,5 +775,5 @@ def attach_noise_wav_payload(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads, "media_type": media})
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _fanout_ids(df, id_col).mapInPandas(
         _synth, schema=MEDIA_SCHEMA)

@@ -4131,11 +4131,20 @@ class VersionedTable:
                        v_to: int) -> DataFrame:
         return snapshot_change_feed(a, b, keys, v_to)
 
-    def vacuum(self, keep: int = 2) -> list[int]:
+    def vacuum(self, keep: int = 2,
+               older_than_s: float | None = None) -> list[int]:
         """Drop all but the newest ``keep`` versions — never the
         current pointer target, and never a TAGGED version (a pinned
         ref means a consumer reads it by name; drop the tag first to
         release it). Returns removed versions.
+
+        ``older_than_s`` switches to AGE-BASED retention (the Delta
+        ``VACUUM ... RETAIN n HOURS`` shape): every version whose
+        commit timestamp is within the window is retained regardless
+        of count, and only out-of-window versions become victims —
+        ``keep`` still applies as a floor (the newest ``keep``
+        versions survive even if old), so a quiet table never vacuums
+        itself down to nothing.
 
         Files are REFERENCE-COUNTED across the retained versions' file
         manifests: a data file is deleted only when no retained
@@ -4150,6 +4159,12 @@ class VersionedTable:
         pinned = set(self.tags().values())
         removable = [v for v in self.versions() if v != current]
         victims = removable[: max(0, len(removable) - (keep - 1))] if keep > 0 else removable
+        if older_than_s is not None:
+            import time as _time
+
+            cutoff = _time.time() - float(older_than_s)
+            victims = [v for v in victims
+                       if self.commit_timestamp(v) < cutoff]
         victims = [v for v in victims if v not in pinned]
         # no early return on empty victims: the tombstone re-sweep and
         # the orphan-stage-dir sweep below still collect garbage left

@@ -77,6 +77,21 @@ SHOW = {
         "match-guarded regexp_extract, inline-expanded higher-order "
         "calls, one codegen'd projection"
     ),
+    "shuffle_shard_manifest": (
+        "seeded global-shuffle shards: md5 keying + uniform hash "
+        "buckets (no global sort), within-shard positions via the "
+        "grouped two-level prefix scan — no per-shard single-task "
+        "window"
+    ),
+    "video_container_metadata": (
+        "ISO-BMFF catalog: stdlib box walk + sample-table expansion "
+        "in one Arrow pass over payload batches, zero driver traffic"
+    ),
+    "video_keyframe_extraction": (
+        "keyframe bitstream slicing: stsc/stco/stsz expansion to "
+        "absolute byte ranges, per-payload CPU in Arrow, JVM crc32 "
+        "over the sliced frames"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

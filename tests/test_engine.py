@@ -543,3 +543,93 @@ def test_engine_sql_alter_table_dispatch(spark, tmp_path):
     # unknown clause rejects by name with remediation
     with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
         eng.sql("ALTER TABLE sqlalter CLUSTER BY (id)")
+
+
+def test_engine_sql_vacuum_retain_hours(spark, tmp_path):
+    """Round 10: VACUUM ... RETAIN n HOURS — age-window retention.
+    In-window versions survive regardless of count; a huge window
+    removes nothing; RETAIN 0 HOURS drops everything but current."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlvac")
+    cfg = DatasetConfig(
+        name="sqlvac",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"),),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    for lo in (0, 10, 20, 30):
+        t.commit_append(spark.range(lo, lo + 10).select(
+            F.col("id").cast("int").alias("id")))
+    assert t.versions() == [1, 2, 3, 4]
+
+    # every version committed seconds ago: a 1000-hour window keeps all
+    assert eng.sql("VACUUM sqlvac RETAIN 1000 HOURS").collect() == []
+    assert t.versions() == [1, 2, 3, 4]
+
+    # 0-hour window: only the current version survives
+    removed = eng.sql("VACUUM sqlvac RETAIN 0 HOURS").collect()
+    assert sorted(r["removed_version"] for r in removed) == [1, 2, 3]
+    assert t.versions() == [4]
+    assert t.read().count() == 40  # files carried into v4 all survive
+
+
+def test_engine_sql_time_travel_and_table_changes(spark, tmp_path):
+    """Round 10: SELECT ... FROM <ds> VERSION AS OF n / TIMESTAMP AS
+    OF '<ts>' and table_changes('<ds>', a[, b]) resolve over the
+    control plane (historical snapshots and the CDF range as views)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqltt")
+    cfg = DatasetConfig(
+        name="sqltt",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"),),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.enable_change_feed(["id"])
+    t.commit_append(spark.range(0, 10).select(
+        F.col("id").cast("int").alias("id")))
+    t.commit_append(spark.range(10, 25).select(
+        F.col("id").cast("int").alias("id")))
+
+    out = eng.sql(
+        "SELECT COUNT(*) AS n FROM sqltt VERSION AS OF 1").collect()
+    assert out[0]["n"] == 10
+    out = eng.sql("SELECT COUNT(*) AS n FROM sqltt").collect()
+    assert out[0]["n"] == 25
+
+    ts = dtm.datetime.fromtimestamp(
+        t.commit_timestamp(1) + 0.001).isoformat()
+    out = eng.sql(
+        f"SELECT COUNT(*) AS n FROM sqltt TIMESTAMP AS OF '{ts}'"
+    ).collect()
+    assert out[0]["n"] == 10
+
+    got = eng.sql(
+        "SELECT id, _change_type FROM table_changes('sqltt', 1) "
+        "ORDER BY id").collect()
+    assert [r["id"] for r in got] == list(range(10, 25))
+    assert {r["_change_type"] for r in got} == {"insert"}
+
+    # both versions of the range
+    got = eng.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('sqltt', 0, 2)"
+    ).collect()
+    assert got[0]["n"] == 25
