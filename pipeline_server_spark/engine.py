@@ -272,6 +272,31 @@ class Engine:
             new_version = table.restore(version)
         return {"version": new_version, "restored_version": version}
 
+    def describe_detail(self, name: str) -> dict[str, Any]:
+        """DESCRIBE DETAIL — one metadata-sized summary row of a
+        versioned dataset's current snapshot (Delta's shape): format,
+        version, file count/bytes, layout, index columns, and which
+        table features are on. Manifest reads only, no data scan."""
+        table, dest = self._versioned_table(name)
+        v = table.current_version()
+        if v is None:
+            raise ValueError(f"dataset {name!r} has no committed version")
+        entries = table._entries_for_version(v)
+        cons = table.constraints()
+        return {
+            "format": dest.file_format,
+            "version": v,
+            "num_files": len(entries),
+            "size_bytes": sum(
+                os.path.getsize(table._abs_file(e)) for e in entries),
+            "partition_columns": table.recorded_partition_by(v),
+            "stats_columns": list(table.stats_cols(v) or []),
+            "deletion_vectors": table.dv_enabled(),
+            "row_tracking": table.row_tracking_enabled(),
+            "change_feed": table.cdf_spec() is not None,
+            "constraints": len(cons["check"]) + len(cons["not_null"]),
+        }
+
     def vacuum(self, name: str, keep: int = 2,
                hours: float | None = None) -> dict[str, Any]:
         """VACUUM a versioned dataset: reclaim files referenced by no
@@ -347,6 +372,12 @@ class Engine:
             if name not in self._configs:
                 return None
             return ("history", name, {})
+        m = re.match(r"(?is)^DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*$", q)
+        if m:
+            name = m.group(1)
+            if name not in self._configs:
+                return None
+            return ("detail", name, {})
         m = re.match(r"(?is)^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(.+)$", q)
         if m:
             name, tail = m.group(1), m.group(2).strip()
@@ -702,7 +733,8 @@ class Engine:
                 strategy = "merge_on_read"
         return {"version": version, "strategy": strategy}
 
-    def insert_rows(self, name: str, tail: str) -> dict[str, Any]:
+    def insert_rows(self, name: str, tail: str,
+                    overwrite: bool = False) -> dict[str, Any]:
         """``INSERT INTO <dataset> [ (cols) ] VALUES ... | SELECT ...``
         over the control plane: the payload evaluates through
         spark.sql (VALUES rows or an arbitrary SELECT over registered
@@ -710,7 +742,10 @@ class Engine:
         table schema), casts to the table's types, and lands as an
         O(batch) versioned append — invariants validated, layout
         preserved. An explicit column list null-fills the unnamed
-        columns (SQL semantics)."""
+        columns (SQL semantics). ``overwrite`` (INSERT OVERWRITE)
+        commits a FULL REWRITE instead — the versioned L5 semantics:
+        the prior snapshot stays time-travelable, layout and
+        index/Bloom continuity preserved."""
         import re
 
         from pyspark.sql import functions as F
@@ -757,7 +792,14 @@ class Engine:
         layout = tuple(table.recorded_partition_by(current))
         with self._dest_lock(dest.path):
             n = aligned.count()
-            version = table.commit_append(aligned, partition_by=layout)
+            if overwrite:
+                version = table.commit(
+                    aligned, partition_by=layout,
+                    stats_cols=tuple(table.stats_cols(current) or ()),
+                    bloom_cols=tuple(table.bloom_cols(current) or ()),
+                    metadata={"operation": "insert_overwrite"})
+            else:
+                version = table.commit_append(aligned, partition_by=layout)
         return {"version": version, "rows_inserted": n}
 
     def delete_rows(self, name: str, where: str) -> dict[str, Any]:
@@ -918,6 +960,19 @@ class Engine:
                           or out.get("renamed")
                           or out.get("dropped") or ""))],
                     "operation string, version long, detail string")
+            if kind == "detail":
+                d = self.describe_detail(name)
+                return self.spark.createDataFrame(
+                    [(d["format"], d["version"], d["num_files"],
+                      d["size_bytes"], ",".join(d["partition_columns"]),
+                      ",".join(d["stats_columns"]), d["deletion_vectors"],
+                      d["row_tracking"], d["change_feed"],
+                      d["constraints"])],
+                    "format string, version long, num_files long, "
+                    "size_bytes long, partition_columns string, "
+                    "stats_columns string, deletion_vectors boolean, "
+                    "row_tracking boolean, change_feed boolean, "
+                    "constraints long")
             if kind == "history":
                 import json as _json
 
@@ -932,8 +987,9 @@ class Engine:
         dml = self._parse_dml(query)
         if dml is not None:
             kind, name, where, assignments = dml
-            if kind == "insert":
-                out = self.insert_rows(name, where)  # where = the tail
+            if kind in ("insert", "insert_overwrite"):
+                out = self.insert_rows(  # where = the tail
+                    name, where, overwrite=kind == "insert_overwrite")
                 return self.spark.createDataFrame(
                     [(out["version"], out["rows_inserted"])],
                     "version long, rows_inserted long")
@@ -1122,12 +1178,15 @@ class Engine:
                     "on": m.group(4).strip(),
                     "clauses": m.group(5).strip()}
             return ("merge", name, None, spec)
-        m = re.match(r"(?is)^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$", q)
+        m = re.match(r"(?is)^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                     r"([A-Za-z_]\w*)\s+(.+)$", q)
         if m:
-            name, tail = m.group(1), m.group(2).strip()
+            which, name, tail = m.group(1).upper(), m.group(2), \
+                m.group(3).strip()
             if name not in self._configs:
                 return None
-            return ("insert", name, tail, None)
+            kind = "insert_overwrite" if which == "OVERWRITE" else "insert"
+            return (kind, name, tail, None)
         m = re.match(r"(?is)^DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", q)
         if m:
             name, rest = m.group(1), m.group(2).strip()

@@ -105,9 +105,14 @@ Supported subset (symbolically executed, conditions stay data-side):
   matched-predicate, ``m[0]``/``m[i]``/``m.length`` to match-guarded
   ``regexp_extract``; a group read is allowed only when the group
   participates in EVERY match (else JS undefined ≠ Spark ``''`` —
-  reject by name). Faithful-or-reject: escapes whose Java meaning
+  reject by name). GLOBAL ``s.match(/re/g)`` (round 10) is the
+  array-of-ALL-full-matches-or-null value, symbolic the same way:
+  truthiness/null-tests → the matched-predicate, ``m.length`` →
+  match-guarded ``size(regexp_extract_all)``, ``m[i]``/``m.join`` →
+  guarded element/array ops (/g match discards groups, as JS does).
+  Faithful-or-reject: escapes whose Java meaning
   differs (``\v``, octal), ``[]``/``[^]`` classes, global-flag
-  ``.match``/``.exec``, capturing
+  ``.exec`` (stateful lastIndex), capturing
   split, dollar-backtick/dollar-quote context refs, and non-literal
   replacements all reject by name; ``\b`` in a class becomes backspace, literal
   braces are escaped for Java
@@ -344,9 +349,30 @@ class _MatchVal:
         return F.coalesce(self.sc.rlike(self.pattern), F.lit(False))
 
 
+@dataclass
+class _GMatchVal:
+    """The result of GLOBAL ``s.match(/re/g)``: in JS the array of ALL
+    full matches — or NULL when none (not an empty array; truthiness
+    differs from a split result's). Kept symbolic like its non-global
+    twin: truthiness / ``== null`` lower to the matched-predicate,
+    ``m.length`` / ``m[i]`` / ``m.join(sep)`` to a match-guarded
+    ``regexp_extract_all`` (group 0 — /g match discards groups in JS).
+    Reads through an unmatched result evaluate null where Nashorn
+    raises, the translation-total convention of :class:`_MatchVal`."""
+
+    sc: Column      # the ToString'd receiver
+    pattern: str    # translated Java pattern
+
+    def matched(self) -> Column:
+        return F.coalesce(self.sc.rlike(self.pattern), F.lit(False))
+
+    def arr(self) -> Column:
+        return F.regexp_extract_all(self.sc, F.lit(self.pattern), F.lit(0))
+
+
 def _truthy_operand(v: Any) -> Any:
     """A match result in boolean context is its matched-predicate."""
-    return v.matched() if isinstance(v, _MatchVal) else v
+    return v.matched() if isinstance(v, (_MatchVal, _GMatchVal)) else v
 
 
 def _unconditional_groups(pattern: str) -> set[int] | None:
@@ -667,11 +693,11 @@ def _to_col(v: Any) -> Column:
         raise JsTranslationError(
             "a regex literal cannot be used as a value (call .test(s), "
             "or pass it to .replace/.split/.search/.match)")
-    if isinstance(v, _MatchVal):
+    if isinstance(v, (_MatchVal, _GMatchVal)):
         raise JsTranslationError(
             "a .match()/.exec() result cannot be used as a value — test "
-            "it (if (m)), index it (m[0], m[i]), or read m.length; store "
-            "m[0] instead of m")
+            "it (if (m)), index it (m[0], m[i]), read m.length, or "
+            "join it (m.join(sep)); store m[0] instead of m")
     if isinstance(v, _FuncVal):
         raise JsTranslationError(
             f"function {v.name!r} cannot be used as a column value "
@@ -2034,7 +2060,7 @@ class _Interp:
             if isinstance(left, _Null) or isinstance(right, _Null):
                 if op in ("==", "===", "!=", "!=="):
                     other = right if isinstance(left, _Null) else left
-                    if isinstance(other, _MatchVal):
+                    if isinstance(other, (_MatchVal, _GMatchVal)):
                         # m == null is true iff the match FAILED
                         m = other.matched()
                         left = ~m if op in ("==", "===") else m
@@ -2188,7 +2214,7 @@ class _Interp:
             v = self.unary_expr()
             if isinstance(v, bool):
                 return not v
-            if isinstance(v, _MatchVal):
+            if isinstance(v, (_MatchVal, _GMatchVal)):
                 return ~v.matched()  # !m: true iff the match failed
             return ~_to_col(v)
         if t.text == "-":
@@ -2222,6 +2248,12 @@ class _Interp:
                     # full match + n groups when matched; null (the
                     # total stand-in for Nashorn's TypeError) when not
                     val = F.when(val.matched(), F.lit(val.n_groups + 1))
+                elif name == "length" and isinstance(val, _GMatchVal):
+                    # the all-matches COUNT when matched; null when not
+                    # (JS: null.length throws; the total convention) —
+                    # the occurrence-count idiom is
+                    # ``m ? m.length : 0`` / ``if (m) ... m.length``
+                    val = F.when(val.matched(), F.size(val.arr()))
                 elif name == "length" and isinstance(val, (str, _StrVal, Column)):
                     val = (
                         len(val) if isinstance(val, str)
@@ -2275,6 +2307,21 @@ class _Interp:
             return _StrVal(F.when(
                 val.matched(),
                 F.regexp_extract(val.sc, val.pattern, idx)))
+        if isinstance(val, _GMatchVal):
+            if isinstance(idx, bool) or not isinstance(
+                    idx, (int, float, Column)):
+                raise JsTranslationError(
+                    "a global-.match() result index must be a number "
+                    "or a numeric column")
+            if isinstance(idx, float):
+                if int(idx) != idx:
+                    return _NULL  # fractional index: undefined
+                idx = int(idx)
+            if isinstance(idx, Column):
+                idx = idx.cast("int")
+            # i-th full match when matched (out of bounds → null, as
+            # JS undefined); null when the whole match failed
+            return _StrVal(F.when(val.matched(), F.get(val.arr(), idx)))
         if isinstance(val, _ColArrVal):
             if isinstance(idx, bool) or not isinstance(
                     idx, (int, float, Column)):
@@ -2571,6 +2618,17 @@ class _Interp:
             return self._regex_method(obj, name, args)
         if isinstance(obj, _ColArrVal):
             return self._col_array_method(obj, name, args)
+        if isinstance(obj, _GMatchVal):
+            # delegate to the split-result array methods, guarded by
+            # the matched-predicate (an unmatched result is JS null —
+            # reads through it evaluate null, the total convention)
+            res = self._col_array_method(_ColArrVal(obj.arr()), name, args)
+            inner = res.col if isinstance(res, _StrVal) else res
+            if isinstance(inner, Column):
+                guarded = F.when(obj.matched(), inner)
+                return _StrVal(guarded) if isinstance(res, _StrVal) \
+                    else guarded
+            return res
         if isinstance(obj, (str, _StrVal, Column)):
             return self._col_string_method(obj, name, args)
         raise JsTranslationError(f"method .{name}() on {type(obj).__name__} is not supported")
@@ -2847,10 +2905,9 @@ class _Interp:
                     ".match takes one regex literal argument")
             pat = args[0]
             if pat.global_flag:
-                raise JsTranslationError(
-                    ".match with /g (array of ALL matches, null when "
-                    "none) is not supported — use .replace/.split, or "
-                    "drop /g for first-match-with-groups")
+                # array of ALL full matches, null when none — /g match
+                # discards groups in JS, so group count is irrelevant
+                return _GMatchVal(sc, pat.pattern)
             return _MatchVal(sc, pat.pattern, pat.n_groups)
         raise JsTranslationError(f"String method .{name}() is not supported")
 

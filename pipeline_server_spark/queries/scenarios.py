@@ -532,3 +532,54 @@ def js_transform_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         spec.expressions["pr_len"].cast("int").alias("pr_len"),
         spec.expressions["score"].cast("long").alias("score"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "js_transform_global_match",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '\\ba\\w*')
+                THEN len(regexp_extract_all(text, '\\ba\\w*'))
+                ELSE 0 END AS n_a,
+           COALESCE(CASE WHEN regexp_matches(text, '\\ba\\w*')
+                         THEN regexp_extract_all(text, '\\ba\\w*')[1]
+                    END, 'none') AS first_a,
+           CASE WHEN regexp_matches(text, '\\ba\\w*')
+                THEN array_to_string(
+                       regexp_extract_all(text, '\\ba\\w*'), '_')
+                ELSE '' END AS joined
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def js_transform_global_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 row-function via the JS shim with GLOBAL ``.match`` (round-10
+    session 2): ``text.match(/\\ba\\w*/g)`` is the
+    array-of-ALL-matches-or-null value — occurrence COUNT via the
+    guarded ``m.length`` (→ ``size(regexp_extract_all)``), first match
+    via ``m[0]``, and the joined list via ``m.join('_')`` — the
+    token-counting / keyword-frequency idiom every Nashorn DQ script
+    uses. Still ONE codegen'd projection, no Python boundary
+    (plan-asserted in the shim suite). Reference parity:
+    Transformation.scala:71-148."""
+    from pipeline_server_spark.pipeline.js_shim import (
+        translate_transformation_script,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = """
+    var HashMap = Java.type('java.util.HashMap');
+    var map = new HashMap();
+    var m = text.match(/\\ba\\w*/g);
+    map.put('n_a', m ? m.length : 0);
+    map.put('first_a', m ? m[0] : 'none');
+    map.put('joined', m ? m.join('_') : '');
+    map;
+    """
+    spec = translate_transformation_script(src, d.columns)
+    return d.select(
+        "doc_id",
+        spec.expressions["n_a"].cast("long").alias("n_a"),
+        spec.expressions["first_a"].alias("first_a"),
+        spec.expressions["joined"].alias("joined"),
+    ).orderBy("doc_id")

@@ -77,6 +77,10 @@ SHOW = {
         "match-guarded regexp_extract, inline-expanded higher-order "
         "calls, one codegen'd projection"
     ),
+    "js_transform_global_match": (
+        "JS global .match: match-guarded size(regexp_extract_all) / "
+        "element read / array_join, one codegen'd projection"
+    ),
     "shuffle_shard_manifest": (
         "seeded global-shuffle shards: md5 keying + uniform hash "
         "buckets (no global sort), within-shard positions via the "

@@ -633,3 +633,47 @@ def test_engine_sql_time_travel_and_table_changes(spark, tmp_path):
         "SELECT COUNT(*) AS n FROM table_changes('sqltt', 0, 2)"
     ).collect()
     assert got[0]["n"] == 25
+
+
+def test_engine_sql_insert_overwrite_and_describe_detail(spark, tmp_path):
+    """Round 10: INSERT OVERWRITE commits a full rewrite (prior
+    snapshot time-travelable, index continuity kept); DESCRIBE DETAIL
+    returns the one-row metadata summary."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlow")
+    cfg = DatasetConfig(
+        name="sqlow",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.enable_row_tracking()
+    t.commit(spark.range(0, 100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("int").alias("v")), stats_cols=("id",))
+
+    out = eng.sql(
+        "INSERT OVERWRITE sqlow SELECT CAST(id AS INT), CAST(-1 AS INT) "
+        "FROM range(5)").collect()[0]
+    assert out["rows_inserted"] == 5
+    assert t.read().count() == 5
+    assert t.read(version=1).count() == 100  # time travel intact
+    assert t.stats_cols(t.current_version()) == ["id"]  # index continuity
+    meta = t.commit_metadata(t.current_version())
+    assert meta["operation"] == "insert_overwrite"
+
+    row = eng.sql("DESCRIBE DETAIL sqlow").collect()[0]
+    assert row["format"] == "parquet"
+    assert row["version"] == t.current_version()
+    assert row["num_files"] >= 1 and row["size_bytes"] > 0
+    assert row["stats_columns"] == "id"
+    assert row["row_tracking"] is True
+    assert row["deletion_vectors"] is False

@@ -1502,7 +1502,6 @@ class TestRound8Regex:
             ("/\\cA/.test(symbol) ? null : 'x';", "escape"),
             ("/(a)\\2/.test(symbol) ? null : 'x';", "backreference"),
             ("symbol.split(/(a)/) ? null : 'x';", "capturing group"),
-            ("symbol.match(/a/g) ? null : 'x';", "/g"),
             ("symbol.replace(/a/, symbol) ? null : 'x';", "literal string"),
             ("symbol.replace(/a/, \"$`x\") ? null : 'x';", "context reference"),
             ("symbol.split('') ? null : 'x';", "characters"),
@@ -2344,3 +2343,82 @@ class TestRound10FunctionValues:
         src = "var f = function g(x) { return x; }; return null;"
         with pytest.raises(JsTranslationError, match="named function"):
             translate_quality_script(src, ["symbol"])
+
+
+class TestRound10GlobalMatch:
+    """GLOBAL .match (round-10 session 2): the array-of-ALL-matches-
+    or-null value — truthiness/null-tests lower to the matched
+    predicate, .length to guarded size(regexp_extract_all), m[i] to a
+    guarded element read, .join to a guarded array_join. /g on .exec
+    stays rejected (stateful lastIndex)."""
+
+    @pytest.fixture(scope="class")
+    def gm_df(self, spark):
+        return spark.createDataFrame(
+            [("u1", "a1 b22 c333"),
+             ("u2", "no digits"),
+             ("u3", None)],
+            "id string, txt string")
+
+    def _run(self, df, src):
+        spec = translate_transformation_script(src, df.columns)
+        out = apply_column_expressions(df, spec.expressions,
+                                       spec.drop_predicate)
+        return {r["id"]: r.asDict() for r in out.collect()}, out
+
+    def test_count_index_join_truthiness(self, gm_df):
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var mm = txt.match(/\\d+/g);
+        m.put('n', mm ? mm.length : 0);
+        m.put('first', mm ? mm[0] : 'none');
+        m.put('third', mm ? mm[2] : 'none');
+        m.put('oob', mm ? mm[9] : 'unmatched');
+        m.put('all', mm ? mm.join('-') : '');
+        m.put('isnull', mm == null);
+        m.put('notm', !mm);
+        m;
+        """
+        got, out = self._run(gm_df, src)
+        u1 = got["u1"]
+        assert (u1["n"], u1["first"], u1["third"]) == (3, "1", "333")
+        assert u1["oob"] is None          # matched, index 9: undefined
+        assert u1["all"] == "1-22-333"
+        assert u1["isnull"] is False and u1["notm"] is False
+        u2 = got["u2"]
+        assert (u2["n"], u2["first"], u2["all"]) == (0, "none", "")
+        assert u2["isnull"] is True and u2["notm"] is True
+        # NULL receiver routes as unmatched (total translation)
+        u3 = got["u3"]
+        assert u3["n"] == 0 and u3["isnull"] is True
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_groups_discarded_like_js(self, gm_df):
+        # JS: /g match returns FULL matches even with groups present
+        src = """
+        var HashMap = Java.type('java.util.HashMap');
+        var m = new HashMap();
+        var mm = txt.match(/([a-z])(\\d+)/g);
+        m.put('first', mm ? mm[0] : 'none');
+        m;
+        """
+        got, _ = self._run(gm_df, src)
+        assert got["u1"]["first"] == "a1"
+
+    def test_exec_global_still_rejected(self, gm_df):
+        with pytest.raises(JsTranslationError, match="STATEFUL"):
+            translate_transformation_script(
+                "var HashMap = Java.type('java.util.HashMap');"
+                "var m = new HashMap();"
+                "var e = /a/g.exec(txt); m.put('x', e ? 1 : 0); m;",
+                gm_df.columns)
+
+    def test_match_result_not_a_value(self, gm_df):
+        with pytest.raises(JsTranslationError, match="cannot be used"):
+            translate_transformation_script(
+                "var HashMap = Java.type('java.util.HashMap');"
+                "var m = new HashMap();"
+                "m.put('x', txt.match(/a/g)); m;",
+                gm_df.columns)
