@@ -384,7 +384,61 @@ class Engine:
             if name not in self._configs:
                 return None
             return ("alter", name, {"tail": tail})
+        m = re.match(r"(?is)^CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*"
+                     r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+                     r"AS\s+(SELECT\b.+|VALUES\b.+|WITH\b.+|TABLE\b.+)$", q)
+        if m:
+            # CTAS registers a NEW dataset — an existing name is a
+            # conflict here, not a fall-through
+            return ("ctas", m.group(1), {
+                "partition_by": [c.strip().strip('`')
+                                 for c in (m.group(2) or "").split(",")
+                                 if c.strip()],
+                "select": m.group(3).strip()})
         return None
+
+    def create_table_as(self, name: str, select: str,
+                        partition_by: list[str] | None = None
+                        ) -> dict[str, Any]:
+        """CREATE TABLE ... [PARTITIONED BY (...)] AS SELECT over the
+        control plane: evaluates the payload through spark.sql (over
+        registered views), REGISTERS a new versioned dataset under the
+        engine warehouse, and commits the result as its v1 snapshot —
+        so the new table immediately serves every face (SELECT-by-name,
+        DML, maintenance SQL, REST, time travel)."""
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig, DestinationConfig, FileAttributes,
+            SchemaField, SourceConfig)
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+
+        if name in self._configs:
+            raise ValueError(f"CREATE TABLE: dataset {name!r} already exists")
+        self._register_dataset_views(select)
+        df = self.spark.sql(select)
+        pcols = list(partition_by or [])
+        missing = sorted(set(pcols) - set(df.columns))
+        if missing:
+            raise ValueError(
+                f"CREATE TABLE: PARTITIONED BY column(s) {missing} not "
+                "in the SELECT output")
+        fields = tuple(SchemaField(f.name, f.dataType.simpleString())
+                       for f in df.schema.fields)
+        path = os.path.join(self.warehouse, "datasets", name)
+        cfg = DatasetConfig(
+            name=name,
+            source=SourceConfig(fields=fields,
+                                file=FileAttributes(file_type="csv")),
+            destination=DestinationConfig(
+                fields=fields, path=path, versioned=True,
+                partition_by=tuple(pcols)),
+        )
+        self.register(cfg)
+        table = VersionedTable(self.spark, path)
+        with self._dest_lock(path):
+            version = table.commit(df, partition_by=tuple(pcols),
+                                   metadata={"operation": "ctas"})
+        n = table.read().count()
+        return {"version": version, "rows": n, "path": path}
 
     def _alter_table(self, name: str, tail: str) -> dict[str, Any]:
         """ALTER TABLE dispatch: metadata-only column RENAME/DROP
@@ -960,6 +1014,13 @@ class Engine:
                           or out.get("renamed")
                           or out.get("dropped") or ""))],
                     "operation string, version long, detail string")
+            if kind == "ctas":
+                out = self.create_table_as(
+                    name, spec["select"],
+                    partition_by=spec["partition_by"])
+                return self.spark.createDataFrame(
+                    [(name, out["version"], out["rows"])],
+                    "dataset string, version long, rows long")
             if kind == "detail":
                 d = self.describe_detail(name)
                 return self.spark.createDataFrame(

@@ -641,7 +641,22 @@ def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
     pointer move) and reversible (time travel to the pre-optimize
     version). Returns the new version number. One range-partitioning
     shuffle on the Morton key — the honest cost of re-clustering; run
-    it at the cadence ingest fragments the layout, not per batch."""
+    it at the cadence ingest fragments the layout, not per batch.
+
+    A recorded hive/bucket LAYOUT is PRESERVED (round-10 fix): the
+    snapshot re-clusters in (layout, z) order so each partition's
+    files hold contiguous z ranges — flattening it would brick every
+    later layout-checked append/merge behind the commit guard, the
+    exact failure the bucket guard prevents for compaction. Z-ordering
+    BY a layout column rejects (its values live in directory paths,
+    not footers — the stats/partition overlap guard names it)."""
+    cur = table.current_version()
+    pcols = []
+    if cur is not None and hasattr(table, "recorded_partition_by"):
+        pcols = list(table.recorded_partition_by(cur))
+    spec = table.bucket_spec() if hasattr(table, "bucket_spec") else None
+    if spec is not None:
+        pcols = [table.BUCKET_COL]
     df = _snapshot_for_rewrite(table)
     probe = df.agg(F.min(F.col(cols[0]).cast("double")).alias("m")).first()
     if probe["m"] is None:
@@ -650,14 +665,15 @@ def optimize_zorder_snapshot(table, cols: list[str], num_files: int = 16,
         clustered = df
     else:
         zdf = zorder_value(df, cols, bits)
+        keys = [F.col(c) for c in pcols] + [F.col("_z")]
         clustered = (
-            zdf.repartitionByRange(num_files, "_z")
-            .sortWithinPartitions("_z")
+            zdf.repartitionByRange(max(num_files, len(pcols) or 1), *keys)
+            .sortWithinPartitions(*keys)
             .drop("_z")
         )
-    cur = table.current_version()
     return table.commit(
         clustered,
+        partition_by=tuple(pcols),
         stats_cols=tuple(cols),
         # Bloom point-lookup filters survive re-clustering (same
         # index-continuity contract as compaction)

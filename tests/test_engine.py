@@ -477,10 +477,11 @@ def test_engine_sql_maintenance_dispatch(spark, tmp_path):
         t.read(version=1).count()
     assert t.read().count() == 700
 
-    # the zorder/restore chain left a flat layout: a WHERE now names
-    # the honest remediation instead of compacting the whole table
-    with pytest.raises(ValueError, match="not hive-partitioned"):
-        eng.sql("OPTIMIZE sqlmaint WHERE p = 0")
+    # round-10 fix: full-table ZORDER preserved the hive layout, so
+    # partition-scoped maintenance still works after the restore
+    assert t.recorded_partition_by(t.current_version()) == ["p"]
+    t.commit_append(batch(700, 720), partition_by=("p",))  # not bricked
+    assert t.read().count() == 720
 
     # statements naming unregistered tables fall through to spark.sql
     with pytest.raises(Exception):
@@ -677,3 +678,43 @@ def test_engine_sql_insert_overwrite_and_describe_detail(spark, tmp_path):
     assert row["stats_columns"] == "id"
     assert row["row_tracking"] is True
     assert row["deletion_vectors"] is False
+
+
+def test_engine_sql_create_table_as_select(spark, tmp_path):
+    """Round 10: CTAS registers a new versioned dataset and commits
+    the SELECT result as v1 — immediately serving SELECT-by-name, DML,
+    maintenance, and time travel."""
+    eng = Engine(spark, warehouse_dir=str(tmp_path / "wh"))
+    path = str(tmp_path / "src")
+    cfg = DatasetConfig(
+        name="ctas_src",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    VersionedTable(spark, path).commit(
+        spark.range(0, 100).selectExpr(
+            "CAST(id AS INT) id", "CAST(id % 7 AS INT) v"))
+
+    out = eng.sql(
+        "CREATE TABLE ctas_agg PARTITIONED BY (v) AS "
+        "SELECT v, COUNT(*) AS n FROM ctas_src GROUP BY v").collect()[0]
+    assert out["rows"] == 7 and out["version"] == 1
+    assert "ctas_agg" in eng.datasets()
+
+    # the new dataset serves every face
+    got = eng.sql("SELECT SUM(n) AS total FROM ctas_agg").collect()[0]
+    assert got["total"] == 100
+    row = eng.sql("DESCRIBE DETAIL ctas_agg").collect()[0]
+    assert row["partition_columns"] == "v" and row["version"] == 1
+    eng.sql("DELETE FROM ctas_agg WHERE v = 0")
+    assert eng.sql("SELECT COUNT(*) AS c FROM ctas_agg").collect()[0].c == 6
+
+    # name conflicts reject; unknown names still fall through
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE ctas_agg AS SELECT 1 AS x")

@@ -667,3 +667,54 @@ def test_grouped_prefix_sum_empty_and_type(spark):
     df = spark.createDataFrame([], "doc_id long, g string, h long, w double")
     out = grouped_prefix_sum(df, "g", ["h", "doc_id"], "w", out="c")
     assert out.count() == 0 and dict(out.dtypes)["c"] == "double"
+
+
+def test_optimize_zorder_preserves_hive_layout(spark, tmp_path):
+    """Round-10 fix: full-table OPTIMIZE ZORDER on a hive-partitioned
+    table keeps the layout (flattening bricked every later
+    layout-checked append behind the commit guard)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.operators.scale import (
+        optimize_zorder_snapshot)
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "zp"))
+    df = spark.range(0, 400).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("a"),
+        (F.col("id") * 7 % 100).alias("b"))
+    t.commit(df, partition_by=("p",))
+    v2 = optimize_zorder_snapshot(t, ["a"], num_files=8)
+    assert t.recorded_partition_by(v2) == ["p"]
+    # physical paths keep the hive prefix; later partitioned appends work
+    assert all(e[1].startswith("p=")
+               for e in t._entries_for_version(v2))
+    t.commit_append(spark.range(400, 410).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("a"),
+        (F.col("id") * 7 % 100).alias("b")), partition_by=("p",))
+    assert t.read().count() == 410
+    # pruning on the z-ordered column still serves through the index
+    pruned, nread, ntotal = t.read_where(F.col("a") < 10)
+    assert pruned.count() == 10 and nread < ntotal
+
+
+def test_optimize_zorder_preserves_bucket_layout(spark, tmp_path):
+    """Same guard for hash-bucketed tables: ZORDER keeps _bucket=N
+    directories so later bucketed merges stay prunable."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.operators.scale import (
+        optimize_zorder_snapshot)
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "zb"))
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t.commit_bucketed(df, keys=["k"], n_buckets=4)
+    v2 = optimize_zorder_snapshot(t, ["v"], num_files=8)
+    assert t.recorded_partition_by(v2) == ["_bucket"]
+    src = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"))
+    t.commit_merge_bucketed(src, keys=["k"])
+    got = {r["k"]: r["v"] for r in t.read().where("k < 5").collect()}
+    assert got == {0: -1, 1: -1, 2: -1, 3: -1, 4: -1}
