@@ -328,6 +328,9 @@ class PipelineApiServer:
             if method == "GET" and path == "/dataset/history":
                 (name,) = need("name")
                 return 200, self.engine.table_history(name)
+            if method == "GET" and path == "/dataset/detail":
+                (name,) = need("name")
+                return 200, self.engine.describe_detail(name)
             if method == "GET" and path == "/dataset/constraints":
                 (name,) = need("name")
                 return 200, self.engine.table_constraints(name)

@@ -378,6 +378,8 @@ class Engine:
             if name not in self._configs:
                 return None
             return ("detail", name, {})
+        if re.match(r"(?is)^SHOW\s+TABLES\s*$", q):
+            return ("show_tables", "", {})
         m = re.match(r"(?is)^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(.+)$", q)
         if m:
             name, tail = m.group(1), m.group(2).strip()
@@ -1014,6 +1016,14 @@ class Engine:
                           or out.get("renamed")
                           or out.get("dropped") or ""))],
                     "operation string, version long, detail string")
+            if kind == "show_tables":
+                rows = [
+                    (n, bool(self._configs[n].destination.versioned),
+                     self._configs[n].destination.path or "")
+                    for n in self.datasets()
+                ]
+                return self.spark.createDataFrame(
+                    rows, "dataset string, versioned boolean, path string")
             if kind == "ctas":
                 out = self.create_table_as(
                     name, spec["select"],

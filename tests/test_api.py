@@ -931,3 +931,28 @@ def test_rest_row_tracking_and_vacuum(spark, server):
     status, out = _call(srv.port, "POST",
                         "/dataset/vacuum?name=api_rowid&keep=1")
     assert status == 200 and out["removed_versions"]
+
+
+def test_rest_dataset_detail(spark, server):
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_detail")
+    cfg = DatasetConfig(
+        name="api_detail",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"),),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    VersionedTable(spark, path).commit(
+        spark.range(5).select(F.col("id").cast("int").alias("id")))
+    status, out = _call(srv.port, "GET", "/dataset/detail?name=api_detail")
+    assert status == 200
+    assert out["format"] == "parquet" and out["version"] == 1
+    assert out["num_files"] >= 1 and out["size_bytes"] > 0

@@ -718,3 +718,12 @@ def test_engine_sql_create_table_as_select(spark, tmp_path):
     # name conflicts reject; unknown names still fall through
     with pytest.raises(ValueError, match="already exists"):
         eng.sql("CREATE TABLE ctas_agg AS SELECT 1 AS x")
+
+
+def test_engine_sql_show_tables(spark, tmp_path):
+    eng = Engine(spark, warehouse_dir=str(tmp_path / "wh"))
+    assert eng.sql("SHOW TABLES").collect() == []
+    eng.sql("CREATE TABLE st_one AS SELECT 1 AS x")
+    rows = eng.sql("show tables").collect()
+    assert [(r["dataset"], r["versioned"]) for r in rows] == [
+        ("st_one", True)]
