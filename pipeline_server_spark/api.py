@@ -384,6 +384,10 @@ class PipelineApiServer:
             if method == "POST" and path == "/dataset/delete":
                 name, where = need("name", "where")
                 return 200, self.engine.delete_rows(name, where)
+            if method == "POST" and path == "/dataset/delete-by-row-ids":
+                name, ids = need("name", "ids")
+                return 200, self.engine.delete_rows_by_id(
+                    name, [int(i) for i in ids.split(",") if i.strip()])
             if method == "POST" and path == "/dataset/update":
                 name, where = need("name", "where")
                 if body:

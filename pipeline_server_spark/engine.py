@@ -272,6 +272,24 @@ class Engine:
             new_version = table.restore(version)
         return {"version": new_version, "restored_version": version}
 
+    def delete_rows_by_id(self, name: str, ids: list[int]) -> dict[str, Any]:
+        """Point delete by STABLE ROW ID (round 10): the compliance
+        flow — ids from GET /dataset/rows?with_row_ids=true come back
+        here, candidates prune from the manifest's id coverage alone,
+        and the commit is a deletion-vector mask (rewritten_files 0)."""
+        table, dest = self._versioned_table(name)
+        before = table.current_version()
+        with self._dest_lock(dest.path):
+            version = table.delete_by_row_ids([int(i) for i in ids])
+        matched = version != before
+        meta = table.commit_metadata(version) if matched else {}
+        return {"version": version, "matched": matched,
+                "mode": "merge_on_read_row_ids",
+                "rewritten_files": meta.get("rewritten_files", 0),
+                "dv_rows": meta.get("dv_rows", 0),
+                "candidate_files": meta.get("candidate_files", 0),
+                "total_files": meta.get("total_files", 0)}
+
     def describe_detail(self, name: str) -> dict[str, Any]:
         """DESCRIBE DETAIL — one metadata-sized summary row of a
         versioned dataset's current snapshot (Delta's shape): format,
@@ -1070,7 +1088,19 @@ class Engine:
                     [(out["version"], out["strategy"])],
                     "version long, strategy string")
             if kind == "delete":
-                out = self.delete_rows(name, where)
+                import re as _re
+
+                rm = _re.match(r"(?is)^\s*`?_row_id`?\s+IN\s*"
+                               r"\(\s*([\d\s,]+)\)\s*$", where)
+                if rm:
+                    # DELETE FROM t WHERE _row_id IN (...) — the
+                    # stable-row-id point delete (manifest-coverage
+                    # pruning + deletion-vector mask)
+                    out = self.delete_rows_by_id(
+                        name, [int(x) for x in rm.group(1).split(",")
+                               if x.strip()])
+                else:
+                    out = self.delete_rows(name, where)
             else:
                 out = self.update_rows(name, where, assignments)
             return self.spark.createDataFrame(

@@ -923,7 +923,7 @@ class VersionedTable:
             # manifest-sized — broadcast, so the scan's pushdown and
             # partition pruning are untouched.
             bm = self.spark.createDataFrame(
-                [(k, int(v)) for k, v in row_bases.items()],
+                [(k, self._row_base_of(v)) for k, v in row_bases.items()],
                 "__rb_file string, __rb_base bigint")
             out = (out.withColumn("__rb_key", self._dv_key_expr())
                    .join(F.broadcast(bm),
@@ -3111,7 +3111,17 @@ class VersionedTable:
         metadata (no data read — O(new files) local metadata I/Os,
         the same order as writing the files). Keys are the DV-side
         file identity (``<version-dir-basename>/<rel>``) so the read
-        join and the map can never disagree."""
+        join and the map can never disagree.
+
+        Map values are ``[base, num_rows, mat_min, mat_max]``: the
+        fresh-id range PLUS the bounds of any MATERIALIZED
+        ``__row_id_mat`` column, read from the same footer's parquet
+        column statistics (a rewritten file carries preserved ids
+        outside its base range — without the bounds, a row-id point
+        delete could never prune it). ``mat_*`` are None when the
+        column is absent or stats are unavailable (unknown coverage —
+        widen, never narrow). Legacy int values (early round-10
+        manifests) stay readable: unknown num_rows = unknown coverage."""
         import pyarrow.parquet as pq
 
         prior = prior or {}
@@ -3125,9 +3135,112 @@ class VersionedTable:
                 continue
             path = (os.path.join(target, rel) if d == tbase
                     else self._abs_file((d, rel)))
-            out[key] = wm
-            wm += pq.ParquetFile(path).metadata.num_rows
+            md = pq.ParquetFile(path).metadata
+            n = md.num_rows
+            try:
+                ci = {md.schema.column(j).name: j
+                      for j in range(md.num_columns)}.get(self._ROWID_MAT)
+            except Exception:
+                ci = None
+            if ci is None:
+                # no materialized column: coverage is exactly the
+                # fresh-id range — a 2-element value records that
+                out[key] = [wm, n]
+                wm += n
+                continue
+            mmin = mmax = None
+            try:
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mmin = mmax = None
+                        break
+                    mmin = st.min if mmin is None else min(mmin, st.min)
+                    mmax = st.max if mmax is None else max(mmax, st.max)
+            except Exception:
+                mmin = mmax = None  # unknown stats: coverage widens
+            out[key] = [wm, n, mmin, mmax]
+            wm += n
         return out, wm
+
+    @staticmethod
+    def _row_base_of(v) -> int:
+        """The base from a row_bases map value (int legacy,
+        [base, n], or [base, n, mat_min, mat_max])."""
+        return int(v[0]) if isinstance(v, (list, tuple)) else int(v)
+
+    @staticmethod
+    def _row_ids_may_hit(v, ids: list[int]) -> bool:
+        """Whether a file's recorded id COVERAGE can intersect the
+        sorted ``ids`` — a SUPERSET test by construction (legacy /
+        unknown coverage answers True; pruning may only widen)."""
+        import bisect
+
+        if not isinstance(v, (list, tuple)):
+            return True  # legacy int value: unknown row count
+        base = int(v[0])
+        n = v[1]
+        if n is None:
+            return True
+        i = bisect.bisect_left(ids, base)
+        if i < len(ids) and ids[i] < base + int(n):
+            return True  # a fresh id lands in [base, base + n)
+        if len(v) < 4:
+            return False  # no materialized column: range was exact
+        mmin, mmax = v[2], v[3]
+        if mmin is None or mmax is None:
+            return True  # materialized but stats unknown: widen
+        i = bisect.bisect_left(ids, int(mmin))
+        return i < len(ids) and ids[i] <= int(mmax)
+
+    def delete_by_row_ids(self, ids, metadata: dict | None = None) -> int:
+        """GDPR-style POINT DELETE BY STABLE ROW ID: given the ids an
+        audit/lookup produced (e.g. via :meth:`read_where` with
+        ``with_row_ids=True``), mask exactly those rows with a
+        deletion-vector commit — ``rewritten_files: 0``, O(matched
+        rows) bytes written, and the candidate scan is pruned from the
+        MANIFEST ALONE: each file's recorded id coverage ([base,
+        base+num_rows) plus the materialized column's parquet-stats
+        bounds for rewritten files) says whether any requested id can
+        live there, so a point delete on a 100 TB table opens a
+        handful of files without any data-column index. Requires row
+        tracking AND deletion vectors (a row-id delete is
+        merge-on-read by construction — there is no predicate over
+        data columns to re-derive on a rewrite). The id list is
+        driver-side by contract (an interactive / compliance batch,
+        thousands not billions); bulk deletes go through
+        :meth:`delete_where`."""
+        ids = sorted({int(i) for i in ids})
+        current = self.current_version()
+        if current is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if not ids:
+            return current
+        doc = self._filelist_doc(current) or {}
+        rb = doc.get("row_bases")
+        if rb is None:
+            raise ValueError(
+                "delete_by_row_ids needs row tracking — call "
+                "enable_row_tracking() first")
+        if not self.dv_enabled():
+            raise ValueError(
+                "delete_by_row_ids needs deletion vectors — call "
+                "enable_deletion_vectors() first (a row-id delete is "
+                "merge-on-read by construction)")
+        entries = [tuple(e) for e in doc["files"]]
+        candidates = [
+            self._abs_file(e) for e in entries
+            if self._row_ids_may_hit(rb.get(f"{e[0]}/{e[1]}"), ids)
+        ]
+        schema = self._filelist_schema(current)
+        layout = tuple(doc.get("partition_by") or [])
+        meta = {"requested_ids": len(ids)}
+        if metadata:
+            meta.update(metadata)
+        return self._mor_dml(
+            F.col(self.ROW_ID).isin(ids), "delete", None, meta,
+            current, entries, doc, layout, schema, candidates,
+            self._filelist_dvs(current))
 
     def read_with_row_ids(self, version: int | None = None,
                           tag: str | None = None,

@@ -956,3 +956,51 @@ def test_rest_dataset_detail(spark, server):
     assert status == 200
     assert out["format"] == "parquet" and out["version"] == 1
     assert out["num_files"] >= 1 and out["size_bytes"] > 0
+
+
+def test_rest_delete_by_row_ids_flow(spark, server):
+    """Round 10: the compliance loop over the control plane — look up
+    row ids, POST them back, rows masked with zero rewrites."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_riddel")
+    cfg = DatasetConfig(
+        name="api_ridel",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    t = VersionedTable(spark, path)
+    t.enable_deletion_vectors()
+    t.enable_row_tracking()
+    t.commit(
+        spark.range(0, 2000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v"))
+        .repartitionByRange(8, "id"))
+
+    status, out = _call(
+        srv.port, "GET",
+        "/dataset/rows?name=api_ridel&where=id%20in%20(3,1500)"
+        "&with_row_ids=true")
+    assert status == 200 and out["n"] == 2
+    ids = ",".join(str(r["_row_id"]) for r in out["rows"])
+
+    status, out = _call(
+        srv.port, "POST",
+        f"/dataset/delete-by-row-ids?name=api_ridel&ids={ids}")
+    assert status == 200
+    assert out["matched"] is True and out["rewritten_files"] == 0
+    assert out["dv_rows"] == 2
+    assert out["candidate_files"] < out["total_files"]
+    status, out = _call(
+        srv.port, "GET",
+        "/dataset/rows?name=api_ridel&where=id%20in%20(3,1500)")
+    assert status == 200 and out["n"] == 0

@@ -727,3 +727,38 @@ def test_engine_sql_show_tables(spark, tmp_path):
     rows = eng.sql("show tables").collect()
     assert [(r["dataset"], r["versioned"]) for r in rows] == [
         ("st_one", True)]
+
+
+def test_engine_sql_delete_by_row_id_in(spark, tmp_path):
+    """Round 10: DELETE FROM t WHERE _row_id IN (...) routes to the
+    stable-row-id point delete (manifest-coverage pruning + DV mask)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlrid")
+    cfg = DatasetConfig(
+        name="sqlrid",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"),),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.enable_deletion_vectors()
+    t.enable_row_tracking()
+    for lo in (0, 100, 200):
+        t.commit_append(spark.range(lo, lo + 100).select(
+            F.col("id").cast("int").alias("id")))
+    victims = [r["_row_id"] for r in
+               t.read_with_row_ids().where("id in (7, 250)").collect()]
+    out = eng.sql(
+        f"DELETE FROM sqlrid WHERE _row_id IN ({victims[0]}, {victims[1]})"
+    ).collect()[0]
+    assert out["matched"] is True and out["rewritten_files"] == 0
+    assert out["mode"] == "merge_on_read_row_ids" and out["dv_rows"] == 2
+    assert t.read().where("id in (7, 250)").count() == 0
+    assert t.read().count() == 298

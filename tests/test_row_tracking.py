@@ -245,3 +245,67 @@ class TestStreamAndFeedUnaffected:
         assert "__row_id_mat" not in ch.columns
         assert sorted(set(r["_change_type"] for r in ch.collect())) == [
             "update_postimage", "update_preimage"]
+
+
+class TestDeleteByRowIds:
+    """GDPR point delete by stable row id: DV commit, zero rewrites,
+    candidates pruned from the manifest's id-coverage alone."""
+
+    def _mk(self, spark, path):
+        t = VersionedTable(spark, str(path))
+        t.enable_deletion_vectors()
+        t.enable_row_tracking()
+        for lo in (0, 200, 400, 600):
+            t.commit_append(spark.range(lo, lo + 200).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+                .repartition(4))
+        return t
+
+    def test_point_delete_prunes_and_masks(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "rid1")
+        ids = t.read_with_row_ids()
+        victims = [r["_row_id"] for r in
+                   ids.where(F.col("k").isin([5, 777])).collect()]
+        assert len(victims) == 2
+        v = t.delete_by_row_ids(victims)
+        meta = t.commit_metadata(v)
+        assert meta["rewritten_files"] == 0 and meta["dv_rows"] == 2
+        assert meta["candidate_files"] < meta["total_files"], \
+            "id-coverage pruning must beat the full file list"
+        assert t.read().where(F.col("k").isin([5, 777])).count() == 0
+        assert t.read().count() == 798
+        # survivors keep their ids
+        left = {r["k"]: r["_row_id"]
+                for r in t.read_with_row_ids().collect()}
+        orig = {r["k"]: r["_row_id"] for r in ids.collect()}
+        for k, i in left.items():
+            assert i == orig[k]
+
+    def test_materialized_bounds_prune_after_rewrites(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "rid2")
+        # a CoW-style rewrite materializes ids into new files
+        t.disable_deletion_vectors()
+        t.delete_where(F.col("k") % 191 == 0)
+        t.enable_deletion_vectors()
+        ids = {r["k"]: r["_row_id"]
+               for r in t.read_with_row_ids().collect()}
+        v = t.delete_by_row_ids([ids[650]])
+        meta = t.commit_metadata(v)
+        assert meta["dv_rows"] == 1 and meta["rewritten_files"] == 0
+        assert meta["candidate_files"] < meta["total_files"]
+        assert t.read().where("k = 650").count() == 0
+
+    def test_missing_ids_no_new_version(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "rid3")
+        cur = t.current_version()
+        assert t.delete_by_row_ids([10**9, 10**9 + 1]) == cur
+        assert t.delete_by_row_ids([]) == cur
+
+    def test_requires_both_features(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "rid4"))
+        t.commit(spark.range(5).select(F.col("id").alias("k")))
+        with pytest.raises(ValueError, match="row tracking"):
+            t.delete_by_row_ids([1])
+        t.enable_row_tracking()
+        with pytest.raises(ValueError, match="deletion vectors"):
+            t.delete_by_row_ids([1])
