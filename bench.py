@@ -128,6 +128,10 @@ HEADLINE = [
     # parse + sample-table expansion in one Arrow pass; regression
     # means the parse stopped batching
     "video_keyframe_extraction",
+    # round-10: cross-source 3-gram Jaccard matrix — (source, gram)
+    # distinct THEN self-join, per-gram fan-out bounded by source
+    # count; regression means the dedup moved after the join
+    "source_overlap_matrix",
 ]
 
 

@@ -307,6 +307,86 @@ def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t
+                  FROM documents),
+    sh_raw AS (
+      SELECT source,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT source, g FROM sh_raw WHERE g <> ''),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT inter.sa AS source_a, inter.sb AS source_b,
+           inter.i AS n_shared,
+           CAST(inter.i AS DOUBLE) /
+             CAST(za.sz + zb.sz - inter.i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.source = inter.sa
+    JOIN sizes zb ON zb.source = inter.sb
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE CONTAMINATION MATRIX (round-10 session 2): pairwise
+    3-gram Jaccard between corpus sources — the composition diagnostic
+    run before mixing domains into a training set (two 'different'
+    sources sharing most of their n-grams are one source counted
+    twice; the number also flags scraped mirrors and cross-source
+    boilerplate). Integer intersection / union counts; the division is
+    one exact-int IEEE-754 divide, bit-identical in both engines.
+
+    Scale shape: grams dedup to (source, gram) FIRST (one map-side
+    combined distinct), so the self-join's per-gram fan-out is bounded
+    by the SOURCE COUNT (≤ |sources|² pairs per gram, ~dozens), never
+    by document frequency — corpus-linear overall, no doc-level
+    all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.col("text"), " ").alias("t")) \
+        .where(F.size("t") >= 3)
+    grams = (
+        toks.select(
+            "source",
+            F.explode(F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size("t") - F.lit(3)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                    F.element_at(F.col("t"), i + 3))))).alias("g"))
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    # no broadcast hints: `sizes` is a data-dependent aggregate (AQE
+    # sizes the join; at |sources| rows it broadcasts itself)
+    return (
+        inter.join(za, F.col("source_a") == F.col("za.source"))
+        .join(zb, F.col("source_b") == F.col("zb.source"))
+        .select(
+            "source_a", "source_b", "n_shared",
+            (F.col("n_shared").cast("double")
+             / (F.col("za.sz") + F.col("zb.sz") - F.col("n_shared"))
+             .cast("double")).alias("jaccard"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
     "shuffle_shard_manifest",
     oracle="""
     WITH t AS (

@@ -81,6 +81,11 @@ SHOW = {
         "JS global .match: match-guarded size(regexp_extract_all) / "
         "element read / array_join, one codegen'd projection"
     ),
+    "source_overlap_matrix": (
+        "cross-source contamination: (source, gram) distinct before "
+        "the self-join — per-gram fan-out bounded by source count, "
+        "AQE-sized size joins, no forced broadcast"
+    ),
     "shuffle_shard_manifest": (
         "seeded global-shuffle shards: md5 keying + uniform hash "
         "buckets (no global sort), within-shard positions via the "
