@@ -388,6 +388,22 @@ class PipelineApiServer:
                 name, ids = need("name", "ids")
                 return 200, self.engine.delete_rows_by_id(
                     name, [int(i) for i in ids.split(",") if i.strip()])
+            if method == "POST" and path == "/dataset/update-by-row-ids":
+                name, ids = need("name", "ids")
+                if not body:
+                    raise _BadRequest(
+                        "update-by-row-ids needs a JSON body of "
+                        "column -> SQL expression strings")
+                assignments = json.loads(body.decode("utf-8"))
+                if (not isinstance(assignments, dict)
+                        or not all(isinstance(v, str)
+                                   for v in assignments.values())):
+                    raise _BadRequest(
+                        "update body must be a JSON object of "
+                        "column -> SQL expression strings")
+                return 200, self.engine.update_rows_by_id(
+                    name, [int(i) for i in ids.split(",") if i.strip()],
+                    assignments)
             if method == "POST" and path == "/dataset/update":
                 name, where = need("name", "where")
                 if body:

@@ -290,6 +290,29 @@ class Engine:
                 "candidate_files": meta.get("candidate_files", 0),
                 "total_files": meta.get("total_files", 0)}
 
+    def update_rows_by_id(self, name: str, ids: list[int],
+                          assignments: dict[str, str]) -> dict[str, Any]:
+        """In-place UPDATE by STABLE ROW ID over the control plane —
+        the correction twin of :meth:`delete_rows_by_id` (fix exactly
+        these audited rows): manifest-coverage pruning + one
+        merge-on-read commit; identity preserved."""
+        from pyspark.sql import functions as F
+
+        table, dest = self._versioned_table(name)
+        before = table.current_version()
+        with self._dest_lock(dest.path):
+            version = table.update_by_row_ids(
+                [int(i) for i in ids],
+                {c: F.expr(e) for c, e in assignments.items()})
+        matched = version != before
+        meta = table.commit_metadata(version) if matched else {}
+        return {"version": version, "matched": matched,
+                "mode": "merge_on_read_row_ids",
+                "rewritten_files": meta.get("rewritten_files", 0),
+                "dv_rows": meta.get("dv_rows", 0),
+                "candidate_files": meta.get("candidate_files", 0),
+                "total_files": meta.get("total_files", 0)}
+
     def describe_detail(self, name: str) -> dict[str, Any]:
         """DESCRIBE DETAIL — one metadata-sized summary row of a
         versioned dataset's current snapshot (Delta's shape): format,

@@ -3242,6 +3242,67 @@ class VersionedTable:
             current, entries, doc, layout, schema, candidates,
             self._filelist_dvs(current))
 
+    def update_by_row_ids(self, ids, assignments: dict,
+                          metadata: dict | None = None) -> int:
+        """In-place UPDATE addressed by STABLE ROW ID — the correction
+        twin of :meth:`delete_by_row_ids` (fix exactly these audited
+        rows, whatever their data values): same manifest-coverage
+        candidate pruning, one merge-on-read commit (old positions
+        DV-masked, post-image rows appended CARRYING their ids —
+        identity survives the update like every ``update_where``).
+        Same guards as update_where: assignments may not touch
+        layout/bucket columns or name unknown columns."""
+        if not assignments:
+            raise ValueError("update_by_row_ids: empty assignments")
+        ids = sorted({int(i) for i in ids})
+        current = self.current_version()
+        if current is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if not ids:
+            return current
+        doc = self._filelist_doc(current) or {}
+        rb = doc.get("row_bases")
+        if rb is None:
+            raise ValueError(
+                "update_by_row_ids needs row tracking — call "
+                "enable_row_tracking() first")
+        if not self.dv_enabled():
+            raise ValueError(
+                "update_by_row_ids needs deletion vectors — call "
+                "enable_deletion_vectors() first (a row-id update is "
+                "merge-on-read by construction)")
+        schema = self._filelist_schema(current)
+        unknown = sorted(set(assignments) - set(schema.fieldNames()))
+        if unknown:
+            raise ValueError(
+                f"update_by_row_ids: unknown column(s) {unknown} in "
+                "assignments")
+        layout = tuple(doc.get("partition_by") or [])
+        bad = sorted(set(assignments) & set(layout))
+        if bad:
+            raise ValueError(
+                f"update_by_row_ids may not assign layout columns {bad} "
+                "— a partition-moving update is a keyed merge")
+        spec = self.bucket_spec()
+        if spec is not None:
+            bad = sorted(set(assignments) & set(spec["keys"]))
+            if bad:
+                raise ValueError(
+                    f"update_by_row_ids may not assign bucket key "
+                    f"columns {bad} — re-keying is a delete + merge")
+        entries = [tuple(e) for e in doc["files"]]
+        candidates = [
+            self._abs_file(e) for e in entries
+            if self._row_ids_may_hit(rb.get(f"{e[0]}/{e[1]}"), ids)
+        ]
+        meta = {"requested_ids": len(ids)}
+        if metadata:
+            meta.update(metadata)
+        return self._mor_dml(
+            F.col(self.ROW_ID).isin(ids), "update", assignments, meta,
+            current, entries, doc, layout, schema, candidates,
+            self._filelist_dvs(current))
+
     def read_with_row_ids(self, version: int | None = None,
                           tag: str | None = None,
                           as_of: "float | _dt.datetime | None" = None

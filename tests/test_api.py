@@ -1004,3 +1004,45 @@ def test_rest_delete_by_row_ids_flow(spark, server):
         srv.port, "GET",
         "/dataset/rows?name=api_ridel&where=id%20in%20(3,1500)")
     assert status == 200 and out["n"] == 0
+
+
+def test_rest_update_by_row_ids(spark, server):
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    srv, tmp_path = server
+    path = str(tmp_path / "out" / "api_ridup")
+    cfg = DatasetConfig(
+        name="api_ridup",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    _call(srv.port, "POST", "/dataset",
+          json.dumps(config_to_dict(cfg)).encode())
+    t = VersionedTable(spark, path)
+    t.enable_deletion_vectors()
+    t.enable_row_tracking()
+    t.commit(spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("int").alias("v"))
+        .repartitionByRange(8, "id"))
+
+    status, out = _call(
+        srv.port, "GET",
+        "/dataset/rows?name=api_ridup&where=id%3D77&with_row_ids=true")
+    rid = out["rows"][0]["_row_id"]
+    status, out = _call(
+        srv.port, "POST",
+        f"/dataset/update-by-row-ids?name=api_ridup&ids={rid}",
+        json.dumps({"v": "v + 100000"}).encode())
+    assert status == 200
+    assert out["matched"] is True and out["rewritten_files"] == 0
+    status, out = _call(
+        srv.port, "GET", "/dataset/rows?name=api_ridup&where=id%3D77"
+        "&with_row_ids=true")
+    assert out["rows"][0]["v"] == 100154
+    assert out["rows"][0]["_row_id"] == rid  # identity preserved

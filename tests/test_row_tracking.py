@@ -309,3 +309,39 @@ class TestDeleteByRowIds:
         t.enable_row_tracking()
         with pytest.raises(ValueError, match="deletion vectors"):
             t.delete_by_row_ids([1])
+
+
+class TestUpdateByRowIds:
+    def _mk(self, spark, path):
+        t = VersionedTable(spark, str(path))
+        t.enable_deletion_vectors()
+        t.enable_row_tracking()
+        for lo in (0, 200):
+            t.commit_append(spark.range(lo, lo + 200).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+                .repartition(4))
+        return t
+
+    def test_update_preserves_identity_and_prunes(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "uid1")
+        before = {r["k"]: r["_row_id"]
+                  for r in t.read_with_row_ids().collect()}
+        victims = [before[5], before[350]]
+        v = t.update_by_row_ids(victims, {"v": F.lit(-9)})
+        meta = t.commit_metadata(v)
+        assert meta["rewritten_files"] == 0 and meta["dv_rows"] == 2
+        assert meta["candidate_files"] < meta["total_files"]
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got[5] == -9 and got[350] == -9 and got[6] == 12
+        after = {r["k"]: r["_row_id"]
+                 for r in t.read_with_row_ids().collect()}
+        assert after == before, "a row-id update never changes identity"
+
+    def test_guards(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "uid2")
+        with pytest.raises(ValueError, match="empty assignments"):
+            t.update_by_row_ids([1], {})
+        with pytest.raises(ValueError, match="unknown column"):
+            t.update_by_row_ids([1], {"nope": F.lit(1)})
+        cur = t.current_version()
+        assert t.update_by_row_ids([10**9], {"v": F.lit(0)}) == cur
