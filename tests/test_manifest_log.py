@@ -1,0 +1,245 @@
+"""Log-structured manifest (round-11 verdict #1): delta commit records
++ periodic full checkpoints + columnar row-base mirrors.
+
+The round-10 design wrote the FULL file list + row_bases map + DV list
+as one JSON document per commit — O(table files) metadata bytes per
+commit, the last 100×-scale cost in the system after merge-on-read DML
+made the DATA bytes O(matched rows). These tests pin the new contract:
+
+- an incremental commit's manifest record is O(files CHANGED by the
+  commit) — asserted by growing the table 10× and checking the point-
+  delete commit record barely grows;
+- a full checkpoint is forced every ``manifest.CKPT_INTERVAL`` versions
+  so replay chains stay bounded;
+- resolution (checkpoint + tail replay) is exact: every face (read,
+  time travel, history, restore, clone, row ids, CDF, stream) sees the
+  same document the old full-writer produced;
+- vacuum MATERIALIZES retained delta versions whose base is swept, so
+  retained history never dangles;
+- the row-id read joins the base map as DATA (checkpoint parquet +
+  tail churn), never a driver-built relation over every file — with a
+  correct fallback for pre-round-11 checkpoints that lack the mirror.
+
+Public-design provenance: Delta Lake's action log w/ parquet
+checkpoints, Iceberg's manifest lists. Reference anchor: the reference
+delegates table state to Glue/Athena (IcebergUtil.scala:124-157) and
+never faces this plane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline import manifest as mf
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("p"),
+        (F.col("id") * 2).alias("v"))
+
+
+def _raw(t, v):
+    with open(os.path.join(t._resolve_dir(v), t.FILELIST)) as f:
+        return json.load(f)
+
+
+class TestDeltaRecords:
+    def test_append_writes_delta_record(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 100).repartition(8))
+        t.commit_append(_df(spark, 100, 110).coalesce(1))
+        rd = _raw(t, 2)
+        assert "delta" in rd and "files" not in rd
+        assert rd["delta"]["base"] == 1
+        assert len(rd["delta"]["add"]) >= 1
+        assert rd["delta"]["del"] == []
+        # resolution reconstructs the full list: carried + new
+        assert len(t._entries_for_version(2)) == \
+            len(t._entries_for_version(1)) + len(rd["delta"]["add"])
+        assert t.read(2).count() == 110
+
+    def test_full_rewrite_writes_checkpoint(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 100).repartition(8))
+        t.commit_append(_df(spark, 100, 110).coalesce(1))
+        t.commit(_df(spark, 0, 50).repartition(4))  # full rewrite
+        assert "files" in _raw(t, 3) and "delta" not in _raw(t, 3)
+
+    def test_checkpoint_forced_every_interval(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 64).repartition(8))
+        for i in range(mf.CKPT_INTERVAL + 2):
+            t.commit_append(_df(spark, 100 + i, 101 + i).coalesce(1))
+        kinds = {v: ("delta" in _raw(t, v)) for v in t.versions()}
+        assert kinds[mf.CKPT_INTERVAL] is False  # forced checkpoint
+        # neighbors stayed deltas (appends of 1 file to a 8+ file table)
+        assert kinds[mf.CKPT_INTERVAL - 1] is True
+        assert kinds[mf.CKPT_INTERVAL + 1] is True
+        assert mf.chain_length(t.root, mf.CKPT_INTERVAL + 2) == 2
+        assert t.read().count() == 64 + mf.CKPT_INTERVAL + 2
+
+    def test_point_delete_commit_bytes_constant_in_table_size(
+            self, spark, tmp_path):
+        """THE scale assertion: grow the table 10× in file count — the
+        point-delete commit record's bytes stay ~flat (O(matched), not
+        O(table))."""
+        sizes = {}
+        for n_files in (12, 120):
+            t = VersionedTable(spark, str(tmp_path / f"t{n_files}"))
+            t.enable_deletion_vectors()
+            t.enable_row_tracking()
+            t.commit(_df(spark, 0, 10 * n_files).repartition(n_files))
+            # an append so the delete's base is itself a delta record
+            t.commit_append(_df(spark, 5000, 5010).coalesce(1))
+            v = t.delete_by_row_ids([3])
+            meta = t.commit_metadata(v)
+            assert meta["rewritten_files"] == 0
+            rd = _raw(t, v)
+            assert "delta" in rd, "point delete must be a delta record"
+            sizes[n_files] = os.path.getsize(
+                os.path.join(t._resolve_dir(v), t.FILELIST))
+            assert t.read().count() == 10 * n_files + 10 - 1
+        # 10× the files: allow slack for path-name noise, forbid O(n)
+        assert sizes[120] < 2 * sizes[12], sizes
+
+    def test_resolution_matches_faces_across_dml_chain(
+            self, spark, tmp_path):
+        """A mixed chain (append / MOR delete / rename / spec change /
+        restore) resolves so every face agrees with recomputed truth."""
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.enable_deletion_vectors()
+        t.commit(_df(spark, 0, 100).repartition(8))
+        t.commit_append(_df(spark, 100, 120).repartition(2))
+        t.delete_where("k >= 110")                      # MOR: DV commit
+        t.rename_column("v", "val")                     # metadata-only
+        t.commit_append(
+            _df(spark, 200, 210).coalesce(1)
+            .withColumnRenamed("v", "val"))
+        assert t.read().count() == 120
+        assert t.read(2).count() == 120                 # time travel
+        assert t.read(3).count() == 110
+        assert "val" in t.read().columns
+        vr = t.restore(2)
+        assert t.read(vr).count() == 120
+        assert "v" in t.read(vr).columns                # pre-rename map
+        h = t.history()
+        assert [r["version"] for r in h] == t.versions()
+        kinds = {r["version"]: r["kind"] for r in h}
+        assert kinds[3] == "delete" and kinds[4] == "rename_column"
+
+    def test_clone_of_delta_chain_table(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "src"))
+        t.enable_deletion_vectors()
+        t.commit(_df(spark, 0, 100).repartition(8))
+        t.commit_append(_df(spark, 100, 110).coalesce(1))
+        t.delete_where("k < 5")
+        c = t.clone_to(str(tmp_path / "dst"))
+        assert c.read().count() == 105
+        assert "files" in _raw(c, 1)  # a clone's v1 is a checkpoint
+
+
+class TestVacuumMaterialization:
+    def test_vacuum_materializes_dependent_retained(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 80).repartition(8))
+        for i in range(4):
+            t.commit_append(_df(spark, 100 + i, 101 + i).coalesce(1))
+        assert "delta" in _raw(t, 4)
+        removed = t.vacuum(keep=2)           # victims: 1, 2, 3
+        assert removed == [1, 2, 3]
+        # v4 (oldest retained) was materialized to a full checkpoint;
+        # v5 may stay a delta against (retained) v4
+        assert "files" in _raw(t, 4) and "delta" not in _raw(t, 4)
+        assert t.read(4).count() == 83
+        assert t.read(5).count() == 84
+        with pytest.raises(FileNotFoundError):
+            t.read(2)
+
+    def test_vacuum_materializes_row_base_mirror(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.enable_deletion_vectors()
+        t.enable_row_tracking()
+        t.commit(_df(spark, 0, 80).repartition(8))
+        for i in range(3):
+            t.commit_append(_df(spark, 100 + i, 101 + i).coalesce(1))
+        ids_before = {r["k"]: r["_row_id"]
+                      for r in t.read_with_row_ids().collect()}
+        t.vacuum(keep=2)
+        # the materialized checkpoint grew its own columnar mirror, so
+        # the row-id read still serves from data (and ids are stable)
+        ids_after = {r["k"]: r["_row_id"]
+                     for r in t.read_with_row_ids().collect()}
+        assert t._last_rb_source == "checkpoint"
+        assert ids_after == ids_before
+
+
+class TestRowBaseFrame:
+    def test_served_from_checkpoint_plus_tail(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.enable_deletion_vectors()
+        t.enable_row_tracking()
+        t.commit(_df(spark, 0, 100).repartition(8))
+        t.commit_append(_df(spark, 100, 110).coalesce(1))
+        t.delete_by_row_ids([7, 105])
+        out = t.read_with_row_ids()
+        ids = sorted(r["_row_id"] for r in out.collect())
+        assert t._last_rb_source == "checkpoint"
+        assert len(ids) == 108 and 7 not in ids and 105 not in ids
+        # the tail walk reports net churn O(changed), not O(table)
+        ckpt_v, added, removed = mf.rb_tail(t.root, t.current_version())
+        assert len(added) <= 3 and not removed
+
+    def test_fallback_without_mirror(self, spark, tmp_path):
+        """Pre-round-11 checkpoints have no parquet mirror: the read
+        falls back to the driver-built map, bit-identically."""
+        import shutil
+
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.enable_row_tracking()
+        t.commit(_df(spark, 0, 50).repartition(4))
+        want = {r["k"]: r["_row_id"]
+                for r in t.read_with_row_ids().collect()}
+        shutil.rmtree(os.path.join(t._resolve_dir(1), "_rb"))
+        got = {r["k"]: r["_row_id"]
+               for r in t.read_with_row_ids().collect()}
+        assert t._last_rb_source == "fallback"
+        assert got == want
+
+    def test_update_by_row_ids_on_delta_chain(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.enable_deletion_vectors()
+        t.enable_row_tracking()
+        t.commit(_df(spark, 0, 60).repartition(6))
+        t.commit_append(_df(spark, 100, 105).coalesce(1))
+        tgt = [r["_row_id"] for r in
+               t.read_with_row_ids().where("k = 103").collect()]
+        v = t.update_by_row_ids(tgt, {"v": F.lit(-1)})
+        assert t.commit_metadata(v)["rewritten_files"] == 0
+        got = t.read_with_row_ids().where("k = 103").collect()
+        assert [r["v"] for r in got] == [-1]
+        assert [r["_row_id"] for r in got] == tgt  # identity survives
+
+
+class TestStreamOverDeltaManifests:
+    def test_appends_stream_from_delta_records(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.table_stream import (
+            stream_inserts)
+
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        t.commit(_df(spark, 0, 20).repartition(4))
+        t.commit_append(_df(spark, 20, 30).coalesce(1))
+        t.commit_append(_df(spark, 30, 35).coalesce(1))
+        assert "delta" in _raw(t, 2)
+        q = (stream_inserts(spark, t.root, starting_version=1)
+             .writeStream.format("memory").queryName("mlog_stream")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        ks = sorted(r["k"] for r in
+                    spark.sql("select k from mlog_stream").collect())
+        assert ks == list(range(35))

@@ -3,7 +3,12 @@
 reading and pruning by the spec their paths encode (``dir_specs``, the
 ``dir_renames`` pattern), new commits write the new spec, and one full
 compaction materializes the layout and clears the map. Partition-
-scoped merge/CDC/OPTIMIZE-WHERE refuse on a mixed-spec table."""
+scoped merge/CDC/OPTIMIZE-WHERE resolve a mixed-spec table PER
+DIRECTORY (round-10 verdict #2): provably-disjoint old-spec files
+carry, the rest decompose — touched rows flow through the op,
+survivors re-materialize under the current spec (progressive
+migration), so spec evolution never suspends the table's write
+paths."""
 
 from __future__ import annotations
 
@@ -110,22 +115,97 @@ class TestPruningAcrossSpecs:
         # rows on BOTH sides of the spec boundary were deleted
         assert t.read().count() == 800 - (800 + 1) // 3
 
-    def test_partition_scoped_ops_refuse_until_compaction(
-            self, spark, tmp_path):
+    def test_merge_lands_on_mixed_spec_table(self, spark, tmp_path):
+        """Round-10 verdict #2: partition-scoped ops used to REFUSE on
+        a mixed-spec table until a full compaction. Now they resolve
+        per directory: old-spec files that may hold touched rows are
+        decomposed (touched rows merge, survivors re-materialize under
+        the current spec), provably-disjoint old-spec files carry."""
         t = self._table(spark, tmp_path, "p4")
+        # k=1 lives in the OLD p-partitioned dir; k=900 is a fresh key
+        src = spark.createDataFrame(
+            [(1, 1, 1, 999), (900, 0, 0, 111)],
+            "k long, p long, q long, v long")
+        v = t.commit_merge_partitioned(src, keys=["k"],
+                                       partition_by=["q"])
+        got = t.read()
+        assert got.count() == 801
+        rows = {r["k"]: (r["p"], r["q"], r["v"])
+                for r in got.where("k in (1, 900, 2, 500)").collect()}
+        assert rows[1] == (1, 1, 999)       # updated across the boundary
+        assert rows[900] == (0, 0, 111)     # fresh insert
+        assert rows[2] == (2, 2, 4)         # old dir, untouched q=2
+        assert rows[500] == (0, 2, 1000)    # new dir, untouched q=2
+        meta = t.commit_metadata(v)
+        assert meta["rewritten_partitions"] == 2        # q=0, q=1
+        # the [p]-spec dir shares no column with [q]: every old file
+        # was a candidate and migrated — the deviation map is gone and
+        # the table reads as uniform-spec again
+        assert meta["migrated_files"] > 0
+        assert t._dir_specs(v) == {}
+        # no duplicate keys anywhere (the old bug the refusal guarded)
+        assert got.groupBy("k").count().where("count > 1").count() == 0
+
+    def test_merge_carries_disjoint_shared_spec_dirs(self, spark,
+                                                     tmp_path):
+        """Old spec [p, q] → new spec [q]: shared column q lets
+        provably-disjoint old dirs carry forward untouched."""
+        t = VersionedTable(spark, str(tmp_path / "p4b"))
+        t.commit(_df(spark, 0, 400), partition_by=("p", "q"))
+        t.set_partition_spec(["q"])
+        t.commit_append(_df(spark, 400, 600), partition_by=("q",))
+        src = spark.createDataFrame(
+            [(3, 3, 0, 777)], "k long, p long, q long, v long")
+        # touched partition: q=0 only — old dirs with q=1/q=2 carry
+        v = t.commit_merge_partitioned(src, keys=["k"],
+                                       partition_by=["q"])
+        meta = t.commit_metadata(v)
+        assert meta["migrated_files"] > 0
+        assert meta["carried_files"] > 0
+        got = t.read()
+        assert got.count() == 600
+        assert got.where("k = 3").collect()[0]["v"] == 777
+        # untouched rows intact on both sides
+        rows = {r["k"]: r["v"] for r in
+                got.where("k in (4, 401)").collect()}
+        assert rows == {4: 8, 401: 802}
+        assert got.groupBy("k").count().where("count > 1").count() == 0
+        # q=1/q=2 old-spec dirs still deviate (they carried)
+        assert t._dir_specs(v)
+
+    def test_cdc_apply_on_mixed_spec_table(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "p4c")
+        feed = spark.createDataFrame(
+            [(1, 1, 1, 555, "update_postimage", 7),
+             (4, 0, 1, None, "delete", 7),
+             (901, 1, 1, 222, "insert", 7)],
+            "k long, p long, q long, v long, _change_type string, "
+            "_commit_version int")
+        t.commit_cdc_partitioned(feed, keys=["k"], partition_by=["q"])
+        got = t.read()
+        assert got.count() == 800  # +1 insert, -1 delete
+        rows = {r["k"]: r["v"] for r in
+                got.where("k in (1, 901, 2, 500)").collect()}
+        assert rows == {1: 555, 901: 222, 2: 4, 500: 1000}
+        assert got.where("k = 4").count() == 0  # deleted across boundary
+        assert got.groupBy("k").count().where("count > 1").count() == 0
+
+    def test_optimize_where_on_mixed_spec_table(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "p4d")
+        before = {r["k"]: (r["p"], r["q"], r["v"])
+                  for r in t.read().collect()}
+        # select the OLD-spec physical partitions: their rows migrate
+        # to the current layout
+        v = t.compact_partitions(["p=0", "p=1", "p=2", "p=3"],
+                                 min_files=1)
+        assert v > t.versions()[0]
+        after = {r["k"]: (r["p"], r["q"], r["v"])
+                 for r in t.read().collect()}
+        assert after == before
+        assert t._dir_specs(v) == {}  # old dirs fully migrated
+        # and partition-scoped ops now run on the uniform table
         src = spark.createDataFrame(
             [(1, 1, 1, 999)], "k long, p long, q long, v long")
-        with pytest.raises(ValueError, match="older partition spec"):
-            t.commit_merge_partitioned(src, keys=["k"],
-                                       partition_by=["q"])
-        with pytest.raises(ValueError, match="older partition spec"):
-            t.compact_partitions(["q=1"])
-        from pipeline_server_spark.operators.scale import (
-            optimize_compact_snapshot)
-
-        cv = optimize_compact_snapshot(t)
-        assert t._dir_specs(cv) == {}  # materialized: map cleared
-        assert t.recorded_partition_by(cv) == ["q"]
         t.commit_merge_partitioned(src, keys=["k"], partition_by=["q"])
         assert t.read().where("k = 1").collect()[0]["v"] == 999
 
