@@ -281,14 +281,26 @@ class Engine:
         before = table.current_version()
         with self._dest_lock(dest.path):
             version = table.delete_by_row_ids([int(i) for i in ids])
+            compacted = self._maybe_pay_dv_debt(table, dest)
         matched = version != before
         meta = table.commit_metadata(version) if matched else {}
-        return {"version": version, "matched": matched,
-                "mode": "merge_on_read_row_ids",
-                "rewritten_files": meta.get("rewritten_files", 0),
-                "dv_rows": meta.get("dv_rows", 0),
-                "candidate_files": meta.get("candidate_files", 0),
-                "total_files": meta.get("total_files", 0)}
+        out = {"version": version, "matched": matched,
+               "mode": "merge_on_read_row_ids",
+               "rewritten_files": meta.get("rewritten_files", 0),
+               "dv_rows": meta.get("dv_rows", 0),
+               "candidate_files": meta.get("candidate_files", 0),
+               "total_files": meta.get("total_files", 0)}
+        if compacted is not None:
+            out["auto_compacted_version"] = compacted
+        return out
+
+    @staticmethod
+    def _maybe_pay_dv_debt(table, dest) -> "int | None":
+        """Debt-triggered auto-compaction hook shared by every DML
+        face (round 11): runs under the face's destination lock, so it
+        can never shadow a concurrent writer through the engine."""
+        return table.maybe_compact_dv_debt(
+            getattr(dest, "auto_compact_dv_rows", 0))
 
     def update_rows_by_id(self, name: str, ids: list[int],
                           assignments: dict[str, str]) -> dict[str, Any]:
@@ -304,14 +316,18 @@ class Engine:
             version = table.update_by_row_ids(
                 [int(i) for i in ids],
                 {c: F.expr(e) for c, e in assignments.items()})
+            compacted = self._maybe_pay_dv_debt(table, dest)
         matched = version != before
         meta = table.commit_metadata(version) if matched else {}
-        return {"version": version, "matched": matched,
-                "mode": "merge_on_read_row_ids",
-                "rewritten_files": meta.get("rewritten_files", 0),
-                "dv_rows": meta.get("dv_rows", 0),
-                "candidate_files": meta.get("candidate_files", 0),
-                "total_files": meta.get("total_files", 0)}
+        out = {"version": version, "matched": matched,
+               "mode": "merge_on_read_row_ids",
+               "rewritten_files": meta.get("rewritten_files", 0),
+               "dv_rows": meta.get("dv_rows", 0),
+               "candidate_files": meta.get("candidate_files", 0),
+               "total_files": meta.get("total_files", 0)}
+        if compacted is not None:
+            out["auto_compacted_version"] = compacted
+        return out
 
     def describe_detail(self, name: str) -> dict[str, Any]:
         """DESCRIBE DETAIL — one metadata-sized summary row of a
@@ -899,6 +915,23 @@ class Engine:
                 version = table.commit_append(aligned, partition_by=layout)
         return {"version": version, "rows_inserted": n}
 
+    @staticmethod
+    def _rowid_point_ids(where: str) -> "list[int] | None":
+        """The id list when ``where`` is EXACTLY a stable-row-id point
+        predicate (``_row_id IN (1, 2, ...)`` or ``_row_id = n``) —
+        None for anything else (incl. mixed predicates, which the
+        generic DML path serves with intersected pruning)."""
+        import re
+
+        m = re.match(r"(?is)^\s*`?_row_id`?\s+IN\s*"
+                     r"\(\s*([\d\s,]+)\)\s*$", where)
+        if m:
+            return [int(x) for x in m.group(1).split(",") if x.strip()]
+        m = re.match(r"(?is)^\s*`?_row_id`?\s*=\s*(\d+)\s*$", where)
+        if m:
+            return [int(m.group(1))]
+        return None
+
     def delete_rows(self, name: str, where: str) -> dict[str, Any]:
         """Row-level DELETE over the control plane (DELETE FROM ...
         WHERE): index-pruned copy-on-write — only files containing
@@ -910,12 +943,16 @@ class Engine:
         with self._dest_lock(dest.path):
             before = table.current_version()
             version = table.delete_where(F.expr(where))
+            compacted = self._maybe_pay_dv_debt(table, dest)
         meta = (table.commit_metadata(version)
                 if version != before else {"rewritten_files": 0})
-        return {"version": version, "matched": version != before,
-                "rewritten_files": meta.get("rewritten_files", 0),
-                "mode": meta.get("mode", "copy_on_write"),
-                "dv_rows": meta.get("dv_rows", 0)}
+        out = {"version": version, "matched": version != before,
+               "rewritten_files": meta.get("rewritten_files", 0),
+               "mode": meta.get("mode", "copy_on_write"),
+               "dv_rows": meta.get("dv_rows", 0)}
+        if compacted is not None:
+            out["auto_compacted_version"] = compacted
+        return out
 
     def update_rows(self, name: str, where: str,
                     assignments: dict[str, str]) -> dict[str, Any]:
@@ -932,12 +969,16 @@ class Engine:
             version = table.update_where(
                 F.expr(where),
                 {c: F.expr(e) for c, e in assignments.items()})
+            compacted = self._maybe_pay_dv_debt(table, dest)
         meta = (table.commit_metadata(version)
                 if version != before else {"rewritten_files": 0})
-        return {"version": version, "matched": version != before,
-                "rewritten_files": meta.get("rewritten_files", 0),
-                "mode": meta.get("mode", "copy_on_write"),
-                "dv_rows": meta.get("dv_rows", 0)}
+        out = {"version": version, "matched": version != before,
+               "rewritten_files": meta.get("rewritten_files", 0),
+               "mode": meta.get("mode", "copy_on_write"),
+               "dv_rows": meta.get("dv_rows", 0)}
+        if compacted is not None:
+            out["auto_compacted_version"] = compacted
+        return out
 
     def tag_version(self, name: str, tag: str,
                     version: int | None = None) -> dict[str, Any]:
@@ -1110,22 +1151,21 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(out["version"], out["strategy"])],
                     "version long, strategy string")
+            # WHERE _row_id IN (...) / _row_id = n alone routes to the
+            # stable-row-id POINT path (manifest-coverage pruning +
+            # deletion-vector mask) — for DELETE and, symmetrically,
+            # UPDATE (round-10 verdict #3). A MIXED predicate falls to
+            # the generic path, where the envelope now intersects
+            # row-id coverage with the data-column dimensions.
+            ids = self._rowid_point_ids(where)
             if kind == "delete":
-                import re as _re
-
-                rm = _re.match(r"(?is)^\s*`?_row_id`?\s+IN\s*"
-                               r"\(\s*([\d\s,]+)\)\s*$", where)
-                if rm:
-                    # DELETE FROM t WHERE _row_id IN (...) — the
-                    # stable-row-id point delete (manifest-coverage
-                    # pruning + deletion-vector mask)
-                    out = self.delete_rows_by_id(
-                        name, [int(x) for x in rm.group(1).split(",")
-                               if x.strip()])
-                else:
-                    out = self.delete_rows(name, where)
+                out = (self.delete_rows_by_id(name, ids)
+                       if ids is not None
+                       else self.delete_rows(name, where))
             else:
-                out = self.update_rows(name, where, assignments)
+                out = (self.update_rows_by_id(name, ids, assignments)
+                       if ids is not None
+                       else self.update_rows(name, where, assignments))
             return self.spark.createDataFrame(
                 [(out["version"], out["matched"], out["rewritten_files"],
                   out["mode"], out["dv_rows"])],

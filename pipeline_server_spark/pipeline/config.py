@@ -158,6 +158,14 @@ class DestinationConfig:
     # the same lock and commit protocol (round-6 verdict item 5).
     # 0 disables.
     auto_compact_dirs: int = 64
+    # Merge-on-read deletion DEBT policy (round 11): when a DML commit
+    # leaves more than this many deletion-vector rows masking reads
+    # (VersionedTable.dv_debt), the DML face schedules one partition-
+    # scoped compaction of exactly the vector-carrying directories —
+    # materializing the deletions away and resetting the debt. A
+    # DML-heavy table otherwise accumulates masked rows until a manual
+    # OPTIMIZE. 0 disables.
+    auto_compact_dv_rows: int = 100_000
 
 
 @dataclass(frozen=True)
@@ -265,6 +273,8 @@ def validate_config(config: DatasetConfig) -> DatasetConfig:
         errors.append("bloom_cols requires parquet (Arrow column reads)")
     if config.destination.auto_compact_dirs < 0:
         errors.append("auto_compact_dirs must be >= 0 (0 disables)")
+    if config.destination.auto_compact_dv_rows < 0:
+        errors.append("auto_compact_dv_rows must be >= 0 (0 disables)")
     if config.destination.file_format not in ("parquet", "orc"):
         errors.append(f"unsupported destination format: {config.destination.file_format!r}")
     if ft == "unstructured" and config.destination.write_mode == "merge":

@@ -350,10 +350,15 @@ class VersionedTable:
     upgrades the table to MULTI-WRITER safety: each commit stages its
     data under a uniquely-suffixed version directory and publishes by
     put-if-absent of ``_commits/vN.json`` (the Delta-style commit-log
-    protocol) — of two writers racing for version N exactly one wins,
-    the loser raises :class:`CommitConflictError` and its staged data
-    is discarded; no manifest is ever torn. ``current_version`` is then
-    the max of the commit log, so readers follow the winner.
+    protocol) — of two writers racing for version N exactly one wins;
+    the loser first attempts a LOGICAL REBASE (:meth:`_try_rebase`,
+    round-11): a provably-disjoint delta (blind append, merge-on-read
+    DML on files every winner carried, partition-disjoint rewrites)
+    re-points its already-written files at the next version without
+    rewriting a byte; a genuinely conflicting commit raises
+    :class:`CommitConflictError` with its staged data discarded. No
+    manifest is ever torn; ``current_version`` is the max of the
+    commit log, so readers follow the winners.
     """
 
     MANIFEST = "_manifest.json"
@@ -1334,9 +1339,221 @@ class VersionedTable:
             try:
                 put(tmp, self._commit_file(version))  # THE commit point
             except CommitConflictError:
-                self.fs.remove(target)  # never published — discard
+                rebased = self._try_rebase(version, target)
+                if rebased is not None:
+                    return rebased
+                self.fs.remove(target)  # truly conflicting — discard
                 raise
         return version
+
+    #: how many times a losing writer re-derives its rebase before
+    #: giving up (each loop iteration loses only if ANOTHER writer
+    #: published meanwhile — progress is globally guaranteed)
+    rebase_attempts: int = 5
+
+    def _try_rebase(self, version: int, target: str) -> int | None:
+        """LOGICAL CONFLICT RESOLUTION for a losing concurrent writer
+        (the public Delta commit-protocol idea; round-10 verdict #4):
+        instead of discarding ALL staged work and rewriting the data,
+        re-read the winners' commits and — when the loser's delta is
+        provably disjoint — re-point the already-written files at the
+        next version. No data byte is rewritten. Returns the published
+        version, or None when the conflict is real (caller discards
+        and raises, preserving the old contract).
+
+        Rebase-able shapes (everything else returns None):
+
+        - **blind append**: removes no file, touches no vector;
+        - **merge-on-read DML**: fresh deletion vectors whose
+          referenced files every winner carried forward untouched
+          (WriteSerializable isolation: a winner's concurrent blind
+          append composes — the DML applies to the snapshot it read);
+        - **partition-scoped rewrites** (merge / CDC / OPTIMIZE WHERE
+          / CoW DML on a partitioned table): the loser's rewritten
+          partitions are disjoint from every partition the winners
+          added to or removed from.
+
+        Guarded invariants: the winners must not have changed the
+        schema, layout, column mapping, partition-spec deviations, the
+        skipping-index columns, or (when both sides touched them) the
+        deletion-vector list; CDF commits never rebase (their staged
+        change files carry the old version literal); fresh row-id
+        allocations are RE-BASED off the winners' watermark so two
+        racing appends can never mint the same id."""
+        import json
+        import time
+        import uuid
+
+        if version == 1:
+            # two writers racing to BOOTSTRAP the same table is a real
+            # conflict (a rebase would double the data)
+            return None
+        # the staged manifest lives in target (not yet resolvable by
+        # version — the winner owns that number now)
+        try:
+            with open(os.path.join(target, self.FILELIST)) as f:
+                raw = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+        if raw.get("cdf"):
+            return None  # staged change files embed the old version
+        prev_doc = self._filelist_doc(version - 1)
+        if prev_doc is None:
+            return None  # legacy base: nothing provable
+        # the loser's own delta against the base it was staged on
+        if "delta" in raw:
+            d = raw["delta"]
+            if int(d["base"]) != version - 1:
+                return None
+            add = [tuple(e) for e in d.get("add") or ()]
+            dels = {tuple(e) for e in d.get("del") or ()}
+            rb_spec = d.get("rb", "inherit")
+        else:
+            prev_files = {tuple(e) for e in prev_doc.get("files") or ()}
+            files = [tuple(e) for e in raw.get("files") or ()]
+            add = [e for e in files if e not in prev_files]
+            dels = prev_files - set(files)
+            p_rb = prev_doc.get("row_bases")
+            n_rb = raw.get("row_bases")
+            if n_rb is None:
+                rb_spec = None if p_rb is not None else "inherit"
+            else:
+                prb = p_rb or {}
+                rb_add = {k: v for k, v in n_rb.items()
+                          if prb.get(k) != v}
+                rb_del = [k for k in prb if k not in n_rb]
+                rb_spec = ({"add": rb_add, "del": rb_del}
+                           if (rb_add or rb_del) else "inherit")
+        if rb_spec is None:
+            return None  # raced a row-tracking disable: bail
+        kind = raw.get("kind")
+        if kind == "full":
+            return None  # a full rewrite conflicts with any winner
+        prev_files = {tuple(e) for e in prev_doc.get("files") or ()}
+        prev_dvs = [tuple(e) for e in prev_doc.get("dvs") or ()]
+        loser_dvs = [tuple(e) for e in raw.get("dvs") or ()]
+        own_dir = os.path.basename(target)
+        fresh_dvs = [e for e in loser_dvs if e[0] == own_dir]
+
+        for _ in range(self.rebase_attempts):
+            cur = self.current_version()
+            if cur is None or cur < version:
+                return None  # log went backwards?! bail to the raise
+            cur_doc = self._filelist_doc(cur)
+            if cur_doc is None:
+                return None
+            # winners must have preserved every table-level invariant
+            # the staged files were written under
+            for key in ("schema", "partition_by", "dir_renames",
+                        "dir_specs", "stats_cols", "bloom_cols"):
+                if (cur_doc.get(key) or None) != (raw.get(key) or None):
+                    return None
+            cur_files = {tuple(e) for e in cur_doc.get("files") or ()}
+            cur_dvs = [tuple(e) for e in cur_doc.get("dvs") or ()]
+            winners_removed = prev_files - cur_files
+            winners_added = cur_files - prev_files
+            if dels:
+                # the loser rewrote files: every one must still be
+                # live, and the winners must not have touched any
+                # partition the loser rewrote
+                if dels - cur_files:
+                    return None
+                layout = list(raw.get("partition_by") or [])
+                mine = {self._partition_prefix(rel, len(layout))
+                        for _d, rel in (set(add) | dels)}
+                if any(self._partition_prefix(rel, len(layout)) in mine
+                       for _d, rel in (winners_added | winners_removed)):
+                    return None
+            if fresh_dvs:
+                # every file the fresh vectors name must have been
+                # carried forward by every winner (a winner rewrite
+                # would leave the vector masking a dead file while the
+                # rewritten copy resurrects the rows)
+                import pyarrow.parquet as _pq
+
+                removed_ids = {f"{d_}/{r_}" for d_, r_ in winners_removed}
+                for d_, rel in fresh_dvs:
+                    tbl = _pq.read_table(
+                        os.path.join(target, rel), columns=["file"])
+                    if removed_ids & set(
+                            tbl.column("file").to_pylist()):
+                        return None
+                if cur_dvs == prev_dvs:
+                    new_dvs = loser_dvs  # winners left vectors alone
+                elif set(loser_dvs) >= set(prev_dvs):
+                    # loser only APPENDED fresh sidecars: compose them
+                    # with whatever the winners' list became
+                    new_dvs = cur_dvs + fresh_dvs
+                else:
+                    # loser COALESCED the vectors while a winner also
+                    # changed them — two restructurings can't merge
+                    return None
+            else:
+                # loser didn't touch vectors: adopt the winners' list
+                new_dvs = cur_dvs
+            new_files = ([e for e in (cur_doc.get("files") or ())
+                          if tuple(e) not in dels]
+                         + [list(e) for e in add])
+            doc = {k: v for k, v in raw.items()
+                   if k not in ("delta", "files", "row_bases",
+                                "dvs", "row_watermark")}
+            doc["files"] = new_files
+            doc["committed_at"] = time.time()
+            if new_dvs:
+                doc["dvs"] = [list(e) for e in new_dvs]
+            wm = int(cur_doc.get("row_watermark") or 0)
+            cur_rb = cur_doc.get("row_bases")
+            if rb_spec == "inherit":
+                if cur_rb is not None:
+                    doc["row_bases"] = cur_rb
+                if wm:
+                    doc["row_watermark"] = wm
+            else:
+                # REALLOCATE the loser's fresh id ranges off the
+                # winners' watermark — both sides allocated from the
+                # same base, so keeping them would mint duplicate ids
+                new_rb = dict(cur_rb or {})
+                for k in rb_spec.get("del") or ():
+                    new_rb.pop(k, None)
+                for k, v in (rb_spec.get("add") or {}).items():
+                    if not isinstance(v, (list, tuple)) or v[1] is None:
+                        return None  # legacy value: range unknown
+                    n = int(v[1])
+                    new_rb[k] = [wm, n] + list(v[2:])
+                    wm += n
+                doc["row_bases"] = new_rb
+                doc["row_watermark"] = wm
+            new_version = cur + 1
+            # the rebased record is written as a full checkpoint —
+            # its delta base (version-1) is no longer its predecessor
+            with open(os.path.join(target, self.FILELIST), "w") as f:
+                json.dump(doc, f)
+            self._write_rowbases_parquet(target, doc.get("row_bases"))
+            stats = list(raw.get("stats_cols") or [])
+            blooms = list(raw.get("bloom_cols") or [])
+            if stats or blooms:
+                # the staged index mixed the loser's new files with the
+                # OLD base's carried files — rebuild over the rebased
+                # list (incremental off the winners' index)
+                from pyspark.sql import types as T
+
+                schema = (T.StructType.fromJson(json.loads(raw["schema"]))
+                          if raw.get("schema") else None)
+                self._build_index(
+                    target, [tuple(e) for e in new_files], stats,
+                    schema, prior_version=cur,
+                    new_entries=[e for e in add], bloom_cols=blooms)
+            tmp = os.path.join(
+                self.root, f".{self.MANIFEST}.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump({"version": new_version, "dir": own_dir}, f)
+            try:
+                self.fs.put_if_absent(
+                    tmp, self._commit_file(new_version))
+                return new_version
+            except CommitConflictError:
+                continue  # another writer landed meanwhile: re-derive
+        return None
 
     @staticmethod
     def _partition_prefix(rel: str, depth: int) -> str:
@@ -3069,6 +3286,31 @@ class VersionedTable:
                 e[1], len(self._spec_for_dir(e[0], layout, dev)))
             not in sel]
         all_entries = carried + new_entries
+        # deletion-vector hygiene: the rewrite MATERIALIZED the masked
+        # rows away for every file it replaced — their vector rows are
+        # dead weight that would keep dv_debt (and the debt-triggered
+        # auto-compaction) counting forever. Keep only rows masking
+        # files that carried forward, coalesced into one fresh sidecar
+        # set; O(dv rows), and an all-clear commit resets the list.
+        cur_dvs = self._filelist_dvs(current)
+        new_dvs: object = self._INHERIT
+        if cur_dvs:
+            replaced = self.spark.createDataFrame(
+                [(f"{d}/{rel}",) for d, rel in touched],
+                "__dv_gone string")
+            remaining = self._dv_frame(cur_dvs).join(
+                replaced,
+                F.col("__dv_m_file") == F.col("__dv_gone"),
+                "left_anti")
+            dv_dir = os.path.join(target, self.DVDIR)
+            (remaining.select(F.col("__dv_m_file").alias("file"),
+                              F.col("__dv_m_pos").alias("pos"))
+             .coalesce(1).write.mode("overwrite").parquet(dv_dir))
+            kept = [(base, rel) for rel in self._list_dv_files(target)]
+            if self.spark.read.parquet(dv_dir).isEmpty():
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                kept = []
+            new_dvs = kept or None
         stats_cols = doc.get("stats_cols") or []
         if zorder_cols:
             # the clustered columns must be indexed for the layout to
@@ -3082,7 +3324,7 @@ class VersionedTable:
         self._write_filelist(target, all_entries, schema=schema,
                              stats_cols=stats_cols or None,
                              kind="optimize", partition_by=layout,
-                             bloom_cols=bloom_cols or None,
+                             bloom_cols=bloom_cols or None, dvs=new_dvs,
                              dir_specs=self._live_dir_specs(dev, all_entries)
                              if dev else self._INHERIT)
         if stats_cols or bloom_cols:
@@ -3699,6 +3941,58 @@ class VersionedTable:
         return {"dv_rows": int(row["n"]), "dv_files": int(row["nf"]),
                 "dv_sidecars": len(dvs)}
 
+    def maybe_compact_dv_debt(self, max_dv_rows: int,
+                              metadata: dict | None = None) -> int | None:
+        """DEBT-TRIGGERED AUTO-COMPACTION (round-10 verdict #7): when
+        the merge-on-read deletion debt (:meth:`dv_debt` — rows every
+        read pays an anti-join to mask) exceeds ``max_dv_rows``,
+        schedule ONE partition-scoped compaction of exactly the
+        directories carrying vectors — materializing the deletions
+        away and resetting the debt — and return its version; None
+        when under threshold (or 0/disabled). The DML faces call this
+        after their commit, the same pattern as the width-triggered
+        small-file policy (``run.py`` / streaming sinks). Cost is
+        O(debt-carrying partitions), never O(table)."""
+        if not max_dv_rows:
+            return None
+        v = self.current_version()
+        if v is None:
+            return None
+        dvs = self._filelist_dvs(v)
+        if not dvs:
+            return None
+        if self.dv_debt(v)["dv_rows"] <= int(max_dv_rows):
+            return None
+        layout = self.recorded_partition_by(v)
+        if not layout:
+            # flat table: partition-scoped selection has no handle —
+            # one full compaction (resets vectors by construction)
+            from pipeline_server_spark.operators.scale import (
+                optimize_compact_snapshot)
+
+            return optimize_compact_snapshot(
+                self, partition_by=tuple(layout))
+        # the WORST directories are exactly the ones a vector masks:
+        # map each masked file identity back to its partition prefix
+        # under ITS OWN directory's spec (mixed-spec safe)
+        masked = {r["__dv_m_file"] for r in
+                  self._dv_frame(dvs).select("__dv_m_file")
+                  .distinct().collect()}  # dv_files-sized
+        dev = self._dir_specs(v)
+        live = {f"{d}/{rel}": (d, rel)
+                for d, rel in self._entries_for_version(v)}
+        prefixes = set()
+        for ident in masked:
+            e = live.get(ident)
+            if e is None:
+                continue  # stale row: its file was already rewritten
+            sp = self._spec_for_dir(e[0], layout, dev)
+            prefixes.add(self._partition_prefix(e[1], len(sp)))
+        if not prefixes:
+            return None  # every vector row is stale: nothing to pay
+        return self.compact_partitions(sorted(prefixes), min_files=1,
+                                       metadata=metadata)
+
     @classmethod
     def _dv_key_expr(cls):
         """The stable file identity a DV row records: the path below
@@ -3884,6 +4178,25 @@ class VersionedTable:
         return self._rewrite_where(predicate, "update", assignments,
                                    metadata=metadata)
 
+    def _predicate_refs_rowid(self, predicate, env_schema) -> bool:
+        """Whether the (analyzable) predicate references the virtual
+        ``_row_id`` column — such DML must take the merge-on-read path
+        (the rewrite paths rename the id column away before filtering,
+        and a rewritten row's predicate has no data-column form to
+        re-derive). False on analysis failure: the phase-1 scan then
+        raises the real error."""
+        try:
+            cond = (self.spark.createDataFrame([], env_schema)
+                    .where(predicate)
+                    ._jdf.queryExecution().analyzed().condition())
+            it = cond.references().iterator()
+            while it.hasNext():
+                if str(it.next().name()) == self.ROW_ID:
+                    return True
+        except Exception:
+            return False
+        return False
+
     def _rewrite_where(self, predicate, kind: str, assignments: dict | None,
                        metadata: dict | None) -> int:
         from pipeline_server_spark.pipeline.predicate_envelope import (
@@ -3903,11 +4216,34 @@ class VersionedTable:
         # files (index-sized). Derivation only ever widens relative to
         # the predicate, so pruning can't miss a matching file; a
         # fully underivable predicate degrades to the full candidate
-        # list (the pre-round-9 REST behavior), never to wrong results
+        # list (the pre-round-9 REST behavior), never to wrong results.
+        # With row tracking on, the envelope schema grows the virtual
+        # _row_id column so a MIXED predicate (_row_id IN (...) AND
+        # data conjuncts) derives BOTH dimensions: the id list prunes
+        # against per-file id coverage below, the data conjuncts prune
+        # partitions/index as ever (round-10 verdict #3).
+        rb = doc.get("row_bases")
         bounds: dict = {}
         points: dict = {}
-        if schema is not None:
-            bounds, points = derive_envelope(self.spark, predicate, schema)
+        rowid_ids: list | None = None
+        uses_rowid = False
+        env_schema = schema
+        if schema is not None and rb is not None:
+            from pyspark.sql import types as T
+
+            env_schema = T.StructType(list(schema.fields) + [
+                T.StructField(self.ROW_ID, T.LongType())])
+        if env_schema is not None:
+            bounds, points, in_lists = derive_envelope(
+                self.spark, predicate, env_schema, with_in_lists=True)
+            rowid_ids = in_lists.get(self.ROW_ID)
+            if rb is not None:
+                uses_rowid = self._predicate_refs_rowid(
+                    predicate, env_schema)
+            # _row_id is virtual — it has no footer stats or partition
+            # path; keep it out of the data-envelope pruning
+            bounds.pop(self.ROW_ID, None)
+            points.pop(self.ROW_ID, None)
         # manifest-level PARTITION pruning: envelope constraints on
         # layout columns filter the candidate list directly — parsing
         # each entry's hive prefix back to typed values — so a
@@ -3935,7 +4271,22 @@ class VersionedTable:
                           if f in pick_set]
         else:
             candidates = [self._abs_file(e) for e in cand_entries]
+        if rowid_ids is not None and rb is not None:
+            # intersect the id list against per-file id coverage — the
+            # same manifest-only pruning delete_by_row_ids does, now
+            # composing with the data-column dimensions above
+            ids_sorted = sorted({int(i) for i in rowid_ids})
+            cov = {self._abs_file(e) for e in entries
+                   if self._row_ids_may_hit(
+                       rb.get(f"{e[0]}/{e[1]}"), ids_sorted)}
+            candidates = [f for f in candidates if f in cov]
         cur_dvs = self._filelist_dvs(current)
+        if uses_rowid and not self.dv_enabled():
+            raise ValueError(
+                f"{kind}_where: the predicate references {self.ROW_ID} "
+                "— row-id DML is merge-on-read by construction (there "
+                "is no data-column predicate to re-derive on a "
+                "rewrite); call enable_deletion_vectors() first")
         if self.dv_enabled():
             return self._mor_dml(predicate, kind, assignments, metadata,
                                  current, entries, doc, layout, schema,
@@ -4200,18 +4551,36 @@ class VersionedTable:
         return None, picked_holder[0], len(self._entries_for_version(version))
 
     def versions(self) -> list[int]:
+        # single-writer versions come from their deterministic
+        # directory names; multi-writer (suffixed) directories are
+        # trusted only through their COMMIT-LOG RECORD — a conflict
+        # REBASE publishes a directory under a version other than the
+        # one its name encodes, and a crashed loser's orphan directory
+        # is not a version at all
         base = os.path.join(self.root, "_versions")
-        if not os.path.isdir(base):
-            return []
-        return sorted({
-            int(d[1:9]) for d in os.listdir(base)
-            if d.startswith("v") and d[1:9].isdigit()
-            and (len(d) == 9 or d[9] == "-")
-            # a vacuumed version's directory can outlive it when newer
-            # manifests still reference files inside it — the marker
-            # says "not a readable version anymore"
-            and not os.path.exists(os.path.join(base, d, self.VACUUMED))
-        })
+        vs: set[int] = set()
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if (len(d) == 9 and d.startswith("v")
+                        and d[1:9].isdigit()
+                        # a vacuumed version's directory can outlive it
+                        # when newer manifests still reference files
+                        # inside it — the marker says "not a readable
+                        # version anymore"
+                        and not os.path.exists(
+                            os.path.join(base, d, self.VACUUMED))):
+                    vs.add(int(d[1:9]))
+        cdir = self._commits_dir()
+        if os.path.isdir(cdir):
+            for f in os.listdir(cdir):
+                if (f.startswith("v") and f.endswith(".json")
+                        and f[1:9].isdigit()):
+                    v = int(f[1:9])
+                    d = self._resolve_dir(v)
+                    if os.path.isdir(d) and not os.path.exists(
+                            os.path.join(d, self.VACUUMED)):
+                        vs.add(v)
+        return sorted(vs)
 
     def manifest_width(self, version: int | None = None) -> int:
         """Number of distinct version directories the version's file
@@ -4724,12 +5093,25 @@ class VersionedTable:
 
         cur = self.current_version() or 0
         now = time.time()
+        # every directory ANY commit record names is published — a
+        # conflict REBASE publishes a directory under a version other
+        # than the one its NAME encodes, so the name-parsed record
+        # check below is not sufficient on its own
+        cdir = self._commits_dir()
+        record_dirs = set()
+        if os.path.isdir(cdir):
+            for f in os.listdir(cdir):
+                if f.startswith("v") and f.endswith(".json"):
+                    d = self._commit_record_dir(int(f[1:9])) \
+                        if f[1:9].isdigit() else None
+                    if d:
+                        record_dirs.add(d)
         for name in (os.listdir(vbase) if os.path.isdir(vbase) else []):
             if (not name.startswith("v") or len(name) <= 9
                     or name[9] != "-" or not name[1:9].isdigit()):
                 continue
             v = int(name[1:9])
-            if v > cur or name in referenced_dirs:
+            if v > cur or name in referenced_dirs or name in record_dirs:
                 continue
             rec = self._commit_record_dir(v)
             if rec is None or rec == name:

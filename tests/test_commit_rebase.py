@@ -1,0 +1,206 @@
+"""Commit retry/REBASE for non-conflicting concurrent writers
+(round-10 verdict #4, the public Delta commit-protocol conflict
+resolution): a losing racer whose delta is provably disjoint from the
+winners' re-points its already-written files at the next version — no
+data byte rewritten — while genuinely conflicting DML still raises
+CommitConflictError.
+
+Determinism without threads: a ``Stale`` table subclass sees version 1
+as current while STAGING (so it provably races a winner that already
+published) and the real log once ``_publish`` runs (so the rebase sees
+the winner)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.writers import (
+    CommitConflictError,
+    ConditionalPutFS,
+    VersionedTable,
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+        (F.col("id") * 2).alias("v"))
+
+
+class Stale(VersionedTable):
+    """Sees version 1 while staging, the real log from _publish on."""
+
+    def current_version(self):
+        if getattr(self, "_publishing", False):
+            return super().current_version()
+        return 1
+
+    def _publish(self, *a, **k):
+        self._publishing = True
+        try:
+            return super()._publish(*a, **k)
+        finally:
+            self._publishing = False
+
+
+class TestAppendRebase:
+    def test_concurrent_appends_both_land_without_rewrite(
+            self, spark, tmp_path):
+        root = str(tmp_path / "r1")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.commit(_rows(spark, 0, 100).coalesce(4))          # v1
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        a.commit_append(_rows(spark, 100, 110).coalesce(1))    # v2 (winner)
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        v = b.commit_append(_rows(spark, 200, 210).coalesce(1))
+        assert v == 3  # the loser REBASED instead of raising
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert t.current_version() == 3
+        got = sorted(r["k"] for r in t.read().collect())
+        assert got == list(range(110)) + list(range(200, 210))
+        # re-pointed, not restaged: version 3's directory is the one
+        # staged FOR version 2 (its name encodes the lost race), and
+        # the rebase rewrote only the manifest record — every data
+        # file predates it
+        d3 = t._resolve_dir(3)
+        assert os.path.basename(d3).startswith("v00000002-")
+        flist_m = os.path.getmtime(os.path.join(d3, t.FILELIST))
+        for rel in t._list_data_files(d3):
+            assert os.path.getmtime(os.path.join(d3, rel)) <= flist_m
+        # the rebased record is a full checkpoint (its delta base is
+        # no longer its predecessor)
+        with open(os.path.join(d3, t.FILELIST)) as f:
+            assert "delta" not in json.load(f)
+        # and the winner's files carried into the rebased manifest
+        assert t.read(2).count() == 110
+
+    def test_rebase_reallocates_fresh_row_ids(self, spark, tmp_path):
+        root = str(tmp_path / "r2")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.enable_row_tracking()
+        base.commit(_rows(spark, 0, 100).coalesce(4))
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        a.commit_append(_rows(spark, 100, 110).coalesce(1))
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        assert b.commit_append(_rows(spark, 200, 210).coalesce(1)) == 3
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        ids = [r["_row_id"] for r in t.read_with_row_ids().collect()]
+        # both racers allocated from watermark 100 — without the
+        # rebase reallocation ids 100..109 would be DUPLICATED
+        assert sorted(ids) == list(range(120))
+
+    def test_conflicting_unpartitioned_dml_still_raises(
+            self, spark, tmp_path):
+        root = str(tmp_path / "r3")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.commit(_rows(spark, 0, 100).coalesce(2))
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        a.delete_where(F.col("k") < 5)                          # v2
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        with pytest.raises(CommitConflictError):
+            b.delete_where(F.col("k") >= 95)  # rewrites the same files
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert t.current_version() == 2
+        assert t.read().count() == 95  # only the winner landed
+
+
+class TestDvAndMergeRebase:
+    def test_concurrent_mor_deletes_both_land(self, spark, tmp_path):
+        root = str(tmp_path / "r4")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.enable_deletion_vectors()
+        base.commit(_rows(spark, 0, 100).coalesce(4))
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        a.delete_where(F.col("k") < 5)                          # v2, DV
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        v = b.delete_where(F.col("k") >= 95)                    # rebases
+        assert v == 3
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert t.read().count() == 90
+        assert t.read().where("k < 5 or k >= 95").count() == 0
+        meta = t.commit_metadata(3)
+        assert meta["rewritten_files"] == 0
+
+    def test_mor_delete_vs_winner_rewrite_raises(self, spark, tmp_path):
+        from pipeline_server_spark.operators.scale import (
+            optimize_compact_snapshot)
+
+        root = str(tmp_path / "r5")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.enable_deletion_vectors()
+        base.commit(_rows(spark, 0, 100).coalesce(4))
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        optimize_compact_snapshot(a)  # winner rewrote EVERY file
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        with pytest.raises(CommitConflictError):
+            # the loser's vectors name files the winner replaced — a
+            # rebase would mask dead files and resurrect the rows
+            b.delete_where(F.col("k") < 5)
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert t.read().count() == 100
+
+    def test_partition_disjoint_merges_both_land(self, spark, tmp_path):
+        root = str(tmp_path / "r6")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.commit(_rows(spark, 0, 100), partition_by=("p",))
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        a.commit_merge_partitioned(
+            spark.createDataFrame([(0, 0, -1)], "k long, p long, v long"),
+            keys=["k"], partition_by=["p"])                     # p=0
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        v = b.commit_merge_partitioned(
+            spark.createDataFrame([(1, 1, -2)], "k long, p long, v long"),
+            keys=["k"], partition_by=["p"])                     # p=1
+        assert v == 3
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        got = {r["k"]: r["v"] for r in
+               t.read().where("k in (0, 1, 2)").collect()}
+        assert got == {0: -1, 1: -2, 2: 4}
+        assert t.read().count() == 100
+
+    def test_same_partition_merges_raise(self, spark, tmp_path):
+        root = str(tmp_path / "r7")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.commit(_rows(spark, 0, 100), partition_by=("p",))
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        a.commit_merge_partitioned(
+            spark.createDataFrame([(0, 0, -1)], "k long, p long, v long"),
+            keys=["k"], partition_by=["p"])
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        with pytest.raises(CommitConflictError):
+            b.commit_merge_partitioned(
+                spark.createDataFrame(
+                    [(4, 0, -9)], "k long, p long, v long"),
+                keys=["k"], partition_by=["p"])  # same p=0 partition
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        assert t.read().where("k = 0").collect()[0]["v"] == -1
+        assert t.read().where("k = 4").collect()[0]["v"] == 8
+
+    def test_rebased_table_survives_vacuum_and_stream(
+            self, spark, tmp_path):
+        """The rebased directory's NAME encodes the lost version —
+        vacuum's orphan sweep and versions() must trust the commit
+        log, not the name."""
+        root = str(tmp_path / "r8")
+        base = VersionedTable(spark, root, fs=ConditionalPutFS())
+        base.commit(_rows(spark, 0, 50).coalesce(2))
+        a = VersionedTable(spark, root, fs=ConditionalPutFS())
+        a.commit_append(_rows(spark, 100, 105).coalesce(1))
+        b = Stale(spark, root, fs=ConditionalPutFS())
+        assert b.commit_append(_rows(spark, 200, 205).coalesce(1)) == 3
+        t = VersionedTable(spark, root, fs=ConditionalPutFS())
+        t.orphan_ttl_s = 0.0  # make the orphan sweep maximally eager
+        assert t.versions() == [1, 2, 3]
+        t.vacuum(keep=10)  # nothing to drop — but sweeps run
+        assert t.versions() == [1, 2, 3]
+        assert t.read(3).count() == 60
+        t.commit_append(_rows(spark, 300, 305).coalesce(1))     # v4
+        t.vacuum(keep=2)                                        # drop 1, 2
+        assert t.versions() == [3, 4]
+        assert t.read().count() == 65
+        assert sorted(r["k"] for r in t.read(3).collect()) == \
+            list(range(50)) + list(range(100, 105)) + list(range(200, 205))

@@ -435,8 +435,10 @@ class TestMergeOnReadMerge:
 
     def test_works_across_partition_spec_evolution(self, spark,
                                                    tmp_path):
-        # THE niche: prefix-matched merges refuse on mixed specs,
-        # merge-on-read doesn't care
+        # merge-on-read never cared about mixed specs (no prefix
+        # matching at all) — since round 11 the prefix-matched merge
+        # resolves them per directory too (test_partition_spec); this
+        # pins the MOR path's zero-rewrite behavior on a mixed table
         t = VersionedTable(spark, str(tmp_path / "mm6"))
         df = spark.range(0, 200).select(
             F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
@@ -445,9 +447,6 @@ class TestMergeOnReadMerge:
         t.set_partition_spec(["q"])
         src = spark.createDataFrame([(7, 3, 1, 777)],
                                     "k long, p long, q long, v long")
-        with pytest.raises(ValueError, match="older partition spec"):
-            t.commit_merge_partitioned(src, keys=["k"],
-                                       partition_by=["q"])
         ver = t.commit_merge_dv(src, keys=["k"])
         assert t.commit_metadata(ver)["rewritten_files"] == 0
         assert t.read().where("k = 7").collect()[0]["v"] == 777
@@ -507,3 +506,113 @@ class TestDvSidecarCoalescing:
         t.vacuum(keep=1)
         assert t.read().count() == 192
         assert t.read().where("k < 8").count() == 0
+
+
+class TestDvDebtAutoCompaction:
+    """Round 11 (round-10 verdict #7): dv_debt existed but nothing
+    acted on it — a DML-heavy table accumulated masked rows until a
+    manual OPTIMIZE. maybe_compact_dv_debt pays the debt down with ONE
+    partition-scoped compaction of exactly the vector-carrying
+    directories once it crosses the threshold."""
+
+    def _mk(self, spark, path):
+        t = VersionedTable(spark, str(path))
+        t.enable_deletion_vectors()
+        t.enable_row_tracking()
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+            (F.col("id") * 2).alias("v"))
+        t.commit(df, partition_by=("p",))
+        return t
+
+    def test_delete_loop_triggers_exactly_one_compaction(
+            self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "debt1")
+        before = {r["k"]: r["v"] for r in t.read().collect()}
+        victims = [r["_row_id"] for r in t.read_with_row_ids()
+                   .where("k in (5, 9, 13, 17, 21, 25)").collect()]
+        compactions = []
+        for rid in victims:
+            t.delete_by_row_ids([rid])
+            c = t.maybe_compact_dv_debt(4)
+            if c is not None:
+                compactions.append(c)
+        # the 5th masked row crossed the >4 threshold: ONE compaction,
+        # after which the debt is zero and later deletes stay under it
+        assert len(compactions) == 1
+        assert t.dv_debt()["dv_rows"] <= 4
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        want = {k: v for k, v in before.items()
+                if k not in (5, 9, 13, 17, 21, 25)}
+        assert got == want  # reads bit-identical minus the deletes
+        meta = t.commit_metadata(compactions[0])
+        assert meta["operation"] == "optimize_compact_partitions"
+        # scoped: k in (5..25) % 4 == 1 — only partition p=1 rewrote
+        assert meta["partitions"] == 1
+
+    def test_compaction_resets_vectors_and_carries_others(
+            self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "debt2")
+        t.delete_where("k in (4, 8, 12)")        # p=0 vectors
+        t.delete_where("k in (5, 9)")            # p=1 vectors
+        assert t.dv_debt()["dv_rows"] == 5
+        v = t.maybe_compact_dv_debt(3)
+        assert v is not None
+        # both masked partitions rewrote; the vector list is EMPTY
+        # (not just stale) so debt accounting resets honestly
+        assert t._filelist_dvs(v) == []
+        assert t.dv_debt(v)["dv_rows"] == 0
+        assert t.read().count() == 395
+        # untouched partitions carried by reference
+        carried = {e for e in t._entries_for_version(v)
+                   if not e[0].startswith(f"v{v:08d}")}
+        assert all(rel.startswith(("p=2", "p=3")) for _, rel in carried)
+
+    def test_under_threshold_is_noop_and_zero_disables(
+            self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "debt3")
+        t.delete_where("k in (4, 8)")
+        assert t.maybe_compact_dv_debt(10) is None
+        assert t.maybe_compact_dv_debt(0) is None
+        assert t.dv_debt()["dv_rows"] == 2
+
+    def test_partial_compaction_keeps_other_dirs_vectors(
+            self, spark, tmp_path):
+        """Vector rows for files OUTSIDE the compacted partitions must
+        survive (dropping them would resurrect deleted rows)."""
+        t = self._mk(spark, tmp_path / "debt4")
+        t.delete_where("k in (4, 8, 12)")        # p=0
+        t.delete_where("k = 5")                  # p=1
+        v = t.compact_partitions(["p=0"], min_files=1)
+        assert t.read(v).count() == 396
+        assert t.read(v).where("k in (4, 8, 12, 5)").count() == 0
+        # p=1's vector row survived the p=0-scoped rewrite
+        assert t.dv_debt(v)["dv_rows"] == 1
+
+    def test_engine_dml_face_pays_debt(self, spark, tmp_path):
+        from pipeline_server_spark.engine import Engine
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig, DestinationConfig, FileAttributes,
+            SchemaField, SourceConfig)
+
+        eng = Engine(spark)
+        path = str(tmp_path / "debt5")
+        cfg = DatasetConfig(
+            name="debt_ds",
+            source=SourceConfig(
+                fields=(SchemaField("k", "bigint"),
+                        SchemaField("p", "bigint"),
+                        SchemaField("v", "bigint")),
+                file=FileAttributes(file_type="csv"),
+            ),
+            destination=DestinationConfig(
+                path=path, versioned=True, auto_compact_dv_rows=3),
+        )
+        eng.register(cfg)
+        t = self._mk(spark, path)
+        out1 = eng.delete_rows("debt_ds", "k in (4, 8)")
+        assert "auto_compacted_version" not in out1  # under threshold
+        out2 = eng.delete_rows("debt_ds", "k in (12, 16)")
+        assert out2["auto_compacted_version"] > out2["version"]
+        assert t.dv_debt()["dv_rows"] == 0
+        assert t.read().count() == 396

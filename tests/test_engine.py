@@ -762,3 +762,118 @@ def test_engine_sql_delete_by_row_id_in(spark, tmp_path):
     assert out["mode"] == "merge_on_read_row_ids" and out["dv_rows"] == 2
     assert t.read().where("id in (7, 250)").count() == 0
     assert t.read().count() == 298
+
+
+def test_engine_sql_update_by_row_id_routes_point_path(spark, tmp_path):
+    """Round 11 (round-10 verdict #3): UPDATE ... WHERE _row_id IN(...)
+    routes to update_by_row_ids symmetrically with DELETE — one
+    merge-on-read commit, rewritten_files 0, identity preserved."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlridu")
+    cfg = DatasetConfig(
+        name="sqlridu",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.enable_deletion_vectors()
+    t.enable_row_tracking()
+    for lo in (0, 100, 200):
+        t.commit_append(spark.range(lo, lo + 100).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v")).coalesce(1))
+    victims = [r["_row_id"] for r in
+               t.read_with_row_ids().where("id in (7, 250)").collect()]
+    out = eng.sql(
+        f"UPDATE sqlridu SET v = -1 WHERE _row_id IN "
+        f"({victims[0]}, {victims[1]})").collect()[0]
+    assert out["matched"] is True and out["rewritten_files"] == 0
+    assert out["mode"] == "merge_on_read_row_ids" and out["dv_rows"] == 2
+    got = t.read_with_row_ids().where("id in (7, 250)").collect()
+    assert sorted(r["v"] for r in got) == [-1, -1]
+    assert sorted(r["_row_id"] for r in got) == sorted(victims)
+    # manifest-pruned candidates: 2 ids spanning 2 of 3 append files
+    meta = t.commit_metadata(t.current_version())
+    assert meta["candidate_files"] == 2 and meta["total_files"] == 3
+    # the = n form routes too
+    out = eng.sql(
+        f"UPDATE sqlridu SET v = -2 WHERE _row_id = {victims[0]}"
+    ).collect()[0]
+    assert out["mode"] == "merge_on_read_row_ids" and out["dv_rows"] == 1
+
+
+def test_engine_sql_mixed_rowid_predicate_prunes_both(spark, tmp_path):
+    """Round 11: a MIXED predicate (_row_id IN (...) AND data conjunct)
+    goes through the generic DML path, where candidate pruning now
+    intersects manifest id coverage with the data-column envelope."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    eng = Engine(spark)
+    path = str(tmp_path / "sqlridm")
+    cfg = DatasetConfig(
+        name="sqlridm",
+        source=SourceConfig(
+            fields=(SchemaField("id", "int"), SchemaField("v", "int")),
+            file=FileAttributes(file_type="csv"),
+        ),
+        destination=DestinationConfig(path=path, versioned=True),
+    )
+    eng.register(cfg)
+    t = VersionedTable(spark, path)
+    t.enable_deletion_vectors()
+    t.enable_row_tracking()
+    for lo in (0, 100, 200, 300):
+        t.commit_append(spark.range(lo, lo + 100).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).cast("int").alias("v")).coalesce(1))
+    rid = [r["_row_id"] for r in
+           t.read_with_row_ids().where("id in (7, 250)").collect()]
+    # the data conjunct (id = 7) excludes the id-250 row: only one row
+    # matches, and coverage pruning opens only the files that can hold
+    # either requested id
+    out = eng.sql(
+        f"DELETE FROM sqlridm WHERE _row_id IN ({rid[0]}, {rid[1]}) "
+        f"AND id = 7").collect()[0]
+    assert out["matched"] is True and out["rewritten_files"] == 0
+    assert out["dv_rows"] == 1
+    meta = t.commit_metadata(t.current_version())
+    assert meta["candidate_files"] <= 2 < meta["total_files"]
+    assert t.read().where("id = 7").count() == 0
+    assert t.read().where("id = 250").count() == 1
+    # UPDATE flavor: mixed predicate, update lands only where both
+    # dimensions agree; ids preserved
+    out = eng.sql(
+        f"UPDATE sqlridm SET v = -9 WHERE _row_id = {rid[1]} "
+        f"AND id >= 200").collect()[0]
+    assert out["matched"] is True and out["dv_rows"] == 1
+    meta = t.commit_metadata(t.current_version())
+    assert meta["candidate_files"] == 1
+    got = t.read_with_row_ids().where("id = 250").collect()[0]
+    assert got["v"] == -9 and got["_row_id"] == rid[1]
+
+
+def test_rowid_predicate_without_dv_raises(spark, tmp_path):
+    """A row-id predicate through the generic path on a non-DV table
+    raises with remediation (row-id DML is merge-on-read by
+    construction) instead of silently rewriting."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.pipeline.writers import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "ridnodv"))
+    t.enable_row_tracking()
+    t.commit(spark.range(0, 50).select(
+        F.col("id").cast("int").alias("id")))
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        t.delete_where("_row_id = 3 and id < 100")
