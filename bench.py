@@ -132,6 +132,10 @@ HEADLINE = [
     # distinct THEN self-join, per-gram fan-out bounded by source
     # count; regression means the dedup moved after the join
     "source_overlap_matrix",
+    # round-11: container-level video near-dup — keyframe-CRC set
+    # Jaccard, candidates from a crc equi-join; regression means an
+    # all-pairs plan crept in or the attach stopped fanning out
+    "video_container_near_dup_pairs",
 ]
 
 

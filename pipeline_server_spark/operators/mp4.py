@@ -60,34 +60,43 @@ def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
 
 
-def build_mp4(doc_id: int, width: int = 320, height: int = 240) -> bytes:
+def build_mp4(doc_id: int, width: int = 320, height: int = 240,
+              chunk_samples: int = _CHUNK_SAMPLES,
+              brand: bytes = b"isom", trim: int = 0) -> bytes:
     """A minimal but SPEC-SHAPED one-video-track MP4: ``ftyp`` +
-    ``mdat`` (frames concatenated, chunked 4-per) + ``moov`` with the
-    full sample-table suite. ``mdat`` precedes ``moov`` so ``stco``
-    offsets are independent of the metadata size (the progressive-
-    download layout every muxer emits for streaming ingest)."""
-    n = frame_count(doc_id)
+    ``mdat`` (frames concatenated, chunked ``chunk_samples``-per) +
+    ``moov`` with the full sample-table suite. ``mdat`` precedes
+    ``moov`` so ``stco`` offsets are independent of the metadata size
+    (the progressive-download layout every muxer emits for streaming
+    ingest).
+
+    The re-expression knobs exist for the NEAR-DUP fixtures (round
+    11): ``chunk_samples`` re-muxes the same frames under a different
+    chunk layout, ``brand`` retouches container metadata, ``trim``
+    drops the tail samples — the codec bitstream bytes of the
+    surviving frames are identical in all three."""
+    n = max(1, frame_count(doc_id) - int(trim))
     frames = [frame_bytes(doc_id, i) for i in range(n)]
     sizes = [len(f) for f in frames]
     duration = n * _FRAME_DELTA
 
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + b"isommp42")
     mdat = _box(b"mdat", b"".join(frames))
-    # absolute chunk offsets: every _CHUNK_SAMPLES samples start a chunk
+    # absolute chunk offsets: every chunk_samples samples start a chunk
     chunk_offsets = []
     pos = len(ftyp) + 8  # into mdat payload
     for i, sz in enumerate(sizes):
-        if i % _CHUNK_SAMPLES == 0:
+        if i % chunk_samples == 0:
             chunk_offsets.append(pos)
         pos += sz
 
     stts = _full(b"stts", 0, 0, struct.pack(
         ">III", 1, n, _FRAME_DELTA))
     n_chunks = len(chunk_offsets)
-    # stsc runs: all chunks carry _CHUNK_SAMPLES except a short tail
-    tail = n - (n_chunks - 1) * _CHUNK_SAMPLES
-    runs = [(1, _CHUNK_SAMPLES, 1)]
-    if tail != _CHUNK_SAMPLES and n_chunks > 1:
+    # stsc runs: all chunks carry chunk_samples except a short tail
+    tail = n - (n_chunks - 1) * chunk_samples
+    runs = [(1, chunk_samples, 1)]
+    if tail != chunk_samples and n_chunks > 1:
         runs.append((n_chunks, tail, 1))
     elif n_chunks == 1:
         runs = [(1, n, 1)]
@@ -312,6 +321,49 @@ def attach_mp4_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({
                 id_col: ids,
                 "payload": [build_mp4(int(i)) for i in ids],
+                "media_type": "video/mp4",
+            })
+
+    from pipeline_server_spark.operators.multimodal import _fanout_ids
+
+    return _fanout_ids(df, id_col).mapInPandas(_synth, schema=schema)
+
+
+def attach_mp4_corpus(df: DataFrame, id_col: str = "doc_id",
+                      plant_below: int = 30) -> DataFrame:
+    """Fixture corpus for the video near-dup query: one clip per row,
+    PLUS a planted container-level duplicate (id + 100000) for every
+    ``doc_id < plant_below`` — RE-MUXED (3-sample chunks instead of 4:
+    different stsc/stco layout, identical bitstream), METADATA-
+    RETOUCHED (different ftyp major brand, which also shifts every
+    stco offset), or TRIMMED-TAIL (last 3 samples dropped) by
+    doc_id % 3 (the dedup family's planted-copy convention). Payloads
+    synthesize executor-side in one Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            ids, payloads = [], []
+            for i in b[id_col].astype("int64"):
+                i = int(i)
+                ids.append(i)
+                payloads.append(build_mp4(i))
+                if i < plant_below:
+                    v = i % 3
+                    ids.append(i + 100000)
+                    payloads.append(
+                        build_mp4(i, chunk_samples=3) if v == 0
+                        else build_mp4(i, brand=b"mp41") if v == 1
+                        else build_mp4(i, trim=3))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "payload": payloads,
                 "media_type": "video/mp4",
             })
 

@@ -409,21 +409,38 @@ def ivf_topk(
 
     assigned = c.mapInPandas(_assign, schema=assign_schema)
 
-    # --- query side: probe n_probe nearest cells ---------------------
-    qrows = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).cast("array<double>").alias("qv")).collect()
-    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
-    q_mat = _normalize_block(q_mat)
-    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
-    probe_rows = [
-        (int(q_ids[i]), [float(v) for v in q_mat[i]], int(cell))
-        for i in range(len(q_ids))
-        for cell in probes[i]
-    ]
-    qdf = corpus.sparkSession.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, cell int"
-    )
+    # --- query side: probe n_probe nearest cells. The query set stays
+    # a DATAFRAME (round-10 verdict #6: no queries.collect() in the
+    # default path) — cell assignment is the same broadcast-centroid
+    # Arrow pass the corpus side runs, emitting one (query, qv, cell)
+    # row per probe; per-row argsort over the same doubles keeps the
+    # probe set (and therefore the result) identical to the old
+    # driver-side derivation.
+    probe_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("qv", T.ArrayType(T.DoubleType())),
+        T.StructField("cell", T.IntegerType()),
+    ])
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_mat = _normalize_block(np.stack(pdf["qv"].to_numpy()))
+            pr = np.argsort(-(q_mat @ cm.T), axis=1)[:, :n_probe]
+            yield pd.DataFrame({
+                "query_id": np.repeat(
+                    pdf["query_id"].to_numpy(), n_probe),
+                "qv": [q_mat[i].tolist()
+                       for i in range(len(q_mat)) for _ in range(n_probe)],
+                "cell": pr.ravel().astype("int32"),
+            })
+
+    qdf = (spread(queries)
+           .select(F.col(id_col).alias("query_id"),
+                   F.col(vec_col).cast("array<double>").alias("qv"))
+           .mapInPandas(_probe, schema=probe_schema))
 
     scored = (
         assigned.join(F.broadcast(qdf), on="cell")
@@ -651,6 +668,34 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """IVF-PQ approximate top-k — since round 11 a thin delegate to
+    :func:`ivf_pq_knn_join` (round-10 verdict #6): the bulk kNN-join
+    is registry- and pytest-gated BIT-IDENTICAL to the driver-side
+    reference implementation, so the interactive convenience API gets
+    the collect-free plan at every |Q| — no ``queries.collect()``, no
+    per-(query, cell) driver LUT dicts — with nothing to trade off.
+    The old driver-side path survives as
+    :func:`ivf_pq_topk_reference`, kept EXCLUSIVELY as the independent
+    implementation the bit-identity gates compare against."""
+    return ivf_pq_knn_join(
+        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        m_sub=m_sub, k_sub=k_sub, rerank=rerank,
+        kmeans_iters=kmeans_iters, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_topk_reference(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank: int = 3,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou, Douze & Schmid 2011 — the
     public product-quantization idea, original implementation): the
     100 TB ANN memory story. Each corpus vector is stored as its IVF
@@ -665,6 +710,14 @@ def ivf_pq_topk(
     candidates are re-ranked exactly with the true vectors (the
     standard refine step), so precision at the top comes from exact
     math while the scan stays code-sized.
+
+    ROLE SINCE ROUND 11: this driver-side implementation (it collects
+    the query set and broadcasts per-(query, cell) LUT dicts) is no
+    longer any public API's default — :func:`ivf_pq_topk` delegates to
+    the collect-free :func:`ivf_pq_knn_join`. It is kept as the
+    INDEPENDENT implementation the bit-identity gates (registry
+    ``ann_ivf_pq_knn_join``, pytest IEEE-754 twin) compare the bulk
+    plan against; its contract is bounded |Q| by construction.
 
     Deterministic contract (the repo's oracle discipline): coarse
     centroids AND per-subspace codebooks are trained by the FULL-

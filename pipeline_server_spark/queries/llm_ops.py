@@ -943,6 +943,107 @@ def video_keyframe_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "frame_idx"))
 
 
+def _video_dup_py_oracle(sf_dir: str):
+    """Independent referee for container-level video near-dup: each
+    clip's KEYFRAME CRC SET regenerated from the frame generator's
+    closed form (no MP4 anywhere on the referee side) — originals plus
+    the planted re-muxed / retouched (keyframe sets identical) and
+    trimmed-tail (subset) variants — then brute-force set Jaccard over
+    every pair."""
+    import zlib
+
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+
+    def fb(d, i):
+        n = 24 + (d * 31 + i * 7) % 33
+        x = (d * 1_000_003 + i * 97 + 1) % (1 << 32)
+        out = bytearray()
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % (1 << 32)
+            out.append((x >> 16) & 0xFF)
+        return bytes(out)
+
+    def kf_crcs(d, trim=0):
+        n = max(1, (8 + d % 9) - trim)
+        return {zlib.crc32(fb(d, i)) for i in range(0, n, 5)}
+
+    sets = {d: kf_crcs(d) for d in ids}
+    for d in ids:
+        if d < 30:
+            # remux (d%3==0) and retouch (==1) keep the set; trim
+            # (==2) drops the tail samples
+            sets[d + 100000] = kf_crcs(d, trim=3 if d % 3 == 2 else 0)
+    keys = sorted(sets)
+    rows = []
+    for a_i, a in enumerate(keys):
+        sa = sets[a]
+        for b in keys[a_i + 1:]:
+            shared = len(sa & sets[b])
+            union = len(sa | sets[b])
+            if shared and 2 * shared >= union:
+                rows.append((a, b, shared, union))
+    return pd.DataFrame(rows, columns=[
+        "doc_a", "doc_b", "shared_keyframes", "union_keyframes"]) \
+        .astype("int64").sort_values(["doc_a", "doc_b"],
+                                     ignore_index=True)
+
+
+@query("video_container_near_dup_pairs", oracle_py=_video_dup_py_oracle)
+# no SQL oracle: the ISO-BMFF sample-table expansion is not
+# SQL-expressible; the closed-form referee goes through the same
+# rows+schema+hash gate
+def video_container_near_dup_pairs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """CONTAINER-LEVEL VIDEO near-duplicate detection (round-10
+    verdict #5) — the video sibling of image dHash / audio
+    fingerprints, honest to the pixel-decode gate: a clip's identity
+    is its KEYFRAME BITSTREAM CRC SET (sliced by the real sample-table
+    math), so a RE-MUXED copy (different chunking), a METADATA-
+    RETOUCHED copy (different brand, shifted offsets), and a
+    TRIMMED-TAIL copy all pair with their original while distinct
+    clips share nothing. Candidates come from an equi-join on
+    individual keyframe CRCs (a shared frame IS the candidate signal —
+    corpus-linear, no all-pairs, no banding needed because exact frame
+    identity is already discriminative); pairs keep set Jaccard ≥ 1/2.
+
+    Scale shape: one Arrow pass slices keyframes; the join carries
+    (crc, doc) rows — per-crc fan-out is the true duplicate count,
+    the same contract as every dedup family member."""
+    from pipeline_server_spark.operators.mp4 import (
+        attach_mp4_corpus, mp4_keyframe_slices)
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = (mp4_keyframe_slices(attach_mp4_corpus(d))
+            .select("doc_id", F.crc32(F.col("frame")).alias("crc"))
+            .distinct())
+    counts = sigs.groupBy("doc_id").agg(F.count("*").alias("n_kf"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    shared = (a.join(b, (F.col("a.crc") == F.col("b.crc"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("shared_keyframes")))
+    return (shared
+            .join(counts.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_kf").alias("n_a")), "doc_a")
+            .join(counts.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n_kf").alias("n_b")), "doc_b")
+            .withColumn("union_keyframes",
+                        F.col("n_a") + F.col("n_b")
+                        - F.col("shared_keyframes"))
+            .where(2 * F.col("shared_keyframes")
+                   >= F.col("union_keyframes"))
+            .select("doc_a", "doc_b", "shared_keyframes",
+                    "union_keyframes")
+            .orderBy("doc_a", "doc_b"))
+
+
 @query(
     "ann_ivf_pq_knn_join",
     oracle="""
@@ -955,17 +1056,19 @@ def ann_ivf_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a DataFrame end-to-end (cell-assign Arrow pass + equi-join
     probe cells + executor-side ADC LUTs + shuffle-joined refine — no
     queries.collect(), no per-(query,cell) driver dicts), and the
-    output must be BIT-IDENTICAL to the interactive ivf_pq_topk path
-    on the same inputs: per query, every (nbr_id, rank) matches and
-    every cosine matches EXACTLY (null-safe float64 equality, no
-    tolerance; the pytest twin additionally compares the raw IEEE-754
-    bit patterns)."""
+    output must be BIT-IDENTICAL to the INDEPENDENT driver-side
+    reference implementation (ivf_pq_topk_reference — since round 11
+    the public ivf_pq_topk delegates to the bulk path, so the gate
+    pins bulk-vs-reference, never path-vs-itself) on the same inputs:
+    per query, every (nbr_id, rank) matches and every cosine matches
+    EXACTLY (null-safe float64 equality, no tolerance; the pytest twin
+    additionally compares the raw IEEE-754 bit patterns)."""
     from pipeline_server_spark.operators.similarity import (
-        ivf_pq_knn_join, ivf_pq_topk)
+        ivf_pq_knn_join, ivf_pq_topk_reference)
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 50)
-    a = ivf_pq_topk(e, q, k=5)
+    a = ivf_pq_topk_reference(e, q, k=5)
     b = ivf_pq_knn_join(e, q, k=5)
     joined = a.alias("a").join(
         b.alias("b"),

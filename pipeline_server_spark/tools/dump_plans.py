@@ -101,6 +101,11 @@ SHOW = {
         "absolute byte ranges, per-payload CPU in Arrow, JVM crc32 "
         "over the sliced frames"
     ),
+    "video_container_near_dup_pairs": (
+        "container-level video near-dup: keyframe-CRC set Jaccard, "
+        "candidates from a crc equi-join (shared frame = signal), "
+        "per-crc fan-out bounded by the true duplicate count"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

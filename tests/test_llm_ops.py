@@ -1188,12 +1188,14 @@ class TestBulkIvfPqKnnJoin:
 
         from pipeline_server_spark.catalog import load_table
         from pipeline_server_spark.operators.similarity import (
-            ivf_pq_knn_join, ivf_pq_topk)
+            ivf_pq_knn_join, ivf_pq_topk_reference)
 
         sf = "/root/testdata/sf0.001"
         e = load_table(spark, sf, "embeddings")
         q = e.where(F.col("vec_id") < 20)
-        a = (ivf_pq_topk(e, q, k=5).toPandas()
+        # the reference is the driver-side INDEPENDENT implementation;
+        # the public ivf_pq_topk delegates to the bulk path (round 11)
+        a = (ivf_pq_topk_reference(e, q, k=5).toPandas()
              .sort_values(["query_id", "rank"], ignore_index=True))
         b = (ivf_pq_knn_join(e, q, k=5).toPandas()
              .sort_values(["query_id", "rank"], ignore_index=True))
@@ -1240,3 +1242,21 @@ class TestBulkIvfPqKnnJoin:
             .analyzed().toString()
         assert "LogicalRDD" not in plan, \
             "query side was collected and re-parallelized"
+
+
+def test_interactive_ann_default_paths_are_collect_free(spark):
+    """Round 11 (round-10 verdict #6): the DEFAULT interactive ANN
+    paths carry the query scan as a plan SOURCE — no queries.collect()
+    re-parallelized as driver literals (LogicalRDD)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_server_spark.catalog import load_table
+    from pipeline_server_spark.operators.similarity import (
+        ivf_pq_topk, ivf_topk)
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    for fn in (ivf_topk, ivf_pq_topk):
+        plan = fn(e, q, k=5)._jdf.queryExecution().analyzed().toString()
+        assert "LogicalRDD" not in plan, \
+            f"{fn.__name__}: query side was collected"

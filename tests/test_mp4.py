@@ -100,3 +100,44 @@ class TestSparkFaces:
             ks = list(range(0, frame_count(r["doc_id"]), _SYNC_EVERY))
             kept = ks[::2]
             assert r["frame_idx"] - 1 in kept
+
+
+class TestContainerNearDup:
+    """Round 11 (round-10 verdict #5): container-level video near-dup
+    — re-muxed / metadata-retouched / trimmed-tail copies share their
+    keyframe bitstream bytes even though every stco offset (and for
+    trim, the sample tables themselves) differ."""
+
+    def test_variant_clips_share_keyframe_bytes(self):
+        from pipeline_server_spark.operators.mp4 import build_mp4, parse_mp4
+
+        def kf_bytes(payload):
+            m = parse_mp4(payload)
+            return [payload[off:off + sz]
+                    for off, sz, _t, sync in m["samples"] if sync]
+
+        base = kf_bytes(build_mp4(7))
+        remux = kf_bytes(build_mp4(7, chunk_samples=3))
+        retouch = kf_bytes(build_mp4(7, brand=b"mp41"))
+        trim = kf_bytes(build_mp4(7, trim=3))
+        assert remux == base            # different layout, same frames
+        assert retouch == base          # different brand/offsets
+        assert set(trim) <= set(base)   # tail dropped, rest identical
+        # and the containers genuinely differ byte-wise
+        assert build_mp4(7, chunk_samples=3) != build_mp4(7)
+        assert build_mp4(7, brand=b"mp41") != build_mp4(7)
+
+    def test_near_dup_query_matches_closed_form_referee(self, spark):
+        import pandas as pd
+
+        from pipeline_server_spark.queries.llm_ops import (
+            _video_dup_py_oracle, video_container_near_dup_pairs)
+
+        got = video_container_near_dup_pairs(
+            spark, "/root/testdata/sf0.001").toPandas().astype("int64")
+        want = _video_dup_py_oracle("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.astype("int64"))
+        # every planted variant paired with its original, nothing else
+        assert (got["doc_b"] - got["doc_a"] == 100000).all()
+        assert len(got) == 30
