@@ -750,9 +750,11 @@ def optimize_compact_snapshot(table, target_file_bytes: int = 128 * 1024 * 1024,
     # that is also a real table column (a data column literally named
     # 'size_min' must not be misparsed — round-6 advice)
     stats_cols: tuple = tuple(table._filelist_stats_cols(cur) or ())
-    idx_path = _os.path.join(table._resolve_dir(cur), "_index")
-    if not stats_cols and _os.path.isdir(idx_path):
-        names = {f.name for f in table.spark.read.parquet(idx_path).schema.fields}
+    idx_dirs = table._index_dirs(cur)
+    if not stats_cols and idx_dirs:
+        names = {f.name for f in table.spark.read
+                 .option("mergeSchema", "true")
+                 .parquet(*idx_dirs).schema.fields}
         table_cols = set(df.columns)
         stats_cols = tuple(
             n[:-4] for n in sorted(names)

@@ -365,6 +365,11 @@ class VersionedTable:
     COMMITS = "_commits"
     FILELIST = "_filelist.json"
     VACUUMED = "_vacuumed"
+    #: marker inside a version's ``_index`` directory: the directory
+    #: holds only the commit's NEW files' stats (a FRAGMENT — round-11
+    #: log-structured index); the version's full index is the union of
+    #: fragments down the delta-manifest chain to the nearest full base
+    IDX_FRAGMENT = "_FRAGMENT"
     # minimum age before vacuum may sweep an unreferenced orphan stage
     # directory: younger dirs may belong to a LIVE racer still writing
     # (Delta's VACUUM retention-window idea)
@@ -913,9 +918,7 @@ class VersionedTable:
             bloom_cols=self._filelist_bloom_cols(current),
             dvs=doc.get("dvs"),
             dir_specs=dev or None)
-        src_idx = os.path.join(self._resolve_dir(current), "_index")
-        if os.path.isdir(src_idx):
-            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        self._carry_index(target, current)
         meta = {"operation": "set_partition_spec",
                 "from": old, "to": cols}
         if metadata:
@@ -1252,56 +1255,170 @@ class VersionedTable:
             raise ValueError(
                 f"stats_cols requires a parquet table, not {self.file_format!r}"
             )
-        idx = None
-        if (
+        import json as _json
+
+        incr = (
             prior_version is not None
             and new_entries is not None
             and (self._filelist_stats_cols(prior_version) or [])
             == list(stats_cols or [])
-            and (self._filelist_bloom_cols(prior_version) or []) == list(bloom_cols)
-        ):
-            prior_idx_path = os.path.join(
-                self._resolve_dir(prior_version), "_index")
-            if os.path.isdir(prior_idx_path):
-                prior_idx = self.spark.read.parquet(prior_idx_path)
-                new_set = {self._abs_file(e) for e in new_entries}
-                carried = [self._abs_file(e) for e in entries
-                           if self._abs_file(e) not in new_set]
-                new_rows = build_skipping_index(
+            and (self._filelist_bloom_cols(prior_version) or [])
+            == list(bloom_cols)
+        )
+        prior_dirs = self._index_dirs(prior_version) if incr else None
+        out = os.path.join(target, "_index")
+        new_set = {self._abs_file(e) for e in (new_entries or ())}
+        if incr and prior_dirs:
+            # is THIS commit's manifest record a delta? (already
+            # written by the time every caller reaches here)
+            try:
+                with open(os.path.join(target, self.FILELIST)) as f:
+                    is_delta_record = "delta" in _json.load(f)
+            except (FileNotFoundError, ValueError):
+                is_delta_record = False
+            if is_delta_record:
+                # FRAGMENT (round-11 log-structured index): write ONLY
+                # the commit's new files' stats — O(batch) bytes, the
+                # index twin of the delta manifest record. Carried
+                # files inherit by reference through the chain walk;
+                # rows of files this commit dropped go stale in older
+                # fragments and are semi-filtered at read time.
+                if not new_set:
+                    return  # nothing new: pure chain inheritance
+                rows = build_skipping_index(
                     self.spark, target, list(stats_cols), schema=schema,
-                    files=sorted(new_set), bloom_cols=list(bloom_cols),
-                )
-                if carried:
-                    # prior rows for files NOT carried forward (a merge
-                    # rewrote their partitions) must be dropped. The
-                    # append-vs-merge distinction is answered from the
-                    # MANIFESTS alone (both already parsed driver-side)
-                    # — no collect of the prior index (a 100k-file
-                    # table would otherwise ship 100k rows to the
-                    # driver per micro-batch; round-7 review)
-                    prior_files = {
-                        self._abs_file(e)
-                        for e in self._entries_for_version(prior_version)
-                    }
-                    if set(carried) == prior_files:
-                        kept = prior_idx  # append: everything carries
-                    else:
-                        keep_df = self.spark.createDataFrame(
-                            [(p,) for p in sorted(carried)], ["file"])
-                        kept = prior_idx.join(keep_df, "file", "left_semi")
-                    # allowMissingColumns: a prior index built before a
-                    # stats column existed (e.g. pre-null-count rows)
-                    # carries forward with NULL = unknown — safe, never
-                    # prunes
-                    idx = kept.unionByName(new_rows, allowMissingColumns=True)
+                    files=sorted(new_set), bloom_cols=list(bloom_cols))
+                rows.coalesce(1).write.mode("overwrite").parquet(out)
+                with open(os.path.join(out, self.IDX_FRAGMENT), "w"):
+                    pass
+                return
+        idx = None
+        if incr and prior_dirs:
+            # full-checkpoint record: materialize the complete index
+            # (collapses the fragment chain — the same cadence as the
+            # manifest checkpoint, so replay width stays bounded)
+            prior_idx = self._index_frame(prior_version)
+            carried = sorted(
+                p for p in (self._abs_file(e) for e in entries)
+                if p not in new_set)
+            new_rows = (build_skipping_index(
+                self.spark, target, list(stats_cols), schema=schema,
+                files=sorted(new_set), bloom_cols=list(bloom_cols))
+                if new_set else None)
+            if carried:
+                # prior rows for files NOT carried forward (a merge
+                # rewrote their partitions, or a stale fragment row)
+                # must be dropped — semi-join against the carried list
+                # unless the prior index is a single exact base that
+                # fully carries (append onto a checkpoint: no driver-
+                # built file list needed; round-7 review)
+                prior_files = {
+                    self._abs_file(e)
+                    for e in self._entries_for_version(prior_version)}
+                if (len(prior_dirs) == 1
+                        and set(carried) == prior_files):
+                    kept = prior_idx  # exact base, everything carries
                 else:
-                    idx = new_rows
+                    keep_df = self.spark.createDataFrame(
+                        [(p,) for p in carried], ["file"])
+                    kept = prior_idx.join(keep_df, "file", "left_semi")
+                # allowMissingColumns: a prior index built before a
+                # stats column existed (e.g. pre-null-count rows)
+                # carries forward with NULL = unknown — safe, never
+                # prunes
+                idx = (kept.unionByName(new_rows,
+                                        allowMissingColumns=True)
+                       if new_rows is not None else kept)
+            else:
+                idx = new_rows
         if idx is None:
             idx = build_skipping_index(
                 self.spark, target, list(stats_cols), schema=schema,
                 files=[self._abs_file(e) for e in entries],
                 bloom_cols=list(bloom_cols),
             )
+        idx.coalesce(1).write.mode("overwrite").parquet(out)
+
+    def _index_dirs(self, version: int) -> list[str] | None:
+        """The parquet directories whose UNION is the version's
+        skipping index: walk the delta-manifest chain from ``version``
+        down, collecting each version's ``_index`` (absent for
+        metadata-only commits — they inherit by reference), stopping
+        at the first FULL index (no fragment marker). None when the
+        version has no index, or when the chain is broken (fragments
+        with no full base — then pruning must not run: a file missing
+        from the index is never picked, which would LOSE rows)."""
+        from . import manifest as _mf
+
+        dirs: list[str] = []
+        v = version
+        while True:
+            d = os.path.join(self._resolve_dir(v), "_index")
+            if os.path.isdir(d):
+                dirs.append(d)
+                if not os.path.exists(
+                        os.path.join(d, self.IDX_FRAGMENT)):
+                    return dirs
+            rd = _mf.raw_doc(self.root, v)
+            delta = (rd or {}).get("delta")
+            if delta is None:
+                if dirs:
+                    # every collected dir was a fragment: incomplete
+                    return None
+                return None
+            v = int(delta["base"])
+
+    def _index_frame(self, version: int, entries=None) -> DataFrame | None:
+        """The version's skipping index as one DataFrame. When the
+        index spans fragments (or a carried full base older than the
+        version), rows for files since rewritten are STALE — they are
+        semi-filtered against the version's live file list so no
+        consumer can pick a dead file. None = no (complete) index."""
+        dirs = self._index_dirs(version)
+        if not dirs:
+            return None
+        idx = (self.spark.read.option("mergeSchema", "true")
+               .parquet(*dirs))
+        if len(dirs) > 1:
+            if entries is None:
+                entries = self._entries_for_version(version)
+            keep = self.spark.createDataFrame(
+                [(self._abs_file(e),) for e in entries], "file string")
+            idx = idx.join(keep, "file", "left_semi")
+        return idx
+
+    def _carry_index(self, target: str, src_version: int,
+                     chain_inherit: bool = True,
+                     src_table: "VersionedTable | None" = None) -> None:
+        """Index continuity for a commit that changes NO data file.
+        When this commit's manifest record is a delta (and the source
+        is this table's own previous version), the index is inherited
+        BY REFERENCE through the chain walk — zero bytes copied (the
+        old behavior copytree'd the full index per metadata commit).
+        A full-checkpoint record (the chain walk stops there), a
+        restore/clone (whose entries do not correspond to the chain),
+        or a single-directory full source materializes instead."""
+        import json
+
+        src = src_table or self
+        dirs = src._index_dirs(src_version)
+        if not dirs:
+            return
+        if chain_inherit:
+            try:
+                with open(os.path.join(target, self.FILELIST)) as f:
+                    if "delta" in json.load(f):
+                        return  # inherited through the chain walk
+            except (FileNotFoundError, ValueError):
+                pass
+        if len(dirs) == 1:
+            shutil.copytree(dirs[0], os.path.join(target, "_index"))
+            # a copied full base never carries the fragment marker
+            m = os.path.join(target, "_index", self.IDX_FRAGMENT)
+            if os.path.exists(m):
+                os.remove(m)
+            return
+        idx = src._index_frame(src_version)
         idx.coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(target, "_index"))
 
@@ -1985,8 +2102,7 @@ class VersionedTable:
             else list(entries))
         data_bounds = {c: b for c, b in bounds.items()
                        if c not in layout}
-        has_index = os.path.isdir(
-            os.path.join(self._resolve_dir(current), "_index"))
+        has_index = self._index_dirs(current) is not None
         if data_bounds and has_index:
             _, picked, _ = self._pruned_files(data_bounds, None, current)
             pick = set(picked)
@@ -2629,10 +2745,9 @@ class VersionedTable:
             # index; DV'd files (and only those) get one masked scan —
             # O(deleted-row files), never the table.
             return self._snapshot_stats_with_dvs(v, entries, dvs, out)
-        idx_path = os.path.join(self._resolve_dir(v), "_index")
         stats_cols = self._filelist_stats_cols(v) or []
-        if os.path.isdir(idx_path):
-            idx = self.spark.read.parquet(idx_path)
+        idx = self._index_frame(v, entries)
+        if idx is not None:
             if idx.count() == len(entries):
                 aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_n")]
                 for c in stats_cols:
@@ -2698,9 +2813,7 @@ class VersionedTable:
         dirty_abs = [self._abs_file(e) for e in dirty]
         stats_cols = self._filelist_stats_cols(v) or []
         schema = self._filelist_schema(v)
-        idx_path = os.path.join(self._resolve_dir(v), "_index")
-        idx = (self.spark.read.parquet(idx_path)
-               if os.path.isdir(idx_path) else None)
+        idx = self._index_frame(v, ents)
         if idx is None or idx.count() != len(ents):
             from pipeline_server_spark.operators.scale import (
                 build_skipping_index)
@@ -2874,11 +2987,10 @@ class VersionedTable:
             # and its row-id bases — a row's id survives the rollback;
             # the watermark still inherits from CURRENT (never reused)
             row_bases=doc.get("row_bases"))
-        src_idx = os.path.join(self._resolve_dir(version), "_index")
-        if os.path.isdir(src_idx):
-            # the restored version's index covers exactly its files —
-            # carry it as-is (O(index), no footer reads)
-            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        # the restored version's index covers exactly its files — but
+        # its entries do NOT correspond to this commit's delta chain,
+        # so the index is materialized, never chain-inherited
+        self._carry_index(target, version, chain_inherit=False)
         meta = {"operation": "restore", "restored_version": version}
         if metadata:
             meta.update(metadata)
@@ -3012,12 +3124,13 @@ class VersionedTable:
             partition_by=layout or None,
             bloom_cols=new_blooms or None,
             dir_renames=new_map or None)
-        src_idx = os.path.join(self._resolve_dir(current), "_index")
-        if os.path.isdir(src_idx) and (new_stats or new_blooms):
+        idx = (self._index_frame(current)
+               if (new_stats or new_blooms) else None)
+        if idx is not None:
             # the index is file-level metadata: carry it with its stat
             # columns renamed/dropped — O(index), zero footer reads,
-            # so incremental maintenance stays alive across the rename
-            idx = self.spark.read.parquet(src_idx)
+            # so incremental maintenance stays alive across the rename.
+            # Materialized (column names change), never chain-inherited.
             for suf in ("_min", "_max", "_nulls", "_bloom"):
                 c = f"{old}{suf}"
                 if c not in idx.columns:
@@ -3146,9 +3259,10 @@ class VersionedTable:
             # watermark floors the clone's so the fork can't re-issue
             row_bases=doc.get("row_bases"),
             row_floor=int(doc.get("row_watermark") or 0))
-        src_idx = os.path.join(self._resolve_dir(v), "_index")
-        if os.path.isdir(src_idx):
-            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        # the clone's v1 manifest is a full checkpoint in a FRESH root
+        # (no chain to inherit through) — materialize the source's
+        # index into it
+        dest._carry_index(target, v, chain_inherit=False, src_table=self)
         meta = {"operation": "clone",
                 "source": os.path.abspath(self.root), "source_version": v}
         if metadata:
@@ -3617,9 +3731,7 @@ class VersionedTable:
             kind="row_tracking",
             partition_by=doc.get("partition_by"),
             bloom_cols=doc.get("bloom_cols"))
-        src_idx = os.path.join(self._resolve_dir(current), "_index")
-        if os.path.isdir(src_idx):
-            shutil.copytree(src_idx, os.path.join(target, "_index"))
+        self._carry_index(target, current)
         return self._publish(version, target,
                              {"operation": "enable_row_tracking"})
 
@@ -4257,8 +4369,7 @@ class VersionedTable:
             dir_specs=dml_dir_specs)
             if (layout or dml_dir_specs) and schema is not None
             else list(entries))
-        has_index = os.path.isdir(
-            os.path.join(self._resolve_dir(current), "_index"))
+        has_index = self._index_dirs(current) is not None
         data_bounds = {c: b for c, b in bounds.items() if c not in layout}
         data_points = {c: v for c, v in points.items()
                        if c not in layout}
@@ -4511,12 +4622,11 @@ class VersionedTable:
                                   bloom_cols=bloom_cols)
             else:
                 # pure delete: every data file carries forward, so the
-                # prior index covers the list exactly — copy O(index).
+                # prior index covers the list exactly — inherit by
+                # chain reference (zero bytes) on a delta record.
                 # DV'd files keep their (now superset) stats: pruning
                 # stays sound, phase-1/residual re-checks rows.
-                src_idx = os.path.join(self._resolve_dir(current), "_index")
-                if os.path.isdir(src_idx):
-                    shutil.copytree(src_idx, os.path.join(target, "_index"))
+                self._carry_index(target, current)
         meta = {"operation": kind, "mode": "merge_on_read",
                 "rewritten_files": 0,
                 "dv_files": dv_files, "dv_rows": matched_rows,
@@ -4535,7 +4645,7 @@ class VersionedTable:
         from pipeline_server_spark.operators.scale import read_with_skipping
 
         d = self._resolve_dir(version)
-        idx = self.spark.read.parquet(os.path.join(d, "_index"))
+        idx = self._index_frame(version)
         picked_holder: list[list[str]] = [[]]
 
         def reader(files: list[str]):
@@ -4642,8 +4752,7 @@ class VersionedTable:
         data_points = {c: pv for c, pv in points.items()
                        if c not in layout}
         total = len(entries)
-        has_index = os.path.isdir(
-            os.path.join(self._resolve_dir(v), "_index"))
+        has_index = self._index_dirs(v) is not None
         files = [self._abs_file(e) for e in cand]
         if (data_bounds or data_points) and has_index:
             _, picked, _ = self._pruned_files(data_bounds, data_points, v)
@@ -4743,8 +4852,8 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         d = self._resolve_dir(v)
-        idx_path = os.path.join(d, "_index")
-        if not os.path.isdir(idx_path):
+        idx = self._index_frame(v)
+        if idx is None:
             df = self.read(v)
             for c, pv in (points or {}).items():
                 if pv is None:
@@ -4781,7 +4890,6 @@ class VersionedTable:
                                     dir_renames=self._dir_renames(v),
                                     dvs=self._filelist_dvs(v))
 
-        idx = self.spark.read.parquet(idx_path)
         return read_with_skipping(self.spark, d, idx, bounds, reader=reader,
                                   points=points)
 
@@ -5015,7 +5123,27 @@ class VersionedTable:
         for v in retained:
             if v - 1 in victim_set or (
                     v - 1 > 0 and v - 1 not in retained):
+                # the skipping index obeys the same chain discipline
+                # (round-11 fragments): materializing the manifest
+                # turns v's record FULL, which stops the index walk at
+                # v — so a chain-dependent index must materialize too,
+                # BEFORE the record flips (the walk still sees the
+                # delta chain) and before victim fragments are swept
+                own = os.path.join(self._resolve_dir(v), "_index")
+                idx_dirs = self._index_dirs(v)
+                frame = None
+                if idx_dirs is not None and (
+                        len(idx_dirs) > 1 or idx_dirs[0] != own
+                        or os.path.exists(os.path.join(
+                            idx_dirs[0], self.IDX_FRAGMENT))):
+                    frame = self._index_frame(v)
                 _mf.materialize(self.root, v)
+                if frame is not None:
+                    tmp = own + "_new"
+                    frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+                    if os.path.isdir(own):
+                        shutil.rmtree(own)
+                    os.rename(tmp, own)
         referenced: set[tuple[str, str]] = set()
         for v in retained:
             referenced.update(self._entries_for_version(v))

@@ -243,3 +243,101 @@ class TestStreamOverDeltaManifests:
         ks = sorted(r["k"] for r in
                     spark.sql("select k from mlog_stream").collect())
         assert ks == list(range(35))
+
+
+class TestFragmentIndex:
+    """Round-11 extension of the log-structured manifest to the
+    SKIPPING INDEX: an incremental commit writes only its new files'
+    stats (a fragment), metadata-only commits inherit by reference
+    (zero copied bytes — they used to copytree the full index), and
+    the logical index is the chain union, semi-filtered against the
+    live file list."""
+
+    def _mk(self, spark, path, n_files=8):
+        t = VersionedTable(spark, str(path))
+        t.commit(_df(spark, 0, 100 * n_files)
+                 .repartitionByRange(n_files, "k"), stats_cols=("k",))
+        return t
+
+    def test_append_index_is_fragment_and_union_exact(
+            self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "f1")
+        for i in range(3):
+            t.commit_append(_df(spark, 5000 + i, 5001 + i).coalesce(1))
+        v = t.current_version()
+        d = os.path.join(t._resolve_dir(v), "_index")
+        assert os.path.exists(os.path.join(d, t.IDX_FRAGMENT))
+        # the fragment holds ONE file's stats; the union holds all
+        assert t.spark.read.parquet(d).count() == 1
+        assert t._index_frame(v).count() == \
+            len(t._entries_for_version(v)) == 11
+        rw, nread, ntot = t.read_where("k = 5002")
+        assert rw.count() == 1 and nread == 1 < ntot
+
+    def test_metadata_commit_inherits_index_by_reference(
+            self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "f2")
+        v = t.set_partition_spec(["p"])
+        # no bytes copied: the spec commit's dir has NO _index at all
+        assert not os.path.isdir(
+            os.path.join(t._resolve_dir(v), "_index"))
+        rw, nread, ntot = t.read_where("k = 42")
+        assert rw.count() == 1 and nread < ntot
+        assert t.snapshot_stats()["columns"]["k"]["max"] == 799
+
+    def test_index_bytes_per_append_constant_in_table_size(
+            self, spark, tmp_path):
+        """THE scale assertion for the index plane: grow the table 8×
+        in file count — the per-append index bytes stay flat."""
+        sizes = {}
+        for n in (8, 64):
+            t = self._mk(spark, tmp_path / f"f3_{n}", n_files=n)
+            v = t.commit_append(_df(spark, 9000, 9001).coalesce(1))
+            d = os.path.join(t._resolve_dir(v), "_index")
+            sizes[n] = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d) for f in fs)
+        assert sizes[64] < 2 * sizes[8], sizes
+
+    def test_checkpoint_version_collapses_index_chain(
+            self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "f4")
+        for i in range(mf.CKPT_INTERVAL):
+            t.commit_append(_df(spark, 6000 + i, 6001 + i).coalesce(1))
+        v = mf.CKPT_INTERVAL  # the forced full-manifest version
+        d = os.path.join(t._resolve_dir(v), "_index")
+        assert os.path.isdir(d)
+        assert not os.path.exists(os.path.join(d, t.IDX_FRAGMENT))
+        assert len(t._index_dirs(v)) == 1  # walk stops immediately
+        assert t.spark.read.parquet(d).count() == \
+            len(t._entries_for_version(v))
+
+    def test_merge_stale_fragment_rows_filtered(self, spark, tmp_path):
+        t = VersionedTable(spark, str(tmp_path / "f5"))
+        t.commit(_df(spark, 0, 400), partition_by=("p",),
+                 stats_cols=("k",))
+        src = spark.createDataFrame(
+            [(3, 3, -1)], "k long, p long, v long")
+        v = t.commit_merge_partitioned(src, keys=["k"],
+                                       partition_by=["p"])
+        # partition p=3 was rewritten: its old files' rows are stale in
+        # the base index and must not resurface
+        idx = t._index_frame(v)
+        live = {t._abs_file(e) for e in t._entries_for_version(v)}
+        assert {r["file"] for r in idx.select("file").collect()} == live
+        got, nread, ntot = t.read_where("k = 3")
+        assert got.collect()[0]["v"] == -1 and nread < ntot
+
+    def test_vacuum_materializes_chain_dependent_index(
+            self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "f6")
+        for i in range(3):
+            t.commit_append(_df(spark, 7000 + i, 7001 + i).coalesce(1))
+        t.vacuum(keep=2)  # sweeps versions 1 and 2 — the index base!
+        v3 = t.versions()[0]
+        d = os.path.join(t._resolve_dir(v3), "_index")
+        assert not os.path.exists(os.path.join(d, t.IDX_FRAGMENT))
+        assert t._index_frame(v3).count() == \
+            len(t._entries_for_version(v3))
+        rw, nread, ntot = t.read_where("k = 7001")
+        assert rw.count() == 1 and nread < ntot

@@ -72,8 +72,14 @@ class TestIndexContinuity:
         v = t.commit_append(_orders(spark, 8000, 8100).coalesce(1))
         assert len(calls) == 1 and len(calls[0]) == 1, \
             "footer stats recomputed for carried files"
-        # the published index still covers EVERY live file
-        idx = spark.read.parquet(os.path.join(t._resolve_dir(v), "_index"))
+        # the published index still covers EVERY live file (round 11:
+        # the commit writes a FRAGMENT — new files only — and the
+        # logical index is the chain union)
+        import os as _os
+
+        assert _os.path.exists(os.path.join(
+            t._resolve_dir(v), "_index", t.IDX_FRAGMENT))
+        idx = t._index_frame(v)
         assert idx.count() == len(t._read_filelist(v)) == 9
 
     def test_partitioned_merge_keeps_index_alive(self, spark, tmp_path, monkeypatch):
@@ -106,8 +112,9 @@ class TestIndexContinuity:
         assert len(calls[0]) == n_new, "stats recomputed beyond the rewritten partition"
 
         # index matches the live file list exactly (no stale rows for
-        # the rewritten partition's old files)
-        idx = spark.read.parquet(os.path.join(t._resolve_dir(v), "_index"))
+        # the rewritten partition's old files — round 11: stale
+        # fragment rows are semi-filtered at resolution)
+        idx = t._index_frame(v)
         live = {t._abs_file(e) for e in t._read_filelist(v)}
         assert {r["file"] for r in idx.select("file").collect()} == live
 
