@@ -708,7 +708,20 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def _component_coefficients(pixels: np.ndarray, subsample: bool):
+def _scaled_qt(qt: np.ndarray, quant_scale: float) -> np.ndarray:
+    """Annex-K table scaled by ``quant_scale`` (the classic IJG
+    quality knob's core): values round and clamp to [1, 255] so the
+    8-bit DQT payload stays valid. ``quant_scale=1`` is the identity —
+    a DIFFERENT scale re-encodes the same pixels under different
+    quantization tables (round-12 verdict #3's re-encode fixture)."""
+    if quant_scale == 1.0:
+        return qt
+    return np.clip(np.rint(qt * float(quant_scale)), 1, 255) \
+        .astype(np.int64)
+
+
+def _component_coefficients(pixels: np.ndarray, subsample: bool,
+                            quant_scale: float = 1.0):
     """Shared encoder front half: color transform, optional 4:2:0
     pooling, padding to the interleaved MCU grid, per-block DCT +
     quantization. Returns (gray, samp, H, W, blocks) where blocks[i]
@@ -749,7 +762,8 @@ def _component_coefficients(pixels: np.ndarray, subsample: bool):
             comps[i] = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2]
                                + c[0::2, 1::2] + c[1::2, 1::2])
 
-    qts = [STD_QUANT_LUMA] + ([] if gray else [STD_QUANT_CHROMA] * 2)
+    qts = [_scaled_qt(STD_QUANT_LUMA, quant_scale)] + (
+        [] if gray else [_scaled_qt(STD_QUANT_CHROMA, quant_scale)] * 2)
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
     blocks = []
@@ -809,10 +823,12 @@ def _dht_body(tc: int, th: int, spec) -> bytes:
 
 
 def _headers(out: bytearray, gray: bool, samp, H: int, W: int,
-             sof_marker: int) -> None:
-    _seg(out, 0xDB, bytes([0x00]) + bytes(int(x) for x in STD_QUANT_LUMA))
+             sof_marker: int, quant_scale: float = 1.0) -> None:
+    _seg(out, 0xDB, bytes([0x00]) + bytes(
+        int(x) for x in _scaled_qt(STD_QUANT_LUMA, quant_scale)))
     if not gray:
-        _seg(out, 0xDB, bytes([0x01]) + bytes(int(x) for x in STD_QUANT_CHROMA))
+        _seg(out, 0xDB, bytes([0x01]) + bytes(
+            int(x) for x in _scaled_qt(STD_QUANT_CHROMA, quant_scale)))
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, H, W, nc)
     for i in range(nc):
@@ -821,13 +837,18 @@ def _headers(out: bytearray, gray: bool, samp, H: int, W: int,
     _seg(out, sof_marker, sof)
 
 
-def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
+def encode_jpeg(pixels: np.ndarray, subsample: bool = False,
+                quant_scale: float = 1.0) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a baseline
     JPEG with the Annex K tables — 4:4:4, or 4:2:0 chroma subsampling
     with ``subsample=True`` (2×2-average-pooled Cb/Cr, the camera/web
     default, which exercises a decoder's MCU interleave + upsampling).
-    Deterministic; built for test fixtures, not throughput."""
-    gray, samp, H, W, blocks = _component_coefficients(pixels, subsample)
+    ``quant_scale`` scales both quantization tables (IJG-style quality
+    knob) — a re-encode of the same pixels under different tables, the
+    round-12 perceptual-video-dedup fixture shape. Deterministic;
+    built for test fixtures, not throughput."""
+    gray, samp, H, W, blocks = _component_coefficients(
+        pixels, subsample, quant_scale)
     dc_encs = [_HuffEncoder(*STD_DC_LUMA)] + (
         [] if gray else [_HuffEncoder(*STD_DC_CHROMA)] * 2)
     ac_encs = [_HuffEncoder(*STD_AC_LUMA)] + (
@@ -851,7 +872,7 @@ def encode_jpeg(pixels: np.ndarray, subsample: bool = False) -> bytes:
     bw.flush()
 
     out = bytearray(b"\xFF\xD8")
-    _headers(out, gray, samp, H, W, 0xC0)
+    _headers(out, gray, samp, H, W, 0xC0, quant_scale)
     _seg(out, 0xC4, _dht_body(0, 0, STD_DC_LUMA))
     _seg(out, 0xC4, _dht_body(1, 0, STD_AC_LUMA))
     if not gray:

@@ -62,7 +62,9 @@ def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
 
 def build_mp4(doc_id: int, width: int = 320, height: int = 240,
               chunk_samples: int = _CHUNK_SAMPLES,
-              brand: bytes = b"isom", trim: int = 0) -> bytes:
+              brand: bytes = b"isom", trim: int = 0,
+              frames: "list[bytes] | None" = None,
+              codec: bytes = b"avc1") -> bytes:
     """A minimal but SPEC-SHAPED one-video-track MP4: ``ftyp`` +
     ``mdat`` (frames concatenated, chunked ``chunk_samples``-per) +
     ``moov`` with the full sample-table suite. ``mdat`` precedes
@@ -74,9 +76,21 @@ def build_mp4(doc_id: int, width: int = 320, height: int = 240,
     11): ``chunk_samples`` re-muxes the same frames under a different
     chunk layout, ``brand`` retouches container metadata, ``trim``
     drops the tail samples — the codec bitstream bytes of the
-    surviving frames are identical in all three."""
-    n = max(1, frame_count(doc_id) - int(trim))
-    frames = [frame_bytes(doc_id, i) for i in range(n)]
+    surviving frames are identical in all three.
+
+    ``frames``/``codec`` (round 12) let a caller supply REAL sample
+    payloads under their own fourcc — the MJPEG-shaped clips of the
+    perceptual near-dup fixtures carry actual baseline JPEG keyframes
+    (``codec=b"jpeg"``, the QuickTime/ISO Motion-JPEG sample-entry
+    convention) so a decode stage downstream of the sample tables has
+    real bitstreams to decode. ``trim`` applies to a supplied list
+    too."""
+    if frames is None:
+        n = max(1, frame_count(doc_id) - int(trim))
+        frames = [frame_bytes(doc_id, i) for i in range(n)]
+    else:
+        n = max(1, len(frames) - int(trim))
+        frames = list(frames[:n])
     sizes = [len(f) for f in frames]
     duration = n * _FRAME_DELTA
 
@@ -119,7 +133,7 @@ def build_mp4(doc_id: int, width: int = 320, height: int = 240,
            + b"\x00" * 32                            # compressorname
            + struct.pack(">Hh", 24, -1))
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
-                 + _box(b"avc1", vse))
+                 + _box(codec, vse))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
     url_ = _full(b"url ", 0, 1, b"")  # self-contained
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url_)
@@ -438,6 +452,143 @@ def mp4_keyframe_slices(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(_slices, schema=schema)
 
 
+# -- MJPEG-shaped clips: decodable keyframes (round-12 verdict #3) -----
+def frame_tile(doc_id: int, i: int):
+    """Deterministic 8x9 'content' tile for frame ``i`` of clip
+    ``doc_id`` — the video twin of multimodal.gray_tile: sha256 bytes
+    quantized to 4 levels 48 apart plus a +16 x-parity offset, so
+    horizontally adjacent cells never tie (a tie's dHash bit would
+    flip under codec noise)."""
+    import hashlib
+
+    import numpy as np
+
+    hsh = hashlib.sha256(f"{int(doc_id)}:{int(i)}".encode()).digest()
+    b = np.frombuffer((hsh * 3)[:72], dtype=np.uint8).reshape(8, 9)
+    lv = (b % 4).astype(np.int32) * 48 + 40
+    lv = lv + (np.arange(9)[None, :] % 2) * 16
+    return lv.astype(np.uint8)
+
+
+def mjpeg_frame(doc_id: int, i: int, quant_scale: float = 1.0,
+                brightness: int = 0) -> bytes:
+    """Real baseline-JPEG bitstream for frame ``i`` of clip
+    ``doc_id``: the 8x9 tile upscaled x8 to 64x72 gray (each JPEG
+    block constant — content survives quantization with wide margins),
+    optionally brightness-shifted pre-encode and/or re-encoded under
+    ``quant_scale``-scaled quantization tables."""
+    import numpy as np
+
+    from pipeline_server_spark.operators.jpeg import encode_jpeg
+
+    img = np.repeat(np.repeat(frame_tile(doc_id, i), 8, axis=0), 8, axis=1)
+    if brightness:
+        img = np.clip(img.astype(np.int32) + int(brightness),
+                      0, 255).astype(np.uint8)
+    return encode_jpeg(img, quant_scale=quant_scale)
+
+
+def build_mjpeg_mp4(doc_id: int, quant_scale: float = 1.0,
+                    brightness: int = 0, trim: int = 0,
+                    chunk_samples: int = _CHUNK_SAMPLES) -> bytes:
+    """A clip whose every sample is a REAL decodable JPEG (Motion-JPEG
+    in ISO-BMFF, fourcc ``jpeg``): same sample-table math as
+    :func:`build_mp4`, same frame cadence/count as the fixture LCG
+    clips — but a downstream decode stage gets actual bitstreams."""
+    n = frame_count(doc_id)
+    frames = [mjpeg_frame(doc_id, i, quant_scale, brightness)
+              for i in range(n)]
+    return build_mp4(doc_id, width=72, height=64,
+                     chunk_samples=chunk_samples, trim=trim,
+                     frames=frames, codec=b"jpeg")
+
+
+def attach_mjpeg_corpus(df: DataFrame, id_col: str = "doc_id",
+                        plant_below: int = 30) -> DataFrame:
+    """Fixture corpus for PERCEPTUAL video near-dup: one MJPEG clip
+    per row, PLUS a planted pixel-level duplicate (id + 100000) for
+    every ``doc_id < plant_below`` — RE-ENCODED under 2x quantization
+    tables (every byte of every frame differs; the container-level CRC
+    dedup is blind to it), BRIGHTNESS-SHIFTED (+12 pre-encode, dHash
+    comparisons unchanged), or TRIMMED-TAIL + RE-MUXED (3 samples
+    dropped, 3-sample chunks) by doc_id % 3 — the dedup family's
+    planted-copy convention. Payloads synthesize executor-side in one
+    Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            ids, payloads = [], []
+            for i in b[id_col].astype("int64"):
+                i = int(i)
+                ids.append(i)
+                payloads.append(build_mjpeg_mp4(i))
+                if i < plant_below:
+                    v = i % 3
+                    ids.append(i + 100000)
+                    payloads.append(
+                        build_mjpeg_mp4(i, quant_scale=2.0) if v == 0
+                        else build_mjpeg_mp4(i, brightness=12) if v == 1
+                        else build_mjpeg_mp4(i, trim=3, chunk_samples=3))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "payload": payloads,
+                "media_type": "video/mp4",
+            })
+
+    from pipeline_server_spark.operators.multimodal import _fanout_ids
+
+    return _fanout_ids(df, id_col).mapInPandas(_synth, schema=schema)
+
+
+def mp4_keyframe_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PIXEL-LEVEL keyframe signatures in ONE Arrow pass: expand the
+    sample tables, slice every keyframe's bitstream, DECODE it through
+    the in-repo baseline-JPEG codec, and 64-bit difference-hash the
+    luma — the stage the container-level CRC dedup cannot reach (a
+    re-encode shares zero bytes but the same pixels). Clips whose
+    codec is not decodable in-container (e.g. avc1) raise the named
+    pixel-decode gate, same contract as :func:`decode_mp4_frame`."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.jpeg import decode_jpeg
+    from pipeline_server_spark.operators.multimodal import dhash64_gray
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),   # 1-based sample no.
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ])
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, payload in zip(b[id_col], b["payload"]):
+                p = bytes(payload)
+                m = parse_mp4(p)
+                if m["codec"] != "jpeg":
+                    raise NotImplementedError(
+                        f"keyframe pixel decode for codec "
+                        f"{m['codec']!r} requires an external decoder "
+                        "— only Motion-JPEG decodes in-container")
+                for idx, (off, sz, t_ms, sync) in enumerate(m["samples"]):
+                    if not sync:
+                        continue
+                    _, _, _, px = decode_jpeg(p[off: off + sz])
+                    rows.append((int(i), idx + 1, t_ms,
+                                 dhash64_gray(px[:, :, 0])))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(_hash, schema=schema)
+
+
 def decode_mp4_frame(frame: bytes) -> None:
     """NAMED GATE: turning a sliced sample's bitstream into pixels
     needs an H.264/H.265 decoder, which this container intentionally
@@ -445,6 +596,8 @@ def decode_mp4_frame(frame: bytes) -> None:
     plug a decoder into the mapInPandas stage that consumes
     :func:`mp4_keyframe_slices` output."""
     raise NotImplementedError(
-        "video bitstream decode requires an external codec (e.g. "
-        "PyAV/ffmpeg) — not available in this environment; the "
-        "container/sample-table layer is fully implemented")
+        "video bitstream decode for inter-frame codecs (avc1/hvc1) "
+        "requires an external decoder (e.g. PyAV/ffmpeg) — not "
+        "available in this environment; the container/sample-table "
+        "layer is fully implemented, and Motion-JPEG samples DO "
+        "decode in-container (mp4_keyframe_dhash, round 12)")

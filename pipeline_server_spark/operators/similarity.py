@@ -18,6 +18,22 @@ from pipeline_server_spark.operators.clustering import _normalize_block
 from pipeline_server_spark.operators.dedup import cosine_expr, dot_expr, spread
 
 
+def _dot_scores(qm, cm):
+    """(M, d) × (N, d) → (M, N) dot-product matrix via ``np.einsum``
+    WITHOUT ``optimize`` (round 12): einsum's unoptimized kernel sums
+    the k index in fixed order per output element, so the result is
+    BITWISE independent of how either side was blocked — unlike BLAS
+    dgemm (``@``), whose micro-kernel choice (and therefore float
+    summation grouping) switches with M/N, which would break the
+    bulk-vs-broadcast bit-identity gate whenever the two paths hand
+    the corpus/query rows to the kernel in different block shapes. At
+    embedding dims (~64) it is also competitive with dgemm."""
+    import numpy as np
+
+    return np.einsum("ik,jk->ij", np.ascontiguousarray(qm),
+                     np.ascontiguousarray(cm))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,7 +84,7 @@ def brute_force_topk(
             ids = pdf["nbr_id"].to_numpy(dtype=np.int64)
             block = np.stack(pdf["cv"].to_numpy())
             block = _normalize_block(block)
-            sims = qm @ block.T  # |q| × |block|
+            sims = _dot_scores(qm, block)  # |q| × |block|
             # k+1: the block may contain the query itself (filtered below)
             keep = min(k + 1, sims.shape[1])
             # per-block top-k per query (partial selection, no full sort)
@@ -82,6 +98,133 @@ def brute_force_topk(
             yield pdf_out[pdf_out["query_id"] != pdf_out["nbr_id"]]
 
     scored = c.mapInPandas(_score, schema=out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def brute_force_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    block_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BULK exact cosine kNN-JOIN (round-12 verdict #6): the same math
+    as :func:`brute_force_topk` with the QUERY SIDE kept a DataFrame
+    end-to-end — no ``queries.collect()``, no driver-built broadcast —
+    so exact corpus-vs-corpus retrieval (and the exact referee behind
+    every ANN gate) scales past the small-|Q| contract.
+
+    Plan shape: both sides hash-assign to ~``block_rows``-sized blocks
+    and PACK per block in one ``applyInPandas`` pass (ids + the
+    row-normalized float64 matrix as binary); the |C|/B × |Q|/B block
+    grid materializes as ``spark.range(n_cb * n_qb)`` and EQUI-JOINS
+    each packed side in — every (corpus-block × query-block) cell is a
+    plain shuffle/broadcast-hash join row, never a CartesianProduct or
+    BroadcastNestedLoopJoin. One Arrow pass BLAS-scores each cell,
+    keeps the per-cell top-(k+1) per query (the cell may contain the
+    query itself), and a window resolves the global top-k.
+
+    Output is BIT-IDENTICAL to :func:`brute_force_topk` on the same
+    inputs (pytest-gated with raw IEEE-754 compares): rows normalize
+    through the same :func:`_normalize_block` and every cosine is the
+    same float64 dot over the same doubles.
+
+    Scale shape: compute is the honest O(|C|·|Q|) of an exact join,
+    but data movement is O(|C| + |Q| + |C|·|Q|/B) block replication
+    and every stage is an equi-join — 100 TB corpus-vs-corpus runs as
+    a regular shuffle, not an all-pairs explosion on one executor."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    c = spread(corpus).select(F.col(id_col).alias("nbr_id"),
+                              F.col(vec_col).cast("array<double>").alias("cv"))
+    q = spread(queries).select(F.col(id_col).alias("query_id"),
+                               F.col(vec_col).cast("array<double>").alias("qv"))
+    # data-dependent grid sizing: two scalar counts (metadata-sized
+    # actions, not row collects)
+    n_cb = max(1, -(-c.count() // block_rows))
+    n_qb = max(1, -(-q.count() // block_rows))
+
+    def _pack_schema(prefix: str) -> "T.StructType":
+        return T.StructType([
+            T.StructField(f"{prefix}b", T.IntegerType()),
+            T.StructField(f"{prefix}_ids", T.BinaryType()),
+            T.StructField(f"{prefix}_mat", T.BinaryType()),
+            T.StructField(f"{prefix}_n", T.IntegerType()),
+            T.StructField(f"{prefix}_d", T.IntegerType()),
+        ])
+
+    def _packer(prefix: str, idname: str, vecname: str):
+        def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[idname].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")  # deterministic
+            ids = ids[order]
+            mat = _normalize_block(
+                np.stack(pdf[vecname].to_numpy())[order])
+            return pd.DataFrame({
+                f"{prefix}b": [int(key[0])],
+                f"{prefix}_ids": [ids.tobytes()],
+                f"{prefix}_mat": [np.ascontiguousarray(mat).tobytes()],
+                f"{prefix}_n": [int(len(ids))],
+                f"{prefix}_d": [int(mat.shape[1])],
+            })
+        return _pack
+
+    cpk = (c.withColumn(
+        "cb", F.pmod(F.xxhash64("nbr_id"), F.lit(n_cb)).cast("int"))
+        .groupBy("cb")
+        .applyInPandas(_packer("c", "nbr_id", "cv"),
+                       schema=_pack_schema("c")))
+    qpk = (q.withColumn(
+        "qb", F.pmod(F.xxhash64("query_id"), F.lit(n_qb)).cast("int"))
+        .groupBy("qb")
+        .applyInPandas(_packer("q", "query_id", "qv"),
+                       schema=_pack_schema("q")))
+
+    # the block grid as DATA: equi-joining the packed sides into it
+    # replaces the crossJoin a naive bulk join would need
+    pairs = spark.range(n_cb * n_qb).select(
+        F.pmod(F.col("id"), F.lit(n_cb)).cast("int").alias("cb"),
+        (F.col("id") / F.lit(n_cb)).cast("int").alias("qb"))
+    cells = pairs.join(cpk, "cb").join(qpk, "qb")
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("nbr_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def _score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                cids = np.frombuffer(row.c_ids, dtype=np.int64)
+                cm = np.frombuffer(row.c_mat, dtype=np.float64) \
+                    .reshape(row.c_n, row.c_d)
+                qids = np.frombuffer(row.q_ids, dtype=np.int64)
+                qm = np.frombuffer(row.q_mat, dtype=np.float64) \
+                    .reshape(row.q_n, row.q_d)
+                sims = _dot_scores(qm, cm)
+                keep = min(k + 1, sims.shape[1])
+                idx = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
+                out = pd.DataFrame({
+                    "query_id": np.repeat(qids, keep),
+                    "nbr_id": cids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1)
+                    .ravel(),
+                })
+                yield out[out["query_id"] != out["nbr_id"]]
+
+    scored = cells.mapInPandas(_score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

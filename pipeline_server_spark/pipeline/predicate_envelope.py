@@ -14,12 +14,17 @@ SnowflakeLoader.scala — pruning there is the warehouse's job; here it
 is ours).
 
 Safety property that makes the walker simple: the envelope only has
-to be a SUPERSET of the predicate. A conjunct the walker cannot prove
-contributes NOTHING (widening is always correct); ``OR`` / ``NOT`` /
-UDFs / casts around the column side all fall back the same way — the
-worst case is the old full candidate scan, never a missed file.
+to be a SUPERSET of the predicate. A subtree the walker cannot prove
+contributes NOTHING (widening is always correct); ``NOT`` / UDFs /
+casts around the column side all fall back the same way — the worst
+case is the old full candidate scan, never a missed file. ``AND``
+intersects per-column constraints; ``OR`` (round-12 verdict #4)
+UNIONS them per column — ``p = 1 OR p = 2``, the everyday
+multi-partition DML shape, derives bounds (1, 2) plus the complete
+value set {1, 2} instead of widening to a full scan, and any
+underivable branch still widens the whole disjunction.
 
-Recognized conjunct shapes (attribute on either side):
+Recognized leaf shapes (attribute on either side):
 
 - ``col = lit`` / ``col <=> lit``       → point (Bloom + min/max)
 - ``col <=> NULL`` / ``col IS NULL``    → bounds "is_null"
@@ -153,19 +158,239 @@ def _literal_value(e):
         return None, False
 
 
+
+
+# -- And/Or constraint algebra (round-12 verdict #4) -------------------
+#
+# A per-column constraint is the 4-tuple ``(lo, hi, vals, nullness)``:
+# ``lo``/``hi`` inclusive bounds (None = unbounded), ``vals`` the
+# COMPLETE value set when known (frozenset; None = not a complete
+# list), ``nullness`` one of "is_null" / "not_null" / None. An
+# envelope is {col: constraint}; the ABSENCE of a column means
+# unconstrained. The tree walker folds the analyzed predicate:
+#
+# - ``env(And(a, b))`` = per-column INTERSECTION (max-lo / min-hi /
+#   set-∩) — a conjunct only ever tightens, and dropping an
+#   unprovable side is a widening, hence sound.
+# - ``env(Or(a, b))``  = per-column UNION (min-lo / max-hi / set-∪),
+#   and only for columns BOTH branches constrain — a column one
+#   branch leaves free is free in the union. Any wholly-underivable
+#   branch has the empty envelope, which erases every column: the
+#   old widen-to-full-scan behavior, now the worst case instead of
+#   the only case.
+# - leaves parse exactly the conjunct shapes the module always served.
+#
+# Soundness invariant (property-tested): every row satisfying the
+# predicate satisfies the derived envelope — union/intersection keep
+# it by construction, and ANY comparison error (mixed types) drops
+# the column, widening.
+
+
+def _leaf(c) -> dict:
+    """{col: (lo, hi, vals, nullness)} for one comparison node; {}
+    when underivable (contributes nothing = widest)."""
+    name = c.getClass().getSimpleName()
+    kids = c.children()
+    if name in ("IsNull", "IsNotNull"):
+        col = _attr_name(kids.apply(0))
+        if col is None:
+            return {}
+        return {col: (None, None, None,
+                      "is_null" if name == "IsNull" else "not_null")}
+    if name == "In":
+        col = _attr_name(kids.apply(0))
+        if col is None:
+            return {}
+        vals = []
+        for i in range(1, kids.size()):
+            v, got = _literal_value(kids.apply(i))
+            if not got:
+                return {}
+            if v is not None:  # IN (.., NULL) never matches NULL
+                vals.append(v)
+        if not vals:
+            return {}
+        return {col: (min(vals), max(vals), frozenset(vals), None)}
+    if name == "Between":
+        # the SQL parser's BETWEEN survives analysis as a
+        # RuntimeReplaceable node (the Column API's .between desugars
+        # to >= and <=) — read its accessors directly
+        col = _attr_name(c.input())
+        if col is None:
+            return {}
+        lo, got_lo = _literal_value(c.lower())
+        hi, got_hi = _literal_value(c.upper())
+        lo = lo if got_lo else None
+        hi = hi if got_hi else None
+        if lo is None and hi is None:
+            return {}
+        return {col: (lo, hi, None, None)}
+    if name in ("StartsWith", "Like"):
+        col = _attr_name(kids.apply(0))
+        if col is None:
+            return {}
+        v, got = _literal_value(kids.apply(1))
+        if not got or not isinstance(v, str) or not v:
+            return {}
+        if name == "Like":
+            # only the pure-prefix shape 'p%' (no other
+            # metacharacters) is derivable
+            if (not v.endswith("%") or "_" in v
+                    or "\\" in v or "%" in v[:-1]):
+                return {}
+            v = v[:-1]
+            if not v:
+                return {}
+        # inclusive upper bound: bump the last non-max char — every
+        # string with prefix v sorts strictly below it (a wider-than-
+        # needed bound is always safe)
+        hi = None
+        trimmed = v.rstrip("\U0010FFFF")
+        if trimmed:
+            bump = ord(trimmed[-1]) + 1
+            if 0xD800 <= bump <= 0xDFFF:
+                bump = 0xE000  # skip the surrogate gap
+            hi = trimmed[:-1] + chr(bump)
+        return {col: (v, hi, None, None)}
+    if kids.size() != 2:
+        return {}
+    left, right = kids.apply(0), kids.apply(1)
+    for attr_side, val_side, attr_is_left in (
+            (left, right, True), (right, left, False)):
+        col = _attr_name(attr_side)
+        if col is None:
+            continue
+        v, got = _literal_value(val_side)
+        if not got:
+            return {}
+        if name in ("EqualTo", "EqualNullSafe"):
+            if v is None:
+                if name == "EqualNullSafe":
+                    return {col: (None, None, None, "is_null")}
+                return {}  # col = NULL matches nothing: no constraint
+            return {col: (v, v, frozenset({v}), None)}
+        if name in _RANGE_OPS and v is not None:
+            kind = _RANGE_OPS[name][0 if attr_is_left else 1]
+            if kind == "lo":
+                return {col: (v, None, None, None)}
+            return {col: (None, v, None, None)}
+        return {}
+    return {}
+
+
+def _tight(x, y, f):
+    """AND-combine two one-sided bounds: keep the tighter per ``f``;
+    an incomparable pair keeps the first (either alone is implied)."""
+    if x is None:
+        return y
+    if y is None:
+        return x
+    try:
+        return f(x, y)
+    except TypeError:
+        return x
+
+
+def _and_env(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for col, c2 in b.items():
+        c1 = out.get(col)
+        if c1 is None:
+            out[col] = c2
+            continue
+        lo1, hi1, v1, n1 = c1
+        lo2, hi2, v2, n2 = c2
+        vals = (v1 if v2 is None else v2 if v1 is None
+                else frozenset(v1 & v2))
+        null = ("is_null" if "is_null" in (n1, n2)
+                else "not_null" if "not_null" in (n1, n2) else None)
+        out[col] = (_tight(lo1, lo2, max), _tight(hi1, hi2, min),
+                    vals, null)
+    return out
+
+
+def _eff_lo(c):
+    lo, hi, vals, _ = c
+    if lo is not None:
+        return lo
+    return min(vals) if vals else None
+
+
+def _eff_hi(c):
+    lo, hi, vals, _ = c
+    if hi is not None:
+        return hi
+    return max(vals) if vals else None
+
+
+def _nonnull_branch(c) -> bool:
+    """True when the constraint can only be satisfied by a NON-NULL
+    value (every comparison/IN/prefix is null-rejecting in SQL)."""
+    lo, hi, vals, null = c
+    return (null == "not_null" or lo is not None or hi is not None
+            or vals is not None)
+
+
+def _or_env(a: dict, b: dict) -> dict:
+    out = {}
+    for col in set(a) & set(b):
+        c1, c2 = a[col], b[col]
+        n1, n2 = c1[3], c2[3]
+        if n1 == "is_null" or n2 == "is_null":
+            # is_null ∪ is_null stays; is_null ∪ range is not
+            # expressible in the (bounds, points) vocabulary → drop
+            if n1 == n2 == "is_null":
+                out[col] = (None, None, None, "is_null")
+            continue
+        if not (_nonnull_branch(c1) and _nonnull_branch(c2)):
+            continue
+        try:
+            l1, l2 = _eff_lo(c1), _eff_lo(c2)
+            lo = min(l1, l2) if l1 is not None and l2 is not None else None
+            h1, h2 = _eff_hi(c1), _eff_hi(c2)
+            hi = max(h1, h2) if h1 is not None and h2 is not None else None
+        except TypeError:
+            continue  # mixed-type union: widen by dropping the column
+        v1, v2 = c1[2], c2[2]
+        vals = (frozenset(v1 | v2)
+                if v1 is not None and v2 is not None else None)
+        out[col] = (lo, hi, vals, "not_null")
+    return out
+
+
+def _walk(e) -> dict:
+    try:
+        name = e.getClass().getSimpleName()
+        if name == "And":
+            return _and_env(_walk(e.children().apply(0)),
+                            _walk(e.children().apply(1)))
+        if name == "Or":
+            return _or_env(_walk(e.children().apply(0)),
+                           _walk(e.children().apply(1)))
+        return _leaf(e)
+    except Exception:
+        return {}  # unprovable subtree: widen, never narrow
+
+
 def derive_envelope(spark: "SparkSession", predicate: "Column",
                     schema: "StructType",
                     with_in_lists: bool = False):
     """(bounds, points) implied by ``predicate`` over a table with
     ``schema`` — in :meth:`VersionedTable.read_pruned`'s vocabulary.
-    Conjuncts the walker can't serve contribute nothing; a predicate
-    with no derivable conjunct yields ``({}, {})`` (full scan).
+    Subtrees the walker can't serve contribute nothing; a predicate
+    with no derivable constraint yields ``({}, {})`` (full scan).
+    Conjunctions intersect per-column constraints; DISJUNCTIONS of
+    derivable branches union them (round-12 verdict #4) — ``p = 1 OR
+    p = 2`` derives bounds (1, 2) and the complete value set {1, 2}
+    instead of widening to a full scan.
 
     ``with_in_lists=True`` returns a third dict mapping each column
-    with a fully-derivable equality/IN conjunct to its COMPLETE value
-    list (not just the min/max range) — the row-id DML path intersects
-    these against per-file id coverage, where the full list prunes
-    orders of magnitude tighter than a range (round-10 verdict #3)."""
+    whose matching rows PROVABLY take values from a complete list
+    (equality / IN conjuncts, and unions of those across OR branches)
+    to that sorted list — the row-id DML path intersects these against
+    per-file id coverage, and partition pruning matches them as exact
+    point sets (tighter than the min/max range for sparse lists like
+    ``p = 1 OR p = 7``)."""
     empty = ({}, {}, {}) if with_in_lists else ({}, {})
     try:
         cond = (spark.createDataFrame([], schema)
@@ -176,139 +401,28 @@ def derive_envelope(spark: "SparkSession", predicate: "Column",
         # the DML's own phase-1 scan — don't mask that error path
         return empty
 
-    points: dict = {}
-    los: dict = {}
-    his: dict = {}
-    is_null: set = set()
-    not_null: set = set()
-    in_lists: dict = {}
-
-    for c in _flatten_and(cond):
-        try:
-            name = c.getClass().getSimpleName()
-            kids = c.children()
-            if name in ("IsNull", "IsNotNull"):
-                col = _attr_name(kids.apply(0))
-                if col is not None:
-                    (is_null if name == "IsNull" else not_null).add(col)
-                continue
-            if name == "In":
-                col = _attr_name(kids.apply(0))
-                if col is None:
-                    continue
-                vals = []
-                ok = True
-                for i in range(1, kids.size()):
-                    v, got = _literal_value(kids.apply(i))
-                    if not got:
-                        ok = False
-                        break
-                    if v is not None:  # IN (.., NULL) never matches NULL
-                        vals.append(v)
-                if not ok or not vals:
-                    continue
-                # intersect with any earlier IN/= conjunct on the col
-                if col in in_lists:
-                    in_lists[col] = sorted(
-                        set(in_lists[col]) & set(vals))
-                else:
-                    in_lists[col] = sorted(set(vals))
-                if len(vals) == 1:
-                    points.setdefault(col, vals[0])
-                else:
-                    los.setdefault(col, []).append(min(vals))
-                    his.setdefault(col, []).append(max(vals))
-                continue
-            if name == "Between":
-                # the SQL parser's BETWEEN survives analysis as a
-                # RuntimeReplaceable node (the Column API's .between
-                # desugars to >= and <=) — read its accessors directly
-                col = _attr_name(c.input())
-                if col is None:
-                    continue
-                lo, got_lo = _literal_value(c.lower())
-                hi, got_hi = _literal_value(c.upper())
-                if got_lo and lo is not None:
-                    los.setdefault(col, []).append(lo)
-                if got_hi and hi is not None:
-                    his.setdefault(col, []).append(hi)
-                continue
-            if name in ("StartsWith", "Like"):
-                col = _attr_name(kids.apply(0))
-                if col is None:
-                    continue
-                v, got = _literal_value(kids.apply(1))
-                if not got or not isinstance(v, str) or not v:
-                    continue
-                if name == "Like":
-                    # only the pure-prefix shape 'p%' (no other
-                    # metacharacters) is derivable
-                    if (not v.endswith("%") or "_" in v
-                            or "\\" in v or "%" in v[:-1]):
-                        continue
-                    v = v[:-1]
-                    if not v:
-                        continue
-                los.setdefault(col, []).append(v)
-                # inclusive upper bound: bump the last non-max char —
-                # every string with prefix v sorts strictly below it
-                # (a wider-than-needed bound is always safe)
-                trimmed = v.rstrip("\U0010FFFF")
-                if trimmed:
-                    bump = ord(trimmed[-1]) + 1
-                    if 0xD800 <= bump <= 0xDFFF:
-                        bump = 0xE000  # skip the surrogate gap
-                    his.setdefault(col, []).append(
-                        trimmed[:-1] + chr(bump))
-                continue
-            if kids.size() != 2:
-                continue
-            left, right = kids.apply(0), kids.apply(1)
-            for attr_side, val_side, attr_is_left in (
-                    (left, right, True), (right, left, False)):
-                col = _attr_name(attr_side)
-                if col is None:
-                    continue
-                v, got = _literal_value(val_side)
-                if not got:
-                    break
-                if name in ("EqualTo", "EqualNullSafe"):
-                    if v is None:
-                        if name == "EqualNullSafe":
-                            is_null.add(col)
-                        # col = NULL matches nothing: no constraint
-                    else:
-                        points.setdefault(col, v)
-                        if col in in_lists:
-                            in_lists[col] = sorted(
-                                set(in_lists[col]) & {v})
-                        else:
-                            in_lists[col] = [v]
-                elif name in _RANGE_OPS and v is not None:
-                    kind = _RANGE_OPS[name][0 if attr_is_left else 1]
-                    (los if kind == "lo" else his).setdefault(
-                        col, []).append(v)
-                break
-        except Exception:
-            continue  # unprovable conjunct: widen, never narrow
+    env = _walk(cond)
 
     bounds: dict = {}
-    for col in set(los) | set(his) | is_null | not_null:
-        if col in points:
-            continue  # the point alone is implied and strictly tighter
-        if col in is_null:
-            bounds[col] = "is_null"
-            continue
+    points: dict = {}
+    in_lists: dict = {}
+    for col, (lo, hi, vals, null) in env.items():
         try:
-            lo = max(los[col]) if col in los else None
-            hi = min(his[col]) if col in his else None
+            if vals:
+                in_lists[col] = sorted(vals)
+            if vals and len(vals) == 1:
+                points[col] = next(iter(vals))
+                continue  # the point alone is implied and tighter
+            if null == "is_null":
+                bounds[col] = "is_null"
+                continue
+            if lo is None and hi is None:
+                if null == "not_null":
+                    bounds[col] = "not_null"
+                continue
+            bounds[col] = (lo, hi)
         except Exception:
-            continue
-        if lo is None and hi is None:
-            if col in not_null:
-                bounds[col] = "not_null"
-            continue
-        bounds[col] = (lo, hi)
+            continue  # e.g. unsortable values: widen
     if with_in_lists:
         return bounds, points, in_lists
     return bounds, points

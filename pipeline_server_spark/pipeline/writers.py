@@ -4364,9 +4364,12 @@ class VersionedTable:
         # is their pruning path). Parse failures keep the entry:
         # widen, never narrow.
         dml_dir_specs = self._dir_specs(current)
+        dml_value_sets = ({c: vs for c, vs in in_lists.items()
+                           if c != self.ROW_ID}
+                          if env_schema is not None else {})
         cand_entries = (self._prune_entries_by_partition(
             entries, bounds, points, layout, schema,
-            dir_specs=dml_dir_specs)
+            dir_specs=dml_dir_specs, value_sets=dml_value_sets)
             if (layout or dml_dir_specs) and schema is not None
             else list(entries))
         has_index = self._index_dirs(current) is not None
@@ -4742,12 +4745,13 @@ class VersionedTable:
         if schema is None or entries is None:
             # legacy version: no manifest schema to derive against
             return self.read(v).where(predicate), -1, -1
-        bounds, points = derive_envelope(self.spark, predicate, schema)
+        bounds, points, in_lists = derive_envelope(
+            self.spark, predicate, schema, with_in_lists=True)
         doc = self._filelist_doc(v) or {}
         layout = list(doc.get("partition_by") or [])
         cand = self._prune_entries_by_partition(
             entries, bounds, points, layout, schema,
-            dir_specs=self._dir_specs(v))
+            dir_specs=self._dir_specs(v), value_sets=in_lists)
         data_bounds = {c: b for c, b in bounds.items() if c not in layout}
         data_points = {c: pv for c, pv in points.items()
                        if c not in layout}
@@ -4771,21 +4775,31 @@ class VersionedTable:
     def _prune_entries_by_partition(self, entries, bounds: dict,
                                     points: dict, layout: list,
                                     schema,
-                                    dir_specs: dict | None = None) -> list:
+                                    dir_specs: dict | None = None,
+                                    value_sets: dict | None = None) -> list:
         """Candidate entries surviving the envelope's PARTITION-column
         constraints, matched by typed hive-prefix values (parse
         failures keep the entry — widen, never narrow). With partition-
         spec evolution, each entry parses by ITS directory's spec: a
         constraint on a column that is not a partition column in that
         directory simply cannot prune it there (the residual / phase-1
-        scan still applies the exact predicate)."""
+        scan still applies the exact predicate).
+
+        ``value_sets`` (round-12 verdict #4) maps columns to their
+        COMPLETE matching value list (``derive_envelope``'s in-lists,
+        incl. OR-unions): an entry whose partition value is outside
+        the set is pruned — exact point-set pruning, tighter than the
+        min/max range for sparse disjunctions like ``p = 1 OR p = 7``
+        over partitions 0..7."""
         dir_specs = dir_specs or {}
         all_spec_cols = set(layout or [])
         for sp in dir_specs.values():
             all_spec_cols.update(sp)
         lb = {c: b for c, b in bounds.items() if c in all_spec_cols}
         lp = {c: pv for c, pv in points.items() if c in all_spec_cols}
-        if not (lb or lp):
+        lv = {c: vs for c, vs in (value_sets or {}).items()
+              if c in all_spec_cols and vs}
+        if not (lb or lp or lv):
             return list(entries)
         part_types = {f.name: f.dataType.simpleString()
                       for f in schema.fields if f.name in all_spec_cols}
@@ -4807,6 +4821,16 @@ class VersionedTable:
                     got = vals[c]
                     if got is None or self._canon_part_value(got) \
                             != self._canon_part_value(pv):
+                        return False
+                for c, vs in lv.items():
+                    if c not in vals:
+                        continue
+                    got = vals[c]
+                    if got is None:
+                        return False  # in-list values are non-null
+                    canon = self._canon_part_value(got)
+                    if all(canon != self._canon_part_value(x)
+                           for x in vs):
                         return False
                 for c, b in lb.items():
                     if c not in vals:

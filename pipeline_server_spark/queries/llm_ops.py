@@ -1090,3 +1090,213 @@ def ann_ivf_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("_ok").alias("bulk_matches"))
         .orderBy("query_id")
     )
+
+
+@query(
+    "ann_brute_knn_join",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS bulk_matches
+    FROM embeddings WHERE vec_id < 60 ORDER BY query_id
+    """,
+)
+def ann_brute_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BULK EXACT kNN-join gate (round-12 verdict #6): the brute-force
+    cosine referee behind every ANN gate, with the query side kept a
+    DataFrame end-to-end — packed blocks × packed blocks over an
+    equi-joined block grid (no queries.collect(), no CartesianProduct,
+    no BroadcastNestedLoopJoin) — must be BIT-IDENTICAL to the
+    driver-broadcast :func:`brute_force_topk` on the same inputs: per
+    query, every (nbr_id, rank) matches and every cosine matches
+    EXACTLY (null-safe float64 equality, no tolerance; the pytest twin
+    additionally compares the raw IEEE-754 bit patterns). A small
+    ``block_rows`` forces a real multi-cell grid even at sf0.01."""
+    from pipeline_server_spark.operators.similarity import (
+        brute_force_knn_join, brute_force_topk)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 60)
+    a = brute_force_topk(e, q, k=5)
+    b = brute_force_knn_join(e, q, k=5, block_rows=512)
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.rank") == F.col("b.rank")),
+        "full_outer")
+    per_row_ok = (
+        F.col("a.query_id").isNotNull() & F.col("b.query_id").isNotNull()
+        & (F.col("a.nbr_id") == F.col("b.nbr_id"))
+        # exact double equality, no tolerance — both paths must have
+        # run the identical float ops in the identical order
+        & F.col("a.cosine").eqNullSafe(F.col("b.cosine")))
+    return (
+        joined.select(
+            F.coalesce(F.col("a.query_id"), F.col("b.query_id"))
+            .alias("query_id"),
+            per_row_ok.alias("_ok"))
+        .groupBy("query_id")
+        .agg(F.min("_ok").alias("bulk_matches"))
+        .orderBy("query_id")
+    )
+
+
+def _video_pix_dup_py_oracle(sf_dir: str):
+    """Independent referee for PIXEL-LEVEL video near-dup: regenerate
+    every clip's keyframe pixels from the tile generator's closed form
+    in pure Python (stdlib sha256 quantization, list-based upscale —
+    not the operator's numpy path), round-trip them through the
+    in-repo JPEG codec exactly as the fixtures do (its quantization
+    noise IS the content; the codec itself is pinned bit-exact against
+    third-party decodes in pytest), difference-hash with pure-Python
+    box means, and brute-force every clip pair's keyframe matching —
+    no MP4, no Spark, no numpy hashing anywhere on the referee side."""
+    import hashlib
+
+    import pandas as pd
+
+    from pipeline_server_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+
+    def tile(d, i):
+        h = hashlib.sha256(f"{d}:{i}".encode()).digest()
+        b = (h * 3)[:72]
+        return [[(b[r * 9 + c] % 4) * 48 + 40 + (c % 2) * 16
+                 for c in range(9)] for r in range(8)]
+
+    def upscale8(t):
+        return [[v for v in row for _ in range(8)]
+                for row in t for _ in range(8)]
+
+    def box98(img):
+        h, w = len(img), len(img[0])
+        sums = [[0.0] * 9 for _ in range(8)]
+        cnts = [[0] * 9 for _ in range(8)]
+        for y in range(h):
+            yb = (y * 8) // h
+            for x in range(w):
+                xb = (x * 9) // w
+                sums[yb][xb] += img[y][x]
+                cnts[yb][xb] += 1
+        return [[sums[r][c] / cnts[r][c] for c in range(9)]
+                for r in range(8)]
+
+    def dhash(img):
+        t = box98(img)
+        v = 0
+        i = 0
+        for r in range(8):
+            for c in range(8):
+                if t[r][c + 1] > t[r][c]:
+                    v |= 1 << i
+                i += 1
+        return v
+
+    def kf_hashes(d, quant_scale=1.0, brightness=0, trim=0):
+        import numpy as np
+
+        n = max(1, (8 + d % 9) - trim)
+        out = []
+        for i in range(0, n, 5):  # keyframe cadence
+            img = upscale8(tile(d, i))
+            if brightness:
+                img = [[min(v + brightness, 255) for v in row]
+                       for row in img]
+            px = decode_jpeg(encode_jpeg(
+                np.array(img, dtype=np.uint8),
+                quant_scale=quant_scale))[3]
+            out.append(dhash([[int(v) for v in row]
+                              for row in px[:, :, 0].tolist()]))
+        return out
+
+    sets = {d: kf_hashes(d) for d in ids}
+    for d in ids:
+        if d >= 30:
+            continue
+        v = d % 3
+        sets[d + 100000] = (
+            kf_hashes(d, quant_scale=2.0) if v == 0
+            else kf_hashes(d, brightness=12) if v == 1
+            else kf_hashes(d, trim=3))
+    keys = sorted(sets)
+    rows = []
+    for a_i, a in enumerate(keys):
+        ha = sets[a]
+        for b in keys[a_i + 1:]:
+            hb = sets[b]
+            matched = sum(
+                1 for x in ha
+                if any(bin(x ^ y).count("1") <= 3 for y in hb))
+            union = len(ha) + len(hb) - matched
+            if matched and 2 * matched >= union:
+                rows.append((a, b, matched, union))
+    return pd.DataFrame(rows, columns=[
+        "doc_a", "doc_b", "matched_keyframes", "union_keyframes"]) \
+        .astype("int64").sort_values(["doc_a", "doc_b"],
+                                     ignore_index=True)
+
+
+@query("video_perceptual_near_dup_pairs", oracle_py=_video_pix_dup_py_oracle)
+# no SQL oracle: sample-table expansion + JPEG decode + perceptual
+# hashing are not SQL-expressible; the closed-form-pixels referee goes
+# through the same rows+schema+hash gate
+def video_perceptual_near_dup_pairs(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """PIXEL-LEVEL video near-duplicate detection (round-12 verdict
+    #3): the fixture corpus is MJPEG-shaped — real baseline-JPEG
+    keyframes inside real ISO-BMFF sample tables, both codec and
+    container in-repo — so the decode step the container-level CRC
+    query must gate on is REAL here: one Arrow pass slices every
+    keyframe, decodes it, and 64-bit difference-hashes the luma
+    (:func:`...operators.mp4.mp4_keyframe_dhash`). A RE-ENCODED copy
+    (2x quantization tables — every byte differs, zero shared CRCs,
+    invisible to ``video_container_near_dup_pairs``) and a
+    BRIGHTNESS-SHIFTED copy pair with their original frame-for-frame;
+    a TRIMMED+RE-MUXED copy pairs on its surviving keyframes;
+    distinct clips share nothing. Candidates come from the SimHash
+    family's 4x16-bit-chunk Hamming-ball band join over per-keyframe
+    hashes (pigeonhole recall for hamming ≤ 3, no all-pairs); clips
+    pair when ≥ half their union of keyframes match
+    (``matched`` = clip A's keyframes with ≥ 1 hash-near match in B).
+
+    Scale shape: decode cost is one mapInPandas pass over the
+    payloads; the join carries (chunk, 16-bit key) rows per keyframe —
+    corpus-linear like every dedup family member."""
+    from pipeline_server_spark.operators.dedup import hamming_near_pairs
+    from pipeline_server_spark.operators.mp4 import (
+        attach_mjpeg_corpus, mp4_keyframe_dhash)
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = mp4_keyframe_dhash(attach_mjpeg_corpus(d))
+    # keyframe identity = (clip, sample no.) packed into one id so the
+    # shared Hamming-ball band join applies unchanged; frame_idx < 1024
+    kf = sigs.select(
+        (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("kf_id"),
+        "dhash")
+    counts = (sigs.groupBy("doc_id").agg(F.count("*").alias("n_kf")))
+    p = (hamming_near_pairs(kf, "dhash", max_hamming=3, id_col="kf_id")
+         .select(F.expr("doc_a DIV 1024").alias("clip_a"),
+                 F.expr("doc_a % 1024").alias("frame_a"),
+                 F.expr("doc_b DIV 1024").alias("clip_b"))
+         .where(F.col("clip_a") != F.col("clip_b")))
+    matched = (p.select("clip_a", "clip_b", "frame_a").distinct()
+               .groupBy("clip_a", "clip_b")
+               .agg(F.count("*").alias("matched_keyframes")))
+    return (matched
+            .join(counts.select(F.col("doc_id").alias("clip_a"),
+                                F.col("n_kf").alias("n_a")), "clip_a")
+            .join(counts.select(F.col("doc_id").alias("clip_b"),
+                                F.col("n_kf").alias("n_b")), "clip_b")
+            .withColumn("union_keyframes",
+                        F.col("n_a") + F.col("n_b")
+                        - F.col("matched_keyframes"))
+            .where(2 * F.col("matched_keyframes")
+                   >= F.col("union_keyframes"))
+            .select(F.col("clip_a").alias("doc_a"),
+                    F.col("clip_b").alias("doc_b"),
+                    "matched_keyframes",
+                    F.col("union_keyframes").cast("long")
+                    .alias("union_keyframes"))
+            .orderBy("doc_a", "doc_b"))

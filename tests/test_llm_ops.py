@@ -1260,3 +1260,69 @@ def test_interactive_ann_default_paths_are_collect_free(spark):
         plan = fn(e, q, k=5)._jdf.queryExecution().analyzed().toString()
         assert "LogicalRDD" not in plan, \
             f"{fn.__name__}: query side was collected"
+
+
+class TestBulkBruteForceKnnJoin:
+    """Round-12 verdict #6: the EXACT brute-force kNN-join keeps the
+    query side a DataFrame (no queries.collect(), no driver-built
+    broadcast) and must reproduce the driver-broadcast
+    brute_force_topk bit-for-bit — it is the referee behind every ANN
+    gate, so its own correctness pin is bit-identity, and the bulk
+    shape lifts the referee past the small-|Q| contract."""
+
+    def _pair(self, spark, block_rows, n_q=25):
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.catalog import load_table
+        from pipeline_server_spark.operators.similarity import (
+            brute_force_knn_join, brute_force_topk)
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.where(F.col("vec_id") < n_q)
+        a = (brute_force_topk(e, q, k=5).toPandas()
+             .sort_values(["query_id", "rank"], ignore_index=True))
+        b = (brute_force_knn_join(e, q, k=5, block_rows=block_rows)
+             .toPandas()
+             .sort_values(["query_id", "rank"], ignore_index=True))
+        return a, b
+
+    def test_bit_identical_multi_corpus_blocks(self, spark):
+        import numpy as np
+
+        a, b = self._pair(spark, block_rows=97)
+        assert len(a) == len(b) > 0
+        assert (a[["query_id", "nbr_id", "rank"]].values
+                == b[["query_id", "nbr_id", "rank"]].values).all()
+        # raw IEEE-754 bit patterns, not approximate equality
+        assert (a["cosine"].values.view(np.int64)
+                == b["cosine"].values.view(np.int64)).all()
+
+    def test_bit_identical_multi_query_blocks(self, spark):
+        import numpy as np
+
+        # block_rows=7 forces a real 2-D grid (many corpus AND many
+        # query blocks) — the cell membership must not perturb a
+        # single double anywhere
+        a, b = self._pair(spark, block_rows=7, n_q=30)
+        assert len(a) == len(b) > 0
+        assert (a[["query_id", "nbr_id", "rank"]].values
+                == b[["query_id", "nbr_id", "rank"]].values).all()
+        assert (a["cosine"].values.view(np.int64)
+                == b["cosine"].values.view(np.int64)).all()
+
+    def test_no_collect_no_cartesian_in_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from pipeline_server_spark.catalog import load_table
+        from pipeline_server_spark.operators.similarity import (
+            brute_force_knn_join)
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.where(F.col("vec_id") < 20)
+        df = brute_force_knn_join(e, q, k=5)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "LogicalRDD" not in analyzed, \
+            "query side was collected and re-parallelized"
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in physical
+        assert "BroadcastNestedLoop" not in physical

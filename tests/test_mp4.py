@@ -141,3 +141,90 @@ class TestContainerNearDup:
         # every planted variant paired with its original, nothing else
         assert (got["doc_b"] - got["doc_a"] == 100000).all()
         assert len(got) == 30
+
+
+class TestMjpegPerceptual:
+    """Round-12 verdict #3: MJPEG-shaped clips carry REAL decodable
+    JPEG keyframes inside the real sample tables, so the pixel-level
+    near-dup path (decode → dHash → Hamming band join) runs for real —
+    and catches the re-encoded duplicate the container-level CRC query
+    is blind to."""
+
+    def test_mjpeg_clip_round_trips_decodable_frames(self):
+        import numpy as np
+
+        from pipeline_server_spark.operators.jpeg import decode_jpeg
+        from pipeline_server_spark.operators.mp4 import (
+            build_mjpeg_mp4, frame_tile, mjpeg_frame)
+
+        p = build_mjpeg_mp4(7)
+        m = parse_mp4(p)
+        assert m["codec"] == "jpeg"
+        assert (m["width"], m["height"]) == (72, 64)
+        assert len(m["samples"]) == frame_count(7)
+        for i, (off, sz, t_ms, sync) in enumerate(m["samples"]):
+            assert p[off:off + sz] == mjpeg_frame(7, i)
+            if sync:
+                _, _, _, px = decode_jpeg(p[off:off + sz])
+                # block-aligned constant tiles survive quantization:
+                # every decoded 8x8 cell mean stays within ±3 of the
+                # clean tile level
+                cells = px[:, :, 0].reshape(8, 8, 9, 8).mean(
+                    axis=(1, 3))
+                assert np.abs(
+                    cells - frame_tile(7, i).astype(float)).max() <= 3
+
+    def test_reencode_blind_to_crc_visible_to_dhash(self):
+        import zlib
+
+        from pipeline_server_spark.operators.jpeg import decode_jpeg
+        from pipeline_server_spark.operators.mp4 import (
+            build_mjpeg_mp4)
+        from pipeline_server_spark.operators.multimodal import (
+            dhash64_gray)
+
+        def kf(payload):
+            m = parse_mp4(payload)
+            return [payload[o:o + s]
+                    for (o, s, _, sync) in m["samples"] if sync]
+
+        a = kf(build_mjpeg_mp4(3))
+        b = kf(build_mjpeg_mp4(3, quant_scale=2.0))
+        assert len(a) == len(b)
+        # container identity: ZERO shared bytes/CRCs after re-encode
+        assert not ({zlib.crc32(x) for x in a}
+                    & {zlib.crc32(x) for x in b})
+        # perceptual identity: every aligned keyframe within hamming 3
+        for fa, fb in zip(a, b):
+            da = dhash64_gray(decode_jpeg(fa)[3][:, :, 0])
+            db = dhash64_gray(decode_jpeg(fb)[3][:, :, 0])
+            assert bin((da ^ db) & ((1 << 64) - 1)).count("1") <= 3
+
+    def test_nondecodable_codec_raises_named_gate(self, spark):
+        from pipeline_server_spark.operators.mp4 import (
+            attach_mp4_payload, mp4_keyframe_dhash)
+
+        df = spark.range(0, 3).selectExpr("id AS doc_id")
+        with pytest.raises(Exception, match="external decoder"):
+            mp4_keyframe_dhash(attach_mp4_payload(df)).collect()
+
+    def test_perceptual_query_matches_referee(self, spark):
+        import pandas as pd
+
+        from pipeline_server_spark.queries.llm_ops import (
+            _video_pix_dup_py_oracle, video_perceptual_near_dup_pairs)
+
+        got = video_perceptual_near_dup_pairs(
+            spark, "/root/testdata/sf0.001").toPandas()
+        want = _video_pix_dup_py_oracle("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True))
+        # every planted variant kind is represented and detected
+        planted = got[got["doc_b"] >= 100000]
+        kinds = {int(b) % 100000 % 3 for b in planted["doc_b"]}
+        assert kinds == {0, 1, 2}, \
+            "re-encoded, brightness-shifted, and trimmed variants " \
+            "must all pair with their originals"
+        assert (planted["doc_a"] + 100000 == planted["doc_b"]).all()
+        # and nothing else pairs
+        assert len(got) == len(planted)

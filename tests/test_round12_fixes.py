@@ -1,0 +1,199 @@
+"""Round-12 verdict fixes.
+
+#4 — OR-predicate envelope derivation: ``derive_envelope`` used to
+widen EVERY disjunction to a full scan, so ``WHERE p = 1 OR p = 2``
+(the everyday multi-partition DML/read shape) pruned nothing even
+though each branch is derivable. The walker now folds the analyzed
+And/Or tree: conjunctions intersect per-column constraints,
+disjunctions UNION them (per-column interval + complete-value-set
+union; any underivable branch still widens), and partition pruning
+additionally consumes the complete value sets — ``p = 1 OR p = 7``
+over partitions 0..7 opens 2 partitions' files, not 7.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_server_spark.pipeline.writers import VersionedTable
+
+
+class TestOrEnvelopeDerivation:
+    def _schema(self):
+        return T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ])
+
+    def test_or_union_shapes(self, spark):
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        sch = self._schema()
+
+        b, p, il = derive_envelope(
+            spark, (F.col("k") == 1) | (F.col("k") == 2), sch,
+            with_in_lists=True)
+        assert (b, p, il) == ({"k": (1, 2)}, {}, {"k": [1, 2]})
+
+        # sparse disjunction: range is loose, the value set is exact
+        b, p, il = derive_envelope(
+            spark, (F.col("k") == 1) | (F.col("k") == 7), sch,
+            with_in_lists=True)
+        assert (b, p, il) == ({"k": (1, 7)}, {}, {"k": [1, 7]})
+
+        # OR of IN and equality unions the complete lists
+        b, p, il = derive_envelope(
+            spark, (F.col("k") == 1) | F.col("k").isin(2, 3), sch,
+            with_in_lists=True)
+        assert il == {"k": [1, 2, 3]} and b == {"k": (1, 3)}
+
+        # OR of ranges unions the interval (no complete list)
+        b, p, il = derive_envelope(
+            spark,
+            F.col("k").between(1, 3) | F.col("k").between(8, 9), sch,
+            with_in_lists=True)
+        assert (b, p, il) == ({"k": (1, 9)}, {}, {})
+
+        # one-sided branch erases that side of the union
+        b, p = derive_envelope(
+            spark, (F.col("k") >= 10) | (F.col("k") == 2), sch)
+        assert (b, p) == ({"k": (2, None)}, {})
+
+        # SQL-string OR derives identically (the REST/DML face)
+        b, p, il = derive_envelope(
+            spark, F.expr("k = 1 OR k = 2"), sch, with_in_lists=True)
+        assert (b, il) == ({"k": (1, 2)}, {"k": [1, 2]})
+
+        # string prefix OR equality: interval union, prefix bump kept
+        b, p = derive_envelope(
+            spark, F.col("s").startswith("ab") | (F.col("s") == "zz"),
+            sch)
+        assert (b, p) == ({"s": ("ab", "zz")}, {})
+
+    def test_or_widening_stays_sound(self, spark):
+        from pipeline_server_spark.pipeline.predicate_envelope import (
+            derive_envelope)
+
+        sch = self._schema()
+
+        # OR across different columns: both free in the union
+        b, p = derive_envelope(
+            spark, (F.col("k") == 1) | (F.col("s") == "a"), sch)
+        assert (b, p) == ({}, {})
+
+        # an underivable branch widens the whole disjunction
+        b, p = derive_envelope(
+            spark, (F.col("k") == 1) | ((F.col("k") + 1) < 10), sch)
+        assert (b, p) == ({}, {})
+
+        # is_null ∪ range is not expressible → column dropped
+        b, p = derive_envelope(
+            spark, F.col("x").isNull() | (F.col("x") > 0), sch)
+        assert (b, p) == ({}, {})
+
+        # is_null ∪ is_null stays
+        b, p = derive_envelope(
+            spark, F.col("x").isNull() | F.col("x").isNull(), sch)
+        assert (b, p) == ({"x": "is_null"}, {})
+
+        # conjunction THROUGH a disjunction keeps both dimensions
+        b, p, il = derive_envelope(
+            spark,
+            ((F.col("k") == 1) | (F.col("k") == 2)) & (F.col("x") > 0),
+            sch, with_in_lists=True)
+        assert b == {"k": (1, 2), "x": (0.0, None)}
+        assert il == {"k": [1, 2]}
+
+
+class TestOrPartitionPrunedDmlAndRead:
+    """The round-12 'Done' gate: DELETE / read_where / REST-rows on
+    ``p = 1 OR p = 2`` over a 4-partition table open only 2
+    partitions' files, telemetry-asserted."""
+
+    def _table(self, spark, tmp_path, name, parts=4, rows=400):
+        t = VersionedTable(spark, str(tmp_path / name))
+        t.commit(
+            spark.range(0, rows).select(
+                (F.col("id") % parts).alias("p"),
+                F.col("id").alias("v"))
+            .repartition(parts, "p"),
+            partition_by=["p"])
+        return t
+
+    def _files_in_partitions(self, t, pvals):
+        entries = t._entries_for_version(t.current_version())
+        return sum(1 for e in entries
+                   if any(f"p={pv}" in e[1] for pv in pvals))
+
+    def test_delete_or_opens_two_partitions(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "or1")
+        expect = self._files_in_partitions(t, (1, 2))
+        total = len(t._entries_for_version(1))
+        assert 0 < expect < total
+        t.delete_where("p = 1 OR p = 2")
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] == expect, \
+            (meta, "OR envelope did not prune the phase-1 scan")
+        assert t.read().count() == 400 - 200
+        assert t.read().where("p = 1 OR p = 2").count() == 0
+
+    def test_sparse_or_beats_range_pruning(self, spark, tmp_path):
+        # p = 1 OR p = 7 over partitions 0..7: the min/max range
+        # (1, 7) alone would open 7 partitions; the complete value
+        # set opens exactly 2
+        t = self._table(spark, tmp_path, "or2", parts=8, rows=800)
+        expect = self._files_in_partitions(t, (1, 7))
+        df, files_read, files_total = t.read_where("p = 1 OR p = 7")
+        assert files_read == expect, \
+            "value-set pruning should open exactly the 2 partitions"
+        assert files_read < self._files_in_partitions(
+            t, (1, 2, 3, 4, 5, 6, 7))
+        assert df.count() == 200
+        assert df.select(F.collect_set("p")).first()[0] is not None
+
+    def test_update_or_prunes_and_is_correct(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "or3")
+        expect = self._files_in_partitions(t, (0, 3))
+        t.update_where("p = 0 OR p = 3", {"v": F.col("v") + 10000})
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] == expect
+        got = t.read()
+        assert got.where("v >= 10000").count() == 200
+        assert got.where("(p = 0 OR p = 3) AND v < 10000").count() == 0
+        assert got.where("p IN (1, 2) AND v >= 10000").count() == 0
+
+    def test_rest_rows_or_files_read_telemetry(self, spark, tmp_path):
+        from pipeline_server_spark.engine import Engine
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig, DestinationConfig, FileAttributes,
+            SchemaField, SourceConfig)
+
+        eng = Engine(spark)
+        path = str(tmp_path / "ortab")
+        eng.register(DatasetConfig(
+            name="ortab",
+            source=SourceConfig(
+                fields=(SchemaField("p", "bigint"),
+                        SchemaField("v", "bigint")),
+                file=FileAttributes(file_type="csv"),
+            ),
+            destination=DestinationConfig(path=path, versioned=True),
+        ))
+        t = VersionedTable(spark, path)
+        t.commit(
+            spark.range(0, 400).select(
+                (F.col("id") % 4).alias("p"), F.col("id").alias("v"))
+            .repartition(4, "p"),
+            partition_by=["p"])
+        entries = t._entries_for_version(t.current_version())
+        expect = sum(1 for e in entries
+                     if "p=1" in e[1] or "p=2" in e[1])
+        out = eng.scan_rows("ortab", where="p = 1 OR p = 2", limit=500)
+        assert out["files_read"] == expect
+        assert out["files_read"] < out["files_total"]
+        assert out["n"] == 200
+        assert all(r["p"] in (1, 2) for r in out["rows"])

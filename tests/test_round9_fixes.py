@@ -238,9 +238,13 @@ class TestDerivedDmlEnvelope:
             derive_envelope)
 
         sch = self._schema()
-        # OR cannot narrow a conjunctive envelope
+        # OR of derivable branches UNIONS per column (round 12); a
+        # column only one branch constrains is free in the union
         b, p = derive_envelope(
             spark, (F.col("k") == 1) | (F.col("k") == 2), sch)
+        assert (b, p) == ({"k": (1, 2)}, {})
+        b, p = derive_envelope(
+            spark, (F.col("k") == 1) | (F.col("s") == "a"), sch)
         assert (b, p) == ({}, {})
         # an underivable conjunct contributes nothing; the provable
         # one still does
@@ -460,7 +464,8 @@ class TestEnvelopeSoundnessProperty:
 
         def rand_conjunct():
             kind = rng.choice(
-                ["cmp", "scmp", "in", "null", "prefix", "arith", "orr"])
+                ["cmp", "scmp", "in", "null", "prefix", "arith", "orr",
+                 "orrange", "orx", "ornest", "orbad"])
             if kind == "cmp":
                 c = rng.choice(["k", "x"])
                 op = rng.choice(["==", "<", "<=", ">", ">="])
@@ -482,6 +487,22 @@ class TestEnvelopeSoundnessProperty:
                 return kind, ("s", rng.choice(["a", "ab"]))
             if kind == "arith":
                 return kind, ("k", rng.randint(-5, 15))
+            if kind == "orrange":
+                # OR of two range conjuncts on the same column
+                return kind, ("k", rng.randint(-5, 5), rng.randint(0, 15))
+            if kind == "orx":
+                # OR across different columns — must widen both
+                return kind, (rng.randint(-5, 15),
+                              rng.choice(["a", "m", "zz"]))
+            if kind == "ornest":
+                # (k==a AND x>c) OR (k==b AND x<=d)
+                return kind, (rng.randint(-5, 15), rng.randint(-5, 15),
+                              rng.choice([-1.5, 0.0, 3.25]),
+                              rng.choice([-1.5, 0.0, 3.25]))
+            if kind == "orbad":
+                # one derivable branch OR one underivable — must widen
+                return kind, ("k", rng.randint(-5, 15),
+                              rng.randint(-5, 15))
             return kind, ("k", rng.randint(-5, 15), rng.randint(-5, 15))
 
         def to_col(kind, args):
@@ -500,6 +521,18 @@ class TestEnvelopeSoundnessProperty:
                 return F.col(args[0]).startswith(args[1])
             if kind == "arith":
                 return (F.col(args[0]) + 1) < args[1]
+            if kind == "orrange":
+                c, a, bnd = args
+                return (F.col(c) <= a) | (F.col(c) >= bnd)
+            if kind == "orx":
+                return (F.col("k") == args[0]) | (F.col("s") == args[1])
+            if kind == "ornest":
+                a, bnd, c, d = args
+                return ((F.col("k") == a) & (F.col("x") > c)) | \
+                    ((F.col("k") == bnd) & (F.col("x") <= d))
+            if kind == "orbad":
+                c, a, bnd = args
+                return (F.col(c) == a) | ((F.col(c) + 1) < bnd)
             return (F.col(args[0]) == args[1]) | (F.col(args[0]) == args[2])
 
         def py_eval(kind, args, row):
@@ -521,6 +554,22 @@ class TestEnvelopeSoundnessProperty:
             if kind == "arith":
                 return row[args[0]] is not None and \
                     row[args[0]] + 1 < args[1]
+            if kind == "orrange":
+                c, a, bnd = args
+                v = row[c]
+                return v is not None and (v <= a or v >= bnd)
+            if kind == "orx":
+                return row["k"] == args[0] or row["s"] == args[1]
+            if kind == "ornest":
+                a, bnd, c, d = args
+                k, x = row["k"], row["x"]
+                if k is None or x is None:
+                    return False
+                return (k == a and x > c) or (k == bnd and x <= d)
+            if kind == "orbad":
+                c, a, bnd = args
+                v = row[c]
+                return v is not None and (v == a or v + 1 < bnd)
             return row[args[0]] in (args[1], args[2])
 
         def env_ok(row, bounds, points):
@@ -552,13 +601,20 @@ class TestEnvelopeSoundnessProperty:
             for kind, args in conjs:
                 c = to_col(kind, args)
                 pred = c if pred is None else (pred & c)
-            bounds, points = derive_envelope(spark, pred, sch)
+            bounds, points, in_lists = derive_envelope(
+                spark, pred, sch, with_in_lists=True)
             for row in rand_rows():
                 if all(py_eval(k, a, row) for k, a in conjs):
                     assert env_ok(row, bounds, points), (
                         trial, conjs, row, bounds, points,
                         "row satisfies the predicate but was outside "
                         "the derived envelope — silent-data-loss bug")
+                    for c, vs in in_lists.items():
+                        assert row[c] in vs, (
+                            trial, conjs, row, in_lists,
+                            "row satisfies the predicate but its value "
+                            "is outside the derived in-list — silent-"
+                            "data-loss bug")
 
 
 class TestSqlBetweenEnvelope:
