@@ -136,6 +136,18 @@ HEADLINE = [
     # Jaccard, candidates from a crc equi-join; regression means an
     # all-pairs plan crept in or the attach stopped fanning out
     "video_container_near_dup_pairs",
+    # round-12: HTML main-content extraction — synth + block-score in
+    # two chained Arrow passes; regression means the parser stopped
+    # batching or a shuffle appeared before the final order-by
+    "html_main_text_extraction",
+    # round-12: pixel-level video near-dup — keyframe JPEG decode +
+    # dHash + Hamming band join; the decode-bearing twin of the CRC
+    # container query above
+    "video_perceptual_near_dup_pairs",
+    # round-12: bulk exact kNN join — packed-block grid equi-join +
+    # einsum scoring; regression means the grid degenerated to a
+    # cartesian or the per-cell top-k stopped pruning
+    "ann_brute_knn_join",
 ]
 
 

@@ -1294,3 +1294,92 @@ def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("prefix"))
         .limit(50)
     )
+
+
+def _html_extract_py_oracle(sf_dir: str):
+    """Independent referee for HTML main-content extraction: the
+    fixture pages wrap KNOWN document text in known chrome, so the
+    expected output is GROUND TRUTH reconstructed from the generator's
+    closed form — the documents table's text re-grouped into the
+    generator's paragraphs plus the per-variant planted edits — with
+    the extraction CONTRACT (≥ 25 normalized chars, link density ≤
+    1/3, no chrome ancestor) applied arithmetically. No HTML parsing
+    anywhere on the referee side; block counts come from the page
+    skeleton's closed form (2 header + 8 nav + 1 share + paragraphs +
+    1 + 5 sidebar + 4 related + 1 footer)."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_extract import (
+        ENTITY_PARA_TEXT, N_NAV, N_RELATED, N_SIDEBAR, PARA_WORDS)
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    fixed_blocks = 2 + N_NAV + 1 + (1 + N_SIDEBAR) + N_RELATED + 1
+    out = []
+    for doc_id, text in rows:
+        d = int(doc_id)
+        v = d % 5
+        w = str(text).split()
+        paras = [" ".join(w[i:i + PARA_WORDS])
+                 for i in range(0, len(w), PARA_WORDS)]
+        if v == 4:
+            paras.append(ENTITY_PARA_TEXT)
+        kept = [p for p in paras if len(p) >= 25]
+        main = "\n".join(kept)
+        # chrome char totals from the skeleton (normalized text):
+        # "Portal k" + tagline + 8 × "Section j" + share + "Related" +
+        # 5 × sidebar li + 4 × related li + footer; dropped paragraphs
+        # (< 25 chars) also count as boilerplate
+        chrome = (len(f"Portal {d % 7}")
+                  + len("news feeds archives and tools for members")
+                  + sum(len(f"Section {j}") for j in range(N_NAV))
+                  + len("Tweet Share Pin it | Email")
+                  + len("Related")
+                  + sum(len(f"related story {j}")
+                        for j in range(N_SIDEBAR))
+                  + sum(len(f"trending topic {j} you must read")
+                        for j in range(N_RELATED))
+                  + len('© 2026 Example Site — Privacy Terms')
+                  + sum(len(p) for p in paras if len(p) < 25))
+        out.append((d, main, fixed_blocks + len(paras), len(kept),
+                    len(main), chrome))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "main_text", "n_blocks", "kept_blocks",
+        "main_chars", "boiler_chars"]).astype({
+            "doc_id": "int64", "n_blocks": "int32",
+            "kept_blocks": "int32", "main_chars": "int32",
+            "boiler_chars": "int32"})
+
+
+@query("html_main_text_extraction", oracle_py=_html_extract_py_oracle)
+# no SQL oracle: lenient HTML parsing is not SQL-expressible; the
+# ground-truth referee (expected text reconstructed from the fixture
+# generator's closed form, never from HTML) goes through the same
+# rows+schema+hash gate
+def html_main_text_extraction(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """HTML MAIN-CONTENT EXTRACTION (round-12 verdict #1) — the
+    first-stage operator of every real training-data pipeline: fixture
+    pages wrap each document's text in real site chrome (nav menu,
+    header, share bar, sidebar, link farm, footer) plus a planted
+    parsing edge case per doc (decoy comments, script/style payloads,
+    layout-table nesting, broken/unclosed tags, entity references +
+    CDATA), and the jusText/Readability-style block scorer
+    (:mod:`...operators.html_extract` — stdlib html.parser, link
+    density + length + ancestor context) must recover EXACTLY the
+    article paragraphs: the referee reconstructs the expected text
+    from the generator's closed form, so one leaked nav item or one
+    lost paragraph is a hash mismatch.
+
+    Scale shape: synth + extract are two chained Arrow passes over
+    (id, text) → (id, page) → blocks; corpus-linear, no shuffle at
+    all before the final order-by."""
+    from pipeline_server_spark.operators.html_extract import (
+        attach_html_corpus, html_main_text)
+
+    d = load_table(spark, sf_dir, "documents")
+    return (html_main_text(attach_html_corpus(d))
+            .select("doc_id", "main_text", "n_blocks", "kept_blocks",
+                    "main_chars", "boiler_chars")
+            .orderBy("doc_id"))

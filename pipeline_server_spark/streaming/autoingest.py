@@ -1,0 +1,175 @@
+"""Continuous file-ingest lifecycle (round-12 verdict #5) — the
+Auto-Loader analog of the batch lifecycle.
+
+The reference's ingest loop is an SQS poller: S3 drops a file, an
+event lands in a queue, a scheduled task picks it up and runs the
+dataset lifecycle on it (ScheduledBatchTasks.scala:53-103). Here the
+same composition runs as ONE Structured-Streaming query: Spark's file
+source watches a LANDING DIRECTORY (checkpointed file discovery = the
+queue), and every micro-batch runs the batch lifecycle's exact chain —
+PERMISSIVE parse with malformed-row quarantine (the dead-letter path
+of ``read_csv_with_rejects``), DQ rules, transform, conform — and
+commits through the exactly-once batch-id protocol of
+``exactly_once_append_sink``, auto-compaction included.
+
+Guarantees (pytest-pinned):
+
+- CONVERGENCE: for the same landing files, the stream's table equals
+  the batch lifecycle's output row-for-row, and the quarantine table
+  holds exactly the malformed raw lines.
+- EXACTLY-ONCE: a checkpoint restart re-delivers nothing (file-source
+  offsets + per-table committed batch_ids — the write→checkpoint
+  failure window replays as a no-op).
+- BOUNDED METADATA: ``auto_compact_dirs`` caps the manifest's
+  version-directory width across unbounded triggers (the streaming
+  sinks' shared policy).
+
+Scale shape: O(batch) per trigger — parse/DQ/transform are one pass
+over the new files, the commit is an O(batch) ``commit_append``, and
+compaction is debt-triggered, never per-trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.pipeline.config import DatasetConfig, validate_config
+from pipeline_server_spark.pipeline.conform import (
+    conform_to_schema, to_struct_type, trim_string_columns)
+from pipeline_server_spark.pipeline.transform import transform
+from pipeline_server_spark.pipeline.writers import (
+    ConditionalPutFS, VersionedTable)
+from pipeline_server_spark.streaming.sinks import (
+    _maybe_auto_compact, committed_batch_ids)
+
+_CORRUPT = "_corrupt_record"
+
+
+def _stage_batch(config: DatasetConfig, good: DataFrame) -> DataFrame:
+    """The batch lifecycle's transform chain on already-parsed rows
+    (``run.build_dataframe`` minus the read): trim → transform →
+    conform. Column names come from the declared fields, so the
+    lowercase-headers step is the identity here."""
+    df = trim_string_columns(good, config.source.file.trim_columns)
+    df = transform(df, config.transformation, config.destination.fields,
+                   config.parity_mode)
+    return conform_to_schema(df, config.destination.fields,
+                             config.parity_mode)
+
+
+def file_ingest_stream(
+    spark: SparkSession,
+    config: DatasetConfig,
+    landing_dir: str,
+    checkpoint_dir: str,
+    quarantine_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+    auto_compact_dirs: int | None = None,
+    available_now: bool = False,
+    scan_last: int = 50,
+):
+    """Start the landing-directory ingest stream; returns the
+    ``StreamingQuery``. ``config`` must be a CSV dataset with declared
+    source fields and a versioned destination (the quarantine contract
+    of ``read_csv_with_rejects`` needs a schema to fail against; the
+    exactly-once contract needs the versioned commit protocol).
+    ``available_now=True`` drains everything currently in the
+    directory and stops — the test/replay trigger."""
+    config = validate_config(config)
+    fa = config.source.file
+    if fa.file_type != "csv":
+        raise ValueError("file_ingest_stream ingests CSV landing files "
+                         f"(got {fa.file_type!r})")
+    if not config.source.fields:
+        raise ValueError("file_ingest_stream requires declared source "
+                         "fields (streaming schema inference would "
+                         "race the landing writer)")
+    dest = config.destination
+    if not dest.versioned or dest.path is None:
+        raise ValueError("file_ingest_stream requires a versioned "
+                         "destination path")
+
+    schema = to_struct_type(config.source.fields, config.parity_mode)
+    from pyspark.sql import types as T
+
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+
+    # parse options MATCH read_csv_with_rejects, so moving a dataset
+    # from batch to continuous ingest never changes how well-formed
+    # rows parse — only when they arrive
+    reader = (spark.readStream
+              .option("header", str(fa.header).lower())
+              .option("sep", fa.delimiter)
+              .option("encoding", fa.encoding)
+              .option("multiLine", "true")
+              .option("escape", '"')
+              .option("pathGlobFilter", "*.csv"))
+    for k, v in fa.spark_read_options.items():
+        reader = reader.option(k, v)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(int(max_files_per_trigger)))
+    raw = (reader.option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", _CORRUPT)
+           .schema(parse_schema)
+           .csv(landing_dir))
+
+    table = VersionedTable(spark, dest.path, dest.file_format,
+                           fs=ConditionalPutFS())
+    quarantine = (VersionedTable(spark, quarantine_path,
+                                 fs=ConditionalPutFS())
+                  if quarantine_path else None)
+
+    has_dq = (config.data_quality.column_rules
+              or config.data_quality.row_rule
+              or config.data_quality.js_row_rule)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pipeline_server_spark.pipeline import dq as dq_mod
+
+        batch_df = batch_df.cache()
+        try:
+            good = (batch_df.where(F.col(_CORRUPT).isNull())
+                    .drop(_CORRUPT))
+            rejects = (batch_df.where(F.col(_CORRUPT).isNotNull())
+                       .select(F.col(_CORRUPT).alias("raw_line")))
+            bid = int(batch_id)
+
+            # dead-letter first: if the good-side commit (or DQ abort)
+            # fails after quarantine committed, the replay skips the
+            # quarantined batch_id and retries the good side — rows
+            # land exactly once on both tables either way
+            if quarantine is not None and not rejects.isEmpty() \
+                    and bid not in committed_batch_ids(quarantine,
+                                                       scan_last):
+                quarantine.commit_append(
+                    rejects, metadata={"batch_id": bid})
+
+            if bid in committed_batch_ids(table, scan_last):
+                return  # replay after failure — already committed
+            if has_dq:
+                # per-batch DQ: same rules, same abort thresholds as
+                # the batch lifecycle (a DataQualityError fails the
+                # stream loudly instead of silently passing bad rows)
+                dq_mod.check(good, config.data_quality,
+                             config.source.fields)
+            staged = _stage_batch(config, good)
+            if staged.isEmpty():
+                return
+            v = table.commit_append(
+                staged, dest.partition_by,
+                metadata={"batch_id": bid},
+                stats_cols=dest.stats_cols,
+                bloom_cols=dest.bloom_cols)
+            _maybe_auto_compact(table, v, auto_compact_dirs,
+                                dest.partition_by)
+        finally:
+            batch_df.unpersist()
+
+    writer = raw.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -106,6 +106,22 @@ SHOW = {
         "candidates from a crc equi-join (shared frame = signal), "
         "per-crc fan-out bounded by the true duplicate count"
     ),
+    "video_perceptual_near_dup_pairs": (
+        "pixel-level video near-dup: keyframe JPEG decode + dHash in "
+        "one Arrow pass, candidates from the 4x16-bit Hamming band "
+        "join — catches re-encodes the CRC container query cannot"
+    ),
+    "html_main_text_extraction": (
+        "HTML boilerplate removal: synth + stdlib-parser block "
+        "scoring in two chained Arrow passes, corpus-linear, no "
+        "shuffle before the final order-by"
+    ),
+    "ann_brute_knn_join": (
+        "bulk exact kNN: packed corpus/query blocks equi-joined into "
+        "a spark.range block grid (no cartesian/BNLJ), per-cell "
+        "einsum top-(k+1), global window top-k; bit-identical to the "
+        "broadcast referee"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

@@ -1,0 +1,146 @@
+"""HTML main-content extraction (round-12 verdict #1): block
+segmentation, boilerplate scoring, planted parsing edge cases
+(comments, CDATA, script/style, broken tags, entities), malformed-
+input robustness, and the Spark face + ground-truth referee gate.
+
+Reference anchor: the reference ingests semi-structured payloads as a
+single string column (DatasetValidatorUtil.scala:294-324) and never
+looks inside markup — this is the LLM-brief extension of S3.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_server_spark.operators.html_extract import (
+    ENTITY_PARA_TEXT, attach_html_corpus, doc_paragraphs,
+    extract_main_text, html_main_text, synth_html_page)
+
+LOREM = ("spark filter window merge order batch stream value table "
+         "scan group key part join row data sort line small fast "
+         "column hash agg query customer big slow dup the a")
+
+
+class TestExtractCore:
+    def test_keeps_article_drops_chrome(self):
+        page = synth_html_page(10, LOREM)  # v=0: decoy comment
+        r = extract_main_text(page)
+        for para in doc_paragraphs(LOREM):
+            if len(para) >= 25:
+                assert para in r["main_text"]
+        for leak in ("Section", "Portal", "Tweet", "related story",
+                     "trending topic", "Privacy", "news feeds",
+                     "decoy boilerplate"):
+            assert leak not in r["main_text"], leak
+        assert r["kept_blocks"] == sum(
+            1 for p in doc_paragraphs(LOREM) if len(p) >= 25)
+
+    def test_comment_and_cdata_never_surface(self):
+        r0 = extract_main_text(synth_html_page(10, LOREM))   # comment
+        r4 = extract_main_text(synth_html_page(14, LOREM))   # CDATA
+        assert "never surface" not in r0["main_text"]
+        assert "secret tracker" not in r4["main_text"]
+
+    def test_script_style_payloads_dropped(self):
+        r = extract_main_text(synth_html_page(11, LOREM))    # v=1
+        assert "subscribe" not in r["main_text"]
+        assert "margin" not in r["main_text"]
+
+    def test_layout_table_nesting_transparent(self):
+        r2 = extract_main_text(synth_html_page(12, LOREM))   # v=2
+        r0 = extract_main_text(synth_html_page(10, LOREM))
+        assert r2["main_text"] == r0["main_text"]
+
+    def test_broken_markup_survives(self):
+        r = extract_main_text(synth_html_page(13, LOREM))    # v=3
+        # the unclosed <b> splits one text run; normalization rejoins
+        first = doc_paragraphs(LOREM)[0]
+        assert first in r["main_text"]
+        assert r["kept_blocks"] == sum(
+            1 for p in doc_paragraphs(LOREM) if len(p) >= 25)
+
+    def test_entity_references_decode(self):
+        r = extract_main_text(synth_html_page(14, LOREM))    # v=4
+        assert ENTITY_PARA_TEXT in r["main_text"]
+        assert "&amp;" not in r["main_text"]
+
+    def test_link_density_rule(self):
+        page = ("<body><div>a paragraph of ordinary running text "
+                "that is long enough to keep</div>"
+                '<div><a href="#">one</a> <a href="#">two</a> '
+                '<a href="#">three link words dominate this block '
+                "entirely</a></div></body>")
+        r = extract_main_text(page)
+        assert "ordinary running text" in r["main_text"]
+        assert "dominate" not in r["main_text"]
+
+    def test_ancestor_rule_beats_length(self):
+        page = ("<body><nav><p>this navigation text is plenty long "
+                "enough to pass the length rule alone</p></nav>"
+                "<p>the real content paragraph also long enough to "
+                "pass every rule</p></body>")
+        r = extract_main_text(page)
+        assert "real content" in r["main_text"]
+        assert "navigation text" not in r["main_text"]
+
+    def test_min_chars_rule(self):
+        page = "<body><p>short</p><p>a block long enough to clear the twenty-five char bar</p></body>"
+        r = extract_main_text(page)
+        assert r["kept_blocks"] == 1
+        assert "short" not in r["main_text"]
+
+    @pytest.mark.parametrize("junk", [
+        "", "not html at all, just words going on for a while here",
+        "<p>", "<<<>>>", "</div></div></nav>",
+        "<html><body><p>unterminated",
+        "<a href='x'>only a link<br>",
+    ])
+    def test_garbage_inputs_do_not_crash(self, junk):
+        r = extract_main_text(junk)
+        assert isinstance(r["main_text"], str)
+        assert r["n_blocks"] >= 0
+
+    def test_stray_closes_clamp_not_underflow(self):
+        # a stray </nav> must not make later real <nav> content leak
+        page = ("<body></nav><nav><p>chrome text long enough to pass "
+                "the length rule easily here</p></nav>"
+                "<p>content paragraph long enough to pass every rule "
+                "with room to spare</p></body>")
+        r = extract_main_text(page)
+        assert "chrome text" not in r["main_text"]
+        assert "content paragraph" in r["main_text"]
+
+    def test_void_element_close_is_inert(self):
+        page = ("<body><p>first half of a long enough paragraph "
+                "</br> second half still the same block</p></body>")
+        r = extract_main_text(page)
+        assert r["kept_blocks"] == 1
+
+
+class TestSparkFaceAndReferee:
+    def test_query_matches_ground_truth_referee(self, spark):
+        import pandas as pd
+
+        from pipeline_server_spark.queries.llm_ops3 import (
+            _html_extract_py_oracle, html_main_text_extraction)
+
+        got = html_main_text_extraction(
+            spark, "/root/testdata/sf0.001").toPandas()
+        want = _html_extract_py_oracle("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True))
+        # non-trivial: every doc keeps at least one paragraph and
+        # every page had chrome to drop
+        assert (got["kept_blocks"] >= 1).all()
+        assert (got["boiler_chars"] > 0).all()
+        assert (got["n_blocks"] > got["kept_blocks"]).all()
+
+    def test_attach_and_extract_are_arrow_passes(self, spark):
+        from pipeline_server_spark.catalog import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        df = html_main_text(attach_html_corpus(d))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, \
+            "row-at-a-time Python crept into the extraction path"
+        assert plan.count("MapInPandas") >= 2

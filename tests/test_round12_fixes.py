@@ -197,3 +197,129 @@ class TestOrPartitionPrunedDmlAndRead:
         assert out["files_read"] < out["files_total"]
         assert out["n"] == 200
         assert all(r["p"] in (1, 2) for r in out["rows"])
+
+
+class TestContinuousFileIngest:
+    """Round-12 verdict #5: the batch lifecycle as a RUNNING STREAM —
+    landing dir → PERMISSIVE parse + dead-letter quarantine → DQ →
+    transform → conform → versioned table through the exactly-once
+    batch-id protocol; checkpoint restart re-delivers nothing; the
+    manifest stays width-bounded via the shared auto-compaction
+    policy. Reference anchor: ScheduledBatchTasks.scala:53-103 (the
+    SQS notifier loop this replaces)."""
+
+    def _config(self, tmp_path, name, dest_name):
+        from pipeline_server_spark.pipeline.config import (
+            DatasetConfig, DestinationConfig, FileAttributes,
+            SchemaField, SourceConfig)
+
+        return DatasetConfig(
+            name=name,
+            source=SourceConfig(
+                fields=(SchemaField("id", "int"),
+                        SchemaField("grade", "string"),
+                        SchemaField("score", "double")),
+                file=FileAttributes(file_type="csv", header=False,
+                                    trim_columns=True,
+                                    quarantine_rejects=True),
+            ),
+            destination=DestinationConfig(
+                path=str(tmp_path / dest_name), versioned=True,
+                fields=(SchemaField("id", "bigint"),
+                        SchemaField("grade", "string"),
+                        SchemaField("score", "double")),
+            ),
+        )
+
+    def _drop_files(self, landing, start=0, n=3, malformed_in=None):
+        rows_per = 40
+        for f in range(start, start + n):
+            lines = []
+            for r in range(rows_per):
+                i = f * rows_per + r
+                lines.append(f"{i},  g{i % 5}  ,{i * 0.5}")
+            if malformed_in is not None and f == malformed_in:
+                lines.insert(7, "not_an_int,broken row,also_not_a_double")
+                lines.insert(19, "999999999999999999999,overflow,1.0")
+            (landing / f"batch_{f:03d}.csv").write_text(
+                "\n".join(lines) + "\n")
+
+    def test_stream_converges_to_batch_lifecycle_and_restarts_clean(
+            self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.run import run_dataset
+        from pipeline_server_spark.streaming.autoingest import (
+            file_ingest_stream)
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        self._drop_files(landing, 0, 3, malformed_in=1)
+
+        scfg = self._config(tmp_path, "cont_ingest", "stream_dest")
+        q = file_ingest_stream(
+            spark, scfg, str(landing), str(tmp_path / "ck"),
+            quarantine_path=str(tmp_path / "dead_letter"),
+            available_now=True)
+        q.awaitTermination(120)
+
+        bcfg = self._config(tmp_path, "batch_ingest", "batch_dest")
+        run_dataset(spark, bcfg,
+                    [str(p) for p in sorted(landing.glob("*.csv"))])
+
+        stream_t = VersionedTable(spark, str(tmp_path / "stream_dest"))
+        got = sorted(tuple(r) for r in stream_t.read().collect())
+        want = sorted(tuple(r) for r in VersionedTable(
+            spark, str(tmp_path / "batch_dest")).read().collect())
+        assert got == want and len(got) == 120
+        assert stream_t.read().dtypes == [
+            ("id", "bigint"), ("grade", "string"), ("score", "double")]
+        # trim ran: the padded grade came back clean
+        assert got[0][1].startswith("g") and " " not in got[0][1]
+
+        # dead letter holds exactly the malformed raw lines
+        dl = VersionedTable(spark, str(tmp_path / "dead_letter"))
+        bad = sorted(r["raw_line"] for r in dl.read().collect())
+        assert bad == sorted([
+            "not_an_int,broken row,also_not_a_double",
+            "999999999999999999999,overflow,1.0"])
+
+        # RESTART from the same checkpoint: nothing re-delivers
+        v_before, dl_before = stream_t.current_version(), dl.current_version()
+        q = file_ingest_stream(
+            spark, scfg, str(landing), str(tmp_path / "ck"),
+            quarantine_path=str(tmp_path / "dead_letter"),
+            available_now=True)
+        q.awaitTermination(120)
+        assert stream_t.current_version() == v_before
+        assert dl.current_version() == dl_before
+        assert stream_t.read().count() == 120
+
+        # late arrival: one new file → exactly its rows append
+        self._drop_files(landing, 3, 1)
+        q = file_ingest_stream(
+            spark, scfg, str(landing), str(tmp_path / "ck"),
+            quarantine_path=str(tmp_path / "dead_letter"),
+            available_now=True)
+        q.awaitTermination(120)
+        assert stream_t.read().count() == 160
+        assert dl.current_version() == dl_before
+
+    def test_auto_compaction_bounds_manifest_width(self, spark, tmp_path):
+        from pipeline_server_spark.streaming.autoingest import (
+            file_ingest_stream)
+
+        landing = tmp_path / "landing2"
+        landing.mkdir()
+        self._drop_files(landing, 0, 6)
+        scfg = self._config(tmp_path, "cont_ingest2", "stream_dest2")
+        q = file_ingest_stream(
+            spark, scfg, str(landing), str(tmp_path / "ck2"),
+            max_files_per_trigger=1, auto_compact_dirs=3,
+            available_now=True)
+        q.awaitTermination(180)
+        t = VersionedTable(spark, str(tmp_path / "stream_dest2"))
+        assert t.read().count() == 240
+        assert t.manifest_width(t.current_version()) <= 3, \
+            "manifest width must stay bounded across triggers"
+        ops = [t.commit_metadata(v).get("operation")
+               for v in t.versions()]
+        assert any(op and str(op).startswith("optimize") for op in ops)
