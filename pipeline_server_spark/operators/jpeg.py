@@ -772,13 +772,14 @@ def _component_coefficients(pixels: np.ndarray, subsample: bool,
         plane = np.pad(c, ((0, th - c.shape[0]), (0, tw - c.shape[1])),
                        mode="edge")
         gy, gx = th // 8, tw // 8
-        arr = np.zeros((gy, gx, 64), dtype=np.int64)
-        for byi in range(gy):
-            for bxi in range(gx):
-                coefs = _dct2(plane[byi * 8:(byi + 1) * 8,
-                                    bxi * 8:(bxi + 1) * 8])
-                arr[byi, bxi] = np.rint(coefs.reshape(64)[ZIGZAG] / qt
-                                        ).astype(np.int64)
+        # batched per-block DCT: broadcasting matmul runs the SAME
+        # 8x8 kernel per block as the old per-block loop, so the
+        # coefficients are bit-identical — only ~40x faster (the
+        # encoder feeds the MJPEG fixture corpus at bench scale now)
+        blk = plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3)
+        coefs = _C @ blk @ _C.T
+        arr = np.rint(coefs.reshape(gy, gx, 64)[..., ZIGZAG] / qt
+                      ).astype(np.int64)
         blocks.append(arr)
     return gray, samp, H, W, blocks
 
@@ -791,9 +792,18 @@ def _emit_block_sequential(bw, zz, dc_enc, ac_enc, pred, ci) -> None:
     bw.write(code, ln)
     if s:
         bw.write(bits_, s)
+    # bit-identical fast path: only walk up to the LAST nonzero AC —
+    # zeros past it can never emit a symbol (trailing runs collapse
+    # into the EOB), and a DC-only block (the overwhelmingly common
+    # case for flat content) emits DC + EOB without touching the loop
+    nz = np.nonzero(zz[1:])[0]
+    if nz.size == 0:
+        ln, code = ac_enc.codes[0x00]  # EOB
+        bw.write(code, ln)
+        return
+    last_nz = int(nz[-1]) + 1
     run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
+    for k in range(1, last_nz + 1):
         v = int(zz[k])
         if v == 0:
             run += 1
