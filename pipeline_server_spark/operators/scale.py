@@ -418,6 +418,12 @@ def build_skipping_index(spark: SparkSession, path: str, cols: list[str],
     return flist.repartition(min(len(files), 64)).mapInPandas(_stats, schema=out_schema)
 
 
+#: value-list Bloom pruning cap: an OR over more probes than this
+#: stops paying for itself at plan time — the (lo, hi) range bound the
+#: envelope also derives still prunes, and the residual stays exact
+_VALUE_LIST_CAP = 16
+
+
 def read_with_skipping(
     spark: SparkSession,
     path: str,
@@ -425,6 +431,7 @@ def read_with_skipping(
     bounds: dict[str, tuple],
     reader=None,
     points: dict | None = None,
+    value_lists: dict | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Plan a predicate read through the skipping index: keep only
     files whose stats could satisfy every requested predicate, read
@@ -455,6 +462,17 @@ def read_with_skipping(
     (a merge-key lookup) that min/max alone cannot serve on
     un-clustered data. A file whose Bloom/stats are absent is read.
 
+    ``value_lists`` (round-12 verdict #4 extension) maps columns to
+    their COMPLETE matching value list (``derive_envelope``'s
+    in-lists, incl. OR-unions like ``k = 5 OR k = 900``): a file
+    survives only if SOME value could be present — per-value Bloom
+    probes OR'd together plus a per-value min/max disjunction — which
+    prunes un-clustered data where the [min(vals), max(vals)] range
+    bound alone covers every file. Lists longer than 16 values skip
+    this path (the range bound still prunes; the residual stays
+    exact). A column may appear in both ``bounds`` and
+    ``value_lists`` — both constraints are implied, both prune.
+
     ``reader`` overrides how picked files become a DataFrame (a
     VersionedTable passes its manifest-grouped reader so picked files
     spanning several version directories resolve their partition
@@ -462,6 +480,13 @@ def read_with_skipping(
     empty case applies ``where(False)`` to it.
     """
     points = dict(points or {})
+    value_lists = {
+        c: [v for v in vs if v is not None]
+        for c, vs in (value_lists or {}).items()
+        if c not in (points or {})
+    }
+    value_lists = {c: vs for c, vs in value_lists.items()
+                   if 0 < len(vs) <= _VALUE_LIST_CAP}
     overlap_keys = set(bounds) & set(points)
     if overlap_keys:
         raise ValueError(
@@ -486,6 +511,25 @@ def read_with_skipping(
             cond = cond & ~all_null & (F.col(f"{c}_max").isNull() | in_range)
         if f"{c}_bloom" in index.columns:
             cond = cond & F.expr(_bloom_probe_sql(c, v))
+    for c, vals in value_lists.items():
+        if f"{c}_min" in index.columns:
+            all_null = (
+                F.coalesce(F.col(f"{c}_nulls") == F.col("n_rows"),
+                           F.lit(False))
+                if f"{c}_nulls" in index.columns else F.lit(False)
+            )
+            in_any = F.lit(False)
+            for v in vals:
+                in_any = in_any | ((F.col(f"{c}_max") >= F.lit(v))
+                                   & (F.col(f"{c}_min") <= F.lit(v)))
+            cond = cond & ~all_null & (F.col(f"{c}_max").isNull() | in_any)
+        if f"{c}_bloom" in index.columns:
+            # each per-value probe coalesces an absent Bloom to TRUE,
+            # so the disjunction keeps unknown files readable
+            probe = F.lit(False)
+            for v in vals:
+                probe = probe | F.expr(_bloom_probe_sql(c, v))
+            cond = cond & probe
     for c, b in bounds.items():
         # "definitely all null" / "definitely no null" — both False
         # (→ no pruning) when the count is unknown or the index
@@ -520,6 +564,8 @@ def read_with_skipping(
     residual = F.lit(True)
     for c, v in points.items():
         residual = residual & (F.col(c) == F.lit(v))
+    for c, vals in value_lists.items():
+        residual = residual & F.col(c).isin(*vals)
     for c, b in bounds.items():
         if b == "is_null":
             residual = residual & F.col(c).isNull()

@@ -4376,9 +4376,12 @@ class VersionedTable:
         data_bounds = {c: b for c, b in bounds.items() if c not in layout}
         data_points = {c: v for c, v in points.items()
                        if c not in layout}
+        data_lists = {c: vs for c, vs in dml_value_sets.items()
+                      if c not in layout and c not in data_points}
         if (data_bounds or data_points) and has_index:
             _, picked, _ = self._pruned_files(
-                data_bounds, data_points, current)
+                data_bounds, data_points, current,
+                value_lists=data_lists)
             pick_set = set(picked)
             candidates = [f for f in
                           (self._abs_file(e) for e in cand_entries)
@@ -4641,10 +4644,14 @@ class VersionedTable:
         return self._publish(version, target, meta)
 
     def _pruned_files(self, bounds: dict, points: dict | None,
-                      version: int) -> tuple[None, list[str], int]:
+                      version: int,
+                      value_lists: dict | None = None
+                      ) -> tuple[None, list[str], int]:
         """The index-pruning core of :meth:`read_pruned`, returning
         the picked FILE LIST instead of a DataFrame (DML wants the
-        candidates, not a scan)."""
+        candidates, not a scan). ``value_lists`` adds per-value
+        Bloom/min-max disjunction pruning for complete value sets
+        (round-12 OR envelopes)."""
         from pipeline_server_spark.operators.scale import read_with_skipping
 
         d = self._resolve_dir(version)
@@ -4660,7 +4667,7 @@ class VersionedTable:
                                     dir_renames=self._dir_renames(version))
 
         read_with_skipping(self.spark, d, idx, bounds, reader=reader,
-                           points=points)
+                           points=points, value_lists=value_lists)
         return None, picked_holder[0], len(self._entries_for_version(version))
 
     def versions(self) -> list[int]:
@@ -4755,11 +4762,14 @@ class VersionedTable:
         data_bounds = {c: b for c, b in bounds.items() if c not in layout}
         data_points = {c: pv for c, pv in points.items()
                        if c not in layout}
+        data_lists = {c: vs for c, vs in in_lists.items()
+                      if c not in layout and c not in data_points}
         total = len(entries)
         has_index = self._index_dirs(v) is not None
         files = [self._abs_file(e) for e in cand]
         if (data_bounds or data_points) and has_index:
-            _, picked, _ = self._pruned_files(data_bounds, data_points, v)
+            _, picked, _ = self._pruned_files(data_bounds, data_points, v,
+                                              value_lists=data_lists)
             pick = set(picked)
             files = [f for f in files if f in pick]
         if not files:

@@ -323,3 +323,49 @@ class TestContinuousFileIngest:
         ops = [t.commit_metadata(v).get("operation")
                for v in t.versions()]
         assert any(op and str(op).startswith("optimize") for op in ops)
+
+
+class TestOrValueListIndexPruning:
+    """Round-12 verdict #4 extension: the skipping INDEX (not just
+    partition pruning) consumes the complete value sets — on
+    un-clustered data every file's [min, max] covers the whole domain,
+    so the range bound an OR derives prunes nothing; the per-value
+    Bloom disjunction is the only thing that can."""
+
+    def _table(self, spark, tmp_path, name):
+        t = VersionedTable(spark, str(tmp_path / name))
+        # k = id*37 mod 4000 is a bijection: every file's k-range spans
+        # ~the full domain (range pruning useless), each value unique
+        t.commit(
+            spark.range(0, 4000).select(
+                (F.col("id") * 37 % 4000).alias("k"),
+                F.col("id").alias("v")).repartition(8),
+            stats_cols=("v",), bloom_cols=("k",))
+        return t
+
+    def test_sparse_or_delete_prunes_through_bloom(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "vb1")
+        t.delete_where("k = 123 OR k = 2017")
+        meta = t.commit_metadata(2)
+        assert meta["candidate_files"] < meta["total_files"], \
+            (meta, "per-value Bloom disjunction did not prune")
+        assert t.read().where("k IN (123, 2017)").count() == 0
+        assert t.read().count() == 3998
+
+    def test_sparse_or_read_where_prunes_through_bloom(self, spark,
+                                                       tmp_path):
+        t = self._table(spark, tmp_path, "vb2")
+        df, files_read, files_total = t.read_where("k = 5 OR k = 3900")
+        assert files_read < files_total
+        assert df.count() == 2
+        assert sorted(r["k"] for r in df.collect()) == [5, 3900]
+
+    def test_long_value_lists_fall_back_to_range(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, "vb3")
+        vals = sorted({(i * 17) % 4000 for i in range(40)})  # > cap
+        pred = " OR ".join(f"k = {v}" for v in vals)
+        df, files_read, files_total = t.read_where(pred)
+        # no pruning claim beyond the range bound — but correctness
+        # must hold exactly
+        assert df.count() == len(vals)
+        assert files_read <= files_total
