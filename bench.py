@@ -148,6 +148,11 @@ HEADLINE = [
     # einsum scoring; regression means the grid degenerated to a
     # cartesian or the per-cell top-k stopped pruning
     "ann_brute_knn_join",
+    # round-12: the full crawl chain WARC → HTTP → HTML → main text —
+    # three chained Arrow passes over archive payloads (incl. gzip
+    # member decode); regression means the framing parse stopped
+    # batching or a join crept in before the final order-by
+    "warc_html_main_text",
 ]
 
 

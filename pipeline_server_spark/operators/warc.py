@@ -1,0 +1,261 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — pure stdlib, one Arrow
+pass.
+
+A real web corpus does not arrive as clean text OR as loose HTML
+files: it arrives as WARC — the CommonCrawl/Heritrix container of
+HTTP request/response captures, usually with each record compressed
+as its own gzip member so readers can seek record boundaries. This
+module implements that first-stage layer: a spec-shaped WARC writer
+(deterministic fixture archives: ``warcinfo`` + interleaved
+``request``/``response`` records, CRLF framing, Content-Length
+payload blocks, optional per-record-gzip) and a record parser that
+walks the member/record chain, splits the HTTP envelope off response
+payloads, and hands the HTML bodies to the main-content extractor —
+completing the WARC → HTML → text chain every LLM training pipeline
+runs before any curation stage.
+
+Reference anchor: the reference byte-passes archive containers
+(S6 ``readers.py`` zip/tar expansion; DatasetService.scala's
+object-copy path) and never looks inside web captures — this is the
+LLM-brief extension of that surface (the round-12 HTML operator's
+upstream).
+
+Scale shape: parsing is ``mapInPandas`` over archive payload batches
+— per-archive cost is O(bytes), driver traffic zero; a 100 TB crawl
+is a parquet/binary table of archive payloads (or pointers), and
+every stage after this one is the existing text pipeline.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+_FIXED_DATE = "2026-01-01T00:00:00Z"  # fixture determinism
+
+
+def _record(rtype: str, headers: list, body: bytes) -> bytes:
+    head = [b"WARC/1.0",
+            f"WARC-Type: {rtype}".encode()]
+    head += [f"{k}: {v}".encode() for k, v in headers]
+    head.append(f"Content-Length: {len(body)}".encode())
+    return (_CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF)
+
+
+def _rec_id(seed: str) -> str:
+    h = hashlib.sha256(seed.encode()).hexdigest()
+    return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-"
+            f"{h[20:32]}>")
+
+
+def build_warc(pages: "list[tuple[int, str]]",
+               per_record_gzip: bool = False) -> bytes:
+    """A spec-shaped WARC/1.0 archive: one ``warcinfo`` record, then a
+    ``request`` + ``response`` pair per (doc_id, html) page — response
+    payloads are full HTTP/1.1 envelopes (status line, headers, CRLF
+    CRLF, body), the shape CommonCrawl emits. ``per_record_gzip``
+    compresses EACH record as its own gzip member (the .warc.gz
+    convention that keeps records independently seekable)."""
+    out = []
+    info_body = (b"software: pipeline-server-spark fixture writer\r\n"
+                 b"format: WARC File Format 1.0\r\n")
+    out.append(_record("warcinfo", [
+        ("WARC-Record-ID", _rec_id("warcinfo")),
+        ("WARC-Date", _FIXED_DATE),
+        ("Content-Type", "application/warc-fields"),
+    ], info_body))
+    for doc_id, html in pages:
+        uri = f"https://example.org/doc/{int(doc_id)}"
+        req = (f"GET /doc/{int(doc_id)} HTTP/1.1\r\n"
+               f"Host: example.org\r\n\r\n").encode()
+        out.append(_record("request", [
+            ("WARC-Record-ID", _rec_id(f"req:{uri}")),
+            ("WARC-Date", _FIXED_DATE),
+            ("WARC-Target-URI", uri),
+            ("Content-Type", "application/http;msgtype=request"),
+        ], req))
+        body = html.encode("utf-8")
+        resp = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body)
+        out.append(_record("response", [
+            ("WARC-Record-ID", _rec_id(f"resp:{uri}")),
+            ("WARC-Date", _FIXED_DATE),
+            ("WARC-Target-URI", uri),
+            ("Content-Type", "application/http;msgtype=response"),
+        ], resp))
+    if per_record_gzip:
+        # mtime=0: deterministic members (gzip headers carry a
+        # timestamp field)
+        return b"".join(
+            gzip.compress(r, compresslevel=6, mtime=0) for r in out)
+    return b"".join(out)
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decompress a CONCATENATED-member gzip stream (the .warc.gz
+    layout; stdlib ``gzip.decompress`` handles multi-member too, but
+    the streaming loop keeps memory at one member) — returns the
+    joined plain bytes."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out.append(d.decompress(buf[pos:]))
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(buf) - len(tail)
+    return b"".join(out)
+
+
+def parse_warc(payload: bytes) -> list:
+    """All records of one WARC archive (plain or per-record-gzip,
+    auto-detected by magic): list of dicts ``{type, record_id, date,
+    uri, content_type, body}`` — ``body`` is the raw payload block
+    (for a response record: the full HTTP envelope). Malformed framing
+    raises ValueError (a truncated crawl file must error, not loop)."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    records = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # skip inter-record CRLFs
+        while payload[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        end = payload.find(_CRLF + _CRLF, pos)
+        if end < 0:
+            raise ValueError("malformed WARC: unterminated header block")
+        head = payload[pos:end].decode("utf-8", "replace").split("\r\n")
+        if not head or not head[0].startswith("WARC/"):
+            raise ValueError(
+                f"malformed WARC: bad version line {head[0]!r}")
+        fields = {}
+        for line in head[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("malformed WARC: missing Content-Length")
+        body_lo = end + 4
+        body_hi = body_lo + length
+        if body_hi > n:
+            raise ValueError("malformed WARC: truncated payload block")
+        records.append({
+            "type": fields.get("warc-type", ""),
+            "record_id": fields.get("warc-record-id", ""),
+            "date": fields.get("warc-date", ""),
+            "uri": fields.get("warc-target-uri", ""),
+            "content_type": fields.get("content-type", ""),
+            "body": payload[body_lo:body_hi],
+        })
+        pos = body_hi
+    return records
+
+
+def split_http_response(body: bytes) -> tuple:
+    """(status int, headers dict lower-cased, body bytes) from a raw
+    HTTP/1.1 response envelope."""
+    end = body.find(_CRLF + _CRLF)
+    if end < 0 or not body.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response envelope")
+    head = body[:end].decode("latin1").split("\r\n")
+    try:
+        status = int(head[0].split()[1])
+    except (IndexError, ValueError):
+        raise ValueError(f"bad HTTP status line {head[0]!r}")
+    headers = {}
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, body[end + 4:]
+
+
+# -- Spark faces --------------------------------------------------------
+DOCS_PER_ARCHIVE = 20
+
+
+def attach_warc_corpus(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(archive_id, payload) fixture crawl: documents group into
+    ``DOCS_PER_ARCHIVE``-page archives by ``doc_id DIV 20``; every odd
+    archive is per-record-gzip (.warc.gz), even archives plain — both
+    framings flow through one parser. Pages wrap each document's text
+    in the round-12 HTML fixture chrome, so this corpus is the
+    upstream of the HTML extraction contract. One applyInPandas pass
+    per archive group."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_extract import (
+        synth_html_page)
+    from pyspark.sql import functions as F
+
+    schema = T.StructType([
+        T.StructField("archive_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = int(key[0])
+        pdf = pdf.sort_values(id_col)
+        pages = [(int(i), synth_html_page(int(i), str(t)))
+                 for i, t in zip(pdf[id_col], pdf[text_col])]
+        return pd.DataFrame({
+            "archive_id": [aid],
+            "payload": [build_warc(pages,
+                                   per_record_gzip=bool(aid % 2))],
+        })
+
+    return (df.select(id_col, text_col)
+            .withColumn("_aid", F.expr(f"{id_col} DIV {DOCS_PER_ARCHIVE}"))
+            .groupBy("_aid")
+            .applyInPandas(_pack, schema=schema))
+
+
+def warc_records(df: DataFrame, payload_col: str = "payload",
+                 archive_col: str = "archive_id") -> DataFrame:
+    """Flatten archives into one row per WARC record — the crawl
+    catalog face (types, URIs, HTTP status for responses) a curation
+    pipeline filters BEFORE decoding any body."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(archive_col, T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+    ])
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, payload in zip(b[archive_col], b[payload_col]):
+                for r in parse_warc(bytes(payload)):
+                    status, ctype, body = None, None, r["body"]
+                    if r["type"] == "response":
+                        try:
+                            status, hdrs, body = split_http_response(
+                                r["body"])
+                            ctype = hdrs.get("content-type")
+                        except ValueError:
+                            status, ctype = -1, None  # quarantine shape
+                    rows.append((int(aid), r["type"], r["uri"],
+                                 r["date"], status, ctype, body))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(_parse, schema=schema)

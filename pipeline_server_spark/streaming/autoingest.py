@@ -173,3 +173,126 @@ def file_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def warc_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    quarantine_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+    auto_compact_dirs: int | None = None,
+    available_now: bool = False,
+    scan_last: int = 50,
+):
+    """Continuous CRAWL ingest (round 12): the WARC → HTTP → HTML →
+    main-text chain as one running stream. A crawler (or a bucket
+    notification copier) drops ``.warc`` / ``.warc.gz`` archives into
+    the landing directory; Spark's binaryFile source discovers them
+    exactly-once (checkpointed offsets), each micro-batch parses the
+    record framing, keeps 200 ``text/html`` responses, extracts main
+    content through the round-12 block scorer, and appends
+    (archive, uri, status, text) rows to a versioned table under the
+    exactly-once batch-id protocol. An archive whose framing is
+    MALFORMED quarantines whole (path + error) instead of failing the
+    stream — the dead-letter discipline of the CSV ingest.
+
+    Scale shape: O(new archives) per trigger, three Arrow passes, no
+    joins; the table's manifest stays width-bounded via the shared
+    auto-compaction policy."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.html_extract import (
+        extract_main_text)
+    from pipeline_server_spark.operators.warc import (
+        parse_warc, split_http_response)
+
+    # binaryFile's schema is fixed by the source but a STREAMING read
+    # must still declare it (no inference race against the crawler)
+    bin_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    reader = (spark.readStream.format("binaryFile")
+              .schema(bin_schema)
+              .option("pathGlobFilter", "*.warc*"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(int(max_files_per_trigger)))
+    raw = reader.load(landing_dir).select("path", "content")
+
+    table = VersionedTable(spark, table_path, fs=ConditionalPutFS())
+    quarantine = (VersionedTable(spark, quarantine_path,
+                                 fs=ConditionalPutFS())
+                  if quarantine_path else None)
+
+    out_schema = T.StructType([
+        T.StructField("archive_path", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("kept_blocks", T.IntegerType()),
+        T.StructField("_bad_archive", T.StringType()),  # error or NULL
+    ])
+
+    def _chain(batches):
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                try:
+                    recs = parse_warc(bytes(content))
+                except ValueError as e:
+                    rows.append((str(path), None, None, None, None,
+                                 str(e)))
+                    continue
+                for r in recs:
+                    if r["type"] != "response":
+                        continue
+                    try:
+                        status, hdrs, body = split_http_response(
+                            r["body"])
+                    except ValueError:
+                        continue
+                    if status != 200 or not hdrs.get(
+                            "content-type", "").startswith("text/html"):
+                        continue
+                    ex = extract_main_text(
+                        body.decode("utf-8", "replace"))
+                    rows.append((str(path), r["uri"], status,
+                                 ex["main_text"], ex["kept_blocks"],
+                                 None))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        bid = int(batch_id)
+        parsed = batch_df.mapInPandas(_chain, schema=out_schema).cache()
+        try:
+            bad = (parsed.where(F.col("_bad_archive").isNotNull())
+                   .select("archive_path",
+                           F.col("_bad_archive").alias("error")))
+            if quarantine is not None and not bad.isEmpty() \
+                    and bid not in committed_batch_ids(quarantine,
+                                                       scan_last):
+                quarantine.commit_append(bad, metadata={"batch_id": bid})
+            if bid in committed_batch_ids(table, scan_last):
+                return
+            good = (parsed.where(F.col("_bad_archive").isNull())
+                    .drop("_bad_archive"))
+            if good.isEmpty():
+                return
+            v = table.commit_append(good, metadata={"batch_id": bid})
+            _maybe_auto_compact(table, v, auto_compact_dirs, ())
+        finally:
+            parsed.unpersist()
+
+    writer = raw.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -122,6 +122,11 @@ SHOW = {
         "einsum top-(k+1), global window top-k; bit-identical to the "
         "broadcast referee"
     ),
+    "warc_html_main_text": (
+        "crawl chain WARC -> HTTP -> HTML -> text: archive pack + "
+        "record framing parse (incl. per-record gzip members) + block "
+        "scoring, three chained Arrow passes, corpus-linear"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "
