@@ -168,13 +168,21 @@ def extract_main_text(html: str, min_chars: int = 25,
 def html_main_text(df: DataFrame, html_col: str = "html",
                    id_col: str = "doc_id",
                    min_chars: int = 25,
-                   max_link_density: float = 1.0 / 3.0) -> DataFrame:
+                   max_link_density: float = 1.0 / 3.0,
+                   carry: tuple = ()) -> DataFrame:
     """Spark face: one Arrow pass over the page column → (id,
-    main_text, n_blocks, kept_blocks, main_chars, boiler_chars)."""
+    main_text, n_blocks, kept_blocks, main_chars, boiler_chars).
+    ``carry`` names extra input columns copied through unchanged
+    (crawl metadata like uri/status) so a caller never needs a
+    self-join back onto the extraction chain — at 100 TB that join
+    would re-execute the whole upstream parse."""
     import pandas as pd
 
+    carry = tuple(carry)
+    carry_fields = [df.schema[c] for c in carry]
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
+        *carry_fields,
         T.StructField("main_text", T.StringType()),
         T.StructField("n_blocks", T.IntegerType()),
         T.StructField("kept_blocks", T.IntegerType()),
@@ -185,15 +193,18 @@ def html_main_text(df: DataFrame, html_col: str = "html",
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:
             rows = []
-            for i, page in zip(b[id_col], b[html_col]):
+            for t in zip(b[id_col], b[html_col],
+                         *[b[c] for c in carry]):
+                i, page, extra = t[0], t[1], t[2:]
                 r = extract_main_text(str(page), min_chars,
                                       max_link_density)
-                rows.append((int(i), r["main_text"], r["n_blocks"],
-                             r["kept_blocks"], r["main_chars"],
-                             r["boiler_chars"]))
+                rows.append((int(i), *extra, r["main_text"],
+                             r["n_blocks"], r["kept_blocks"],
+                             r["main_chars"], r["boiler_chars"]))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
-    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)
+    return (df.select(id_col, html_col, *carry)
+            .mapInPandas(_extract, schema=schema))
 
 
 # -- fixture generator --------------------------------------------------

@@ -28,6 +28,7 @@ every stage after this one is the existing text pipeline.
 
 from __future__ import annotations
 
+import base64
 import gzip
 import hashlib
 import io
@@ -55,14 +56,26 @@ def _rec_id(seed: str) -> str:
             f"{h[20:32]}>")
 
 
-def build_warc(pages: "list[tuple[int, str]]",
+def payload_digest(body: bytes) -> str:
+    """``WARC-Payload-Digest`` value for an HTTP body — the public
+    ``sha1:BASE32`` convention CommonCrawl/wget emit, and the key a
+    crawl-level exact dedup groups on (identical pages at different
+    URIs share it byte-for-byte)."""
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(body).digest()).decode("ascii")
+
+
+def build_warc(pages: "list",
                per_record_gzip: bool = False) -> bytes:
     """A spec-shaped WARC/1.0 archive: one ``warcinfo`` record, then a
-    ``request`` + ``response`` pair per (doc_id, html) page — response
-    payloads are full HTTP/1.1 envelopes (status line, headers, CRLF
-    CRLF, body), the shape CommonCrawl emits. ``per_record_gzip``
-    compresses EACH record as its own gzip member (the .warc.gz
-    convention that keeps records independently seekable)."""
+    ``request`` + ``response`` pair per page — ``pages`` items are
+    ``(doc_id, html)`` (URI defaults to the fixture convention) or
+    ``(doc_id, html, uri)``. Response payloads are full HTTP/1.1
+    envelopes (status line, headers, CRLF CRLF, body) carrying a real
+    ``WARC-Payload-Digest`` (sha1/base32 of the body), the shape
+    CommonCrawl emits. ``per_record_gzip`` compresses EACH record as
+    its own gzip member (the .warc.gz convention that keeps records
+    independently seekable)."""
     out = []
     info_body = (b"software: pipeline-server-spark fixture writer\r\n"
                  b"format: WARC File Format 1.0\r\n")
@@ -71,10 +84,14 @@ def build_warc(pages: "list[tuple[int, str]]",
         ("WARC-Date", _FIXED_DATE),
         ("Content-Type", "application/warc-fields"),
     ], info_body))
-    for doc_id, html in pages:
-        uri = f"https://example.org/doc/{int(doc_id)}"
-        req = (f"GET /doc/{int(doc_id)} HTTP/1.1\r\n"
-               f"Host: example.org\r\n\r\n").encode()
+    for page in pages:
+        doc_id, html = page[0], page[1]
+        uri = (page[2] if len(page) > 2
+               else f"https://example.org/doc/{int(doc_id)}")
+        host = uri.split("/", 3)[2]
+        path = "/" + uri.split("/", 3)[3] if uri.count("/") >= 3 else "/"
+        req = (f"GET {path} HTTP/1.1\r\n"
+               f"Host: {host}\r\n\r\n").encode()
         out.append(_record("request", [
             ("WARC-Record-ID", _rec_id(f"req:{uri}")),
             ("WARC-Date", _FIXED_DATE),
@@ -90,6 +107,7 @@ def build_warc(pages: "list[tuple[int, str]]",
             ("WARC-Record-ID", _rec_id(f"resp:{uri}")),
             ("WARC-Date", _FIXED_DATE),
             ("WARC-Target-URI", uri),
+            ("WARC-Payload-Digest", payload_digest(body)),
             ("Content-Type", "application/http;msgtype=response"),
         ], resp))
     if per_record_gzip:
@@ -159,6 +177,7 @@ def parse_warc(payload: bytes) -> list:
             "date": fields.get("warc-date", ""),
             "uri": fields.get("warc-target-uri", ""),
             "content_type": fields.get("content-type", ""),
+            "payload_digest": fields.get("warc-payload-digest", ""),
             "body": payload[body_lo:body_hi],
         })
         pos = body_hi
@@ -188,14 +207,22 @@ DOCS_PER_ARCHIVE = 20
 
 
 def attach_warc_corpus(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       mirror_below: int = 0) -> DataFrame:
     """(archive_id, payload) fixture crawl: documents group into
     ``DOCS_PER_ARCHIVE``-page archives by ``doc_id DIV 20``; every odd
     archive is per-record-gzip (.warc.gz), even archives plain — both
     framings flow through one parser. Pages wrap each document's text
     in the round-12 HTML fixture chrome, so this corpus is the
     upstream of the HTML extraction contract. One applyInPandas pass
-    per archive group."""
+    per archive group.
+
+    ``mirror_below``: for every ``doc_id < mirror_below`` the archive
+    additionally captures the IDENTICAL page at a second URI
+    (``https://mirror.example.org/m/<id>``) — the crawl-level exact
+    duplicate a payload-digest dedup must find (mirror paths avoid
+    the ``/doc/<id>`` convention, so the main-text chain's doc-id
+    extraction is unaffected)."""
     import pandas as pd
 
     from pipeline_server_spark.operators.html_extract import (
@@ -210,8 +237,14 @@ def attach_warc_corpus(df: DataFrame, id_col: str = "doc_id",
     def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = int(key[0])
         pdf = pdf.sort_values(id_col)
-        pages = [(int(i), synth_html_page(int(i), str(t)))
-                 for i, t in zip(pdf[id_col], pdf[text_col])]
+        pages = []
+        for i, t in zip(pdf[id_col], pdf[text_col]):
+            i = int(i)
+            html = synth_html_page(i, str(t))
+            pages.append((i, html))
+            if i < mirror_below:
+                pages.append(
+                    (i, html, f"https://mirror.example.org/m/{i}"))
         return pd.DataFrame({
             "archive_id": [aid],
             "payload": [build_warc(pages,
@@ -238,6 +271,8 @@ def warc_records(df: DataFrame, payload_col: str = "payload",
         T.StructField("date", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload_digest", T.StringType()),
+        T.StructField("digest_ok", T.BooleanType()),
         T.StructField("body", T.BinaryType()),
     ])
 
@@ -247,15 +282,22 @@ def warc_records(df: DataFrame, payload_col: str = "payload",
             for aid, payload in zip(b[archive_col], b[payload_col]):
                 for r in parse_warc(bytes(payload)):
                     status, ctype, body = None, None, r["body"]
+                    digest = r.get("payload_digest") or None
+                    ok = None
                     if r["type"] == "response":
                         try:
                             status, hdrs, body = split_http_response(
                                 r["body"])
                             ctype = hdrs.get("content-type")
+                            if digest:
+                                # transfer-integrity check, the crawl
+                                # DQ a digest exists for
+                                ok = payload_digest(body) == digest
                         except ValueError:
                             status, ctype = -1, None  # quarantine shape
                     rows.append((int(aid), r["type"], r["uri"],
-                                 r["date"], status, ctype, body))
+                                 r["date"], status, ctype, digest, ok,
+                                 body))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return df.mapInPandas(_parse, schema=schema)

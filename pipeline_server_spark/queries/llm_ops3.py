@@ -1435,15 +1435,208 @@ def warc_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                          & (F.col("http_status") == 200)
                          & F.col("http_content_type")
                          .startswith("text/html"))
-                  .select("archive_id", "uri",
-                          F.col("http_status").alias("status"),
+                  .select("archive_id", "uri", "http_status",
                           F.decode(F.col("body"), "UTF-8").alias("html"),
                           F.regexp_extract("uri", r"/doc/(\d+)$", 1)
                           .cast("long").alias("doc_id")))
-    out = html_main_text(html_pages)
-    return (out.join(html_pages.select("doc_id", "archive_id", "uri",
-                                       "status"), "doc_id")
-            .select("doc_id", "archive_id", "uri",
-                    F.col("status").alias("http_status"),
-                    "main_text", "kept_blocks")
+    # crawl metadata CARRIES through the extraction pass — a join back
+    # would re-execute the whole parse chain upstream
+    out = html_main_text(html_pages,
+                         carry=("archive_id", "uri", "http_status"))
+    return (out.select("doc_id", "archive_id", "uri", "http_status",
+                       "main_text", "kept_blocks")
             .orderBy("doc_id"))
+
+
+def _crawl_digest_dedup_py_oracle(sf_dir: str):
+    """Referee for crawl-level exact dedup: for every planted mirror
+    (doc_id < 30) the expected group is (doc_id, 2 copies, the two
+    URIs sorted) — digests recomputed from the generators' closed form
+    (sha1 over the fixture page bytes; no WARC/HTTP parsing), unique
+    pages produce no group."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_extract import (
+        synth_html_page)
+    from pipeline_server_spark.operators.warc import payload_digest
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 30 "
+        "ORDER BY doc_id").fetchall()
+    out = []
+    for doc_id, text in rows:
+        d = int(doc_id)
+        digest = payload_digest(
+            synth_html_page(d, str(text)).encode("utf-8"))
+        uris = sorted([f"https://example.org/doc/{d}",
+                       f"https://mirror.example.org/m/{d}"])
+        out.append((digest, 2, uris[0], "|".join(uris)))
+    return pd.DataFrame(out, columns=[
+        "payload_digest", "n_copies", "canonical_uri", "uris"]) \
+        .astype({"n_copies": "int64"}) \
+        .sort_values("payload_digest", ignore_index=True)
+
+
+@query("crawl_digest_dedup", oracle_py=_crawl_digest_dedup_py_oracle)
+# no SQL oracle: WARC framing + sha1/base32 digests are not
+# SQL-expressible in the shared dialect; the closed-form referee goes
+# through the same rows+schema+hash gate
+def crawl_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-LEVEL exact dedup by WARC-Payload-Digest (round 12): the
+    convention CommonCrawl itself uses — identical bodies at different
+    URIs share the sha1/base32 digest the writer stamps on every
+    response record, so URL-level duplicates (mirrors, tracking-param
+    aliases) group on ONE hash without decoding a single page. The
+    fixture corpus captures every doc_id < 30 at a second mirror URI;
+    the parser additionally re-verifies each declared digest against
+    the body (``digest_ok`` — transfer-integrity DQ) and the query
+    consumes only verified records.
+
+    Scale shape: parse pass + one groupBy on the digest; per-digest
+    fan-out is the true duplicate count — corpus-linear, the exact
+    shape of dedup_exact_documents one level DOWN the stack (bytes,
+    not extracted text)."""
+    from pipeline_server_spark.operators.warc import (
+        attach_warc_corpus, warc_records)
+
+    d = load_table(spark, sf_dir, "documents")
+    recs = warc_records(attach_warc_corpus(d, mirror_below=30))
+    resp = (recs.where((F.col("warc_type") == "response")
+                       & (F.col("http_status") == 200)
+                       & F.col("digest_ok"))
+            .select("payload_digest", "uri"))
+    return (resp.groupBy("payload_digest")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("uri").alias("canonical_uri"),
+                 F.array_join(F.array_sort(F.collect_list("uri")), "|")
+                 .alias("uris"))
+            .where(F.col("n_copies") > 1)
+            .select("payload_digest", "n_copies", "canonical_uri",
+                    "uris")
+            .orderBy("payload_digest"))
+
+
+@query(
+    "crawl_url_canonical_dedup",
+    oracle="""
+    WITH crawl AS (
+      SELECT doc_id,
+             'HTTPS://News' || CAST(doc_id % 5 AS VARCHAR)
+               || '.Example.ORG:443/articles/' || CAST(doc_id AS VARCHAR)
+               || '?utm_source=rss&ref=' || CAST(doc_id % 3 AS VARCHAR)
+               || '&utm_medium=feed#top' AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'https://news' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/articles/' || CAST(doc_id AS VARCHAR)
+               || '/?ref=' || CAST(doc_id % 3 AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'https://other.example.org/posts/' || CAST(doc_id AS VARCHAR)
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             split_part(url, '#', 1) AS no_frag
+      FROM crawl
+    ),
+    split2 AS (
+      SELECT doc_id, url,
+             split_part(no_frag, '?', 1) AS pre,
+             CASE WHEN contains(no_frag, '?')
+                  THEN split_part(no_frag, '?', 2) ELSE '' END AS q
+      FROM parts
+    ),
+    norm AS (
+      SELECT doc_id,
+             replace(lower(
+               substr(pre, 1, length(split_part(pre, '/', 1)) + 2
+                      + length(split_part(pre, '/', 3)))), ':443', '')
+             || rtrim(substr(pre, length(split_part(pre, '/', 1)) + 3
+                             + length(split_part(pre, '/', 3))), '/')
+               AS base,
+             array_to_string(list_sort(list_filter(
+               string_split(q, '&'),
+               x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')
+               AS params
+      FROM split2
+    ),
+    canon AS (
+      SELECT doc_id,
+             base || CASE WHEN params <> '' THEN '?' || params
+                          ELSE '' END AS canonical_url
+      FROM norm
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_aliases,
+           MIN(doc_id) AS doc_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) > 1
+    ORDER BY canonical_url
+    """,
+)
+def crawl_url_canonical_dedup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION dedup (round 12) — the crawl-frontier
+    twin of the payload-digest dedup: tracking-parameter aliases,
+    case-mangled hosts, explicit default ports, fragments, and
+    trailing slashes all collapse to one canonical URL BEFORE any
+    fetch is scheduled (the dedup every crawler runs ahead of the
+    corpus-level ones). All pure Catalyst string/lambda expressions —
+    no UDF, no Python — over a deterministic 3-variants-per-doc
+    fixture frontier: the messy and clean captures of each article
+    canonicalize together (n_aliases = 2); the distinct post URL
+    stays single and drops out.
+
+    Normalization contract (both engines implement it independently):
+    strip fragment → split query → lowercase scheme+host and drop
+    ':443' → rtrim path '/' → drop utm_* params and SORT the rest →
+    reassemble."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    v1 = d.select("doc_id", F.concat(
+        F.lit("HTTPS://News"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.ORG:443/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=rss&ref="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_medium=feed#top")).alias("url"))
+    v2 = d.select("doc_id", F.concat(
+        F.lit("https://news"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/articles/"), F.col("doc_id").cast("string"),
+        F.lit("/?ref="), (F.col("doc_id") % 3).cast("string")).alias("url"))
+    v3 = d.select("doc_id", F.concat(
+        F.lit("https://other.example.org/posts/"),
+        F.col("doc_id").cast("string")).alias("url"))
+    crawl = v1.unionByName(v2).unionByName(v3)
+
+    no_frag = F.substring_index(F.col("url"), "#", 1)
+    pre = F.substring_index(no_frag, "?", 1)
+    q = F.when(F.instr(no_frag, "?") > 0,
+               F.expr("substring_index(substring_index(url, '#', 1), "
+                      "'?', -1)")).otherwise(F.lit(""))
+    scheme_host = F.substring_index(pre, "/", 3)
+    _pre_sql = "substring_index(substring_index(url, '#', 1), '?', 1)"
+    base = F.concat(
+        F.replace(F.lower(scheme_host), F.lit(":443"), F.lit("")),
+        F.expr(f"TRIM(TRAILING '/' FROM substring({_pre_sql}, "
+               f"length(substring_index({_pre_sql}, '/', 3)) + 1))"))
+    params = F.array_join(
+        F.array_sort(F.filter(
+            F.split(q, "&"),
+            lambda x: (~x.startswith("utm_")) & (x != ""))), "&")
+    canon = F.concat(
+        base, F.when(params != "", F.concat(F.lit("?"), params))
+        .otherwise(F.lit("")))
+    return (crawl
+            .select("doc_id", canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_aliases"),
+                 F.min("doc_id").alias("doc_id"))
+            .where(F.col("n_aliases") > 1)
+            .select("canonical_url",
+                    F.col("n_aliases").cast("long").alias("n_aliases"),
+                    "doc_id")
+            .orderBy("canonical_url"))

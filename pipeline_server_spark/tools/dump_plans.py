@@ -127,6 +127,16 @@ SHOW = {
         "record framing parse (incl. per-record gzip members) + block "
         "scoring, three chained Arrow passes, corpus-linear"
     ),
+    "crawl_digest_dedup": (
+        "crawl-level exact dedup: WARC-Payload-Digest (sha1/base32) "
+        "groupBy after integrity verification — per-digest fan-out = "
+        "true duplicate count, no page decode"
+    ),
+    "crawl_url_canonical_dedup": (
+        "URL canonicalization dedup: pure Catalyst string/lambda "
+        "expressions (no UDF, no Python), one groupBy on the "
+        "canonical key — the crawl-frontier dedup ahead of any fetch"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

@@ -174,3 +174,63 @@ class TestContinuousCrawlIngest:
         q.awaitTermination(120)
         assert t.read().count() == 11
         assert dl.current_version() == d0
+
+
+class TestPayloadDigestDedup:
+    """Round 12: crawl-level exact dedup by WARC-Payload-Digest (the
+    CommonCrawl convention) + transfer-integrity verification."""
+
+    def test_digest_written_and_verified(self):
+        from pipeline_server_spark.operators.warc import payload_digest
+
+        recs = parse_warc(build_warc(PAGES))
+        responses = [r for r in recs if r["type"] == "response"]
+        for (doc_id, html), r in zip(PAGES, responses):
+            status, hdrs, body = split_http_response(r["body"])
+            assert r["payload_digest"] == payload_digest(body)
+            assert r["payload_digest"].startswith("sha1:")
+
+    def test_mirror_pages_share_digest_distinct_pages_do_not(self):
+        pages = [(1, "<p>same body</p>"),
+                 (1, "<p>same body</p>", "https://mirror.example.org/m/1"),
+                 (2, "<p>other body</p>")]
+        recs = [r for r in parse_warc(build_warc(pages))
+                if r["type"] == "response"]
+        assert recs[0]["payload_digest"] == recs[1]["payload_digest"]
+        assert recs[0]["payload_digest"] != recs[2]["payload_digest"]
+        # custom-URI request lines derive host/path from the URI
+        reqs = [r for r in parse_warc(build_warc(pages))
+                if r["type"] == "request"]
+        assert b"Host: mirror.example.org" in reqs[1]["body"]
+        assert reqs[1]["body"].startswith(b"GET /m/1 ")
+
+    def test_corrupted_body_fails_digest_ok(self, spark):
+        import pandas as pd
+
+        from pipeline_server_spark.operators.warc import warc_records
+
+        payload = bytearray(build_warc(PAGES))
+        # flip one byte inside the LAST page's html body
+        idx = payload.rindex(b"second page")
+        payload[idx] ^= 0x01
+        df = spark.createDataFrame(
+            pd.DataFrame({"archive_id": [0],
+                          "payload": [bytes(payload)]}))
+        rows = {r["uri"]: r for r in
+                warc_records(df).where("warc_type = 'response'")
+                .collect()}
+        assert rows["https://example.org/doc/1"]["digest_ok"] is True
+        assert rows["https://example.org/doc/2"]["digest_ok"] is False
+
+    def test_query_matches_referee(self, spark):
+        import pandas as pd
+
+        from pipeline_server_spark.queries.llm_ops3 import (
+            _crawl_digest_dedup_py_oracle, crawl_digest_dedup)
+
+        got = crawl_digest_dedup(
+            spark, "/root/testdata/sf0.001").toPandas()
+        want = _crawl_digest_dedup_py_oracle("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True))
+        assert len(got) == 30 and (got["n_copies"] == 2).all()
