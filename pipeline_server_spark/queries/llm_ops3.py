@@ -1640,3 +1640,103 @@ def crawl_url_canonical_dedup(spark: SparkSession,
                     F.col("n_aliases").cast("long").alias("n_aliases"),
                     "doc_id")
             .orderBy("canonical_url"))
+
+
+def _robots_filter_py_oracle(sf_dir: str):
+    """Referee for the REP frontier filter: expected decisions derived
+    from the fixture DECISION TABLE directly (the rules' meaning, not
+    the parser): trainingbot on host h may not fetch under /private/
+    (except the /private/public/ subtree), may not fetch under /tmp/
+    on even hosts, crawl-delay is h % 5 + 1 — the '*' group's
+    disallow-everything must NOT apply (the specific group wins). No
+    robots parsing, no longest-match code on the referee side; the
+    /private/publicity/ path kind pins the prefix edge (it does NOT
+    start with '/private/public/' and must stay disallowed)."""
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        h = d % 7
+        kind = d % 5
+        if kind == 0:
+            path, allowed, rule = f"/articles/{d}", True, "allow:"
+        elif kind == 1:
+            path, allowed, rule = (f"/private/data/{d}", False,
+                                   "disallow:/private/")
+        elif kind == 2:
+            path, allowed, rule = (f"/private/public/{d}", True,
+                                   "allow:/private/public/")
+        elif kind == 3:
+            if h % 2 == 0:
+                path, allowed, rule = (f"/tmp/cache/{d}", False,
+                                       "disallow:/tmp/")
+            else:
+                path, allowed, rule = f"/tmp/cache/{d}", True, "allow:"
+        else:
+            path, allowed, rule = (f"/private/publicity/{d}", False,
+                                   "disallow:/private/")
+        url = f"https://crawl{h}.example.org{path}"
+        out.append((d, url, allowed, rule, float(h % 5 + 1)))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "url", "allowed", "matched_rule", "crawl_delay"])
+
+
+@query("crawl_robots_filter", oracle_py=_robots_filter_py_oracle)
+# no SQL oracle: robots group selection + longest-match precedence is
+# not SQL-expressible in the shared dialect; the decision-table
+# referee goes through the same rows+schema+hash gate
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL POLITENESS (round 12): RFC 9309 robots.txt applied to a
+    URL frontier — the third member of the crawl stack next to the
+    canonical-URL and payload-digest dedups. Per-host robots documents
+    (real text, parsed by the group-aware stdlib parser: specific
+    agent group beating '*', case-mangled fields, comments, empty
+    Disallow, Crawl-delay) explode into a host-sized RULES dimension;
+    the frontier joins it and one window per URL picks the
+    longest-match winner — allow-overrides inside disallowed trees and
+    the /private/publicity-vs-/private/public/ prefix edge are all
+    decided JVM-side. The referee is the fixture's decision table, not
+    the parser.
+
+    Scale shape: Python touches only the hosts-sized robots documents;
+    the frontier path is a broadcast-joined prefix filter + window,
+    O(frontier x matching rules)."""
+    from pipeline_server_spark.operators.robots import (
+        filter_frontier, robots_rules_df, synth_robots)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 7).cast("string")
+    kind = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    path = (F.when(kind == 0, F.concat(F.lit("/articles/"), did))
+            .when(kind == 1, F.concat(F.lit("/private/data/"), did))
+            .when(kind == 2, F.concat(F.lit("/private/public/"), did))
+            .when(kind == 3, F.concat(F.lit("/tmp/cache/"), did))
+            .otherwise(F.concat(F.lit("/private/publicity/"), did)))
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("https://crawl"), h, F.lit(".example.org"),
+                 path).alias("url"))
+
+    import pandas as pd
+
+    def _attach(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "host": [f"crawl{int(i)}.example.org" for i in b["id"]],
+                "robots_txt": [synth_robots(int(i)) for i in b["id"]],
+            })
+
+    from pyspark.sql import types as T
+    robots = spark.range(7).mapInPandas(_attach, schema=T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("robots_txt", T.StringType())]))
+    rules = robots_rules_df(robots, agent="trainingbot")
+    return (filter_frontier(frontier, rules)
+            .select("doc_id", "url", "allowed", "matched_rule",
+                    "crawl_delay")
+            .orderBy("doc_id"))

@@ -137,6 +137,11 @@ SHOW = {
         "expressions (no UDF, no Python), one groupBy on the "
         "canonical key — the crawl-frontier dedup ahead of any fetch"
     ),
+    "crawl_robots_filter": (
+        "REP frontier filter: hosts-sized robots dimension parsed in "
+        "Arrow, exploded prefix rules broadcast-joined, longest-match "
+        "window per URL — Python never touches the frontier"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

@@ -1,0 +1,115 @@
+"""robots.txt REP semantics (round 12): group selection + merging,
+longest-match precedence, tie-to-allow, field laxness, and the
+JVM-side frontier filter against its decision-table referee."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_server_spark.operators.robots import (
+    is_allowed, parse_robots, synth_robots)
+
+SAMPLE = """
+# comment line
+User-agent: trainingbot
+Disallow: /private/
+Allow: /private/public/
+Crawl-delay: 2.5
+
+USER-AGENT: *
+DISALLOW: /
+
+User-agent: otherbot
+Disallow:
+"""
+
+
+class TestParser:
+    def test_specific_group_beats_star(self):
+        p = parse_robots(SAMPLE, agent="trainingbot")
+        assert (False, "/private/") in p["rules"]
+        assert (True, "/private/public/") in p["rules"]
+        assert (False, "/") not in p["rules"]
+        assert p["crawl_delay"] == 2.5
+
+    def test_star_group_applies_to_unknown_agent(self):
+        p = parse_robots(SAMPLE, agent="randombot")
+        assert p["rules"] == [(False, "/")]
+
+    def test_empty_disallow_emits_no_rule(self):
+        p = parse_robots(SAMPLE, agent="otherbot")
+        assert p["rules"] == []
+
+    def test_same_agent_groups_merge(self):
+        txt = ("User-agent: a\nDisallow: /x/\n\n"
+               "User-agent: a\nDisallow: /y/\nCrawl-delay: 3\n")
+        p = parse_robots(txt, agent="a")
+        assert p["rules"] == [(False, "/x/"), (False, "/y/")]
+        assert p["crawl_delay"] == 3.0
+
+    def test_multi_agent_group_header(self):
+        txt = "User-agent: a\nUser-agent: b\nDisallow: /z/\n"
+        assert parse_robots(txt, agent="b")["rules"] == [(False, "/z/")]
+
+    def test_no_groups_means_unrestricted(self):
+        assert parse_robots("# nothing here\n")["rules"] == []
+
+    def test_garbage_lines_ignored(self):
+        p = parse_robots("ha!\nSitemap: x\nUser-agent: *\n"
+                         "Disallow: /a/\nnonsense without colon\n")
+        assert p["rules"] == [(False, "/a/")]
+
+
+class TestLongestMatch:
+    RULES = [(False, "/private/"), (True, "/private/public/"),
+             (False, "/tmp/")]
+
+    def test_decisions(self):
+        assert is_allowed(self.RULES, "/articles/1") is True
+        assert is_allowed(self.RULES, "/private/data/1") is False
+        assert is_allowed(self.RULES, "/private/public/1") is True
+        assert is_allowed(self.RULES, "/private/publicity/1") is False
+        assert is_allowed(self.RULES, "/tmp/cache") is False
+
+    def test_tie_resolves_to_allow(self):
+        rules = [(False, "/a/"), (True, "/a/")]
+        assert is_allowed(rules, "/a/x") is True
+
+    def test_no_match_allows(self):
+        assert is_allowed([], "/anything") is True
+
+
+class TestFrontierFilter:
+    def test_query_matches_decision_table(self, spark):
+        import pandas as pd
+
+        from pipeline_server_spark.queries.llm_ops3 import (
+            _robots_filter_py_oracle, crawl_robots_filter)
+
+        got = crawl_robots_filter(
+            spark, "/root/testdata/sf0.001").toPandas()
+        want = _robots_filter_py_oracle("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True))
+        # non-trivial coverage: both outcomes and >1 rule kind appear
+        assert got["allowed"].nunique() == 2
+        assert got["matched_rule"].nunique() >= 3
+
+    def test_frontier_decision_is_jvm_side(self, spark):
+        from pipeline_server_spark.queries.llm_ops3 import (
+            crawl_robots_filter)
+
+        df = crawl_robots_filter(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # Python appears only on the hosts-sized dimension side
+        # (fixture attach + robots parse), never on the frontier
+        assert plan.count("MapInPandas") == 2
+
+    def test_synth_exercises_group_scanner(self):
+        p = parse_robots(synth_robots(4), agent="trainingbot")
+        assert (False, "/tmp/") in p["rules"]
+        assert (False, "/private/") in p["rules"]
+        p_odd = parse_robots(synth_robots(3), agent="trainingbot")
+        assert (False, "/tmp/") not in p_odd["rules"]
