@@ -207,6 +207,40 @@ def html_main_text(df: DataFrame, html_col: str = "html",
             .mapInPandas(_extract, schema=schema))
 
 
+def html_blocks(df: DataFrame, html_col: str = "html",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-BLOCK face: one row per non-empty text block with its raw
+    scoring features — (id, block_idx, text, raw_chars, linked_chars,
+    in_boiler_ancestor). The corpus-level operators build on this
+    (cross-page template mining needs the blocks the per-page rules
+    keep AND drop); same one-Arrow-pass discipline."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("block_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("raw_chars", T.IntegerType()),
+        T.StructField("linked_chars", T.IntegerType()),
+        T.StructField("in_boiler_ancestor", T.BooleanType()),
+    ])
+
+    def _blocks(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, page in zip(b[id_col], b[html_col]):
+                p = _BlockParser()
+                p.feed(str(page))
+                p.close()
+                for idx, (text, raw, linked, boiler) in enumerate(
+                        p.blocks):
+                    rows.append((int(i), idx, text, raw, linked,
+                                 boiler))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, html_col).mapInPandas(_blocks, schema=schema)
+
+
 # -- fixture generator --------------------------------------------------
 PARA_WORDS = 15          # article paragraphs: 15 words each
 N_NAV = 8                # nav menu links

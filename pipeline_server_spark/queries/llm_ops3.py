@@ -1740,3 +1740,79 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "url", "allowed", "matched_rule",
                     "crawl_delay")
             .orderBy("doc_id"))
+
+
+def _site_template_py_oracle(sf_dir: str):
+    """Referee for cross-page template mining: the fixture chrome is
+    KNOWN — every page of site s carries exactly these normalized
+    block texts — so the expected inventory is written out directly
+    from the generator's closed form (no HTML, no block extraction on
+    the referee side). Per-page article paragraphs and the
+    20%-of-pages variant extras must NOT appear."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_extract import (
+        N_NAV, N_RELATED, N_SIDEBAR)
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    site_pages: dict = {}
+    for d in ids:
+        site_pages[d % 7] = site_pages.get(d % 7, 0) + 1
+    rows = []
+    for s, n in sorted(site_pages.items()):
+        if n < 2:
+            continue
+        chrome = ([f"Portal {s}",
+                   "news feeds archives and tools for members",
+                   "Tweet Share Pin it | Email",
+                   "Related",
+                   "© 2026 Example Site — Privacy Terms"]
+                  + [f"Section {j}" for j in range(N_NAV)]
+                  + [f"related story {j}" for j in range(N_SIDEBAR)]
+                  + [f"trending topic {j} you must read"
+                     for j in range(N_RELATED)])
+        for text in chrome:
+            rows.append((s, text, n))
+    return pd.DataFrame(rows, columns=[
+        "site", "block_text", "n_pages"]).astype(
+        {"site": "int64", "n_pages": "int64"}) \
+        .sort_values(["site", "block_text"], ignore_index=True)
+
+
+@query("site_template_blocks", oracle_py=_site_template_py_oracle)
+# no SQL oracle: block extraction is not SQL-expressible; the
+# closed-form chrome inventory goes through the same
+# rows+schema+hash gate
+def site_template_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-PAGE TEMPLATE MINING (round 12) — the corpus-level half
+    of boilerplate removal: a block repeated VERBATIM on ≥ 80% of a
+    site's pages is chrome even when the per-page rules can't tell
+    (long, link-free footers; legal banners) — the public
+    Boilerpipe/"templated block" frequency idea. Pages group by site,
+    blocks by exact normalized text; the inventory this emits is what
+    a production extractor subtracts on its second pass. The fixture's
+    per-page article paragraphs (unique) and the 20%-frequency variant
+    extras all stay below threshold; every chrome block lands exactly.
+
+    Scale shape: one Arrow extraction pass + one groupBy on
+    (site, text) with map-side combine; the inventory is
+    template-sized (≪ corpus)."""
+    from pipeline_server_spark.operators.html_extract import (
+        attach_html_corpus, html_blocks)
+
+    d = load_table(spark, sf_dir, "documents")
+    blocks = html_blocks(attach_html_corpus(d)).withColumn(
+        "site", F.col("doc_id") % 7)
+    pages = (d.select((F.col("doc_id") % 7).alias("site"))
+             .groupBy("site").agg(F.count("*").alias("site_pages")))
+    freq = (blocks.select("site", "doc_id", "text").distinct()
+            .groupBy("site", "text")
+            .agg(F.count("*").alias("n_pages")))
+    return (freq.join(pages, "site")
+            .where((F.col("n_pages") >= 0.8 * F.col("site_pages"))
+                   & (F.col("n_pages") >= 2))
+            .select("site", F.col("text").alias("block_text"),
+                    "n_pages")
+            .orderBy("site", "block_text"))

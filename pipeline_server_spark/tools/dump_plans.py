@@ -142,6 +142,11 @@ SHOW = {
         "Arrow, exploded prefix rules broadcast-joined, longest-match "
         "window per URL — Python never touches the frontier"
     ),
+    "site_template_blocks": (
+        "cross-page template mining: one Arrow block-extraction pass "
+        "+ (site, text) groupBy with map-side combine; inventory is "
+        "template-sized, never corpus-sized"
+    ),
     "remove_duplicate_spans": (
         "exact substring removal: df-banded 8-byte-gram join, "
         "diagonal islands, span-sized position explode, one JVM "

@@ -144,3 +144,42 @@ class TestSparkFaceAndReferee:
         assert "BatchEvalPython" not in plan, \
             "row-at-a-time Python crept into the extraction path"
         assert plan.count("MapInPandas") >= 2
+
+
+class TestSiteTemplateMining:
+    """Round 12: the corpus-level half of boilerplate removal — a
+    block verbatim on >= 80% of a site's pages is chrome regardless of
+    its per-page features."""
+
+    def test_blocks_face_features(self, spark):
+        from pipeline_server_spark.catalog import load_table
+        from pipeline_server_spark.operators.html_extract import (
+            html_blocks)
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        b = html_blocks(attach_html_corpus(d.limit(5)))
+        rows = b.collect()
+        assert all(r["text"] for r in rows)  # only non-empty blocks
+        # nav items are fully linked; paragraphs carry zero links
+        nav = [r for r in rows if r["text"].startswith("Section ")]
+        assert nav and all(r["linked_chars"] == r["raw_chars"]
+                           and r["in_boiler_ancestor"] for r in nav)
+        paras = [r for r in rows if r["raw_chars"] >= 25
+                 and not r["in_boiler_ancestor"]
+                 and r["linked_chars"] == 0]
+        assert paras, "article paragraphs must surface as blocks"
+
+    def test_template_inventory_matches_referee(self, spark):
+        import pandas as pd
+
+        from pipeline_server_spark.queries.llm_ops3 import (
+            _site_template_py_oracle, site_template_blocks)
+
+        got = site_template_blocks(
+            spark, "/root/testdata/sf0.001").toPandas()
+        want = _site_template_py_oracle("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True))
+        # every site found, article text absent, variant extras absent
+        assert got["site"].nunique() == 7
+        assert not got["block_text"].str.contains("Fish & chips").any()
