@@ -13,8 +13,9 @@ Five families, all shuffle-conscious:
   computation is one groupBy over exploded shingles, candidates one
   equi-join on (band, bucket-key).
 - **SimHash**: 64-bit sign-aggregated token hashes; near-dups blocked
-  by 16-bit chunks (a hamming-≤k pair must share one of 4 chunks when
-  k ≤ 3 ... pigeonhole), verified with bit_count(xor).
+  by multi-index hashing (20 chunk-triple bands — a hamming-≤3 pair
+  must share a clean chunk triple by pigeonhole), verified with
+  bit_count(xor).
 - **embedding cosine**: exact pairwise for verification; the scale path
   buckets by random-hyperplane LSH first (similarity.py).
 
@@ -356,40 +357,84 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return sums.select("doc_id", sim.alias("simhash"))
 
 
+# Multi-index hashing band layout (public idea — Norouzi, Punjani &
+# Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+# CVPR 2012): the 64-bit code splits into 6 chunks and every band is
+# a TRIPLE of chunks (C(6,3) = 20 bands, ≥32-bit keys). Recall for
+# hamming ≤ 3 is exact by pigeonhole: ≤3 bit errors corrupt ≤3
+# chunks, leaving ≥3 clean chunks, which form at least one clean
+# triple. Vs the old 4 × 16-bit single-chunk bands (same 16-bit key
+# entropy per band), expected spurious collisions on near-uniform
+# hashes drop by (4·2⁻¹⁷)/(20·2⁻³³) ≈ 13,000× — the difference
+# between a web-scale candidate join and within-bucket all-pairs
+# (round-12 verdict #1).
+_MIH_CHUNK_BITS = (11, 11, 11, 11, 10, 10)          # sums to 64
+_MIH_BANDS = (
+    (0, 1, 2), (0, 1, 3), (0, 1, 4), (0, 1, 5), (0, 2, 3),
+    (0, 2, 4), (0, 2, 5), (0, 3, 4), (0, 3, 5), (0, 4, 5),
+    (1, 2, 3), (1, 2, 4), (1, 2, 5), (1, 3, 4), (1, 3, 5),
+    (1, 4, 5), (2, 3, 4), (2, 3, 5), (2, 4, 5), (3, 4, 5),
+)
+
+
+def _mih_chunks(h: Column) -> list[Column]:
+    """The 6 chunk values of a 64-bit hash column (longs in
+    [0, 2^bits); arithmetic shiftright's sign-extension is masked)."""
+    cols, off = [], 0
+    for bits in _MIH_CHUNK_BITS:
+        cols.append(F.shiftright(h, off).bitwiseAND(F.lit((1 << bits) - 1)))
+        off += bits
+    return cols
+
+
+def mih_band_keys(sigs: DataFrame, hash_col: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, _h, band, bkey) — one row per (signature, band).
+    ``bkey`` packs the band's three chunk values into one long
+    (11-bit lanes, ≤33 bits total), so the candidate join is a plain
+    (band, bkey) equi-join. Exposed separately so telemetry tests can
+    measure bucket occupancy without materializing the join."""
+    chunks = _mih_chunks(F.col(hash_col))
+    structs = [
+        F.struct(
+            F.lit(band_id).alias("band"),
+            ((chunks[i] * F.lit(1 << 22))
+             + (chunks[j] * F.lit(1 << 11))
+             + chunks[k]).alias("bkey"),
+        )
+        for band_id, (i, j, k) in enumerate(_MIH_BANDS)
+    ]
+    return sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(F.array(*structs)).alias("bk"),
+    ).select("doc_id", "_h", F.col("bk.band").alias("band"),
+             F.col("bk.bkey").alias("bkey"))
+
+
 def hamming_near_pairs(sigs: DataFrame, hash_col: str,
                        max_hamming: int = 3,
                        id_col: str = "doc_id") -> DataFrame:
     """Pairs of ids whose 64-bit hashes are within ``max_hamming``.
-    Blocking: split the hash into 4 × 16-bit chunks — any pair within
-    hamming ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so candidates
-    come from 4 equi-joins, not n². Shared by SimHash text dedup and
-    the perceptual image-dHash dedup (round-9 verdict #3)."""
+    Blocking: multi-index hashing — 20 chunk-triple bands with
+    ~33-bit keys (see ``_MIH_BANDS``); any pair within hamming ≤ 3
+    shares at least one band key by pigeonhole, so candidates come
+    from one equi-join, never n², and band keys are wide enough that
+    buckets stay sparse at web scale. Candidates are verified with
+    bit_count(xor), so the output is EXACT (identical to brute force)
+    regardless of blocking. Shared by SimHash text dedup and the
+    perceptual image/audio/video dedups (round-9 verdict #3;
+    round-12 verdict #1 replaced the 4 × 16-bit single-chunk bands)."""
     assert max_hamming <= 3, \
-        "4-chunk blocking guarantees recall only for hamming ≤ 3"
-    chunks = sigs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(hash_col).alias("_h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col(hash_col), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc_id", "_h", F.col("ck.chunk").alias("chunk"),
-             F.col("ck.ckey").alias("ckey"))
+        "chunk-triple blocking guarantees recall only for hamming ≤ 3"
+    chunks = mih_band_keys(sigs, hash_col, id_col)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -407,10 +452,39 @@ def hamming_near_pairs(sigs: DataFrame, hash_col: str,
     )
 
 
+def hamming_connectivity_edges(sigs: DataFrame, hash_col: str,
+                               max_hamming: int = 3,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Edges (doc_a < doc_b, hamming) that preserve the CONNECTED
+    COMPONENTS of the hamming-≤k graph while emitting O(class) rows
+    for identical-hash duplicate classes (the representative-pair
+    discipline, round-10 hot-gram design): identical hashes collapse
+    to their min-id representative (one member→rep edge each,
+    hamming 0), and the banded near-dup join runs over DISTINCT
+    hashes only — a million-way mirror class costs 10⁶ edge rows and
+    ONE row in the candidate join, not 5·10¹¹ pairs. Feed the result
+    to ``connected_components``; do NOT use it where all pairs are
+    the contract (use ``hamming_near_pairs``)."""
+    reps = sigs.groupBy(F.col(hash_col).alias("_h")) \
+        .agg(F.min(id_col).alias("_rep"))
+    member_edges = (
+        sigs.join(reps, F.col(hash_col) == F.col("_h"))
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                F.lit(0).alias("hamming"))
+    )
+    distinct_sigs = reps.select(F.col("_rep").alias(id_col),
+                                F.col("_h").alias(hash_col))
+    rep_pairs = hamming_near_pairs(distinct_sigs, hash_col,
+                                   max_hamming, id_col)
+    return member_edges.unionByName(rep_pairs)
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming, through the shared
-    4×16-bit-chunk Hamming-ball band join."""
+    multi-index-hashing Hamming-ball band join."""
     sigs = simhash_64(df, id_col, text_col)
     return hamming_near_pairs(sigs, "simhash", max_hamming)
 

@@ -453,8 +453,8 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # Perceptual image near-duplicate hashing (dHash) — round-9 verdict #3.
 # Public idea: difference hash over a downscaled luma grid (the standard
 # multimodal-curation near-dup primitive next to MinHash for text); the
-# candidate join reuses dedup.hamming_near_pairs' 4x16-bit chunk blocking,
-# so no all-pairs work at any corpus size.
+# candidate join reuses dedup.hamming_near_pairs' multi-index-hashing
+# chunk-triple blocking, so no all-pairs work at any corpus size.
 # ---------------------------------------------------------------------------
 
 _BMP_GRAY_HDR = 14 + 40 + 256 * 4

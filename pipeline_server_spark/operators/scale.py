@@ -485,8 +485,14 @@ def read_with_skipping(
         for c, vs in (value_lists or {}).items()
         if c not in (points or {})
     }
-    value_lists = {c: vs for c, vs in value_lists.items()
-                   if 0 < len(vs) <= _VALUE_LIST_CAP}
+    value_lists = {c: vs for c, vs in value_lists.items() if vs}
+    # over-cap lists skip only the per-value PROBES (an OR over more
+    # than 16 Bloom/min-max probes stops paying for itself at plan
+    # time); their isin() residual below stays — the returned frame
+    # enforces the IN-list regardless of list length (round-12 advice:
+    # the contract must not depend on the caller re-applying it)
+    probe_lists = {c: vs for c, vs in value_lists.items()
+                   if len(vs) <= _VALUE_LIST_CAP}
     overlap_keys = set(bounds) & set(points)
     if overlap_keys:
         raise ValueError(
@@ -511,7 +517,7 @@ def read_with_skipping(
             cond = cond & ~all_null & (F.col(f"{c}_max").isNull() | in_range)
         if f"{c}_bloom" in index.columns:
             cond = cond & F.expr(_bloom_probe_sql(c, v))
-    for c, vals in value_lists.items():
+    for c, vals in probe_lists.items():
         if f"{c}_min" in index.columns:
             all_null = (
                 F.coalesce(F.col(f"{c}_nulls") == F.col("n_rows"),

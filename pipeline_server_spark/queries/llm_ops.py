@@ -147,6 +147,123 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_assign_py_oracle(sf_dir: str):
+    """Independent referee for the pairs→components→canonical step:
+    recomputes SimHash-64 in pure Python (the in-repo XXH64, validated
+    byte-for-byte against Spark's xxhash64), brute-forces every pair's
+    Hamming distance, union-finds components, and assigns each doc the
+    min reachable id — no Spark, no banding, no CC loop."""
+    import pandas as pd
+
+    from pipeline_server_spark.queries.classifier import _xxh64
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+
+    def simhash(text: str) -> int | None:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return None
+        sums = [0] * 64
+        for t in toks:
+            h = _xxh64(t.encode("utf-8"), 42)
+            for b in range(64):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if sums[b] > 0:
+                out |= 1 << b
+        return out
+
+    ids = [int(r[0]) for r in rows]
+    hs = {i: simhash(str(t)) for i, t in rows}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    keyed = [i for i in ids if hs[i] is not None]
+    for x, a in enumerate(keyed):
+        for b in keyed[x + 1:]:
+            if bin(hs[a] ^ hs[b]).count("1") <= 3:
+                union(a, b)
+    canon = {i: find(i) for i in ids}
+    sizes: dict[int, int] = {}
+    for i in ids:
+        sizes[canon[i]] = sizes.get(canon[i], 0) + 1
+    return pd.DataFrame(
+        {"doc_id": ids,
+         "canonical_id": [canon[i] for i in ids],
+         "is_canonical": [canon[i] == i for i in ids],
+         "cluster_size": [sizes[canon[i]] for i in ids]},
+    ).astype({"doc_id": "int64", "canonical_id": "int64",
+              "cluster_size": "int64"}).sort_values("doc_id",
+                                                    ignore_index=True)
+
+
+@query("dedup_simhash_cluster_assignments",
+       oracle_py=_cluster_assign_py_oracle)
+# no SQL oracle: transitive closure over a hash-defined near-dup graph
+# is iterative; the pure-Python referee (brute-force pairs + union-
+# find) goes through the full rows+schema+hash gate
+def dedup_simhash_cluster_assignments(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Hamming-family near-dup CANONICALIZATION (round-12 verdict #3)
+    — the second half every pair-emitting dedup needs: SimHash-64 →
+    connectivity edges (identical hashes collapse to their min-id
+    representative, so a million-way mirror class costs O(class)
+    edge rows, never C(class, 2) pairs) → pointer-doubling connected
+    components → ``(doc_id, canonical_id, is_canonical,
+    cluster_size)`` for EVERY document (singletons are their own
+    canonical). Keep rows where ``is_canonical`` to materialize the
+    deduplicated corpus.
+
+    Scale shape: the candidate join runs over DISTINCT hashes under
+    multi-index-hashing bands; CC is O(log diameter) rounds on an
+    edge set that is O(corpus); the final assignment is one left
+    join + one groupBy on canonical_id."""
+    from pipeline_server_spark.operators.dedup import (
+        connected_components,
+        hamming_connectivity_edges,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash_64(d)
+    edges = hamming_connectivity_edges(sigs, "simhash", max_hamming=3)
+    cc = connected_components(edges)
+    assign = (
+        d.select("doc_id")
+        .join(cc, d["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .alias("canonical_id"),
+        )
+    )
+    sizes = assign.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        assign.join(sizes, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -728,7 +845,7 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the multimodal twin of MinHash text dedup, public dHash idea:
     per image, decode → box-downscale to a 9x8 luma grid → 64-bit
     difference hash (one Arrow pass, executor-side); candidate pairs
-    come from the SimHash family's 4x16-bit-chunk Hamming-ball band
+    come from the SimHash family's multi-index-hashing Hamming-ball band
     join (pigeonhole recall guarantee for hamming ≤ 3, no all-pairs).
     The fixture corpus plants a near-duplicate for every doc_id < 30 —
     brightness-shifted, 2x-resized, or re-encoded through the real
@@ -814,7 +931,7 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Chromaprint/Shazam reduced to the energy envelope): per clip,
     REAL WAV PCM decode → 65 equal-index frames → integer frame
     energies → 64-bit energy-delta sign hash, one Arrow pass; then the
-    SimHash family's 4x16-bit-chunk Hamming-ball band join (pigeonhole
+    SimHash family's multi-index-hashing Hamming-ball band join (pigeonhole
     recall for hamming ≤ 3, no all-pairs). The fixture corpus plants a
     re-master for every doc_id < 30 — 2x gain (hash-invariant by
     construction: energies scale uniformly), +1 DC bias, or 8-level
@@ -1256,7 +1373,7 @@ def video_perceptual_near_dup_pairs(spark: SparkSession,
     BRIGHTNESS-SHIFTED copy pair with their original frame-for-frame;
     a TRIMMED+RE-MUXED copy pairs on its surviving keyframes;
     distinct clips share nothing. Candidates come from the SimHash
-    family's 4x16-bit-chunk Hamming-ball band join over per-keyframe
+    family's multi-index-hashing Hamming-ball band join over per-keyframe
     hashes (pigeonhole recall for hamming ≤ 3, no all-pairs); clips
     pair when ≥ half their union of keyframes match
     (``matched`` = clip A's keyframes with ≥ 1 hash-near match in B).

@@ -1493,12 +1493,15 @@ def crawl_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the body (``digest_ok`` — transfer-integrity DQ) and the query
     consumes only verified records.
 
-    Scale shape: parse pass + one groupBy on the digest; per-digest
-    fan-out is the true duplicate count — corpus-linear, the exact
-    shape of dedup_exact_documents one level DOWN the stack (bytes,
-    not extracted text)."""
+    Scale shape: parse pass + one groupBy on the digest; ``n_copies``
+    stays EXACT while the alias evidence list is capped at the first
+    8 URIs in sort order (round-12 verdict #2: a million-way mirror
+    class — error pages, empty pages — must not materialize a
+    multi-GB array row; ``digest_dedup_groups`` enforces the cap
+    BEFORE aggregation by a same-key window rank, so no group buffers
+    more than 8 strings)."""
     from pipeline_server_spark.operators.warc import (
-        attach_warc_corpus, warc_records)
+        attach_warc_corpus, digest_dedup_groups, warc_records)
 
     d = load_table(spark, sf_dir, "documents")
     recs = warc_records(attach_warc_corpus(d, mirror_below=30))
@@ -1506,12 +1509,7 @@ def crawl_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("http_status") == 200)
                        & F.col("digest_ok"))
             .select("payload_digest", "uri"))
-    return (resp.groupBy("payload_digest")
-            .agg(F.count("*").alias("n_copies"),
-                 F.min("uri").alias("canonical_uri"),
-                 F.array_join(F.array_sort(F.collect_list("uri")), "|")
-                 .alias("uris"))
-            .where(F.col("n_copies") > 1)
+    return (digest_dedup_groups(resp, evidence_cap=8)
             .select("payload_digest", "n_copies", "canonical_uri",
                     "uris")
             .orderBy("payload_digest"))
@@ -1816,3 +1814,129 @@ def site_template_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("site", F.col("text").alias("block_text"),
                     "n_pages")
             .orderBy("site", "block_text"))
+
+
+def _fetch_schedule_py_oracle(sf_dir: str):
+    """Referee for the politeness scheduler: expected rows derived
+    from the wildcard fixture's DECISION TABLE (what each REP rule
+    means, not the parser) plus the scheduler's closed form — per
+    host, allowed URLs sorted lexicographically take slots 0,1,2,…
+    spaced crawl_delay apart; the no-robots host gets the 1 s default
+    and every slot of a host lands on pmod(xxhash64(host), 8)."""
+    import pandas as pd
+
+    from pipeline_server_spark.queries.classifier import _xxh64
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    rows = []
+    for d in ids:
+        kind = d % 6
+        if kind == 0:
+            path, allowed, rule = f"/articles/{d}", True, "allow:"
+        elif kind == 1:
+            path, allowed, rule = f"/page{d}.php", False, "disallow:/*.php$"
+        elif kind == 2:
+            # $-anchor edge: a query string defeats the .php$ rule
+            path, allowed, rule = f"/page{d}.php?q=1", True, "allow:"
+        elif kind == 3:
+            # literal allow (12 octets) beats wildcard disallow (9)
+            path, allowed, rule = (f"/private-ok/{d}", True,
+                                   "allow:/private-ok/")
+        elif kind == 4:
+            path, allowed, rule = (f"/private/{d}", False,
+                                   "disallow:/private*")
+        else:
+            # rule written as /%7Eadmin/ — normalizes to /~admin/
+            path, allowed, rule = (f"/~admin/{d}", False,
+                                   "disallow:/~admin/")
+        if d % 11 == 0:
+            host, delay, allowed, rule = ("norobots.example.org", 1.0,
+                                          True, "allow:")
+        else:
+            host = f"crawl{d % 7}.example.org"
+            delay = float(d % 7 % 3 + 1)
+        if allowed:
+            rows.append((d, f"https://{host}{path}", host, rule, delay))
+    df = pd.DataFrame(rows, columns=["doc_id", "url", "host",
+                                     "matched_rule", "delay"])
+    df["slot"] = df.sort_values("url").groupby("host").cumcount() \
+        .reindex(df.index).astype("int64")
+    df["fetch_at"] = df["slot"] * df["delay"]
+    sgn = {h: (v - (1 << 64) if (v := _xxh64(h.encode(), 42)) >= 1 << 63
+               else v) % 8
+           for h in df["host"].unique()}
+    df["worker"] = df["host"].map(sgn).astype("int64")
+    return df.drop(columns=["delay"]) \
+        .astype({"doc_id": "int64"}) \
+        .sort_values("doc_id", ignore_index=True)[
+            ["doc_id", "url", "host", "matched_rule", "slot",
+             "fetch_at", "worker"]]
+
+
+@query("crawl_fetch_schedule", oracle_py=_fetch_schedule_py_oracle)
+# no SQL oracle: REP wildcard precedence + the windowed slot
+# assignment is decision-table territory; the closed-form referee
+# goes through the full rows+schema+hash gate
+def crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness SCHEDULING (round-13, verdict #5): the full REP
+    chain from robots documents to an executable fetch plan. The
+    per-host robots fixtures exercise the ``*`` wildcard and ``$``
+    end anchor (``/*.php$`` kills ``/page.php`` but not
+    ``/page.php?q=1``), longest-PATTERN precedence across rule kinds
+    (the 12-octet literal allow ``/private-ok/`` beats the 9-octet
+    wildcard disallow ``/private*``), percent-encoding normalization
+    (``/%7Eadmin/`` ≡ ``/~admin/``), and the §2.3.1 missing-robots
+    default (``norobots.example.org`` has no robots row and must
+    come through ALLOWED, not dropped). The allowed frontier then
+    becomes per-host fetch slots spaced ``crawl_delay`` seconds
+    apart, hash-sharded across 8 workers.
+
+    Scale shape: rules stay a hosts-sized dimension (broadcast); the
+    decision is one left join + per-row window; the schedule is one
+    hash-partitioned window on host — no global sort anywhere."""
+    from pipeline_server_spark.operators.robots import (
+        filter_frontier, robots_rules_df, schedule_frontier,
+        synth_robots_wild)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    kind = F.col("doc_id") % 6
+    did = F.col("doc_id").cast("string")
+    path = (F.when(kind == 0, F.concat(F.lit("/articles/"), did))
+            .when(kind == 1, F.concat(F.lit("/page"), did, F.lit(".php")))
+            .when(kind == 2, F.concat(F.lit("/page"), did,
+                                      F.lit(".php?q=1")))
+            .when(kind == 3, F.concat(F.lit("/private-ok/"), did))
+            .when(kind == 4, F.concat(F.lit("/private/"), did))
+            .otherwise(F.concat(F.lit("/~admin/"), did)))
+    host = (F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("norobots.example.org"))
+            .otherwise(F.concat(F.lit("crawl"),
+                                (F.col("doc_id") % 7).cast("string"),
+                                F.lit(".example.org"))))
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"))
+
+    import pandas as pd
+
+    def _attach(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "host": [f"crawl{int(i)}.example.org" for i in b["id"]],
+                "robots_txt": [synth_robots_wild(int(i))
+                               for i in b["id"]],
+            })
+
+    from pyspark.sql import types as T
+    robots = spark.range(7).mapInPandas(_attach, schema=T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("robots_txt", T.StringType())]))
+    rules = robots_rules_df(robots, agent="trainingbot")
+    decided = filter_frontier(frontier, rules)
+    return (schedule_frontier(decided, default_delay=1.0, n_workers=8)
+            .select("doc_id", "url", "host", "matched_rule",
+                    F.col("slot").cast("long").alias("slot"),
+                    "fetch_at", "worker")
+            .orderBy("doc_id"))

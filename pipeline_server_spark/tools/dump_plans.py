@@ -50,7 +50,7 @@ SHOW = {
     ),
     "image_near_dup_pairs": (
         "perceptual image dHash dedup: decode+hash in one Arrow "
-        "pass, candidates from the 4x16-bit-chunk Hamming-ball "
+        "pass, candidates from the multi-index-hashing Hamming-ball "
         "equi-join — no all-pairs"
     ),
     "ann_ivf_pq_knn_join": (
@@ -108,7 +108,7 @@ SHOW = {
     ),
     "video_perceptual_near_dup_pairs": (
         "pixel-level video near-dup: keyframe JPEG decode + dHash in "
-        "one Arrow pass, candidates from the 4x16-bit Hamming band "
+        "one Arrow pass, candidates from the multi-index-hashing Hamming band "
         "join — catches re-encodes the CRC container query cannot"
     ),
     "html_main_text_extraction": (

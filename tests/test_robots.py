@@ -113,3 +113,89 @@ class TestFrontierFilter:
         assert (False, "/private/") in p["rules"]
         p_odd = parse_robots(synth_robots(3), agent="trainingbot")
         assert (False, "/tmp/") not in p_odd["rules"]
+
+
+class TestRound13REPWildcards:
+    def test_pct_normalize(self):
+        from pipeline_server_spark.operators.robots import pct_normalize
+        assert pct_normalize("/%7eadmin/%2fx%2F") == "/~admin/%2Fx%2F"
+        assert pct_normalize("/a%ZZb%") == "/a%ZZb%"  # broken escapes kept
+
+    def test_wildcard_and_anchor_matching(self):
+        from pipeline_server_spark.operators.robots import is_allowed
+        rules = [(False, "/*.php$"), (False, "/private*"),
+                 (True, "/private-ok/")]
+        assert not is_allowed(rules, "/page.php")
+        assert is_allowed(rules, "/page.php?q=1")      # $ anchor edge
+        assert not is_allowed(rules, "/private/data")  # wildcard tree
+        assert is_allowed(rules, "/private-ok/x")      # longer literal wins
+        assert is_allowed(rules, "/articles/1")
+
+    def test_pct_rule_matches_literal_path(self):
+        from pipeline_server_spark.operators.robots import is_allowed
+        assert not is_allowed([(False, "/%7Eadmin/")], "/~admin/x")
+        assert not is_allowed([(False, "/~admin/")], "/%7Eadmin/x")
+
+    def test_filter_frontier_missing_host_defaults_allow(self, spark):
+        from pipeline_server_spark.operators.robots import (
+            filter_frontier, robots_rules_df)
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nDisallow: /x/\n")],
+            "host string, robots_txt string")
+        frontier = spark.createDataFrame(
+            [(1, "https://a.org/x/1"), (2, "https://b.org/x/1")],
+            "doc_id long, url string")
+        rules = robots_rules_df(robots)
+        got = {r.doc_id: (r.allowed, r.matched_rule, r.crawl_delay)
+               for r in filter_frontier(frontier, rules).collect()}
+        assert got[1] == (False, "disallow:/x/", None)
+        # host with no robots row: RFC 9309 2.3.1 default-allow, not
+        # silently dropped (round-12 advice)
+        assert got[2] == (True, "allow:", None)
+
+    def test_filter_frontier_duplicate_urls_both_kept(self, spark):
+        from pipeline_server_spark.operators.robots import (
+            filter_frontier, robots_rules_df)
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nDisallow: /x/\n")],
+            "host string, robots_txt string")
+        frontier = spark.createDataFrame(
+            [(1, "https://a.org/ok"), (2, "https://a.org/ok")],
+            "doc_id long, url string")
+        out = filter_frontier(frontier, robots_rules_df(robots)).collect()
+        assert sorted(r.doc_id for r in out) == [1, 2]
+
+    def test_wildcards_jvm_side(self, spark):
+        from pipeline_server_spark.operators.robots import (
+            filter_frontier, robots_rules_df)
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nDisallow: /*.php$\n"
+              "Disallow: /p*te/\n")],
+            "host string, robots_txt string")
+        frontier = spark.createDataFrame(
+            [(1, "https://a.org/x.php"), (2, "https://a.org/x.php?q"),
+             (3, "https://a.org/private/z"), (4, "https://a.org/pte/z")],
+            "doc_id long, url string")
+        got = {r.doc_id: r.allowed
+               for r in filter_frontier(
+                   frontier, robots_rules_df(robots)).collect()}
+        assert got == {1: False, 2: True, 3: False, 4: False}
+
+    def test_schedule_frontier_slots(self, spark):
+        from pipeline_server_spark.operators.robots import (
+            filter_frontier, robots_rules_df, schedule_frontier)
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nCrawl-delay: 2\n")],
+            "host string, robots_txt string")
+        frontier = spark.createDataFrame(
+            [(i, f"https://a.org/p{i}") for i in range(4)]
+            + [(9, "https://b.org/solo")],
+            "doc_id long, url string")
+        decided = filter_frontier(frontier, robots_rules_df(robots))
+        rows = {r.doc_id: r for r in
+                schedule_frontier(decided, default_delay=5.0).collect()}
+        # a.org: delay 2 -> slots 0..3 at 0,2,4,6 s
+        assert [rows[i].fetch_at for i in range(4)] == [0.0, 2.0, 4.0, 6.0]
+        # no-robots host: default delay, own worker queue
+        assert rows[9].slot == 0 and rows[9].fetch_at == 0.0
+        assert len({rows[i].worker for i in range(4)}) == 1

@@ -222,3 +222,55 @@ def test_ppjoin_candidate_work_scales_linearly(spark, n):
     # flat per-doc candidate bound at BOTH scales = the linear-growth
     # evidence; random Zipf text with no dups should stay tiny
     assert per_doc <= 2.0
+
+
+def _uniform_sigs(spark, n: int, parts: int = 32):
+    """n uniform 64-bit signatures, executor-side (the no-duplicate
+    regime where banding collisions are pure overhead)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("h", T.LongType()),
+    ])
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng(int(ids[0]) + 41)
+            hs = rng.integers(0, 2**64, size=len(ids), dtype=np.uint64)
+            yield pd.DataFrame({"doc_id": ids.astype(np.int64),
+                                "h": hs.astype(np.int64)})
+
+    return spark.range(n, numPartitions=parts).mapInPandas(_gen, schema=schema)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [50_000, 500_000])
+def test_hamming_mih_collision_pairs_scale(spark, n):
+    """Round-13: the multi-index-hashing Hamming banding on a
+    10×-growing no-duplicate corpus. Expected chance collisions are
+    20·C(n,2)/2³³ (≈3 at 50k, ≈290 at 500k) — candidate work must
+    stay a vanishing fraction of n, where the old 4×16-bit scheme
+    would already be at ~n²/2¹⁴ (≈1.5×10⁷ pairs at 500k)."""
+    from pipeline_server_spark.operators.dedup import mih_band_keys
+
+    sigs = _uniform_sigs(spark, n).localCheckpoint()
+    occ = (mih_band_keys(sigs, "h").groupBy("band", "bkey").count())
+    stats = occ.agg(
+        F.max("count").alias("max_b"),
+        F.sum(F.when(F.col("count") > 1,
+                     F.col("count") * (F.col("count") - 1) / 2)
+              .otherwise(F.lit(0))).alias("collision_pairs"),
+    ).collect()[0]
+    pairs = int(stats["collision_pairs"] or 0)
+    print(f"\n[scale-invariance] hamming-mih n={n} "
+          f"max_bucket={stats['max_b']} collision_pairs={pairs}")
+    assert stats["max_b"] <= 4
+    assert pairs <= n // 100
