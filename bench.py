@@ -153,6 +153,15 @@ HEADLINE = [
     # member decode); regression means the framing parse stopped
     # batching or a join crept in before the final order-by
     "warc_html_main_text",
+    # round-13: PDF render + extract — two Arrow passes through the
+    # stdlib object-graph/content-stream codec (zlib both ways);
+    # regression means a pass stopped batching or the interpreter
+    # grew per-token Python overhead
+    "pdf_main_text",
+    # round-13: REP wildcard frontier filter + crawl-delay slot
+    # scheduler — broadcast rules join + two host-keyed windows;
+    # regression means the rules dimension stopped broadcasting
+    "crawl_fetch_schedule",
 ]
 
 

@@ -1,0 +1,589 @@
+"""PDF text extraction — stdlib-only parser + spec-shaped fixture
+writer (round-13 verdict #4).
+
+After HTML, PDF is the most common real corpus format, and the
+document stack previously ended at markup. This module implements the
+stdlib-reachable PDF subset in both directions, the WARC/MP4/JPEG
+playbook: an in-repo writer emits real ISO 32000-shaped files
+(object graph, FlateDecode content streams, xref table, trailer), and
+an independent parser walks xref → catalog → page tree → content
+streams and interprets the TEXT OPERATORS (``BT ET Tf Td TD T* TL Tj
+TJ ' "``), mapping bytes to text through the font's encoding
+(WinAnsi/standard — an ASCII superset handled as cp1252) or its
+ToUnicode CMap (``bfchar``/``bfrange``).
+
+Reference anchor: the reference's unstructured passthrough stops at
+byte-copying documents (ObjectStoreLoader.scala:95-144); text
+extraction is the LLM-brief multimodal head for documents.
+
+Scale shape: one ``mapInPandas`` Arrow pass over binary payloads —
+corpus-linear, no shuffle; malformed files quarantine per-row
+(``err`` column), never fail the job.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+_WORDS_PER_LINE = 8
+_LINES_PER_PAGE = 5
+
+
+def _esc_literal(s: str) -> bytes:
+    return (s.replace("\\", r"\\").replace("(", r"\(")
+            .replace(")", r"\)").encode("cp1252"))
+
+
+def _layout(text: str) -> list:
+    """The fixture's closed-form layout: words → 8-word lines →
+    5-line pages. Referees call this directly — the expected
+    extraction is ``"\\n".join(lines)`` over all pages."""
+    words = [w for w in text.split() if w]
+    lines = [" ".join(words[i:i + _WORDS_PER_LINE])
+             for i in range(0, len(words), _WORDS_PER_LINE)] or [""]
+    return [lines[i:i + _LINES_PER_PAGE]
+            for i in range(0, len(lines), _LINES_PER_PAGE)]
+
+
+def expected_pdf_text(text: str) -> str:
+    """What ``extract_pdf_text`` must return for a fixture built from
+    ``text`` — pure closed form, no PDF anywhere."""
+    return "\n".join(ln for page in _layout(text) for ln in page)
+
+
+def _content_stream(lines: list, variant: int) -> bytes:
+    """One page's content stream. Variants exercise the interpreter
+    surface: 0 = ``Tj`` literals with ``Td`` moves; 1 = ``TJ`` arrays
+    (words split, kerning −120 between them — a word break the
+    extractor must reinsert); 2 = hex strings + ``T*`` with ``TL``;
+    3 = shifted codes under a ToUnicode CMap (writer shifts every
+    byte +1; the CMap shifts it back)."""
+    ops = [b"BT", b"/F1 12 Tf"]
+    if variant == 2:
+        ops.append(b"14 TL")
+    ops.append(b"72 720 Td")
+    for i, ln in enumerate(lines):
+        if i > 0:
+            ops.append(b"T*" if variant == 2 else b"0 -14 Td")
+        if variant == 1:
+            parts = ln.split(" ")
+            arr = b" -120 ".join(b"(" + _esc_literal(p) + b")"
+                                 for p in parts)
+            ops.append(b"[" + arr + b"] TJ")
+        elif variant == 2:
+            ops.append(b"<" + ln.encode("cp1252").hex().encode()
+                       + b"> Tj")
+        elif variant == 3:
+            shifted = bytes((b + 1) % 256 for b in ln.encode("cp1252"))
+            ops.append(b"<" + shifted.hex().encode() + b"> Tj")
+        else:
+            ops.append(b"(" + _esc_literal(ln) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+_CMAP_SHIFT1 = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+/CMapName /Shift1 def
+1 begincodespacerange <00> <FF> endcodespacerange
+1 beginbfrange <21> <7F> <0020> endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end
+"""
+
+
+def build_pdf(text: str, variant: int = 0,
+              break_xref: bool = False) -> bytes:
+    """A complete one-xref PDF 1.4 file whose pages carry ``text``
+    under the fixture layout. ``variant`` selects the content-stream
+    form (see ``_content_stream``); variant 3 additionally attaches a
+    ToUnicode CMap to the font. ``break_xref`` corrupts the xref
+    offset (the malformed-file quarantine case)."""
+    pages = _layout(text)
+    objs: dict = {}  # obj number -> bytes (without "N 0 obj" framing)
+    n_pages = len(pages)
+    # 1 catalog, 2 pages tree, 3 font, (4 cmap), then page+content
+    font_extra = b""
+    next_obj = 4
+    if variant == 3:
+        cmap_stream = zlib.compress(_CMAP_SHIFT1)
+        objs[4] = (b"<< /Length " + str(len(cmap_stream)).encode()
+                   + b" /Filter /FlateDecode >>\nstream\n"
+                   + cmap_stream + b"\nendstream")
+        font_extra = b" /ToUnicode 4 0 R"
+        next_obj = 5
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+               b" /Encoding /WinAnsiEncoding" + font_extra + b" >>")
+    kid_refs = []
+    for p, lines in enumerate(pages):
+        content = _content_stream(lines, variant)
+        comp = zlib.compress(content)
+        c_obj = next_obj
+        objs[c_obj] = (b"<< /Length " + str(len(comp)).encode()
+                       + b" /Filter /FlateDecode >>\nstream\n"
+                       + comp + b"\nendstream")
+        p_obj = next_obj + 1
+        objs[p_obj] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents " + str(c_obj).encode() + b" 0 R >>")
+        kid_refs.append(f"{p_obj} 0 R".encode())
+        next_obj += 2
+    objs[2] = (b"<< /Type /Pages /Kids [" + b" ".join(kid_refs)
+               + b"] /Count " + str(n_pages).encode() + b" >>")
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += (str(num).encode() + b" 0 obj\n" + objs[num]
+                + b"\nendobj\n")
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += b"xref\n0 " + str(n).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(n).encode()
+            + b" /Root 1 0 R >>\nstartxref\n"
+            + str(xref_at + (7 if break_xref else 0)).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer over a PDF byte region: names, numbers, strings
+    (literal + hex), dict/array delimiters, operators."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def _skip_ws(self):
+        b = self.buf
+        while self.pos < len(b):
+            c = b[self.pos:self.pos + 1]
+            if c == b"%":  # comment to EOL
+                nl = b.find(b"\n", self.pos)
+                self.pos = len(b) if nl < 0 else nl + 1
+            elif c in _WS:
+                self.pos += 1
+            else:
+                return
+
+    def next_token(self):
+        """(kind, value): kind ∈ name num str dictopen dictclose
+        arropen arrclose op eof."""
+        self._skip_ws()
+        b, p = self.buf, self.pos
+        if p >= len(b):
+            return ("eof", None)
+        c = b[p:p + 1]
+        if c == b"/":
+            q = p + 1
+            while q < len(b) and b[q:q + 1] not in _WS \
+                    and b[q:q + 1] not in _DELIM:
+                q += 1
+            self.pos = q
+            return ("name", b[p + 1:q].decode("latin1"))
+        if c == b"(":
+            return ("str", self._literal_string())
+        if b[p:p + 2] == b"<<":
+            self.pos = p + 2
+            return ("dictopen", None)
+        if c == b"<":
+            q = b.find(b">", p)
+            if q < 0:
+                raise ValueError("unterminated hex string")
+            self.pos = q + 1
+            hx = re.sub(rb"\s", b"", b[p + 1:q])
+            if len(hx) % 2:
+                hx += b"0"
+            return ("str", bytes.fromhex(hx.decode("ascii")))
+        if b[p:p + 2] == b">>":
+            self.pos = p + 2
+            return ("dictclose", None)
+        if c == b"[":
+            self.pos = p + 1
+            return ("arropen", None)
+        if c == b"]":
+            self.pos = p + 1
+            return ("arrclose", None)
+        if c.isdigit() or c in b"+-.":
+            q = p
+            while q < len(b) and b[q:q + 1] in b"0123456789+-.":
+                q += 1
+            self.pos = q
+            tok = b[p:q].decode("ascii")
+            return ("num", float(tok) if "." in tok else int(tok))
+        q = p
+        while q < len(b) and b[q:q + 1] not in _WS \
+                and b[q:q + 1] not in _DELIM:
+            q += 1
+        self.pos = q if q > p else p + 1
+        return ("op", b[p:self.pos].decode("latin1"))
+
+    def _literal_string(self) -> bytes:
+        b = self.buf
+        p = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while p < len(b):
+            c = b[p]
+            if c == 0x5C:  # backslash
+                p += 1
+                e = b[p:p + 1]
+                mapping = {b"n": 10, b"r": 13, b"t": 9, b"b": 8,
+                           b"f": 12, b"(": 40, b")": 41, b"\\": 92}
+                if e in mapping:
+                    out.append(mapping[e])
+                    p += 1
+                elif e.isdigit():  # octal, up to 3 digits
+                    q = p
+                    while q < p + 3 and b[q:q + 1].isdigit():
+                        q += 1
+                    out.append(int(b[p:q], 8) & 0xFF)
+                    p = q
+                else:
+                    p += 1  # line continuation / unknown: drop
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                p += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos = p + 1
+                    return bytes(out)
+                out.append(c)
+                p += 1
+            else:
+                out.append(c)
+                p += 1
+        raise ValueError("unterminated literal string")
+
+
+def _parse_value(lx: _Lexer):
+    kind, val = lx.next_token()
+    return _parse_value_tok(lx, kind, val)
+
+
+def _parse_value_tok(lx: _Lexer, kind, val):
+    if kind == "dictopen":
+        d = {}
+        while True:
+            k, kv = lx.next_token()
+            if k == "dictclose":
+                return d
+            if k != "name":
+                raise ValueError(f"dict key must be a name, got {k}")
+            d[kv] = _parse_value(lx)
+    if kind == "arropen":
+        arr = []
+        while True:
+            save = lx.pos
+            k, v = lx.next_token()
+            if k == "arrclose":
+                return arr
+            lx.pos = save
+            arr.append(_parse_value(lx))
+    if kind == "num":
+        # possible reference "N G R"
+        save = lx.pos
+        k2, v2 = lx.next_token()
+        if k2 == "num":
+            save2 = lx.pos
+            k3, v3 = lx.next_token()
+            if k3 == "op" and v3 == "R":
+                return ("ref", int(val))
+            lx.pos = save  # not a reference: rewind past the first num
+            return val
+        lx.pos = save
+        return val
+    if kind in ("str", "name"):
+        return (kind, val) if kind == "name" else val
+    if kind == "op":
+        if val == "true":
+            return True
+        if val == "false":
+            return False
+        if val == "null":
+            return None
+        raise ValueError(f"unexpected operator {val!r} in value")
+    raise ValueError(f"unexpected token {kind}")
+
+
+def _parse_xref(buf: bytes) -> tuple:
+    """(offsets: {obj: offset}, trailer dict) from the classic xref
+    table the ``startxref`` pointer names. Malformed pointers/tables
+    raise ValueError — quarantine, not garbage."""
+    tail = buf[-256:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not m:
+        raise ValueError("malformed PDF: no startxref/%%EOF")
+    at = int(m.group(1))
+    if not buf[at:at + 4] == b"xref":
+        raise ValueError("malformed PDF: startxref does not point at xref")
+    lx = _Lexer(buf, at + 4)
+    offsets = {}
+    while True:
+        save = lx.pos
+        k, v = lx.next_token()
+        if k == "op" and v == "trailer":
+            break
+        if k != "num":
+            raise ValueError("malformed xref: expected subsection header")
+        k2, count = lx.next_token()
+        if k2 != "num":
+            raise ValueError("malformed xref: expected entry count")
+        start = int(v)
+        lx._skip_ws()
+        for i in range(int(count)):
+            entry = buf[lx.pos:lx.pos + 20]
+            em = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
+            if not em:
+                raise ValueError("malformed xref entry")
+            if em.group(3) == b"n":
+                offsets[start + i] = int(em.group(1))
+            lx.pos += 20
+            lx._skip_ws()
+    trailer = _parse_value(lx)
+    if not isinstance(trailer, dict):
+        raise ValueError("malformed trailer")
+    return offsets, trailer
+
+
+def _load_object(buf: bytes, offsets: dict, num: int):
+    """Object N from its xref offset; streams return (dict, bytes)
+    with FlateDecode already applied."""
+    if num not in offsets:
+        raise ValueError(f"object {num} not in xref")
+    at = offsets[num]
+    m = re.match(rb"(\d+)\s+(\d+)\s+obj", buf[at:at + 32])
+    if not m or int(m.group(1)) != num:
+        raise ValueError(f"xref offset for object {num} is wrong")
+    lx = _Lexer(buf, at + m.end())
+    val = _parse_value(lx)
+    if isinstance(val, dict):
+        save = lx.pos
+        k, v = lx.next_token()
+        if k == "op" and v == "stream":
+            p = lx.pos
+            if buf[p:p + 2] == b"\r\n":
+                p += 2
+            elif buf[p:p + 1] == b"\n":
+                p += 1
+            length = val.get("Length")
+            if isinstance(length, tuple):
+                raise ValueError("indirect /Length unsupported")
+            data = buf[p:p + int(length)]
+            filt = val.get("Filter")
+            if filt == ("name", "FlateDecode"):
+                data = zlib.decompress(data)
+            elif filt is not None:
+                raise ValueError(f"unsupported stream filter {filt}")
+            return val, data
+        lx.pos = save
+    return val, None
+
+
+def _deref(buf, offsets, v):
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "ref":
+        return _load_object(buf, offsets, v[1])[0]
+    return v
+
+
+def _parse_tounicode(data: bytes) -> dict:
+    """code → unicode map from a ToUnicode CMap stream (``bfchar`` +
+    ``bfrange`` sections; single-byte codespace)."""
+    cmap = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = chr(int(dst, 16))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
+            base = int(dst, 16)
+            for i in range(int(lo, 16), int(hi, 16) + 1):
+                cmap[i] = chr(base + (i - int(lo, 16)))
+    return cmap
+
+
+_TJ_SPACE = -100  # kerning gap at/below this is a word break (pts/1000)
+
+
+def extract_pdf_text(payload: bytes) -> dict:
+    """Extract ordered text from one PDF: ``{text, n_pages}``.
+    Content streams are interpreted per the text-operator subset
+    (``BT ET Tf Td TD T* TL Tj TJ ' \"``); bytes map through the
+    current font's ToUnicode CMap when present, else WinAnsi/cp1252
+    (every standard-encoding fixture byte agrees with it). Lines are
+    emitted in operator order, one per text-positioning move;
+    malformed structure raises ValueError."""
+    offsets, trailer = _parse_xref(payload)
+    root = _deref(payload, offsets, trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("malformed PDF: no /Root catalog")
+    pages_obj = _deref(payload, offsets, root.get("Pages"))
+
+    page_dicts: list = []
+
+    def _walk(node):
+        if node.get("Type") == ("name", "Page"):
+            page_dicts.append(node)
+            return
+        for kid in node.get("Kids", []):
+            _walk(_deref(payload, offsets, kid))
+
+    _walk(pages_obj)
+
+    out_lines: list = []
+    for pg in page_dicts:
+        # font resources: name -> cmap (or None for standard encoding)
+        fonts = {}
+        res = _deref(payload, offsets, pg.get("Resources", {}))
+        fdict = _deref(payload, offsets, res.get("Font", {})) \
+            if isinstance(res, dict) else {}
+        for fname, fref in (fdict or {}).items():
+            fobj = _deref(payload, offsets, fref)
+            cmap = None
+            tu = fobj.get("ToUnicode") if isinstance(fobj, dict) else None
+            if tu is not None:
+                if isinstance(tu, tuple) and tu[0] == "ref":
+                    _, data = _load_object(payload, offsets, tu[1])
+                else:
+                    raise ValueError("inline ToUnicode unsupported")
+                fonts[fname] = _parse_tounicode(data)
+            else:
+                fonts[fname] = None
+
+        contents = pg.get("Contents")
+        if not isinstance(contents, list):
+            contents = [contents]
+        data = b"".join(
+            _load_object(payload, offsets, c[1])[1] or b""
+            for c in contents)
+
+        cur_font = None
+        line: list = []
+
+        def _flush():
+            if line:
+                out_lines.append("".join(line))
+                line.clear()
+
+        def _decode(raw: bytes) -> str:
+            cmap = fonts.get(cur_font)
+            if cmap is None:
+                return raw.decode("cp1252")
+            return "".join(cmap.get(b, "�") for b in raw)
+
+        lx = _Lexer(data)
+        stack: list = []
+        while True:
+            kind, val = lx.next_token()
+            if kind == "eof":
+                break
+            if kind != "op":
+                stack.append(_parse_value_tok(lx, kind, val))
+                continue
+            if val == "Tf" and len(stack) >= 2:
+                cur_font = stack[-2][1] if isinstance(stack[-2], tuple) \
+                    else None
+            elif val in ("Td", "TD", "T*"):
+                _flush()
+            elif val == "Tj" and stack:
+                line.append(_decode(stack[-1]))
+            elif val in ("'", '"') and stack:
+                _flush()
+                line.append(_decode(stack[-1]))
+            elif val == "TJ" and stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        line.append(_decode(item))
+                    elif isinstance(item, (int, float)) \
+                            and item <= _TJ_SPACE:
+                        line.append(" ")
+            elif val == "ET":
+                _flush()
+            stack = []  # operands are consumed by their operator
+        _flush()
+    return {"text": "\n".join(out_lines), "n_pages": len(page_dicts)}
+
+
+# ---------------------------------------------------------------------------
+# Spark faces
+# ---------------------------------------------------------------------------
+
+def attach_pdf_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, payload) fixture corpus: each document rendered to a
+    real PDF, the content-stream variant cycling by ``doc_id % 4``
+    (Tj literals / TJ kerning arrays / hex strings + T* / shifted
+    codes under a ToUnicode CMap). One Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(i) for i in b[id_col]],
+                "payload": [build_pdf(str(t), variant=int(i) % 4)
+                            for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_gen, schema=schema)
+
+
+def pdf_text(df: DataFrame, payload_col: str = "payload",
+             carry: tuple = ("doc_id",)) -> DataFrame:
+    """Extract text from a binary PDF column: carries ``carry``
+    through, adds (pdf_text, n_pages, pdf_err) — a malformed file is
+    an err row (quarantine discipline), never a job failure."""
+    import pandas as pd
+
+    fields = [T.StructField(c, T.LongType()) if c == "doc_id"
+              else T.StructField(c, T.StringType()) for c in carry]
+    schema = T.StructType(fields + [
+        T.StructField("pdf_text", T.StringType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("pdf_err", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in range(len(b)):
+                carried = [b[c].iloc[i] for c in carry]
+                try:
+                    r = extract_pdf_text(bytes(b[payload_col].iloc[i]))
+                    rows.append((*carried, r["text"], r["n_pages"],
+                                 None))
+                except (ValueError, zlib.error, KeyError,
+                        AttributeError, TypeError) as e:
+                    rows.append((*carried, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(_extract, schema=schema)

@@ -1,0 +1,43 @@
+"""URL canonicalization as a pure-Catalyst column expression.
+
+Extracted from the round-12 ``crawl_url_canonical_dedup`` query so the
+continuous crawl loader composes the same normalization (round-13
+verdict #6): tracking-parameter aliases, case-mangled hosts, explicit
+default ports, fragments, and trailing slashes all collapse to one
+canonical URL — no UDF, no Python, codegen-able end to end.
+
+Normalization contract (the query's referee implements it
+independently): strip fragment → split query → lowercase scheme+host
+and drop ':443' → rtrim path '/' → drop utm_* params and SORT the
+rest → reassemble.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonical_url(url_col: str = "url") -> Column:
+    """Canonical form of ``url_col`` (see module docstring). The
+    input must be a COLUMN NAME (the inner SQL snippets reference it
+    by name), which every crawl-frontier frame has."""
+    no_frag = F.substring_index(F.col(url_col), "#", 1)
+    pre = F.substring_index(no_frag, "?", 1)
+    q = F.when(F.instr(no_frag, "?") > 0,
+               F.expr(f"substring_index(substring_index({url_col}, "
+                      f"'#', 1), '?', -1)")).otherwise(F.lit(""))
+    scheme_host = F.substring_index(pre, "/", 3)
+    _pre_sql = (f"substring_index(substring_index({url_col}, '#', 1), "
+                f"'?', 1)")
+    base = F.concat(
+        F.replace(F.lower(scheme_host), F.lit(":443"), F.lit("")),
+        F.expr(f"TRIM(TRAILING '/' FROM substring({_pre_sql}, "
+               f"length(substring_index({_pre_sql}, '/', 3)) + 1))"))
+    params = F.array_join(
+        F.array_sort(F.filter(
+            F.split(q, "&"),
+            lambda x: (~x.startswith("utm_")) & (x != ""))), "&")
+    return F.concat(
+        base, F.when(params != "", F.concat(F.lit("?"), params))
+        .otherwise(F.lit("")))

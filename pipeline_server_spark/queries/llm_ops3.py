@@ -1434,9 +1434,10 @@ def warc_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .where((F.col("warc_type") == "response")
                          & (F.col("http_status") == 200)
                          & F.col("http_content_type")
-                         .startswith("text/html"))
+                         .startswith("text/html")
+                         & F.col("decode_err").isNull())
                   .select("archive_id", "uri", "http_status",
-                          F.decode(F.col("body"), "UTF-8").alias("html"),
+                          F.col("text").alias("html"),
                           F.regexp_extract("uri", r"/doc/(\d+)$", 1)
                           .cast("long").alias("doc_id")))
     # crawl metadata CARRIES through the extraction pass — a join back
@@ -1452,13 +1453,15 @@ def _crawl_digest_dedup_py_oracle(sf_dir: str):
     """Referee for crawl-level exact dedup: for every planted mirror
     (doc_id < 30) the expected group is (doc_id, 2 copies, the two
     URIs sorted) — digests recomputed from the generators' closed form
-    (sha1 over the fixture page bytes; no WARC/HTTP parsing), unique
-    pages produce no group."""
+    (sha1 over the fixture page's STORED payload bytes, i.e. after the
+    round-13 per-kind charset/content-encoding; no WARC/HTTP parsing),
+    unique pages produce no group."""
     import pandas as pd
 
     from pipeline_server_spark.operators.html_extract import (
         synth_html_page)
-    from pipeline_server_spark.operators.warc import payload_digest
+    from pipeline_server_spark.operators.warc import (
+        fixture_stored_payload, payload_digest)
     from pipeline_server_spark.tools.oracle_compare import duck_connection
 
     rows = duck_connection(sf_dir).execute(
@@ -1468,7 +1471,7 @@ def _crawl_digest_dedup_py_oracle(sf_dir: str):
     for doc_id, text in rows:
         d = int(doc_id)
         digest = payload_digest(
-            synth_html_page(d, str(text)).encode("utf-8"))
+            fixture_stored_payload(d, synth_html_page(d, str(text))))
         uris = sorted([f"https://example.org/doc/{d}",
                        f"https://mirror.example.org/m/{d}"])
         out.append((digest, 2, uris[0], "|".join(uris)))
@@ -1610,24 +1613,12 @@ def crawl_url_canonical_dedup(spark: SparkSession,
         F.col("doc_id").cast("string")).alias("url"))
     crawl = v1.unionByName(v2).unionByName(v3)
 
-    no_frag = F.substring_index(F.col("url"), "#", 1)
-    pre = F.substring_index(no_frag, "?", 1)
-    q = F.when(F.instr(no_frag, "?") > 0,
-               F.expr("substring_index(substring_index(url, '#', 1), "
-                      "'?', -1)")).otherwise(F.lit(""))
-    scheme_host = F.substring_index(pre, "/", 3)
-    _pre_sql = "substring_index(substring_index(url, '#', 1), '?', 1)"
-    base = F.concat(
-        F.replace(F.lower(scheme_host), F.lit(":443"), F.lit("")),
-        F.expr(f"TRIM(TRAILING '/' FROM substring({_pre_sql}, "
-               f"length(substring_index({_pre_sql}, '/', 3)) + 1))"))
-    params = F.array_join(
-        F.array_sort(F.filter(
-            F.split(q, "&"),
-            lambda x: (~x.startswith("utm_")) & (x != ""))), "&")
-    canon = F.concat(
-        base, F.when(params != "", F.concat(F.lit("?"), params))
-        .otherwise(F.lit("")))
+    # shared with the continuous crawl loader (round-13): the
+    # normalization lives in operators.urlnorm; this query pins it
+    # against the referee's independent implementation
+    from pipeline_server_spark.operators.urlnorm import canonical_url
+
+    canon = canonical_url("url")
     return (crawl
             .select("doc_id", canon.alias("canonical_url"))
             .groupBy("canonical_url")
@@ -1939,4 +1930,53 @@ def crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "url", "host", "matched_rule",
                     F.col("slot").cast("long").alias("slot"),
                     "fetch_at", "worker")
+            .orderBy("doc_id"))
+
+
+def _pdf_text_py_oracle(sf_dir: str):
+    """Referee for PDF extraction: expected text from the fixture's
+    CLOSED-FORM layout (words → 8-word lines → 5-line pages) — no PDF
+    parsing, no zlib, no xref on the referee side."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.pdf import (
+        _LINES_PER_PAGE, _layout, expected_pdf_text)
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    out = []
+    for d, t in rows:
+        pages = _layout(str(t))
+        out.append((int(d), expected_pdf_text(str(t)), len(pages)))
+    return pd.DataFrame(out, columns=["doc_id", "pdf_text", "n_pages"]) \
+        .astype({"doc_id": "int64", "n_pages": "int32"}) \
+        .sort_values("doc_id", ignore_index=True)
+
+
+@query("pdf_main_text", oracle_py=_pdf_text_py_oracle)
+# no SQL oracle: xref/object-graph walking + FlateDecode + content-
+# stream interpretation is not SQL-expressible; the closed-form
+# referee goes through the full rows+schema+hash gate
+def pdf_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT EXTRACTION (round-13 verdict #4) — the document
+    stack's second head after HTML: every document renders to a real
+    ISO 32000-shaped PDF (object graph, FlateDecode content streams,
+    xref table) whose content-stream FORM cycles per doc — ``Tj``
+    literals with escapes, ``TJ`` kerning arrays whose −120 gaps are
+    word breaks the extractor must reinsert, hex strings advancing by
+    ``TL``/``T*``, and byte codes shifted +1 under a ToUnicode CMap
+    the extractor must map back — and the stdlib parser (xref →
+    catalog → page tree → text operators) must recover EXACTLY the
+    closed-form layout text, multi-page documents included.
+
+    Scale shape: render and extract are two chained Arrow passes,
+    corpus-linear, no shuffle before the final order-by; malformed
+    files are err rows (quarantine), pytest-pinned."""
+    from pipeline_server_spark.operators.pdf import (
+        attach_pdf_corpus, pdf_text)
+
+    d = load_table(spark, sf_dir, "documents")
+    return (pdf_text(attach_pdf_corpus(d))
+            .select("doc_id", "pdf_text", "n_pages")
             .orderBy("doc_id"))

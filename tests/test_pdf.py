@@ -1,0 +1,105 @@
+"""PDF writer/parser/extraction (round-13 verdict #4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_server_spark.operators.pdf import (
+    _LINES_PER_PAGE,
+    _WORDS_PER_LINE,
+    attach_pdf_corpus,
+    build_pdf,
+    expected_pdf_text,
+    extract_pdf_text,
+    pdf_text,
+)
+
+TEXT = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("variant", [0, 1, 2, 3])
+    def test_all_stream_variants(self, variant):
+        got = extract_pdf_text(build_pdf(TEXT, variant=variant))
+        assert got["text"] == expected_pdf_text(TEXT)
+        # 90 words -> 12 lines -> 3 pages
+        assert got["n_pages"] == 3
+
+    def test_multipage_layout(self):
+        words_per_page = _WORDS_PER_LINE * _LINES_PER_PAGE
+        one_page = " ".join(f"w{i}" for i in range(words_per_page))
+        assert extract_pdf_text(build_pdf(one_page))["n_pages"] == 1
+        two = one_page + " overflow"
+        assert extract_pdf_text(build_pdf(two))["n_pages"] == 2
+
+    def test_literal_string_escapes(self):
+        t = ("paren(thesis) back\\slash (nested (deep)) done "
+             "plus close) alone")
+        got = extract_pdf_text(build_pdf(t, variant=0))
+        assert got["text"] == expected_pdf_text(t)
+
+    def test_tj_kerning_word_breaks(self):
+        # variant 1 splits every word into its own TJ element with a
+        # -120 gap; extraction must reinsert exactly one space each
+        t = "one two three four five six seven eight nine ten"
+        got = extract_pdf_text(build_pdf(t, variant=1))
+        assert got["text"] == expected_pdf_text(t)
+
+    def test_tounicode_cmap_restores_shifted_codes(self):
+        t = "shifted bytes must map back through the bfrange"
+        raw = build_pdf(t, variant=3)
+        # the stored content bytes are NOT the plain text
+        assert b"shifted" not in raw
+        assert extract_pdf_text(raw)["text"] == expected_pdf_text(t)
+
+    def test_windows_1252_text(self):
+        t = "café naïve — résumé words pad pad pad"
+        got = extract_pdf_text(build_pdf(t, variant=0))
+        assert got["text"] == expected_pdf_text(t)
+
+
+class TestMalformed:
+    def test_broken_startxref(self):
+        with pytest.raises(ValueError, match="startxref"):
+            extract_pdf_text(build_pdf(TEXT, break_xref=True))
+
+    def test_truncated_file(self):
+        with pytest.raises(ValueError):
+            extract_pdf_text(build_pdf(TEXT)[:200])
+
+    def test_not_a_pdf(self):
+        with pytest.raises(ValueError):
+            extract_pdf_text(b"GIF89a not a pdf at all")
+
+
+class TestSparkFace:
+    def test_corpus_chain_and_quarantine(self, spark):
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} " + " ".join(f"tok{j}" for j in range(20)))
+             for i in range(8)],
+            "doc_id long, text string")
+        out = pdf_text(attach_pdf_corpus(docs))
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == 8
+        for i in range(8):
+            assert rows[i].pdf_err is None
+            assert rows[i].pdf_text.startswith(f"doc {i} tok0")
+
+        # malformed payload -> err row, good rows unaffected
+        bad = spark.createDataFrame(
+            [(99, bytearray(b"%PDF-1.4 broken"))],
+            "doc_id long, payload binary")
+        mixed = attach_pdf_corpus(docs).unionByName(bad)
+        got = pdf_text(mixed)
+        assert got.where(F.col("pdf_err").isNotNull()).count() == 1
+        assert got.where(F.col("pdf_err").isNull()).count() == 8
+
+    def test_plan_is_arrow_no_shuffle(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")],
+                                     "doc_id long, text string")
+        plan = pdf_text(attach_pdf_corpus(docs)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # corpus-linear: no shuffle

@@ -250,3 +250,197 @@ def test_digest_dedup_evidence_cap(spark):
         f"https://m{i:02d}.org/x" for i in range(8)]
     assert got["d2"].n_copies == 2
     assert got["d2"].uris == "https://a.org/1|https://b.org/1"
+
+
+class TestHttpDecodeContract:
+    """Round-12 verdict gap #2: charset + content-encoding in the
+    crawl chain."""
+
+    def test_chunked_roundtrip_and_malformed(self):
+        import pytest as _pt
+
+        from pipeline_server_spark.operators.warc import (
+            _chunk_decode, _chunk_encode)
+        body = bytes(range(256)) * 5
+        assert _chunk_decode(_chunk_encode(body, size=100)) == body
+        assert _chunk_decode(b"3;ext=1\r\nabc\r\n0\r\n\r\n") == b"abc"
+        with _pt.raises(ValueError):
+            _chunk_decode(b"zz\r\nabc\r\n")
+        with _pt.raises(ValueError):
+            _chunk_decode(b"5\r\nabc\r\n")  # short chunk
+
+    def test_decode_priority_bom_wins(self):
+        from pipeline_server_spark.operators.warc import decode_http_body
+        body = "«texte»".encode("utf-16")  # BOM'd
+        t, cs, ce, err = decode_http_body(
+            {"content-type": "text/html; charset=iso-8859-1"}, body)
+        assert err is None and t == "«texte»" and cs == "utf-16-le"
+
+    def test_decode_header_charset_whatwg_alias(self):
+        from pipeline_server_spark.operators.warc import decode_http_body
+        body = "dash — café".encode("cp1252")  # not latin-1-able
+        t, cs, ce, err = decode_http_body(
+            {"content-type": "text/html; charset=iso-8859-1"}, body)
+        assert err is None and t == "dash — café" and cs == "cp1252"
+
+    def test_decode_meta_sniff(self):
+        from pipeline_server_spark.operators.warc import decode_http_body
+        html = ('<html><head><meta charset="gb18030"><title>中文'
+                '</title></head><body>测试</body></html>')
+        t, cs, ce, err = decode_http_body(
+            {"content-type": "text/html"}, html.encode("gb18030"))
+        assert err is None and "测试" in t and cs == "gb18030"
+
+    def test_decode_gzip_and_deflate(self):
+        import gzip as _gz
+        import zlib as _zl
+
+        from pipeline_server_spark.operators.warc import decode_http_body
+        t, _, ce, err = decode_http_body(
+            {"content-encoding": "gzip",
+             "content-type": "text/html; charset=utf-8"},
+            _gz.compress("héllo".encode("utf-8")))
+        assert err is None and t == "héllo" and ce == "gzip"
+        # zlib-wrapped deflate AND the raw-deflate IIS quirk
+        co = _zl.compressobj(wbits=-15)
+        raw = co.compress(b"x") + co.flush()
+        for blob in (_zl.compress(b"x"), raw):
+            t, _, ce, err = decode_http_body(
+                {"content-encoding": "deflate",
+                 "content-type": "text/plain"}, blob)
+            assert err is None and t == "x" and ce == "deflate"
+
+    def test_decode_quarantines_not_mojibake(self):
+        from pipeline_server_spark.operators.warc import decode_http_body
+        # declared utf-8 but invalid bytes -> err, text None
+        t, cs, ce, err = decode_http_body(
+            {"content-type": "text/html; charset=utf-8"},
+            b"ok \xff\xfe\x9d bad")
+        assert t is None and err and "undecodable" in err
+        # unknown declared charset -> err
+        t, cs, ce, err = decode_http_body(
+            {"content-type": "text/html; charset=klingon-8"}, b"x")
+        assert t is None and "unknown declared charset" in err
+        # unsupported content-encoding -> err
+        t, cs, ce, err = decode_http_body(
+            {"content-encoding": "br", "content-type": "text/html"}, b"x")
+        assert t is None and "unsupported content-encoding" in err
+
+    def test_warc_records_decode_columns(self, spark):
+        """All six fixture wire forms decode to the same page text;
+        a planted undecodable page carries decode_err instead."""
+        from pipeline_server_spark.operators.warc import (
+            build_warc, fixture_page_opts, warc_records)
+
+        html = ("<html><head><title>t</title></head>"
+                "<body><p>pÄge — text</p></body></html>")
+        pages = [(i, html, None, fixture_page_opts(i)) for i in range(6)]
+        # page 6: claims utf-8, body is cp1252 high bytes -> quarantine
+        bad = html.replace("pÄge", "p—ge")  # force non-ascii
+        pages.append((6, bad.encode("cp1252"), None,
+                      {"charset": None, "declared_charset": "utf-8"}))
+        payload = build_warc(pages)
+        df = spark.createDataFrame([(0, bytearray(payload))],
+                                   "archive_id long, payload binary")
+        recs = {r.uri: r for r in warc_records(df).collect()
+                if r.warc_type == "response"}
+        for i in range(6):
+            r = recs[f"https://example.org/doc/{i}"]
+            assert r.decode_err is None, (i, r.decode_err)
+            assert "pÄge — text" in r.text, i
+            assert r.digest_ok is True, i
+        bad_r = recs["https://example.org/doc/6"]
+        assert bad_r.text is None and "undecodable" in bad_r.decode_err
+
+
+class TestComposedCrawlStream:
+    """Round-12 verdict #6: canonicalization + robots + digest dedup
+    wired INTO the continuous WARC loader, gates before extraction."""
+
+    def test_full_stack_stream(self, spark, tmp_path):
+        from pipeline_server_spark.operators.html_extract import (
+            extract_main_text, synth_html_page)
+        from pipeline_server_spark.operators.robots import (
+            robots_rules_df)
+        from pipeline_server_spark.operators.warc import build_warc
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+        from pipeline_server_spark.streaming.autoingest import (
+            warc_ingest_stream)
+
+        landing = tmp_path / "crawl"
+        landing.mkdir()
+        texts = {i: " ".join(f"word{j} token{j} value{j}"
+                             for j in range(12 + i)) for i in range(6)}
+        pages = []
+        for i in range(4):
+            html = synth_html_page(i, texts[i])
+            # messy alias of the SAME capture: tracking params +
+            # mangled host — canonicalizes to the clean URI
+            pages.append((i, html,
+                          f"HTTPS://Example.ORG:443/doc/{i}"
+                          f"?utm_source=rss#top"))
+            # exact mirror at another URI (same digest)
+            pages.append((i, html, f"https://mirror.example.org/m/{i}"))
+        # robots-disallowed capture
+        pages.append((4, synth_html_page(4, texts[4]),
+                      "https://example.org/private/4"))
+        # undecodable page: declared utf-8, cp1252 bytes
+        bad_html = synth_html_page(5, texts[5] + " — dash")
+        pages.append((5, bad_html.encode("cp1252"),
+                      "https://example.org/doc/5",
+                      {"charset": None, "declared_charset": "utf-8"}))
+        (landing / "a.warc").write_bytes(build_warc(pages))
+
+        robots = spark.createDataFrame(
+            [("example.org",
+              "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string")
+        rules = robots_rules_df(robots).localCheckpoint()
+
+        kw = dict(
+            table_path=str(tmp_path / "t"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            quarantine_path=str(tmp_path / "bad"),
+            robots_rules=rules, dedup_digests=True,
+            available_now=True)
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        rows = t.read().collect()
+        # one row per document 0..3: alias+mirror collapsed by digest,
+        # /private/ dropped by robots, doc 5 quarantined
+        assert len(rows) == 4
+        by_url = {r["canonical_url"]: r for r in rows}
+        for i in range(4):
+            # canonical winner = min canonical_url; the cleaned alias
+            # https://example.org/doc/i sorts before mirror.example.org
+            r = by_url[f"https://example.org/doc/{i}"]
+            want = extract_main_text(synth_html_page(i, texts[i]))
+            assert r["main_text"] == want["main_text"]
+        dl = VersionedTable(spark, str(tmp_path / "bad"))
+        bad = dl.read().collect()
+        assert len(bad) == 1
+        assert "undecodable" in bad[0]["error"]
+        assert bad[0]["uri"] == "https://example.org/doc/5"
+
+        # restart: nothing re-delivers
+        v0 = t.current_version()
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+        assert t.current_version() == v0
+
+        # a RE-CRAWL of doc 0 (same digest, new archive) must be
+        # short-circuited by the destination's seen-digest set;
+        # a genuinely new doc lands
+        recrawl = [(0, synth_html_page(0, texts[0]),
+                    "https://example.org/doc/0"),
+                   (9, synth_html_page(9, "fresh page body " * 10),
+                    "https://example.org/doc/9")]
+        (landing / "b.warc").write_bytes(build_warc(recrawl))
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+        urls = sorted(r["canonical_url"] for r in t.read().collect())
+        assert len(urls) == 5
+        assert urls.count("https://example.org/doc/0") == 1
+        assert "https://example.org/doc/9" in urls
