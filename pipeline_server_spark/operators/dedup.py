@@ -330,6 +330,47 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def minhash_connectivity_edges(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edges (doc_a < doc_b, jaccard) preserving the CONNECTED
+    COMPONENTS of the MinHash near-dup graph with O(class) rows for
+    EXACT-duplicate classes (round-12 verdict #3, the MinHash twin of
+    ``hamming_connectivity_edges``): byte-identical texts collapse to
+    their min-id representative first (one member→rep edge each,
+    jaccard 1.0 — identical text ⇒ identical shingle set ⇒ the pair
+    is in the graph at any threshold ≤ 1), and the LSH candidate
+    join + verification run over DISTINCT texts only. A million-way
+    mirror class — the worst row of every web crawl — costs 10⁶ edge
+    rows and ONE signature in the banded join instead of 5·10¹¹
+    verified pairs. Components equal ``connected_components(
+    minhash_lsh_dedup_pairs(df))``'s exactly; use the full pair
+    function where all pairs are the contract."""
+    th = F.xxhash64(text_col)
+    reps = df.groupBy(th.alias("_th")).agg(F.min(id_col).alias("_rep"))
+    member_edges = (
+        df.join(reps, th == F.col("_th"))
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    distinct_docs = (
+        df.join(reps, (th == F.col("_th"))
+                & (F.col(id_col) == F.col("_rep")))
+        .select(id_col, text_col)
+    )
+    rep_pairs = minhash_lsh_dedup_pairs(
+        distinct_docs, threshold, n, num_perm, bands, id_col, text_col)
+    return member_edges.unionByName(rep_pairs)
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -101,12 +101,29 @@ endcmap CMapName currentdict /CMap defineresource pop end end
 
 
 def build_pdf(text: str, variant: int = 0,
-              break_xref: bool = False) -> bytes:
-    """A complete one-xref PDF 1.4 file whose pages carry ``text``
-    under the fixture layout. ``variant`` selects the content-stream
-    form (see ``_content_stream``); variant 3 additionally attaches a
-    ToUnicode CMap to the font. ``break_xref`` corrupts the xref
-    offset (the malformed-file quarantine case)."""
+              break_xref: bool = False,
+              xref_stream: bool = False,
+              incremental_fix: bool = False) -> bytes:
+    """A complete PDF whose pages carry ``text`` under the fixture
+    layout. ``variant`` selects the content-stream form (see
+    ``_content_stream``); variant 3 additionally attaches a ToUnicode
+    CMap to the font. ``break_xref`` corrupts the xref offset (the
+    malformed-file quarantine case).
+
+    ``xref_stream=True`` emits the PDF 1.5+ form real corpora are
+    full of: the non-stream objects pack into an OBJECT STREAM
+    (``/Type /ObjStm``) and the cross-reference table is a
+    CROSS-REFERENCE STREAM (``/Type /XRef``, ``/W [1 2 2]`` binary
+    rows, FlateDecode) instead of the classic ``xref`` table.
+
+    ``incremental_fix=True`` emits an INCREMENTAL UPDATE (ISO 32000
+    §7.5.6): the base body carries a corrupted first line, and an
+    appended section re-writes page 1's content stream with the
+    correct text plus a new xref section whose trailer ``/Prev``
+    chains to the original — an extractor that ignores the chain (or
+    lets the OLD entry win) returns the corrupted text."""
+    if incremental_fix:
+        return _build_incremental(text, variant)
     pages = _layout(text)
     objs: dict = {}  # obj number -> bytes (without "N 0 obj" framing)
     n_pages = len(pages)
@@ -141,6 +158,8 @@ def build_pdf(text: str, variant: int = 0,
                + b"] /Count " + str(n_pages).encode() + b" >>")
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
 
+    if xref_stream:
+        return _emit_xref_stream_form(objs, break_xref)
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num in sorted(objs):
@@ -156,6 +175,106 @@ def build_pdf(text: str, variant: int = 0,
     out += (b"trailer\n<< /Size " + str(n).encode()
             + b" /Root 1 0 R >>\nstartxref\n"
             + str(xref_at + (7 if break_xref else 0)).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def _emit_xref_stream_form(objs: dict, break_xref: bool) -> bytes:
+    """PDF 1.5+ emission: dict-only objects pack into one /ObjStm;
+    stream objects stay top-level (streams may not live in object
+    streams); the cross-reference is a /Type /XRef stream with
+    /W [1 2 2] rows (type, offset-or-objstm, gen-or-index)."""
+    # anything carrying a stream keeps a classic top-level slot
+    packed = {n: o for n, o in sorted(objs.items())
+              if b"endstream" not in o}
+    top = {n: o for n, o in objs.items() if n not in packed}
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + 1
+
+    # object stream body: "N off N off ..." header + concatenated objs
+    order = sorted(packed)
+    bodies = [packed[n] + b"\n" for n in order]
+    offs, at = [], 0
+    for b in bodies:
+        offs.append(at)
+        at += len(b)
+    header = " ".join(f"{n} {o}" for n, o in zip(order, offs)) \
+        .encode() + b"\n"
+    stm_plain = header + b"".join(bodies)
+    stm = zlib.compress(stm_plain)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += (str(num).encode() + b" 0 obj\n" + top[num]
+                + b"\nendobj\n")
+    offsets[objstm_num] = len(out)
+    out += (str(objstm_num).encode() + b" 0 obj\n<< /Type /ObjStm /N "
+            + str(len(order)).encode() + b" /First "
+            + str(len(header)).encode() + b" /Length "
+            + str(len(stm)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stm
+            + b"\nendstream\nendobj\n")
+
+    xref_at = len(out)
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") \
+                + (65535).to_bytes(2, "big")
+        elif num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") \
+                + (0).to_bytes(2, "big")
+        elif num in packed:
+            rows += bytes([2]) + objstm_num.to_bytes(4, "big") \
+                + order.index(num).to_bytes(2, "big")
+        elif num == xref_num:
+            rows += bytes([1]) + xref_at.to_bytes(4, "big") \
+                + (0).to_bytes(2, "big")
+        else:
+            rows += bytes([0]) + (0).to_bytes(4, "big") \
+                + (0).to_bytes(2, "big")
+    xstm = zlib.compress(bytes(rows))
+    out += (str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
+            + str(size).encode() + b" /W [1 4 2] /Root 1 0 R /Length "
+            + str(len(xstm)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + xstm
+            + b"\nendstream\nendobj\n")
+    out += (b"startxref\n"
+            + str(xref_at + (7 if break_xref else 0)).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def _build_incremental(text: str, variant: int) -> bytes:
+    """Incremental update: the base body carries a CORRUPTED first
+    line, then page 1's content stream is re-written in an appended
+    section whose classic xref carries /Prev → the original table.
+    Newest-section-wins resolution recovers ``text`` exactly."""
+    pages = _layout(text)
+    words = text.split()
+    corrupted = " ".join(["XCORRUPTX"] * min(len(words), _WORDS_PER_LINE)
+                         + words[_WORDS_PER_LINE:])
+    base = build_pdf(corrupted, variant=variant)
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF\s*$", base)
+    prev_at = int(m.group(1))
+    c_obj = 5 if variant == 3 else 4  # page 1's content object
+    content = _content_stream(pages[0], variant)
+    comp = zlib.compress(content)
+    out = bytearray(base)
+    new_off = len(out)
+    out += (str(c_obj).encode() + b" 0 obj\n<< /Length "
+            + str(len(comp)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + comp
+            + b"\nendstream\nendobj\n")
+    xref_at = len(out)
+    out += (b"xref\n" + str(c_obj).encode() + b" 1\n"
+            + f"{new_off:010d} 00000 n \n".encode())
+    out += (b"trailer\n<< /Size " + str(c_obj + 1).encode()
+            + b" /Root 1 0 R /Prev " + str(prev_at).encode()
+            + b" >>\nstartxref\n" + str(xref_at).encode()
             + b"\n%%EOF\n")
     return bytes(out)
 
@@ -330,52 +449,148 @@ def _parse_value_tok(lx: _Lexer, kind, val):
     raise ValueError(f"unexpected token {kind}")
 
 
+def _parse_xref_section(buf: bytes, at: int, offsets: dict) -> dict:
+    """Parse ONE cross-reference section at ``at`` into ``offsets``
+    (existing keys win — callers walk the /Prev chain newest-first,
+    and ISO 32000 §7.5.6 says the newest entry is authoritative).
+    Handles both the classic ``xref`` table and the PDF 1.5+
+    cross-reference STREAM; returns the section's trailer dict."""
+    if buf[at:at + 4] == b"xref":
+        lx = _Lexer(buf, at + 4)
+        while True:
+            k, v = lx.next_token()
+            if k == "op" and v == "trailer":
+                break
+            if k != "num":
+                raise ValueError("malformed xref: expected subsection "
+                                 "header")
+            k2, count = lx.next_token()
+            if k2 != "num":
+                raise ValueError("malformed xref: expected entry count")
+            start = int(v)
+            lx._skip_ws()
+            for i in range(int(count)):
+                entry = buf[lx.pos:lx.pos + 20]
+                em = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
+                if not em:
+                    raise ValueError("malformed xref entry")
+                if em.group(3) == b"n":
+                    offsets.setdefault(start + i, int(em.group(1)))
+                lx.pos += 20
+                lx._skip_ws()
+        trailer = _parse_value(lx)
+        if not isinstance(trailer, dict):
+            raise ValueError("malformed trailer")
+        return trailer
+    # cross-reference stream: "N 0 obj << /Type /XRef ... >> stream"
+    m = re.match(rb"(\d+)\s+(\d+)\s+obj", buf[at:at + 32])
+    if not m:
+        raise ValueError("malformed PDF: startxref points at neither "
+                         "an xref table nor an object")
+    lx = _Lexer(buf, at + m.end())
+    xdict = _parse_value(lx)
+    if not isinstance(xdict, dict) or xdict.get("Type") != ("name",
+                                                            "XRef"):
+        raise ValueError("malformed PDF: startxref object is not /XRef")
+    k, v = lx.next_token()
+    if not (k == "op" and v == "stream"):
+        raise ValueError("malformed XRef: missing stream data")
+    p = lx.pos
+    if buf[p:p + 2] == b"\r\n":
+        p += 2
+    elif buf[p:p + 1] == b"\n":
+        p += 1
+    data = buf[p:p + int(xdict["Length"])]
+    if xdict.get("Filter") == ("name", "FlateDecode"):
+        data = zlib.decompress(data)
+    w = [int(x) for x in xdict.get("W", [])]
+    if len(w) != 3:
+        raise ValueError("malformed XRef: bad /W")
+    size = int(xdict["Size"])
+    index = [int(x) for x in xdict.get("Index", [0, size])]
+    row_len = sum(w)
+    pos = 0
+
+    def _field(row, j, lo):
+        width = w[j]
+        if width == 0:
+            return 1 if j == 0 else 0  # defaulted type field
+        return int.from_bytes(row[lo:lo + width], "big")
+
+    for si in range(0, len(index), 2):
+        start, count = index[si], index[si + 1]
+        for i in range(count):
+            row = data[pos:pos + row_len]
+            if len(row) < row_len:
+                raise ValueError("malformed XRef: truncated rows")
+            pos += row_len
+            typ = _field(row, 0, 0)
+            f2 = _field(row, 1, w[0])
+            f3 = _field(row, 2, w[0] + w[1])
+            num = start + i
+            if typ == 1:
+                offsets.setdefault(num, f2)
+            elif typ == 2:
+                offsets.setdefault(num, ("objstm", f2, f3))
+    return xdict
+
+
 def _parse_xref(buf: bytes) -> tuple:
-    """(offsets: {obj: offset}, trailer dict) from the classic xref
-    table the ``startxref`` pointer names. Malformed pointers/tables
-    raise ValueError — quarantine, not garbage."""
+    """(offsets, trailer) following the FULL /Prev chain from
+    ``startxref`` (newest entries win); offsets values are either a
+    byte offset or ``("objstm", stream_obj, index)`` for objects
+    living inside an object stream. Malformed pointers/tables raise
+    ValueError — quarantine, not garbage."""
     tail = buf[-256:]
     m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
     if not m:
         raise ValueError("malformed PDF: no startxref/%%EOF")
     at = int(m.group(1))
-    if not buf[at:at + 4] == b"xref":
-        raise ValueError("malformed PDF: startxref does not point at xref")
-    lx = _Lexer(buf, at + 4)
-    offsets = {}
+    offsets: dict = {}
+    trailer = None
+    seen = set()
     while True:
-        save = lx.pos
-        k, v = lx.next_token()
-        if k == "op" and v == "trailer":
+        if at in seen:
+            raise ValueError("malformed PDF: circular /Prev chain")
+        seen.add(at)
+        t = _parse_xref_section(buf, at, offsets)
+        if trailer is None:
+            trailer = t
+        prev = t.get("Prev")
+        if prev is None:
             break
-        if k != "num":
-            raise ValueError("malformed xref: expected subsection header")
-        k2, count = lx.next_token()
-        if k2 != "num":
-            raise ValueError("malformed xref: expected entry count")
-        start = int(v)
-        lx._skip_ws()
-        for i in range(int(count)):
-            entry = buf[lx.pos:lx.pos + 20]
-            em = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
-            if not em:
-                raise ValueError("malformed xref entry")
-            if em.group(3) == b"n":
-                offsets[start + i] = int(em.group(1))
-            lx.pos += 20
-            lx._skip_ws()
-    trailer = _parse_value(lx)
-    if not isinstance(trailer, dict):
-        raise ValueError("malformed trailer")
+        at = int(prev)
     return offsets, trailer
 
 
 def _load_object(buf: bytes, offsets: dict, num: int):
     """Object N from its xref offset; streams return (dict, bytes)
-    with FlateDecode already applied."""
+    with FlateDecode already applied. A type-2 entry resolves through
+    its OBJECT STREAM: the /First header region maps object numbers
+    to offsets inside the decompressed stream."""
     if num not in offsets:
         raise ValueError(f"object {num} not in xref")
     at = offsets[num]
+    if isinstance(at, tuple):  # ("objstm", container, index)
+        _, stm_num, idx = at
+        sdict, sdata = _load_object(buf, offsets, stm_num)
+        if sdict.get("Type") != ("name", "ObjStm"):
+            raise ValueError(f"object {num}: container {stm_num} is "
+                             "not /ObjStm")
+        first = int(sdict["First"])
+        hlx = _Lexer(sdata[:first])
+        pairs = []
+        while True:
+            k1, n1 = hlx.next_token()
+            if k1 == "eof":
+                break
+            k2, o1 = hlx.next_token()
+            if k1 != "num" or k2 != "num":
+                raise ValueError("malformed ObjStm header")
+            pairs.append((int(n1), int(o1)))
+        if idx >= len(pairs) or pairs[idx][0] != num:
+            raise ValueError(f"object {num}: ObjStm index mismatch")
+        return _parse_value(_Lexer(sdata, first + pairs[idx][1])), None
     m = re.match(rb"(\d+)\s+(\d+)\s+obj", buf[at:at + 32])
     if not m or int(m.group(1)) != num:
         raise ValueError(f"xref offset for object {num} is wrong")
@@ -536,9 +751,13 @@ def extract_pdf_text(payload: bytes) -> dict:
 def attach_pdf_corpus(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """(doc_id, payload) fixture corpus: each document rendered to a
-    real PDF, the content-stream variant cycling by ``doc_id % 4``
+    real PDF — the content-stream variant cycles by ``doc_id % 4``
     (Tj literals / TJ kerning arrays / hex strings + T* / shifted
-    codes under a ToUnicode CMap). One Arrow pass."""
+    codes under a ToUnicode CMap) and the FILE form by ``doc_id % 3``
+    (classic xref table / PDF 1.5+ cross-reference stream with the
+    non-stream objects packed into an object stream / incremental
+    update whose base carries a corrupted first line that only the
+    /Prev-chain newest-wins resolution repairs). One Arrow pass."""
     import pandas as pd
 
     schema = T.StructType([
@@ -550,7 +769,9 @@ def attach_pdf_corpus(df: DataFrame, id_col: str = "doc_id",
         for b in batches:
             yield pd.DataFrame({
                 "doc_id": [int(i) for i in b[id_col]],
-                "payload": [build_pdf(str(t), variant=int(i) % 4)
+                "payload": [build_pdf(str(t), variant=int(i) % 4,
+                                      xref_stream=int(i) % 3 == 1,
+                                      incremental_fix=int(i) % 3 == 2)
                             for i, t in zip(b[id_col], b[text_col])],
             })
 

@@ -852,7 +852,7 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG codec — and the hash survives all three re-expressions.
 
     Scale shape: decode cost is one mapInPandas pass over the
-    payloads; the join carries (chunk, 16-bit key) — corpus-linear
+    payloads; the join carries (band, chunk-triple key) — corpus-linear
     like every dedup family member."""
     from pipeline_server_spark.operators.dedup import hamming_near_pairs
     from pipeline_server_spark.operators.multimodal import (
@@ -939,7 +939,7 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apart.
 
     Scale shape: decode+hash cost is one mapInPandas pass over the
-    payloads; the join carries (chunk, 16-bit key) — corpus-linear
+    payloads; the join carries (band, chunk-triple key) — corpus-linear
     like every dedup family member."""
     from pipeline_server_spark.operators.dedup import hamming_near_pairs
     from pipeline_server_spark.operators.multimodal import (
@@ -1379,7 +1379,7 @@ def video_perceptual_near_dup_pairs(spark: SparkSession,
     (``matched`` = clip A's keyframes with ≥ 1 hash-near match in B).
 
     Scale shape: decode cost is one mapInPandas pass over the
-    payloads; the join carries (chunk, 16-bit key) rows per keyframe —
+    payloads; the join carries (band, chunk-triple key) rows per keyframe —
     corpus-linear like every dedup family member."""
     from pipeline_server_spark.operators.dedup import hamming_near_pairs
     from pipeline_server_spark.operators.mp4 import (

@@ -55,17 +55,24 @@ from pipeline_server_spark.queries.registry import query
     """,
 )
 def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (MinHash-LSH + exact verify) → connected
-    components by distributed min-label propagation; every clustered
-    doc gets its component's smallest doc_id as ``cluster_id`` (the
-    canonical-document choice). Oracle recomputes the transitive
-    closure with a recursive CTE over the exact-Jaccard pair set —
-    valid because LSH+verify equals the exact pair set on this corpus
-    (see ``dedup_minhash_lsh``)."""
+    """Near-dup edges (round-13: ``minhash_connectivity_edges`` —
+    exact-duplicate classes collapse to their min-id representative
+    BEFORE the LSH join, so a mirror class contributes O(class) edge
+    rows, never C(class, 2) verified pairs) → connected components by
+    distributed min-label propagation; every clustered doc gets its
+    component's smallest doc_id as ``cluster_id`` (the canonical-
+    document choice). Components are provably identical to the full
+    pair set's, so the oracle is unchanged: a recursive CTE computing
+    the transitive closure over the exact-Jaccard pair set — valid
+    because LSH+verify equals the exact pair set on this corpus (see
+    ``dedup_minhash_lsh``)."""
+    from pipeline_server_spark.operators.dedup import (
+        minhash_connectivity_edges)
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup_pairs(d, threshold=0.8)
+    edges = minhash_connectivity_edges(d, threshold=0.8)
     return (
-        connected_components(pairs)
+        connected_components(edges)
         .select(F.col("node").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )

@@ -142,6 +142,22 @@ SHOW = {
         "Arrow, exploded prefix rules broadcast-joined, longest-match "
         "window per URL — Python never touches the frontier"
     ),
+    "crawl_fetch_schedule": (
+        "REP wildcard filter + politeness scheduler: rules (incl. "
+        "compiled */$ regexes) broadcast LEFT-joined (missing host = "
+        "allow), per-row winner window, then per-host crawl-delay "
+        "slot window + worker hash-shard — no global sort"
+    ),
+    "pdf_main_text": (
+        "PDF text extraction: render + xref/object-graph/content-"
+        "stream interpret in two chained Arrow passes (zlib both "
+        "ways), corpus-linear, no shuffle before the final order-by"
+    ),
+    "dedup_simhash_cluster_assignments": (
+        "hamming canonicalization: identical hashes collapse to reps "
+        "(O(class) edges), MIH band join over DISTINCT hashes only, "
+        "pointer-doubling CC, one left join + size groupBy"
+    ),
     "site_template_blocks": (
         "cross-page template mining: one Arrow block-extraction pass "
         "+ (site, text) groupBy with map-side combine; inventory is "

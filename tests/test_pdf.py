@@ -103,3 +103,50 @@ class TestSparkFace:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # corpus-linear: no shuffle
+
+
+class TestModernFileForms:
+    """Round-13 extension: the PDF 1.5+ forms real corpora use."""
+
+    @pytest.mark.parametrize("variant", [0, 1, 2, 3])
+    def test_xref_stream_and_object_stream(self, variant):
+        raw = build_pdf(TEXT, variant=variant, xref_stream=True)
+        assert raw.startswith(b"%PDF-1.5")
+        assert b"/ObjStm" in raw and b"/XRef" in raw
+        assert b"\ntrailer" not in raw  # no classic table at all
+        got = extract_pdf_text(raw)
+        assert got["text"] == expected_pdf_text(TEXT)
+        assert got["n_pages"] == 3
+
+    @pytest.mark.parametrize("variant", [0, 1, 2, 3])
+    def test_incremental_update_prev_chain(self, variant):
+        raw = build_pdf(TEXT, variant=variant, incremental_fix=True)
+        assert b"/Prev" in raw
+        # base really is corrupted (variant 2 stores hex, 3 shifted hex)
+        marker = {0: b"XCORRUPTX", 1: b"XCORRUPTX",
+                  2: b"XCORRUPTX".hex().encode(),
+                  3: bytes(b + 1 for b in b"XCORRUPTX").hex().encode()}
+        assert marker[variant] in zlib_any(raw)
+        got = extract_pdf_text(raw)
+        assert got["text"] == expected_pdf_text(TEXT)
+        assert "XCORRUPTX" not in got["text"]
+
+    def test_broken_xref_stream(self):
+        with pytest.raises(ValueError):
+            extract_pdf_text(build_pdf(TEXT, xref_stream=True,
+                                       break_xref=True))
+
+
+def zlib_any(raw: bytes) -> bytes:
+    """Concatenated best-effort inflate of every FlateDecode stream in
+    a fixture PDF (test helper for asserting stored content)."""
+    import re as _re
+    import zlib as _zl
+
+    out = []
+    for m in _re.finditer(rb"stream\r?\n", raw):
+        try:
+            out.append(_zl.decompressobj().decompress(raw[m.end():]))
+        except _zl.error:
+            pass
+    return b"".join(out)

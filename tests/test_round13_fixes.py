@@ -444,3 +444,32 @@ class TestComposedCrawlStream:
         assert len(urls) == 5
         assert urls.count("https://example.org/doc/0") == 1
         assert "https://example.org/doc/9" in urls
+
+
+def test_minhash_connectivity_edges_class_linear(spark):
+    """Round-12 verdict #3, MinHash half: a planted 300-member
+    EXACT-duplicate class contributes O(class) edges (not C(300,2) ≈
+    45k verified pairs) and components equal the full pair set's."""
+    from pipeline_server_spark.operators.dedup import (
+        minhash_connectivity_edges, minhash_lsh_dedup_pairs)
+
+    base = [(i, f"unique document number {i} " +
+             " ".join(f"w{i}x{j}" for j in range(20)))
+            for i in range(40)]
+    mirror_text = "the mirrored boilerplate page " + \
+        " ".join(f"m{j}" for j in range(20))
+    mirrors = [(1000 + i, mirror_text) for i in range(300)]
+    docs = spark.createDataFrame(base + mirrors,
+                                 "doc_id long, text string") \
+        .repartition(8).localCheckpoint()
+
+    edges = minhash_connectivity_edges(docs, threshold=0.8)
+    n_edges = edges.count()
+    assert n_edges <= 300 + 16, n_edges  # O(class), not O(class^2)
+
+    cc_fast = {(r.node, r.cluster_id)
+               for r in connected_components(edges).collect()}
+    cc_full = {(r.node, r.cluster_id) for r in connected_components(
+        minhash_lsh_dedup_pairs(docs, threshold=0.8)).collect()}
+    assert cc_fast == cc_full
+    assert {(1000 + i, 1000) for i in range(300)} <= cc_fast
