@@ -1,0 +1,170 @@
+"""Sitemap ingestion — the crawl frontier's SEED side (round-13).
+
+The public sitemaps.org protocol (the one robots.txt ``Sitemap:``
+lines point at): a ``<urlset>`` of ``<url><loc/><lastmod/>
+<priority/></url>`` entries, or a ``<sitemapindex>`` whose
+``<sitemap><loc/></sitemap>`` children name further sitemap files.
+With robots filtering (:mod:`robots`) and fetch-slot scheduling this
+completes the frontier pipeline: sitemap seed → canonicalize →
+REP gate → politeness schedule.
+
+Parsing is stdlib ``xml.etree`` over payload bytes (gzip members
+auto-detected — the ``.xml.gz`` convention); one ``mapInPandas``
+Arrow pass; index indirection resolves WITHIN the input set by a
+loc ↔ sitemap_url equi-join, so a million-sitemap crawl stays one
+parse pass + one join, no driver traffic.
+
+Reference anchor: the reference has no crawl surface (ingest starts
+at landed files) — LLM-brief crawl-stack member next to robots.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+def parse_sitemap(payload: bytes) -> dict:
+    """One sitemap document → ``{"urls": [(loc, lastmod, priority)],
+    "children": [loc, ...]}`` — ``children`` non-empty iff the
+    document is a ``<sitemapindex>``. Gzip auto-detected; malformed
+    XML raises ValueError (quarantine, not silence)."""
+    import xml.etree.ElementTree as ET
+
+    if payload[:2] == b"\x1f\x8b":
+        payload = gzip.decompress(payload)
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed sitemap XML: {e}")
+    tag = root.tag.removeprefix(_NS)
+    urls, children = [], []
+    if tag == "urlset":
+        for u in root.findall(f"{_NS}url"):
+            loc = u.findtext(f"{_NS}loc")
+            if not loc:
+                continue
+            pr = u.findtext(f"{_NS}priority")
+            urls.append((loc.strip(),
+                         (u.findtext(f"{_NS}lastmod") or "").strip()
+                         or None,
+                         float(pr) if pr else None))
+    elif tag == "sitemapindex":
+        for s in root.findall(f"{_NS}sitemap"):
+            loc = s.findtext(f"{_NS}loc")
+            if loc:
+                children.append(loc.strip())
+    else:
+        raise ValueError(f"not a sitemap document: root <{tag}>")
+    return {"urls": urls, "children": children}
+
+
+def sitemap_entries(df: DataFrame, url_col: str = "sitemap_url",
+                    payload_col: str = "payload") -> DataFrame:
+    """Flatten sitemap payloads into one row per entry:
+    (sitemap_url, kind ∈ 'url' | 'child' | 'error', loc, lastmod,
+    priority, err). One Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("sitemap_url", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("err", T.StringType()),
+    ])
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for su, payload in zip(b[url_col], b[payload_col]):
+                su = str(su)
+                try:
+                    parsed = parse_sitemap(bytes(payload))
+                except ValueError as e:
+                    rows.append((su, "error", None, None, None, str(e)))
+                    continue
+                for loc, lastmod, pr in parsed["urls"]:
+                    rows.append((su, "url", loc, lastmod, pr, None))
+                for loc in parsed["children"]:
+                    rows.append((su, "child", loc, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(_parse, schema=schema)
+
+
+def seed_frontier(entries: DataFrame) -> DataFrame:
+    """The frontier a fetched sitemap set seeds: distinct page URLs
+    from every ``<urlset>`` entry, duplicates collapsed (the same
+    page listed by several sitemaps seeds ONE fetch). Returns
+    (url, lastmod, priority, n_listings); lastmod/priority take the
+    max across listings (freshest wins). Input is
+    ``sitemap_entries`` output."""
+    urls = entries.where(F.col("kind") == "url")
+    return (urls.groupBy("loc")
+            .agg(F.count(F.lit(1)).alias("n_listings"),
+                 F.max("lastmod").alias("lastmod"),
+                 F.max("priority").alias("priority"))
+            .select(F.col("loc").alias("url"), "lastmod", "priority",
+                    F.col("n_listings").cast("long").alias("n_listings")))
+
+
+def unresolved_children(entries: DataFrame,
+                        fetched: DataFrame,
+                        fetched_url_col: str = "sitemap_url") -> DataFrame:
+    """Child sitemap locs named by an index but NOT in the fetched
+    set — the crawl's next sitemap fetch wave (one left-anti join).
+    Input is ``sitemap_entries`` output plus the frame of
+    already-fetched sitemap URLs."""
+    children = (entries.where(F.col("kind") == "child")
+                .select(F.col("loc").alias("sitemap_url")).distinct())
+    have = fetched.select(F.col(fetched_url_col).alias("sitemap_url"))
+    return children.join(have, "sitemap_url", "left_anti")
+
+
+# -- fixture ------------------------------------------------------------
+def synth_sitemaps(host: str, urls: "list") -> "list":
+    """Deterministic sitemap set for one host: ``urls`` items are
+    (url, lastmod, dup) — dup means the URL is listed TWICE (the
+    cross-listing a real crawl sees constantly; it must still seed
+    one fetch). Hosts whose name hashes odd get a <sitemapindex> with
+    two child <urlset>s (the second one gzipped, the .xml.gz
+    convention); others a single plain <urlset>. Returns
+    [(sitemap_url, payload_bytes), ...]."""
+
+    def urlset(items) -> bytes:
+        rows = []
+        for u, lm, dup in items:
+            entry = (f"<url><loc>{u}</loc><lastmod>{lm}</lastmod>"
+                     f"<priority>0.5</priority></url>")
+            rows.append(entry)
+            if dup:
+                rows.append(entry)
+        return ("<?xml version='1.0' encoding='UTF-8'?>"
+                "<urlset xmlns='http://www.sitemaps.org/schemas/"
+                "sitemap/0.9'>" + "".join(rows) + "</urlset>") \
+            .encode("utf-8")
+
+    base = f"https://{host}"
+    odd = sum(host.encode()) % 2 == 1
+    if not odd or len(urls) < 2:
+        return [(f"{base}/sitemap.xml", urlset(urls))]
+    half = len(urls) // 2
+    sub0 = urlset(urls[:half])
+    sub1 = gzip.compress(urlset(urls[half:]), mtime=0)
+    index = ("<?xml version='1.0' encoding='UTF-8'?>"
+             "<sitemapindex xmlns='http://www.sitemaps.org/schemas/"
+             "sitemap/0.9'>"
+             f"<sitemap><loc>{base}/sitemap-0.xml</loc></sitemap>"
+             f"<sitemap><loc>{base}/sitemap-1.xml.gz</loc></sitemap>"
+             "</sitemapindex>").encode("utf-8")
+    return [(f"{base}/sitemap.xml", index),
+            (f"{base}/sitemap-0.xml", sub0),
+            (f"{base}/sitemap-1.xml.gz", sub1)]

@@ -1980,3 +1980,144 @@ def pdf_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pdf_text(attach_pdf_corpus(d))
             .select("doc_id", "pdf_text", "n_pages")
             .orderBy("doc_id"))
+
+
+def _doc_fetch_decision(d: int) -> tuple:
+    """Shared fixture decision table (crawl_fetch_schedule +
+    crawl_sitemap_schedule): (host, path, allowed, matched_rule,
+    crawl_delay) for doc ``d`` under synth_robots_wild/trainingbot."""
+    kind = d % 6
+    if kind == 0:
+        path, allowed, rule = f"/articles/{d}", True, "allow:"
+    elif kind == 1:
+        path, allowed, rule = f"/page{d}.php", False, "disallow:/*.php$"
+    elif kind == 2:
+        path, allowed, rule = f"/page{d}.php?q=1", True, "allow:"
+    elif kind == 3:
+        path, allowed, rule = (f"/private-ok/{d}", True,
+                               "allow:/private-ok/")
+    elif kind == 4:
+        path, allowed, rule = (f"/private/{d}", False,
+                               "disallow:/private*")
+    else:
+        path, allowed, rule = (f"/~admin/{d}", False,
+                               "disallow:/~admin/")
+    if d % 11 == 0:
+        return ("norobots.example.org", path, True, "allow:", 1.0)
+    return (f"crawl{d % 7}.example.org", path, allowed, rule,
+            float(d % 7 % 3 + 1))
+
+
+def _sitemap_schedule_py_oracle(sf_dir: str):
+    """Referee for the sitemap→robots→schedule pipeline: seeds,
+    duplicate-listing collapse, REP decisions, and slots all from the
+    fixtures' closed forms — no XML, no robots parsing, no windows."""
+    import pandas as pd
+
+    from pipeline_server_spark.queries.classifier import _xxh64
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    rows = []
+    for d in ids:
+        host, path, allowed, rule, delay = _doc_fetch_decision(d)
+        if not allowed:
+            continue
+        rows.append((f"https://{host}{path}", host, rule,
+                     2 if d % 10 == 0 else 1,
+                     f"2026-01-{d % 28 + 1:02d}", delay))
+    df = pd.DataFrame(rows, columns=["url", "host", "matched_rule",
+                                     "n_listings", "lastmod", "delay"])
+    df["slot"] = df.sort_values("url").groupby("host").cumcount() \
+        .reindex(df.index).astype("int64")
+    df["fetch_at"] = df["slot"] * df["delay"]
+    sgn = {h: (v - (1 << 64) if (v := _xxh64(h.encode(), 42)) >= 1 << 63
+               else v) % 8
+           for h in df["host"].unique()}
+    df["worker"] = df["host"].map(sgn).astype("int64")
+    return df.drop(columns=["delay"]) \
+        .astype({"n_listings": "int64"}) \
+        .sort_values("url", ignore_index=True)[
+            ["url", "host", "matched_rule", "n_listings", "lastmod",
+             "slot", "fetch_at", "worker"]]
+
+
+@query("crawl_sitemap_schedule", oracle_py=_sitemap_schedule_py_oracle)
+# no SQL oracle: XML/gzip sitemap parsing + REP longest-match + the
+# windowed scheduler are not SQL-expressible; the closed-form referee
+# goes through the full rows+schema+hash gate
+def crawl_sitemap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL frontier pipeline (round-13): sitemap seed → REP gate
+    → politeness schedule. Per-host sitemap sets (odd-hash hosts: a
+    <sitemapindex> + two child <urlset>s, the second gzipped per the
+    .xml.gz convention; others one plain urlset) list every doc's URL
+    under the shared decision-table path convention; every d % 10 == 0
+    URL is listed TWICE and must still seed ONE fetch slot
+    (n_listings = 2). The seeded frontier runs through the wildcard
+    robots fixtures and the crawl-delay slot scheduler — the complete
+    path from "files a crawler fetched" to "an executable fetch
+    plan".
+
+    Scale shape: one Arrow parse pass over sitemap payloads, one
+    (url) groupBy for listing collapse, broadcast rules join, two
+    host-keyed windows — no global sort, no Python on the frontier."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.robots import (
+        filter_frontier, robots_rules_df, schedule_frontier,
+        synth_robots_wild)
+    from pipeline_server_spark.operators.sitemap import (
+        seed_frontier, sitemap_entries, synth_sitemaps)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = (F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("norobots.example.org"))
+            .otherwise(F.concat(F.lit("crawl"),
+                                (F.col("doc_id") % 7).cast("string"),
+                                F.lit(".example.org"))))
+    docs = d.select("doc_id", host.alias("host"))
+
+    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = str(key[0])
+        pdf = pdf.sort_values("doc_id")
+        urls = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            _, path, _, _, _ = _doc_fetch_decision(did)
+            urls.append((f"https://{h}{path}",
+                         f"2026-01-{did % 28 + 1:02d}",
+                         did % 10 == 0))
+        rows = synth_sitemaps(h, urls)
+        return pd.DataFrame({"sitemap_url": [r[0] for r in rows],
+                             "payload": [r[1] for r in rows]})
+
+    sitemaps = docs.groupBy("host").applyInPandas(
+        _pack, schema=T.StructType([
+            T.StructField("sitemap_url", T.StringType()),
+            T.StructField("payload", T.BinaryType())]))
+
+    frontier = seed_frontier(sitemap_entries(sitemaps))
+
+    import pandas as pd  # noqa: F811 — local alias for _attach
+
+    def _attach(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "host": [f"crawl{int(i)}.example.org" for i in b["id"]],
+                "robots_txt": [synth_robots_wild(int(i))
+                               for i in b["id"]],
+            })
+
+    robots = spark.range(7).mapInPandas(_attach, schema=T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("robots_txt", T.StringType())]))
+    rules = robots_rules_df(robots, agent="trainingbot")
+    decided = filter_frontier(frontier, rules)
+    return (schedule_frontier(decided, default_delay=1.0, n_workers=8)
+            .select("url", "host", "matched_rule",
+                    "n_listings", "lastmod",
+                    F.col("slot").cast("long").alias("slot"),
+                    "fetch_at", "worker")
+            .orderBy("url"))

@@ -199,3 +199,109 @@ class TestRound13REPWildcards:
         # no-robots host: default delay, own worker queue
         assert rows[9].slot == 0 and rows[9].fetch_at == 0.0
         assert len({rows[i].worker for i in range(4)}) == 1
+
+
+class TestREPPropertyParity:
+    """The Python face (`is_allowed`) and the JVM face
+    (`filter_frontier`) are two independent implementations of REP
+    longest-match; random rule sets + frontiers must agree exactly."""
+
+    def test_python_vs_jvm_decisions(self, spark):
+        import random
+
+        from pipeline_server_spark.operators.robots import (
+            filter_frontier, is_allowed, robots_rules_df)
+
+        rng = random.Random(1337)
+        segs = ["a", "b", "cc", "dd", "~e", "f.php"]
+
+        def rand_rule():
+            path = "/" + "/".join(rng.sample(segs, rng.randint(1, 3)))
+            if rng.random() < 0.3:
+                path += "*"
+            elif rng.random() < 0.2:
+                path += "$"
+            if rng.random() < 0.25:
+                path = path.replace("a", "*", 1)
+            return (rng.random() < 0.5, path)
+
+        hosts = {}
+        for h in range(6):
+            rules = [rand_rule() for _ in range(rng.randint(1, 6))]
+            hosts[f"h{h}.org"] = rules
+        robots = spark.createDataFrame(
+            [(h, "User-agent: *\n" + "".join(
+                ("Allow: " if a else "Disallow: ") + p + "\n"
+                for a, p in rs))
+             for h, rs in hosts.items()],
+            "host string, robots_txt string")
+
+        frontier_rows = []
+        for i in range(300):
+            h = f"h{rng.randint(0, 5)}.org"
+            path = "/" + "/".join(
+                rng.sample(segs, rng.randint(1, 4)))
+            if rng.random() < 0.3:
+                path += rng.choice(["", "/x", ".php", "?q=1"])
+            frontier_rows.append((i, f"https://{h}{path}", h, path))
+        frontier = spark.createDataFrame(
+            [(i, u) for i, u, _, _ in frontier_rows],
+            "doc_id long, url string")
+
+        got = {r.doc_id: r.allowed
+               for r in filter_frontier(
+                   frontier, robots_rules_df(robots)).collect()}
+        for i, _, h, path in frontier_rows:
+            want = is_allowed(hosts[h], path)
+            assert got[i] == want, (i, h, path, hosts[h])
+
+
+class TestSitemaps:
+    def test_parse_urlset_and_index(self):
+        from pipeline_server_spark.operators.sitemap import (
+            parse_sitemap, synth_sitemaps)
+        # pick a host whose name-hash is odd -> the index form
+        rows = synth_sitemaps("hh.org" if sum(b"hh.org") % 2 == 1
+                              else "hi.org",
+                              [(f"https://x.org/p{i}",
+                                "2026-01-01", i == 0)
+                               for i in range(6)])
+        kinds = [parse_sitemap(p) for _, p in rows]
+        assert kinds[0]["children"], "first row must be the index"
+        leaf_urls = [u for k in kinds[1:] for u, _, _ in k["urls"]]
+        assert len(leaf_urls) == 7  # 6 + 1 duplicate listing
+        assert len(set(leaf_urls)) == 6
+
+    def test_parse_rejects_garbage(self):
+        import pytest as _pt
+
+        from pipeline_server_spark.operators.sitemap import parse_sitemap
+        with _pt.raises(ValueError):
+            parse_sitemap(b"<html><body>not a sitemap</body></html>")
+        with _pt.raises(ValueError):
+            parse_sitemap(b"<urlset><url><loc>x</loc>")  # broken XML
+
+    def test_seed_collapses_duplicates_and_gzip(self, spark):
+        from pipeline_server_spark.operators.sitemap import (
+            seed_frontier, sitemap_entries, synth_sitemaps,
+            unresolved_children)
+        host = "hh.org" if sum(b"hh.org") % 2 == 1 else "hi.org"
+        rows = synth_sitemaps(host,
+                              [(f"https://{host}/p{i}",
+                                f"2026-01-{i+1:02d}", i == 0)
+                               for i in range(6)])
+        df = spark.createDataFrame(
+            [(u, bytearray(p)) for u, p in rows],
+            "sitemap_url string, payload binary")
+        entries = sitemap_entries(df)
+        seeds = {r.url: r for r in seed_frontier(entries).collect()}
+        assert len(seeds) == 6
+        assert seeds[f"https://{host}/p0"].n_listings == 2
+        assert seeds[f"https://{host}/p1"].n_listings == 1
+        # every index child is in the fetched set -> no next wave
+        assert unresolved_children(entries, df).count() == 0
+        # drop a child payload -> it shows up as the next fetch wave
+        partial = df.where(~df.sitemap_url.endswith("-1.xml.gz"))
+        waves = [r.sitemap_url for r in unresolved_children(
+            sitemap_entries(partial), partial).collect()]
+        assert waves == [f"https://{host}/sitemap-1.xml.gz"]
