@@ -183,6 +183,45 @@ def is_allowed(rules: list, path: str) -> bool:
     return best_allow
 
 
+def robots_sitemaps(text: str) -> list:
+    """``Sitemap:`` lines from a robots.txt — a GLOBAL field (RFC 9309
+    §2.2.4 treats unknown lines per-group; the sitemaps.org protocol
+    defines Sitemap as group-independent, which is how every crawler
+    reads it): returned regardless of user-agent groups, in file
+    order, duplicates preserved."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            # the value itself is a URL containing "://" — only the
+            # FIRST colon separates the field
+            out.append(value.strip())
+    return out
+
+
+def robots_sitemaps_df(robots: DataFrame, host_col: str = "host",
+                       text_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url) — every ``Sitemap:`` declaration, the seed
+    list :mod:`sitemap`'s fetch loop starts from. One Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("sitemap_url", T.StringType()),
+    ])
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for host, text in zip(b[host_col], b[text_col]):
+                for u in robots_sitemaps(str(text)):
+                    rows.append((str(host), u))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return robots.mapInPandas(_parse, schema=schema)
+
+
 def robots_rules_df(robots: DataFrame, agent: str = "*",
                     host_col: str = "host",
                     text_col: str = "robots_txt") -> DataFrame:
@@ -318,6 +357,7 @@ def synth_robots_wild(host_id: int) -> str:
     crawl-delay consumed by ``schedule_frontier``."""
     h = int(host_id)
     return "\n".join([
+        f"Sitemap: https://crawl{h}.example.org/sitemap.xml",
         "User-agent: trainingbot",
         "Disallow: /*.php$",
         "Disallow: /private*",

@@ -305,3 +305,19 @@ class TestSitemaps:
         waves = [r.sitemap_url for r in unresolved_children(
             sitemap_entries(partial), partial).collect()]
         assert waves == [f"https://{host}/sitemap-1.xml.gz"]
+
+
+def test_robots_sitemap_lines(spark):
+    from pipeline_server_spark.operators.robots import (
+        robots_sitemaps, robots_sitemaps_df, synth_robots_wild)
+    txt = ("Sitemap: https://a.org/sm.xml\n"
+           "User-agent: *\nDisallow: /x/\n"
+           "SITEMAP: https://a.org/sm2.xml.gz  # trailing comment\n")
+    assert robots_sitemaps(txt) == ["https://a.org/sm.xml",
+                                    "https://a.org/sm2.xml.gz"]
+    assert robots_sitemaps(synth_robots_wild(3)) == [
+        "https://crawl3.example.org/sitemap.xml"]
+    df = spark.createDataFrame([("a.org", txt)],
+                               "host string, robots_txt string")
+    got = [r.sitemap_url for r in robots_sitemaps_df(df).collect()]
+    assert got == ["https://a.org/sm.xml", "https://a.org/sm2.xml.gz"]
