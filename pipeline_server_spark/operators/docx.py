@@ -1,0 +1,278 @@
+"""DOCX (OOXML WordprocessingML) text extraction — spec-shaped
+writer + stdlib parser, round-13.
+
+After HTML and PDF, .docx is the next most common document format a
+training-data pipeline ingests. The format is public (ECMA-376 /
+ISO/IEC 29500): a ZIP package whose ``word/document.xml`` part holds
+the body as ``w:p`` paragraphs of ``w:r`` runs. This module follows
+the repo's format playbook (xlsx.py, pdf.py, warc.py): an in-repo
+spec-shaped WRITER generates fixtures, the PARSER recovers text, and
+the registry referee reconstructs the expected text from the
+generator's closed form — plain text to plain text, never XML.
+
+Parser contract (the subset that matters for corpus text):
+
+- body-level ``w:p`` → one text block; ``w:tbl`` → one block with
+  cells joined by TAB and rows by NEWLINE (cell text = the cell's
+  paragraphs joined by a space);
+- run content: ``w:t`` text (``xml:space="preserve"`` is the
+  writer's concern — XML never trims for us), ``w:tab`` → ``\\t``,
+  ``w:br``/``w:cr`` → ``\\n``;
+- EXCLUDED: ``w:del`` subtrees (tracked deletions), ``w:instrText``
+  (field codes), everything outside ``word/document.xml`` (headers,
+  footers, footnotes are separate parts — out of the main-text
+  contract, like HTML chrome);
+- ``w:ins`` (tracked insertions) and ``w:hyperlink`` wrappers are
+  transparent: their runs are body text;
+- blocks join with a blank line; ``n_paragraphs`` counts body-level
+  ``w:p`` only.
+
+Malformed packages (not a ZIP, missing part, broken XML) quarantine
+via ``docx_err`` — never a crash, never silent empty text.
+
+Scale shape: one mapInPandas Arrow pass, corpus-linear, no joins.
+Reference scope anchor: the reference byte-passes .docx as
+unstructured (ObjectStoreLoader.scala:95-144); parsing the text out
+is the LLM-brief extension, same as pdf.py.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from typing import Iterator
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def _w(tag: str) -> str:
+    return f"{{{W_NS}}}{tag}"
+
+
+# -- parser -------------------------------------------------------------
+def _run_text(elem, parts: list) -> None:
+    """Collect the text of one paragraph subtree in document order,
+    honoring the exclusion rules."""
+    tag = elem.tag
+    if tag == _w("del"):
+        return  # tracked deletion: w:delText must never surface
+    if tag == _w("instrText"):
+        return  # field code (PAGE, TOC …), not body text
+    if tag == _w("t"):
+        parts.append(elem.text or "")
+        return
+    if tag == _w("tab"):
+        parts.append("\t")
+        return
+    if tag in (_w("br"), _w("cr")):
+        parts.append("\n")
+        return
+    for child in elem:
+        _run_text(child, parts)
+
+
+def _paragraph_text(p) -> str:
+    parts: list = []
+    for child in p:
+        _run_text(child, parts)
+    return "".join(parts)
+
+
+def _cell_text(tc) -> str:
+    return " ".join(_paragraph_text(p) for p in tc.iter(_w("p")))
+
+
+def docx_text(blob: bytes) -> dict:
+    """Pure-Python core: ``{text, n_paragraphs, err}`` per the module
+    contract."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        with zf.open("word/document.xml") as f:
+            root = ET.fromstring(f.read())
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError) as ex:
+        return {"text": None, "n_paragraphs": None,
+                "err": f"{type(ex).__name__}: {ex}"[:200]}
+    body = root.find(_w("body"))
+    if body is None:
+        return {"text": None, "n_paragraphs": None,
+                "err": "missing w:body"}
+    blocks: list[str] = []
+    n_paras = 0
+    for child in body:
+        if child.tag == _w("p"):
+            n_paras += 1
+            blocks.append(_paragraph_text(child))
+        elif child.tag == _w("tbl"):
+            rows = []
+            for tr in child.findall(_w("tr")):
+                rows.append("\t".join(_cell_text(tc)
+                                      for tc in tr.findall(_w("tc"))))
+            blocks.append("\n".join(rows))
+    return {"text": "\n\n".join(blocks), "n_paragraphs": n_paras,
+            "err": None}
+
+
+def docx_main_text(df: DataFrame, blob_col: str = "docx",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, docx_text, n_paragraphs,
+    docx_err)``; malformed packages carry ``docx_err`` (quarantine
+    row), parsed ones carry text."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("docx_text", T.StringType()),
+        T.StructField("n_paragraphs", T.IntegerType()),
+        T.StructField("docx_err", T.StringType()),
+    ])
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                r = docx_text(bytes(blob))
+                rows.append((int(i), r["text"], r["n_paragraphs"],
+                             r["err"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, blob_col).mapInPandas(_parse, schema=schema)
+
+
+# -- spec-shaped writer (fixtures) --------------------------------------
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.wordprocessingml.document.'
+    'main+xml"/></Types>')
+
+_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/></Relationships>')
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _run(text: str, preserve: bool = False) -> str:
+    sp = ' xml:space="preserve"' if preserve else ""
+    return f"<w:r><w:t{sp}>{_esc(text)}</w:t></w:r>"
+
+
+def expected_docx_blocks(doc_id: int, text: str) -> tuple:
+    """Closed form shared by writer and referee: the plain-text
+    blocks `synth_docx(doc_id, text)` encodes (the referee joins
+    them with blank lines and never touches XML). Returns
+    ``(blocks, n_paragraphs)``."""
+    from pipeline_server_spark.operators.html_extract import doc_paragraphs
+
+    d = int(doc_id)
+    v = d % 5
+    paras = doc_paragraphs(text)
+    out = [f"Doc {d} overview"]
+    for k, p in enumerate(paras):
+        if k == 0 and v == 1:
+            p = p.replace(" ", "\t", 1) + "\ncontinued below"
+        elif k == 0 and v == 3:
+            p = p + " revised"
+        out.append(p)
+    if v == 2:
+        out.append(f"cell {d} A\tB\nC\tD")
+    return out, 1 + len(paras)
+
+
+def synth_docx(doc_id: int, text: str) -> bytes:
+    """Deterministic fixture package: a heading plus the document's
+    paragraphs, with one planted parsing hazard per ``doc_id % 5`` —
+    0: a run split mid-word needing ``xml:space="preserve"``;
+    1: ``w:tab`` + ``w:br`` runs; 2: a trailing 2×2 ``w:tbl``;
+    3: tracked changes (``w:ins`` kept, ``w:del`` dropped);
+    4: a PAGE field code (dropped) inside a ``w:hyperlink`` wrapper
+    (kept). Encodes exactly ``expected_docx_blocks``."""
+    d = int(doc_id)
+    v = d % 5
+    from pipeline_server_spark.operators.html_extract import doc_paragraphs
+
+    paras = doc_paragraphs(text)
+    body = ['<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+            + _run(f"Doc {d} overview") + "</w:p>"]
+    for k, p in enumerate(paras):
+        if k == 0 and v == 0 and len(p) > 4:
+            # split mid-word: trimming parsers corrupt the word
+            runs = _run(p[:3]) + _run(p[3:], preserve=True)
+        elif k == 0 and v == 1:
+            a, sep, b = p.partition(" ")
+            mid = (_run(a) + "<w:r><w:tab/></w:r>" + _run(b)
+                   if sep else _run(p))
+            runs = mid + "<w:r><w:br/></w:r>" + _run("continued below")
+        elif k == 0 and v == 3:
+            runs = (_run(p)
+                    + '<w:ins w:id="1" w:author="ed">'
+                    + _run(" revised") + "</w:ins>"
+                    + '<w:del w:id="2" w:author="ed"><w:r>'
+                    '<w:delText xml:space="preserve"> obsolete'
+                    "</w:delText></w:r></w:del>")
+        elif k == 0 and v == 4:
+            head, sep, tail = p.partition(" ")
+            hyper = ('<w:hyperlink r:id="rId9">'
+                     + _run(" " + tail, preserve=True)
+                     + "</w:hyperlink>") if sep else ""
+            runs = ('<w:r><w:fldChar w:fldCharType="begin"/></w:r>'
+                    '<w:r><w:instrText xml:space="preserve"> PAGE '
+                    r"\* MERGEFORMAT </w:instrText></w:r>"
+                    '<w:r><w:fldChar w:fldCharType="end"/></w:r>'
+                    + _run(head) + hyper)
+        else:
+            runs = _run(p)
+        body.append(f"<w:p>{runs}</w:p>")
+    if v == 2:
+        def cell(t):
+            return f"<w:tc><w:p>{_run(t)}</w:p></w:tc>"
+        body.append("<w:tbl>"
+                    f"<w:tr>{cell(f'cell {d} A')}{cell('B')}</w:tr>"
+                    f"<w:tr>{cell('C')}{cell('D')}</w:tr></w:tbl>")
+    doc = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f'<w:document xmlns:w="{W_NS}" xmlns:r="http://schemas.'
+           'openxmlformats.org/officeDocument/2006/relationships">'
+           f"<w:body>{''.join(body)}</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _RELS)
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def attach_docx_corpus(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, text) → (id, docx) fixture frame, one Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("docx", T.BinaryType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "docx": [synth_docx(int(i), str(t))
+                         for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_synth, schema=schema)

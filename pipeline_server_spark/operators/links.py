@@ -1,0 +1,274 @@
+"""HTML link extraction, RFC 3986 reference resolution, and
+next-wave frontier discovery — the crawl loop's discovery half.
+
+Round-13 (beyond the verdict list): sitemaps (operators/sitemap.py)
+cover PUSH discovery, but a BFS crawler finds most of its frontier in
+the pages it just fetched. This module extracts anchors from fetched
+HTML in one mapInPandas Arrow pass (stdlib ``html.parser``, the
+html_extract.py playbook), resolves relative references per RFC 3986
+§5 (stdlib ``urllib.parse.urljoin`` implements the merge +
+remove-dot-segments algorithm), honors the public link-policy signals
+— ``rel=nofollow`` per link, page-level ``<meta name=robots
+content=nofollow/noindex>``, the FIRST ``<base href>`` wins (WHATWG
+HTML §4.2.3), ``<link rel=canonical>`` — and turns the surviving
+links into the next crawl wave with the shared ``canonical_url``
+normalization plus a left-anti join against already-fetched URLs.
+
+Scale shape: extraction is corpus-linear (one Arrow pass, no joins);
+discovery is one (canonical url) groupBy with map-side combine plus
+one left-anti hash join on the fetched set — the same per-wave cost a
+production frontier (e.g. the OPIC/Mercator designs) pays. Everything
+downstream of the Arrow pass is pure Catalyst.
+
+Reference scope anchor: none — the reference (pipeline-server) has no
+crawl surface (its ingestion starts at landed files,
+ObjectStoreLoader.scala:95-144); this extends the source family the
+way training-data pipelines grow a CommonCrawl-style frontier.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+from urllib.parse import urljoin
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_server_spark.operators.urlnorm import canonical_url
+
+# Anchor schemes a frontier may fetch; everything else (mailto:,
+# javascript:, data:, tel:, ftp:) is link decoration, not crawl work.
+_FETCHABLE = ("http", "https")
+
+
+class _LinkParser(HTMLParser):
+    """Collects the link-policy surface of one page: anchors with
+    their ``rel``, the first ``<base href>``, page-level robots meta,
+    and ``<link rel=canonical>``. Anchor TEXT is not needed by the
+    frontier, so it is not buffered (pages are chrome-heavy; the
+    parse stays allocation-light)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, bool]] = []  # (href, nofollow)
+        self.base: str | None = None
+        self.page_nofollow = False
+        self.noindex = False
+        self.canonical: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "a":
+            href = a.get("href")
+            if href is not None:
+                rel = (a.get("rel") or "").lower().split()
+                self.anchors.append((href.strip(), "nofollow" in rel))
+        elif tag == "base" and self.base is None and a.get("href"):
+            self.base = a["href"].strip()  # first <base> wins (WHATWG)
+        elif tag == "meta":
+            if (a.get("name") or "").lower() == "robots":
+                directives = [d.strip() for d in
+                              (a.get("content") or "").lower().split(",")]
+                if "nofollow" in directives or "none" in directives:
+                    self.page_nofollow = True
+                if "noindex" in directives or "none" in directives:
+                    self.noindex = True
+        elif tag == "link":
+            rel = (a.get("rel") or "").lower().split()
+            if "canonical" in rel and a.get("href"):
+                self.canonical = a["href"].strip()
+
+    handle_startendtag = handle_starttag
+
+
+def extract_page_links(page_url: str, html: str) -> dict:
+    """Pure-Python core: resolve every anchor of one page against its
+    effective base (RFC 3986 §5.1: ``<base href>`` if present, else
+    the page URL — itself resolved against the page URL when
+    relative) and apply the policy signals. Returns ``{links:
+    [(abs_url, nofollow)], noindex, canonical}`` with non-fetchable
+    schemes dropped and page-level nofollow folded into every link's
+    flag (Google's documented meta-nofollow semantics)."""
+    p = _LinkParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # stdlib parser is lenient; belt-and-braces
+        pass
+    base = urljoin(page_url, p.base) if p.base else page_url
+    links = []
+    for href, nofollow in p.anchors:
+        try:
+            absu = urljoin(base, href)
+        except ValueError:
+            continue
+        scheme = absu.split(":", 1)[0].lower() if ":" in absu else ""
+        if scheme not in _FETCHABLE:
+            continue
+        links.append((absu, nofollow or p.page_nofollow))
+    canonical = (urljoin(base, p.canonical)
+                 if p.canonical is not None else None)
+    return {"links": links, "noindex": p.noindex, "canonical": canonical}
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass over fetched pages → one row per
+    resolved fetchable anchor: ``(id, src_url, link_url, nofollow,
+    noindex, canonical)`` (noindex/canonical are page-level, repeated
+    per link so downstream never re-joins the page table)."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("src_url", T.StringType()),
+        T.StructField("link_url", T.StringType()),
+        T.StructField("nofollow", T.BooleanType()),
+        T.StructField("noindex", T.BooleanType()),
+        T.StructField("canonical", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, u, page in zip(b[id_col], b[url_col], b[html_col]):
+                r = extract_page_links(str(u), str(page))
+                for absu, nofollow in r["links"]:
+                    rows.append((int(i), str(u), absu, nofollow,
+                                 r["noindex"], r["canonical"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (df.select(id_col, url_col, html_col)
+            .mapInPandas(_extract, schema=schema))
+
+
+def discover_frontier(links: DataFrame, fetched: DataFrame,
+                      url_col: str = "url") -> DataFrame:
+    """Links → the NEXT crawl wave: drop nofollow edges, collapse to
+    canonical URLs (tracking params, fragments, case-mangled hosts —
+    the urlnorm contract), aggregate reference counts, and left-anti
+    join the already-fetched set (itself canonicalized) so only new
+    work survives. Output: ``(url, host, n_refs, via)`` where ``via``
+    is the lexicographically-first referring page (deterministic
+    provenance without collecting the full referrer list — the
+    capped-evidence discipline of digest_dedup_groups).
+
+    Scale shape: one groupBy on the canonical URL (map-side combine
+    collapses per-page duplicates), one anti hash join; no windows,
+    no collects. The fetched side at 100 TB is the destination
+    table's URL column — a column-pruned scan, not a full read."""
+    cand = (links.where(~F.col("nofollow"))
+            .select(F.col("src_url"),
+                    canonical_url("link_url").alias(url_col)))
+    seen = fetched.select(canonical_url(url_col).alias(url_col)).distinct()
+    agg = (cand.groupBy(url_col)
+           .agg(F.count(F.lit(1)).alias("n_refs"),
+                F.min("src_url").alias("via")))
+    _rest = f"substring_index({url_col}, '://', -1)"
+    # canonical_url already lowercased scheme://host — plain extract
+    host = F.expr(f"substring_index({_rest}, '/', 1)")
+    return (agg.join(seen, url_col, "left_anti")
+            .withColumn("host", host)
+            .select(url_col, "host", "n_refs", "via"))
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Distinct host→host edge list from a link frame (nofollow edges
+    carry no endorsement — PageRank's published contract — so they
+    are excluded; self-loops likewise). One projection + distinct;
+    feeds ``pagerank_fixed_point`` for crawl prioritization the way
+    CommonCrawl publishes host-level ranks."""
+    _src = "substring_index(src_url, '://', -1)"
+    _dst = "substring_index(link_url, '://', -1)"
+    e = (links.where(~F.col("nofollow"))
+         .select(F.lower(F.expr(f"substring_index({_src}, '/', 1)"))
+                 .alias("src"),
+                 F.lower(F.expr(f"substring_index({_dst}, '/', 1)"))
+                 .alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct())
+    return e
+
+
+# -- fixture generator --------------------------------------------------
+N_SITES = 5
+
+
+def fixture_src_url(doc_id: int) -> str:
+    """Closed-form page URL for fixture doc ``doc_id``."""
+    d = int(doc_id)
+    return f"https://site{d % N_SITES}.example.com/a/{d}"
+
+
+def synth_linked_page(doc_id: int, n_docs: int) -> str:
+    """Deterministic fixture page exercising the whole resolution +
+    policy surface; the referee reconstructs each category's resolved
+    URL from this closed form (never by re-running a resolver):
+
+    - absolute anchor to the NEXT doc's page (a fetched URL — must be
+      anti-joined away; also the host ring edge for the rank query);
+    - relative ``../x/../b/{d+2}.html`` needing dot-segment removal,
+      against ``<base href=/sub/dir/>`` when ``d % 4 == 0`` (→
+      ``/sub/b/``) else against the page URL (→ ``/b/``);
+    - protocol-relative ``//site{(d+3)%5}…/hub`` (shared hub page —
+      the n_refs aggregation case);
+    - fragment-only ``#more`` (resolves to the page itself — fetched);
+    - the next doc's URL again with tracking + unsorted params (must
+      canonicalize to a DISTINCT query-bearing URL);
+    - a ``rel=nofollow`` anchor and mailto:/javascript: decoys
+      (dropped);
+    - every third doc endorses the portal ``site0…/`` (the rank
+      asymmetry);
+    - ``d % 10 == 7`` pages carry ``<meta name=robots
+      content="noindex, nofollow">`` — ALL their links drop.
+    """
+    d, n = int(doc_id), int(n_docs)
+    nxt = fixture_src_url((d + 1) % n)
+    base = (f'<base href="https://site{d % N_SITES}.example.com'
+            '/sub/dir/">' if d % 4 == 0 else "")
+    meta = ('<meta name="robots" content="noindex, nofollow">'
+            if d % 10 == 7 else "")
+    portal = ('<p><a href="https://site0.example.com/">portal</a></p>'
+              if d % 3 == 0 else "")
+    return (f"<html><head><title>doc {d}</title>{base}{meta}</head>"
+            "<body><nav>"
+            f'<a href="{nxt}">next</a> '
+            f'<a href="../x/../b/{(d + 2) % n}.html">rel</a> '
+            f'<a href="//site{(d + 3) % N_SITES}.example.com/hub">hub</a>'
+            "</nav><main>"
+            f'<p>body of doc {d} <a href="#more">more</a></p>'
+            f'<p><a href="{nxt}?utm_source=feed&amp;z=2&amp;a=1">'
+            "tracked</a></p>"
+            f"{portal}"
+            f'<p><a rel="nofollow" href="https://site'
+            f'{(d + 4) % N_SITES}.example.com/nf/{d}">sponsored</a> '
+            '<a href="mailto:ed@example.com">mail</a> '
+            '<a href="javascript:void(0)">js</a></p>'
+            "</main></body></html>")
+
+
+def attach_linked_corpus(df: DataFrame, n_docs: int,
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id) → (id, url, html) fixture frame, one Arrow pass."""
+    import pandas as pd
+
+    n = int(n_docs)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.StringType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            ids = [int(i) for i in b[id_col]]
+            yield pd.DataFrame({
+                id_col: ids,
+                "url": [fixture_src_url(i) for i in ids],
+                "html": [synth_linked_page(i, n) for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(_synth, schema=schema)

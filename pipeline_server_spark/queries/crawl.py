@@ -1,0 +1,328 @@
+"""Crawl-loop queries: in-page link discovery and host-rank frontier
+prioritization (round-13, beyond the verdict list).
+
+The crawl stack so far discovers URLs from sitemaps and filters/
+schedules them (operators/sitemap.py, robots.py); these queries close
+the LOOP — the next wave comes out of the pages just fetched:
+
+- ``crawl_link_discovery``: fetched HTML → anchors (one Arrow pass)
+  → RFC 3986 resolution → policy drops (rel=nofollow, meta-robots
+  nofollow, non-fetchable schemes) → canonical URLs → reference
+  counts → anti-join the fetched set = the new frontier.
+- ``crawl_frontier_priority``: the same link frame's host→host graph
+  through the integer fixed-point PageRank (queries/graph.py) joined
+  back onto the discovered frontier = per-host fetch priorities, the
+  way CommonCrawl publishes host ranks for crawl budgeting.
+
+Both referees reconstruct expectations from the fixture generator's
+closed form (operators/links.py) — category by category, never by
+re-running a URL resolver — and go through the full rows+schema+hash
+gate as ORACLE_PY entries (anchor extraction and iterative PageRank
+are not DuckDB-SQL-expressible end to end).
+
+Reference scope anchor: none — the reference has no crawl surface;
+this is the LLM-brief crawl family (SURVEY.md §6 forward-looking
+ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+N_SITES = 5  # mirrors operators.links.N_SITES (closed form)
+
+
+# -- closed-form expectation (shared by both referees) ------------------
+def _py_canon(url: str) -> str:
+    """Python replica of operators.urlnorm.canonical_url (the
+    referee's independent implementation of the same contract)."""
+    no_frag = url.split("#", 1)[0]
+    if "?" in no_frag:
+        pre, q = no_frag.split("?", 1)
+    else:
+        pre, q = no_frag, ""
+    parts = pre.split("/")
+    scheme_host = "/".join(parts[:3])
+    path = pre[len(scheme_host):].rstrip("/")
+    base = scheme_host.lower().replace(":443", "") + path
+    params = sorted(p for p in q.split("&")
+                    if p and not p.startswith("utm_"))
+    return base + ("?" + "&".join(params) if params else "")
+
+
+def _src(d: int) -> str:
+    return f"https://site{d % N_SITES}.example.com/a/{d}"
+
+
+def _expected_frontier(n: int) -> dict:
+    """url → [host, n_refs, via] per the synth_linked_page closed
+    form: rel + hub + base-resolved fragment + tracked + portal
+    survive; bare next-doc and page-self links die on the fetched
+    anti-join; nofollow/mailto/javascript and all links of
+    ``d % 10 == 7`` pages never enter."""
+    out: dict[str, list] = {}
+
+    def add(url, src):
+        host = url.split("/")[2]
+        if url in out:
+            out[url][1] += 1
+            out[url][2] = min(out[url][2], src)
+        else:
+            out[url] = [host, 1, src]
+
+    fetched = {_py_canon(_src(d)) for d in range(n)}
+    for d in range(n):
+        if d % 10 == 7:
+            continue  # meta-robots nofollow page
+        s = _src(d)
+        h = d % N_SITES
+        cands = []
+        # absolute next-doc anchor (fetched — must die on anti-join)
+        cands.append(_src((d + 1) % n))
+        # relative with dot segments, against <base> when d % 4 == 0
+        sub = "/sub" if d % 4 == 0 else ""
+        cands.append(f"https://site{h}.example.com{sub}/b/"
+                     f"{(d + 2) % n}.html")
+        # protocol-relative shared hub
+        cands.append(f"https://site{(d + 3) % N_SITES}.example.com/hub")
+        # fragment-only: resolves against the base (→ /sub/dir/ when
+        # a <base> is present) else the page itself
+        cands.append(f"https://site{h}.example.com/sub/dir/#x"
+                     if d % 4 == 0 else s + "#x")
+        # tracked duplicate of the next-doc URL
+        cands.append(_src((d + 1) % n) + "?utm_source=feed&z=2&a=1")
+        if d % 3 == 0:
+            cands.append("https://site0.example.com/")
+        for u in cands:
+            cu = _py_canon(u)
+            if cu not in fetched:
+                add(cu, s)
+    return out
+
+
+def _expected_edges(n: int) -> set:
+    """Distinct host→host edges of the fixture link graph (nofollow
+    pages/links and same-host edges excluded)."""
+    edges = set()
+    for d in range(n):
+        if d % 10 == 7:
+            continue
+        h = d % N_SITES
+        for dst in [(d + 1) % n % N_SITES, (d + 3) % N_SITES] + (
+                [0] if d % 3 == 0 else []):
+            if dst != h:
+                edges.add((f"site{h}.example.com",
+                           f"site{dst}.example.com"))
+    return edges
+
+
+def _int_pagerank(edges: set, iters: int = 6) -> dict:
+    """Replica of graph.pagerank_fixed_point's integer contract:
+    rank mass in 10^-12 units, contribution ``r div deg``, damping
+    ``(85*s) div 100``, dangling mass dropped."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    init = 10**12 // n
+    tele = (15 * init) // 100
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: init for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += r[s] // deg[s]
+        r = {v: tele + (85 * contrib[v]) // 100 for v in nodes}
+    return r
+
+
+def _n_docs(sf_dir: str) -> int:
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    return int(duck_connection(sf_dir).execute(
+        "SELECT COUNT(*) FROM documents").fetchone()[0])
+
+
+def _link_discovery_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    exp = _expected_frontier(_n_docs(sf_dir))
+    rows = [(u, h, c, v) for u, (h, c, v) in exp.items()]
+    return (pd.DataFrame(rows, columns=["url", "host", "n_refs", "via"])
+            .astype({"n_refs": "int64"})
+            .sort_values("url", ignore_index=True))
+
+
+def _frontier_priority_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    n = _n_docs(sf_dir)
+    rank = _int_pagerank(_expected_edges(n))
+    per_host: dict[str, int] = {}
+    for _, (h, _, _) in _expected_frontier(n).items():
+        per_host[h] = per_host.get(h, 0) + 1
+    rows = [(h, rank.get(h, 0), per_host.get(h, 0))
+            for h in sorted(set(rank) | set(per_host))]
+    df = (pd.DataFrame(rows,
+                       columns=["host", "rank_scaled", "n_new_urls"])
+          .astype({"rank_scaled": "int64", "n_new_urls": "int64"}))
+    return df.sort_values(["rank_scaled", "host"],
+                          ascending=[False, True], ignore_index=True)
+
+
+@query("crawl_link_discovery", oracle_py=_link_discovery_py_oracle)
+# no SQL oracle: HTML anchor extraction + RFC 3986 resolution are not
+# SQL-expressible; the closed-form referee takes the full
+# rows+schema+hash gate
+def crawl_link_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetched pages → the next crawl wave. Fixture pages plant one
+    anchor per resolution/policy category (absolute, dot-segment
+    relative under an optional ``<base>``, protocol-relative hub,
+    fragment-only, tracking-param duplicate, rel=nofollow, junk
+    schemes, meta-robots-nofollow pages, portal endorsements); the
+    frontier is what RFC 3986 + the nofollow contract + canonical
+    dedup + the fetched anti-join say it is.
+
+    Scale shape: one Arrow pass (anchor extraction), one canonical-URL
+    groupBy (map-side combine), one left-anti hash join against the
+    fetched set — per-wave corpus-linear, no windows, no collects."""
+    from pipeline_server_spark.operators.links import (
+        attach_linked_corpus, discover_frontier, extract_links)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    pages = attach_linked_corpus(docs, n_docs=n)
+    links = extract_links(pages)
+    return (discover_frontier(links, pages.select("url"))
+            .orderBy("url"))
+
+
+@query("crawl_frontier_priority", oracle_py=_frontier_priority_py_oracle)
+# no SQL oracle: iterative PageRank over an extracted link graph; the
+# integer fixed-point contract makes the Python referee bit-exact
+def crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl budgeting: host→host link graph from the same extraction
+    pass → 6-round integer fixed-point PageRank → per-host rank joined
+    onto the discovered frontier's per-host URL counts. The output is
+    the order in which a budgeted crawler should spend fetches.
+
+    Scale shape: the edge frame is host-pair distinct (map-side
+    combine); PageRank iterations shuffle rank rows sized to the HOST
+    graph (millions of rows at web scale, not billions of pages); the
+    final join is host-keyed. Nothing touches page bodies after the
+    one Arrow pass."""
+    from pipeline_server_spark.operators.links import (
+        attach_linked_corpus, discover_frontier, extract_links,
+        host_graph)
+    from pipeline_server_spark.queries.graph import pagerank_fixed_point
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    pages = attach_linked_corpus(docs, n_docs=n)
+    links = extract_links(pages)
+    frontier = discover_frontier(links, pages.select("url"))
+    per_host = frontier.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_urls"))
+    rank = (pagerank_fixed_point(host_graph(links))
+            .select(F.col("node").alias("host"),
+                    F.col("r").alias("rank_scaled")))
+    return (rank.join(per_host, "host", "full")
+            .select("host",
+                    F.coalesce("rank_scaled", F.lit(0)).cast("long")
+                    .alias("rank_scaled"),
+                    F.coalesce("n_new_urls", F.lit(0)).cast("long")
+                    .alias("n_new_urls"))
+            .orderBy(F.desc("rank_scaled"), "host"))
+
+
+# -- feed discovery ------------------------------------------------------
+def _feed_url(h: int) -> str:
+    return f"https://feed{h}.example.net/feed.xml"
+
+
+def _expected_feed_frontier(n: int) -> dict:
+    """url → [host, n_refs, via] per the feed fixture closed form:
+    every doc is one entry on its host's feed (relative links for
+    ``d % 8 == 5``, double-listed for ``d % 9 == 0``), entries of
+    ``d % 7 == 0`` docs are already fetched."""
+    out: dict[str, list] = {}
+    for d in range(n):
+        if d % 7 == 0:
+            continue
+        h = d % 6
+        url = f"https://feed{h}.example.net/post/{d}"
+        out[url] = [f"feed{h}.example.net",
+                    2 if d % 9 == 0 else 1, _feed_url(h)]
+    return out
+
+
+def _feed_discovery_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    exp = _expected_feed_frontier(_n_docs(sf_dir))
+    rows = [(u, h, c, v) for u, (h, c, v) in exp.items()]
+    return (pd.DataFrame(rows, columns=["url", "host", "n_refs", "via"])
+            .astype({"n_refs": "int64"})
+            .sort_values("url", ignore_index=True))
+
+
+@query("crawl_feed_discovery", oracle_py=_feed_discovery_py_oracle)
+# no SQL oracle: RSS/Atom XML parsing is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def crawl_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feeds → the next crawl wave. Per-host feeds (even
+    hosts RSS 2.0, odd hosts Atom; every third host's payload
+    gzipped) list each doc's post URL — relative for ``d % 8 == 5``
+    (must resolve against the feed URL), double-listed for
+    ``d % 9 == 0`` (must count 2 but seed once), with the Atom
+    entries hiding the alternate link behind an enclosure link the
+    parser must skip. Entries of ``d % 7 == 0`` docs are already in
+    the fetched table and must anti-join away. Same frontier
+    contract as in-page links (discover_from_feeds delegates to
+    discover_frontier).
+
+    Scale shape: one Arrow parse pass, one canonical-URL groupBy,
+    one anti join — the sitemap path's cost envelope."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.feeds import (
+        discover_from_feeds, feed_entries, synth_feed)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select("doc_id",
+                        (F.col("doc_id") % 6).alias("h"))
+
+    def _pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        h = int(key[0])
+        entries = []
+        for did in sorted(int(x) for x in pdf["doc_id"]):
+            link = (f"post/{did}" if did % 8 == 5 else
+                    f"https://feed{h}.example.net/post/{did}")
+            e = (link, f"urn:doc:{did}",
+                 f"2026-02-{did % 28 + 1:02d}", f"Post {did}")
+            entries.append(e)
+            if did % 9 == 0:
+                entries.append(e)
+        payload = synth_feed("rss" if h % 2 == 0 else "atom",
+                             f"Feed {h}", entries, gz=(h % 3 == 0))
+        return pd.DataFrame({"feed_url": [_feed_url(h)],
+                             "payload": [payload]})
+
+    feeds = hosts.groupBy("h").applyInPandas(
+        _pack, schema=T.StructType([
+            T.StructField("feed_url", T.StringType()),
+            T.StructField("payload", T.BinaryType())]))
+    entries = feed_entries(feeds)
+    fetched = (docs.where(F.col("doc_id") % 7 == 0)
+               .select(F.concat(
+                   F.lit("https://feed"),
+                   (F.col("doc_id") % 6).cast("string"),
+                   F.lit(".example.net/post/"),
+                   F.col("doc_id").cast("string")).alias("url")))
+    return (discover_from_feeds(entries, fetched)
+            .orderBy("url"))

@@ -2121,3 +2121,48 @@ def crawl_sitemap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("slot").cast("long").alias("slot"),
                     "fetch_at", "worker")
             .orderBy("url"))
+
+
+def _docx_text_py_oracle(sf_dir: str):
+    """Referee for docx_main_text: expected text straight from the
+    writer's closed form (expected_docx_blocks) — plain text only,
+    no ZIP, no XML, no parser."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.docx import expected_docx_blocks
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    out = []
+    for d, t in rows:
+        blocks, n_paras = expected_docx_blocks(int(d), str(t))
+        out.append((int(d), "\n\n".join(blocks), n_paras))
+    return pd.DataFrame(
+        out, columns=["doc_id", "docx_text", "n_paragraphs"]).astype(
+        {"n_paragraphs": "int64"})
+
+
+@query("docx_main_text", oracle_py=_docx_text_py_oracle)
+# no SQL oracle: ZIP + WordprocessingML parsing is not
+# SQL-expressible; the closed-form referee takes the full
+# rows+schema+hash gate
+def docx_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML .docx text extraction (round-13): every document cycles
+    through the spec-shaped writer (operators/docx.py) planting one
+    parsing hazard per doc — mid-word run splits under xml:space,
+    tab/br runs, a table block, tracked changes (w:ins kept / w:del
+    dropped), a PAGE field code inside a hyperlink — and the parser
+    must recover exactly the closed-form text.
+
+    Scale shape: one Arrow pass in, one Arrow pass out — corpus-
+    linear, no joins (the pdf_main_text discipline)."""
+    from pipeline_server_spark.operators.docx import (
+        attach_docx_corpus, docx_main_text as _docx_extract)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parsed = _docx_extract(attach_docx_corpus(docs))
+    return (parsed.select("doc_id", "docx_text",
+                          F.col("n_paragraphs").cast("long")
+                          .alias("n_paragraphs"))
+            .orderBy("doc_id"))

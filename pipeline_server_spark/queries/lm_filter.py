@@ -1,0 +1,186 @@
+"""CCNet-style language-model quality filtering (round-13).
+
+The published CCNet pipeline (Wenzek et al. 2020, public) scores
+every document with a language model trained on a clean reference
+corpus and splits each language into head / middle / tail perplexity
+buckets; the head bucket feeds training sets. This module implements
+that contract self-contained: an interpolated KNESER-NEY bigram LM
+(Kneser & Ney 1995; Chen & Goodman 1998 — the standard smoothing) is
+trained on the reference slice ``doc_id % 3 == 0``, every document is
+scored, and ``ntile(3)`` within each language assigns the bucket.
+
+Exactness across engines (the value-hash gate): the absolute
+discount D = 3/4 makes every KN probability a RATIO OF EXACT
+INTEGERS —
+
+    P(w2|w1) = (max(c12-D,0) + D·n1p(w1)·Pcont(w2)) / c1(w1)
+    Pcont(w2) = (ncw(w2)+1) / (ncc+V+1)        [+1: '<unk>' mass]
+  ⇒ P = A/B,  A = max(4·c12-3,0)·M + 3·n1p·(ncw+1),  B = 4·M·c1,
+    M = ncc+V+1   (backoff row for unseen w1: A = ncw+1, B = M)
+
+— so the per-bigram surprisal is ``cnt·(log2 B − log2 A)``: log2 of
+exact integer-valued doubles (< 2^53), the same bit-stable pattern as
+``bigram_lm_surprisal``, quantized DECIMAL(27,9) per row and summed
+exactly. Σ_w2 P(w2|w1) = 1 holds exactly (the +1 unk mass completes
+the continuation distribution), so this is a proper LM, not a score.
+
+Scale shape: model tables are vocabulary-sized (c1/n1p broadcast
+under AQE, c12 hash-joins); scoring bigrams collapse to per-doc
+distinct counts BEFORE the model joins (map-side combine); M and V
+are allowlisted 1-row scalar broadcasts; the bucket window sorts
+PER LANGUAGE (CCNet's own contract — a per-language percentile is a
+per-language sort on doc-level rows, millions not billions).
+
+Reference scope anchor: the row-scoring transform family
+(Transform.scala:99-112) with a corpus-global model; the bucketing is
+the LLM-brief quality-scoring head.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+_KN_ORACLE = """
+WITH train AS (
+  SELECT string_split(text, ' ') AS tok FROM documents
+  WHERE doc_id % 3 = 0),
+tb AS (
+  SELECT tok[i] AS w1, tok[i + 1] AS w2
+  FROM train, UNNEST(generate_series(1, len(tok) - 1)) AS g(i)),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tb GROUP BY ALL),
+c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p
+       FROM c12 GROUP BY w1),
+ncw AS (SELECT w2, COUNT(*) AS ncw FROM c12 GROUP BY w2),
+vocab AS (SELECT DISTINCT UNNEST(tok) AS w FROM train),
+scal AS (SELECT (SELECT COUNT(*) FROM c12)
+                + (SELECT COUNT(*) FROM vocab) + 1 AS m),
+alltok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+sb0 AS (
+  SELECT doc_id, lang, tok[i] AS r1, tok[i + 1] AS r2
+  FROM alltok, UNNEST(generate_series(1, len(tok) - 1)) AS g(i)),
+sb1 AS (
+  SELECT doc_id, lang,
+         CASE WHEN v1.w IS NULL THEN '<unk>' ELSE r1 END AS w1,
+         CASE WHEN v2.w IS NULL THEN '<unk>' ELSE r2 END AS w2
+  FROM sb0 LEFT JOIN vocab v1 ON v1.w = sb0.r1
+           LEFT JOIN vocab v2 ON v2.w = sb0.r2),
+sb AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS cnt
+       FROM sb1 GROUP BY ALL),
+terms AS (
+  SELECT s.doc_id, s.lang, s.cnt,
+         CAST(CAST(s.cnt AS DOUBLE)
+              * (log2(CAST(CASE WHEN COALESCE(c1.c1, 0) > 0
+                       THEN 4 * scal.m * c1.c1
+                       ELSE scal.m END AS DOUBLE))
+                 - log2(CAST(CASE WHEN COALESCE(c1.c1, 0) > 0
+                       THEN GREATEST(4 * COALESCE(c12.c12, 0) - 3, 0)
+                            * scal.m
+                            + 3 * c1.n1p * (COALESCE(ncw.ncw, 0) + 1)
+                       ELSE COALESCE(ncw.ncw, 0) + 1 END AS DOUBLE)))
+              AS DECIMAL(27,9)) AS term
+  FROM sb s
+  LEFT JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
+  LEFT JOIN c1 ON c1.w1 = s.w1
+  LEFT JOIN ncw ON ncw.w2 = s.w2
+  CROSS JOIN scal),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS bits
+  FROM terms GROUP BY doc_id, lang),
+scored AS (
+  SELECT doc_id, lang, n_bigrams, bits,
+         bits / CAST(n_bigrams AS DOUBLE) AS avg_bits
+  FROM per_doc)
+SELECT doc_id, lang, n_bigrams, bits, avg_bits,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_bits, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM scored ORDER BY doc_id
+"""
+
+
+@query("kneser_ney_perplexity_buckets", oracle=_KN_ORACLE)
+def kneser_ney_perplexity_buckets(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained on the reference
+    slice (doc_id % 3 == 0), scoring every document; per-language
+    ntile(3) over average surprisal = the CCNet head/middle/tail
+    split. See the module docstring for the integer-ratio exactness
+    contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(tok, F.lit(1), F.size(tok) - 1),
+        F.slice(tok, F.lit(2), F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+    train = docs.where(F.col("doc_id") % 3 == 0)
+    tb = (train.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    c12 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count(F.lit(1)).alias("n1p"))
+    ncw = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("ncw"))
+    vocab = (train.select(F.explode(tok).alias("w")).distinct())
+    # M = bigram types + vocab size + 1 ('<unk>' completes the
+    # continuation distribution): two counts → one scalar row
+    scal = (c12.agg(F.count(F.lit(1)).alias("ncc"))
+            .crossJoin(F.broadcast(vocab.agg(
+                F.count(F.lit(1)).alias("v"))))
+            .select((F.col("ncc") + F.col("v") + 1).alias("m")))
+
+    sb0 = (docs.select("doc_id", "lang", F.explode(pairs).alias("p"))
+           .select("doc_id", "lang",
+                   F.col("p.w1").alias("r1"), F.col("p.w2").alias("r2")))
+    v1 = vocab.select(F.col("w").alias("vw1"))
+    v2 = vocab.select(F.col("w").alias("vw2"))
+    # OOV → '<unk>' (vocab is model-sized: AQE picks broadcast vs
+    # shuffled hash join by measurement, same policy as c1)
+    sb1 = (sb0.join(v1, sb0["r1"] == v1["vw1"], "left")
+           .join(v2, sb0["r2"] == v2["vw2"], "left")
+           .select("doc_id", "lang",
+                   F.when(F.col("vw1").isNull(), F.lit("<unk>"))
+                   .otherwise(F.col("r1")).alias("w1"),
+                   F.when(F.col("vw2").isNull(), F.lit("<unk>"))
+                   .otherwise(F.col("r2")).alias("w2")))
+    sb = (sb1.groupBy("doc_id", "lang", "w1", "w2")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+
+    j = (sb.join(c12, ["w1", "w2"], "left")
+         .join(c1, ["w1"], "left")
+         .join(ncw, ["w2"], "left")
+         .crossJoin(F.broadcast(scal)))  # 1-row scalar: always safe
+    seen = F.coalesce(F.col("c1"), F.lit(0)) > 0
+    b_int = F.when(seen, 4 * F.col("m") * F.col("c1")) \
+        .otherwise(F.col("m"))
+    a_int = F.when(
+        seen,
+        F.greatest(4 * F.coalesce(F.col("c12"), F.lit(0)) - 3, F.lit(0))
+        * F.col("m")
+        + 3 * F.col("n1p") * (F.coalesce(F.col("ncw"), F.lit(0)) + 1)
+    ).otherwise(F.coalesce(F.col("ncw"), F.lit(0)) + 1)
+    term = (F.col("cnt").cast("double")
+            * (F.log2(b_int.cast("double"))
+               - F.log2(a_int.cast("double")))).cast("decimal(27,9)")
+
+    per_doc = (j.select("doc_id", "lang", "cnt", term.alias("term"))
+               .groupBy("doc_id", "lang")
+               .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+                    F.sum("term").cast("string").cast("double")
+                    .alias("bits")))
+    scored = per_doc.withColumn(
+        "avg_bits", F.col("bits") / F.col("n_bigrams").cast("double"))
+    w = W.partitionBy("lang").orderBy("avg_bits", "doc_id")
+    bucket = (F.when(F.ntile(3).over(w) == 1, "head")
+              .when(F.ntile(3).over(w) == 2, "middle")
+              .otherwise("tail"))
+    return (scored.select("doc_id", "lang", "n_bigrams", "bits",
+                          "avg_bits", bucket.alias("bucket"))
+            .orderBy("doc_id"))

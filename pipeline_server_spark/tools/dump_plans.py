@@ -345,6 +345,34 @@ SHOW = {
         "range buckets + tiny offset window, no single-partition "
         "global window"
     ),
+    "crawl_link_discovery": (
+        "in-page link discovery: one Arrow anchor-extraction pass "
+        "(RFC 3986 resolution, nofollow policy), canonical-URL "
+        "groupBy with map-side combine, one left-anti hash join "
+        "against the fetched set — per-wave corpus-linear"
+    ),
+    "crawl_frontier_priority": (
+        "host-rank crawl budgeting: host-pair-distinct edge frame, "
+        "integer fixed-point PageRank on the HOST graph (conf-"
+        "isolated loop session), host-keyed final join — page bodies "
+        "touched once"
+    ),
+    "crawl_feed_discovery": (
+        "RSS/Atom frontier seeding: one Arrow feed-parse pass (gzip "
+        "autodetect, enclosure-link skip), then the shared "
+        "discover_frontier groupBy + anti join"
+    ),
+    "docx_main_text": (
+        "OOXML text extraction: ZIP + WordprocessingML parse in one "
+        "Arrow pass, corpus-linear, no joins; tracked deletions and "
+        "field codes excluded spec-side"
+    ),
+    "kneser_ney_perplexity_buckets": (
+        "CCNet-style KN-LM filter: vocabulary-sized model tables "
+        "AQE-joined onto per-doc distinct bigrams (map-side "
+        "combined), 1-row scalar broadcasts for M, per-LANGUAGE "
+        "ntile window — no global sort"
+    ),
 }
 
 

@@ -1,0 +1,93 @@
+"""DOCX writer/parser (operators/docx.py, round-13)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from pipeline_server_spark.operators.docx import (
+    attach_docx_corpus,
+    docx_main_text,
+    docx_text,
+    expected_docx_blocks,
+    synth_docx,
+)
+
+TEXT = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+        "do eiusmod tempor incididunt ut labore et dolore magna "
+        "aliqua enim ad minim veniam quis nostrud")
+
+
+class TestRoundtrip:
+    def test_all_variants_recover_closed_form(self):
+        for d in range(10):
+            r = docx_text(synth_docx(d, TEXT))
+            blocks, n_paras = expected_docx_blocks(d, TEXT)
+            assert r["err"] is None
+            assert r["text"] == "\n\n".join(blocks), f"variant {d % 5}"
+            assert r["n_paragraphs"] == n_paras
+
+    def test_preserve_split_keeps_midword_bytes(self):
+        # variant 0 splits the first paragraph's run mid-word
+        r = docx_text(synth_docx(0, TEXT))
+        assert "lorem ipsum" in r["text"]
+
+    def test_tracked_deletion_never_surfaces(self):
+        r = docx_text(synth_docx(3, TEXT))
+        assert "obsolete" not in r["text"]
+        assert " revised" in r["text"]
+
+    def test_field_code_never_surfaces(self):
+        r = docx_text(synth_docx(4, TEXT))
+        assert "MERGEFORMAT" not in r["text"]
+        assert "PAGE" not in r["text"]
+
+    def test_table_cells_tab_rows_newline(self):
+        r = docx_text(synth_docx(2, TEXT))
+        assert f"cell 2 A\tB\nC\tD" in r["text"]
+
+    def test_single_word_paragraph_variants(self):
+        for d in range(10):
+            r = docx_text(synth_docx(d, "word"))
+            blocks, _ = expected_docx_blocks(d, "word")
+            assert r["text"] == "\n\n".join(blocks)
+
+
+class TestQuarantine:
+    def test_not_a_zip(self):
+        r = docx_text(b"\x00\x01garbage")
+        assert r["err"] and r["text"] is None
+
+    def test_zip_without_document_part(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/styles.xml", "<a/>")
+        assert docx_text(buf.getvalue())["err"]
+
+    def test_truncated_package(self):
+        blob = synth_docx(1, TEXT)
+        assert docx_text(blob[: len(blob) // 2])["err"]
+
+    def test_broken_xml(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", "<w:document><unclosed")
+        assert docx_text(buf.getvalue())["err"]
+
+
+class TestSparkFace:
+    def test_extract_and_quarantine_rows(self, spark):
+        import pandas as pd
+
+        docs = spark.createDataFrame(
+            [(1, TEXT), (2, TEXT)], "doc_id long, text string")
+        good = attach_docx_corpus(docs)
+        bad = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [99], "docx": [b"not a zip"]}))
+        out = {r.doc_id: r for r in
+               docx_main_text(good.unionByName(bad)).collect()}
+        assert out[1].docx_err is None and out[1].n_paragraphs == 3
+        assert out[99].docx_err is not None
+        assert out[99].docx_text is None
+        blocks, _ = expected_docx_blocks(2, TEXT)
+        assert out[2].docx_text == "\n\n".join(blocks)

@@ -1,0 +1,101 @@
+"""RSS/Atom feed ingestion (operators/feeds.py, round-13)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from pipeline_server_spark.operators.feeds import (
+    discover_from_feeds,
+    feed_entries,
+    parse_feed,
+    synth_feed,
+)
+
+E1 = ("https://blog.example.com/p/1", "urn:1", "2026-02-01", "One")
+E2 = ("p/two", "urn:2", "2026-02-02", "Two & <Three>")
+
+
+class TestParseFeed:
+    def test_rss_roundtrip(self):
+        r = parse_feed(synth_feed("rss", "B", [E1, E2]))
+        assert r["kind"] == "rss" and r["title"] == "B"
+        assert r["entries"] == [E1, E2]
+
+    def test_atom_roundtrip_skips_enclosure_link(self):
+        r = parse_feed(synth_feed("atom", "B", [E1, E2]))
+        assert r["kind"] == "atom"
+        assert r["entries"] == [E1, E2]  # alternate, not the enclosure
+
+    def test_gzip_autodetect(self):
+        r = parse_feed(synth_feed("rss", "B", [E1], gz=True))
+        assert r["entries"] == [E1]
+
+    def test_rss_guid_as_permalink(self):
+        xml = (b'<rss version="2.0"><channel><title>t</title>'
+               b"<item><guid>https://x.example.com/only-guid</guid>"
+               b"</item></channel></rss>")
+        r = parse_feed(xml)
+        assert r["entries"][0][0] == "https://x.example.com/only-guid"
+
+    def test_linkless_item_skipped(self):
+        xml = (b'<rss version="2.0"><channel><title>t</title>'
+               b"<item><title>no link</title></item>"
+               b"</channel></rss>")
+        assert parse_feed(xml)["entries"] == []
+
+    def test_malformed_xml_raises(self):
+        with pytest.raises(ValueError, match="malformed"):
+            parse_feed(b"<rss><channel><broken")
+
+    def test_non_feed_root_raises(self):
+        with pytest.raises(ValueError, match="not a feed"):
+            parse_feed(b"<html></html>")
+
+    def test_rss_without_channel_raises(self):
+        with pytest.raises(ValueError, match="channel"):
+            parse_feed(b'<rss version="2.0"></rss>')
+
+    def test_truncated_gzip_raises_cleanly(self):
+        blob = synth_feed("rss", "B", [E1], gz=True)[:20]
+        with pytest.raises(Exception):
+            parse_feed(blob)
+
+
+class TestSparkFaces:
+    def _feeds(self, spark):
+        import pandas as pd
+
+        rows = [
+            ("https://a.example.com/feed.xml",
+             synth_feed("rss", "A", [E1, E2, E2])),  # E2 double-listed
+            ("https://b.example.com/feed.xml",
+             synth_feed("atom", "B", [E1], gz=True)),
+            ("https://c.example.com/feed.xml", b"<broken"),
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["feed_url", "payload"]))
+
+    def test_feed_entries_rows_and_quarantine(self, spark):
+        out = feed_entries(self._feeds(spark)).collect()
+        errs = [r for r in out if r.err is not None]
+        assert len(errs) == 1
+        assert errs[0].feed_url == "https://c.example.com/feed.xml"
+        # relative entry link resolved against the feed URL
+        links = {r.link for r in out if r.err is None}
+        assert "https://a.example.com/p/two" in links
+        assert ("https://blog.example.com/p/1" in links)
+
+    def test_discover_from_feeds_counts_and_anti_join(self, spark):
+        entries = feed_entries(self._feeds(spark))
+        fetched = spark.createDataFrame(
+            [("https://blog.example.com/p/1",)], "url string")
+        got = {r.url: r for r in
+               discover_from_feeds(entries, fetched).collect()}
+        assert "https://blog.example.com/p/1" not in got
+        # E2 listed twice in feed A, once resolved → n_refs 2
+        assert got["https://a.example.com/p/two"].n_refs == 2
+        assert got["https://a.example.com/p/two"].via == \
+            "https://a.example.com/feed.xml"
+        assert got["https://a.example.com/p/two"].host == "a.example.com"

@@ -1,0 +1,138 @@
+"""Link extraction / RFC 3986 resolution / frontier discovery
+(operators/links.py, round-13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.operators.links import (
+    discover_frontier,
+    extract_links,
+    extract_page_links,
+    host_graph,
+)
+
+PAGE = "https://www.example.com/news/2026/story.html"
+
+
+def _links(html, url=PAGE):
+    return extract_page_links(url, html)
+
+
+class TestExtractPageLinks:
+    def test_relative_resolution_dot_segments(self):
+        r = _links('<a href="../../x/../img/a.png">x</a>')
+        assert r["links"] == [
+            ("https://www.example.com/img/a.png", False)]
+
+    def test_base_href_wins_and_first_base_wins(self):
+        r = _links('<base href="/b1/"><base href="/b2/">'
+                   '<a href="p.html">x</a>')
+        assert r["links"] == [
+            ("https://www.example.com/b1/p.html", False)]
+
+    def test_relative_base_resolves_against_page(self):
+        r = _links('<base href="sub/"><a href="p.html">x</a>')
+        assert r["links"] == [
+            ("https://www.example.com/news/2026/sub/p.html", False)]
+
+    def test_protocol_relative(self):
+        r = _links('<a href="//cdn.example.net/l">x</a>')
+        assert r["links"] == [("https://cdn.example.net/l", False)]
+
+    def test_junk_schemes_dropped(self):
+        r = _links('<a href="mailto:a@b.c">m</a>'
+                   '<a href="javascript:void(0)">j</a>'
+                   '<a href="tel:+123">t</a>'
+                   '<a href="data:text/plain,x">d</a>'
+                   '<a href="ftp://h/f">f</a>')
+        assert r["links"] == []
+
+    def test_rel_nofollow_flag(self):
+        r = _links('<a rel="NoFollow sponsored" href="/a">x</a>'
+                   '<a href="/b">y</a>')
+        assert r["links"] == [
+            ("https://www.example.com/a", True),
+            ("https://www.example.com/b", False)]
+
+    def test_meta_robots_page_nofollow_and_noindex(self):
+        r = _links('<meta name="robots" content="noindex, nofollow">'
+                   '<a href="/a">x</a>')
+        assert r["noindex"] is True
+        assert r["links"] == [("https://www.example.com/a", True)]
+
+    def test_meta_robots_none_directive(self):
+        r = _links('<meta name="ROBOTS" content="none">'
+                   '<a href="/a">x</a>')
+        assert r["noindex"] is True
+        assert r["links"][0][1] is True
+
+    def test_rel_canonical_resolved(self):
+        r = _links('<link rel="canonical" href="/canon">')
+        assert r["canonical"] == "https://www.example.com/canon"
+
+    def test_entity_refs_in_href(self):
+        r = _links('<a href="/q?a=1&amp;b=2">x</a>')
+        assert r["links"] == [
+            ("https://www.example.com/q?a=1&b=2", False)]
+
+    def test_malformed_markup_survives(self):
+        r = _links("<div><a href='/ok'>x</b></p><a href=/bare>y"
+                   "<a name=anchor-without-href>z</a>")
+        assert [u for u, _ in r["links"]] == [
+            "https://www.example.com/ok",
+            "https://www.example.com/bare"]
+
+    def test_fragment_only_resolves_to_base(self):
+        assert _links('<a href="#top">x</a>')["links"] == [
+            (PAGE + "#top", False)]
+
+
+class TestSparkFaces:
+    def _pages(self, spark):
+        rows = [
+            (1, "https://a.example.com/p1",
+             '<a href="/new1">n</a>'
+             '<a href="https://b.example.com/p2">b</a>'
+             '<a rel="nofollow" href="/paid">p</a>'),
+            (2, "https://b.example.com/p2",
+             '<a href="/new1">cross</a>'
+             '<a href="https://a.example.com/p1#frag">back</a>'),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string, html string")
+
+    def test_extract_links_rows(self, spark):
+        out = extract_links(self._pages(spark)).collect()
+        assert len(out) == 5
+        nf = {r.link_url: r.nofollow for r in out}
+        assert nf["https://a.example.com/paid"] is True
+        assert nf["https://b.example.com/p2"] is False
+
+    def test_discover_frontier_anti_join_and_counts(self, spark):
+        pages = self._pages(spark)
+        links = extract_links(pages)
+        got = {r.url: r for r in
+               discover_frontier(links, pages.select("url")).collect()}
+        # fetched pages (and the #frag alias of p1) are gone
+        assert "https://a.example.com/p1" not in got
+        assert "https://b.example.com/p2" not in got
+        # /new1 exists on BOTH hosts (relative resolution) — distinct
+        assert got["https://a.example.com/new1"].n_refs == 1
+        assert got["https://b.example.com/new1"].n_refs == 1
+        assert got["https://a.example.com/new1"].host == "a.example.com"
+        # nofollow target never surfaces
+        assert "https://a.example.com/paid" not in got
+
+    def test_host_graph_excludes_self_loops_and_nofollow(self, spark):
+        links = extract_links(self._pages(spark))
+        edges = {(r.src, r.dst) for r in host_graph(links).collect()}
+        assert edges == {("a.example.com", "b.example.com"),
+                         ("b.example.com", "a.example.com")}
+
+    def test_discover_frontier_plan_has_no_python_post_extract(self, spark):
+        pages = self._pages(spark)
+        links = extract_links(pages).localCheckpoint()
+        plan = (discover_frontier(links, pages.select("url"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan

@@ -1,0 +1,101 @@
+"""Kneser-Ney perplexity bucketing (queries/lm_filter.py, round-13).
+
+The registry referee is the full DuckDB oracle; these tests pin the
+MODEL semantics on a hand-checkable corpus — proper-distribution
+(Σ P = 1), discounting, continuation backoff, and the unk path —
+independent of both engines, plus the bucket split.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pipeline_server_spark.queries.lm_filter import (
+    kneser_ney_perplexity_buckets,
+)
+
+
+def _kn_model(train_texts):
+    tb = []
+    vocab = set()
+    for t in train_texts:
+        toks = t.split(" ")
+        vocab.update(toks)
+        tb += list(zip(toks, toks[1:]))
+    c12 = Counter(tb)
+    c1 = Counter()
+    n1p = Counter()
+    ncw = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p[w1] += 1
+        ncw[w2] += 1
+    m = len(c12) + len(vocab) + 1
+    return vocab, c12, c1, n1p, ncw, m
+
+
+def _p(w1, w2, model):
+    vocab, c12, c1, n1p, ncw, m = model
+    w1 = w1 if w1 in vocab else "<unk>"
+    w2 = w2 if w2 in vocab else "<unk>"
+    if c1[w1] > 0:
+        a = (max(4 * c12[(w1, w2)] - 3, 0) * m
+             + 3 * n1p[w1] * (ncw[w2] + 1))
+        b = 4 * m * c1[w1]
+    else:
+        a, b = ncw[w2] + 1, m
+    return a, b
+
+
+class TestModelSemantics:
+    TRAIN = ["a b a c a b", "b c c a"]
+
+    def test_distribution_sums_to_one(self):
+        model = _kn_model(self.TRAIN)
+        vocab = sorted(model[0]) + ["<unk>"]
+        for w1 in vocab:
+            total = sum(
+                math.fsum([_p(w1, w2, model)[0]]) / _p(w1, w2, model)[1]
+                for w2 in vocab)
+            assert abs(total - 1.0) < 1e-12, w1
+
+    def test_discount_moves_mass_to_continuations(self):
+        model = _kn_model(self.TRAIN)
+        # seen bigram (a,b): discounted below MLE
+        a, b = _p("a", "b", model)
+        c12 = model[1][("a", "b")]
+        c1 = model[2]["a"]
+        assert a / b < c12 / c1
+        # unseen-but-both-known bigram gets strictly positive mass
+        a2, b2 = _p("c", "b", model)
+        assert 0 < a2 / b2 < a / b
+
+    def test_unk_paths(self):
+        model = _kn_model(self.TRAIN)
+        # unk history → pure continuation distribution
+        a, b = _p("zzz", "a", model)
+        assert (a, b) == (model[4]["a"] + 1, model[5])
+        # unk continuation → the +1 mass only
+        a3, b3 = _p("a", "zzz", model)
+        assert a3 == 3 * model[3]["a"]  # ncw(unk)=0 → n1p·(0+1)·3
+
+    def test_integer_ratios_fit_bigint(self):
+        model = _kn_model(self.TRAIN * 200)
+        for w1 in list(model[0])[:3]:
+            a, b = _p(w1, "a", model)
+            assert a < 2**63 and b < 2**63
+
+
+class TestQuery:
+    def test_buckets_split_each_lang_in_thirds(self, spark):
+        out = kneser_ney_perplexity_buckets(
+            spark, "/root/testdata/sf0.001").toPandas()
+        for lang, g in out.groupby("lang"):
+            counts = g["bucket"].value_counts()
+            assert abs(counts.get("head", 0) - counts.get("tail", 0)) <= 1
+            assert set(counts.index) <= {"head", "middle", "tail"}
+        # reference slice scores strictly better on average than tail
+        ref = out[out.doc_id % 3 == 0]["avg_bits"].mean()
+        tail = out[out.bucket == "tail"]["avg_bits"].mean()
+        assert ref < tail
