@@ -162,6 +162,18 @@ HEADLINE = [
     # scheduler — broadcast rules join + two host-keyed windows;
     # regression means the rules dimension stopped broadcasting
     "crawl_fetch_schedule",
+    # round-13: in-page link discovery — one Arrow anchor-extraction
+    # pass + canonical-URL groupBy + fetched anti-join; regression
+    # means extraction stopped batching or the anti-join degenerated
+    "crawl_link_discovery",
+    # round-13: OOXML text extraction — ZIP + WordprocessingML parse
+    # in one Arrow pass; regression means per-doc Python overhead
+    # crept into the batch loop
+    "docx_main_text",
+    # round-13: Kneser-Ney perplexity buckets — vocabulary-sized
+    # model joins + per-language ntile; regression means a model
+    # side stopped AQE-sizing or the window went global
+    "kneser_ney_perplexity_buckets",
 ]
 
 

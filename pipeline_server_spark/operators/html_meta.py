@@ -1,0 +1,276 @@
+"""HTML document-metadata extraction (round-13): title / author /
+publication date / canonical URL / language from the page head —
+the provenance half of main-content extraction (html_extract.py).
+
+Real pages carry the same fact in up to three public vocabularies:
+JSON-LD (schema.org ``<script type="application/ld+json">``), Open
+Graph ``<meta property="og:…">`` / ``article:…``, and classic
+``<meta name=…>`` + ``<title>``. The extractor reads all three in
+ONE stdlib-parser pass and unifies with the precedence the published
+extractors (trafilatura/newspaper, public) converge on — most
+structured wins:
+
+- ``title``:     JSON-LD ``headline`` → ``og:title`` → ``<title>``
+- ``author``:    JSON-LD ``author.name`` → ``<meta name=author>``
+- ``published``: JSON-LD ``datePublished`` →
+                 ``article:published_time`` → ``<meta name=date>``
+- ``canonical``: ``<link rel=canonical href>`` (verbatim; resolution
+                 is links.py's job)
+- ``lang``:      ``<html lang>``
+- ``og_type``:   ``og:type`` verbatim
+
+Malformed JSON-LD payloads are skipped (never a crash, the next
+vocabulary wins); ``@graph`` arrays and top-level arrays are walked
+in order and the first object carrying any wanted field is used.
+
+Scale shape: one mapInPandas Arrow pass, corpus-linear, no joins.
+Reference scope anchor: none (reference byte-passes HTML); LLM-brief
+extraction-stack member.
+"""
+
+from __future__ import annotations
+
+import json
+from html.parser import HTMLParser
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+class _MetaParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: dict[str, str] = {}      # name/property → content
+        self.title_parts: list[str] = []
+        self.canonical: str | None = None
+        self.lang: str | None = None
+        self.ld_blobs: list[str] = []
+        self._in_title = False
+        self._in_ld = False
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "html" and self.lang is None and a.get("lang"):
+            self.lang = a["lang"].strip()
+        elif tag == "meta":
+            key = (a.get("property") or a.get("name") or "").lower()
+            if key and a.get("content") is not None \
+                    and key not in self.meta:
+                self.meta[key] = a["content"].strip()
+        elif tag == "link":
+            rel = (a.get("rel") or "").lower().split()
+            if "canonical" in rel and a.get("href") \
+                    and self.canonical is None:
+                self.canonical = a["href"].strip()
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "script" and (a.get("type") or "").lower() \
+                == "application/ld+json":
+            self._in_ld = True
+            self.ld_blobs.append("")
+
+    handle_startendtag = handle_starttag
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+        elif tag == "script":
+            self._in_ld = False
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+        elif self._in_ld and self.ld_blobs:
+            self.ld_blobs[-1] += data
+
+
+def _ld_fields(blobs: list) -> dict:
+    """First JSON-LD object carrying any wanted field wins; arrays
+    and @graph are walked in order; broken JSON is skipped."""
+    want = ("headline", "datePublished", "author")
+    for blob in blobs:
+        try:
+            doc = json.loads(blob)
+        except (ValueError, TypeError):
+            continue
+        stack = doc if isinstance(doc, list) else [doc]
+        for obj in stack:
+            if not isinstance(obj, dict):
+                continue
+            for node in ([obj] + list(obj.get("@graph") or [])
+                         if isinstance(obj.get("@graph", []), list)
+                         else [obj]):
+                if not isinstance(node, dict):
+                    continue
+                if any(k in node for k in want):
+                    author = node.get("author")
+                    if isinstance(author, list) and author:
+                        author = author[0]
+                    name = (author.get("name")
+                            if isinstance(author, dict) else
+                            author if isinstance(author, str) else None)
+                    return {
+                        "headline": node.get("headline"),
+                        "datePublished": node.get("datePublished"),
+                        "author_name": name,
+                    }
+    return {}
+
+
+def extract_metadata(html: str) -> dict:
+    """Pure-Python core → ``{title, author, published, og_type,
+    canonical, lang}`` per the module precedence contract."""
+    p = _MetaParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    ld = _ld_fields(p.ld_blobs)
+    title = (ld.get("headline") or p.meta.get("og:title")
+             or ("".join(p.title_parts).strip() or None))
+    author = ld.get("author_name") or p.meta.get("author")
+    published = (ld.get("datePublished")
+                 or p.meta.get("article:published_time")
+                 or p.meta.get("date"))
+    return {"title": title, "author": author, "published": published,
+            "og_type": p.meta.get("og:type"),
+            "canonical": p.canonical, "lang": p.lang}
+
+
+def html_metadata(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, title, author, published,
+    og_type, canonical, lang)``."""
+    import pandas as pd
+
+    cols = ["title", "author", "published", "og_type", "canonical",
+            "lang"]
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(c, T.StringType()) for c in cols])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, page in zip(b[id_col], b[html_col]):
+                r = extract_metadata(str(page))
+                rows.append((int(i), *(r[c] for c in cols)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, html_col).mapInPandas(_extract,
+                                                   schema=schema)
+
+
+# -- fixture generator --------------------------------------------------
+def expected_metadata(doc_id: int) -> dict:
+    """Closed form shared by writer and referee (plain values, no
+    HTML): what ``synth_meta_page`` encodes, post-precedence."""
+    d = int(doc_id)
+    v = d % 6
+    exp = {"title": f"Story {d}", "author": None, "published": None,
+           "og_type": None, "canonical": None,
+           "lang": ["en", "de", "fr"][d % 3]}
+    if v == 0:      # all three vocabularies; JSON-LD wins
+        exp.update(title=f"LD Headline {d}", author=f"Author {d}",
+                   published=f"2026-03-{d % 28 + 1:02d}",
+                   og_type="article",
+                   canonical=f"https://site.example.com/canon/{d}")
+    elif v == 1:    # og: + meta only
+        exp.update(title=f"OG Title {d}", author=f"Meta Author {d}",
+                   published=f"2026-04-{d % 28 + 1:02d}T08:00:00Z",
+                   og_type="article")
+    elif v == 2:    # classic meta only
+        exp.update(author=f"Meta Author {d}",
+                   published=f"2026-05-{d % 28 + 1:02d}")
+    elif v == 3:    # broken JSON-LD → og: fallback
+        exp.update(title=f"OG Title {d}", og_type="website")
+    elif v == 4:    # @graph form + canonical
+        exp.update(title=f"Graph Headline {d}", author=f"Graph {d}",
+                   published=f"2026-06-{d % 28 + 1:02d}",
+                   canonical=f"https://site.example.com/g/{d}")
+    # v == 5: bare page — <title> + lang only
+    return exp
+
+
+def synth_meta_page(doc_id: int) -> str:
+    """Deterministic fixture page encoding ``expected_metadata`` with
+    DECOY lower-precedence values wherever a higher vocabulary wins
+    (a precedence bug = a value mismatch, not a missing field)."""
+    d = int(doc_id)
+    v = d % 6
+    lang = ["en", "de", "fr"][d % 3]
+    head = [f"<title>Story {d}</title>"]
+    if v == 0:
+        ld = {"@context": "https://schema.org", "@type": "Article",
+              "headline": f"LD Headline {d}",
+              "datePublished": f"2026-03-{d % 28 + 1:02d}",
+              "author": {"@type": "Person", "name": f"Author {d}"}}
+        head += [
+            '<script type="application/ld+json">'
+            + json.dumps(ld) + "</script>",
+            f'<meta property="og:title" content="OG decoy {d}">',
+            '<meta property="og:type" content="article">',
+            f'<meta property="article:published_time" '
+            f'content="1999-01-01">',
+            f'<meta name="author" content="decoy author {d}">',
+            f'<link rel="canonical" '
+            f'href="https://site.example.com/canon/{d}">',
+        ]
+    elif v == 1:
+        head += [
+            f'<meta property="og:title" content="OG Title {d}">',
+            '<meta property="og:type" content="article">',
+            f'<meta property="article:published_time" '
+            f'content="2026-04-{d % 28 + 1:02d}T08:00:00Z">',
+            f'<meta name="author" content="Meta Author {d}">',
+            f'<meta name="date" content="1999-12-31">',
+        ]
+    elif v == 2:
+        head += [
+            f'<meta name="author" content="Meta Author {d}">',
+            f'<meta name="date" content="2026-05-{d % 28 + 1:02d}">',
+        ]
+    elif v == 3:
+        head += [
+            '<script type="application/ld+json">{broken json'
+            "</script>",
+            f'<meta property="og:title" content="OG Title {d}">',
+            '<meta property="og:type" content="website">',
+        ]
+    elif v == 4:
+        ld = {"@context": "https://schema.org",
+              "@graph": [
+                  {"@type": "WebSite", "url": "https://x"},
+                  {"@type": "NewsArticle",
+                   "headline": f"Graph Headline {d}",
+                   "datePublished": f"2026-06-{d % 28 + 1:02d}",
+                   "author": [{"name": f"Graph {d}"}]}]}
+        head += [
+            '<script type="application/ld+json">'
+            + json.dumps(ld) + "</script>",
+            f'<link rel="canonical" '
+            f'href="https://site.example.com/g/{d}">',
+        ]
+    return (f'<html lang="{lang}"><head>{"".join(head)}</head>'
+            f"<body><p>body {d}</p></body></html>")
+
+
+def attach_meta_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (id, html) fixture frame, one Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("html", T.StringType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            ids = [int(i) for i in b[id_col]]
+            yield pd.DataFrame({
+                id_col: ids,
+                "html": [synth_meta_page(i) for i in ids]})
+
+    return df.select(id_col).mapInPandas(_synth, schema=schema)

@@ -1,0 +1,100 @@
+"""HTTP redirect-chain resolution — pure-Catalyst pointer doubling
+(round-13).
+
+A crawl's fetch log is full of 3xx rows; the corpus wants every
+redirect SOURCE mapped to its terminal URL (canonical identity for
+dedup, frontier hygiene, link-graph contraction). This operator
+builds the redirect edge set from ``(url, status, location)`` rows —
+resolving relative ``Location`` headers per RFC 9110 §10.2.2
+(absolute, protocol-relative, and path-absolute forms, the shapes
+servers actually emit; path-RELATIVE Locations are rare enough that
+they quarantine as dangling rather than guess a base directory) —
+and resolves chains by POINTER DOUBLING: ``rounds`` self-joins
+follow chains up to ``2^rounds`` hops, so a 64-hop chain costs 6
+shuffles, not 64 (the connected-components discipline applied to a
+functional graph).
+
+Outcome classification per source:
+
+- ``ok``        — terminal URL is a fetched non-redirect row;
+- ``dangling``  — terminal URL was never fetched (or the Location
+                  form was unresolvable);
+- ``unresolved``— after ``2^rounds`` hops the walk still sits on a
+                  redirect row: a loop or an over-long chain (both
+                  are crawler bugs worth surfacing, not following).
+
+``n_hops`` is exact for terminated chains and equals ``2^rounds``
+for loops (the doubling fixed point) — deterministic, so the DuckDB
+recursive-CTE oracle can hash-match it.
+
+Scale shape: each round is one hash self-join on the chain key; the
+frame stays one row per redirect source. No Python anywhere.
+
+Reference scope anchor: none (no crawl surface in the reference);
+LLM-brief crawl-stack member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def redirect_edges(fetch: DataFrame, url_col: str = "url",
+                   status_col: str = "status",
+                   location_col: str = "location") -> DataFrame:
+    """3xx rows → ``(src, dst)`` with the Location header resolved:
+    absolute passes through, ``//host/…`` inherits the source
+    scheme, ``/path`` inherits scheme://host; anything else (rare
+    path-relative form) yields NULL dst = an immediately-dangling
+    edge."""
+    loc = F.col(location_col)
+    scheme = F.expr(f"substring_index({url_col}, '://', 1)")
+    _rest = f"substring_index({url_col}, '://', -1)"
+    host = F.expr(f"substring_index({_rest}, '/', 1)")
+    dst = (F.when(loc.rlike("^https?://"), loc)
+           .when(loc.startswith("//"),
+                 F.concat(scheme, F.lit(":"), loc))
+           .when(loc.startswith("/"),
+                 F.concat(scheme, F.lit("://"), host, loc))
+           .otherwise(F.lit(None)))
+    return (fetch.where((F.col(status_col) >= 300)
+                        & (F.col(status_col) <= 399)
+                        & loc.isNotNull())
+            .select(F.col(url_col).alias("src"), dst.alias("dst")))
+
+
+def resolve_redirect_chains(fetch: DataFrame, rounds: int = 6,
+                            url_col: str = "url",
+                            status_col: str = "status",
+                            location_col: str = "location") -> DataFrame:
+    """Every redirect source → ``(url, final_url, n_hops, outcome)``
+    per the module contract. ``fetch`` must hold one row per fetched
+    URL (redirect rows carry their Location; terminal rows any
+    non-3xx status)."""
+    edges = redirect_edges(fetch, url_col, status_col, location_col)
+    m = edges.select("src", F.col("dst").alias("cur"),
+                     F.lit(1).cast("long").alias("hops"))
+    for _ in range(int(rounds)):
+        b = m.select(F.col("src").alias("b_src"),
+                     F.col("cur").alias("b_cur"),
+                     F.col("hops").alias("b_hops"))
+        m = (m.join(b, m["cur"] == b["b_src"], "left")
+             .select("src",
+                     F.coalesce("b_cur", "cur").alias("cur"),
+                     (F.col("hops")
+                      + F.coalesce("b_hops", F.lit(0))).alias("hops")))
+    srcs = edges.select(F.col("src").alias("r_src")).distinct()
+    terminals = (fetch.where((F.col(status_col) < 300)
+                             | (F.col(status_col) > 399))
+                 .select(F.col(url_col).alias("t_url")).distinct())
+    out = (m.join(srcs, m["cur"] == srcs["r_src"], "left")
+           .join(terminals, m["cur"] == terminals["t_url"], "left")
+           .select(F.col("src").alias(url_col),
+                   F.col("cur").alias("final_url"),
+                   F.col("hops").alias("n_hops"),
+                   F.when(F.col("cur").isNull(), "dangling")
+                   .when(F.col("r_src").isNotNull(), "unresolved")
+                   .when(F.col("t_url").isNotNull(), "ok")
+                   .otherwise("dangling").alias("outcome")))
+    return out

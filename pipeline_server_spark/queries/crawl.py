@@ -326,3 +326,141 @@ def crawl_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("doc_id").cast("string")).alias("url")))
     return (discover_from_feeds(entries, fetched)
             .orderBy("url"))
+
+
+# -- redirect-chain resolution -------------------------------------------
+_REDIRECT_ORACLE = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id AS d,
+         'https://r' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org' AS h
+  FROM documents),
+edges AS (
+  SELECT h || '/r301/' || CAST(d AS VARCHAR) AS src,
+         h || '/page/' || CAST(d AS VARCHAR) AS dst
+  FROM docs WHERE d % 4 = 1
+  UNION ALL
+  SELECT h || '/hop1/' || CAST(d AS VARCHAR),
+         h || '/hop2/' || CAST(d AS VARCHAR)
+  FROM docs WHERE d % 4 = 2
+  UNION ALL
+  SELECT h || '/hop2/' || CAST(d AS VARCHAR),
+         h || '/page/' || CAST(d AS VARCHAR)
+  FROM docs WHERE d % 4 = 2
+  UNION ALL
+  SELECT h || '/gone/' || CAST(d AS VARCHAR),
+         'https://external.example.net/x/' || CAST(d AS VARCHAR)
+  FROM docs WHERE d % 4 = 3
+  UNION ALL
+  SELECT h || '/loopA/' || CAST(d AS VARCHAR),
+         h || '/loopB/' || CAST(d AS VARCHAR)
+  FROM docs WHERE d % 16 = 0
+  UNION ALL
+  SELECT h || '/loopB/' || CAST(d AS VARCHAR),
+         h || '/loopA/' || CAST(d AS VARCHAR)
+  FROM docs WHERE d % 16 = 0
+  UNION ALL
+  SELECT h || '/c' || CAST(i AS VARCHAR) || '/' || CAST(d AS VARCHAR),
+         CASE WHEN i = 5 THEN h || '/page/' || CAST(d AS VARCHAR)
+              ELSE h || '/c' || CAST(i + 1 AS VARCHAR) || '/'
+                   || CAST(d AS VARCHAR) END
+  FROM docs, UNNEST(generate_series(0, 5)) AS g(i) WHERE d % 20 = 5),
+terminals AS (
+  SELECT h || '/page/' || CAST(d AS VARCHAR) AS url FROM docs),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 64),
+furthest AS (
+  SELECT src, cur, hops,
+         row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+  FROM walk)
+SELECT src AS url, cur AS final_url, CAST(hops AS BIGINT) AS n_hops,
+       CASE WHEN cur IN (SELECT src FROM edges) THEN 'unresolved'
+            WHEN cur IN (SELECT url FROM terminals) THEN 'ok'
+            ELSE 'dangling' END AS outcome
+FROM furthest WHERE rn = 1 ORDER BY url
+"""
+
+
+@query("crawl_redirect_resolution", oracle=_REDIRECT_ORACLE)
+def crawl_redirect_resolution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Fetch-log redirect chains → terminal URLs by pure-Catalyst
+    POINTER DOUBLING (operators/redirects.py): 6 self-join rounds
+    follow chains up to 64 hops. The fixture fetch log (built in
+    Catalyst, no Python) plants one shape per class — a relative
+    ``Location: /page/…`` (301), a protocol-relative two-hop chain
+    (302→301), a dangling 307 to a never-fetched host, a pure
+    2-cycle (hops saturate at exactly 2^6 = 64, outcome
+    ``unresolved``), and a six-hop chain crossing several doubling
+    rounds. The DuckDB oracle re-walks the same closed-form edge set
+    with a recursive CTE capped at 64 hops — outcomes AND exact hop
+    counts must hash-match.
+
+    Scale shape: log₂(max-chain) hash self-joins on one-row-per-
+    redirect frames; classification is two hash joins. No Python,
+    no windows, no collects (the oracle's row_number lives in DuckDB
+    only — Spark's doubling never materializes intermediate walks)."""
+    from pipeline_server_spark.operators.redirects import (
+        resolve_redirect_chains)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    h = F.concat(F.lit("https://r"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org"))
+    base = d.select("doc_id", ds.alias("ds"), h.alias("h"))
+
+    def row(url, status, location):
+        return (F.concat(*url).alias("url"),
+                F.lit(status).alias("status"),
+                (F.concat(*location) if location is not None
+                 else F.lit(None).cast("string")).alias("location"))
+
+    hcol, dcol = F.col("h"), F.col("ds")
+    term = base.select(*row((hcol, F.lit("/page/"), dcol), 200, None))
+    a = (base.where(F.col("doc_id") % 4 == 1)
+         .select(*row((hcol, F.lit("/r301/"), dcol), 301,
+                      (F.lit("/page/"), dcol))))  # relative Location
+    b1 = (base.where(F.col("doc_id") % 4 == 2)
+          .select(*row((hcol, F.lit("/hop1/"), dcol), 302,
+                       (F.lit("//r"),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit(".example.org/hop2/"), dcol))))
+    b2 = (base.where(F.col("doc_id") % 4 == 2)
+          .select(*row((hcol, F.lit("/hop2/"), dcol), 301,
+                       (hcol, F.lit("/page/"), dcol))))
+    c = (base.where(F.col("doc_id") % 4 == 3)
+         .select(*row((hcol, F.lit("/gone/"), dcol), 307,
+                      (F.lit("https://external.example.net/x/"),
+                       dcol))))
+    la = (base.where(F.col("doc_id") % 16 == 0)
+          .select(*row((hcol, F.lit("/loopA/"), dcol), 301,
+                       (F.lit("/loopB/"), dcol))))
+    lb = (base.where(F.col("doc_id") % 16 == 0)
+          .select(*row((hcol, F.lit("/loopB/"), dcol), 301,
+                       (F.lit("/loopA/"), dcol))))
+    i = F.col("i")
+    chain = (base.where(F.col("doc_id") % 20 == 5)
+             .select("h", "ds",
+                     F.explode(F.sequence(F.lit(0), F.lit(5)))
+                     .alias("i"))
+             .select(F.concat(hcol, F.lit("/c"), i.cast("string"),
+                              F.lit("/"), dcol).alias("url"),
+                     F.lit(301).alias("status"),
+                     F.when(i == 5, F.concat(hcol, F.lit("/page/"),
+                                             dcol))
+                     .otherwise(F.concat(
+                         hcol, F.lit("/c"), (i + 1).cast("string"),
+                         F.lit("/"), dcol)).alias("location")))
+    fetch = term.unionByName(a).unionByName(b1).unionByName(b2) \
+        .unionByName(c).unionByName(la).unionByName(lb) \
+        .unionByName(chain)
+    return (resolve_redirect_chains(fetch, rounds=6)
+            .select("url", "final_url",
+                    F.col("n_hops").cast("long").alias("n_hops"),
+                    "outcome")
+            .orderBy("url"))

@@ -2166,3 +2166,44 @@ def docx_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("n_paragraphs").cast("long")
                           .alias("n_paragraphs"))
             .orderBy("doc_id"))
+
+
+def _html_meta_py_oracle(sf_dir: str):
+    """Referee for html_metadata_extraction: expected values straight
+    from the fixture's closed form (expected_metadata) — plain
+    values, no HTML, no parser."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_meta import expected_metadata
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    cols = ["title", "author", "published", "og_type", "canonical",
+            "lang"]
+    rows = [(d, *(expected_metadata(d)[c] for c in cols))
+            for d in ids]
+    return pd.DataFrame(rows, columns=["doc_id"] + cols)
+
+
+@query("html_metadata_extraction", oracle_py=_html_meta_py_oracle)
+# no SQL oracle: HTML + JSON-LD parsing is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def html_metadata_extraction(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Document provenance metadata (round-13): title / author /
+    published / og:type / canonical / lang unified across JSON-LD,
+    Open Graph, and classic meta tags with most-structured-wins
+    precedence. Fixture pages plant DECOY lower-precedence values
+    wherever a higher vocabulary wins, plus a broken-JSON-LD page
+    that must fall through to og: — a precedence bug is a value
+    mismatch, not a missing field.
+
+    Scale shape: one Arrow pass, corpus-linear, no joins (the
+    html_main_text discipline)."""
+    from pipeline_server_spark.operators.html_meta import (
+        attach_meta_corpus, html_metadata)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (html_metadata(attach_meta_corpus(docs))
+            .orderBy("doc_id"))

@@ -183,6 +183,7 @@ def warc_ingest_stream(
     quarantine_path: str | None = None,
     robots_rules: "DataFrame | None" = None,
     dedup_digests: bool = False,
+    frontier_table_path: str | None = None,
     max_files_per_trigger: int | None = None,
     auto_compact_dirs: int | None = None,
     available_now: bool = False,
@@ -209,6 +210,14 @@ def warc_ingest_stream(
     5. EXTRACTION pass (Arrow): charset/content-encoding-correct
        decode (undecodable pages quarantine, never mojibake) + main
        text, appended under the exactly-once batch-id protocol.
+    6. FRONTIER emission when ``frontier_table_path`` is given
+       (round-13 discovery loop): the SAME Arrow pass also extracts
+       anchors (RFC 3986 resolution + nofollow policy,
+       operators/links.py); the batch's links run the shared
+       ``discover_frontier`` contract against the destination's
+       fetched URLs ∪ this batch, minus URLs the frontier table
+       already queues — so the stream's output includes the NEXT
+       crawl wave, exactly-once under the same batch-id protocol.
 
     Scale shape: O(new archives) per trigger; the only shuffle
     carrying bodies is the digest-dedup window (batch-sized); the
@@ -221,6 +230,7 @@ def warc_ingest_stream(
 
     from pipeline_server_spark.operators.html_extract import (
         extract_main_text)
+    from pipeline_server_spark.operators.links import extract_page_links
     from pipeline_server_spark.operators.urlnorm import canonical_url
     from pipeline_server_spark.operators.warc import (
         decode_http_body, parse_warc, split_http_response)
@@ -245,6 +255,9 @@ def warc_ingest_stream(
     quarantine = (VersionedTable(spark, quarantine_path,
                                  fs=ConditionalPutFS())
                   if quarantine_path else None)
+    frontier_table = (VersionedTable(spark, frontier_table_path,
+                                     fs=ConditionalPutFS())
+                      if frontier_table_path else None)
 
     cat_schema = T.StructType([
         T.StructField("archive_path", T.StringType()),
@@ -293,6 +306,7 @@ def warc_ingest_stream(
         T.StructField("payload_digest", T.StringType()),
         T.StructField("main_text", T.StringType()),
         T.StructField("kept_blocks", T.IntegerType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
         T.StructField("_bad_archive", T.StringType()),
     ])
 
@@ -308,11 +322,20 @@ def warc_ingest_stream(
                     dict(hdrs), bytes(body))
                 if err is not None:
                     rows.append((str(path), uri, curl, status, digest,
-                                 None, None, f"page {uri}: {err}"))
+                                 None, None, None,
+                                 f"page {uri}: {err}"))
                     continue
                 ex = extract_main_text(text)
+                links = None
+                if frontier_table_path is not None:
+                    # same decoded page, same Arrow pass: anchors
+                    # resolved + nofollow-filtered (links.py policy)
+                    pl = extract_page_links(uri, text)
+                    links = [u for u, nofollow in pl["links"]
+                             if not nofollow]
                 rows.append((str(path), uri, curl, status, digest,
-                             ex["main_text"], ex["kept_blocks"], None))
+                             ex["main_text"], ex["kept_blocks"],
+                             links, None))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -358,13 +381,38 @@ def warc_ingest_stream(
                     and bid not in committed_batch_ids(quarantine,
                                                        scan_last):
                 quarantine.commit_append(bad, metadata={"batch_id": bid})
-            if bid in committed_batch_ids(table, scan_last):
-                return
             good = (out.where(F.col("_bad_archive").isNull())
                     .drop("_bad_archive"))
+            if frontier_table is not None and not good.isEmpty() \
+                    and bid not in committed_batch_ids(frontier_table,
+                                                       scan_last):
+                from pipeline_server_spark.operators.links import (
+                    discover_frontier)
+                link_rows = (good.select(
+                    F.col("uri").alias("src_url"),
+                    F.explode("links").alias("link_url"),
+                    F.lit(False).alias("nofollow")))
+                # fetched = destination's URLs ∪ this batch's pages
+                fetched = good.select(F.col("canonical_url")
+                                      .alias("url"))
+                if table.current_version() is not None:
+                    fetched = fetched.unionByName(
+                        table.read().select(F.col("canonical_url")
+                                            .alias("url")))
+                wave = discover_frontier(link_rows, fetched)
+                if frontier_table.current_version() is not None:
+                    queued = frontier_table.read().select("url") \
+                        .distinct()
+                    wave = wave.join(queued, "url", "left_anti")
+                if not wave.isEmpty():
+                    frontier_table.commit_append(
+                        wave, metadata={"batch_id": bid})
+            if bid in committed_batch_ids(table, scan_last):
+                return
             if good.isEmpty():
                 return
-            v = table.commit_append(good, metadata={"batch_id": bid})
+            v = table.commit_append(good.drop("links"),
+                                    metadata={"batch_id": bid})
             _maybe_auto_compact(table, v, auto_compact_dirs, ())
         finally:
             cat.unpersist()

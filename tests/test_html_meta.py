@@ -1,0 +1,80 @@
+"""HTML metadata extraction (operators/html_meta.py, round-13)."""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.html_meta import (
+    attach_meta_corpus,
+    expected_metadata,
+    extract_metadata,
+    html_metadata,
+    synth_meta_page,
+)
+
+
+class TestPrecedence:
+    def test_jsonld_beats_og_beats_title(self):
+        html = ('<html><head><title>plain</title>'
+                '<meta property="og:title" content="og">'
+                '<script type="application/ld+json">'
+                '{"headline": "ld"}</script></head></html>')
+        assert extract_metadata(html)["title"] == "ld"
+
+    def test_og_beats_title_without_ld(self):
+        html = ('<title>plain</title>'
+                '<meta property="og:title" content="og">')
+        assert extract_metadata(html)["title"] == "og"
+
+    def test_broken_jsonld_falls_through(self):
+        html = ('<script type="application/ld+json">{oops'
+                '</script><meta property="og:title" content="og">')
+        assert extract_metadata(html)["title"] == "og"
+
+    def test_article_published_time_beats_meta_date(self):
+        html = ('<meta property="article:published_time" '
+                'content="2026-01-02">'
+                '<meta name="date" content="1999-01-01">')
+        assert extract_metadata(html)["published"] == "2026-01-02"
+
+    def test_graph_and_author_list_forms(self):
+        html = ('<script type="application/ld+json">'
+                '{"@graph": [{"@type": "WebSite"}, '
+                '{"headline": "h", "author": [{"name": "A"}], '
+                '"datePublished": "2026-07-01"}]}</script>')
+        r = extract_metadata(html)
+        assert (r["title"], r["author"], r["published"]) == \
+            ("h", "A", "2026-07-01")
+
+    def test_author_string_form(self):
+        html = ('<script type="application/ld+json">'
+                '{"headline": "h", "author": "Jo"}</script>')
+        assert extract_metadata(html)["author"] == "Jo"
+
+    def test_first_meta_wins_on_duplicates(self):
+        html = ('<meta name="author" content="first">'
+                '<meta name="author" content="second">')
+        assert extract_metadata(html)["author"] == "first"
+
+    def test_lang_and_canonical(self):
+        html = ('<html lang="pt-BR"><head>'
+                '<link rel="canonical" href="https://x/c">'
+                "</head></html>")
+        r = extract_metadata(html)
+        assert r["lang"] == "pt-BR"
+        assert r["canonical"] == "https://x/c"
+
+    def test_closed_form_roundtrip(self):
+        for d in range(12):
+            assert extract_metadata(synth_meta_page(d)) == \
+                expected_metadata(d)
+
+
+class TestSparkFace:
+    def test_arrow_pass_rows(self, spark):
+        docs = spark.range(6).selectExpr("id as doc_id")
+        out = {r.doc_id: r for r in
+               html_metadata(attach_meta_corpus(docs)).collect()}
+        for d in range(6):
+            exp = expected_metadata(d)
+            assert out[d].title == exp["title"]
+            assert out[d].published == exp["published"]
+            assert out[d].lang == exp["lang"]

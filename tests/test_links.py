@@ -136,3 +136,70 @@ class TestSparkFaces:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestStreamingFrontier:
+    """Round-13: the continuous crawl loader emits the NEXT wave —
+    links extracted in the same Arrow pass run discover_frontier
+    against fetched ∪ batch, minus already-queued URLs, exactly-once."""
+
+    def _archive(self, pages):
+        from pipeline_server_spark.operators.warc import build_warc
+        return build_warc(pages)
+
+    def test_frontier_accumulates_across_waves(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+        from pipeline_server_spark.streaming.autoingest import (
+            warc_ingest_stream)
+
+        landing = tmp_path / "crawl"
+        landing.mkdir()
+
+        def page(i, hrefs):
+            anchors = "".join(
+                f'<a href="{u}"{r}>x</a>' for u, r in hrefs)
+            return (f"<html><body><p>page body {i} with words "
+                    f"enough to keep the extractor busy</p>"
+                    f"{anchors}</body></html>")
+
+        A = "https://s.example.com/a"
+        B = "https://s.example.com/b"
+        C = "https://s.example.com/c"
+        D = "https://s.example.com/d"
+        E = "https://s.example.com/e"
+        (landing / "w1.warc").write_bytes(self._archive([
+            (1, page(1, [(C, ""), (B, ""), ("/d", ""),
+                         ("mailto:x@y.z", ""),
+                         (E, ' rel="nofollow"')]), A),
+            (2, page(2, [(C + "?utm_source=x", ""), (A, "")]), B),
+        ]))
+        kw = dict(table_path=str(tmp_path / "t"),
+                  checkpoint_dir=str(tmp_path / "ck"),
+                  frontier_table_path=str(tmp_path / "f"),
+                  available_now=True)
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+
+        f = VersionedTable(spark, str(tmp_path / "f"))
+        wave1 = {r.url: r for r in f.read().collect()}
+        # fetched pages A,B excluded; nofollow E excluded; mailto
+        # dropped; C counted from both pages (tracking alias folds)
+        assert set(wave1) == {C, D}
+        assert wave1[C].n_refs == 2
+        assert wave1[D].n_refs == 1
+        assert wave1[C].host == "s.example.com"
+
+        # restart: nothing re-delivers
+        v0 = f.current_version()
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+        assert f.current_version() == v0
+
+        # wave 2: fetch C; its page links D (already queued) and E
+        (landing / "w2.warc").write_bytes(self._archive([
+            (3, page(3, [(D, ""), (E, "")]), C),
+        ]))
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+        urls = sorted(r.url for r in f.read().collect())
+        assert urls == sorted([C, D, E])  # E new; D queued once

@@ -1,0 +1,81 @@
+"""Redirect-chain resolution (operators/redirects.py, round-13)."""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.redirects import (
+    redirect_edges,
+    resolve_redirect_chains,
+)
+
+
+def _fetch(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, status int, location string")
+
+
+class TestRedirectEdges:
+    def test_location_forms(self, spark):
+        rows = [
+            ("https://a.ex/1", 301, "https://b.ex/abs"),
+            ("https://a.ex/2", 302, "//c.ex/proto"),
+            ("https://a.ex/3", 307, "/path-abs"),
+            ("https://a.ex/4", 301, "relative/form"),  # unresolvable
+            ("https://a.ex/5", 200, "https://b.ex/not-a-redirect"),
+            ("https://a.ex/6", 301, None),
+        ]
+        got = {r.src: r.dst for r in
+               redirect_edges(_fetch(spark, rows)).collect()}
+        assert got == {
+            "https://a.ex/1": "https://b.ex/abs",
+            "https://a.ex/2": "https://c.ex/proto",
+            "https://a.ex/3": "https://a.ex/path-abs",
+            "https://a.ex/4": None,
+        }
+
+
+class TestResolveChains:
+    def test_chain_loop_dangling_outcomes(self, spark):
+        rows = [
+            # 3-hop chain to a fetched terminal
+            ("https://a.ex/c0", 301, "https://a.ex/c1"),
+            ("https://a.ex/c1", 302, "https://a.ex/c2"),
+            ("https://a.ex/c2", 301, "https://a.ex/final"),
+            ("https://a.ex/final", 200, None),
+            # 2-cycle
+            ("https://a.ex/lA", 301, "https://a.ex/lB"),
+            ("https://a.ex/lB", 301, "https://a.ex/lA"),
+            # dangling
+            ("https://a.ex/gone", 307, "https://never.ex/x"),
+            # unresolvable relative Location
+            ("https://a.ex/rel", 301, "weird/relative"),
+        ]
+        out = {r.url: r for r in
+               resolve_redirect_chains(_fetch(spark, rows),
+                                       rounds=4).collect()}
+        assert out["https://a.ex/c0"].outcome == "ok"
+        assert out["https://a.ex/c0"].final_url == "https://a.ex/final"
+        assert out["https://a.ex/c0"].n_hops == 3
+        assert out["https://a.ex/c1"].n_hops == 2
+        assert out["https://a.ex/lA"].outcome == "unresolved"
+        assert out["https://a.ex/lA"].n_hops == 16  # 2^rounds
+        assert out["https://a.ex/gone"].outcome == "dangling"
+        assert out["https://a.ex/gone"].n_hops == 1
+        assert out["https://a.ex/rel"].outcome == "dangling"
+        assert out["https://a.ex/rel"].final_url is None
+
+    def test_one_row_per_redirect_source(self, spark):
+        rows = [
+            ("https://a.ex/r", 301, "https://a.ex/t"),
+            ("https://a.ex/t", 200, None),
+        ]
+        out = resolve_redirect_chains(_fetch(spark, rows)).collect()
+        assert len(out) == 1 and out[0].outcome == "ok"
+
+    def test_plan_is_jvm_only(self, spark):
+        rows = [("https://a.ex/r", 301, "https://a.ex/t"),
+                ("https://a.ex/t", 200, None)]
+        plan = (resolve_redirect_chains(_fetch(spark, rows))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
