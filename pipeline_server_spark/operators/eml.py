@@ -1,0 +1,227 @@
+"""RFC 5322 / MIME email (.eml) text extraction — spec-shaped writer
++ stdlib parser, round-13.
+
+Mailing-list archives are a standard LLM corpus source; the format
+stack is public (RFC 5322 message syntax, RFC 2045-2047 MIME). The
+writer assembles raw messages by string/byte formatting (boundaries,
+content-transfer-encodings, RFC 2047 encoded-word subjects); the
+parser uses the stdlib ``email`` package — a DIFFERENT code path —
+and the registry referee never decodes at all (closed-form text).
+
+Extraction contract:
+
+- body = the FIRST ``text/plain`` leaf that is not an attachment
+  (multipart/alternative prefers plain over the html sibling —
+  the convention mail pipelines use), transfer-decoded
+  (7bit / quoted-printable / base64) and charset-decoded;
+- ``subject`` / ``sender`` / ``email_date`` from the headers,
+  RFC 2047 encoded-words decoded;
+- attachments (Content-Disposition: attachment) and non-text parts
+  never surface; a message with NO text/plain leaf quarantines via
+  ``eml_err`` (never silently empty).
+
+Scale shape: one mapInPandas Arrow pass, corpus-linear, no joins.
+Reference scope anchor: unstructured byte-pass S5; parsing is the
+LLM-brief extension (same family as pdf/docx/pptx).
+"""
+
+from __future__ import annotations
+
+import base64
+import quopri
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+# -- parser -------------------------------------------------------------
+def eml_text(blob: bytes) -> dict:
+    """Pure-Python core: ``{subject, sender, email_date, text, err}``
+    per the module contract."""
+    import email
+    import email.header
+    import email.policy
+
+    try:
+        msg = email.message_from_bytes(bytes(blob))
+    except Exception as ex:  # stdlib parser is lenient; belt+braces
+        return {"subject": None, "sender": None, "email_date": None,
+                "text": None, "err": f"{type(ex).__name__}: {ex}"[:200]}
+
+    def _hdr(name):
+        raw = msg.get(name)
+        if raw is None:
+            return None
+        parts = []
+        for val, enc in email.header.decode_header(raw):
+            if isinstance(val, bytes):
+                parts.append(val.decode(enc or "ascii", "strict"))
+            else:
+                parts.append(val)
+        return "".join(parts)
+
+    try:
+        subject, sender = _hdr("Subject"), _hdr("From")
+    except (UnicodeDecodeError, LookupError,
+            email.errors.MessageError, ValueError) as ex:
+        return {"subject": None, "sender": None, "email_date": None,
+                "text": None, "err": f"bad header: {ex}"[:200]}
+    date = msg.get("Date")
+
+    part = None
+    for cand in msg.walk():
+        if cand.get_content_type() != "text/plain":
+            continue
+        if (cand.get_content_disposition() or "inline") == "attachment":
+            continue
+        part = cand
+        break
+    if part is None:
+        return {"subject": subject, "sender": sender,
+                "email_date": date, "text": None,
+                "err": "no text/plain part"}
+    try:
+        payload = part.get_payload(decode=True)
+        charset = part.get_content_charset() or "us-ascii"
+        text = payload.decode(charset, "strict")
+    except (UnicodeDecodeError, LookupError, ValueError) as ex:
+        return {"subject": subject, "sender": sender,
+                "email_date": date, "text": None,
+                "err": f"undecodable body: {ex}"[:200]}
+    return {"subject": subject, "sender": sender, "email_date": date,
+            "text": text, "err": None}
+
+
+def eml_main_text(df: DataFrame, blob_col: str = "eml",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, subject, sender,
+    email_date, eml_text, eml_err)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("sender", T.StringType()),
+        T.StructField("email_date", T.StringType()),
+        T.StructField("eml_text", T.StringType()),
+        T.StructField("eml_err", T.StringType()),
+    ])
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                r = eml_text(bytes(blob))
+                rows.append((int(i), r["subject"], r["sender"],
+                             r["email_date"], r["text"], r["err"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, blob_col).mapInPandas(_parse, schema=schema)
+
+
+# -- closed form + spec-shaped writer ------------------------------------
+def expected_eml_fields(doc_id: int, text: str) -> dict:
+    """Closed form shared by writer and referee: headers and plain
+    text that ``synth_eml`` encodes."""
+    from pipeline_server_spark.operators.html_extract import doc_paragraphs
+
+    d = int(doc_id)
+    v = d % 4
+    body = "\n\n".join(doc_paragraphs(text))
+    if v == 1:
+        body = f"résumé of thread {d}\n\n" + body
+    subject = (f"Café digest {d}" if d % 5 == 1
+               else f"Digest {d}")
+    return {"subject": subject,
+            "sender": f"Sender {d} <s{d}@example.com>",
+            "email_date": f"Mon, {d % 28 + 1:02d} Jul 2026 "
+                          "10:00:00 +0000",
+            "text": body}
+
+
+def synth_eml(doc_id: int, text: str) -> bytes:
+    """Deterministic raw message: transfer encoding and structure by
+    ``doc_id % 4`` — 0: plain 7bit; 1: multipart/alternative with a
+    QUOTED-PRINTABLE utf-8 plain part (é bytes) plus an html decoy
+    that must lose; 2: BASE64 plain body; 3: multipart/mixed with an
+    attachment (skipped) before the plain part. ``doc_id % 5 == 1``
+    subjects use an RFC 2047 encoded-word."""
+    d = int(doc_id)
+    v = d % 4
+    exp = expected_eml_fields(d, text)
+    if d % 5 == 1:
+        subj_b64 = base64.b64encode(
+            exp["subject"].encode("utf-8")).decode()
+        subject = f"=?utf-8?B?{subj_b64}?="
+    else:
+        subject = exp["subject"]
+    head = (f"From: {exp['sender']}\r\n"
+            f"To: corpus@example.com\r\n"
+            f"Date: {exp['email_date']}\r\n"
+            f"Subject: {subject}\r\n"
+            "MIME-Version: 1.0\r\n")
+    body = exp["text"]
+    if v == 0:
+        raw = (head
+               + 'Content-Type: text/plain; charset="us-ascii"\r\n'
+               + "Content-Transfer-Encoding: 7bit\r\n\r\n"
+               + body)
+        return raw.encode("ascii")
+    if v == 1:
+        qp = quopri.encodestring(body.encode("utf-8")).decode("ascii")
+        bnd = f"==b{d}=="
+        raw = (head
+               + f'Content-Type: multipart/alternative; '
+                 f'boundary="{bnd}"\r\n\r\n'
+               + f"--{bnd}\r\n"
+               + 'Content-Type: text/plain; charset="utf-8"\r\n'
+               + "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+               + qp + "\r\n"
+               + f"--{bnd}\r\n"
+               + 'Content-Type: text/html; charset="utf-8"\r\n\r\n'
+               + "<p>html decoy that must never surface</p>\r\n"
+               + f"--{bnd}--\r\n")
+        return raw.encode("ascii")
+    if v == 2:
+        b64 = base64.encodebytes(body.encode("utf-8")).decode("ascii")
+        raw = (head
+               + 'Content-Type: text/plain; charset="utf-8"\r\n'
+               + "Content-Transfer-Encoding: base64\r\n\r\n"
+               + b64)
+        return raw.encode("ascii")
+    bnd = f"==m{d}=="
+    raw = (head
+           + f'Content-Type: multipart/mixed; boundary="{bnd}"\r\n\r\n'
+           + f"--{bnd}\r\n"
+           + "Content-Type: application/octet-stream\r\n"
+           + 'Content-Disposition: attachment; filename="a.bin"\r\n'
+           + "Content-Transfer-Encoding: base64\r\n\r\n"
+           + base64.encodebytes(b"\x00\x01binary junk").decode()
+           + "\r\n"
+           + f"--{bnd}\r\n"
+           + 'Content-Type: text/plain; charset="us-ascii"\r\n\r\n'
+           + body + "\r\n"
+           + f"--{bnd}--\r\n")
+    return raw.encode("ascii")
+
+
+def attach_eml_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, text) → (id, eml) fixture frame, one Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("eml", T.BinaryType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "eml": [synth_eml(int(i), str(t))
+                        for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_synth, schema=schema)

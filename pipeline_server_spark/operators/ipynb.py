@@ -1,0 +1,101 @@
+"""Jupyter notebook (.ipynb) text extraction — PURE CATALYST
+(round-13).
+
+Notebooks are a first-class code-corpus format (nbformat 4, public
+spec): JSON with a ``cells`` array of ``{cell_type, source,
+outputs}``. Unlike the binary formats (pdf/docx/pptx/eml) this one
+needs NO Python at all: ``from_json`` parses, array lambdas filter
+and join — the whole extractor is one codegen-able projection, the
+cheapest possible shape at 100 TB.
+
+Extraction contract:
+
+- ``markdown`` and ``code`` cells contribute their ``source``
+  (multiline-string ARRAY form, the form jupyter writes) joined
+  verbatim; ``raw`` cells and cell ``outputs`` never surface;
+- blocks join with a blank line; ``n_cells`` counts contributing
+  cells;
+- a body ``from_json`` cannot parse yields NULL text (quarantine
+  predicate ``nb_text IS NULL``), never a crash.
+
+Reference scope anchor: the reference's JSON ingestion stops at
+whole-doc JSON rows (S3 ``_json``, DataFrameUtil.scala:38-62); the
+cell-structured extraction is the LLM-brief extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NB_SCHEMA = ("struct<nbformat:int,"
+             "cells:array<struct<cell_type:string,"
+             "source:array<string>>>>")
+
+_TEXT_CELLS = ("markdown", "code")
+
+
+def ipynb_text_cols(json_col: str = "nb_json") -> list:
+    """Column expressions ``[nb_text, n_cells]`` over a notebook-JSON
+    string column — pure Catalyst, no UDF."""
+    parsed = F.from_json(F.col(json_col), NB_SCHEMA)
+    kept = F.filter(
+        parsed["cells"],
+        lambda c: c["cell_type"].isin(*_TEXT_CELLS))
+    text = F.array_join(
+        F.transform(kept, lambda c: F.array_join(c["source"], "")),
+        "\n\n")
+    # a parse failure leaves `parsed` null → null text, not ""
+    return [
+        F.when(parsed.isNotNull() & parsed["cells"].isNotNull(), text)
+        .alias("nb_text"),
+        F.when(parsed.isNotNull() & parsed["cells"].isNotNull(),
+               F.size(kept)).cast("long").alias("n_cells"),
+    ]
+
+
+def ipynb_main_text(df: DataFrame, json_col: str = "nb_json",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, nb_json) → (id, nb_text, n_cells); one projection."""
+    return df.select(id_col, *ipynb_text_cols(json_col))
+
+
+def attach_ipynb_corpus(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> Column | DataFrame:
+    """Fixture: (id, text) → (id, nb_json) — ALSO pure Catalyst
+    (``to_json`` of a built cell array). Each document becomes a
+    markdown header cell, alternating markdown/code cells of
+    15-word paragraphs (code cells carry decoy ``outputs``), and a
+    trailing ``raw`` cell that must never surface."""
+    tok = F.split(F.col(text_col), " ")
+    nch = F.expr(f"(size(split({text_col}, ' ')) + 14) div 15")
+    paras = F.transform(
+        F.sequence(F.lit(0), (nch - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(tok, i * 15 + 1, 15), " "))
+    empty = F.array().cast("array<string>")
+
+    def cell(ctype, source_arr, outputs):
+        return F.struct(ctype.alias("cell_type"),
+                        source_arr.alias("source"),
+                        outputs.alias("outputs"))
+
+    header = cell(F.lit("markdown"),
+                  F.array(F.concat(F.lit("# Notebook "),
+                                   F.col(id_col).cast("string"))),
+                  empty)
+    body = F.transform(
+        paras,
+        lambda p, i: cell(
+            F.when(i % 2 == 0, "markdown").otherwise("code"),
+            F.array(p),
+            F.when(i % 2 == 1,
+                   F.array(F.lit("stdout junk must never surface")))
+            .otherwise(empty)))
+    raw_cell = cell(F.lit("raw"),
+                    F.array(F.lit("raw front-matter never surfaces")),
+                    empty)
+    cells = F.concat(F.array(header), body, F.array(raw_cell))
+    nb = F.to_json(F.struct(F.lit(4).alias("nbformat"),
+                            cells.alias("cells")))
+    return df.select(id_col, nb.alias("nb_json"))

@@ -1,0 +1,261 @@
+"""PPTX (OOXML PresentationML) text extraction — spec-shaped writer
++ stdlib parser, round-13.
+
+Slides follow the docx/pdf playbook (ECMA-376 part 1, public): a ZIP
+package whose ``ppt/slides/slideN.xml`` parts hold DrawingML shape
+trees — ``p:sp`` shapes with ``p:txBody`` bodies of ``a:p``
+paragraphs of ``a:r`` runs (``a:t`` text, ``a:br`` line breaks),
+plus ``a:tbl`` tables of ``a:tr``/``a:tc`` cells. Deck text is the
+slide parts IN SLIDE ORDER (numeric ``slideN``, not ZIP order —
+ZIP order is alphabetical so slide10 would sort before slide2).
+
+Parser contract:
+
+- one text BLOCK per slide: every shape's paragraphs joined by
+  newline (shape boundaries are newlines too), tables appended as
+  TAB-joined cell rows;
+- ``a:t`` verbatim, ``a:br`` → ``\\n``;
+- EXCLUDED: ``ppt/notesSlides/*`` (speaker notes — a separate part,
+  out of the deck-text contract like docx headers) and every other
+  package part;
+- blocks join with a blank line; ``n_slides`` = slide-part count;
+- malformed packages quarantine via ``pptx_err``.
+
+Scale shape: one mapInPandas Arrow pass, corpus-linear, no joins.
+Reference scope anchor: unstructured byte-pass S5
+(ObjectStoreLoader.scala:95-144); parsing is the LLM-brief extension.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Iterator
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+P_NS = ("http://schemas.openxmlformats.org/presentationml/2006/main")
+
+
+def _a(tag: str) -> str:
+    return f"{{{A_NS}}}{tag}"
+
+
+_SLIDE_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+
+def _para_text(p) -> str:
+    parts = []
+    for el in p.iter():
+        if el.tag == _a("t"):
+            parts.append(el.text or "")
+        elif el.tag == _a("br"):
+            parts.append("\n")
+    return "".join(parts)
+
+
+def _slide_text(root) -> str:
+    lines: list[str] = []
+    for el in root.iter():
+        if el.tag == _a("tbl"):
+            for tr in el.findall(_a("tr")):
+                lines.append("\t".join(
+                    "\n".join(_para_text(p) for p in tc.iter(_a("p")))
+                    for tc in tr.findall(_a("tc"))))
+    # paragraphs OUTSIDE tables, in document order
+    def walk(node, in_tbl):
+        out = []
+        for child in node:
+            if child.tag == _a("tbl"):
+                continue  # handled above
+            if child.tag == _a("p"):
+                out.append(_para_text(child))
+            else:
+                out.extend(walk(child, in_tbl))
+        return out
+
+    return "\n".join(walk(root, False) + lines)
+
+
+def pptx_text(blob: bytes) -> dict:
+    """Pure-Python core: ``{text, n_slides, err}`` per the module
+    contract."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        slides = sorted(
+            ((int(m.group(1)), n) for n in zf.namelist()
+             if (m := _SLIDE_RE.match(n))),
+            key=lambda t: t[0])
+        blocks = []
+        for _, name in slides:
+            with zf.open(name) as f:
+                blocks.append(_slide_text(ET.fromstring(f.read())))
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError) as ex:
+        return {"text": None, "n_slides": None,
+                "err": f"{type(ex).__name__}: {ex}"[:200]}
+    if not slides:
+        return {"text": None, "n_slides": None, "err": "no slide parts"}
+    return {"text": "\n\n".join(blocks), "n_slides": len(slides),
+            "err": None}
+
+
+def pptx_main_text(df: DataFrame, blob_col: str = "pptx",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, pptx_text, n_slides,
+    pptx_err)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("pptx_text", T.StringType()),
+        T.StructField("n_slides", T.IntegerType()),
+        T.StructField("pptx_err", T.StringType()),
+    ])
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                r = pptx_text(bytes(blob))
+                rows.append((int(i), r["text"], r["n_slides"],
+                             r["err"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, blob_col).mapInPandas(_parse, schema=schema)
+
+
+# -- spec-shaped writer (fixtures) --------------------------------------
+_CT_PPTX = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    "</Types>")
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _sp(paras: list) -> str:
+    """One shape: list of paragraph RUN LISTS (list of str runs;
+    a None run = a:br)."""
+    body = []
+    for runs in paras:
+        rs = "".join("<a:br/>" if r is None
+                     else f"<a:r><a:t>{_esc(r)}</a:t></a:r>"
+                     for r in runs)
+        body.append(f"<a:p>{rs}</a:p>")
+    return (f"<p:sp><p:txBody>{''.join(body)}</p:txBody></p:sp>")
+
+
+def expected_pptx_blocks(doc_id: int, text: str) -> tuple:
+    """Closed form shared by writer and referee: per-slide plain-text
+    blocks of ``synth_pptx``. Two document paragraphs per slide,
+    title shape first; doc_id % 4 == 1 inserts a break into the
+    first paragraph; % 4 == 2 appends a table to the last slide.
+    Returns ``(blocks, n_slides)``."""
+    from pipeline_server_spark.operators.html_extract import doc_paragraphs
+
+    d = int(doc_id)
+    v = d % 4
+    paras = doc_paragraphs(text) or [""]
+    if v == 1:
+        paras = list(paras)
+        paras[0] = paras[0] + "\nspeaker pause"
+    blocks = []
+    for k in range(0, len(paras), 2):
+        slide_no = k // 2 + 1
+        lines = [f"Deck {d} slide {slide_no}"] + paras[k:k + 2]
+        blocks.append("\n".join(lines))
+    if v == 2:
+        blocks[-1] += f"\nmetric\tvalue\nrows {d}\t{d * 3}"
+    return blocks, len(blocks)
+
+
+def synth_pptx(doc_id: int, text: str) -> bytes:
+    """Deterministic deck: title + two paragraphs per slide; planted
+    hazards — % 4 == 0 splits a run mid-word; % 4 == 1 uses a:br;
+    % 4 == 2 adds an a:tbl; % 4 == 3 ships a notesSlide part whose
+    text must never surface. Slides are written out of order (slide10
+    before slide2 when the deck is big enough) to pin numeric
+    ordering."""
+    from pipeline_server_spark.operators.html_extract import doc_paragraphs
+
+    d = int(doc_id)
+    v = d % 4
+    paras = doc_paragraphs(text) or [""]
+    if v == 1:
+        paras = list(paras)
+    slides = []
+    for k in range(0, len(paras), 2):
+        slide_no = k // 2 + 1
+        shapes = [_sp([[f"Deck {d} slide {slide_no}"]])]
+        for j, p in enumerate(paras[k:k + 2]):
+            if k == 0 and j == 0 and v == 0 and len(p) > 4:
+                shapes.append(_sp([[p[:3], p[3:]]]))  # split run
+            elif k == 0 and j == 0 and v == 1:
+                shapes.append(_sp([[p, None, "speaker pause"]]))
+            else:
+                shapes.append(_sp([[p]]))
+        slides.append(shapes)
+    tbl = ""
+    if v == 2:
+        def cell(t):
+            return (f"<a:tc><a:txBody><a:p><a:r><a:t>{_esc(t)}"
+                    "</a:t></a:r></a:p></a:txBody></a:tc>")
+        tbl = ("<a:tbl>"
+               f"<a:tr>{cell('metric')}{cell('value')}</a:tr>"
+               f"<a:tr>{cell(f'rows {d}')}{cell(str(d * 3))}</a:tr>"
+               "</a:tbl>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CT_PPTX)
+        order = list(range(len(slides)))
+        order.reverse()  # ZIP order ≠ slide order: parser must sort
+        for idx in order:
+            inner = "".join(slides[idx])
+            if idx == len(slides) - 1:
+                inner += tbl
+            doc = ('<?xml version="1.0" encoding="UTF-8" '
+                   'standalone="yes"?>'
+                   f'<p:sld xmlns:p="{P_NS}" xmlns:a="{A_NS}">'
+                   f"<p:cSld><p:spTree>{inner}</p:spTree></p:cSld>"
+                   "</p:sld>")
+            zf.writestr(f"ppt/slides/slide{idx + 1}.xml", doc)
+        if v == 3:
+            notes = ('<?xml version="1.0"?>'
+                     f'<p:notes xmlns:p="{P_NS}" xmlns:a="{A_NS}">'
+                     + _sp([["private speaker notes must never "
+                             "surface"]])
+                     + "</p:notes>")
+            zf.writestr("ppt/notesSlides/notesSlide1.xml", notes)
+    return buf.getvalue()
+
+
+def attach_pptx_corpus(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, text) → (id, pptx) fixture frame, one Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("pptx", T.BinaryType()),
+    ])
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "pptx": [synth_pptx(int(i), str(t))
+                         for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_synth, schema=schema)

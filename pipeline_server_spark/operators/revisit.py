@@ -1,0 +1,74 @@
+"""Freshness-aware re-fetch scheduling (round-13) — the revisit half
+of crawl politeness.
+
+A continuous crawl must decide WHEN to re-fetch each known URL. The
+public result (Cho & Garcia-Molina, "Effective page refresh policies
+for web crawlers", TODS 2003) estimates a per-page change rate from
+the observed fetch history and revisits proportionally to 1/λ. This
+operator implements the estimator on a fetch-log frame ``(url, ts,
+digest)`` — one lag window per URL to detect content changes, one
+aggregation, then pure integer arithmetic:
+
+- ``n_changes``  = observations whose digest differs from the
+                   previous fetch's digest;
+- ``obs_span``   = last_ts − first_ts (seconds);
+- ``next_interval`` = clamp(obs_span div n_changes) to
+                   [min_interval, max_interval]; a page with NO
+                   observed change backs off to 2·obs_span (capped) —
+                   the standard multiplicative backoff;
+- ``next_fetch_at`` = last_ts + next_interval.
+
+Everything is BIGINT seconds — deterministic across engines, so the
+registry referee is plain SQL.
+
+Scale shape: one url-keyed window + one groupBy (both the same
+shuffle key, map-side combined); output is one row per URL.
+Reference scope anchor: the reference's scheduled-task poller
+re-pulls on a FIXED cadence (ScheduledBatchTasks.scala:53-103);
+change-rate adaptation is the crawl-specific extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+MIN_INTERVAL = 3600            # 1 hour
+MAX_INTERVAL = 30 * 86400      # 30 days
+
+
+def refetch_schedule(history: DataFrame, url_col: str = "url",
+                     ts_col: str = "ts",
+                     digest_col: str = "digest",
+                     min_interval: int = MIN_INTERVAL,
+                     max_interval: int = MAX_INTERVAL) -> DataFrame:
+    """Fetch history → ``(url, n_obs, n_changes, obs_span_sec,
+    next_interval_sec, next_fetch_at)`` per the module contract.
+    URLs with a single observation get the no-change backoff from a
+    zero span (= ``min_interval``)."""
+    w = W.partitionBy(url_col).orderBy(ts_col)
+    changed = (F.lag(digest_col).over(w).isNotNull()
+               & (F.col(digest_col) != F.lag(digest_col).over(w)))
+    agg = (history
+           .withColumn("_chg", changed.cast("long"))
+           .groupBy(url_col)
+           .agg(F.count(F.lit(1)).alias("n_obs"),
+                F.sum("_chg").alias("n_changes"),
+                (F.max(ts_col) - F.min(ts_col)).alias("obs_span_sec"),
+                F.max(ts_col).alias("_last")))
+    raw = (F.when(F.col("n_changes") > 0,
+                  F.expr("obs_span_sec div n_changes"))
+           .otherwise(2 * F.col("obs_span_sec")))
+    clamped = F.greatest(
+        F.lit(int(min_interval)).cast("long"),
+        F.least(F.lit(int(max_interval)).cast("long"),
+                raw.cast("long")))
+    return (agg.select(url_col,
+                       F.col("n_obs").cast("long").alias("n_obs"),
+                       F.col("n_changes").cast("long")
+                       .alias("n_changes"),
+                       F.col("obs_span_sec").cast("long")
+                       .alias("obs_span_sec"),
+                       clamped.alias("next_interval_sec"),
+                       (F.col("_last") + clamped)
+                       .cast("long").alias("next_fetch_at")))

@@ -464,3 +464,112 @@ def crawl_redirect_resolution(spark: SparkSession,
                     F.col("n_hops").cast("long").alias("n_hops"),
                     "outcome")
             .orderBy("url"))
+
+
+# -- freshness-aware re-fetch scheduling ---------------------------------
+_REVISIT_ORACLE = """
+WITH hist AS (
+  SELECT 'https://r' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
+         1700000000 + i * 3600 * (1 + doc_id % 4) AS ts,
+         'g' || CAST((doc_id + i) // 3 AS VARCHAR) AS digest
+  FROM documents,
+       UNNEST(generate_series(0, 2 + doc_id % 3)) AS g(i)),
+lagged AS (
+  SELECT url, ts, digest,
+         lag(digest) OVER (PARTITION BY url ORDER BY ts) AS prev
+  FROM hist),
+agg AS (
+  SELECT url, COUNT(*) AS n_obs,
+         SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                  THEN 1 ELSE 0 END) AS n_changes,
+         MAX(ts) - MIN(ts) AS obs_span_sec,
+         MAX(ts) AS last_ts
+  FROM lagged GROUP BY url),
+sched AS (
+  SELECT url, n_obs, n_changes, obs_span_sec,
+         GREATEST(3600, LEAST(2592000,
+           CASE WHEN n_changes > 0 THEN obs_span_sec // n_changes
+                ELSE 2 * obs_span_sec END)) AS next_interval_sec,
+         last_ts
+  FROM agg)
+SELECT CAST(url AS VARCHAR) AS url,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(obs_span_sec AS BIGINT) AS obs_span_sec,
+       CAST(next_interval_sec AS BIGINT) AS next_interval_sec,
+       CAST(last_ts + next_interval_sec AS BIGINT) AS next_fetch_at
+FROM sched ORDER BY url
+"""
+
+
+@query("crawl_refetch_schedule", oracle=_REVISIT_ORACLE)
+def crawl_refetch_schedule(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Change-rate-adaptive revisit scheduling (Cho & Garcia-Molina):
+    a synthetic fetch history (3-5 observations per URL at per-URL
+    cadences; content digests change every third step per the
+    ``(d+i) div 3`` closed form) runs through the lag-window change
+    detector and the integer 1/λ estimator with clamping and the
+    no-change backoff. All-bigint arithmetic — the SQL oracle
+    hash-matches exactly.
+
+    Scale shape: one url-keyed window + one groupBy on the SAME key
+    (single shuffle), pure Catalyst fixture, no Python."""
+    from pipeline_server_spark.operators.revisit import refetch_schedule
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hist = (d.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0), (F.lit(2) + F.col("doc_id") % 3).cast("int")))
+        .alias("i"))
+        .select(
+            F.concat(F.lit("https://r"),
+                     (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example.org/page/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            (F.lit(1700000000)
+             + F.col("i").cast("long") * 3600
+             * (1 + F.col("doc_id") % 4)).alias("ts"),
+            F.concat(F.lit("g"),
+                     F.expr("(doc_id + i) div 3").cast("string"))
+            .alias("digest")))
+    return (refetch_schedule(hist)
+            .orderBy("url"))
+
+
+# -- notebook extraction (pure Catalyst) ---------------------------------
+_IPYNB_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         (len(string_split(text, ' ')) + 14) // 15 AS nch
+  FROM documents)
+SELECT doc_id,
+       '# Notebook ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+         || array_to_string(
+              list_transform(generate_series(0, CAST(nch - 1 AS INT)),
+                i -> array_to_string(
+                       list_slice(toks, i * 15 + 1, i * 15 + 15),
+                       ' ')),
+              chr(10) || chr(10)) AS nb_text,
+       CAST(1 + nch AS BIGINT) AS n_cells
+FROM base ORDER BY doc_id
+"""
+
+
+@query("ipynb_main_text", oracle=_IPYNB_ORACLE)
+def ipynb_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook text extraction, PURE CATALYST end to end
+    (round-13): the fixture builds nbformat-4 JSON with ``to_json``
+    (markdown header + alternating markdown/code paragraph cells
+    with decoy outputs + a raw cell), ``from_json`` + array lambdas
+    extract — no Python process ever starts, the whole query is one
+    codegen-able projection. The oracle reconstructs the text from
+    the documents table's closed form with DuckDB list lambdas."""
+    from pipeline_server_spark.operators.ipynb import (
+        attach_ipynb_corpus, ipynb_main_text as _nb_extract)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (_nb_extract(attach_ipynb_corpus(docs))
+            .orderBy("doc_id"))

@@ -2207,3 +2207,81 @@ def html_metadata_extraction(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return (html_metadata(attach_meta_corpus(docs))
             .orderBy("doc_id"))
+
+
+def _pptx_text_py_oracle(sf_dir: str):
+    """Referee for pptx_main_text: expected deck text from the
+    writer's closed form (expected_pptx_blocks) — plain text, no
+    ZIP, no XML."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.pptx import expected_pptx_blocks
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    out = []
+    for d, t in rows:
+        blocks, n_slides = expected_pptx_blocks(int(d), str(t))
+        out.append((int(d), "\n\n".join(blocks), n_slides))
+    return pd.DataFrame(
+        out, columns=["doc_id", "pptx_text", "n_slides"]).astype(
+        {"n_slides": "int64"})
+
+
+@query("pptx_main_text", oracle_py=_pptx_text_py_oracle)
+# no SQL oracle: ZIP + PresentationML parsing is not SQL-expressible
+def pptx_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX deck-text extraction (round-13): slides written OUT OF
+    ZIP ORDER (slide10 before slide2) must come back in numeric
+    slide order; planted hazards per doc — split runs, a:br line
+    breaks, an a:tbl, and a notesSlide part whose text must never
+    surface. One Arrow pass in, one out (the docx/pdf discipline)."""
+    from pipeline_server_spark.operators.pptx import (
+        attach_pptx_corpus, pptx_main_text as _pptx_extract)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parsed = _pptx_extract(attach_pptx_corpus(docs))
+    return (parsed.select("doc_id", "pptx_text",
+                          F.col("n_slides").cast("long")
+                          .alias("n_slides"))
+            .orderBy("doc_id"))
+
+
+def _eml_text_py_oracle(sf_dir: str):
+    """Referee for eml_main_text: headers + plain text straight from
+    the writer's closed form (expected_eml_fields) — no MIME, no
+    decoding."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.eml import expected_eml_fields
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    out = []
+    for d, t in rows:
+        e = expected_eml_fields(int(d), str(t))
+        out.append((int(d), e["subject"], e["sender"],
+                    e["email_date"], e["text"]))
+    return pd.DataFrame(out, columns=["doc_id", "subject", "sender",
+                                      "email_date", "eml_text"])
+
+
+@query("eml_main_text", oracle_py=_eml_text_py_oracle)
+# no SQL oracle: MIME parsing/decoding is not SQL-expressible
+def eml_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5322 / MIME email extraction (round-13): every document
+    cycles the writer's structure hazards — quoted-printable utf-8
+    plain part beating an html sibling, base64 bodies, an attachment
+    before the plain part, RFC 2047 encoded-word subjects — and the
+    parser must recover the closed-form headers + text. One Arrow
+    pass in, one out."""
+    from pipeline_server_spark.operators.eml import (
+        attach_eml_corpus, eml_main_text as _eml_extract)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (_eml_extract(attach_eml_corpus(docs))
+            .select("doc_id", "subject", "sender", "email_date",
+                    "eml_text")
+            .orderBy("doc_id"))

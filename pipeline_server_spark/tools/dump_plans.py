@@ -373,6 +373,34 @@ SHOW = {
         "combined), 1-row scalar broadcasts for M, per-LANGUAGE "
         "ntile window — no global sort"
     ),
+    "crawl_redirect_resolution": (
+        "redirect pointer doubling: log2(max-chain) hash self-joins "
+        "on one-row-per-redirect frames, pure-Catalyst Location "
+        "resolution and fixture, two classification hash joins — "
+        "no Python, no windows"
+    ),
+    "crawl_refetch_schedule": (
+        "change-rate revisit policy: one url-keyed lag window + one "
+        "groupBy on the SAME key (single shuffle), all-bigint 1/λ "
+        "estimator with clamps — pure Catalyst"
+    ),
+    "html_metadata_extraction": (
+        "provenance metadata: JSON-LD/OpenGraph/meta precedence in "
+        "ONE Arrow pass, corpus-linear, no joins"
+    ),
+    "pptx_main_text": (
+        "PresentationML extraction: ZIP + DrawingML parse with "
+        "numeric slide ordering in one Arrow pass, corpus-linear"
+    ),
+    "eml_main_text": (
+        "MIME extraction: RFC 5322/2045-2047 parse+decode (qp/base64/"
+        "encoded-words) in one Arrow pass, corpus-linear"
+    ),
+    "ipynb_main_text": (
+        "notebook extraction, PURE CATALYST: to_json fixture + "
+        "from_json + array lambdas — one codegen-able projection, "
+        "no Python process at all"
+    ),
 }
 
 

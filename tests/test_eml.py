@@ -1,0 +1,69 @@
+"""Email (.eml) extraction (operators/eml.py, round-13)."""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.eml import (
+    attach_eml_corpus,
+    eml_main_text,
+    eml_text,
+    expected_eml_fields,
+    synth_eml,
+)
+
+TEXT = "one two three four five six seven eight nine ten " * 5
+
+
+class TestRoundtrip:
+    def test_all_variants(self):
+        for d in range(20):
+            r = eml_text(synth_eml(d, TEXT))
+            e = expected_eml_fields(d, TEXT)
+            assert r["err"] is None
+            assert r["text"] == e["text"]
+            assert r["subject"] == e["subject"]
+
+    def test_encoded_word_subject(self):
+        r = eml_text(synth_eml(1, TEXT))  # 1 % 5 == 1
+        assert r["subject"] == "Café digest 1"
+
+    def test_qp_utf8_plain_beats_html_sibling(self):
+        r = eml_text(synth_eml(1, TEXT))  # 1 % 4 == 1
+        assert r["text"].startswith("résumé of thread 1")
+        assert "decoy" not in r["text"]
+
+    def test_attachment_never_surfaces(self):
+        r = eml_text(synth_eml(3, TEXT))
+        assert "binary junk" not in (r["text"] or "")
+        assert r["err"] is None
+
+
+class TestQuarantine:
+    def test_html_only_message(self):
+        raw = b"Content-Type: text/html\r\n\r\n<p>x</p>"
+        assert eml_text(raw)["err"] == "no text/plain part"
+
+    def test_bad_encoded_word(self):
+        raw = b"Subject: =?utf-8?B?###x###?=\r\n\r\nbody"
+        assert "bad header" in eml_text(raw)["err"]
+
+    def test_undecodable_body_charset(self):
+        raw = (b'Content-Type: text/plain; charset="utf-8"\r\n\r\n'
+               b"caf\xe9 latin-1 bytes")
+        assert "undecodable body" in eml_text(raw)["err"]
+
+    def test_unknown_charset(self):
+        raw = (b'Content-Type: text/plain; charset="x-nope"\r\n\r\n'
+               b"body")
+        assert "undecodable body" in eml_text(raw)["err"]
+
+
+class TestSparkFace:
+    def test_extract(self, spark):
+        docs = spark.createDataFrame(
+            [(1, TEXT), (2, TEXT)], "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               eml_main_text(attach_eml_corpus(docs)).collect()}
+        for d in (1, 2):
+            e = expected_eml_fields(d, TEXT)
+            assert out[d].eml_text == e["text"]
+            assert out[d].sender == e["sender"]

@@ -1,0 +1,53 @@
+"""Notebook extraction (operators/ipynb.py, round-13)."""
+
+from __future__ import annotations
+
+import json
+
+from pipeline_server_spark.operators.ipynb import (
+    attach_ipynb_corpus,
+    ipynb_main_text,
+)
+
+
+def _nb(cells):
+    return json.dumps({"nbformat": 4, "cells": cells})
+
+
+class TestExtraction:
+    def test_md_code_kept_raw_and_outputs_dropped(self, spark):
+        nb = _nb([
+            {"cell_type": "markdown", "source": ["# T\n", "intro"]},
+            {"cell_type": "code", "source": ["print(1)"],
+             "outputs": [{"text": "1"}]},
+            {"cell_type": "raw", "source": ["never surfaces"]},
+        ])
+        df = spark.createDataFrame([(1, nb)],
+                                   "doc_id long, nb_json string")
+        r = ipynb_main_text(df).collect()[0]
+        assert r.nb_text == "# T\nintro\n\nprint(1)"
+        assert r.n_cells == 2
+
+    def test_malformed_json_quarantines_as_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "{not json"), (2, '{"cells": 7}')],
+            "doc_id long, nb_json string")
+        rows = {r.doc_id: r for r in ipynb_main_text(df).collect()}
+        assert rows[1].nb_text is None and rows[1].n_cells is None
+        assert rows[2].nb_text is None
+
+    def test_fixture_roundtrip_and_raw_exclusion(self, spark):
+        docs = spark.createDataFrame(
+            [(3, ("a b c " * 20).strip())], "doc_id long, text string")
+        r = ipynb_main_text(attach_ipynb_corpus(docs)).collect()[0]
+        assert r.nb_text.startswith("# Notebook 3\n\n")
+        assert "never surface" not in r.nb_text
+        assert "stdout junk" not in r.nb_text
+        assert r.n_cells == 1 + 4  # 60 words → 4 paragraph cells
+
+    def test_whole_query_is_jvm_only(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y z")], "doc_id long, text string")
+        plan = (ipynb_main_text(attach_ipynb_corpus(docs))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "EvalPython" not in plan  # no Arrow, no row-Python

@@ -1,0 +1,76 @@
+"""PPTX writer/parser (operators/pptx.py, round-13)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from pipeline_server_spark.operators.pptx import (
+    attach_pptx_corpus,
+    expected_pptx_blocks,
+    pptx_main_text,
+    pptx_text,
+    synth_pptx,
+)
+
+LONG = "alpha beta gamma delta epsilon zeta " * 50  # 10-slide deck
+SHORT = "uno dos tres cuatro cinco seis siete ocho"
+
+
+class TestRoundtrip:
+    def test_all_variants(self):
+        for d in range(8):
+            for t in (LONG, SHORT):
+                r = pptx_text(synth_pptx(d, t))
+                blocks, ns = expected_pptx_blocks(d, t)
+                assert r["err"] is None
+                assert r["text"] == "\n\n".join(blocks)
+                assert r["n_slides"] == ns
+
+    def test_numeric_slide_order_not_zip_order(self):
+        r = pptx_text(synth_pptx(0, LONG))
+        # 10 slides; titles must appear in numeric order
+        idx = [r["text"].index(f"Deck 0 slide {k}")
+               for k in range(1, 11)]
+        assert idx == sorted(idx)
+        assert r["n_slides"] == 10
+
+    def test_notes_never_surface(self):
+        r = pptx_text(synth_pptx(3, SHORT))
+        assert "never surface" not in r["text"]
+
+    def test_table_rows_tab_joined(self):
+        r = pptx_text(synth_pptx(2, SHORT))
+        assert f"metric\tvalue\nrows 2\t6" in r["text"]
+
+    def test_break_run(self):
+        r = pptx_text(synth_pptx(1, SHORT))
+        assert "\nspeaker pause" in r["text"]
+
+
+class TestQuarantine:
+    def test_not_zip(self):
+        assert pptx_text(b"nope")["err"]
+
+    def test_no_slides(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("[Content_Types].xml", "<Types/>")
+        assert pptx_text(buf.getvalue())["err"] == "no slide parts"
+
+    def test_broken_slide_xml(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("ppt/slides/slide1.xml", "<p:sld><broken")
+        assert "ParseError" in pptx_text(buf.getvalue())["err"]
+
+
+class TestSparkFace:
+    def test_extract(self, spark):
+        docs = spark.createDataFrame(
+            [(1, LONG), (2, SHORT)], "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               pptx_main_text(attach_pptx_corpus(docs)).collect()}
+        blocks, ns = expected_pptx_blocks(2, SHORT)
+        assert out[2].pptx_text == "\n\n".join(blocks)
+        assert out[1].n_slides == 10

@@ -1,0 +1,60 @@
+"""Re-fetch scheduling (operators/revisit.py, round-13)."""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.revisit import (
+    MAX_INTERVAL,
+    MIN_INTERVAL,
+    refetch_schedule,
+)
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, "url string, ts long, digest string")
+
+
+class TestRefetchSchedule:
+    def test_change_rate_estimate(self, spark):
+        rows = [("u", 0, "a"), ("u", 1000, "b"),
+                ("u", 2000, "b"), ("u", 3000, "c")]
+        out = refetch_schedule(_hist(spark, rows),
+                               min_interval=1,
+                               max_interval=10**9).collect()[0]
+        assert out.n_obs == 4 and out.n_changes == 2
+        assert out.obs_span_sec == 3000
+        assert out.next_interval_sec == 1500  # span div changes
+        assert out.next_fetch_at == 4500
+
+    def test_no_change_backoff_and_clamps(self, spark):
+        rows = [("stable", 0, "x"), ("stable", 5000, "x")]
+        out = refetch_schedule(_hist(spark, rows),
+                               min_interval=1,
+                               max_interval=8000).collect()[0]
+        assert out.n_changes == 0
+        assert out.next_interval_sec == 8000  # 2*span clamped to max
+
+    def test_single_observation_gets_min_interval(self, spark):
+        rows = [("once", 12345, "x")]
+        out = refetch_schedule(_hist(spark, rows)).collect()[0]
+        assert out.n_obs == 1 and out.obs_span_sec == 0
+        assert out.next_interval_sec == MIN_INTERVAL
+        assert out.next_fetch_at == 12345 + MIN_INTERVAL
+
+    def test_hot_page_clamped_to_min(self, spark):
+        rows = [("hot", i, "d%d" % i) for i in range(10)]
+        out = refetch_schedule(_hist(spark, rows)).collect()[0]
+        assert out.n_changes == 9
+        assert out.next_interval_sec == MIN_INTERVAL
+
+    def test_default_max_clamp(self, spark):
+        rows = [("cold", 0, "x"),
+                ("cold", 100 * 86400, "x")]
+        out = refetch_schedule(_hist(spark, rows)).collect()[0]
+        assert out.next_interval_sec == MAX_INTERVAL
+
+    def test_plan_is_jvm_only(self, spark):
+        rows = [("u", 0, "a"), ("u", 10, "b")]
+        plan = (refetch_schedule(_hist(spark, rows))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
