@@ -174,6 +174,11 @@ HEADLINE = [
     # model joins + per-language ntile; regression means a model
     # side stopped AQE-sizing or the window went global
     "kneser_ney_perplexity_buckets",
+    # round-13: BM25 top-k retrieval — corpus explode semi-joined to
+    # the broadcast query terms, decimal-exact scoring, per-query
+    # window top-k; regression means the postings stopped being
+    # query-sized or a global sort crept in
+    "bm25_topk_search",
 ]
 
 

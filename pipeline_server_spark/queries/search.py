@@ -1,0 +1,187 @@
+"""Ranked keyword retrieval over the corpus: BM25 top-k search.
+
+A training-data pipeline is also a search problem — "find the
+documents about X" powers corpus auditing, targeted decontamination,
+and seed selection for domain mixtures. This module implements the
+standard Okapi BM25 ranking function (Robertson & Spärck Jones;
+k1 = 1.2, b = 0.75) as pure Catalyst over an inverted-index shape:
+postings are built ONLY for the query terms (a broadcast semi-join
+keeps the explode output query-sized, not vocabulary-sized), document
+frequency / document length / corpus scalars join in, and the per-term
+partial scores sum per (query, doc) with a window top-k.
+
+Cross-engine bit-stability discipline (registry docstring): with
+k1 = 6/5 and b = 3/4 the BM25 term weight is rational in integers —
+
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+      = 44·tf·T / (20·tf·T + 6·T + 18·dl·N)        (avgdl = T/N)
+
+— and the idf simplifies to exact-integer log2 arguments:
+
+    idf = log2((N − df + ½)/(df + ½) + 1) / log2(e)·ln-scale dropped:
+        ∝ log2(2N + 2) − log2(2df + 1)
+
+so every per-term score is (double of two exact-integer log2's) ×
+(double ratio of two exact bigints): both engines compute the same
+doubles, the decimal(27,9) cast + exact decimal sum make the
+aggregation order irrelevant, and ranking compares decimals.
+
+Scale shape (100 TB): the query table is a literal inline relation
+(broadcast); the token explode is corpus-linear but immediately
+semi-joined down to query-term postings (at web scale: a pre-built
+postings table replaces the explode — same downstream plan); df/dl
+are one groupBy each with map-side combine; N and T are an
+allowlisted 1-row scalar broadcast; the final top-k is a per-query
+window over only the matching docs. No collects, no cartesians.
+
+Reference scope anchor: none — the reference has no retrieval
+surface; this is the LLM-brief corpus-tooling family (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+# Fixed benchmark queries (distinct terms each) — drawn from the
+# synthetic corpus vocabulary so every query has real matches.
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["merge", "sort"]),
+    (2, ["window", "hash", "join"]),
+    (3, ["stream", "batch"]),
+    (4, ["vector", "customer"]),
+    (5, ["spark", "query", "filter"]),
+]
+BM25_TOPK = 10
+
+_QUERY_ROWS_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+_BM25_ORACLE = f"""
+WITH qterms(query_id, term) AS (VALUES {_QUERY_ROWS_SQL}),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS dl
+  FROM documents),
+scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS t_tokens
+  FROM dl),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+tf AS (
+  SELECT t.doc_id, q.query_id, q.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON t.tok = q.term
+  GROUP BY t.doc_id, q.query_id, q.term),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term),
+terms AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST((log2(CAST(2 * s.n_docs + 2 AS DOUBLE))
+               - log2(CAST(2 * df.df + 1 AS DOUBLE)))
+              * (CAST(44 * tf.tf * s.t_tokens AS DOUBLE)
+                 / CAST(20 * tf.tf * s.t_tokens + 6 * s.t_tokens
+                        + 18 * dl.dl * s.n_docs AS DOUBLE))
+              AS DECIMAL(27, 9)) AS term_score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN scal s),
+scored AS (
+  SELECT query_id, doc_id,
+         SUM(term_score) AS score_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+  FROM terms GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, n_hit_terms, score_dec,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_dec DESC, doc_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_hit_terms,
+       CAST(CAST(score_dec AS VARCHAR) AS DOUBLE) AS bm25_score
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@query("bm25_topk_search", oracle=_BM25_ORACLE)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{k} ranked retrieval for a fixed query workload
+    (module docstring has the exact-arithmetic derivation). Postings
+    are built only for query terms via a broadcast semi-shape join;
+    per-term partial scores are decimal-exact; ties break on doc_id
+    so ranking is deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+            "query_id long, term string",
+        )
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("dl"),
+    )
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .join(qterms, F.col("tok") == F.col("term"))
+        .groupBy("doc_id", "query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # df is per TERM (shared across queries) — distinct docs per term.
+    dfreq = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    idf = F.log2((2 * F.col("n_docs") + 2).cast("double")) - F.log2(
+        (2 * F.col("df") + 1).cast("double")
+    )
+    sat = (44 * F.col("tf") * F.col("t_tokens")).cast("double") / (
+        20 * F.col("tf") * F.col("t_tokens")
+        + 6 * F.col("t_tokens")
+        + 18 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    terms = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))  # 1-row scalar: always safe
+        .select(
+            "query_id",
+            "doc_id",
+            (idf * sat).cast("decimal(27,9)").alias("term_score"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "n_hit_terms",
+            F.col("score_dec").cast("string").cast("double")
+            .alias("bm25_score"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -401,6 +401,12 @@ SHOW = {
         "from_json + array lambdas — one codegen-able projection, "
         "no Python process at all"
     ),
+    "bm25_topk_search": (
+        "BM25 ranked retrieval: token explode semi-joined to the "
+        "BROADCAST query-term dimension (postings stay query-sized), "
+        "decimal-exact per-term scores, per-query window top-k — "
+        "no vocabulary-wide shuffle, no global sort"
+    ),
 }
 
 

@@ -1,0 +1,76 @@
+"""BM25 ranked retrieval (queries/search.py).
+
+The registry referee is the full DuckDB oracle; these tests pin the
+RANKING semantics on a hand-checkable corpus — a brute-force
+floating-point BM25 scored in plain Python must produce the same
+top-k ordering — plus structural invariants (per-query k, rank
+density, only matching docs scored).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.search import (
+    BM25_QUERIES,
+    BM25_TOPK,
+    bm25_topk_search,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_bm25(docs, terms, k1=1.2, b=0.75):
+    """Plain-float reference BM25 (idf = log2((N-df+.5)/(df+.5)+1))."""
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for d, tv in toks.items():
+        dl = len(tv)
+        s, hit = 0.0, 0
+        for t in set(terms):
+            tf = tv.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log2((n - df + 0.5) / (df + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            hit += 1
+        if hit:
+            out[d] = (s, hit)
+    return out
+
+
+def test_bm25_matches_bruteforce_ordering(spark):
+    res = bm25_topk_search(spark, SF).collect()
+    docs = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    for qid, terms in BM25_QUERIES:
+        exp = _brute_bm25(docs, terms)
+        # expected top-k under (score desc, doc_id) — float reference
+        order = sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.rank for r in got] == list(range(1, len(got) + 1))
+        assert len(got) == min(BM25_TOPK, len(exp))
+        for r, (d, (s, hit)) in zip(got, order):
+            assert r.doc_id == d
+            assert r.n_hit_terms == hit
+            assert math.isclose(r.bm25_score, s, rel_tol=1e-6)
+
+
+def test_bm25_only_matching_docs(spark):
+    res = bm25_topk_search(spark, SF)
+    assert res.where(F.col("n_hit_terms") <= 0).count() == 0
+    assert res.where(F.col("bm25_score") <= 0).count() == 0
