@@ -1,0 +1,209 @@
+"""Public-suffix-list (PSL) registrable-domain extraction — eTLD+1.
+
+Host-level crawl machinery (politeness, host-rank, per-site budgets)
+groups by HOST, but the unit a webmaster controls is the REGISTRABLE
+domain: ``a.example.co.uk`` and ``b.example.co.uk`` are one site,
+while ``a.github.io`` and ``b.github.io`` are two unrelated ones.
+The public algorithm (publicsuffix.org/list/ — Mozilla's Public
+Suffix List) resolves this:
+
+- a RULE is a dot-separated label sequence; it matches a host whose
+  trailing labels equal the rule's (a ``*`` label matches exactly one
+  arbitrary label);
+- an EXCEPTION rule (``!`` prefix) wins outright; its public suffix
+  is the rule minus its leftmost label;
+- otherwise the LONGEST matching rule prevails; no match → the
+  default rule ``*`` (the bare TLD is the public suffix);
+- the registrable domain (eTLD+1) is the public suffix plus one more
+  label — NULL when the host IS a public suffix.
+
+Implementation is pure Catalyst: the host's label array explodes into
+its O(#labels) candidate suffixes, literal/exception rules equi-join
+on the suffix string and wildcard rules on the suffix's PARENT (drop
+the leftmost label — exactly "``*`` matches one label"), and a
+host-level aggregate picks the prevailing match length. The rules
+table is list-sized (the real PSL is ~10k rules) and broadcasts; the
+per-host fan-out is bounded by DNS's 127-label ceiling.
+
+The bundled ``PSL_RULES`` is a representative SNAPSHOT subset (the
+full list is a ~250 KB data file the deployment ships alongside, same
+join shape); it covers every rule CLASS: multi-label suffixes
+(``co.uk``), wildcards (``*.ck``, ``*.kawasaki.jp``), exceptions
+(``!www.ck``, ``!city.kawasaki.jp``), and private-section entries
+(``github.io`` — included in matching, the PSL default).
+
+Scale shape (100 TB): rules broadcast; candidates = hosts × ≤10
+suffix rows with the two equi-joins map-side; one host-keyed groupBy.
+No windows, no Python, no collects.
+
+Reference scope anchor: none — the reference has no crawl surface;
+this is the LLM-brief crawl family (SURVEY.md §6 forward-looking
+ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (rule, ...) — '!' = exception, '*.'-label = wildcard. Subset of the
+# public list; every rule class represented.
+PSL_RULES: list[str] = [
+    "com",
+    "org",
+    "net",
+    "edu",
+    "io",
+    "jp",
+    "uk",
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "co.jp",
+    "ne.jp",
+    "de",
+    "fr",
+    "au",
+    "com.au",
+    "*.ck",
+    "!www.ck",
+    "*.kawasaki.jp",
+    "!city.kawasaki.jp",
+    # private section (PSL default: included in matching)
+    "github.io",
+    "blogspot.com",
+]
+
+
+def _classify(rule: str) -> tuple[str, str, int]:
+    """rule → (kind, key, n_labels): literal rules key on their own
+    string, wildcards on the PARENT suffix (the part after ``*.``),
+    exceptions on the full name without ``!``."""
+    if rule.startswith("!"):
+        name = rule[1:]
+        return "exception", name, len(name.split("."))
+    if rule.startswith("*."):
+        parent = rule[2:]
+        return "wildcard", parent, len(parent.split(".")) + 1
+    return "literal", rule, len(rule.split("."))
+
+
+def rules_frames(spark) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(literal, wildcard, exception) rule dimensions — broadcastable."""
+    lit, wc, exc = [], [], []
+    for r in PSL_RULES:
+        kind, key, n = _classify(r)
+        {"literal": lit, "wildcard": wc, "exception": exc}[kind].append(
+            (key, n)
+        )
+    mk = lambda rows: spark.createDataFrame(rows, "key string, n_labels int")
+    return mk(lit), mk(wc), mk(exc)
+
+
+def registrable_domains(
+    hosts: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Distinct-host frame → ``(host, public_suffix,
+    registrable_domain)`` per the PSL algorithm (module docstring).
+    ``registrable_domain`` is NULL when the host is itself a public
+    suffix. Hosts are normalized (lowercase, trailing dot stripped)
+    before matching."""
+    spark = hosts.sparkSession
+    lit_r, wc_r, exc_r = rules_frames(spark)
+
+    h = hosts.select(
+        F.regexp_replace(F.lower(F.col(host_col)), r"\.$", "").alias("host")
+    ).distinct()
+    h = h.withColumn("labels", F.split("host", r"\.")).withColumn(
+        "k", F.size("labels")
+    )
+    # candidate suffixes: start position i → labels[i..k] joined by '.'
+    cand = (
+        h.select(
+            "host",
+            "k",
+            "labels",
+            F.explode(F.sequence(F.lit(1), F.col("k"))).alias("i"),
+        )
+        .withColumn(
+            "suffix",
+            F.array_join(
+                F.slice("labels", F.col("i"), F.col("k") - F.col("i") + 1),
+                ".",
+            ),
+        )
+        .withColumn(
+            "parent",
+            F.when(
+                F.col("i") < F.col("k"),
+                F.array_join(
+                    F.slice("labels", F.col("i") + 1, F.col("k") - F.col("i")),
+                    ".",
+                ),
+            ),
+        )
+        .withColumn("m_len", F.col("k") - F.col("i") + 1)
+    )
+    lit_m = (
+        cand.join(F.broadcast(lit_r), cand["suffix"] == lit_r["key"])
+        .where(F.col("m_len") == F.col("n_labels"))
+        .select("host", "m_len")
+    )
+    wc_m = (
+        cand.join(F.broadcast(wc_r), cand["parent"] == wc_r["key"])
+        .where(F.col("m_len") == F.col("n_labels"))
+        .select("host", "m_len")
+    )
+    exc_m = (
+        cand.join(F.broadcast(exc_r), cand["suffix"] == exc_r["key"])
+        .where(F.col("m_len") == F.col("n_labels"))
+        # exception: its public suffix is the rule MINUS the leftmost
+        # label — encode as match length (n_labels - 1), flagged so it
+        # beats any longer plain match.
+        .select("host", (F.col("m_len") - 1).alias("exc_len"))
+    )
+    m = (
+        lit_m.unionByName(wc_m)
+        .groupBy("host")
+        .agg(F.max("m_len").alias("rule_len"))
+    )
+    e = exc_m.groupBy("host").agg(F.min("exc_len").alias("exc_len"))
+    out = (
+        h.join(m, "host", "left")
+        .join(e, "host", "left")
+        .withColumn(
+            "ps_len",
+            F.coalesce("exc_len", "rule_len", F.lit(1)),  # default rule '*'
+        )
+        .withColumn(
+            "public_suffix",
+            F.array_join(
+                F.slice(
+                    "labels", F.col("k") - F.col("ps_len") + 1, F.col("ps_len")
+                ),
+                ".",
+            ),
+        )
+        .withColumn(
+            "registrable_domain",
+            F.when(
+                F.col("k") > F.col("ps_len"),
+                F.array_join(
+                    F.slice("labels", F.col("k") - F.col("ps_len"),
+                            F.col("ps_len") + 1),
+                    ".",
+                ),
+            ),
+        )
+    )
+    return out.select("host", "public_suffix", "registrable_domain")
+
+
+def psl_rules_sql_values() -> str:
+    """The SAME rule snapshot as a SQL VALUES body ``(kind, key,
+    n_labels)`` — so oracles share one source of truth."""
+    rows = []
+    for r in PSL_RULES:
+        kind, key, n = _classify(r)
+        rows.append(f"('{kind}', '{key}', {n})")
+    return ", ".join(rows)

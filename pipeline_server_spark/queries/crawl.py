@@ -573,3 +573,125 @@ def ipynb_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (_nb_extract(attach_ipynb_corpus(docs))
             .orderBy("doc_id"))
+
+
+# -- eTLD+1: public-suffix-list registrable domains ---------------------
+def _psl_host_fixture_case_sql() -> str:
+    """Fixture host per doc (SQL face; mirrors the Catalyst CASE in
+    the query): nine classes covering every PSL rule kind, incl. a
+    case-mangled host and a trailing-dot host (normalization)."""
+    return """
+      CASE doc_id % 9
+        WHEN 0 THEN 'WWW.EXAMPLE' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+        WHEN 1 THEN 'a.b.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+        WHEN 2 THEN 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'
+        WHEN 3 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.y.ck'
+        WHEN 4 THEN 'www.ck'
+        WHEN 5 THEN 'city.kawasaki.jp'
+        WHEN 6 THEN 's' || CAST(doc_id % 5 AS VARCHAR) || '.test.kawasaki.jp'
+        WHEN 7 THEN 'com'
+        ELSE 'host' || CAST(doc_id % 5 AS VARCHAR) || '.zz.'
+      END
+    """
+
+
+def _psl_oracle() -> str:
+    from pipeline_server_spark.operators.psl import psl_rules_sql_values
+
+    return f"""
+    WITH rules(kind, key, n_labels) AS (VALUES {psl_rules_sql_values()}),
+    raw AS (
+      SELECT {_psl_host_fixture_case_sql()} AS host FROM documents),
+    hosts AS (
+      SELECT regexp_replace(lower(host), '\\.$', '') AS host,
+             CAST(COUNT(*) AS BIGINT) AS n_urls
+      FROM raw GROUP BY 1),
+    lab AS (
+      SELECT host, string_split(host, '.') AS labels,
+             len(string_split(host, '.')) AS k
+      FROM hosts),
+    cand AS (
+      SELECT host, k, labels, UNNEST(range(1, k + 1)) AS i FROM lab),
+    c2 AS (
+      SELECT host, k, i,
+             array_to_string(labels[i:k], '.') AS suffix,
+             CASE WHEN i < k
+                  THEN array_to_string(labels[i+1:k], '.') END AS parent,
+             k - i + 1 AS m_len
+      FROM cand),
+    lm AS (
+      SELECT host, m_len FROM c2 JOIN rules r
+        ON r.kind = 'literal' AND c2.suffix = r.key
+           AND c2.m_len = r.n_labels),
+    wm AS (
+      SELECT host, m_len FROM c2 JOIN rules r
+        ON r.kind = 'wildcard' AND c2.parent = r.key
+           AND c2.m_len = r.n_labels),
+    em AS (
+      SELECT host, m_len - 1 AS exc_len FROM c2 JOIN rules r
+        ON r.kind = 'exception' AND c2.suffix = r.key
+           AND c2.m_len = r.n_labels),
+    mm AS (
+      SELECT host, MAX(m_len) AS rule_len
+      FROM (SELECT * FROM lm UNION ALL SELECT * FROM wm) GROUP BY host),
+    ee AS (SELECT host, MIN(exc_len) AS exc_len FROM em GROUP BY host),
+    res AS (
+      SELECT l.host, l.k, l.labels,
+             COALESCE(ee.exc_len, mm.rule_len, 1) AS ps_len
+      FROM lab l LEFT JOIN mm USING (host) LEFT JOIN ee USING (host))
+    SELECT r.host,
+           array_to_string(r.labels[r.k - r.ps_len + 1 : r.k], '.')
+             AS public_suffix,
+           CASE WHEN r.k > r.ps_len
+                THEN array_to_string(r.labels[r.k - r.ps_len : r.k], '.')
+           END AS registrable_domain,
+           h.n_urls
+    FROM res r JOIN hosts h USING (host)
+    ORDER BY r.host
+    """
+
+
+@query("host_registrable_domains", oracle=_psl_oracle())
+def host_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction per the Public Suffix List algorithm
+    (operators/psl.py): the fixture derives one host per doc covering
+    every rule class — multi-label suffix (co.uk), private-section
+    entry (github.io), wildcard (*.ck, *.kawasaki.jp), exception
+    (!www.ck, !city.kawasaki.jp), bare-public-suffix host (NULL
+    registrable), unlisted TLD (default rule), case-mangled and
+    trailing-dot hosts (normalization) — counts URLs per host and
+    maps each to (public_suffix, registrable_domain). Pure Catalyst:
+    suffix explode bounded by label count, two broadcast rule joins,
+    one host groupBy."""
+    from pipeline_server_spark.operators.psl import registrable_domains
+
+    d5 = (F.col("doc_id") % 5).cast("string")
+    host = (
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.lit("WWW.EXAMPLE"), d5, F.lit(".COM")))
+        .when(F.col("doc_id") % 9 == 1,
+              F.concat(F.lit("a.b.site"), d5, F.lit(".co.uk")))
+        .when(F.col("doc_id") % 9 == 2,
+              F.concat(F.lit("blog"), d5, F.lit(".github.io")))
+        .when(F.col("doc_id") % 9 == 3,
+              F.concat(F.lit("x"), d5, F.lit(".y.ck")))
+        .when(F.col("doc_id") % 9 == 4, F.lit("www.ck"))
+        .when(F.col("doc_id") % 9 == 5, F.lit("city.kawasaki.jp"))
+        .when(F.col("doc_id") % 9 == 6,
+              F.concat(F.lit("s"), d5, F.lit(".test.kawasaki.jp")))
+        .when(F.col("doc_id") % 9 == 7, F.lit("com"))
+        .otherwise(F.concat(F.lit("host"), d5, F.lit(".zz.")))
+    )
+    raw = load_table(spark, sf_dir, "documents").select(host.alias("host"))
+    norm = raw.select(
+        F.regexp_replace(F.lower("host"), r"\.$", "").alias("host")
+    )
+    counts = norm.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    mapped = registrable_domains(counts.select("host"))
+    return (
+        mapped.join(counts, "host")
+        .select("host", "public_suffix", "registrable_domain", "n_urls")
+        .orderBy("host")
+    )

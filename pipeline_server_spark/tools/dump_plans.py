@@ -401,6 +401,11 @@ SHOW = {
         "from_json + array lambdas — one codegen-able projection, "
         "no Python process at all"
     ),
+    "host_registrable_domains": (
+        "eTLD+1 extraction: suffix explode bounded by label count, "
+        "two BROADCAST rule joins (literal/exception on suffix, "
+        "wildcard on parent), one host groupBy — rules list-sized"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -1,0 +1,60 @@
+"""Public-suffix-list registrable domains (operators/psl.py).
+
+The registry referee is the full DuckDB oracle on the fixture corpus;
+these tests pin the PSL ALGORITHM itself — wildcard = exactly one
+label, exception beats wildcard, longest literal wins, default rule,
+bare-suffix NULL — on hand-checkable hosts per the published test
+vectors (publicsuffix.org's checkPublicSuffix style).
+"""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.psl import registrable_domains
+
+CASES = [
+    # host, public_suffix, registrable_domain
+    ("example.com", "com", "example.com"),
+    ("www.example.com", "com", "example.com"),
+    ("example.co.uk", "co.uk", "example.co.uk"),
+    ("a.b.example.co.uk", "co.uk", "example.co.uk"),
+    ("uk", "uk", None),                 # bare suffix → NULL
+    ("co.uk", "co.uk", None),
+    ("foo.github.io", "github.io", "foo.github.io"),  # private section
+    ("github.io", "github.io", None),
+    ("example.zz", "zz", "example.zz"),  # unlisted TLD → default rule
+    ("a.example.zz", "zz", "example.zz"),
+    # wildcard *.ck: one label under ck is the suffix
+    ("foo.ck", "foo.ck", None),
+    ("bar.foo.ck", "foo.ck", "bar.foo.ck"),
+    ("deep.bar.foo.ck", "foo.ck", "bar.foo.ck"),
+    # exception !www.ck beats the wildcard
+    ("www.ck", "ck", "www.ck"),
+    ("sub.www.ck", "ck", "www.ck"),
+    # wildcard under a multi-label parent
+    ("test.kawasaki.jp", "test.kawasaki.jp", None),
+    ("s.test.kawasaki.jp", "test.kawasaki.jp", "s.test.kawasaki.jp"),
+    # exception !city.kawasaki.jp
+    ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+    ("x.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+    # normalization: case + trailing dot
+    ("WWW.Example.COM.", "com", "example.com"),
+]
+
+
+def test_psl_published_vectors(spark):
+    hosts = spark.createDataFrame([(h,) for h, _, _ in CASES], "host string")
+    got = {
+        r.host: (r.public_suffix, r.registrable_domain)
+        for r in registrable_domains(hosts).collect()
+    }
+    for host, ps, reg in CASES:
+        key = host.rstrip(".").lower()
+        assert got[key] == (ps, reg), (host, got[key], (ps, reg))
+
+
+def test_psl_longest_literal_wins(spark):
+    # ac.uk (2 labels) must beat uk (1 label) for x.y.ac.uk
+    hosts = spark.createDataFrame([("x.y.ac.uk",)], "host string")
+    row = registrable_domains(hosts).collect()[0]
+    assert row.public_suffix == "ac.uk"
+    assert row.registrable_domain == "y.ac.uk"
