@@ -1,0 +1,163 @@
+"""Secret / credential detection over a text corpus.
+
+Training data scraped from the web and from code hosts leaks
+credentials; scrubbing them is a standard pre-release step (the
+public detect-secrets / gitleaks / truffleHog rule families). Two
+detector classes, both JVM-side:
+
+- **Keyed patterns**: provider-prefixed token formats matched with
+  ``regexp_extract_all`` — AWS access key ids (``AKIA…``), GitHub
+  PATs (``ghp_…``), PEM private-key headers, JWTs, Slack tokens.
+- **High-entropy strings**: hex / base64-alphabet runs whose Shannon
+  entropy crosses the published detect-secrets thresholds (3.0
+  bits/char for hex, 4.5 for base64). Entropy is computed EXACTLY in
+  Catalyst: candidate → per-character counts (a bounded explode —
+  candidates are rare and ≤ a few hundred chars) → the flag
+  condition is algebraically cleared of division so both engines
+  compare exact decimals:
+
+      H > t  ⇔  L·log2(L) − Σ c·log2(c) > t·L
+
+  with every log2 taken of an exact integer (same double in Spark
+  and DuckDB) and the sums carried in decimal(27,9).
+
+Findings are REDACTED on output (rule + count + a 6-char masked
+sample) — the detector's output must itself be safe to ship.
+
+Scale shape (100 TB): one regexp projection pass per corpus (all
+rules in one select), the entropy explode is candidates-sized (not
+corpus-sized), two groupBys on (doc, candidate) keys with map-side
+combine. No Python, no windows wider than a doc's candidates, no
+collects.
+
+Reference scope anchor: the reference's row-level regex DQ
+(DataQuality.scala:60-118) is the same match-classify shape; the
+entropy detector and redaction discipline are the LLM-brief
+corpus-hygiene extension (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (rule, Java+RE2-compatible pattern) — keep patterns in the common
+# subset of java.util.regex and RE2 so the DuckDB oracle matches.
+KEYED_PATTERNS: list[tuple[str, str]] = [
+    ("aws_access_key_id", "AKIA[0-9A-Z]{16}"),
+    ("github_pat", "ghp_[A-Za-z0-9]{36}"),
+    ("private_key_block", "-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("jwt", "eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}"),
+    ("slack_token", "xox[baprs]-[0-9A-Za-z-]{10,}"),
+]
+
+# (kind, candidate pattern, threshold numerator, denominator):
+# flag when H > num/den bits/char.
+ENTROPY_CLASSES: list[tuple[str, str, int, int]] = [
+    ("high_entropy_hex", "[0-9a-f]{32,}", 3, 1),
+    ("high_entropy_b64", "[A-Za-z0-9+/=]{24,}", 9, 2),
+]
+
+
+def secret_findings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) → redacted findings ``(id, rule, n_hits, sample)``,
+    one row per (document, rule) with ≥1 hit (module docstring)."""
+    hits_cols = [
+        F.regexp_extract_all(F.col(text_col), F.lit(pat), 0).alias(rule)
+        for rule, pat in KEYED_PATTERNS
+    ]
+    cand_cols = [
+        F.regexp_extract_all(F.col(text_col), F.lit(pat), 0).alias(kind)
+        for kind, pat, _, _ in ENTROPY_CLASSES
+    ]
+    base = df.select(id_col, *hits_cols, *cand_cols)
+
+    keyed = (
+        base.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rule).alias("rule"),
+                            F.col(rule).alias("hits"),
+                        )
+                        for rule, _ in KEYED_PATTERNS
+                    ]
+                )
+            ).alias("m"),
+        )
+        .select(id_col, "m.rule", "m.hits")
+        .where(F.size("hits") > 0)
+        .select(
+            id_col,
+            "rule",
+            F.size("hits").cast("long").alias("n_hits"),
+            F.concat(
+                F.substring(F.element_at("hits", 1), 1, 6), F.lit("...")
+            ).alias("sample"),
+        )
+    )
+
+    cands = (
+        base.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(kind).alias("kind"),
+                            F.col(kind).alias("cands"),
+                        )
+                        for kind, _, _, _ in ENTROPY_CLASSES
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select(id_col, "c.kind", F.explode("c.cands").alias("cand"))
+    )
+    chars = cands.select(
+        id_col,
+        "kind",
+        "cand",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("cand")),
+                lambda i: F.col("cand").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy(id_col, "kind", "cand", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ent = cc.groupBy(id_col, "kind", "cand").agg(
+        F.sum(
+            (F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+            .cast("decimal(27,9)")
+        ).alias("ts"),
+        F.sum("c").cast("long").alias("L"),
+    )
+    # H > num/den  ⇔  den·(L·log2 L − Σ c·log2 c) > num·L
+    lhs = (
+        (F.col("L").cast("double") * F.log2(F.col("L").cast("double")))
+        .cast("decimal(27,9)")
+        - F.col("ts")
+    )
+    conds = [
+        (F.col("kind") == kind) & (F.lit(den) * lhs > F.lit(num) * F.col("L"))
+        for kind, _, num, den in ENTROPY_CLASSES
+    ]
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    flagged = ent.where(cond)
+    erows = flagged.groupBy(id_col, "kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.concat(F.substring(F.min("cand"), 1, 6), F.lit("...")).alias(
+            "sample"
+        ),
+    ).select(id_col, F.col("kind").alias("rule"), "n_hits", "sample")
+
+    return keyed.unionByName(erows)

@@ -406,6 +406,12 @@ SHOW = {
         "two BROADCAST rule joins (literal/exception on suffix, "
         "wildcard on parent), one host groupBy — rules list-sized"
     ),
+    "secret_detection_findings": (
+        "secret scrubbing: all keyed regex rules in ONE projection "
+        "pass, entropy explode bounded by candidate count (not "
+        "corpus size), exact-decimal threshold algebra, redacted "
+        "output — no Python, no collects"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "
