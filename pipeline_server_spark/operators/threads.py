@@ -1,0 +1,128 @@
+"""Conversation-thread reconstruction from reply chains.
+
+Mail archives (and forum dumps with the same parent-pointer shape)
+are conversation-structured training data: the unit a chat model
+learns from is the THREAD — ordered turns under one root — not the
+individual message. RFC 5322 threading (the JWZ algorithm's core)
+reduces to resolving each message's ``In-Reply-To`` parent and
+walking to the root:
+
+- a message whose parent is absent from the corpus (the common case
+  in partial archives: the parent was never captured) is its own
+  root — dangling pointers NEVER drop messages;
+- root / depth resolve by PARENT-POINTER DOUBLING: each round joins
+  the ancestor table with itself (node → ancestor(ancestor)), adding
+  hop counts, so a depth-D chain converges in O(log D) rounds (the
+  connected_components discipline, dedup.py:633 — but keeping DEPTH,
+  which min-label CC cannot);
+- per-thread turn order is chronological (ts, then msg_id — total
+  and engine-identical).
+
+Scale shape (100 TB): the loop state is one row per message with
+bigint keys; each round is two hash self-joins + a scalar
+convergence aggregate on a conf-isolated loop session (graph-sized
+shuffle width, not corpus-sized); the final windows partition by
+thread root. No collects beyond the per-round scalar.
+
+Reference scope anchor: none — the reference has no mail surface;
+this extends the eml extraction family (operators/eml.py) the way
+conversation-corpus pipelines consume mail archives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assemble_threads(
+    msgs: DataFrame,
+    id_col: str = "msg_id",
+    parent_col: str = "parent_id",
+    ts_col: str = "ts",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(msg_id, parent_id, ts, …) → per-message thread assignment
+    ``(msg_id, thread_root, depth, turn_index, n_thread_msgs)``
+    (module docstring). ``parent_id`` may be null or dangling."""
+    from pipeline_server_spark.operators.iterutil import (
+        checkpoint_df,
+        loop_session,
+        transfer,
+    )
+
+    m = msgs.select(
+        F.col(id_col).alias("node"), F.col(parent_col).alias("parent")
+    )
+    # dangling or null parent → self (root)
+    present = m.select(F.col("node").alias("p_ok"))
+    resolved = (
+        m.join(present, m["parent"] == present["p_ok"], "left")
+        .select(
+            "node",
+            F.when(F.col("p_ok").isNotNull(), F.col("parent"))
+            .otherwise(F.col("node"))
+            .alias("anc"),
+        )
+        .withColumn(
+            "d", F.when(F.col("anc") != F.col("node"), F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("long"),
+        )
+    )
+
+    base = msgs.sparkSession
+    n_msgs = resolved.count()
+    default_parts = int(base.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(2, min(default_parts, n_msgs // 100_000 + 2))
+    sess = loop_session(base, loop_parts)
+    anc = checkpoint_df(transfer(resolved, sess), eager=True,
+                        checkpoint_dir=None)
+
+    for _ in range(max_iter):
+        # node → anc(anc(node)), accumulating hop counts; a root's
+        # self-loop (anc = node, d = 0) is the fixpoint.
+        nxt = checkpoint_df(
+            anc.alias("x")
+            .join(anc.alias("y"), F.col("x.anc") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.anc").alias("anc"),
+                (F.col("x.d") + F.col("y.d")).alias("d"),
+            ),
+            eager=True,
+            checkpoint_dir=None,
+        )
+        changed = (
+            nxt.alias("n")
+            .join(anc.alias("o"), "node")
+            .where(F.col("n.anc") != F.col("o.anc"))
+            .limit(1)
+            .count()
+        )
+        anc = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"assemble_threads did not converge within max_iter={max_iter} "
+            "rounds (pointer doubling needs ~log2(max depth) rounds)"
+        )
+
+    roots = transfer(anc, base).select(
+        F.col("node").alias(id_col),
+        F.col("anc").alias("thread_root"),
+        F.col("d").alias("depth"),
+    )
+    out = msgs.join(roots, id_col)
+    w_turn = Window.partitionBy("thread_root").orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    w_size = Window.partitionBy("thread_root")
+    return out.select(
+        id_col,
+        "thread_root",
+        "depth",
+        F.row_number().over(w_turn).cast("long").alias("turn_index"),
+        F.count(F.lit(1)).over(w_size).cast("long").alias("n_thread_msgs"),
+    )

@@ -1,0 +1,83 @@
+"""Conversation-corpus queries: reply-chain thread assembly.
+
+``eml_thread_assembly`` builds a deterministic mail archive over the
+documents table — five-message threads with a branch, plus dangling
+``In-Reply-To`` pointers (the parent was never captured) — and runs
+the pointer-doubling thread assembler (operators/threads.py) against
+a full recursive-CTE DuckDB oracle.
+
+Reference scope anchor: none — the reference has no mail surface;
+LLM-brief conversation-data family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+# Fixture: thread t = doc_id div 5, position p = doc_id mod 5.
+#   p=0 → root; p=1 → reply to p0; p=2 → reply to p1;
+#   p=3 → reply to p1 (branch); p=4 → reply to a MISSING external
+#   message (dangling pointer → own root).
+_FIXTURE_SQL = """
+  SELECT doc_id AS msg_id,
+         CASE doc_id % 5
+           WHEN 0 THEN NULL
+           WHEN 1 THEN doc_id - 1
+           WHEN 2 THEN doc_id - 1
+           WHEN 3 THEN doc_id - 2
+           ELSE 1000000 + doc_id
+         END AS parent_id,
+         doc_id AS ts
+  FROM documents
+"""
+
+_THREADS_ORACLE = f"""
+WITH RECURSIVE msgs AS ({_FIXTURE_SQL}),
+resolved AS (
+  SELECT m.msg_id, m.ts,
+         CASE WHEN p.msg_id IS NULL THEN NULL ELSE m.parent_id END AS par
+  FROM msgs m LEFT JOIN msgs p ON p.msg_id = m.parent_id),
+walk(msg_id, thread_root, depth) AS (
+  SELECT msg_id, msg_id, 0 FROM resolved WHERE par IS NULL
+  UNION ALL
+  SELECT r.msg_id, w.thread_root, w.depth + 1
+  FROM resolved r JOIN walk w ON r.par = w.msg_id)
+SELECT w.msg_id, w.thread_root, CAST(w.depth AS BIGINT) AS depth,
+       CAST(ROW_NUMBER() OVER (PARTITION BY w.thread_root
+                               ORDER BY r.ts, w.msg_id) AS BIGINT)
+         AS turn_index,
+       CAST(COUNT(*) OVER (PARTITION BY w.thread_root) AS BIGINT)
+         AS n_thread_msgs
+FROM walk w JOIN resolved r ON r.msg_id = w.msg_id
+ORDER BY w.msg_id
+"""
+
+
+@query("eml_thread_assembly", oracle=_THREADS_ORACLE)
+def eml_thread_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-chain thread reconstruction (operators/threads.py):
+    five-message threads with a mid-thread branch plus dangling
+    parents that must become their own roots, resolved by parent-
+    pointer doubling in O(log depth) rounds; chronological turn
+    indices and thread sizes per message. The oracle walks the same
+    archive with a recursive CTE."""
+    from pipeline_server_spark.operators.threads import assemble_threads
+
+    d5 = F.col("doc_id") % 5
+    parent = (
+        F.when(d5 == 0, F.lit(None).cast("long"))
+        .when(d5 == 1, F.col("doc_id") - 1)
+        .when(d5 == 2, F.col("doc_id") - 1)
+        .when(d5 == 3, F.col("doc_id") - 2)
+        .otherwise(F.lit(1000000) + F.col("doc_id"))
+    )
+    msgs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("msg_id"),
+        parent.alias("parent_id"),
+        F.col("doc_id").alias("ts"),
+    )
+    return assemble_threads(msgs).orderBy("msg_id")

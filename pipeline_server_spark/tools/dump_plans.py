@@ -412,6 +412,13 @@ SHOW = {
         "corpus size), exact-decimal threshold algebra, redacted "
         "output — no Python, no collects"
     ),
+    "eml_thread_assembly": (
+        "reply-chain threading: parent-pointer doubling with hop "
+        "accumulation on a conf-isolated loop session (O(log depth) "
+        "rounds, graph-sized shuffle width), dangling parents become "
+        "roots, two thread-keyed windows — no collects beyond the "
+        "per-round convergence scalar"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -1,0 +1,68 @@
+"""Thread assembly (operators/threads.py).
+
+The registry referee is the recursive-CTE DuckDB oracle; these tests
+pin the assembler on hand-built trees — deep chains (log-round
+doubling), branches, dangling parents, multi-root forests — against
+a plain-Python walk.
+"""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.threads import assemble_threads
+
+
+def _py_threads(msgs):
+    """msgs: [(id, parent, ts)] → {id: (root, depth, turn, size)}."""
+    ids = {m[0] for m in msgs}
+    par = {m[0]: (m[1] if m[1] in ids else None) for m in msgs}
+    ts = {m[0]: m[2] for m in msgs}
+    root, depth = {}, {}
+    for i in ids:
+        d, n = 0, i
+        while par[n] is not None:
+            n = par[n]
+            d += 1
+        root[i], depth[i] = n, d
+    out = {}
+    for r in set(root.values()):
+        members = sorted((i for i in ids if root[i] == r),
+                         key=lambda i: (ts[i], i))
+        for turn, i in enumerate(members, 1):
+            out[i] = (r, depth[i], turn, len(members))
+    return out
+
+
+def _check(spark, msgs):
+    df = spark.createDataFrame(
+        msgs, "msg_id long, parent_id long, ts long"
+    )
+    got = {
+        r.msg_id: (r.thread_root, r.depth, r.turn_index, r.n_thread_msgs)
+        for r in assemble_threads(df).collect()
+    }
+    assert got == _py_threads(msgs)
+
+
+def test_deep_chain(spark):
+    # depth-12 chain: needs ~4 doubling rounds, not 12
+    msgs = [(0, None, 0)] + [(i, i - 1, i) for i in range(1, 13)]
+    _check(spark, msgs)
+
+
+def test_branching_and_dangling(spark):
+    msgs = [
+        (10, None, 1),
+        (11, 10, 2),
+        (12, 10, 3),      # branch
+        (13, 11, 4),
+        (14, 99999, 5),   # dangling parent → own root
+        (20, None, 6),    # second thread
+        (21, 20, 7),
+    ]
+    _check(spark, msgs)
+
+
+def test_out_of_order_timestamps(spark):
+    # turn order is chronological even when ids disagree with time
+    msgs = [(1, None, 100), (2, 1, 50), (3, 1, 75)]
+    _check(spark, msgs)
