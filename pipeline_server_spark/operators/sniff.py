@@ -1,0 +1,213 @@
+"""Content-type sniffing + universal document-extraction dispatch.
+
+A real landed corpus is a bucket of bytes with unreliable names; the
+first operator a document pipeline needs is a magic-bytes sniffer
+(the file(1)/MIME-sniffing idea) that routes each payload to the
+right extractor. This module closes the document stack built across
+rounds 12-13 (pdf.py, docx.py, pptx.py, eml.py, ipynb.py,
+html_extract.py) into ONE front door:
+
+- ``sniff_content_type`` is PURE CATALYST over the binary payload:
+  prefix equality for ``%PDF`` / ZIP local-file headers, binary
+  ``contains`` probes to split ZIP containers (``word/document.xml``
+  vs ``ppt/slides/``), a brace+``"cells"`` probe for notebooks,
+  ``<html``/``<!doctype`` and RFC 5322 header probes over the first
+  512 bytes. No Python touches payloads that only need typing.
+- ``dispatch_main_text`` routes: the Python-cored formats (PDF,
+  OOXML, MIME, HTML) share ONE Arrow pass with per-row dispatch —
+  not one pass per format, so a mixed corpus is still corpus-linear
+  — while notebooks take the existing pure-Catalyst path and
+  unknown payloads quarantine with an error marker instead of
+  failing the job.
+
+Scale shape (100 TB): one Catalyst projection (sniff) + one Arrow
+pass (extract) + one Catalyst projection (notebooks); the union is
+plan-level, no shuffle, no joins, no collects.
+
+Reference scope anchor: unstructured passthrough
+(ObjectStoreLoader.scala:95-144) is where the reference stops —
+bytes land untyped; this is the LLM-brief "multimodal columns"
+dispatch head for documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONTENT_KINDS = ["pdf", "docx", "pptx", "eml", "html", "ipynb", "unknown"]
+
+_PY_KINDS = ["pdf", "docx", "pptx", "eml", "html"]
+
+
+def sniff_content_type(payload_col: str = "payload") -> "F.Column":
+    """Magic-bytes content type, pure Catalyst (module docstring)."""
+    p = F.col(payload_col)
+    head = F.substring(p, 1, 512)
+    is_pdf = F.substring(p, 1, 4) == F.lit(b"%PDF")
+    is_zip = F.substring(p, 1, 4) == F.lit(b"PK\x03\x04")
+    is_docx = is_zip & F.contains(p, F.lit(b"word/document.xml"))
+    is_pptx = is_zip & F.contains(p, F.lit(b"ppt/slides/"))
+    is_nb = (F.substring(p, 1, 1) == F.lit(b"{")) & F.contains(
+        head, F.lit(b'"cells"')
+    )
+    is_html = (
+        F.contains(head, F.lit(b"<html"))
+        | F.contains(head, F.lit(b"<!doctype"))
+        | F.contains(head, F.lit(b"<!DOCTYPE"))
+    )
+    is_eml = F.contains(head, F.lit(b"MIME-Version:")) | (
+        F.contains(head, F.lit(b"From: ")) & F.contains(
+            head, F.lit(b"Subject: ")
+        )
+    )
+    return (
+        F.when(is_pdf, F.lit("pdf"))
+        .when(is_docx, F.lit("docx"))
+        .when(is_pptx, F.lit("pptx"))
+        .when(is_nb, F.lit("ipynb"))
+        .when(is_html, F.lit("html"))
+        .when(is_eml, F.lit("eml"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def dispatch_main_text(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, payload) → ``(id, content_type, main_text,
+    extract_err)``: sniff, then route to the format's extractor
+    (module docstring). Malformed payloads of a recognized type and
+    unrecognized payloads are error rows, never job failures."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.docx import docx_text
+    from pipeline_server_spark.operators.eml import eml_text
+    from pipeline_server_spark.operators.html_extract import (
+        extract_main_text,
+    )
+    from pipeline_server_spark.operators.ipynb import ipynb_text_cols
+    from pipeline_server_spark.operators.pdf import extract_pdf_text
+    from pipeline_server_spark.operators.pptx import pptx_text
+
+    typed = df.select(
+        id_col, payload_col, sniff_content_type(payload_col).alias(
+            "content_type"
+        )
+    )
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("extract_err", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, kind, pl in zip(
+                b[id_col], b["content_type"], b[payload_col]
+            ):
+                blob = bytes(pl)
+                txt = err = None
+                try:
+                    if kind == "pdf":
+                        txt = extract_pdf_text(blob)["text"]
+                    elif kind == "docx":
+                        r = docx_text(blob)
+                        txt, err = r["text"], r["err"]
+                    elif kind == "pptx":
+                        r = pptx_text(blob)
+                        txt, err = r["text"], r["err"]
+                    elif kind == "eml":
+                        r = eml_text(blob)
+                        txt, err = r["text"], r["err"]
+                    else:  # html
+                        txt = extract_main_text(
+                            blob.decode("utf-8")
+                        )["main_text"]
+                except Exception as ex:  # quarantine, never job failure
+                    txt, err = None, f"{type(ex).__name__}: {ex}"[:200]
+                rows.append((int(i), str(kind), txt, err))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    py_side = (
+        typed.where(F.col("content_type").isin(_PY_KINDS))
+        .mapInPandas(_extract, schema=schema)
+    )
+    nb_side = (
+        typed.where(F.col("content_type") == "ipynb")
+        .select(
+            id_col,
+            "content_type",
+            F.decode(payload_col, "UTF-8").alias("nb_json"),
+        )
+        .select(id_col, "content_type", *ipynb_text_cols("nb_json"))
+        .select(
+            id_col,
+            "content_type",
+            F.col("nb_text").alias("main_text"),
+            F.when(F.col("nb_text").isNull(), F.lit("notebook parse"))
+            .alias("extract_err"),
+        )
+    )
+    unk_side = typed.where(F.col("content_type") == "unknown").select(
+        id_col,
+        "content_type",
+        F.lit(None).cast("string").alias("main_text"),
+        F.lit("unrecognized content type").alias("extract_err"),
+    )
+    return py_side.unionByName(nb_side).unionByName(unk_side)
+
+
+def attach_mixed_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) → (id, payload BINARY) mixed-format fixture: each
+    document renders through ONE of the in-repo spec-shaped writers
+    by ``id % 7`` (pdf / docx / pptx / eml / html / ipynb / junk
+    bytes) — the dispatcher must type and extract all of them."""
+    from pipeline_server_spark.operators.docx import attach_docx_corpus
+    from pipeline_server_spark.operators.eml import attach_eml_corpus
+    from pipeline_server_spark.operators.html_extract import (
+        attach_html_corpus,
+    )
+    from pipeline_server_spark.operators.ipynb import attach_ipynb_corpus
+    from pipeline_server_spark.operators.pdf import attach_pdf_corpus
+    from pipeline_server_spark.operators.pptx import attach_pptx_corpus
+
+    cls = F.col(id_col) % 7
+    base = df.select(id_col, text_col)
+
+    pdf = attach_pdf_corpus(base.where(cls == 0)).select(
+        id_col, F.col("payload")
+    )
+    docx = attach_docx_corpus(base.where(cls == 1)).select(
+        id_col, F.col("docx").alias("payload")
+    )
+    pptx = attach_pptx_corpus(base.where(cls == 2)).select(
+        id_col, F.col("pptx").alias("payload")
+    )
+    eml = attach_eml_corpus(base.where(cls == 3)).select(
+        id_col, F.col("eml").alias("payload")
+    )
+    html = attach_html_corpus(base.where(cls == 4)).select(
+        id_col, F.encode("html", "UTF-8").alias("payload")
+    )
+    nb = attach_ipynb_corpus(base.where(cls == 5)).select(
+        id_col, F.encode("nb_json", "UTF-8").alias("payload")
+    )
+    junk = base.where(cls == 6).select(
+        id_col,
+        F.concat(
+            F.unhex(F.lit("DEADBEEF")), F.encode(text_col, "UTF-8")
+        ).alias("payload"),
+    )
+    out = pdf
+    for part in (docx, pptx, eml, html, nb, junk):
+        out = out.unionByName(part)
+    return out

@@ -34,5 +34,6 @@ from pipeline_server_spark.queries import lm_filter  # noqa: E402,F401
 from pipeline_server_spark.queries import search  # noqa: E402,F401
 from pipeline_server_spark.queries import hygiene  # noqa: E402,F401
 from pipeline_server_spark.queries import conversations  # noqa: E402,F401
+from pipeline_server_spark.queries import documents  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "ORACLE_PY", "query"]

@@ -1,0 +1,95 @@
+"""Document-stack queries: the universal extraction dispatcher.
+
+``any_document_main_text`` is the capstone of the format family —
+a MIXED corpus (PDF / DOCX / PPTX / EML / HTML / notebook / junk
+bytes, one format per doc class) goes through magic-bytes sniffing
+and per-format extraction in one front door (operators/sniff.py).
+The referee reconstructs every format's expected text from the
+writers' closed forms — no parser of any kind on the referee side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_server_spark.catalog import load_table
+from pipeline_server_spark.queries.registry import query
+
+
+def _expected_main_text(d: int, text: str) -> tuple:
+    """(content_type, main_text, extract_err) for fixture doc ``d``
+    — each arm is the corresponding format referee's closed form."""
+    from pipeline_server_spark.operators.docx import expected_docx_blocks
+    from pipeline_server_spark.operators.eml import expected_eml_fields
+    from pipeline_server_spark.operators.html_extract import (
+        ENTITY_PARA_TEXT,
+        PARA_WORDS,
+    )
+    from pipeline_server_spark.operators.pdf import expected_pdf_text
+    from pipeline_server_spark.operators.pptx import expected_pptx_blocks
+
+    cls = d % 7
+    if cls == 0:
+        return "pdf", expected_pdf_text(text), None
+    if cls == 1:
+        return "docx", "\n\n".join(expected_docx_blocks(d, text)[0]), None
+    if cls == 2:
+        return "pptx", "\n\n".join(expected_pptx_blocks(d, text)[0]), None
+    if cls == 3:
+        return "eml", expected_eml_fields(d, text)["text"], None
+    if cls == 4:
+        w = text.split()
+        paras = [
+            " ".join(w[i : i + PARA_WORDS])
+            for i in range(0, len(w), PARA_WORDS)
+        ]
+        if d % 5 == 4:
+            paras.append(ENTITY_PARA_TEXT)
+        return "html", "\n".join(p for p in paras if len(p) >= 25), None
+    if cls == 5:
+        toks = text.split(" ")
+        chunks = [
+            " ".join(toks[i : i + 15]) for i in range(0, len(toks), 15)
+        ]
+        return "ipynb", f"# Notebook {d}\n\n" + "\n\n".join(chunks), None
+    return "unknown", None, "unrecognized content type"
+
+
+def _any_doc_py_oracle(sf_dir: str):
+    """Referee: closed-form expected rows for the whole mixed corpus."""
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for d, t in rows:
+        ct, txt, err = _expected_main_text(int(d), str(t))
+        out.append((int(d), ct, txt, err))
+    return pd.DataFrame(
+        out, columns=["doc_id", "content_type", "main_text", "extract_err"]
+    )
+
+
+@query("any_document_main_text", oracle_py=_any_doc_py_oracle)
+# no SQL oracle: multi-format binary parsing is not SQL-expressible;
+# the closed-form referee takes the full rows+schema+hash gate
+def any_document_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal extraction: the mixed fixture renders each doc
+    through one of the in-repo spec-shaped writers by doc class,
+    then the dispatcher must SNIFF the format from magic bytes alone
+    (names/ids carry no type hints) and extract the right text —
+    junk payloads quarantine with an error marker. One sniff
+    projection + one shared Arrow extraction pass + a pure-Catalyst
+    notebook branch; plan-level union, no joins."""
+    from pipeline_server_spark.operators.sniff import (
+        attach_mixed_corpus,
+        dispatch_main_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mixed = attach_mixed_corpus(docs)
+    return dispatch_main_text(mixed).orderBy("doc_id")

@@ -419,6 +419,12 @@ SHOW = {
         "roots, two thread-keyed windows — no collects beyond the "
         "per-round convergence scalar"
     ),
+    "any_document_main_text": (
+        "universal extraction: PURE-CATALYST magic-bytes sniff, one "
+        "SHARED Arrow pass dispatching pdf/docx/pptx/eml/html per "
+        "row, Catalyst notebook branch, quarantined unknowns — "
+        "plan-level union, corpus-linear, no joins"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "
