@@ -1,0 +1,145 @@
+"""Code-corpus profiling: language ID, license detection, line
+classification.
+
+Code corpora (The Stack, CodeParrot lineage) gate on three cheap
+signals before any expensive processing: WHAT language a file is,
+what LICENSE governs it (permissive-only filtering is the published
+norm), and how much of it is comments vs code (a quality prior).
+All three are pure Catalyst here:
+
+- **Language**: shebang first (a ``#!…python`` line overrides
+  everything), then unambiguous keyword evidence (``public class``,
+  ``#include``, ``function``/``const …;``, ``def``/``import``).
+- **License**: an ``SPDX-License-Identifier:`` tag wins verbatim
+  (the machine-readable convention); else first-match phrase
+  evidence (MIT's "Permission is hereby granted, free of charge",
+  Apache's "Licensed under the Apache License, Version 2.0", the
+  GPL family's "GNU General Public License"); else ``NOASSERTION``
+  (the SPDX term for "nothing claimed").
+- **Line classes**: blank / comment / code, where a comment line is
+  one whose left-trimmed form starts with the detected language's
+  LINE-comment marker (``#`` for Python — shebang included — and
+  ``//`` for the C family). Block comments are out of contract
+  (documented): line-state scanning is the only part of this
+  profile that is not a per-line map, and corpus profiling does not
+  need it.
+
+Scale shape (100 TB): one projection pass — regex probes + a line
+split + three list-filter counts per file; no Python, no shuffle,
+no joins.
+
+Reference scope anchor: the regex-classify DQ shape
+(DataQuality.scala:60-118); the license/language surface is the
+LLM-brief code-corpus extension (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (license_id, phrase) — first match wins, after the SPDX tag.
+LICENSE_PHRASES: list[tuple[str, str]] = [
+    ("MIT", "Permission is hereby granted, free of charge"),
+    ("Apache-2.0", "Licensed under the Apache License, Version 2.0"),
+    ("GPL", "GNU General Public License"),
+]
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+# language → line-comment marker
+COMMENT_MARKERS = {"python": "#", "javascript": "//", "java": "//",
+                   "c": "//"}
+
+
+def detect_language(text_col: str = "text") -> "F.Column":
+    t = F.col(text_col)
+    return (
+        F.when(t.rlike(r"^#![^\n]*python"), F.lit("python"))
+        .when(t.contains("public class"), F.lit("java"))
+        .when(t.contains("#include"), F.lit("c"))
+        .when(
+            t.rlike(r"function \w+\(") | t.rlike(r"const \w+ = "),
+            F.lit("javascript"),
+        )
+        .when(
+            t.rlike(r"(^|\n)def \w+\(") | t.rlike(r"(^|\n)import \w+"),
+            F.lit("python"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def detect_license(text_col: str = "text") -> "F.Column":
+    t = F.col(text_col)
+    spdx = F.regexp_extract(t, _SPDX_RE, 1)
+    out = F.lit("NOASSERTION")
+    for lic, phrase in reversed(LICENSE_PHRASES):
+        out = F.when(t.contains(phrase), F.lit(lic)).otherwise(out)
+    return F.when(spdx != "", spdx).otherwise(out)
+
+
+def code_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) → ``(id, language, license, n_lines, blank_lines,
+    comment_lines, code_lines)`` (module docstring)."""
+    lang = detect_language(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    marker = F.coalesce(
+        *[
+            F.when(lang == lg, F.lit(mk))
+            for lg, mk in COMMENT_MARKERS.items()
+        ],
+        F.lit("#"),  # unknown language: treat '#' as comment marker
+    )
+    is_blank = lambda x: F.trim(x) == ""
+    is_comment = lambda x: F.ltrim(x).startswith(marker) & ~is_blank(x)
+    n_lines = F.size(lines)
+    blank = F.size(F.filter(lines, is_blank))
+    comment = F.size(F.filter(lines, is_comment))
+    return df.select(
+        id_col,
+        lang.alias("language"),
+        detect_license(text_col).alias("license"),
+        n_lines.cast("long").alias("n_lines"),
+        blank.cast("long").alias("blank_lines"),
+        comment.cast("long").alias("comment_lines"),
+        (n_lines - blank - comment).cast("long").alias("code_lines"),
+    )
+
+
+# -- fixture ------------------------------------------------------------
+def license_comment_sql(marker: str) -> str:
+    """SQL CASE arm (by ``doc_id % 5``) for the license header line
+    under comment ``marker`` — '' for the no-license class."""
+    m = marker
+    return f"""
+      CASE doc_id % 5
+        WHEN 0 THEN '{m} SPDX-License-Identifier: MIT' || chr(10)
+        WHEN 1 THEN '{m} Permission is hereby granted, free of charge'
+                    || chr(10)
+        WHEN 2 THEN '{m} Licensed under the Apache License, Version 2.0'
+                    || chr(10)
+        WHEN 3 THEN '{m} under the GNU General Public License v3'
+                    || chr(10)
+        ELSE ''
+      END
+    """
+
+
+def license_comment_catalyst(marker: str) -> "F.Column":
+    d5 = F.col("doc_id") % 5
+    m = marker
+    nl = "\n"
+    return (
+        F.when(d5 == 0, F.lit(f"{m} SPDX-License-Identifier: MIT{nl}"))
+        .when(d5 == 1,
+              F.lit(f"{m} Permission is hereby granted, free of charge{nl}"))
+        .when(d5 == 2,
+              F.lit(f"{m} Licensed under the Apache License, "
+                    f"Version 2.0{nl}"))
+        .when(d5 == 3,
+              F.lit(f"{m} under the GNU General Public License v3{nl}"))
+        .otherwise(F.lit(""))
+    )

@@ -138,3 +138,144 @@ def secret_detection_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), _planted_catalyst()).alias("text")
     )
     return secret_findings(fx).orderBy("doc_id", "rule")
+
+
+# -- code-corpus profiling ----------------------------------------------
+def _code_fixture_sql() -> str:
+    """SQL face of the synthetic code file per doc (language by
+    doc_id % 4, license header by doc_id % 5); the Catalyst face
+    below mirrors it byte for byte."""
+    from pipeline_server_spark.operators.code import license_comment_sql
+
+    lic_py = license_comment_sql("#")
+    lic_sl = license_comment_sql("//")
+    return f"""
+      CASE doc_id % 4
+        WHEN 0 THEN '#!/usr/bin/env python3' || chr(10)
+          || {lic_py}
+          || 'import os' || chr(10) || chr(10)
+          || 'def f_' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+          || '    # body comment' || chr(10)
+          || '    return "' || array_to_string(
+               list_slice(string_split(text, ' '), 1, 5), ' ') || '"'
+        WHEN 1 THEN '// module ' || CAST(doc_id AS VARCHAR) || chr(10)
+          || {lic_sl}
+          || 'const fs = require("fs");' || chr(10) || chr(10)
+          || 'function f' || CAST(doc_id AS VARCHAR) || '() {{' || chr(10)
+          || '  // body comment' || chr(10)
+          || '  return "' || array_to_string(
+               list_slice(string_split(text, ' '), 1, 5), ' ')
+          || '";' || chr(10) || '}}'
+        WHEN 2 THEN '// module ' || CAST(doc_id AS VARCHAR) || chr(10)
+          || {lic_sl}
+          || 'public class C' || CAST(doc_id AS VARCHAR) || ' {{' || chr(10)
+          || '  // body comment' || chr(10)
+          || '  public void run() {{ s = "' || array_to_string(
+               list_slice(string_split(text, ' '), 1, 5), ' ')
+          || '"; }}' || chr(10) || '}}'
+        ELSE '// module ' || CAST(doc_id AS VARCHAR) || chr(10)
+          || {lic_sl}
+          || '#include <stdio.h>' || chr(10) || chr(10)
+          || 'int main() {{ return 0; }}'
+      END
+    """
+
+
+def _code_oracle() -> str:
+    fx = _code_fixture_sql().replace("{{", "{").replace("}}", "}")
+    return f"""
+    WITH fx AS (
+      SELECT doc_id, {fx} AS text FROM documents),
+    prof AS (
+      SELECT doc_id, text,
+        CASE
+          WHEN regexp_matches(text, '^#![^\n]*python') THEN 'python'
+          WHEN contains(text, 'public class') THEN 'java'
+          WHEN contains(text, '#include') THEN 'c'
+          WHEN regexp_matches(text, 'function \\w+\\(')
+            OR regexp_matches(text, 'const \\w+ = ') THEN 'javascript'
+          WHEN regexp_matches(text, '(^|\n)def \\w+\\(')
+            OR regexp_matches(text, '(^|\n)import \\w+') THEN 'python'
+          ELSE 'unknown'
+        END AS language,
+        CASE
+          WHEN regexp_extract(text,
+               'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) <> ''
+          THEN regexp_extract(text,
+               'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1)
+          WHEN contains(text,
+               'Permission is hereby granted, free of charge')
+          THEN 'MIT'
+          WHEN contains(text,
+               'Licensed under the Apache License, Version 2.0')
+          THEN 'Apache-2.0'
+          WHEN contains(text, 'GNU General Public License') THEN 'GPL'
+          ELSE 'NOASSERTION'
+        END AS license
+      FROM fx),
+    cnt AS (
+      SELECT doc_id, language, license,
+        string_split(text, chr(10)) AS lines,
+        CASE WHEN language = 'python' OR language = 'unknown'
+             THEN '#' ELSE '//' END AS marker
+      FROM prof)
+    SELECT doc_id, language, license,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(lines, x -> trim(x) = '')) AS BIGINT)
+        AS blank_lines,
+      CAST(len(list_filter(lines,
+           x -> starts_with(ltrim(x), marker) AND trim(x) <> ''))
+           AS BIGINT) AS comment_lines,
+      CAST(len(lines)
+           - len(list_filter(lines, x -> trim(x) = ''))
+           - len(list_filter(lines,
+                 x -> starts_with(ltrim(x), marker) AND trim(x) <> ''))
+           AS BIGINT) AS code_lines
+    FROM cnt ORDER BY doc_id
+    """
+
+
+def _code_fixture_catalyst() -> "F.Column":
+    from pipeline_server_spark.operators.code import (
+        license_comment_catalyst,
+    )
+
+    d = F.col("doc_id").cast("string")
+    w5 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    lic_py = license_comment_catalyst("#")
+    lic_sl = license_comment_catalyst("//")
+    d4 = F.col("doc_id") % 4
+    py = F.concat(
+        F.lit("#!/usr/bin/env python3\n"), lic_py,
+        F.lit("import os\n\ndef f_"), d, F.lit("():\n"),
+        F.lit("    # body comment\n    return \""), w5, F.lit("\""))
+    js = F.concat(
+        F.lit("// module "), d, F.lit("\n"), lic_sl,
+        F.lit("const fs = require(\"fs\");\n\nfunction f"), d,
+        F.lit("() {\n  // body comment\n  return \""), w5,
+        F.lit("\";\n}"))
+    jv = F.concat(
+        F.lit("// module "), d, F.lit("\n"), lic_sl,
+        F.lit("public class C"), d,
+        F.lit(" {\n  // body comment\n  public void run() { s = \""),
+        w5, F.lit("\"; }\n}"))
+    cc = F.concat(
+        F.lit("// module "), d, F.lit("\n"), lic_sl,
+        F.lit("#include <stdio.h>\n\nint main() { return 0; }"))
+    return (F.when(d4 == 0, py).when(d4 == 1, js)
+            .when(d4 == 2, jv).otherwise(cc))
+
+
+@query("code_corpus_profile", oracle=_code_oracle())
+def code_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus gating profile (operators/code.py): language ID
+    (shebang beats keyword evidence), license (SPDX tag beats phrase
+    matching beats NOASSERTION), and blank/comment/code line classes
+    under the detected language's line-comment marker — one pure-
+    Catalyst projection pass over a four-language fixture corpus
+    cycling all five license classes."""
+    from pipeline_server_spark.operators.code import code_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    fx = docs.select("doc_id", _code_fixture_catalyst().alias("text"))
+    return code_profile(fx).orderBy("doc_id")

@@ -425,6 +425,12 @@ SHOW = {
         "row, Catalyst notebook branch, quarantined unknowns — "
         "plan-level union, corpus-linear, no joins"
     ),
+    "code_corpus_profile": (
+        "code-corpus gating: language/license decision tables + "
+        "line classification in ONE codegen-able projection pass "
+        "(regex probes + list filters) — no Python, no shuffle "
+        "before the final order-by"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -1,0 +1,59 @@
+"""Code-corpus profiling (operators/code.py).
+
+The registry referee is the full DuckDB oracle; these tests pin the
+decision tables on hand-written files — shebang precedence, SPDX tag
+beating phrase evidence, per-language comment markers.
+"""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.code import code_profile
+
+FILES = [
+    # python by shebang even though it says 'public class' in a string
+    (0, "#!/usr/bin/env python3\n# note\nprint('public class')"),
+    (1, "public class A {\n  // c\n  int x;\n}"),
+    (2, "#include <stdio.h>\nint main() { return 0; }"),
+    (3, "const x = 1;\nfunction f() {\n  return x;\n}"),
+    (4, "import os\ndef f():\n    pass"),
+    (5, "just some prose, no code keywords"),
+    # SPDX tag wins over a conflicting phrase
+    (6, "# SPDX-License-Identifier: BSD-3-Clause\n"
+        "# Permission is hereby granted, free of charge\nimport sys"),
+    (7, "// Licensed under the Apache License, Version 2.0\n"
+        "public class B {}"),
+]
+
+
+def _prof(spark):
+    df = spark.createDataFrame(FILES, "doc_id long, text string")
+    return {r.doc_id: r for r in code_profile(df).collect()}
+
+
+def test_language_decision_table(spark):
+    p = _prof(spark)
+    assert p[0].language == "python"
+    assert p[1].language == "java"
+    assert p[2].language == "c"
+    assert p[3].language == "javascript"
+    assert p[4].language == "python"
+    assert p[5].language == "unknown"
+
+
+def test_license_precedence(spark):
+    p = _prof(spark)
+    assert p[6].license == "BSD-3-Clause"   # SPDX tag wins
+    assert p[7].license == "Apache-2.0"
+    assert p[5].license == "NOASSERTION"
+
+
+def test_line_classes(spark):
+    p = _prof(spark)
+    # doc 0: shebang + '# note' are comments, print is code
+    assert (p[0].n_lines, p[0].comment_lines, p[0].code_lines,
+            p[0].blank_lines) == (3, 2, 1, 0)
+    # doc 1: '// c' comment, 3 code lines
+    assert (p[1].comment_lines, p[1].code_lines) == (1, 3)
+    # totals always reconcile
+    for r in p.values():
+        assert r.n_lines == r.blank_lines + r.comment_lines + r.code_lines
