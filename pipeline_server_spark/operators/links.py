@@ -272,3 +272,136 @@ def attach_linked_corpus(df: DataFrame, n_docs: int,
             })
 
     return df.select(id_col).mapInPandas(_synth, schema=schema)
+
+
+# -- anchor-text profiles ----------------------------------------------
+class _TextLinkParser(_LinkParser):
+    """_LinkParser plus anchor TEXT capture (the profile use case
+    needs what the frontier deliberately skips): text accumulates
+    between ``<a>`` and ``</a>``; nesting inside an anchor keeps
+    accumulating (WHATWG text content)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.texts: list[str] = []
+        self._in_a = False
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        n_before = len(self.anchors)
+        super().handle_starttag(tag, attrs)
+        if tag == "a" and len(self.anchors) > n_before:
+            if self._in_a:  # implicitly closed previous anchor
+                self.texts.append("".join(self._buf).strip())
+            self._in_a, self._buf = True, []
+
+    handle_startendtag = handle_starttag
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._in_a:
+            self.texts.append("".join(self._buf).strip())
+            self._in_a, self._buf = False, []
+
+    def handle_data(self, data):
+        if self._in_a:
+            self._buf.append(data)
+
+    def close(self):
+        super().close()
+        if self._in_a:
+            self.texts.append("".join(self._buf).strip())
+            self._in_a = False
+
+
+def extract_page_links_text(page_url: str, html: str) -> list:
+    """Pure-Python core: one page → ``[(abs_url, text, nofollow)]``
+    with the same resolution/policy contract as
+    :func:`extract_page_links` (page-level nofollow folds into the
+    flag; non-fetchable schemes drop)."""
+    p = _TextLinkParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    base = urljoin(page_url, p.base) if p.base else page_url
+    out = []
+    for (href, nofollow), text in zip(p.anchors, p.texts):
+        try:
+            absu = urljoin(base, href)
+        except ValueError:
+            continue
+        scheme = absu.split(":", 1)[0].lower() if ":" in absu else ""
+        if scheme not in _FETCHABLE:
+            continue
+        out.append((absu, text, nofollow or p.page_nofollow))
+    return out
+
+
+def extract_links_with_text(df: DataFrame, html_col: str = "html",
+                            url_col: str = "url",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → one row per anchor
+    ``(id, src_url, link_url, anchor_text, nofollow)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("src_url", T.StringType()),
+        T.StructField("link_url", T.StringType()),
+        T.StructField("anchor_text", T.StringType()),
+        T.StructField("nofollow", T.BooleanType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, u, page in zip(b[id_col], b[url_col], b[html_col]):
+                for absu, text, nf in extract_page_links_text(
+                        str(u), str(page)):
+                    rows.append((int(i), str(u), absu, text, nf))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (df.select(id_col, url_col, html_col)
+            .mapInPandas(_extract, schema=schema))
+
+
+def anchor_text_profiles(links: DataFrame) -> DataFrame:
+    """Inbound anchor-text profile per canonical target URL — the
+    classic web-corpus description signal (link text describes the
+    TARGET better than the target describes itself): reference
+    counts (followed + nofollow), distinct anchor vocabulary size,
+    and the modal anchor text with a deterministic (count desc, text
+    asc) tie-break.
+
+    Scale shape: one (url, text) groupBy with map-side combine, one
+    url-keyed window over the per-text rows (fan-out = distinct
+    texts per target, not references), one final groupBy. No
+    collects; the canonicalization is pure Catalyst."""
+    from pyspark.sql import Window
+
+    t = links.select(
+        canonical_url("link_url").alias("url"),
+        F.col("anchor_text"),
+        F.col("nofollow").cast("int").alias("nf"),
+    )
+    per_text = t.groupBy("url", "anchor_text").agg(
+        F.count(F.lit(1)).cast("long").alias("refs"),
+        F.sum("nf").cast("long").alias("nf_refs"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("refs").desc(), F.col("anchor_text")
+    )
+    ranked = per_text.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("url")
+        .agg(
+            F.sum("refs").cast("long").alias("n_refs"),
+            F.sum("nf_refs").cast("long").alias("n_nofollow_refs"),
+            F.count(F.lit(1)).cast("long").alias("n_anchor_texts"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor_text")))
+            .alias("top_anchor"),
+            F.max(F.when(F.col("rn") == 1, F.col("refs")))
+            .cast("long").alias("top_anchor_refs"),
+        )
+    )

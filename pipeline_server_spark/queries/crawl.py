@@ -695,3 +695,86 @@ def host_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "public_suffix", "registrable_domain", "n_urls")
         .orderBy("host")
     )
+
+
+# -- anchor-text profiles ----------------------------------------------
+def _expected_anchor_entries(n: int) -> list:
+    """(canonical_target, text, nofollow) triples of the whole
+    fixture corpus per synth_linked_page's closed form — category by
+    category, never by re-running a resolver. Page-level nofollow
+    (``d % 10 == 7``) folds into every flag; mailto/js never enter."""
+    out = []
+    for d in range(n):
+        page_nf = d % 10 == 7
+        h = d % N_SITES
+        nxt = _src((d + 1) % n)
+        sub = "/sub" if d % 4 == 0 else ""
+        entries = [
+            (nxt, "next", page_nf),
+            (f"https://site{h}.example.com{sub}/b/{(d + 2) % n}.html",
+             "rel", page_nf),
+            (f"https://site{(d + 3) % N_SITES}.example.com/hub",
+             "hub", page_nf),
+            (f"https://site{h}.example.com/sub/dir/"
+             if d % 4 == 0 else _src(d),
+             "more", page_nf),
+            (nxt + "?utm_source=feed&z=2&a=1", "tracked", page_nf),
+        ]
+        if d % 3 == 0:
+            entries.append(("https://site0.example.com/", "portal",
+                            page_nf))
+        entries.append(
+            (f"https://site{(d + 4) % N_SITES}.example.com/nf/{d}",
+             "sponsored", True))
+        out += [(_py_canon(u), t, nf) for u, t, nf in entries]
+    return out
+
+
+def _anchor_profiles_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    entries = _expected_anchor_entries(_n_docs(sf_dir))
+    agg: dict = {}
+    for url, text, nf in entries:
+        per = agg.setdefault(url, {})
+        refs, nfr = per.get(text, (0, 0))
+        per[text] = (refs + 1, nfr + (1 if nf else 0))
+    rows = []
+    for url, per in agg.items():
+        top_text, (top_refs, _) = sorted(
+            per.items(), key=lambda kv: (-kv[1][0], kv[0]))[0]
+        rows.append((url,
+                     sum(r for r, _ in per.values()),
+                     sum(x for _, x in per.values()),
+                     len(per), top_text, top_refs))
+    return (pd.DataFrame(rows, columns=[
+        "url", "n_refs", "n_nofollow_refs", "n_anchor_texts",
+        "top_anchor", "top_anchor_refs"])
+        .astype({"n_refs": "int64", "n_nofollow_refs": "int64",
+                 "n_anchor_texts": "int64", "top_anchor_refs": "int64"})
+        .sort_values("url", ignore_index=True))
+
+
+@query("anchor_text_profiles", oracle_py=_anchor_profiles_py_oracle)
+# no SQL oracle: anchor extraction + RFC 3986 resolution is not
+# SQL-expressible; the closed-form referee takes the full
+# rows+schema+hash gate
+def anchor_text_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (operators/links.py): the
+    link frame (WITH anchor text — the column the frontier
+    deliberately skips) collapses per canonical target into
+    reference counts, nofollow share, anchor vocabulary size, and
+    the modal anchor with a deterministic tie-break. The referee
+    reconstructs every (target, text, nofollow) triple from the
+    fixture generator's closed form."""
+    from pipeline_server_spark.operators.links import (
+        anchor_text_profiles,
+        attach_linked_corpus,
+        extract_links_with_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    pages = attach_linked_corpus(docs, n_docs=n)
+    links = extract_links_with_text(pages)
+    return anchor_text_profiles(links).orderBy("url")

@@ -431,6 +431,12 @@ SHOW = {
         "(regex probes + list filters) — no Python, no shuffle "
         "before the final order-by"
     ),
+    "anchor_text_profiles": (
+        "inbound anchor aggregation: one Arrow anchor+text pass, "
+        "(url, text) groupBy with map-side combine, url-keyed window "
+        "whose fan-out is distinct texts per target (not refs), one "
+        "final groupBy — no collects"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

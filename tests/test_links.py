@@ -203,3 +203,44 @@ class TestStreamingFrontier:
         q.awaitTermination(120)
         urls = sorted(r.url for r in f.read().collect())
         assert urls == sorted([C, D, E])  # E new; D queued once
+
+
+class TestAnchorText:
+    """extract_page_links_text + anchor_text_profiles (round-13)."""
+
+    def test_text_capture_with_nesting(self):
+        from pipeline_server_spark.operators.links import (
+            extract_page_links_text)
+        html = ('<html><body>'
+                '<a href="/a"><b>bold</b> link</a>'
+                '<a href="/b">  spaced  </a>'
+                '<a href="mailto:x@y.z">mail</a>'
+                '<a href="/c">unclosed'
+                '</body></html>')
+        got = extract_page_links_text("https://h.example.com/p", html)
+        assert [(u, t) for u, t, _ in got] == [
+            ("https://h.example.com/a", "bold link"),
+            ("https://h.example.com/b", "spaced"),
+            ("https://h.example.com/c", "unclosed"),
+        ]
+
+    def test_profile_tie_break(self, spark):
+        from pipeline_server_spark.operators.links import (
+            anchor_text_profiles)
+        rows = [
+            (1, "s", "https://t.example.com/x", "zeta", False),
+            (2, "s", "https://t.example.com/x", "alpha", False),
+            (3, "s", "https://t.example.com/x", "alpha", True),
+            (4, "s", "https://t.example.com/x", "beta", False),
+            (5, "s", "https://t.example.com/x", "beta", False),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, src_url string, link_url string, "
+                  "anchor_text string, nofollow boolean")
+        r = anchor_text_profiles(df).collect()[0]
+        # alpha and beta tie at 2 refs → 'alpha' wins lexically
+        assert r.top_anchor == "alpha"
+        assert r.top_anchor_refs == 2
+        assert r.n_refs == 5
+        assert r.n_nofollow_refs == 1
+        assert r.n_anchor_texts == 3
