@@ -957,3 +957,46 @@ def prefix_filter_pairs_from_elements(
         .where(F.col("jaccard") >= F.lit(thresh))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def hamming_incremental_pairs(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    hash_col: str,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental Hamming-ball dedup — the ingestion shape for the
+    SimHash/perceptual family (the MinHash twin is
+    ``minhash_lsh_incremental_pairs``): a new batch's signatures
+    checked against the existing corpus WITHOUT any corpus
+    self-join. Returns ``(batch_id, corpus_id, hamming)`` for every
+    cross pair within ``max_hamming``; exact over the candidates
+    (bit_count verify), recall exact for hamming ≤ 3 by the
+    multi-index pigeonhole (``_MIH_BANDS``).
+
+    Scale shape (100 TB): the corpus side touches only its band-key
+    index (20 rows/signature, ~5 longs each — the frame a real
+    deployment precomputes and stores); per-increment cost is
+    O(|batch| + collisions), and the batch key frame broadcasts when
+    small. No self-join ever runs over the corpus."""
+    assert max_hamming <= 3, \
+        "chunk-triple blocking guarantees recall only for hamming ≤ 3"
+    kc = mih_band_keys(corpus_sigs, hash_col, id_col)
+    kb = mih_band_keys(batch_sigs, hash_col, id_col)
+    cand = (
+        kb.select(F.col("doc_id").alias("batch_id"),
+                  F.col("_h").alias("_hb"), "band", "bkey")
+        .join(kc.select(F.col("doc_id").alias("corpus_id"),
+                        F.col("_h").alias("_hc"), "band", "bkey"),
+              ["band", "bkey"])
+        .select("batch_id", "corpus_id", "_hb", "_hc")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_hb").bitwiseXOR(F.col("_hc"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("batch_id", "corpus_id", "hamming")
+    )

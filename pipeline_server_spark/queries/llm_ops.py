@@ -1417,3 +1417,80 @@ def video_perceptual_near_dup_pairs(spark: SparkSession,
                     F.col("union_keyframes").cast("long")
                     .alias("union_keyframes"))
             .orderBy("doc_a", "doc_b"))
+
+
+def _incremental_simhash_py_oracle(sf_dir: str):
+    """Referee for dedup_simhash_incremental: pure-Python SimHash-64
+    (in-repo XXH64) + brute-force batch × corpus Hamming — no Spark,
+    no banding."""
+    import pandas as pd
+
+    from pipeline_server_spark.queries.classifier import _xxh64
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+
+    def simhash(text: str) -> int | None:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return None
+        sums = [0] * 64
+        for t in toks:
+            h = _xxh64(t.encode("utf-8"), 42)
+            for b in range(64):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if sums[b] > 0:
+                out |= 1 << b
+        return out
+
+    hs = {int(i): simhash(str(t)) for i, t in rows}
+    out = []
+    for b, hb in hs.items():
+        if b % 10 != 0 or hb is None:
+            continue
+        for c, hc in hs.items():
+            if c % 10 == 0 or hc is None:
+                continue
+            d = bin(hb ^ hc).count("1")
+            if d <= 3:
+                out.append((b, c, d))
+    return (pd.DataFrame(out, columns=["batch_id", "corpus_id",
+                                       "hamming"])
+            .astype({"batch_id": "int64", "corpus_id": "int64",
+                     "hamming": "int64"})
+            .sort_values(["batch_id", "corpus_id"],
+                         ignore_index=True))
+
+
+@query("dedup_simhash_incremental",
+       oracle_py=_incremental_simhash_py_oracle)
+# no SQL oracle: xxhash64-defined signatures are engine-internal; the
+# pure-Python replica referee (validated byte-for-byte against
+# Spark's xxhash64) goes through the full rows+schema+hash gate
+def dedup_simhash_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Incremental Hamming dedup (the ingestion shape for the
+    SimHash/perceptual family): every tenth doc plays the NEW BATCH,
+    the rest the existing corpus; the batch's signatures probe the
+    corpus's precomputable multi-index band-key frame — no corpus
+    self-join — and candidates verify exactly with bit_count. The
+    MinHash twin is ``dedup_incremental_batch``; this one covers the
+    simhash/image/audio/video signature family
+    (operators/dedup.py::hamming_incremental_pairs)."""
+    from pipeline_server_spark.operators.dedup import (
+        hamming_incremental_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash_64(d)
+    batch = sigs.where(F.col("doc_id") % 10 == 0)
+    corpus = sigs.where(F.col("doc_id") % 10 != 0)
+    return (
+        hamming_incremental_pairs(corpus, batch, "simhash",
+                                  max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("batch_id", "corpus_id")
+    )

@@ -437,6 +437,11 @@ SHOW = {
         "whose fan-out is distinct texts per target (not refs), one "
         "final groupBy — no collects"
     ),
+    "dedup_simhash_incremental": (
+        "incremental Hamming dedup: batch band keys probe the "
+        "corpus's precomputable MIH index — no corpus self-join, "
+        "per-increment cost O(batch + collisions), bit_count verify"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -473,3 +473,51 @@ def test_minhash_connectivity_edges_class_linear(spark):
         minhash_lsh_dedup_pairs(docs, threshold=0.8)).collect()}
     assert cc_fast == cc_full
     assert {(1000 + i, 1000) for i in range(300)} <= cc_fast
+
+
+class TestHammingIncremental:
+    """hamming_incremental_pairs (round-13 session 4): the ingestion
+    twin of the MIH self-join — exactness vs brute force and the
+    no-corpus-self-join contract."""
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from pipeline_server_spark.operators.dedup import (
+            hamming_incremental_pairs)
+        rng = random.Random(13)
+        corpus = [(i, rng.getrandbits(63)) for i in range(200)]
+        # batch: some exact corpus hashes, some 1-3 bit flips, some far
+        batch = []
+        for j in range(40):
+            base = corpus[j * 3][1]
+            if j % 4 == 0:
+                h = base
+            elif j % 4 == 1:
+                h = base ^ (1 << (j % 64))
+            elif j % 4 == 2:
+                h = base ^ 0b111 << (j % 60)
+            else:
+                h = rng.getrandbits(63)
+            batch.append((1000 + j, h))
+        cdf = spark.createDataFrame(corpus, "doc_id long, h long")
+        bdf = spark.createDataFrame(batch, "doc_id long, h long")
+        got = {(r.batch_id, r.corpus_id, r.hamming)
+               for r in hamming_incremental_pairs(cdf, bdf, "h").collect()}
+        want = set()
+        for bid, hb in batch:
+            for cid, hc in corpus:
+                d = bin(hb ^ hc).count("1")
+                if d <= 3:
+                    want.add((bid, cid, d))
+        assert got == want
+        assert want  # planted dups must exist
+
+    def test_no_within_side_pairs(self, spark):
+        from pipeline_server_spark.operators.dedup import (
+            hamming_incremental_pairs)
+        cdf = spark.createDataFrame([(1, 7), (2, 7)], "doc_id long, h long")
+        bdf = spark.createDataFrame([(9, 7)], "doc_id long, h long")
+        rows = hamming_incremental_pairs(cdf, bdf, "h").collect()
+        # both corpus twins pair with the batch doc, never each other
+        assert {(r.batch_id, r.corpus_id) for r in rows} == {(9, 1), (9, 2)}
