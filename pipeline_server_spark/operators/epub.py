@@ -1,0 +1,272 @@
+"""EPUB (OCF/OPF) e-book text extraction — spec-shaped writer AND
+stdlib parser, the docx/pptx playbook applied to the books corpus.
+
+An EPUB is an OCF zip: a stored ``mimetype`` entry first,
+``META-INF/container.xml`` naming the OPF package document, and the
+OPF's MANIFEST + SPINE defining reading order over XHTML content
+documents (EPUB 3 / OPF 2 both use this core). The details that
+break naive readers — and that the fixture plants:
+
+- reading order comes from the SPINE, not zip order or file names
+  (chapters are written to the archive in REVERSE order);
+- the OPF lives wherever ``container.xml`` says (two different
+  root-dir layouts cycle by doc);
+- manifest items NOT in the spine (a cover page) and spine items
+  with ``linear="no"`` (the nav document) must never surface;
+- entity references in headings must decode.
+
+Parser: ``zipfile`` + ``ElementTree`` (content documents are XHTML,
+i.e. well-formed XML), namespace-agnostic tag matching, chapter text
+from block elements (``h1``/``p``) in document order. Malformed
+containers return an err row (quarantine discipline), never a job
+failure.
+
+Scale shape (100 TB): one Arrow pass in (write), one out (parse) —
+corpus-linear, no joins (the pdf/docx discipline).
+
+Reference scope anchor: unstructured passthrough
+(ObjectStoreLoader.scala:95-144) is where the reference stops; this
+is the LLM-brief document family's book head.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PARA_WORDS = 10
+PARAS_PER_CHAPTER = 2
+
+_CONTAINER_NS = "urn:oasis:names:tc:opendocument:xmlns:container"
+_OPF_NS = "http://www.idpf.org/2007/opf"
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+# -- closed form --------------------------------------------------------
+def expected_epub_chapters(doc_id: int, text: str) -> list:
+    """Expected per-chapter text blocks from the writer's closed
+    form: heading line + its paragraphs, newline-joined."""
+    d = int(doc_id)
+    w = text.split()
+    paras = [" ".join(w[i:i + PARA_WORDS])
+             for i in range(0, len(w), PARA_WORDS)] or [""]
+    per = PARAS_PER_CHAPTER
+    chapters = []
+    for k in range(0, len(paras), per):
+        idx = k // per + 1
+        head = (f"Chapter {idx} & notes" if d % 5 == 0
+                else f"Chapter {idx}")
+        chapters.append("\n".join([head] + paras[k:k + per]))
+    return chapters
+
+
+def expected_epub_text(doc_id: int, text: str) -> str:
+    return "\n\n".join(expected_epub_chapters(doc_id, text))
+
+
+# -- writer -------------------------------------------------------------
+def _chapter_xhtml(doc_id: int, idx: int, paras: list) -> bytes:
+    head = (f"Chapter {idx} &amp; notes" if int(doc_id) % 5 == 0
+            else f"Chapter {idx}")
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        f"<title>c{idx}</title></head><body>"
+        f"<h1>{head}</h1>{body}</body></html>"
+    ).encode("utf-8")
+
+
+def synth_epub(doc_id: int, text: str) -> bytes:
+    """Deterministic EPUB exercising the container/spine surface
+    (module docstring). Layout cycles by ``doc_id % 3``: 0/2 →
+    ``OEBPS/content.opf``; 1 → ``book/package.opf``; class 2 adds a
+    cover page in the manifest but NOT the spine. Even docs carry a
+    nav document spine-listed with ``linear="no"``. Chapters are
+    appended to the zip in REVERSE spine order."""
+    d = int(doc_id)
+    w = text.split()
+    paras = [" ".join(w[i:i + PARA_WORDS])
+             for i in range(0, len(w), PARA_WORDS)] or [""]
+    n_ch = (len(paras) + PARAS_PER_CHAPTER - 1) // PARAS_PER_CHAPTER
+    root = "book" if d % 3 == 1 else "OEBPS"
+    opf_name = "package.opf" if d % 3 == 1 else "content.opf"
+
+    manifest, spine = [], []
+    chapters = []
+    for k in range(n_ch):
+        href = f"text/c{n_ch - k:03d}.xhtml"  # non-sequential names
+        cid = f"ch{k}"
+        manifest.append(
+            f'<item id="{cid}" href="{href}" '
+            'media-type="application/xhtml+xml"/>')
+        spine.append(f'<itemref idref="{cid}"/>')
+        chapters.append(
+            (f"{root}/{href}",
+             _chapter_xhtml(d, k + 1,
+                            paras[k * PARAS_PER_CHAPTER:
+                                  (k + 1) * PARAS_PER_CHAPTER])))
+    extra_files = []
+    if d % 2 == 0:
+        manifest.append('<item id="nav" href="nav.xhtml" '
+                        'media-type="application/xhtml+xml" '
+                        'properties="nav"/>')
+        spine.append('<itemref idref="nav" linear="no"/>')
+        extra_files.append(
+            (f"{root}/nav.xhtml",
+             b'<?xml version="1.0"?>'
+             b'<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+             b"<p>table of contents decoy that must never surface"
+             b"</p></body></html>"))
+    if d % 3 == 2:
+        manifest.append('<item id="cover" href="cover.xhtml" '
+                        'media-type="application/xhtml+xml"/>')
+        extra_files.append(
+            (f"{root}/cover.xhtml",
+             b'<?xml version="1.0"?>'
+             b'<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+             b"<p>cover art caption decoy</p></body></html>"))
+
+    opf = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<package xmlns="{_OPF_NS}" version="3.0" '
+        'unique-identifier="uid"><metadata>'
+        f'<meta property="dcterms:identifier" id="uid">doc{d}</meta>'
+        "</metadata>"
+        f"<manifest>{''.join(manifest)}</manifest>"
+        f"<spine>{''.join(spine)}</spine></package>"
+    ).encode("utf-8")
+    container = (
+        '<?xml version="1.0"?>'
+        f'<container version="1.0" xmlns="{_CONTAINER_NS}">'
+        "<rootfiles><rootfile "
+        f'full-path="{root}/{opf_name}" '
+        'media-type="application/oebps-package+xml"/>'
+        "</rootfiles></container>"
+    ).encode("utf-8")
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            zipfile.ZipInfo("mimetype"), b"application/epub+zip",
+            compress_type=zipfile.ZIP_STORED)
+        z.writestr("META-INF/container.xml", container)
+        z.writestr(f"{root}/{opf_name}", opf)
+        for name, data in extra_files:
+            z.writestr(name, data)
+        for name, data in reversed(chapters):  # reverse spine order
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+# -- parser -------------------------------------------------------------
+def epub_text(blob: bytes) -> dict:
+    """Pure-Python core: ``{text, n_chapters, err}`` per the module
+    contract."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(bytes(blob)))
+        with zf.open("META-INF/container.xml") as f:
+            croot = ET.fromstring(f.read())
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError) as ex:
+        return {"text": None, "n_chapters": None,
+                "err": f"{type(ex).__name__}: {ex}"[:200]}
+    opf_path = None
+    for el in croot.iter():
+        if _local(el.tag) == "rootfile":
+            opf_path = el.get("full-path")
+            break
+    if not opf_path:
+        return {"text": None, "n_chapters": None,
+                "err": "container.xml: no rootfile"}
+    try:
+        with zf.open(opf_path) as f:
+            pkg = ET.fromstring(f.read())
+    except (KeyError, ET.ParseError) as ex:
+        return {"text": None, "n_chapters": None,
+                "err": f"{type(ex).__name__}: {ex}"[:200]}
+    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    hrefs = {}
+    spine_ids = []
+    for el in pkg.iter():
+        lt = _local(el.tag)
+        if lt == "item":
+            hrefs[el.get("id")] = el.get("href")
+        elif lt == "itemref":
+            if (el.get("linear") or "yes").lower() != "no":
+                spine_ids.append(el.get("idref"))
+    blocks = []
+    try:
+        for sid in spine_ids:
+            href = hrefs.get(sid)
+            if href is None:
+                return {"text": None, "n_chapters": None,
+                        "err": f"spine idref {sid!r} not in manifest"}
+            with zf.open(base + href) as f:
+                doc = ET.fromstring(f.read())
+            parts = []
+            for el in doc.iter():
+                if _local(el.tag) in ("h1", "p"):
+                    parts.append("".join(el.itertext()))
+            blocks.append("\n".join(parts))
+    except (KeyError, ET.ParseError) as ex:
+        return {"text": None, "n_chapters": None,
+                "err": f"{type(ex).__name__}: {ex}"[:200]}
+    return {"text": "\n\n".join(blocks), "n_chapters": len(blocks),
+            "err": None}
+
+
+# -- Spark faces --------------------------------------------------------
+def attach_epub_corpus(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, text) → (id, epub BINARY), one Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("epub", T.BinaryType()),
+    ])
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "epub": [synth_epub(int(i), str(t))
+                         for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_gen, schema=schema)
+
+
+def epub_main_text(df: DataFrame, blob_col: str = "epub",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, epub_text, n_chapters,
+    epub_err)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("epub_text", T.StringType()),
+        T.StructField("n_chapters", T.IntegerType()),
+        T.StructField("epub_err", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                r = epub_text(blob)
+                rows.append((int(i), r["text"], r["n_chapters"],
+                             r["err"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (df.select(id_col, blob_col)
+            .mapInPandas(_extract, schema=schema))

@@ -29,7 +29,7 @@ def _expected_main_text(d: int, text: str) -> tuple:
     from pipeline_server_spark.operators.pdf import expected_pdf_text
     from pipeline_server_spark.operators.pptx import expected_pptx_blocks
 
-    cls = d % 7
+    cls = d % 8
     if cls == 0:
         return "pdf", expected_pdf_text(text), None
     if cls == 1:
@@ -53,6 +53,12 @@ def _expected_main_text(d: int, text: str) -> tuple:
             " ".join(toks[i : i + 15]) for i in range(0, len(toks), 15)
         ]
         return "ipynb", f"# Notebook {d}\n\n" + "\n\n".join(chunks), None
+    if cls == 6:
+        from pipeline_server_spark.operators.epub import (
+            expected_epub_text,
+        )
+
+        return "epub", expected_epub_text(d, text), None
     return "unknown", None, "unrecognized content type"
 
 
@@ -93,3 +99,51 @@ def any_document_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mixed = attach_mixed_corpus(docs)
     return dispatch_main_text(mixed).orderBy("doc_id")
+
+
+def _epub_text_py_oracle(sf_dir: str):
+    """Referee for epub_main_text: chapter text straight from the
+    writer's closed form (expected_epub_chapters) — no zip, no XML,
+    no parser."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.epub import (
+        expected_epub_chapters,
+    )
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for d, t in rows:
+        ch = expected_epub_chapters(int(d), str(t))
+        out.append((int(d), "\n\n".join(ch), len(ch)))
+    return pd.DataFrame(
+        out, columns=["doc_id", "epub_text", "n_chapters"]
+    ).astype({"n_chapters": "int64"})
+
+
+@query("epub_main_text", oracle_py=_epub_text_py_oracle)
+# no SQL oracle: OCF/OPF container parsing is not SQL-expressible;
+# the closed-form referee takes the full rows+schema+hash gate
+def epub_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB book-text extraction (operators/epub.py): chapters
+    written to the archive in REVERSE spine order must come back in
+    spine order; container.xml-relocated packages, a cover page in
+    the manifest but not the spine, a linear="no" nav document, and
+    entity-bearing headings all cycle through the fixture. One
+    Arrow pass in, one out (the docx/pdf discipline)."""
+    from pipeline_server_spark.operators.epub import (
+        attach_epub_corpus,
+        epub_main_text as _epub_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parsed = _epub_extract(attach_epub_corpus(docs))
+    return (
+        parsed.select(
+            "doc_id", "epub_text",
+            F.col("n_chapters").cast("long").alias("n_chapters"))
+        .orderBy("doc_id")
+    )

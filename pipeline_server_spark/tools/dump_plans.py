@@ -442,6 +442,11 @@ SHOW = {
         "corpus's precomputable MIH index — no corpus self-join, "
         "per-increment cost O(batch + collisions), bit_count verify"
     ),
+    "epub_main_text": (
+        "EPUB extraction: OCF/OPF container + spine-ordered XHTML "
+        "parse in one Arrow pass, corpus-linear; non-spine and "
+        "linear=no parts excluded spec-side"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -1,0 +1,51 @@
+"""EPUB extraction (operators/epub.py).
+
+The registry referee is the writer's closed form; these tests pin
+the PARSER on structural hazards — spine order vs zip order,
+relocated packages, non-spine manifest items, linear="no" — and the
+quarantine discipline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_server_spark.operators.epub import (
+    epub_text,
+    expected_epub_text,
+    synth_epub,
+)
+
+TEXT = " ".join(f"word{i}" for i in range(45))
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 10, 15])
+def test_roundtrip_matches_closed_form(doc_id):
+    r = epub_text(synth_epub(doc_id, TEXT))
+    assert r["err"] is None
+    assert r["text"] == expected_epub_text(doc_id, TEXT)
+
+
+def test_decoys_never_surface():
+    # class 2: cover in manifest only; even ids: nav linear="no"
+    for d in (2, 8):
+        r = epub_text(synth_epub(d, TEXT))
+        assert "decoy" not in r["text"]
+        assert "table of contents" not in r["text"]
+
+
+def test_entity_heading_decodes():
+    r = epub_text(synth_epub(5, TEXT))  # 5 % 5 == 0 → '&amp;' heading
+    assert "Chapter 1 & notes" in r["text"]
+
+
+def test_malformed_quarantines():
+    assert epub_text(b"not a zip at all")["err"]
+    # a zip missing container.xml
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+    assert epub_text(buf.getvalue())["err"]

@@ -33,9 +33,10 @@ def test_sniff_decision_table(spark):
         (3, b'{"nbformat": 4, "cells": []}'),
         (4, b"<!doctype html><html><body>x</body></html>"),
         (5, b"From: a@b.c\r\nSubject: hi\r\nMIME-Version: 1.0\r\n\r\nbody"),
-        (6, _zip_with("other/file.xml")),   # zip, neither OOXML kind
+        (6, _zip_with("other/file.xml")),   # zip, no known marker
         (7, b"\xde\xad\xbe\xefjunk"),
         (8, b"plain text without structure"),
+        (9, b"PK\x03\x04 application/epub+zip more"),
     ]
     df = spark.createDataFrame(payloads, "doc_id long, payload binary")
     got = {
@@ -47,6 +48,7 @@ def test_sniff_decision_table(spark):
     assert got == {
         0: "pdf", 1: "docx", 2: "pptx", 3: "ipynb", 4: "html",
         5: "eml", 6: "unknown", 7: "unknown", 8: "unknown",
+        9: "epub",
     }
 
 
