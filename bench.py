@@ -179,6 +179,15 @@ HEADLINE = [
     # window top-k; regression means the postings stopped being
     # query-sized or a global sort crept in
     "bm25_topk_search",
+    # round-13: the universal extraction dispatcher — six spec-shaped
+    # writers + sniff + one shared Arrow dispatch pass; regression
+    # means a format fell out of the shared pass or the sniff left
+    # Catalyst
+    "any_document_main_text",
+    # round-13: secret detection — all keyed regexes in one
+    # projection + the candidate-bounded entropy explode; regression
+    # means the entropy pass went corpus-sized
+    "secret_detection_findings",
 ]
 
 

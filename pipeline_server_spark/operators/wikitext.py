@@ -1,0 +1,201 @@
+"""MediaWiki wikitext → plain text — the Wikipedia-corpus head.
+
+Wikipedia dumps are the single most-used clean-text corpus in LLM
+training, and they ship as WIKITEXT, not HTML. This implements the
+markup subset that carries text (per the public MediaWiki spec),
+with the removals every published Wikipedia-extraction pipeline
+(WikiExtractor lineage) performs:
+
+- ``{{templates}}`` removed INCLUDING NESTING (a depth-tracking
+  scan — regexes cannot do this);
+- ``[[File:…]]`` / ``[[Category:…]]`` removed; ``[[target|display]]``
+  → display; ``[[target]]`` → target;
+- ``[http://… label]`` → label; bare external links removed;
+- ``'''''``/``'''``/``''`` quote markup stripped;
+- ``<ref>…</ref>`` (and self-closing ``<ref …/>``) and
+  ``<!-- comments -->`` removed;
+- ``{| table |}`` blocks removed (line-based);
+- ``== Headings ==`` keep their text; ``*``/``#``/``;``/``:`` list
+  markers strip.
+
+Scale shape (100 TB): one Arrow pass, corpus-linear, no joins (the
+html_extract discipline).
+
+Reference scope anchor: none — the reference has no wiki surface;
+LLM-brief document family.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PARA_WORDS = 12
+
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_RE_REF_SELF = re.compile(r"<ref[^>/]*/>")
+_RE_REF = re.compile(r"<ref[^>]*>.*?</ref>", re.S)
+_RE_FILECAT = re.compile(r"\[\[(?:File|Image|Category):[^\]]*\]\]")
+_RE_LINK_PIPED = re.compile(r"\[\[[^|\]]*\|([^\]]*)\]\]")
+_RE_LINK = re.compile(r"\[\[([^\]]*)\]\]")
+_RE_EXT_LABEL = re.compile(r"\[https?://[^\]\s]*\s+([^\]]*)\]")
+_RE_EXT_BARE = re.compile(r"\[https?://[^\]\s]*\]")
+_RE_HEADING = re.compile(r"^(={2,6})\s*(.*?)\s*\1$")
+_RE_LIST = re.compile(r"^[*#;:]+\s*")
+
+
+def _strip_templates(s: str) -> str:
+    out = []
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        if s.startswith("{{", i):
+            depth += 1
+            i += 2
+            continue
+        if depth and s.startswith("}}", i):
+            depth -= 1
+            i += 2
+            continue
+        if depth == 0:
+            out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def wikitext_to_text(src: str) -> str:
+    """Pure-Python core (module docstring): markup → plain text,
+    non-empty lines newline-joined."""
+    s = _RE_COMMENT.sub("", src)
+    s = _strip_templates(s)
+    s = _RE_REF_SELF.sub("", s)
+    s = _RE_REF.sub("", s)
+    s = _RE_FILECAT.sub("", s)
+    s = _RE_LINK_PIPED.sub(r"\1", s)
+    s = _RE_LINK.sub(r"\1", s)
+    s = _RE_EXT_LABEL.sub(r"\1", s)
+    s = _RE_EXT_BARE.sub("", s)
+    s = s.replace("'''''", "").replace("'''", "").replace("''", "")
+    lines = []
+    in_table = False
+    for line in s.split("\n"):
+        t = line.strip()
+        if t.startswith("{|"):
+            in_table = True
+            continue
+        if in_table:
+            if t.startswith("|}"):
+                in_table = False
+            continue
+        m = _RE_HEADING.match(t)
+        if m:
+            t = m.group(2)
+        t = _RE_LIST.sub("", t).strip()
+        if t:
+            lines.append(t)
+    return "\n".join(lines)
+
+
+# -- fixture ------------------------------------------------------------
+def _paras(text: str) -> list:
+    w = text.split()
+    return [" ".join(w[i:i + PARA_WORDS])
+            for i in range(0, len(w), PARA_WORDS)]
+
+
+def synth_wikitext(doc_id: int, text: str) -> str:
+    """Deterministic article: heading + comment/template/file/table
+    decoys, then one markup hazard per paragraph by ``i % 5``
+    (bolded first word / piped wiki link / a ref that must vanish /
+    list item / labeled external link)."""
+    d = int(doc_id)
+    lines = [
+        f"== Article {d} ==",
+        "<!-- hidden editorial note that must never surface -->",
+        "{{Infobox doc|id=" + str(d)
+        + "|nested={{val|" + str(d % 7) + "}}}}",
+        f"[[File:Img{d}.png|thumb|caption decoy]]",
+        "{|",
+        "| table cell decoy",
+        "|-",
+        "| second decoy row",
+        "|}",
+    ]
+    for i, p in enumerate(_paras(text)):
+        v = i % 5
+        if v == 0:
+            first, _, rest = p.partition(" ")
+            lines.append(f"'''{first}'''" + (" " + rest if rest else ""))
+        elif v == 1:
+            lines.append(p + f" [[Topic {d}|see also]]")
+        elif v == 2:
+            lines.append(p + f"<ref>citation {d}</ref>")
+        elif v == 3:
+            lines.append("* " + p)
+        else:
+            lines.append(p + f" [http://example.org/{d} source]")
+    lines.append("{{stub}}")
+    return "\n".join(lines)
+
+
+def expected_wikitext(doc_id: int, text: str) -> str:
+    """Closed-form expected extraction of :func:`synth_wikitext`."""
+    d = int(doc_id)
+    out = [f"Article {d}"]
+    for i, p in enumerate(_paras(text)):
+        v = i % 5
+        if v == 1:
+            out.append(p + " see also")
+        elif v == 4:
+            out.append(p + " source")
+        else:
+            out.append(p)
+    return "\n".join(out)
+
+
+# -- Spark faces --------------------------------------------------------
+def attach_wikitext_corpus(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("wikitext", T.StringType()),
+    ])
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "wikitext": [synth_wikitext(int(i), str(t))
+                             for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_gen, schema=schema)
+
+
+def wikitext_main_text(df: DataFrame, src_col: str = "wikitext",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, wiki_text, n_lines)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("wiki_text", T.StringType()),
+        T.StructField("n_lines", T.IntegerType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, src in zip(b[id_col], b[src_col]):
+                t = wikitext_to_text(str(src))
+                rows.append((int(i), t, t.count("\n") + 1 if t else 0))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, src_col).mapInPandas(_extract, schema=schema)

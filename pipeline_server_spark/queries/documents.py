@@ -147,3 +147,50 @@ def epub_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chapters").cast("long").alias("n_chapters"))
         .orderBy("doc_id")
     )
+
+
+def _wikitext_py_oracle(sf_dir: str):
+    """Referee for wikitext_main_text: expected text straight from
+    the writer's closed form — no markup processing referee-side."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.wikitext import (
+        expected_wikitext,
+    )
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for d, t in rows:
+        txt = expected_wikitext(int(d), str(t))
+        out.append((int(d), txt, txt.count("\n") + 1 if txt else 0))
+    return pd.DataFrame(
+        out, columns=["doc_id", "wiki_text", "n_lines"]
+    ).astype({"n_lines": "int64"})
+
+
+@query("wikitext_main_text", oracle_py=_wikitext_py_oracle)
+# no SQL oracle: nested-template wikitext parsing is not
+# SQL-expressible; the closed-form referee takes the full
+# rows+schema+hash gate
+def wikitext_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki wikitext extraction (operators/wikitext.py): nested
+    template removal, file/category/table/ref/comment decoys, piped
+    wiki links and labeled external links keeping their display
+    text, quote markup stripped, heading and list markers removed.
+    One Arrow pass in, one out (the html_extract discipline)."""
+    from pipeline_server_spark.operators.wikitext import (
+        attach_wikitext_corpus,
+        wikitext_main_text as _wiki_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parsed = _wiki_extract(attach_wikitext_corpus(docs))
+    return (
+        parsed.select(
+            "doc_id", "wiki_text",
+            F.col("n_lines").cast("long").alias("n_lines"))
+        .orderBy("doc_id")
+    )

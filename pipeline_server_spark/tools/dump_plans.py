@@ -447,6 +447,10 @@ SHOW = {
         "parse in one Arrow pass, corpus-linear; non-spine and "
         "linear=no parts excluded spec-side"
     ),
+    "wikitext_main_text": (
+        "wikitext extraction: nested-template scan + markup subset "
+        "in one Arrow pass, corpus-linear, no joins"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

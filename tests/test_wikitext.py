@@ -1,0 +1,51 @@
+"""Wikitext extraction (operators/wikitext.py).
+
+The registry referee is the writer's closed form; these tests pin
+the PARSER on hand-written markup — nested templates, table state,
+link forms, refs, quotes, headings — beyond the fixture's classes.
+"""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.wikitext import (
+    expected_wikitext,
+    synth_wikitext,
+    wikitext_to_text,
+)
+
+
+def test_nested_templates_removed():
+    assert wikitext_to_text("a {{t|x={{deep|{{deeper}}}}}} b") == "a  b"
+
+
+def test_link_forms():
+    assert wikitext_to_text("[[Page]]") == "Page"
+    assert wikitext_to_text("[[Page|shown]]") == "shown"
+    assert wikitext_to_text("[[File:X.png|thumb|cap]] kept") == "kept"
+    assert wikitext_to_text("[[Category:Stubs]] kept") == "kept"
+    assert wikitext_to_text("[http://e.org/x label] end") == "label end"
+    assert wikitext_to_text("pre [http://e.org/x] post") == "pre  post"
+
+
+def test_refs_and_comments():
+    assert wikitext_to_text("a<ref>cite</ref> b") == "a b"
+    assert wikitext_to_text('a<ref name="n"/> b') == "a b"
+    assert wikitext_to_text("a <!-- hidden\nlines --> b") == "a  b"
+
+
+def test_quotes_headings_lists_tables():
+    assert wikitext_to_text("'''''b+i''''' and '''b''' and ''i''") == \
+        "b+i and b and i"
+    assert wikitext_to_text("== Head ==\ntext") == "Head\ntext"
+    assert wikitext_to_text("=== Deep ===") == "Deep"
+    assert wikitext_to_text("* item one\n# item two") == \
+        "item one\nitem two"
+    assert wikitext_to_text("{|\n| cell\n|-\n| cell2\n|}\nafter") == \
+        "after"
+
+
+def test_fixture_roundtrip():
+    text = " ".join(f"w{i}" for i in range(70))
+    for d in range(8):
+        got = wikitext_to_text(synth_wikitext(d, text))
+        assert got == expected_wikitext(d, text)
