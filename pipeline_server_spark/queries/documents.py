@@ -194,3 +194,48 @@ def wikitext_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lines").cast("long").alias("n_lines"))
         .orderBy("doc_id")
     )
+
+
+def _markdown_py_oracle(sf_dir: str):
+    """Referee for html_markdown_docs: expected Markdown straight
+    from the writer's closed form — no HTML processing."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_markdown import (
+        expected_markdown,
+    )
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for d, t in rows:
+        md = expected_markdown(int(d), str(t))
+        out.append((int(d), md, len(md.split("\n\n")) if md else 0))
+    return pd.DataFrame(
+        out, columns=["doc_id", "markdown", "n_blocks"]
+    ).astype({"n_blocks": "int64"})
+
+
+@query("html_markdown_docs", oracle_py=_markdown_py_oracle)
+# no SQL oracle: lenient HTML parsing is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def html_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → Markdown conversion (operators/html_markdown.py), the
+    structure-PRESERVING twin of html_main_text_extraction: headings,
+    lists (bulleted and numbered), inline bold/em/code/links,
+    blockquotes and fenced pre blocks survive as Markdown; script
+    payloads drop. One Arrow pass in, one out."""
+    from pipeline_server_spark.operators.html_markdown import (
+        attach_structured_html_corpus,
+        html_markdown,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    md = html_markdown(attach_structured_html_corpus(docs))
+    return (
+        md.select("doc_id", "markdown",
+                  F.col("n_blocks").cast("long").alias("n_blocks"))
+        .orderBy("doc_id")
+    )

@@ -451,6 +451,10 @@ SHOW = {
         "wikitext extraction: nested-template scan + markup subset "
         "in one Arrow pass, corpus-linear, no joins"
     ),
+    "html_markdown_docs": (
+        "HTML->Markdown: structure-preserving conversion in one "
+        "Arrow pass, corpus-linear, no joins"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "
