@@ -1,0 +1,167 @@
+"""HTML table extraction → structured cell rows.
+
+Web tables are the largest source of structured facts in a crawl
+(the WebTables / WDC corpus idea): this operator turns every
+``<table>`` on a page into addressable cells ``(table_idx, row_idx,
+col_idx, is_header, text)`` so downstream relational queries can
+join web-mined facts like any other frame. Subset contract (stdlib
+``html.parser``): ``table``/``tr``/``td``/``th`` with text content;
+``thead``/``tbody`` are transparent; NESTED tables are out of
+contract (documented — the fixture plants none; a nested open
+resets the inner scope leniently rather than failing).
+
+Scale shape (100 TB): one Arrow pass, fan-out = cells per page;
+downstream is ordinary Catalyst over the cell frame.
+
+Reference scope anchor: the reference's XML source option
+(DataFrameUtil.scala rowTag ingestion) is the nearest shape; web
+tables are the LLM-brief structured-mining extension.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class _TableParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: list[tuple] = []   # (t, r, c, is_header, text)
+        self._t = -1
+        self._r = -1
+        self._c = -1
+        self._in_table = False
+        self._in_cell = False
+        self._header = False
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._t += 1
+            self._r = -1
+            self._in_table = True
+        elif not self._in_table:
+            return
+        elif tag == "tr":
+            self._r += 1
+            self._c = -1
+        elif tag in ("td", "th"):
+            self._c += 1
+            self._in_cell = True
+            self._header = tag == "th"
+            self._buf = []
+
+    def handle_endtag(self, tag):
+        if tag in ("td", "th") and self._in_cell:
+            text = " ".join("".join(self._buf).split())
+            self.cells.append(
+                (self._t, self._r, self._c, self._header, text))
+            self._in_cell = False
+        elif tag == "table":
+            self._in_table = False
+
+    def handle_data(self, data):
+        if self._in_cell:
+            self._buf.append(data)
+
+
+def extract_tables(html: str) -> list:
+    """Pure-Python core: page → ``[(table_idx, row_idx, col_idx,
+    is_header, text)]`` in document order."""
+    p = _TableParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p.cells
+
+
+def html_table_cells(df: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → one row per cell."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("table_idx", T.IntegerType()),
+        T.StructField("row_idx", T.IntegerType()),
+        T.StructField("col_idx", T.IntegerType()),
+        T.StructField("is_header", T.BooleanType()),
+        T.StructField("cell_text", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, page in zip(b[id_col], b[html_col]):
+                for t, r, c, h, txt in extract_tables(str(page)):
+                    rows.append((int(i), t, r, c, h, txt))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)
+
+
+# -- fixture ------------------------------------------------------------
+N_DATA_ROWS = 3
+
+
+def synth_table_page(doc_id: int, text: str) -> str:
+    """Deterministic page: intro paragraph (must contribute no
+    cells), a header+data table of doc-derived values inside
+    thead/tbody wrappers, and a second headerless 1×2 table."""
+    d = int(doc_id)
+    w = (text.split() + ["pad"] * 8)[:8]
+    rows = "".join(
+        f"<tr><td>{w[k]}</td><td>{(d + k) * 7 % 100}</td>"
+        f"<td>{w[k + 1]}</td></tr>"
+        for k in range(N_DATA_ROWS))
+    return (
+        "<html><body><p>intro "
+        + " ".join(w[:4])
+        + "</p><table><thead><tr><th>name</th><th>qty</th>"
+        "<th>note</th></tr></thead><tbody>"
+        + rows
+        + "</tbody></table>"
+        f"<table><tr><td>total</td><td>{d % 1000}</td></tr></table>"
+        "</body></html>"
+    )
+
+
+def expected_table_cells(doc_id: int, text: str) -> list:
+    """Closed form of :func:`synth_table_page`'s cells."""
+    d = int(doc_id)
+    w = (text.split() + ["pad"] * 8)[:8]
+    out = [(0, 0, 0, True, "name"), (0, 0, 1, True, "qty"),
+           (0, 0, 2, True, "note")]
+    for k in range(N_DATA_ROWS):
+        out += [(0, k + 1, 0, False, w[k]),
+                (0, k + 1, 1, False, str((d + k) * 7 % 100)),
+                (0, k + 1, 2, False, w[k + 1])]
+    out += [(1, 0, 0, False, "total"), (1, 0, 1, False, str(d % 1000))]
+    return out
+
+
+def attach_table_corpus(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("html", T.StringType()),
+    ])
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "html": [synth_table_page(int(i), str(t))
+                         for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_gen, schema=schema)

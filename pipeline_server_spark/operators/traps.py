@@ -1,0 +1,92 @@
+"""Crawler-trap detection: combinatorial URL spaces and session ids.
+
+A polite crawler's worst failure is an INFINITE URL SPACE — calendar
+pages, faceted filters, per-session ids — where the frontier grows
+without new content (the classic Heritrix/Mercator trap problem).
+Two public heuristics, both pure Catalyst:
+
+- **Combinatorial templates**: the path generalizes to a template
+  (digit runs → ``{D}``, long hex runs → ``{X}``); a (host,
+  template) whose DISTINCT URL count crosses a threshold while
+  containing ≥ 2 generalized segments is a combinatorial space —
+  one numeric segment is just an article id, two or more is a
+  coordinate grid (year/month/day, page/offset…).
+- **Session ids**: a query parameter from the published session-id
+  name set (``phpsessid``/``sessionid``/``sid``/``jsessionid``)
+  makes every visitor's URL unique; any template carrying one is a
+  trap at ANY count.
+
+Output: flagged ``(host, path_template, n_urls, example_url,
+reason)`` — the frame a frontier filter anti-joins against.
+
+Scale shape (100 TB): one projection (template), one
+(host, template) groupBy with map-side combine. No Python, no
+windows, no collects.
+
+Reference scope anchor: none — LLM-brief crawl family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SESSION_PARAMS = ("phpsessid", "sessionid", "jsessionid", "sid")
+COMBINATORIAL_MIN_URLS = 10
+COMBINATORIAL_MIN_SLOTS = 2
+
+
+def detect_crawl_traps(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = COMBINATORIAL_MIN_URLS,
+) -> DataFrame:
+    """Distinct-URL frame → flagged trap templates (module
+    docstring)."""
+    u = F.col(url_col)
+    rest = F.expr(f"substring_index({url_col}, '://', -1)")
+    host = F.lower(F.substring_index(rest, "/", 1))
+    path_q = F.expr(f"substring(substring_index({url_col}, '://', -1), "
+                    f"length(substring_index(substring_index({url_col}, "
+                    f"'://', -1), '/', 1)) + 1)")
+    path = F.substring_index(path_q, "?", 1)
+    query = F.when(path_q.contains("?"),
+                   F.substring_index(path_q, "?", -1)).otherwise(F.lit(""))
+    template = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{16,}", "{X}"),
+        "[0-9]+", "{D}")
+    has_session = F.lit(False)
+    for p in SESSION_PARAMS:
+        has_session = has_session | F.lower(query).rlike(
+            f"(^|&){p}=")
+    slots = (
+        F.size(F.split(template, r"\{D\}")) - 1
+        + F.size(F.split(template, r"\{X\}")) - 1
+    )
+    rows = urls.select(
+        u.alias("url"),
+        host.alias("host"),
+        template.alias("path_template"),
+        slots.alias("n_slots"),
+        has_session.cast("int").alias("sess"),
+    ).distinct()
+    agg = rows.groupBy("host", "path_template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.min("url").alias("example_url"),
+        F.max("n_slots").alias("n_slots"),
+        F.max("sess").alias("sess"),
+    )
+    return (
+        agg.withColumn(
+            "reason",
+            F.when(F.col("sess") == 1, F.lit("session"))
+            .when(
+                (F.col("n_slots") >= COMBINATORIAL_MIN_SLOTS)
+                & (F.col("n_urls") >= min_urls),
+                F.lit("combinatorial"),
+            ),
+        )
+        .where(F.col("reason").isNotNull())
+        .select("host", "path_template", "n_urls", "example_url",
+                "reason")
+    )

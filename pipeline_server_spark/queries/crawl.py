@@ -778,3 +778,97 @@ def anchor_text_profiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = attach_linked_corpus(docs, n_docs=n)
     links = extract_links_with_text(pages)
     return anchor_text_profiles(links).orderBy("url")
+
+
+# -- crawler-trap detection --------------------------------------------
+_TRAP_FIXTURE_SQL = """
+  CASE doc_id % 4
+    WHEN 0 THEN 'https://trap0.example.org/cal/2026/'
+                || CAST(doc_id % 500 AS VARCHAR) || '/'
+                || CAST(doc_id % 12 AS VARCHAR)
+    WHEN 1 THEN 'https://shop.example.org/item/'
+                || CAST(doc_id AS VARCHAR)
+                || '?phpsessid=' || md5(CAST(doc_id AS VARCHAR))
+    WHEN 2 THEN 'https://ok.example.org/post/'
+                || CAST(doc_id AS VARCHAR)
+    ELSE 'https://ok.example.org/about'
+  END
+"""
+
+_TRAP_ORACLE = f"""
+WITH urls AS (
+  SELECT DISTINCT {_TRAP_FIXTURE_SQL} AS url FROM documents),
+parts AS (
+  SELECT url,
+         string_split(url, '://')[2] AS rest
+  FROM urls),
+p2 AS (
+  SELECT url,
+         lower(string_split(rest, '/')[1]) AS host,
+         substr(rest, length(string_split(rest, '/')[1]) + 1) AS pq
+  FROM parts),
+p3 AS (
+  SELECT url, host,
+         string_split(pq, '?')[1] AS path,
+         CASE WHEN contains(pq, '?')
+              THEN string_split(pq, '?')[2] ELSE '' END AS query
+  FROM p2),
+t AS (
+  SELECT url, host,
+         regexp_replace(
+           regexp_replace(path, '[0-9a-f]{{16,}}', '{{X}}', 'g'),
+           '[0-9]+', '{{D}}', 'g') AS path_template,
+         CASE WHEN regexp_matches(lower(query),
+              '(^|&)(phpsessid|sessionid|jsessionid|sid)=')
+              THEN 1 ELSE 0 END AS sess
+  FROM p3),
+t2 AS (
+  SELECT url, host, path_template, sess,
+         len(string_split(path_template, '{{D}}')) - 1
+         + len(string_split(path_template, '{{X}}')) - 1 AS n_slots
+  FROM t),
+agg AS (
+  SELECT host, path_template,
+         CAST(COUNT(*) AS BIGINT) AS n_urls,
+         MIN(url) AS example_url,
+         MAX(n_slots) AS n_slots, MAX(sess) AS sess
+  FROM t2 GROUP BY host, path_template)
+SELECT host, path_template, n_urls, example_url,
+       CASE WHEN sess = 1 THEN 'session'
+            WHEN n_slots >= 2 AND n_urls >= 10 THEN 'combinatorial'
+       END AS reason
+FROM agg
+WHERE sess = 1 OR (n_slots >= 2 AND n_urls >= 10)
+ORDER BY host, path_template
+"""
+
+
+@query("crawl_trap_detection", oracle=_TRAP_ORACLE)
+def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap templates (operators/traps.py): the calendar
+    grid (two generalized path segments × hundreds of URLs) and the
+    session-id shop URLs flag; single-numeric article ids and the
+    static /about page — high-count but harmless — must NOT. Pure
+    Catalyst: one template projection + one (host, template)
+    groupBy."""
+    from pipeline_server_spark.operators.traps import detect_crawl_traps
+
+    d8 = F.col("doc_id") % 4
+    ds = F.col("doc_id").cast("string")
+    url = (
+        F.when(d8 == 0,
+               F.concat(F.lit("https://trap0.example.org/cal/2026/"),
+                        (F.col("doc_id") % 500).cast("string"),
+                        F.lit("/"),
+                        (F.col("doc_id") % 12).cast("string")))
+        .when(d8 == 1,
+              F.concat(F.lit("https://shop.example.org/item/"), ds,
+                       F.lit("?phpsessid="),
+                       F.md5(ds.cast("binary"))))
+        .when(d8 == 2,
+              F.concat(F.lit("https://ok.example.org/post/"), ds))
+        .otherwise(F.lit("https://ok.example.org/about"))
+    )
+    urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
+    return (detect_crawl_traps(urls)
+            .orderBy("host", "path_template"))

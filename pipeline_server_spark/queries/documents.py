@@ -239,3 +239,46 @@ def html_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_blocks").cast("long").alias("n_blocks"))
         .orderBy("doc_id")
     )
+
+
+def _table_cells_py_oracle(sf_dir: str):
+    """Referee for html_table_extraction: cells straight from the
+    writer's closed form — no HTML parsing."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_tables import (
+        expected_table_cells,
+    )
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for d, t in rows:
+        for tb, r, c, h, txt in expected_table_cells(int(d), str(t)):
+            out.append((int(d), tb, r, c, h, txt))
+    return pd.DataFrame(
+        out, columns=["doc_id", "table_idx", "row_idx", "col_idx",
+                      "is_header", "cell_text"]
+    ).astype({"table_idx": "int32", "row_idx": "int32",
+              "col_idx": "int32"})
+
+
+@query("html_table_extraction", oracle_py=_table_cells_py_oracle)
+# no SQL oracle: lenient HTML parsing is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def html_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table mining (operators/html_tables.py): every page's
+    tables become addressable cells (table/row/col indices + header
+    flags) — thead/tbody transparent, the intro paragraph must
+    contribute nothing, the second headerless table keeps its own
+    index space. One Arrow pass; fan-out = cells per page."""
+    from pipeline_server_spark.operators.html_tables import (
+        attach_table_corpus,
+        html_table_cells,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (html_table_cells(attach_table_corpus(docs))
+            .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))

@@ -455,6 +455,14 @@ SHOW = {
         "HTML->Markdown: structure-preserving conversion in one "
         "Arrow pass, corpus-linear, no joins"
     ),
+    "html_table_extraction": (
+        "web-table mining: page -> addressable cells in one Arrow "
+        "pass; fan-out = cells per page, downstream pure Catalyst"
+    ),
+    "crawl_trap_detection": (
+        "crawler traps: template projection + (host, template) "
+        "groupBy with map-side combine — pure Catalyst, no windows"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

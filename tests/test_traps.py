@@ -1,0 +1,46 @@
+"""Crawler-trap detection (operators/traps.py).
+
+The registry referee is the full DuckDB oracle; these tests pin the
+heuristics on hand-built URL sets — threshold edges, slot counting,
+hex generalization, session params at any count.
+"""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.traps import detect_crawl_traps
+
+
+def _flags(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {(r.host, r.path_template): r
+            for r in detect_crawl_traps(df, **kw).collect()}
+
+
+def test_combinatorial_needs_two_slots_and_count(spark):
+    cal = [f"https://t.example.org/cal/{y}/{m}"
+           for y in range(2020, 2026) for m in range(1, 4)]   # 18 urls
+    posts = [f"https://t.example.org/post/{i}" for i in range(50)]
+    got = _flags(spark, cal + posts)
+    assert ("t.example.org", "/cal/{D}/{D}") in got
+    assert got[("t.example.org", "/cal/{D}/{D}")].reason == "combinatorial"
+    assert ("t.example.org", "/post/{D}") not in got   # one slot only
+
+
+def test_combinatorial_threshold_edge(spark):
+    mk = lambda n: [f"https://t.example.org/a/{i}/{i}" for i in range(n)]
+    assert _flags(spark, mk(9)) == {}
+    assert ("t.example.org", "/a/{D}/{D}") in _flags(spark, mk(10))
+
+
+def test_session_flags_at_any_count(spark):
+    got = _flags(spark, ["https://s.example.org/x?phpsessid=abc123"])
+    assert got[("s.example.org", "/x")].reason == "session"
+    # sid= must match as a whole param name, not inside 'classid='
+    assert _flags(spark, ["https://s.example.org/x?classid=9"]) == {}
+
+
+def test_hex_runs_generalize(spark):
+    urls = [f"https://h.example.org/u/{'%032x' % i}/{'%032x' % (i + 1)}"
+            for i in range(12)]
+    got = _flags(spark, urls)
+    assert ("h.example.org", "/u/{X}/{X}") in got
