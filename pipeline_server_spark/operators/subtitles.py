@@ -1,0 +1,194 @@
+"""SubRip (SRT) subtitle parsing — the speech-corpus text head.
+
+Video corpora carry their text as subtitle tracks; SRT is the
+de-facto interchange (cue index, ``HH:MM:SS,mmm --> HH:MM:SS,mmm``
+timing line, one-or-more text lines, blank-line separated). The
+details real files plant — and the fixture cycles:
+
+- UTF-8 BOM before the first cue; CRLF line endings;
+- multi-line cue text (joined with a space in the transcript);
+- ``<i>``/``<b>``/``<font …>`` styling tags stripped;
+- coordinate suffixes after the timing arrow (legacy extensions)
+  ignored;
+- out-of-order cue INDICES (renumbered exports) — cue ORDER in the
+  file wins, indices are decoration.
+
+Parse → per-cue ``(start_ms, end_ms, text)``; the transcript is the
+cue texts space-joined, and speech time sums exactly in bigint ms.
+Malformed timing lines quarantine the cue (err counts), never the
+job.
+
+Scale shape (100 TB): one Arrow pass, corpus-linear, no joins.
+
+Reference scope anchor: none — LLM-brief multimodal/document family.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CUE_WORDS = 7
+
+_RE_TIME = re.compile(
+    r"^(\d{2}):(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*"
+    r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})")
+_RE_TAG = re.compile(r"</?(?:i|b|u|font)[^>]*>")
+
+
+def _ms(h: str, m: str, s: str, ms: str) -> int:
+    return ((int(h) * 60 + int(m)) * 60 + int(s)) * 1000 + int(ms)
+
+
+def parse_srt(src: str) -> dict:
+    """Pure-Python core: ``{cues: [(start_ms, end_ms, text)],
+    n_bad}`` — cue blocks split on blank lines; a block whose timing
+    line does not parse counts in ``n_bad``."""
+    if src.startswith("﻿"):
+        src = src[1:]
+    text = src.replace("\r\n", "\n").replace("\r", "\n")
+    cues = []
+    n_bad = 0
+    for block in re.split(r"\n\s*\n", text.strip()):
+        lines = [ln for ln in block.split("\n") if ln.strip() != ""]
+        if not lines:
+            continue
+        # optional index line, then the timing line
+        ti = 0
+        if re.fullmatch(r"\d+", lines[0].strip()) and len(lines) > 1:
+            ti = 1
+        m = _RE_TIME.match(lines[ti].strip()) if ti < len(lines) else None
+        if not m:
+            n_bad += 1
+            continue
+        start = _ms(*m.groups()[:4])
+        end = _ms(*m.groups()[4:])
+        body = " ".join(ln.strip() for ln in lines[ti + 1:])
+        body = _RE_TAG.sub("", body)
+        body = " ".join(body.split())
+        cues.append((start, end, body))
+    return {"cues": cues, "n_bad": n_bad}
+
+
+# -- closed form + fixture ---------------------------------------------
+def _cue_texts(text: str) -> list:
+    w = text.split()
+    return [" ".join(w[i:i + CUE_WORDS])
+            for i in range(0, len(w), CUE_WORDS)] or [""]
+
+
+def _fmt(ms: int) -> str:
+    s, mmm = divmod(ms, 1000)
+    m, ss = divmod(s, 60)
+    h, mm = divmod(m, 60)
+    return f"{h:02d}:{mm:02d}:{ss:02d},{mmm:03d}"
+
+
+def _cue_times(doc_id: int, k: int) -> tuple:
+    d = int(doc_id)
+    start = k * (2000 + d % 500)
+    return start, start + 1500 + d % 300
+
+
+def synth_srt(doc_id: int, text: str) -> str:
+    """Deterministic SRT exercising the whole surface (module
+    docstring): styling tags on every third cue, a split two-line
+    cue every fourth, coordinate suffixes every fifth, REVERSED cue
+    indices throughout, CRLF on odd docs, a BOM every fifth doc."""
+    d = int(doc_id)
+    cues = _cue_texts(text)
+    n = len(cues)
+    blocks = []
+    for k, body in enumerate(cues):
+        start, end = _cue_times(d, k)
+        timing = f"{_fmt(start)} --> {_fmt(end)}"
+        if k % 5 == 2:
+            timing += " X1:100 X2:500 Y1:10 Y2:50"
+        if k % 3 == 1:
+            body_out = f"<i>{body}</i>"
+        else:
+            body_out = body
+        if k % 4 == 3 and " " in body_out:
+            head, _, tail = body_out.partition(" ")
+            body_lines = head + "\n" + tail
+        else:
+            body_lines = body_out
+        blocks.append(f"{n - k}\n{timing}\n{body_lines}")
+    out = "\n\n".join(blocks) + "\n"
+    if d % 2 == 1:
+        out = out.replace("\n", "\r\n")
+    if d % 5 == 0:
+        out = "﻿" + out
+    return out
+
+
+def expected_srt_fields(doc_id: int, text: str) -> dict:
+    """Closed form: transcript, n_cues, speech_ms."""
+    d = int(doc_id)
+    cues = _cue_texts(text)
+    speech = 0
+    for k in range(len(cues)):
+        start, end = _cue_times(d, k)
+        speech += end - start
+    return {
+        "transcript": " ".join(cues),
+        "n_cues": len(cues),
+        "speech_ms": speech,
+    }
+
+
+# -- Spark faces --------------------------------------------------------
+def attach_srt_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("srt", T.StringType()),
+    ])
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "srt": [synth_srt(int(i), str(t))
+                        for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_gen, schema=schema)
+
+
+def srt_transcripts(df: DataFrame, srt_col: str = "srt",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, transcript, n_cues,
+    speech_ms, n_bad_cues)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("n_cues", T.IntegerType()),
+        T.StructField("speech_ms", T.LongType()),
+        T.StructField("n_bad_cues", T.IntegerType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, src in zip(b[id_col], b[srt_col]):
+                r = parse_srt(str(src))
+                cues = r["cues"]
+                rows.append((
+                    int(i),
+                    " ".join(c[2] for c in cues),
+                    len(cues),
+                    sum(c[1] - c[0] for c in cues),
+                    r["n_bad"],
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, srt_col).mapInPandas(_extract, schema=schema)

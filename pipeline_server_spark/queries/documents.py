@@ -282,3 +282,49 @@ def html_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (html_table_cells(attach_table_corpus(docs))
             .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))
+
+
+def _srt_py_oracle(sf_dir: str):
+    """Referee for srt_transcript_extraction: fields straight from
+    the writer's closed form — no SRT parsing."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.subtitles import (
+        expected_srt_fields,
+    )
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for d, t in rows:
+        e = expected_srt_fields(int(d), str(t))
+        out.append((int(d), e["transcript"], e["n_cues"],
+                    e["speech_ms"], 0))
+    return pd.DataFrame(
+        out, columns=["doc_id", "transcript", "n_cues", "speech_ms",
+                      "n_bad_cues"]
+    ).astype({"n_cues": "int32", "speech_ms": "int64",
+              "n_bad_cues": "int32"})
+
+
+@query("srt_transcript_extraction", oracle_py=_srt_py_oracle)
+# no SQL oracle: cue-block parsing with BOM/CRLF/tag handling is not
+# SQL-expressible; the closed-form referee takes the full
+# rows+schema+hash gate
+def srt_transcript_extraction(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SRT subtitle extraction (operators/subtitles.py): BOM'd and
+    CRLF files, styling tags, legacy coordinate suffixes, two-line
+    cues and REVERSED cue indices all cycle through the fixture; the
+    transcript, cue count, and exact bigint speech time must come
+    back per the writer's closed form. One Arrow pass in, one out."""
+    from pipeline_server_spark.operators.subtitles import (
+        attach_srt_corpus,
+        srt_transcripts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (srt_transcripts(attach_srt_corpus(docs))
+            .orderBy("doc_id"))

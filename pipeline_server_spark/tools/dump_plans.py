@@ -463,6 +463,10 @@ SHOW = {
         "crawler traps: template projection + (host, template) "
         "groupBy with map-side combine — pure Catalyst, no windows"
     ),
+    "srt_transcript_extraction": (
+        "SRT subtitles: cue-block parse (BOM/CRLF/tags/coords) in "
+        "one Arrow pass, exact bigint speech time, corpus-linear"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

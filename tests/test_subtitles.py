@@ -1,0 +1,54 @@
+"""SRT parsing (operators/subtitles.py).
+
+The registry referee is the writer's closed form; these tests pin
+the parser on hand-written cue blocks beyond the fixture classes.
+"""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.subtitles import (
+    expected_srt_fields,
+    parse_srt,
+    synth_srt,
+)
+
+
+def test_basic_cues_and_timing():
+    src = ("1\n00:00:01,000 --> 00:00:03,500\nhello there\n\n"
+           "2\n00:01:00,000 --> 00:01:02,000\nsecond cue\n")
+    r = parse_srt(src)
+    assert r["cues"] == [(1000, 3500, "hello there"),
+                        (60000, 62000, "second cue")]
+    assert r["n_bad"] == 0
+
+
+def test_tags_multiline_and_dot_millis():
+    src = ("1\n00:00:00.000 --> 00:00:01.000\n"
+           "<i>styled</i> and\n<b>split</b>\n")
+    r = parse_srt(src)
+    assert r["cues"] == [(0, 1000, "styled and split")]
+
+
+def test_index_optional_and_bad_cue_counted():
+    src = ("00:00:01,000 --> 00:00:02,000\nno index line\n\n"
+           "3\nnot a timing line\ntext\n")
+    r = parse_srt(src)
+    assert r["cues"] == [(1000, 2000, "no index line")]
+    assert r["n_bad"] == 1
+
+
+def test_bom_and_crlf():
+    src = "﻿1\r\n00:00:01,000 --> 00:00:02,000\r\nwindows file\r\n"
+    r = parse_srt(src)
+    assert r["cues"] == [(1000, 2000, "windows file")]
+
+
+def test_fixture_roundtrip():
+    text = " ".join(f"w{i}" for i in range(40))
+    for d in range(6):
+        got = parse_srt(synth_srt(d, text))
+        exp = expected_srt_fields(d, text)
+        assert " ".join(c[2] for c in got["cues"]) == exp["transcript"]
+        assert len(got["cues"]) == exp["n_cues"]
+        assert sum(c[1] - c[0] for c in got["cues"]) == exp["speech_ms"]
+        assert got["n_bad"] == 0
