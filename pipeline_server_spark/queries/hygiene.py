@@ -279,3 +279,63 @@ def code_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fx = docs.select("doc_id", _code_fixture_catalyst().alias("text"))
     return code_profile(fx).orderBy("doc_id")
+
+
+# -- temperature-based domain mixture -----------------------------------
+_TEMP_MIX_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE)))
+              AS BIGINT) AS weight
+  FROM per),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM w)
+SELECT w.source, w.n_docs, w.n_tokens, w.weight,
+       CAST((1000000000 * w.weight) // t.total AS BIGINT) AS prob_ppb
+FROM w, tot t
+ORDER BY w.source
+"""
+
+
+@query("temperature_mixture_weights", oracle=_TEMP_MIX_ORACLE)
+def temperature_mixture_weights(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Temperature-based (α = ½) domain-mixture weights — the
+    published multilingual/multi-domain sampling rule (p_i ∝ n_i^α
+    flattens the head, upsamples the tail) as EXACT integer
+    arithmetic: weights are floor(sqrt(n_tokens·10⁶)) (the scaled
+    double sqrt is correctly rounded per IEEE-754, so both engines
+    floor the same value), the normalizer is an exact bigint sum,
+    and probabilities ship as integer parts-per-billion — no
+    decimal-cast or summation-order hazard anywhere. Complements
+    ``mixture_sample_documents`` (which FILLS a token budget) with
+    the WEIGHT-SETTING half.
+
+    Scale shape: one groupBy on source (map-side combine), a 1-row
+    scalar broadcast for the normalizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+        .cast("long").alias("n_tokens"),
+    )
+    w = per.withColumn(
+        "weight",
+        F.floor(F.sqrt((F.col("n_tokens") * 1000000).cast("double")))
+        .cast("long"),
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("total"))
+    return (
+        w.crossJoin(F.broadcast(tot))  # 1-row scalar: always safe
+        .select(
+            "source", "n_docs", "n_tokens", "weight",
+            F.expr("(1000000000 * weight) div total").cast("long")
+            .alias("prob_ppb"),
+        )
+        .orderBy("source")
+    )

@@ -467,6 +467,10 @@ SHOW = {
         "SRT subtitles: cue-block parse (BOM/CRLF/tags/coords) in "
         "one Arrow pass, exact bigint speech time, corpus-linear"
     ),
+    "temperature_mixture_weights": (
+        "alpha=1/2 mixture weights: one source groupBy + 1-row "
+        "scalar broadcast, all-integer probability arithmetic"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

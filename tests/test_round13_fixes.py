@@ -521,3 +521,26 @@ class TestHammingIncremental:
         rows = hamming_incremental_pairs(cdf, bdf, "h").collect()
         # both corpus twins pair with the batch doc, never each other
         assert {(r.batch_id, r.corpus_id) for r in rows} == {(9, 1), (9, 2)}
+
+
+class TestTemperatureMixture:
+    """temperature_mixture_weights (round-13 session 4)."""
+
+    def test_alpha_half_flattens_head(self, spark):
+        from pipeline_server_spark.queries.hygiene import (
+            temperature_mixture_weights)
+        rows = temperature_mixture_weights(
+            spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) >= 2
+        by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+        lo, hi = by_tokens[0], by_tokens[-1]
+        # sqrt weighting: the head's probability advantage is the
+        # sqrt of its token advantage, not linear
+        assert hi.n_tokens > lo.n_tokens
+        tok_ratio = hi.n_tokens / lo.n_tokens
+        prob_ratio = hi.prob_ppb / lo.prob_ppb
+        assert prob_ratio < tok_ratio
+        assert abs(prob_ratio ** 2 - tok_ratio) / tok_ratio < 0.01
+        # probabilities normalize (integer division truncation only)
+        total = sum(r.prob_ppb for r in rows)
+        assert 0 <= 1_000_000_000 - total < len(rows)
