@@ -38,10 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-CONTENT_KINDS = ["pdf", "docx", "pptx", "epub", "eml", "html",
-                 "ipynb", "unknown"]
+CONTENT_KINDS = ["pdf", "docx", "pptx", "epub", "odt", "eml",
+                 "html", "ipynb", "unknown"]
 
-_PY_KINDS = ["pdf", "docx", "pptx", "epub", "eml", "html"]
+_PY_KINDS = ["pdf", "docx", "pptx", "epub", "odt", "eml", "html"]
 
 
 def sniff_content_type(payload_col: str = "payload") -> "F.Column":
@@ -53,6 +53,8 @@ def sniff_content_type(payload_col: str = "payload") -> "F.Column":
     is_docx = is_zip & F.contains(p, F.lit(b"word/document.xml"))
     is_pptx = is_zip & F.contains(p, F.lit(b"ppt/slides/"))
     is_epub = is_zip & F.contains(p, F.lit(b"application/epub+zip"))
+    is_odt = is_zip & F.contains(
+        p, F.lit(b"application/vnd.oasis.opendocument.text"))
     is_nb = (F.substring(p, 1, 1) == F.lit(b"{")) & F.contains(
         head, F.lit(b'"cells"')
     )
@@ -71,6 +73,7 @@ def sniff_content_type(payload_col: str = "payload") -> "F.Column":
         .when(is_docx, F.lit("docx"))
         .when(is_pptx, F.lit("pptx"))
         .when(is_epub, F.lit("epub"))
+        .when(is_odt, F.lit("odt"))
         .when(is_nb, F.lit("ipynb"))
         .when(is_html, F.lit("html"))
         .when(is_eml, F.lit("eml"))
@@ -90,6 +93,7 @@ def dispatch_main_text(
     from pipeline_server_spark.operators.docx import docx_text
     from pipeline_server_spark.operators.eml import eml_text
     from pipeline_server_spark.operators.epub import epub_text
+    from pipeline_server_spark.operators.odt import odt_text
     from pipeline_server_spark.operators.html_extract import (
         extract_main_text,
     )
@@ -129,6 +133,9 @@ def dispatch_main_text(
                         txt, err = r["text"], r["err"]
                     elif kind == "epub":
                         r = epub_text(blob)
+                        txt, err = r["text"], r["err"]
+                    elif kind == "odt":
+                        r = odt_text(blob)
                         txt, err = r["text"], r["err"]
                     elif kind == "eml":
                         r = eml_text(blob)
@@ -176,8 +183,9 @@ def attach_mixed_corpus(
 ) -> DataFrame:
     """(id, text) → (id, payload BINARY) mixed-format fixture: each
     document renders through ONE of the in-repo spec-shaped writers
-    by ``id % 8`` (pdf / docx / pptx / eml / html / ipynb / epub /
-    junk bytes) — the dispatcher must type and extract all of them."""
+    by ``id % 9`` (pdf / docx / pptx / eml / html / ipynb / epub /
+    odt / junk bytes) — the dispatcher must type and extract all of
+    them."""
     from pipeline_server_spark.operators.docx import attach_docx_corpus
     from pipeline_server_spark.operators.eml import attach_eml_corpus
     from pipeline_server_spark.operators.html_extract import (
@@ -185,10 +193,11 @@ def attach_mixed_corpus(
     )
     from pipeline_server_spark.operators.epub import attach_epub_corpus
     from pipeline_server_spark.operators.ipynb import attach_ipynb_corpus
+    from pipeline_server_spark.operators.odt import attach_odt_corpus
     from pipeline_server_spark.operators.pdf import attach_pdf_corpus
     from pipeline_server_spark.operators.pptx import attach_pptx_corpus
 
-    cls = F.col(id_col) % 8
+    cls = F.col(id_col) % 9
     base = df.select(id_col, text_col)
 
     pdf = attach_pdf_corpus(base.where(cls == 0)).select(
@@ -212,13 +221,16 @@ def attach_mixed_corpus(
     epub = attach_epub_corpus(base.where(cls == 6)).select(
         id_col, F.col("epub").alias("payload")
     )
-    junk = base.where(cls == 7).select(
+    odt = attach_odt_corpus(base.where(cls == 7)).select(
+        id_col, F.col("odt").alias("payload")
+    )
+    junk = base.where(cls == 8).select(
         id_col,
         F.concat(
             F.unhex(F.lit("DEADBEEF")), F.encode(text_col, "UTF-8")
         ).alias("payload"),
     )
     out = pdf
-    for part in (docx, pptx, eml, html, nb, epub, junk):
+    for part in (docx, pptx, eml, html, nb, epub, odt, junk):
         out = out.unionByName(part)
     return out

@@ -29,7 +29,7 @@ def _expected_main_text(d: int, text: str) -> tuple:
     from pipeline_server_spark.operators.pdf import expected_pdf_text
     from pipeline_server_spark.operators.pptx import expected_pptx_blocks
 
-    cls = d % 8
+    cls = d % 9
     if cls == 0:
         return "pdf", expected_pdf_text(text), None
     if cls == 1:
@@ -59,6 +59,12 @@ def _expected_main_text(d: int, text: str) -> tuple:
         )
 
         return "epub", expected_epub_text(d, text), None
+    if cls == 7:
+        from pipeline_server_spark.operators.odt import (
+            expected_odt_blocks,
+        )
+
+        return "odt", "\n\n".join(expected_odt_blocks(d, text)[0]), None
     return "unknown", None, "unrecognized content type"
 
 
@@ -328,3 +334,46 @@ def srt_transcript_extraction(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (srt_transcripts(attach_srt_corpus(docs))
             .orderBy("doc_id"))
+
+
+def _odt_text_py_oracle(sf_dir: str):
+    """Referee for odt_main_text: expected text straight from the
+    writer's closed form — no ZIP, no XML."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.odt import expected_odt_blocks
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for d, t in rows:
+        blocks, n_p = expected_odt_blocks(int(d), str(t))
+        out.append((int(d), "\n\n".join(blocks), n_p))
+    return pd.DataFrame(
+        out, columns=["doc_id", "odt_text", "n_paragraphs"]
+    ).astype({"n_paragraphs": "int64"})
+
+
+@query("odt_main_text", oracle_py=_odt_text_py_oracle)
+# no SQL oracle: ODF zip+XML parsing is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def odt_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument .odt extraction (operators/odt.py): span-split
+    runs, element-encoded tabs/spaces, headings, lists, a table, and
+    an annotation decoy that must never surface. One Arrow pass in,
+    one out (the docx discipline)."""
+    from pipeline_server_spark.operators.odt import (
+        attach_odt_corpus,
+        odt_main_text as _odt_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parsed = _odt_extract(attach_odt_corpus(docs))
+    return (
+        parsed.select(
+            "doc_id", "odt_text",
+            F.col("n_paragraphs").cast("long").alias("n_paragraphs"))
+        .orderBy("doc_id")
+    )

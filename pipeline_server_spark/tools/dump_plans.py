@@ -471,6 +471,11 @@ SHOW = {
         "alpha=1/2 mixture weights: one source groupBy + 1-row "
         "scalar broadcast, all-integer probability arithmetic"
     ),
+    "odt_main_text": (
+        "ODF extraction: zip + content.xml parse (span splits, "
+        "element-encoded whitespace, annotation excl.) in one Arrow "
+        "pass, corpus-linear"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -1,0 +1,42 @@
+"""ODT extraction (operators/odt.py).
+
+The registry referee is the writer's closed form; these tests pin
+the parser's element handling and quarantine discipline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_server_spark.operators.odt import (
+    expected_odt_blocks,
+    odt_text,
+    synth_odt,
+)
+
+TEXT = " ".join(f"word{i}" for i in range(45))
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 41])
+def test_roundtrip_matches_closed_form(doc_id):
+    r = odt_text(synth_odt(doc_id, TEXT))
+    assert r["err"] is None
+    blocks, n_p = expected_odt_blocks(doc_id, TEXT)
+    assert r["text"] == "\n\n".join(blocks)
+    assert r["n_paragraphs"] == n_p
+
+
+def test_annotation_never_surfaces():
+    r = odt_text(synth_odt(0, TEXT))
+    assert "decoy" not in r["text"]
+
+
+def test_single_word_paragraph_span_split():
+    # 21 words -> 3rd paragraph (i=2, span-split class) has 1 word
+    r = odt_text(synth_odt(0, " ".join(f"w{i}" for i in range(21))))
+    assert r["err"] is None
+    assert "\n\n w" not in r["text"]  # no leading-space paragraphs
+
+
+def test_malformed_quarantines():
+    assert odt_text(b"not a zip")["err"]
