@@ -1,0 +1,209 @@
+"""RTF (Rich Text Format) extraction — the legacy-office tail.
+
+RTF is still the interchange format old CMS exports and legal
+archives arrive in. The format (public Microsoft spec) is a token
+stream: ``{``/``}`` group nesting, ``\\controlword[N]`` with an
+optional numeric parameter and one optional trailing space,
+``\\'hh`` cp1252 hex escapes, ``\\uN?`` unicode escapes whose NEXT
+character is the legacy fallback (consumed), and DESTINATION groups
+(``\\fonttbl``, ``\\colortbl``, ``\\stylesheet``, ``\\info``, and
+any ``{\\*`` …) whose content is metadata, not text. The parser is
+a single linear scan with a group stack; ``\\par`` → newline,
+``\\tab`` → tab, ``\\{ \\} \\\\`` literals.
+
+Scale shape (100 TB): one Arrow pass, corpus-linear, no joins.
+
+Reference scope anchor: unstructured passthrough
+(ObjectStoreLoader.scala:95-144); LLM-brief document family.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PARA_WORDS = 10
+
+_DESTINATIONS = {"fonttbl", "colortbl", "stylesheet", "info",
+                 "generator", "pict"}
+
+_RE_CW = re.compile(r"\\([a-z]+)(-?\d+)? ?", re.I)
+
+
+def rtf_to_text(src: str) -> dict:
+    """Pure-Python core: ``{text, err}`` — linear scan per the
+    module contract. A non-RTF payload is an err row."""
+    if not src.startswith("{\\rtf"):
+        return {"text": None, "err": "not an RTF payload"}
+    out: list[str] = []
+    skip_depth = 0   # >0 while inside a destination group
+    depth = 0
+    i = 0
+    n = len(src)
+    pending_star = False
+    while i < n:
+        ch = src[i]
+        if ch == "{":
+            depth += 1
+            if skip_depth:
+                skip_depth += 1
+            # peek for {\* — a custom destination, always skipped
+            if not skip_depth and src.startswith("{\\*", i):
+                skip_depth = 1
+                pending_star = True
+            i += 1
+            continue
+        if ch == "}":
+            depth -= 1
+            if skip_depth:
+                skip_depth -= 1
+            i += 1
+            continue
+        if ch == "\\":
+            nxt = src[i + 1] if i + 1 < n else ""
+            if nxt == "'":
+                code = src[i + 2:i + 4]
+                if not skip_depth:
+                    try:
+                        out.append(bytes([int(code, 16)])
+                                   .decode("cp1252"))
+                    except ValueError:
+                        pass
+                i += 4
+                continue
+            if nxt in "{}\\":
+                if not skip_depth:
+                    out.append(nxt)
+                i += 2
+                continue
+            m = _RE_CW.match(src, i)
+            if m:
+                word, param = m.group(1), m.group(2)
+                i = m.end()
+                if pending_star:
+                    pending_star = False  # the destination name
+                    continue
+                if word in _DESTINATIONS and not skip_depth:
+                    skip_depth = 1
+                    continue
+                if skip_depth:
+                    continue
+                if word == "par" or word == "line":
+                    out.append("\n")
+                elif word == "tab":
+                    out.append("\t")
+                elif word == "u" and param is not None:
+                    cp = int(param)
+                    if cp < 0:
+                        cp += 65536
+                    out.append(chr(cp))
+                    if i < n and src[i] not in "\\{}":
+                        i += 1  # consume the legacy fallback char
+                continue
+            i += 2  # unknown control symbol
+            continue
+        if ch in "\r\n":
+            i += 1
+            continue
+        if not skip_depth:
+            out.append(ch)
+        i += 1
+    text = "".join(out)
+    # \par at line ends leaves a trailing newline; normalize edges
+    return {"text": text.strip("\n"), "err": None}
+
+
+# -- fixture ------------------------------------------------------------
+def _paras(text: str) -> list:
+    w = text.split()
+    return [" ".join(w[i:i + PARA_WORDS])
+            for i in range(0, len(w), PARA_WORDS)] or [""]
+
+
+def synth_rtf(doc_id: int, text: str) -> str:
+    """Deterministic RTF: header destinations (font/color tables, an
+    \\info title decoy, a {\\*\\generator} custom destination), then
+    one hazard per paragraph by ``i % 3`` (plain / {\\b bold} first
+    word / a cp1252 ``caf\\'e9`` suffix), closing with a unicode
+    em-dash escape line."""
+    d = int(doc_id)
+    body = []
+    for i, p in enumerate(_paras(text)):
+        v = i % 3
+        if v == 1 and " " in p:
+            first, _, rest = p.partition(" ")
+            body.append("{\\b " + first + "} " + rest + "\\par")
+        elif v == 2:
+            body.append(p + " caf\\'e9\\par")
+        else:
+            body.append(p + "\\par")
+    return (
+        "{\\rtf1\\ansi\\deff0"
+        "{\\fonttbl{\\f0\\froman Times New Roman;}}"
+        "{\\colortbl;\\red255\\green0\\blue0;}"
+        "{\\info{\\title secret metadata decoy}}"
+        "{\\*\\generator SynthRTF 1.0;}"
+        f"\\f0\\fs24 Doc {d} title\\par\n"
+        + "\n".join(body)
+        + "\\u8212? end\\par}"
+    )
+
+
+def expected_rtf_text(doc_id: int, text: str) -> str:
+    d = int(doc_id)
+    lines = [f"Doc {d} title"]
+    for i, p in enumerate(_paras(text)):
+        v = i % 3
+        if v == 2:
+            lines.append(p + " café")
+        else:
+            lines.append(p)
+    lines.append("— end")
+    return "\n".join(lines)
+
+
+# -- Spark faces --------------------------------------------------------
+def attach_rtf_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("rtf", T.StringType()),
+    ])
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "rtf": [synth_rtf(int(i), str(t))
+                        for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_gen, schema=schema)
+
+
+def rtf_main_text(df: DataFrame, src_col: str = "rtf",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Spark face: one Arrow pass → ``(id, rtf_text, rtf_err)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("rtf_text", T.StringType()),
+        T.StructField("rtf_err", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, src in zip(b[id_col], b[src_col]):
+                r = rtf_to_text(str(src))
+                rows.append((int(i), r["text"], r["err"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, src_col).mapInPandas(_extract, schema=schema)

@@ -38,10 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-CONTENT_KINDS = ["pdf", "docx", "pptx", "epub", "odt", "eml",
-                 "html", "ipynb", "unknown"]
+CONTENT_KINDS = ["pdf", "docx", "pptx", "epub", "odt", "rtf",
+                 "eml", "html", "ipynb", "unknown"]
 
-_PY_KINDS = ["pdf", "docx", "pptx", "epub", "odt", "eml", "html"]
+_PY_KINDS = ["pdf", "docx", "pptx", "epub", "odt", "rtf", "eml",
+             "html"]
 
 
 def sniff_content_type(payload_col: str = "payload") -> "F.Column":
@@ -55,6 +56,7 @@ def sniff_content_type(payload_col: str = "payload") -> "F.Column":
     is_epub = is_zip & F.contains(p, F.lit(b"application/epub+zip"))
     is_odt = is_zip & F.contains(
         p, F.lit(b"application/vnd.oasis.opendocument.text"))
+    is_rtf = F.substring(p, 1, 5) == F.lit(b"{\\rtf")
     is_nb = (F.substring(p, 1, 1) == F.lit(b"{")) & F.contains(
         head, F.lit(b'"cells"')
     )
@@ -74,6 +76,7 @@ def sniff_content_type(payload_col: str = "payload") -> "F.Column":
         .when(is_pptx, F.lit("pptx"))
         .when(is_epub, F.lit("epub"))
         .when(is_odt, F.lit("odt"))
+        .when(is_rtf, F.lit("rtf"))
         .when(is_nb, F.lit("ipynb"))
         .when(is_html, F.lit("html"))
         .when(is_eml, F.lit("eml"))
@@ -99,6 +102,7 @@ def dispatch_main_text(
     )
     from pipeline_server_spark.operators.ipynb import ipynb_text_cols
     from pipeline_server_spark.operators.pdf import extract_pdf_text
+    from pipeline_server_spark.operators.rtf import rtf_to_text
     from pipeline_server_spark.operators.pptx import pptx_text
 
     typed = df.select(
@@ -136,6 +140,9 @@ def dispatch_main_text(
                         txt, err = r["text"], r["err"]
                     elif kind == "odt":
                         r = odt_text(blob)
+                        txt, err = r["text"], r["err"]
+                    elif kind == "rtf":
+                        r = rtf_to_text(blob.decode("cp1252"))
                         txt, err = r["text"], r["err"]
                     elif kind == "eml":
                         r = eml_text(blob)
@@ -183,9 +190,9 @@ def attach_mixed_corpus(
 ) -> DataFrame:
     """(id, text) → (id, payload BINARY) mixed-format fixture: each
     document renders through ONE of the in-repo spec-shaped writers
-    by ``id % 9`` (pdf / docx / pptx / eml / html / ipynb / epub /
-    odt / junk bytes) — the dispatcher must type and extract all of
-    them."""
+    by ``id % 10`` (pdf / docx / pptx / eml / html / ipynb / epub /
+    odt / rtf / junk bytes) — the dispatcher must type and extract
+    all of them."""
     from pipeline_server_spark.operators.docx import attach_docx_corpus
     from pipeline_server_spark.operators.eml import attach_eml_corpus
     from pipeline_server_spark.operators.html_extract import (
@@ -196,8 +203,9 @@ def attach_mixed_corpus(
     from pipeline_server_spark.operators.odt import attach_odt_corpus
     from pipeline_server_spark.operators.pdf import attach_pdf_corpus
     from pipeline_server_spark.operators.pptx import attach_pptx_corpus
+    from pipeline_server_spark.operators.rtf import attach_rtf_corpus
 
-    cls = F.col(id_col) % 9
+    cls = F.col(id_col) % 10
     base = df.select(id_col, text_col)
 
     pdf = attach_pdf_corpus(base.where(cls == 0)).select(
@@ -224,13 +232,16 @@ def attach_mixed_corpus(
     odt = attach_odt_corpus(base.where(cls == 7)).select(
         id_col, F.col("odt").alias("payload")
     )
-    junk = base.where(cls == 8).select(
+    rtf = attach_rtf_corpus(base.where(cls == 8)).select(
+        id_col, F.encode("rtf", "UTF-8").alias("payload")
+    )
+    junk = base.where(cls == 9).select(
         id_col,
         F.concat(
             F.unhex(F.lit("DEADBEEF")), F.encode(text_col, "UTF-8")
         ).alias("payload"),
     )
     out = pdf
-    for part in (docx, pptx, eml, html, nb, epub, odt, junk):
+    for part in (docx, pptx, eml, html, nb, epub, odt, rtf, junk):
         out = out.unionByName(part)
     return out

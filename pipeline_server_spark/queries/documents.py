@@ -29,7 +29,7 @@ def _expected_main_text(d: int, text: str) -> tuple:
     from pipeline_server_spark.operators.pdf import expected_pdf_text
     from pipeline_server_spark.operators.pptx import expected_pptx_blocks
 
-    cls = d % 9
+    cls = d % 10
     if cls == 0:
         return "pdf", expected_pdf_text(text), None
     if cls == 1:
@@ -65,6 +65,12 @@ def _expected_main_text(d: int, text: str) -> tuple:
         )
 
         return "odt", "\n\n".join(expected_odt_blocks(d, text)[0]), None
+    if cls == 8:
+        from pipeline_server_spark.operators.rtf import (
+            expected_rtf_text,
+        )
+
+        return "rtf", expected_rtf_text(d, text), None
     return "unknown", None, "unrecognized content type"
 
 
@@ -377,3 +383,38 @@ def odt_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_paragraphs").cast("long").alias("n_paragraphs"))
         .orderBy("doc_id")
     )
+
+
+def _rtf_py_oracle(sf_dir: str):
+    """Referee for rtf_main_text: expected text straight from the
+    writer's closed form — no RTF tokenizing."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.rtf import expected_rtf_text
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = [(int(d), expected_rtf_text(int(d), str(t))) for d, t in rows]
+    return pd.DataFrame(out, columns=["doc_id", "rtf_text"])
+
+
+@query("rtf_main_text", oracle_py=_rtf_py_oracle)
+# no SQL oracle: RTF token-stream parsing is not SQL-expressible;
+# the closed-form referee takes the full rows+schema+hash gate
+def rtf_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF extraction (operators/rtf.py): destination groups
+    (font/color tables, \\info metadata, {\\*…} custom destinations)
+    must never surface; cp1252 hex escapes and \\uN? unicode escapes
+    (fallback char consumed) must decode; {\\b …} formatting groups
+    keep their text. One Arrow pass in, one out."""
+    from pipeline_server_spark.operators.rtf import (
+        attach_rtf_corpus,
+        rtf_main_text as _rtf_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (_rtf_extract(attach_rtf_corpus(docs))
+            .select("doc_id", "rtf_text")
+            .orderBy("doc_id"))

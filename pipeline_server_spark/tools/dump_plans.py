@@ -476,6 +476,10 @@ SHOW = {
         "element-encoded whitespace, annotation excl.) in one Arrow "
         "pass, corpus-linear"
     ),
+    "rtf_main_text": (
+        "RTF extraction: linear token-stream scan (destinations "
+        "skipped, escapes decoded) in one Arrow pass, corpus-linear"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

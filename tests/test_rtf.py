@@ -1,0 +1,40 @@
+"""RTF extraction (operators/rtf.py)."""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.rtf import (
+    expected_rtf_text,
+    rtf_to_text,
+    synth_rtf,
+)
+
+
+def test_destinations_skipped():
+    src = (r"{\rtf1{\fonttbl{\f0 Arial;}}{\info{\title meta decoy}}"
+           r"{\*\custom hidden}visible\par}")
+    assert rtf_to_text(src)["text"] == "visible"
+
+
+def test_escapes():
+    assert rtf_to_text(r"{\rtf1 caf\'e9\par}")["text"] == "café"
+    assert rtf_to_text(r"{\rtf1 a\u8212?b\par}")["text"] == "a—b"
+    assert rtf_to_text(r"{\rtf1 brace \{x\} and \\ back\par}")[
+        "text"] == "brace {x} and \\ back"
+    assert rtf_to_text(r"{\rtf1 a\tab b\par}")["text"] == "a\tb"
+
+
+def test_formatting_groups_keep_text():
+    assert rtf_to_text(r"{\rtf1 {\b bold} plain\par}")[
+        "text"] == "bold plain"
+
+
+def test_non_rtf_quarantines():
+    assert rtf_to_text("plain text")["err"]
+
+
+def test_fixture_roundtrip():
+    text = " ".join(f"w{i}" for i in range(50))
+    for d in range(5):
+        got = rtf_to_text(synth_rtf(d, text))
+        assert got["err"] is None
+        assert got["text"] == expected_rtf_text(d, text)

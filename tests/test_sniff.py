@@ -38,6 +38,7 @@ def test_sniff_decision_table(spark):
         (8, b"plain text without structure"),
         (9, b"PK\x03\x04 application/epub+zip more"),
         (10, b"PK\x03\x04 application/vnd.oasis.opendocument.text x"),
+        (11, b"{\\rtf1\\ansi hello}"),
     ]
     df = spark.createDataFrame(payloads, "doc_id long, payload binary")
     got = {
@@ -49,7 +50,7 @@ def test_sniff_decision_table(spark):
     assert got == {
         0: "pdf", 1: "docx", 2: "pptx", 3: "ipynb", 4: "html",
         5: "eml", 6: "unknown", 7: "unknown", 8: "unknown",
-        9: "epub", 10: "odt",
+        9: "epub", 10: "odt", 11: "rtf",
     }
 
 
