@@ -207,3 +207,42 @@ def psl_rules_sql_values() -> str:
         kind, key, n = _classify(r)
         rows.append(f"('{kind}', '{key}', {n})")
     return ", ".join(rows)
+
+
+def domain_suffix_matches(
+    urls: DataFrame,
+    domains: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Label-boundary domain matching — the UT1-blocklist shape every
+    published crawl pipeline (RefinedWeb/FineWeb lineage) gates on:
+    a listed ``domain`` matches a URL whose host IS the domain or
+    ends with ``.domain`` (``www.badcasino.example`` matches
+    ``badcasino.example``; ``notbadcasino.example`` must NOT — label
+    boundaries, not string suffixes). Returns one row per (url,
+    matched domain) with the listed row's other columns carried.
+
+    Scale shape: the host explodes into its ≤127 label suffixes, the
+    list broadcasts, one equi-join — the registrable_domains plan."""
+    carry = [c for c in urls.columns if c != url_col]
+    u = (urls.select(F.col(url_col).alias("url"), *carry)
+         .withColumn("host", F.lower(F.substring_index(
+             F.expr("substring_index(url, '://', -1)"), "/", 1)))
+         .withColumn("labels", F.split("host", r"\."))
+         .withColumn("k", F.size("labels")))
+    cand = (
+        u.select(
+            "url", *carry, "host", "labels", "k",
+            F.explode(F.sequence(F.lit(1), F.col("k"))).alias("i"))
+        .withColumn(
+            "suffix",
+            F.array_join(
+                F.slice("labels", F.col("i"),
+                        F.col("k") - F.col("i") + 1), "."))
+        .select("url", *carry, "host", "suffix")
+    )
+    d = domains.withColumn(domain_col, F.lower(F.col(domain_col)))
+    return cand.join(
+        F.broadcast(d), cand["suffix"] == d[domain_col]
+    ).drop("suffix")

@@ -872,3 +872,84 @@ def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
     return (detect_crawl_traps(urls)
             .orderBy("host", "path_template"))
+
+
+# -- domain blocklist gating -------------------------------------------
+_BLOCKLIST = [("badcasino.example", "gambling"),
+              ("adult-site.example", "adult"),
+              ("tracker.example", "malware"),
+              ("ads.example", "ads")]
+
+_BLOCKLIST_SQL = ", ".join(f"('{d}', '{c}')" for d, c in _BLOCKLIST)
+
+_BLOCK_FIXTURE_SQL = """
+  CASE doc_id % 5
+    WHEN 0 THEN 'https://www.badcasino.example/p/'
+                || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'https://sub.a.adult-site.example/x'
+    WHEN 2 THEN 'https://ok.example.org/a/' || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'https://tracker.example/t'
+    ELSE 'https://notbadcasino.example/x'
+  END
+"""
+
+_BLOCK_ORACLE = f"""
+WITH bl(domain, category) AS (VALUES {_BLOCKLIST_SQL}),
+urls AS (SELECT {_BLOCK_FIXTURE_SQL} AS url FROM documents),
+u AS (
+  SELECT url,
+         lower(string_split(string_split(url, '://')[2], '/')[1])
+           AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM urls GROUP BY 1, 2),
+lab AS (
+  SELECT url, host, n_urls, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS k
+  FROM u),
+cand AS (
+  SELECT url, host, n_urls, labels, k,
+         UNNEST(range(1, k + 1)) AS i
+  FROM lab)
+SELECT c.url, c.host, bl.domain AS matched_domain, bl.category,
+       c.n_urls
+FROM cand c JOIN bl
+  ON array_to_string(c.labels[c.i : c.k], '.') = bl.domain
+ORDER BY c.url
+"""
+
+
+@query("domain_blocklist_filter", oracle=_BLOCK_ORACLE)
+def domain_blocklist_filter(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist gating (operators/psl.py::
+    domain_suffix_matches): listed domains match their own host and
+    every subdomain on LABEL boundaries — ``www.badcasino.example``
+    blocks, ``notbadcasino.example`` must pass. Output is the
+    blocked capture list (url, host, matched domain, category,
+    distinct-url count); the pass-through side is the anti-join.
+    Scale shape: suffix explode bounded by label count + one
+    broadcast join."""
+    from pipeline_server_spark.operators.psl import domain_suffix_matches
+
+    d5 = F.col("doc_id") % 5
+    ds = F.col("doc_id").cast("string")
+    url = (
+        F.when(d5 == 0,
+               F.concat(F.lit("https://www.badcasino.example/p/"), ds))
+        .when(d5 == 1, F.lit("https://sub.a.adult-site.example/x"))
+        .when(d5 == 2,
+              F.concat(F.lit("https://ok.example.org/a/"), ds))
+        .when(d5 == 3, F.lit("https://tracker.example/t"))
+        .otherwise(F.lit("https://notbadcasino.example/x"))
+    )
+    urls = (load_table(spark, sf_dir, "documents")
+            .select(url.alias("url"))
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls")))
+    bl = spark.createDataFrame(_BLOCKLIST, "domain string, category string")
+    return (
+        domain_suffix_matches(urls, bl)
+        .select("url", "host", F.col("domain").alias("matched_domain"),
+                "category", "n_urls")
+        .orderBy("url")
+    )

@@ -480,6 +480,10 @@ SHOW = {
         "RTF extraction: linear token-stream scan (destinations "
         "skipped, escapes decoded) in one Arrow pass, corpus-linear"
     ),
+    "domain_blocklist_filter": (
+        "UT1 blocklist gating: label-boundary suffix explode + one "
+        "BROADCAST list join — pure Catalyst, list-sized dimension"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

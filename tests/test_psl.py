@@ -58,3 +58,36 @@ def test_psl_longest_literal_wins(spark):
     row = registrable_domains(hosts).collect()[0]
     assert row.public_suffix == "ac.uk"
     assert row.registrable_domain == "y.ac.uk"
+
+
+class TestDomainBlocklist:
+    """domain_suffix_matches (round-13 session 4)."""
+
+    def test_label_boundary_matching(self, spark):
+        from pipeline_server_spark.operators.psl import (
+            domain_suffix_matches)
+        urls = spark.createDataFrame(
+            [("https://www.bad.example/p", 1),
+             ("https://bad.example/q", 2),
+             ("https://notbad.example/r", 3),
+             ("https://deep.sub.bad.example/s", 4),
+             ("https://ok.example.org/t", 5)],
+            "url string, tag long")
+        bl = spark.createDataFrame(
+            [("bad.example", "spam")], "domain string, category string")
+        got = {(r.url, r.category, r.tag)
+               for r in domain_suffix_matches(urls, bl).collect()}
+        assert got == {
+            ("https://www.bad.example/p", "spam", 1),
+            ("https://bad.example/q", "spam", 2),
+            ("https://deep.sub.bad.example/s", "spam", 4),
+        }
+
+    def test_case_insensitive(self, spark):
+        from pipeline_server_spark.operators.psl import (
+            domain_suffix_matches)
+        urls = spark.createDataFrame(
+            [("https://WWW.Bad.Example/p",)], "url string")
+        bl = spark.createDataFrame(
+            [("BAD.example", "spam")], "domain string, category string")
+        assert domain_suffix_matches(urls, bl).count() == 1
