@@ -339,3 +339,91 @@ def temperature_mixture_weights(spark: SparkSession,
         )
         .orderBy("source")
     )
+
+
+# -- readability --------------------------------------------------------
+_READ_ORACLE = """
+WITH fx AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(0, CAST((len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) + 11) // 12
+                           AS INT)),
+             i -> array_to_string(
+                    list_slice(list_filter(string_split(text, ' '),
+                                           x -> x <> ''),
+                               i * 12 + 1, i * 12 + 12), ' ')),
+           '. ') || '.' AS prose
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(prose, '[.!?]+')) AS BIGINT) AS s,
+         regexp_extract_all(lower(prose), '[a-z0-9]+') AS words
+  FROM fx),
+c AS (
+  SELECT doc_id, s,
+         CAST(len(words) AS BIGINT) AS w,
+         CAST(list_sum(list_transform(words,
+              x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+              AS BIGINT) AS syl
+  FROM m)
+SELECT doc_id, s AS n_sentences, w AS n_words, syl AS n_syllables,
+       CAST((206835 * s * w - 1015 * w * w - 84600 * syl * s)
+            // (s * w) AS BIGINT) AS fre_milli,
+       CAST((390 * w * w + 11800 * syl * s - 15590 * s * w)
+            // (s * w) AS BIGINT) AS fk_grade_milli
+FROM c ORDER BY doc_id
+"""
+
+
+@query("readability_scores", oracle=_READ_ORACLE)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade as EXACT integer
+    arithmetic: the fixture sentence-izes each document (12-word
+    chunks, period-joined), sentences count as ``[.!?]+`` runs,
+    words as ``[a-z0-9]+`` runs, syllables as vowel-group runs
+    (min 1/word — the published heuristic), and both scores clear
+    their divisions over the common S·W denominator:
+
+        FRE·10³  = (206835·S·W − 1015·W² − 84600·Syl·S) div (S·W)
+        FKG·10³  = (390·W² + 11800·Syl·S − 15590·S·W) div (S·W)
+
+    — floor-div of exact bigints, no float anywhere. One projection
+    pass; a length-quality signal the Gopher rules don't cover."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    nch = (F.size(toks) + 11).cast("long")
+    nch = F.expr(
+        "(size(filter(split(text, ' '), x -> x != '')) + 11) div 12")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (nch - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+    )
+    prose = F.concat(F.array_join(chunks, ". "), F.lit("."))
+    fx = load_table(spark, sf_dir, "documents").select(
+        "doc_id", prose.alias("prose"))
+    words = F.regexp_extract_all(F.lower("prose"), F.lit("[a-z0-9]+"), 0)
+    syl_arr = F.transform(
+        words,
+        lambda x: F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(x, F.lit("[aeiouy]+"), 0))),
+    )
+    c = fx.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("prose", F.lit("[.!?]+"), 0))
+        .cast("long").alias("s"),
+        F.size(words).cast("long").alias("w"),
+        F.aggregate(syl_arr, F.lit(0),
+                    lambda acc, x: acc + x).cast("long").alias("syl"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("s").alias("n_sentences"),
+        F.col("w").alias("n_words"),
+        F.col("syl").alias("n_syllables"),
+        F.expr("(206835 * s * w - 1015 * w * w - 84600 * syl * s) "
+               "div (s * w)").cast("long").alias("fre_milli"),
+        F.expr("(390 * w * w + 11800 * syl * s - 15590 * s * w) "
+               "div (s * w)").cast("long").alias("fk_grade_milli"),
+    ).orderBy("doc_id")

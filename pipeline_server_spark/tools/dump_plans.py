@@ -484,6 +484,10 @@ SHOW = {
         "UT1 blocklist gating: label-boundary suffix explode + one "
         "BROADCAST list join — pure Catalyst, list-sized dimension"
     ),
+    "readability_scores": (
+        "Flesch/FK readability: one codegen-able projection pass, "
+        "all-integer score algebra over the common S*W denominator"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -544,3 +544,35 @@ class TestTemperatureMixture:
         # probabilities normalize (integer division truncation only)
         total = sum(r.prob_ppb for r in rows)
         assert 0 <= 1_000_000_000 - total < len(rows)
+
+
+class TestReadability:
+    """readability_scores (round-13 session 4)."""
+
+    def test_scores_match_plain_python(self, spark):
+        import re
+
+        from pipeline_server_spark.queries.hygiene import (
+            readability_scores)
+        import duckdb
+        rows = readability_scores(
+            spark, "/root/testdata/sf0.001").collect()
+        texts = dict(duckdb.connect().execute(
+            "SELECT doc_id, text FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')").fetchall())
+        for r in rows[:40]:
+            toks = [t for t in texts[r.doc_id].split(" ") if t]
+            prose = ". ".join(
+                " ".join(toks[i:i + 12])
+                for i in range(0, len(toks), 12)) + "."
+            s = len(re.findall(r"[.!?]+", prose))
+            words = re.findall(r"[a-z0-9]+", prose.lower())
+            w = len(words)
+            syl = sum(max(1, len(re.findall(r"[aeiouy]+", x)))
+                      for x in words)
+            assert (r.n_sentences, r.n_words, r.n_syllables) == (s, w, syl)
+            fre = 206.835 - 1.015 * w / s - 84.6 * syl / w
+            assert abs(r.fre_milli / 1000 - fre) < 0.001
+            # the integer floor-div contract assumes positive scores
+            # (true for any natural-language-like corpus); pin it
+            assert r.fre_milli > 0 and r.fk_grade_milli > 0
