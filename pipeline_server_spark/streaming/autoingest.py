@@ -183,6 +183,7 @@ def warc_ingest_stream(
     quarantine_path: str | None = None,
     robots_rules: "DataFrame | None" = None,
     dedup_digests: bool = False,
+    near_dup_gate: bool = False,
     frontier_table_path: str | None = None,
     max_files_per_trigger: int | None = None,
     auto_compact_dirs: int | None = None,
@@ -210,6 +211,16 @@ def warc_ingest_stream(
     5. EXTRACTION pass (Arrow): charset/content-encoding-correct
        decode (undecodable pages quarantine, never mojibake) + main
        text, appended under the exactly-once batch-id protocol.
+    5b. NEAR-DUP gate when ``near_dup_gate``: SimHash-64 over the
+       EXTRACTED text (the signal digest dedup is blind to — the
+       same article under different site chrome has a different
+       payload digest but the same main text); within-batch pairs
+       drop the lexicographically-larger page, then the survivors
+       probe the destination's stored simhash column through the
+       incremental multi-index band join
+       (operators/dedup.py::hamming_incremental_pairs) — no corpus
+       self-join, O(batch + collisions) per trigger. The committed
+       table carries ``simhash`` so future batches probe it.
     6. FRONTIER emission when ``frontier_table_path`` is given
        (round-13 discovery loop): the SAME Arrow pass also extracts
        anchors (RFC 3986 resolution + nofollow policy,
@@ -383,6 +394,40 @@ def warc_ingest_stream(
                 quarantine.commit_append(bad, metadata={"batch_id": bid})
             good = (out.where(F.col("_bad_archive").isNull())
                     .drop("_bad_archive"))
+            if near_dup_gate:
+                from pipeline_server_spark.operators.dedup import (
+                    hamming_incremental_pairs,
+                    hamming_near_pairs,
+                    simhash_64,
+                )
+                sigs = simhash_64(
+                    good.select(F.col("canonical_url").alias("cu"),
+                                F.col("main_text").alias("text")),
+                    id_col="cu", text_col="text")
+                # within-batch: every near pair keeps its smaller url
+                in_batch = hamming_near_pairs(sigs, "simhash")
+                drop_ids = in_batch.select(
+                    F.col("doc_b").alias("doc_id")).distinct()
+                survivors = sigs.join(drop_ids, "doc_id", "left_anti")
+                if (table.current_version() is not None
+                        and "simhash" in table.read().columns):
+                    corpus = (table.read()
+                              .select(F.col("canonical_url")
+                                      .alias("doc_id"), "simhash")
+                              .where(F.col("simhash").isNotNull()))
+                    hits = hamming_incremental_pairs(
+                        corpus, survivors, "simhash")
+                    drop_ids = drop_ids.unionByName(
+                        hits.select(F.col("batch_id").alias("doc_id"))
+                        .distinct())
+                good = good.join(
+                    drop_ids.withColumnRenamed("doc_id",
+                                               "canonical_url"),
+                    "canonical_url", "left_anti")
+                good = good.join(
+                    sigs.select(F.col("doc_id").alias("canonical_url"),
+                                "simhash"),
+                    "canonical_url", "left")
             if frontier_table is not None and not good.isEmpty() \
                     and bid not in committed_batch_ids(frontier_table,
                                                        scan_last):

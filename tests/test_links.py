@@ -244,3 +244,70 @@ class TestAnchorText:
         assert r.n_refs == 5
         assert r.n_nofollow_refs == 1
         assert r.n_anchor_texts == 3
+
+
+class TestStreamingNearDupGate:
+    """Round-13 session 4: the SimHash near-dup gate in the crawl
+    loader — same article under different chrome has a different
+    payload digest (digest dedup blind) but the same main text."""
+
+    def _archive(self, pages):
+        from pipeline_server_spark.operators.warc import build_warc
+        return build_warc(pages)
+
+    @staticmethod
+    def _page(article, nav_label):
+        return ("<html><body><nav><ul>"
+                f'<li><a href="/s1">{nav_label} one</a></li>'
+                f'<li><a href="/s2">{nav_label} two</a></li>'
+                "</ul></nav>"
+                f"<p>{article}</p></body></html>")
+
+    def test_gate_drops_same_text_different_chrome(self, spark, tmp_path):
+        from pipeline_server_spark.pipeline.writers import VersionedTable
+        from pipeline_server_spark.streaming.autoingest import (
+            warc_ingest_stream)
+
+        landing = tmp_path / "crawl"
+        landing.mkdir()
+        article = ("the quick brown fox story told in enough words "
+                   "to clear the extractor length gate easily")
+        other = ("a completely different report about spark shuffle "
+                 "partitions and adaptive execution behaviour")
+        U = "https://n.example.com/"
+        (landing / "w1.warc").write_bytes(self._archive([
+            (1, self._page(article, "menu"), U + "a"),
+            (2, self._page(article, "sidebar"), U + "b"),  # near-dup
+            (3, self._page(other, "menu"), U + "c"),
+        ]))
+        kw = dict(table_path=str(tmp_path / "t"),
+                  checkpoint_dir=str(tmp_path / "ck"),
+                  dedup_digests=True, near_dup_gate=True,
+                  available_now=True)
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+
+        t = VersionedTable(spark, str(tmp_path / "t"))
+        rows = {r.canonical_url: r for r in t.read().collect()}
+        # within-batch: /a beats /b (lexicographic); /c distinct
+        assert set(rows) == {U + "a", U + "c"}
+        assert rows[U + "a"].simhash is not None
+
+        # wave 2: the same article under a THIRD chrome must probe
+        # the stored corpus simhashes and drop; a new doc lands
+        third = ("fresh coverage of versioned table compaction and "
+                 "manifest checkpoints in the lakehouse layer")
+        (landing / "w2.warc").write_bytes(self._archive([
+            (4, self._page(article, "footer"), U + "d"),
+            (5, self._page(third, "menu"), U + "e"),
+        ]))
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+        rows = {r.canonical_url for r in t.read().collect()}
+        assert rows == {U + "a", U + "c", U + "e"}
+
+        # restart: nothing re-delivers
+        v0 = t.current_version()
+        q = warc_ingest_stream(spark, str(landing), **kw)
+        q.awaitTermination(120)
+        assert t.current_version() == v0
