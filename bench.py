@@ -188,6 +188,11 @@ HEADLINE = [
     # projection + the candidate-bounded entropy explode; regression
     # means the entropy pass went corpus-sized
     "secret_detection_findings",
+    # round-13: the crawl capstone — WARC to curated corpus in one
+    # plan (3 Arrow passes + digest window + MIH join + CC);
+    # regression means a stage fell out of plan or CC stopped
+    # converging in O(log) rounds
+    "web_corpus_curation_pipeline",
 ]
 
 

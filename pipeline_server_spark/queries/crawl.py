@@ -953,3 +953,150 @@ def domain_blocklist_filter(spark: SparkSession,
                 "category", "n_urls")
         .orderBy("url")
     )
+
+
+# -- the crawl capstone: end-to-end curation ---------------------------
+_CURATION_MIN_CHARS = 50
+
+
+def _py_simhash64(text: str) -> "int | None":
+    from pipeline_server_spark.queries.classifier import _xxh64
+
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return None
+    sums = [0] * 64
+    for t in toks:
+        h = _xxh64(t.encode("utf-8"), 42)
+        for b in range(64):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if sums[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def _curation_py_oracle(sf_dir: str):
+    """Referee for web_corpus_curation_pipeline: every stage's
+    expectation from the generators' closed forms — HTML main text
+    (the round-12 paragraph closed form), digest groups (mirrors for
+    doc_id < 30, winner = the /doc/ URI), the quality gate, and the
+    SimHash canonicalization brute-forced with the pure-Python
+    XXH64 + union-find. No WARC, HTTP, or HTML parsing anywhere."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.html_extract import (
+        ENTITY_PARA_TEXT, PARA_WORDS)
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    gated = []
+    for doc_id, text in rows:
+        d = int(doc_id)
+        w = str(text).split()
+        paras = [" ".join(w[i:i + PARA_WORDS])
+                 for i in range(0, len(w), PARA_WORDS)]
+        if d % 5 == 4:
+            paras.append(ENTITY_PARA_TEXT)
+        kept = [p for p in paras if len(p) >= 25]
+        main = "\n".join(kept)
+        if len(kept) >= 1 and len(main) >= _CURATION_MIN_CHARS:
+            gated.append((d, main, 2 if d < 30 else 1, len(kept),
+                          len(main)))
+    hs = {d: _py_simhash64(m) for d, m, _, _, _ in gated}
+    parent = {d: d for d in hs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    keyed = [d for d in hs if hs[d] is not None]
+    for i, a in enumerate(keyed):
+        for b in keyed[i + 1:]:
+            if bin(hs[a] ^ hs[b]).count("1") <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    out = []
+    for d, main, n_copies, kept, chars in gated:
+        canon = find(d)
+        out.append((d, f"https://example.org/doc/{d}", n_copies,
+                    kept, chars, canon, canon == d))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "uri", "n_copies", "kept_blocks", "main_chars",
+        "canonical_id", "is_canonical"]).astype({
+            "n_copies": "int64", "kept_blocks": "int32",
+            "main_chars": "int32", "canonical_id": "int64"})
+
+
+@query("web_corpus_curation_pipeline", oracle_py=_curation_py_oracle)
+# no SQL oracle: the chain composes WARC framing, HTML parsing, and
+# iterative canonicalization; the closed-form referee (which also
+# brute-forces the SimHash graph in pure Python) takes the full
+# rows+schema+hash gate
+def web_corpus_curation_pipeline(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """THE CRAWL CAPSTONE — archives on disk to a curated corpus in
+    ONE plan, every stage an operator this engine already ships:
+    WARC framing + HTTP envelopes (incl. per-record gzip, charset /
+    content-encoding / chunked wire forms) → digest verification →
+    URL canonicalization → exact mirror dedup on the payload digest
+    (winner = smallest canonical URL; counts exact) → main-content
+    extraction → a quality gate (≥ 1 kept block, ≥ 50 main chars) →
+    SimHash near-dup canonicalization (connectivity edges → CC) —
+    output one row per surviving capture with its duplicate-class
+    assignment. Deleting ``is_canonical = false`` rows materializes
+    the training corpus.
+
+    Scale shape: three chained Arrow passes + one digest window +
+    the MIH band join over distinct hashes + O(log) CC rounds; no
+    cartesians, no collects beyond CC's convergence scalars."""
+    from pyspark.sql import Window as W
+
+    from pipeline_server_spark.operators.dedup import (
+        connected_components, hamming_connectivity_edges, simhash_64)
+    from pipeline_server_spark.operators.html_extract import (
+        html_main_text)
+    from pipeline_server_spark.operators.urlnorm import canonical_url
+    from pipeline_server_spark.operators.warc import (
+        attach_warc_corpus, warc_records)
+
+    d = load_table(spark, sf_dir, "documents")
+    recs = warc_records(attach_warc_corpus(d, mirror_below=30))
+    resp = (recs.where((F.col("warc_type") == "response")
+                       & (F.col("http_status") == 200)
+                       & F.col("digest_ok")
+                       & F.col("decode_err").isNull())
+            .withColumn("curl", canonical_url("uri")))
+    w = W.partitionBy("payload_digest").orderBy("curl", "uri")
+    wc = W.partitionBy("payload_digest")
+    winners = (resp
+               .withColumn("n_copies",
+                           F.count(F.lit(1)).over(wc).cast("long"))
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1))
+    pages = winners.select(
+        "uri", "n_copies", F.col("text").alias("html"),
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"))
+    ex = html_main_text(pages, carry=("uri", "n_copies"))
+    gated = ex.where((F.col("kept_blocks") >= 1)
+                     & (F.col("main_chars") >= _CURATION_MIN_CHARS))
+    sigs = simhash_64(gated.select("doc_id",
+                                   F.col("main_text").alias("text")))
+    edges = hamming_connectivity_edges(sigs, "simhash", max_hamming=3)
+    cc = connected_components(edges)
+    return (gated
+            .join(cc, gated["doc_id"] == cc["node"], "left")
+            .select(
+                "doc_id", "uri", "n_copies", "kept_blocks",
+                "main_chars",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                .alias("canonical_id"))
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("canonical_id"))
+            .orderBy("doc_id"))

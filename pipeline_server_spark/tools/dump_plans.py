@@ -488,6 +488,11 @@ SHOW = {
         "Flesch/FK readability: one codegen-able projection pass, "
         "all-integer score algebra over the common S*W denominator"
     ),
+    "web_corpus_curation_pipeline": (
+        "crawl capstone: three chained Arrow passes + digest "
+        "window + MIH band join over distinct hashes + O(log) CC "
+        "rounds — archives to curated corpus in one plan"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "
