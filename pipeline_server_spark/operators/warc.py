@@ -246,6 +246,7 @@ def parse_warc(payload: bytes) -> list:
             "uri": fields.get("warc-target-uri", ""),
             "content_type": fields.get("content-type", ""),
             "payload_digest": fields.get("warc-payload-digest", ""),
+            "refers_to": fields.get("warc-refers-to", ""),
             "body": payload[body_lo:body_hi],
         })
         pos = body_hi
@@ -564,3 +565,109 @@ def digest_dedup_groups(resp: DataFrame, evidence_cap: int = 8,
                             F.col(uri_col)))), "|")
                  .alias("uris"))
             .where(F.col("n_copies") > 1))
+
+
+# -- WET: the extracted-text sibling format ----------------------------
+def build_wet(entries: "list", per_record_gzip: bool = False) -> bytes:
+    """A WET archive (the CommonCrawl *.warc.wet convention): one
+    ``warcinfo`` then a ``conversion`` record per entry — ``entries``
+    items are ``(uri, text)``; the conversion body is the UTF-8
+    plain text, ``WARC-Refers-To`` names the response record the
+    text was extracted from (the fixture derives it from the uri the
+    same way the crawl writer does, so the linkage is real)."""
+    out = []
+    info = (b"software: pipeline-server-spark fixture writer\r\n"
+            b"format: WARC File Format 1.0\r\n"
+            b"isPartOf: wet-extraction\r\n")
+    out.append(_record("warcinfo", [
+        ("WARC-Record-ID", _rec_id("wetinfo")),
+        ("WARC-Date", _FIXED_DATE),
+        ("Content-Type", "application/warc-fields"),
+    ], info))
+    for uri, text in entries:
+        body = text.encode("utf-8")
+        out.append(_record("conversion", [
+            ("WARC-Record-ID", _rec_id(f"conv:{uri}")),
+            ("WARC-Refers-To", _rec_id(f"resp:{uri}")),
+            ("WARC-Date", _FIXED_DATE),
+            ("WARC-Target-URI", uri),
+            ("Content-Type", "text/plain"),
+        ], body))
+    if per_record_gzip:
+        return b"".join(
+            gzip.compress(r, compresslevel=6, mtime=0) for r in out)
+    return b"".join(out)
+
+
+def wet_export(df: DataFrame, uri_col: str = "uri",
+               text_col: str = "text", group_col: str = "archive_id",
+               per_record_gzip_odd: bool = True) -> DataFrame:
+    """Curated rows → WET archive payloads, one per ``group_col``
+    value (odd groups per-record-gzip when ``per_record_gzip_odd`` —
+    both framings on the wire, like the crawl fixture). One
+    applyInPandas pass per archive group."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(group_col, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        aid = int(key[0])
+        pdf = pdf.sort_values(uri_col)
+        entries = [(str(u), str(t))
+                   for u, t in zip(pdf[uri_col], pdf[text_col])]
+        return pd.DataFrame({
+            group_col: [aid],
+            "payload": [build_wet(
+                entries,
+                per_record_gzip=per_record_gzip_odd and bool(aid % 2))],
+        })
+
+    return (df.select(group_col, uri_col, text_col)
+            .groupBy(group_col).applyInPandas(_pack, schema=schema))
+
+
+def wet_records(df: DataFrame, payload_col: str = "payload",
+                group_col: str = "archive_id") -> DataFrame:
+    """WET archives → one row per conversion record: ``(group, uri,
+    refers_to, wet_text, n_chars)``; malformed archives carry
+    ``_bad_archive`` (quarantine discipline). One Arrow pass."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(group_col, T.LongType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("refers_to", T.StringType()),
+        T.StructField("wet_text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("_bad_archive", T.StringType()),
+    ])
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for aid, payload in zip(b[group_col], b[payload_col]):
+                try:
+                    recs = parse_warc(bytes(payload))
+                except ValueError as ex:
+                    rows.append((int(aid), None, None, None, None,
+                                 str(ex)[:200]))
+                    continue
+                for r in recs:
+                    if r["type"] != "conversion":
+                        continue
+                    try:
+                        text = r["body"].decode("utf-8")
+                    except UnicodeDecodeError as ex:
+                        rows.append((int(aid), r["uri"], None, None,
+                                     None, f"{r['uri']}: {ex}"[:200]))
+                        continue
+                    rows.append((int(aid), r["uri"],
+                                 r["refers_to"] or r["record_id"],
+                                 text, len(text), None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (df.select(group_col, payload_col)
+            .mapInPandas(_parse, schema=schema))

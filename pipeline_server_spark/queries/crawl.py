@@ -1100,3 +1100,42 @@ def web_corpus_curation_pipeline(spark: SparkSession,
             .withColumn("is_canonical",
                         F.col("doc_id") == F.col("canonical_id"))
             .orderBy("doc_id"))
+
+
+# -- WET round-trip -----------------------------------------------------
+_WET_ORACLE = """
+SELECT doc_id,
+       'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       text AS wet_text,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("wet_export_roundtrip", oracle=_WET_ORACLE)
+def wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export + ingest as inverses (operators/warc.py): the
+    corpus writes out as real CommonCrawl-convention WET archives
+    (warcinfo + conversion records, WARC-Refers-To linkage, odd
+    archives per-record-gzip) and parses back — every document's
+    text must survive the binary round trip byte-identically, which
+    is why the oracle is simply the documents table. Two Arrow
+    passes + one archive groupBy."""
+    from pipeline_server_spark.operators.warc import (
+        DOCS_PER_ARCHIVE, wet_export, wet_records)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"doc_id div {DOCS_PER_ARCHIVE}").alias("archive_id"),
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("uri"),
+        "text")
+    wet = wet_export(d)
+    back = wet_records(wet)
+    return (back.where(F.col("_bad_archive").isNull())
+            .select(
+                F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long")
+                .alias("doc_id"),
+                "uri", "wet_text",
+                F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))

@@ -493,6 +493,10 @@ SHOW = {
         "window + MIH band join over distinct hashes + O(log) CC "
         "rounds — archives to curated corpus in one plan"
     ),
+    "wet_export_roundtrip": (
+        "WET export+ingest inverses: archive groupBy + two Arrow "
+        "passes; text survives the binary round trip byte-identically"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

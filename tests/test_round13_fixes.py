@@ -576,3 +576,31 @@ class TestReadability:
             # the integer floor-div contract assumes positive scores
             # (true for any natural-language-like corpus); pin it
             assert r.fre_milli > 0 and r.fk_grade_milli > 0
+
+
+class TestWetFormat:
+    """WET writer/reader (round-13 session 4)."""
+
+    def test_roundtrip_and_linkage(self):
+        from pipeline_server_spark.operators.warc import (
+            _rec_id, build_wet, parse_warc)
+        entries = [("https://e.org/doc/1", "hello world"),
+                   ("https://e.org/doc/2", "résumé — naïve ★")]
+        for gz in (False, True):
+            recs = parse_warc(build_wet(entries, per_record_gzip=gz))
+            assert [r["type"] for r in recs] == \
+                ["warcinfo", "conversion", "conversion"]
+            conv = recs[1:]
+            assert [r["body"].decode() for r in conv] == \
+                ["hello world", "résumé — naïve ★"]
+            # WARC-Refers-To names the crawl response record
+            assert conv[0]["refers_to"] == _rec_id(
+                "resp:https://e.org/doc/1")
+
+    def test_wet_records_quarantines_bad_archive(self, spark):
+        from pipeline_server_spark.operators.warc import wet_records
+        df = spark.createDataFrame(
+            [(0, b"WARC/1.0\r\nbroken")],
+            "archive_id long, payload binary")
+        rows = wet_records(df).collect()
+        assert len(rows) == 1 and rows[0]._bad_archive
