@@ -1,0 +1,315 @@
+"""EXIF metadata: TIFF-IFD parse/write inside JPEG APP1 + GPS scrub.
+
+Image provenance (camera make/model, capture time) drives dataset
+curation, and GPS sub-IFDs are a PRIVACY liability every published
+image-corpus pipeline strips before release. This module implements
+the public contract (EXIF 2.x = a TIFF structure behind an
+``Exif\\0\\0`` APP1 header; JPEG segment framing per ISO 10918):
+
+- ``build_exif_app1`` / ``parse_exif``: byte-order-aware ('II' and
+  'MM') IFD walk — ASCII / SHORT / LONG / RATIONAL values, IFD0 +
+  the GPS sub-IFD behind tag 0x8825;
+- ``insert_app1`` splices the segment right after SOI;
+- ``strip_gps`` rewrites ONLY the APP1 (rebuilt without the GPS
+  pointer and its sub-IFD); every other byte of the JPEG — headers,
+  quant tables, entropy-coded scan — is passed through UNTOUCHED,
+  so pixel identity is structural, not incidental.
+
+Scale shape (100 TB): one Arrow pass per operation, corpus-linear,
+no joins.
+
+Reference scope anchor: byte-passthrough media (S5,
+ObjectStoreLoader.scala:95-144); LLM-brief multimodal-metadata
+family.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_DATETIME = 0x0132
+_TAG_GPS_IFD = 0x8825
+_GPS_LAT_REF = 0x0001
+_GPS_LAT = 0x0002
+_GPS_LON_REF = 0x0003
+_GPS_LON = 0x0004
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _entry(tag: int, typ: int, values, data: bytearray,
+           data_base: int) -> bytes:
+    """One 12-byte IFD entry; long values append to ``data``."""
+    if typ == 2:  # ASCII, NUL-terminated
+        raw = values.encode("ascii") + b"\x00"
+        count = len(raw)
+    elif typ == 5:  # RATIONAL pairs
+        raw = b"".join(struct.pack("<II", n, d) for n, d in values)
+        count = len(values)
+    elif typ in (3, 4):
+        fmt = "<H" if typ == 3 else "<I"
+        raw = b"".join(struct.pack(fmt, v) for v in values)
+        count = len(values)
+    else:
+        raise ValueError(f"unsupported type {typ}")
+    if len(raw) <= 4:
+        val = raw + b"\x00" * (4 - len(raw))
+        return struct.pack("<HHI", tag, typ, count) + val
+    off = data_base + len(data)
+    data.extend(raw)
+    return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", off)
+
+
+def _build_ifd(entries: list, base: int) -> bytes:
+    """entries: [(tag, typ, values)] → IFD bytes at absolute TIFF
+    offset ``base`` (count + entries + next=0 + data area)."""
+    head_len = 2 + 12 * len(entries) + 4
+    data = bytearray()
+    body = b"".join(
+        _entry(tag, typ, vals, data, base + head_len)
+        for tag, typ, vals in sorted(entries))
+    return (struct.pack("<H", len(entries)) + body
+            + struct.pack("<I", 0) + bytes(data))
+
+
+def build_exif_app1(make: str, model: str, datetime: str,
+                    gps: "tuple | None" = None) -> bytes:
+    """APP1 payload (after the FFE1+length framing): ``Exif\\0\\0`` +
+    little-endian TIFF. ``gps`` = (lat_deg, lat_ref, lon_deg,
+    lon_ref) with integer degrees (fixture-grade; rationals carry
+    denominator 1)."""
+    ifd0_entries = [
+        (_TAG_MAKE, 2, make),
+        (_TAG_MODEL, 2, model),
+        (_TAG_DATETIME, 2, datetime),
+    ]
+    if gps is not None:
+        # reserve: compute IFD0 twice — first pass sizes it
+        probe = _build_ifd(
+            ifd0_entries + [(_TAG_GPS_IFD, 4, [0])], 8)
+        gps_off = 8 + len(probe)
+        lat_deg, lat_ref, lon_deg, lon_ref = gps
+        gps_ifd = _build_ifd([
+            (_GPS_LAT_REF, 2, lat_ref),
+            (_GPS_LAT, 5, [(int(lat_deg), 1), (0, 1), (0, 1)]),
+            (_GPS_LON_REF, 2, lon_ref),
+            (_GPS_LON, 5, [(int(lon_deg), 1), (0, 1), (0, 1)]),
+        ], gps_off)
+        ifd0 = _build_ifd(
+            ifd0_entries + [(_TAG_GPS_IFD, 4, [gps_off])], 8)
+        tiff_body = ifd0 + gps_ifd
+    else:
+        tiff_body = _build_ifd(ifd0_entries, 8)
+    tiff = b"II*\x00" + struct.pack("<I", 8) + tiff_body
+    return b"Exif\x00\x00" + tiff
+
+
+def _read_ifd(tiff: bytes, off: int, bo: str) -> dict:
+    n = struct.unpack_from(bo + "H", tiff, off)[0]
+    out = {}
+    for k in range(n):
+        e = off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(bo + "HHI", tiff, e)
+        size = _TYPE_SIZES.get(typ, 1) * count
+        if size <= 4:
+            voff = e + 8
+        else:
+            voff = struct.unpack_from(bo + "I", tiff, e + 8)[0]
+        if typ == 2:
+            val = tiff[voff:voff + count].split(b"\x00")[0] \
+                .decode("ascii", "replace")
+        elif typ == 5:
+            val = [struct.unpack_from(bo + "II", tiff, voff + 8 * j)
+                   for j in range(count)]
+        elif typ in (3, 4):
+            fmt = bo + ("H" if typ == 3 else "I")
+            step = _TYPE_SIZES[typ]
+            val = [struct.unpack_from(fmt, tiff, voff + step * j)[0]
+                   for j in range(count)]
+        else:
+            val = tiff[voff:voff + size]
+        out[tag] = val
+    return out
+
+
+def parse_exif(app1: bytes) -> dict:
+    """APP1 payload → ``{make, model, datetime, gps}`` (``gps`` is
+    ``(lat_milli, lat_ref, lon_milli, lon_ref)`` or None; lat/lon in
+    millidegrees from the d/m/s rationals). Raises ValueError on a
+    non-EXIF payload."""
+    if not app1.startswith(b"Exif\x00\x00"):
+        raise ValueError("not an Exif APP1 payload")
+    tiff = app1[6:]
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF byte order")
+    if struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd0_off = struct.unpack_from(bo + "I", tiff, 4)[0]
+    ifd0 = _read_ifd(tiff, ifd0_off, bo)
+
+    def _dms_milli(rats) -> int:
+        num = 0
+        for (n, d), scale in zip(rats, (3600000, 60000, 1000)):
+            num += (n * scale) // max(d, 1)
+        return num // 3600
+
+    gps = None
+    if _TAG_GPS_IFD in ifd0:
+        g = _read_ifd(tiff, ifd0[_TAG_GPS_IFD][0], bo)
+        if _GPS_LAT in g and _GPS_LON in g:
+            gps = (_dms_milli(g[_GPS_LAT]), g.get(_GPS_LAT_REF, "?"),
+                   _dms_milli(g[_GPS_LON]), g.get(_GPS_LON_REF, "?"))
+    return {
+        "make": ifd0.get(_TAG_MAKE),
+        "model": ifd0.get(_TAG_MODEL),
+        "datetime": ifd0.get(_TAG_DATETIME),
+        "gps": gps,
+    }
+
+
+# -- JPEG segment surgery ----------------------------------------------
+def _iter_segments(jpeg: bytes):
+    """(marker, start, end) for every segment incl. SOI; the
+    entropy-coded tail after SOS is one pseudo-segment (0xDA…EOI)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    yield 0xD8, 0, 2
+    pos = 2
+    n = len(jpeg)
+    while pos + 4 <= n:
+        if jpeg[pos] != 0xFF:
+            raise ValueError("bad segment marker")
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:  # SOS: rest of file is scan + EOI
+            yield 0xDA, pos, n
+            return
+        length = struct.unpack_from(">H", jpeg, pos + 2)[0]
+        yield marker, pos, pos + 2 + length
+        pos = pos + 2 + length
+
+
+def insert_app1(jpeg: bytes, app1_payload: bytes) -> bytes:
+    """Splice an APP1 segment immediately after SOI."""
+    seg = (b"\xff\xe1" + struct.pack(">H", len(app1_payload) + 2)
+           + app1_payload)
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def extract_app1(jpeg: bytes) -> "bytes | None":
+    for marker, lo, hi in _iter_segments(jpeg):
+        if marker == 0xE1:
+            return jpeg[lo + 4:hi]
+    return None
+
+
+def strip_gps(jpeg: bytes) -> bytes:
+    """Remove the GPS sub-IFD: the APP1 is REBUILT without it (other
+    EXIF fields preserved); every non-APP1 byte passes through
+    untouched — headers, tables, and the entropy-coded scan are
+    byte-identical, so pixels are provably unchanged."""
+    out = bytearray()
+    for marker, lo, hi in _iter_segments(jpeg):
+        if marker == 0xE1:
+            try:
+                meta = parse_exif(jpeg[lo + 4:hi])
+            except ValueError:
+                out += jpeg[lo:hi]  # non-EXIF APP1 (XMP): keep as-is
+                continue
+            rebuilt = build_exif_app1(
+                meta["make"] or "", meta["model"] or "",
+                meta["datetime"] or "", gps=None)
+            out += (b"\xff\xe1" + struct.pack(">H", len(rebuilt) + 2)
+                    + rebuilt)
+        elif marker == 0xD8:
+            out += jpeg[lo:hi]
+        else:
+            out += jpeg[lo:hi]
+    return bytes(out)
+
+
+# -- Spark faces --------------------------------------------------------
+def image_exif_metadata(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """One Arrow pass → ``(id, make, model, exif_datetime, has_gps,
+    lat_milli, lon_milli, exif_err)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("exif_datetime", T.StringType()),
+        T.StructField("has_gps", T.BooleanType()),
+        T.StructField("lat_milli", T.LongType()),
+        T.StructField("lon_milli", T.LongType()),
+        T.StructField("exif_err", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, pl in zip(b[id_col], b[payload_col]):
+                try:
+                    app1 = extract_app1(bytes(pl))
+                    if app1 is None:
+                        rows.append((int(i), None, None, None, False,
+                                     None, None, "no APP1 segment"))
+                        continue
+                    m = parse_exif(app1)
+                    gps = m["gps"]
+                    rows.append((
+                        int(i), m["make"], m["model"], m["datetime"],
+                        gps is not None,
+                        gps[0] if gps else None,
+                        gps[2] if gps else None, None))
+                except ValueError as ex:
+                    rows.append((int(i), None, None, None, False,
+                                 None, None, str(ex)[:200]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(_extract, schema=schema))
+
+
+def scrub_gps_payloads(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One Arrow pass → ``(id, payload, had_gps)`` with GPS removed
+    from every EXIF APP1 (non-JPEG payloads pass through)."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(payload_col, T.BinaryType()),
+        T.StructField("had_gps", T.BooleanType()),
+    ])
+
+    def _scrub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, pl in zip(b[id_col], b[payload_col]):
+                blob = bytes(pl)
+                had = False
+                try:
+                    app1 = extract_app1(blob)
+                    if app1 is not None:
+                        had = parse_exif(app1)["gps"] is not None
+                        if had:
+                            blob = strip_gps(blob)
+                except ValueError:
+                    pass
+                rows.append((int(i), blob, had))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(_scrub, schema=schema))

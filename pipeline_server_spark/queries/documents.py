@@ -418,3 +418,166 @@ def rtf_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_rtf_extract(attach_rtf_corpus(docs))
             .select("doc_id", "rtf_text")
             .orderBy("doc_id"))
+
+
+# -- EXIF metadata + GPS scrub ------------------------------------------
+def _exif_fields(d: int) -> tuple:
+    """(make, model, datetime, gps|None) closed form for fixture doc
+    ``d`` (docs with d % 7 == 6 carry no APP1 at all)."""
+    make = f"Cam{d % 5}"
+    model = f"M{d % 7}"
+    dt = f"2026:01:{d % 28 + 1:02d} 12:00:00"
+    gps = ((d % 90, "N" if d % 2 == 0 else "S",
+            d % 180, "E" if d % 4 < 2 else "W")
+           if d % 3 == 0 else None)
+    return make, model, dt, gps
+
+
+def _attach_exif_corpus(docs):
+    """(doc_id) → (doc_id, payload): a real JPEG per doc with the
+    closed-form EXIF APP1 spliced in (none for d % 7 == 6)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.exif import (
+        build_exif_app1, insert_app1)
+    from pipeline_server_spark.operators.multimodal import (
+        synth_image_payload)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(batches):
+        for b in batches:
+            rows = []
+            for i in b["doc_id"]:
+                d = int(i)
+                jpeg, _ = synth_image_payload(d, "jpeg")
+                if d % 7 != 6:
+                    make, model, dt, gps = _exif_fields(d)
+                    jpeg = insert_app1(
+                        jpeg, build_exif_app1(make, model, dt, gps))
+                rows.append((d, jpeg))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=schema)
+
+
+def _exif_meta_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        if d % 7 == 6:
+            out.append((d, None, None, None, False, -1, -1,
+                        "no APP1 segment"))
+            continue
+        make, model, dt, gps = _exif_fields(d)
+        out.append((d, make, model, dt, gps is not None,
+                    gps[0] * 1000 if gps else -1,
+                    gps[2] * 1000 if gps else -1, None))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "make", "model", "exif_datetime", "has_gps",
+        "lat_milli", "lon_milli", "exif_err"]).astype(
+        {"lat_milli": "int64", "lon_milli": "int64"})
+
+
+@query("image_exif_metadata", oracle_py=_exif_meta_py_oracle)
+# no SQL oracle: TIFF-IFD binary parsing is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def image_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF provenance over a real-JPEG corpus (operators/exif.py):
+    camera make/model/timestamp plus GPS presence and millidegree
+    coordinates from the d/m/s rationals (-1 when absent — a
+    nullable long would round-trip as float64 through Arrow and
+    break the dtype-strict gate); images without an APP1
+    quarantine-mark instead of failing. One Arrow pass."""
+    from pipeline_server_spark.operators.exif import (
+        image_exif_metadata as _meta)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (_meta(_attach_exif_corpus(docs))
+            .withColumn("lat_milli",
+                        F.coalesce("lat_milli", F.lit(-1)).cast("long"))
+            .withColumn("lon_milli",
+                        F.coalesce("lon_milli", F.lit(-1)).cast("long"))
+            .orderBy("doc_id"))
+
+
+def _gps_scrub_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        had = d % 7 != 6 and d % 3 == 0
+        out.append((d, had, False, True, True))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "had_gps", "gps_after", "fields_preserved",
+        "scan_identical"])
+
+
+@query("image_gps_scrub_audit", oracle_py=_gps_scrub_py_oracle)
+# no SQL oracle: JPEG segment surgery is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def image_gps_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS privacy scrub audit (operators/exif.py::strip_gps): every
+    image runs the scrub, then the AUDIT re-parses the output —
+    GPS must be gone, the other EXIF fields preserved, and the
+    entropy-coded scan (everything from SOS on) byte-identical, so
+    pixel integrity is proven structurally. One Arrow pass doing
+    scrub + audit together (no second corpus pass)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.exif import (
+        extract_app1, parse_exif, strip_gps)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("had_gps", T.BooleanType()),
+        T.StructField("gps_after", T.BooleanType()),
+        T.StructField("fields_preserved", T.BooleanType()),
+        T.StructField("scan_identical", T.BooleanType()),
+    ])
+
+    def _audit(batches):
+        def scan_tail(b: bytes) -> bytes:
+            i = b.find(b"\xff\xda")
+            return b[i:] if i >= 0 else b
+
+        for b in batches:
+            rows = []
+            for i, pl in zip(b["doc_id"], b["payload"]):
+                d = int(i)
+                blob = bytes(pl)
+                app1 = extract_app1(blob)
+                before = parse_exif(app1) if app1 else None
+                had = bool(before and before["gps"])
+                scrubbed = strip_gps(blob) if had else blob
+                app1b = extract_app1(scrubbed)
+                after = parse_exif(app1b) if app1b else None
+                rows.append((
+                    d, had,
+                    bool(after and after["gps"]),
+                    (before is None and after is None)
+                    or (before is not None and after is not None
+                        and all(before[k] == after[k]
+                                for k in ("make", "model", "datetime"))),
+                    scan_tail(scrubbed) == scan_tail(blob),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (_attach_exif_corpus(docs)
+            .mapInPandas(_audit, schema=schema)
+            .orderBy("doc_id"))

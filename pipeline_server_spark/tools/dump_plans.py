@@ -497,6 +497,15 @@ SHOW = {
         "WET export+ingest inverses: archive groupBy + two Arrow "
         "passes; text survives the binary round trip byte-identically"
     ),
+    "image_exif_metadata": (
+        "EXIF provenance: TIFF-IFD walk in one Arrow pass over real "
+        "JPEGs, corpus-linear"
+    ),
+    "image_gps_scrub_audit": (
+        "GPS privacy scrub: segment surgery + in-pass audit (scan "
+        "bytes identical, fields preserved) — one Arrow pass, no "
+        "second corpus read"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

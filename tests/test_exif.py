@@ -1,0 +1,74 @@
+"""EXIF + GPS scrub (operators/exif.py)."""
+
+from __future__ import annotations
+
+from pipeline_server_spark.operators.exif import (
+    build_exif_app1,
+    extract_app1,
+    insert_app1,
+    parse_exif,
+    strip_gps,
+)
+
+
+def _jpeg_with(app1):
+    fake = (b"\xff\xd8" + b"\xff\xdb\x00\x05abc"
+            + b"\xff\xda entropy coded scan \xff\xd9")
+    return insert_app1(fake, app1)
+
+
+def test_roundtrip_fields_and_gps():
+    a = build_exif_app1("CamX", "M9", "2026:02:03 04:05:06",
+                        gps=(12, "S", 123, "W"))
+    m = parse_exif(a)
+    assert (m["make"], m["model"]) == ("CamX", "M9")
+    assert m["gps"] == (12000, "S", 123000, "W")
+
+
+def test_no_gps_is_none():
+    m = parse_exif(build_exif_app1("C", "M", "d"))
+    assert m["gps"] is None
+
+
+def test_big_endian_parse():
+    # hand-build a minimal MM-order TIFF: IFD0 with Make at inline
+    import struct
+
+    make = b"BE\x00\x00"
+    entry = struct.pack(">HHI", 0x010F, 2, 3) + make
+    ifd = struct.pack(">H", 1) + entry + struct.pack(">I", 0)
+    tiff = b"MM\x00\x2a" + struct.pack(">I", 8) + ifd
+    m = parse_exif(b"Exif\x00\x00" + tiff)
+    assert m["make"] == "BE"
+
+
+def test_strip_gps_preserves_everything_else():
+    a = build_exif_app1("C1", "M1", "2026:01:01 00:00:00",
+                        gps=(1, "N", 2, "E"))
+    j = _jpeg_with(a)
+    s = strip_gps(j)
+    after = parse_exif(extract_app1(s))
+    assert after["gps"] is None
+    assert after["make"] == "C1" and after["datetime"].startswith("2026")
+    # everything from SOS on byte-identical; DQT untouched
+    assert s.split(b"\xff\xda")[1] == j.split(b"\xff\xda")[1]
+    assert b"\xff\xdb\x00\x05abc" in s
+
+
+def test_real_codec_pixels_survive_scrub():
+    import numpy as np
+
+    from pipeline_server_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+    base = encode_jpeg(img)
+    tagged = insert_app1(base, build_exif_app1(
+        "C", "M", "d", gps=(3, "N", 4, "E")))
+    scrubbed = strip_gps(tagged)
+    assert parse_exif(extract_app1(scrubbed))["gps"] is None
+    w1, h1, c1, p1 = decode_jpeg(tagged)
+    w2, h2, c2, p2 = decode_jpeg(scrubbed)
+    assert (w1, h1, c1) == (w2, h2, c2)
+    assert (p1 == p2).all()
