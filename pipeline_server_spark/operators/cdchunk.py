@@ -1,0 +1,96 @@
+"""Content-defined chunking (CDC) — gear-hash rolling boundaries.
+
+Byte-level dedup for large/binary artifacts (model checkpoints,
+archives, media) needs boundaries that SURVIVE insertions — fixed
+blocks shift after one inserted byte, content-defined boundaries
+don't (the rsync/LBFS/FastCDC lineage). The gear construction
+(public — Xia et al., FastCDC):
+
+    h ← (h·2 + gear[byte]) mod 2⁶⁴       (one add + shift per byte)
+
+with a chunk boundary wherever ``h & mask == 0`` after the minimum
+size, forced at the maximum. Chunks identify by xxh64-class digests
+(md5-derived here — engine-independent, referee-replicable), so a
+shared block — a license header, a common archive member — lands as
+the SAME chunk hash in every file that embeds it regardless of
+position.
+
+Scale shape (100 TB): one Arrow pass, per-payload sequential scan
+(the construction is inherently serial per file — that is the
+published algorithm's shape), fan-out = chunks per file; dedup
+downstream is one groupBy on the chunk hash.
+
+Reference scope anchor: byte-passthrough media (S5); LLM-brief
+storage-dedup family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# deterministic gear table: md5 of the byte value (referees replicate)
+GEAR = [
+    int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+    for b in range(256)
+]
+
+MIN_CHUNK = 32
+MAX_CHUNK = 256
+MASK = (1 << 6) - 1  # ~64-byte average
+
+
+def gear_chunks(payload: bytes,
+                min_chunk: int = MIN_CHUNK,
+                max_chunk: int = MAX_CHUNK,
+                mask: int = MASK) -> list:
+    """[(offset, length, chunk_hash_hex)] for one payload."""
+    out = []
+    n = len(payload)
+    start = 0
+    h = 0
+    i = 0
+    while i < n:
+        h = ((h << 1) + GEAR[payload[i]]) & 0xFFFFFFFFFFFFFFFF
+        i += 1
+        length = i - start
+        if (length >= min_chunk and (h & mask) == 0) \
+                or length >= max_chunk:
+            out.append((start, length,
+                        hashlib.md5(payload[start:i]).hexdigest()[:16]))
+            start = i
+            h = 0
+    if start < n:
+        out.append((start, n - start,
+                    hashlib.md5(payload[start:]).hexdigest()[:16]))
+    return out
+
+
+def cdc_chunk_rows(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """One Arrow pass → one row per chunk: ``(id, chunk_idx, offset,
+    length, chunk_hash)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("length", T.IntegerType()),
+        T.StructField("chunk_hash", T.StringType()),
+    ])
+
+    def _chunk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, pl in zip(b[id_col], b[payload_col]):
+                for k, (off, ln, ch) in enumerate(
+                        gear_chunks(bytes(pl))):
+                    rows.append((int(i), k, off, ln, ch))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _chunk, schema=schema)

@@ -427,3 +427,130 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(390 * w * w + 11800 * syl * s - 15590 * s * w) "
                "div (s * w)").cast("long").alias("fk_grade_milli"),
     ).orderBy("doc_id")
+
+
+# -- corpus datasheet ---------------------------------------------------
+_DATASHEET_ORACLE = """
+WITH per AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM documents GROUP BY source, lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per)
+SELECT p.source, p.lang, p.n_docs, p.n_tokens, p.n_chars,
+       p.min_chars, p.max_chars,
+       CAST(CAST(CAST(p.n_tokens AS DECIMAL(27,9)) / p.n_docs
+            AS VARCHAR) AS DOUBLE) AS avg_tokens_per_doc,
+       CAST((1000000 * p.n_docs) // t.total_docs AS BIGINT)
+         AS share_ppm
+FROM per p, tot t
+ORDER BY p.source, p.lang
+"""
+
+
+@query("corpus_datasheet", oracle=_DATASHEET_ORACLE)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasheet head ("datasheets for datasets"): per
+    (source, language) — document/token/char totals, char extremes,
+    exact-decimal mean tokens per doc, and integer parts-per-million
+    corpus share. One groupBy with map-side combine + a 1-row scalar
+    broadcast; the report every dataset release ships."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+        .cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    tot = per.agg(F.sum("n_docs").cast("long").alias("total_docs"))
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row scalar: always safe
+        .select(
+            "source", "lang", "n_docs", "n_tokens", "n_chars",
+            "min_chars", "max_chars",
+            (F.col("n_tokens").cast("decimal(27,9)") / F.col("n_docs"))
+            .cast("string").cast("double").alias("avg_tokens_per_doc"),
+            F.expr("(1000000 * n_docs) div total_docs").cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# -- content-defined chunking ------------------------------------------
+_CDC_BOILER = ("SPDX-License-Identifier: Apache-2.0 | shared license "
+               "boilerplate block every even doc embeds verbatim | "
+               "redistribution permitted under the usual conditions | ")
+
+
+def _cdc_payload(d: int, text: str) -> bytes:
+    """Fixture payload: the doc text, with the shared boilerplate
+    block PREPENDED for even docs (so identical chunk hashes must
+    appear across files at different content, and the insertion-
+    survival property is what makes the shared chunks line up)."""
+    body = text.encode("utf-8")
+    if d % 2 == 0:
+        return _CDC_BOILER.encode("utf-8") + body
+    return body
+
+
+def _cdc_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    from pipeline_server_spark.operators.cdchunk import gear_chunks
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    rows = duck_connection(sf_dir).execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    out = []
+    for d, t in rows:
+        d = int(d)
+        for k, (off, ln, ch) in enumerate(
+                gear_chunks(_cdc_payload(d, str(t)))):
+            out.append((d, k, off, ln, ch))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "chunk_idx", "offset", "length", "chunk_hash"]) \
+        .astype({"chunk_idx": "int32", "offset": "int32",
+                 "length": "int32"})
+
+
+@query("cdc_chunk_manifest", oracle_py=_cdc_py_oracle)
+# no SQL oracle: the rolling gear hash is inherently sequential per
+# payload; the pure-Python replica referee takes the full
+# rows+schema+hash gate
+def cdc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk manifest (operators/cdchunk.py): every
+    even doc embeds a shared boilerplate block — because boundaries
+    are content-defined, the block chunks to the SAME hashes in
+    every file despite different surrounding bytes, which a fixed-
+    block scheme cannot do. One Arrow pass; dedup downstream is a
+    chunk-hash groupBy."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.cdchunk import cdc_chunk_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(i) for i in b["doc_id"]],
+                "payload": [_cdc_payload(int(i), str(t))
+                            for i, t in zip(b["doc_id"], b["text"])],
+            })
+
+    fx = docs.mapInPandas(_gen, schema=schema)
+    return (cdc_chunk_rows(fx)
+            .orderBy("doc_id", "chunk_idx"))

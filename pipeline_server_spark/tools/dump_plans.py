@@ -506,6 +506,15 @@ SHOW = {
         "bytes identical, fields preserved) — one Arrow pass, no "
         "second corpus read"
     ),
+    "corpus_datasheet": (
+        "datasheet head: one (source, lang) groupBy with map-side "
+        "combine + 1-row scalar broadcast, exact-decimal means"
+    ),
+    "cdc_chunk_manifest": (
+        "content-defined chunking: per-payload sequential gear scan "
+        "in one Arrow pass (the published algorithm's shape); dedup "
+        "is a chunk-hash groupBy"
+    ),
     "bm25_topk_search": (
         "BM25 ranked retrieval: token explode semi-joined to the "
         "BROADCAST query-term dimension (postings stay query-sized), "

@@ -604,3 +604,53 @@ class TestWetFormat:
             "archive_id long, payload binary")
         rows = wet_records(df).collect()
         assert len(rows) == 1 and rows[0]._bad_archive
+
+
+class TestCdcChunking:
+    """gear_chunks (round-13 session 4): the insertion-survival
+    property that justifies content-defined boundaries."""
+
+    def test_partition_and_bounds(self):
+        import os
+        import random
+
+        from pipeline_server_spark.operators.cdchunk import (
+            MAX_CHUNK, MIN_CHUNK, gear_chunks)
+        rng = random.Random(5)
+        data = bytes(rng.getrandbits(8) for _ in range(5000))
+        chunks = gear_chunks(data)
+        # chunks tile the payload exactly
+        pos = 0
+        for off, ln, _ in chunks:
+            assert off == pos
+            pos += ln
+        assert pos == len(data)
+        # size bounds hold for all but the final remainder chunk
+        for off, ln, _ in chunks[:-1]:
+            assert MIN_CHUNK <= ln <= MAX_CHUNK
+
+    def test_insertion_survival(self):
+        import random
+
+        from pipeline_server_spark.operators.cdchunk import gear_chunks
+        rng = random.Random(9)
+        data = bytes(rng.getrandbits(8) for _ in range(4000))
+        shifted = b"INSERTED PREFIX BYTES " + data
+        h1 = {c[2] for c in gear_chunks(data)}
+        h2 = {c[2] for c in gear_chunks(shifted)}
+        # most chunk hashes survive the prefix insertion — a fixed
+        # blocker would share ~none
+        shared = len(h1 & h2)
+        assert shared >= 0.7 * len(h1)
+
+    def test_shared_block_same_hashes_across_files(self):
+        import random
+
+        from pipeline_server_spark.operators.cdchunk import gear_chunks
+        rng = random.Random(11)
+        block = bytes(rng.getrandbits(8) for _ in range(1500))
+        a = bytes(rng.getrandbits(8) for _ in range(1000)) + block
+        b = block + bytes(rng.getrandbits(8) for _ in range(700))
+        ha = {c[2] for c in gear_chunks(a)}
+        hb = {c[2] for c in gear_chunks(b)}
+        assert len(ha & hb) >= 3  # the embedded block's interior chunks
