@@ -1,0 +1,123 @@
+"""RIFF LIST/INFO metadata for WAV — audio provenance (the EXIF
+twin for the audio family).
+
+WAV files carry their provenance in a ``LIST`` chunk of form type
+``INFO`` (the public RIFF spec): sub-chunks keyed by fourcc —
+``INAM`` title, ``IART`` artist, ``ICRD`` creation date, ``IGNR``
+genre, ``ISFT`` software — each a NUL-terminated string, word-
+aligned. Writer + parser here splice into / walk the existing WAV
+machinery (multimodal.py) without touching ``fmt ``/``data``, so
+sample integrity is structural.
+
+Scale shape (100 TB): one Arrow pass, corpus-linear, no joins.
+
+Reference scope anchor: byte-passthrough media (S5); LLM-brief
+multimodal-metadata family.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+INFO_TAGS = {"INAM": "title", "IART": "artist", "ICRD": "icrd_date",
+             "IGNR": "genre", "ISFT": "software"}
+
+
+def build_riff_info(fields: dict) -> bytes:
+    """{tag_name: value} (keys from INFO_TAGS values) → a LIST/INFO
+    chunk, sub-chunks in fourcc order, NUL-terminated, word-aligned."""
+    rev = {v: k for k, v in INFO_TAGS.items()}
+    body = bytearray(b"INFO")
+    for name in sorted(fields, key=lambda n: rev[n]):
+        val = fields[name]
+        if val is None:
+            continue
+        raw = str(val).encode("utf-8") + b"\x00"
+        body += rev[name].encode("ascii")
+        body += struct.pack("<I", len(raw))
+        body += raw
+        if len(raw) & 1:
+            body += b"\x00"
+    return b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+
+
+def insert_riff_info(wav: bytes, info_chunk: bytes) -> bytes:
+    """Splice a LIST/INFO chunk immediately before the ``data``
+    chunk (decoders that walk chunks skip it; naive offset-assuming
+    readers are exactly what the parser tests catch)."""
+    if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    while pos + 8 <= len(wav):
+        cid = wav[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", wav, pos + 4)
+        if cid == b"data":
+            out = wav[:pos] + info_chunk + wav[pos:]
+            new_len = struct.unpack_from("<I", out, 4)[0] \
+                + len(info_chunk)
+            return out[:4] + struct.pack("<I", new_len) + out[8:]
+        pos += 8 + length + (length & 1)
+    raise ValueError("corrupt WAV: no data chunk")
+
+
+def parse_riff_info(wav: bytes) -> dict:
+    """WAV → ``{title, artist, icrd_date, genre, software}`` (keys
+    absent sub-chunks → None); raises ValueError when the file
+    carries no LIST/INFO chunk."""
+    if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    while pos + 8 <= len(wav):
+        cid = wav[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", wav, pos + 4)
+        if cid == b"LIST" and wav[pos + 8:pos + 12] == b"INFO":
+            out = {v: None for v in INFO_TAGS.values()}
+            sub = pos + 12
+            end = pos + 8 + length
+            while sub + 8 <= end:
+                tag = wav[sub:sub + 4].decode("ascii", "replace")
+                (sl,) = struct.unpack_from("<I", wav, sub + 4)
+                val = wav[sub + 8:sub + 8 + sl].split(b"\x00")[0] \
+                    .decode("utf-8", "replace")
+                if tag in INFO_TAGS:
+                    out[INFO_TAGS[tag]] = val
+                sub += 8 + sl + (sl & 1)
+            return out
+        pos += 8 + length + (length & 1)
+    raise ValueError("no LIST/INFO chunk")
+
+
+def audio_riff_metadata(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """One Arrow pass → ``(id, title, artist, icrd_date, genre,
+    info_err)``."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("icrd_date", T.StringType()),
+        T.StructField("genre", T.StringType()),
+        T.StructField("info_err", T.StringType()),
+    ])
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for i, pl in zip(b[id_col], b[payload_col]):
+                try:
+                    m = parse_riff_info(bytes(pl))
+                    rows.append((int(i), m["title"], m["artist"],
+                                 m["icrd_date"], m["genre"], None))
+                except ValueError as ex:
+                    rows.append((int(i), None, None, None, None,
+                                 str(ex)[:200]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(_extract, schema=schema))

@@ -581,3 +581,75 @@ def image_gps_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_attach_exif_corpus(docs)
             .mapInPandas(_audit, schema=schema)
             .orderBy("doc_id"))
+
+
+# -- RIFF INFO audio provenance -----------------------------------------
+def _riff_fields(d: int) -> dict:
+    return {"title": f"track {d}", "artist": f"artist{d % 7}",
+            "icrd_date": f"2026-01-{d % 28 + 1:02d}",
+            "genre": f"g{d % 4}"}
+
+
+def _riff_meta_py_oracle(sf_dir: str):
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        if d % 6 == 5:
+            out.append((d, None, None, None, None,
+                        "no LIST/INFO chunk"))
+        else:
+            f = _riff_fields(d)
+            out.append((d, f["title"], f["artist"], f["icrd_date"],
+                        f["genre"], None))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "title", "artist", "icrd_date", "genre",
+        "info_err"])
+
+
+@query("audio_riff_metadata", oracle_py=_riff_meta_py_oracle)
+# no SQL oracle: RIFF chunk-walk parsing is not SQL-expressible; the
+# closed-form referee takes the full rows+schema+hash gate
+def audio_riff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio provenance (operators/riffinfo.py): every doc's real
+    WAV gains a LIST/INFO chunk spliced BEFORE the data chunk
+    (title/artist/date/genre, word-aligned NUL-terminated values);
+    every sixth doc carries none and must mark, and the header
+    decoder must still read fmt/data through the extra chunk. One
+    Arrow pass."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.multimodal import (
+        decode_wav_header, synth_wav_payload)
+    from pipeline_server_spark.operators.riffinfo import (
+        audio_riff_metadata as _meta, build_riff_info,
+        insert_riff_info)
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(batches):
+        for b in batches:
+            rows = []
+            for i in b["doc_id"]:
+                d = int(i)
+                wav = synth_wav_payload(d)
+                if d % 6 != 5:
+                    wav = insert_riff_info(
+                        wav, build_riff_info(_riff_fields(d)))
+                    # the chunk walk must still find fmt/data
+                    assert decode_wav_header(wav)[3] == 100 + d % 400
+                rows.append((d, wav))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    fx = docs.select("doc_id").mapInPandas(_gen, schema=schema)
+    return _meta(fx).orderBy("doc_id")

@@ -1,0 +1,74 @@
+"""RIFF LIST/INFO metadata (operators/riffinfo.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pipeline_server_spark.operators.multimodal import (
+    decode_wav_header,
+    synth_wav_payload,
+)
+from pipeline_server_spark.operators.riffinfo import (
+    build_riff_info,
+    insert_riff_info,
+    parse_riff_info,
+)
+
+
+def test_roundtrip_all_fields():
+    info = build_riff_info({"title": "t", "artist": "a",
+                            "icrd_date": "2026-01-02", "genre": "g",
+                            "software": "sw"})
+    wav = insert_riff_info(synth_wav_payload(3), info)
+    m = parse_riff_info(wav)
+    assert m == {"title": "t", "artist": "a",
+                 "icrd_date": "2026-01-02", "genre": "g",
+                 "software": "sw"}
+
+
+def test_absent_subchunks_are_none():
+    wav = insert_riff_info(synth_wav_payload(4),
+                           build_riff_info({"title": "only"}))
+    m = parse_riff_info(wav)
+    assert m["title"] == "only"
+    assert m["artist"] is None and m["software"] is None
+
+
+def test_no_info_chunk_raises():
+    with pytest.raises(ValueError, match="no LIST/INFO"):
+        parse_riff_info(synth_wav_payload(5))
+
+
+def test_header_decode_survives_splice():
+    # chunk-walking decoders must read fmt/data through LIST/INFO
+    d = 17
+    wav = insert_riff_info(
+        synth_wav_payload(d), build_riff_info({"artist": "x"}))
+    assert decode_wav_header(wav) == (1, 8000, 16, 100 + d % 400)
+
+
+def test_data_chunk_bytes_untouched():
+    base = synth_wav_payload(9)
+    spliced = insert_riff_info(base, build_riff_info({"title": "t"}))
+    # everything from the data chunk on is byte-identical
+    assert spliced.split(b"data")[-1] == base.split(b"data")[-1]
+    # RIFF length field covers the inserted chunk exactly
+    assert struct.unpack_from("<I", spliced, 4)[0] == len(spliced) - 8
+
+
+def test_odd_length_value_word_aligned():
+    info = build_riff_info({"title": "ab"})  # "ab\0" = 3 bytes -> pad
+    # sub-chunk payload length is the unpadded 3; chunk body is padded
+    assert struct.unpack_from("<I", info, 16)[0] == 3
+    wav = insert_riff_info(synth_wav_payload(11), info)
+    assert parse_riff_info(wav)["title"] == "ab"
+    assert decode_wav_header(wav)[3] == 100 + 11 % 400
+
+
+def test_not_a_wav_rejected():
+    with pytest.raises(ValueError, match="not a WAV"):
+        insert_riff_info(b"\x00" * 64, build_riff_info({"title": "x"}))
+    with pytest.raises(ValueError, match="not a WAV"):
+        parse_riff_info(b"RIFX" + b"\x00" * 60)
