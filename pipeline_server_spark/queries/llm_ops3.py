@@ -2285,3 +2285,113 @@ def eml_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "subject", "sender", "email_date",
                     "eml_text")
             .orderBy("doc_id"))
+
+
+# -- audio QC report ----------------------------------------------------
+def _qc_wav_samples_np(doc_id: int):
+    """Planted-defect QC corpus (numpy, Spark side): the base square
+    wave gains, by doc id, a +75 DC bias (id%3==0), a 20x hot-master
+    clamp to int16 full scale (id%5==0), and zero-padding silence of
+    50+id%20 samples each side (id%7==0) — in that canonical order."""
+    import numpy as np
+
+    n = 100 + doc_id % 400
+    half = 1 + doc_id % 15
+    amp = 1000 + (doc_id % 100) * 10
+    i = np.arange(n)
+    x = np.where((i // half) % 2 == 0, amp, -amp).astype("int64")
+    if doc_id % 3 == 0:
+        x = x + 75
+    if doc_id % 5 == 0:
+        x = np.clip(x * 20, -32767, 32767)
+    if doc_id % 7 == 0:
+        k = 50 + doc_id % 20
+        x = np.concatenate([np.zeros(k, "int64"), x,
+                            np.zeros(k, "int64")])
+    return x.astype("<i2")
+
+
+def _audio_qc_py_oracle(sf_dir: str):
+    """Pure-Python referee: reconstructs each doc's sample list from
+    the closed form (no numpy, no WAV bytes — the independence from
+    the engine path) and computes the QC stats with exact ints +
+    single correctly-rounded double ops, mirroring the operator's
+    contract (clip |x|>=32759, silence |x|<=16, pass thresholds
+    0.01/0.4/50)."""
+    import math
+
+    import pandas as pd
+
+    from pipeline_server_spark.tools.oracle_compare import duck_connection
+
+    ids = [int(r[0]) for r in duck_connection(sf_dir).execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        n0 = 100 + d % 400
+        half = 1 + d % 15
+        amp = 1000 + (d % 100) * 10
+        xs = [amp if (i // half) % 2 == 0 else -amp for i in range(n0)]
+        if d % 3 == 0:
+            xs = [v + 75 for v in xs]
+        if d % 5 == 0:
+            xs = [min(32767, max(-32767, v * 20)) for v in xs]
+        if d % 7 == 0:
+            k = 50 + d % 20
+            xs = [0] * k + xs + [0] * k
+        n = len(xs)
+        quiet = [abs(v) <= 16 for v in xs]
+        n_sil = sum(quiet)
+        if n_sil == n:
+            lead = trail = n
+        else:
+            lead = next(i for i, q in enumerate(quiet) if not q)
+            trail = next(i for i, q in enumerate(reversed(quiet))
+                         if not q)
+        clip_r = sum(abs(v) >= 32767 - 8 for v in xs) / n
+        sil_r = n_sil / n
+        dc = sum(xs) / n
+        rms = math.sqrt(sum(v * v for v in xs) / n)
+        out.append((d, n, n / 8000, max(abs(v) for v in xs), clip_r,
+                    sil_r, lead, trail, dc, rms,
+                    clip_r <= 0.01 and sil_r <= 0.4 and abs(dc) <= 50.0))
+    return pd.DataFrame(out, columns=[
+        "doc_id", "n_samples", "duration_s", "peak", "clip_ratio",
+        "silence_ratio", "lead_silence", "trail_silence", "dc_offset",
+        "rms", "qc_pass"])
+
+
+@query("audio_qc_report", oracle_py=_audio_qc_py_oracle)
+# no SQL oracle: sample-level PCM decode is not SQL-expressible; the
+# closed-form pure-Python referee takes the full rows+schema+hash gate
+def audio_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QC / defect screening over REAL WAV decode
+    (operators/multimodal.py::audio_qc_report): the fixture corpus
+    plants clipping (20x hot master clamped to full scale), silence
+    padding, and DC bias per the doc-id closed form; the engine must
+    recover clip/silence/DC/RMS stats and the pass verdict from the
+    encoded RIFF bytes alone. Doubles are single correctly-rounded
+    ops over exact int64 sums — bit-stable cross-engine. One Arrow
+    synth pass + one Arrow QC pass, corpus-linear, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pipeline_server_spark.operators.multimodal import (
+        audio_qc_report as _qc, encode_wav_mono16)
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(batches):
+        for b in batches:
+            rows = [(int(i),
+                     encode_wav_mono16(_qc_wav_samples_np(int(i))))
+                    for i in b["doc_id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    fx = docs.select("doc_id").mapInPandas(_gen, schema=schema)
+    return _qc(fx).orderBy("doc_id")

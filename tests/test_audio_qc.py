@@ -1,0 +1,66 @@
+"""Audio QC report (operators/multimodal.py::audio_qc_report)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pipeline_server_spark.operators.multimodal import (
+    decode_wav_samples,
+    encode_wav_mono16,
+)
+
+
+def _stats_of(spark, samples):
+    """Drive the operator's inner math via a tiny local frame."""
+    from pipeline_server_spark.operators.multimodal import audio_qc_report
+
+    wav = encode_wav_mono16(np.asarray(samples, "int64"))
+    df = spark.createDataFrame([(1, bytearray(wav))],
+                               "doc_id long, payload binary")
+    return audio_qc_report(df).collect()[0].asDict()
+
+
+def test_encode_decode_roundtrip():
+    xs = np.array([0, 100, -100, 32767, -32767], "int64")
+    rate, back = decode_wav_samples(encode_wav_mono16(xs, 8000))
+    assert rate == 8000
+    assert list(back.astype("int64")) == list(xs)
+
+
+def test_clean_signal_passes(spark):
+    r = _stats_of(spark, [500, -500] * 50)
+    assert r["qc_pass"] is True
+    assert r["clip_ratio"] == 0.0 and r["silence_ratio"] == 0.0
+    assert r["rms"] == 500.0 and r["dc_offset"] == 0.0
+
+
+def test_clipping_detected(spark):
+    r = _stats_of(spark, [32767, -32767] * 10 + [500] * 80)
+    assert r["clip_ratio"] == 20 / 100
+    assert r["qc_pass"] is False
+
+
+def test_silence_runs_and_ratio(spark):
+    xs = [0] * 30 + [1000, -1000] * 20 + [5] * 10
+    r = _stats_of(spark, xs)
+    assert r["lead_silence"] == 30 and r["trail_silence"] == 10
+    assert r["silence_ratio"] == 40 / 80
+    assert r["qc_pass"] is False  # 0.5 > 0.4
+
+
+def test_dc_offset_and_rms_exact(spark):
+    xs = [175, -25] * 50  # dc = 75, rms = sqrt((175^2+25^2)/2)
+    r = _stats_of(spark, xs)
+    assert r["dc_offset"] == 75.0
+    assert r["rms"] == math.sqrt((175 * 175 + 25 * 25) * 50 / 100)
+    assert r["qc_pass"] is False  # |dc| 75 > 50
+
+
+def test_near_fullscale_counts_as_clipped(spark):
+    # 32759 = 32767 - clip_margin boundary is inclusive
+    r = _stats_of(spark, [32759] + [100] * 99)
+    assert r["clip_ratio"] == 1 / 100
+    r2 = _stats_of(spark, [32758] + [100] * 99)
+    assert r2["clip_ratio"] == 0.0
