@@ -468,6 +468,16 @@ def hamming_near_pairs(sigs: DataFrame, hash_col: str,
     round-12 verdict #1 replaced the 4 × 16-bit single-chunk bands)."""
     assert max_hamming <= 3, \
         "chunk-triple blocking guarantees recall only for hamming ≤ 3"
+    # Materialize the signature table ONCE before the self-join: the
+    # two join sides are the same subtree, and without this each side
+    # re-runs the full upstream (for the perceptual dedups that is the
+    # entire payload-synthesis + decode Arrow pass — the dominant cost
+    # of those queries, paid twice; guide §2.4 "remove shuffles/passes
+    # outright"). localCheckpoint is GC-reclaimed, no CacheManager
+    # entry; the stored frame is (id, hash) — two longs per signature.
+    sigs = sigs.select(F.col(id_col).alias(id_col),
+                       F.col(hash_col).alias(hash_col)) \
+        .localCheckpoint(eager=True)
     chunks = mih_band_keys(sigs, hash_col, id_col)
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -506,8 +516,17 @@ def hamming_connectivity_edges(sigs: DataFrame, hash_col: str,
     ONE row in the candidate join, not 5·10¹¹ pairs. Feed the result
     to ``connected_components``; do NOT use it where all pairs are
     the contract (use ``hamming_near_pairs``)."""
+    # Same materialize-once discipline as hamming_near_pairs: ``sigs``
+    # feeds both the representative groupBy and the member-edge join,
+    # and ``reps`` feeds both the member-edge join and the distinct-
+    # hash candidate join — without checkpoints the (possibly very
+    # expensive) signature subtree runs 2× and the groupBy 2×.
+    sigs = sigs.select(F.col(id_col).alias(id_col),
+                       F.col(hash_col).alias(hash_col)) \
+        .localCheckpoint(eager=True)
     reps = sigs.groupBy(F.col(hash_col).alias("_h")) \
-        .agg(F.min(id_col).alias("_rep"))
+        .agg(F.min(id_col).alias("_rep")) \
+        .localCheckpoint(eager=True)
     member_edges = (
         sigs.join(reps, F.col(hash_col) == F.col("_h"))
         .where(F.col(id_col) != F.col("_rep"))

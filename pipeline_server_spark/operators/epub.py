@@ -243,7 +243,13 @@ def attach_epub_corpus(df: DataFrame, id_col: str = "doc_id",
                          for i, t in zip(b[id_col], b[text_col])],
             })
 
-    return df.select(id_col, text_col).mapInPandas(_gen, schema=schema)
+    # spread: the fixture corpus arrives as ONE small parquet
+    # split; without a repartition the per-payload synthesis CPU
+    # serializes through a single Python worker (no-op on
+    # well-partitioned input — see operators.dedup.spread)
+    from pipeline_server_spark.operators.dedup import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(_gen, schema=schema)
 
 
 def epub_main_text(df: DataFrame, blob_col: str = "epub",

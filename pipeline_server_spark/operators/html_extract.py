@@ -338,4 +338,10 @@ def attach_html_corpus(df: DataFrame, id_col: str = "doc_id",
                          for i, t in zip(b[id_col], b[text_col])],
             })
 
-    return df.select(id_col, text_col).mapInPandas(_synth, schema=schema)
+    # spread: the fixture corpus arrives as ONE small parquet
+    # split; without a repartition the per-payload synthesis CPU
+    # serializes through a single Python worker (no-op on
+    # well-partitioned input — see operators.dedup.spread)
+    from pipeline_server_spark.operators.dedup import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(_synth, schema=schema)

@@ -271,7 +271,13 @@ def attach_linked_corpus(df: DataFrame, n_docs: int,
                 "html": [synth_linked_page(i, n) for i in ids],
             })
 
-    return df.select(id_col).mapInPandas(_synth, schema=schema)
+    # spread: the fixture corpus arrives as ONE small parquet
+    # split; without a repartition the per-payload synthesis CPU
+    # serializes through a single Python worker (no-op on
+    # well-partitioned input — see operators.dedup.spread)
+    from pipeline_server_spark.operators.dedup import spread
+
+    return spread(df.select(id_col)).mapInPandas(_synth, schema=schema)
 
 
 # -- anchor-text profiles ----------------------------------------------

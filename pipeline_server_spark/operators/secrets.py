@@ -72,7 +72,12 @@ def secret_findings(
         F.regexp_extract_all(F.col(text_col), F.lit(pat), 0).alias(kind)
         for kind, pat, _, _ in ENTROPY_CLASSES
     ]
-    base = df.select(id_col, *hits_cols, *cand_cols)
+    # Materialize the regex projection ONCE: ``base`` feeds both the
+    # keyed-rule explode and the entropy-candidate explode, and the
+    # dominant cost here is the battery of regexp_extract_all calls
+    # over the full text — without the checkpoint it ran twice.
+    base = df.select(id_col, *hits_cols, *cand_cols) \
+        .localCheckpoint(eager=True)
 
     keyed = (
         base.select(

@@ -105,11 +105,17 @@ def dispatch_main_text(
     from pipeline_server_spark.operators.rtf import rtf_to_text
     from pipeline_server_spark.operators.pptx import pptx_text
 
+    # Materialize the typed corpus ONCE: the py/ipynb/unknown routes
+    # below are three disjoint filters over this same frame, and a
+    # plan-level union would otherwise re-run the whole upstream
+    # (for the mixed fixture that is all ten per-format synthesis
+    # passes) once PER ROUTE — 3× the dominant cost. localCheckpoint
+    # is GC-reclaimed; the stored rows are exactly the corpus payloads.
     typed = df.select(
         id_col, payload_col, sniff_content_type(payload_col).alias(
             "content_type"
         )
-    )
+    ).localCheckpoint(eager=True)
 
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),

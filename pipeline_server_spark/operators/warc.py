@@ -478,8 +478,16 @@ def attach_warc_corpus(df: DataFrame, id_col: str = "doc_id",
                                    per_record_gzip=bool(aid % 2))],
         })
 
+    # Pin the group-stage width: the (id, text) shuffle is tiny in
+    # bytes, so AQE's coalescing would collapse it to ONE partition
+    # and serialize the per-archive WARC rendering through a single
+    # Python worker (AQE sizes by bytes, not per-row CPU). An explicit
+    # hash repartition on the group key satisfies the applyInPandas
+    # distribution requirement — no second exchange is added.
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (df.select(id_col, text_col)
             .withColumn("_aid", F.expr(f"{id_col} DIV {DOCS_PER_ARCHIVE}"))
+            .repartition(par, "_aid")
             .groupBy("_aid")
             .applyInPandas(_pack, schema=schema))
 

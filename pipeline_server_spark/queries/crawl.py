@@ -195,7 +195,10 @@ def crawl_link_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    pages = attach_linked_corpus(docs, n_docs=n)
+    # materialize the synthesized pages ONCE: both the anchor
+    # extraction and the fetched-set anti-join consume them, and the
+    # synthesis is the expensive Arrow pass
+    pages = attach_linked_corpus(docs, n_docs=n).localCheckpoint(eager=True)
     links = extract_links(pages)
     return (discover_frontier(links, pages.select("url"))
             .orderBy("url"))
@@ -222,8 +225,13 @@ def crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    pages = attach_linked_corpus(docs, n_docs=n)
-    links = extract_links(pages)
+    # same materialize-once as crawl_link_discovery: pages feed both
+    # the extraction pass and the fetched set; links feed both the
+    # frontier and the host graph (PageRank re-derives per round
+    # otherwise — its loop checkpoints, but the INPUT subtree would
+    # still run once per consumer)
+    pages = attach_linked_corpus(docs, n_docs=n).localCheckpoint(eager=True)
+    links = extract_links(pages).localCheckpoint(eager=True)
     frontier = discover_frontier(links, pages.select("url"))
     per_host = frontier.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_new_urls"))
@@ -1084,8 +1092,14 @@ def web_corpus_curation_pipeline(spark: SparkSession,
         F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long")
         .alias("doc_id"))
     ex = html_main_text(pages, carry=("uri", "n_copies"))
+    # materialize the extracted corpus ONCE: the SimHash/CC branch and
+    # the final assignment join both consume ``gated``, and everything
+    # above it (WARC framing + wire decode + digest window + HTML
+    # main-content extraction) is the capstone's dominant cost —
+    # without the checkpoint that whole chain ran twice
     gated = ex.where((F.col("kept_blocks") >= 1)
-                     & (F.col("main_chars") >= _CURATION_MIN_CHARS))
+                     & (F.col("main_chars") >= _CURATION_MIN_CHARS)) \
+        .localCheckpoint(eager=True)
     sigs = simhash_64(gated.select("doc_id",
                                    F.col("main_text").alias("text")))
     edges = hamming_connectivity_edges(sigs, "simhash", max_hamming=3)

@@ -462,7 +462,9 @@ def _attach_exif_corpus(docs):
                 rows.append((d, jpeg))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(_gen, schema=schema)
+    from pipeline_server_spark.operators.dedup import spread
+
+    return spread(docs.select("doc_id")).mapInPandas(_gen, schema=schema)
 
 
 def _exif_meta_py_oracle(sf_dir: str):
@@ -651,5 +653,7 @@ def audio_riff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, wav))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    fx = docs.select("doc_id").mapInPandas(_gen, schema=schema)
+    from pipeline_server_spark.operators.dedup import spread
+
+    fx = spread(docs.select("doc_id")).mapInPandas(_gen, schema=schema)
     return _meta(fx).orderBy("doc_id")

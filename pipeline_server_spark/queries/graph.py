@@ -275,7 +275,16 @@ def _supplier_cooccurrence_edges(spark: SparkSession, sf_dir: str,
     the triangle and BFS queries. One lineitem self-join per order key
     (fan-out bounded by lines-per-order) and one pair-key count."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Dedup (order, supplier) BEFORE the self-join: a supplier with k
+    # lines in one order would otherwise contribute k-fold pair rows,
+    # and — the bigger win — the post-join aggregate becomes a plain
+    # map-side-combinable COUNT instead of COUNT DISTINCT, whose
+    # expanded two-phase plan shuffles the full (u, v, orderkey) pair
+    # fan-out twice (guide §2.3 "aggregate before you shuffle").
+    # Equivalent by construction: after the dedup each (ok, u, v)
+    # appears exactly once, so COUNT(*) == COUNT(DISTINCT ok).
+    e0 = li.distinct()
+    a, b = e0.alias("a"), e0.alias("b")
     return (
         a.join(
             b,
@@ -283,7 +292,7 @@ def _supplier_cooccurrence_edges(spark: SparkSession, sf_dir: str,
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
         .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .agg(F.countDistinct("a.l_orderkey").alias("n_ok"))
+        .agg(F.count(F.lit(1)).alias("n_ok"))
         .where(F.col("n_ok") >= min_orders)
         .select("u", "v")
     )

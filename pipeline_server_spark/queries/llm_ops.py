@@ -1386,7 +1386,13 @@ def video_perceptual_near_dup_pairs(spark: SparkSession,
         attach_mjpeg_corpus, mp4_keyframe_dhash)
 
     d = load_table(spark, sf_dir, "documents")
-    sigs = mp4_keyframe_dhash(attach_mjpeg_corpus(d))
+    # materialize the decode output ONCE: the per-clip keyframe counts
+    # and the pair join both consume it, and the upstream subtree
+    # (MJPEG synthesis + real JPEG entropy decode + dHash) is the
+    # query's dominant cost — without this it ran 4× (counts + both
+    # self-join sides); the stored frame is 3 longs per keyframe
+    sigs = (mp4_keyframe_dhash(attach_mjpeg_corpus(d))
+            .localCheckpoint(eager=True))
     # keyframe identity = (clip, sample no.) packed into one id so the
     # shared Hamming-ball band join applies unchanged; frame_idx < 1024
     kf = sigs.select(

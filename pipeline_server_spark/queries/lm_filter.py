@@ -124,11 +124,19 @@ def kneser_ney_perplexity_buckets(spark: SparkSession,
     train = docs.where(F.col("doc_id") % 3 == 0)
     tb = (train.select(F.explode(pairs).alias("p"))
           .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
-    c12 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Materialize the two model base tables ONCE (both are model-sized:
+    # bigram types and vocabulary): c12 feeds FOUR consumers (the score
+    # join, c1, ncw, and the ncc scalar) and vocab THREE (both OOV
+    # probes and the V scalar) — without the checkpoints each consumer
+    # re-ran the full train-corpus scan + tokenize + explode + count
+    # (the before-plan shows 8 parquet scans; after: 3).
+    c12 = (tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+           .localCheckpoint(eager=True))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
                                F.count(F.lit(1)).alias("n1p"))
     ncw = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("ncw"))
-    vocab = (train.select(F.explode(tok).alias("w")).distinct())
+    vocab = (train.select(F.explode(tok).alias("w")).distinct()
+             .localCheckpoint(eager=True))
     # M = bigram types + vocab size + 1 ('<unk>' completes the
     # continuation distribution): two counts → one scalar row
     scal = (c12.agg(F.count(F.lit(1)).alias("ncc"))

@@ -124,12 +124,17 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, term string",
         )
     )
+    # Materialize dl (doc lengths: 2 longs/doc) and tf (query-workload-
+    # sized postings) ONCE: dl feeds both the corpus scalar and the
+    # scoring join, tf feeds both the df aggregation and the scoring
+    # join — without the checkpoints each consumer re-ran its full
+    # corpus tokenize/explode pass (before-plan: 4 parquet scans).
     dl = docs.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda x: x != ""))
         .cast("long")
         .alias("dl"),
-    )
+    ).localCheckpoint(eager=True)
     scal = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("t_tokens"),
@@ -139,6 +144,7 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qterms, F.col("tok") == F.col("term"))
         .groupBy("doc_id", "query_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     # df is per TERM (shared across queries) — distinct docs per term.
     dfreq = (

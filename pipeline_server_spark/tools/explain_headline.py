@@ -1,0 +1,65 @@
+"""Dump .explain("formatted") for headline (bench.py) queries to files.
+
+Usage:
+    python -m pipeline_server_spark.tools.explain_headline OUTDIR [suffix] \
+        [--sf-dir DIR] [--only a,b,c]
+
+Writes OUTDIR/<query>_<suffix>.txt for every headline query (suffix
+default "before"). Plans are captured without executing the query, on
+the same session bench.py uses, so Exchange counts / join strategies /
+PushedFilters match what the bench runs (modulo AQE re-optimization).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir")
+    ap.add_argument("suffix", nargs="?", default="before")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, "/root/repo")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from pipeline_server_spark.queries import QUERIES
+    from pipeline_server_spark.session import get_spark
+
+    names = [n for n in bench.HEADLINE if n in QUERIES]
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+
+    os.makedirs(args.outdir, exist_ok=True)
+    spark = get_spark(app_name="explain-headline")
+    for name in names:
+        path = os.path.join(args.outdir, f"{name}_{args.suffix}.txt")
+        try:
+            df = QUERIES[name](spark, args.sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue()
+        except Exception as exc:  # a broken query still gets a file
+            text = f"EXPLAIN FAILED: {exc}\n"
+        with open(path, "w") as f:
+            f.write(text)
+        n_ex = text.count("Exchange")
+        print(f"{name}: {len(text)} bytes, ~{n_ex} Exchange mentions",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
