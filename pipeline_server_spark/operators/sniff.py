@@ -198,48 +198,65 @@ def attach_mixed_corpus(
     document renders through ONE of the in-repo spec-shaped writers
     by ``id % 10`` (pdf / docx / pptx / eml / html / ipynb / epub /
     odt / rtf / junk bytes) — the dispatcher must type and extract
-    all of them."""
-    from pipeline_server_spark.operators.docx import attach_docx_corpus
-    from pipeline_server_spark.operators.eml import attach_eml_corpus
+    all of them.
+
+    ONE Arrow synthesis pass with per-row writer dispatch for the
+    eight Python-writer classes (plus the two pure-Catalyst branches,
+    notebook JSON and junk bytes) — not one pass per format: the
+    per-class passes each cost a scan + repartition + Python
+    worker round-trip, so a 10-class corpus paid 8 Arrow boundaries
+    and 8 tiny shuffles where one of each suffices (guide §4.3). Each
+    row's payload bytes are EXACTLY the bytes the per-format
+    ``attach_*_corpus`` produced (same writer call, same utf-8
+    encode), so every downstream result is unchanged."""
+    import pandas as pd
+
+    from pipeline_server_spark.operators.dedup import spread
+    from pipeline_server_spark.operators.docx import synth_docx
+    from pipeline_server_spark.operators.eml import synth_eml
+    from pipeline_server_spark.operators.epub import synth_epub
     from pipeline_server_spark.operators.html_extract import (
-        attach_html_corpus,
+        synth_html_page,
     )
-    from pipeline_server_spark.operators.epub import attach_epub_corpus
     from pipeline_server_spark.operators.ipynb import attach_ipynb_corpus
-    from pipeline_server_spark.operators.odt import attach_odt_corpus
-    from pipeline_server_spark.operators.pdf import attach_pdf_corpus
-    from pipeline_server_spark.operators.pptx import attach_pptx_corpus
-    from pipeline_server_spark.operators.rtf import attach_rtf_corpus
+    from pipeline_server_spark.operators.odt import synth_odt
+    from pipeline_server_spark.operators.pdf import build_pdf
+    from pipeline_server_spark.operators.pptx import synth_pptx
+    from pipeline_server_spark.operators.rtf import synth_rtf
 
     cls = F.col(id_col) % 10
     base = df.select(id_col, text_col)
 
-    pdf = attach_pdf_corpus(base.where(cls == 0)).select(
-        id_col, F.col("payload")
-    )
-    docx = attach_docx_corpus(base.where(cls == 1)).select(
-        id_col, F.col("docx").alias("payload")
-    )
-    pptx = attach_pptx_corpus(base.where(cls == 2)).select(
-        id_col, F.col("pptx").alias("payload")
-    )
-    eml = attach_eml_corpus(base.where(cls == 3)).select(
-        id_col, F.col("eml").alias("payload")
-    )
-    html = attach_html_corpus(base.where(cls == 4)).select(
-        id_col, F.encode("html", "UTF-8").alias("payload")
-    )
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    _writers = {
+        0: lambda i, t: build_pdf(t, variant=i % 4,
+                                  xref_stream=i % 3 == 1,
+                                  incremental_fix=i % 3 == 2),
+        1: synth_docx,
+        2: synth_pptx,
+        3: synth_eml,
+        4: lambda i, t: synth_html_page(i, t).encode("utf-8"),
+        6: synth_epub,
+        7: synth_odt,
+        8: lambda i, t: synth_rtf(i, t).encode("utf-8"),
+    }
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                id_col: [int(i) for i in b[id_col]],
+                "payload": [_writers[int(i) % 10](int(i), str(t))
+                            for i, t in zip(b[id_col], b[text_col])],
+            })
+
+    py_side = (spread(base.where(~cls.isin(5, 9)))
+               .mapInPandas(_synth, schema=schema))
     nb = attach_ipynb_corpus(base.where(cls == 5)).select(
         id_col, F.encode("nb_json", "UTF-8").alias("payload")
-    )
-    epub = attach_epub_corpus(base.where(cls == 6)).select(
-        id_col, F.col("epub").alias("payload")
-    )
-    odt = attach_odt_corpus(base.where(cls == 7)).select(
-        id_col, F.col("odt").alias("payload")
-    )
-    rtf = attach_rtf_corpus(base.where(cls == 8)).select(
-        id_col, F.encode("rtf", "UTF-8").alias("payload")
     )
     junk = base.where(cls == 9).select(
         id_col,
@@ -247,7 +264,4 @@ def attach_mixed_corpus(
             F.unhex(F.lit("DEADBEEF")), F.encode(text_col, "UTF-8")
         ).alias("payload"),
     )
-    out = pdf
-    for part in (docx, pptx, eml, html, nb, epub, odt, rtf, junk):
-        out = out.unionByName(part)
-    return out
+    return py_side.unionByName(nb).unionByName(junk)

@@ -1080,6 +1080,16 @@ def web_corpus_curation_pipeline(spark: SparkSession,
                        & F.col("digest_ok")
                        & F.col("decode_err").isNull())
             .withColumn("curl", canonical_url("uri")))
+    # Pin the digest-window exchange width: the shuffle is small in
+    # BYTES, so AQE would coalesce it to ~1 partition — and the
+    # downstream HTML main-content extraction (the heavy per-row
+    # Python CPU of this query) inherits that width and serializes
+    # through one worker (guide §2.1: AQE sizes by bytes, not per-row
+    # CPU). An explicit hash repartition on the window key satisfies
+    # the window's distribution requirement, adds no extra exchange,
+    # and is honored (not re-coalesced) by AQE.
+    par = spark.sparkContext.defaultParallelism
+    resp = resp.repartition(par, "payload_digest")
     w = W.partitionBy("payload_digest").orderBy("curl", "uri")
     wc = W.partitionBy("payload_digest")
     winners = (resp

@@ -272,26 +272,34 @@ def _supplier_cooccurrence_edges(spark: SparkSession, sf_dir: str,
                                  min_orders: int = 3) -> DataFrame:
     """Undirected supplier co-occurrence edge list (u < v, suppliers
     sharing >= min_orders distinct orders) — the common base graph of
-    the triangle and BFS queries. One lineitem self-join per order key
-    (fan-out bounded by lines-per-order) and one pair-key count."""
+    the triangle and BFS queries.
+
+    Pair generation is IN-ROW from each order's distinct supplier set
+    (collect_set → sort_array → upper-triangular pair explode), not a
+    lineitem self-join: one groupBy(l_orderkey) shuffle of narrow rows
+    replaces distinct + reshuffle-both-sides equi-join (guide §2.4 —
+    the join produced exactly these pairs, so removing it removes two
+    corpus-sized Exchanges). The pair multiset (one row per (order,
+    u<v)) is identical by construction, the per-order fan-out is the
+    same k(k-1)/2 the join had (bounded by lines-per-order), and the
+    count >= min_orders gate is the same map-side-combinable COUNT."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Dedup (order, supplier) BEFORE the self-join: a supplier with k
-    # lines in one order would otherwise contribute k-fold pair rows,
-    # and — the bigger win — the post-join aggregate becomes a plain
-    # map-side-combinable COUNT instead of COUNT DISTINCT, whose
-    # expanded two-phase plan shuffles the full (u, v, orderkey) pair
-    # fan-out twice (guide §2.3 "aggregate before you shuffle").
-    # Equivalent by construction: after the dedup each (ok, u, v)
-    # appears exactly once, so COUNT(*) == COUNT(DISTINCT ok).
-    e0 = li.distinct()
-    a, b = e0.alias("a"), e0.alias("b")
+    supps = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = F.flatten(F.transform(
+        F.col("ss"),
+        lambda u, i: F.transform(
+            F.slice(F.col("ss"), i + 2,
+                    F.greatest(F.size("ss") - i - 1, F.lit(0))),
+            lambda v: F.struct(u.alias("u"), v.alias("v")),
+        ),
+    ))
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        supps.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("n_ok"))
         .where(F.col("n_ok") >= min_orders)
         .select("u", "v")
@@ -379,7 +387,24 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
         .repartition(64)
     )
-    e1, e2, e3 = dedges.alias("e1"), dedges.alias("e2"), dedges.alias("e3")
+    # Join strategy for the wedge expansion (guide §3.1 "broadcast the
+    # side that fits"): the wedge table (e1⋈e2 fan-out) is orders of
+    # magnitude bigger than the edge table, and a sort-merge plan
+    # exchanges + sorts THAT fan-out twice. Broadcasting the (small,
+    # already-materialized) oriented edge list keeps the whole
+    # enumeration map-side — the only shuffle left is the final
+    # per-node count. DATA-ADAPTIVE, not hard-coded: the edge count is
+    # a metadata read off the checkpoint blocks, and past the
+    # broadcastable regime the plan falls back to the sort-merge path
+    # (which is the right plan when E itself is cluster-sized).
+    import os as _os
+
+    bcast_cap = int(_os.environ.get(
+        "SPARK_GRAFT_EDGE_BROADCAST_ROWS", "5000000"))
+    small_e = dedges.count() <= bcast_cap
+    _b = F.broadcast if small_e else (lambda df: df)
+    e1, e2, e3 = dedges.alias("e1"), _b(dedges).alias("e2"), \
+        _b(dedges).alias("e3")
     tris = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
         .join(

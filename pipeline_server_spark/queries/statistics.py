@@ -636,6 +636,11 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join (operators/similarity.py) feeding the same
     core/border/noise classifier, and component labels come from the
     pointer-doubling CC operator (O(log d) rounds)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _DBSCAN_N)
     eq = e.select(
         "vec_id",
@@ -644,34 +649,91 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * _DBSCAN_Q).cast("bigint"),
         ).alias("vq"),
     )
-    norms = eq.select(
-        "vec_id",
-        F.aggregate("vq", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x).alias("nq"),
-    )
-    # repartition widens the pair join's probe side: the component
-    # table is broadcast-small, so the O(n^2 d) join output would
-    # otherwise materialize in the couple of map tasks the 500-row
-    # scan planned (AQE sizes by input, not fan-out)
-    comp = eq.select("vec_id", F.posexplode("vq").alias("i", "x")).repartition(64)
-    ca = comp.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
-    cb = comp.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
-    dots = (
-        ca.join(cb, (ca["i"] == cb["i"]) & (ca["va"] < cb["vb"]))
-        .groupBy("va", "vb")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    na = norms.select(F.col("vec_id").alias("va"), F.col("nq").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nq").alias("nb"))
+    # Exact pair generation over the bounded node set via a PACKED
+    # BLOCK GRID (the brute_force_knn_join shape): contiguous id
+    # ranges pack into int64 matrices, the upper-triangular block-pair
+    # grid materializes as an equi-join, and one Arrow pass computes
+    # every within-cell integer dot with a single matmul. Replaces the
+    # per-dimension posexplode equi-join, whose join output was
+    # n²/2 × d rows (~32M at n=1000, d=64) through an Exchange +
+    # hash aggregate — the query's dominant cost. Same integer math
+    # (int64 matmul is exact; |vq| ≤ ~Q so 25·dot² and 4·|a|²|b|² both
+    # fit int64 at d=64), same edge set.
+    n_blk = 8
+    blk_rows = -(-_DBSCAN_N // n_blk)
+    pk = eq.withColumn(
+        "blk", F.expr(f"int(vec_id div {blk_rows})"))
+
+    pack_schema = T.StructType([
+        T.StructField("blk", T.IntegerType()),
+        T.StructField("ids", T.BinaryType()),
+        T.StructField("mat", T.BinaryType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+
+    def _pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # deterministic
+        ids = ids[order]
+        mat = np.stack(pdf["vq"].to_numpy())[order].astype(np.int64)
+        return pd.DataFrame({
+            "blk": [int(key[0])],
+            "ids": [ids.tobytes()],
+            "mat": [np.ascontiguousarray(mat).tobytes()],
+            "n": [int(len(ids))],
+        })
+
+    packed = pk.groupBy("blk").applyInPandas(_pack, schema=pack_schema)
+    pa = packed.select(F.col("blk").alias("ba"),
+                       F.col("ids").alias("ids_a"),
+                       F.col("mat").alias("mat_a"),
+                       F.col("n").alias("n_a"))
+    pb = packed.select(F.col("blk").alias("bb"),
+                       F.col("ids").alias("ids_b"),
+                       F.col("mat").alias("mat_b"),
+                       F.col("n").alias("n_b"))
+    # contiguous id blocks ⇒ va < vb only ever pairs ba <= bb cells
+    grid = spark.range(n_blk * n_blk).select(
+        F.expr(f"int(id div {n_blk})").alias("ba"),
+        F.expr(f"int(id % {n_blk})").alias("bb"),
+    ).where(F.col("ba") <= F.col("bb"))
+    cells = grid.join(pa, "ba").join(pb, "bb")
+
+    def _cell_edges(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for b in batches:
+            va_out, vb_out = [], []
+            for ids_a, mat_a, n_a, ids_b, mat_b, n_b in zip(
+                    b["ids_a"], b["mat_a"], b["n_a"],
+                    b["ids_b"], b["mat_b"], b["n_b"]):
+                ia = np.frombuffer(ids_a, dtype=np.int64)
+                ib = np.frombuffer(ids_b, dtype=np.int64)
+                A = np.frombuffer(mat_a, dtype=np.int64).reshape(int(n_a), -1)
+                B = np.frombuffer(mat_b, dtype=np.int64).reshape(int(n_b), -1)
+                na = (A * A).sum(axis=1)
+                nb = (B * B).sum(axis=1)
+                D = A @ B.T
+                keep = ((ia[:, None] < ib[None, :]) & (D > 0)
+                        & (25 * D * D >= 4 * na[:, None] * nb[None, :]))
+                i, j = np.nonzero(keep)
+                if len(i):
+                    va_out.append(ia[i])
+                    vb_out.append(ib[j])
+            if va_out:
+                yield pd.DataFrame({
+                    "va": np.concatenate(va_out),
+                    "vb": np.concatenate(vb_out),
+                })
+
     edges0 = (
-        dots.join(F.broadcast(na), "va")
-        .join(F.broadcast(nb), "vb")
-        .where((F.col("dot") > 0)
-               & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("na") * F.col("nb")))
-        .select("va", "vb")
+        cells.mapInPandas(_cell_edges, schema="va long, vb long")
         # materialize ONCE: degree, core-edge, CC (iterative!), and
         # border passes all re-derive from this — without the
-        # checkpoint each re-runs the O(n^2 d) dimension-index pair
-        # join; localCheckpoint is GC-reclaimed, no CacheManager entry
+        # checkpoint each re-runs the packed-block pair pass;
+        # localCheckpoint is GC-reclaimed, no CacheManager entry
         .localCheckpoint(eager=True)
     )
     und = edges0.select(F.col("va").alias("s"), F.col("vb").alias("d")).unionAll(

@@ -268,6 +268,13 @@ def test_registry_wide_no_unbounded_nested_loops(spark):
         "mixture_sample_documents",  # broadcast SUM(n_tokens) 1-row total
         "bigram_lm_surprisal",  # broadcast COUNT(DISTINCT token) scalar
         "doc_kl_divergence",  # broadcast SUM(g) 1-row corpus total
+        # round-13 build additions (the interrupted build never ran
+        # this audit on them — same benign Cross BuildRight shape on a
+        # 1-row aggregate, verified in plans/r13/*_before.txt):
+        "bm25_topk_search",  # broadcast (n_docs, total_tokens) scalar
+        "kneser_ney_perplexity_buckets",  # broadcast (ncc, V) scalar
+        "corpus_datasheet",  # broadcast corpus-total 1-row scalar
+        "temperature_mixture_weights",  # broadcast SUM(w) 1-row total
     }
     offenders = {}
     for name in sorted(QUERIES):
