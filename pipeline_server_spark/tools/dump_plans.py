@@ -10,13 +10,15 @@ import sys
 SHOW = {
     "pricing_summary": "TPC-H Q1 shape: pushdown + partial/final hash agg",
     "triangle_count_suppliers": (
-        "degeneracy-oriented wedge join: dedges materialized once "
-        "(localCheckpoint), probe side repartitioned so the wedge "
-        "explosion parallelizes (AQE sizes by input, not fan-out)"
+        "degeneracy-oriented EDGE-ITERATOR: in-row per-order pair "
+        "explode builds the edge list (no lineitem self-join), "
+        "triangles from sorted-adjacency array_intersect per edge "
+        "(r13 optimization; no wedge-stream join, no broadcast needed)"
     ),
     "dbscan_embedding_clusters": (
-        "exact eps pair join materialized once and reused by degree/"
-        "core/CC/border passes; broadcast norms; bounded node set"
+        "exact eps pairs from the packed-block grid (int64 matmul "
+        "per upper-triangular cell, r13 optimization), materialized "
+        "once and reused by degree/core/CC/border passes"
     ),
     "supplier_reach_hops": (
         "frontier-only BFS: per-round graph-sized equi-join, "
@@ -315,10 +317,8 @@ SHOW = {
         "12 power-of-two lag terms fuse into ONE Window over one "
         "user_id exchange"
     ),
-    "triangle_count_suppliers": (
-        "degree-oriented triangle listing: wedge join bounded by "
-        "degeneracy, no cartesian"
-    ),
+    # (r13: description lives in the first SHOW entry above — this
+    # duplicate key previously shadowed it; keep a single source)
     "countmin_word_counts": (
         "count-min sketch: constant 192-cell counter shuffle, "
         "estimate join broadcast"
@@ -334,7 +334,8 @@ SHOW = {
     "ppjoin_word_jaccard_pairs": (
         "prefix-filtered set-similarity join: rarity-ordered prefix "
         "postings, PPJoin length+position prunes inside the candidate "
-        "equi-join, array_intersect verify — no cartesian"
+        "equi-join, two-stage verify (xxhash64 upper-bound prefilter, "
+        "exact string array_intersect on survivors; r13) — no cartesian"
     ),
     "fk_orphan_audit": (
         "referential-integrity sweep: every parent side broadcast, "

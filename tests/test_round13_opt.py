@@ -1,0 +1,175 @@
+"""Round-13 OPTIMIZATION regression tests.
+
+Each test pins an internals change from the optimization round to the
+behavior it must preserve:
+
+- ppjoin two-stage verification (hash-prefilter + exact string verify)
+  must emit exactly the brute-force jaccard pairs, including pairs
+  sitting exactly ON the rational threshold (the prefilter gate is an
+  integer comparison, so a boundary pair must survive stage 1).
+- triangle edge-iterator enumeration (adjacency-array intersect) must
+  reproduce the naive all-triple count on a random graph.
+- dbscan packed-block pair generation must reproduce the naive O(n²)
+  integer-cosine edge set.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestPPJoinTwoStageVerify:
+    def test_matches_brute_force_with_boundary_pairs(self, spark):
+        """Planted docs including a pair exactly ON the threshold:
+        14 shared elements, sizes 17 and 17 → union 20, J = 14/20 =
+        0.7 exactly — the integer gate must keep it."""
+        from pipeline_server_spark.operators.dedup import (
+            prefix_filter_pairs_from_elements,
+        )
+
+        def doc(did, elems):
+            return [(did, e) for e in elems]
+
+        shared14 = [f"s{i}" for i in range(14)]
+        a_only = [f"a{i}" for i in range(3)]
+        b_only = [f"b{i}" for i in range(3)]
+        rows = (
+            doc(1, shared14 + a_only)          # sz 17
+            + doc(2, shared14 + b_only)        # sz 17, J(1,2)=14/20=0.7
+            + doc(3, shared14)                 # sz 14, J(1,3)=14/17>0.7
+            + doc(4, [f"x{i}" for i in range(10)])  # disjoint
+            + doc(5, shared14[:9] + [f"y{i}" for i in range(8)])  # J<0.7
+        )
+        toks = spark.createDataFrame(rows, "doc_id long, tok string")
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_pairs_from_elements(
+                toks, t_num=7, t_den=10).collect()
+        }
+        # brute force over distinct sets
+        sets = {}
+        for did, tok in rows:
+            sets.setdefault(did, set()).add(tok)
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.7:
+                want[(a, b)] = inter / union
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=0)
+        # the exact-threshold pair must be present (integer gate)
+        assert (1, 2) in got and got[(1, 2)] == pytest.approx(0.7, abs=0)
+
+    def test_collision_slack_never_drops_pairs(self, spark):
+        """The stage-1 bound must be conservative: on a corpus of many
+        random docs the two-stage output equals brute force (any
+        dropped true pair would show here)."""
+        from pipeline_server_spark.operators.dedup import (
+            prefix_filter_pairs_from_elements,
+        )
+
+        rng = np.random.RandomState(13)
+        vocab = [f"t{i}" for i in range(60)]
+        rows = []
+        base = rng.choice(vocab, size=20, replace=False).tolist()
+        for did in range(30):
+            mutated = list(base)
+            for _ in range(rng.randint(0, 6)):
+                mutated[rng.randint(len(mutated))] = vocab[
+                    rng.randint(len(vocab))]
+            rows += [(did, t) for t in set(mutated)]
+        toks = spark.createDataFrame(rows, "doc_id long, tok string")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_filter_pairs_from_elements(
+                toks, t_num=7, t_den=10).collect()
+        }
+        sets = {}
+        for did, tok in rows:
+            sets.setdefault(did, set()).add(tok)
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 10 * inter >= 7 * union:
+                want.add((a, b))
+        assert got == want
+
+
+class TestTriangleEdgeIterator:
+    def test_matches_naive_enumeration(self, spark, monkeypatch):
+        """Per-node triangle counts on a random graph must equal the
+        naive all-triple enumeration (routed through the real query by
+        patching the edge builder)."""
+        import pipeline_server_spark.queries.graph as G
+
+        rng = np.random.RandomState(7)
+        n = 40
+        edges = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                        for a, b in rng.randint(0, n, size=(200, 2))
+                        if a != b})
+        edf = spark.createDataFrame(edges, "u long, v long")
+        monkeypatch.setattr(
+            G, "_supplier_cooccurrence_edges",
+            lambda _spark, _sf, min_orders=3: edf)
+        got = {r.suppkey: r.n_triangles
+               for r in G.triangle_count_suppliers(spark, "unused").collect()}
+        adj = {i: set() for i in range(n)}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        counts = {i: 0 for i in range(n)}
+        for x, y, z in itertools.combinations(range(n), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for v in (x, y, z):
+                    counts[v] += 1
+        want = {k: v for k, v in counts.items() if v > 0}
+        top = dict(sorted(want.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[:20])
+        assert got == top
+
+
+class TestDbscanPackedBlocks:
+    def test_epsilon_graph_matches_naive(self, spark):
+        """The packed-block integer-cosine edge set must equal the
+        naive quantized O(n²) computation on the real sf table."""
+        from pipeline_server_spark.catalog import load_table
+        from pipeline_server_spark.queries.statistics import (
+            _DBSCAN_MINPTS,
+            _DBSCAN_N,
+            _DBSCAN_Q,
+            dbscan_embedding_clusters,
+        )
+
+        e = (load_table(spark, SF_DIR, "embeddings")
+             .where(F.col("vec_id") < _DBSCAN_N)
+             .select("vec_id", "embedding").toPandas())
+        ids = e["vec_id"].to_numpy()
+        V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+        # Spark's ROUND is HALF_UP (away from zero); np.round is
+        # HALF_EVEN — match the query's quantization exactly
+        S = V * _DBSCAN_Q
+        Q = (np.sign(S) * np.floor(np.abs(S) + 0.5)).astype(np.int64)
+        want_edges = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = int(Q[i] @ Q[j])
+                na, nb = int(Q[i] @ Q[i]), int(Q[j] @ Q[j])
+                if d > 0 and 25 * d * d >= 4 * na * nb:
+                    a, b = int(ids[i]), int(ids[j])
+                    want_edges.add((min(a, b), max(a, b)))
+        # recompute degree-based roles like the query does
+        deg = {}
+        for a, b in want_edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        out = dbscan_embedding_clusters(spark, SF_DIR).collect()
+        got_core = {r.vec_id for r in out if r.role == "core"}
+        want_core = {v for v, d in deg.items() if d >= _DBSCAN_MINPTS}
+        assert got_core == want_core
