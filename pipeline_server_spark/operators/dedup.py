@@ -732,7 +732,27 @@ def _cc_label_loop(
 ):
     from pipeline_server_spark.operators.iterutil import checkpoint_df
 
-    changed = 0
+    def _label_sum(frame: DataFrame) -> int:
+        # exact DECIMAL accumulation: node ids are longs, so a plain
+        # long sum could overflow at web scale
+        s = frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        return int(s) if s is not None else 0  # empty graph
+
+    # Convergence via the label-sum invariant (r13 optimization):
+    # every round takes new = min(old, prop, jump) over a FIXED node
+    # set, so labels are pointwise non-increasing and the total label
+    # sum strictly decreases iff ANY label changed. Comparing sums
+    # turns the per-round convergence check from a two-frame join +
+    # limit + count job into one scan-aggregate over the frame the
+    # round just checkpointed — measurably cheaper on the tiny graphs
+    # near-dup dedup produces, identical exit round at every scale.
+    # prev_sum starts as None (round 1 is never skipped) rather than a
+    # pre-loop aggregate: summing the initial labels frame would force
+    # its un-checkpointed distinct subtree one extra time
+    changed = 1
+    prev_sum: int | None = None
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["s"] == labels["node"])
@@ -753,13 +773,9 @@ def _cc_label_loop(
             eager=True,
             checkpoint_dir=checkpoint_dir,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
+        changed = 0 if prev_sum is not None and new_sum == prev_sum else 1
+        prev_sum = new_sum
         labels = new_labels
         if changed == 0:
             break
