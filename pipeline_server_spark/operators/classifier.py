@@ -85,16 +85,23 @@ def hashed_gram_buckets(
 
 def _presence_block(bucket_lists, d: int) -> "np.ndarray":
     """n × (d+1) float64 presence matrix (bias last) for one Arrow
-    batch — per-row work only, so batching can't change a value."""
+    batch — per-row work only, so batching can't change a value.
+    Vectorized flat scatter (guide §4.2): duplicate (row, bucket)
+    entries re-assign the same 1.0, so the matrix is identical to the
+    old per-row ``np.unique`` loop on any input."""
     import numpy as np
 
     n = len(bucket_lists)
     X = np.zeros((n, d + 1), dtype=np.float64)
-    for i, buckets in enumerate(bucket_lists):
-        b = np.asarray(buckets, dtype=np.int64)
-        if len(b):
-            X[i, np.unique(b)] = 1.0
-        X[i, d] = 1.0
+    if n:
+        lens = np.fromiter((len(b) for b in bucket_lists),
+                           dtype=np.int64, count=n)
+        if int(lens.sum()):
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            cols = np.concatenate(
+                [np.asarray(b, dtype=np.int64) for b in bucket_lists])
+            X[rows, cols] = 1.0
+        X[:, d] = 1.0
     return X
 
 
@@ -111,16 +118,35 @@ def quality_classifier_fit(
     model-sized driver state, like the BPE trainer's vocab.
 
     ``label`` is a Column evaluating to the 0/1 training target."""
-    import numpy as np
-    from pyspark.sql import types as T
-
     feats = docs.select(
         label.cast("double").alias("_y"),
-        hashed_gram_buckets(docs, d_buckets, text_col).alias("_b"),
+        F.array_distinct(
+            hashed_gram_buckets(docs, d_buckets, text_col)).alias("_b"),
+        # array_distinct is presence-preserving (X assigns 1.0 per
+        # present bucket), and shrinks the Arrow transfer from
+        # ~2×tokens entries per doc to ≤ d_buckets
     ).persist()
     # (no kmeans_fit-style repack here: the input is a raw parquet
     # scan whose partitioning already tracks data size — measured A/B
     # showed the probe jobs cost more than they save)
+    try:
+        return _newton_fit(feats, d_buckets, iters, lam)
+    finally:
+        feats.unpersist()
+
+
+def _newton_fit(
+    feats: DataFrame,
+    d_buckets: int,
+    iters: int,
+    lam: float,
+) -> list[float]:
+    """The Newton/IRLS loop over a materialized ``(_y, _b)`` feature
+    frame (``_b`` = presence bucket array; duplicates allowed). Split
+    out so a query can share ONE feats materialization between
+    training, scoring, and its own output columns."""
+    import numpy as np
+    from pyspark.sql import types as T
 
     d1 = d_buckets + 1
     partial_schema = T.StructType([
@@ -129,56 +155,68 @@ def quality_classifier_fit(
     ])
     w = np.zeros(d1, dtype=np.float64)
 
-    try:
-        for _ in range(iters):
+    for _ in range(iters):
 
-            def _partials(batches: Iterator["object"],
-                          _w: "np.ndarray" = w.copy()) -> Iterator["object"]:
-                import numpy as np
-                import pandas as pd
+        def _partials(batches: Iterator["object"],
+                      _w: "np.ndarray" = w.copy()) -> Iterator["object"]:
+            import numpy as np
+            import pandas as pd
 
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
-                    X = _presence_block(pdf["_b"].to_numpy(), d_buckets)
-                    z = (X * _w[None, :]).sum(axis=1)
-                    p = 1.0 / (1.0 + np.exp(-z))
-                    y = pdf["_y"].to_numpy(dtype=np.float64)
-                    qe = np.floor((p - y) * QUANT + 0.5).astype(np.int64)
-                    qr = np.floor(p * (1.0 - p) * QUANT
-                                  + 0.5).astype(np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _presence_block(pdf["_b"].to_numpy(), d_buckets)
+                z = (X * _w[None, :]).sum(axis=1)
+                p = 1.0 / (1.0 + np.exp(-z))
+                y = pdf["_y"].to_numpy(dtype=np.float64)
+                qe = np.floor((p - y) * QUANT + 0.5).astype(np.int64)
+                qr = np.floor(p * (1.0 - p) * QUANT
+                              + 0.5).astype(np.int64)
+                if len(pdf) <= 4_000_000:
+                    # float64 BLAS path, still EXACT: X is 0/1 and
+                    # |qe|, qr ≤ 10⁹, so every partial sum in the two
+                    # matmuls is an integer of magnitude ≤ n·10⁹
+                    # ≤ 4·10¹⁵ < 2⁵³ — float64 addition of integers
+                    # below 2⁵³ is exact, so the products equal the
+                    # int64 matmuls bit-for-bit after rounding-free
+                    # casts (and dgemm is ~20× the int64 C loop)
+                    g = np.rint(X.T @ qe.astype(np.float64)) \
+                        .astype(np.int64)
+                    H = np.rint(
+                        (X * qr.astype(np.float64)[:, None]).T @ X
+                    ).astype(np.int64)
+                else:  # pragma: no cover — Arrow batches are ≤ 10k rows
                     Xi = X.astype(np.int64)  # binary ⇒ exact
                     g = Xi.T @ qe                       # (d1,)
                     H = (Xi * qr[:, None]).T @ Xi       # (d1, d1)
-                    yield pd.DataFrame({
-                        "cnt": [len(pdf)],
-                        "qs": [np.concatenate([g, H.ravel()]).tolist()],
-                    })
+                yield pd.DataFrame({
+                    "cnt": [len(pdf)],
+                    "qs": [np.concatenate([g, H.ravel()]).tolist()],
+                })
 
-            rows = (
-                feats.mapInPandas(_partials, schema=partial_schema)
-                .select("cnt", F.posexplode("qs").alias("pos", "q"))
-                .groupBy("pos")
-                .agg(
-                    F.sum("cnt").alias("cnt"),
-                    F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
-                )
-                .collect()
+        rows = (
+            feats.select("_y", "_b")  # ship only what the pass reads
+            .mapInPandas(_partials, schema=partial_schema)
+            .select("cnt", F.posexplode("qs").alias("pos", "q"))
+            .groupBy("pos")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
             )
-            if not rows:
-                raise ValueError("quality_classifier_fit: empty input")
-            # every batch contributes its row count once per pos, so
-            # any pos group's cnt IS the corpus size
-            n = float(int(rows[0]["cnt"]))
-            flat = np.zeros(d1 + d1 * d1, dtype=np.float64)
-            for r in rows:
-                flat[r["pos"]] = float(int(r["s"]))
-            g = flat[:d1] / (QUANT * n) + lam * w
-            H = flat[d1:].reshape(d1, d1) / (QUANT * n) \
-                + lam * np.eye(d1)
-            w = w - np.linalg.solve(H, g)
-    finally:
-        feats.unpersist()
+            .collect()
+        )
+        if not rows:
+            raise ValueError("quality_classifier_fit: empty input")
+        # every batch contributes its row count once per pos, so
+        # any pos group's cnt IS the corpus size
+        n = float(int(rows[0]["cnt"]))
+        flat = np.zeros(d1 + d1 * d1, dtype=np.float64)
+        for r in rows:
+            flat[r["pos"]] = float(int(r["s"]))
+        g = flat[:d1] / (QUANT * n) + lam * w
+        H = flat[d1:].reshape(d1, d1) / (QUANT * n) \
+            + lam * np.eye(d1)
+        w = w - np.linalg.solve(H, g)
     return [float(x) for x in w]
 
 
@@ -196,16 +234,33 @@ def quality_classifier_score(
     import numpy as np
     from pyspark.sql import types as T
 
-    w = np.asarray(weights, dtype=np.float64)
-    out_schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("quality_score", T.DoubleType()),
-    ])
-
     feats = docs.select(
         F.col(id_col).cast("long").alias("_id"),
-        hashed_gram_buckets(docs, d_buckets, text_col).alias("_b"),
+        F.array_distinct(
+            hashed_gram_buckets(docs, d_buckets, text_col)).alias("_b"),
     )
+    return _score_feats(feats, weights, d_buckets)
+
+
+def _score_feats(
+    feats: DataFrame,
+    weights: list[float],
+    d_buckets: int,
+    carry: tuple = (),
+) -> DataFrame:
+    """One scoring pass over a materialized ``(_id, _b [, carry...])``
+    feature frame; ``carry`` columns pass through untouched so a query
+    sharing the frame with training needs no join back to the corpus."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    w = np.asarray(weights, dtype=np.float64)
+    carry_fields = [feats.schema[c] for c in carry]
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        *carry_fields,
+        T.StructField("quality_score", T.DoubleType()),
+    ])
 
     def _score(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
@@ -218,7 +273,11 @@ def quality_classifier_score(
             z = (X * w[None, :]).sum(axis=1)
             p = 1.0 / (1.0 + np.exp(-z))
             q = np.floor(p * QUANT + 0.5) / QUANT
-            yield pd.DataFrame({"doc_id": pdf["_id"],
-                                "quality_score": q})
+            out = {"doc_id": pdf["_id"]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["quality_score"] = q
+            yield pd.DataFrame(out)
 
-    return feats.mapInPandas(_score, schema=out_schema)
+    cols = ["_id", *carry, "_b"]
+    return feats.select(*cols).mapInPandas(_score, schema=out_schema)

@@ -765,12 +765,17 @@ def _cc_label_loop(
             .join(labels.alias("y"), F.col("x.cluster_id") == F.col("y.node"))
             .select(F.col("x.node").alias("node"), F.col("y.cluster_id").alias("cluster_id"))
         )
+        # LAZY checkpoint (r13 optimization, round 2): the label-sum
+        # aggregate below is the round's first action, so it both
+        # materializes the checkpoint blocks and computes the
+        # convergence scalar in ONE job — the eager variant paid a
+        # separate materialization job per round for the same blocks
         new_labels = checkpoint_df(
             labels.unionByName(prop)
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id")),
-            eager=True,
+            eager=False,
             checkpoint_dir=checkpoint_dir,
         )
         new_sum = _label_sum(new_labels)

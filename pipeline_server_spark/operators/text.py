@@ -240,8 +240,13 @@ def bpe_train(words: DataFrame, num_merges: int,
     # per-round lineage truncation via the shared helper: local
     # checkpoint blocks are ContextCleaner-freed once the previous
     # round's state is unreferenced; pass checkpoint_dir for the
-    # cluster-reliable mode (same contract as the dedup/CC loops)
-    state = checkpoint_df(state, eager=True, checkpoint_dir=checkpoint_dir)
+    # cluster-reliable mode (same contract as the dedup/CC loops).
+    # LAZY (r13 optimization): each round's argmax collect is the
+    # state's first action, so it materializes the checkpoint AND
+    # counts pairs in ONE job — the eager variant paid a separate
+    # blocking materialization job per round, and eagerly computed a
+    # final-round rewrite no consumer ever reads
+    state = checkpoint_df(state, eager=False, checkpoint_dir=checkpoint_dir)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, num_merges + 1):
@@ -268,7 +273,7 @@ def bpe_train(words: DataFrame, num_merges: int,
         merges.append((rank, l, r, l + r, cnt))
         state = checkpoint_df(
             state.withColumn("syms", _bpe_merge_scan(F.col("syms"), l, r)),
-            eager=True, checkpoint_dir=checkpoint_dir)
+            eager=False, checkpoint_dir=checkpoint_dir)
     return merges
 
 

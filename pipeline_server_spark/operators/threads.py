@@ -76,9 +76,28 @@ def assemble_threads(
     default_parts = int(base.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(2, min(default_parts, n_msgs // 100_000 + 2))
     sess = loop_session(base, loop_parts)
-    anc = checkpoint_df(transfer(resolved, sess), eager=True,
+    anc = checkpoint_df(transfer(resolved, sess), eager=False,
                         checkpoint_dir=None)
 
+    def _hop_sum(frame) -> int:
+        s = frame.agg(
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        return int(s) if s is not None else 0
+
+    # Convergence via the hop-sum invariant (r13 optimization, the CC
+    # label-sum pattern): a round composes node → anc(anc(node)) with
+    # d' = d + d(anc); d(anc) ≥ 1 exactly when anc is NOT a root
+    # (anc(p) = p iff root), which is exactly when the node's ancestor
+    # pointer changes this round. So Σd is non-decreasing and strictly
+    # increases iff ANY pointer changed — one scan-aggregate over the
+    # frame the round just built (lazily checkpointed, so the sum job
+    # also materializes it) replaces the old two-frame join + limit +
+    # count job per round. DECIMAL sum: Σd ≤ n·depth could pass 2⁶³
+    # at web scale. Seeding prev_sum from the initial frame (whose
+    # sum job also materializes its lazy checkpoint) keeps the exit
+    # round IDENTICAL to the old changed-join check.
+    prev_sum: int = _hop_sum(anc)
     for _ in range(max_iter):
         # node → anc(anc(node)), accumulating hop counts; a root's
         # self-loop (anc = node, d = 0) is the fixpoint.
@@ -90,19 +109,14 @@ def assemble_threads(
                 F.col("y.anc").alias("anc"),
                 (F.col("x.d") + F.col("y.d")).alias("d"),
             ),
-            eager=True,
+            eager=False,
             checkpoint_dir=None,
         )
-        changed = (
-            nxt.alias("n")
-            .join(anc.alias("o"), "node")
-            .where(F.col("n.anc") != F.col("o.anc"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _hop_sum(nxt)
         anc = nxt
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"assemble_threads did not converge within max_iter={max_iter} "

@@ -148,7 +148,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model — and every probability — independent of partitioning
     (referee-pinned bit-for-bit)."""
     from pipeline_server_spark.operators.classifier import (
-        quality_classifier_fit, quality_classifier_score)
+        _newton_fit, _score_feats, hashed_gram_buckets)
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
@@ -156,14 +156,24 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in _MARKERS:
         c = F.array_contains(toks, m)
         label = c if label is None else (label & c)
-    w = quality_classifier_fit(docs, label, d_buckets=_D,
-                               iters=_ITERS, lam=_LAM)
-    scored = quality_classifier_score(docs, w, d_buckets=_D)
+    # ONE materialization of the hashed-gram feature frame (split +
+    # xxhash64 + pmod + distinct), shared by all 4 Newton passes, the
+    # scoring pass, AND the output's label column — the old shape
+    # scanned + re-hashed the corpus a second time for scoring and
+    # joined a third scan back for the label. array_distinct is
+    # presence-preserving, so every score is bit-identical.
+    feats = docs.select(
+        F.col("doc_id").cast("long").alias("_id"),
+        label.cast("double").alias("_y"),
+        label.cast("int").alias("_yi"),
+        F.array_distinct(hashed_gram_buckets(docs, _D, "text"))
+        .alias("_b"),
+    ).localCheckpoint(eager=True)
+    w = _newton_fit(feats, _D, _ITERS, _LAM)
+    scored = _score_feats(feats, w, _D, carry=("_yi",))
     return (
-        docs.select("doc_id", label.cast("int").alias("label"))
-        .join(scored, "doc_id")
-        .select(
-            "doc_id", "label", "quality_score",
+        scored.select(
+            "doc_id", F.col("_yi").alias("label"), "quality_score",
             (F.col("quality_score") >= 0.5).alias("predicted_hq"),
         )
         .orderBy("doc_id")

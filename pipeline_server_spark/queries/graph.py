@@ -151,11 +151,12 @@ def pagerank_fixed_point(
             ).cast("bigint").alias("r"),
         )
         # Truncate lineage every `checkpoint_every` rounds (and on the
-        # last): an eager checkpoint per round costs one blocking job
-        # each; letting the plan span two rounds halves the job count
-        # while keeping the plan depth bounded.
+        # last). LAZY (r13): the loop has no per-round driver action,
+        # so the caller's single action materializes every checkpoint
+        # in one job — the plan depth stays bounded (each checkpoint
+        # is a LogicalRDD) without per-checkpoint blocking jobs.
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            nxt = checkpoint_df(nxt, eager=True, checkpoint_dir=checkpoint_dir)
+            nxt = checkpoint_df(nxt, eager=False, checkpoint_dir=checkpoint_dir)
         r = nxt
     # Loop output is eagerly checkpointed — re-binding to the caller's
     # session is metadata only.
@@ -492,7 +493,12 @@ def supplier_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(nxt)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy (r13): the loop is a CONSTANT 4 rounds with no
+            # per-round driver action, so the query's single action
+            # materializes the whole chain — the plan stays flat
+            # (one LogicalRDD per round) without paying 4 blocking
+            # materialization jobs
+            .localCheckpoint(eager=False)
         )
         # true BFS frontier: only nodes first reached this round expand
         # next round (re-expanding settled nodes would be |V| joins per

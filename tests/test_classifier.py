@@ -78,6 +78,57 @@ class TestQualityClassifier:
         q = np.floor(pdf["quality_score"].to_numpy() * 1e9 + 0.5) / 1e9
         assert (q == pdf["quality_score"].to_numpy()).all()
 
+    def test_presence_block_matches_reference_loop(self):
+        """r13 optimization: the vectorized flat-scatter presence
+        build must equal the original per-row np.unique loop on
+        ragged input — incl. duplicate buckets, empty docs, and an
+        empty batch."""
+        import numpy as np
+
+        from pipeline_server_spark.operators.classifier import (
+            _presence_block)
+
+        def _reference(bucket_lists, d):
+            X = np.zeros((len(bucket_lists), d + 1), dtype=np.float64)
+            for i, buckets in enumerate(bucket_lists):
+                b = np.asarray(buckets, dtype=np.int64)
+                if len(b):
+                    X[i, np.unique(b)] = 1.0
+                X[i, d] = 1.0
+            return X
+
+        rng = np.random.RandomState(7)
+        d = 32
+        lists = [rng.randint(0, d, size=rng.randint(0, 90)).astype(
+            np.int32) for _ in range(40)]
+        lists[3] = np.array([], dtype=np.int32)   # empty doc
+        lists[5] = np.array([0, 0, 0, d - 1], dtype=np.int32)
+        got = _presence_block(np.array(lists, dtype=object), d)
+        want = _reference(lists, d)
+        assert (got == want).all()
+        assert _presence_block(np.array([], dtype=object), d).shape \
+            == (0, d + 1)
+
+    def test_float64_partials_match_int64_matmul(self):
+        """r13 optimization: the dgemm gradient/Hessian path must be
+        bit-identical to the int64 matmul it replaced (all partial
+        sums are integers < 2^53, so float64 accumulation is exact)."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        n, d1 = 500, 65
+        X = (rng.rand(n, d1) < 0.4).astype(np.float64)
+        qe = rng.randint(-(10**9), 10**9 + 1, size=n)
+        qr = rng.randint(0, 10**9 + 1, size=n)
+        Xi = X.astype(np.int64)
+        g_int = Xi.T @ qe
+        H_int = (Xi * qr[:, None]).T @ Xi
+        g_f = np.rint(X.T @ qe.astype(np.float64)).astype(np.int64)
+        H_f = np.rint(
+            (X * qr.astype(np.float64)[:, None]).T @ X).astype(np.int64)
+        assert (g_int == g_f).all()
+        assert (H_int == H_f).all()
+
     def test_empty_input_raises(self, spark):
         from pipeline_server_spark.operators.classifier import (
             quality_classifier_fit)
