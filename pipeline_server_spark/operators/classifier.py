@@ -83,6 +83,19 @@ def hashed_gram_buckets(
         lambda g: F.pmod(F.xxhash64(g), F.lit(d_buckets)).cast("int"))
 
 
+def _classifier_local_row_cap() -> int:
+    """Feature-row cap under which :func:`_newton_fit` collects the
+    (label, bucket-array) frame once and runs all Newton rounds
+    locally — bit-identical weights (exact integer gradient/Hessian
+    sums; see the fast-path comment), zero per-round jobs. Env-tunable
+    (``SPARK_GRAFT_CLASSIFIER_LOCAL_ROWS``); 0 forces distributed.
+    The default bounds the local X matrix at ~100k × (d+1) float64."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CLASSIFIER_LOCAL_ROWS",
+                              "100000"))
+
+
 def _presence_block(bucket_lists, d: int) -> "np.ndarray":
     """n × (d+1) float64 presence matrix (bias last) for one Arrow
     batch — per-row work only, so batching can't change a value.
@@ -154,6 +167,42 @@ def _newton_fit(
         T.StructField("qs", T.ArrayType(T.LongType())),
     ])
     w = np.zeros(d1, dtype=np.float64)
+
+    # SMALL-CORPUS FAST PATH (r13 optimization — the kmeans_fit
+    # rationale): the model is driver-sized already (w, g, H reach the
+    # driver every round), so when the FEATURE frame fits the cap one
+    # bounded collect replaces iters × (Arrow pass + posexplode
+    # decimal aggregation + 16k-row collect). The local rounds run the
+    # module's exact spec on the whole matrix: per-row z/p/qe/qr are
+    # row-local float64 (the same expressions _partials evaluates),
+    # and the gradient/Hessian matmuls are exact integer totals —
+    # |Σ| ≤ n·10⁹ ≪ 2⁵³ under the cap, so the float64 dgemm equals
+    # the int64 sum bit-for-bit (the _partials argument verbatim).
+    # Trained weights are therefore bit-identical; the referee and
+    # the repartition-invariance test pin it. Past the cap the
+    # distributed loop below runs unchanged.
+    n_local = feats.count()  # cheap: callers persist/checkpoint feats
+    if n_local <= _classifier_local_row_cap():
+        rows_l = feats.select("_y", "_b").collect()
+        X = _presence_block([r["_b"] for r in rows_l], d_buckets)
+        y = np.array([r["_y"] for r in rows_l], dtype=np.float64)
+        n = float(len(rows_l))
+        if not len(rows_l):
+            raise ValueError("quality_classifier_fit: empty input")
+        for _ in range(iters):
+            z = (X * w[None, :]).sum(axis=1)
+            p = 1.0 / (1.0 + np.exp(-z))
+            qe = np.floor((p - y) * QUANT + 0.5).astype(np.int64)
+            qr = np.floor(p * (1.0 - p) * QUANT + 0.5).astype(np.int64)
+            g_i = np.rint(X.T @ qe.astype(np.float64)).astype(np.int64)
+            H_i = np.rint(
+                (X * qr.astype(np.float64)[:, None]).T @ X
+            ).astype(np.int64)
+            g = g_i.astype(np.float64) / (QUANT * n) + lam * w
+            H = H_i.astype(np.float64) / (QUANT * n) \
+                + lam * np.eye(d1)
+            w = w - np.linalg.solve(H, g)
+        return [float(x) for x in w]
 
     for _ in range(iters):
 

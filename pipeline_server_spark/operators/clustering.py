@@ -51,6 +51,20 @@ if TYPE_CHECKING:  # pragma: no cover
 QUANT = 10**6
 
 
+def _kmeans_local_quanta_cap() -> int:
+    """Quanta-count cap (rows × dim) under which the k-means / PQ
+    trainers run their iterations on a driver-local copy of the
+    quantized frame instead of per-iteration distributed passes.
+    Results are bit-identical either way (exact integer math — see
+    module docstring); the cap only decides WHERE the same sums are
+    computed. Default ≈ 64 MB of int64 quanta; env-tunable
+    (``SPARK_GRAFT_KMEANS_LOCAL_QUANTA``), 0 forces distributed."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_KMEANS_LOCAL_QUANTA",
+                              "8000000"))
+
+
 def _normalize_block(block: "np.ndarray") -> "np.ndarray":
     import numpy as np
 
@@ -153,6 +167,47 @@ def kmeans_fit(
     import math
 
     n_rows = qvecs.count()  # also materializes the cache
+
+    # SMALL-CORPUS FAST PATH (r13 optimization): below the quanta cap
+    # the whole quantized frame is one bounded collect (int64 quanta,
+    # ≤ ~64 MB at the default cap), and every Lloyd iteration runs as
+    # the SAME exact-integer math locally — zero per-iteration Spark
+    # jobs instead of iters × (Arrow pass + decimal aggregation +
+    # collect). Bit-identical by the module's own exactness argument:
+    # assignment is an integer argmax and every cross-row sum is an
+    # exact int64/decimal total, so WHERE the sum happens (one task,
+    # many tasks, or the driver) cannot change any value — the same
+    # property the pure-Python referees pin. Past the cap (a corpus
+    # that is not driver-sized) the distributed loop below runs
+    # unchanged.
+    if n_rows * d <= _kmeans_local_quanta_cap():
+        qmat = np.array([r["_q"] for r in qvecs.collect()],
+                        dtype=np.int64)
+        for _ in range(iters):
+            cq = _quantize_centroids(cent.tolist())
+            cells = np.argmax(qmat @ cq.T, axis=1)
+            cnts = np.bincount(cells, minlength=k).astype(np.int64)
+            sums_i = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums_i, cells, qmat)
+            new_cent = cent.copy()
+            for j in range(k):
+                if cnts[j] == 0:
+                    continue
+                # identical float math to the distributed M-step:
+                # exact integer sum → float64 (exact: |sum| ≤
+                # n·QUANT ≪ 2^53 under the cap) → one division
+                m = sums_i[j].astype(np.float64) / (QUANT * cnts[j])
+                n = np.linalg.norm(m)
+                if n > 0:
+                    new_cent[j] = m / n
+            cent = new_cent
+        if not _return_quantized:
+            qvecs.unpersist()
+        cent_list = [[float(x) for x in row] for row in cent]
+        if _return_quantized:
+            return cent_list, qvecs
+        return cent_list
+
     cur_parts = qvecs.rdd.getNumPartitions()
     tgt = max(1, min(cur_parts, math.ceil(n_rows / 65536)))
     if tgt < cur_parts:
@@ -331,6 +386,42 @@ def pq_codebooks_fit(
         # cb[s]: k_sub × dsub int64 quanta
         cb = np.stack([seed[:, s * dsub:(s + 1) * dsub].copy()
                        for s in range(m_sub)])
+
+        # SMALL-CORPUS FAST PATH — the :func:`kmeans_fit` rationale
+        # verbatim: under the quanta cap the residual frame is one
+        # bounded collect and all subspace k-means iterations run the
+        # same exact-integer spec locally (bit-identical sums; the
+        # cap only moves WHERE they are computed), replacing iters ×
+        # (Arrow pass + decimal aggregation) with zero jobs.
+        n_res = qr.count()  # cheap: qr is persisted by the seed collect
+        if n_res * d <= _kmeans_local_quanta_cap():
+            qloc = np.array([r["_qr"] for r in qr.collect()],
+                            dtype=np.int64)
+            for _ in range(iters):
+                new_cb = cb.copy()
+                for s in range(m_sub):
+                    Rs = qloc[:, s * dsub:(s + 1) * dsub]
+                    cbs = cb[s]
+                    d2 = (
+                        (Rs * Rs).sum(axis=1)[:, None]
+                        - 2 * (Rs @ cbs.T)
+                        + (cbs * cbs).sum(axis=1)[None, :]
+                    )
+                    a = np.argmin(d2, axis=1)  # first-lowest ties
+                    cnt = np.bincount(a, minlength=k_sub)
+                    sums_i = np.zeros((k_sub, dsub), dtype=np.int64)
+                    np.add.at(sums_i, a, Rs)
+                    for j in range(k_sub):
+                        c = int(cnt[j])
+                        if c == 0:
+                            continue  # empty cluster keeps its codeword
+                        for pos in range(dsub):
+                            sv = int(sums_i[j, pos])
+                            # floor(sv/c + 0.5) in exact integers
+                            new_cb[s, j, pos] = (2 * sv + c) // (2 * c)
+                cb = new_cb
+            return [[[float(x) / QUANT for x in code] for code in book]
+                    for book in cb]
 
         for _ in range(iters):
 

@@ -699,6 +699,24 @@ def connected_components(
     # session (corpus-sized width) and materializes the edge checkpoint
     # so the (expensive) pair lineage runs exactly once.
     n_edges = edges.count()
+    # SMALL-GRAPH FAST PATH (r13 optimization, guide §1.2 step 1): a
+    # near-dup edge set a few orders of magnitude smaller than the
+    # corpus that produced it does not need a distributed fixed-point
+    # loop — each label round costs ~3 graph-sized shuffles plus a
+    # whole Spark job of scheduling, and the capstone's 500-edge graph
+    # was paying 8 rounds of it. Below the (env-tunable) cap the exact
+    # same labels come from ONE job: shuffle the edge rows to a single
+    # task and run union-find there — in an EXECUTOR Python worker via
+    # mapInPandas, not a driver collect, so the no-driver-data-work
+    # discipline holds and a task retry just recomputes from the edge
+    # checkpoint. The cap bounds the task at ~32 MB of edge rows /
+    # O(E α(E)) work; past it the O(log diameter) loop below is the
+    # right shape (and the only one that scales to web-sized graphs).
+    if n_edges <= _cc_local_edge_cap():
+        # eager checkpoint for parity with the loop path's contract:
+        # consumers may reference the labels any number of times
+        # without re-running the union-find task
+        return _cc_single_task(edges).localCheckpoint(eager=True)
     base = pairs.sparkSession
     default_parts = int(base.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(2, min(default_parts, n_edges // 100_000 + 2))
@@ -722,6 +740,70 @@ def connected_components(
     # checkpointed — the transfer is metadata only) so callers can join
     # it with their own frames.
     return transfer(labels, base)
+
+
+def _cc_local_edge_cap() -> int:
+    """Edge-row cap (counting both directions) under which
+    ``connected_components`` solves the graph in one single-task
+    union-find job instead of the distributed label loop. Env-tunable
+    (``SPARK_GRAFT_CC_LOCAL_EDGES``); the default bounds the task at
+    ~2M rows ≈ 32 MB / well under a second of union-find — cheaper
+    than even one distributed label round, let alone log(diameter) of
+    them. Set to 0 to force the loop (tests; pathological rows)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "2000000"))
+
+
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Union-find over the whole (bidirectional) edge frame in ONE
+    executor task: ``(node, cluster_id)`` with cluster_id = min node
+    id of the component — exactly the fixed point the label loop
+    converges to (union-by-min keeps every tree's root the component
+    minimum; find returns the root). Output is a set — identical for
+    any edge order, so batching/partitioning cannot change it."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # node ids keep the caller's type (the loop path is type-agnostic
+    # too — min() works on any orderable id)
+    schema = T.StructType([
+        T.StructField("node", edges.schema["s"].dataType),
+        T.StructField("cluster_id", edges.schema["s"].dataType),
+    ])
+
+    def _uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["s"].tolist(), pdf["d"].tolist()):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # attach the larger root under the smaller: roots
+                    # stay component minima at every step
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        if parent:
+            yield pd.DataFrame({
+                "node": list(parent.keys()),
+                "cluster_id": [find(x) for x in parent],
+            })
+
+    return edges.repartition(1).mapInPandas(_uf, schema)
 
 
 def _cc_label_loop(

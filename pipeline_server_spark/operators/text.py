@@ -192,6 +192,58 @@ def doc_fingerprints(
     )
 
 
+def _bpe_local_word_cap() -> int:
+    """Vocabulary-row cap under which :func:`bpe_train` runs its merge
+    rounds on a driver-local copy of the word-frequency table (one
+    bounded collect) instead of per-round distributed jobs. Env-tunable
+    (``SPARK_GRAFT_BPE_LOCAL_WORDS``); 0 forces the distributed loop.
+    The default bounds the collect at ~200k (word, freq) rows — a few
+    MB — and the local loop at O(merges · Σ|word|) work."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_WORDS", "200000"))
+
+
+def _bpe_train_local(
+    vocab: list[tuple[str, int]], num_merges: int,
+) -> list[tuple[int, str, str, str, int]]:
+    """The distributed trainer's greedy loop on a local vocabulary —
+    the SAME spec step for step (see :func:`bpe_train`): pair counts
+    over every adjacent symbol position weighted by word frequency,
+    winner by (count desc, left asc, right asc) — Python str compare
+    equals Spark's UTF8String order because UTF-8 byte order preserves
+    code-point order — then one leftmost-non-overlapping merge pass
+    (the carry-scan's semantics) over every word."""
+    state = [(list(w), f) for w, f in vocab]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict = {}
+        for syms, f in state:
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + f
+        if not counts:
+            break  # no word has two symbols left — vocabulary exhausted
+        (l, r), cnt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, l + r, cnt))
+        merged = l + r
+        for idx, (syms, f) in enumerate(state):
+            out, i, n = [], 0, len(syms)
+            changed = False
+            while i < n:
+                if (i + 1 < n and syms[i] == l and syms[i + 1] == r):
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                state[idx] = (out, f)
+    return merges
+
+
 def bpe_train(words: DataFrame, num_merges: int,
               word_col: str = "w", freq_col: str = "freq",
               shuffle_partitions: int = 16,
@@ -229,6 +281,29 @@ def bpe_train(words: DataFrame, num_merges: int,
 
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    # SMALL-VOCABULARY FAST PATH (r13 optimization): the trainer's
+    # state is the vocabulary, and its output is ALREADY driver-sized
+    # (the merge table) — when the vocab itself fits the (env-tunable)
+    # cap, one bounded collect replaces num_merges × (pair-count
+    # groupBy + argmax collect + carry-scan rewrite) Spark jobs with
+    # the same greedy loop run locally: identical pair counts (every
+    # adjacent position, summed exactly), identical (count desc, l, r)
+    # tie-break, identical leftmost-non-overlapping merge — so the
+    # merge table is bit-identical (the pure-Python registry referee
+    # pins this). limit(cap+1) bounds the collect BEFORE it happens;
+    # an over-cap vocab falls through to the distributed loop.
+    cap = _bpe_local_word_cap()
+    if cap > 0:
+        head = (
+            words.select(F.col(word_col).alias("w"),
+                         F.col(freq_col).cast("long").alias("freq"))
+            .where(F.col("w") != "")
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(head) <= cap:
+            return _bpe_train_local(
+                [(r["w"], int(r["freq"])) for r in head], num_merges)
     base = words.sparkSession
     sess = loop_session(base, shuffle_partitions)
     state = transfer(words, sess).select(
@@ -374,6 +449,122 @@ def _bpe_merge_scan(syms: Column, l: str, r: str) -> Column:
     return F.aggregate(syms, init, step, fin)
 
 
+def _fb_expected_counts(word: str, pv: dict, L: int):
+    """One word's forward-backward EXPECTED PIECE COUNTS over its
+    segmentation lattice — the unigram-LM E-step's per-row kernel, in
+    fixed iteration order in plain float64 (batching/partitioning
+    cannot reorder it). Returns ``{piece: expected_count}`` or None
+    when the word is unsegmentable under ``pv``. Shared verbatim by
+    the distributed E-step pass and the small-vocab local path, so
+    the two compute identical doubles by construction."""
+    n = len(word)
+    # forward: alpha[i] = P(prefix of length i)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        s = 0.0
+        for j in range(max(0, i - L), i):
+            p = pv.get(word[j:i])
+            if p:
+                s += alpha[j] * p
+        alpha[i] = s
+    z = alpha[n]
+    if z <= 0.0:
+        return None
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for j in range(i + 1, min(n, i + L) + 1):
+            p = pv.get(word[i:j])
+            if p:
+                s += p * beta[j]
+        beta[i] = s
+    exp: dict = {}
+    for i in range(n):
+        for j in range(i + 1, min(n, i + L) + 1):
+            piece = word[i:j]
+            p = pv.get(piece)
+            if p:
+                e = alpha[i] * p * beta[j] / z
+                exp[piece] = exp.get(piece, 0.0) + e
+    return exp
+
+
+def _unigram_local_word_cap() -> int:
+    """Vocabulary-row cap under which :func:`unigram_lm_train` runs
+    seeding + all EM iterations on a driver-local copy of the word
+    table. Env-tunable (``SPARK_GRAFT_UNIGRAM_LOCAL_WORDS``); 0 forces
+    the distributed path. Smaller than the BPE cap because local work
+    is O(words · len · max_piece_len) per pass."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_UNIGRAM_LOCAL_WORDS",
+                              "20000"))
+
+
+def _unigram_train_local(
+    vocab: list[tuple[str, int]], vocab_size: int, em_iters: int,
+    max_piece_len: int, seed_size: int,
+) -> list[tuple[str, int, float]]:
+    """The distributed trainer's spec on a local word table — same
+    seeding (exact integer freq·len scores, piece-lexicographic
+    ties), same E-step kernel (:func:`_fb_expected_counts`), same
+    per-(word, piece) DECIMAL(38,12) HALF_UP quantization of the
+    float64 contribution (``Decimal(repr(x))`` is the shortest-repr
+    decimal Spark's double→decimal cast rounds), same exact decimal
+    sums and ratios — bit-identical pieces and probs."""
+    import decimal as _dec
+
+    L = max_piece_len
+    # seed: substring occurrence counts weighted by word freq
+    sub_n: dict = {}
+    for w_, f in vocab:
+        n = len(w_)
+        for i in range(n):
+            for ln in range(1, min(L, n - i) + 1):
+                piece = w_[i:i + ln]
+                sub_n[piece] = sub_n.get(piece, 0) + f
+    chars = sorted(p for p in sub_n if len(p) == 1)
+    multi = sorted(
+        ((p, c) for p, c in sub_n.items() if len(p) > 1),
+        key=lambda t: (-(t[1] * len(t[0])), t[0]),
+    )[: max(0, seed_size - len(chars))]
+    seed = chars + [p for p, _ in multi]
+    score = {p: sub_n[p] * len(p) for p in seed}
+    total0 = sum(score.get(p, 1) for p in seed)
+    probs = {p: score.get(p, 1) / total0 for p in seed}
+
+    q12 = _dec.Decimal("1e-12")
+    for _ in range(em_iters):
+        counts_d: dict = {}
+        for w_, f in vocab:
+            exp = _fb_expected_counts(w_, probs, L)
+            if exp is None:
+                continue
+            ff = float(f)
+            for piece, e in exp.items():
+                q = _dec.Decimal(repr(e * ff)).quantize(
+                    q12, rounding=_dec.ROUND_HALF_UP)
+                counts_d[piece] = counts_d.get(piece, _dec.Decimal(0)) + q
+        total = sum((counts_d[p] for p in sorted(counts_d)),
+                    _dec.Decimal(0))
+        if total <= 0:
+            raise ValueError("unigram_lm_train: EM collapsed to zero mass")
+        probs = {p: float(counts_d[p] / total) for p in seed
+                 if p in counts_d and counts_d[p] > 0}
+        for chp in chars:
+            probs.setdefault(chp, 0.0)
+
+    ranked_multi = sorted(
+        ((p, pr) for p, pr in probs.items() if len(p) > 1 and pr > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[: max(0, vocab_size - len(chars))]
+    final = [(p, probs[p]) for p in chars] + ranked_multi
+    final.sort(key=lambda t: (-t[1], t[0]))
+    return [(p, rank + 1, pr) for rank, (p, pr) in enumerate(final)]
+
+
 def unigram_lm_train(words: DataFrame, vocab_size: int = 40,
                      em_iters: int = 3, max_piece_len: int = 6,
                      seed_size: int = 300,
@@ -416,6 +607,26 @@ def unigram_lm_train(words: DataFrame, vocab_size: int = 40,
 
     if vocab_size < 1 or em_iters < 1:
         raise ValueError("vocab_size and em_iters must be >= 1")
+    # SMALL-VOCABULARY FAST PATH (r13 optimization — the bpe_train
+    # rationale): the trainer's output is already driver-sized (the
+    # piece table), so when the vocab fits the cap one bounded collect
+    # replaces seeding (2 jobs) + em_iters × (Arrow pass + decimal
+    # aggregation + collect) with the identical spec run locally —
+    # same E-step kernel function, same decimal quantization, same
+    # exact sums; bit-identical pieces (referee-pinned).
+    cap = _unigram_local_word_cap()
+    if cap > 0:
+        head = (
+            words.select(F.col(word_col).alias("w"),
+                         F.col(freq_col).cast("long").alias("freq"))
+            .where((F.col("w") != "") & F.col("w").isNotNull())
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(head) <= cap:
+            return _unigram_train_local(
+                [(r["w"], int(r["freq"])) for r in head],
+                vocab_size, em_iters, max_piece_len, seed_size)
     # persist the (vocab-sized) word table: seeding + every EM
     # iteration re-reads it, and without this each action would
     # recompute the caller's corpus-wide explode/groupBy from scratch
@@ -472,37 +683,9 @@ def unigram_lm_train(words: DataFrame, vocab_size: int = 40,
                     continue
                 out_p, out_c = [], []
                 for word, freq in zip(pdf["w"], pdf["freq"]):
-                    n = len(word)
-                    # forward: alpha[i] = P(prefix of length i)
-                    alpha = [0.0] * (n + 1)
-                    alpha[0] = 1.0
-                    for i in range(1, n + 1):
-                        s = 0.0
-                        for j in range(max(0, i - _L), i):
-                            p = pv.get(word[j:i])
-                            if p:
-                                s += alpha[j] * p
-                        alpha[i] = s
-                    z = alpha[n]
-                    if z <= 0.0:
+                    exp = _fb_expected_counts(word, pv, _L)
+                    if exp is None:
                         continue  # unsegmentable (char outside seed)
-                    beta = [0.0] * (n + 1)
-                    beta[n] = 1.0
-                    for i in range(n - 1, -1, -1):
-                        s = 0.0
-                        for j in range(i + 1, min(n, i + _L) + 1):
-                            p = pv.get(word[i:j])
-                            if p:
-                                s += p * beta[j]
-                        beta[i] = s
-                    exp: dict = {}
-                    for i in range(n):
-                        for j in range(i + 1, min(n, i + _L) + 1):
-                            piece = word[i:j]
-                            p = pv.get(piece)
-                            if p:
-                                e = alpha[i] * p * beta[j] / z
-                                exp[piece] = exp.get(piece, 0.0) + e
                     f = float(freq)
                     for piece in sorted(exp):
                         out_p.append(piece)

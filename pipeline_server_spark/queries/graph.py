@@ -86,6 +86,63 @@ def _contribution_step(r: DataFrame, edges: DataFrame, outdeg: DataFrame) -> Dat
     )
 
 
+def _pr_local_edge_cap() -> int:
+    """Edge-row cap under which :func:`pagerank_fixed_point` runs all
+    iterations in one single-task Arrow job instead of the distributed
+    loop. Env-tunable (``SPARK_GRAFT_PR_LOCAL_EDGES``); the default
+    bounds the task at ~32 MB of edge rows and O(iters·E) vectorized
+    int64 work — far cheaper than iters × (2 graph shuffles). 0 forces
+    the distributed loop (tests)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_PR_LOCAL_EDGES", "2000000"))
+
+
+def _pagerank_single_task(edges: DataFrame, n: int, iters: int,
+                          init: int, teleport: int) -> DataFrame:
+    """All PageRank rounds in ONE executor task over the whole edge
+    frame: vectorized int64 fixed point, bit-identical to the
+    distributed loop (same integer operations in the same per-node
+    order — sums of integers are order-free). Node ids keep the
+    caller's type (long supplier keys, string crawl hosts, ...): the
+    kernel factorizes them to dense indices and emits them back
+    unchanged, and the output schema reuses the edge frame's src
+    field type."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("node", edges.schema["src"].dataType),
+        T.StructField("r", T.LongType()),
+    ])
+
+    def _pr(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            if len(pdf):
+                srcs.append(pdf["src"].to_numpy())
+                dsts.append(pdf["dst"].to_numpy())
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        nodes = np.unique(np.concatenate([src, dst]))
+        assert len(nodes) == n  # same node set the caller counted
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+        r = np.full(len(nodes), init, dtype=np.int64)
+        for _ in range(iters):
+            c = r[si] // deg[si]  # exact: positives, floor division
+            contrib = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(contrib, di, c)
+            r = teleport + (85 * contrib) // 100
+        yield pd.DataFrame({"node": nodes, "r": r})
+
+    return edges.repartition(1).mapInPandas(_pr, schema)
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = _ITERS,
@@ -123,6 +180,20 @@ def pagerank_fixed_point(
     n_edges = edges.count()  # also materializes the edge checkpoint
     init = _SCALE // n
     teleport = (15 * init) // 100
+    # SMALL-GRAPH FAST PATH (r13 optimization — the connected-
+    # components rationale): below the env-tunable edge cap all
+    # ``iters`` fixed-point rounds run as ONE single-task Arrow job
+    # over the checkpointed edge frame — the same integer spec
+    # (contrib = Σ r div deg; r' = teleport + (85·contrib) div 100)
+    # in vectorized int64, so the ranks are bit-identical to the
+    # distributed loop (every step is exact integer arithmetic; only
+    # WHERE it runs changes). An executor task, not a driver collect.
+    # Past the cap the distributed loop below is the right shape.
+    if n_edges <= _pr_local_edge_cap():
+        # eager checkpoint for parity with the loop path's contract
+        # (its output is an already-materialized checkpoint)
+        return _pagerank_single_task(edges, n, iters, init, teleport) \
+            .localCheckpoint(eager=True)
     # Size the iteration shuffles from the graph (same policy as
     # connected_components): the rank vector is |nodes| rows and the
     # contribution shuffle is |edges| rows — corpus-sized partition

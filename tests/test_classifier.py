@@ -136,3 +136,22 @@ class TestQualityClassifier:
         docs = load_table(spark, SF, "documents").where(F.lit(False))
         with pytest.raises(Exception, match="empty input"):
             quality_classifier_fit(docs, _label(), d_buckets=16, iters=1)
+
+
+def test_newton_fit_fast_path_matches_distributed(spark, monkeypatch):
+    """The r13 small-corpus local Newton loop must train bit-identical
+    weights to the distributed per-round passes (exact integer
+    gradient/Hessian sums — WHERE they are summed cannot matter)."""
+    from pipeline_server_spark.operators.classifier import (
+        quality_classifier_fit)
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} spark vector common tok{i % 3}"
+          if i % 2 else f"tok{i % 5} filler words only tok{i % 4}")
+         for i in range(60)],
+        "doc_id long, text string")
+    label = F.array_contains(F.split("text", " "), "spark")
+    local = quality_classifier_fit(docs, label, d_buckets=32, iters=3)
+    monkeypatch.setenv("SPARK_GRAFT_CLASSIFIER_LOCAL_ROWS", "0")
+    dist = quality_classifier_fit(docs, label, d_buckets=32, iters=3)
+    assert local == dist  # exact float equality

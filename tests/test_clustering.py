@@ -133,3 +133,29 @@ class TestSemanticDedup:
     def test_invalid_threshold_rejects(self, spark, corpus):
         with pytest.raises(ValueError, match="tau"):
             semantic_dedup(corpus, [[1.0, 0.0]], tau_num=3, tau_den=2)
+
+
+class TestLocalFastPathBitIdentity:
+    """The r13 small-corpus fast path (driver-local Lloyd / PQ
+    iterations under the quanta cap) must be BIT-IDENTICAL to the
+    distributed loop — the module's exactness argument made testable:
+    same centroids, same codebooks, element for element."""
+
+    def test_kmeans_fit_local_equals_distributed(self, spark, corpus,
+                                                 monkeypatch):
+        local = kmeans_fit(corpus, k=5, iters=4)
+        monkeypatch.setenv("SPARK_GRAFT_KMEANS_LOCAL_QUANTA", "0")
+        dist = kmeans_fit(corpus, k=5, iters=4)
+        assert local == dist  # exact float equality, not approx
+
+    def test_pq_codebooks_local_equals_distributed(self, spark, corpus,
+                                                   monkeypatch):
+        from pipeline_server_spark.operators.clustering import (
+            pq_codebooks_fit,
+        )
+
+        cent = kmeans_fit(corpus, k=4, iters=2)
+        local = pq_codebooks_fit(corpus, cent, m_sub=4, k_sub=8, iters=3)
+        monkeypatch.setenv("SPARK_GRAFT_KMEANS_LOCAL_QUANTA", "0")
+        dist = pq_codebooks_fit(corpus, cent, m_sub=4, k_sub=8, iters=3)
+        assert local == dist

@@ -388,13 +388,15 @@ def test_edit_distance_pairs_covers_indels(spark):
     assert any(len(names[i]) != len(names[j]) for i, j in want)  # indels present
 
 
-def test_connected_components_long_path_pointer_doubling(spark):
+def test_connected_components_long_path_pointer_doubling(spark, monkeypatch):
     """A 200-node path graph (diameter 199) must converge well inside
     max_iter=12 — pointer doubling needs ~log2(diameter) rounds, where
     plain min-label propagation would need 199 and previously returned
-    silently-split labels."""
+    silently-split labels. Cap zeroed: the LOOP is the code under
+    test, not the single-task fast path."""
     from pipeline_server_spark.operators.dedup import connected_components
 
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
     edges = [(i, i + 1) for i in range(199)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = connected_components(df, max_iter=12).collect()
@@ -402,29 +404,59 @@ def test_connected_components_long_path_pointer_doubling(spark):
     assert {r.cluster_id for r in got} == {0}
 
 
-def test_connected_components_raises_on_budget_exhaustion(spark):
-    """Non-convergence must raise, not return split clusters."""
+def test_connected_components_raises_on_budget_exhaustion(spark, monkeypatch):
+    """Non-convergence must raise, not return split clusters. The cap
+    is forced to 0 so the DISTRIBUTED loop runs (the single-task fast
+    path always converges — there is no budget to exhaust)."""
     import pytest as _pytest
 
     from pipeline_server_spark.operators.dedup import connected_components
 
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
 
 
-def test_iterative_loops_isolate_shuffle_conf(spark):
+def test_connected_components_fast_path_matches_loop(spark, monkeypatch):
+    """The single-task union-find fast path and the distributed label
+    loop must produce the identical (node, cluster_id) set — on a graph
+    mixing cliques, chains, a long path, and singleton-free isolation."""
+    import random
+
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(50)]                       # path
+    edges += [(100 + i, 100 + j) for i in range(6) for j in range(i)]
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260))
+              for _ in range(80)]                                 # random
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    fast = {(r.node, r.cluster_id)
+            for r in connected_components(df).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
+    loop = {(r.node, r.cluster_id)
+            for r in connected_components(df, max_iter=16).collect()}
+    assert fast == loop and len(fast) > 0
+
+
+def test_iterative_loops_isolate_shuffle_conf(spark, monkeypatch):
     """connected_components must never mutate the shared session's
     shuffle width: a concurrent query planned mid-loop keeps the full
     width (round-4 verdict item 2 — api.py serves threads over this one
     session). A sampler thread re-plans a tiny aggregation throughout
     the loop and records both the conf value and the exchange width the
-    planner actually gave it; any narrow sample fails."""
+    planner actually gave it; any narrow sample fails. The local cap is
+    zeroed so the DISTRIBUTED loop (the code under test) runs."""
     import re
     import threading
 
     from pipeline_server_spark.operators.dedup import connected_components
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
 
     key = "spark.sql.shuffle.partitions"
     before = spark.conf.get(key)
@@ -1326,3 +1358,68 @@ class TestBulkBruteForceKnnJoin:
         physical = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in physical
         assert "BroadcastNestedLoop" not in physical
+
+
+def test_pagerank_fast_path_matches_distributed(spark, monkeypatch):
+    """The r13 single-task PageRank kernel must be bit-identical to
+    the distributed fixed-point loop (both compute the same integer
+    spec; only WHERE changes)."""
+    import random
+
+    from pipeline_server_spark.queries.graph import pagerank_fixed_point
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(0, 60), rng.randrange(100, 140))
+                  for _ in range(150)})
+    edges += [(100 + i, i) for i in range(20)]  # cycles back
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted((r.node, r.r)
+                  for r in pagerank_fixed_point(df).collect())
+    # string node ids (the crawl host-rank caller's shape) must work
+    # and keep their type through the fast path
+    sdf = spark.createDataFrame(
+        [(f"h{a}.example.com", f"h{b}.example.com") for a, b in edges],
+        "src string, dst string")
+    sfast = sorted((r.node, r.r)
+                   for r in pagerank_fixed_point(sdf).collect())
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES", "0")
+    dist = sorted((r.node, r.r)
+                  for r in pagerank_fixed_point(df).collect())
+    sdist = sorted((r.node, r.r)
+                   for r in pagerank_fixed_point(sdf).collect())
+    assert fast == dist and len(fast) > 0
+    assert sfast == sdist and len(sfast) > 0
+
+
+def test_bpe_train_fast_path_matches_distributed(spark, monkeypatch):
+    """The r13 small-vocab local trainer must produce the identical
+    merge table to the distributed loop — counts, tie-breaks, and
+    non-overlapping merge semantics included (multi-char 'aaa' runs
+    exercise the overlap rule)."""
+    from pipeline_server_spark.operators.text import bpe_train
+
+    rows = [("aaab", 7), ("abab", 5), ("banana", 4), ("aaaa", 3),
+            ("cab", 9), ("bcbc", 2), ("ccc", 6)]
+    words = spark.createDataFrame(rows, "w string, freq long")
+    local = bpe_train(words, 8)
+    monkeypatch.setenv("SPARK_GRAFT_BPE_LOCAL_WORDS", "0")
+    dist = bpe_train(words, 8)
+    assert local == dist and len(local) == 8
+
+
+def test_unigram_train_fast_path_matches_distributed(spark, monkeypatch):
+    """The r13 small-vocab local unigram trainer must reproduce the
+    distributed EM bit-for-bit: same seed, same expected counts, same
+    decimal quantization — every (piece, rank, prob) identical."""
+    from pipeline_server_spark.operators.text import unigram_lm_train
+
+    rows = [("internationalization", 3), ("nation", 11), ("inter", 7),
+            ("rational", 5), ("align", 2), ("nationally", 4),
+            ("ratio", 6), ("international", 1)]
+    words = spark.createDataFrame(rows, "w string, freq long")
+    local = unigram_lm_train(words, vocab_size=20, em_iters=3,
+                             seed_size=60)
+    monkeypatch.setenv("SPARK_GRAFT_UNIGRAM_LOCAL_WORDS", "0")
+    dist = unigram_lm_train(words, vocab_size=20, em_iters=3,
+                            seed_size=60)
+    assert local == dist and len(local) == 20
