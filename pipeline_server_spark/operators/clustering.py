@@ -115,15 +115,13 @@ def kmeans_fit(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    first = vecs.select(F.size("_v").alias("d")).first()
-    if first is None:
-        raise ValueError("kmeans_fit: empty input")
-    d = first["d"]
-
     seed_rows = vecs.orderBy("_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_fit: empty input")
     if len(seed_rows) < k:
         raise ValueError(
             f"kmeans_fit: k={k} exceeds the corpus size {len(seed_rows)}")
+    d = len(seed_rows[0]["_v"])  # dimension off the seed — no extra job
     cent = _normalize_block(
         np.array([r["_v"] for r in seed_rows], dtype=np.float64))
 
@@ -377,26 +375,25 @@ def pq_codebooks_fit(
     ])
 
     try:
-        seed_rows = qr.orderBy("_id").limit(k_sub).collect()
-        if len(seed_rows) < k_sub:
-            raise ValueError(
-                f"pq_codebooks_fit: k_sub={k_sub} exceeds the corpus "
-                f"size {len(seed_rows)}")
-        seed = np.array([r["_qr"] for r in seed_rows], dtype=np.int64)
-        # cb[s]: k_sub × dsub int64 quanta
-        cb = np.stack([seed[:, s * dsub:(s + 1) * dsub].copy()
-                       for s in range(m_sub)])
-
         # SMALL-CORPUS FAST PATH — the :func:`kmeans_fit` rationale
         # verbatim: under the quanta cap the residual frame is one
         # bounded collect and all subspace k-means iterations run the
         # same exact-integer spec locally (bit-identical sums; the
-        # cap only moves WHERE they are computed), replacing iters ×
-        # (Arrow pass + decimal aggregation) with zero jobs.
-        n_res = qr.count()  # cheap: qr is persisted by the seed collect
+        # cap only moves WHERE they are computed), replacing the seed
+        # job + iters × (Arrow pass + decimal aggregation) with zero
+        # jobs past the count+collect (the seed — the k_sub lowest-id
+        # residuals — comes from the same collected rows).
+        n_res = qr.count()  # materializes the persist
         if n_res * d <= _kmeans_local_quanta_cap():
-            qloc = np.array([r["_qr"] for r in qr.collect()],
-                            dtype=np.int64)
+            rows_l = sorted(qr.collect(), key=lambda r: r["_id"])
+            if len(rows_l) < k_sub:
+                raise ValueError(
+                    f"pq_codebooks_fit: k_sub={k_sub} exceeds the "
+                    f"corpus size {len(rows_l)}")
+            qloc = np.array([r["_qr"] for r in rows_l], dtype=np.int64)
+            seed = qloc[:k_sub]
+            cb = np.stack([seed[:, s * dsub:(s + 1) * dsub].copy()
+                           for s in range(m_sub)])
             for _ in range(iters):
                 new_cb = cb.copy()
                 for s in range(m_sub):
@@ -422,6 +419,16 @@ def pq_codebooks_fit(
                 cb = new_cb
             return [[[float(x) / QUANT for x in code] for code in book]
                     for book in cb]
+
+        seed_rows = qr.orderBy("_id").limit(k_sub).collect()
+        if len(seed_rows) < k_sub:
+            raise ValueError(
+                f"pq_codebooks_fit: k_sub={k_sub} exceeds the corpus "
+                f"size {len(seed_rows)}")
+        seed = np.array([r["_qr"] for r in seed_rows], dtype=np.int64)
+        # cb[s]: k_sub × dsub int64 quanta
+        cb = np.stack([seed[:, s * dsub:(s + 1) * dsub].copy()
+                       for s in range(m_sub)])
 
         for _ in range(iters):
 

@@ -1107,9 +1107,14 @@ def web_corpus_curation_pipeline(spark: SparkSession,
     # above it (WARC framing + wire decode + digest window + HTML
     # main-content extraction) is the capstone's dominant cost —
     # without the checkpoint that whole chain ran twice
+    # LAZY (r13 batch 6): the SimHash signature job is the first
+    # action to touch ``gated`` and populates its blocks as a side
+    # effect; the final assignment join (a later job) reads the
+    # blocks — same once-only execution as the eager form, one fewer
+    # blocking materialization job over the whole WARC→extract chain
     gated = ex.where((F.col("kept_blocks") >= 1)
                      & (F.col("main_chars") >= _CURATION_MIN_CHARS)) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     sigs = simhash_64(gated.select("doc_id",
                                    F.col("main_text").alias("text")))
     edges = hamming_connectivity_edges(sigs, "simhash", max_hamming=3)
