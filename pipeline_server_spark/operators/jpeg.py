@@ -671,6 +671,22 @@ class _HuffEncoder:
         self.codes = {v: (ln, c) for ln, c, v in _canonical_codes(bits, values)}
 
 
+_ENC_CACHE: dict = {}
+
+
+def _huff_encoder_cached(spec) -> _HuffEncoder:
+    """Memoized encoder for the module-level standard table specs —
+    rebuilding the canonical code dicts per encoded frame was ~20% of
+    fixture-synthesis encode time (r13 batch 7). Keyed by object id:
+    the specs are immutable module constants, and the encoder itself
+    is read-only."""
+    key = id(spec)
+    enc = _ENC_CACHE.get(key)
+    if enc is None:
+        enc = _ENC_CACHE[key] = _HuffEncoder(*spec)
+    return enc
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -769,8 +785,9 @@ def _component_coefficients(pixels: np.ndarray, subsample: bool,
     blocks = []
     for (h, v), c, qt in zip(samp, comps, qts):
         th, tw = mcus_y * v * 8, mcus_x * h * 8
-        plane = np.pad(c, ((0, th - c.shape[0]), (0, tw - c.shape[1])),
-                       mode="edge")
+        plane = c if c.shape == (th, tw) else np.pad(
+            c, ((0, th - c.shape[0]), (0, tw - c.shape[1])),
+            mode="edge")
         gy, gx = th // 8, tw // 8
         # batched per-block DCT: broadcasting matmul runs the SAME
         # 8x8 kernel per block as the old per-block loop, so the
@@ -822,6 +839,55 @@ def _emit_block_sequential(bw, zz, dc_enc, ac_enc, pred, ci) -> None:
         bw.write(code, ln)
 
 
+def _encode_scan_dc_only_gray(arr: np.ndarray, dc_enc, ac_enc) -> bytes:
+    """Vectorized entropy-coded segment for the DC-ONLY grayscale
+    case (every AC coefficient zero — constant 8x8 blocks, the MJPEG
+    fixture corpus's shape): per block the scan is exactly
+    DC-size code + DC raw bits + EOB, so the whole bit stream packs
+    in numpy — BYTE-IDENTICAL to the _BitWriter walk (MSB-first,
+    0xFF byte stuffing, 1-padded flush; pinned by a pytest comparing
+    both paths on the same pixels). ~20x faster than the per-block
+    Python loop, which made fixture synthesis the dominant cost of
+    the perceptual video dedup bench entry (r13 batch 7)."""
+    dcs = arr[:, :, 0].ravel().astype(np.int64)
+    diffs = np.empty_like(dcs)
+    diffs[0] = dcs[0]  # predictor starts at 0
+    np.subtract(dcs[1:], dcs[:-1], out=diffs[1:])
+    mags = np.abs(diffs)
+    sizes = np.zeros(len(dcs), dtype=np.int64)
+    nz = mags > 0
+    # bit_length via frexp's exponent — exact for |diff| < 2^53
+    sizes[nz] = np.frexp(mags[nz].astype(np.float64))[1]
+    # EXTEND's inverse (F.1.2.1): negative v encodes as v + 2^s - 1
+    raw = np.where(diffs >= 0, diffs,
+                   diffs + np.left_shift(1, sizes) - 1)
+    dc_len = np.zeros(12, dtype=np.int64)
+    dc_code = np.zeros(12, dtype=np.int64)
+    for s in range(12):
+        if s in dc_enc.codes:
+            dc_len[s], dc_code[s] = dc_enc.codes[s]
+    eob_len, eob_code = ac_enc.codes[0x00]
+    n = len(dcs)
+    vals = np.empty(3 * n, dtype=np.int64)
+    lens = np.empty(3 * n, dtype=np.int64)
+    vals[0::3] = dc_code[sizes]
+    lens[0::3] = dc_len[sizes]
+    vals[1::3] = raw
+    lens[1::3] = sizes  # zero-size raw bits vanish in the repeat
+    vals[2::3] = eob_code
+    lens[2::3] = eob_len
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    pos_in_tok = np.arange(total, dtype=np.int64) \
+        - np.repeat(starts, lens)
+    rv = np.repeat(vals, lens)
+    rl = np.repeat(lens, lens)
+    bits = ((rv >> (rl - 1 - pos_in_tok)) & 1).astype(np.uint8)
+    flat = np.ones((-(-total // 8)) * 8, dtype=np.uint8)  # pad with 1s
+    flat[:total] = bits
+    return np.packbits(flat).tobytes().replace(b"\xff", b"\xff\x00")
+
+
 def _seg(out: bytearray, marker: int, body: bytes) -> None:
     out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
     out.extend(body)
@@ -848,7 +914,8 @@ def _headers(out: bytearray, gray: bool, samp, H: int, W: int,
 
 
 def encode_jpeg(pixels: np.ndarray, subsample: bool = False,
-                quant_scale: float = 1.0) -> bytes:
+                quant_scale: float = 1.0,
+                _vectorized: bool = True) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a baseline
     JPEG with the Annex K tables — 4:4:4, or 4:2:0 chroma subsampling
     with ``subsample=True`` (2×2-average-pooled Cb/Cr, the camera/web
@@ -859,27 +926,34 @@ def encode_jpeg(pixels: np.ndarray, subsample: bool = False,
     built for test fixtures, not throughput."""
     gray, samp, H, W, blocks = _component_coefficients(
         pixels, subsample, quant_scale)
-    dc_encs = [_HuffEncoder(*STD_DC_LUMA)] + (
-        [] if gray else [_HuffEncoder(*STD_DC_CHROMA)] * 2)
-    ac_encs = [_HuffEncoder(*STD_AC_LUMA)] + (
-        [] if gray else [_HuffEncoder(*STD_AC_CHROMA)] * 2)
+    dc_encs = [_huff_encoder_cached(STD_DC_LUMA)] + (
+        [] if gray else [_huff_encoder_cached(STD_DC_CHROMA)] * 2)
+    ac_encs = [_huff_encoder_cached(STD_AC_LUMA)] + (
+        [] if gray else [_huff_encoder_cached(STD_AC_CHROMA)] * 2)
     hmax = max(h for h, _ in samp)
     vmax = max(v for _, v in samp)
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
 
-    bw = _BitWriter()
-    pred = [0] * len(blocks)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, arr in enumerate(blocks):
-                h, v = samp[ci]
-                for byi in range(v):
-                    for bxi in range(h):
-                        _emit_block_sequential(
-                            bw, arr[my * v + byi, mx * h + bxi],
-                            dc_encs[ci], ac_encs[ci], pred, ci)
-    bw.flush()
+    if _vectorized and gray and not np.any(blocks[0][:, :, 1:]):
+        # grayscale 1x1 sampling walks blocks in exactly row-major
+        # order, so the DC-only scan packs in one vectorized pass
+        scan = _encode_scan_dc_only_gray(
+            blocks[0], dc_encs[0], ac_encs[0])
+    else:
+        bw = _BitWriter()
+        pred = [0] * len(blocks)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, arr in enumerate(blocks):
+                    h, v = samp[ci]
+                    for byi in range(v):
+                        for bxi in range(h):
+                            _emit_block_sequential(
+                                bw, arr[my * v + byi, mx * h + bxi],
+                                dc_encs[ci], ac_encs[ci], pred, ci)
+        bw.flush()
+        scan = bytes(bw.out)
 
     out = bytearray(b"\xFF\xD8")
     _headers(out, gray, samp, H, W, 0xC0, quant_scale)
@@ -894,7 +968,7 @@ def encode_jpeg(pixels: np.ndarray, subsample: bool = False,
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
     _seg(out, 0xDA, sos)
-    out.extend(bw.out)
+    out.extend(scan)
     out.extend(b"\xFF\xD9")
     return bytes(out)
 

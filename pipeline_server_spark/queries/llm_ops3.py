@@ -557,6 +557,11 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        # materialize once (r13): the trainer's vocabulary read and
+        # the encode+stats pass below both consume this corpus-wide
+        # explode+groupBy — lazy, so the trainer's first action
+        # populates the blocks
+        .localCheckpoint(eager=False)
     )
     merges = bpe_train(words, num_merges=12)
     encoded = bpe_encode(words, merges, word_col="w", out_col="toks")
@@ -1057,6 +1062,10 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") != "")
         .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+    # materialize words once (r13): trainer read + Viterbi encode both
+    # consume the corpus-wide explode+groupBy; lazy, so the trainer's
+    # first action populates the blocks
+    words = words.localCheckpoint(eager=False)
     table = unigram_lm_train(
         words, vocab_size=_UNI_VOCAB, em_iters=_UNI_ITERS,
         max_piece_len=_UNI_LEN, seed_size=_UNI_SEED)

@@ -1423,3 +1423,29 @@ def test_unigram_train_fast_path_matches_distributed(spark, monkeypatch):
     dist = unigram_lm_train(words, vocab_size=20, em_iters=3,
                             seed_size=60)
     assert local == dist and len(local) == 20
+
+
+def test_jpeg_dc_only_scan_byte_identical():
+    """The r13 vectorized DC-only grayscale entropy scan must emit
+    byte-identical JPEGs to the general _BitWriter walk — on fixture
+    frames (constant 8x8 blocks), random constant-block grids under
+    both quant tables, and a noisy frame that must take (and equal)
+    the general path."""
+    import numpy as np
+
+    from pipeline_server_spark.operators.jpeg import encode_jpeg
+    from pipeline_server_spark.operators.mp4 import frame_tile
+
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        gy, gx = rng.randint(1, 11), rng.randint(1, 11)
+        tile = rng.randint(0, 256, size=(gy, gx), dtype=np.uint8)
+        img = np.repeat(np.repeat(tile, 8, axis=0), 8, axis=1)
+        qs = [1.0, 2.0][trial % 2]
+        assert encode_jpeg(img, quant_scale=qs) == \
+            encode_jpeg(img, quant_scale=qs, _vectorized=False)
+    for doc in range(4):
+        img = np.repeat(np.repeat(frame_tile(doc, 1), 8, 0), 8, 1)
+        assert encode_jpeg(img) == encode_jpeg(img, _vectorized=False)
+    noisy = rng.randint(0, 256, size=(64, 72), dtype=np.uint8)
+    assert encode_jpeg(noisy) == encode_jpeg(noisy, _vectorized=False)
