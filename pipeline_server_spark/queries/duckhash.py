@@ -1,0 +1,240 @@
+"""XXH64 (seed 42) as pure DuckDB SQL — the bridge that lets hash-keyed
+queries (SimHash clustering, bucket assignments, …) carry a real DuckDB
+oracle instead of a Python-only referee.
+
+The driver's verify gate only consumes ``oracle_sql()`` (DuckDB SQL);
+queries declared with just ``oracle_py`` come back ``err: "no_oracle"``
+in CORRECTNESS_r{N}.json (round-13 verdict item 1).  Everything those
+queries need from "the engine's hash" is Spark's ``xxhash64`` — XXH64
+over the UTF-8 bytes with seed 42 (public spec) — so the oracle can
+recompute it in SQL: bytes via ``hex(encode(token))``, 64-bit modular
+arithmetic in UHUGEINT (DuckDB ≥ 0.10), the sequential folds
+(32-byte stripes per lane, 8-byte tail words, trailing bytes) as
+``list_reduce`` over ``list_transform(range(...))``.
+
+Validated in tests against the in-repo pure-Python ``_xxh64`` (itself
+validated byte-for-byte against Spark's ``xxhash64``), including the
+>=32-byte striped path and multi-byte UTF-8.
+"""
+
+from __future__ import annotations
+
+_M64 = (1 << 64) - 1
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_SEED = 42
+
+
+def _u(v: int) -> str:
+    return f"{v}::UHUGEINT"
+
+
+def _mask(e: str) -> str:
+    return f"(({e}) & {_u(_M64)})"
+
+
+def _rotl(e: str, r: int) -> str:
+    # e must already be < 2^64 (UHUGEINT holds the <<r overflow bits)
+    return _mask(f"(({e}) << {r}) | (({e}) >> {64 - r})")
+
+
+def _mul(a: str, b: str) -> str:
+    return _mask(f"({a}) * ({b})")
+
+
+def _word(off_expr: str, nbytes: int) -> str:
+    """Little-endian word of `nbytes` starting at 1-based list index
+    `off_expr` of the per-token byte list `bs`."""
+    parts = [f"(bs[({off_expr}) + {j}]::UHUGEINT << {8 * j})" for j in range(nbytes)]
+    return "(" + " + ".join(parts) + ")"
+
+
+def xxh64_ctes(token_source: str) -> str:
+    """CTE chain ending in ``tokhash(token, h UHUGEINT)`` where ``h`` is
+    XXH64(utf8(token), seed=42) == Spark's ``xxhash64(token)`` viewed
+    unsigned. ``token_source`` is a SELECT yielding a `token` column
+    (hash each distinct token once; join multiplicity back later)."""
+    lane_inits = [
+        (_SEED + _P1 + _P2) & _M64,
+        (_SEED + _P2) & _M64,
+        _SEED & _M64,
+        (_SEED - _P1) & _M64,
+    ]
+    # one independent fold per lane: acc = rotl31(acc + w*P2) * P1 over
+    # every 4th stripe word (lanes never interact until the merge)
+    lane_round = _mul(_rotl(_mask(f"(a) + (x) * {_u(_P2)}"), 31), _u(_P1))
+    lane_accs = ",\n         ".join(
+        f"CASE WHEN ns > 0 THEN list_reduce(list_prepend({_u(init)}, "
+        f"list_transform(range(ns), i -> ws[4*i + {j + 1}])), "
+        f"(a, x) -> {lane_round}) ELSE {_u(init)} END AS a{j}"
+        for j, init in enumerate(lane_inits)
+    )
+    h_merge = _mask(
+        f"{_rotl('a0', 1)} + {_rotl('a1', 7)} + {_rotl('a2', 12)} + {_rotl('a3', 18)}"
+    )
+    merged = "hm0"
+    for j in range(4):
+        merge_k = _mul(_rotl(_mul(f"a{j}", _u(_P2)), 31), _u(_P1))
+        merged = _mask(f"xor(({merged}), {merge_k}) * {_u(_P1)} + {_u(_P4)}")
+
+    w8_round = _mask(f"xor(a, {_mul(_rotl(_mask(f'x * {_u(_P2)}'), 31), _u(_P1))})")
+    w8_round = _mask(f"({_mul(_rotl(w8_round, 27), _u(_P1))}) + {_u(_P4)}")
+
+    byte_round = _mul(_rotl(_mask(f"xor(a, {_mask(f'x * {_u(_P5)}')})"), 11), _u(_P1))
+
+    k4 = _word("i4 + 1", 4)
+    h4 = _mul(_rotl(_mask(f"xor(h2, {_mul(k4, _u(_P1))})"), 23), _u(_P2))
+    h4 = _mask(f"({h4}) + {_u(_P3)}")
+
+    return f"""
+tb AS (
+  SELECT token, octet_length(encode(token)) AS n,
+         lower(hex(encode(token))) AS hx
+  FROM ({token_source})),
+tbytes AS (
+  SELECT token, n, list_transform(range(n), i ->
+      (strpos('0123456789abcdef', substr(hx, 2*i::INT + 1, 1)) - 1)::UHUGEINT * 16
+    + (strpos('0123456789abcdef', substr(hx, 2*i::INT + 2, 1)) - 1)::UHUGEINT) AS bs
+  FROM tb),
+tstripe AS (
+  SELECT token, n, bs, n // 32 AS ns,
+         list_transform(range(4 * (n // 32)), k -> {_word("8*k + 1", 8)}) AS ws
+  FROM tbytes),
+tlanes AS (
+  SELECT token, n, bs, ns,
+         {lane_accs}
+  FROM tstripe),
+tmerge AS (
+  SELECT token, n, bs, ns, {h_merge} AS hm0, a0, a1, a2, a3
+  FROM tlanes),
+th0 AS (
+  SELECT token, n, bs, 32 * ns AS i0,
+         CASE WHEN ns > 0 THEN {merged}
+              ELSE {_u((_SEED + _P5) & _M64)} END AS h0
+  FROM tmerge),
+th1 AS (
+  SELECT token, n, bs, i0, {_mask('h0 + n::UHUGEINT')} AS h1,
+         (n - i0) // 8 AS nw8
+  FROM th0),
+th2 AS (
+  SELECT token, n, bs, i0 + 8 * nw8 AS i4, n - i0 - 8 * nw8 AS rem,
+         CASE WHEN nw8 > 0 THEN list_reduce(
+             list_prepend(h1, list_transform(range(nw8), k -> {_word("i0 + 8*k + 1", 8)})),
+             (a, x) -> {w8_round})
+           ELSE h1 END AS h2
+  FROM th1),
+th4 AS (
+  SELECT token, n, bs,
+         CASE WHEN rem >= 4 THEN i4 + 4 ELSE i4 END AS ib,
+         CASE WHEN rem >= 4 THEN rem - 4 ELSE rem END AS remb,
+         CASE WHEN rem >= 4 THEN {h4} ELSE h2 END AS h4
+  FROM th2),
+th5 AS (
+  SELECT token,
+         CASE WHEN remb > 0 THEN list_reduce(
+             list_prepend(h4, list_transform(range(remb), j -> bs[ib + j + 1])),
+             (a, x) -> {byte_round})
+           ELSE h4 END AS h5
+  FROM th4),
+tav1 AS (
+  SELECT token, {_mul('xor(h5, h5 >> 33)', _u(_P2))} AS f2 FROM th5),
+tav2 AS (
+  SELECT token, {_mul('xor(f2, f2 >> 29)', _u(_P3))} AS f3 FROM tav1),
+tokhash AS (
+  SELECT token, xor(f3, f3 >> 32) AS h FROM tav2)"""
+
+
+def _simhash_sigs_ctes() -> str:
+    """CTE chain (no WITH keyword) ending in ``sigs(doc_id, sim BIGINT)``:
+    SimHash-64 per document over the `documents` table — ±1 sign sums
+    over the token MULTISET using the SQL XXH64 above, bit b set iff
+    2·ones_b > n_tokens, packed to a signed 64-bit value exactly like
+    the engine (bit 63 lands in the sign). Token-less documents carry
+    no signature row."""
+    return (
+        "doc_tok AS (\n"
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS token\n"
+        "  FROM documents WHERE text IS NOT NULL),\n"
+        "doc_tok_f AS (SELECT doc_id, token FROM doc_tok WHERE token <> ''),"
+        + xxh64_ctes("SELECT DISTINCT token FROM doc_tok_f")
+        + """,
+docbits AS (
+  SELECT dt.doc_id, r.b,
+         SUM(((th.h >> r.b::UHUGEINT) & 1)::BIGINT) AS ones,
+         COUNT(*) AS ntok
+  FROM doc_tok_f dt
+  JOIN tokhash th USING (token)
+  CROSS JOIN range(64) r(b)
+  GROUP BY dt.doc_id, r.b),
+sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > ntok
+                  THEN (1::UHUGEINT << b::UHUGEINT)::HUGEINT
+                  ELSE 0::HUGEINT END) AS s
+  FROM docbits GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                   THEN s - 18446744073709551616::HUGEINT
+                   ELSE s END AS BIGINT) AS sim
+  FROM sims)"""
+    )
+
+
+def simhash_cluster_oracle() -> str:
+    """DuckDB oracle for ``dedup_simhash_cluster_assignments``: SimHash-64
+    per document (±1 sign sums over the token multiset, exactly the
+    engine's rule), all-pairs Hamming ≤ 3 edges, transitive closure by
+    recursive min-label reachability, then ``(doc_id, canonical_id,
+    is_canonical, cluster_size)`` for every document (token-less docs
+    carry no signature and stay singletons, like the engine)."""
+    return (
+        "WITH RECURSIVE "
+        + _simhash_sigs_ctes()
+        + """,
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigs a JOIN sigs b
+    ON a.doc_id <> b.doc_id
+   AND bit_count(xor(a.sim, b.sim)) <= 3),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM sigs
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+canon AS (
+  SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node),
+assign AS (
+  SELECT d.doc_id,
+         COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN canon c USING (doc_id)),
+sizes AS (
+  SELECT canonical_id, COUNT(*)::BIGINT AS cluster_size
+  FROM assign GROUP BY canonical_id)
+SELECT a.doc_id, a.canonical_id,
+       (a.doc_id = a.canonical_id) AS is_canonical,
+       s.cluster_size
+FROM assign a JOIN sizes s USING (canonical_id)
+ORDER BY a.doc_id
+"""
+    )
+
+
+def simhash_incremental_oracle() -> str:
+    """DuckDB oracle for ``dedup_simhash_incremental``: the same SQL
+    SimHash signatures, batch = every tenth doc probing the rest, exact
+    Hamming ≤ 3 with the distance in the output."""
+    return (
+        "WITH "
+        + _simhash_sigs_ctes()
+        + """
+SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       bit_count(xor(b.sim, c.sim))::BIGINT AS hamming
+FROM sigs b JOIN sigs c
+  ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+ AND bit_count(xor(b.sim, c.sim)) <= 3
+ORDER BY batch_id, corpus_id
+"""
+    )

@@ -33,6 +33,10 @@ from pipeline_server_spark.operators.text import (
     text_features,
     token_counts,
 )
+from pipeline_server_spark.queries.duckhash import (
+    simhash_cluster_oracle,
+    simhash_incremental_oracle,
+)
 from pipeline_server_spark.queries.registry import query
 
 # Shared oracle fragment: word-3-gram shingle → inverted-index Jaccard
@@ -212,10 +216,13 @@ def _cluster_assign_py_oracle(sf_dir: str):
 
 
 @query("dedup_simhash_cluster_assignments",
+       oracle=simhash_cluster_oracle(),
        oracle_py=_cluster_assign_py_oracle)
-# no SQL oracle: transitive closure over a hash-defined near-dup graph
-# is iterative; the pure-Python referee (brute-force pairs + union-
-# find) goes through the full rows+schema+hash gate
+# SQL oracle (round-13 verdict item 1): XXH64 recomputed in pure DuckDB
+# SQL (queries/duckhash.py) → per-doc SimHash sign sums → all-pairs
+# Hamming ≤ 3 edges → recursive-CTE min-label closure. The pure-Python
+# referee (brute-force pairs + union-find) stays as the second,
+# independent cross-check; both are pinned equal in tests.
 def dedup_simhash_cluster_assignments(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """Hamming-family near-dup CANONICALIZATION (round-12 verdict #3)
@@ -1472,10 +1479,12 @@ def _incremental_simhash_py_oracle(sf_dir: str):
 
 
 @query("dedup_simhash_incremental",
+       oracle=simhash_incremental_oracle(),
        oracle_py=_incremental_simhash_py_oracle)
-# no SQL oracle: xxhash64-defined signatures are engine-internal; the
-# pure-Python replica referee (validated byte-for-byte against
-# Spark's xxhash64) goes through the full rows+schema+hash gate
+# SQL oracle (round-13 verdict item 1): the signatures are XXH64-defined
+# but XXH64 is recomputed in pure DuckDB SQL (queries/duckhash.py), so
+# batch × corpus Hamming ≤ 3 is one SQL join; the pure-Python replica
+# referee stays as the independent cross-check.
 def dedup_simhash_incremental(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Incremental Hamming dedup (the ingestion shape for the

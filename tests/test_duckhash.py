@@ -1,0 +1,83 @@
+"""The pure-SQL XXH64 / SimHash oracles (queries/duckhash.py) pinned
+against the in-repo pure-Python referees. DuckDB-only — no Spark."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pipeline_server_spark.queries.classifier import _xxh64
+from pipeline_server_spark.queries.duckhash import (
+    simhash_cluster_oracle,
+    simhash_incremental_oracle,
+    xxh64_ctes,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_xxh64_sql_matches_python_reference():
+    """Every code path: <32-byte tail combos, exact stripe multiples,
+    stripe+tail mixes, multi-byte UTF-8, hex digits A-F in the bytes."""
+    words = (
+        ["a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg", "abcdefgh",
+         "abcdefghi", "tok123", "the", "été", "世界", "\xff\xfe", "~~~~"]
+        + ["x" * n for n in (31, 32, 33, 39, 40, 63, 64, 65, 100)]
+    )
+    vals = ", ".join("('" + w.replace("'", "''") + "')" for w in words)
+    sql = (
+        "WITH "
+        + xxh64_ctes(f"SELECT * FROM (VALUES {vals}) v(token)")
+        + "\nSELECT token, h FROM tokhash"
+    )
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    for w in words:
+        assert int(got[w]) == _xxh64(w.encode("utf-8"), 42), w
+
+
+def _run(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con.execute(sql).df().reset_index(drop=True)
+
+
+def test_cluster_oracle_matches_py_referee():
+    from pipeline_server_spark.queries.llm_ops import _cluster_assign_py_oracle
+
+    got = _run(simhash_cluster_oracle()).astype(
+        {"doc_id": "int64", "canonical_id": "int64", "cluster_size": "int64"})
+    exp = _cluster_assign_py_oracle(SF_DIR)
+    assert got.equals(exp)
+    # the clustering must be non-trivial for the pin to mean anything
+    assert (got["cluster_size"] > 1).any()
+
+
+def test_incremental_oracle_matches_py_referee():
+    from pipeline_server_spark.queries.llm_ops import (
+        _incremental_simhash_py_oracle,
+    )
+
+    got = _run(simhash_incremental_oracle()).astype(
+        {"batch_id": "int64", "corpus_id": "int64", "hamming": "int64"})
+    exp = _incremental_simhash_py_oracle(SF_DIR)
+    assert got.equals(exp)
+    assert len(got) > 0
+
+
+@pytest.mark.slow
+def test_cluster_oracle_matches_py_referee_sf001():
+    from pipeline_server_spark.queries.llm_ops import _cluster_assign_py_oracle
+
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = con.execute(simhash_cluster_oracle()).df().astype(
+        {"doc_id": "int64", "canonical_id": "int64", "cluster_size": "int64"})
+    exp = _cluster_assign_py_oracle(sf_dir)
+    assert got.reset_index(drop=True).equals(exp)
