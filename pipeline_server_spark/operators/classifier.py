@@ -182,13 +182,17 @@ def _newton_fit(
     # the repartition-invariance test pin it. Past the cap the
     # distributed loop below runs unchanged.
     n_local = feats.count()  # cheap: callers persist/checkpoint feats
-    if n_local <= _classifier_local_row_cap():
+    # gate on MATRIX CELLS, not rows: the local X is n × (d+1) float64,
+    # so a caller passing a large d_buckets must shrink the admissible
+    # row count proportionally (r13 advice). At the default d=128 the
+    # bound is the same 100k rows as before.
+    if n_local * (d_buckets + 1) <= _classifier_local_row_cap() * 129:
         rows_l = feats.select("_y", "_b").collect()
+        if not rows_l:
+            raise ValueError("quality_classifier_fit: empty input")
         X = _presence_block([r["_b"] for r in rows_l], d_buckets)
         y = np.array([r["_y"] for r in rows_l], dtype=np.float64)
         n = float(len(rows_l))
-        if not len(rows_l):
-            raise ValueError("quality_classifier_fit: empty input")
         for _ in range(iters):
             z = (X * w[None, :]).sum(axis=1)
             p = 1.0 / (1.0 + np.exp(-z))

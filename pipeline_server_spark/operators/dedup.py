@@ -828,35 +828,40 @@ def _cc_single_task(edges: DataFrame) -> DataFrame:
     ])
 
     def _uf(batches):
-        parent: dict = {}
+        # Vectorized min-label contraction instead of a per-edge
+        # Python union-find loop (r13 advice: near-cap graphs spent
+        # seconds in O(E) interpreter iterations). Node ids factorize
+        # to dense indices via np.unique — SORTED, so a smaller index
+        # is a smaller id for any orderable id type (longs, string
+        # hosts) — then each round scatters the per-edge label minimum
+        # to both endpoints and pointer-doubles (lbl = lbl[lbl]).
+        # Labels are pointwise non-increasing with the same unique
+        # fixed point as union-find: min reachable id per component;
+        # O(E) vectorized work per round, O(log diameter) rounds.
+        import numpy as np
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
+        srcs, dsts = [], []
         for pdf in batches:
-            for s, d in zip(pdf["s"].tolist(), pdf["d"].tolist()):
-                if s not in parent:
-                    parent[s] = s
-                if d not in parent:
-                    parent[d] = d
-                rs, rd = find(s), find(d)
-                if rs != rd:
-                    # attach the larger root under the smaller: roots
-                    # stay component minima at every step
-                    if rs < rd:
-                        parent[rd] = rs
-                    else:
-                        parent[rs] = rd
-        if parent:
-            yield pd.DataFrame({
-                "node": list(parent.keys()),
-                "cluster_id": [find(x) for x in parent],
-            })
+            if len(pdf):
+                srcs.append(pdf["s"].to_numpy())
+                dsts.append(pdf["d"].to_numpy())
+        if not srcs:
+            return
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        nodes, idx = np.unique(np.concatenate([s, d]), return_inverse=True)
+        si, di = idx[: len(s)], idx[len(s):]
+        lbl = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = lbl
+            m = np.minimum(lbl[si], lbl[di])
+            nxt = lbl.copy()
+            np.minimum.at(nxt, si, m)
+            np.minimum.at(nxt, di, m)
+            lbl = nxt[nxt]  # pointer doubling
+            if np.array_equal(lbl, prev):
+                break
+        yield pd.DataFrame({"node": nodes, "cluster_id": nodes[lbl]})
 
     return edges.repartition(1).mapInPandas(_uf, schema)
 
@@ -867,7 +872,17 @@ def _cc_label_loop(
     max_iter: int,
     checkpoint_dir: str | None = None,
 ):
+    from pyspark.sql.types import NumericType
+
     from pipeline_server_spark.operators.iterutil import checkpoint_df
+
+    # The label-sum convergence invariant needs an exact total order
+    # with summation — numeric ids only. String ids (crawl hosts/URLs)
+    # fall back to the join-based changed check below (r14: the r13
+    # sum invariant silently assumed numeric ids and the decimal cast
+    # threw on strings).
+    numeric_ids = isinstance(labels.schema["cluster_id"].dataType,
+                             NumericType)
 
     def _label_sum(frame: DataFrame) -> int:
         # exact DECIMAL accumulation: node ids are longs, so a plain
@@ -915,9 +930,23 @@ def _cc_label_loop(
             eager=False,
             checkpoint_dir=checkpoint_dir,
         )
-        new_sum = _label_sum(new_labels)
-        changed = 0 if prev_sum is not None and new_sum == prev_sum else 1
-        prev_sum = new_sum
+        if numeric_ids:
+            new_sum = _label_sum(new_labels)
+            changed = 0 if prev_sum is not None and new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            # generic ids: one changed row proves non-convergence; the
+            # limit(1) short-circuits the scan. This both materializes
+            # the lazy checkpoint and checks convergence in one job,
+            # like the sum path.
+            old = labels.select(
+                F.col("node").alias("_n"), F.col("cluster_id").alias("_c"))
+            changed = (
+                new_labels.join(old, new_labels["node"] == F.col("_n"))
+                .where(F.col("cluster_id") != F.col("_c"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break

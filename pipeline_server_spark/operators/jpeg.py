@@ -677,10 +677,11 @@ _ENC_CACHE: dict = {}
 def _huff_encoder_cached(spec) -> _HuffEncoder:
     """Memoized encoder for the module-level standard table specs —
     rebuilding the canonical code dicts per encoded frame was ~20% of
-    fixture-synthesis encode time (r13 batch 7). Keyed by object id:
-    the specs are immutable module constants, and the encoder itself
-    is read-only."""
-    key = id(spec)
+    fixture-synthesis encode time (r13 batch 7). Keyed by CONTENT
+    (bits, values) — an id() key could silently serve a stale encoder
+    if a freed dynamically-built spec's id were reused (r13 advice);
+    the tuple build is trivial next to one frame's entropy coding."""
+    key = (tuple(spec[0]), tuple(spec[1]))
     enc = _ENC_CACHE.get(key)
     if enc is None:
         enc = _ENC_CACHE[key] = _HuffEncoder(*spec)

@@ -419,6 +419,24 @@ def test_connected_components_raises_on_budget_exhaustion(spark, monkeypatch):
         connected_components(df, max_iter=2)
 
 
+def test_connected_components_fast_path_string_ids(spark, monkeypatch):
+    """The vectorized single-task kernel factorizes ids with np.unique
+    (sorted), so string node ids (crawl hosts) must keep min-id ==
+    LEXICOGRAPHIC min, identical to the distributed loop."""
+    from pipeline_server_spark.operators.dedup import connected_components
+
+    edges = [("b.example", "c.example"), ("c.example", "a.example"),
+             ("x.example", "y.example"), ("z.example", "x.example")]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    fast = {(r.node, r.cluster_id)
+            for r in connected_components(df).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
+    loop = {(r.node, r.cluster_id)
+            for r in connected_components(df, max_iter=8).collect()}
+    assert fast == loop
+    assert {c for _, c in fast} == {"a.example", "x.example"}
+
+
 def test_connected_components_fast_path_matches_loop(spark, monkeypatch):
     """The single-task union-find fast path and the distributed label
     loop must produce the identical (node, cluster_id) set — on a graph
