@@ -46,6 +46,18 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
+# (session, path) → loaded frame. Plain METADATA memoization: building
+# the reader runs parquet schema inference + footer reads + analysis,
+# ~100 ms of driver time per call (measured r14), and queries call
+# load_table 1-3× each. DataFrames are immutable, so handing the same
+# analyzed scan plan back is exactly what a registered temp view would
+# do — no data or results are cached (every action still scans
+# parquet). Keyed by the live session object AND its application id:
+# a stopped/rebuilt session (different appId, or a recycled object id)
+# never sees a stale frame.
+_TABLE_CACHE: dict[tuple[int, str], tuple[str, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
@@ -57,6 +69,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = table_path(sf_dir, name)
+    key = (id(spark), path)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        app_id, df = hit
+        try:
+            if spark.sparkContext.applicationId == app_id:
+                return df
+        except Exception:  # stopped context — rebuild below
+            pass
+        del _TABLE_CACHE[key]
     nanos = _nanos_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -74,6 +96,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         fixed = _ntz_to_ltz(f.dataType)
         if fixed is not None:
             df = df.withColumn(f.name, F.col(f.name).cast(fixed))
+    _TABLE_CACHE[key] = (spark.sparkContext.applicationId, df)
     return df
 
 

@@ -153,34 +153,29 @@ def kmeans_fit(
             yield pd.DataFrame({"_id": pdf["_id"],
                                 "_q": [row.tolist() for row in q]})
 
-    qvecs = vecs.mapInPandas(_quantize_rows, schema=q_schema).persist()
-    # data-dependent task sizing: every Lloyd iteration scans this
-    # frame through Python workers, so a SMALL corpus spread over many
-    # partitions pays per-task Arrow/worker overhead iters times over
-    # (~0.3s/job of pure scheduling at 32 tasks × 60 rows — measured).
-    # Repack to ~64k rows/partition (≈33 MB of float64 quanta at
-    # d=64); a 100 TB corpus keeps its parallelism (the cap only
-    # shrinks partition counts, never grows them). Results are
-    # UNCHANGED by construction — every cross-row sum is exact.
+    qvecs = vecs.mapInPandas(_quantize_rows, schema=q_schema)
     import math
 
-    n_rows = qvecs.count()  # also materializes the cache
-
-    # SMALL-CORPUS FAST PATH (r13 optimization): below the quanta cap
-    # the whole quantized frame is one bounded collect (int64 quanta,
-    # ≤ ~64 MB at the default cap), and every Lloyd iteration runs as
-    # the SAME exact-integer math locally — zero per-iteration Spark
-    # jobs instead of iters × (Arrow pass + decimal aggregation +
-    # collect). Bit-identical by the module's own exactness argument:
-    # assignment is an integer argmax and every cross-row sum is an
-    # exact int64/decimal total, so WHERE the sum happens (one task,
-    # many tasks, or the driver) cannot change any value — the same
-    # property the pure-Python referees pin. Past the cap (a corpus
-    # that is not driver-sized) the distributed loop below runs
-    # unchanged.
-    if n_rows * d <= _kmeans_local_quanta_cap():
-        qmat = np.array([r["_q"] for r in qvecs.collect()],
-                        dtype=np.int64)
+    # SMALL-CORPUS FAST PATH (r13 optimization; r14 job fusion): below
+    # the quanta cap the whole quantized frame is ONE LIMIT-BOUNDED
+    # collect (the BPE-trainer idiom) — the cap check and the data
+    # arrive in the same job, replacing the r13 persist + count +
+    # collect triple (two jobs and the cache held for nothing). At
+    # scale the probe overflows after a few incrementally-scanned
+    # partitions and the distributed loop below runs from a persisted
+    # frame, as before. Every Lloyd iteration then runs the SAME
+    # exact-integer math locally — zero per-iteration Spark jobs.
+    # Bit-identical by the module's own exactness argument: assignment
+    # is an integer argmax and every cross-row sum is an exact
+    # int64/decimal total, so WHERE the sum happens (one task, many
+    # tasks, or the driver) cannot change any value — and no sum
+    # depends on row ORDER, so the probe's partition order is as good
+    # as any.
+    rows_cap = _kmeans_local_quanta_cap() // max(1, d)
+    probe = qvecs.limit(rows_cap + 1).collect() if rows_cap else []
+    if rows_cap and len(probe) <= rows_cap:
+        qmat = np.array([r["_q"] for r in probe], dtype=np.int64)
+        local_ids = np.array([r["_id"] for r in probe], dtype=np.int64)
         for _ in range(iters):
             cq = _quantize_centroids(cent.tolist())
             cells = np.argmax(qmat @ cq.T, axis=1)
@@ -199,13 +194,29 @@ def kmeans_fit(
                 if n > 0:
                     new_cent[j] = m / n
             cent = new_cent
-        if not _return_quantized:
-            qvecs.unpersist()
         cent_list = [[float(x) for x in row] for row in cent]
         if _return_quantized:
+            # hand the driver-resident quanta to pq_codebooks_fit so
+            # IVF-PQ's residual training needs ZERO further jobs (the
+            # frame itself stays lazily recomputable for any caller
+            # that ignores the attachment)
+            qvecs._spark_graft_local_quanta = (local_ids, qmat)
             return cent_list, qvecs
         return cent_list
 
+    # corpus past the cap: persist for the per-iteration passes (the
+    # bounded probe above cost one partial quantize scan — the
+    # documented price of the limit idiom)
+    qvecs = qvecs.persist()
+    n_rows = qvecs.count()  # materializes the cache
+    # data-dependent task sizing: every Lloyd iteration scans this
+    # frame through Python workers, so a SMALL corpus spread over many
+    # partitions pays per-task Arrow/worker overhead iters times over
+    # (~0.3s/job of pure scheduling at 32 tasks × 60 rows — measured).
+    # Repack to ~64k rows/partition (≈33 MB of float64 quanta at
+    # d=64); a 100 TB corpus keeps its parallelism (the cap only
+    # shrinks partition counts, never grows them). Results are
+    # UNCHANGED by construction — every cross-row sum is exact.
     cur_parts = qvecs.rdd.getNumPartitions()
     tgt = max(1, min(cur_parts, math.ceil(n_rows / 65536)))
     if tgt < cur_parts:
@@ -287,6 +298,44 @@ def kmeans_fit(
     return cent_list
 
 
+def _pq_local_iters(qloc: "np.ndarray", m_sub: int, k_sub: int,
+                    dsub: int, iters: int) -> list:
+    """The driver-local PQ iteration loop over id-sorted residual
+    quanta — shared by the collect path and the attached-quanta path;
+    exactly the distributed spec (integer argmin, int64 sums, integer
+    floor(s/c + 0.5) rounding), so results are bit-identical."""
+    import numpy as np
+
+    seed = qloc[:k_sub]
+    cb = np.stack([seed[:, s * dsub:(s + 1) * dsub].copy()
+                   for s in range(m_sub)])
+    for _ in range(iters):
+        new_cb = cb.copy()
+        for s in range(m_sub):
+            Rs = qloc[:, s * dsub:(s + 1) * dsub]
+            cbs = cb[s]
+            d2 = (
+                (Rs * Rs).sum(axis=1)[:, None]
+                - 2 * (Rs @ cbs.T)
+                + (cbs * cbs).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)  # first-lowest ties
+            cnt = np.bincount(a, minlength=k_sub)
+            sums_i = np.zeros((k_sub, dsub), dtype=np.int64)
+            np.add.at(sums_i, a, Rs)
+            for j in range(k_sub):
+                c = int(cnt[j])
+                if c == 0:
+                    continue  # empty cluster keeps its codeword
+                for pos in range(dsub):
+                    sv = int(sums_i[j, pos])
+                    # floor(sv/c + 0.5) in exact integers
+                    new_cb[s, j, pos] = (2 * sv + c) // (2 * c)
+        cb = new_cb
+    return [[[float(x) / QUANT for x in code] for code in book]
+            for book in cb]
+
+
 def pq_codebooks_fit(
     df: DataFrame,
     centroids: list[list[float]],
@@ -361,6 +410,25 @@ def pq_codebooks_fit(
                 "_qr": [row.tolist() for row in r],
             })
 
+    # ZERO-JOB FAST PATH (r14): when kmeans_fit trained locally it
+    # attached the driver-resident quanta to the returned frame — the
+    # residuals are the same exact int64 subtraction wherever they are
+    # computed, so the whole PQ training needs no further Spark jobs
+    # (previously: a residual Arrow pass + persist + count + collect).
+    local = (getattr(qvecs, "_spark_graft_local_quanta", None)
+             if qvecs is not None else None)
+    if local is not None and len(local[1]) * d <= _kmeans_local_quanta_cap():
+        ids, q = local
+        cells = np.argmax(q @ cq.T, axis=1)
+        rmat = q - cq[cells]  # exact: quanta minus quanta
+        if len(rmat) < k_sub:
+            raise ValueError(
+                f"pq_codebooks_fit: k_sub={k_sub} exceeds the "
+                f"corpus size {len(rmat)}")
+        # seed = the k_sub lowest-id residuals, same as the collect path
+        qloc = rmat[np.argsort(ids)]
+        return _pq_local_iters(qloc, m_sub, k_sub, dsub, iters)
+
     src = qvecs if qvecs is not None else df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -391,34 +459,7 @@ def pq_codebooks_fit(
                     f"pq_codebooks_fit: k_sub={k_sub} exceeds the "
                     f"corpus size {len(rows_l)}")
             qloc = np.array([r["_qr"] for r in rows_l], dtype=np.int64)
-            seed = qloc[:k_sub]
-            cb = np.stack([seed[:, s * dsub:(s + 1) * dsub].copy()
-                           for s in range(m_sub)])
-            for _ in range(iters):
-                new_cb = cb.copy()
-                for s in range(m_sub):
-                    Rs = qloc[:, s * dsub:(s + 1) * dsub]
-                    cbs = cb[s]
-                    d2 = (
-                        (Rs * Rs).sum(axis=1)[:, None]
-                        - 2 * (Rs @ cbs.T)
-                        + (cbs * cbs).sum(axis=1)[None, :]
-                    )
-                    a = np.argmin(d2, axis=1)  # first-lowest ties
-                    cnt = np.bincount(a, minlength=k_sub)
-                    sums_i = np.zeros((k_sub, dsub), dtype=np.int64)
-                    np.add.at(sums_i, a, Rs)
-                    for j in range(k_sub):
-                        c = int(cnt[j])
-                        if c == 0:
-                            continue  # empty cluster keeps its codeword
-                        for pos in range(dsub):
-                            sv = int(sums_i[j, pos])
-                            # floor(sv/c + 0.5) in exact integers
-                            new_cb[s, j, pos] = (2 * sv + c) // (2 * c)
-                cb = new_cb
-            return [[[float(x) / QUANT for x in code] for code in book]
-                    for book in cb]
+            return _pq_local_iters(qloc, m_sub, k_sub, dsub, iters)
 
         seed_rows = qr.orderBy("_id").limit(k_sub).collect()
         if len(seed_rows) < k_sub:

@@ -33,12 +33,23 @@ from pyspark.sql import functions as F
 # Shingling
 # --------------------------------------------------------------------------
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, n_rows: int | None = None,
+           rows_per_task: int = 32) -> DataFrame:
     """Repartition up to the session's parallelism when the input is
     under-partitioned (e.g. one small parquet file → 1 partition →
     single-threaded shingling/cross-joins). No-op on well-partitioned
-    inputs, so at fleet scale it costs nothing."""
+    inputs, so at fleet scale it costs nothing.
+
+    When the caller knows the row count, pass ``n_rows`` and the width
+    is DATA-SIZED — ``min(parallelism, ceil(n_rows / rows_per_task))``
+    (r13 verdict item 3): a tiny corpus then doesn't fan out to one
+    near-empty Python task per core (each task pays worker dispatch,
+    Arrow setup, and per-task init), while production-sized inputs
+    still get the full width. ``rows_per_task`` is tuned for heavy
+    per-row synthesis/extraction stages (~1-10 ms/row)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if n_rows is not None:
+        target = max(2, min(target, (n_rows + rows_per_task - 1) // rows_per_task))
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df

@@ -274,10 +274,12 @@ def attach_linked_corpus(df: DataFrame, n_docs: int,
     # spread: the fixture corpus arrives as ONE small parquet
     # split; without a repartition the per-payload synthesis CPU
     # serializes through a single Python worker (no-op on
-    # well-partitioned input — see operators.dedup.spread)
+    # well-partitioned input — see operators.dedup.spread). The caller
+    # already counted the corpus, so the width is data-sized.
     from pipeline_server_spark.operators.dedup import spread
 
-    return spread(df.select(id_col)).mapInPandas(_synth, schema=schema)
+    return spread(df.select(id_col), n_rows=n).mapInPandas(
+        _synth, schema=schema)
 
 
 # -- anchor-text profiles ----------------------------------------------

@@ -148,8 +148,13 @@ def brute_force_knn_join(
     spark = corpus.sparkSession
     c = spread(corpus).select(F.col(id_col).alias("nbr_id"),
                               F.col(vec_col).cast("array<double>").alias("cv"))
-    q = spread(queries).select(F.col(id_col).alias("query_id"),
-                               F.col(vec_col).cast("array<double>").alias("qv"))
+    # no spread on the query side (r14): the per-row pack work is
+    # trivial and the heavy matmul runs after the grid join, so
+    # fanning a bounded query set out to one near-empty Python task
+    # per core only buys scheduling overhead; values are
+    # partitioning-invariant (pytest-pinned).
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
     # data-dependent grid sizing: two scalar counts (metadata-sized
     # actions, not row collects)
     n_cb = max(1, -(-c.count() // block_rows))
@@ -580,7 +585,9 @@ def ivf_topk(
                 "cell": pr.ravel().astype("int32"),
             })
 
-    qdf = (spread(queries)
+    # no spread (r14): the probe is per-row trivial and its output is
+    # broadcast — see brute_force_topk
+    qdf = (queries
            .select(F.col(id_col).alias("query_id"),
                    F.col(vec_col).cast("array<double>").alias("qv"))
            .mapInPandas(_probe, schema=probe_schema))
@@ -712,7 +719,9 @@ def ivf_pq_knn_join(
         corpus, n_centroids, m_sub, k_sub, kmeans_iters, id_col, vec_col)
     dsub = cent.shape[1] // m_sub
 
-    q = spread(queries).select(
+    # no spread (r14): the cell-probe is per-row trivial; candidates
+    # re-partition at the codes join anyway — see brute_force_topk
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"))
     probe_schema = T.StructType([

@@ -642,16 +642,20 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model derivation (c12 → c1) and the scoring join — without the
     # checkpoint the corpus scan + explode + count subtree ran 3×
     # (the before-plan shows 4 parquet scans; after: 2). Same for c12
-    # (model-sized), which feeds both the join and c1.
+    # (model-sized), which feeds both the join and c1. LAZY (r14,
+    # verdict item 7): the eager variant paid two blocking
+    # materialization jobs before the query's own action — the first
+    # consumer materializes the blocks in-job instead, keeping the
+    # scan dedup without the barriers.
     dbig = (
         docs.select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c12 = (dbig.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))

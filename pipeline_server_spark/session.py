@@ -34,6 +34,7 @@ def get_spark(
     unchanged — partitioning decisions live in the operators, not here.
     """
     cpus = int(DEFAULT_CPUS)
+    _worker_blas = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1")
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
@@ -46,6 +47,20 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # One BLAS thread per Python worker: Spark already runs one
+        # task per core, so letting every worker's OpenBLAS/OpenMP pool
+        # spawn its own threads oversubscribes the box (guide §5;
+        # round-13 driver bench showed the 8-core run BEATING the
+        # 32-core run 2× on numpy-matmul stages). Single-threaded BLAS
+        # inside an already-parallel executor is the production
+        # default; env-tunable for boxes whose matmul stages run
+        # narrower than the core count. Only reaches Python workers,
+        # not the driver.
+        .config("spark.executorEnv.OMP_NUM_THREADS", _worker_blas)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", _worker_blas)
+        .config("spark.executorEnv.MKL_NUM_THREADS", _worker_blas)
+        .config("spark.executorEnv.NUMEXPR_NUM_THREADS", _worker_blas)
+        .config("spark.executorEnv.VECLIB_MAXIMUM_THREADS", _worker_blas)
         # default 10MB broadcast threshold kept: raising it makes local
         # runs broadcast fact tables — fast in one JVM, wrong at scale.
         # Dimension tables are broadcast explicitly in the queries.

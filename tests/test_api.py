@@ -17,12 +17,21 @@ from pipeline_server_spark.api import (
 )
 from pipeline_server_spark.engine import Engine
 from pipeline_server_spark.pipeline.config import (
+
     DatasetConfig,
     DestinationConfig,
     FileAttributes,
     SchemaField,
     SourceConfig,
 )
+
+# Module marked slow (round-14, r13 verdict item 1b): the multi-commit
+# lakehouse/streaming scenarios here are the bulk of the default suite's
+# wall time and exceeded the round driver's pytest budget (r13:
+# 37 min, truncated). They still run in the full gate:
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 
 
 def _call(port, method, path, body=None, headers=None):

@@ -11,6 +11,14 @@ from pyspark.sql import functions as F
 
 from pipeline_server_spark.pipeline.writers import VersionedTable
 
+# Module marked slow (round-14, r13 verdict item 1b): the multi-commit
+# lakehouse/streaming scenarios here are the bulk of the default suite's
+# wall time and exceeded the round driver's pytest budget (r13:
+# 37 min, truncated). They still run in the full gate:
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _rows(spark, lo, hi):
     return spark.range(lo, hi).select(

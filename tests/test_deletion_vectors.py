@@ -23,7 +23,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from pipeline_server_spark.pipeline.writers import (
+
     ConditionalPutFS, VersionedTable)
+
+# Module marked slow (round-14, r13 verdict item 1b): the multi-commit
+# lakehouse/streaming scenarios here are the bulk of the default suite's
+# wall time and exceeded the round driver's pytest budget (r13:
+# 37 min, truncated). They still run in the full gate:
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 
 
 def _mk(spark, path, n=1000, stats=("k",), parts=8):

@@ -7,6 +7,15 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pipeline_server_spark.pipeline.writers import merge_upsert_frames
+import pytest
+
+# Module marked slow (round-14, r13 verdict item 1b): the multi-commit
+# lakehouse/streaming scenarios here are the bulk of the default suite's
+# wall time and exceeded the round driver's pytest budget (r13:
+# 37 min, truncated). They still run in the full gate:
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 
 ROWS = st.lists(
     st.tuples(

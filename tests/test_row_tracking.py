@@ -26,6 +26,14 @@ from pipeline_server_spark.operators.scale import (
     optimize_compact_snapshot, optimize_zorder_snapshot)
 from pipeline_server_spark.pipeline.writers import VersionedTable
 
+# Module marked slow (round-14, r13 verdict item 1b): the multi-commit
+# lakehouse/streaming scenarios here are the bulk of the default suite's
+# wall time and exceeded the round driver's pytest budget (r13:
+# 37 min, truncated). They still run in the full gate:
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _ids(t, version=None):
     """{k: _row_id} of a snapshot."""

@@ -11,6 +11,14 @@ from pipeline_server_spark.operators.scale import bucketed_join, salted_agg_sum,
 from pipeline_server_spark.queries.relational import dec
 from tests.conftest import SF_SMALL
 
+# Module marked slow (round-14, r13 verdict item 1b): the multi-commit
+# lakehouse/streaming scenarios here are the bulk of the default suite's
+# wall time and exceeded the round driver's pytest budget (r13:
+# 37 min, truncated). They still run in the full gate:
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # warehouse dir is a static conf — tables land in ./spark-warehouse

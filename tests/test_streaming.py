@@ -23,6 +23,14 @@ from pipeline_server_spark.streaming.windows import (
 )
 from tests.conftest import SF_SMALL
 
+# Module marked slow (round-14, r13 verdict item 1b): the multi-commit
+# lakehouse/streaming scenarios here are the bulk of the default suite's
+# wall time and exceeded the round driver's pytest budget (r13:
+# 37 min, truncated). They still run in the full gate:
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 FIELDS = (
     SchemaField("k", "bigint"),
     SchemaField("name", "string"),
