@@ -126,16 +126,18 @@ def kmeans_fit(
         np.array([r["_v"] for r in seed_rows], dtype=np.float64))
 
     # QUANTIZE ONCE, iterate many: the per-vector normalize+quantize is
-    # iteration-invariant, so it runs in one Arrow pass whose result is
-    # persisted (memory-and-disk: a larger-than-cluster corpus spills
-    # instead of failing; the quantized frame is the same width as the
-    # input). Every Lloyd iteration then reads integer quanta directly
-    # — no parquet re-decode, no re-normalization. Results are
-    # batching-independent by construction, so caching cannot change
-    # the fixpoint.
-    # With _return_quantized the persisted (_id, _q) frame is returned
-    # alongside the centroids (NOT unpersisted — the caller owns it;
-    # pq_codebooks_fit reuses it so IVF-PQ training quantizes once).
+    # iteration-invariant, so it runs in one Arrow pass. Under the
+    # local cap that pass IS the bounded collect below; past it the
+    # frame is persisted memory-and-disk (a larger-than-cluster corpus
+    # spills instead of failing) and every Lloyd iteration reads
+    # integer quanta directly — no parquet re-decode, no
+    # re-normalization. Results are batching-independent by
+    # construction, so caching cannot change the fixpoint.
+    # With _return_quantized the (_id, _q) frame is returned alongside
+    # the centroids (the caller owns any persistence;
+    # pq_codebooks_fit reuses it so IVF-PQ training quantizes once —
+    # and on the local path it reuses the attached driver-resident
+    # quanta with zero further jobs).
     q_schema = T.StructType([
         T.StructField("_id", T.LongType()),
         T.StructField("_q", T.ArrayType(T.LongType())),
@@ -217,7 +219,7 @@ def kmeans_fit(
     # d=64); a 100 TB corpus keeps its parallelism (the cap only
     # shrinks partition counts, never grows them). Results are
     # UNCHANGED by construction — every cross-row sum is exact.
-    cur_parts = qvecs.rdd.getNumPartitions()
+    cur_parts = qvecs._jdf.queryExecution().toRdd().getNumPartitions()
     tgt = max(1, min(cur_parts, math.ceil(n_rows / 65536)))
     if tgt < cur_parts:
         packed = qvecs.repartition(tgt).persist()

@@ -50,7 +50,12 @@ def spread(df: DataFrame, n_rows: int | None = None,
     target = df.sparkSession.sparkContext.defaultParallelism
     if n_rows is not None:
         target = max(2, min(target, (n_rows + rows_per_task - 1) // rows_per_task))
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # partition probe via the INTERNAL RDD: same count as df.rdd, but
+    # skips building the Python-facing serializer pipeline — measured
+    # 61 ms → 37 ms per call (r13 advice; this sits in the timed path
+    # of ~35 call sites)
+    parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if parts < max(2, target // 2):
         return df.repartition(target)
     return df
 
