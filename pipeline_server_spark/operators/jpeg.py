@@ -218,27 +218,66 @@ class _BitReader:
         self.nbits = 0
         self.stopped = False  # hit a marker or end of data
         self.marker: int | None = None
+        self._resegment(pos)
+
+    def _resegment(self, pos: int) -> None:
+        """Locate the entropy-coded segment starting at ``pos`` (up to
+        the next real marker / bare-FF / end of data) and UNSTUFF it
+        once with C-speed ``bytes.replace`` — the old reader paid a
+        per-byte Python stuffing check on every refill (~30% of decode
+        time, r14 profile). Unstuffed-vs-raw positions reconcile
+        exactly: every 0xFF byte in the unstuffed segment came from a
+        stuffed FF 00 pair (any other FF would have ended the
+        segment)."""
+        data = self.data
+        i = pos
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0:
+                end, mk = len(data), None
+                break
+            if j + 1 >= len(data):
+                end, mk = j, None  # data ends on a bare 0xFF
+                break
+            if data[j + 1] == 0x00:
+                i = j + 2
+                continue
+            end, mk = j, data[j + 1]
+            break
+        self._seg_start = pos
+        self._end_pos = end
+        self._marker_byte = mk
+        self._useg = data[pos:end].replace(b"\xff\x00", b"\xff")
+        self._ui = 0
 
     def _fill(self) -> None:
-        data, pos = self.data, self.pos
-        while self.nbits <= 16 and not self.stopped:
-            if pos >= len(data):
-                self.stopped = True
-                break
-            b = data[pos]
-            if b == 0xFF:
-                nxt = data[pos + 1] if pos + 1 < len(data) else None
-                if nxt == 0x00:
-                    pos += 2
-                else:
-                    self.stopped = True
-                    self.marker = nxt  # None = data ends on a bare 0xFF
-                    break
-            else:
-                pos += 1
-            self.window = ((self.window << 8) | b) & 0xFFFFFF
-            self.nbits += 8
-        self.pos = pos
+        if self.nbits > 16 or self.stopped:
+            return
+        u, ui = self._useg, self._ui
+        avail = len(u) - ui
+        if avail <= 0:
+            self.stopped = True
+            self.marker = self._marker_byte
+            self.pos = self._end_pos
+            return
+        take = 4 if avail >= 4 else avail
+        self._ui = ui + take
+        # trim already-consumed high bits so the window stays a small
+        # int (the old reader masked to 24 bits per byte for the same
+        # reason), then splice the chunk in
+        self.window = (
+            ((self.window & ((1 << self.nbits) - 1)) << (8 * take))
+            | int.from_bytes(u[ui:ui + take], "big"))
+        self.nbits += 8 * take
+        self.pos = self._raw_pos()
+
+    def _raw_pos(self) -> int:
+        """Raw-byte position of the next unread segment byte (every
+        unstuffed 0xFF consumed so far stood for two raw bytes)."""
+        ui = self._ui
+        if ui >= len(self._useg):
+            return self._end_pos
+        return self._seg_start + ui + self._useg.count(0xFF, 0, ui)
 
     def peek16(self) -> int:
         if self.nbits < 16:
@@ -280,13 +319,16 @@ class _BitReader:
     def restart(self) -> None:
         """Restart-interval boundary: drop padding bits, consume the
         expected RSTn marker, resume entropy decoding after it."""
+        pos = self._raw_pos()
         self.window = 0
         self.nbits = 0
         self.stopped = False
         self.marker = None
-        if (self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
-            self.pos += 2
+        if (pos + 1 < len(self.data) and self.data[pos] == 0xFF
+                and 0xD0 <= self.data[pos + 1] <= 0xD7):
+            pos += 2
+        self.pos = pos
+        self._resegment(pos)
 
 
 class _MarkerFound(Exception):
